@@ -1,0 +1,20 @@
+package graft
+
+import graft.queries._
+
+/** Registry of every implemented engine capability (SURVEY.md §2
+  * inventory + LLM-pipeline extensions). `SparkEntry` derives the
+  * driver-facing maps from this, `Bench` runs the `headline` subset.
+  */
+object Catalog {
+  def all: Seq[QueryDef] =
+    RelationalQueries.defs ++
+      AggregateQueries.defs ++
+      WindowQueries.defs ++
+      SetOpQueries.defs ++
+      ScalarQueries.defs
+
+  def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
+
+  def headline: Seq[QueryDef] = all.filter(_.headline)
+}

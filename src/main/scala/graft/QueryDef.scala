@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered engine capability: a Spark query over the fixture dir,
+  * optionally paired with an ANSI-SQL twin the driver executes in DuckDB
+  * over the same parquet tables (hash-compared at sf0.01 — see
+  * /root/repo/BASELINE.json).
+  *
+  * Parity rules used throughout the catalog (Spark <-> DuckDB):
+  *  - sums/avgs over money columns go through DECIMAL(18,2) (the data is
+  *    exact 2-decimal; decimal arithmetic is exact in both engines), then
+  *    CAST to DOUBLE at the end — bit-identical results.
+  *  - timestamps are emitted as `unix_micros` <-> `epoch_us` BIGINT
+  *    (avoids timezone / sub-second rounding divergence).
+  *  - no transcendental functions except IEEE-exact `sqrt`; no `round`
+  *    on data-derived doubles (HALF_UP vs HALF_EVEN divergence).
+  *  - every computed column is aliased identically on both sides (the
+  *    driver sorts columns by name before hashing).
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String],
+    headline: Boolean = false)(
+    val fn: (SparkSession, String) => DataFrame)

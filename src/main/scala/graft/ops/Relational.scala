@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, DataFrameReader, SparkSession}
+
+/** The reference's relational operator surface (SURVEY.md §2.1) as
+  * composable `DataFrame => DataFrame` functions. Everything is declared
+  * through the DataFrame API so Catalyst performs predicate pushdown,
+  * column pruning and join-strategy selection (SURVEY.md §4.1) — the
+  * engine adds no hand scheduling.
+  */
+object Relational {
+
+  /** S3a — parquet source (ref py:229,321,341). */
+  def scanParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Options for S1/S2 — JDBC scan, plain or range-partitioned parallel
+    * (ref py:101-116). `partition` adds the four options that make Spark
+    * generate one stripe query per `[lower,upper)` range
+    * (partitionColumn/lowerBound/upperBound/numPartitions, ref py:109-114).
+    */
+  final case class JdbcScan(
+      url: String,
+      table: String,
+      user: String = "",
+      password: String = "",
+      driver: String = "",
+      fetchSize: Int = 10000,
+      partition: Option[JdbcPartition] = None)
+
+  final case class JdbcPartition(
+      column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
+
+  def scanJdbc(spark: SparkSession, s: JdbcScan): DataFrame = {
+    var r: DataFrameReader = spark.read
+      .format("jdbc")
+      .option("url", s.url)
+      .option("dbtable", s.table)
+      .option("fetchsize", s.fetchSize.toString)
+    if (s.user.nonEmpty) r = r.option("user", s.user)
+    if (s.password.nonEmpty) r = r.option("password", s.password)
+    if (s.driver.nonEmpty) r = r.option("driver", s.driver)
+    s.partition.foreach { p =>
+      r = r.option("partitionColumn", p.column)
+        .option("lowerBound", p.lowerBound.toString)
+        .option("upperBound", p.upperBound.toString)
+        .option("numPartitions", p.numPartitions.toString)
+    }
+    r.load()
+  }
+
+  /** F1 — config-supplied SQL predicate string (ref py:118-120). Parsed by
+    * Spark's SQL expression parser; Catalyst pushes it into the source
+    * scan (JDBC WHERE clause / parquet row-group filters). */
+  def filterSql(df: DataFrame, predicate: String): DataFrame =
+    if (predicate == null || predicate.trim.isEmpty) df else df.where(predicate)
+
+  /** One edge of the star-join graph (ref py:140-142). */
+  final case class JoinEdge(
+      rightTable: String, leftCol: String, rightCol: String,
+      joinType: String = "inner")
+
+  /** R1+J1 — fold a named-table registry through a list of equi-join
+    * edges, starting from `root`. Columns are referenced through the
+    * per-table DataFrames, so duplicate names across inputs are fine.
+    * Catalyst/AQE picks broadcast-hash vs sort-merge per edge. */
+  def joinGraph(
+      tables: Map[String, DataFrame],
+      root: String,
+      edges: Seq[JoinEdge]): DataFrame = {
+    edges.foldLeft(tables(root)) { (acc, e) =>
+      val right = tables(e.rightTable)
+      acc.join(right, acc(e.leftCol) === right(e.rightCol), e.joinType)
+    }
+  }
+
+  /** P1 — config-supplied projection expressions (`qualifier.col AS name`
+    * or any scalar SQL expression — ref py:146, json:59-82). */
+  def project(df: DataFrame, exprs: Seq[String]): DataFrame =
+    df.selectExpr(exprs: _*)
+
+  /** W1 — round-robin rebalance before a sink (ref py:196,216,345). */
+  def rebalance(df: DataFrame, numPartitions: Int): DataFrame =
+    df.repartition(numPartitions)
+
+  /** K1 — parquet sink, overwrite staging semantics (ref py:197,217). */
+  def sinkParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).parquet(path)
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.4): hash aggregates with map-side
+  * partials (Spark's HashAggregateExec does partial+final automatically),
+  * distinct aggregates, rollup/cube/grouping sets, approx sketches.
+  * All money sums run in DECIMAL(18,2) for exact cross-engine parity,
+  * emitted as DOUBLE.
+  */
+object AggregateQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+    // TPC-H Q1-shaped pricing summary: the canonical partial+final hash agg.
+    QueryDef("q1_agg_pricing", Some(
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true)(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(col("l_shipdate") <= to_timestamp(lit("2000-12-01 00:00:00")))
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("sum_base"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .cast("double").as("sum_disc"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("n"))),
+
+    // Distinct aggregates (expand + two-phase agg in Spark).
+    QueryDef("q_agg_distinct", Some(
+      """SELECT o_orderstatus AS status,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            countDistinct(col("o_custkey")).as("n_cust"),
+            countDistinct(col("o_orderpriority")).as("n_prio"),
+            count(lit(1)).as("n"))),
+
+    // Min/max/count per group (exact doubles, no arithmetic).
+    QueryDef("q_agg_minmax", Some(
+      """SELECT c_mktsegment AS segment, min(c_acctbal) AS min_bal,
+        |  max(c_acctbal) AS max_bal, count(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"),
+            count(lit(1)).as("n"))),
+
+    // ROLLUP: hierarchical subtotals (NULL marks rolled-up levels in both).
+    QueryDef("q_agg_rollup", Some(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .rollup(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+          .agg(sum(dec(col("o_totalprice"))).cast("double").as("total"),
+            count(lit(1)).as("n"))),
+
+    // CUBE: all grouping combinations.
+    QueryDef("q_agg_cube", Some(
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+            count(lit(1)).as("n"))),
+
+    // GROUPING SETS with grouping() disambiguation (SQL-expressed; the
+    // fixture views are registered per call).
+    QueryDef("q_agg_grouping_sets", Some(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(
+          """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+            |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+            |  count(*) AS n
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+      }),
+
+    // HAVING-style post-aggregation filter.
+    QueryDef("q_agg_having", Some(
+      """SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+          .where(col("n_orders") >= 3)),
+
+    // Approximate distinct (HLL++) — sketch values are engine-specific, so
+    // no SQL oracle; the driver records a rows-only check. Kept in the
+    // inventory as the 100TB-scale alternative to exact countDistinct.
+    QueryDef("q_agg_approx_distinct", None)(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("rf"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            count(lit(1)).as("n")))
+  )
+}

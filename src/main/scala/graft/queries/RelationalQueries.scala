@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's own query shape (scan → filter → star join → renamed
+  * projection, verizon_table_migration_Rakesh_filters.py:93-146) mapped
+  * onto the driver fixtures, plus the full join-type surface the
+  * reference lacks (SURVEY.md §2.4 extensions).
+  */
+object RelationalQueries {
+
+  private val nations11 =
+    Seq("NATION_0", "NATION_2", "NATION_4", "NATION_6", "NATION_8",
+      "NATION_10", "NATION_12", "NATION_14", "NATION_16", "NATION_18",
+      "NATION_20")
+  private val nationsInList = nations11.map(n => s"'$n'").mkString(", ")
+
+  /** Flagship: the reference's 4-table config-driven pipeline query
+    * (filters json:53-58 — range + IN-list + equality; join py:140-142;
+    * projection py:146/json:59-82) over lineitem⋈orders⋈customer⋈nation.
+    * Built through the same operator layer the pipeline runtime uses. */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Map(
+      "lineitem" -> Relational.filterSql(
+        Tables(spark, dir, "lineitem"),
+        "l_quantity >= 10 AND l_quantity <= 40"),
+      "orders" -> Relational.filterSql(
+        Tables(spark, dir, "orders"),
+        "o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+      "customer" -> Tables(spark, dir, "customer"),
+      "nation" -> Relational.filterSql(
+        Tables(spark, dir, "nation"), s"n_name IN ($nationsInList)"))
+    val joined = Relational.joinGraph(tables, "lineitem", Seq(
+      Relational.JoinEdge("orders", "l_orderkey", "o_orderkey"),
+      Relational.JoinEdge("customer", "o_custkey", "c_custkey"),
+      Relational.JoinEdge("nation", "c_nationkey", "n_nationkey")))
+    Relational.project(joined, Seq(
+      "l_orderkey AS order_id",
+      "l_linenumber AS line_no",
+      "l_quantity AS qty",
+      "l_extendedprice AS price",
+      "l_discount AS discount",
+      "o_orderstatus AS status",
+      "o_orderpriority AS priority",
+      "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS order_epoch_us",
+      "c_name AS customer_name",
+      "c_mktsegment AS segment",
+      "n_name AS nation",
+      "l_returnflag AS return_flag"))
+  }
+
+  private val flagshipOracle =
+    s"""SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       |  l_quantity AS qty, l_extendedprice AS price, l_discount AS discount,
+       |  o_orderstatus AS status, o_orderpriority AS priority,
+       |  epoch_us(o_orderdate) AS order_epoch_us,
+       |  c_name AS customer_name, c_mktsegment AS segment,
+       |  n_name AS nation, l_returnflag AS return_flag
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_quantity >= 10 AND l_quantity <= 40
+       |  AND o_orderstatus = 'F'
+       |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |  AND n_name IN ($nationsInList)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_flagship_star", Some(flagshipOracle), headline = true)(flagship),
+
+    // Pushdown scan + projection: the S1/F1/P1 slice alone.
+    QueryDef("q_scan_filter_project", Some(
+      """SELECT o_orderkey AS order_id, o_totalprice AS total,
+        |  o_orderpriority AS priority
+        |FROM orders
+        |WHERE o_totalprice >= 100000 AND o_orderstatus = 'O'""".stripMargin))(
+      (s, d) =>
+        Relational.project(
+          Relational.filterSql(Tables(s, d, "orders"),
+            "o_totalprice >= 100000 AND o_orderstatus = 'O'"),
+          Seq("o_orderkey AS order_id", "o_totalprice AS total",
+            "o_orderpriority AS priority"))),
+
+    // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
+    // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
+    QueryDef("q_join_left_outer", Some(
+      """SELECT c_custkey AS custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(c("c_custkey").as("custkey"))
+          .agg(
+            count(o("o_orderkey")).as("n_orders"),
+            coalesce(sum(o("o_totalprice").cast("decimal(18,2)")), lit(0))
+              .cast("double").as("spend"))
+      }),
+
+    // LEFT SEMI join (EXISTS): customers having a finished high-value order.
+    QueryDef("q_join_semi", Some(
+      """SELECT c_custkey AS custkey, c_name AS name
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+        |    AND o_totalprice > 150000)""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders")
+          .where("o_orderstatus = 'F' AND o_totalprice > 150000")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      }),
+
+    // LEFT ANTI join (NOT EXISTS): customers who never placed an urgent order.
+    QueryDef("q_join_anti", Some(
+      """SELECT c_custkey AS custkey, c_name AS name
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"))
+      }),
+
+    // FULL OUTER join of two aggregates on nationkey.
+    QueryDef("q_join_full_outer", Some(
+      """SELECT coalesce(cn.k, sn.k) AS nationkey,
+        |  coalesce(cn.n_cust, 0) AS n_cust, coalesce(sn.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS k, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) cn
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS k, count(*) AS n_supp
+        |      FROM supplier GROUP BY s_nationkey) sn
+        |ON cn.k = sn.k""".stripMargin))(
+      (s, d) => {
+        val cn = Tables(s, d, "customer").groupBy(col("c_nationkey").as("k"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = Tables(s, d, "supplier").groupBy(col("s_nationkey").as("k"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, cn("k") === sn("k"), "full_outer")
+          .select(
+            coalesce(cn("k"), sn("k")).as("nationkey"),
+            coalesce(cn("n_cust"), lit(0)).as("n_cust"),
+            coalesce(sn("n_supp"), lit(0)).as("n_supp"))
+      }),
+
+    // CROSS join (tiny dims only — guarded by design, not by Spark).
+    QueryDef("q_join_cross", Some(
+      """SELECT r_name AS region, sts.s AS status
+        |FROM region CROSS JOIN
+        |  (SELECT DISTINCT o_orderstatus AS s FROM orders) sts""".stripMargin))(
+      (s, d) => {
+        val r = Tables(s, d, "region").select(col("r_name").as("region"))
+        val sts = Tables(s, d, "orders")
+          .select(col("o_orderstatus").as("status")).distinct()
+        r.crossJoin(sts)
+      }),
+
+    // Range (theta) join, rewritten scale-safe: instead of a nested-loop
+    // BETWEEN join (O(|part|·|lineitem|) pairs), explode each part into its
+    // 5 integer quantity buckets and equi-join — a hash join at any scale.
+    // The BETWEEN predicate is kept as a guard for non-integer quantities.
+    QueryDef("q_range_join_bucketed", Some(
+      """SELECT p_brand AS brand, count(*) AS n_pairs,
+        |  count(DISTINCT p_partkey) AS n_parts
+        |FROM part JOIN lineitem
+        |  ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand""".stripMargin), headline = true)(
+      (s, d) => {
+        val p = Tables(s, d, "part")
+          .withColumn("qv", explode(sequence(col("p_size") - 2, col("p_size") + 2)))
+        val li = Tables(s, d, "lineitem")
+          .withColumn("qi", col("l_quantity").cast("int"))
+          .where(col("l_quantity") === col("qi"))
+        p.join(li, p("qv") === li("qi") &&
+            li("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
+          .groupBy(col("p_brand").as("brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_partkey")).as("n_parts"))
+      }),
+
+    // AS-OF join: for each 'error' event, the most recent 'click' by the
+    // same user at-or-before it. Implemented the scalable way — a single
+    // shuffle: tag + union both sides, then last(ignoreNulls) over a
+    // user-partitioned time-ordered window (no pairwise explosion).
+    QueryDef("q_asof_join", Some(
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        |  epoch_us(c.ts) AS last_click_epoch_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts""".stripMargin),
+      headline = true)(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            lit(1).as("is_click"), col("ts").as("click_ts"),
+            lit(null).cast("bigint").as("error_id"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(0).as("is_click"), lit(null).cast("timestamp").as("click_ts"),
+            col("event_id").as("error_id"))
+        // clicks sort before errors at equal ts => "at or before" semantics
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(errors)
+          .withColumn("last_click_ts",
+            last(col("click_ts"), ignoreNulls = true).over(w))
+          .where(col("error_id").isNotNull)
+          .select(col("error_id"), col("user_id"),
+            unix_micros(col("last_click_ts")).as("last_click_epoch_us"))
+      })
+  )
+}

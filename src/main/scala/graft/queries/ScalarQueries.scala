@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.3/§2.4): string, date/time,
+  * math, conditional (CASE), JSON. The reference exposes this entire
+  * surface via config `selectExpr`/`where` strings parsed by Spark's SQL
+  * parser; here each family is exercised explicitly with a DuckDB twin.
+  *
+  * Cross-engine notes baked in:
+  *  - day-of-week: Spark `weekday()` is 0=Mon; DuckDB `isodow` is 1=Mon.
+  *  - no `round`/transcendentals on data doubles (libm divergence);
+  *    `sqrt` is IEEE-754 correctly rounded so it is safe.
+  *  - JSON: Spark `get_json_object` <-> DuckDB `json_extract_string`.
+  */
+object ScalarQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_fn_string", Some(
+      """SELECT c_custkey AS custkey,
+        |  upper(c_name) AS uname,
+        |  substr(c_name, 1, 9) AS prefix,
+        |  length(c_name) AS name_len,
+        |  concat_ws('|', c_mktsegment, c_name) AS tag,
+        |  replace(lower(c_name), 'customer', 'cust') AS shortname,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
+        |  trim('  x  ') AS trimmed
+        |FROM customer""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer").select(
+          col("c_custkey").as("custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 9).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("tag"),
+          regexp_replace(lower(col("c_name")), "customer", "cust").as("shortname"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded_id"),
+          trim(lit("  x  ")).as("trimmed"))),
+
+    QueryDef("q_fn_date", Some(
+      """SELECT o_orderkey AS orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30
+        |FROM orders""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders").select(
+          col("o_orderkey").as("orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+          date_trunc("month", col("o_orderdate")).cast("date").cast("string")
+            .as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch0"),
+          date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"))),
+
+    QueryDef("q_fn_math", Some(
+      """SELECT c_custkey AS custkey,
+        |  abs(c_acctbal) AS abs_bal,
+        |  CAST(ceil(c_acctbal) AS DOUBLE) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS DOUBLE) AS floor_bal,
+        |  CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal,
+        |  sqrt(abs(c_acctbal)) AS sqrt_bal,
+        |  c_acctbal * c_acctbal AS sq_bal,
+        |  CAST(c_custkey % 7 AS BIGINT) AS mod7,
+        |  greatest(c_acctbal, 0.0) AS pos_bal,
+        |  least(c_acctbal, 1000.0) AS capped_bal
+        |FROM customer""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer").select(
+          col("c_custkey").as("custkey"),
+          abs(col("c_acctbal")).as("abs_bal"),
+          ceil(col("c_acctbal")).cast("double").as("ceil_bal"),
+          floor(col("c_acctbal")).cast("double").as("floor_bal"),
+          signum(col("c_acctbal")).cast("double").as("sign_bal"),
+          sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+          (col("c_acctbal") * col("c_acctbal")).as("sq_bal"),
+          (col("c_custkey") % 7).cast("long").as("mod7"),
+          greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+          least(col("c_acctbal"), lit(1000.0)).as("capped_bal"))),
+
+    // CASE WHEN tiering + conditional aggregation.
+    QueryDef("q_fn_case", Some(
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |            WHEN c_acctbal < 3000 THEN 'low'
+        |            WHEN c_acctbal < 7000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |  count(*) AS n,
+        |  sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building
+        |FROM customer GROUP BY 1""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .groupBy(
+            when(col("c_acctbal") < 0, "debt")
+              .when(col("c_acctbal") < 3000, "low")
+              .when(col("c_acctbal") < 7000, "mid")
+              .otherwise("high").as("tier"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c_mktsegment") === "BUILDING", 1).otherwise(0))
+              .as("n_building"))),
+
+    // JSON extraction from the events.props payload.
+    QueryDef("q_fn_json", Some(
+      """SELECT event_id AS eid,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "events").select(
+          col("event_id").as("eid"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // null handling: coalesce / nullif / CASE over an outer-join null.
+    QueryDef("q_fn_nulls", Some(
+      """SELECT c_custkey AS custkey,
+        |  coalesce(o.n, 0) AS n_orders,
+        |  CASE WHEN o.n IS NULL THEN 'inactive' ELSE 'active' END AS activity,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o.o_custkey""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val o = Tables(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .select(
+            c("c_custkey").as("custkey"),
+            coalesce(o("n"), lit(0)).as("n_orders"),
+            when(o("n").isNull, "inactive").otherwise("active").as("activity"),
+            nullif(c("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+      })
+  )
+}

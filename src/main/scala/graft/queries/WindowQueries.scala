@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window-function surface (SURVEY.md §2.4): ranking, analytic
+  * (lag/lead), running frames (ROWS), value-range frames (RANGE), ntile,
+  * and windowed top-k per group. Every ORDER BY carries a unique
+  * tie-breaker so results are deterministic across engines.
+  */
+object WindowQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val defs: Seq[QueryDef] = Seq(
+    // Ranking trio per nation.
+    QueryDef("q_window_rank", Some(
+      """SELECT custkey, name, nationkey, rn, rnk, drnk FROM (
+        |  SELECT c_custkey AS custkey, c_name AS name, c_nationkey AS nationkey,
+        |    row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey)
+        |) WHERE rn <= 3""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, d, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+            col("c_nationkey").as("nationkey"),
+            row_number().over(w).as("rn"), rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"))
+          .where(col("rn") <= 3)
+      }),
+
+    // Running (cumulative) aggregates per customer over order time.
+    QueryDef("q_window_running", Some(
+      """SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS order_idx
+        |FROM orders""".stripMargin), headline = true)(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables(s, d, "orders")
+          .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+            sum(dec(col("o_totalprice")))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast("double").as("running_spend"),
+            row_number().over(w).as("order_idx"))
+      }),
+
+    // lag/lead: inter-shipment gaps per supplier, in exact microseconds.
+    QueryDef("q_window_lag_lead", Some(
+      """SELECT l_orderkey AS orderkey, l_linenumber AS lineno,
+        |  l_suppkey AS suppkey,
+        |  epoch_us(l_shipdate) - epoch_us(lag(l_shipdate, 1) OVER w) AS gap_prev_us,
+        |  epoch_us(lead(l_shipdate, 1) OVER w) - epoch_us(l_shipdate) AS gap_next_us
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("orderkey"),
+            col("l_linenumber").as("lineno"), col("l_suppkey").as("suppkey"),
+            (unix_micros(col("l_shipdate").cast("timestamp")) -
+              unix_micros(lag(col("l_shipdate"), 1).over(w).cast("timestamp")))
+              .as("gap_prev_us"),
+            (unix_micros(lead(col("l_shipdate"), 1).over(w).cast("timestamp")) -
+              unix_micros(col("l_shipdate").cast("timestamp"))).as("gap_next_us"))
+      }),
+
+    // RANGE frame over a numeric ordering column (peer-inclusive).
+    QueryDef("q_window_range_frame", Some(
+      """SELECT c_custkey AS custkey, c_nationkey AS nationkey,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+        |          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_sum
+        |FROM customer""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal"))
+          .rangeBetween(-1000, Window.currentRow)
+        Tables(s, d, "customer")
+          .select(col("c_custkey").as("custkey"),
+            col("c_nationkey").as("nationkey"),
+            sum(dec(col("c_acctbal"))).over(w).cast("double").as("near_sum"))
+      }),
+
+    // ntile bucketing over a total order.
+    QueryDef("q_window_ntile", Some(
+      """SELECT c_custkey AS custkey,
+        |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        |FROM customer""".stripMargin))(
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables(s, d, "customer")
+          .select(col("c_custkey").as("custkey"),
+            ntile(4).over(w).as("quartile"))
+      }),
+
+    // Global top-k (orderBy+limit — Spark plans TakeOrderedAndProject:
+    // per-partition top-k then a k-row merge on the driver, no full sort).
+    QueryDef("q_topk_global", Some(
+      """SELECT o_orderkey AS orderkey, o_totalprice AS total
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(20)
+          .select(col("o_orderkey").as("orderkey"),
+            col("o_totalprice").as("total"))),
+
+    // Top-k per group via row_number (single shuffle on the group key).
+    QueryDef("q_topk_per_group", Some(
+      """SELECT rf, orderkey, lineno, price FROM (
+        |  SELECT l_returnflag AS rf, l_orderkey AS orderkey,
+        |    l_linenumber AS lineno, l_extendedprice AS price,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem
+        |) WHERE rn <= 3""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"), col("l_orderkey").as("orderkey"),
+            col("l_linenumber").as("lineno"),
+            col("l_extendedprice").as("price"),
+            row_number().over(w).as("rn"))
+          .where(col("rn") <= 3)
+          .drop("rn")
+      })
+  )
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(writes <out>/<query>.parquet + <out>/oracle_sql.json), then this script
+executes each oracle in DuckDB over the same fixture dir and compares
+(column-name-sorted, row-sorted, exact values).
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(rows, cols):
+    # sort columns by name, then rows; normalize NaN/None for compare
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr), [cols[i] for i in order]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    passed, failed = [], []
+    for name, sql in sorted(oracles.items()):
+        try:
+            oracle = con.execute(sql)
+            ocols = [d[0] for d in oracle.description]
+            orows = oracle.fetchall()
+            spark = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in spark.description]
+            srows = spark.fetchall()
+            oc, ocn = canon(orows, ocols)
+            sc, scn = canon(srows, scols)
+            if ocn != scn:
+                failed.append((name, f"cols differ: spark={scn} oracle={ocn}"))
+            elif oc != sc:
+                diff = next(((i, a, b) for i, (a, b) in enumerate(zip(oc, sc)) if a != b),
+                            ("len", len(oc), len(sc)))
+                failed.append((name, f"rows differ ({len(sc)} spark vs {len(oc)} oracle); first diff: {diff}"))
+            else:
+                passed.append((name, len(sc)))
+        except Exception as e:
+            failed.append((name, f"ERROR {str(e)[:200]}"))
+    for name, n in passed:
+        print(f"PASS {name} ({n} rows)")
+    for name, why in failed:
+        print(f"FAIL {name}: {why}")
+    print(f"\n{len(passed)} passed, {len(failed)} failed, {len(oracles)} total oracled")
+    return 1 if failed else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
