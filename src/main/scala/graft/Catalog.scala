@@ -12,7 +12,11 @@ object Catalog {
       AggregateQueries.defs ++
       WindowQueries.defs ++
       SetOpQueries.defs ++
-      ScalarQueries.defs
+      ScalarQueries.defs ++
+      TextQueries.defs ++
+      DedupQueries.defs ++
+      SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

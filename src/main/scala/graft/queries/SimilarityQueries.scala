@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (north-star extension). Three tiers:
+  *  - brute-force cosine top-k: the exact baseline. O(Q·N) with a fixed
+  *    query set — at cluster scale this is a broadcast of Q against a
+  *    partitioned scan of N, no shuffle of the big side.
+  *  - IVF by coarse cell (the fixture's `label` is the cell
+  *    assignment): candidates restricted to the query's cell — the
+  *    partition-pruned scale path (cells ≈ IVF centroids).
+  *  - LSH with random-hyperplane signatures, banded like minhash:
+  *    candidate buckets by sign-bit band, exact cosine verify.
+  *
+  * All cosine math is double-precision sequential folds (TextOps) so
+  * the DuckDB oracles are bit-identical. Hyperplane components are
+  * md5-derived constants computed in Scala and embedded as literals in
+  * BOTH the Spark plan and the oracle SQL.
+  */
+object SimilarityQueries {
+
+  /** Deterministic md5-based h32 computed driver-side (same value as
+    * TextOps.h32 / h32Sql for the same string). */
+  private def h32Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  private val dim = 64
+  private val numPlanes = 8 // 2 bands × 4 planes
+  private val planeBandRows = 4
+  private val planeBands = numPlanes / planeBandRows
+
+  /** plane p, component i in [-1, 1): md5-derived, engine-independent. */
+  private val planes: Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map(i => h32Scala(s"plane_${p}_$i") / 2147483648.0 - 1.0)
+    }
+
+  private def planeLit(p: Int) = array(planes(p).map(lit): _*)
+  private def planeSql(p: Int) =
+    planes(p).map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** Query set: every 100th vector — fixed fraction, scales with SF. */
+  private val querySetPred = "vec_id % 100 = 0"
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", normD(col("v")))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact brute-force cosine top-k ----
+    QueryDef("q_ann_brute_topk", Some(
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM (SELECT * FROM n WHERE $querySetPred) q
+         |  JOIN n c ON c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored
+         |) WHERE rnk <= 5""".stripMargin), headline = true)(
+      (s, d) => {
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        // broadcast the SMALL query set against the partitioned candidate
+        // scan — at cluster scale the big side never shuffles.
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+      }),
+
+    // ---- IVF: search only the query's coarse cell (label) ----
+    QueryDef("q_ann_ivf_label", Some(
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id,
+         |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM (SELECT * FROM n WHERE $querySetPred) q
+         |  JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, cell, neighbor_id, cos_sim, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored
+         |) WHERE rnk <= 3""".stripMargin))(
+      (s, d) => {
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("label").as("cell"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("label"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        q.join(c, col("label") === col("cell") &&
+            col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .select(col("query_id"), col("cell"), col("neighbor_id"), col("cos_sim"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+      }),
+
+    // ---- LSH: hyperplane sign signatures, banded buckets ----
+    QueryDef("q_ann_lsh_hyperplane", Some {
+      val signBitsSql = (0 until numPlanes).map { p =>
+        s"(CASE WHEN ${dotDSql("v", planeSql(p))} >= 0 THEN 1 ELSE 0 END)"
+      }
+      val bandKeySql = (0 until planeBands).map { b =>
+        val bits = (0 until planeBandRows).map { r =>
+          s"(${signBitsSql(b * planeBandRows + r)} << $r)"
+        }.mkString(" + ")
+        s"(SELECT vec_id, v, nrm, $b AS band, $bits AS key FROM n)"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |bands AS ($bandKeySql),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+         |)
+         |SELECT cand.va AS vec_a, cand.vb AS vec_b,
+         |  ${dotDSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim
+         |FROM cand JOIN n a ON a.vec_id = cand.va JOIN n b ON b.vec_id = cand.vb
+         |WHERE ${dotDSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+    })(
+      (s, d) => {
+        val n = vecs(s, d)
+        val signBits = (0 until numPlanes).map(p =>
+          when(dotD(col("v"), planeLit(p)) >= 0, 1).otherwise(0))
+        val bandKeys = (0 until planeBands).map { b =>
+          (0 until planeBandRows).map(r =>
+            shiftleft(signBits(b * planeBandRows + r), r)).reduce(_ + _)
+        }
+        val bands = n.select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+        val cand = bands.alias("x")
+          .join(bands.select(col("vec_id"), col("band"), col("key")).alias("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+          .distinct()
+        val a = n.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("an"))
+        val b = n.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("bn"))
+        cand.join(a, "va").join(b, "vb")
+          .withColumn("cos_sim", dotD(col("av"), col("bv")) / (col("an") * col("bn")))
+          .where(col("cos_sim") >= 0.4)
+          .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+      })
+  )
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` fixture (north-star
+  * extension): token counting, quality scoring, hash-lexicon language
+  * ID, winnowing document fingerprints, and corpus word counts. All
+  * built from codegen'd higher-order array functions — no UDFs — with
+  * bit-exact DuckDB twins (integer arithmetic + one double division).
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "value", "data", "table")
+  private val stopIn = stopwords.map(w => s"'$w'").mkString(", ")
+
+  private val langs = Seq("de", "en", "es", "fr", "zh")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- token counting ----
+    QueryDef("q_text_tokens", Some(
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS total_token_chars,
+        |  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val totalChars = aggregate(transform(toks, t => length(t).cast("bigint")),
+          lit(0L), (acc, v) => acc + v)
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          totalChars.as("total_token_chars"),
+          (totalChars.cast("double") / size(toks)).as("avg_token_len"))
+      }),
+
+    // ---- quality scoring ----
+    QueryDef("q_text_quality", Some(
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars_measured,
+         |  len(w) AS n_tokens,
+         |  len(list_filter(w, t -> t IN ($stopIn))) AS n_stop,
+         |  CAST(len(list_filter(w, t -> t IN ($stopIn))) AS DOUBLE) / len(w) AS stop_ratio,
+         |  length(text) - length(regexp_replace(text, '[a-z ]', '', 'g')) AS n_nonalpha,
+         |  CASE WHEN len(w) >= 150 THEN 'long'
+         |       WHEN len(w) >= 60 THEN 'medium' ELSE 'short' END AS length_class,
+         |  CASE WHEN CAST(len(list_filter(w, t -> t IN ($stopIn))) AS DOUBLE) / len(w) > 0.25
+         |         THEN 'boilerplate' ELSE 'ok' END AS quality_flag
+         |FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
+        val stopRatio = nStop.cast("double") / size(toks)
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_measured"),
+          size(toks).as("n_tokens"),
+          nStop.as("n_stop"),
+          stopRatio.as("stop_ratio"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[a-z ]", ""))).as("n_nonalpha"),
+          when(size(toks) >= 150, "long")
+            .when(size(toks) >= 60, "medium").otherwise("short").as("length_class"),
+          when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
+      }),
+
+    // ---- language ID via hash-lexicon scoring (deterministic n-gram
+    // model proxy: each lang owns the ~1/7 of the vocab whose salted
+    // hash ≡ 0 mod 7; argmax with alphabetical tiebreak) ----
+    QueryDef("q_text_langid", Some {
+      val scoreSql = langs.map(l =>
+        s"len(list_filter(w, t -> ${h32Sql(s"t || '_$l'")} % 7 = 0)) AS s_$l").mkString(",\n  ")
+      val maxSql = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val guessSql = langs.map(l => s"WHEN s_$l = $maxSql THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""SELECT doc_id, lang AS declared, $guessSql AS guess,
+         |  ($guessSql = lang) AS is_match
+         |FROM (SELECT doc_id, lang, $scoreSql
+         |      FROM (SELECT doc_id, lang, ${tokensSql("text")} AS w FROM documents))""".stripMargin
+    })(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scores = langs.map { l =>
+          size(filter(toks, t =>
+            pmod(h32(concat(t, lit(s"_$l"))), lit(7L)) === 0)).as(s"s_$l")
+        }
+        val scored = Tables(s, d, "documents")
+          .select(col("doc_id") +: col("lang") +: scores: _*)
+        val m = greatest(langs.map(l => col(s"s_$l")): _*)
+        val guess = langs.tail.foldLeft(
+          when(col(s"s_${langs.head}") === m, langs.head)) { (acc, l) =>
+          acc.when(col(s"s_$l") === m, l)
+        }
+        scored.select(col("doc_id"), col("lang").as("declared"),
+          guess.as("guess"), (guess === col("lang")).as("is_match"))
+      }),
+
+    // ---- winnowing fingerprint (rolling min-hash over 5-gram hashes,
+    // window 4 — the standard local fingerprint for plagiarism/near-dup
+    // detection; emitted as a sorted distinct hash set) ----
+    QueryDef("q_text_fingerprint", Some(
+      s"""SELECT doc_id, len(gh) AS n_grams,
+         |  CASE WHEN len(gh) >= 4
+         |    THEN list_sort(list_distinct(list_transform(
+         |           range(1, len(gh)-2), j -> list_min(gh[j:j+3]))))
+         |    ELSE list_sort(list_distinct(gh)) END AS fingerprint
+         |FROM (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(len(w)-3, 1)),
+         |    i -> ${h32Sql("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")}) AS gh
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))""".stripMargin))(
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val idx = sequence(lit(1), size(toks) - 4)
+        val gh = when(size(toks) >= 5,
+          transform(idx, i => h32(concat_ws(" ",
+            (0 until 5).map(o => element_at(toks, i + o)): _*))))
+          .otherwise(array().cast("array<bigint>"))
+        val winnow = transform(sequence(lit(1), size(col("gh")) - 3),
+          j => array_min(slice(col("gh"), j, lit(4))))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), gh.as("gh"))
+          .select(col("doc_id"), size(col("gh")).as("n_grams"),
+            array_sort(array_distinct(
+              when(size(col("gh")) >= 4, winnow).otherwise(col("gh"))))
+              .as("fingerprint"))
+      }),
+
+    // ---- corpus word count (tokenize → explode → two-level agg) ----
+    QueryDef("q_text_wordcount", Some(
+      """SELECT t.w AS word, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)
+        |GROUP BY t.w""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n_occurrences"),
+            countDistinct(col("doc_id")).as("n_docs")))
+  )
+}
