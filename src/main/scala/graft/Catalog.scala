@@ -16,7 +16,8 @@ object Catalog {
       TextQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
-      MultimodalQueries.defs
+      MultimodalQueries.defs ++
+      PipelineQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+
+/** Declarative job spec — the engine's "query language", mirroring the
+  * reference's JSON config (verizon_table_migration_Rakesh_filters
+  * .json:27-84): per target table, N filtered sources, a join graph,
+  * and config-supplied projection expressions. Parsed with Jackson
+  * (ships on Spark's classpath — no extra dependency).
+  */
+final case class SourceSpec(
+    name: String,
+    /** SQL predicate pushed into the source scan (json:53-58). */
+    filter: Option[String] = None,
+    /** Override path; default `<inputDir>/<name>.parquet`. */
+    path: Option[String] = None,
+    /** Staging write parallelism (py:190, default 10 → fixture-sized). */
+    numPartitions: Int = 4)
+
+final case class JoinSpec(
+    rightTable: String,
+    leftCol: String,
+    rightCol: String,
+    joinType: String = "inner")
+
+final case class TableSpec(
+    targetTable: String,
+    sources: Seq[SourceSpec],
+    /** Join-graph root (the reference's first-aliased table, py:135). */
+    root: String,
+    joins: Seq[JoinSpec],
+    /** `selectExpr` strings (py:146, json:59-82). */
+    transformedColumns: Seq[String],
+    numPartitions: Int = 4)
+
+final case class JobSpec(
+    /** Workspace root; raw/transformed/checkpoint conventions below it
+      * (py:189/209/238 path conventions). */
+    workspace: String,
+    tables: Seq[TableSpec]) {
+  def rawDir(table: String): String = s"$workspace/raw/$table"
+  def transformedDir(target: String): String = s"$workspace/transformed/$target"
+  def checkpointDir(target: String): String = s"$workspace/checkpoints/$target"
+  def targetDir(target: String): String = s"$workspace/target/$target"
+}
+
+object JobSpec {
+  private lazy val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def fromJson(json: String): JobSpec = mapper.readValue(json, classOf[JobSpec])
+
+  def toJson(spec: JobSpec): String = mapper.writeValueAsString(spec)
+}

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.ops.Relational
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.slf4j.LoggerFactory
+
+/** Per-file append sink — the offline stand-in for the reference's
+  * Cassandra bulk load (py:347-353): partition-key-grouped append with
+  * identical at-least-once + per-file checkpoint semantics. */
+trait AppendSink extends Serializable {
+  def append(df: DataFrame, target: String): Unit
+}
+
+/** Default sink: append as parquet under the target dir. */
+object ParquetAppendSink extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    df.write.mode("append").parquet(target)
+}
+
+/** C10/C11 — the reference's 3-phase checkpointed, resumable pipeline
+  * (py:376-421), idiomatic-Spark edition:
+  *
+  *  Phase 1 (extract): per source, if the staged raw dataset is absent,
+  *    scan → filter → repartition → stage as parquet; then ALWAYS
+  *    re-read the staged copy (py:398 — storage is the mandatory
+  *    exchange point; this is the fault-domain barrier, not a cache).
+  *  Phase 2 (transform): alias → fold the equi-join graph → projection
+  *    via config `selectExpr` strings → stage transformed. Skipped
+  *    entirely when the transformed dataset already exists (py:386).
+  *  Phase 3 (load): enumerate staged transformed files; for each, skip
+  *    if checkpointed (py:334), else append to the sink, then create
+  *    the checkpoint marker. Retry wraps the WHOLE loop (py:303) —
+  *    already-checkpointed files are skipped on re-entry, so the retry
+  *    granularity is effectively per-file. Append-then-checkpoint is
+  *    at-least-once by design (SURVEY.md §3.4).
+  *
+  * Progress counts come from parquet footers (metadata-only), fixing
+  * the reference's duplicate full scans (SURVEY.md §4.3) while keeping
+  * identical log semantics.
+  */
+final class Pipeline(
+    spark: SparkSession,
+    spec: JobSpec,
+    source: SourceSpec => DataFrame,
+    sink: AppendSink = ParquetAppendSink,
+    retryInitialDelayMs: Long = 5000) {
+
+  private val log = LoggerFactory.getLogger(classOf[Pipeline])
+  private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+
+  def runAll(): Unit = spec.tables.foreach(runTable)
+
+  def runTable(t: TableSpec): Unit = {
+    val t0 = System.nanoTime()
+    if (storage.datasetExists(spec.transformedDir(t.targetTable))) {
+      log.info(s"[${t.targetTable}] transformed data exists — skipping to load")
+    } else {
+      // Phase 1: extract + stage raw (skip already-staged sources)
+      val staged = t.sources.map { s =>
+        val rawDir = spec.rawDir(s.name)
+        if (!storage.datasetExists(rawDir)) {
+          log.info(s"[${t.targetTable}] extracting ${s.name}")
+          val df = Relational.filterSql(source(s), s.filter.orNull)
+          Relational.sinkParquet(Relational.rebalance(df, s.numPartitions), rawDir)
+        } else {
+          log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
+        }
+        // py:398 — always re-read from storage, never pass through memory
+        s.name -> Relational.scanParquet(spark, rawDir)
+      }.toMap
+
+      // Phase 2: transform + stage
+      val joined = Relational.joinGraph(staged, t.root,
+        t.joins.map(j => Relational.JoinEdge(j.rightTable, j.leftCol, j.rightCol, j.joinType)))
+      val transformed = Relational.project(joined, t.transformedColumns)
+      Relational.sinkParquet(
+        Relational.rebalance(transformed, t.numPartitions),
+        spec.transformedDir(t.targetTable))
+      log.info(s"[${t.targetTable}] transformed data staged")
+    }
+
+    // Phase 3: checkpointed per-file load, retried as a whole
+    Retry.retry(attempts = 3, initialDelayMs = retryInitialDelayMs,
+      onRetry = (n, e) => log.warn(s"[${t.targetTable}] load attempt $n failed: ${e.getMessage}")) {
+      loadCheckpointed(t)
+    }
+    log.info(f"[${t.targetTable}] completed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  private def loadCheckpointed(t: TableSpec): Unit = {
+    val transformedDir = spec.transformedDir(t.targetTable)
+    val checkpointDir = spec.checkpointDir(t.targetTable)
+    val targetDir = spec.targetDir(t.targetTable)
+    val files = storage.listParquet(transformedDir)
+    val total = files.map(storage.footerRowCount).sum // metadata-only
+    var processed = 0L
+    files.foreach { file =>
+      val name = file.substring(file.lastIndexOf('/') + 1)
+      val rows = storage.footerRowCount(file)
+      if (storage.checkpointExists(checkpointDir, name)) {
+        log.info(s"[${t.targetTable}] $name already loaded — skipping")
+      } else {
+        sink.append(Relational.scanParquet(spark, file), targetDir)
+        storage.createCheckpoint(checkpointDir, name)
+      }
+      processed += rows
+      val pct = if (total == 0) 100.0 else processed * 100.0 / total
+      log.info(f"[${t.targetTable}] progress $processed/$total rows ($pct%.1f%%)")
+    }
+  }
+}

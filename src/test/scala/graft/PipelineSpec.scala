@@ -1,0 +1,146 @@
+package graft
+
+import graft.ops.Relational
+import graft.pipeline._
+import graft.queries.PipelineQueries
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+
+/** E2E tests of the L2 runtime's behavioral contracts (SURVEY.md §7.4):
+  * staged layout, per-file checkpoints, kill-and-resume skip semantics,
+  * idempotent re-run, and the retry loop. All on file:// — the Hadoop
+  * FS code path is identical for s3a. */
+class PipelineSpec extends SparkSpecBase {
+
+  private def freshWorkspace(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  private def run(ws: String, sink: AppendSink = ParquetAppendSink): JobSpec = {
+    val sp = PipelineQueries.spec(ws)
+    new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      sink = sink, retryInitialDelayMs = 1).runAll()
+    sp
+  }
+
+  private def expectedRows: Long =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where("l_quantity >= 20 AND l_quantity <= 45")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+        .where("o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')"),
+        expr("l_orderkey = o_orderkey"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"), expr("o_custkey = c_custkey"))
+      .join(spark.read.parquet(s"$sfDir/nation.parquet")
+        .where("n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7','NATION_9','NATION_11')"),
+        expr("c_nationkey = n_nationkey"))
+      .count()
+
+  private def expr(s: String) = org.apache.spark.sql.functions.expr(s)
+
+  test("full run: staged layout, checkpoints, and loaded rows") {
+    val sp = run(freshWorkspace())
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    assert(storage.datasetExists(sp.rawDir("lineitem")))
+    assert(storage.datasetExists(sp.rawDir("nation")))
+    assert(storage.datasetExists(sp.transformedDir("enriched_lineitem")))
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      assert(storage.checkpointExists(sp.checkpointDir("enriched_lineitem"), name))
+    }
+    val loaded = spark.read.parquet(sp.targetDir("enriched_lineitem"))
+    assert(loaded.count() === expectedRows)
+    assert(loaded.columns.sorted === Array("customer_name", "line_no", "nation",
+      "order_id", "price", "priority", "qty", "segment"))
+  }
+
+  test("footer row counts match data row counts") {
+    val sp = run(freshWorkspace())
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    val footerTotal = files.map(storage.footerRowCount).sum
+    assert(footerTotal === expectedRows)
+  }
+
+  test("re-run is a no-op: no duplicate loads (checkpoint skip)") {
+    val ws = freshWorkspace()
+    val sp = run(ws)
+    val before = spark.read.parquet(sp.targetDir("enriched_lineitem")).count()
+    run(ws) // second run: transformed exists → straight to load → all skipped
+    val after = spark.read.parquet(sp.targetDir("enriched_lineitem")).count()
+    assert(after === before)
+  }
+
+  test("kill-and-resume: only non-checkpointed files are re-loaded") {
+    val ws = freshWorkspace()
+    val sp = run(ws)
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    assert(files.size >= 2, "need >=2 staged files to exercise partial resume")
+    // simulate a crash after loading all but one file: drop the target
+    // rows of one file and its checkpoint marker
+    val victim = files.head
+    val victimName = victim.substring(victim.lastIndexOf('/') + 1)
+    val victimRows = storage.footerRowCount(victim)
+    storage.delete(sp.targetDir("enriched_lineitem"))
+    storage.delete(storage.checkpointMarker(
+      sp.checkpointDir("enriched_lineitem"), victimName).toString)
+    run(ws)
+    // resume appended ONLY the victim file into the (emptied) target
+    val after = spark.read.parquet(sp.targetDir("enriched_lineitem")).count()
+    assert(after === victimRows)
+  }
+
+  test("at-least-once: append sink + post-write checkpoint") {
+    // A sink that fails once mid-loop: the retry re-enters the whole
+    // loop; files checkpointed before the crash are skipped.
+    val ws = freshWorkspace()
+    var appends = 0
+    var failed = false
+    val flaky = new AppendSink {
+      def append(df: DataFrame, target: String): Unit = {
+        if (appends == 1 && !failed) { failed = true; throw new RuntimeException("boom") }
+        appends += 1
+        ParquetAppendSink.append(df, target)
+      }
+    }
+    val sp = run(ws, sink = flaky)
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    assert(failed, "flaky sink should have thrown once")
+    assert(appends === files.size, "each file appended exactly once despite the crash")
+    assert(spark.read.parquet(sp.targetDir("enriched_lineitem")).count() === expectedRows)
+  }
+
+  test("JobSpec JSON round-trip (config is the query language)") {
+    val sp = PipelineQueries.spec("/tmp/ws")
+    val json = JobSpec.toJson(sp)
+    val back = JobSpec.fromJson(json)
+    assert(back === sp)
+    // hand-written JSON with unknown fields parses too
+    val hand = JobSpec.fromJson(
+      """{"workspace":"/tmp/x","unknown_field":1,"tables":[
+        |{"targetTable":"t","sources":[{"name":"a","filter":"x > 1"}],
+        |"root":"a","joins":[],"transformedColumns":["x AS y"]}]}""".stripMargin)
+    assert(hand.tables.head.sources.head.filter === Some("x > 1"))
+    assert(hand.tables.head.sources.head.numPartitions === 4)
+  }
+
+  test("retry: backoff then success; exhaustion rethrows") {
+    var calls = 0
+    val r = Retry.retry(attempts = 3, initialDelayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      42
+    }
+    assert(r === 42 && calls === 3)
+    var calls2 = 0
+    val e = intercept[RuntimeException] {
+      Retry.retry(attempts = 3, initialDelayMs = 1) {
+        calls2 += 1; throw new RuntimeException("permanent")
+      }
+    }
+    assert(e.getMessage === "permanent" && calls2 === 3)
+  }
+}
