@@ -17,7 +17,8 @@ object Catalog {
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++
+      StreamingQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming slice over the `events` fixture (north-star
+  * extension; the reference is pure batch — SURVEY.md §2.4). The same
+  * DataFrame transforms run in batch and streaming: `readStream` file
+  * source → event-time watermark → tumbling-window aggregation /
+  * keyed dedup / custom sessionization state.
+  *
+  * Scale notes: windowed aggs and dropDuplicates shuffle once on
+  * (window, key) with map-side partials; state is bounded by the
+  * watermark (late data beyond it is dropped and its state evicted).
+  * Sessionization uses flatMapGroupsWithState with event-time timeout —
+  * state per active user only.
+  */
+object EventStream {
+
+  /** events.parquet physical schema: ts is TIMESTAMP(NANOS), which
+    * Spark's reader only exposes as long (legacy nanosAsLong). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanosToTs(spark.readStream.schema(rawSchema).parquet(dir))
+  }
+
+  /** Tumbling-window counts/sums per event type. Works on batch and
+    * streaming frames alike (same expressions — the batch twin is the
+    * oracled q_stream_window_batch). */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"),
+        col("approx_users"))
+  }
+
+  /** Exactly-once-per-key view: keyed dedup with watermark-bounded
+    * state (late duplicates beyond the watermark may reappear — the
+    * documented trade; the reference's at-least-once load has the same
+    * property, SURVEY.md §3.4). */
+  def dedupe(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.dropDuplicates("event_id")
+  }
+
+  // ---- custom sessionization state ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, totalCents: Long)
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Int, total_value: Double)
+
+  /** Gap-based sessions (default 30 min idle closes a session), via
+    * flatMapGroupsWithState with event-time timeout: a session is
+    * emitted when the watermark passes its idle gap. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ListBuffer[Session]()
+      def cents(v: Double) = math.round(v * 100)
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += Session(userId, s.start, s.lastTs, s.n, s.totalCents / 100.0)
+        state.remove()
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastTs <= gapUs =>
+              cur = Some(s.copy(lastTs = us, n = s.n + 1,
+                totalCents = s.totalCents + cents(e.value)))
+            case Some(s) =>
+              out += Session(userId, s.start, s.lastTs, s.n, s.totalCents / 100.0)
+              cur = Some(SessionState(us, us, 1, cents(e.value)))
+            case None =>
+              cur = Some(SessionState(us, us, 1, cents(e.value)))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs / 1000L + gapMinutes * 60L * 1000L)
+        }
+      }
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Streaming semantics tests: stream/batch equivalence of the windowed
+  * agg, keyed dedup, and watermark-driven sessionization (no DuckDB
+  * oracle exists for stateful streaming — deterministic micro-batch
+  * tests instead, SURVEY.md §7.4). */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("windowedAgg: streaming (availableNow, complete) equals batch") {
+    // file-source streams read a DIRECTORY of arriving files
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamed = EventStream.windowedAgg(
+      EventStream.readEvents(spark, dir.toString))
+    val q = streamed.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_counts")
+      .orderBy("window_start_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = EventStream.windowedAgg(Tables(spark, sfDir, "events"))
+      .orderBy("window_start_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
+  test("dedupe: duplicate event_ids within the watermark are dropped") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupe(df).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      (1L, t0, 10L, "click", 1.0, "{}"),
+      (1L, t0, 10L, "click", 1.0, "{}"), // dup in same batch
+      (2L, t0, 11L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    input.addData((1L, t0, 10L, "click", 1.0, "{}")) // dup across batches
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    q.stop()
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("sessionize: gap closes a session once the watermark passes") {
+    val input = MemoryStream[Event]
+    val sessions = EventStream.sessionize(
+      input.toDS(), gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1: two events 10 min apart (one session), then silence
+    input.addData(
+      Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 10.0),
+      Event(2L, ts("2024-01-01 00:10:00"), 1L, "view", 5.5))
+    q.processAllAvailable()
+    // advance watermark far past user 1's gap via another user's event
+    input.addData(Event(9L, ts("2024-01-01 03:00:00"), 2L, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(10L, ts("2024-01-01 06:00:00"), 2L, "click", 1.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions_out").as[Session].collect()
+      .filter(_.user_id == 1L)
+    q.stop()
+    assert(got.length === 1)
+    val s = got.head
+    assert(s.n_events === 2)
+    assert(s.total_value === 15.5)
+    assert(s.session_end_us - s.session_start_us === 10L * 60 * 1000000)
+  }
+}
