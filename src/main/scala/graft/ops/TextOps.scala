@@ -74,13 +74,26 @@ object TextOps {
 
   // ---------- minhash ----------
 
-  /** k=16 minhash signature (array<bigint>) from a shingle array. */
-  def minhashSig(shingleArr: Column): Column = {
-    val hashes = transform(shingleArr, s => pmod(h32(s), lit(P)))
+  /** Shingle array → hash array. IMPORTANT (performance): materialize
+    * the result as a real column (its own select) before feeding it to
+    * [[minhashSigFromHashes]] — Spark inlines column expressions into
+    * higher-order lambdas, so a composite expression would re-hash the
+    * whole array once per downstream reference (16× for the
+    * signature). Same rule applies to the token split itself. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(h32(s), lit(P)))
+
+  /** k=16 minhash signature (array<bigint>) from a MATERIALIZED hash
+    * array column. */
+  def minhashSigFromHashes(hashes: Column): Column =
     array(minhashA.zip(minhashB).map { case (a, b) =>
       array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
     }: _*)
-  }
+
+  /** Convenience composition — only safe on small inputs (see
+    * [[shingleHashes]] performance note). */
+  def minhashSig(shingleArr: Column): Column =
+    minhashSigFromHashes(shingleHashes(shingleArr))
 
   /** DuckDB twin, two steps for CTE composition (avoids correlated
     * subqueries): first reduce shingles to hashes, then the signature. */
@@ -97,18 +110,25 @@ object TextOps {
 
   // ---------- simhash (32-bit) ----------
 
-  /** 32-bit simhash over a token array: per bit, sum +1/-1 of each
-    * token-hash bit; bit set where the sum is >= 0. Pure int64
-    * arithmetic ⇒ exact cross-engine parity. */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => h32(t))
+  /** Token array → hash array (materialize before [[simhash32FromHashes]]
+    * — see the [[shingleHashes]] performance note). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => h32(t))
+
+  /** 32-bit simhash from a MATERIALIZED token-hash array: per bit, sum
+    * +1/-1 of each token-hash bit; bit set where the sum is >= 0. Pure
+    * int64 arithmetic ⇒ exact cross-engine parity. */
+  def simhash32FromHashes(hashes: Column): Column = {
     val bitCols = (0 until 32).map { b =>
       val s = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(s >= 0, lit(1L << b)).otherwise(lit(0L))
     }
-    bitCols.reduce(_ + _).as("simhash")
+    bitCols.reduce(_ + _)
   }
+
+  /** Convenience composition — only safe on small inputs. */
+  def simhash32(toks: Column): Column =
+    simhash32FromHashes(tokenHashes(toks))
 
   /** DuckDB twin of the token→hash-list step. */
   def tokenHashesSql(toksE: String): String =

@@ -34,16 +34,30 @@ object DedupQueries {
   private val shingleN = 3
   private val jaccardThreshold = 0.6
 
+  /** doc_id → distinct HASHED 3-gram shingle set (array<bigint>).
+    * Shingles are hashed (h32 mod P) before any set operation: set
+    * sizes, intersections, prefixes and join keys all work on longs
+    * instead of strings — far cheaper at corpus scale, and standard
+    * practice for shingle-based dedup. Both engines hash identically
+    * (md5-derived), so the oracle sees the same sets.
+    *
+    * Tokens / shingles / hashes are materialized in SEPARATE selects —
+    * Spark inlines column expressions into higher-order lambdas, so
+    * fusing these would re-split the text once per array element
+    * (measured ~8× slower at sf0.1). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"), shingles(tokens(col("text")), shingleN).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), shingles(col("w"), shingleN).as("g"))
+      .select(col("doc_id"), array_distinct(shingleHashes(col("g"))).as("sh"))
 
-  /** Shared oracle CTE: doc_id → distinct 3-gram shingle list. */
+  /** Shared oracle CTE: doc_id → distinct hashed 3-gram shingle set. */
   private val shinglesCte =
-    s"""WITH sh AS (
-       |  SELECT doc_id, ${shinglesSql(s"w", shingleN)} AS sh
+    s"""WITH gs AS (
+       |  SELECT doc_id, ${shinglesSql(s"w", shingleN)} AS g
        |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents)
-       |)""".stripMargin
+       |),
+       |sh AS (SELECT doc_id, list_distinct(${shingleHashesSql("g")}) AS sh FROM gs)""".stripMargin
 
   private def jaccardSqlPair =
     s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
@@ -68,19 +82,53 @@ object DedupQueries {
          |WHERE $jaccardSqlPair >= $jaccardThreshold""".stripMargin),
       headline = true)(
       (s, d) => {
-        val sh = docShingles(s, d)
-        val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-          explode(col("sh")).as("shingle"))
-        val a = ex.alias("a"); val b = ex.alias("b")
-        a.join(b, col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            col("a.sz").as("sza"), col("b.sz").as("szb"))
-          .agg(count(lit(1)).as("inter"))
-          .withColumn("jaccard",
-            col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+        // PPJoin-style prefix filtering, exact for J >= t (t = 0.6):
+        // order every doc's shingles by global rarity; a qualifying
+        // pair MUST share a shingle within each side's first
+        // |A| - ceil(t|A|) + 1 shingles, so only prefixes are joined.
+        // ceil(t|A|) is computed in exact integer arithmetic
+        // ((3|A|+4) div 5) — no FP boundary risk. A size-ratio filter
+        // (min >= t*max) prunes further. Candidates are then verified
+        // with exact Jaccard on the full shingle sets.
+        // persist: sh feeds candidate generation AND both verify sides;
+        // prefix is self-joined (each side would otherwise recompute
+        // the whole tokenize→shingle→rank subtree)
+        val sh = docShingles(s, d).persist()
+        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val ordered = ex.join(dfreq, "shingle")
+          .groupBy("doc_id")
+          .agg(collect_list(struct(col("df"), col("shingle"))).as("r"))
+          .select(col("doc_id"), size(col("r")).as("sz"),
+            transform(array_sort(col("r")), x => x.getField("shingle")).as("ordered"))
+        val prefixLen = expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)")
+        val prefix = ordered.select(col("doc_id"), col("sz"),
+          posexplode(slice(col("ordered"), lit(1), prefixLen)).as(Seq("pos", "shingle")))
+          .persist()
+        // t = 3/5 exactly, so every bound is exact integer arithmetic:
+        //  - size filter: 3*max <= 5*min
+        //  - PPJoin positional filter: a shared prefix shingle at
+        //    (1-based) positions pa/pb bounds the overlap by
+        //    1 + min(sza-pa, szb-pb); prune when that is below the
+        //    required overlap ceil(3(sza+szb)/8)  [t/(1+t) = 3/8].
+        val cand = prefix.alias("a")
+          .join(prefix.alias("b"), col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.sz") * 3 <= col("b.sz") * 5 &&
+            col("b.sz") * 3 <= col("a.sz") * 5 &&
+            (lit(1) + least(col("a.sz") - col("a.pos") - 1,
+              col("b.sz") - col("b.pos") - 1)) >=
+              expr("(3*(a.sz + b.sz) + 7) div 8"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val fa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+        val fb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+        val inter = size(array_intersect(col("sha"), col("shb")))
+        val uni = size(col("sha")) + size(col("shb")) - inter
+        cand.join(fa, "da").join(fb, "db")
+          .withColumn("jaccard", inter.cast("double") / uni)
           .where(col("jaccard") >= jaccardThreshold)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
     // ---- MinHash + LSH banding, exact-Jaccard verified ----
@@ -89,8 +137,7 @@ object DedupQueries {
         s"(SELECT doc_id, $b AS band, array_to_string(sig[${b * bandRows + 1}:${(b + 1) * bandRows}], '_') AS key FROM sig)"
       }.mkString("\nUNION ALL\n")
       s"""$shinglesCte,
-         |hs AS (SELECT doc_id, ${shingleHashesSql("sh")} AS h FROM sh),
-         |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("h")} AS sig FROM hs),
+         |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
          |bands AS ($bandKeys),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
@@ -102,13 +149,14 @@ object DedupQueries {
          |WHERE $jaccardSqlPair >= $jaccardThreshold""".stripMargin
     }, headline = true)(
       (s, d) => {
-        val sh = docShingles(s, d)
-        val sig = sh.select(col("doc_id"), minhashSig(col("sh")).as("sig"))
+        val sh = docShingles(s, d).persist() // hash set; reused by verify
+        val sig = sh.select(col("doc_id"), minhashSigFromHashes(col("sh")).as("sig"))
         val bands = sig.select(col("doc_id"), posexplode(
           array((0 until numBands).map { b =>
             concat_ws("_", transform(
               slice(col("sig"), b * bandRows + 1, bandRows), x => x.cast("string")))
           }: _*)).as(Seq("band", "key")))
+          .persist() // self-joined below
         val cand = bands.alias("x")
           .join(bands.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -143,7 +191,10 @@ object DedupQueries {
     })(
       (s, d) => {
         val fp = Tables(s, d, "documents")
-          .select(col("doc_id"), simhash32(tokens(col("text"))).as("fp"))
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), tokenHashes(col("w")).as("h"))
+          .select(col("doc_id"), simhash32FromHashes(col("h")).as("fp"))
+          .persist() // banded self-join below
         val bands = fp.select(col("doc_id"), col("fp"), posexplode(
           array((0 until 4).map(b =>
             shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*))
@@ -169,6 +220,7 @@ object DedupQueries {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
             normD(col("embedding")).as("nrm"))
+          .persist() // both sides of the pair join
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))

@@ -165,24 +165,29 @@ object RelationalQueries {
         r.crossJoin(sts)
       }),
 
-    // Range (theta) join, rewritten scale-safe: instead of a nested-loop
-    // BETWEEN join (O(|part|·|lineitem|) pairs), explode each part into its
-    // 5 integer quantity buckets and equi-join — a hash join at any scale.
-    // The BETWEEN predicate is kept as a guard for non-integer quantities.
+    // Range (theta) join, rewritten scale-safe: a nested-loop BETWEEN
+    // join is O(|part|·|lineitem|); instead, bucket the band. Each
+    // lineitem lands in bucket floor(price/10); each part explodes to
+    // the buckets its ±5 band can touch (2-3); the join is then a pure
+    // equi-join on the bucket with the BETWEEN as a residual guard.
+    // Monotonicity of IEEE divide/floor guarantees bucket coverage, so
+    // this is exactly the BETWEEN-join output at hash-join cost.
     QueryDef("q_range_join_bucketed", Some(
       """SELECT p_brand AS brand, count(*) AS n_pairs,
         |  count(DISTINCT p_partkey) AS n_parts
         |FROM part JOIN lineitem
-        |  ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |  ON l_extendedprice BETWEEN p_retailprice - 5 AND p_retailprice + 5
         |GROUP BY p_brand""".stripMargin), headline = true)(
       (s, d) => {
         val p = Tables(s, d, "part")
-          .withColumn("qv", explode(sequence(col("p_size") - 2, col("p_size") + 2)))
+          .withColumn("bucket", explode(sequence(
+            floor((col("p_retailprice") - 5) / 10),
+            floor((col("p_retailprice") + 5) / 10))))
         val li = Tables(s, d, "lineitem")
-          .withColumn("qi", col("l_quantity").cast("int"))
-          .where(col("l_quantity") === col("qi"))
-        p.join(li, p("qv") === li("qi") &&
-            li("l_quantity").between(p("p_size") - 2, p("p_size") + 2))
+          .withColumn("bucket", floor(col("l_extendedprice") / 10))
+        p.join(li, p("bucket") === li("bucket") &&
+            li("l_extendedprice").between(
+              p("p_retailprice") - 5, p("p_retailprice") + 5))
           .groupBy(col("p_brand").as("brand"))
           .agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("p_partkey")).as("n_parts"))

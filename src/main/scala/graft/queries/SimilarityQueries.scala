@@ -50,11 +50,14 @@ object SimilarityQueries {
   /** Query set: every 100th vector — fixed fraction, scales with SF. */
   private val querySetPred = "vec_id % 100 = 0"
 
+  /** Persisted: every ANN query reads this 2-3× (query + candidate
+    * sides, LSH bands). */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", normD(col("v")))
+      .persist()
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -154,6 +157,7 @@ object SimilarityQueries {
         }
         val bands = n.select(col("vec_id"), col("v"), col("nrm"),
           posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+          .persist() // self-joined below; sign bits cost 8 dot products
         val cand = bands.alias("x")
           .join(bands.select(col("vec_id"), col("band"), col("key")).alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -28,15 +28,18 @@ object TextQueries {
         |  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
         |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
       (s, d) => {
-        val toks = tokens(col("text"))
-        val totalChars = aggregate(transform(toks, t => length(t).cast("bigint")),
+        // two-step: materialize the token array once (HOF inlining
+        // would otherwise re-split the text per reference)
+        val totalChars = aggregate(transform(col("w"), t => length(t).cast("bigint")),
           lit(0L), (acc, v) => acc + v)
-        Tables(s, d, "documents").select(
-          col("doc_id"),
-          size(toks).as("n_tokens"),
-          size(array_distinct(toks)).as("n_distinct"),
-          totalChars.as("total_token_chars"),
-          (totalChars.cast("double") / size(toks)).as("avg_token_len"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(
+            col("doc_id"),
+            size(col("w")).as("n_tokens"),
+            size(array_distinct(col("w"))).as("n_distinct"),
+            totalChars.as("total_token_chars"),
+            (totalChars.cast("double") / size(col("w"))).as("avg_token_len"))
       }),
 
     // ---- quality scoring ----
@@ -53,20 +56,21 @@ object TextQueries {
          |         THEN 'boilerplate' ELSE 'ok' END AS quality_flag
          |FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
       (s, d) => {
-        val toks = tokens(col("text"))
-        val nStop = size(filter(toks, t => t.isInCollection(stopwords)))
-        val stopRatio = nStop.cast("double") / size(toks)
-        Tables(s, d, "documents").select(
-          col("doc_id"),
-          length(col("text")).as("n_chars_measured"),
-          size(toks).as("n_tokens"),
-          nStop.as("n_stop"),
-          stopRatio.as("stop_ratio"),
-          (length(col("text")) -
-            length(regexp_replace(col("text"), "[a-z ]", ""))).as("n_nonalpha"),
-          when(size(toks) >= 150, "long")
-            .when(size(toks) >= 60, "medium").otherwise("short").as("length_class"),
-          when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
+        val nStop = size(filter(col("w"), t => t.isInCollection(stopwords)))
+        val stopRatio = nStop.cast("double") / size(col("w"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+          .select(
+            col("doc_id"),
+            length(col("text")).as("n_chars_measured"),
+            size(col("w")).as("n_tokens"),
+            nStop.as("n_stop"),
+            stopRatio.as("stop_ratio"),
+            (length(col("text")) -
+              length(regexp_replace(col("text"), "[a-z ]", ""))).as("n_nonalpha"),
+            when(size(col("w")) >= 150, "long")
+              .when(size(col("w")) >= 60, "medium").otherwise("short").as("length_class"),
+            when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
       }),
 
     // ---- language ID via hash-lexicon scoring (deterministic n-gram
@@ -84,12 +88,12 @@ object TextQueries {
          |      FROM (SELECT doc_id, lang, ${tokensSql("text")} AS w FROM documents))""".stripMargin
     })(
       (s, d) => {
-        val toks = tokens(col("text"))
         val scores = langs.map { l =>
-          size(filter(toks, t =>
+          size(filter(col("w"), t =>
             pmod(h32(concat(t, lit(s"_$l"))), lit(7L)) === 0)).as(s"s_$l")
         }
         val scored = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
           .select(col("doc_id") +: col("lang") +: scores: _*)
         val m = greatest(langs.map(l => col(s"s_$l")): _*)
         val guess = langs.tail.foldLeft(
@@ -115,15 +119,15 @@ object TextQueries {
          |    i -> ${h32Sql("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")}) AS gh
          |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))""".stripMargin))(
       (s, d) => {
-        val toks = tokens(col("text"))
-        val idx = sequence(lit(1), size(toks) - 4)
-        val gh = when(size(toks) >= 5,
+        val idx = sequence(lit(1), size(col("w")) - 4)
+        val gh = when(size(col("w")) >= 5,
           transform(idx, i => h32(concat_ws(" ",
-            (0 until 5).map(o => element_at(toks, i + o)): _*))))
+            (0 until 5).map(o => element_at(col("w"), i + o)): _*))))
           .otherwise(array().cast("array<bigint>"))
         val winnow = transform(sequence(lit(1), size(col("gh")) - 3),
           j => array_min(slice(col("gh"), j, lit(4))))
         Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(col("doc_id"), gh.as("gh"))
           .select(col("doc_id"), size(col("gh")).as("n_grams"),
             array_sort(array_distinct(
