@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for the vector hot path (SURVEY.md §7.3:
+  * "optional custom Expression with codegen as perf upgrade" over the
+  * higher-order-function formulation). Spark's array lambdas
+  * (zip_with/aggregate) run INTERPRETED — one closure dispatch per
+  * element; this generates a tight Java loop inside whole-stage
+  * codegen instead.
+  *
+  * Semantics are bit-identical to the TextOps double fold (sequential
+  * multiply-add in index order, seed 0.0), so swapping one for the
+  * other cannot change any oracle-checked result. Null ELEMENTS are
+  * not supported (engine contract: embedding arrays are dense);
+  * null arrays yield null.
+  */
+final case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<double> inputs, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: both the SparkSessionExtensions route (config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) and direct
+  * per-session registration for already-running sessions. */
+object GraftFunctions {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{call_function, sqrt}
+
+  /** Column-level API. Registers the function into the active session
+    * (idempotent) and resolves by name — the supported public route to
+    * a custom Expression in Spark 4 (Column-from-Expression internals
+    * are private[sql]). */
+  def dot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Bit-identical to TextOps.cosineD (same fold order/seed). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private val dotInfo = new ExpressionInfo(
+    classOf[DotProductD].getName, null, "graft_dot",
+    "graft_dot(a, b) - double-precision dot product of two arrays " +
+      "(sequential fold order), codegen'd.", "")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+
+  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
+      exprs => DotProductD(exprs(0), exprs(1))))
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.TextOps
+import graft.functions.GraftFunctions
 import graft.ops.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -219,12 +220,12 @@ object DedupQueries {
       (s, d) => {
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-            normD(col("embedding")).as("nrm"))
+            GraftFunctions.norm(col("embedding").cast("array<double>")).as("nrm"))
           .persist() // both sides of the pair join
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos_sim", dotD(col("va"), col("vb")) / (col("na") * col("nb")))
+          .withColumn("cos_sim", GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .where(col("cos_sim") >= 0.45)
           .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       })

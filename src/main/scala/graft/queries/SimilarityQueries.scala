@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
 import graft.ops.TextOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object SimilarityQueries {
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", normD(col("v")))
+      .withColumn("nrm", GraftFunctions.norm(col("v")))
       .persist()
 
   val defs: Seq[QueryDef] = Seq(
@@ -86,7 +87,7 @@ object SimilarityQueries {
         // broadcast the SMALL query set against the partitioned candidate
         // scan — at cluster scale the big side never shuffles.
         broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos_sim", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("cos_sim", GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 5)
@@ -117,7 +118,7 @@ object SimilarityQueries {
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
         q.join(c, col("label") === col("cell") &&
             col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos_sim", dotD(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("cos_sim", GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .select(col("query_id"), col("cell"), col("neighbor_id"), col("cos_sim"))
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 3)
@@ -150,7 +151,7 @@ object SimilarityQueries {
       (s, d) => {
         val n = vecs(s, d)
         val signBits = (0 until numPlanes).map(p =>
-          when(dotD(col("v"), planeLit(p)) >= 0, 1).otherwise(0))
+          when(GraftFunctions.dot(col("v"), planeLit(p)) >= 0, 1).otherwise(0))
         val bandKeys = (0 until planeBands).map { b =>
           (0 until planeBandRows).map(r =>
             shiftleft(signBits(b * planeBandRows + r), r)).reduce(_ + _)
@@ -167,7 +168,7 @@ object SimilarityQueries {
         val a = n.select(col("vec_id").as("va"), col("v").as("av"), col("nrm").as("an"))
         val b = n.select(col("vec_id").as("vb"), col("v").as("bv"), col("nrm").as("bn"))
         cand.join(a, "va").join(b, "vb")
-          .withColumn("cos_sim", dotD(col("av"), col("bv")) / (col("an") * col("bn")))
+          .withColumn("cos_sim", GraftFunctions.dot(col("av"), col("bv")) / (col("an") * col("bn")))
           .where(col("cos_sim") >= 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
       })

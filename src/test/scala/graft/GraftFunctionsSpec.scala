@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{GraftFunctions, DotProductD}
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** The codegen'd DotProductD must be BIT-IDENTICAL to the
+  * higher-order-function fold (same multiply-add order, same seed) —
+  * the oracle parity of every vector query depends on it. */
+class GraftFunctionsSpec extends SparkSpecBase {
+
+  test("graft_dot == HOF fold, bit-exact, on real embeddings") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("a").join(e.alias("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") <= 50)
+    val diff = pairs.select(
+      GraftFunctions.dot(col("a.v"), col("b.v")).as("native"),
+      TextOps.dotD(col("a.v"), col("b.v")).as("fold"))
+      .where(col("native") =!= col("fold")) // bitwise-equal doubles compare equal
+    assert(diff.count() === 0)
+  }
+
+  test("cosine == cosineD bit-exact") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.alias("a").join(e.alias("b"),
+      col("a.vec_id") < col("b.vec_id") && col("b.vec_id") <= 30)
+    val diff = pairs.select(
+      GraftFunctions.cosine(col("a.v"), col("b.v")).as("native"),
+      TextOps.cosineD(col("a.v"), col("b.v")).as("fold"))
+      .where(col("native") =!= col("fold"))
+    assert(diff.count() === 0)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val plan = e.select(GraftFunctions.dot(col("v"), col("v")).as("d"))
+      .queryExecution.executedPlan
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.toString.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"),
+      s"graft_dot projection not inside a codegen stage:\n$plan")
+    // and the expression itself generates code (no eval fallback node)
+    val df = e.select(GraftFunctions.dot(col("v"), col("v")).as("d"))
+    assert(df.collect().forall(r => r.getDouble(0) >= 0.0)) // self-dot >= 0
+  }
+
+  test("SQL registration: graft_dot callable from SQL text") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val r = spark.sql(
+      "SELECT graft_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS d FROM embeddings LIMIT 5")
+      .collect()
+    assert(r.length === 5 && r.forall(_.getDouble(0) > 0.0))
+  }
+
+  test("null array yields null; mismatched lengths use min length") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 100.0))),
+      (None, Some(Seq(1.0)))).toDF("a", "b")
+    val got = df.select(GraftFunctions.dot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 11.0)
+    assert(got(1).isNullAt(0))
+  }
+}
