@@ -86,4 +86,33 @@ object Relational {
   /** K1 — parquet sink, overwrite staging semantics (ref py:197,217). */
   def sinkParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).parquet(path)
+
+  // ---- additional file formats (free on the DataFrameReader/Writer,
+  // SURVEY.md §2.4 "file formats" row; the reference stages parquet
+  // only) ----
+
+  def scanCsv(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    spark.read.option("header", header).option("inferSchema", inferSchema).csv(path)
+
+  def scanJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  def sinkCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", true).csv(path)
+
+  def sinkJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Bucketed table sink: pre-shuffles once on the bucket key so
+    * subsequent equi-joins/aggs on that key are CO-LOCATED — Spark
+    * reads bucket n of both sides into the same task and the join
+    * plans with NO Exchange. This is the 100 TB answer to repeated
+    * joins on the same key (pay the shuffle once at write time).
+    * Requires a table name (bucket metadata lives in the catalog). */
+  def sinkBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
+  }
 }

@@ -121,6 +121,21 @@ object AggregateQueries {
             sum(dec(col("o_totalprice"))).cast("double").as("spend"))
           .where(col("n_orders") >= 3)),
 
+    // Exact interpolated percentiles: Spark percentile() and DuckDB
+    // quantile_cont use the same linear-interpolation definition over
+    // the sorted multiset — identical doubles on 2-decimal data.
+    QueryDef("q_agg_percentile", Some(
+      """SELECT c_mktsegment AS segment,
+        |  quantile_cont(c_acctbal, [0.25, 0.5, 0.9]) AS bal_quantiles,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(
+            expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.9D))").as("bal_quantiles"),
+            count(lit(1)).as("n"))),
+
     // Approximate distinct (HLL++) — sketch values are engine-specific, so
     // no SQL oracle; the driver records a rows-only check. Kept in the
     // inventory as the 100TB-scale alternative to exact countDistinct.

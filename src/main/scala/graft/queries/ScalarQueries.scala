@@ -118,6 +118,47 @@ object ScalarQueries {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // array functions over the token array (two-step select: see
+    // TextOps on HOF inlining).
+    QueryDef("q_fn_array", Some(
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  list_contains(w, 'data') AS has_data,
+        |  w[1] AS first_token,
+        |  list_sort(list_distinct(w))[1:3] AS first3_sorted,
+        |  coalesce(list_position(w, 'data'), 0) AS pos_data,
+        |  list_aggregate(w, 'max') AS max_token
+        |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+          .select(
+            col("doc_id"),
+            size(col("w")).as("n_tokens"),
+            array_contains(col("w"), "data").as("has_data"),
+            element_at(col("w"), 1).as("first_token"),
+            slice(array_sort(array_distinct(col("w"))), 1, 3).as("first3_sorted"),
+            array_position(col("w"), "data").as("pos_data"),
+            array_max(col("w")).as("max_token"))),
+
+    // map construction/access (map value equality is engine-specific in
+    // the driver compare, so the map itself is exploded to scalars).
+    QueryDef("q_fn_map", Some(
+      """SELECT doc_id,
+        |  map_extract(MAP(['lang','source'], [lang, source]), 'lang')[1] AS m_lang,
+        |  list_sort(map_keys(MAP(['lang','source'], [lang, source]))) AS keys_sorted,
+        |  cardinality(MAP(['lang','source'], [lang, source])) AS m_size
+        |FROM documents""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            map(lit("lang"), col("lang"), lit("source"), col("source")).as("m"))
+          .select(
+            col("doc_id"),
+            element_at(col("m"), "lang").as("m_lang"),
+            array_sort(map_keys(col("m"))).as("keys_sorted"),
+            size(col("m")).as("m_size"))),
+
     // null handling: coalesce / nullif / CASE over an outer-join null.
     QueryDef("q_fn_nulls", Some(
       """SELECT c_custkey AS custkey,

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.Relational
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Source/sink format coverage beyond parquet, and the bucketed-join
+  * no-shuffle guarantee. */
+class FormatSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves data") {
+    val src = Tables(spark, sfDir, "nation")
+    val dir = tmp("graft_csv_") + "/nation"
+    Relational.sinkCsv(src, dir)
+    val back = Relational.scanCsv(spark, dir)
+    assert(back.count() === src.count())
+    assert(back.columns.sorted === src.columns.sorted)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = pairs(src); val b = pairs(back)
+    assert(a === b)
+  }
+
+  test("JSON round-trip preserves data") {
+    val src = Tables(spark, sfDir, "region")
+    val dir = tmp("graft_json_") + "/region"
+    Relational.sinkJson(src, dir)
+    val back = Relational.scanJson(spark, dir)
+    assert(back.count() === src.count())
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = pairs(src); val b = pairs(back)
+    assert(a === b)
+  }
+
+  test("bucketed join on the bucket key plans with no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      Relational.sinkBucketed(
+        Tables(spark, sfDir, "orders"), "orders_b", "o_custkey", 4, Some("o_custkey"))
+      Relational.sinkBucketed(
+        Tables(spark, sfDir, "customer"), "customer_b", "c_custkey", 4, Some("c_custkey"))
+      val o = spark.table("orders_b")
+      val c = spark.table("customer_b")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(c("c_custkey")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be exchange-free:\n$plan")
+      assert(joined.count() > 0)
+      // same join on the raw (unbucketed) parquet DOES shuffle
+      val o2 = Tables(spark, sfDir, "orders")
+      val c2 = Tables(spark, sfDir, "customer")
+      val plan2 = o2.join(c2, o2("o_custkey") === c2("c_custkey"))
+        .groupBy(c2("c_custkey")).agg(count(lit(1)).as("n"))
+        .queryExecution.executedPlan.toString
+      assert(plan2.contains("Exchange"), "unbucketed baseline should shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
