@@ -104,6 +104,31 @@ object Relational {
   def sinkJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** Skew-mitigated equi-join: salt the big (skewed) side into
+    * `buckets` sub-keys and explode the small side across all salts, so
+    * one hot key fans out over `buckets` tasks instead of one straggler.
+    * Exact — every (bigRow, smallRow) key match meets on exactly one
+    * salt value. `saltExpr` defaults to a row-id hash; pass a
+    * deterministic column for reproducible tests. AQE's skew-join
+    * handles the sort-merge case at runtime; salting is the explicit
+    * plan-level tool when AQE can't see the skew (e.g. pre-aggregation
+    * fan-ups or broadcast-ineligible dims). */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      buckets: Int,
+      saltExpr: Column = null,
+      joinType: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val salt = Option(saltExpr)
+      .getOrElse(pmod(monotonically_increasing_id(), lit(buckets)))
+    val b = big.withColumn("__salt", salt.cast("int"))
+    val sm = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    b.join(sm, b(bigKey) === sm(smallKey) && b("__salt") === sm("__salt"), joinType)
+      .drop("__salt")
+  }
+
   /** Bucketed table sink: pre-shuffles once on the bucket key so
     * subsequent equi-joins/aggs on that key are CO-LOCATED — Spark
     * reads bucket n of both sides into the same task and the join

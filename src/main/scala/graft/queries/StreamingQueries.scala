@@ -2,6 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Batch twins of the streaming transforms, oracled against DuckDB —
   * the SAME expressions run under readStream (StreamingSpec verifies
@@ -19,6 +21,42 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin), headline = true)(
       (s, d) =>
         EventStream.windowedAgg(Tables(s, d, "events"))
-          .drop("approx_users")) // sketch values are engine-specific
+          .drop("approx_users")), // sketch values are engine-specific
+
+    // Batch twin of the gap-based sessionization: lag + cumulative sum
+    // assigns session ids; 30-min idle closes a session. value totals
+    // go through floor(v*100 + 0.5) cents (same rule as the streaming
+    // state fn; integral doubles < 2^53 sum exactly in any order).
+    QueryDef("q_stream_sessionize_batch", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, session_id, min(tus) AS session_start_us,
+        |  max(tus) AS session_end_us, count(*) AS n_events,
+        |  sum(floor(value*100 + 0.5))/100.0 AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("event_id").asc)
+        Tables(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), col("value"))
+          .withColumn("new_s",
+            when(lag(col("tus"), 1).over(w).isNull ||
+              col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("tus")).as("session_start_us"),
+            max(col("tus")).as("session_end_us"),
+            count(lit(1)).as("n_events"),
+            (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total_value"))
+      })
   )
 }
