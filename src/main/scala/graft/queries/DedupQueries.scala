@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   *  - minhash LSH: k=16 signature, 4 bands × 4 rows; candidates are
   *    band-bucket collisions (equi-join on the band key) verified with
   *    exact Jaccard — the standard near-dup pipeline at corpus scale.
-  *  - simhash: 32-bit fingerprint; candidates collide on one of four
-  *    8-bit bands (any pair at Hamming ≤ 1 shares ≥3 intact bands by
+  *  - simhash: 32-bit fingerprint; candidates collide on one of two
+  *    16-bit bands (a pair at Hamming ≤ 1 keeps ≥1 band intact by
   *    pigeonhole, so banding loses nothing at the chosen threshold),
   *    then exact Hamming filters. The threshold is tight (≤1) because
   *    the small-vocab synthetic corpus gives near-identical term
@@ -174,10 +174,13 @@ object DedupQueries {
           .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
-    // ---- SimHash fingerprint + byte-band candidates, Hamming ≤ 1 ----
+    // ---- SimHash fingerprint + half-word band candidates, Hamming ≤ 1:
+    // at most 1 flipped bit means at least one 16-bit half is intact
+    // (pigeonhole), and 16-bit buckets are 256x finer than bytes — on a
+    // similar-frequency corpus byte buckets degenerate toward O(n²). ----
     QueryDef("q_dedup_simhash", Some {
-      val bandKeys = (0 until 4).map { b =>
-        s"(SELECT doc_id, fp, $b AS band, (fp >> ${b * 8}) & 255 AS key FROM fp)"
+      val bandKeys = (0 until 2).map { b =>
+        s"(SELECT doc_id, fp, $b AS band, (fp >> ${b * 16}) & 65535 AS key FROM fp)"
       }.mkString("\nUNION ALL\n")
       s"""WITH hs AS (
          |  SELECT doc_id, ${tokenHashesSql(tokensSql("text"))} AS h FROM documents
@@ -197,8 +200,8 @@ object DedupQueries {
           .select(col("doc_id"), simhash32FromHashes(col("h")).as("fp"))
           .persist() // banded self-join below
         val bands = fp.select(col("doc_id"), col("fp"), posexplode(
-          array((0 until 4).map(b =>
-            shiftright(col("fp"), b * 8).bitwiseAND(lit(255L))): _*))
+          array((0 until 2).map(b =>
+            shiftright(col("fp"), b * 16).bitwiseAND(lit(65535L))): _*))
           .as(Seq("band", "key")))
         bands.alias("x")
           .join(bands.alias("y"),
