@@ -60,7 +60,40 @@ object SimilarityQueries {
       .withColumn("nrm", GraftFunctions.norm(col("v")))
       .persist()
 
+  /** 64 zeros for the centroid fold seed, shared Spark/SQL. */
+  private val zeros64Sql = Seq.fill(dim)("0.0").mkString("CAST([", ", ", "] AS DOUBLE[])")
+
   val defs: Seq[QueryDef] = Seq(
+
+    // ---- IVF centroid training: per-cell mean vector. The fold runs
+    // over vectors SORTED by vec_id, so double addition order — and
+    // therefore every bit of the centroid — is identical across
+    // engines. (The production path is VectorMeanAggregator: constant
+    // state, map-side partials, FP-order nondeterminism ~1e-12.) ----
+    QueryDef("q_vector_centroids", Some(
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
+         |      FROM n GROUP BY label)
+         |SELECT label, n,
+         |  list_transform(
+         |    list_reduce(list_prepend($zeros64Sql, vs),
+         |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
+         |    s -> s / n) AS centroid
+         |FROM g""".stripMargin))(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+        n.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("n"),
+            transform(
+              aggregate(col("vs"), zeros,
+                (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
+              s => s / col("n")).as("centroid"))
+      }),
 
     // ---- exact brute-force cosine top-k ----
     QueryDef("q_ann_brute_topk", Some(
