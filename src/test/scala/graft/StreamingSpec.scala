@@ -60,6 +60,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("late data beyond the watermark is dropped from windowed aggs") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // append mode: a window only emits once the watermark passes its end
+    val q = EventStream.windowedAgg(df, windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // advance watermark far past the first window's end
+    input.addData((2L, ts("2024-01-01 05:00:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // this event is 4h older than the watermark → dropped, not re-emitted
+    input.addData((3L, ts("2024-01-01 00:20:00"), 1L, "click", 99.0, "{}"))
+    q.processAllAvailable()
+    input.addData((4L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("late_out")
+      .select("window_start_us", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    q.stop()
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    // the 00:00 window emitted exactly once, with ONLY the on-time event
+    assert(rows.count(_._1 == w0) === 1)
+    assert(rows.find(_._1 == w0).get === ((w0, 1L, 1.0)))
+  }
+
   test("sessionize: gap closes a session once the watermark passes") {
     val input = MemoryStream[Event]
     val sessions = EventStream.sessionize(
