@@ -193,6 +193,42 @@ object RelationalQueries {
             countDistinct(col("p_partkey")).as("n_parts"))
       }),
 
+    // INTERVAL join: purchases within 1h after a signup by the same
+    // user. Same scale pattern as the range join: bucket event time by
+    // hour, equi-join on (user, bucket) with the signup exploded to the
+    // 2 buckets its window can reach, interval predicate as residual
+    // guard — hash join, never a time-cross-product.
+    QueryDef("q_interval_join", Some(
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  s.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id
+        | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin))(
+      (s, d) => {
+        val hourUs = 3600L * 1000000L
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val signups = ev.where(col("event_type") === "signup")
+          .withColumn("bucket", explode(array(
+            expr(s"tus div $hourUs"), expr(s"tus div $hourUs") + 1)))
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("tus").as("s_tus"), col("bucket"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("tus").as("p_tus"),
+            expr(s"tus div $hourUs").as("bucket"))
+        signups.join(purchases,
+            col("user_id") === col("p_user") &&
+              signups("bucket") === purchases("bucket") &&
+              col("p_tus") > col("s_tus") &&
+              col("p_tus") <= col("s_tus") + hourUs)
+          .select(col("signup_id"), col("purchase_id"), col("user_id"),
+            (col("p_tus") - col("s_tus")).as("delay_us"))
+      }),
+
     // AS-OF join: for each 'error' event, the most recent 'click' by the
     // same user at-or-before it. Implemented the scalable way — a single
     // shuffle: tag + union both sides, then last(ignoreNulls) over a

@@ -127,6 +127,21 @@ class PipelineSpec extends SparkSpecBase {
     assert(hand.tables.head.sources.head.numPartitions === 4)
   }
 
+  test("run a job from on-disk JSON config (the config IS the query)") {
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/job_enriched_lineitem.json")), "UTF-8")
+    val ws = freshWorkspace()
+    val sp = JobSpec.fromJson(json).copy(workspace = ws)
+    assert(sp.tables.head.targetTable === "enriched_lineitem_json")
+    assert(sp.tables.head.sources.map(_.name) ===
+      Seq("lineitem", "orders", "customer", "nation"))
+    new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1).runAll()
+    val loaded = spark.read.parquet(sp.targetDir("enriched_lineitem_json"))
+    assert(loaded.count() === expectedRows)
+  }
+
   test("retry: backoff then success; exhaustion rethrows") {
     var calls = 0
     val r = Retry.retry(attempts = 3, initialDelayMs = 1) {
