@@ -61,16 +61,23 @@ object Relational {
       joinType: String = "inner")
 
   /** R1+J1 — fold a named-table registry through a list of equi-join
-    * edges, starting from `root`. Columns are referenced through the
-    * per-table DataFrames, so duplicate names across inputs are fine.
-    * Catalyst/AQE picks broadcast-hash vs sort-merge per edge. */
+    * edges, starting from `root`. Columns may be plain names (resolved
+    * against the accumulated/right DataFrame) or `alias.col` qualified
+    * refs (resolved against the table aliases, like the reference's
+    * config join conditions over aliased sources, py:135-142) — needed
+    * whenever sources share column names (e.g. every table has
+    * `objid`). Catalyst/AQE picks broadcast-hash vs sort-merge per
+    * edge. */
   def joinGraph(
       tables: Map[String, DataFrame],
       root: String,
       edges: Seq[JoinEdge]): DataFrame = {
+    import org.apache.spark.sql.functions.col
     edges.foldLeft(tables(root)) { (acc, e) =>
       val right = tables(e.rightTable)
-      acc.join(right, acc(e.leftCol) === right(e.rightCol), e.joinType)
+      val l = if (e.leftCol.contains(".")) col(e.leftCol) else acc(e.leftCol)
+      val r = if (e.rightCol.contains(".")) col(e.rightCol) else right(e.rightCol)
+      acc.join(right, l === r, e.joinType)
     }
   }
 

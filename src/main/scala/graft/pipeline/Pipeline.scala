@@ -65,8 +65,10 @@ final class Pipeline(
         } else {
           log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
         }
-        // py:398 — always re-read from storage, never pass through memory
-        s.name -> Relational.scanParquet(spark, rawDir)
+        // py:398 — always re-read from storage, never pass through
+        // memory; alias by source name (py:135-138) so join conditions
+        // and projections can use `source.col` qualified refs
+        s.name -> Relational.scanParquet(spark, rawDir).alias(s.name)
       }.toMap
 
       // Phase 2: transform + stage

@@ -1,0 +1,133 @@
+package graft
+
+import graft.ops.Relational
+import graft.pipeline._
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fidelity test: the reference's OWN job — its 4-table star, its three
+  * predicate shapes, its qualified-rename projection list
+  * (verizon_table_migration_Rakesh_filters.json:27-84, py:140-146) —
+  * declared as a graft JobSpec and run end-to-end over synthesized
+  * source tables matching FIXTURES.md §A. Asserts output parity with a
+  * directly-computed DataFrame result plus the staged/checkpointed
+  * layout the reference's resume semantics depend on. */
+class ReferenceJobSpec extends SparkSpecBase {
+
+  private val states =
+    Seq("MI", "MN", "MO", "MP", "MS", "MT", "NC", "ND", "NE", "NH", "NJ")
+  private val ccTypes = Seq("American Express", "Discover", "Mastercard")
+
+  /** Deterministic synthetic source tables (FIXTURES.md §A shapes). */
+  private def sources(spark: SparkSession): Map[String, DataFrame] = {
+    import spark.implicits._
+    // x_cust_id straddles the json:54 range bound [100000, 500000]:
+    // ids 99500..103490 step 10 → ~12% below the lower bound
+    val contacts = (0 until 400).map { i =>
+      (100009L + i, 99500L + i * 10, s"First$i", s"Last$i",
+        f"555-$i%04d", s"u$i@example.com", "US")
+    }.toDF("objid", "x_cust_id", "first_name", "last_name", "phone", "e_mail", "country")
+    val allStates = states ++ Seq("CA", "NY", "TX", "WA", "FL")
+    val addresses = (0 until 300).map { i =>
+      (500000L + i, s"$i Main St", s"City$i", allStates(i % allStates.size), f"$i%05d")
+    }.toDF("objid", "address", "city", "state", "zipcode")
+    val allCcTypes = ccTypes ++ Seq("Visa", "Diners Club")
+    val cards = (0 until 350).map { i =>
+      (700000L + i, 100009L + (i % 400), 500000L + (i % 300),
+        f"4${i}%015d", f"${i % 12 + 1}%02d", s"${2026 + i % 5}",
+        allCcTypes(i % allCcTypes.size))
+    }.toDF("objid", "x_credit_card2contact", "x_credit_card2address",
+      "x_customer_cc_number", "x_customer_cc_expmo", "x_customer_cc_expyr", "x_cc_type")
+    val payments = (0 until 500).map { i =>
+      (900000L + i, 700000L + (i % 350), "CARD", s"src$i", "LEGACY",
+        if (i % 3 == 0) "Inactive" else "Active")
+    }.toDF("objid", "pymt_src2x_credit_card", "x_pymt_type", "x_pymt_src_name",
+      "x_sourcesystem", "x_status")
+    Map("table_contact" -> contacts, "table_address" -> addresses,
+      "table_x_credit_card" -> cards, "x_payment_source" -> payments)
+  }
+
+  /** The reference config re-expressed (json:53-82): filters json:54-57,
+    * join graph py:140-142, qualified renames json:59-82. */
+  private def spec(ws: String) = JobSpec(
+    workspace = ws,
+    tables = Seq(TableSpec(
+      targetTable = "customer_payment_information",
+      sources = Seq(
+        SourceSpec("table_contact",
+          filter = Some("x_cust_id >= 100000 AND x_cust_id <= 500000")),
+        SourceSpec("table_x_credit_card",
+          filter = Some(s"x_cc_type IN (${ccTypes.map(c => s"'$c'").mkString(", ")})")),
+        SourceSpec("x_payment_source", filter = Some("x_status = 'Active'")),
+        SourceSpec("table_address",
+          filter = Some(s"state IN (${states.map(s => s"'$s'").mkString(", ")})"))),
+      root = "table_contact",
+      // py:140-142 verbatim join graph, with the reference's qualified
+      // refs (every source has an `objid`):
+      joins = Seq(
+        JoinSpec("table_x_credit_card",
+          "table_contact.objid", "x_credit_card2contact"),
+        JoinSpec("x_payment_source",
+          "table_x_credit_card.objid", "pymt_src2x_credit_card"),
+        JoinSpec("table_address",
+          "table_x_credit_card.x_credit_card2address", "objid")),
+      transformedColumns = Seq(
+        "x_payment_source.objid AS objid",
+        "table_contact.x_cust_id AS cust_id",
+        "table_contact.first_name AS first_name",
+        "table_contact.last_name AS last_name",
+        "table_contact.phone AS phone",
+        "table_contact.e_mail AS e_mail",
+        "table_contact.country AS country",
+        "table_x_credit_card.x_customer_cc_number AS cc_number",
+        "table_x_credit_card.x_customer_cc_expmo AS cc_expmo",
+        "table_x_credit_card.x_customer_cc_expyr AS cc_expyr",
+        "table_x_credit_card.x_cc_type AS cc_type",
+        "x_payment_source.x_pymt_type AS pymt_type",
+        "x_payment_source.x_pymt_src_name AS pymt_src_name",
+        "x_payment_source.x_sourcesystem AS sourcesystem",
+        "x_payment_source.x_status AS status",
+        "table_address.address AS address",
+        "table_address.city AS city",
+        "table_address.state AS state",
+        "table_address.zipcode AS zipcode"))))
+
+  test("the reference's own job runs end-to-end with identical results") {
+    val srcs = sources(spark)
+    val ws = Files.createTempDirectory("graft_refjob_").toString
+    val sp = spec(ws)
+    val pipeline = new Pipeline(spark, sp, s => srcs(s.name),
+      retryInitialDelayMs = 1)
+    // independent expectation: the same algebra computed directly
+    val expected = {
+      val c = srcs("table_contact").where("x_cust_id >= 100000 AND x_cust_id <= 500000").alias("table_contact")
+      val cc = srcs("table_x_credit_card")
+        .where(s"x_cc_type IN (${ccTypes.map(t => s"'$t'").mkString(", ")})").alias("table_x_credit_card")
+      val ps = srcs("x_payment_source").where("x_status = 'Active'").alias("x_payment_source")
+      val ad = srcs("table_address")
+        .where(s"state IN (${states.map(t => s"'$t'").mkString(", ")})").alias("table_address")
+      c.join(cc, col("table_contact.objid") === col("table_x_credit_card.x_credit_card2contact"))
+        .join(ps, col("x_payment_source.pymt_src2x_credit_card") === col("table_x_credit_card.objid"))
+        .join(ad, col("table_x_credit_card.x_credit_card2address") === col("table_address.objid"))
+        .selectExpr(sp.tables.head.transformedColumns: _*)
+    }
+    pipeline.runTable(sp.tables.head)
+    val loaded = spark.read.parquet(sp.targetDir("customer_payment_information"))
+    assert(loaded.count() === expected.count())
+    assert(loaded.count() > 0, "job must produce rows")
+    assert(loaded.columns.toSet === expected.columns.toSet)
+    val a = loaded.orderBy("objid").collect().map(_.toSeq).toSeq
+    val b = expected.orderBy("objid").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // resume layout: staged raw per source + transformed + checkpoints
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    sp.tables.head.sources.foreach(s => assert(storage.datasetExists(sp.rawDir(s.name))))
+    assert(storage.datasetExists(sp.transformedDir("customer_payment_information")))
+    assert(storage.listParquet(sp.transformedDir("customer_payment_information"))
+      .forall { f =>
+        storage.checkpointExists(sp.checkpointDir("customer_payment_information"),
+          f.substring(f.lastIndexOf('/') + 1))
+      })
+  }
+}
