@@ -98,9 +98,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
 
-  private[functions] def inject(ext: SparkSessionExtensions): Unit =
+  private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
       exprs => DotProductD(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -1,0 +1,62 @@
+package graft
+
+import graft.plans.BandJoinRewrite
+import org.apache.spark.sql.functions._
+
+/** The band-join optimizer rule: a naive BETWEEN join plans as a
+  * nested-loop cross product; with the rule it becomes a bucketed hash
+  * join with identical results. */
+class BandJoinSpec extends SparkSpecBase {
+
+  private def bandJoin = {
+    val p = Tables(spark, sfDir, "part")
+    val li = Tables(spark, sfDir, "lineitem")
+    p.join(li, li("l_extendedprice").between(
+        p("p_retailprice") - 5, p("p_retailprice") + 5))
+      .groupBy(p("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  test("without the rule: nested-loop; with it: hash join, same result") {
+    val naivePlan = bandJoin.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"),
+      s"expected the naive plan to be a cross product:\n$naivePlan")
+    val expected = bandJoin.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val optPlan = bandJoin.queryExecution.executedPlan.toString
+      assert(!optPlan.contains("BroadcastNestedLoopJoin") &&
+        !optPlan.contains("CartesianProduct"),
+        s"band join not rewritten:\n$optPlan")
+      assert(optPlan.contains("__graft_bucket"),
+        s"rewrite marker missing:\n$optPlan")
+      val got = bandJoin.collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
+  test("rule leaves plain equi-joins and already-bucketed joins alone") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val o = Tables(spark, sfDir, "orders")
+      val c = Tables(spark, sfDir, "customer")
+      val equi = o.join(c, o("o_custkey") === c("c_custkey"))
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("__graft_bucket"))
+      // hand-bucketed query from the catalog still passes through
+      val handBucketed = Catalog.byName("q_range_join_bucketed").fn(spark, sfDir)
+      assert(handBucketed.count() > 0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+}
