@@ -86,6 +86,12 @@ object GraftFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Bulk shingle/token hashing (see [[ArrayH32]]); `mod <= 0` = none. */
+  def h32Array(a: Column, mod: Long): Column = {
+    register(SparkSession.active)
+    call_function(if (mod > 0) "graft_h32_array_modp" else "graft_h32_array", a)
+  }
+
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -94,9 +100,15 @@ object GraftFunctions {
     "graft_dot(a, b) - double-precision dot product of two arrays " +
       "(sequential fold order), codegen'd.", "")
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_h32_array", exprs => ArrayH32(exprs(0), 0L), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_h32_array_modp", exprs => ArrayH32(exprs(0), graft.ops.TextOps.P), "built-in")
+  }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,

@@ -50,7 +50,10 @@ object DedupQueries {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), shingles(col("w"), shingleN).as("g"))
-      .select(col("doc_id"), array_distinct(shingleHashes(col("g"))).as("sh"))
+      // codegen'd bulk md5 (ArrayH32) — bit-compatible with the
+      // transform+md5 builtin formulation the oracle mirrors
+      .select(col("doc_id"),
+        array_distinct(GraftFunctions.h32Array(col("g"), TextOps.P)).as("sh"))
 
   /** Shared oracle CTE: doc_id → distinct hashed 3-gram shingle set. */
   private val shinglesCte =
@@ -196,7 +199,7 @@ object DedupQueries {
       (s, d) => {
         val fp = Tables(s, d, "documents")
           .select(col("doc_id"), tokens(col("text")).as("w"))
-          .select(col("doc_id"), tokenHashes(col("w")).as("h"))
+          .select(col("doc_id"), GraftFunctions.h32Array(col("w"), 0L).as("h"))
           .select(col("doc_id"), simhash32FromHashes(col("h")).as("fp"))
           .persist() // banded self-join below
         val bands = fp.select(col("doc_id"), col("fp"), posexplode(

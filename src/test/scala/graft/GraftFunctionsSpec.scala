@@ -55,6 +55,24 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(r.length === 5 && r.forall(_.getDouble(0) > 0.0))
   }
 
+  test("h32Array == per-element md5 builtin formulation, bit-exact") {
+    val toks = split(trim(col("text")), " ")
+    val builtin = transform(toks, s =>
+      pmod(conv(substring(md5(s), 1, 8), 16, 10).cast("bigint"), lit(TextOps.P)))
+    val diff = Tables(spark, sfDir, "documents")
+      .select(GraftFunctions.h32Array(toks, TextOps.P).as("native"),
+        builtin.as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    // unmodded variant too
+    val builtinRaw = transform(toks, s =>
+      conv(substring(md5(s), 1, 8), 16, 10).cast("bigint"))
+    val diffRaw = Tables(spark, sfDir, "documents")
+      .select(GraftFunctions.h32Array(toks, 0L).as("native"), builtinRaw.as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diffRaw.count() === 0)
+  }
+
   test("null array yields null; mismatched lengths use min length") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based differential tests (SURVEY.md §5.4): the engine's
+  * filter/join/project/dedup semantics vs a naive in-memory model over
+  * ScalaCheck-generated rows. Seeds are fixed — failures reproduce. */
+final case class Row3(k: Long, v: Long, s: String)
+
+class ModelCheckSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val genRows: Gen[List[Row3]] = Gen.listOfN(60, for {
+    k <- Gen.chooseNum(0L, 20L)
+    v <- Gen.chooseNum(-100L, 100L)
+    s <- Gen.oneOf("red", "green", "blue", "cyan")
+  } yield Row3(k, v, s))
+
+  private def sample(seed: Long): List[Row3] =
+    genRows.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("filterSql == model filter (range / IN / equality shapes)") {
+    for (seed <- 1L to 10L) {
+      val rows = sample(seed)
+      val df = rows.toDF()
+      val cases: Seq[(String, Row3 => Boolean)] = Seq(
+        ("v >= -20 AND v <= 35", r => r.v >= -20 && r.v <= 35),
+        ("s IN ('red', 'cyan')", r => r.s == "red" || r.s == "cyan"),
+        ("s = 'green'", r => r.s == "green"),
+        ("v >= 0 AND s IN ('blue', 'green') AND k <= 15",
+          r => r.v >= 0 && (r.s == "blue" || r.s == "green") && r.k <= 15))
+      for ((pred, model) <- cases) {
+        val got = Relational.filterSql(df, pred).as[Row3].collect().sortBy(r => (r.k, r.v, r.s))
+        val want = rows.filter(model).sortBy(r => (r.k, r.v, r.s))
+        assert(got.toList === want, s"seed=$seed pred=$pred")
+      }
+    }
+  }
+
+  test("joinGraph inner equi-join == model nested loop (multiset)") {
+    for (seed <- 1L to 10L) {
+      val left = sample(seed)
+      val right = sample(seed + 1000)
+      val tables = Map(
+        "l" -> left.toDF("lk", "lv", "ls"),
+        "r" -> right.toDF("rk", "rv", "rs"))
+      val got = Relational.joinGraph(tables, "l",
+        Seq(Relational.JoinEdge("r", "lk", "rk")))
+        .select("lk", "lv", "rv").as[(Long, Long, Long)]
+        .collect().sorted.toList
+      val want = (for {
+        a <- left; b <- right if a.k == b.k
+      } yield (a.k, a.v, b.v)).sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("project selectExpr == model mapping") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(seed)
+      val got = Relational.project(rows.toDF(),
+        Seq("k AS key", "v * 2 AS dbl", "upper(s) AS color"))
+        .as[(Long, Long, String)].collect().sorted.toList
+      val want = rows.map(r => (r.k, r.v * 2, r.s.toUpperCase)).sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("exact dedup keeper == model min-by-key") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(seed).zipWithIndex.map { case (r, i) => (i.toLong, r.s) }
+      val got = rows.toDF("id", "payload")
+        .groupBy(col("payload"))
+        .agg(min(col("id")).as("keeper"), count(lit(1)).as("n"))
+        .as[(String, Long, Long)].collect().sorted.toList
+      val want = rows.groupBy(_._2).map { case (p, g) =>
+        (p, g.map(_._1).min, g.size.toLong)
+      }.toList.sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+}
