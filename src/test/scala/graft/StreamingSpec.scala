@@ -60,6 +60,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids.toSeq === Seq(1L, 2L))
   }
 
+  test("restart from checkpoint: dedup state survives, no reprocessing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    // raw read keeps ts as long nanos — matches EventStream.rawSchema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    def runOnce(): Unit = {
+      val q = EventStream.dedupe(EventStream.readEvents(spark, in))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    raw.where("event_id < 500").write.mode("append").parquet(in)
+    runOnce()
+    // second batch overlaps ids [0, 500) and adds [500, 700)
+    raw.where("event_id < 700").write.mode("append").parquet(in)
+    runOnce() // NEW query instance, same checkpoint → state restored
+    val got = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0))
+    assert(got.length === got.distinct.length, "restart must not duplicate events")
+    assert(got.length === 700)
+  }
+
   test("late data beyond the watermark is dropped from windowed aggs") {
     val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
     val df = input.toDF()
