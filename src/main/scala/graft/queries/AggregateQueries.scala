@@ -129,6 +129,31 @@ object AggregateQueries {
             sum(dec(col("o_totalprice"))).cast("double").as("spend"))
           .where(col("n_orders") >= 3)),
 
+    // PIVOT: status columns per priority (explicit value list keeps the
+    // output schema static — required for a deterministic oracle, and
+    // the scale-safe form: pivot without values collects the distinct
+    // set to the driver first). Empty cells coalesce to 0 on both sides.
+    QueryDef("q_agg_pivot", Some(
+      """SELECT o_orderpriority AS priority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS spend_f
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, d) => {
+        val p = Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("priority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("spend"))
+        p.select(col("priority"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"),
+          coalesce(col("F_spend"), lit(0).cast("decimal(18,2)"))
+            .cast("double").as("spend_f"))
+      }),
+
     // Exact interpolated percentiles: Spark percentile() and DuckDB
     // quantile_cont use the same linear-interpolation definition over
     // the sorted multiset — identical doubles on 2-decimal data.
