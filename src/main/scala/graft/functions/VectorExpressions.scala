@@ -92,6 +92,13 @@ object GraftFunctions {
     call_function(if (mod > 0) "graft_h32_array_modp" else "graft_h32_array", a)
   }
 
+  /** |A ∩ B| of two SORTED distinct array<bigint> columns (see
+    * [[ArrayIntersectCountSorted]] for the invariant). */
+  def intersectCountSorted(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_intersect_count", a, b)
+  }
+
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -108,6 +115,8 @@ object GraftFunctions {
       "graft_h32_array", exprs => ArrayH32(exprs(0), 0L), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_h32_array_modp", exprs => ArrayH32(exprs(0), graft.ops.TextOps.P), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_intersect_count", exprs => ArrayIntersectCountSorted(exprs(0), exprs(1)), "built-in")
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

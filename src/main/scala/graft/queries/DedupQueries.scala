@@ -52,8 +52,11 @@ object DedupQueries {
       .select(col("doc_id"), shingles(col("w"), shingleN).as("g"))
       // codegen'd bulk md5 (ArrayH32) — bit-compatible with the
       // transform+md5 builtin formulation the oracle mirrors
+      // sorted ascending: every consumer is order-insensitive, and the
+      // exact-verify joins use a codegen'd two-pointer intersection
+      // count that requires sorted distinct inputs
       .select(col("doc_id"),
-        array_distinct(GraftFunctions.h32Array(col("g"), TextOps.P)).as("sh"))
+        array_sort(array_distinct(GraftFunctions.h32Array(col("g"), TextOps.P))).as("sh"))
 
   /** Shared oracle CTE: doc_id → distinct hashed 3-gram shingle set. */
   private val shinglesCte =
@@ -127,7 +130,7 @@ object DedupQueries {
           .distinct()
         val fa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
         val fb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
-        val inter = size(array_intersect(col("sha"), col("shb")))
+        val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
         val uni = size(col("sha")) + size(col("shb")) - inter
         cand.join(fa, "da").join(fb, "db")
           .withColumn("jaccard", inter.cast("double") / uni)
@@ -169,7 +172,7 @@ object DedupQueries {
           .distinct()
         val a = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
         val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
-        val inter = size(array_intersect(col("sha"), col("shb")))
+        val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
         val uni = size(col("sha")) + size(col("shb")) - inter
         cand.join(a, "da").join(b, "db")
           .withColumn("jaccard", inter.cast("double") / uni)

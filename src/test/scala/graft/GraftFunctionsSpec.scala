@@ -73,6 +73,20 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(diffRaw.count() === 0)
   }
 
+  test("intersectCountSorted == size(array_intersect) on sorted sets") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)), // partial overlap
+      (Seq(1L, 2L), Seq(3L, 4L)),                   // disjoint
+      (Seq(7L, 8L, 9L), Seq(7L, 8L, 9L)),           // identical
+      (Seq.empty[Long], Seq(1L))).toDF("a", "b")
+    val diff = df.select(
+      GraftFunctions.intersectCountSorted(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+  }
+
   test("null array yields null; mismatched lengths use min length") {
     import spark.implicits._
     val df = Seq(
