@@ -17,6 +17,20 @@ object ParquetAppendSink extends AppendSink {
     df.write.mode("append").parquet(target)
 }
 
+/** Partition-key-grouped append — the offline model of the Cassandra
+  * connector's write path (py:347-353: batches grouped by partition
+  * key, append mode): rows are repartitioned on the key (so one task
+  * owns one key group, like batch.grouping.key=partition) and laid out
+  * key-partitioned on storage. Like the Cassandra original, delivery
+  * is at-least-once per staged file; re-appends of the same file are
+  * prevented by the pipeline's checkpoint markers, not the sink. */
+final case class KeyedParquetAppendSink(keyCol: String, taskParallelism: Int = 8)
+    extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    df.repartition(taskParallelism, df(keyCol))
+      .write.mode("append").partitionBy(keyCol).parquet(target)
+}
+
 /** C10/C11 — the reference's 3-phase checkpointed, resumable pipeline
   * (py:376-421), idiomatic-Spark edition:
   *

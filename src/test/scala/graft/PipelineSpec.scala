@@ -127,6 +127,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(hand.tables.head.sources.head.numPartitions === 4)
   }
 
+  test("keyed append sink: partition-key-grouped layout, same rows") {
+    val ws = freshWorkspace()
+    val sp = run(ws, sink = KeyedParquetAppendSink("nation", taskParallelism = 4))
+    val target = sp.targetDir("enriched_lineitem")
+    val loaded = spark.read.parquet(target)
+    assert(loaded.count() === expectedRows)
+    // key-partitioned directory layout (hive-style nation=... dirs)
+    val dirs = new java.io.File(target).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("nation=")))
+  }
+
   test("run a job from on-disk JSON config (the config IS the query)") {
     val json = new String(Files.readAllBytes(
       java.nio.file.Paths.get("examples/job_enriched_lineitem.json")), "UTF-8")
