@@ -99,6 +99,12 @@ object GraftFunctions {
     call_function("graft_intersect_count", a, b)
   }
 
+  /** One-pass k=16 minhash signature (see [[MinHashSig]]). */
+  def minhashSig(hashes: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_minhash_sig", hashes)
+  }
+
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -117,6 +123,8 @@ object GraftFunctions {
       "graft_h32_array_modp", exprs => ArrayH32(exprs(0), graft.ops.TextOps.P), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_intersect_count", exprs => ArrayIntersectCountSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

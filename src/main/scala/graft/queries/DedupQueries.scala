@@ -157,7 +157,9 @@ object DedupQueries {
     }, headline = true)(
       (s, d) => {
         val sh = docShingles(s, d).persist() // hash set; reused by verify
-        val sig = sh.select(col("doc_id"), minhashSigFromHashes(col("sh")).as("sig"))
+        // one-pass codegen'd signature (bit-compatible with the
+        // 16-pass builtin formulation the oracle mirrors)
+        val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
         val bands = sig.select(col("doc_id"), posexplode(
           array((0 until numBands).map { b =>
             concat_ws("_", transform(

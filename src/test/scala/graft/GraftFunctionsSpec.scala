@@ -87,6 +87,23 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(diff.count() === 0)
   }
 
+  test("minhashSig == 16-pass builtin formulation, bit-exact") {
+    val toks = split(trim(col("text")), " ")
+    val hashes = GraftFunctions.h32Array(toks, TextOps.P)
+    val diff = Tables(spark, sfDir, "documents")
+      .select(hashes.as("h"))
+      .select(GraftFunctions.minhashSig(col("h")).as("native"),
+        TextOps.minhashSigFromHashes(col("h")).as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    // empty array → all-null signature, matching array_min semantics
+    import spark.implicits._
+    val empty = Seq(Seq.empty[Long]).toDF("h")
+      .select(GraftFunctions.minhashSig(col("h")).as("sig"))
+      .collect().head.getSeq[Any](0)
+    assert(empty.length === TextOps.numHashes && empty.forall(_ == null))
+  }
+
   test("null array yields null; mismatched lengths use min length") {
     import spark.implicits._
     val df = Seq(
