@@ -105,6 +105,12 @@ object GraftFunctions {
     call_function("graft_minhash_sig", hashes)
   }
 
+  /** Fused tokens → hashed n-gram shingles (see [[ShingleHashes]]). */
+  def shingleHashes(toks: Column, n: Int, mod: Long): Column = {
+    register(SparkSession.active)
+    call_function(s"graft_shingle_hashes_${n}_${if (mod > 0) "modp" else "raw"}", toks)
+  }
+
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -125,6 +131,15 @@ object GraftFunctions {
       "graft_intersect_count", exprs => ArrayIntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
+    // the shingle widths the engine uses (3-gram dedup, 5-gram winnow)
+    for (n <- Seq(3, 5)) {
+      reg.createOrReplaceTempFunction(
+        s"graft_shingle_hashes_${n}_modp",
+        exprs => ShingleHashes(exprs(0), n, graft.ops.TextOps.P), "built-in")
+      reg.createOrReplaceTempFunction(
+        s"graft_shingle_hashes_${n}_raw",
+        exprs => ShingleHashes(exprs(0), n, 0L), "built-in")
+    }
   }
 
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {

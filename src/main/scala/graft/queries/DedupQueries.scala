@@ -49,14 +49,15 @@ object DedupQueries {
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), shingles(col("w"), shingleN).as("g"))
-      // codegen'd bulk md5 (ArrayH32) — bit-compatible with the
-      // transform+md5 builtin formulation the oracle mirrors
-      // sorted ascending: every consumer is order-insensitive, and the
+      // fused codegen'd tokens→hashed-shingles (ShingleHashes): no
+      // shingle strings are ever materialized; byte-identical to the
+      // concat_ws+md5 builtin formulation the oracle mirrors.
+      // Sorted ascending: every consumer is order-insensitive, and the
       // exact-verify joins use a codegen'd two-pointer intersection
-      // count that requires sorted distinct inputs
+      // count that requires sorted distinct inputs.
       .select(col("doc_id"),
-        array_sort(array_distinct(GraftFunctions.h32Array(col("g"), TextOps.P))).as("sh"))
+        array_sort(array_distinct(
+          GraftFunctions.shingleHashes(col("w"), shingleN, TextOps.P))).as("sh"))
 
   /** Shared oracle CTE: doc_id → distinct hashed 3-gram shingle set. */
   private val shinglesCte =

@@ -119,11 +119,9 @@ object TextQueries {
          |    i -> ${h32Sql("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")}) AS gh
          |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))""".stripMargin))(
       (s, d) => {
-        val idx = sequence(lit(1), size(col("w")) - 4)
-        val gh = when(size(col("w")) >= 5,
-          transform(idx, i => h32(concat_ws(" ",
-            (0 until 5).map(o => element_at(col("w"), i + o)): _*))))
-          .otherwise(array().cast("array<bigint>"))
+        // fused codegen'd 5-gram hashing (positional, unmodded) — same
+        // values as the transform+concat_ws+md5 formulation
+        val gh = graft.functions.GraftFunctions.shingleHashes(col("w"), 5, 0L)
         val winnow = transform(sequence(lit(1), size(col("gh")) - 3),
           j => array_min(slice(col("gh"), j, lit(4))))
         Tables(s, d, "documents")

@@ -104,6 +104,27 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(empty.length === TextOps.numHashes && empty.forall(_ == null))
   }
 
+  test("shingleHashes == concat_ws+md5 builtin formulation, bit-exact") {
+    val toks = split(trim(col("text")), " ")
+    val builtin = transform(
+      sequence(lit(1), size(toks) - 2),
+      i => pmod(conv(substring(md5(concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+        1, 8), 16, 10).cast("bigint"), lit(TextOps.P)))
+    val diff = Tables(spark, sfDir, "documents")
+      .where(size(toks) >= 3)
+      .select(GraftFunctions.shingleHashes(toks, 3, TextOps.P).as("native"),
+        builtin.as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    // short docs → empty
+    import spark.implicits._
+    val short = Seq("a b").toDF("t")
+      .select(GraftFunctions.shingleHashes(split(col("t"), " "), 3, 0L).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(short.isEmpty)
+  }
+
   test("null array yields null; mismatched lengths use min length") {
     import spark.implicits._
     val df = Seq(
