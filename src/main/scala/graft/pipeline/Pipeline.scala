@@ -6,9 +6,15 @@ import org.slf4j.LoggerFactory
 
 /** Per-file append sink — the offline stand-in for the reference's
   * Cassandra bulk load (py:347-353): partition-key-grouped append with
-  * identical at-least-once + per-file checkpoint semantics. */
+  * identical at-least-once + per-file checkpoint semantics. Sinks that
+  * key their output on the source file (see [[IdempotentParquetSink]])
+  * upgrade the pipeline to exactly-once. */
 trait AppendSink extends Serializable {
   def append(df: DataFrame, target: String): Unit
+  /** Called by the pipeline with the staged file's name; default
+    * ignores it (plain append = at-least-once, like the reference). */
+  def append(df: DataFrame, target: String, sourceFile: String): Unit =
+    append(df, target)
 }
 
 /** Default sink: append as parquet under the target dir. */
@@ -29,6 +35,20 @@ final case class KeyedParquetAppendSink(keyCol: String, taskParallelism: Int = 8
   def append(df: DataFrame, target: String): Unit =
     df.repartition(taskParallelism, df(keyCol))
       .write.mode("append").partitionBy(keyCol).parquet(target)
+}
+
+/** Exactly-once variant (beyond the reference's at-least-once,
+  * SURVEY.md §3.4): output is keyed by the SOURCE file
+  * (`target/src=<file>`) and written with overwrite, so a crash
+  * between write and checkpoint re-runs as an overwrite of the same
+  * path instead of a duplicate append — per-file delivery becomes
+  * idempotent without any sink-side transaction. */
+object IdempotentParquetSink extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    throw new UnsupportedOperationException(
+      "IdempotentParquetSink requires the source-file overload")
+  override def append(df: DataFrame, target: String, sourceFile: String): Unit =
+    df.write.mode("overwrite").parquet(s"$target/src=$sourceFile")
 }
 
 /** C10/C11 — the reference's 3-phase checkpointed, resumable pipeline
@@ -116,7 +136,7 @@ final class Pipeline(
       if (storage.checkpointExists(checkpointDir, name)) {
         log.info(s"[${t.targetTable}] $name already loaded — skipping")
       } else {
-        sink.append(Relational.scanParquet(spark, file), targetDir)
+        sink.append(Relational.scanParquet(spark, file), targetDir, name)
         storage.createCheckpoint(checkpointDir, name)
       }
       processed += rows

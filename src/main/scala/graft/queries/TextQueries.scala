@@ -104,6 +104,70 @@ object TextQueries {
           guess.as("guess"), (guess === col("lang")).as("is_match"))
       }),
 
+    // ---- char-trigram language model: train per-language profiles
+    // (top-30 trigrams by document frequency) from the corpus itself,
+    // then classify every doc by profile overlap. Two aggregation
+    // phases + a broadcastable profile join — the standard scalable
+    // langid shape (profiles are tiny; the corpus scan dominates). ----
+    QueryDef("q_text_langid_trigram", Some(
+      """WITH tg AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, greatest(length(text)-1, 1)),
+        |      i -> substr(text, i, 3))) AS tg
+        |  FROM documents
+        |),
+        |ex AS (SELECT doc_id, lang, t.t AS t FROM tg, unnest(tg.tg) AS t(t)),
+        |dfreq AS (SELECT lang, t, count(*) AS cnt FROM ex GROUP BY lang, t),
+        |profile AS (
+        |  SELECT lang AS plang, t FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, t) AS rn FROM dfreq) WHERE rn <= 30
+        |),
+        |scores AS (
+        |  SELECT ex.doc_id, profile.plang, count(*) AS n
+        |  FROM ex JOIN profile ON ex.t = profile.t
+        |  GROUP BY ex.doc_id, profile.plang
+        |),
+        |best AS (
+        |  SELECT doc_id, plang AS guess, n AS best_score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, plang) AS rn FROM scores) WHERE rn = 1
+        |)
+        |SELECT d.doc_id, d.lang AS declared,
+        |  coalesce(best.guess, 'unknown') AS guess,
+        |  coalesce(best.best_score, 0) AS best_score,
+        |  (best.guess = d.lang) AS is_match
+        |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id""".stripMargin))(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, d, "documents")
+        // substring with a column start position needs the expr form
+        val tg2 = docs.select(col("doc_id"), col("lang"),
+          array_distinct(expr(
+            "transform(sequence(1, greatest(length(text)-1, 1)), i -> substr(text, i, 3))"))
+            .as("tg"))
+        val ex = tg2.select(col("doc_id"), col("lang"), explode(col("tg")).as("t"))
+        val dfreq = ex.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+        val wp = w.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
+        val profile = dfreq.withColumn("rn", row_number().over(wp))
+          .where(col("rn") <= 30)
+          .select(col("lang").as("plang"), col("t"))
+        val scores = ex.select(col("doc_id"), col("t"))
+          .join(broadcast(profile), "t")
+          .groupBy(col("doc_id"), col("plang"))
+          .agg(count(lit(1)).as("n"))
+        val wb = w.partitionBy(col("doc_id")).orderBy(col("n").desc, col("plang").asc)
+        val best = scores.withColumn("rn", row_number().over(wb))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("plang").as("guess"), col("n").as("best_score"))
+        docs.select(col("doc_id"), col("lang"))
+          .join(best, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang").as("declared"),
+            coalesce(col("guess"), lit("unknown")).as("guess"),
+            coalesce(col("best_score"), lit(0L)).as("best_score"),
+            (col("guess") === col("lang")).as("is_match"))
+      }),
+
     // ---- winnowing fingerprint (rolling min-hash over 5-gram hashes,
     // window 4 — the standard local fingerprint for plagiarism/near-dup
     // detection; emitted as a sorted distinct hash set) ----

@@ -138,6 +138,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(dirs.nonEmpty && dirs.forall(_.startsWith("nation=")))
   }
 
+  test("exactly-once sink: crash between write and checkpoint does not duplicate") {
+    // a sink that crashes AFTER its first successful write but BEFORE
+    // the pipeline checkpoints it — the worst-case window of SURVEY §3.4
+    final class CrashOnceAfterWrite(inner: AppendSink) extends AppendSink {
+      var writes = 0
+      var crashed = false
+      def append(df: DataFrame, target: String): Unit =
+        append(df, target, "")
+      override def append(df: DataFrame, target: String, sourceFile: String): Unit = {
+        inner.append(df, target, sourceFile)
+        writes += 1
+        if (writes == 1 && !crashed) { crashed = true; throw new RuntimeException("crash-after-write") }
+      }
+    }
+    // at-least-once (plain append): the crashed file's rows appear twice
+    val ws1 = freshWorkspace()
+    run(ws1, sink = new CrashOnceAfterWrite(ParquetAppendSink))
+    val dupRows = spark.read.parquet(
+      PipelineQueries.spec(ws1).targetDir("enriched_lineitem")).count()
+    assert(dupRows > expectedRows, "plain append after crash should duplicate")
+    // exactly-once (idempotent overwrite by source file): no duplicates
+    val ws2 = freshWorkspace()
+    run(ws2, sink = new CrashOnceAfterWrite(IdempotentParquetSink))
+    val exactRows = spark.read.parquet(
+      PipelineQueries.spec(ws2).targetDir("enriched_lineitem")).count()
+    assert(exactRows === expectedRows)
+  }
+
   test("run a job from on-disk JSON config (the config IS the query)") {
     val json = new String(Files.readAllBytes(
       java.nio.file.Paths.get("examples/job_enriched_lineitem.json")), "UTF-8")
