@@ -222,6 +222,97 @@ object DedupQueries {
           .distinct()
       }),
 
+    // ---- near-dup CLUSTERING: connected components over the
+    // minhash-verified pair graph, by iterative min-label propagation
+    // (the GraphX-style loop without GraphX: each round joins labels
+    // across edges and takes the min; the label sum is a monotone
+    // decreasing integer, so "sum unchanged" is an exact fixpoint
+    // test). cluster_id = min doc_id of the component; keepers are the
+    // dedup survivors. The oracle computes the same components with a
+    // recursive-CTE transitive closure. ----
+    QueryDef("q_dedup_clusters", Some {
+      val pairsSql =
+        s"""${shinglesCte.stripPrefix("WITH ")},
+           |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
+           |bands AS (${(0 until numBands).map { b =>
+          s"(SELECT doc_id, $b AS band, array_to_string(sig[${b * bandRows + 1}:${(b + 1) * bandRows}], '_') AS key FROM sig)"
+        }.mkString("\nUNION ALL\n")}),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+           |),
+           |pairs AS (
+           |  SELECT cand.da, cand.db
+           |  FROM cand JOIN sh a ON a.doc_id = cand.da JOIN sh b ON b.doc_id = cand.db
+           |  WHERE $jaccardSqlPair >= $jaccardThreshold
+           |),
+           |edges AS (SELECT da AS a, db AS b FROM pairs
+           |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+           |reach AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |)""".stripMargin
+      s"""WITH RECURSIVE $pairsSql
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+         |  (least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id) AS is_keeper
+         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |GROUP BY d.doc_id""".stripMargin
+    })(
+      (s, d) => {
+        // reuse the minhash-LSH pair pipeline for the edge set
+        val sh = docShingles(s, d).persist()
+        val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
+        val bandsDf = sig.select(col("doc_id"), posexplode(
+          array((0 until numBands).map { b =>
+            concat_ws("_", transform(
+              slice(col("sig"), b * bandRows + 1, bandRows), x => x.cast("string")))
+          }: _*)).as(Seq("band", "key")))
+          .persist()
+        val cand = bandsDf.alias("x")
+          .join(bandsDf.alias("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+        val fa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+        val fb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+        val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
+        val uni = size(col("sha")) + size(col("shb")) - inter
+        val pairs = cand.join(fa, "da").join(fb, "db")
+          .where(inter.cast("double") / uni >= jaccardThreshold)
+          .select(col("da"), col("db"))
+        val edges = pairs.union(pairs.select(col("db"), col("da")))
+          .toDF("a", "b").persist()
+        def labelSum(df: DataFrame): Long =
+          df.agg(org.apache.spark.sql.functions.sum("label"))
+            .collect().head.getLong(0)
+        var labels = Tables(s, d, "documents")
+          .select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+        var prevSum = labelSum(labels)
+        var iter = 0
+        var converged = false
+        while (!converged && iter < 25) {
+          val prop = edges.join(labels, edges("b") === labels("node"))
+            .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
+          val next = labels.join(prop, Seq("node"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+            .persist()
+          val nextSum = labelSum(next)
+          labels.unpersist()
+          labels = next
+          converged = nextSum == prevSum
+          prevSum = nextSum
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          (col("node") === col("label")).as("is_keeper"))
+      })
+  ,
+
     // ---- embedding cosine near-dup (exact thresholded pairs) ----
     QueryDef("q_dedup_embedding", Some(
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
