@@ -66,6 +66,26 @@ object EventStream {
     in.dropDuplicates("event_id")
   }
 
+  /** Stream-stream interval join: purchases within 1h after a signup
+    * by the same user (the streaming twin of q_interval_join). Both
+    * sides carry watermarks and the join condition bounds event time,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the interval — bounded state, exact results.
+    * Works identically on batch frames (no watermark needed). */
+  def attribution(signups: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val s = (if (signups.isStreaming) signups.withWatermark("ts", watermark)
+             else signups).alias("s")
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark)
+             else purchases).alias("p")
+    s.join(p, expr(
+        "p.user_id = s.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"))
+      .select(col("s.event_id").as("signup_id"),
+        col("p.event_id").as("purchase_id"),
+        col("s.user_id").as("user_id"),
+        (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"))
+  }
+
   // ---- custom sessionization state ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

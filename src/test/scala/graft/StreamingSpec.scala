@@ -116,6 +116,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.find(_._1 == w0).get === ((w0, 1L, 1.0)))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val ev = EventStream.readEvents(spark, dir.toString)
+    val streamed = EventStream.attribution(
+      ev.where("event_type = 'signup'"), ev.where("event_type = 'purchase'"))
+    val q = streamed.writeStream
+      .format("memory").queryName("ssj_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("signup_id", "purchase_id", "user_id", "delay_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = canon(spark.table("ssj_out"))
+    val batchEv = Tables(spark, sfDir, "events")
+    val want = canon(EventStream.attribution(
+      batchEv.where("event_type = 'signup'"),
+      batchEv.where("event_type = 'purchase'")))
+    assert(got.nonEmpty && got === want)
+    // and the batch form matches the cataloged bucketed interval join
+    val catalog = Catalog.byName("q_interval_join").fn(spark, sfDir)
+      .select("signup_id", "purchase_id", "user_id", "delay_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(catalog === want)
+  }
+
   test("sessionize: gap closes a session once the watermark passes") {
     val input = MemoryStream[Event]
     val sessions = EventStream.sessionize(
