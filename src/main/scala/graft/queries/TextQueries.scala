@@ -197,6 +197,54 @@ object TextQueries {
               .as("fingerprint"))
       }),
 
+    // ---- count-min sketch: bounded-memory frequency estimation (4×1024
+    // counters regardless of vocabulary size — the 100 TB alternative to
+    // exact word counts). Hashing is the engine's md5-based h32, so the
+    // sketch is deterministic and the DuckDB oracle replicates it
+    // exactly; est >= exact always (one-sided error). ----
+    QueryDef("q_sketch_countmin", Some {
+      val depth = 4; val width = 1024
+      s"""WITH tok AS (
+         |  SELECT t.w AS w FROM documents, unnest(${tokensSql("text")}) AS t(w)
+         |),
+         |cells AS (
+         |  SELECT r.r AS r, ${h32Sql("w || '#' || CAST(r.r AS VARCHAR)")} % $width AS bucket,
+         |    count(*) AS cnt
+         |  FROM tok, range(0, $depth) r(r)
+         |  GROUP BY 1, 2
+         |),
+         |words AS (SELECT w, count(*) AS exact_count FROM tok GROUP BY w),
+         |probes AS (
+         |  SELECT words.w, words.exact_count, r.r AS r,
+         |    ${h32Sql("words.w || '#' || CAST(r.r AS VARCHAR)")} % $width AS bucket
+         |  FROM words, range(0, $depth) r(r)
+         |)
+         |SELECT probes.w AS word, min(probes.exact_count) AS exact_count,
+         |  min(cells.cnt) AS cms_estimate
+         |FROM probes JOIN cells ON probes.r = cells.r AND probes.bucket = cells.bucket
+         |GROUP BY probes.w""".stripMargin
+    })(
+      (s, d) => {
+        val depth = 4; val width = 1024
+        val tok = Tables(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+        val withR = tok.select(col("w"),
+          explode(array((0 until depth).map(lit): _*)).as("r"))
+          .withColumn("bucket",
+            pmod(h32(concat(col("w"), lit("#"), col("r").cast("string"))), lit(width.toLong)))
+        val cells = withR.groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val words = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_count"))
+        val probes = words.select(col("w"), col("exact_count"),
+          explode(array((0 until depth).map(lit): _*)).as("r"))
+          .withColumn("bucket",
+            pmod(h32(concat(col("w"), lit("#"), col("r").cast("string"))), lit(width.toLong)))
+        probes.join(cells, Seq("r", "bucket"))
+          .groupBy(col("w").as("word"))
+          .agg(min(col("exact_count")).as("exact_count"),
+            min(col("cnt")).as("cms_estimate"))
+      }),
+
     // ---- corpus word count (tokenize → explode → two-level agg) ----
     QueryDef("q_text_wordcount", Some(
       """SELECT t.w AS word, count(*) AS n_occurrences,

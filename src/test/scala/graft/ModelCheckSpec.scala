@@ -40,6 +40,50 @@ class ModelCheckSpec extends SparkSpecBase {
     }
   }
 
+  test("randomly generated predicate trees == model evaluation") {
+    sealed trait Pred { def sql: String; def eval(r: Row3): Boolean }
+    case class VGe(c: Long) extends Pred {
+      def sql = s"v >= $c"; def eval(r: Row3) = r.v >= c
+    }
+    case class VLe(c: Long) extends Pred {
+      def sql = s"v <= $c"; def eval(r: Row3) = r.v <= c
+    }
+    case class KEq(c: Long) extends Pred {
+      def sql = s"k = $c"; def eval(r: Row3) = r.k == c
+    }
+    case class SIn(xs: List[String]) extends Pred {
+      def sql = s"s IN (${xs.map(x => s"'$x'").mkString(", ")})"
+      def eval(r: Row3) = xs.contains(r.s)
+    }
+    case class AndP(a: Pred, b: Pred) extends Pred {
+      def sql = s"(${a.sql}) AND (${b.sql})"
+      def eval(r: Row3) = a.eval(r) && b.eval(r)
+    }
+    case class OrP(a: Pred, b: Pred) extends Pred {
+      def sql = s"(${a.sql}) OR (${b.sql})"
+      def eval(r: Row3) = a.eval(r) || b.eval(r)
+    }
+    val leaf: Gen[Pred] = Gen.oneOf(
+      Gen.chooseNum(-100L, 100L).map(VGe),
+      Gen.chooseNum(-100L, 100L).map(VLe),
+      Gen.chooseNum(0L, 20L).map(KEq),
+      Gen.someOf("red", "green", "blue", "cyan")
+        .suchThat(_.nonEmpty).map(xs => SIn(xs.toList)))
+    val tree: Gen[Pred] = for {
+      a <- leaf; b <- leaf; c <- leaf
+      op1 <- Gen.oneOf[(Pred, Pred) => Pred](AndP.apply _, OrP.apply _)
+      op2 <- Gen.oneOf[(Pred, Pred) => Pred](AndP.apply _, OrP.apply _)
+    } yield op2(op1(a, b), c)
+    for (seed <- 1L to 25L) {
+      val rows = sample(seed)
+      val pred = tree.pureApply(Gen.Parameters.default, Seed(seed * 7 + 1))
+      val got = Relational.filterSql(rows.toDF(), pred.sql)
+        .as[Row3].collect().sortBy(r => (r.k, r.v, r.s)).toList
+      val want = rows.filter(pred.eval).sortBy(r => (r.k, r.v, r.s))
+      assert(got === want, s"seed=$seed pred=${pred.sql}")
+    }
+  }
+
   test("joinGraph inner equi-join == model nested loop (multiset)") {
     for (seed <- 1L to 10L) {
       val left = sample(seed)
