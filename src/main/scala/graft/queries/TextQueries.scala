@@ -245,6 +245,77 @@ object TextQueries {
             min(col("cnt")).as("cms_estimate"))
       }),
 
+    // ---- deterministic HyperLogLog (m=256 registers): distinct-token
+    // estimate per language from constant-size state. Everything is
+    // exact cross-engine: md5-based bucket/rank extraction is integer
+    // arithmetic (rank via length(bin(suffix)) — no log2), 2^-rank
+    // comes from a shared literal table, and the register sum is a sum
+    // of dyadic rationals with denominators <= 2^25 — exactly
+    // representable and order-independent in IEEE doubles. Raw HLL
+    // estimate only (the small-range linear-counting correction needs
+    // ln(), which is not bit-stable across engines); exact distinct
+    // shown alongside. ----
+    QueryDef("q_sketch_hll", Some {
+      val m = 256
+      val alpha = 0.7213 / (1 + 1.079 / m) // standard alpha_256
+      val pow2neg = (0 to 25).map(k => math.pow(2.0, -k))
+      val pow2negSql = pow2neg.map(_.toString)
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"""WITH sh AS (
+         |  SELECT lang, ${shinglesSql("w", 3)} AS g
+         |  FROM (SELECT lang, ${tokensSql("text")} AS w FROM documents)
+         |),
+         |el AS (
+         |  SELECT DISTINCT lang, ${h32Sql("t.s")} AS h
+         |  FROM sh, unnest(sh.g) AS t(s)
+         |),
+         |hashed AS (SELECT lang, h % $m AS bucket, h // $m AS suffix FROM el),
+         |regs AS (
+         |  SELECT lang, bucket,
+         |    max(CASE WHEN suffix = 0 THEN 25
+         |             ELSE 25 - length(bin(suffix)) END) AS r
+         |  FROM hashed GROUP BY lang, bucket
+         |),
+         |sums AS (
+         |  SELECT lang,
+         |    sum(($pow2negSql)[r + 1]) + ($m - count(*)) * 1.0 AS reg_sum,
+         |    count(*) AS n_present
+         |  FROM regs GROUP BY lang
+         |),
+         |exact AS (SELECT lang, count(*) AS exact_distinct FROM el GROUP BY lang)
+         |SELECT exact.lang, exact.exact_distinct,
+         |  CAST($alpha AS DOUBLE) * $m * $m / sums.reg_sum AS hll_estimate,
+         |  sums.n_present
+         |FROM exact JOIN sums ON exact.lang = sums.lang""".stripMargin
+    })(
+      (s, d) => {
+        val m = 256
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        val pow2neg = array((0 to 25).map(k => lit(math.pow(2.0, -k))): _*)
+        // distinct 32-bit shingle hashes per language — thousands of
+        // elements, comfortably past HLL's small-range regime
+        val tok = Tables(s, d, "documents")
+          .select(col("lang"), tokens(col("text")).as("w"))
+          .select(col("lang"),
+            explode(graft.functions.GraftFunctions.shingleHashes(col("w"), 3, 0L)).as("h"))
+          .distinct()
+        val hashed = tok.select(col("lang"),
+          pmod(col("h"), lit(m.toLong)).as("bucket"),
+          (col("h") / m).cast("long").as("suffix"))
+        val regs = hashed.groupBy(col("lang"), col("bucket"))
+          .agg(max(when(col("suffix") === 0, 25)
+            .otherwise(lit(25) - length(bin(col("suffix"))))).as("r"))
+        val sums = regs.groupBy(col("lang"))
+          .agg((org.apache.spark.sql.functions.sum(element_at(pow2neg, col("r") + 1)) +
+            (lit(m) - count(lit(1))) * 1.0).as("reg_sum"),
+            count(lit(1)).as("n_present"))
+        val exact = tok.groupBy(col("lang")).agg(count(lit(1)).as("exact_distinct"))
+        exact.join(sums, "lang")
+          .select(col("lang"), col("exact_distinct"),
+            (lit(alpha) * m * m / col("reg_sum")).as("hll_estimate"),
+            col("n_present"))
+      }),
+
     // ---- corpus word count (tokenize → explode → two-level agg) ----
     QueryDef("q_text_wordcount", Some(
       """SELECT t.w AS word, count(*) AS n_occurrences,
