@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.TextOps._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the `documents` fixture (north-star
@@ -314,6 +315,86 @@ object TextQueries {
           .select(col("lang"), col("exact_distinct"),
             (lit(alpha) * m * m / col("reg_sum")).as("hll_estimate"),
             col("n_present"))
+      }),
+
+    // ---- HLL set operations: the distributed-sketch property. Two
+    // languages' register sets merge by per-bucket MAX into the union
+    // sketch (exactly what partial aggregation does across executors);
+    // intersection via inclusion-exclusion. Same exact-IEEE arguments
+    // as q_sketch_hll, so estimates hash-match DuckDB. ----
+    QueryDef("q_sketch_hll_setops", Some {
+      val m = 256
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      val pow2negSql = (0 to 25).map(k => math.pow(2.0, -k).toString)
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      def estSql(regsRel: String) =
+        s"""(SELECT CAST($alpha AS DOUBLE) * $m * $m /
+           |   (sum(($pow2negSql)[r + 1]) + ($m - count(*)) * 1.0)
+           | FROM $regsRel)""".stripMargin
+      s"""WITH sh AS (
+         |  SELECT lang, ${shinglesSql("w", 3)} AS g
+         |  FROM (SELECT lang, ${tokensSql("text")} AS w FROM documents)
+         |  WHERE lang IN ('en', 'de')
+         |),
+         |el AS (
+         |  SELECT DISTINCT lang, ${h32Sql("t.s")} AS h
+         |  FROM sh, unnest(sh.g) AS t(s)
+         |),
+         |hashed AS (SELECT lang, h, h % $m AS bucket, h // $m AS suffix FROM el),
+         |regs AS (
+         |  SELECT lang, bucket,
+         |    max(CASE WHEN suffix = 0 THEN 25
+         |             ELSE 25 - length(bin(suffix)) END) AS r
+         |  FROM hashed GROUP BY lang, bucket
+         |),
+         |merged AS (SELECT bucket, max(r) AS r FROM regs GROUP BY bucket),
+         |en AS (SELECT bucket, r FROM regs WHERE lang = 'en'),
+         |de AS (SELECT bucket, r FROM regs WHERE lang = 'de'),
+         |exacts AS (
+         |  SELECT count(DISTINCT h) AS exact_union,
+         |    count(DISTINCT CASE WHEN cnt = 2 THEN h END) AS exact_inter
+         |  FROM (SELECT h, count(DISTINCT lang) AS cnt FROM el GROUP BY h)
+         |)
+         |SELECT exacts.exact_union, exacts.exact_inter,
+         |  ${estSql("merged")} AS est_union,
+         |  ${estSql("en")} + ${estSql("de")} - ${estSql("merged")} AS est_inter
+         |FROM exacts""".stripMargin
+    })(
+      (s, d) => {
+        val m = 256
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        val pow2neg = array((0 to 25).map(k => lit(math.pow(2.0, -k))): _*)
+        val el = Tables(s, d, "documents")
+          .where(col("lang").isin("en", "de"))
+          .select(col("lang"), tokens(col("text")).as("w"))
+          .select(col("lang"),
+            explode(graft.functions.GraftFunctions.shingleHashes(col("w"), 3, 0L)).as("h"))
+          .distinct()
+          .persist()
+        val hashed = el.select(col("lang"), col("h"),
+          pmod(col("h"), lit(m.toLong)).as("bucket"),
+          (col("h") / m).cast("long").as("suffix"))
+        val regs = hashed.groupBy(col("lang"), col("bucket"))
+          .agg(max(when(col("suffix") === 0, 25)
+            .otherwise(lit(25) - length(bin(col("suffix"))))).as("r"))
+          .persist()
+        def est(r: DataFrame): Double = {
+          val row = r.agg(
+            (org.apache.spark.sql.functions.sum(element_at(pow2neg, col("r") + 1)) +
+              (lit(m) - count(lit(1))) * 1.0).as("reg_sum")).collect().head
+          alpha * m * m / row.getDouble(0)
+        }
+        val estUnion = est(regs.groupBy(col("bucket")).agg(max(col("r")).as("r")))
+        val estEn = est(regs.where(col("lang") === "en"))
+        val estDe = est(regs.where(col("lang") === "de"))
+        val byH = el.groupBy(col("h"))
+          .agg(countDistinct(col("lang")).as("cnt"))
+        byH.agg(
+          count(lit(1)).as("exact_union"),
+          count(when(col("cnt") === 2, col("h"))).as("exact_inter"))
+          .select(col("exact_union"), col("exact_inter"),
+            lit(estUnion).as("est_union"),
+            lit(estEn + estDe - estUnion).as("est_inter"))
       }),
 
     // ---- corpus word count (tokenize → explode → two-level agg) ----
