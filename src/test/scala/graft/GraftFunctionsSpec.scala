@@ -46,6 +46,11 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(df.collect().forall(r => r.getDouble(0) >= 0.0)) // self-dot >= 0
   }
 
+  test("GraftExtensions entry point wires into SparkSessionExtensions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // injects fns + rule
+  }
+
   test("SQL registration: graft_dot callable from SQL text") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sfDir)
