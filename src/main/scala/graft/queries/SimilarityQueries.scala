@@ -95,6 +95,68 @@ object SimilarityQueries {
               s => s / col("n")).as("centroid"))
       }),
 
+    // ---- product quantization: train per-subspace codebooks from the
+    // (bit-exact) cell centroids, then encode every vector as 8
+    // nearest-codeword ids — the memory-compressed ANN representation
+    // (64 dims × 4B → 8 codes). Every step is deterministic: centroids
+    // come from the sorted fold, sub-distances are sequential
+    // squared-difference folds, and argmin tiebreaks on code id — so
+    // the full encoding is DuckDB-oracled. One row per (vector,
+    // subspace) keeps all FP sums within a single fold. ----
+    QueryDef("q_ann_pq_encode", Some {
+      val sub = (0 until 8).map { sIdx =>
+        s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
+         |      FROM n GROUP BY label),
+         |cent AS (
+         |  SELECT label AS code, list_transform(
+         |    list_reduce(list_prepend($zeros64Sql, vs),
+         |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
+         |    s -> s / cnt) AS centroid
+         |  FROM g),
+         |subs AS ($sub),
+         |dists AS (
+         |  SELECT n.vec_id, subs.subspace, cent.code,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(list_zip(n.v[subs.lo:subs.hi], cent.centroid[subs.lo:subs.hi]),
+         |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y) AS dist
+         |  FROM n, subs, cent)
+         |SELECT vec_id, subspace, code, dist AS sub_qerr FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+         |    ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1""".stripMargin
+    })(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+        val cent = n.groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+            count(lit(1)).as("cnt"))
+          .select(col("label").as("code"),
+            transform(
+              aggregate(col("vs"), zeros,
+                (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
+              x => x / col("cnt")).as("centroid"))
+        val subs = n.select(col("vec_id"), col("v"),
+          explode(array((0 until 8).map(lit): _*)).as("subspace"))
+        val lo = col("subspace") * 8 + 1
+        val dist = aggregate(
+          zip_with(slice(col("v"), lo, lit(8)), slice(col("centroid"), lo, lit(8)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)
+        val w = Window.partitionBy(col("vec_id"), col("subspace"))
+          .orderBy(col("dist").asc, col("code").asc)
+        subs.join(broadcast(cent))
+          .withColumn("dist", dist)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("subspace"), col("code"),
+            col("dist").as("sub_qerr"))
+      }),
+
     // ---- exact brute-force cosine top-k ----
     QueryDef("q_ann_brute_topk", Some(
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
