@@ -5,6 +5,7 @@ import graft.ops.TextOps
 import graft.functions.GraftFunctions
 import graft.ops.TextOps._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface for a training-data pipeline (north-star
@@ -104,14 +105,16 @@ object DedupQueries {
         val sh = docShingles(s, d).persist()
         val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
         val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        val ordered = ex.join(dfreq, "shingle")
-          .groupBy("doc_id")
-          .agg(collect_list(struct(col("df"), col("shingle"))).as("r"))
-          .select(col("doc_id"), size(col("r")).as("sz"),
-            transform(array_sort(col("r")), x => x.getField("shingle")).as("ordered"))
-        val prefixLen = expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)")
-        val prefix = ordered.select(col("doc_id"), col("sz"),
-          posexplode(slice(col("ordered"), lit(1), prefixLen)).as(Seq("pos", "shingle")))
+        // rank each doc's shingles rarest-first with window functions —
+        // one shuffle on doc_id, no interpreted collect_list/array_sort
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val ranked = ex.join(dfreq, "shingle")
+          .select(col("doc_id"), col("shingle"),
+            (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
+              .as("pos"),
+            count(lit(1)).over(wDoc).as("sz"))
+        val prefix = ranked
+          .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
           .persist()
         // t = 3/5 exactly, so every bound is exact integer arithmetic:
         //  - size filter: 3*max <= 5*min

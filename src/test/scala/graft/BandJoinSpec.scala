@@ -43,6 +43,31 @@ class BandJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("swapped orientation (banded column on the right child) rewrites too") {
+    val p = Tables(spark, sfDir, "part")
+    val li = Tables(spark, sfDir, "lineitem")
+    // here the banded variable (p_retailprice) sits on the LEFT child
+    // and the band anchor (l_extendedprice) on the RIGHT — the mirror
+    // of the first test's orientation
+    def q = p.join(li, p("p_retailprice").between(
+        li("l_extendedprice") - 5, li("l_extendedprice") + 5))
+      .groupBy(li("l_returnflag").as("rf"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val expected = q.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ BandJoinRewrite
+    try {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"swapped band join not rewritten:\n$plan")
+      val got = q.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(got === expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
+    }
+  }
+
   test("rule leaves plain equi-joins and already-bucketed joins alone") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BandJoinRewrite
