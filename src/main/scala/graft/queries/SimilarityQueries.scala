@@ -63,6 +63,68 @@ object SimilarityQueries {
   /** 64 zeros for the centroid fold seed, shared Spark/SQL. */
   private val zeros64Sql = Seq.fill(dim)("0.0").mkString("CAST([", ", ", "] AS DOUBLE[])")
 
+  /** Shared PQ base (SQL): vectors, bit-exact centroids-as-codebooks,
+    * 8 subspace bounds, per-(vector,subspace,codeword) sub-distances,
+    * and the argmin code assignment. */
+  private val pqBaseSql: String = {
+    val sub = (0 until 8).map { sIdx =>
+      s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
+    }.mkString("\nUNION ALL\n")
+    s"""n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
+       |      FROM n GROUP BY label),
+       |cent AS (
+       |  SELECT label AS code, list_transform(
+       |    list_reduce(list_prepend($zeros64Sql, vs),
+       |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
+       |    s -> s / cnt) AS centroid
+       |  FROM g),
+       |subs AS ($sub),
+       |dists AS (
+       |  SELECT n.vec_id, subs.subspace, cent.code,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip(n.v[subs.lo:subs.hi], cent.centroid[subs.lo:subs.hi]),
+       |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y) AS dist
+       |  FROM n, subs, cent),
+       |codes AS (
+       |  SELECT vec_id, subspace, code, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+       |      ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared PQ base (Spark): returns (dists, codes) DataFrames with
+    * the same columns/semantics as the SQL CTEs above. */
+  private def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val n = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+    val cent = n.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+        count(lit(1)).as("cnt"))
+      .select(col("label").as("code"),
+        transform(
+          aggregate(col("vs"), zeros,
+            (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
+          x => x / col("cnt")).as("centroid"))
+    val subs = n.select(col("vec_id"), col("v"),
+      explode(array((0 until 8).map(lit): _*)).as("subspace"))
+    val lo = col("subspace") * 8 + 1
+    val distCol = aggregate(
+      zip_with(slice(col("v"), lo, lit(8)), slice(col("centroid"), lo, lit(8)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+    val dists = subs.join(broadcast(cent)).withColumn("dist", distCol)
+      .select(col("vec_id"), col("subspace"), col("code"), col("dist"))
+      .persist()
+    val w = Window.partitionBy(col("vec_id"), col("subspace"))
+      .orderBy(col("dist").asc, col("code").asc)
+    val codes = dists.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("subspace"), col("code"), col("dist"))
+    (dists, codes)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- IVF centroid training: per-cell mean vector. The fold runs
@@ -103,58 +165,53 @@ object SimilarityQueries {
     // squared-difference folds, and argmin tiebreaks on code id — so
     // the full encoding is DuckDB-oracled. One row per (vector,
     // subspace) keeps all FP sums within a single fold. ----
-    QueryDef("q_ann_pq_encode", Some {
-      val sub = (0 until 8).map { sIdx =>
-        s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
-         |      FROM n GROUP BY label),
-         |cent AS (
-         |  SELECT label AS code, list_transform(
-         |    list_reduce(list_prepend($zeros64Sql, vs),
-         |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
-         |    s -> s / cnt) AS centroid
-         |  FROM g),
-         |subs AS ($sub),
-         |dists AS (
-         |  SELECT n.vec_id, subs.subspace, cent.code,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(list_zip(n.v[subs.lo:subs.hi], cent.centroid[subs.lo:subs.hi]),
-         |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y) AS dist
-         |  FROM n, subs, cent)
-         |SELECT vec_id, subspace, code, dist AS sub_qerr FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-         |    ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1""".stripMargin
-    })(
+    QueryDef("q_ann_pq_encode", Some(
+      s"""WITH $pqBaseSql
+         |SELECT vec_id, subspace, code, dist AS sub_qerr FROM codes""".stripMargin))(
       (s, d) => {
-        val n = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
-        val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
-        val cent = n.groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
-            count(lit(1)).as("cnt"))
-          .select(col("label").as("code"),
-            transform(
-              aggregate(col("vs"), zeros,
-                (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
-              x => x / col("cnt")).as("centroid"))
-        val subs = n.select(col("vec_id"), col("v"),
-          explode(array((0 until 8).map(lit): _*)).as("subspace"))
-        val lo = col("subspace") * 8 + 1
-        val dist = aggregate(
-          zip_with(slice(col("v"), lo, lit(8)), slice(col("centroid"), lo, lit(8)),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z)
-        val w = Window.partitionBy(col("vec_id"), col("subspace"))
-          .orderBy(col("dist").asc, col("code").asc)
-        subs.join(broadcast(cent))
-          .withColumn("dist", dist)
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("vec_id"), col("subspace"), col("code"),
-            col("dist").as("sub_qerr"))
+        val (_, codes) = pqBase(s, d)
+        codes.select(col("vec_id"), col("subspace"), col("code"),
+          col("dist").as("sub_qerr"))
+      }),
+
+    // ---- ADC search over the PQ codes: for each query vector, rank
+    // candidates by the sum of per-subspace distance-table entries
+    // (query-subvector vs the candidate's codeword). The per-subspace
+    // distances are integer-scaled (floor(d*1e9)) BEFORE the 8-term
+    // sum, making the total order-independent and exact — so the
+    // approximate ranking itself is DuckDB-oracled. ----
+    QueryDef("q_ann_pq_search", Some(
+      s"""WITH $pqBaseSql,
+         |dtable AS (
+         |  SELECT vec_id AS query_id, subspace, code,
+         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+         |  FROM dists WHERE vec_id % 100 = 0),
+         |adc AS (
+         |  SELECT dtable.query_id, codes.vec_id AS candidate_id,
+         |    sum(dtable.d_scaled) AS adc_scaled
+         |  FROM codes JOIN dtable
+         |    ON codes.subspace = dtable.subspace AND codes.code = dtable.code
+         |  WHERE codes.vec_id <> dtable.query_id
+         |  GROUP BY dtable.query_id, codes.vec_id)
+         |SELECT query_id, candidate_id, adc_scaled, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_scaled, candidate_id) AS rnk FROM adc) WHERE rnk <= 5""".stripMargin))(
+      (s, d) => {
+        val (dists, codes) = pqBase(s, d)
+        val dtable = dists.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+            floor(col("dist") * 1000000000L).cast("bigint").as("d_scaled"))
+        val adc = codes.select(col("vec_id").as("candidate_id"),
+            col("subspace"), col("code"))
+          .join(broadcast(dtable), Seq("subspace", "code"))
+          .where(col("candidate_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        adc.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       }),
 
     // ---- exact brute-force cosine top-k ----
