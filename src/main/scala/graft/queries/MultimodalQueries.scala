@@ -34,8 +34,27 @@ object MultimodalQueries {
           upper(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"),
           md5(col("text")).as("content_md5"))),
 
-    // ---- full decode pipeline (mapPartitions, stubbed codec) ----
-    QueryDef("q_multimodal_decode", None)(
+    // ---- full decode pipeline (mapPartitions, stubbed codec). Even
+    // the stub is oracle-gated: FakeDecoder's FNV-1a over the payload
+    // bytes is pure integer arithmetic, replicated in the DuckDB twin
+    // as a fold over character codes (ASCII corpus ⇒ bytes). ----
+    QueryDef("q_multimodal_decode", Some(
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+        |      list_transform(range(1, length(text)+1),
+        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, modality, n_bytes,
+        |  CAST(h % 640 + 1 AS INT) AS width,
+        |  CAST((h // 256) % 480 + 1 AS INT) AS height,
+        |  CASE WHEN modality = 'image' THEN 0 ELSE h % 60000 + 1 END AS duration_ms,
+        |  h AS checksum
+        |FROM f""".stripMargin))(
       (s, d) => {
         val media = Media.fromDocuments(s, d)
         Media.decodeAll(media, FakeDecoder)
