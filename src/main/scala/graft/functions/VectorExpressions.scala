@@ -111,6 +111,12 @@ object GraftFunctions {
     call_function(s"graft_shingle_hashes_${n}_${if (mod > 0) "modp" else "raw"}", toks)
   }
 
+  /** Positional character n-grams (see [[CharNGrams]]). */
+  def charNGrams(s: Column, n: Int): Column = {
+    register(SparkSession.active)
+    call_function(s"graft_char_ngrams_$n", s)
+  }
+
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -131,6 +137,8 @@ object GraftFunctions {
       "graft_intersect_count", exprs => ArrayIntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
     // the shingle widths the engine uses (3-gram dedup, 5-gram winnow)
     for (n <- Seq(3, 5)) {
       reg.createOrReplaceTempFunction(

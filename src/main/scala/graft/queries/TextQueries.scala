@@ -142,11 +142,11 @@ object TextQueries {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
         val docs = Tables(s, d, "documents")
-        // substring with a column start position needs the expr form
+        // codegen'd char-trigram extraction (CharNGrams) — same
+        // codepoint semantics as the substr formulation in the oracle
         val tg2 = docs.select(col("doc_id"), col("lang"),
-          array_distinct(expr(
-            "transform(sequence(1, greatest(length(text)-1, 1)), i -> substr(text, i, 3))"))
-            .as("tg"))
+          array_distinct(
+            graft.functions.GraftFunctions.charNGrams(col("text"), 3)).as("tg"))
         val ex = tg2.select(col("doc_id"), col("lang"), explode(col("tg")).as("t"))
         val dfreq = ex.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
         val wp = w.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)

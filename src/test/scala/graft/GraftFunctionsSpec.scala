@@ -130,6 +130,25 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("charNGrams == substr formulation") {
+    // note: Spark sequence() is INCLUSIVE — the upper bound is len-2
+    // (the interpreted formulation this replaced used len-1 and leaked
+    // a trailing 2-gram into the distinct set)
+    val builtin = expr(
+      "transform(sequence(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3))")
+    val diff = Tables(spark, sfDir, "documents")
+      .where(length(col("text")) >= 3)
+      .select(GraftFunctions.charNGrams(col("text"), 3).as("native"),
+        builtin.as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    import spark.implicits._
+    val short = Seq("ab").toDF("t")
+      .select(GraftFunctions.charNGrams(col("t"), 3).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("null array yields null; mismatched lengths use min length") {
     import spark.implicits._
     val df = Seq(
