@@ -86,8 +86,13 @@ object GraftFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Bulk shingle/token hashing (see [[ArrayH32]]); `mod <= 0` = none. */
+  /** Bulk shingle/token hashing (see [[ArrayH32]]); `mod <= 0` = none.
+    * Only the pre-registered variants exist: mod must be 0 (raw) or
+    * [[graft.ops.TextOps.P]] — anything else would silently hash with
+    * the wrong modulus. */
   def h32Array(a: Column, mod: Long): Column = {
+    require(mod <= 0 || mod == graft.ops.TextOps.P,
+      s"h32Array supports mod <= 0 (none) or TextOps.P (${graft.ops.TextOps.P}), got $mod")
     register(SparkSession.active)
     call_function(if (mod > 0) "graft_h32_array_modp" else "graft_h32_array", a)
   }
@@ -105,14 +110,20 @@ object GraftFunctions {
     call_function("graft_minhash_sig", hashes)
   }
 
-  /** Fused tokens → hashed n-gram shingles (see [[ShingleHashes]]). */
+  /** Fused tokens → hashed n-gram shingles (see [[ShingleHashes]]).
+    * Registered variants only: n ∈ {3, 5}, mod ∈ {0, TextOps.P}. */
   def shingleHashes(toks: Column, n: Int, mod: Long): Column = {
+    require(n == 3 || n == 5, s"shingleHashes supports n in {3, 5}, got $n")
+    require(mod <= 0 || mod == graft.ops.TextOps.P,
+      s"shingleHashes supports mod <= 0 (none) or TextOps.P (${graft.ops.TextOps.P}), got $mod")
     register(SparkSession.active)
     call_function(s"graft_shingle_hashes_${n}_${if (mod > 0) "modp" else "raw"}", toks)
   }
 
-  /** Positional character n-grams (see [[CharNGrams]]). */
+  /** Positional character n-grams (see [[CharNGrams]]); only n = 3 is
+    * registered. */
   def charNGrams(s: Column, n: Int): Column = {
+    require(n == 3, s"charNGrams supports n = 3 only, got $n")
     register(SparkSession.active)
     call_function(s"graft_char_ngrams_$n", s)
   }

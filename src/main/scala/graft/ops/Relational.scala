@@ -127,6 +127,13 @@ object Relational {
       saltExpr: Column = null,
       joinType: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions._
+    // The small side is replicated once per salt, so join types that
+    // emit UNMATCHED small-side rows (right/full outer) would emit each
+    // of them `buckets` times. Only types keyed off the big side are exact.
+    val okTypes = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(okTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin is exact only for big-side-driven join types ($okTypes); got '$joinType'")
     val salt = Option(saltExpr)
       .getOrElse(pmod(monotonically_increasing_id(), lit(buckets)))
     val b = big.withColumn("__salt", salt.cast("int"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite an inner band join
   *
@@ -36,16 +36,40 @@ object BandJoinRewrite extends Rule[org.apache.spark.sql.catalyst.plans.logical.
       findBand(cond, left, right) match {
         case Some((x, y, w1, w2)) if w1 + w2 > 0 =>
           val w = w1 + w2
+          // Integral operands with whole widths bucket in exact LONG
+          // arithmetic (floorDiv): the double path rounds above 2^53,
+          // where bucket(x) can land outside [bucket(y-w1), bucket(y+w2)]
+          // and silently drop matching rows. (Long inputs within w of
+          // Long.Min/MaxValue would overflow the shifted endpoints —
+          // out of scope for band semantics.)
+          val integral = Seq(x.dataType, y.dataType).forall {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          } && w1.isWhole && w2.isWhole
+
           def div(e: Expression): Expression =
-            Cast(Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType))), LongType)
+            if (integral) {
+              val wL = Literal(w.toLong, LongType)
+              val eL = Cast(e, LongType)
+              // floorDiv(e, w) = (e - pmod(e, w)) div w, exact on longs
+              IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
+            } else {
+              Cast(Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType))), LongType)
+            }
+          def shift(base: Expression, delta: Double, sign: Int): Expression =
+            if (integral) {
+              val d = Literal(delta.toLong * sign, LongType)
+              Add(Cast(base, LongType), d)
+            } else if (sign < 0) Subtract(Cast(base, DoubleType), Literal(delta, DoubleType))
+            else Add(Cast(base, DoubleType), Literal(delta, DoubleType))
 
           // left: bucket(x)
           val lBucket = Alias(div(x), BucketL)()
           val newLeft = Project(left.output :+ lBucket, left)
 
           // right: explode(sequence(bucket(y - w1), bucket(y + w2)))
-          val lo = div(Subtract(Cast(y, DoubleType), Literal(w1, DoubleType)))
-          val hi = div(Add(Cast(y, DoubleType), Literal(w2, DoubleType)))
+          val lo = div(shift(y, w1, -1))
+          val hi = div(shift(y, w2, 1))
           // ResolveTimeZone already ran — set the TZ explicitly or the
           // TimeZoneAwareExpression stays unresolved
           val gen = Explode(Sequence(lo, hi, None, Some(conf.sessionLocalTimeZone)))

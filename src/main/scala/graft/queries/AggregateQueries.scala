@@ -135,9 +135,9 @@ object AggregateQueries {
     // set to the driver first). Empty cells coalesce to 0 on both sides.
     QueryDef("q_agg_pivot", Some(
       """SELECT o_orderpriority AS priority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p,
         |  CAST(sum(CASE WHEN o_orderstatus = 'F'
         |       THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS spend_f
         |FROM orders GROUP BY o_orderpriority""".stripMargin))(
@@ -157,16 +157,22 @@ object AggregateQueries {
     // Exact interpolated percentiles: Spark percentile() and DuckDB
     // quantile_cont use the same linear-interpolation definition over
     // the sorted multiset — identical doubles on 2-decimal data.
+    // Emitted as scalar columns (the driver compare can't sort rows
+    // containing array cells).
     QueryDef("q_agg_percentile", Some(
       """SELECT c_mktsegment AS segment,
-        |  quantile_cont(c_acctbal, [0.25, 0.5, 0.9]) AS bal_quantiles,
+        |  quantile_cont(c_acctbal, 0.25) AS bal_p25,
+        |  quantile_cont(c_acctbal, 0.5) AS bal_p50,
+        |  quantile_cont(c_acctbal, 0.9) AS bal_p90,
         |  count(*) AS n
         |FROM customer GROUP BY c_mktsegment""".stripMargin))(
       (s, d) =>
         Tables(s, d, "customer")
           .groupBy(col("c_mktsegment").as("segment"))
           .agg(
-            expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.9D))").as("bal_quantiles"),
+            expr("percentile(c_acctbal, 0.25D)").as("bal_p25"),
+            expr("percentile(c_acctbal, 0.5D)").as("bal_p50"),
+            expr("percentile(c_acctbal, 0.9D)").as("bal_p90"),
             count(lit(1)).as("n"))),
 
     // Approximate distinct (HLL++) — sketch values are engine-specific, so

@@ -297,12 +297,21 @@ object DedupQueries {
         var prevSum = labelSum(labels)
         var iter = 0
         var converged = false
-        while (!converged && iter < 25) {
+        val maxIters = 25
+        while (!converged && iter < maxIters) {
           val prop = edges.join(labels, edges("b") === labels("node"))
             .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
-          val next = labels.join(prop, Seq("node"), "left")
+          val stepped = labels.join(prop, Seq("node"), "left")
             .select(col("node"),
               least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          // pointer doubling (label := label(label)): halves the
+          // remaining diameter each pass, so convergence is
+          // O(log diameter) rounds instead of O(diameter) — a diameter-30
+          // chain converges in ~5 rounds, not 30.
+          val parents = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
+          val next = stepped.join(parents, stepped("label") === parents("pnode"), "left")
+            .select(stepped("node"),
+              least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
             .persist()
           val nextSum = labelSum(next)
           labels.unpersist()
@@ -311,6 +320,10 @@ object DedupQueries {
           prevSum = nextSum
           iter += 1
         }
+        // a silent cap would emit wrong cluster_ids for any component
+        // whose diameter outruns the iteration budget
+        require(converged,
+          s"connected-components did not converge within $maxIters iterations")
         labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
           (col("node") === col("label")).as("is_keeper"))
       })

@@ -93,7 +93,7 @@ object ScalarQueries {
         |            WHEN c_acctbal < 7000 THEN 'mid'
         |            ELSE 'high' END AS tier,
         |  count(*) AS n,
-        |  sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building
+        |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building
         |FROM customer GROUP BY 1""".stripMargin))(
       (s, d) =>
         Tables(s, d, "customer")
@@ -125,7 +125,7 @@ object ScalarQueries {
         |  len(w) AS n_tokens,
         |  list_contains(w, 'data') AS has_data,
         |  w[1] AS first_token,
-        |  list_sort(list_distinct(w))[1:3] AS first3_sorted,
+        |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3_sorted,
         |  coalesce(list_position(w, 'data'), 0) AS pos_data,
         |  list_aggregate(w, 'max') AS max_token
         |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
@@ -137,7 +137,8 @@ object ScalarQueries {
             size(col("w")).as("n_tokens"),
             array_contains(col("w"), "data").as("has_data"),
             element_at(col("w"), 1).as("first_token"),
-            slice(array_sort(array_distinct(col("w"))), 1, 3).as("first3_sorted"),
+            array_join(slice(array_sort(array_distinct(col("w"))), 1, 3), " ")
+              .as("first3_sorted"),
             array_position(col("w"), "data").as("pos_data"),
             array_max(col("w")).as("max_token"))),
 
@@ -146,7 +147,7 @@ object ScalarQueries {
     QueryDef("q_fn_map", Some(
       """SELECT doc_id,
         |  map_extract(MAP(['lang','source'], [lang, source]), 'lang')[1] AS m_lang,
-        |  list_sort(map_keys(MAP(['lang','source'], [lang, source]))) AS keys_sorted,
+        |  array_to_string(list_sort(map_keys(MAP(['lang','source'], [lang, source]))), ' ') AS keys_sorted,
         |  cardinality(MAP(['lang','source'], [lang, source])) AS m_size
         |FROM documents""".stripMargin))(
       (s, d) =>
@@ -156,7 +157,7 @@ object ScalarQueries {
           .select(
             col("doc_id"),
             element_at(col("m"), "lang").as("m_lang"),
-            array_sort(map_keys(col("m"))).as("keys_sorted"),
+            array_join(array_sort(map_keys(col("m"))), " ").as("keys_sorted"),
             size(col("m")).as("m_size"))),
 
     // null handling: coalesce / nullif / CASE over an outer-join null.

@@ -135,26 +135,32 @@ object SimilarityQueries {
     QueryDef("q_vector_centroids", Some(
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
-         |      FROM n GROUP BY label)
-         |SELECT label, n,
+         |      FROM n GROUP BY label),
+         |c AS (SELECT label, n,
          |  list_transform(
          |    list_reduce(list_prepend($zeros64Sql, vs),
          |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
          |    s -> s / n) AS centroid
-         |FROM g""".stripMargin))(
+         |FROM g)
+         |SELECT label, n, CAST(d.d AS INT) AS dim, centroid[d.d + 1] AS val
+         |FROM c, range(0, $dim) d(d)""".stripMargin))(
       (s, d) => {
         val n = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
         val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+        // one row per (label, dim): the driver compare can't sort rows
+        // holding array cells, so the centroid is exploded to scalars.
         n.groupBy(col("label"))
           .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
             count(lit(1)).as("n"))
           .select(col("label"), col("n"),
-            transform(
-              aggregate(col("vs"), zeros,
-                (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
-              s => s / col("n")).as("centroid"))
+            posexplode(
+              transform(
+                aggregate(col("vs"), zeros,
+                  (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
+                s => s / col("n"))).as(Seq("dim", "val")))
+          .select(col("label"), col("n"), col("dim"), col("val"))
       }),
 
     // ---- product quantization: train per-subspace codebooks from the
@@ -188,7 +194,7 @@ object SimilarityQueries {
          |  FROM dists WHERE vec_id % 100 = 0),
          |adc AS (
          |  SELECT dtable.query_id, codes.vec_id AS candidate_id,
-         |    sum(dtable.d_scaled) AS adc_scaled
+         |    CAST(sum(dtable.d_scaled) AS BIGINT) AS adc_scaled
          |  FROM codes JOIN dtable
          |    ON codes.subspace = dtable.subspace AND codes.code = dtable.code
          |  WHERE codes.vec_id <> dtable.query_id

@@ -33,8 +33,8 @@ object StreamingQueries {
         |                       OR tus - lag(tus) OVER w > 1800000000
         |                     THEN 1 ELSE 0 END AS new_s
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
         |SELECT user_id, session_id, min(tus) AS session_start_us,
         |  max(tus) AS session_end_us, count(*) AS n_events,
         |  sum(floor(value*100 + 0.5))/100.0 AS total_value

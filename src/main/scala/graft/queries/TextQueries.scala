@@ -174,10 +174,10 @@ object TextQueries {
     // detection; emitted as a sorted distinct hash set) ----
     QueryDef("q_text_fingerprint", Some(
       s"""SELECT doc_id, len(gh) AS n_grams,
-         |  CASE WHEN len(gh) >= 4
+         |  array_to_string(CASE WHEN len(gh) >= 4
          |    THEN list_sort(list_distinct(list_transform(
          |           range(1, len(gh)-2), j -> list_min(gh[j:j+3]))))
-         |    ELSE list_sort(list_distinct(gh)) END AS fingerprint
+         |    ELSE list_sort(list_distinct(gh)) END, ' ') AS fingerprint
          |FROM (
          |  SELECT doc_id, list_transform(
          |    range(1, greatest(len(w)-3, 1)),
@@ -193,9 +193,11 @@ object TextQueries {
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(col("doc_id"), gh.as("gh"))
           .select(col("doc_id"), size(col("gh")).as("n_grams"),
-            array_sort(array_distinct(
-              when(size(col("gh")) >= 4, winnow).otherwise(col("gh"))))
-              .as("fingerprint"))
+            // string-joined: the driver compare can't sort array cells
+            array_join(transform(
+              array_sort(array_distinct(
+                when(size(col("gh")) >= 4, winnow).otherwise(col("gh")))),
+              x => x.cast("string")), " ").as("fingerprint"))
       }),
 
     // ---- count-min sketch: bounded-memory frequency estimation (4×1024

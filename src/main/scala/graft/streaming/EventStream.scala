@@ -111,10 +111,14 @@ object EventStream {
         out += Session(userId, s.start, s.lastTs, s.n, s.totalCents / 100.0)
         state.remove()
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        // exact micros: getTime truncates to ms; getNanos carries the
+        // sub-second part (fixture timestamps have microsecond parts).
+        def micros(t: java.sql.Timestamp): Long =
+          math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+        val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
         var cur = state.getOption
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = micros(e.ts)
           cur match {
             case Some(s) if us - s.lastTs <= gapUs =>
               cur = Some(s.copy(lastTs = us, n = s.n + 1,

@@ -176,4 +176,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(s.total_value === 15.5)
     assert(s.session_end_us - s.session_start_us === 10L * 60 * 1000000)
   }
+
+  test("sessionize: fixture events (microsecond ts) equal the batch twin") {
+    // fixture timestamps carry microsecond components — this pins the
+    // stream path to exact-micros arithmetic (getTime alone truncates)
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    assert(sample.exists(_.ts.getNanos % 1000000 != 0),
+      "fixture sample should contain sub-millisecond timestamps")
+    val maxTs = sample.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("sessions_fixture")
+      .outputMode("append")
+      .start()
+    input.addData(sample.toIndexedSeq)
+    q.processAllAvailable()
+    // two flush events for a sentinel user: the first advances the
+    // watermark past every real session's idle gap, the second forces
+    // one more batch so those event-time timeouts actually fire
+    input.addData(Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions_fixture").as[Session].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events.toLong, s.total_value))
+      .sorted.toSeq
+    q.stop()
+
+    val want = Catalog.byName("q_stream_sessionize_batch").fn(spark, sfDir)
+      .where($"user_id" < 20)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(got === want)
+  }
 }

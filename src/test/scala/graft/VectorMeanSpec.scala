@@ -16,8 +16,12 @@ class VectorMeanSpec extends SparkSpecBase {
       .select(col("label"), col("embedding").cast("array<double>").as("v"))
       .groupBy("label").agg(mean64(col("v")).as("centroid"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // q_vector_centroids emits exploded (label, n, dim, val) rows —
+    // reassemble per-label vectors
     val exact = Catalog.byName("q_vector_centroids").fn(spark, sfDir)
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](2)).toMap
+      .collect().map(r => (r.getInt(0), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3).toSeq }
     assert(agg.keySet === exact.keySet)
     for (k <- agg.keySet; i <- 0 until 64)
       assert(math.abs(agg(k)(i) - exact(k)(i)) < 1e-9,

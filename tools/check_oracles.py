@@ -40,9 +40,24 @@ def main(sf_dir, out_dir):
             spark = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
             scols = [d[0] for d in spark.description]
             srows = spark.fetchall()
+            # physical types must match too: the driver hashes via pandas,
+            # where e.g. DuckDB HUGEINT (sum of ints) vs Spark BIGINT
+            # hash differently even when values are equal
+            otypes = {d[0]: str(d[1]) for d in oracle.description}
+            stypes = {d[0]: str(d[1]) for d in spark.description}
+            tdiff = {c: (stypes.get(c), otypes.get(c))
+                     for c in set(otypes) | set(stypes)
+                     if stypes.get(c) != otypes.get(c)}
             oc, ocn = canon(orows, ocols)
             sc, scn = canon(srows, scols)
-            if ocn != scn:
+            # array/struct/map cells break the driver's pandas row sort
+            nested = {c: t for c, t in {**stypes, **otypes}.items()
+                      if "[]" in t or "STRUCT" in t or "MAP" in t or "LIST" in t}
+            if nested:
+                failed.append((name, f"nested-type result columns (driver can't sort): {nested}"))
+            elif tdiff:
+                failed.append((name, f"types differ (spark, oracle): {tdiff}"))
+            elif ocn != scn:
                 failed.append((name, f"cols differ: spark={scn} oracle={ocn}"))
             elif oc != sc:
                 diff = next(((i, a, b) for i, (a, b) in enumerate(zip(oc, sc)) if a != b),
