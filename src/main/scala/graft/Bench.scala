@@ -17,8 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val set = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) Catalog.all
-              else Catalog.headline
+    val set = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        Catalog.all.filter(q => want.contains(q.name))
+      case None if sys.env.contains("SPARK_GRAFT_BENCH_ALL") => Catalog.all
+      case None => Catalog.headline
+    }
     // untimed warmup: JIT/codegen/parquet-footer caches, so the first
     // timed query measures the engine rather than JVM startup
     spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -8,12 +8,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd positional character n-grams: string → array<string> of
-  * every length-n window, via UTF8String.substringSQL — the SAME
-  * codepoint semantics as the builtin
+  * every length-n window, sliced on codepoint boundaries found by one
+  * forward scan — the SAME codepoint semantics as the builtin
   * `transform(sequence(1, length(s)-n+1), i -> substr(s, i, n))`
   * formulation (and DuckDB's substr on this ASCII corpus), without one
-  * interpreted lambda dispatch per character position. Strings shorter
-  * than n yield an empty array. */
+  * interpreted lambda dispatch (or a from-byte-0 boundary rescan) per
+  * character position. Strings shorter than n yield an empty array. */
 final case class CharNGrams(child: Expression, n: Int)
     extends UnaryExpression {
 
@@ -40,12 +40,25 @@ final case class CharNGrams(child: Expression, n: Int)
 
 object CharNGrams {
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val count = s.numChars() - n + 1
+    // one forward scan for codepoint boundaries; substringSQL would
+    // rescan from byte 0 per position (O(len²) per document)
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    val count = numChars - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](count)
+    val offs = new Array[Int](numChars + 1)
     var i = 0
+    var b = 0
+    while (i < numChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(bytes(b))
+      i += 1
+    }
+    offs(numChars) = b
+    val out = new Array[Any](count)
+    i = 0
     while (i < count) {
-      out(i) = s.substringSQL(i + 1, n)
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
       i += 1
     }
     new GenericArrayData(out)

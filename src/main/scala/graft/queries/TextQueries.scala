@@ -143,11 +143,19 @@ object TextQueries {
         val w = org.apache.spark.sql.expressions.Window
         val docs = Tables(s, d, "documents")
         // codegen'd char-trigram extraction (CharNGrams) — same
-        // codepoint semantics as the substr formulation in the oracle
-        val tg2 = docs.select(col("doc_id"), col("lang"),
-          array_distinct(
-            graft.functions.GraftFunctions.charNGrams(col("text"), 3)).as("tg"))
-        val ex = tg2.select(col("doc_id"), col("lang"), explode(col("tg")).as("t"))
+        // codepoint semantics as the substr formulation in the oracle.
+        // Dedup AFTER the explode: array_distinct on array<string> is an
+        // O(n²) semantic-equals loop (no hash-set path for non-primitive
+        // element types), ~10x slower than a shuffle dedup here. Persist:
+        // both the profile-training branch and the scoring branch scan it.
+        // repartition first: the fixture is one small parquet file = one
+        // input partition, which would run the CPU-heavy extraction on a
+        // single core (at cluster scale the scan is already parallel and
+        // this is a cheap doc_id shuffle).
+        val ex = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            explode(graft.functions.GraftFunctions.charNGrams(col("text"), 3)).as("t"))
+          .distinct().persist()
         val dfreq = ex.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
         val wp = w.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
         val profile = dfreq.withColumn("rn", row_number().over(wp))
