@@ -131,6 +131,17 @@ object GraftFunctions {
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** KMV (theta) sketch of a BIGINT hash column: the k smallest
+    * distinct values, ascending (see [[KmvSketchAgg]]). Registered
+    * variants only: k ∈ {64, 256}. */
+  def kmv(h: Column, k: Int): Column = {
+    require(KmvKs.contains(k), s"kmv supports k in $KmvKs, got $k")
+    register(SparkSession.active)
+    call_function(s"graft_kmv_$k", h)
+  }
+
+  private[functions] val KmvKs = Set(64, 256)
+
   private val dotInfo = new ExpressionInfo(
     classOf[DotProductD].getName, null, "graft_dot",
     "graft_dot(a, b) - double-precision dot product of two arrays " +
@@ -150,6 +161,10 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
+    for (k <- KmvKs) {
+      reg.createOrReplaceTempFunction(
+        s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")
+    }
     // the shingle widths the engine uses (3-gram dedup, 5-gram winnow)
     for (n <- Seq(3, 5)) {
       reg.createOrReplaceTempFunction(

@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import graft.ops.TextOps.{h32, h32Sql}
+import org.apache.spark.sql.functions._
+
+/** Theta-sketch (KMV) surface: bounded-memory distinct estimation with
+  * set operations — including INTERSECTION estimates, which HLL cannot
+  * express without inclusion-exclusion blowup (SURVEY.md §2.4
+  * extension; no sketching exists in the reference).
+  *
+  * Scale design: [[graft.functions.KmvSketchAgg]] carries O(k) state
+  * per group through a standard partial-aggregation shuffle (map-side
+  * combine on every executor), so per-group distinct estimation over
+  * 100 TB shuffles k longs per group, not the value sets. The sketch
+  * is a deterministic function of the input SET (the k smallest
+  * distinct hashes), so — unlike approx_count_distinct's HLL++ — every
+  * estimate is exactly reproducible by the DuckDB oracle via
+  * `row_number() OVER (ORDER BY h) <= k`.
+  *
+  * All estimate arithmetic is exact cross-engine: hashes are the
+  * engine's md5-h32 (uniform in [0, 2^32)), counts and thetas are
+  * integers, and each estimate is a single double multiply+divide of
+  * exactly-representable integer values.
+  */
+object SketchQueries {
+
+  private val k = 64
+  private val twoTo32 = 4294967296.0
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- per-group distinct estimate from a k-long sketch ----
+    QueryDef("q_sketch_theta", Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS priority,
+         |    ${h32Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders
+         |),
+         |r AS (
+         |  SELECT priority, h,
+         |    row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |agg AS (
+         |  SELECT priority, count(*) AS exact_distinct,
+         |    max(CASE WHEN rn = $k THEN h END) AS theta
+         |  FROM r GROUP BY priority
+         |)
+         |SELECT priority, exact_distinct,
+         |  coalesce(theta, -1) AS theta,
+         |  CASE WHEN exact_distinct < $k THEN CAST(exact_distinct AS DOUBLE)
+         |       ELSE ${k - 1} * $twoTo32 / theta END AS est_distinct
+         |FROM agg""".stripMargin))(
+      (s, d) => {
+        val sk = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            h32(col("o_custkey").cast("string")).as("h"))
+          .groupBy(col("priority"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sketch"),
+            countDistinct(col("h")).as("exact_distinct"))
+        // a sketch smaller than k IS the exact distinct set
+        sk.select(col("priority"), col("exact_distinct"),
+          coalesce(when(size(col("sketch")) === k, element_at(col("sketch"), k)),
+            lit(-1L)).as("theta"),
+          when(size(col("sketch")) < k, col("exact_distinct").cast("double"))
+            .otherwise(lit((k - 1) * twoTo32) / element_at(col("sketch"), k))
+            .as("est_distinct"))
+      }),
+
+    // ---- sketch set ops: union AND intersection estimates from two
+    // k-long sketches. theta = min(theta_A, theta_B); every retained
+    // hash below theta is a uniform sample of A∪B at rate theta/2^32,
+    // so counts below theta scale by 2^32/theta. ----
+    QueryDef("q_sketch_theta_setops", Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderstatus AS st,
+         |    ${h32Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders WHERE o_orderstatus IN ('F', 'O')
+         |),
+         |r AS (
+         |  SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |th AS (
+         |  SELECT least(
+         |    max(CASE WHEN st = 'F' AND rn = $k THEN h END),
+         |    max(CASE WHEN st = 'O' AND rn = $k THEN h END)) AS theta
+         |  FROM r
+         |)
+         |SELECT
+         |  (SELECT count(DISTINCT h) FROM h) AS exact_union,
+         |  (SELECT count(*) FROM (
+         |     SELECT h FROM h GROUP BY h HAVING count(*) = 2)) AS exact_inter,
+         |  (SELECT count(DISTINCT h.h) FROM h, th WHERE h.h < th.theta)
+         |    * $twoTo32 / th.theta AS est_union,
+         |  (SELECT count(*) FROM (
+         |     SELECT h.h FROM h, th WHERE h.h < th.theta
+         |     GROUP BY h.h HAVING count(*) = 2)) * $twoTo32 / th.theta AS est_inter
+         |FROM th""".stripMargin))(
+      (s, d) => {
+        // distinct (status, hash) pairs feed both the sketches and the
+        // exact counts — one scan, persisted across the two consumers
+        val hashed = Tables(s, d, "orders")
+          .where(col("o_orderstatus").isin("F", "O"))
+          .select(col("o_orderstatus").as("st"),
+            h32(col("o_custkey").cast("string")).as("h"))
+          .distinct()
+          .persist()
+        val sk = hashed.groupBy(col("st"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"))
+        val a = sk.where(col("st") === "F").select(col("sk").as("ska"))
+        val b = sk.where(col("st") === "O").select(col("sk").as("skb"))
+        val exacts = hashed.groupBy(col("h"))
+          .agg(countDistinct(col("st")).as("n_st"))
+          .agg(count(lit(1)).as("exact_union"),
+            count(when(col("n_st") === 2, 1)).as("exact_inter"))
+        // both sketches are full (>> k distinct custkeys per status),
+        // asserted by element_at(_, k) failing under ANSI if not
+        a.crossJoin(b).crossJoin(exacts)
+          .withColumn("theta",
+            least(element_at(col("ska"), k), element_at(col("skb"), k)))
+          // every hash of a side below theta <= theta_side is retained
+          // in that side's sketch, so filtering the sketches below
+          // theta recovers the full uniform sample of each set
+          .withColumn("ra", filter(col("ska"), x => x < col("theta")))
+          .withColumn("rb", filter(col("skb"), x => x < col("theta")))
+          .select(col("exact_union"), col("exact_inter"),
+            (size(array_distinct(concat(col("ra"), col("rb"))))
+              * lit(twoTo32) / col("theta")).as("est_union"),
+            (size(array_intersect(col("ra"), col("rb")))
+              * lit(twoTo32) / col("theta")).as("est_inter"))
+      })
+  )
+}
