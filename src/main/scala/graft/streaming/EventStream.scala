@@ -142,4 +142,95 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** The same gap sessionizer on the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState + explicit event-time
+    * timers), the successor to flatMapGroupsWithState: state schema
+    * evolves independently per named state variable, and timers are
+    * first-class instead of one implicit timeout per key. Requires the
+    * RocksDB state store provider (set by [[sessionizeTws]]).
+    * Emits byte-identical sessions to [[sessionize]]. */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+}
+
+/** Gap-session state machine for [[EventStream.sessionizeTws]]: one
+  * ValueState per user plus one event-time timer at lastTs + gap. A
+  * batch's rows fold into the open session exactly as the
+  * flatMapGroupsWithState version does; the timer (re-registered on
+  * every extension, stale ones deleted) closes and emits the session
+  * once the watermark passes the idle gap. */
+final class SessionProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, EventStream.Session] {
+  import EventStream.{Event, Session, SessionState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val gapUs = gapMinutes * 60L * 1000000L
+  @transient private var session: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState[SessionState]("session",
+      org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def gapEndMs(s: SessionState): Long =
+    s.lastTs / 1000L + gapMinutes * 60L * 1000L
+
+  override def handleInputRows(userId: Long, rows: Iterator[Event],
+      tv: TimerValues): Iterator[Session] = {
+    def cents(v: Double) = math.round(v * 100)
+    val out = scala.collection.mutable.ListBuffer[Session]()
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    val prev = if (session.exists()) Some(session.get()) else None
+    var cur = prev
+    sorted.foreach { e =>
+      val us = micros(e.ts)
+      cur match {
+        case Some(s) if us - s.lastTs <= gapUs =>
+          cur = Some(s.copy(lastTs = us, n = s.n + 1,
+            totalCents = s.totalCents + cents(e.value)))
+        case Some(s) =>
+          out += Session(userId, s.start, s.lastTs, s.n, s.totalCents / 100.0)
+          cur = Some(SessionState(us, us, 1, cents(e.value)))
+        case None =>
+          cur = Some(SessionState(us, us, 1, cents(e.value)))
+      }
+    }
+    cur.foreach { s =>
+      session.update(s)
+      // the gap timer tracks lastTs: drop the superseded one (timers
+      // are per-key instances, not a single implicit timeout)
+      prev.map(gapEndMs).filter(_ != gapEndMs(s))
+        .foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(gapEndMs(s))
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(userId: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[Session] = {
+    if (session.exists()) {
+      val s = session.get()
+      // a stale timer (session extended after it was set) must not
+      // close the still-open session
+      if (gapEndMs(s) <= info.getExpiryTimeInMs) {
+        session.clear()
+        return Iterator.single(
+          Session(userId, s.start, s.lastTs, s.n, s.totalCents / 100.0))
+      }
+    }
+    Iterator.empty
+  }
 }

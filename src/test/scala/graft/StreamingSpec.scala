@@ -219,4 +219,45 @@ class StreamingSpec extends SparkSpecBase {
       .sorted.toSeq
     assert(got === want)
   }
+
+  test("sessionizeTws (transformWithState) equals the batch twin") {
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionizeTws(input.toDS()).writeStream
+      .format("memory").queryName("sessions_tws")
+      .outputMode("append")
+      .start()
+    // split the feed across batches so sessions span state updates
+    // (exercises timer re-registration, not just the single-batch fold)
+    val (first, rest) = sample.splitAt(sample.length / 2)
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("sessions_tws").as[Session].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events.toLong, s.total_value))
+      .sorted.toSeq
+    q.stop()
+
+    val want = Catalog.byName("q_stream_sessionize_batch").fn(spark, sfDir)
+      .where($"user_id" < 20)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(got === want)
+  }
 }
