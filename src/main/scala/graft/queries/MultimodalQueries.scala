@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Shared by the row lane and the Arrow lane — both decode stages
+    * must produce exactly this. */
+  private val decodeOracle =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    octet_length(encode(text)) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+      |      list_transform(range(1, length(text)+1),
+      |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
+      |  FROM documents)
+      |SELECT doc_id AS media_id, modality, n_bytes,
+      |  CAST(h % 640 + 1 AS INT) AS width,
+      |  CAST((h // 256) % 480 + 1 AS INT) AS height,
+      |  CASE WHEN modality = 'image' THEN 0 ELSE h % 60000 + 1 END AS duration_ms,
+      |  h AS checksum
+      |FROM f""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- binary column plumbing, oracle-checked ----
@@ -38,29 +58,21 @@ object MultimodalQueries {
     // the stub is oracle-gated: FakeDecoder's FNV-1a over the payload
     // bytes is pure integer arithmetic, replicated in the DuckDB twin
     // as a fold over character codes (ASCII corpus ⇒ bytes). ----
-    QueryDef("q_multimodal_decode", Some(
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-        |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |    octet_length(encode(text)) AS n_bytes,
-        |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
-        |      list_transform(range(1, length(text)+1),
-        |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
-        |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
-        |  FROM documents)
-        |SELECT doc_id AS media_id, modality, n_bytes,
-        |  CAST(h % 640 + 1 AS INT) AS width,
-        |  CAST((h // 256) % 480 + 1 AS INT) AS height,
-        |  CASE WHEN modality = 'image' THEN 0 ELSE h % 60000 + 1 END AS duration_ms,
-        |  h AS checksum
-        |FROM f""".stripMargin))(
+    QueryDef("q_multimodal_decode", Some(decodeOracle))(
       (s, d) => {
         val media = Media.fromDocuments(s, d)
         Media.decodeAll(media, FakeDecoder)
           .toDF()
           .select(col("media_id"), col("modality"), col("n_bytes"),
             col("width"), col("height"), col("duration_ms"), col("checksum"))
-      })
+      }),
+
+    // ---- the same decode through the Arrow-vectorized lane
+    // (mapInArrow-shaped batches; see graft.multimodal.ArrowDecode).
+    // Same oracle as the row lane — the two stages must agree byte
+    // for byte. ----
+    QueryDef("q_multimodal_decode_arrow", Some(decodeOracle))(
+      (s, d) =>
+        graft.multimodal.ArrowDecode.decode(Media.fromDocuments(s, d).toDF()))
   )
 }
