@@ -131,6 +131,15 @@ object GraftFunctions {
   /** Bit-identical to TextOps.cosineD (same fold order/seed). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Squared L2 distance over one subspace window (see [[L2SubDist]]);
+    * `start` is 0-based. Registered variant: len = 8 (the PQ subspace
+    * width). */
+  def l2sub(a: Column, b: Column, start: Column, len: Int): Column = {
+    require(len == 8, s"l2sub supports len = 8 only, got $len")
+    register(SparkSession.active)
+    call_function(s"graft_l2sub_$len", a, b, start)
+  }
+
   /** KMV (theta) sketch of a BIGINT hash column: the k smallest
     * distinct values, ascending (see [[KmvSketchAgg]]). Registered
     * variants only: k ∈ {64, 256}. */
@@ -161,6 +170,8 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_l2sub_8", exprs => L2SubDist(exprs(0), exprs(1), exprs(2), 8), "built-in")
     for (k <- KmvKs) {
       reg.createOrReplaceTempFunction(
         s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")

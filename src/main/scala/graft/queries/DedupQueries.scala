@@ -290,13 +290,22 @@ object DedupQueries {
         val edges = pairs.union(pairs.select(col("db"), col("da")))
           .toDF("a", "b").persist()
         def labelSum(df: DataFrame): Long =
-          df.agg(org.apache.spark.sql.functions.sum("label"))
+          df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
             .collect().head.getLong(0)
-        var labels = Tables(s, d, "documents")
-          .select(col("doc_id").as("node"), col("doc_id").as("label")).persist()
+        // iterate over EDGE-TOUCHED nodes only: a node with no near-dup
+        // pair keeps label = self forever, so at corpus scale the loop
+        // runs on the (small) near-dup subgraph, not the whole corpus —
+        // singletons rejoin at the end. localCheckpoint truncates the
+        // per-iteration lineage (each round otherwise embeds the
+        // previous round's plan twice and analysis cost grows
+        // geometrically); a multi-executor deployment would use a
+        // reliable checkpoint dir instead of executor-local blocks.
+        var labels = edges.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+          .localCheckpoint(true)
         var prevSum = labelSum(labels)
         var iter = 0
-        var converged = false
+        var converged = labels.isEmpty
         val maxIters = 25
         while (!converged && iter < maxIters) {
           val prop = edges.join(labels, edges("b") === labels("node"))
@@ -312,9 +321,8 @@ object DedupQueries {
           val next = stepped.join(parents, stepped("label") === parents("pnode"), "left")
             .select(stepped("node"),
               least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-            .persist()
+            .localCheckpoint(true)
           val nextSum = labelSum(next)
-          labels.unpersist()
           labels = next
           converged = nextSum == prevSum
           prevSum = nextSum
@@ -324,8 +332,11 @@ object DedupQueries {
         // whose diameter outruns the iteration budget
         require(converged,
           s"connected-components did not converge within $maxIters iterations")
-        labels.select(col("node").as("doc_id"), col("label").as("cluster_id"),
-          (col("node") === col("label")).as("is_keeper"))
+        Tables(s, d, "documents").select(col("doc_id"))
+          .join(labels, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"),
+            (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_keeper"))
       })
   ,
 

@@ -237,8 +237,11 @@ object TextQueries {
     })(
       (s, d) => {
         val depth = 4; val width = 1024
+        // exploded token stream feeds both the sketch cells and the
+        // exact counts — tokenize once
         val tok = Tables(s, d, "documents")
           .select(explode(tokens(col("text"))).as("w"))
+          .persist()
         val withR = tok.select(col("w"),
           explode(array((0 until depth).map(lit): _*)).as("r"))
           .withColumn("bucket",
@@ -388,15 +391,23 @@ object TextQueries {
           .agg(max(when(col("suffix") === 0, 25)
             .otherwise(lit(25) - length(bin(col("suffix"))))).as("r"))
           .persist()
-        def est(r: DataFrame): Double = {
-          val row = r.agg(
-            (org.apache.spark.sql.functions.sum(element_at(pow2neg, col("r") + 1)) +
-              (lit(m) - count(lit(1))) * 1.0).as("reg_sum")).collect().head
-          alpha * m * m / row.getDouble(0)
-        }
-        val estUnion = est(regs.groupBy(col("bucket")).agg(max(col("r")).as("r")))
-        val estEn = est(regs.where(col("lang") === "en"))
-        val estDe = est(regs.where(col("lang") === "de"))
+        // one job for all three register sums (union-merged, en, de)
+        // instead of three sequential collects
+        val regSum = (org.apache.spark.sql.functions.sum(
+          element_at(pow2neg, col("r") + 1)) +
+          (lit(m) - count(lit(1))) * 1.0).as("reg_sum")
+        val sums = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+          .select(lit("u").as("side"), col("r"))
+          .unionByName(regs.where(col("lang") === "en")
+            .select(lit("en").as("side"), col("r")))
+          .unionByName(regs.where(col("lang") === "de")
+            .select(lit("de").as("side"), col("r")))
+          .groupBy(col("side")).agg(regSum)
+          .collect().map(r => r.getString(0) -> alpha * m * m / r.getDouble(1))
+          .toMap
+        val estUnion = sums("u")
+        val estEn = sums("en")
+        val estDe = sums("de")
         val byH = el.groupBy(col("h"))
           .agg(countDistinct(col("lang")).as("cnt"))
         byH.agg(

@@ -158,4 +158,27 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(got(0).getDouble(0) === 11.0)
     assert(got(1).isNullAt(0))
   }
+
+  test("l2sub == the interpreted slice/zip_with/aggregate fold") {
+    val ref = expr(
+      """aggregate(zip_with(slice(a, s * 8 + 1, 8), slice(b, s * 8 + 1, 8),
+        |  (x, y) -> (x - y) * (x - y)), 0.0D, (acc, z) -> acc + z)""".stripMargin)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (Seq.fill(64)(rnd.nextDouble()), Seq.fill(64)(rnd.nextDouble()), i % 8)
+    }
+    val df = rows.toDF("a", "b", "s")
+    val diff = df.select(
+        GraftFunctions.l2sub(col("a"), col("b"),
+          (col("s") * 8).cast("int"), 8).as("native"),
+        ref.as("ref"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    // out-of-range window → null, not a wrong sum
+    val oob = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0), 0)).toDF("a", "b", "s")
+      .select(GraftFunctions.l2sub(col("a"), col("b"), col("s"), 8))
+      .collect().head
+    assert(oob.isNullAt(0))
+  }
 }
