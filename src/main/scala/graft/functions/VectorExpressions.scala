@@ -191,6 +191,10 @@ object GraftFunctions {
     ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
       exprs => DotProductD(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    // native band-join path (flag-gated by spark.graft.bandjoin.native):
+    // logical conversion + dedicated physical operator
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinConvert)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }
 

@@ -32,36 +32,17 @@ object BandJoinRewrite extends Rule[org.apache.spark.sql.catalyst.plans.logical.
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
-        if !alreadyBucketed(j) =>
-      findBand(cond, left, right) match {
+        if !alreadyBucketed(j) &&
+          // defer to the native BandJoinExec path when enabled
+          conf.getConfString("spark.graft.bandjoin.native", "false") != "true" =>
+      BandJoinPattern.findBand(cond, left, right) match {
         case Some((x, y, w1, w2)) if w1 + w2 > 0 =>
           val w = w1 + w2
-          // Integral operands with whole widths bucket in exact LONG
-          // arithmetic (floorDiv): the double path rounds above 2^53,
-          // where bucket(x) can land outside [bucket(y-w1), bucket(y+w2)]
-          // and silently drop matching rows. (Long inputs within w of
-          // Long.Min/MaxValue would overflow the shifted endpoints —
-          // out of scope for band semantics.)
-          val integral = Seq(x.dataType, y.dataType).forall {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _ => false
-          } && w1.isWhole && w2.isWhole
-
+          val integral = BandJoinPattern.integralOperands(x, y, w1, w2)
           def div(e: Expression): Expression =
-            if (integral) {
-              val wL = Literal(w.toLong, LongType)
-              val eL = Cast(e, LongType)
-              // floorDiv(e, w) = (e - pmod(e, w)) div w, exact on longs
-              IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
-            } else {
-              Cast(Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType))), LongType)
-            }
+            BandJoinPattern.div(e, w, integral)
           def shift(base: Expression, delta: Double, sign: Int): Expression =
-            if (integral) {
-              val d = Literal(delta.toLong * sign, LongType)
-              Add(Cast(base, LongType), d)
-            } else if (sign < 0) Subtract(Cast(base, DoubleType), Literal(delta, DoubleType))
-            else Add(Cast(base, DoubleType), Literal(delta, DoubleType))
+            BandJoinPattern.shift(base, delta, sign, integral)
 
           // left: bucket(x)
           val lBucket = Alias(div(x), BucketL)()
@@ -86,11 +67,46 @@ object BandJoinRewrite extends Rule[org.apache.spark.sql.catalyst.plans.logical.
   private def alreadyBucketed(j: Join): Boolean =
     j.left.output.exists(_.name == BucketL) ||
       j.right.output.exists(_.name == BucketR)
+}
+
+/** Shared band-join recognition + exact bucketing arithmetic, used by
+  * both the rewrite rule above and the native
+  * [[BandJoinConvert]]/[[graft.exec.BandJoinExec]] path. */
+private[graft] object BandJoinPattern {
+
+  /** Integral operands with whole widths bucket in exact LONG
+    * arithmetic (floorDiv): the double path rounds above 2^53, where
+    * bucket(x) can land outside [bucket(y-w1), bucket(y+w2)] and
+    * silently drop matching rows. (Long inputs within w of
+    * Long.Min/MaxValue would overflow the shifted endpoints — out of
+    * scope for band semantics.) */
+  def integralOperands(x: Expression, y: Expression, w1: Double, w2: Double): Boolean =
+    Seq(x.dataType, y.dataType).forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    } && w1.isWhole && w2.isWhole
+
+  def div(e: Expression, w: Double, integral: Boolean): Expression =
+    if (integral) {
+      val wL = Literal(w.toLong, LongType)
+      val eL = Cast(e, LongType)
+      // floorDiv(e, w) = (e - pmod(e, w)) div w, exact on longs
+      IntegralDivide(Subtract(eL, Pmod(eL, wL)), wL)
+    } else {
+      Cast(Floor(Divide(Cast(e, DoubleType), Literal(w, DoubleType))), LongType)
+    }
+
+  def shift(base: Expression, delta: Double, sign: Int, integral: Boolean): Expression =
+    if (integral) {
+      val d = Literal(delta.toLong * sign, LongType)
+      Add(Cast(base, LongType), d)
+    } else if (sign < 0) Subtract(Cast(base, DoubleType), Literal(delta, DoubleType))
+    else Add(Cast(base, DoubleType), Literal(delta, DoubleType))
 
   /** Find `x >= y - w1 AND x <= y + w2` (in any conjunct order /
     * operand orientation) with x strictly from one side and y from the
     * other; returns (x, y, w1, w2) with x normalized to the LEFT child. */
-  private def findBand(cond: Expression, left: LogicalPlan, right: LogicalPlan)
+  def findBand(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(Expression, Expression, Double, Double)] = {
     val conjuncts = splitConjuncts(cond)
 
