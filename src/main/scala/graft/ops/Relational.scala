@@ -143,6 +143,40 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Observed-skew bucket sizing for [[saltedJoin]]: sample the big
+    * side's key histogram and size the salt fan-out so the heaviest
+    * key spreads to roughly one uniform task's share of rows. A
+    * uniform distribution yields 1 (no salting overhead); a key
+    * holding the whole table yields ~numShufflePartitions (capped at
+    * `maxBuckets`). Costs one sampling job over (key) — metadata-light
+    * next to the join it protects; at 100 TB this is the difference
+    * between a measured fan-out and a guessed constant. */
+  def skewBuckets(
+      big: DataFrame, key: String,
+      sampleFraction: Double = 0.1,
+      maxBuckets: Int = 64): Int = {
+    import org.apache.spark.sql.functions._
+    val sampled = (if (sampleFraction >= 1.0) big else big.sample(sampleFraction))
+      .groupBy(col(key)).count()
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+      .collect().headOption
+    sampled match {
+      case Some(r) if !r.isNullAt(0) && r.getLong(1) > 0 =>
+        val parts = big.sparkSession.sessionState.conf.numShufflePartitions
+        val ideal = math.ceil(r.getLong(0).toDouble * parts / r.getLong(1)).toInt
+        math.min(maxBuckets, math.max(1, ideal))
+      case _ => 1
+    }
+  }
+
+  /** [[saltedJoin]] with the fan-out measured by [[skewBuckets]]. */
+  def saltedJoinAuto(
+      big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String,
+      joinType: String = "inner"): DataFrame =
+    saltedJoin(big, small, bigKey, smallKey,
+      skewBuckets(big, bigKey), joinType = joinType)
+
   /** Bucketed table sink: pre-shuffles once on the bucket key so
     * subsequent equi-joins/aggs on that key are CO-LOCATED — Spark
     * reads bucket n of both sides into the same task and the join

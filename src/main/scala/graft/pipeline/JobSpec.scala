@@ -16,7 +16,15 @@ final case class SourceSpec(
     /** Override path; default `<inputDir>/<name>.parquet`. */
     path: Option[String] = None,
     /** Staging write parallelism (py:190, default 10 → fixture-sized). */
-    numPartitions: Int = 4)
+    numPartitions: Int = 4,
+    /** Stage bucketed by this column: the phase-2 join on it (and any
+      * resume re-run) reads co-located buckets and plans with NO
+      * Exchange — the shuffle is paid once at staging time. Absent =
+      * plain parquet staging, shuffle at join time (the reference's
+      * behavior). */
+    bucketKey: Option[String] = None,
+    /** Bucket count when bucketKey is set (match across join sides). */
+    numBuckets: Int = 4)
 
 final case class JoinSpec(
     rightTable: String,

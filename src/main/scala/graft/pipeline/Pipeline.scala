@@ -82,6 +82,11 @@ final class Pipeline(
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
 
+  /** Catalog table for a bucketed-staged source, scoped by workspace so
+    * concurrent jobs (and tests) don't collide. */
+  private def bucketTableName(srcName: String): String =
+    s"graft_raw_${srcName}_${Integer.toHexString(spec.workspace.hashCode)}"
+
   def runAll(): Unit = spec.tables.foreach(runTable)
 
   def runTable(t: TableSpec): Unit = {
@@ -89,20 +94,39 @@ final class Pipeline(
     if (storage.datasetExists(spec.transformedDir(t.targetTable))) {
       log.info(s"[${t.targetTable}] transformed data exists — skipping to load")
     } else {
-      // Phase 1: extract + stage raw (skip already-staged sources)
+      // Phase 1: extract + stage raw (skip already-staged sources).
+      // Sources with a bucketKey stage as a BUCKETED table instead of
+      // plain parquet: the phase-2 join on that key (and every resume
+      // re-run, where extract is skipped but the join re-executes)
+      // reads co-located buckets and plans with no Exchange — the
+      // shuffle is paid once at staging time, not per run.
       val staged = t.sources.map { s =>
-        val rawDir = spec.rawDir(s.name)
-        if (!storage.datasetExists(rawDir)) {
-          log.info(s"[${t.targetTable}] extracting ${s.name}")
-          val df = Relational.filterSql(source(s), s.filter.orNull)
-          Relational.sinkParquet(Relational.rebalance(df, s.numPartitions), rawDir)
-        } else {
-          log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
+        val reread = s.bucketKey match {
+          case Some(key) =>
+            val tbl = bucketTableName(s.name)
+            if (!spark.catalog.tableExists(tbl)) {
+              log.info(s"[${t.targetTable}] extracting ${s.name} (bucketed by $key)")
+              val df = Relational.filterSql(source(s), s.filter.orNull)
+              Relational.sinkBucketed(df, tbl, key, s.numBuckets, Some(key))
+            } else {
+              log.info(s"[${t.targetTable}] bucketed raw ${s.name} already staged — skipping extract")
+            }
+            spark.table(tbl)
+          case None =>
+            val rawDir = spec.rawDir(s.name)
+            if (!storage.datasetExists(rawDir)) {
+              log.info(s"[${t.targetTable}] extracting ${s.name}")
+              val df = Relational.filterSql(source(s), s.filter.orNull)
+              Relational.sinkParquet(Relational.rebalance(df, s.numPartitions), rawDir)
+            } else {
+              log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
+            }
+            Relational.scanParquet(spark, rawDir)
         }
         // py:398 — always re-read from storage, never pass through
         // memory; alias by source name (py:135-138) so join conditions
         // and projections can use `source.col` qualified refs
-        s.name -> Relational.scanParquet(spark, rawDir).alias(s.name)
+        s.name -> reread.alias(s.name)
       }.toMap
 
       // Phase 2: transform + stage

@@ -181,6 +181,49 @@ class PipelineSpec extends SparkSpecBase {
     assert(loaded.count() === expectedRows)
   }
 
+  test("bucketed staging: same results, exchange-free join on resume") {
+    val ws = freshWorkspace()
+    val base = PipelineQueries.spec(ws)
+    val t = base.tables.head
+    // bucket both sides of the lineitem⋈orders edge on the join key
+    val bucketed = base.copy(tables = Seq(t.copy(sources = t.sources.map {
+      case s if s.name == "lineitem" =>
+        s.copy(bucketKey = Some("l_orderkey"), numBuckets = 4)
+      case s if s.name == "orders" =>
+        s.copy(bucketKey = Some("o_orderkey"), numBuckets = 4)
+      case s => s
+    })))
+    new Pipeline(spark, bucketed,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1).runAll()
+    val loaded = spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+    assert(loaded.count() === expectedRows)
+
+    // the staged bucket tables exist in the catalog, and the phase-2
+    // join edge on the bucket key plans with NO shuffle exchange
+    val tables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_raw_"))
+    assert(tables.exists(_.startsWith("graft_raw_lineitem_")))
+    assert(tables.exists(_.startsWith("graft_raw_orders_")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.table(tables.find(_.startsWith("graft_raw_lineitem_")).get)
+      val o = spark.table(tables.find(_.startsWith("graft_raw_orders_")).get)
+      val plan = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed staging should make the join exchange-free:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // resume: a second run skips extract (tables exist) and re-delivers
+    // nothing new (checkpoints hold)
+    new Pipeline(spark, bucketed,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1).runAll()
+    assert(spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
+  }
+
   test("retry: backoff then success; exhaustion rethrows") {
     var calls = 0
     val r = Retry.retry(attempts = 3, initialDelayMs = 1) {

@@ -34,4 +34,25 @@ class SaltedJoinSpec extends SparkSpecBase {
       .groupBy("__salt").count().collect().map(_.getLong(1))
     assert(buckets.length === 4 && buckets.sum === 1000)
   }
+
+  test("skewBuckets: measured fan-out — wide for hot keys, 1 for uniform") {
+    import spark.implicits._
+    // one key holds ~all rows → fan-out ≈ numShufflePartitions (capped)
+    val hot = ((1 to 990).map(_ => 42L) ++ (1 to 10).map(_.toLong))
+      .toDF("k")
+    val hotBuckets = Relational.skewBuckets(hot, "k", sampleFraction = 1.0)
+    assert(hotBuckets > 1, s"hot key should fan out, got $hotBuckets")
+
+    // uniform keys → no salting overhead
+    val uniform = (1 to 1000).map(_.toLong).toDF("k")
+    assert(Relational.skewBuckets(uniform, "k", sampleFraction = 1.0) === 1)
+
+    // empty input → degenerate 1
+    assert(Relational.skewBuckets(uniform.where(lit(false)), "k") === 1)
+
+    // the auto variant still produces exactly the plain-join rows
+    val dim = Seq((42L, "x")).toDF("dk", "name")
+    val auto = Relational.saltedJoinAuto(hot, dim, "k", "dk")
+    assert(auto.count() === 990)
+  }
 }
