@@ -108,6 +108,25 @@ object Relational {
   def sinkCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", true).csv(path)
 
+  /** JDBC sink — the write-back twin of [[scanJdbc]] (the reference
+    * only reads over JDBC; a migrator that can also LOAD a relational
+    * target closes the loop). `batchSize` mirrors the read-side
+    * `fetchSize` (reference default 10k, json:31); `numPartitions`
+    * caps concurrent connections the way the reference caps Cassandra
+    * write parallelism (py:306-307). */
+  def sinkJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "append", driver: String = "",
+      batchSize: Int = 10000, numPartitions: Int = 8): Unit = {
+    var w = df.coalesce(numPartitions).write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode(mode)
+    if (driver.nonEmpty) w = w.option("driver", driver)
+    w.save()
+  }
+
   def sinkJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 

@@ -131,6 +131,42 @@ object SketchQueries {
               * lit(twoTo32) / col("theta")).as("est_union"),
             (size(array_intersect(col("ra"), col("rb")))
               * lit(twoTo32) / col("theta")).as("est_inter"))
+      }),
+
+    // ---- bounded-memory quantiles from a deterministic hash sample:
+    // keep rows whose key-hash lands in 1/rate of the 32-bit space —
+    // a uniform Bernoulli sample that is a pure function of the data
+    // (mergeable, partition-order-free), unlike t-digest/KLL whose
+    // merge order leaks into the result. Sample quantiles approximate
+    // the exact ones with error O(1/sqrt(n·rate)); both the sample
+    // AND the exact quantiles are computed so the oracle pins each.
+    // percentile() interpolation is IEEE-identical to DuckDB's
+    // quantile_cont (proven by q_agg_percentile). ----
+    QueryDef("q_sketch_quantile_sample", Some(
+      s"""WITH s AS (
+         |  SELECT c_mktsegment AS segment, c_acctbal,
+         |    ${h32Sql("CAST(c_custkey AS VARCHAR)")} % 4 AS slot
+         |  FROM customer
+         |)
+         |SELECT segment,
+         |  count(*) FILTER (WHERE slot = 0) AS n_sampled,
+         |  quantile_cont(c_acctbal, 0.5) FILTER (WHERE slot = 0) AS q50_sample,
+         |  quantile_cont(c_acctbal, 0.5) AS q50_exact,
+         |  quantile_cont(c_acctbal, 0.95) FILTER (WHERE slot = 0) AS q95_sample,
+         |  quantile_cont(c_acctbal, 0.95) AS q95_exact
+         |FROM s GROUP BY segment""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(col("c_mktsegment").as("segment"), col("c_acctbal"),
+            pmod(h32(col("c_custkey").cast("string")), lit(4L)).as("slot"))
+        val inSample = col("slot") === 0
+        c.groupBy(col("segment"))
+          .agg(
+            count(when(inSample, 1)).as("n_sampled"),
+            percentile(when(inSample, col("c_acctbal")), lit(0.5)).as("q50_sample"),
+            percentile(col("c_acctbal"), lit(0.5)).as("q50_exact"),
+            percentile(when(inSample, col("c_acctbal")), lit(0.95)).as("q95_sample"),
+            percentile(col("c_acctbal"), lit(0.95)).as("q95_exact"))
       })
   )
 }

@@ -64,4 +64,20 @@ class JdbcSpec extends SparkSpecBase {
       pushed.contains("GreaterThanOrEqual(N_NATIONKEY,10)"),
       s"filter not pushed down:\n$pushed")
   }
+
+  test("JDBC sink round-trip: write back, then scan equals the source") {
+    val src = Tables(spark, sfDir, "nation")
+      .selectExpr("CAST(n_nationkey AS LONG) AS n_nationkey", "n_name",
+        "CAST(n_regionkey AS LONG) AS n_regionkey")
+    Relational.sinkJdbc(src, url, "nation_out",
+      mode = "overwrite", driver = driver, numPartitions = 2)
+    val back = Relational.scanJdbc(spark, JdbcScan(url, "nation_out", driver = driver))
+    val got = back.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === fixture)
+    // append mode doubles the rows (at-least-once, like the reference's sink)
+    Relational.sinkJdbc(src, url, "nation_out", driver = driver, numPartitions = 2)
+    assert(Relational.scanJdbc(spark,
+      JdbcScan(url, "nation_out", driver = driver)).count() === 2L * fixture.size)
+  }
 }
