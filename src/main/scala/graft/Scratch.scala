@@ -28,42 +28,52 @@ object Scratch {
     // warmup
     noop(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
 
-    val docs = Tables(spark, sfDir, "documents")
-    time("scan docs")(noop(docs))
-    val tg = docs.repartition(col("doc_id")).select(col("doc_id"), col("lang"),
-      graft.functions.GraftFunctions.charNGrams(col("text"), 3).as("tg"))
-    time("charNGrams")(noop(tg))
-    val ex0 = tg.select(col("doc_id"), col("lang"), explode(col("tg")).as("t"))
-    time("explode")(noop(ex0))
-    val ex = ex0.distinct()
-    time("distinct")(noop(ex))
-    val exP = ex.persist()
-    time("persist+count")(exP.count())
-    val dfreq = exP.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cnt"))
+    import graft.functions.GraftFunctions
+    import graft.ops.TextOps
+    import org.apache.spark.sql.expressions.Window
+
+    // ---- q_dedup_ngram_jaccard stage breakdown ----
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          GraftFunctions.shingleHashes(col("w"), 3, TextOps.P))).as("sh"))
+      .persist()
+    time("shingles persist+count")(sh.count())
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     time("dfreq")(noop(dfreq))
-    val w = org.apache.spark.sql.expressions.Window
-    val wp = w.partitionBy(col("lang")).orderBy(col("cnt").desc, col("t").asc)
-    val profile = dfreq.withColumn("rn", row_number().over(wp))
-      .where(col("rn") <= 30)
-      .select(col("lang").as("plang"), col("t"))
-    time("profile")(noop(profile))
-    val scores = exP.select(col("doc_id"), col("t"))
-      .join(broadcast(profile), "t")
-      .groupBy(col("doc_id"), col("plang"))
-      .agg(count(lit(1)).as("n"))
-    time("scores")(noop(scores))
-    val wb = w.partitionBy(col("doc_id")).orderBy(col("n").desc, col("plang").asc)
-    val best = scores.withColumn("rn", row_number().over(wb))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("plang").as("guess"), col("n").as("best_score"))
-    time("best")(noop(best))
-    val out = docs.select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang").as("declared"),
-        coalesce(col("guess"), lit("unknown")).as("guess"),
-        coalesce(col("best_score"), lit(0L)).as("best_score"),
-        (col("guess") === col("lang")).as("is_match"))
-    time("full")(noop(out))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(dfreq, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
+          .as("pos"),
+        count(lit(1)).over(wDoc).as("sz"))
+    time("ranked")(noop(ranked))
+    val prefix = ranked
+      .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
+      .persist()
+    time("prefix persist+count")(prefix.count())
+    val cand = prefix.alias("a")
+      .join(prefix.alias("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.sz") * 3 <= col("b.sz") * 5 &&
+        col("b.sz") * 3 <= col("a.sz") * 5 &&
+        (lit(1) + least(col("a.sz") - col("a.pos") - 1,
+          col("b.sz") - col("b.pos") - 1)) >=
+          expr("(3*(a.sz + b.sz) + 7) div 8"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    time("candidates")(noop(cand))
+    val fa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val fb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+    val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
+    val uni = size(col("sha")) + size(col("shb")) - inter
+    val fin = cand.join(fa, "da").join(fb, "db")
+      .withColumn("jaccard", inter.cast("double") / uni)
+      .where(col("jaccard") >= 0.6)
+    time("verify")(noop(fin))
+    println(s"[scratch] candidates rows: " + cand.count())
     spark.stop()
   }
 }

@@ -103,16 +103,21 @@ object DedupQueries {
         // prefix is self-joined (each side would otherwise recompute
         // the whole tokenize→shingle→rank subtree)
         val sh = docShingles(s, d).persist()
-        val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        // sz rides along from the array (one cheap scalar per row) —
+        // deriving it with count() OVER (PARTITION BY doc_id) would be
+        // a SECOND WindowExec pass (different frame spec than the
+        // row_number below), i.e. an extra full sort of the exploded
+        // shingle stream
+        val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("shingle"))
         val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        // rank each doc's shingles rarest-first with window functions —
+        // rank each doc's shingles rarest-first with one window pass —
         // one shuffle on doc_id, no interpreted collect_list/array_sort
         val wDoc = Window.partitionBy(col("doc_id"))
         val ranked = ex.join(dfreq, "shingle")
-          .select(col("doc_id"), col("shingle"),
+          .select(col("doc_id"), col("shingle"), col("sz"),
             (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
-              .as("pos"),
-            count(lit(1)).over(wDoc).as("sz"))
+              .as("pos"))
         val prefix = ranked
           .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
           .persist()

@@ -224,6 +224,36 @@ class PipelineSpec extends SparkSpecBase {
       .count() === expectedRows)
   }
 
+  test("forked-JVM kill mid-load: resume delivers exactly once") {
+    val ws = freshWorkspace()
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(java, "-cp", cp, "-Xmx2g",
+      "graft.CrashLoadMain", ws, sfDir, "1")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val rc = proc.waitFor()
+    assert(rc === 137, s"expected the forked JVM to halt(137), got $rc:\n$out")
+
+    // the crash window: >=1 file's data landed without its checkpoint
+    val sp = PipelineQueries.spec(ws)
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    assert(files.nonEmpty, s"transform phase should have completed:\n$out")
+    val unCheckpointed = files.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filterNot(n => storage.checkpointExists(sp.checkpointDir("enriched_lineitem"), n))
+    assert(unCheckpointed.nonEmpty, "crash should leave a written-but-unmarked file")
+
+    // resume in-process with the same idempotent sink: the unmarked
+    // file re-runs as an overwrite of the same src= path → exactly once
+    new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      sink = IdempotentParquetSink, retryInitialDelayMs = 1).runAll()
+    val loaded = spark.read.parquet(sp.targetDir("enriched_lineitem"))
+    assert(loaded.count() === expectedRows)
+  }
+
   test("retry: backoff then success; exhaustion rethrows") {
     var calls = 0
     val r = Retry.retry(attempts = 3, initialDelayMs = 1) {
