@@ -43,6 +43,35 @@ object TextQueries {
             (totalChars.cast("double") / size(col("w"))).as("avg_token_len"))
       }),
 
+    // ---- BPE-ish subword counting: the pre-merge segmentation every
+    // byte-pair tokenizer starts from (letter runs | digit runs |
+    // symbol runs — the same character-class split GPT-style patterns
+    // use, minus the unicode categories). The simple class-based regex
+    // behaves identically in Java (Spark) and RE2 (DuckDB), so the
+    // whole count set is oracled. ----
+    QueryDef("q_text_tokens_bpe", Some(
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(t) AS n_subtokens,
+        |  len(list_distinct(t)) AS n_distinct_subtokens,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]'))) AS n_word_runs,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[0-9]'))) AS n_digit_runs,
+        |  len(list_filter(t, x -> regexp_matches(x, '^[^A-Za-z0-9]'))) AS n_symbol_runs
+        |FROM tk""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)).as("t"))
+          .select(col("doc_id"),
+            size(col("t")).as("n_subtokens"),
+            size(array_distinct(col("t"))).as("n_distinct_subtokens"),
+            size(filter(col("t"), x => x.rlike("^[A-Za-z]"))).as("n_word_runs"),
+            size(filter(col("t"), x => x.rlike("^[0-9]"))).as("n_digit_runs"),
+            size(filter(col("t"), x => x.rlike("^[^A-Za-z0-9]"))).as("n_symbol_runs"))),
+
     // ---- quality scoring ----
     QueryDef("q_text_quality", Some(
       s"""SELECT doc_id,
