@@ -6,6 +6,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.arrow.memory.BufferAllocator
 import org.apache.arrow.vector.{BigIntVector, IntVector, VarBinaryVector, VarCharVector, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.complex.ListVector
 import org.apache.arrow.vector.ipc.{ReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.{ArrowRecordBatch, MessageSerializer}
 import org.apache.spark.sql.DataFrame
@@ -34,17 +35,34 @@ object ArrowDecode {
     StructField("duration_ms", LongType, nullable = false),
     StructField("checksum", LongType, nullable = false)))
 
+  /** decode + the 8-dim feature vector (the embedding-extraction shape:
+    * binary in, float vector out, ready for the ANN queries). */
+  val featureSchema: StructType =
+    outSchema.add(StructField("feature", ArrayType(FloatType, containsNull = false),
+      nullable = false))
+
   /** media must have (media_id bigint, modality string, payload binary). */
-  def decode(media: DataFrame, maxRecordsPerBatch: Int = 4096): DataFrame = {
+  def decode(media: DataFrame, maxRecordsPerBatch: Int = 4096): DataFrame =
+    run(media, outSchema, maxRecordsPerBatch, withFeature = false)
+
+  /** Same stage emitting the feature vector column as an Arrow list —
+    * the batch shape a real embedding model would fill. Float math is
+    * identical to [[FakeDecoder]]'s, so the lanes agree bitwise. */
+  def decodeWithFeatures(media: DataFrame, maxRecordsPerBatch: Int = 4096): DataFrame =
+    run(media, featureSchema, maxRecordsPerBatch, withFeature = true)
+
+  private def run(media: DataFrame, schema: StructType,
+      maxRecordsPerBatch: Int, withFeature: Boolean): DataFrame = {
     val in = media.select("media_id", "modality", "payload")
     val inSchema = in.schema
     val tz = in.sparkSession.conf.get("spark.sql.session.timeZone")
-    ArrowLane.mapArrowBatches(in, outSchema, maxRecordsPerBatch)(
-      bytes => Iterator.single(decodeOneBatch(bytes, inSchema, tz)))
+    ArrowLane.mapArrowBatches(in, schema, maxRecordsPerBatch)(
+      bytes => Iterator.single(decodeOneBatch(bytes, inSchema, schema, withFeature, tz)))
   }
 
   private def decodeOneBatch(
-      bytes: Array[Byte], inSchema: StructType, tz: String): Array[Byte] = {
+      bytes: Array[Byte], inSchema: StructType, outSchema: StructType,
+      withFeature: Boolean, tz: String): Array[Byte] = {
     val alloc = ArrowLane.newAllocator("graft-arrow-decode")
     try {
       val inRoot = VectorSchemaRoot.create(
@@ -68,6 +86,9 @@ object ArrowDecode {
         val oH = outRoot.getVector("height").asInstanceOf[IntVector]
         val oD = outRoot.getVector("duration_ms").asInstanceOf[BigIntVector]
         val oC = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
+        val oF = if (withFeature)
+          outRoot.getVector("feature").asInstanceOf[ListVector] else null
+        val fWriter = if (withFeature) oF.getWriter else null
 
         var i = 0
         while (i < n) {
@@ -89,6 +110,18 @@ object ArrowDecode {
           oH.setSafe(i, ((h >> 8) % 480).toInt + 1)
           oD.setSafe(i, if (isImage) 0L else (h % 60000L) + 1L)
           oC.setSafe(i, h)
+          if (withFeature) {
+            // same float math as FakeDecoder.decode's feature
+            fWriter.setPosition(i)
+            fWriter.startList()
+            var k = 0
+            while (k < 8) {
+              fWriter.float4().writeFloat4(
+                (((h >> (k * 4)) & 0xff).toFloat / 255.0f) - 0.5f)
+              k += 1
+            }
+            fWriter.endList()
+          }
           i += 1
         }
         outRoot.setRowCount(n)

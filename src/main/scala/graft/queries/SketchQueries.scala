@@ -93,11 +93,16 @@ object SketchQueries {
          |  (SELECT count(DISTINCT h) FROM h) AS exact_union,
          |  (SELECT count(*) FROM (
          |     SELECT h FROM h GROUP BY h HAVING count(*) = 2)) AS exact_inter,
+         |  (SELECT count(*) FROM h WHERE st = 'F' AND NOT EXISTS (
+         |     SELECT 1 FROM h h2 WHERE h2.st = 'O' AND h2.h = h.h)) AS exact_a_not_b,
          |  (SELECT count(DISTINCT h.h) FROM h, th WHERE h.h < th.theta)
          |    * $twoTo32 / th.theta AS est_union,
          |  (SELECT count(*) FROM (
          |     SELECT h.h FROM h, th WHERE h.h < th.theta
-         |     GROUP BY h.h HAVING count(*) = 2)) * $twoTo32 / th.theta AS est_inter
+         |     GROUP BY h.h HAVING count(*) = 2)) * $twoTo32 / th.theta AS est_inter,
+         |  (SELECT count(*) FROM h, th WHERE h.st = 'F' AND h.h < th.theta
+         |     AND NOT EXISTS (SELECT 1 FROM h h2 WHERE h2.st = 'O' AND h2.h = h.h))
+         |    * $twoTo32 / th.theta AS est_a_not_b
          |FROM th""".stripMargin))(
       (s, d) => {
         // distinct (status, hash) pairs feed both the sketches and the
@@ -113,9 +118,11 @@ object SketchQueries {
         val a = sk.where(col("st") === "F").select(col("sk").as("ska"))
         val b = sk.where(col("st") === "O").select(col("sk").as("skb"))
         val exacts = hashed.groupBy(col("h"))
-          .agg(countDistinct(col("st")).as("n_st"))
+          .agg(countDistinct(col("st")).as("n_st"),
+            count(when(col("st") === "F", 1)).as("in_a"))
           .agg(count(lit(1)).as("exact_union"),
-            count(when(col("n_st") === 2, 1)).as("exact_inter"))
+            count(when(col("n_st") === 2, 1)).as("exact_inter"),
+            count(when(col("n_st") === 1 && col("in_a") === 1, 1)).as("exact_a_not_b"))
         // both sketches are full (>> k distinct custkeys per status),
         // asserted by element_at(_, k) failing under ANSI if not
         a.crossJoin(b).crossJoin(exacts)
@@ -126,11 +133,15 @@ object SketchQueries {
           // theta recovers the full uniform sample of each set
           .withColumn("ra", filter(col("ska"), x => x < col("theta")))
           .withColumn("rb", filter(col("skb"), x => x < col("theta")))
-          .select(col("exact_union"), col("exact_inter"),
+          .select(col("exact_union"), col("exact_inter"), col("exact_a_not_b"),
             (size(array_distinct(concat(col("ra"), col("rb"))))
               * lit(twoTo32) / col("theta")).as("est_union"),
             (size(array_intersect(col("ra"), col("rb")))
-              * lit(twoTo32) / col("theta")).as("est_inter"))
+              * lit(twoTo32) / col("theta")).as("est_inter"),
+            // a-not-b: retained A-sample hashes absent from B's sample —
+            // exact set difference on the uniform sample below theta
+            (size(array_except(col("ra"), col("rb")))
+              * lit(twoTo32) / col("theta")).as("est_a_not_b"))
       }),
 
     // ---- bounded-memory quantiles from a deterministic hash sample:

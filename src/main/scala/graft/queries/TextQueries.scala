@@ -134,6 +134,47 @@ object TextQueries {
           guess.as("guess"), (guess === col("lang")).as("is_match"))
       }),
 
+    // ---- language-ID confidence calibration: the margin between the
+    // best and runner-up scores is the standard abstain signal for a
+    // classifier feeding a training-data filter (small margin = don't
+    // trust the label). Same scoring base as q_text_langid; ties yield
+    // margin 0. ----
+    QueryDef("q_text_langid_margin", Some {
+      val scoreSql = langs.map(l =>
+        s"len(list_filter(w, t -> ${h32Sql(s"t || '_$l'")} % 7 = 0)) AS s_$l").mkString(",\n  ")
+      val maxSql = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val guessSql = langs.map(l => s"WHEN s_$l = $maxSql THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      val secondSql = s"greatest(${langs.map(l =>
+        s"CASE WHEN '$l' = $guessSql THEN -1 ELSE s_$l END").mkString(", ")})"
+      s"""SELECT doc_id, $guessSql AS guess,
+         |  $maxSql AS best_score, $secondSql AS second_score,
+         |  $maxSql - $secondSql AS margin,
+         |  ($maxSql - $secondSql >= 3) AS is_confident
+         |FROM (SELECT doc_id, $scoreSql
+         |      FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))""".stripMargin
+    })(
+      (s, d) => {
+        val scores = langs.map { l =>
+          size(filter(col("w"), t =>
+            pmod(h32(concat(t, lit(s"_$l"))), lit(7L)) === 0)).as(s"s_$l")
+        }
+        val scored = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id") +: scores: _*)
+        val m = greatest(langs.map(l => col(s"s_$l")): _*)
+        val guess = langs.tail.foldLeft(
+          when(col(s"s_${langs.head}") === m, langs.head)) { (acc, l) =>
+          acc.when(col(s"s_$l") === m, l)
+        }
+        val second = greatest(langs.map(l =>
+          when(lit(l) === guess, -1).otherwise(col(s"s_$l"))): _*)
+        scored.select(col("doc_id"), guess.as("guess"),
+          m.as("best_score"), second.as("second_score"),
+          (m - second).as("margin"),
+          (m - second >= 3).as("is_confident"))
+      }),
+
     // ---- char-trigram language model: train per-language profiles
     // (top-30 trigrams by document frequency) from the corpus itself,
     // then classify every doc by profile overlap. Two aggregation

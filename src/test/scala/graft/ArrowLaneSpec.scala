@@ -32,6 +32,26 @@ class ArrowLaneSpec extends SparkSpecBase {
     assert(arrowLane === rowLane)
   }
 
+  test("feature vectors equal the row lane bitwise and feed vector ops") {
+    import spark.implicits._
+    val media = Media.fromDocuments(spark, sfDir)
+    val rowFeats = Media.decodeAll(media, FakeDecoder).toDF()
+      .select(col("media_id"), col("feature"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val arrow = ArrowDecode.decodeWithFeatures(media.toDF(), maxRecordsPerBatch = 11)
+    val arrowFeats = arrow.select(col("media_id"), col("feature"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(arrowFeats.nonEmpty && arrowFeats === rowFeats)
+    // the decode stage output plugs straight into the vector surface
+    val probe = array((0 until 8).map(i => lit(0.1 * i)): _*)
+    val sims = arrow
+      .select(col("media_id"),
+        graft.functions.GraftFunctions.cosine(
+          col("feature").cast("array<double>"), probe).as("cos"))
+      .where(col("cos").isNotNull)
+    assert(sims.count() === arrowFeats.size)
+  }
+
   test("the lane preserves binary payloads exactly (checksum spot check)") {
     import spark.implicits._
     val df = Seq(
