@@ -90,6 +90,7 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long, rnk: Int)
   final case class SessionState(start: Long, lastTs: Long, n: Int, totalCents: Long)
   final case class Session(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Int, total_value: Double)
@@ -161,6 +162,54 @@ object EventStream {
       .transformWithState(new SessionProcessor(gapMinutes),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** Per-user running top-k event types (see [[TopKProcessor]]):
+    * update-mode stream whose latest emission per user equals the
+    * batch `groupBy(user, type).count()` + rank. */
+  def topKEventTypes(events: Dataset[Event], k: Int = 3): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** Per-user running top-k event types on the transformWithState
+  * MapState surface: O(|distinct types|) state per user (a bounded
+  * domain), each batch folds its rows into the counts and re-emits the
+  * user's current top-k — OutputMode.Update semantics, the streaming
+  * twin of `groupBy(user, type).count()` + rank. Deterministic
+  * tiebreak (count desc, type asc) so tests and the batch twin agree
+  * exactly. */
+final class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, EventStream.TypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventStream.Event],
+      tv: TimerValues): Iterator[EventStream.TypeCount] = {
+    rows.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+    }
+    counts.iterator().toSeq
+      .sortBy { case (t, n) => (-n, t) }
+      .take(k)
+      .zipWithIndex
+      .map { case ((t, n), i) => EventStream.TypeCount(userId, t, n, i + 1) }
+      .iterator
   }
 }
 

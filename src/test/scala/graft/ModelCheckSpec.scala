@@ -113,6 +113,72 @@ class ModelCheckSpec extends SparkSpecBase {
     }
   }
 
+  test("random aggregation plans == model groupBy fold") {
+    // random (grouping key, aggregate set) against a Scala fold; sums
+    // on longs are exact so multiset order cannot leak in
+    sealed trait AggPick { def name: String }
+    case object SumV extends AggPick { val name = "sum_v" }
+    case object MinV extends AggPick { val name = "min_v" }
+    case object MaxV extends AggPick { val name = "max_v" }
+    case object CntAll extends AggPick { val name = "n" }
+    case object CntDistS extends AggPick { val name = "n_s" }
+    val genAggs: Gen[List[AggPick]] =
+      Gen.someOf[AggPick](SumV, MinV, MaxV, CntAll, CntDistS)
+        .suchThat(_.nonEmpty).map(_.toList)
+    for (seed <- 1L to 15L) {
+      val rows = sample(seed)
+      val byS = seed % 2 == 0 // alternate grouping column
+      val picks = genAggs.pureApply(Gen.Parameters.default, Seed(seed * 13 + 5))
+      val aggCols = picks.map {
+        case SumV => sum(col("v")).as("sum_v")
+        case MinV => min(col("v")).as("min_v")
+        case MaxV => max(col("v")).as("max_v")
+        case CntAll => count(lit(1)).as("n")
+        case CntDistS => countDistinct(col("s")).as("n_s")
+      }
+      val keyCol = if (byS) "s" else "k"
+      val got = rows.toDF().groupBy(col(keyCol))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map(r => r.get(0).toString ->
+          picks.indices.map(i => r.getLong(i + 1)).toList)
+        .toMap
+      val want = rows.groupBy(r => if (byS) r.s else r.k.toString)
+        .map { case (key, g) =>
+          key.toString -> picks.map {
+            case SumV => g.map(_.v).sum
+            case MinV => g.map(_.v).min
+            case MaxV => g.map(_.v).max
+            case CntAll => g.size.toLong
+            case CntDistS => g.map(_.s).distinct.size.toLong
+          }
+        }
+      assert(got === want, s"seed=$seed key=$keyCol aggs=${picks.map(_.name)}")
+    }
+  }
+
+  test("window rank/running == model sort-scan") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1L to 8L) {
+      val rows = sample(seed)
+      val w = Window.partitionBy(col("k")).orderBy(col("v").asc, col("s").asc)
+      val got = rows.toDF()
+        .select(col("k"), col("v"), col("s"),
+          row_number().over(w).as("rn"),
+          sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("run"))
+        .as[(Long, Long, String, Int, Long)]
+        .collect().sorted.toList
+      val want = rows.groupBy(_.k).toList.flatMap { case (k, g) =>
+        val sorted = g.map(r => (r.v, r.s)).sorted
+        sorted.zipWithIndex.map { case ((v, s), i) =>
+          (k, v, s, i + 1, sorted.take(i + 1).map(_._1).sum)
+        }
+      }.sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("exact dedup keeper == model min-by-key") {
     for (seed <- 1L to 5L) {
       val rows = sample(seed).zipWithIndex.map { case (r, i) => (i.toLong, r.s) }

@@ -3,6 +3,7 @@ package graft
 import graft.streaming.EventStream
 import graft.streaming.EventStream.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{count, lit, row_number}
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
@@ -217,6 +218,45 @@ class StreamingSpec extends SparkSpecBase {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
       .sorted.toSeq
+    assert(got === want)
+  }
+
+  test("streaming top-k event types (MapState) equals the batch twin") {
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.topKEventTypes(input.toDS(), k = 2).writeStream
+      .format("memory").queryName("topk_out")
+      .outputMode("update")
+      .start()
+    // two batches: counts must accumulate across state updates
+    val (first, rest) = sample.splitAt(sample.length / 2)
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(rest.toIndexedSeq)
+    q.processAllAvailable()
+    // update-mode memory sink appends every emission; the LAST emission
+    // per (user, rank) is the current answer
+    val emissions = spark.table("topk_out").as[EventStream.TypeCount]
+      .collect().zipWithIndex
+    val got = emissions.groupBy(e => (e._1.user_id, e._1.rnk))
+      .map { case (_, g) => g.maxBy(_._2)._1 }
+      .map(t => (t.user_id, t.rnk, t.event_type, t.n)).toSeq.sorted
+    q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n".desc, $"event_type".asc)
+    val want = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 2)
+      .select($"user_id", $"rnk", $"event_type", $"n")
+      .as[(Long, Int, String, Long)].collect().toSeq.sorted
     assert(got === want)
   }
 
