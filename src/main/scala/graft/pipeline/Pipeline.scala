@@ -87,6 +87,24 @@ final class Pipeline(
   private def bucketTableName(srcName: String): String =
     s"graft_raw_${srcName}_${Integer.toHexString(spec.workspace.hashCode)}"
 
+  /** Probe that a staged bucket table's data is actually there: a
+    * one-row scan resolves schema/metadata, and the storage location
+    * must exist AND be non-empty — a deleted location reads back as an
+    * EMPTY table (no exception), which for a staged copy means the
+    * data is gone, not that the source was empty (rebuilding an
+    * actually-empty source is an idempotent no-op anyway). */
+  private def bucketTableHealthy(tbl: String): Boolean =
+    try {
+      spark.table(tbl).limit(1).collect()
+      val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+        .find(_.getString(0).trim == "Location").map(_.getString(1).trim)
+      loc.exists { l =>
+        val p = new org.apache.hadoop.fs.Path(l)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).nonEmpty
+      }
+    } catch { case _: Exception => false }
+
   def runAll(): Unit = spec.tables.foreach(runTable)
 
   def runTable(t: TableSpec): Unit = {
@@ -106,6 +124,15 @@ final class Pipeline(
             val tbl = bucketTableName(s.name)
             if (!spark.catalog.tableExists(tbl)) {
               log.info(s"[${t.targetTable}] extracting ${s.name} (bucketed by $key)")
+              val df = Relational.filterSql(source(s), s.filter.orNull)
+              Relational.sinkBucketed(df, tbl, key, s.numBuckets, Some(key))
+            } else if (!bucketTableHealthy(tbl)) {
+              // a job that died between catalog commit and data write
+              // (or whose storage was lost) leaves a table entry whose
+              // files don't read back — rebuild rather than hand the
+              // join a corrupt side
+              log.warn(s"[${t.targetTable}] bucketed raw ${s.name} unreadable — rebuilding")
+              spark.sql(s"DROP TABLE IF EXISTS $tbl")
               val df = Relational.filterSql(source(s), s.filter.orNull)
               Relational.sinkBucketed(df, tbl, key, s.numBuckets, Some(key))
             } else {

@@ -224,6 +224,43 @@ class PipelineSpec extends SparkSpecBase {
       .count() === expectedRows)
   }
 
+  test("bucketed staging: lost table data is detected and rebuilt") {
+    val ws = freshWorkspace()
+    val base = PipelineQueries.spec(ws)
+    val t = base.tables.head
+    val bucketed = base.copy(tables = Seq(t.copy(sources = t.sources.map {
+      case s if s.name == "nation" => s.copy(bucketKey = Some("n_nationkey"))
+      case s => s
+    })))
+    def runIt() = new Pipeline(spark, bucketed,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1).runAll()
+    runIt()
+    assert(spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
+
+    // simulate storage loss: delete the table's files but keep the
+    // catalog entry (what a job death between commit and write, or a
+    // lost volume, leaves behind)
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("graft_raw_nation_")).get
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+      .find(_.getString(0).trim == "Location").get.getString(1).trim
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(loc), spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(loc), true))
+    spark.catalog.refreshTable(tbl)
+    // wipe downstream state so the table is actually needed again
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    assert(new scala.reflect.io.Directory(
+      new java.io.File(ws)).deleteRecursively())
+
+    runIt() // must detect the unreadable table and rebuild it
+    assert(spark.table(tbl).count() > 0)
+    assert(spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
+  }
+
   test("forked-JVM kill mid-load: resume delivers exactly once") {
     val ws = freshWorkspace()
     val java = s"${System.getProperty("java.home")}/bin/java"
