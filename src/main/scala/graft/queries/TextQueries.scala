@@ -307,11 +307,13 @@ object TextQueries {
     })(
       (s, d) => {
         val depth = 4; val width = 1024
-        // exploded token stream feeds both the sketch cells and the
-        // exact counts — tokenize once
+        // the exploded token stream feeds both the sketch cells and the
+        // exact counts; deliberately NOT persisted — re-tokenizing from
+        // the columnar scan (one codegen split) is cheaper than caching
+        // ~1M deserialized strings, and at corpus scale the cache would
+        // spill anyway
         val tok = Tables(s, d, "documents")
           .select(explode(tokens(col("text"))).as("w"))
-          .persist()
         val withR = tok.select(col("w"),
           explode(array((0 until depth).map(lit): _*)).as("r"))
           .withColumn("bucket",

@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Pins the physical-plan claims the scale design rests on: pushdown
+  * reaching the scan, pruned read schemas, broadcast dimension sides,
+  * and no shuffle on the fact table in the star join. A regression
+  * here wouldn't change results — only the 100 TB cost — which is why
+  * it needs its own spec. */
+class PlanShapeSpec extends SparkSpecBase {
+
+  test("flagship star join: filters push down, dims broadcast, fact never shuffles") {
+    val plan = RelationalQueries.flagship(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // all three dimension joins broadcast
+    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      s"expected 3 broadcast joins:\n$plan")
+    // the fact side never exchanges (only broadcast exchanges appear)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact table should not shuffle:\n$plan")
+    // quantity range filter reaches the lineitem scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_quantity,10.0)"),
+      s"range filter not pushed to the scan:\n$plan")
+  }
+
+  test("scan-filter-project: pruned read schema and pushed predicates") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val exec = Catalog.byName("q_scan_filter_project").fn(spark, sfDir)
+      .queryExecution.executedPlan
+    // read the scan's metadata directly — the plan STRING abbreviates
+    // long PushedFilters lists, which would hide the equality predicate
+    val scan = exec.collectLeaves().collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail(s"no parquet scan in:\n$exec"))
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(o_totalprice,100000.0)") &&
+      pushed.contains("EqualTo(o_orderstatus,O)"),
+      s"predicates not pushed: $pushed")
+    // only the referenced columns are read
+    val readSchema = scan.metadata("ReadSchema")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice") &&
+      readSchema.contains("o_orderpriority") && !readSchema.contains("o_comment"),
+      s"read schema not pruned: $readSchema")
+  }
+
+  test("q1 aggregation is a partial+final hash aggregate in one codegen span") {
+    val df = Catalog.byName("q1_agg_pricing").fn(spark, sfDir)
+    df.collect() // AQE only materializes codegen spans in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    // '*' before an operator is the WholeStageCodegen marker in simpleString;
+    // scan-side partial agg and final agg should each sit in a span
+    assert(plan.contains("*(1) HashAggregate") && plan.contains("*(2) HashAggregate"),
+      s"aggregation fell out of codegen:\n$plan")
+  }
+
+  test("top-k global plans as TakeOrderedAndProject (no full sort)") {
+    val plan = Catalog.byName("q_topk_global").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should not be a full sort:\n$plan")
+  }
+}
