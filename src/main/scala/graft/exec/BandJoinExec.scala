@@ -4,8 +4,9 @@ import graft.plans.BandJoinPattern
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, Predicate, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, JoinedRow, Predicate, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Physical band join: the (c)-tier custom operator of SURVEY.md §7.3
   * — Spark has no band-join strategy, so a plain
@@ -16,18 +17,22 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
   *  - RIGHT rows replicate to the (≤ 2, sometimes 3) consecutive
   *    buckets their band can touch — bounded fan-out, unlike the
   *    unbounded broadcast of a nested-loop plan;
-  *  - each bucket joins its co-grouped rows, re-checking the FULL
-  *    original condition per pair, so the output is exactly the
-  *    BETWEEN-join output at one-shuffle cost.
+  *  - each bucket sorts its left rows by the band key once, then each
+  *    right row binary-searches its [y − w1, y + w2] slice and
+  *    re-checks the FULL original condition per candidate, so the
+  *    output is exactly the BETWEEN-join output at one-shuffle cost.
   *
   * A pair can only meet in bucket(x) (the left row lives in exactly
   * one bucket, the right row's replicas are distinct buckets), so no
   * dedup is needed. Bucket arithmetic is exact-LONG for integral
   * operands and IEEE floor-division otherwise, shared with the
   * rewrite-rule path via [[BandJoinPattern]]. Null band operands emit
-  * nothing (inner-join semantics). Per-bucket pairing is a nested loop
-  * over co-grouped rows — at most the rows of one W-wide band slice,
-  * the same working set the rewritten hash-join path touches.
+  * nothing (inner-join semantics). The per-bucket probe is
+  * O(n log n + output) in the bucket's rows — the sweep's slice
+  * bounds use the SAME shifted-endpoint arithmetic as the original
+  * predicate, so it can only admit (never drop) candidates relative
+  * to the BETWEEN conjuncts; the residual re-check then restores
+  * exactness for any extra conjuncts.
   */
 final case class BandJoinExec(
     left: SparkPlan,
@@ -44,6 +49,18 @@ final case class BandJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** Order-preserving Long image of an IEEE double (sign-magnitude →
+    * two's-complement flip); −0.0 collapses onto +0.0 first because
+    * they are IEEE-equal but have distinct bit patterns, and a bound
+    * of one must still reach keys of the other. NaN maps above +Inf,
+    * where a NaN bound selects an empty slice and a NaN key is only
+    * reachable from a NaN bound — either way the residual predicate
+    * (IEEE compare, always false on NaN) keeps the output exact. */
+  private def fpKey(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    if (b >= 0) b else b ^ Long.MaxValue
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val w = w1 + w2
     val integral = BandJoinPattern.integralOperands(x, y, w1, w2)
@@ -54,8 +71,14 @@ final case class BandJoinExec(
       BandJoinPattern.shift(y, w1, -1, integral), w, integral)
     val rHi = BandJoinPattern.div(
       BandJoinPattern.shift(y, w2, 1, integral), w, integral)
+    // un-bucketed band key / endpoints, for the in-bucket sweep
+    val keyType = if (integral) LongType else DoubleType
+    val xKey = Cast(x, keyType)
+    val loEnd = Cast(BandJoinPattern.shift(y, w1, -1, integral), keyType)
+    val hiEnd = Cast(BandJoinPattern.shift(y, w2, 1, integral), keyType)
     val condExpr = cond
     val numParts = conf.numShufflePartitions
+    val isIntegral = integral
 
     val lKeyed: RDD[(Long, UnsafeRow)] = left.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(Seq(lBucket), leftOut)
@@ -79,18 +102,59 @@ final case class BandJoinExec(
       }
     }
 
-    lKeyed.cogroup(rKeyed, new HashPartitioner(numParts)).mapPartitions { it =>
+    // cogroup with Kryo on the wire: UnsafeRow is KryoSerializable
+    // (raw bytes), vs the default JavaSerializer's per-object
+    // ObjectStream framing — the shuffle dominates this operator
+    val cogrouped = {
+      val cg = new org.apache.spark.rdd.CoGroupedRDD[Long](
+        Seq(lKeyed, rKeyed), new HashPartitioner(numParts))
+      cg.setSerializer(new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf))
+      cg.mapValues { case Array(ls, rs) =>
+        (ls.asInstanceOf[Iterable[UnsafeRow]], rs.asInstanceOf[Iterable[UnsafeRow]])
+      }
+    }
+    cogrouped.mapPartitions { it =>
       val joined = new JoinedRow
       val pred = Predicate.create(condExpr, leftOut ++ rightOut)
       // downstream operators expect UnsafeRow (reused-buffer contract)
       val outProj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      val keyProj = UnsafeProjection.create(Seq(xKey), leftOut)
+      val boundProj = UnsafeProjection.create(Seq(loEnd, hiEnd), rightOut)
+      def sortKey(row: InternalRow): Long =
+        if (isIntegral) row.getLong(0) else fpKey(row.getDouble(0))
       it.flatMap { case (_, (ls, rs)) =>
         if (ls.isEmpty || rs.isEmpty) Iterator.empty
-        else for {
-          l <- ls.iterator
-          r <- rs.iterator
-          if pred.eval(joined(l, r))
-        } yield outProj(joined): InternalRow
+        else {
+          // sort this bucket's left rows by band key once (x is
+          // non-null here — null-keyed rows were dropped at shuffle)
+          val pairs = ls.iterator
+            .map(l => (sortKey(keyProj(l)), l)).toArray.sortBy(_._1)
+          val keys = pairs.map(_._1)
+          val rows = pairs.map(_._2)
+          rs.iterator.flatMap { r =>
+            val b = boundProj(r)
+            val lo = sortKey(b)
+            val hi = if (isIntegral) b.getLong(1) else fpKey(b.getDouble(1))
+            // first index with keys(i) >= lo
+            var s = 0; var e = keys.length
+            while (s < e) { val m = (s + e) >>> 1; if (keys(m) < lo) s = m + 1 else e = m }
+            val from = s
+            new Iterator[InternalRow] {
+              private var i = from
+              private var ready: InternalRow = null
+              private def advance(): Unit =
+                while (ready == null && i < keys.length && keys(i) <= hi) {
+                  if (pred.eval(joined(rows(i), r))) ready = outProj(joined)
+                  i += 1
+                }
+              override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+              override def next(): InternalRow = {
+                if (!hasNext) throw new NoSuchElementException
+                val out = ready; ready = null; out
+              }
+            }
+          }
+        }
       }
     }
   }
