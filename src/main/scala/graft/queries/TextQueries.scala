@@ -501,6 +501,51 @@ object TextQueries {
           .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
           .groupBy(col("word"))
           .agg(count(lit(1)).as("n_occurrences"),
-            countDistinct(col("doc_id")).as("n_docs")))
+            countDistinct(col("doc_id")).as("n_docs"))),
+
+    // ---- per-script character-class profile (Latin / digit / space /
+    // symbol counts + dominant class) over the events' type+props
+    // payload — the class-ratio building block of corpus filtering.
+    // Explicit ASCII classes keep Java and RE2 regex semantics
+    // identical; one double division per the parity rules. ----
+    QueryDef("q_text_script_stats", Some(
+      """SELECT event_id,
+        |  length(t) AS n_chars,
+        |  length(t) - length(regexp_replace(t, '[a-z]', '', 'g')) AS n_alpha,
+        |  length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+        |  length(t) - length(regexp_replace(t, '[ ]', '', 'g')) AS n_space,
+        |  length(regexp_replace(t, '[a-z0-9 ]', '', 'g')) AS n_symbol,
+        |  CAST(length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS DOUBLE)
+        |    / length(t) AS digit_ratio,
+        |  CASE WHEN length(t) - length(regexp_replace(t, '[a-z]', '', 'g'))
+        |           >= length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+        |        AND length(t) - length(regexp_replace(t, '[a-z]', '', 'g'))
+        |           >= length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |       THEN 'alpha'
+        |       WHEN length(t) - length(regexp_replace(t, '[0-9]', '', 'g'))
+        |           >= length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+        |       THEN 'digit' ELSE 'symbol' END AS dominant_class
+        |FROM (SELECT event_id, event_type || ' ' || props AS t FROM events)""".stripMargin))(
+      (s, d) => {
+        val counted = Tables(s, d, "events")
+          .select(col("event_id"),
+            concat(col("event_type"), lit(" "), col("props")).as("t"))
+          .select(col("event_id"), col("t"),
+            length(col("t")).as("n_chars"),
+            (length(col("t")) - length(regexp_replace(col("t"), "[a-z]", "")))
+              .as("n_alpha"),
+            (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
+              .as("n_digit"),
+            (length(col("t")) - length(regexp_replace(col("t"), "[ ]", "")))
+              .as("n_space"),
+            length(regexp_replace(col("t"), "[a-z0-9 ]", "")).as("n_symbol"))
+        counted.select(col("event_id"), col("n_chars"), col("n_alpha"),
+          col("n_digit"), col("n_space"), col("n_symbol"),
+          (col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
+          when(col("n_alpha") >= col("n_symbol") && col("n_alpha") >= col("n_digit"),
+            "alpha")
+            .when(col("n_digit") >= col("n_symbol"), "digit")
+            .otherwise("symbol").as("dominant_class"))
+      })
   )
 }
