@@ -17,6 +17,13 @@ trait AppendSink extends Serializable {
     append(df, target)
 }
 
+/** Another live job holds this workspace's lease (see
+  * [[WorkspaceLease]]); the caller should back off or target a
+  * different workspace, not force through. */
+final class WorkspaceBusyException(workspace: String, holder: Option[String])
+  extends IllegalStateException(
+    s"workspace $workspace is leased by ${holder.getOrElse("another job")}")
+
 /** Default sink: append as parquet under the target dir. */
 object ParquetAppendSink extends AppendSink {
   def append(df: DataFrame, target: String): Unit =
@@ -77,7 +84,8 @@ final class Pipeline(
     spec: JobSpec,
     source: SourceSpec => DataFrame,
     sink: AppendSink = ParquetAppendSink,
-    retryInitialDelayMs: Long = 5000) {
+    retryInitialDelayMs: Long = 5000,
+    leaseTtlMs: Long = 15 * 60 * 1000) {
 
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
@@ -105,7 +113,21 @@ final class Pipeline(
       }
     } catch { case _: Exception => false }
 
-  def runAll(): Unit = spec.tables.foreach(runTable)
+  /** Runs every table under an exclusive workspace lease: the staged
+    * datasets, checkpoint markers, and catalog tables all key on the
+    * workspace, so a second concurrent writer (duplicate scheduler
+    * launch, retry racing a hung run) fails fast with
+    * [[WorkspaceBusyException]] instead of interleaving undefined
+    * state. A crashed holder's lease expires after `leaseTtlMs` (the
+    * heartbeat renews it per table). */
+  def runAll(): Unit = {
+    val lease = new WorkspaceLease(
+      spark.sparkContext.hadoopConfiguration, spec.workspace, leaseTtlMs)
+    if (!lease.tryAcquire())
+      throw new WorkspaceBusyException(spec.workspace, lease.currentHolder())
+    try spec.tables.foreach { t => runTable(t); lease.renew() }
+    finally lease.release()
+  }
 
   def runTable(t: TableSpec): Unit = {
     val t0 = System.nanoTime()

@@ -282,13 +282,79 @@ class PipelineSpec extends SparkSpecBase {
       .filterNot(n => storage.checkpointExists(sp.checkpointDir("enriched_lineitem"), n))
     assert(unCheckpointed.nonEmpty, "crash should leave a written-but-unmarked file")
 
+    // the dead JVM also left its workspace lease behind — the resume
+    // takes it over via TTL expiry (leaseTtlMs=1: any mtime is stale)
+    // rather than failing WorkspaceBusy forever
+    assert(new _root_.java.io.File(ws, "_LEASE").exists(),
+      "crashed run should leave its lease marker")
+
     // resume in-process with the same idempotent sink: the unmarked
     // file re-runs as an overwrite of the same src= path → exactly once
     new Pipeline(spark, sp,
       src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
-      sink = IdempotentParquetSink, retryInitialDelayMs = 1).runAll()
+      sink = IdempotentParquetSink, retryInitialDelayMs = 1, leaseTtlMs = 1).runAll()
     val loaded = spark.read.parquet(sp.targetDir("enriched_lineitem"))
     assert(loaded.count() === expectedRows)
+  }
+
+  test("workspace lease: exclusivity, release, TTL takeover, renew") {
+    val ws = freshWorkspace()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val a = new WorkspaceLease(conf, ws)
+    val b = new WorkspaceLease(conf, ws)
+    assert(a.tryAcquire())
+    assert(!b.tryAcquire(), "second writer must not acquire a held lease")
+    assert(a.isHeld && !b.isHeld)
+    a.release()
+    assert(b.tryAcquire(), "released lease must be acquirable")
+    b.release()
+
+    // TTL takeover: a holder that died without releasing
+    val dead = new WorkspaceLease(conf, ws, ttlMs = 50)
+    assert(dead.tryAcquire())
+    val taker = new WorkspaceLease(conf, ws, ttlMs = 50)
+    Thread.sleep(120)
+    assert(taker.tryAcquire(), "expired lease must be taken over")
+    assert(!dead.isHeld, "takeover replaces the dead holder's marker")
+    dead.release() // no-op: must not release someone else's lease
+    assert(taker.isHeld)
+
+    // renew restarts the TTL window
+    Thread.sleep(120)
+    taker.renew()
+    val late = new WorkspaceLease(conf, ws, ttlMs = 1000)
+    assert(!late.tryAcquire(), "renewed lease is not expired")
+    taker.release()
+  }
+
+  test("two concurrent pipelines on one workspace: one runs, one fails fast") {
+    val ws = freshWorkspace()
+    val sp = PipelineQueries.spec(ws)
+    def mk() = new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      sink = IdempotentParquetSink, retryInitialDelayMs = 1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 2).map { _ =>
+      val th = new Thread(() => {
+        gate.await()
+        results.add(
+          try Right(mk().runAll())
+          catch { case t: Throwable => Left(t) })
+      })
+      th.start(); th
+    }
+    gate.countDown()
+    threads.foreach(_.join(300000))
+    val (failed, ok) = results.toArray(Array.empty[Either[Throwable, Unit]])
+      .partition(_.isLeft)
+    assert(ok.length === 1, s"exactly one writer should win: $results")
+    assert(failed.length === 1)
+    failed.head.left.foreach(t =>
+      assert(t.isInstanceOf[WorkspaceBusyException], s"unexpected failure: $t"))
+    // the winner's output is complete and exactly-once
+    assert(spark.read.parquet(sp.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
   }
 
   test("retry: backoff then success; exhaustion rethrows") {
