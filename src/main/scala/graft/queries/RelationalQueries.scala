@@ -292,6 +292,52 @@ object RelationalQueries {
           .where(col("error_id").isNotNull)
           .select(col("error_id"), col("user_id"),
             unix_micros(col("last_click_ts")).as("last_click_epoch_us"))
+      }),
+
+    // ---- dynamic partition pruning over a month-partitioned fact ----
+    // The fact is staged Hive-partitioned by ship month (the layout a
+    // 100 TB lineitem would actually use) and carries NO static filter
+    // on the partition column; the months come from the filtered dim at
+    // RUNTIME, so the scan must prune 9 of 12 partitions via DPP (plan
+    // pinned in DppSpec). The oracle states the same join over the raw
+    // table.
+    QueryDef("q_partition_prune", Some(
+      """SELECT mon, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM (SELECT CAST(month(l_shipdate) AS INTEGER) AS mon, l_quantity
+        |      FROM lineitem) f
+        |JOIN (SELECT DISTINCT CAST(month(o_orderdate) AS INTEGER) AS mon
+        |      FROM orders
+        |      WHERE o_orderpriority = '1-URGENT'
+        |        AND month(o_orderdate) IN (1, 2, 3)) d USING (mon)
+        |GROUP BY mon""".stripMargin))(
+      (s, d) => {
+        val fact = RelationalQueries.monthPartitionedLineitem(s, d)
+        val dim = Tables(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            month(col("o_orderdate")).isin(1, 2, 3))
+          .select(month(col("o_orderdate")).cast("int").as("mon"))
+          .distinct()
+        fact.join(broadcast(dim), Seq("mon"))
+          .groupBy(col("mon"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(floor(col("l_quantity") * 100 + 0.5).cast("bigint"))
+              .as("qty_cents"))
       })
   )
+
+  /** Stage lineitem partitioned by ship month (idempotent per fixture
+    * dir) and read it back — a Hive-partitioned fact for the DPP
+    * query/spec. Partition discovery types `mon` as INTEGER. */
+  def monthPartitionedLineitem(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft_dpp_${Integer.toHexString(d.hashCode)}"
+    val marker = new java.io.File(s"$dir/_SUCCESS")
+    if (!marker.exists()) {
+      Tables(s, d, "lineitem")
+        .select(month(col("l_shipdate")).cast("int").as("mon"), col("l_quantity"))
+        .write.mode("overwrite").partitionBy("mon").parquet(dir)
+    }
+    s.read.parquet(dir)
+  }
 }
