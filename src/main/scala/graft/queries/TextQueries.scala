@@ -18,6 +18,30 @@ object TextQueries {
 
   private val langs = Seq("de", "en", "es", "fr", "zh")
 
+  /** Per-document hash-lexicon scores (s_de..s_zh), reduce-then-hash:
+    * a token's lexicon membership depends only on the WORD, so hash a
+    * distinct-word vocabulary once and join it back to per-doc word
+    * counts — md5 runs vocabulary×langs times instead of
+    * occurrences×langs, and the scoring itself is codegen'd joins and
+    * sums rather than interpreted higher-order filters. The vocabulary
+    * frame is broadcast (bounded by the corpus' distinct words; swap
+    * for a shuffle join on a corpus whose vocabulary outgrows the
+    * driver). */
+  private def langidScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val tok = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+    val vocab = tok.select(col("t")).distinct()
+      .select(col("t") +: langs.map(l =>
+        (pmod(h32(concat(col("t"), lit(s"_$l"))), lit(7L)) === 0)
+          .cast("int").as(s"f_$l")): _*)
+    // tok is read twice, but it's a cheap codegen scan+split — cheaper
+    // to recompute than to cache the exploded stream
+    tok.join(broadcast(vocab), Seq("t"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col(s"f_${langs.head}")).cast("int").as(s"s_${langs.head}"),
+        langs.tail.map(l => sum(col(s"f_$l")).cast("int").as(s"s_$l")): _*)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting ----
@@ -118,13 +142,7 @@ object TextQueries {
          |      FROM (SELECT doc_id, lang, ${tokensSql("text")} AS w FROM documents))""".stripMargin
     })(
       (s, d) => {
-        val scores = langs.map { l =>
-          size(filter(col("w"), t =>
-            pmod(h32(concat(t, lit(s"_$l"))), lit(7L)) === 0)).as(s"s_$l")
-        }
-        val scored = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), tokens(col("text")).as("w"))
-          .select(col("doc_id") +: col("lang") +: scores: _*)
+        val scored = langidScores(s, d)
         val m = greatest(langs.map(l => col(s"s_$l")): _*)
         val guess = langs.tail.foldLeft(
           when(col(s"s_${langs.head}") === m, langs.head)) { (acc, l) =>
@@ -155,13 +173,7 @@ object TextQueries {
          |      FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents))""".stripMargin
     })(
       (s, d) => {
-        val scores = langs.map { l =>
-          size(filter(col("w"), t =>
-            pmod(h32(concat(t, lit(s"_$l"))), lit(7L)) === 0)).as(s"s_$l")
-        }
-        val scored = Tables(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-          .select(col("doc_id") +: scores: _*)
+        val scored = langidScores(s, d).drop("lang")
         val m = greatest(langs.map(l => col(s"s_$l")): _*)
         val guess = langs.tail.foldLeft(
           when(col(s"s_${langs.head}") === m, langs.head)) { (acc, l) =>
@@ -307,25 +319,25 @@ object TextQueries {
     })(
       (s, d) => {
         val depth = 4; val width = 1024
-        // the exploded token stream feeds both the sketch cells and the
-        // exact counts; deliberately NOT persisted — re-tokenizing from
-        // the columnar scan (one codegen split) is cheaper than caching
-        // ~1M deserialized strings, and at corpus scale the cache would
-        // spill anyway
+        // reduce-then-hash: the sketch cell of a token depends only on
+        // its WORD, so aggregate occurrences per word first (one pass
+        // over the token stream, no hashing) and build the cells from
+        // the per-word counts — md5 runs vocabulary×depth times instead
+        // of occurrences×depth (thousands vs millions; the same
+        // asymmetry holds on a real corpus, and the shuffle carries
+        // words, not the 4× fanned-out occurrence stream)
         val tok = Tables(s, d, "documents")
           .select(explode(tokens(col("text"))).as("w"))
-        val withR = tok.select(col("w"),
-          explode(array((0 until depth).map(lit): _*)).as("r"))
-          .withColumn("bucket",
-            pmod(h32(concat(col("w"), lit("#"), col("r").cast("string"))), lit(width.toLong)))
-        val cells = withR.groupBy(col("r"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
         val words = tok.groupBy(col("w")).agg(count(lit(1)).as("exact_count"))
-        val probes = words.select(col("w"), col("exact_count"),
+        val wr = words.select(col("w"), col("exact_count"),
           explode(array((0 until depth).map(lit): _*)).as("r"))
           .withColumn("bucket",
             pmod(h32(concat(col("w"), lit("#"), col("r").cast("string"))), lit(width.toLong)))
-        probes.join(cells, Seq("r", "bucket"))
+          .persist() // both join sides hang off this tiny frame — one
+                     // heavy tokenize+reduce pass, not two
+        val cells = wr.groupBy(col("r"), col("bucket"))
+          .agg(sum(col("exact_count")).as("cnt"))
+        wr.join(cells, Seq("r", "bucket"))
           .groupBy(col("w").as("word"))
           .agg(min(col("exact_count")).as("exact_count"),
             min(col("cnt")).as("cms_estimate"))
