@@ -14,6 +14,7 @@ object Catalog {
       SetOpQueries.defs ++
       ScalarQueries.defs ++
       TextQueries.defs ++
+      SampleQueries.defs ++
       SketchQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++

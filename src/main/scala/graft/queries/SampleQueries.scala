@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting surface for training-data curation
+  * (north-star extension set): content-keyed train/val/test splits,
+  * per-class stratified caps, and weighted corpus mixing. Everything
+  * keys on the portable md5-based `h32` so the assignment is (a)
+  * reproducible across runs AND engines — no RNG, the DuckDB twin
+  * computes the identical split — and (b) stable under repartitioning,
+  * which `rand(seed)` is not (its sequence is per-partition, so a
+  * repartitioned rerun silently reassigns every row). At 100 TB each
+  * query is a single embarrassingly-parallel scan (split/mix) or one
+  * shuffle on the class key (stratified cap).
+  */
+object SampleQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- leakage-safe train/val/test split (80/10/10) ----
+    // Keyed on the CONTENT hash, not the doc id: byte-identical
+    // duplicates land in the SAME split by construction, so exact-dup
+    // leakage from train into test is impossible even before any dedup
+    // pass runs.
+    QueryDef("q_sample_split", Some(
+      s"""SELECT doc_id, lang,
+         |  ${h32Sql("text")} % 100 AS bucket,
+         |  CASE WHEN ${h32Sql("text")} % 100 < 80 THEN 'train'
+         |       WHEN ${h32Sql("text")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin))(
+      (s, d) => {
+        val bucket = pmod(h32(col("text")), lit(100L))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+            when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+      }),
+
+    // ---- stratified per-class cap (deterministic reservoir) ----
+    // Keep at most 50 docs per language, chosen by hash rank — the
+    // downsample every class-balanced training mix needs, without an
+    // RNG. One shuffle on the class key; the rank is a window over
+    // each class partition.
+    QueryDef("q_sample_stratified", Some(
+      s"""SELECT doc_id, lang, class_rank FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h32Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS class_rank
+         |  FROM documents)
+         |WHERE class_rank <= 50""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(h32(col("doc_id").cast("string")), col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            row_number().over(w).as("class_rank"))
+          .where(col("class_rank") <= 50)
+      }),
+
+    // ---- weighted corpus mixing ----
+    // Interleave two sub-corpora at 75%/25% sampling rates via the
+    // same hash buckets (sampling a source at rate w = keeping buckets
+    // < 100w). Deterministic, single-pass, union-only — the mixing
+    // stage of a data recipe, with per-source provenance kept.
+    QueryDef("q_sample_mix", Some(
+      s"""SELECT doc_id, lang AS source_lang, n_chars
+         |FROM (SELECT doc_id, lang, length(text) AS n_chars,
+         |        ${h32Sql("text")} % 100 AS bucket FROM documents)
+         |WHERE (lang = 'en' AND bucket < 75) OR (lang = 'de' AND bucket < 25)""".stripMargin))(
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"),
+            pmod(h32(col("text")), lit(100L)).as("bucket"))
+        base.where(col("lang") === "en" && col("bucket") < 75)
+          .unionByName(base.where(col("lang") === "de" && col("bucket") < 25))
+          .select(col("doc_id"), col("lang").as("source_lang"), col("n_chars"))
+      })
+  )
+}
