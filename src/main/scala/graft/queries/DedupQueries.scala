@@ -83,6 +83,28 @@ object DedupQueries {
           .groupBy(md5(col("text")).as("content_hash"))
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))),
 
+    // ---- normalized (bag-of-words) dedup: canonicalize each doc to
+    // its sorted distinct token set and hash THAT — catches the
+    // reorder/shuffle near-dups byte-exact dedup misses, still with a
+    // single hash-shuffle groupBy (same scale profile as exact dedup,
+    // unlike the pairwise similarity paths). Tokens are ASCII here, so
+    // Spark's codepoint array_sort and DuckDB's binary-collation
+    // list_sort agree. ----
+    QueryDef("q_dedup_bow", Some(
+      """SELECT bow_hash, min(doc_id) AS keeper, count(*) AS n_docs
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(list_distinct(
+        |          string_split(trim(text), ' '))), ' ')) AS bow_hash
+        |      FROM documents)
+        |GROUP BY bow_hash""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("bow_hash"))
+          .groupBy(col("bow_hash"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))),
+
     // ---- exact n-gram Jaccard via shingle inverted index ----
     QueryDef("q_dedup_ngram_jaccard", Some(
       s"""$shinglesCte

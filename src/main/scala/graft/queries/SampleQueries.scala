@@ -79,6 +79,32 @@ object SampleQueries {
         base.where(col("lang") === "en" && col("bucket") < 75)
           .unionByName(base.where(col("lang") === "de" && col("bucket") < 25))
           .select(col("doc_id"), col("lang").as("source_lang"), col("n_chars"))
+      }),
+
+    // ---- per-class top-quantile selection: keep the best 20% of each
+    // language by a quality score (n_chars here; any scored column
+    // works), deterministic tiebreak on doc_id. The quantile cut is
+    // exact integer arithmetic (rank*5 <= class size), not a
+    // percent_rank double compare. One shuffle on the class key; both
+    // window functions share the single sort. ----
+    QueryDef("q_sample_top_quantile", Some(
+      """SELECT doc_id, lang, n_chars, q_rank FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS q_rank,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |WHERE q_rank * 5 <= n_lang""".stripMargin))(
+      (s, d) => {
+        val byScore = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val byClass = Window.partitionBy(col("lang"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            row_number().over(byScore).as("q_rank"),
+            count(lit(1)).over(byClass).as("n_lang"))
+          .where(col("q_rank") * 5 <= col("n_lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("q_rank"))
       })
   )
 }

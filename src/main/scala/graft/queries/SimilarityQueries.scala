@@ -329,6 +329,75 @@ object SimilarityQueries {
           .withColumn("cos_sim", GraftFunctions.dot(col("av"), col("bv")) / (col("an") * col("bn")))
           .where(col("cos_sim") >= 0.4)
           .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
+      }),
+
+    // ---- IVF-PQ: the composed billion-scale ANN path. Coarse-route
+    // each query to its nprobe=2 nearest cells (exact scaled query→
+    // centroid distances — the per-subspace sums the PQ base already
+    // computes), then ADC-score ONLY vectors living in probed cells.
+    // At cluster scale this is the plan that matters: the candidate
+    // scan is partition-pruned to nprobe/|cells| of the corpus, the
+    // query-side tables (routing + distance tables) broadcast, and the
+    // big side never shuffles. Distances are integer-scaled before
+    // summing, so ranking is order-independent and DuckDB-oracled. ----
+    QueryDef("q_ann_ivfpq_search", Some(
+      s"""WITH $pqBaseSql,
+         |qroute AS (
+         |  SELECT vec_id AS query_id, code AS cell, rn AS probe_rank FROM (
+         |    SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d_cell, code) AS rn
+         |    FROM (SELECT vec_id, code,
+         |            CAST(sum(CAST(floor(dist * 1000000000) AS BIGINT)) AS BIGINT) AS d_cell
+         |          FROM dists WHERE $querySetPred GROUP BY vec_id, code))
+         |  WHERE rn <= 2),
+         |dtable AS (
+         |  SELECT vec_id AS query_id, subspace, code,
+         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+         |  FROM dists WHERE $querySetPred),
+         |adc AS (
+         |  SELECT q.query_id, n.vec_id AS candidate_id,
+         |    CAST(sum(d.d_scaled) AS BIGINT) AS adc_scaled
+         |  FROM qroute q
+         |  JOIN n ON n.label = q.cell AND n.vec_id <> q.query_id
+         |  JOIN codes k ON k.vec_id = n.vec_id
+         |  JOIN dtable d ON d.query_id = q.query_id
+         |    AND d.subspace = k.subspace AND d.code = k.code
+         |  GROUP BY q.query_id, n.vec_id)
+         |SELECT query_id, candidate_id, adc_scaled, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_scaled, candidate_id) AS rnk FROM adc) WHERE rnk <= 5""".stripMargin))(
+      (s, d) => {
+        val (dists, codes) = pqBase(s, d)
+        val scaled = floor(col("dist") * 1000000000L).cast("bigint")
+        val routeW = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d_cell").asc, col("code").asc)
+        val qroute = dists.where(expr(querySetPred))
+          .groupBy(col("vec_id"), col("code"))
+          .agg(org.apache.spark.sql.functions.sum(scaled).as("d_cell"))
+          .withColumn("rn", row_number().over(routeW))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("code").as("cell"))
+        val dtable = dists.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+            scaled.as("d_scaled"))
+        val cands = Tables(s, d, "embeddings")
+          .select(col("vec_id").as("candidate_id"), col("label"))
+        // routing + distance tables are query-set-sized: broadcast
+        // both; the corpus-sized sides only ever hash-join locally.
+        val adc = cands
+          .join(broadcast(qroute), col("label") === col("cell") &&
+            col("candidate_id") =!= col("query_id"))
+          .join(codes.withColumnRenamed("vec_id", "candidate_id")
+            .select(col("candidate_id"), col("subspace"), col("code")),
+            Seq("candidate_id"))
+          .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        adc.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       })
   )
 }

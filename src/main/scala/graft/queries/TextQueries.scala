@@ -558,6 +558,108 @@ object TextQueries {
             "alpha")
             .when(col("n_digit") >= col("n_symbol"), "digit")
             .otherwise("symbol").as("dominant_class"))
-      })
+      }),
+
+    // ---- repetition metrics (Gopher/C4-style): fraction of n-gram
+    // occurrences claimed by the most common bigram, and the fraction
+    // inside ANY duplicated trigram — the standard signals for
+    // template/boilerplate docs. Computed the scalable way: explode →
+    // count per (doc, gram) → per-doc roll-up. Both shuffles hash on
+    // doc_id(,gram) with map-side partials; nothing is quadratic in
+    // document length (a per-row HOF mode() would be). ----
+    QueryDef("q_text_repetition", Some(
+      """WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, gram, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS gram FROM w)
+        |  GROUP BY doc_id, gram),
+        |ba AS (SELECT doc_id, max(n) AS top_bigram_n, CAST(sum(n) AS BIGINT) AS n_bigrams
+        |       FROM bg GROUP BY doc_id),
+        |tg AS (
+        |  SELECT doc_id, gram, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram FROM w)
+        |  GROUP BY doc_id, gram),
+        |ta AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_trigram_n,
+        |         CAST(sum(n) AS BIGINT) AS n_trigrams
+        |       FROM tg GROUP BY doc_id)
+        |SELECT d.doc_id, ba.n_bigrams, ba.top_bigram_n,
+        |  CASE WHEN ba.n_bigrams > 0
+        |       THEN CAST(ba.top_bigram_n AS DOUBLE) / ba.n_bigrams END AS top_bigram_frac,
+        |  ta.n_trigrams, ta.dup_trigram_n,
+        |  CASE WHEN ta.n_trigrams > 0
+        |       THEN CAST(ta.dup_trigram_n AS DOUBLE) / ta.n_trigrams END AS dup_trigram_frac
+        |FROM documents d
+        |LEFT JOIN ba ON ba.doc_id = d.doc_id
+        |LEFT JOIN ta ON ta.doc_id = d.doc_id""".stripMargin))(
+      (s, d) => {
+        // n-grams kept NON-distinct (repetition is the point); short
+        // docs guard against sequence(1, 0) descending.
+        def grams(n: Int) = when(size(col("t")) >= n,
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*)))
+          .otherwise(array().cast("array<string>"))
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+        val bg = docs.select(col("doc_id"), explode(grams(2)).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+        val tg = docs.select(col("doc_id"), explode(grams(3)).as("gram"))
+          .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_trigram_n"),
+            sum(col("n")).as("n_trigrams"))
+        docs.select(col("doc_id"))
+          .join(bg, Seq("doc_id"), "left")
+          .join(tg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+            when(col("n_bigrams") > 0,
+              col("top_bigram_n").cast("double") / col("n_bigrams"))
+              .as("top_bigram_frac"),
+            col("n_trigrams"), col("dup_trigram_n"),
+            when(col("n_trigrams") > 0,
+              col("dup_trigram_n").cast("double") / col("n_trigrams"))
+              .as("dup_trigram_frac"))
+      }),
+
+    // ---- Gopher-style quality rules: document-level token-count /
+    // mean-word-length / lexical-diversity / stopword-presence bounds
+    // with a composite verdict. Entirely row-local (one scan, zero
+    // shuffles — embarrassingly parallel at any corpus size); the
+    // arrays are materialized in a separate select per the HOF
+    // inlining rule. Thresholds follow the published Gopher rules
+    // where the synthetic fixture exercises them (token count,
+    // mean word length, stopword count) plus a unique-token-ratio
+    // floor calibrated to split this corpus (~0.28..1.0 observed). ----
+    QueryDef("q_text_gopher", Some(
+      s"""SELECT doc_id, n_tokens, mean_word_len, uniq_frac, n_stop,
+         |  (n_tokens BETWEEN 30 AND 100000
+         |    AND mean_word_len >= 3 AND mean_word_len <= 10
+         |    AND uniq_frac >= 0.4 AND n_stop >= 2) AS passes
+         |FROM (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+         |      (a, b) -> a + b) AS DOUBLE) / len(t) AS mean_word_len,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS uniq_frac,
+         |    len(list_filter(t, x -> x IN ($stopIn))) AS n_stop
+         |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+            size(col("t")).as("n_tokens"),
+            (aggregate(col("t"), lit(0), (a, x) => a + length(x)).cast("double") /
+              size(col("t"))).as("mean_word_len"),
+            (size(array_distinct(col("t"))).cast("double") / size(col("t")))
+              .as("uniq_frac"),
+            size(filter(col("t"), x => x.isInCollection(stopwords))).as("n_stop"))
+          .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+            col("uniq_frac"), col("n_stop"),
+            (col("n_tokens").between(30, 100000) &&
+              col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+              col("uniq_frac") >= 0.4 && col("n_stop") >= 2).as("passes")))
   )
 }
