@@ -66,6 +66,23 @@ object EventStream {
     in.dropDuplicates("event_id")
   }
 
+  /** Bounded-state keyed dedup: `dropDuplicatesWithinWatermark` keeps
+    * each key only until the watermark passes its event time + delay,
+    * then evicts it — unlike [[dedupe]], whose per-key state grows
+    * forever (every event_id ever seen). At 100 TB/day of events the
+    * unbounded variant is not runnable; this one's state is bounded by
+    * the watermark horizon. The trade: a duplicate arriving after its
+    * original's state was evicted is re-emitted (at-least-once within
+    * the horizon — the same contract as the reference's checkpointed
+    * at-least-once load, SURVEY.md §3.4). */
+  def dedupeWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+  }
+
   /** Stream-stream interval join: purchases within 1h after a signup
     * by the same user (the streaming twin of q_interval_join). Both
     * sides carry watermarks and the join condition bounds event time,

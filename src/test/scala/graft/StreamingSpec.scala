@@ -117,6 +117,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.find(_._1 == w0).get === ((w0, 1L, 1.0)))
   }
 
+  test("dedupeWithinWatermark: bounded state — dups dropped in-horizon, key evicted after") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupeWithinWatermark(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ddww_out")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "click", 1.0, "{}"),
+      (1L, ts("2024-01-01 00:01:00"), 10L, "click", 1.0, "{}")) // same-batch dup
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 00:05:00"), 10L, "click", 1.0, "{}")) // in-horizon dup
+    q.processAllAvailable()
+    // advance the watermark far past id 1's expiry → its state evicts
+    input.addData((2L, ts("2024-01-01 01:00:00"), 11L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    // id 1 reappears ON TIME (ts ahead of the 00:50 watermark) but after
+    // eviction: re-emitted — the documented at-least-once-past-horizon trade
+    input.addData((1L, ts("2024-01-01 00:55:00"), 10L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.table("ddww_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids === Seq(1L, 1L, 2L),
+      "expected one in-horizon emission, one post-eviction re-emission, one distinct key")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj_")
     java.nio.file.Files.copy(
