@@ -102,18 +102,20 @@ final case class BandJoinExec(
       }
     }
 
-    // cogroup with Kryo on the wire: UnsafeRow is KryoSerializable
-    // (raw bytes), vs the default JavaSerializer's per-object
-    // ObjectStream framing — the shuffle dominates this operator
-    val cogrouped = {
-      val cg = new org.apache.spark.rdd.CoGroupedRDD[Long](
-        Seq(lKeyed, rKeyed), new HashPartitioner(numParts))
-      cg.setSerializer(new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf))
-      cg.mapValues { case Array(ls, rs) =>
-        (ls.asInstanceOf[Iterable[UnsafeRow]], rs.asInstanceOf[Iterable[UnsafeRow]])
-      }
-    }
-    cogrouped.mapPartitions { it =>
+    // Two plain hash shuffles aligned on the same partitioner, zipped —
+    // NOT a cogroup: CoGroupedRDD routes every row of BOTH sides
+    // through an ExternalAppendOnlyMap building per-key CompactBuffers
+    // (measured ~1/3 of this operator's time). Here only the build
+    // (left) side is buffered, into per-bucket arrays, and the probe
+    // (right) side streams straight off the shuffle. Kryo on the wire:
+    // UnsafeRow serializes as raw bytes vs JavaSerializer's per-object
+    // ObjectStream framing.
+    val part = new HashPartitioner(numParts)
+    val kryo = new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf)
+    def shuffled(rdd: RDD[(Long, UnsafeRow)]): RDD[(Long, UnsafeRow)] =
+      new org.apache.spark.rdd.ShuffledRDD[Long, UnsafeRow, UnsafeRow](rdd, part)
+        .setSerializer(kryo)
+    shuffled(lKeyed).zipPartitions(shuffled(rKeyed)) { (lit, rit) =>
       val joined = new JoinedRow
       val pred = Predicate.create(condExpr, leftOut ++ rightOut)
       // downstream operators expect UnsafeRow (reused-buffer contract)
@@ -122,36 +124,48 @@ final case class BandJoinExec(
       val boundProj = UnsafeProjection.create(Seq(loEnd, hiEnd), rightOut)
       def sortKey(row: InternalRow): Long =
         if (isIntegral) row.getLong(0) else fpKey(row.getDouble(0))
-      it.flatMap { case (_, (ls, rs)) =>
-        if (ls.isEmpty || rs.isEmpty) Iterator.empty
+      // build: bucket → left rows, each bucket key-sorted lazily on
+      // first probe (x is non-null here — dropped at shuffle)
+      final class Bucket(val ab: scala.collection.mutable.ArrayBuffer[UnsafeRow]) {
+        var keys: Array[Long] = null
+        var rows: Array[UnsafeRow] = null
+        def sorted(): Unit = if (keys == null) {
+          val pairs = ab.iterator.map(l => (sortKey(keyProj(l)), l)).toArray.sortBy(_._1)
+          keys = pairs.map(_._1); rows = pairs.map(_._2)
+        }
+      }
+      val buckets = new java.util.HashMap[Long, Bucket]()
+      lit.foreach { case (b, row) =>
+        var bk = buckets.get(b)
+        if (bk == null) { bk = new Bucket(scala.collection.mutable.ArrayBuffer.empty); buckets.put(b, bk) }
+        bk.ab += row
+      }
+      if (buckets.isEmpty) Iterator.empty
+      else rit.flatMap { case (b, r) =>
+        val bk = buckets.get(b)
+        if (bk == null) Iterator.empty
         else {
-          // sort this bucket's left rows by band key once (x is
-          // non-null here — null-keyed rows were dropped at shuffle)
-          val pairs = ls.iterator
-            .map(l => (sortKey(keyProj(l)), l)).toArray.sortBy(_._1)
-          val keys = pairs.map(_._1)
-          val rows = pairs.map(_._2)
-          rs.iterator.flatMap { r =>
-            val b = boundProj(r)
-            val lo = sortKey(b)
-            val hi = if (isIntegral) b.getLong(1) else fpKey(b.getDouble(1))
-            // first index with keys(i) >= lo
-            var s = 0; var e = keys.length
-            while (s < e) { val m = (s + e) >>> 1; if (keys(m) < lo) s = m + 1 else e = m }
-            val from = s
-            new Iterator[InternalRow] {
-              private var i = from
-              private var ready: InternalRow = null
-              private def advance(): Unit =
-                while (ready == null && i < keys.length && keys(i) <= hi) {
-                  if (pred.eval(joined(rows(i), r))) ready = outProj(joined)
-                  i += 1
-                }
-              override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
-              override def next(): InternalRow = {
-                if (!hasNext) throw new NoSuchElementException
-                val out = ready; ready = null; out
+          bk.sorted()
+          val keys = bk.keys; val rows = bk.rows
+          val bounds = boundProj(r)
+          val lo = sortKey(bounds)
+          val hi = if (isIntegral) bounds.getLong(1) else fpKey(bounds.getDouble(1))
+          // first index with keys(i) >= lo
+          var s = 0; var e = keys.length
+          while (s < e) { val m = (s + e) >>> 1; if (keys(m) < lo) s = m + 1 else e = m }
+          val from = s
+          new Iterator[InternalRow] {
+            private var i = from
+            private var ready: InternalRow = null
+            private def advance(): Unit =
+              while (ready == null && i < keys.length && keys(i) <= hi) {
+                if (pred.eval(joined(rows(i), r))) ready = outProj(joined)
+                i += 1
               }
+            override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+            override def next(): InternalRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val out = ready; ready = null; out
             }
           }
         }
