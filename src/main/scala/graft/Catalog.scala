@@ -12,6 +12,7 @@ object Catalog {
       AggregateQueries.defs ++
       WindowQueries.defs ++
       SetOpQueries.defs ++
+      SubqueryQueries.defs ++
       ScalarQueries.defs ++
       TextQueries.defs ++
       SampleQueries.defs ++

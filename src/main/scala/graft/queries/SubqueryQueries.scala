@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+
+/** Subquery surface: scalar, correlated-scalar, EXISTS and NOT EXISTS.
+  * The reference's config predicates never use subqueries, but its
+  * `where(str)`/`selectExpr` passthrough hands the whole Spark SQL
+  * parser to users (SURVEY.md §2.3), and §4.1 lists subquery
+  * decorrelation as available-but-unexercised — these pin it. Each
+  * query is one ANSI string planned by BOTH engines (Spark via
+  * [[Tables.registerAll]] temp views, DuckDB over the same parquet):
+  * Catalyst decorrelates the EXISTS forms to semi/anti hash joins and
+  * the correlated scalar to an aggregate + outer join — there is no
+  * per-row re-execution anywhere, so the forms scale like their
+  * explicit-join twins.
+  *
+  * Parity: only max() scalars (order-independent, exact on doubles —
+  * no FP-accumulation divergence) and integer/equality predicates.
+  */
+object SubqueryQueries {
+
+  private def sql(q: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => { Tables.registerAll(s, d); s.sql(q) }
+
+  private val scalarSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  (SELECT max(o_totalprice) FROM orders) AS corpus_max
+      |FROM orders
+      |WHERE o_totalprice >= 0.9 * (SELECT max(o_totalprice) FROM orders)""".stripMargin
+
+  private val corrScalarSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin
+
+  private val existsSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 480000)""".stripMargin
+
+  private val notExistsSql =
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 480000)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_scalar", Some(scalarSql))(sql(scalarSql)),
+    QueryDef("q_subquery_corr_scalar", Some(corrScalarSql))(sql(corrScalarSql)),
+    QueryDef("q_subquery_exists", Some(existsSql))(sql(existsSql)),
+    QueryDef("q_subquery_not_exists", Some(notExistsSql))(sql(notExistsSql)))
+}
