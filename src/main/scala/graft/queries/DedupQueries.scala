@@ -169,6 +169,44 @@ object DedupQueries {
           .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
+    // ---- train/benchmark decontamination: which training docs share
+    // a 5-gram with the held-out split? The standard pre-training
+    // hygiene pass (benchmark contamination), expressed as an
+    // inverted-index join on HASHED 5-gram shingles between the two
+    // hash-split partitions of q_sample_split — never an all-pairs
+    // compare. The held-out side is a small fixed fraction of the
+    // corpus, so at cluster scale its exploded shingle index
+    // broadcasts and the train side streams map-side; output is one
+    // row per contaminated train doc with its exposure counts. ----
+    QueryDef("q_dedup_contamination", Some(
+      s"""WITH gs AS (
+         |  SELECT doc_id, ${h32Sql("text")} % 100 AS bucket,
+         |    ${shinglesSql("w", 5)} AS g
+         |  FROM (SELECT doc_id, text, ${tokensSql("text")} AS w FROM documents)),
+         |sh AS (SELECT doc_id, bucket, list_distinct(${shingleHashesSql("g")}) AS sh FROM gs),
+         |ex_train AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket < 80),
+         |ex_test AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket >= 90)
+         |SELECT t.doc_id, count(DISTINCT b.doc_id) AS n_test_docs,
+         |  count(DISTINCT t.h) AS n_shared_shingles
+         |FROM ex_train t JOIN ex_test b ON t.h = b.h
+         |GROUP BY t.doc_id""".stripMargin))(
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
+            tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("bucket"),
+            array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+        val exTrain = sh.where(col("bucket") < 80)
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+        val exTest = sh.where(col("bucket") >= 90)
+          .select(col("doc_id").as("test_doc"), explode(col("sh")).as("h"))
+        exTrain.join(broadcast(exTest), Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("test_doc")).as("n_test_docs"),
+            countDistinct(col("h")).as("n_shared_shingles"))
+      }),
+
     // ---- MinHash + LSH banding, exact-Jaccard verified ----
     QueryDef("q_dedup_minhash_lsh", Some {
       val bandKeys = (0 until numBands).map { b =>
