@@ -90,6 +90,30 @@ final class Pipeline(
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
 
+  /** Rows staged per pipeline stage (`target/extract_src`,
+    * `target/transform`), the reference's post-read / post-transform
+    * record counts (py:124, py:148) — but derived from the staging
+    * write job itself via `Dataset.observe`, not the reference's extra
+    * `count()` actions that re-ran every Oracle scan and join
+    * (SURVEY.md §4.3). Metrics piggyback on the write's own pass, so
+    * the count is free at any scale. */
+  val stageCounts: scala.collection.mutable.Map[String, Long] =
+    scala.collection.mutable.Map.empty
+
+  /** Attach a row-count observation; `harvest()` reads it after the
+    * write action and records + logs the count. */
+  private def observed(df: DataFrame, stage: String): (DataFrame, () => Unit) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val harvested = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    (harvested, () => {
+      val rows = obs.get("rows").asInstanceOf[Long]
+      stageCounts(stage) = rows
+      log.info(s"[$stage] staged $rows rows")
+    })
+  }
+
   /** Catalog table for a bucketed-staged source, scoped by workspace so
     * concurrent jobs (and tests) don't collide. */
   private def bucketTableName(srcName: String): String =
@@ -147,7 +171,9 @@ final class Pipeline(
             if (!spark.catalog.tableExists(tbl)) {
               log.info(s"[${t.targetTable}] extracting ${s.name} (bucketed by $key)")
               val df = Relational.filterSql(source(s), s.filter.orNull)
-              Relational.sinkBucketed(df, tbl, key, s.numBuckets, Some(key))
+              val (odf, harvest) = observed(df, s"${t.targetTable}/extract_${s.name}")
+              Relational.sinkBucketed(odf, tbl, key, s.numBuckets, Some(key))
+              harvest()
             } else if (!bucketTableHealthy(tbl)) {
               // a job that died between catalog commit and data write
               // (or whose storage was lost) leaves a table entry whose
@@ -166,7 +192,9 @@ final class Pipeline(
             if (!storage.datasetExists(rawDir)) {
               log.info(s"[${t.targetTable}] extracting ${s.name}")
               val df = Relational.filterSql(source(s), s.filter.orNull)
-              Relational.sinkParquet(Relational.rebalance(df, s.numPartitions), rawDir)
+              val (odf, harvest) = observed(df, s"${t.targetTable}/extract_${s.name}")
+              Relational.sinkParquet(Relational.rebalance(odf, s.numPartitions), rawDir)
+              harvest()
             } else {
               log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
             }
@@ -182,9 +210,11 @@ final class Pipeline(
       val joined = Relational.joinGraph(staged, t.root,
         t.joins.map(j => Relational.JoinEdge(j.rightTable, j.leftCol, j.rightCol, j.joinType)))
       val transformed = Relational.project(joined, t.transformedColumns)
+      val (odf, harvest) = observed(transformed, s"${t.targetTable}/transform")
       Relational.sinkParquet(
-        Relational.rebalance(transformed, t.numPartitions),
+        Relational.rebalance(odf, t.numPartitions),
         spec.transformedDir(t.targetTable))
+      harvest()
       log.info(s"[${t.targetTable}] transformed data staged")
     }
 

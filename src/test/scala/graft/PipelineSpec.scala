@@ -55,6 +55,27 @@ class PipelineSpec extends SparkSpecBase {
       "order_id", "price", "priority", "qty", "segment"))
   }
 
+  test("observed stage counts: extract/transform rows recorded by the write job itself") {
+    val ws = freshWorkspace()
+    val sp = PipelineQueries.spec(ws)
+    val p = new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1)
+    p.runAll()
+    // the observe-derived counts equal what the staged datasets hold —
+    // the reference's py:124/py:148 counts without their extra scans
+    assert(p.stageCounts("enriched_lineitem/transform") === expectedRows)
+    val rawLineitem = spark.read.parquet(sp.rawDir("lineitem")).count()
+    assert(p.stageCounts("enriched_lineitem/extract_lineitem") === rawLineitem)
+    assert(p.stageCounts.keySet.exists(_.endsWith("extract_nation")))
+    // resume run stages nothing → observes nothing
+    val p2 = new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1)
+    p2.runAll()
+    assert(p2.stageCounts.isEmpty)
+  }
+
   test("footer row counts match data row counts") {
     val sp = run(freshWorkspace())
     val storage = new Storage(spark.sparkContext.hadoopConfiguration)
