@@ -23,15 +23,15 @@ class LayoutSpec extends SparkSpecBase {
     here ++ p.children.flatMap(allScans) ++ p.subqueries.flatMap(allScans)
   }
 
-  /** Rows the parquet scan emits for `l_orderkey <= bound` over `dir`
-    * (with vectorized reads, that is exactly the rows of the row
-    * groups whose min/max overlap the predicate). */
-  private def rowsScanned(dir: String, bound: Long): (Long, Long) = {
-    val df = spark.read.parquet(dir).where(col("l_orderkey") <= bound)
+  /** Rows the parquet scan emits for `key <= bound` over `dir` (with
+    * vectorized reads, that is exactly the rows of the row groups
+    * whose min/max overlap the predicate). */
+  private def rowsScanned(dir: String, key: String, bound: Long): (Long, Long) = {
+    val df = spark.read.parquet(dir).where(col(key) <= bound)
     val matches = df.count()
     // count() prunes columns but keeps the pushed filter; re-run with
     // collect so the scan metric reflects a real projection
-    val df2 = spark.read.parquet(dir).where(col("l_orderkey") <= bound)
+    val df2 = spark.read.parquet(dir).where(col(key) <= bound)
     df2.collect()
     val scan = allScans(df2.queryExecution.executedPlan)
       .headOption.getOrElse(fail("no file scan in plan"))
@@ -51,8 +51,8 @@ class LayoutSpec extends SparkSpecBase {
     Layout.stageClustered(li, clusteredDir, 8, "l_orderkey")
     li.repartition(8).write.mode("overwrite").parquet(roundRobinDir)
 
-    val (clusteredRead, m1) = rowsScanned(clusteredDir, bound)
-    val (rrRead, m2) = rowsScanned(roundRobinDir, bound)
+    val (clusteredRead, m1) = rowsScanned(clusteredDir, "l_orderkey", bound)
+    val (rrRead, m2) = rowsScanned(roundRobinDir, "l_orderkey", bound)
     assert(m1 === m2, "layout must not change results")
     assert(m1 > 0, "band must match some rows")
 
@@ -63,5 +63,36 @@ class LayoutSpec extends SparkSpecBase {
     assert(clusteredRead <= total / 4,
       s"clustered staging should read <= ${total / 4} rows, read $clusteredRead")
     assert(clusteredRead >= m1)
+  }
+
+  test("z-order layout prunes on BOTH keys; single-key layout prunes on one") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val total = li.count()
+    def maxOf(c: String) =
+      li.agg(org.apache.spark.sql.functions.max(col(c))).head().getLong(0)
+    val boundA = maxOf("l_orderkey") / 16
+    val boundB = maxOf("l_partkey") / 16
+
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_")
+    val zDir = base.resolve("zorder").toString
+    val singleDir = base.resolve("single").toString
+    Layout.stageZOrdered(li, zDir, 16, "l_orderkey", "l_partkey")
+    Layout.stageClustered(li, singleDir, 16, "l_orderkey")
+
+    val (zA, mzA) = rowsScanned(zDir, "l_orderkey", boundA)
+    val (zB, mzB) = rowsScanned(zDir, "l_partkey", boundB)
+    val (sA, msA) = rowsScanned(singleDir, "l_orderkey", boundA)
+    val (sB, msB) = rowsScanned(singleDir, "l_partkey", boundB)
+    assert(mzA === msA); assert(mzB === msB) // layout never changes results
+    assert(mzA > 0 && mzB > 0)
+
+    // single-key: razor-sharp on its own key, useless on the other
+    assert(sA <= total / 4, s"single-key layout should prune key A hard: $sA")
+    assert(sB === total, s"single-key layout cannot prune key B: $sB vs $total")
+    // z-order: meaningful pruning on BOTH keys (the sqrt trade-off —
+    // neither as sharp as the dedicated key, both far below a full scan)
+    assert(zA <= total / 2, s"z-order should prune key A: $zA of $total")
+    assert(zB <= total / 2, s"z-order should prune key B: $zB of $total")
+    assert(zA >= mzA && zB >= mzB)
   }
 }
