@@ -169,6 +169,37 @@ object DedupQueries {
           .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
+    // ---- edit-distance verify over bag-of-words candidates: docs
+    // with IDENTICAL token sets (q_dedup_bow groups) differ only by
+    // word order/repetition — levenshtein on the raw text quantifies
+    // how far apart they actually are. The candidate set comes from an
+    // equi-join on the bow hash (never pairwise over the corpus), and
+    // the O(len²) DP runs only on those few pairs — the standard
+    // cheap-filter → expensive-verify shape. Both engines implement
+    // classic unit-cost levenshtein, so the distances are oracled
+    // exactly. ----
+    QueryDef("q_dedup_edit_distance", Some(
+      """WITH b AS (SELECT doc_id, text,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(text), ' '))), ' ')) AS h FROM documents)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  levenshtein(a.text, c.text) AS edit_dist,
+        |  length(a.text) AS len_a, length(c.text) AS len_b
+        |FROM b a JOIN b c ON a.h = c.h AND a.doc_id < c.doc_id""".stripMargin))(
+      (s, d) => {
+        val b = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("text"),
+            md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("h"))
+          .persist() // self-joined below
+        b.alias("a")
+          .join(b.alias("c"), col("a.h") === col("c.h") &&
+            col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
+            levenshtein(col("a.text"), col("c.text")).as("edit_dist"),
+            length(col("a.text")).as("len_a"), length(col("c.text")).as("len_b"))
+      }),
+
     // ---- train/benchmark decontamination: which training docs share
     // a 5-gram with the held-out split? The standard pre-training
     // hygiene pass (benchmark contamination), expressed as an

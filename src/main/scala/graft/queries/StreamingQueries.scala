@@ -57,6 +57,32 @@ object StreamingQueries {
             max(col("tus")).as("session_end_us"),
             count(lit(1)).as("n_events"),
             (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total_value"))
-      })
+      }),
+
+    // Spark's NATIVE session_window aggregation (one MergingSessions
+    // pass — no window-function sort chain), oracled against the same
+    // lag+cumsum SQL as the manual twin: a three-way pin that builtin
+    // operator == hand-rolled batch == the streaming state machines
+    // (StreamingSpec). session_window's end is last-event + gap, so
+    // the oracle emits max(tus) + gap. ----
+    QueryDef("q_stream_session_window_batch", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) + 1800000000 AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("sw.start")).as("session_start_us"),
+            unix_micros(col("sw.end")).as("session_end_us"),
+            col("n_events")))
   )
 }
