@@ -153,6 +153,21 @@ object RelationalQueries {
             coalesce(sn("n_supp"), lit(0)).as("n_supp"))
       }),
 
+    // RIGHT outer: keep every customer, null order columns where no
+    // big order matches (the mirror of q_join_left_outer — Catalyst
+    // plans both as the same hash join with build-side swap).
+    QueryDef("q_join_right_outer", Some(
+      """SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice >= 490000) o
+        |RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin))(
+      (s, d) => {
+        val o = Tables(s, d, "orders").where(col("o_totalprice") >= 490000)
+        val c = Tables(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+          .select(c("c_custkey"), c("c_mktsegment"),
+            o("o_orderkey"), o("o_totalprice"))
+      }),
+
     // CROSS join (tiny dims only — guarded by design, not by Spark).
     QueryDef("q_join_cross", Some(
       """SELECT r_name AS region, sts.s AS status

@@ -249,6 +249,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("native session_window streaming equals the oracled batch query") {
+    import org.apache.spark.sql.functions.{count, lit, session_window, unix_micros}
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+
+    val input = MemoryStream[Event]
+    val streamed = input.toDS().withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start").as("session_start_us"),
+        unix_micros($"sw.end").as("session_end_us"), $"n_events")
+    val q = streamed.writeStream
+      .format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    input.addData(sample.toIndexedSeq)
+    q.processAllAvailable()
+    // watermark flush: advance past every real session's end + gap
+    input.addData(Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    input.addData(Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("swin_out")
+      .where($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    q.stop()
+    val want = Catalog.byName("q_stream_session_window_batch").fn(spark, sfDir)
+      .where($"user_id" < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got === want)
+  }
+
   test("streaming top-k event types (MapState) equals the batch twin") {
     val sample = Tables(spark, sfDir, "events")
       .where($"user_id" < 20)
