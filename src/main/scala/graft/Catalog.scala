@@ -19,6 +19,7 @@ object Catalog {
       SketchQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
+      EvalQueries.defs ++
       MultimodalQueries.defs ++
       PipelineQueries.defs ++
       StreamingQueries.defs

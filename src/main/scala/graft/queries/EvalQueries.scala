@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.functions.GraftFunctions
+import graft.ops.TextOps._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline-quality evaluation: measure an approximate operator
+  * against its exact baseline INSIDE the engine, the way a training
+  *-data pipeline audits its own recall before shipping a corpus. The
+  * first entry scores the PQ/ADC path against brute-force cosine
+  * top-k. Both sides are deterministic (sorted folds, integer-scaled
+  * distances, fixed tiebreaks), so even this meta-query has an exact
+  * DuckDB twin — the recall numbers themselves are oracled.
+  *
+  * Scale: the eval runs on the sampled query set only (fixed fraction
+  * of the corpus); both legs are the same broadcast-and-scan shapes as
+  * the operators they audit.
+  */
+object EvalQueries {
+
+  private val k = 5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- recall@5 of PQ ADC ranking vs exact cosine top-5 ----
+    QueryDef("q_eval_pq_recall", Some {
+      import SimilarityQueries.{pqBaseSql, querySetPred}
+      s"""WITH $pqBaseSql,
+         |nv AS (SELECT vec_id, v, ${normDSql("v")} AS nrm FROM n),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM nv WHERE $querySetPred) q
+         |    JOIN nv c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k),
+         |dtable AS (
+         |  SELECT vec_id AS query_id, subspace, code,
+         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+         |  FROM dists WHERE $querySetPred),
+         |adc AS (
+         |  SELECT dtable.query_id, codes.vec_id AS candidate_id,
+         |    CAST(sum(dtable.d_scaled) AS BIGINT) AS adc_scaled
+         |  FROM codes JOIN dtable
+         |    ON codes.subspace = dtable.subspace AND codes.code = dtable.code
+         |  WHERE codes.vec_id <> dtable.query_id
+         |  GROUP BY dtable.query_id, codes.vec_id),
+         |adc_top AS (
+         |  SELECT query_id, candidate_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_scaled, candidate_id) AS rnk FROM adc)
+         |  WHERE rnk <= $k)
+         |SELECT b.query_id, count(a.candidate_id) AS n_hits,
+         |  count(a.candidate_id) / ${k}.0 AS recall_at_$k
+         |FROM brute b LEFT JOIN adc_top a
+         |  ON a.query_id = b.query_id AND a.candidate_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{pqBase, querySetPred, vecs}
+        // exact leg: brute-force cosine top-k (same shape as q_ann_brute_topk)
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val brute = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wB))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        // approximate leg: ADC over PQ codes (same shape as q_ann_pq_search)
+        val (dists, codes) = pqBase(s, d)
+        val dtable = dists.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+            floor(col("dist") * 1000000000L).cast("bigint").as("d_scaled"))
+        val adc = codes.select(col("vec_id").as("candidate_id"),
+            col("subspace"), col("code"))
+          .join(broadcast(dtable), Seq("subspace", "code"))
+          .where(col("candidate_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(sum(col("d_scaled")).as("adc_scaled"))
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        val adcTop = adc.withColumn("rnk", row_number().over(wA))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("candidate_id"))
+        brute.alias("b")
+          .join(adcTop.alias("a"),
+            col("a.query_id") === col("b.query_id") &&
+              col("a.candidate_id") === col("b.neighbor_id"), "left")
+          .groupBy(col("b.query_id").as("query_id"))
+          .agg(count(col("a.candidate_id")).as("n_hits"),
+            (count(col("a.candidate_id")) / lit(k.toDouble)).as(s"recall_at_$k"))
+      })
+  )
+}

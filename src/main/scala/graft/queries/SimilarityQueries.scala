@@ -49,11 +49,11 @@ object SimilarityQueries {
     planes(p).map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
 
   /** Query set: every 100th vector — fixed fraction, scales with SF. */
-  private val querySetPred = "vec_id % 100 = 0"
+  private[queries] val querySetPred = "vec_id % 100 = 0"
 
   /** Persisted: every ANN query reads this 2-3× (query + candidate
     * sides, LSH bands). */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[queries] def vecs(s: SparkSession, d: String): DataFrame =
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -66,7 +66,7 @@ object SimilarityQueries {
   /** Shared PQ base (SQL): vectors, bit-exact centroids-as-codebooks,
     * 8 subspace bounds, per-(vector,subspace,codeword) sub-distances,
     * and the argmin code assignment. */
-  private val pqBaseSql: String = {
+  private[queries] val pqBaseSql: String = {
     val sub = (0 until 8).map { sIdx =>
       s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
     }.mkString("\nUNION ALL\n")
@@ -94,7 +94,7 @@ object SimilarityQueries {
 
   /** Shared PQ base (Spark): returns (dists, codes) DataFrames with
     * the same columns/semantics as the SQL CTEs above. */
-  private def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
