@@ -83,4 +83,43 @@ object Layout {
   def stageZOrdered(df: DataFrame, path: String, n: Int,
       keyA: String, keyB: String): Unit =
     clusterZOrder(df, n, keyA, keyB).write.mode("overwrite").parquet(path)
+
+  /** Shuffle-bounded z-order: [[clusterZOrder]]'s rank windows are
+    * global sorts — exact, but the one piece that does not scale
+    * unbounded. This variant ranks each key with
+    * `width_bucket(v, min, max, 2^bits)` off a single tiny min/max
+    * aggregate, so the whole write is one metadata-sized job plus the
+    * range exchange — the shape lakehouse z-order implementations use.
+    * Trade: uniform value buckets, not frequency buckets; a heavily
+    * skewed key fills its curve dimension unevenly (pruning degrades
+    * toward single-key clustering on the other key, never below it).
+    * Use the rank variant when a key's distribution is pathological
+    * and the dataset still sorts globally in acceptable time. */
+  def clusterZOrderUniform(df: DataFrame, n: Int, keyA: String, keyB: String,
+      bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, max, min, shiftleft, shiftright, width_bucket}
+    val buckets = 1L << bits
+    val Array(loA, hiA, loB, hiB) = df.agg(
+        min(col(keyA)).cast("double"), max(col(keyA)).cast("double"),
+        min(col(keyB)).cast("double"), max(col(keyB)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    def rank(key: String, lo: Double, hi: Double) =
+      // width_bucket is 1-based and gives hi the overflow bucket; clamp
+      // back into [0, 2^bits)
+      org.apache.spark.sql.functions.least(
+        width_bucket(col(key).cast("double"), lit(lo), lit(hi), lit(buckets.toInt)) - 1,
+        lit(buckets - 1)).cast("long")
+    val withRanks = df
+      .withColumn("__ra", rank(keyA, loA, hiA))
+      .withColumn("__rb", rank(keyB, loB, hiB))
+    val z = (0 until bits).map { i =>
+      val aBit = shiftleft(shiftright(col("__ra"), i).bitwiseAND(lit(1L)), 2 * i)
+      val bBit = shiftleft(shiftright(col("__rb"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      aBit.bitwiseOR(bBit)
+    }.reduce(_.bitwiseOR(_))
+    withRanks.withColumn("__z", z)
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__ra", "__rb", "__z")
+  }
 }

@@ -94,5 +94,16 @@ class LayoutSpec extends SparkSpecBase {
     assert(zA <= total / 2, s"z-order should prune key A: $zA of $total")
     assert(zB <= total / 2, s"z-order should prune key B: $zB of $total")
     assert(zA >= mzA && zB >= mzB)
+
+    // the shuffle-bounded uniform-bucket variant prunes comparably on
+    // these (uniform-ish) keys — and never worse than a full scan
+    val uDir = base.resolve("zuniform").toString
+    Layout.clusterZOrderUniform(li, 16, "l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(uDir)
+    val (uA, muA) = rowsScanned(uDir, "l_orderkey", boundA)
+    val (uB, muB) = rowsScanned(uDir, "l_partkey", boundB)
+    assert(muA === mzA && muB === mzB)
+    assert(uA <= total / 2, s"uniform z-order should prune key A: $uA of $total")
+    assert(uB <= total / 2, s"uniform z-order should prune key B: $uB of $total")
   }
 }
