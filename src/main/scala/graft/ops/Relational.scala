@@ -130,6 +130,24 @@ object Relational {
   def sinkJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC — the other columnar format Spark ships natively; same
+    * vectorized reader / predicate-pushdown / stats-pruning profile
+    * as parquet, so a staged dataset can target either. */
+  def scanOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def sinkOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Whole-file binary ingest (`binaryFile` source): one row per file
+    * with (path, modificationTime, length, content) — the ingestion
+    * edge of the multimodal lane (graft.multimodal.Media consumes the
+    * `content` bytes). Reads are split per file, never within one, so
+    * partition sizing follows file sizes; cap per-task bytes with
+    * `spark.sql.files.maxPartitionBytes` as usual. */
+  def scanBinaryFiles(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+
   /** Skew-mitigated equi-join: salt the big (skewed) side into
     * `buckets` sub-keys and explode the small side across all salts, so
     * one hot key fans out over `buckets` tasks instead of one straggler.
