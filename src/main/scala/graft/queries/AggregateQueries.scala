@@ -183,6 +183,27 @@ object AggregateQueries {
         Tables(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("rf"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            count(lit(1)).as("n")))
+            count(lit(1)).as("n"))),
+
+    // ANSI FILTER clause: per-group conditional aggregates in ONE pass
+    // (one shuffle, partial+final) instead of self-joining filtered
+    // subqueries. Money sums through DECIMAL(18,2) per the parity
+    // rules.
+    QueryDef("q_agg_filter_clause", Some(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS finished_value
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+            coalesce(
+              sum(when(col("o_orderstatus") === "F",
+                col("o_totalprice").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)"))
+              .cast("double").as("finished_value")))
   )
 }

@@ -168,6 +168,31 @@ object RelationalQueries {
             o("o_orderkey"), o("o_totalprice"))
       }),
 
+    // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other instead of vanishing — Spark still plans it as a hash
+    // join (NullSafeEqual is a valid equi-key), not a nested loop.
+    // Fixture keys are non-null, so nulls are minted from keys % 7 = 0
+    // on both sides to exercise the NULL==NULL group.
+    QueryDef("q_join_null_safe", Some(
+      """SELECT n.k AS nat_key, count(*) AS n_pairs
+        |FROM (SELECT CASE WHEN c_nationkey % 7 = 0 THEN NULL
+        |                  ELSE c_nationkey END AS k FROM customer) c
+        |JOIN (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+        |                  ELSE n_nationkey END AS k FROM nation) n
+        |  ON c.k IS NOT DISTINCT FROM n.k
+        |GROUP BY n.k""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+          .select(when(col("c_nationkey") % 7 === 0, lit(null))
+            .otherwise(col("c_nationkey")).as("ck"))
+        val n = Tables(s, d, "nation")
+          .select(when(col("n_nationkey") % 7 === 0, lit(null))
+            .otherwise(col("n_nationkey")).as("nk"))
+        c.join(n, col("ck") <=> col("nk"))
+          .groupBy(col("nk").as("nat_key"))
+          .agg(count(lit(1)).as("n_pairs"))
+      }),
+
     // CROSS join (tiny dims only — guarded by design, not by Spark).
     QueryDef("q_join_cross", Some(
       """SELECT r_name AS region, sts.s AS status
