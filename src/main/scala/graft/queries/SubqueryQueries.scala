@@ -44,9 +44,21 @@ object SubqueryQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 480000)""".stripMargin
 
+  /** LATERAL correlated derived table with ORDER BY + LIMIT (per-nation
+    * top-2 customers): decorrelated to a ranked window join, not a
+    * per-row re-execution. Tiebreak on c_custkey keeps the limit
+    * deterministic in both engines. */
+  private val lateralSql =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_subquery_scalar", Some(scalarSql))(sql(scalarSql)),
     QueryDef("q_subquery_corr_scalar", Some(corrScalarSql))(sql(corrScalarSql)),
     QueryDef("q_subquery_exists", Some(existsSql))(sql(existsSql)),
-    QueryDef("q_subquery_not_exists", Some(notExistsSql))(sql(notExistsSql)))
+    QueryDef("q_subquery_not_exists", Some(notExistsSql))(sql(notExistsSql)),
+    QueryDef("q_subquery_lateral", Some(lateralSql))(sql(lateralSql)))
 }
