@@ -55,7 +55,23 @@ object SubqueryQueries {
       |  WHERE c_nationkey = n.n_nationkey
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): every customer key
+    * reachable from key 1 through the implicit binary-heap edges
+    * (node → 2n, 2n+1), with its depth — the ANSI transitive-closure
+    * construct, identical text in both engines. Spark executes it as
+    * iterated union steps (one job per level, ~log2(n) levels here),
+    * the same loop the label-propagation dedup runs by hand. */
+  private val recursiveSql =
+    """WITH RECURSIVE tree(node, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT c.c_custkey, t.depth + 1
+      |  FROM customer c JOIN tree t
+      |    ON c.c_custkey = t.node * 2 OR c.c_custkey = t.node * 2 + 1)
+      |SELECT node, depth FROM tree""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_recursive_cte", Some(recursiveSql))(sql(recursiveSql)),
     QueryDef("q_subquery_scalar", Some(scalarSql))(sql(scalarSql)),
     QueryDef("q_subquery_corr_scalar", Some(corrScalarSql))(sql(corrScalarSql)),
     QueryDef("q_subquery_exists", Some(existsSql))(sql(existsSql)),
