@@ -32,10 +32,14 @@ object EventStream {
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** File-source stream over a directory of events parquet. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** File-source stream over a directory of events parquet. Source
+    * options pass through — e.g. `maxFilesPerTrigger` to bound each
+    * micro-batch's ingestion (the backpressure knob for a backlog of
+    * arrived files; honored per batch by AvailableNow too). */
+  def readEvents(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosToTs(spark.readStream.schema(rawSchema).parquet(dir))
+    nanosToTs(spark.readStream.options(options).schema(rawSchema).parquet(dir))
   }
 
   /** Tumbling-window counts/sums per event type. Works on batch and

@@ -249,6 +249,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // static side: plain batch frame — no watermark, no state; Spark
+    // re-plans it per micro-batch (broadcast at dim size)
+    val dim = spark.range(0, 100)
+      .selectExpr("id AS user_id", "concat('tier_', id % 3) AS tier")
+    val q = events.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("ssj_static_out")
+      .outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0, 7L, "click", 1.0, "{}"),
+      (2L, t0, 999L, "view", 2.0, "{}")) // 999 misses the dim
+    q.processAllAvailable()
+    val rows = spark.table("ssj_static_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 7L, "tier_1"), (2L, 999L, null)))
+  }
+
+  test("file source honors maxFilesPerTrigger (bounded per-batch ingestion)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mfpt_")
+    val in = base.resolve("in").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // four separate files arriving "at once"
+    (0 until 4).foreach { i =>
+      raw.where(s"event_id % 4 = $i").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val q = EventStream.readEvents(spark, in, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.format("memory").queryName("mfpt_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 4,
+      s"expected >=4 bounded batches, got ${batches.length}")
+    assert(spark.table("mfpt_out").count() === raw.count())
+  }
+
   test("native session_window streaming equals the oracled batch query") {
     import org.apache.spark.sql.functions.{count, lit, session_window, unix_micros}
     val sample = Tables(spark, sfDir, "events")
