@@ -55,6 +55,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"aggregation fell out of codegen:\n$plan")
   }
 
+  test("join strategy hints switch the physical operator") {
+    // the user-facing physical-tuning surface: one logical join, three
+    // physical strategies on demand — broadcast (small dim), sort-merge
+    // (two big sorted sides), shuffled-hash (big sides, no sort)
+    val fact = Tables(spark, sfDir, "orders")
+    val dim = Tables(spark, sfDir, "customer")
+    def planOf(hint: String): String = {
+      val joined = fact.join(dim.hint(hint), expr("o_custkey = c_custkey"))
+      joined.collect() // AQE finalizes the plan on execution
+      joined.queryExecution.executedPlan.toString
+    }
+    val b = planOf("broadcast")
+    assert(b.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$b")
+    val m = planOf("merge")
+    assert(m.contains("SortMergeJoin"), s"merge hint ignored:\n$m")
+    val h = planOf("shuffle_hash")
+    assert(h.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$h")
+  }
+
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
     val plan = Catalog.byName("q_topk_global").fn(spark, sfDir)
       .queryExecution.executedPlan.toString
