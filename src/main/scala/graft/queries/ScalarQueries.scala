@@ -118,6 +118,24 @@ object ScalarQueries {
           get_json_object(col("props"), "$.k").as("k_str"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))),
 
+    // Spark 4 VARIANT: parse once into the binary semi-structured
+    // type, then typed path extraction — the open-schema lane for
+    // payloads whose shape is not known at write time (vs from_json's
+    // fixed StructType). At scale the parse happens once per row and
+    // every downstream access is a cheap typed probe; the oracle is
+    // DuckDB's JSON path extraction over the same payloads.
+    QueryDef("q_fn_variant", Some(
+      """SELECT event_id AS eid,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') AS missing
+        |FROM events""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "events")
+          .select(col("event_id").as("eid"), parse_json(col("props")).as("v"))
+          .select(col("eid"),
+            expr("variant_get(v, '$.k', 'long')").as("k"),
+            expr("variant_get(v, '$.missing', 'string')").as("missing"))),
+
     // array functions over the token array (two-step select: see
     // TextOps on HOF inlining).
     QueryDef("q_fn_array", Some(
