@@ -330,6 +330,61 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("sessionize restart from checkpoint: state and timers survive, equals batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 10)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+    val mid = sample(sample.length / 2).ts.getTime
+    def writeChunk(evts: Seq[Event]): Unit =
+      spark.createDataset(evts).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      // chunks are written with a real timestamp column (unlike the
+      // fixture's raw nanos), so read with the Event schema directly
+      val events = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+        .parquet(in)
+        .as[Event]
+      val q = EventStream.sessionize(events).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // first run: early events only — sessions for quiet users emit,
+    // still-open sessions stay in state
+    writeChunk(sample.filter(_.ts.getTime <= mid).toIndexedSeq)
+    runOnce()
+    // restart: late events + two watermark-flush sentinels; recovered
+    // state/timers must close every remaining session exactly once
+    writeChunk(sample.filter(_.ts.getTime > mid).toIndexedSeq)
+    runOnce()
+    writeChunk(Seq(
+      Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0),
+      Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0)))
+    runOnce()
+    val got = spark.read.parquet(out).as[Session].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.session_start_us, s.session_end_us,
+        s.n_events.toLong, s.total_value))
+      .sorted.toSeq
+    val want = Catalog.byName("q_stream_sessionize_batch").fn(spark, sfDir)
+      .where($"user_id" >= 0 && $"user_id" < 10)
+      .select($"user_id", $"session_start_us", $"session_end_us",
+        $"n_events", $"total_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(got === want)
+  }
+
   test("streaming top-k event types (MapState) equals the batch twin") {
     val sample = Tables(spark, sfDir, "events")
       .where($"user_id" < 20)
