@@ -60,25 +60,24 @@ object SimilarityQueries {
       .withColumn("nrm", GraftFunctions.norm(col("v")))
       .persist()
 
-  /** 64 zeros for the centroid fold seed, shared Spark/SQL. */
-  private val zeros64Sql = Seq.fill(dim)("0.0").mkString("CAST([", ", ", "] AS DOUBLE[])")
-
-  /** Shared PQ base (SQL): vectors, bit-exact centroids-as-codebooks,
-    * 8 subspace bounds, per-(vector,subspace,codeword) sub-distances,
-    * and the argmin code assignment. */
+  /** Shared PQ base (SQL): vectors, bit-exact centroids-as-codebooks
+    * (integer-scaled component sums — order-independent, so the oracle
+    * needs no sorted fold), 8 subspace bounds, per-(vector,subspace,
+    * codeword) sub-distances, and the argmin code assignment. */
   private[queries] val pqBaseSql: String = {
     val sub = (0 until 8).map { sIdx =>
       s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
     }.mkString("\nUNION ALL\n")
     s"""n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS cnt
-       |      FROM n GROUP BY label),
+       |g AS (
+       |  SELECT label, d.d AS dim,
+       |    CAST(sum(CAST(floor(v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+       |    count(*) AS cnt
+       |  FROM n, range(0, $dim) d(d) GROUP BY label, d.d),
        |cent AS (
-       |  SELECT label AS code, list_transform(
-       |    list_reduce(list_prepend($zeros64Sql, vs),
-       |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
-       |    s -> s / cnt) AS centroid
-       |  FROM g),
+       |  SELECT label AS code,
+       |    list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS centroid
+       |  FROM g GROUP BY label),
        |subs AS ($sub),
        |dists AS (
        |  SELECT n.vec_id, subs.subspace, cent.code,
@@ -98,15 +97,18 @@ object SimilarityQueries {
     val n = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
+    // constant-state centroid training: integer-scale each component,
+    // sum with LongVecSumAgg (dim*8-byte buffer, map-side partials,
+    // order-independent → bit-exact), divide back once. The buffer
+    // never grows with cell cardinality — a cell of millions of
+    // vectors aggregates in the same 512 bytes as a cell of 25.
     val cent = n.groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+      .agg(GraftFunctions.longVecSum(
+          transform(col("v"), x => floor(x * lit(1e9))), dim).as("sums"),
         count(lit(1)).as("cnt"))
       .select(col("label").as("code"),
-        transform(
-          aggregate(col("vs"), zeros,
-            (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
-          x => x / col("cnt")).as("centroid"))
+        transform(col("sums"),
+          x => x.cast("double") / lit(1e9) / col("cnt")).as("centroid"))
     val subs = n.select(col("vec_id"), col("v"),
       explode(array((0 until 8).map(lit): _*)).as("subspace"))
     // codegen'd subspace fold (same sequential order as the interpreted
@@ -127,39 +129,36 @@ object SimilarityQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- IVF centroid training: per-cell mean vector. The fold runs
-    // over vectors SORTED by vec_id, so double addition order — and
-    // therefore every bit of the centroid — is identical across
-    // engines. (The production path is VectorMeanAggregator: constant
-    // state, map-side partials, FP-order nondeterminism ~1e-12.) ----
+    // ---- IVF centroid training: per-cell mean vector via
+    // constant-state integer-scaled sums (LongVecSumAgg). Components
+    // are scaled floor(v*1e9) → summed as longs (order-independent,
+    // exact — no sorted fold needed) → divided back once. The
+    // aggregation buffer is dim longs regardless of cell size, and
+    // Spark pre-reduces map-side, so this survives cells of millions
+    // of vectors where a collect_list fold would OOM an executor. ----
     QueryDef("q_vector_centroids", Some(
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |g AS (SELECT label, list(v ORDER BY vec_id) AS vs, count(*) AS n
-         |      FROM n GROUP BY label),
-         |c AS (SELECT label, n,
-         |  list_transform(
-         |    list_reduce(list_prepend($zeros64Sql, vs),
-         |      (a, b) -> list_transform(list_zip(a, b), z -> z[1] + z[2])),
-         |    s -> s / n) AS centroid
-         |FROM g)
-         |SELECT label, n, CAST(d.d AS INT) AS dim, centroid[d.d + 1] AS val
-         |FROM c, range(0, $dim) d(d)""".stripMargin))(
+         |g AS (
+         |  SELECT label, d.d AS dim,
+         |    CAST(sum(CAST(floor(v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+         |    count(*) AS n
+         |  FROM n, range(0, $dim) d(d) GROUP BY label, d.d)
+         |SELECT label, n, CAST(dim AS INT) AS dim,
+         |  CAST(ssum AS DOUBLE) / 1000000000.0 / n AS val
+         |FROM g""".stripMargin))(
       (s, d) => {
         val n = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
-        val zeros = array(Seq.fill(dim)(lit(0.0)): _*)
         // one row per (label, dim): the driver compare can't sort rows
         // holding array cells, so the centroid is exploded to scalars.
         n.groupBy(col("label"))
-          .agg(array_sort(collect_list(struct(col("vec_id"), col("v")))).as("vs"),
+          .agg(GraftFunctions.longVecSum(
+              transform(col("v"), x => floor(x * lit(1e9))), dim).as("sums"),
             count(lit(1)).as("n"))
           .select(col("label"), col("n"),
-            posexplode(
-              transform(
-                aggregate(col("vs"), zeros,
-                  (acc, x) => zip_with(acc, x.getField("v"), (p, q) => p + q)),
-                s => s / col("n"))).as(Seq("dim", "val")))
+            posexplode(transform(col("sums"),
+              x => x.cast("double") / lit(1e9) / col("n"))).as(Seq("dim", "val")))
           .select(col("label"), col("n"), col("dim"), col("val"))
       }),
 

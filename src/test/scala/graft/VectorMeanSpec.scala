@@ -28,6 +28,31 @@ class VectorMeanSpec extends SparkSpecBase {
         s"label $k dim $i: ${agg(k)(i)} vs ${exact(k)(i)}")
   }
 
+  test("LongVecSumAgg: bit-exact and invariant to partition layout") {
+    import graft.functions.GraftFunctions
+    val base = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1e9))).as("sv"))
+    def sums(parts: Int): Map[Int, Seq[Long]] =
+      base.repartition(parts).groupBy("label")
+        .agg(GraftFunctions.longVecSum(col("sv"), 64).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val one = sums(1)
+    val many = sums(13) // different partitioning → different merge order
+    assert(one === many, "integer sums must not depend on partitioning")
+    // exact agreement with a driver-side reference computation
+    val local = Tables(spark, sfDir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).map(x => math.floor(x * 1e9).toLong))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(_._2).reduce((a, b) => a.zip(b).map { case (p, q) => p + q })
+      }
+    assert(one === local)
+  }
+
   test("empty group yields zero vector") {
     val a = new VectorMeanAggregator(3)
     assert(a.finish(a.zero) === Seq(0.0, 0.0, 0.0))
