@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *    the small-vocab synthetic corpus gives near-identical term
   *    frequency vectors — and simhash IS a frequency-vector sketch —
   *    so looser thresholds match unrelated docs.
-  *  - embedding: exact thresholded pairs at verify scale; the LSH
-  *    variant (random-hyperplane signatures, banded) is the scale path.
+  *  - embedding: exact thresholded pairs via a triangle-blocked
+  *    equi-join (bounded task memory, no corpus broadcast — see the
+  *    query's comment); the LSH variant (random-hyperplane signatures,
+  *    banded) is the subquadratic path when recall < 1 is acceptable.
   */
 object DedupQueries {
 
@@ -437,6 +439,20 @@ object DedupQueries {
   ,
 
     // ---- embedding cosine near-dup (exact thresholded pairs) ----
+    // Exact dense similarity join is inherently Θ(n²) COMPUTE, but it
+    // must not be Θ(n²) MEMORY or a whole-corpus broadcast. The plan
+    // here is the triangle-blocked all-pairs join: every vector lands
+    // in one of B hash blocks, each unordered block pair (i ≤ j)
+    // becomes one task via a two-column EQUI-join on (bi, bj) — so
+    // Catalyst plans a hash join (never BroadcastNestedLoopJoin), each
+    // task holds only two blocks (~n/B rows each, B scales with the
+    // cluster), and shuffle volume is B·n rows. An unordered vector
+    // pair meets in exactly one task: off-diagonal via its block ids,
+    // on the diagonal deduped by va < vb. When approximate recall
+    // suffices at corpus scale, q_ann_lsh_hyperplane is the
+    // subquadratic path (at this fixture's 0.45 threshold — inside the
+    // random-cosine tail — banding cannot reach recall 1, so the exact
+    // operator stays the reference semantics).
     QueryDef("q_dedup_embedding", Some(
       s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -444,16 +460,29 @@ object DedupQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosineDSql("a.v", "b.v")} >= 0.45""".stripMargin))(
       (s, d) => {
+        val blocks = s.conf.getOption("spark.graft.dedup.embedding.blocks")
+          .map(_.toInt).getOrElse(8)
         val e = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
-            GraftFunctions.norm(col("embedding").cast("array<double>")).as("nrm"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", GraftFunctions.norm(col("v")))
+          .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
           .persist() // both sides of the pair join
-        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, col("vec_a") < col("vec_b"))
-          .withColumn("cos_sim", GraftFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        val left = e.select(col("vec_id").as("va"), col("v").as("av"),
+            col("nrm").as("an"), col("blk").as("bi"))
+          .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
+        val right = e.select(col("vec_id").as("vb"), col("v").as("bv"),
+            col("nrm").as("bn"), col("blk").as("bj"))
+          .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+        left.join(right, Seq("bi", "bj"))
+          // diagonal tasks see both orderings of a pair; keep one
+          .where(col("bi") =!= col("bj") || col("va") < col("vb"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("av"), col("bv")) / (col("an") * col("bn")))
           .where(col("cos_sim") >= 0.45)
-          .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+          // dot/norms are order-symmetric bit-for-bit (per-index
+          // products commute), so canonicalizing ids is safe
+          .select(least(col("va"), col("vb")).as("vec_a"),
+            greatest(col("va"), col("vb")).as("vec_b"), col("cos_sim"))
       })
   )
 }

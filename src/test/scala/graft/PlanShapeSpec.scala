@@ -80,4 +80,17 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k should not be a full sort:\n$plan")
   }
+
+  test("embedding dedup: blocked equi-join, never a nested-loop/cartesian") {
+    val df = Catalog.byName("q_dedup_embedding").fn(spark, sfDir)
+    df.collect() // AQE finalizes the plan on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs must go through the block-grid equi-join:\n$plan")
+    // the pair join keys on the (bi, bj) block grid
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"expected a hash/merge join on block keys:\n$plan")
+  }
 }
