@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Relational
+import graft.pipeline.{JobSpec, Pipeline, SourceSpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** C11 — the job-driver CLI, the engine's equivalent of the
+  * reference's `python migrator.py config.json` entry point
+  * (verizon_table_migration_Rakesh_filters.py:424-448): parse the JSON
+  * job spec, build one SparkSession, run every table through the
+  * 3-phase resumable [[graft.pipeline.Pipeline]] under the workspace
+  * lease, then release the session.
+  *
+  * Usage: `graft.Main <config.json> [workspace] [inputDir]`
+  *  - `workspace` overrides the spec's workspace (staging/checkpoint/
+  *    target root) — configs can ship with a placeholder.
+  *  - `inputDir` is the default source root: source `name` resolves to
+  *    `<inputDir>/<name>.parquet` unless the spec gives an explicit
+  *    per-source `path`. (The reference reads sources over JDBC;
+  *    `Relational.scanJdbc` is the drop-in hook for callers embedding
+  *    the pipeline against a database — the CLI default is the parquet
+  *    lake.)
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.Main <config.json> [workspace] [inputDir]")
+    val json = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))), "UTF-8")
+    val parsed = JobSpec.fromJson(json)
+    val spec = args.lift(1).filter(_.nonEmpty)
+      .map(ws => parsed.copy(workspace = ws)).getOrElse(parsed)
+    val inputDir = args.lift(2)
+
+    // reuse a live session (embedded callers, tests); otherwise build
+    // one — master comes from spark-submit when present, local[*] when
+    // launched bare
+    val hadSession =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).isDefined
+    val builder = SparkSession.builder()
+      .appName("graft-migrate")
+      .config("spark.sql.session.timeZone", "UTC")
+    if (!hadSession && sys.props.get("spark.master").isEmpty)
+      builder.master("local[*]")
+    val spark = builder.getOrCreate()
+
+    val source: SourceSpec => DataFrame = s => {
+      val path = s.path.orElse(inputDir.map(d => s"$d/${s.name}.parquet"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"source ${s.name}: no per-source path and no inputDir argument"))
+      Relational.scanParquet(spark, path)
+    }
+
+    try new Pipeline(spark, spec, source).runAll()
+    finally if (!hadSession) spark.stop() // py:446 — driver owns the session
+  }
+}

@@ -154,9 +154,29 @@ final class Pipeline(
   }
 
   def runTable(t: TableSpec): Unit = {
+    // C7 — the reference's per-table dynamic log file (py:39-57):
+    // every banner below goes to slf4j AND the table's own file.
+    val tlog = new TableLog(spark.sparkContext.hadoopConfiguration,
+      s"${spec.workspace}/logs", t.targetTable)
+    def binfo(msg: String): Unit = { log.info(msg); tlog.info(msg) }
+    def bwarn(msg: String): Unit = { log.warn(msg); tlog.warn(msg) }
+    try runTableLogged(t, binfo, bwarn, tlog)
+    catch {
+      case e: Exception =>
+        // py:415-417 — failure is recorded in the table log, then raised
+        tlog.error(s"Migration for table ${t.targetTable} failed: ${e.getMessage}")
+        throw e
+    } finally tlog.close()
+  }
+
+  private def runTableLogged(
+      t: TableSpec,
+      binfo: String => Unit,
+      bwarn: String => Unit,
+      tlog: TableLog): Unit = {
     val t0 = System.nanoTime()
     if (storage.datasetExists(spec.transformedDir(t.targetTable))) {
-      log.info(s"[${t.targetTable}] transformed data exists — skipping to load")
+      binfo(s"[${t.targetTable}] transformed data exists — skipping to load")
     } else {
       // Phase 1: extract + stage raw (skip already-staged sources).
       // Sources with a bucketKey stage as a BUCKETED table instead of
@@ -169,7 +189,7 @@ final class Pipeline(
           case Some(key) =>
             val tbl = bucketTableName(s.name)
             if (!spark.catalog.tableExists(tbl)) {
-              log.info(s"[${t.targetTable}] extracting ${s.name} (bucketed by $key)")
+              binfo(s"[${t.targetTable}] extracting ${s.name} (bucketed by $key)")
               val df = Relational.filterSql(source(s), s.filter.orNull)
               val (odf, harvest) = observed(df, s"${t.targetTable}/extract_${s.name}")
               Relational.sinkBucketed(odf, tbl, key, s.numBuckets, Some(key))
@@ -179,24 +199,24 @@ final class Pipeline(
               // (or whose storage was lost) leaves a table entry whose
               // files don't read back — rebuild rather than hand the
               // join a corrupt side
-              log.warn(s"[${t.targetTable}] bucketed raw ${s.name} unreadable — rebuilding")
+              bwarn(s"[${t.targetTable}] bucketed raw ${s.name} unreadable — rebuilding")
               spark.sql(s"DROP TABLE IF EXISTS $tbl")
               val df = Relational.filterSql(source(s), s.filter.orNull)
               Relational.sinkBucketed(df, tbl, key, s.numBuckets, Some(key))
             } else {
-              log.info(s"[${t.targetTable}] bucketed raw ${s.name} already staged — skipping extract")
+              binfo(s"[${t.targetTable}] bucketed raw ${s.name} already staged — skipping extract")
             }
             spark.table(tbl)
           case None =>
             val rawDir = spec.rawDir(s.name)
             if (!storage.datasetExists(rawDir)) {
-              log.info(s"[${t.targetTable}] extracting ${s.name}")
+              binfo(s"[${t.targetTable}] extracting ${s.name}")
               val df = Relational.filterSql(source(s), s.filter.orNull)
               val (odf, harvest) = observed(df, s"${t.targetTable}/extract_${s.name}")
               Relational.sinkParquet(Relational.rebalance(odf, s.numPartitions), rawDir)
               harvest()
             } else {
-              log.info(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
+              binfo(s"[${t.targetTable}] raw ${s.name} already staged — skipping extract")
             }
             Relational.scanParquet(spark, rawDir)
         }
@@ -215,18 +235,19 @@ final class Pipeline(
         Relational.rebalance(odf, t.numPartitions),
         spec.transformedDir(t.targetTable))
       harvest()
-      log.info(s"[${t.targetTable}] transformed data staged")
+      binfo(s"[${t.targetTable}] transformed data staged")
     }
 
     // Phase 3: checkpointed per-file load, retried as a whole
     Retry.retry(attempts = 3, initialDelayMs = retryInitialDelayMs,
-      onRetry = (n, e) => log.warn(s"[${t.targetTable}] load attempt $n failed: ${e.getMessage}")) {
-      loadCheckpointed(t)
+      onRetry = (n, e) => bwarn(s"[${t.targetTable}] load attempt $n failed: ${e.getMessage}")) {
+      loadCheckpointed(t, binfo)
     }
-    log.info(f"[${t.targetTable}] completed in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // py:412-413 — the reference's completion/duration banner
+    binfo(f"Migration for table ${t.targetTable} completed successfully in ${(System.nanoTime() - t0) / 1e9}%.2f seconds.")
   }
 
-  private def loadCheckpointed(t: TableSpec): Unit = {
+  private def loadCheckpointed(t: TableSpec, binfo: String => Unit): Unit = {
     val transformedDir = spec.transformedDir(t.targetTable)
     val checkpointDir = spec.checkpointDir(t.targetTable)
     val targetDir = spec.targetDir(t.targetTable)
@@ -237,14 +258,14 @@ final class Pipeline(
       val name = file.substring(file.lastIndexOf('/') + 1)
       val rows = storage.footerRowCount(file)
       if (storage.checkpointExists(checkpointDir, name)) {
-        log.info(s"[${t.targetTable}] $name already loaded — skipping")
+        binfo(s"[${t.targetTable}] $name already loaded — skipping")
       } else {
         sink.append(Relational.scanParquet(spark, file), targetDir, name)
         storage.createCheckpoint(checkpointDir, name)
       }
       processed += rows
       val pct = if (total == 0) 100.0 else processed * 100.0 / total
-      log.info(f"[${t.targetTable}] progress $processed/$total rows ($pct%.1f%%)")
+      binfo(f"[${t.targetTable}] progress $processed/$total rows ($pct%.1f%%)")
     }
   }
 }

@@ -130,4 +130,50 @@ class ReferenceJobSpec extends SparkSpecBase {
           f.substring(f.lastIndexOf('/') + 1))
       })
   }
+
+  test("C11 CLI runs the example config end-to-end (layout, parity, table log)") {
+    val ws = Files.createTempDirectory("graft_cli_").toString
+    // the CLI surface exactly as a user would hit it: config file path,
+    // workspace override, parquet-lake input dir
+    Main.main(Array("examples/job_enriched_lineitem.json", ws, sfDir))
+
+    val target = "enriched_lineitem_json"
+    val loaded = spark.read.parquet(s"$ws/target/$target")
+    // independent expectation: the config's algebra computed directly
+    val expected = Tables(spark, sfDir, "lineitem")
+      .where("l_quantity >= 20 AND l_quantity <= 45").alias("lineitem")
+      .join(Tables(spark, sfDir, "orders")
+        .where("o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation")
+        .where("n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9', 'NATION_11')"),
+        col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("l_orderkey AS order_id", "l_linenumber AS line_no",
+        "l_quantity AS qty", "l_extendedprice AS price",
+        "o_orderpriority AS priority", "c_name AS customer_name",
+        "c_mktsegment AS segment", "n_name AS nation")
+    assert(loaded.count() > 0, "CLI job must produce rows")
+    // (order_id, line_no) is not unique in the fixture — total-order
+    // the rows driver-side for the comparison
+    val a = loaded.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val b = expected.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(a === b)
+
+    // resume layout under the overridden workspace
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    Seq("lineitem", "orders", "customer", "nation")
+      .foreach(s => assert(storage.datasetExists(s"$ws/raw/$s"), s"raw $s missing"))
+    assert(storage.datasetExists(s"$ws/transformed/$target"))
+
+    // C7: per-table dynamic log file with the reference's banners
+    val logs = new java.io.File(s"$ws/logs").listFiles()
+    val tableLog = logs.find(_.getName.matches(s"log_${target}_\\d{8}_\\d{6}\\.log"))
+      .getOrElse(fail(s"no per-table log in ${logs.mkString(", ")}"))
+    val content = new String(java.nio.file.Files.readAllBytes(tableLog.toPath), "UTF-8")
+    assert(content.contains(s" - $target - INFO - "), s"wrong line format:\n$content")
+    assert(content.contains("progress") && content.contains(
+      s"Migration for table $target completed successfully"),
+      s"missing progress/completion banners:\n$content")
+  }
 }
