@@ -175,15 +175,25 @@ object AggregateQueries {
             expr("percentile(c_acctbal, 0.9D)").as("bal_p90"),
             count(lit(1)).as("n"))),
 
-    // Approximate distinct (HLL++) — sketch values are engine-specific, so
-    // no SQL oracle; the driver records a rows-only check. Kept in the
-    // inventory as the 100TB-scale alternative to exact countDistinct.
-    QueryDef("q_agg_approx_distinct", None)(
+    // Approximate distinct (HLL++) — the 100TB-scale alternative to
+    // exact countDistinct. The sketch VALUE is engine-specific and
+    // can't be oracled, but the sketch CONTRACT can: emit the exact
+    // count plus a boolean `abs(approx-exact)/exact <= 0.05`. The
+    // oracle computes its own exact count and asserts the same boolean
+    // as a constant TRUE — if Spark's estimate ever drifts past the
+    // tolerance, within_tol flips false and the gate hash-mismatches.
+    QueryDef("q_agg_approx_distinct", Some(
+      """SELECT l_returnflag AS rf, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
       (s, d) =>
         Tables(s, d, "lineitem")
           .groupBy(col("l_returnflag").as("rf"))
           .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            count(lit(1)).as("n"))),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("rf"), col("exact_parts"),
+            (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+              col("exact_parts") <= 0.05).as("within_tol"))),
 
     // ANSI FILTER clause: per-group conditional aggregates in ONE pass
     // (one shuffle, partial+final) instead of self-joining filtered
