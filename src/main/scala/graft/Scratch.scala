@@ -8,8 +8,8 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,52 +28,38 @@ object Scratch {
     // warmup
     noop(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
 
-    import graft.functions.GraftFunctions
-    import graft.ops.TextOps
-    import org.apache.spark.sql.expressions.Window
+    // ---- band join stage breakdown: join-only vs full query ----
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.BandJoinConvert
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ graft.plans.BandJoinStrategy
 
-    // ---- q_dedup_ngram_jaccard stage breakdown ----
-    val sh = Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(
-          GraftFunctions.shingleHashes(col("w"), 3, TextOps.P))).as("sh"))
-      .persist()
-    time("shingles persist+count")(sh.count())
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    time("dfreq")(noop(dfreq))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = ex.join(dfreq, "shingle")
-      .select(col("doc_id"), col("shingle"),
-        (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
-          .as("pos"),
-        count(lit(1)).over(wDoc).as("sz"))
-    time("ranked")(noop(ranked))
-    val prefix = ranked
-      .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
-      .persist()
-    time("prefix persist+count")(prefix.count())
-    val cand = prefix.alias("a")
-      .join(prefix.alias("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        col("a.sz") * 3 <= col("b.sz") * 5 &&
-        col("b.sz") * 3 <= col("a.sz") * 5 &&
-        (lit(1) + least(col("a.sz") - col("a.pos") - 1,
-          col("b.sz") - col("b.pos") - 1)) >=
-          expr("(3*(a.sz + b.sz) + 7) div 8"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
-    time("candidates")(noop(cand))
-    val fa = sh.select(col("doc_id").as("da"), col("sh").as("sha"))
-    val fb = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
-    val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
-    val uni = size(col("sha")) + size(col("shb")) - inter
-    val fin = cand.join(fa, "da").join(fb, "db")
-      .withColumn("jaccard", inter.cast("double") / uni)
-      .where(col("jaccard") >= 0.6)
-    time("verify")(noop(fin))
-    println(s"[scratch] candidates rows: " + cand.count())
+    def bucketed() = {
+      val p = Tables(spark, sfDir, "part")
+        .withColumn("bucket", explode(sequence(
+          floor((col("p_retailprice") - 5) / 10),
+          floor((col("p_retailprice") + 5) / 10))))
+      val li = Tables(spark, sfDir, "lineitem")
+        .withColumn("bucket", floor(col("l_extendedprice") / 10))
+      p.join(li, p("bucket") === li("bucket") &&
+        li("l_extendedprice").between(
+          p("p_retailprice") - 5, p("p_retailprice") + 5))
+    }
+    def native() = {
+      spark.conf.set("spark.graft.bandjoin.native", "true")
+      val p = Tables(spark, sfDir, "part")
+      val li = Tables(spark, sfDir, "lineitem")
+      p.join(li, li("l_extendedprice").between(
+        p("p_retailprice") - 5, p("p_retailprice") + 5))
+    }
+    for (round <- 1 to 3) {
+      time(s"r$round bucketed join only")(noop(bucketed().select(col("p_brand"))))
+      time(s"r$round native   join only")(noop(native().select(col("p_brand"))))
+      time(s"r$round bucketed full agg")(noop(bucketed()
+        .groupBy(col("p_brand")).agg(count(lit(1)), countDistinct(col("p_partkey")))))
+      time(s"r$round native   full agg")(noop(native()
+        .groupBy(col("p_brand")).agg(count(lit(1)), countDistinct(col("p_partkey")))))
+    }
     spark.stop()
   }
 }

@@ -1,12 +1,18 @@
 package graft.exec
 
 import graft.plans.BandJoinPattern
-import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression, JoinedRow, Predicate, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, JoinedRow, Literal, Predicate, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Routes pairs whose key already IS the target partition id — the
+  * shape `UnsafeRowSerializer` requires (it never ships the key). */
+private[exec] final class IdPartitioner(override val numPartitions: Int)
+    extends org.apache.spark.Partitioner {
+  override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+}
 
 /** Physical band join: the (c)-tier custom operator of SURVEY.md §7.3
   * — Spark has no band-join strategy, so a plain
@@ -79,25 +85,42 @@ final case class BandJoinExec(
     val condExpr = cond
     val numParts = conf.numShufflePartitions
     val isIntegral = integral
+    val nL = leftOut.size
+    val nR = rightOut.size
 
-    val lKeyed: RDD[(Long, UnsafeRow)] = left.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(Seq(lBucket), leftOut)
-      val toUnsafe = UnsafeProjection.create(leftOut.map(_.dataType).toArray)
+    // The shuffle wire format is Spark's own UnsafeRowSerializer — raw
+    // Tungsten bytes, zero per-record object framing (Kryo was
+    // measured ~parity with the SQL rewrite; raw rows beat it). That
+    // serializer neither ships pair keys nor accepts non-Int ones
+    // (Exchange contract: the key IS the partition id), so the bucket
+    // id rides IN the row as a trailing non-null long column, the pair
+    // key is the precomputed partition id (same hash both sides), and
+    // the reduce side re-reads the bucket from the row.
+    def pidOf(b: Long): Int = {
+      val h = (b ^ (b >>> 32)).toInt // Long.hashCode
+      val m = h % numParts
+      if (m < 0) m + numParts else m
+    }
+    val lKeyed: RDD[(Int, UnsafeRow)] = left.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(leftOut :+ lBucket, leftOut)
       it.flatMap { row =>
-        val k = keyProj(row)
-        if (k.isNullAt(0)) Iterator.empty
-        else Iterator.single((k.getLong(0), toUnsafe(row).copy()))
+        val c = proj(row)
+        if (c.isNullAt(nL)) Iterator.empty // null band key joins nothing
+        else Iterator.single((pidOf(c.getLong(nL)), c.copy()))
       }
     }
-    val rKeyed: RDD[(Long, UnsafeRow)] = right.execute().mapPartitions { it =>
-      val keyProj = UnsafeProjection.create(Seq(rLo, rHi), rightOut)
-      val toUnsafe = UnsafeProjection.create(rightOut.map(_.dataType).toArray)
+    val rKeyed: RDD[(Int, UnsafeRow)] = right.execute().mapPartitions { it =>
+      val boundsProj = UnsafeProjection.create(Seq(rLo, rHi), rightOut)
+      val proj = UnsafeProjection.create(
+        rightOut :+ Literal(0L).asInstanceOf[Expression], rightOut)
       it.flatMap { row =>
-        val k = keyProj(row)
+        val k = boundsProj(row)
         if (k.isNullAt(0) || k.isNullAt(1)) Iterator.empty
         else {
-          val u = toUnsafe(row).copy()
-          (k.getLong(0) to k.getLong(1)).iterator.map(b => (b, u))
+          val base = proj(row)
+          (k.getLong(0) to k.getLong(1)).iterator.map { b =>
+            val u = base.copy(); u.setLong(nR, b); (pidOf(b), u)
+          }
         }
       }
     }
@@ -107,19 +130,22 @@ final case class BandJoinExec(
     // through an ExternalAppendOnlyMap building per-key CompactBuffers
     // (measured ~1/3 of this operator's time). Here only the build
     // (left) side is buffered, into per-bucket arrays, and the probe
-    // (right) side streams straight off the shuffle. Kryo on the wire:
-    // UnsafeRow serializes as raw bytes vs JavaSerializer's per-object
-    // ObjectStream framing.
-    val part = new HashPartitioner(numParts)
-    val kryo = new org.apache.spark.serializer.KryoSerializer(sparkContext.getConf)
-    def shuffled(rdd: RDD[(Long, UnsafeRow)]): RDD[(Long, UnsafeRow)] =
-      new org.apache.spark.rdd.ShuffledRDD[Long, UnsafeRow, UnsafeRow](rdd, part)
-        .setSerializer(kryo)
-    shuffled(lKeyed).zipPartitions(shuffled(rKeyed)) { (lit, rit) =>
+    // (right) side streams straight off the shuffle.
+    val part = new IdPartitioner(numParts)
+    def shuffled(rdd: RDD[(Int, UnsafeRow)], numFields: Int): RDD[(Int, UnsafeRow)] =
+      new org.apache.spark.rdd.ShuffledRDD[Int, UnsafeRow, UnsafeRow](rdd, part)
+        .setSerializer(org.apache.spark.sql.graftshim.RowWire.serializer(numFields))
+    // bucket columns are invisible downstream: every expression below
+    // binds against the widened schemas, outputs project them away
+    val bL = AttributeReference("__graft_bucket_l", LongType, nullable = false)()
+    val bR = AttributeReference("__graft_bucket_r", LongType, nullable = false)()
+    val leftWide = leftOut :+ bL
+    val rightWide = rightOut :+ bR
+    shuffled(lKeyed, nL + 1).zipPartitions(shuffled(rKeyed, nR + 1)) { (lit, rit) =>
       val joined = new JoinedRow
-      val pred = Predicate.create(condExpr, leftOut ++ rightOut)
+      val pred = Predicate.create(condExpr, leftWide ++ rightWide)
       // downstream operators expect UnsafeRow (reused-buffer contract)
-      val outProj = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      val outProj = UnsafeProjection.create(leftOut ++ rightOut, leftWide ++ rightWide)
       val keyProj = UnsafeProjection.create(Seq(xKey), leftOut)
       val boundProj = UnsafeProjection.create(Seq(loEnd, hiEnd), rightOut)
       def sortKey(row: InternalRow): Long =
@@ -134,15 +160,21 @@ final case class BandJoinExec(
           keys = pairs.map(_._1); rows = pairs.map(_._2)
         }
       }
+      // UnsafeRowSerializer drops pair keys on the wire — the bucket
+      // id is re-read from the trailing row column instead. It also
+      // REUSES one row buffer across records on read, so the buffered
+      // build side must copy; the streaming probe side is consumed
+      // record-at-a-time and needs no copy.
       val buckets = new java.util.HashMap[Long, Bucket]()
-      lit.foreach { case (b, row) =>
+      lit.foreach { case (_, row) =>
+        val b = row.getLong(nL)
         var bk = buckets.get(b)
         if (bk == null) { bk = new Bucket(scala.collection.mutable.ArrayBuffer.empty); buckets.put(b, bk) }
-        bk.ab += row
+        bk.ab += row.copy()
       }
       if (buckets.isEmpty) Iterator.empty
-      else rit.flatMap { case (b, r) =>
-        val bk = buckets.get(b)
+      else rit.flatMap { case (_, r) =>
+        val bk = buckets.get(r.getLong(nR))
         if (bk == null) Iterator.empty
         else {
           bk.sorted()
