@@ -60,14 +60,11 @@ object SimilarityQueries {
       .withColumn("nrm", GraftFunctions.norm(col("v")))
       .persist()
 
-  /** Shared PQ base (SQL): vectors, bit-exact centroids-as-codebooks
-    * (integer-scaled component sums — order-independent, so the oracle
-    * needs no sorted fold), 8 subspace bounds, per-(vector,subspace,
-    * codeword) sub-distances, and the argmin code assignment. */
-  private[queries] val pqBaseSql: String = {
-    val sub = (0 until 8).map { sIdx =>
-      s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
-    }.mkString("\nUNION ALL\n")
+  /** Shared centroid CTEs (SQL): vectors + bit-exact per-cell mean
+    * vectors via integer-scaled component sums — order-independent, so
+    * the oracle needs no sorted fold. Produces `n(vec_id, label, v)`
+    * and `cent(code, centroid)`. */
+  private[queries] val centCtesSql: String =
     s"""n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |g AS (
        |  SELECT label, d.d AS dim,
@@ -77,7 +74,16 @@ object SimilarityQueries {
        |cent AS (
        |  SELECT label AS code,
        |    list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS centroid
-       |  FROM g GROUP BY label),
+       |  FROM g GROUP BY label)""".stripMargin
+
+  /** Shared PQ base (SQL): the centroid CTEs + 8 subspace bounds,
+    * per-(vector,subspace,codeword) sub-distances, and the argmin code
+    * assignment. */
+  private[queries] val pqBaseSql: String = {
+    val sub = (0 until 8).map { sIdx =>
+      s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
+    }.mkString("\nUNION ALL\n")
+    s"""$centCtesSql,
        |subs AS ($sub),
        |dists AS (
        |  SELECT n.vec_id, subs.subspace, cent.code,
@@ -91,24 +97,28 @@ object SimilarityQueries {
        |      ORDER BY dist, code) AS rn FROM dists) WHERE rn = 1)""".stripMargin
   }
 
+  /** Constant-state centroid training (Spark): integer-scale each
+    * component, sum with LongVecSumAgg (dim*8-byte buffer, map-side
+    * partials, order-independent → bit-exact), divide back once. The
+    * buffer never grows with cell cardinality — a cell of millions of
+    * vectors aggregates in the same 512 bytes as a cell of 25.
+    * Input must carry (`groupCol`, `v`); output is (code, centroid). */
+  private[queries] def centroidsOf(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(GraftFunctions.longVecSum(
+          transform(col("v"), x => floor(x * lit(1e9))), dim).as("sums"),
+        count(lit(1)).as("cnt"))
+      .select(col(groupCol).as("code"),
+        transform(col("sums"),
+          x => x.cast("double") / lit(1e9) / col("cnt")).as("centroid"))
+
   /** Shared PQ base (Spark): returns (dists, codes) DataFrames with
     * the same columns/semantics as the SQL CTEs above. */
   private[queries] def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val n = Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-    // constant-state centroid training: integer-scale each component,
-    // sum with LongVecSumAgg (dim*8-byte buffer, map-side partials,
-    // order-independent → bit-exact), divide back once. The buffer
-    // never grows with cell cardinality — a cell of millions of
-    // vectors aggregates in the same 512 bytes as a cell of 25.
-    val cent = n.groupBy(col("label"))
-      .agg(GraftFunctions.longVecSum(
-          transform(col("v"), x => floor(x * lit(1e9))), dim).as("sums"),
-        count(lit(1)).as("cnt"))
-      .select(col("label").as("code"),
-        transform(col("sums"),
-          x => x.cast("double") / lit(1e9) / col("cnt")).as("centroid"))
+    val cent = centroidsOf(n, "label")
     val subs = n.select(col("vec_id"), col("v"),
       explode(array((0 until 8).map(lit): _*)).as("subspace"))
     // codegen'd subspace fold (same sequential order as the interpreted
@@ -397,6 +407,87 @@ object SimilarityQueries {
         adc.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 5)
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
+      }),
+
+    // ---- symmetric int8 quantization: the embedding-storage
+    // compression step (64 doubles → 64 bytes + 1 scale). absmax is a
+    // max-fold (order-insensitive, exact); each component quantizes
+    // with ONE multiply+divide+floor — identical IEEE ops both
+    // engines, so the full codebook is oracled. Row-local: zero
+    // shuffles at any scale. ----
+    QueryDef("q_vector_quantize_int8", Some(
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v,
+         |        list_max(list_transform(v, x -> abs(x))) AS absmax FROM n)
+         |SELECT vec_id, CAST(d.d AS INT) AS dim, absmax,
+         |  CASE WHEN absmax = 0 THEN 0
+         |       ELSE CAST(floor((v[d.d + 1] * 127.0) / absmax) AS BIGINT) END AS q
+         |FROM a, range(0, $dim) d(d)""".stripMargin))(
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("absmax", array_max(transform(col("v"), x => abs(x))))
+          .select(col("vec_id"), col("absmax"),
+            posexplode(transform(col("v"),
+              x => when(col("absmax") === 0, lit(0L))
+                .otherwise(floor((x * lit(127.0)) / col("absmax")))))
+              .as(Seq("dim", "q")))
+          .select(col("vec_id"), col("dim"), col("absmax"), col("q"))
+      }),
+
+    // ---- one Lloyd (k-means) iteration, fully deterministic: assign
+    // every vector to its nearest current centroid via the expansion
+    // |v|² − 2·v·c + |c|² (three sequential-fold dot products —
+    // bit-identical both engines), tie-break on centroid id, then
+    // re-train centroids over the NEW assignment with the same
+    // constant-state integer-scaled sums. This is the iterative-ML
+    // shape on the engine: assignment is a broadcast of k centroids
+    // against a partitioned scan (no shuffle of the corpus), the
+    // re-train is one partial+final aggregate. ----
+    QueryDef("q_vector_kmeans_iter", Some(
+      s"""WITH $centCtesSql,
+         |dist AS (
+         |  SELECT n.vec_id, cent.code,
+         |    ${dotDSql("n.v", "n.v")} - 2.0 * ${dotDSql("n.v", "cent.centroid")}
+         |      + ${dotDSql("cent.centroid", "cent.centroid")} AS d2
+         |  FROM n, cent),
+         |asg AS (
+         |  SELECT vec_id, code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1),
+         |g2 AS (
+         |  SELECT asg.code AS new_label, d.d AS dim,
+         |    CAST(sum(CAST(floor(n.v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+         |    count(*) AS n
+         |  FROM n JOIN asg ON asg.vec_id = n.vec_id, range(0, $dim) d(d)
+         |  GROUP BY asg.code, d.d)
+         |SELECT new_label, n, CAST(dim AS INT) AS dim,
+         |  CAST(ssum AS DOUBLE) / 1000000000.0 / n AS val
+         |FROM g2""".stripMargin))(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = centroidsOf(n, "label")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("code").asc)
+        val asg = n.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            GraftFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+              + GraftFunctions.dot(col("centroid"), col("centroid")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("code"))
+        val reassigned = n.join(asg, "vec_id")
+          .select(col("code").as("new_label"), col("v"))
+        centroidsOf(reassigned, "new_label")
+          .select(col("code").as("new_label"), col("centroid"))
+          .join(asg.groupBy(col("code").as("new_label"))
+            .agg(count(lit(1)).as("n")), "new_label")
+          .select(col("new_label"), col("n"),
+            posexplode(col("centroid")).as(Seq("dim", "val")))
+          .select(col("new_label"), col("n"), col("dim"), col("val"))
       })
   )
 }

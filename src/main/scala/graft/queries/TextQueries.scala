@@ -660,6 +660,66 @@ object TextQueries {
             col("uniq_frac"), col("n_stop"),
             (col("n_tokens").between(30, 100000) &&
               col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
-              col("uniq_frac") >= 0.4 && col("n_stop") >= 2).as("passes")))
+              col("uniq_frac") >= 0.4 && col("n_stop") >= 2).as("passes"))),
+
+    // ---- per-doc top-3 TF-IDF terms: the keyword-extraction /
+    // relevance-weighting primitive of corpus curation. The classic
+    // log-idf is transcendental (not bit-portable across engines), so
+    // the score is the RATIONAL idf tf·N/df, integer-scaled before the
+    // division: score = (tf · N · 1e6) div df — pure bigint arithmetic,
+    // identical in both engines, same ranking as tf·N/df to 1e-6.
+    // Scale shape: tf is one (doc,term) hash-shuffle; df is a
+    // vocab-sized aggregate that joins back broadcast; the corpus-size
+    // scalar N broadcasts. No all-pairs anywhere. ----
+    QueryDef("q_text_tfidf", Some(
+      """WITH tf AS (
+        |  SELECT doc_id, t.w AS term, count(*) AS tf
+        |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)
+        |  GROUP BY doc_id, t.w),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * n.n_docs * 1000000) // df.df AS score_scaled
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, score_scaled, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_scaled DESC, term) AS rnk FROM scored)
+        |WHERE rnk <= 3""".stripMargin))(
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score_scaled").desc, col("term").asc)
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score_scaled",
+            expr("(tf * n_docs * 1000000) div df"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("score_scaled"), col("rnk"))
+      }),
+
+    // ---- per-language document-length histogram: the distribution
+    // profile a curation pipeline reports before/after filtering.
+    // Fixed-width integer buckets (50 chars) — pure bigint div, no
+    // data-driven bounds — so the histogram is exact in both engines
+    // and the plan is ONE partial+final aggregate at any scale. ----
+    QueryDef("q_text_length_histogram", Some(
+      """SELECT lang, n_chars // 50 AS bucket, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, n_chars // 50""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .groupBy(col("lang"), expr("n_chars div 50").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars")))
   )
 }
