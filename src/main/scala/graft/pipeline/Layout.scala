@@ -55,10 +55,12 @@ object Layout {
     * fold — no UDF. Two window passes (one sort per key) at write
     * time buy stat-based pruning on every later read; for a staged
     * dataset read many times that is the right side of the trade. The
-    * windows are unpartitioned (a global sort each) — at cluster scale
-    * swap rank for a fixed quantile map (approxQuantile-derived
-    * bucket bounds) to keep the write shuffle-bounded. */
-  def clusterZOrder(df: DataFrame, n: Int, keyA: String, keyB: String,
+    * windows are unpartitioned (a global sort each) — exact on any
+    * skew, but the one piece that does not scale unbounded, which is
+    * why the DEFAULT entry point ([[clusterZOrder]]) is the
+    * shuffle-bounded uniform variant and this one is the explicit
+    * opt-in for pathological key distributions. */
+  def clusterZOrderRank(df: DataFrame, n: Int, keyA: String, keyB: String,
       bits: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{floor, lit, percent_rank, shiftleft, shiftright}
@@ -79,12 +81,21 @@ object Layout {
       .drop("__ra", "__rb", "__z")
   }
 
+  /** Default z-order entry point: the shuffle-bounded uniform-bucket
+    * variant — the plan that holds at cluster scale. Reach for
+    * [[clusterZOrderRank]] only when a key's distribution is
+    * pathological AND the dataset still sorts globally in acceptable
+    * time. */
+  def clusterZOrder(df: DataFrame, n: Int, keyA: String, keyB: String,
+      bits: Int = 16): DataFrame =
+    clusterZOrderUniform(df, n, keyA, keyB, bits)
+
   /** Z-order-and-stage, two-key twin of [[stageClustered]]. */
   def stageZOrdered(df: DataFrame, path: String, n: Int,
       keyA: String, keyB: String): Unit =
     clusterZOrder(df, n, keyA, keyB).write.mode("overwrite").parquet(path)
 
-  /** Shuffle-bounded z-order: [[clusterZOrder]]'s rank windows are
+  /** Shuffle-bounded z-order: [[clusterZOrderRank]]'s rank windows are
     * global sorts — exact, but the one piece that does not scale
     * unbounded. This variant ranks each key with
     * `width_bucket(v, min, max, 2^bits)` off a single tiny min/max
