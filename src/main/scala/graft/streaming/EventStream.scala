@@ -112,6 +112,7 @@ object EventStream {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class TypeCount(user_id: Long, event_type: String, n: Long, rnk: Int)
+  final case class RecentStat(user_id: Long, n_kept: Int, sum_cents: Long)
   final case class SessionState(start: Long, lastTs: Long, n: Int, totalCents: Long)
   final case class Session(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Int, total_value: Double)
@@ -197,6 +198,52 @@ object EventStream {
       .transformWithState(new TopKProcessor(k),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Per-user sliding buffer of the last `n` event amounts (see
+    * [[RecentWindowProcessor]]) — the ListState member of the
+    * transformWithState surface (ValueState: sessionizer, MapState:
+    * top-k). Update-mode: each batch re-emits the user's current
+    * window size and sum. */
+  def recentAmounts(events: Dataset[Event], n: Int = 5): Dataset[RecentStat] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentWindowProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+}
+
+/** Last-n ring buffer on the transformWithState ListState surface:
+  * state is AT MOST n longs per user regardless of stream length —
+  * each batch appends its rows in deterministic (event-time micros,
+  * event_id) order and trims back to the tail. The rewrite-on-trim is
+  * O(n) per touched key per batch; untouched keys pay nothing. */
+final class RecentWindowProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, EventStream.RecentStat] {
+  import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var buf: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[Long]("recent", Encoders.scalaLong, TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventStream.Event],
+      tv: TimerValues): Iterator[EventStream.RecentStat] = {
+    val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    sorted.foreach(e => buf.appendValue(math.round(e.value * 100)))
+    val all = buf.get().toSeq
+    val kept = all.takeRight(n)
+    if (kept.length != all.length) buf.put(kept.toArray)
+    Iterator.single(EventStream.RecentStat(userId, kept.length, kept.sum))
   }
 }
 

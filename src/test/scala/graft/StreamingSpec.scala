@@ -464,4 +464,37 @@ class StreamingSpec extends SparkSpecBase {
       .sorted.toSeq
     assert(got === want)
   }
+
+  test("recentAmounts (ListState) holds the last-5 window across batches") {
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 20)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (micros(e.ts), e.event_id))
+    assert(sample.nonEmpty)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.recentAmounts(input.toDS(), n = 5).writeStream
+      .format("memory").queryName("recent_out")
+      .outputMode("update")
+      .start()
+    // three batches: the buffer must append, trim, and persist between
+    val chunks = sample.grouped((sample.length + 2) / 3).toSeq
+    chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    val emissions = spark.table("recent_out").as[EventStream.RecentStat]
+      .collect().zipWithIndex
+    val got = emissions.groupBy(_._1.user_id)
+      .map { case (_, g) => g.maxBy(_._2)._1 } // last emission per user
+      .map(r => (r.user_id, r.n_kept, r.sum_cents)).toSeq.sorted
+    q.stop()
+
+    // model: same order, same cents arithmetic, last 5 per user
+    val want = sample.groupBy(_.user_id).map { case (u, es) =>
+      val kept = es.sortBy(e => (micros(e.ts), e.event_id))
+        .map(e => math.round(e.value * 100)).takeRight(5)
+      (u, kept.length, kept.sum)
+    }.toSeq.sorted
+    assert(got === want)
+  }
 }
