@@ -195,6 +195,28 @@ object AggregateQueries {
             (abs(col("approx_parts") - col("exact_parts")).cast("double") /
               col("exact_parts") <= 0.05).as("within_tol"))),
 
+    // ---- statistical mode per group, explicit tie-break (count desc,
+    // value asc) — built-in mode() tie-breaking is engine-defined, so
+    // both sides compute the count+rank formulation verbatim. One
+    // two-key shuffle + a groups-sized window: scales. ----
+    QueryDef("q_agg_mode", Some(
+      """SELECT rf, qty AS mode_qty, n FROM (
+        |  SELECT l_returnflag AS rf, l_quantity AS qty, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY count(*) DESC, l_quantity) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1""".stripMargin))(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rf")).orderBy(col("n").desc, col("qty").asc)
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("qty"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("rf"), col("qty").as("mode_qty"), col("n"))
+      }),
+
     // ANSI FILTER clause: per-group conditional aggregates in ONE pass
     // (one shuffle, partial+final) instead of self-joining filtered
     // subqueries. Money sums through DECIMAL(18,2) per the parity

@@ -180,12 +180,20 @@ object DedupQueries {
     // cheap-filter → expensive-verify shape. Both engines implement
     // classic unit-cost levenshtein, so the distances are oracled
     // exactly. ----
+    // Edit distance is O(len_a·len_b) per pair — unbounded, it was the
+    // catalog's worst straggler (74 s at sf0.1: 36k candidate pairs ×
+    // ~600-char texts ≈ 12G matrix cells). Dedup only cares about
+    // SMALL distances, so the engine computes the BANDED Ukkonen
+    // variant (Spark's 3-arg levenshtein: O(cap·len), early-abort) and
+    // emits the cap sentinel -1 for anything farther; the oracle caps
+    // the full distance with a CASE — same value by definition.
     QueryDef("q_dedup_edit_distance", Some(
       """WITH b AS (SELECT doc_id, text,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(trim(text), ' '))), ' ')) AS h FROM documents)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |  levenshtein(a.text, c.text) AS edit_dist,
+        |  CASE WHEN levenshtein(a.text, c.text) <= 64
+        |       THEN levenshtein(a.text, c.text) ELSE -1 END AS edit_dist,
         |  length(a.text) AS len_a, length(c.text) AS len_b
         |FROM b a JOIN b c ON a.h = c.h AND a.doc_id < c.doc_id""".stripMargin))(
       (s, d) => {
@@ -198,7 +206,7 @@ object DedupQueries {
           .join(b.alias("c"), col("a.h") === col("c.h") &&
             col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-            levenshtein(col("a.text"), col("c.text")).as("edit_dist"),
+            levenshtein(col("a.text"), col("c.text"), 64).as("edit_dist"),
             length(col("a.text")).as("len_a"), length(col("c.text")).as("len_b"))
       }),
 

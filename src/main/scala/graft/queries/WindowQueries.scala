@@ -139,6 +139,21 @@ object WindowQueries {
             row_number().over(w).as("rn"))
           .where(col("rn") <= 3)
           .drop("rn")
+      }),
+
+    // ---- distribution window functions: percent_rank + cume_dist per
+    // segment. Both are ANSI-defined from integer rank/count — one
+    // double division each, so values match the oracle exactly. ----
+    QueryDef("q_window_percent_cume", Some(
+      """SELECT c_custkey, c_mktsegment AS segment,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+        |  cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+        |FROM customer""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").asc)
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
       })
   )
 }
