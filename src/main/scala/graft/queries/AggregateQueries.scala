@@ -217,6 +217,32 @@ object AggregateQueries {
           .select(col("rf"), col("qty").as("mode_qty"), col("n"))
       }),
 
+    // ---- UNPIVOT/melt (inverse of pivot): wide per-line measures →
+    // long (metric, val) rows via Spark's native unpivot operator (a
+    // single Expand node — one pass, no join/union re-scan). The
+    // oracle spells the same reshape as a UNION ALL, the
+    // engine-portable formulation. ----
+    QueryDef("q_agg_unpivot", Some(
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS val FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |    CAST(l_extendedprice AS DOUBLE) FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount',
+        |    CAST(l_discount AS DOUBLE) FROM lineitem WHERE l_orderkey < 100)""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("double").as("quantity"),
+            col("l_extendedprice").cast("double").as("extendedprice"),
+            col("l_discount").cast("double").as("discount"))
+          .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("quantity"), col("extendedprice"), col("discount")),
+            "metric", "val")),
+
     // ANSI FILTER clause: per-group conditional aggregates in ONE pass
     // (one shuffle, partial+final) instead of self-joining filtered
     // subqueries. Money sums through DECIMAL(18,2) per the parity
