@@ -74,5 +74,61 @@ object MultimodalQueries {
     QueryDef("q_multimodal_decode_arrow", Some(decodeOracle))(
       (s, d) =>
         graft.multimodal.ArrowDecode.decode(Media.fromDocuments(s, d).toDF()))
+  ,
+
+    // ---- decode → ANN: top-3 cosine neighbors over the DECODED
+    // feature vectors — the full multimodal-to-similarity pipeline in
+    // one oracled query. The stub featurizer derives 8 float32 values
+    // from the FNV checksum (b/255f − 0.5f per nibble-pair); the
+    // oracle reproduces the float32 rounding exactly via
+    // double-compute + CAST(… AS REAL) at each step (verified
+    // exhaustively over all 256 byte values: double-then-round equals
+    // native float op for this expression). Query side = every 100th
+    // media id (broadcasts); candidates scan partitioned — the
+    // q_ann_brute_topk plan shape over decoded media. ----
+    QueryDef("q_multimodal_knn", Some {
+      val featSql = (0 until 8).map { k =>
+        val shift = 1L << (4 * k)
+        s"CAST(CAST(CAST(CAST(CAST((h // $shift) % 256 AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) - 0.5 AS REAL) AS DOUBLE)"
+      }.mkString("[", ",\n      ", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id AS media_id,
+         |    list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |      list_transform(range(1, length(text)+1),
+         |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+         |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
+         |  FROM documents),
+         |v AS (SELECT media_id, $featSql AS v FROM f),
+         |n AS (SELECT media_id, v, ${graft.ops.TextOps.normDSql("v")} AS nrm FROM v),
+         |scored AS (
+         |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+         |    ${graft.ops.TextOps.dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM (SELECT * FROM n WHERE media_id % 100 = 0) q
+         |  JOIN n c ON c.media_id <> q.media_id)
+         |SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
+         |WHERE rnk <= 3""".stripMargin
+    })(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val feats = Media.decodeAll(Media.fromDocuments(s, d), FakeDecoder)
+          .toDF()
+          .select(col("media_id"), col("feature").cast("array<double>").as("v"))
+          .withColumn("nrm", graft.functions.GraftFunctions.norm(col("v")))
+          .persist()
+        val q = feats.where(expr("media_id % 100 = 0"))
+          .select(col("media_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = feats.select(col("media_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            graft.functions.GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+      })
   )
 }
