@@ -178,6 +178,62 @@ object SketchQueries {
             percentile(col("c_acctbal"), lit(0.5)).as("q50_exact"),
             percentile(when(inSample, col("c_acctbal")), lit(0.95)).as("q95_sample"),
             percentile(col("c_acctbal"), lit(0.95)).as("q95_exact"))
+      }),
+
+    // ---- theta estimate WITH its error bound: KMV relative standard
+    // error ≈ 1/sqrt(k−2); emit the ±2·RSE interval and whether the
+    // exact count landed inside it — the self-auditing form a pipeline
+    // should report. sqrt is IEEE-correctly-rounded (deterministic in
+    // both engines), so even the bounds are exactly oracled. ----
+    QueryDef("q_sketch_theta_ci", Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS priority,
+         |    ${h32Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders
+         |),
+         |r AS (
+         |  SELECT priority, h,
+         |    row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |agg AS (
+         |  SELECT priority, count(*) AS exact_distinct,
+         |    max(CASE WHEN rn = $k THEN h END) AS theta
+         |  FROM r GROUP BY priority
+         |),
+         |est AS (
+         |  SELECT priority, exact_distinct,
+         |    CASE WHEN exact_distinct < $k THEN CAST(exact_distinct AS DOUBLE)
+         |         ELSE ${k - 1} * $twoTo32 / theta END AS est_distinct,
+         |    CASE WHEN exact_distinct < $k THEN 0.0
+         |         ELSE 1.0 / sqrt(${k - 2}.0) END AS rse
+         |  FROM agg)
+         |SELECT priority, exact_distinct, est_distinct, rse,
+         |  est_distinct * (1.0 - 2.0 * rse) AS ci_lo,
+         |  est_distinct * (1.0 + 2.0 * rse) AS ci_hi,
+         |  exact_distinct >= est_distinct * (1.0 - 2.0 * rse)
+         |    AND exact_distinct <= est_distinct * (1.0 + 2.0 * rse) AS exact_in_ci
+         |FROM est""".stripMargin))(
+      (s, d) => {
+        val sk = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            h32(col("o_custkey").cast("string")).as("h"))
+          .groupBy(col("priority"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sketch"),
+            countDistinct(col("h")).as("exact_distinct"))
+        val est = sk.select(col("priority"), col("exact_distinct"),
+          when(size(col("sketch")) < k, col("exact_distinct").cast("double"))
+            .otherwise(lit((k - 1) * twoTo32) / element_at(col("sketch"), k))
+            .as("est_distinct"),
+          when(size(col("sketch")) < k, lit(0.0))
+            .otherwise(lit(1.0) / sqrt(lit((k - 2).toDouble))).as("rse"))
+        est.select(col("priority"), col("exact_distinct"), col("est_distinct"),
+          col("rse"),
+          (col("est_distinct") * (lit(1.0) - lit(2.0) * col("rse"))).as("ci_lo"),
+          (col("est_distinct") * (lit(1.0) + lit(2.0) * col("rse"))).as("ci_hi"),
+          (col("exact_distinct") >= col("est_distinct") * (lit(1.0) - lit(2.0) * col("rse")) &&
+            col("exact_distinct") <= col("est_distinct") * (lit(1.0) + lit(2.0) * col("rse")))
+            .as("exact_in_ci"))
       })
   )
 }

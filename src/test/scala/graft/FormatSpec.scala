@@ -94,4 +94,24 @@ class FormatSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }
   }
+
+  test("staged parquet schema evolution: mergeSchema widens, old rows null-fill") {
+    // a re-run of an evolved job appends files with NEW columns into an
+    // existing staged dataset — the read side must widen, not fail
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("id", "v", "extra"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(rows.toSeq === Seq(
+      (1L, "a", None), (2L, "b", None), (3L, "c", Some(30)), (4L, "d", Some(40))))
+    // default read (no mergeSchema) must still succeed on the mixed dir
+    assert(spark.read.parquet(dir).count() === 4)
+  }
 }
