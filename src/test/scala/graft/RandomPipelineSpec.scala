@@ -77,4 +77,56 @@ class RandomPipelineSpec extends SparkSpecBase {
       assert(got === want, s"seed=$seed shape=$shape pred=$pred")
     }
   }
+
+  test("60 random left-outer join + null-aware agg pipelines match the model") {
+    for (seed <- 1L to 60L) {
+      val facts = sample(genFacts, seed)
+      val dims = sample(genDims, seed + 30000)
+      // dim deduped by LOWEST w per key so the surviving row is
+      // deterministic (left-outer projects w, unlike the inner fuzz)
+      val dimBest: Map[Long, Long] =
+        dims.groupBy(_.k).map { case (k, rs) => k -> rs.map(_.w).min }
+      val ddf = dimBest.toSeq.toDF("k", "w")
+      val got = facts.toDF()
+        .join(ddf, Seq("k"), "left_outer")
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), count(col("w")).as("n_matched"),
+          sum(col("w")).as("sw"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq.sortBy(_._1)
+      val want = facts.groupBy(_.s).map { case (s, rs) =>
+        val ws = rs.flatMap(r => dimBest.get(r.k))
+        (s, rs.size.toLong, ws.size.toLong,
+          if (ws.isEmpty) None else Some(ws.sum))
+      }.toSeq.sortBy(_._1)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("60 random window pipelines (running sum / rank) match the model") {
+    for (seed <- 1L to 60L) {
+      val facts = sample(genFacts, seed + 50000)
+        // make the order key unique per partition so rank/running
+        // results are total-order deterministic in both formulations
+        .zipWithIndex.map { case (r, i) => FactRow(r.k, i.toLong, r.s) }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s")).orderBy(col("v").asc)
+      val got = facts.toDF()
+        .select(col("k"), col("v"), col("s"),
+          sum(col("v")).over(w).as("run"),
+          row_number().over(w).as("rn"))
+        .collect()
+        .map(r => (r.getString(2), r.getLong(1), r.getLong(3), r.getInt(4)))
+        .toSeq.sorted
+      val want = facts.groupBy(_.s).toSeq.flatMap { case (s, rs) =>
+        val sorted = rs.sortBy(_.v)
+        sorted.zipWithIndex.map { case (r, i) =>
+          (s, r.v, sorted.take(i + 1).map(_.v).sum, i + 1)
+        }
+      }.sorted
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
