@@ -243,6 +243,53 @@ object AggregateQueries {
             Array(col("quantity"), col("extendedprice"), col("discount")),
             "metric", "val")),
 
+    // ---- EXACT covariance/correlation: built-in covar/corr stream
+    // double moments whose value depends on partial-agg order (not
+    // cross-engine reproducible). Here the 2-decimal columns go
+    // through DECIMAL → scaled BIGINT moments (Sx, Sy, Sxy, Sxx, Syy —
+    // exact, order-independent integer sums), and covar/corr come out
+    // as a fixed chain of double ops over those exact integers —
+    // bit-identical in both engines. Headroom: moments fit int64 to
+    // ~1e17; larger groups would move the sums to DECIMAL(38,0). ----
+    QueryDef("q_agg_covar_exact", Some(
+      """WITH s AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qx,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dy
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT rf, count(*) AS n,
+        |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(qx * dy) AS BIGINT) AS sxy,
+        |    CAST(sum(qx * qx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy
+        |  FROM s GROUP BY rf)
+        |SELECT rf, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 10000.0 AS covar_pop,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        |FROM m""".stripMargin))(
+      (s, d) => {
+        val scaled = Tables(s, d, "lineitem").select(
+          col("l_returnflag").as("rf"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qx"),
+          (col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").as("dy"))
+        scaled.groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("qx") * col("dy")).as("sxy"),
+            sum(col("qx") * col("qx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("rf"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / col("n") / col("n") / lit(10000.0)).as("covar_pop"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("corr"))
+      }),
+
     // ANSI FILTER clause: per-group conditional aggregates in ONE pass
     // (one shuffle, partial+final) instead of self-joining filtered
     // subqueries. Money sums through DECIMAL(18,2) per the parity

@@ -197,6 +197,28 @@ object ScalarQueries {
             coalesce(o("n"), lit(0)).as("n_orders"),
             when(o("n").isNull, "inactive").otherwise("active").as("activity"),
             nullif(c("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
-      })
+      }),
+
+    // ---- bitwise surface: and/or/xor/shift/popcount — the hash/
+    // partition/bitmap arithmetic the engine leans on elsewhere,
+    // exercised as user-facing scalars. Pure integer ops, exact. ----
+    QueryDef("q_fn_bitwise", Some(
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 4096 AS with_flag,
+        |  xor(o_orderkey, o_custkey) AS key_xor,
+        |  o_orderkey << 2 AS shl2,
+        |  o_orderkey >> 3 AS shr3,
+        |  CAST(bit_count(o_orderkey) AS INT) AS popcount
+        |FROM orders""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders").select(
+          col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+          shiftleft(col("o_orderkey"), 2).as("shl2"),
+          shiftright(col("o_orderkey"), 3).as("shr3"),
+          bit_count(col("o_orderkey")).as("popcount")))
   )
 }

@@ -154,6 +154,29 @@ object WindowQueries {
         Tables(s, d, "customer")
           .select(col("c_custkey"), col("c_mktsegment").as("segment"),
             percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      }),
+
+    // ---- first_value / last_value with explicit frames. last_value
+    // over the DEFAULT frame is the current row (the classic gotcha);
+    // the full-partition frame is spelled out, and the order key is
+    // made unique so both engines agree on every row. ----
+    QueryDef("q_window_first_last", Some(
+      """SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        |  first_value(c_acctbal) OVER w AS lowest_bal,
+        |  last_value(c_acctbal) OVER w AS highest_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal"),
+            first(col("c_acctbal")).over(w).as("lowest_bal"),
+            last(col("c_acctbal")).over(w).as("highest_bal"))
       })
   )
 }
