@@ -44,11 +44,23 @@ object Main {
       builder.master("local[*]")
     val spark = builder.getOrCreate()
 
-    val source: SourceSpec => DataFrame = s => {
-      val path = s.path.orElse(inputDir.map(d => s"$d/${s.name}.parquet"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"source ${s.name}: no per-source path and no inputDir argument"))
-      Relational.scanParquet(spark, path)
+    // resolution order per source: explicit parquet path → JDBC table
+    // (job-level connection, the reference's Oracle path) → the
+    // inputDir parquet lake
+    val source: SourceSpec => DataFrame = s2 => (s2.path, s2.jdbcTable) match {
+      case (Some(p), _) => Relational.scanParquet(spark, p)
+      case (None, Some(tbl)) =>
+        val conn = spec.jdbc.getOrElse(throw new IllegalArgumentException(
+          s"source ${s2.name}: jdbcTable '$tbl' requires a job-level jdbc block"))
+        val part = s2.jdbcPartitionColumn.map(c => Relational.JdbcPartition(
+          c, s2.jdbcLowerBound, s2.jdbcUpperBound, s2.numPartitions))
+        Relational.scanJdbc(spark, Relational.JdbcScan(conn.url, tbl,
+          conn.user, conn.password, conn.driver, conn.fetchSize, part))
+      case (None, None) =>
+        val p = inputDir.map(d => s"$d/${s2.name}.parquet")
+          .getOrElse(throw new IllegalArgumentException(
+            s"source ${s2.name}: no per-source path/jdbcTable and no inputDir argument"))
+        Relational.scanParquet(spark, p)
     }
 
     try new Pipeline(spark, spec, source).runAll()

@@ -9,12 +9,31 @@ import com.fasterxml.jackson.module.scala.DefaultScalaModule
   * and config-supplied projection expressions. Parsed with Jackson
   * (ships on Spark's classpath — no extra dependency).
   */
+/** Job-level database connection — the reference's Oracle block
+  * (config json: one connection shared by every source table). */
+final case class JdbcConnSpec(
+    url: String,
+    driver: String = "",
+    user: String = "",
+    password: String = "",
+    fetchSize: Int = 10000)
+
 final case class SourceSpec(
     name: String,
     /** SQL predicate pushed into the source scan (json:53-58). */
     filter: Option[String] = None,
     /** Override path; default `<inputDir>/<name>.parquet`. */
     path: Option[String] = None,
+    /** Read over JDBC (table name or `(subquery) alias`) through the
+      * job-level [[JobSpec.jdbc]] connection — the reference's source
+      * path (py:96-132). Takes precedence over the parquet lake,
+      * is overridden by an explicit `path`. */
+    jdbcTable: Option[String] = None,
+    /** Range-partitioned parallel read (py:118-126): stripe the scan
+      * on this column across `numPartitions` JDBC sessions. */
+    jdbcPartitionColumn: Option[String] = None,
+    jdbcLowerBound: Long = 0L,
+    jdbcUpperBound: Long = 0L,
     /** Staging write parallelism (py:190, default 10 → fixture-sized). */
     numPartitions: Int = 4,
     /** Stage bucketed by this column: the phase-2 join on it (and any
@@ -46,7 +65,9 @@ final case class JobSpec(
     /** Workspace root; raw/transformed/checkpoint conventions below it
       * (py:189/209/238 path conventions). */
     workspace: String,
-    tables: Seq[TableSpec]) {
+    tables: Seq[TableSpec],
+    /** Shared database connection for `jdbcTable` sources. */
+    jdbc: Option[JdbcConnSpec] = None) {
   def rawDir(table: String): String = s"$workspace/raw/$table"
   def transformedDir(target: String): String = s"$workspace/transformed/$target"
   def checkpointDir(target: String): String = s"$workspace/checkpoints/$target"

@@ -176,4 +176,56 @@ class ReferenceJobSpec extends SparkSpecBase {
       s"Migration for table $target completed successfully"),
       s"missing progress/completion banners:\n$content")
   }
+
+  test("CLI job mixing a JDBC source with the parquet lake") {
+    // the reference's actual shape: sources come FROM a database; the
+    // CLI config carries one job-level connection + per-source tables
+    val url = "jdbc:derby:memory:graftclidb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    Class.forName(driver)
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE nation_db") catch { case _: Throwable => () }
+    st.execute("CREATE TABLE nation_db (n_nationkey BIGINT, n_name VARCHAR(64))")
+    val ps = conn.prepareStatement("INSERT INTO nation_db VALUES (?, ?)")
+    Tables(spark, sfDir, "nation")
+      .selectExpr("CAST(n_nationkey AS LONG)", "n_name").collect()
+      .foreach { r => ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1)); ps.addBatch() }
+    ps.executeBatch(); conn.close()
+
+    val ws = Files.createTempDirectory("graft_cli_jdbc_").toString
+    val cfg = s"""{
+      |  "workspace": "PLACEHOLDER",
+      |  "jdbc": { "url": "$url", "driver": "$driver" },
+      |  "tables": [{
+      |    "targetTable": "customer_nations",
+      |    "sources": [
+      |      { "name": "customer" },
+      |      { "name": "nation_db", "jdbcTable": "nation_db",
+      |        "jdbcPartitionColumn": "n_nationkey",
+      |        "jdbcLowerBound": 0, "jdbcUpperBound": 25 }
+      |    ],
+      |    "root": "customer",
+      |    "joins": [
+      |      { "rightTable": "nation_db",
+      |        "leftCol": "c_nationkey", "rightCol": "n_nationkey" }
+      |    ],
+      |    "transformedColumns": [
+      |      "c_custkey AS custkey", "c_name AS customer_name",
+      |      "n_name AS nation" ]
+      |  }]
+      |}""".stripMargin
+    val cfgPath = Files.createTempFile("graft_job_", ".json")
+    Files.write(cfgPath, cfg.getBytes("UTF-8"))
+    Main.main(Array(cfgPath.toString, ws, sfDir))
+
+    val loaded = spark.read.parquet(s"$ws/target/customer_nations")
+    val expected = Tables(spark, sfDir, "customer")
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("c_custkey AS custkey", "c_name AS customer_name", "n_name AS nation")
+    assert(loaded.count() === expected.count())
+    val a = loaded.orderBy("custkey").collect().map(_.toSeq).toSeq
+    val b = expected.orderBy("custkey").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }
