@@ -409,6 +409,135 @@ object SimilarityQueries {
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       }),
 
+    // ---- residual IVF-PQ: the faithful composed index. Vectors are
+    // PQ-encoded as RESIDUALS against their coarse-cell centroid (what
+    // production IVF-PQ does — residuals are smaller, so the same
+    // codebook budget quantizes finer), with an 8-codeword residual
+    // codebook trained constant-state in integer-scaled space. Queries
+    // route to nprobe=2 cells by exact centroid distance, and the ADC
+    // distance tables are computed per (query, probed cell) over the
+    // query's residual AGAINST THAT CELL — the per-cell-residual
+    // subtlety that distinguishes residual IVF-PQ from flat PQ. Every
+    // step is deterministic (exact centroids → IEEE subtraction →
+    // sequential folds → integer-scaled sums), so the whole composed
+    // index is DuckDB-oracled. Scale: routing + distance tables are
+    // query-set-sized broadcasts; candidates partition-prune to
+    // nprobe/|cells| of the corpus; the corpus never shuffles. ----
+    QueryDef("q_ann_ivfpq_residual", Some {
+      val sub = (0 until 8).map { sIdx =>
+        s"(SELECT $sIdx AS subspace, ${sIdx * 8 + 1} AS lo, ${sIdx * 8 + 8} AS hi)"
+      }.mkString("\nUNION ALL\n")
+      def sliceFold(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip($a[subs.lo:subs.hi], $b[subs.lo:subs.hi]),
+           |        z -> (z[1] - z[2]) * (z[1] - z[2]))), (x, y) -> x + y)""".stripMargin
+      s"""WITH $centCtesSql,
+         |res AS (
+         |  SELECT n.vec_id, n.label,
+         |    list_transform(list_zip(n.v, cent.centroid), z -> z[1] - z[2]) AS r
+         |  FROM n JOIN cent ON cent.code = n.label),
+         |g2 AS (
+         |  SELECT vec_id % 8 AS cw, d.d AS dim,
+         |    CAST(sum(CAST(floor(r[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+         |    count(*) AS cnt
+         |  FROM res, range(0, $dim) d(d) GROUP BY vec_id % 8, d.d),
+         |cb AS (
+         |  SELECT cw, list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS codeword
+         |  FROM g2 GROUP BY cw),
+         |subs AS ($sub),
+         |rcodes AS (
+         |  SELECT vec_id, subspace, cw FROM (
+         |    SELECT res.vec_id, subs.subspace, cb.cw,
+         |      row_number() OVER (PARTITION BY res.vec_id, subs.subspace
+         |        ORDER BY ${sliceFold("res.r", "cb.codeword")}, cb.cw) AS rn
+         |    FROM res, subs, cb) WHERE rn = 1),
+         |qroute AS (
+         |  SELECT vec_id AS query_id, code AS cell FROM (
+         |    SELECT n.vec_id, cent.code,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${dotDSql("n.v", "n.v")} - 2.0 * ${dotDSql("n.v", "cent.centroid")}
+         |          + ${dotDSql("cent.centroid", "cent.centroid")}, cent.code) AS rn
+         |    FROM n, cent WHERE $querySetPred) WHERE rn <= 2),
+         |qres AS (
+         |  SELECT n.vec_id AS query_id, q.cell,
+         |    list_transform(list_zip(n.v, cent.centroid), z -> z[1] - z[2]) AS rq
+         |  FROM n JOIN qroute q ON q.query_id = n.vec_id
+         |  JOIN cent ON cent.code = q.cell),
+         |qdt AS (
+         |  SELECT qres.query_id, qres.cell, subs.subspace, cb.cw,
+         |    CAST(floor(${sliceFold("qres.rq", "cb.codeword")} * 1000000000.0) AS BIGINT) AS d_scaled
+         |  FROM qres, subs, cb),
+         |adc AS (
+         |  SELECT q.query_id, n2.vec_id AS candidate_id,
+         |    CAST(sum(t.d_scaled) AS BIGINT) AS adc_scaled
+         |  FROM qroute q
+         |  JOIN n n2 ON n2.label = q.cell AND n2.vec_id <> q.query_id
+         |  JOIN rcodes k ON k.vec_id = n2.vec_id
+         |  JOIN qdt t ON t.query_id = q.query_id AND t.cell = q.cell
+         |    AND t.subspace = k.subspace AND t.cw = k.cw
+         |  GROUP BY q.query_id, n2.vec_id)
+         |SELECT query_id, candidate_id, adc_scaled, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_scaled, candidate_id) AS rnk FROM adc) WHERE rnk <= 5""".stripMargin
+    })(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = centroidsOf(n, "label")
+        val res = n.join(broadcast(cent), col("label") === col("code"))
+          .select(col("vec_id"), col("label"),
+            zip_with(col("v"), col("centroid"), (a, b) => a - b).as("r"))
+          .persist()
+        val cb = centroidsOf(
+            res.select(pmod(col("vec_id"), lit(8L)).as("cw"), col("r").as("v")), "cw")
+          .select(col("code").as("cw"), col("centroid").as("codeword"))
+        val subsEx = explode(array((0 until 8).map(lit): _*)).as("subspace")
+        val rcW = Window.partitionBy(col("vec_id"), col("subspace"))
+          .orderBy(col("dist").asc, col("cw").asc)
+        val rcodes = res.select(col("vec_id"), col("r"), subsEx)
+          .join(broadcast(cb))
+          .withColumn("dist", GraftFunctions.l2sub(
+            col("r"), col("codeword"), (col("subspace") * 8).cast("int"), 8))
+          .withColumn("rn", row_number().over(rcW))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("subspace"), col("cw"))
+        val routeW = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("code").asc)
+        val queries = n.where(expr(querySetPred))
+        val qroute = queries.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            GraftFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+              + GraftFunctions.dot(col("centroid"), col("centroid")))
+          .withColumn("rn", row_number().over(routeW))
+          .where(col("rn") <= 2)
+          .select(col("vec_id").as("query_id"), col("code").as("cell"))
+        val qres = queries.select(col("vec_id").as("query_id"), col("v"))
+          .join(broadcast(qroute), "query_id")
+          .join(broadcast(cent.select(col("code").as("cell"), col("centroid"))), "cell")
+          .select(col("query_id"), col("cell"),
+            zip_with(col("v"), col("centroid"), (a, b) => a - b).as("rq"))
+        val qdt = qres.select(col("query_id"), col("cell"), col("rq"), subsEx)
+          .join(broadcast(cb))
+          .select(col("query_id"), col("cell"), col("subspace"), col("cw"),
+            floor(GraftFunctions.l2sub(
+                col("rq"), col("codeword"), (col("subspace") * 8).cast("int"), 8)
+              * lit(1e9)).cast("bigint").as("d_scaled"))
+        val adc = n.select(col("vec_id").as("candidate_id"), col("label"))
+          .join(broadcast(qroute), col("label") === col("cell") &&
+            col("candidate_id") =!= col("query_id"))
+          .join(rcodes.withColumnRenamed("vec_id", "candidate_id"), Seq("candidate_id"))
+          .join(broadcast(qdt), Seq("query_id", "cell", "subspace", "cw"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        adc.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
+      }),
+
     // ---- symmetric int8 quantization: the embedding-storage
     // compression step (64 doubles → 64 bytes + 1 scale). absmax is a
     // max-fold (order-insensitive, exact); each component quantizes
