@@ -181,4 +181,45 @@ class GraftFunctionsSpec extends SparkSpecBase {
       .collect().head
     assert(oob.isNullAt(0))
   }
+
+  test("fuzz: custom expressions == builtin formulations on adversarial token arrays") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random docs spanning the edge cases the fixture never hits:
+    // empty docs, 1-2 tokens (below shingle width), repeated tokens,
+    // empty-string tokens (double spaces), long runs of one token
+    val vocab = Seq("a", "bb", "ccc", "dddd", "", "a", "zz")
+    val genDoc: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val docs = (1L to 300L).map(seed =>
+      genDoc.pureApply(Gen.Parameters.default, Seed(seed)))
+    val df = docs.toDF("text").persist()
+    val toks = split(trim(col("text")), " ")
+
+    val builtinH32 = transform(toks, t =>
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("bigint"), lit(TextOps.P)))
+    assert(df.select(GraftFunctions.h32Array(toks, TextOps.P).as("n"), builtinH32.as("r"))
+      .where(col("n") =!= col("r")).count() === 0)
+
+    val builtinSh3 = transform(
+      sequence(lit(1), greatest(size(toks) - 2, lit(0))),
+      i => pmod(conv(substring(md5(concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+        1, 8), 16, 10).cast("bigint"), lit(TextOps.P)))
+    assert(df.where(size(toks) >= 3)
+      .select(GraftFunctions.shingleHashes(toks, 3, TextOps.P).as("n"), builtinSh3.as("r"))
+      .where(col("n") =!= col("r")).count() === 0)
+    // below shingle width: native must emit empty, never throw
+    val shortOnes = df.where(size(toks) < 3)
+      .select(GraftFunctions.shingleHashes(toks, 3, TextOps.P).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(shortOnes.forall(_.isEmpty))
+
+    val hashes = GraftFunctions.h32Array(toks, TextOps.P)
+    assert(df.select(hashes.as("h"))
+      .select(GraftFunctions.minhashSig(col("h")).as("n"),
+        TextOps.minhashSigFromHashes(col("h")).as("r"))
+      .where(col("n") =!= col("r")).count() === 0)
+  }
 }
