@@ -35,6 +35,10 @@ object Scratch {
       spark.experimental.extraStrategies :+ graft.plans.BandJoinStrategy
 
     def bucketed() = {
+      // native() flips this conf and BandJoinConvert also matches the
+      // equi+BETWEEN conjunction, so reset it here or every bucketed()
+      // run after the first native() call silently measures BandJoinExec.
+      spark.conf.set("spark.graft.bandjoin.native", "false")
       val p = Tables(spark, sfDir, "part")
         .withColumn("bucket", explode(sequence(
           floor((col("p_retailprice") - 5) / 10),

@@ -152,14 +152,17 @@ object GraftFunctions {
   private[functions] val KmvKs = Set(64, 256)
 
   /** Constant-state component-wise sum of `array<bigint>` vectors (see
-    * [[LongVecSumAgg]]). Registered variant: dim = 64 (the embedding
-    * width). Integer-scale doubles first for order-independent exact
-    * centroids. */
+    * [[LongVecSumAgg]]). Registered variants: dim ∈ [[LvSumDims]]
+    * (power-of-two widths bracketing common embedding sizes; the
+    * fixture embeddings are 64-wide). Integer-scale doubles first for
+    * order-independent exact centroids. */
   def longVecSum(a: Column, dim: Int): Column = {
-    require(dim == 64, s"longVecSum supports dim = 64 only, got $dim")
+    require(LvSumDims.contains(dim), s"longVecSum supports dim in $LvSumDims, got $dim")
     register(SparkSession.active)
     call_function(s"graft_lvsum_$dim", a)
   }
+
+  private[functions] val LvSumDims = Set(8, 16, 32, 64, 128, 256)
 
   private val dotInfo = new ExpressionInfo(
     classOf[DotProductD].getName, null, "graft_dot",
@@ -182,8 +185,9 @@ object GraftFunctions {
       "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2sub_8", exprs => L2SubDist(exprs(0), exprs(1), exprs(2), 8), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_lvsum_64", exprs => LongVecSumAgg(exprs(0), 64), "built-in")
+    for (d <- LvSumDims)
+      reg.createOrReplaceTempFunction(
+        s"graft_lvsum_$d", exprs => LongVecSumAgg(exprs(0), d), "built-in")
     for (k <- KmvKs) {
       reg.createOrReplaceTempFunction(
         s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")

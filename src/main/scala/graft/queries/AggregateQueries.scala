@@ -249,8 +249,10 @@ object AggregateQueries {
     // through DECIMAL → scaled BIGINT moments (Sx, Sy, Sxy, Sxx, Syy —
     // exact, order-independent integer sums), and covar/corr come out
     // as a fixed chain of double ops over those exact integers —
-    // bit-identical in both engines. Headroom: moments fit int64 to
-    // ~1e17; larger groups would move the sums to DECIMAL(38,0). ----
+    // bit-identical in both engines. Moments accumulate in wide exact
+    // integers (Spark DECIMAL(38,0), DuckDB HUGEINT) so even 1e11-row
+    // groups at the 100 TB design point stay exact — int64 would wrap
+    // silently in Spark (non-ANSI) near n*sxx ~ 1e19. ----
     QueryDef("q_agg_covar_exact", Some(
       """WITH s AS (
         |  SELECT l_returnflag AS rf,
@@ -259,10 +261,10 @@ object AggregateQueries {
         |  FROM lineitem),
         |m AS (
         |  SELECT rf, count(*) AS n,
-        |    CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-        |    CAST(sum(qx * dy) AS BIGINT) AS sxy,
-        |    CAST(sum(qx * qx) AS BIGINT) AS sxx,
-        |    CAST(sum(dy * dy) AS BIGINT) AS syy
+        |    sum(qx) AS sx, sum(dy) AS sy,
+        |    sum(qx * dy) AS sxy,
+        |    sum(qx * qx) AS sxx,
+        |    sum(dy * dy) AS syy
         |  FROM s GROUP BY rf)
         |SELECT rf, n,
         |  CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 10000.0 AS covar_pop,
@@ -275,12 +277,19 @@ object AggregateQueries {
           col("l_returnflag").as("rf"),
           (col("l_quantity").cast("decimal(18,2)") * 100).cast("bigint").as("qx"),
           (col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").as("dy"))
+        // Per-row products fit int64 comfortably (|qx*qx| <= 2.5e7);
+        // the SUMS are the overflow risk, so they accumulate in
+        // DECIMAL(38,0) (sum over decimal(28,0) widens to 38,0 —
+        // exact). DuckDB's sum(BIGINT) is HUGEINT (int128): both
+        // engines carry exact integers to ~1e38, then one final
+        // cast-to-double rounds identically.
         scaled.groupBy(col("rf"))
           .agg(count(lit(1)).as("n"),
-            sum(col("qx")).as("sx"), sum(col("dy")).as("sy"),
-            sum(col("qx") * col("dy")).as("sxy"),
-            sum(col("qx") * col("qx")).as("sxx"),
-            sum(col("dy") * col("dy")).as("syy"))
+            sum(col("qx").cast("decimal(28,0)")).as("sx"),
+            sum(col("dy").cast("decimal(28,0)")).as("sy"),
+            sum((col("qx") * col("dy")).cast("decimal(28,0)")).as("sxy"),
+            sum((col("qx") * col("qx")).cast("decimal(28,0)")).as("sxx"),
+            sum((col("dy") * col("dy")).cast("decimal(28,0)")).as("syy"))
           .select(col("rf"), col("n"),
             ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
               / col("n") / col("n") / lit(10000.0)).as("covar_pop"),

@@ -168,7 +168,8 @@ class ReferenceJobSpec extends SparkSpecBase {
 
     // C7: per-table dynamic log file with the reference's banners
     val logs = new java.io.File(s"$ws/logs").listFiles()
-    val tableLog = logs.find(_.getName.matches(s"log_${target}_\\d{8}_\\d{6}\\.log"))
+    val tableLog = logs.find(_.getName.matches(
+      s"log_${target}_\\d{4}_\\d{2}_\\d{2}_\\d{2}_\\d{2}_\\d{2}\\.log"))
       .getOrElse(fail(s"no per-table log in ${logs.mkString(", ")}"))
     val content = new String(java.nio.file.Files.readAllBytes(tableLog.toPath), "UTF-8")
     assert(content.contains(s" - $target - INFO - "), s"wrong line format:\n$content")
