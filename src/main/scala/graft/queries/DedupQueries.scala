@@ -73,6 +73,32 @@ object DedupQueries {
   private def jaccardSqlPair =
     s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 
+  /** Block count B for the triangle-blocked exact embedding join
+    * (`q_dedup_embedding`). The join fans out to B(B+1)/2 block-pair
+    * tasks, so the default is the smallest B whose task count covers
+    * the cluster's shuffle parallelism — B ≈ ceil((√(8P+1)−1)/2) for
+    * P = spark.sql.shuffle.partitions — instead of a constant that is
+    * right on one machine and wrong on a 1000-executor cluster (P=32
+    * → B=8; P=2000 → B=63). Override with
+    * `spark.graft.dedup.embedding.blocks` when per-task memory is the
+    * binding constraint: each task buffers ~2n/B rows, so at a fixed
+    * executor size B must also grow linearly with corpus size n.
+    *
+    * ROUTING RULE — exact vs approximate: this exact operator costs
+    * Θ(n²) COMPUTE by its semantics (every pair is examined; blocking
+    * only bounds memory/shuffle). A 100× corpus costs 10,000×
+    * comparisons, so route corpora beyond ~10M vectors (≈5·10¹³ pairs)
+    * to the subquadratic `q_ann_lsh_hyperplane` banding path and accept
+    * recall < 1 — or raise the similarity threshold out of the random-
+    * cosine tail, where banding recall is high enough to LSH-prefilter
+    * and exact-verify only the collisions. */
+  private[queries] def embeddingBlocks(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.dedup.embedding.blocks")
+      .map(_.toInt).getOrElse {
+        val p = spark.sessionState.conf.numShufflePartitions
+        math.max(2, math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt)
+      }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: one shuffle on the content hash ----
@@ -395,49 +421,10 @@ object DedupQueries {
           .select(col("da"), col("db"))
         val edges = pairs.union(pairs.select(col("db"), col("da")))
           .toDF("a", "b").persist()
-        def labelSum(df: DataFrame): Long =
-          df.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-            .collect().head.getLong(0)
-        // iterate over EDGE-TOUCHED nodes only: a node with no near-dup
-        // pair keeps label = self forever, so at corpus scale the loop
-        // runs on the (small) near-dup subgraph, not the whole corpus —
-        // singletons rejoin at the end. localCheckpoint truncates the
-        // per-iteration lineage (each round otherwise embeds the
-        // previous round's plan twice and analysis cost grows
-        // geometrically); a multi-executor deployment would use a
-        // reliable checkpoint dir instead of executor-local blocks.
-        var labels = edges.select(col("a").as("node")).distinct()
-          .select(col("node"), col("node").as("label"))
-          .localCheckpoint(true)
-        var prevSum = labelSum(labels)
-        var iter = 0
-        var converged = labels.isEmpty
-        val maxIters = 25
-        while (!converged && iter < maxIters) {
-          val prop = edges.join(labels, edges("b") === labels("node"))
-            .groupBy(col("a").as("node")).agg(min(col("label")).as("nlabel"))
-          val stepped = labels.join(prop, Seq("node"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          // pointer doubling (label := label(label)): halves the
-          // remaining diameter each pass, so convergence is
-          // O(log diameter) rounds instead of O(diameter) — a diameter-30
-          // chain converges in ~5 rounds, not 30.
-          val parents = stepped.select(col("node").as("pnode"), col("label").as("plabel"))
-          val next = stepped.join(parents, stepped("label") === parents("pnode"), "left")
-            .select(stepped("node"),
-              least(stepped("label"), coalesce(col("plabel"), stepped("label"))).as("label"))
-            .localCheckpoint(true)
-          val nextSum = labelSum(next)
-          labels = next
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          iter += 1
-        }
-        // a silent cap would emit wrong cluster_ids for any component
-        // whose diameter outruns the iteration budget
-        require(converged,
-          s"connected-components did not converge within $maxIters iterations")
+        // the iterative label-propagation / pointer-doubling loop lives
+        // in graft.ops.ConnectedComponents (reliable per-round
+        // checkpoint — survives executor loss; see its doc + ChaosSpec)
+        val labels = graft.ops.ConnectedComponents.labels(s, edges)
         Tables(s, d, "documents").select(col("doc_id"))
           .join(labels, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
@@ -468,8 +455,7 @@ object DedupQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosineDSql("a.v", "b.v")} >= 0.45""".stripMargin))(
       (s, d) => {
-        val blocks = s.conf.getOption("spark.graft.dedup.embedding.blocks")
-          .map(_.toInt).getOrElse(8)
+        val blocks = embeddingBlocks(s)
         val e = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
           .withColumn("nrm", GraftFunctions.norm(col("v")))

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import graft.ops.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+/** Executor-loss safety of the iterative clustering loop, plus the
+  * scale-aware defaults the 100 TB design relies on.
+  *
+  * Local mode cannot kill an executor, but the failure mode that
+  * matters is precise: blocks held in executor storage vanish, files
+  * don't. Dropping every persisted RDD block mid-loop reproduces
+  * exactly what an executor death does to `localCheckpoint` state —
+  * data gone AND the lineage to recompute it truncated — while a
+  * reliable `checkpoint()` (files) shrugs it off. */
+class ChaosSpec extends SparkSpecBase {
+
+  /** What an executor death does to executor-local state. */
+  private def dropAllPersistedBlocks(): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+
+  private def pathEdges(ids: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val pairs = ids.toDF("a", "b")
+    pairs.union(pairs.select(col("b"), col("a"))).toDF("a", "b")
+  }
+
+  test("the simulated loss is real: localCheckpoint state does not survive it") {
+    val df = spark.range(1000).toDF("x").localCheckpoint(true)
+    dropAllPersistedBlocks()
+    intercept[Exception](df.count())
+  }
+
+  test("connected components converge through block loss every iteration") {
+    // a diameter-31 chain (forces several pointer-doubling rounds) plus
+    // a disjoint triangle and a singleton pair
+    val chain = (0L until 31L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = pathEdges(chain ++ extra)
+    val labels = ConnectedComponents
+      .labels(spark, edges, chaos = _ => dropAllPersistedBlocks())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 31L).foreach(n => assert(labels(n) == 0L, s"node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(labels(n) == 100L, s"node $n"))
+    Seq(200L, 201L).foreach(n => assert(labels(n) == 200L, s"node $n"))
+  }
+
+  test("embedding block count scales with shuffle parallelism") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      assert(DedupQueries.embeddingBlocks(spark) == 8) // 8*9/2 = 36 >= 32
+      spark.conf.set("spark.sql.shuffle.partitions", "2000")
+      assert(DedupQueries.embeddingBlocks(spark) == 63) // 63*64/2 = 2016
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      assert(DedupQueries.embeddingBlocks(spark) == 2) // floor of 2
+      // explicit override wins regardless of parallelism
+      spark.conf.set("spark.graft.dedup.embedding.blocks", "5")
+      assert(DedupQueries.embeddingBlocks(spark) == 5)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.embedding.blocks")
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+}
