@@ -84,5 +84,33 @@ object StreamingQueries {
             unix_micros(col("sw.start")).as("session_start_us"),
             unix_micros(col("sw.end")).as("session_end_us"),
             col("n_events")))
+  ,
+
+    // ---- Kafka-shaped keyed-log ledger contract (graft.sources
+    // .KeyedLog): events append to a partitioned offset-ordered log in
+    // two batches; the consumer seeks to the end offsets committed
+    // after batch 1 and replays. If offset assignment is dense,
+    // deterministic, and continuing across appends, the replay is
+    // EXACTLY batch 2 — which the oracle states independently of any
+    // hash/partition detail (those are Spark-side internals the ledger
+    // must make invisible). A dupe, gap, or non-monotonic offset makes
+    // the two formulations diverge. ----
+    QueryDef("q_keyedlog_replay", Some(
+      """SELECT event_id, user_id, event_type
+        |FROM events WHERE event_id % 3 = 0""".stripMargin))(
+      (s, d) => {
+        import graft.sources.KeyedLog
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_klog_").toString + "/log"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        KeyedLog.append(ev.where(col("event_id") % 3 =!= 0), dir,
+          "user_id", 4, Seq(col("event_id")))
+        val committed = KeyedLog.endOffsets(s, dir, ev.schema, 4)
+        KeyedLog.append(ev.where(col("event_id") % 3 === 0), dir,
+          "user_id", 4, Seq(col("event_id")))
+        KeyedLog.readBatch(s, dir, committed)
+          .select(col("event_id"), col("user_id"), col("event_type"))
+      })
   )
 }
