@@ -4,11 +4,15 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.channels.Channels
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.arrow.memory.BufferAllocator
-import org.apache.arrow.vector.{BigIntVector, IntVector, VarBinaryVector, VarCharVector, VectorLoader, VectorSchemaRoot, VectorUnloader}
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.{BigIntVector, Float4Vector, IntVector, VarBinaryVector, VarCharVector, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.complex.FixedSizeListVector
 import org.apache.arrow.vector.ipc.{ReadChannel, WriteChannel}
 import org.apache.arrow.vector.ipc.message.{ArrowRecordBatch, MessageSerializer}
+import org.apache.arrow.vector.types.FloatingPointPrecision
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.graftshim.ArrowLane
 import org.apache.spark.sql.types._
@@ -41,13 +45,33 @@ object ArrowDecode {
     outSchema.add(StructField("feature", ArrayType(FloatType, containsNull = false),
       nullable = false))
 
+  val featureDim = 8
+
+  /** The feature lane's WIRE schema: the vector column is an Arrow
+    * FixedSizeList(8)<float32> — no offsets buffer, constant stride —
+    * so a native ANN kernel / model runtime can consume the batch
+    * zero-copy, and the ANN queries read it back without
+    * re-marshalling (ArrowLane.mapArrowBatchesTo supplies the
+    * FixedSizeList accessor Spark lacks). */
+  def featureArrowSchema(tz: String): ArrowSchema = {
+    val scalars = ArrowLane.toArrowSchema(outSchema, tz).getFields.asScala
+    val elem = new Field("element",
+      new FieldType(false,
+        new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE), null),
+      java.util.Collections.emptyList[Field]())
+    val feat = new Field("feature",
+      new FieldType(false, new ArrowType.FixedSizeList(featureDim), null),
+      java.util.Collections.singletonList(elem))
+    new ArrowSchema((scalars :+ feat).asJava)
+  }
+
   /** media must have (media_id bigint, modality string, payload binary). */
   def decode(media: DataFrame, maxRecordsPerBatch: Int = 4096): DataFrame =
     run(media, outSchema, maxRecordsPerBatch, withFeature = false)
 
-  /** Same stage emitting the feature vector column as an Arrow list —
-    * the batch shape a real embedding model would fill. Float math is
-    * identical to [[FakeDecoder]]'s, so the lanes agree bitwise. */
+  /** Same stage emitting the feature vector as a FixedSizeList Arrow
+    * column (see [[featureArrowSchema]]). Float math is identical to
+    * [[FakeDecoder]]'s, so the lanes agree bitwise. */
   def decodeWithFeatures(media: DataFrame, maxRecordsPerBatch: Int = 4096): DataFrame =
     run(media, featureSchema, maxRecordsPerBatch, withFeature = true)
 
@@ -56,8 +80,12 @@ object ArrowDecode {
     val in = media.select("media_id", "modality", "payload")
     val inSchema = in.schema
     val tz = in.sparkSession.conf.get("spark.sql.session.timeZone")
-    ArrowLane.mapArrowBatches(in, schema, maxRecordsPerBatch)(
-      bytes => Iterator.single(decodeOneBatch(bytes, inSchema, schema, withFeature, tz)))
+    if (withFeature)
+      ArrowLane.mapArrowBatchesTo(in, schema, featureArrowSchema(tz), maxRecordsPerBatch)(
+        bytes => Iterator.single(decodeOneBatch(bytes, inSchema, schema, withFeature, tz)))
+    else
+      ArrowLane.mapArrowBatches(in, schema, maxRecordsPerBatch)(
+        bytes => Iterator.single(decodeOneBatch(bytes, inSchema, schema, withFeature, tz)))
   }
 
   private def decodeOneBatch(
@@ -68,7 +96,8 @@ object ArrowDecode {
       val inRoot = VectorSchemaRoot.create(
         ArrowLane.toArrowSchema(inSchema, tz), alloc)
       val outRoot = VectorSchemaRoot.create(
-        ArrowLane.toArrowSchema(outSchema, tz), alloc)
+        if (withFeature) featureArrowSchema(tz)
+        else ArrowLane.toArrowSchema(outSchema, tz), alloc)
       try {
         val rb = deserializeBatch(bytes, alloc)
         try new VectorLoader(inRoot).load(rb) finally rb.close()
@@ -87,8 +116,9 @@ object ArrowDecode {
         val oD = outRoot.getVector("duration_ms").asInstanceOf[BigIntVector]
         val oC = outRoot.getVector("checksum").asInstanceOf[BigIntVector]
         val oF = if (withFeature)
-          outRoot.getVector("feature").asInstanceOf[ListVector] else null
-        val fWriter = if (withFeature) oF.getWriter else null
+          outRoot.getVector("feature").asInstanceOf[FixedSizeListVector] else null
+        val oFData = if (withFeature)
+          oF.getDataVector.asInstanceOf[Float4Vector] else null
 
         var i = 0
         while (i < n) {
@@ -111,16 +141,15 @@ object ArrowDecode {
           oD.setSafe(i, if (isImage) 0L else (h % 60000L) + 1L)
           oC.setSafe(i, h)
           if (withFeature) {
-            // same float math as FakeDecoder.decode's feature
-            fWriter.setPosition(i)
-            fWriter.startList()
+            // same float math as FakeDecoder.decode's feature; elements
+            // land at constant stride i*dim+k — no offsets to maintain
+            oF.setNotNull(i)
             var k = 0
-            while (k < 8) {
-              fWriter.float4().writeFloat4(
+            while (k < featureDim) {
+              oFData.setSafe(i * featureDim + k,
                 (((h >> (k * 4)) & 0xff).toFloat / 255.0f) - 0.5f)
               k += 1
             }
-            fWriter.endList()
           }
           i += 1
         }

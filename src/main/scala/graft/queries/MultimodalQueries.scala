@@ -86,7 +86,55 @@ object MultimodalQueries {
     // native float op for this expression). Query side = every 100th
     // media id (broadcasts); candidates scan partitioned — the
     // q_ann_brute_topk plan shape over decoded media. ----
-    QueryDef("q_multimodal_knn", Some {
+    QueryDef("q_multimodal_knn", Some(knnOracle))(
+      (s, d) =>
+        knnOver(
+          graft.multimodal.Media.decodeAll(Media.fromDocuments(s, d), FakeDecoder)
+            .toDF())),
+
+    // ---- the same decode→ANN pipeline fed by the ARROW lane: the
+    // feature column crosses the decode boundary as a
+    // FixedSizeList(8)<float32> batch (constant stride, no offsets —
+    // the layout a native kernel consumes zero-copy) and the ANN
+    // query reads it back without re-marshalling. Same oracle as the
+    // row lane — the two feeds must agree bitwise. ----
+    QueryDef("q_multimodal_knn_arrow", Some(knnOracle))(
+      (s, d) =>
+        knnOver(
+          graft.multimodal.ArrowDecode
+            .decodeWithFeatures(Media.fromDocuments(s, d).toDF())))
+  )
+
+  /** Top-3 cosine neighbors over a decoded-features frame
+    * (media_id, ..., feature float[8]): query side = every 100th id,
+    * broadcast; candidates scan stays partitioned — the
+    * q_ann_brute_topk plan shape over decoded media. */
+  private def knnOver(featsIn: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = featsIn
+      .select(col("media_id"), col("feature").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.GraftFunctions.norm(col("v")))
+      .persist()
+    val q = feats.where(expr("media_id % 100 = 0"))
+      .select(col("media_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = feats.select(col("media_id").as("neighbor_id"),
+      col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        graft.functions.GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** The stub featurizer derives 8 float32 values from the FNV
+    * checksum (b/255f − 0.5f per nibble-pair); the oracle reproduces
+    * the float32 rounding exactly via double-compute + CAST(… AS REAL)
+    * at each step (verified exhaustively over all 256 byte values:
+    * double-then-round equals native float op for this expression). */
+  private lazy val knnOracle: String = {
       val featSql = (0 until 8).map { k =>
         val shift = 1L << (4 * k)
         s"CAST(CAST(CAST(CAST(CAST((h // $shift) % 256 AS DOUBLE) / 255.0 AS REAL) AS DOUBLE) - 0.5 AS REAL) AS DOUBLE)"
@@ -109,26 +157,5 @@ object MultimodalQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored)
          |WHERE rnk <= 3""".stripMargin
-    })(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val feats = Media.decodeAll(Media.fromDocuments(s, d), FakeDecoder)
-          .toDF()
-          .select(col("media_id"), col("feature").cast("array<double>").as("v"))
-          .withColumn("nrm", graft.functions.GraftFunctions.norm(col("v")))
-          .persist()
-        val q = feats.where(expr("media_id % 100 = 0"))
-          .select(col("media_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val c = feats.select(col("media_id").as("neighbor_id"),
-          col("v").as("cv"), col("nrm").as("cn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos_sim",
-            graft.functions.GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 3)
-          .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
-      })
-  )
+  }
 }

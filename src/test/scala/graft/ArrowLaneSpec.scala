@@ -52,6 +52,19 @@ class ArrowLaneSpec extends SparkSpecBase {
     assert(sims.count() === arrowFeats.size)
   }
 
+  test("feature lane wire format is FixedSizeList(8)<float32>") {
+    // the point of the lane: fixed stride, no offsets buffer — the
+    // layout a native ANN kernel or model runtime consumes zero-copy
+    val f = ArrowDecode.featureArrowSchema("UTC").findField("feature")
+    val t = f.getType.asInstanceOf[
+      org.apache.arrow.vector.types.pojo.ArrowType.FixedSizeList]
+    assert(t.getListSize === 8)
+    val elem = f.getChildren.get(0)
+    assert(elem.getType.isInstanceOf[
+      org.apache.arrow.vector.types.pojo.ArrowType.FloatingPoint])
+    assert(!elem.isNullable)
+  }
+
   test("the lane preserves binary payloads exactly (checksum spot check)") {
     import spark.implicits._
     val df = Seq(
