@@ -234,6 +234,139 @@ object SketchQueries {
           (col("exact_distinct") >= col("est_distinct") * (lit(1.0) - lit(2.0) * col("rse")) &&
             col("exact_distinct") <= col("est_distinct") * (lit(1.0) + lit(2.0) * col("rse")))
             .as("exact_in_ci"))
+      }),
+
+    // ---- jackknife (leave-one-out) variance of the KMV estimate: a
+    // DATA-DRIVEN error bar, complementing q_sketch_theta_ci's analytic
+    // 1/√(k−2) RSE. Dropping retained hash i from a full sketch leaves
+    // the estimate (k−2)·2³²/h_k for every i<k (h_k still the k-th
+    // order statistic) and (k−2)·2³²/h_{k−1} for i=k — so the k
+    // replicates take exactly TWO values and the jackknife variance
+    // Var = (k−1)/k · Σ(est_i − mean)² collapses to a closed form over
+    // (h_{k−1}, h_k). Every step is one fixed double-op tree over
+    // exact integers — bit-identical cross-engine. ----
+    QueryDef("q_sketch_kmv_jackknife", Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS priority,
+         |    ${h32Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders
+         |),
+         |r AS (
+         |  SELECT priority, h,
+         |    row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |agg AS (
+         |  SELECT priority, count(*) AS exact_distinct,
+         |    max(CASE WHEN rn = $k THEN h END) AS hk,
+         |    max(CASE WHEN rn = ${k - 1} THEN h END) AS hk1
+         |  FROM r GROUP BY priority
+         |),
+         |jk AS (
+         |  SELECT priority, exact_distinct,
+         |    CASE WHEN exact_distinct < $k THEN CAST(exact_distinct AS DOUBLE)
+         |         ELSE ${k - 1}.0 * $twoTo32 / hk END AS est_distinct,
+         |    ${k - 2}.0 * $twoTo32 / hk AS e1,
+         |    ${k - 2}.0 * $twoTo32 / hk1 AS e2
+         |  FROM agg)
+         |SELECT priority, exact_distinct, est_distinct,
+         |  CASE WHEN exact_distinct < $k THEN 0.0 ELSE
+         |    ${k - 1}.0 / $k.0 *
+         |      (${k - 1}.0 * (e1 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |                  * (e1 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |       + (e2 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |       * (e2 - (${k - 1}.0 * e1 + e2) / $k.0))
+         |  END AS var_jk,
+         |  CASE WHEN exact_distinct < $k THEN 0.0 ELSE
+         |    sqrt(${k - 1}.0 / $k.0 *
+         |      (${k - 1}.0 * (e1 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |                  * (e1 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |       + (e2 - (${k - 1}.0 * e1 + e2) / $k.0)
+         |       * (e2 - (${k - 1}.0 * e1 + e2) / $k.0)))
+         |  END AS se_jk
+         |FROM jk""".stripMargin))(
+      (s, d) => {
+        val sk = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            h32(col("o_custkey").cast("string")).as("h"))
+          .groupBy(col("priority"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sketch"),
+            countDistinct(col("h")).as("exact_distinct"))
+        val full = size(col("sketch")) === k
+        val jk = sk.select(col("priority"), col("exact_distinct"),
+          when(!full, col("exact_distinct").cast("double"))
+            .otherwise(lit((k - 1).toDouble * twoTo32) / element_at(col("sketch"), k))
+            .as("est_distinct"),
+          (lit((k - 2).toDouble * twoTo32) / element_at(col("sketch"), k)).as("e1"),
+          (lit((k - 2).toDouble * twoTo32) / element_at(col("sketch"), k - 1)).as("e2"),
+          full.as("is_full"))
+        // mean/variance spelled as ONE fixed expression tree (matching
+        // the oracle literally) so the doubles agree bitwise
+        val m = (lit((k - 1).toDouble) * col("e1") + col("e2")) / lit(k.toDouble)
+        val varJk = lit((k - 1).toDouble) / lit(k.toDouble) *
+          (lit((k - 1).toDouble) * (col("e1") - m) * (col("e1") - m) +
+            (col("e2") - m) * (col("e2") - m))
+        jk.select(col("priority"), col("exact_distinct"), col("est_distinct"),
+          when(!col("is_full"), lit(0.0)).otherwise(varJk).as("var_jk"),
+          when(!col("is_full"), lit(0.0)).otherwise(sqrt(varJk)).as("se_jk"))
+      }),
+
+    // ---- sketch MERGEABILITY — the property that makes KMV a
+    // distributed-aggregation citizen: the k smallest distinct hashes
+    // of a UNION of sketches form exactly the union's own sketch
+    // (every one of the union's k smallest is within its home set's k
+    // smallest, hence retained there). Per-group sketches built
+    // independently merge into the global sketch with NO access to the
+    // raw data — partial aggregation in miniature, pinned by comparing
+    // against the sketch built directly over everything. ----
+    QueryDef("q_sketch_theta_merge", Some(
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderpriority AS priority,
+         |    ${h32Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM orders
+         |),
+         |r AS (
+         |  SELECT priority, h,
+         |    row_number() OVER (PARTITION BY priority ORDER BY h) AS rn
+         |  FROM h
+         |),
+         |merged AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM r WHERE rn <= $k)
+         |),
+         |direct AS (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM h)
+         |)
+         |SELECT
+         |  (SELECT max(CASE WHEN rn = $k THEN h END) FROM merged) AS theta_merged,
+         |  (SELECT max(CASE WHEN rn = $k THEN h END) FROM direct) AS theta_direct,
+         |  ${k - 1}.0 * $twoTo32
+         |    / (SELECT max(CASE WHEN rn = $k THEN h END) FROM merged) AS est_merged,
+         |  (SELECT count(DISTINCT h) FROM h) AS exact_distinct""".stripMargin))(
+      (s, d) => {
+        val hashed = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("priority"),
+            h32(col("o_custkey").cast("string")).as("h"))
+          .persist()
+        // independent per-group sketches ...
+        val perGroup = hashed.groupBy(col("priority"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"))
+        // ... merged WITHOUT the raw data: re-sketch the union of the
+        // retained hashes (k smallest distinct of the concatenation)
+        val merged = perGroup
+          .select(explode(col("sk")).as("h"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"))
+          .select(element_at(col("sk"), k).as("theta_merged"))
+        val direct = hashed
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"),
+            countDistinct(col("h")).as("exact_distinct"))
+          .select(element_at(col("sk"), k).as("theta_direct"),
+            col("exact_distinct"))
+        merged.crossJoin(direct)
+          .select(col("theta_merged"), col("theta_direct"),
+            (lit((k - 1).toDouble * twoTo32) / col("theta_merged")).as("est_merged"),
+            col("exact_distinct"))
       })
   )
 }
