@@ -22,7 +22,8 @@ object Catalog {
       EvalQueries.defs ++
       MultimodalQueries.defs ++
       PipelineQueries.defs ++
-      StreamingQueries.defs
+      StreamingQueries.defs ++
+      CorpusPrepQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps.{h32, h32Sql, tokens}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for an LLM training pipeline
+  * (north-star extension): sequence packing into fixed context
+  * windows, sliding-window chunking with overlap, and
+  * temperature-based source rebalancing. All deterministic — every
+  * entry is exactly oracled.
+  */
+object CorpusPrepQueries {
+
+  /** Context-window budget (tokens) for packing. */
+  private val packBudget = 512L
+  /** Shard width for the two-phase cumulative sum (see below). */
+  private val shardWidth = 128L
+
+  /** Chunk size / stride (tokens) for sliding-window chunking. */
+  private val chunkLen = 128L
+  private val chunkStride = 96L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- sequence packing (concat-and-chunk): documents concatenate
+    // in doc_id order into one global token stream, which is cut into
+    // fixed `packBudget`-token context windows — each doc then spans
+    // packs [start/B, (start+n−1)/B]. The global exclusive cumsum is
+    // computed SCALE-SAFELY in two phases: a within-shard cumsum
+    // (parallel, shard = doc_id/width is a pure function of the data,
+    // so it is reproducible — unlike spark_partition_id) plus an
+    // exclusive cumsum over per-shard totals (rows = corpus/width,
+    // broadcast back). No stage ever globally sorts the corpus — the
+    // single-partition window runs over shard AGGREGATES only. ----
+    QueryDef("q_pack_sequences", Some(
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+         |    doc_id // $shardWidth AS shard
+         |  FROM documents),
+         |l AS (
+         |  SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY shard
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) AS local_off
+         |  FROM t),
+         |so AS (
+         |  SELECT shard, CAST(coalesce(sum(tot) OVER (ORDER BY shard
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS shard_off
+         |  FROM (SELECT shard, sum(n) AS tot FROM t GROUP BY shard))
+         |SELECT l.doc_id, l.n AS n_tokens,
+         |  l.local_off + so.shard_off AS start_tok,
+         |  (l.local_off + so.shard_off) // $packBudget AS pack_first,
+         |  (l.local_off + so.shard_off + l.n - 1) // $packBudget AS pack_last,
+         |  (l.local_off + so.shard_off + l.n - 1) // $packBudget
+         |    - (l.local_off + so.shard_off) // $packBudget + 1 AS n_packs
+         |FROM l JOIN so ON l.shard = so.shard""".stripMargin))(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), size(col("w")).cast("bigint").as("n"))
+          .withColumn("shard", expr(s"doc_id DIV $shardWidth"))
+        val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = docs.withColumn("local_off",
+          coalesce(sum(col("n")).over(wLocal), lit(0L)))
+        val wShard = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val shardOff = docs.groupBy(col("shard")).agg(sum(col("n")).as("tot"))
+          .withColumn("shard_off", coalesce(sum(col("tot")).over(wShard), lit(0L)))
+          .select(col("shard"), col("shard_off"))
+        local.join(broadcast(shardOff), "shard")
+          .withColumn("start_tok", col("local_off") + col("shard_off"))
+          .withColumn("pack_first", expr(s"start_tok DIV $packBudget"))
+          .withColumn("pack_last", expr(s"(start_tok + n - 1) DIV $packBudget"))
+          .select(col("doc_id"), col("n").as("n_tokens"), col("start_tok"),
+            col("pack_first"), col("pack_last"),
+            (col("pack_last") - col("pack_first") + lit(1L)).as("n_packs"))
+      }),
+
+    // ---- sliding-window chunking with overlap (RAG / long-context
+    // prep): chunk k of a doc covers tokens [k·stride, k·stride+len);
+    // the last chunk is the first one whose window reaches the end.
+    // One explode per doc — n_chunks is arithmetic on the token count,
+    // never a scan; boundary token VALUES are emitted so the oracle
+    // pins the actual slicing, not just the counts. ----
+    QueryDef("q_text_chunks", Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(trim(text), ' ') AS w,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, n,
+         |    CASE WHEN n <= $chunkLen THEN 1
+         |         ELSE (n - $chunkLen + $chunkStride - 1) // $chunkStride + 1
+         |    END AS n_chunks
+         |  FROM t),
+         |e AS (
+         |  SELECT doc_id, w, n, n_chunks,
+         |    unnest(range(0, n_chunks)) AS chunk_id
+         |  FROM c)
+         |SELECT doc_id, chunk_id, n_chunks,
+         |  chunk_id * $chunkStride AS chunk_start,
+         |  least(n - chunk_id * $chunkStride, $chunkLen) AS chunk_tokens,
+         |  w[CAST(chunk_id * $chunkStride + 1 AS INT)] AS first_token,
+         |  w[CAST(chunk_id * $chunkStride
+         |      + least(n - chunk_id * $chunkStride, $chunkLen) AS INT)] AS last_token
+         |FROM e""".stripMargin))(
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .withColumn("n", size(col("w")).cast("bigint"))
+          .withColumn("n_chunks",
+            when(col("n") <= chunkLen, lit(1L))
+              .otherwise(expr(
+                s"(n - $chunkLen + $chunkStride - 1) DIV $chunkStride + 1")))
+        t.withColumn("chunk_id",
+            explode(sequence(lit(0L), col("n_chunks") - 1)))
+          .withColumn("chunk_start", col("chunk_id") * chunkStride)
+          .withColumn("chunk_tokens",
+            least(col("n") - col("chunk_start"), lit(chunkLen)))
+          .select(col("doc_id"), col("chunk_id"), col("n_chunks"),
+            col("chunk_start"), col("chunk_tokens"),
+            element_at(col("w"), (col("chunk_start") + 1).cast("int"))
+              .as("first_token"),
+            element_at(col("w"),
+              (col("chunk_start") + col("chunk_tokens")).cast("int"))
+              .as("last_token"))
+      }),
+
+    // ---- temperature-based source rebalancing (the multilingual /
+    // multi-source mixing step): sampling weight per source ∝
+    // count^(1/T) with T=2 — big sources are downsampled toward the
+    // flat mix, the smallest source keeps rate 1. Membership is
+    // deterministic hash thresholding (h32(doc) < rate·2³²), so the
+    // sample is a pure function of the data — reproducible, mergeable,
+    // and exactly oracled (sqrt and one multiply are IEEE-identical in
+    // both engines). Source stats are a tiny broadcast join. ----
+    QueryDef("q_sample_temperature", Some(
+      s"""WITH stats AS (
+         |  SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         |rates AS (
+         |  SELECT source, cnt,
+         |    sqrt((SELECT CAST(min(cnt) AS DOUBLE) FROM stats))
+         |      / sqrt(CAST(cnt AS DOUBLE)) AS rate
+         |  FROM stats)
+         |SELECT r.source, r.cnt, r.rate,
+         |  count(CASE WHEN CAST(${h32Sql("CAST(d.doc_id AS VARCHAR)")} AS DOUBLE)
+         |    < r.rate * 4294967296.0 THEN 1 END) AS kept
+         |FROM documents d JOIN rates r ON d.source = r.source
+         |GROUP BY r.source, r.cnt, r.rate""".stripMargin))(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val stats = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        val minCnt = stats.agg(min(col("cnt")).cast("double").as("mn"))
+        val rates = stats.crossJoin(broadcast(minCnt))
+          .select(col("source"), col("cnt"),
+            (sqrt(col("mn")) / sqrt(col("cnt").cast("double"))).as("rate"))
+        docs.join(broadcast(rates), "source")
+          .groupBy(col("source"), col("cnt"), col("rate"))
+          .agg(count(when(
+            h32(col("doc_id").cast("string")).cast("double")
+              < col("rate") * lit(4294967296.0), 1)).as("kept"))
+          .select(col("source"), col("cnt"), col("rate"), col("kept"))
+      })
+  )
+}
