@@ -23,7 +23,8 @@ object Catalog {
       MultimodalQueries.defs ++
       PipelineQueries.defs ++
       StreamingQueries.defs ++
-      CorpusPrepQueries.defs
+      CorpusPrepQueries.defs ++
+      FuzzQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Seeded-random differential battery (ROADMAP "oracle fuzzing"):
+  * a deterministic generator emits filter→group→agg queries over
+  * `lineitem` as REAL catalog entries, so the fuzz runs through the
+  * same DuckDB gate as the hand-written surface — Spark executes the
+  * query via the DataFrame API (`where`/`groupBy`/`agg`), DuckDB runs
+  * the generated ANSI text, and the driver hash-compares. The grammar
+  * sticks to constructs whose cross-engine semantics are proven
+  * elsewhere in the catalog (integer remainder and comparisons on
+  * BIGINT, BETWEEN on doubles, IN lists, AND/OR nesting, money sums
+  * through DECIMAL(18,2), min/max, count distinct).
+  *
+  * Seeds are FIXED (query text is a pure function of the build), so a
+  * failure reproduces exactly; widen by bumping `N` or reseeding.
+  */
+object FuzzQueries {
+
+  private val seed = 20260812L
+  private val N = 12
+
+  private val longCols = Vector("l_orderkey", "l_partkey", "l_suppkey")
+  private val keyPool = Vector("l_returnflag", "l_linestatus", "l_linenumber")
+  private val cmpOps = Vector("<", "<=", "=", ">=", ">")
+
+  private def pick[T](rnd: Random, xs: Vector[T]): T = xs(rnd.nextInt(xs.size))
+
+  /** One predicate atom, valid verbatim in BOTH dialects. */
+  private def atom(rnd: Random): String = rnd.nextInt(4) match {
+    case 0 =>
+      val c = pick(rnd, longCols)
+      val m = pick(rnd, Vector(2, 3, 5, 7, 11))
+      s"$c % $m = ${rnd.nextInt(m)}"
+    case 1 =>
+      val c = pick(rnd, longCols)
+      val bound = c match {
+        case "l_orderkey" => 1 + rnd.nextInt(60000)
+        case "l_partkey"  => 1 + rnd.nextInt(20000)
+        case _            => 1 + rnd.nextInt(1000)
+      }
+      s"$c ${pick(rnd, cmpOps)} $bound"
+    case 2 =>
+      val lo = 1 + rnd.nextInt(40)
+      s"l_quantity BETWEEN $lo AND ${lo + 1 + rnd.nextInt(15)}"
+    case 3 =>
+      if (rnd.nextBoolean()) {
+        val vs = Vector("A", "N", "R").filter(_ => rnd.nextBoolean()) match {
+          case Vector() => Vector("A")
+          case v => v
+        }
+        s"l_returnflag IN (${vs.map(v => s"'$v'").mkString(", ")})"
+      } else s"l_linestatus = '${pick(rnd, Vector("F", "O"))}'"
+  }
+
+  private def predicate(rnd: Random): String = rnd.nextInt(4) match {
+    case 0 => s"${atom(rnd)} AND ${atom(rnd)}"
+    case 1 => s"(${atom(rnd)} OR ${atom(rnd)}) AND ${atom(rnd)}"
+    case 2 => s"${atom(rnd)} AND (${atom(rnd)} OR ${atom(rnd)})"
+    case 3 => s"${atom(rnd)} OR ${atom(rnd)}"
+  }
+
+  /** Aggregates, aliased identically on both sides. */
+  private def aggs(rnd: Random): Seq[String] = {
+    val pool = Vector(
+      "count(1) AS n",
+      s"CAST(sum(CAST(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_discount"))}" +
+        " AS DECIMAL(18,2))) AS DOUBLE) AS money_sum",
+      s"sum(${pick(rnd, longCols)}) AS key_sum",
+      s"min(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_orderkey"))}) AS mn",
+      s"max(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_orderkey"))}) AS mx",
+      s"count(DISTINCT ${pick(rnd, longCols)}) AS nd")
+    // always count(1); then 2 more distinct-alias picks
+    val extra = rnd.shuffle(pool.tail).take(2)
+    (pool.head +: extra).distinct
+  }
+
+  private def gen(i: Int): QueryDef = {
+    val rnd = new Random(seed * 1000 + i)
+    val pred = predicate(rnd)
+    val nKeys = 1 + rnd.nextInt(2)
+    val keys = rnd.shuffle(keyPool).take(nKeys)
+    val ags = aggs(rnd)
+    val sql =
+      s"""SELECT ${(keys ++ ags).mkString(", ")}
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY ${keys.mkString(", ")}""".stripMargin
+    QueryDef(f"q_fuzz_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(keys.map(col): _*)
+          // sum(BIGINT) is BIGINT in Spark but HUGEINT in DuckDB; both
+          // hold the exact value at these magnitudes and the driver
+          // compares values, not storage widths
+          .agg(expr(ags.head), ags.tail.map(expr): _*))
+  }
+
+  val defs: Seq[QueryDef] = (0 until N).map(gen)
+}
