@@ -101,12 +101,19 @@ final case class BandJoinExec(
       val m = h % numParts
       if (m < 0) m + numParts else m
     }
+    // Map-side rows are emitted WITHOUT copying: the shuffle writer
+    // serializes each record before the next is pulled (bypass and
+    // serialized writers both stream records straight into their
+    // serializer; the object-buffering SortShuffleWriter is never
+    // chosen because UnsafeRowSerializer supports relocation), so the
+    // projection's reused buffer — even mutated between the right
+    // side's replica emissions — is safe on the wire.
     val lKeyed: RDD[(Int, UnsafeRow)] = left.execute().mapPartitions { it =>
       val proj = UnsafeProjection.create(leftOut :+ lBucket, leftOut)
       it.flatMap { row =>
         val c = proj(row)
         if (c.isNullAt(nL)) Iterator.empty // null band key joins nothing
-        else Iterator.single((pidOf(c.getLong(nL)), c.copy()))
+        else Iterator.single((pidOf(c.getLong(nL)), c))
       }
     }
     val rKeyed: RDD[(Int, UnsafeRow)] = right.execute().mapPartitions { it =>
@@ -119,7 +126,7 @@ final case class BandJoinExec(
         else {
           val base = proj(row)
           (k.getLong(0) to k.getLong(1)).iterator.map { b =>
-            val u = base.copy(); u.setLong(nR, b); (pidOf(b), u)
+            base.setLong(nR, b); (pidOf(b), base)
           }
         }
       }
