@@ -24,6 +24,7 @@ object Catalog {
       PipelineQueries.defs ++
       StreamingQueries.defs ++
       CorpusPrepQueries.defs ++
+      EventAnalyticsQueries.defs ++
       FuzzQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators over the `events` fixture (north-star
+  * extension): ordered funnels, cohort retention, and gap-filled
+  * resampling — the product-analytics surface a warehouse user expects
+  * on top of the relational core. All time arithmetic is integer
+  * epoch-micros (`unix_micros` / `epoch_us`), so the oracles share
+  * exact arithmetic with Spark instead of dialect date functions.
+  */
+object EventAnalyticsQueries {
+
+  private val usPerDay = 86400000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- ordered funnel view → click → purchase: each step's
+    // timestamp must STRICTLY follow the previous step's. Two equi-
+    // joins on user_id (each side pre-aggregated to one row per user,
+    // so the join input is |users|, not |events| — the scale shape);
+    // no window over the full event stream. ----
+    QueryDef("q_events_funnel", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |v AS (
+         |  SELECT user_id, min(tus) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (
+         |  SELECT e.user_id, min(e.tus) AS t2
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.tus > v.t1
+         |  GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, min(e.tus) AS t3
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.tus > c.t2
+         |  GROUP BY e.user_id)
+         |SELECT (SELECT count(*) FROM v) AS n_view,
+         |  (SELECT count(*) FROM c) AS n_click_after_view,
+         |  (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val v = e.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+        val c = e.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("tus") > col("t1"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("tus") > col("t2"))
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+      }),
+
+    // ---- cohort retention: users cohorted by first-signup DAY
+    // (epoch-day integer), counted distinct per (cohort, day-offset)
+    // for offsets 0..6. Day buckets are integer division on micros —
+    // identical in both engines, no calendar functions. ----
+    QueryDef("q_events_retention", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    epoch_us(ts) // $usPerDay AS day FROM events),
+         |cohort AS (
+         |  SELECT user_id, min(day) AS cohort_day FROM e
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |activity AS (SELECT DISTINCT user_id, day FROM e)
+         |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+         |  count(DISTINCT a.user_id) AS n_users
+         |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+         |WHERE a.day - c.cohort_day BETWEEN 0 AND 6
+         |GROUP BY c.cohort_day, a.day - c.cohort_day""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr(s"unix_micros(ts) DIV $usPerDay").as("day"))
+        val cohort = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        val activity = e.select(col("user_id"), col("day")).distinct()
+        activity.join(cohort, "user_id")
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .where(col("day_offset").between(0, 6))
+          .groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      }),
+
+    // ---- gap-filled resample with last-observation-carried-forward:
+    // per event type, 6-hour bins over the fixture month from a
+    // GENERATED dense grid (sequence/range — never a scan), left-join
+    // the actual bin aggregates, then fill empty bins with the last
+    // non-null average (IGNORE NULLS window). Value sums go through
+    // floor(v·100+0.5) cents (integral doubles sum exactly in any
+    // order — the engine's money-parity rule). The per-type window is
+    // tiny (|bins|), so the fill stage never sees raw events. ----
+    QueryDef("q_events_resample_locf", Some {
+      val start = 1704067200000000L // 2024-01-01T00:00:00Z
+      val end = 1706745600000000L   // 2024-02-01T00:00:00Z
+      val step = 21600000000L       // 6 h
+      s"""WITH grid AS (
+         |  SELECT t.event_type, b.bin_start
+         |  FROM (SELECT DISTINCT event_type FROM events) t,
+         |    (SELECT unnest(range($start, $end, $step)) AS bin_start) b),
+         |agg AS (
+         |  SELECT event_type,
+         |    epoch_us(ts) - epoch_us(ts) % $step AS bin_start,
+         |    count(*) AS n,
+         |    sum(floor(value * 100 + 0.5)) / 100.0 AS total_value
+         |  FROM events GROUP BY 1, 2)
+         |SELECT g.event_type, g.bin_start,
+         |  coalesce(a.n, 0) AS n_events,
+         |  a.total_value AS raw_value,
+         |  coalesce(a.total_value, last_value(a.total_value IGNORE NULLS)
+         |    OVER (PARTITION BY g.event_type ORDER BY g.bin_start
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |    AS locf_value
+         |FROM grid g LEFT JOIN agg a
+         |  ON g.event_type = a.event_type AND g.bin_start = a.bin_start""".stripMargin
+    })(
+      (s, d) => {
+        val start = 1704067200000000L
+        val end = 1706745600000000L
+        val step = 21600000000L
+        val types = Tables(s, d, "events").select(col("event_type")).distinct()
+        val grid = types.withColumn("bin_start",
+          explode(sequence(lit(start), lit(end - 1), lit(step))))
+        val agg = Tables(s, d, "events")
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - unix_micros(col("ts")) % step).as("bin_start"),
+            col("value"))
+          .groupBy(col("event_type"), col("bin_start"))
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total_value"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("bin_start"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        grid.join(agg, Seq("event_type", "bin_start"), "left")
+          .select(col("event_type"), col("bin_start"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            col("total_value").as("raw_value"),
+            coalesce(col("total_value"),
+              last(col("total_value"), ignoreNulls = true).over(w))
+              .as("locf_value"))
+      })
+  )
+}
