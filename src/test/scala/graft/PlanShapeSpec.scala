@@ -81,6 +81,57 @@ class PlanShapeSpec extends SparkSpecBase {
       s"global top-k should not be a full sort:\n$plan")
   }
 
+  /** collect() that descends through the AQE wrappers (adaptive root
+    * and query-stage leaves hide their subplans from TreeNode
+    * traversal). */
+  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    pf.lift(p).toSeq ++ kids.flatMap(collectAll(_)(pf))
+  }
+
+  test("sequence packing: no global single-partition window over the corpus") {
+    // the two-phase cumsum's scale claim: every Window that consumes
+    // corpus-sized input is partitioned (by shard); the only
+    // unpartitioned window runs over per-shard AGGREGATES (post-
+    // HashAggregate), whose row count is corpus/shardWidth
+    val df = Catalog.byName("q_pack_sequences").fn(spark, sfDir)
+    df.collect()
+    val windows = collectAll(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"unpartitioned window must consume shard aggregates, not the corpus:\n$w")
+    }
+  }
+
+  test("LOCF resample: fill window runs over the generated grid, not raw events") {
+    val df = Catalog.byName("q_events_resample_locf").fn(spark, sfDir)
+    df.collect()
+    val windows = collectAll(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1)
+    // below the window sits the grid⋈bin-aggregate join — events have
+    // already been aggregated to bins by a HashAggregate
+    val aggBelow = collectAll(
+      windows.head: org.apache.spark.sql.execution.SparkPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty,
+      s"fill window must consume bin aggregates:\n${windows.head}")
+  }
+
   test("embedding dedup: blocked equi-join, never a nested-loop/cartesian") {
     val df = Catalog.byName("q_dedup_embedding").fn(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
