@@ -144,6 +144,50 @@ object EventAnalyticsQueries {
             coalesce(col("total_value"),
               last(col("total_value"), ignoreNulls = true).over(w))
               .as("locf_value"))
+      }),
+
+    // ---- per-bin anomaly flags (pipeline monitoring): daily value
+    // totals per event type z-scored against that type's own
+    // distribution. Moments are exact integer sums over cents (the
+    // covar pattern — order-independent, overflow-safe at these
+    // magnitudes), so mean/std/z are one fixed double-op tree and the
+    // flags oracle exactly. The per-type moment aggregate is 2 values
+    // per type regardless of bin count — constant state. ----
+    QueryDef("q_events_anomaly", Some(
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_us(ts) // $usPerDay AS day,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, count(*) AS nb,
+         |    CAST(sum(cents) AS BIGINT) AS sx,
+         |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+         |  FROM b GROUP BY event_type)
+         |SELECT b.event_type, b.day, b.cents / 100.0 AS day_value,
+         |  (CAST(b.cents AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.nb)
+         |    / sqrt(CAST(m.nb * m.sxx - m.sx * m.sx AS DOUBLE) / m.nb / m.nb)
+         |    AS zscore,
+         |  abs((CAST(b.cents AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.nb)
+         |    / sqrt(CAST(m.nb * m.sxx - m.sx * m.sx AS DOUBLE) / m.nb / m.nb))
+         |    > 2.0 AS is_anomaly
+         |FROM b JOIN m ON b.event_type = m.event_type""".stripMargin))(
+      (s, d) => {
+        val b = Tables(s, d, "events")
+          .select(col("event_type"),
+            expr(s"unix_micros(ts) DIV $usPerDay").as("day"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("c"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("c")).as("cents"))
+        val m = b.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nb"), sum(col("cents")).as("sx"),
+            sum(col("cents") * col("cents")).as("sxx"))
+        val z = (col("cents").cast("double") - col("sx").cast("double") / col("nb")) /
+          sqrt((col("nb") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / col("nb") / col("nb"))
+        b.join(m, "event_type")
+          .select(col("event_type"), col("day"),
+            (col("cents") / 100.0).as("day_value"),
+            z.as("zscore"), (abs(z) > 2.0).as("is_anomaly"))
       })
   )
 }
