@@ -334,6 +334,41 @@ object RelationalQueries {
             unix_micros(col("last_click_ts")).as("last_click_epoch_us"))
       }),
 
+    // ---- as-of with a match tolerance (the production form: a stale
+    // quote/click should NOT attribute): same single-shuffle union +
+    // LOCF plan as q_asof_join, then matches older than 1 h are nulled
+    // — tolerance costs one comparison, not a different join. The
+    // oracle bounds DuckDB's native ASOF the same way. ----
+    QueryDef("q_asof_join_tolerance", Some(
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        |  CASE WHEN epoch_us(c.ts) >= epoch_us(e.ts) - 3600000000
+        |       THEN epoch_us(c.ts) END AS last_click_epoch_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts""".stripMargin))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            lit(1).as("is_click"), col("ts").as("click_ts"),
+            lit(null).cast("bigint").as("error_id"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(0).as("is_click"), lit(null).cast("timestamp").as("click_ts"),
+            col("event_id").as("error_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionByName(errors)
+          .withColumn("last_click_ts",
+            last(col("click_ts"), ignoreNulls = true).over(w))
+          .where(col("error_id").isNotNull)
+          .select(col("error_id"), col("user_id"),
+            when(unix_micros(col("last_click_ts")) >=
+              unix_micros(col("ts")) - 3600000000L,
+              unix_micros(col("last_click_ts"))).as("last_click_epoch_us"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter
