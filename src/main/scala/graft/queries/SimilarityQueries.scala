@@ -126,6 +126,13 @@ object SimilarityQueries {
     // over the |vectors| × |subspaces| × |codes| row explosion)
     val distCol = GraftFunctions.l2sub(
       col("v"), col("centroid"), (col("subspace") * 8).cast("int"), 8)
+    // SCALE NOTE: this persist holds |vectors| × 8 subspaces × |codes|
+    // sub-distance rows (MEMORY_AND_DISK — spills, never OOMs). Fine
+    // at fixture scale where several queries share it; at corpus scale
+    // the right shape is to persist only `codes` (|vectors| × 8 rows,
+    // the PQ index itself) and re-derive the query-side distance table
+    // per search — it is query×codes sized and broadcastable — or
+    // stage `codes` columnar next to the embeddings.
     val dists = subs.join(broadcast(cent)).withColumn("dist", distCol)
       .select(col("vec_id"), col("subspace"), col("code"), col("dist"))
       .persist()
