@@ -92,6 +92,36 @@ class KeyedLogSpec extends SparkSpecBase {
     assert(got.toSet === (0L until 160L).toSet)
   }
 
+  test("windowed agg over the keyed-log tail equals batch (kafka-shaped e2e)") {
+    // the full shape a production pipeline runs: producer appends the
+    // fixture into the partitioned offset log in two batches, the
+    // streaming consumer tails it into the watermarked windowed
+    // aggregate, and the result must equal the batch twin over the
+    // raw table (q_stream_window_batch's oracled expressions)
+    import graft.streaming.EventStream
+    val dir = freshDir()
+    val ev = Tables(spark, sfDir, "events")
+    KeyedLog.append(ev.where("event_id % 2 = 0"), dir, "user_id", 4,
+      Seq(col("event_id")))
+    KeyedLog.append(ev.where("event_id % 2 = 1"), dir, "user_id", 4,
+      Seq(col("event_id")))
+    val tail = KeyedLog.readStream(spark, dir, ev.schema, maxFilesPerTrigger = 4)
+      .drop("offset", "__p")
+    val q = EventStream.windowedAgg(tail).writeStream
+      .format("memory").queryName("klog_win")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("window_start_us", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val got = canon(spark.table("klog_win"))
+    val want = canon(EventStream.windowedAgg(ev))
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("stream tail: availableNow consumption sees every appended row") {
     val dir = freshDir()
     KeyedLog.append(batch(0 until 120), dir, "key", 4, Seq(col("event_id")))
