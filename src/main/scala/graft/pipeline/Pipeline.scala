@@ -149,6 +149,11 @@ final class Pipeline(
       spark.sparkContext.hadoopConfiguration, spec.workspace, leaseTtlMs)
     if (!lease.tryAcquire())
       throw new WorkspaceBusyException(spec.workspace, lease.currentHolder())
+    // iterative operators (ops.ConnectedComponents) take their reliable
+    // checkpoint dir from this conf — point it at the workspace so
+    // their state shares the pipeline's fault domain, not /tmp
+    if (spark.conf.getOption("spark.graft.checkpoint.dir").isEmpty)
+      spark.conf.set("spark.graft.checkpoint.dir", s"${spec.workspace}/rdd_checkpoints")
     try spec.tables.foreach { t => runTable(t); lease.renew() }
     finally lease.release()
   }
