@@ -101,5 +101,50 @@ object FuzzQueries {
           .agg(expr(ags.head), ags.tail.map(expr): _*))
   }
 
-  val defs: Seq[QueryDef] = (0 until N).map(gen)
+  // ---- join family: lineitem ⋈ orders with predicates on both
+  // sides, mixed group keys, and a HAVING filter — the fuzz grammar's
+  // second tier (same proven-construct discipline). ----
+
+  private val joinKeyPool =
+    Vector("l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority")
+
+  private def ordersAtom(rnd: Random): String = rnd.nextInt(4) match {
+    case 0 => s"o_orderstatus = '${pick(rnd, Vector("F", "O", "P"))}'"
+    case 1 => s"o_orderpriority IN ('${pick(rnd,
+      Vector("1-URGENT", "2-HIGH", "3-MEDIUM"))}', '${pick(rnd,
+      Vector("4-NOT SPECIFIED", "5-LOW"))}')"
+    case 2 => s"o_custkey ${pick(rnd, cmpOps)} ${1 + rnd.nextInt(1500)}"
+    case 3 =>
+      val lo = 1000 * (1 + rnd.nextInt(100))
+      s"o_totalprice BETWEEN $lo AND ${lo + 1000 * (1 + rnd.nextInt(200))}"
+  }
+
+  private def genJoin(i: Int): QueryDef = {
+    val rnd = new Random(seed * 7919 + i)
+    val pred = s"${atom(rnd)} AND ${ordersAtom(rnd)}"
+    val keys = rnd.shuffle(joinKeyPool).take(1 + rnd.nextInt(2))
+    val ags = Vector(
+      "count(1) AS n",
+      s"CAST(sum(CAST(${pick(rnd, Vector("l_extendedprice", "o_totalprice"))}" +
+        " AS DECIMAL(18,2))) AS DOUBLE) AS money_sum",
+      s"count(DISTINCT ${pick(rnd, Vector("l_suppkey", "o_custkey"))}) AS nd")
+    val minN = 1 + rnd.nextInt(20)
+    val sql =
+      s"""SELECT ${(keys ++ ags).mkString(", ")}
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE $pred
+         |GROUP BY ${keys.mkString(", ")}
+         |HAVING count(1) > $minN""".stripMargin
+    QueryDef(f"q_fuzzj_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), expr("l_orderkey = o_orderkey"))
+          .where(pred)
+          .groupBy(keys.map(col): _*)
+          .agg(expr(ags.head), ags.tail.map(expr): _*)
+          .where(col("n") > minN))
+  }
+
+  val defs: Seq[QueryDef] =
+    (0 until N).map(gen) ++ (0 until 6).map(genJoin)
 }

@@ -369,6 +369,42 @@ object RelationalQueries {
               unix_micros(col("last_click_ts"))).as("last_click_epoch_us"))
       }),
 
+    // ---- FORWARD as-of: first click at-or-after each error (the
+    // "next action after failure" direction). Union trick mirrored:
+    // one ascending window over the FOLLOWING frame with
+    // first-ignore-nulls; errors sort BEFORE clicks at equal ts so an
+    // exactly-simultaneous click lands in the frame (inclusive >=).
+    // Still one shuffle. ----
+    QueryDef("q_asof_join_forward", Some(
+      """SELECT e.event_id AS error_id, e.user_id AS user_id,
+        |  epoch_us(c.ts) AS next_click_epoch_us
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts >= e.ts""".stripMargin))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"),
+            lit(1).as("is_click"), col("ts").as("click_ts"),
+            lit(null).cast("bigint").as("error_id"))
+        val errors = ev.where(col("event_type") === "error")
+          .select(col("user_id"), col("ts"),
+            lit(0).as("is_click"), lit(null).cast("timestamp").as("click_ts"),
+            col("event_id").as("error_id"))
+        // ascending scan, FOLLOWING frame: first click at ts >= error ts
+        // (is_click asc puts the error first at equal ts → the
+        // simultaneous click stays inside the frame → inclusive)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        clicks.unionByName(errors)
+          .withColumn("next_click_ts",
+            first(col("click_ts"), ignoreNulls = true).over(w))
+          .where(col("error_id").isNotNull)
+          .select(col("error_id"), col("user_id"),
+            unix_micros(col("next_click_ts")).as("next_click_epoch_us"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter
