@@ -347,6 +347,83 @@ object SimilarityQueries {
           .select(col("va").as("vec_a"), col("vb").as("vec_b"), col("cos_sim"))
       }),
 
+    // ---- MULTI-PROBE LSH: the recall lever that costs compute, not
+    // memory. Each query probes its own band bucket PLUS the 4 buckets
+    // at Hamming distance 1 (one sign bit flipped) — 5 probes × 2
+    // bands — because a near neighbor's most likely miss is a single
+    // plane disagreeing. Candidates are still equi-join bucket
+    // collisions (probe fan-out is a constant factor on the SMALL
+    // query side; the corpus index is built once and never re-hashed,
+    // unlike adding more tables), then exact cosine verify.
+    // `probes_flipped` records the cheapest probe that found each
+    // candidate (0 = home bucket). ----
+    QueryDef("q_ann_lsh_multiprobe", Some {
+      val signBitsSql = (0 until numPlanes).map { p =>
+        s"(CASE WHEN ${dotDSql("v", planeSql(p))} >= 0 THEN 1 ELSE 0 END)"
+      }
+      val bandKeySql = (0 until planeBands).map { b =>
+        val bits = (0 until planeBandRows).map { r =>
+          s"(${signBitsSql(b * planeBandRows + r)} << $r)"
+        }.mkString(" + ")
+        s"(SELECT vec_id, v, nrm, $b AS band, $bits AS key FROM n)"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |bands AS ($bandKeySql),
+         |probes AS (
+         |  SELECT vec_id AS query_id, band,
+         |    CASE WHEN f.f = $planeBandRows THEN key
+         |         ELSE xor(key, 1 << f.f) END AS pkey,
+         |    CASE WHEN f.f = $planeBandRows THEN 0 ELSE 1 END AS nflips
+         |  FROM bands, range(0, ${planeBandRows + 1}) f(f)
+         |  WHERE $querySetPred),
+         |cand AS (
+         |  SELECT p.query_id, t.vec_id AS neighbor_id,
+         |    min(p.nflips) AS probes_flipped
+         |  FROM probes p JOIN bands t
+         |    ON t.band = p.band AND t.key = p.pkey AND t.vec_id <> p.query_id
+         |  GROUP BY p.query_id, t.vec_id)
+         |SELECT cand.query_id, cand.neighbor_id, cand.probes_flipped,
+         |  ${dotDSql("a.v", "b.v")} / (a.nrm * b.nrm) AS cos_sim
+         |FROM cand JOIN n a ON a.vec_id = cand.query_id
+         |  JOIN n b ON b.vec_id = cand.neighbor_id
+         |WHERE ${dotDSql("a.v", "b.v")} / (a.nrm * b.nrm) >= 0.4""".stripMargin
+    })(
+      (s, d) => {
+        val n = vecs(s, d)
+        val signBits = (0 until numPlanes).map(p =>
+          when(GraftFunctions.dot(col("v"), planeLit(p)) >= 0, 1).otherwise(0))
+        val bandKeys = (0 until planeBands).map { b =>
+          (0 until planeBandRows).map(r =>
+            shiftleft(signBits(b * planeBandRows + r), r)).reduce(_ + _)
+        }
+        val bands = n.select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array(bandKeys: _*)).as(Seq("band", "key")))
+          .persist() // index side + probe source
+        val probes = bands.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("band"), col("key"),
+            explode(array((0 to planeBandRows).map(lit): _*)).as("f"))
+          .select(col("query_id"), col("band"),
+            when(col("f") === planeBandRows, col("key"))
+              .otherwise(expr(s"key ^ (1 << f)")).as("pkey"),
+            when(col("f") === planeBandRows, 0).otherwise(1).as("nflips"))
+        val idx = bands.select(col("vec_id"),
+          col("band").as("tband"), col("key").as("tkey"))
+        val cand = broadcast(probes)
+          .join(idx, col("tband") === col("band") && col("tkey") === col("pkey") &&
+            col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+          .agg(min(col("nflips")).as("probes_flipped"))
+        val a = n.select(col("vec_id").as("query_id"), col("v").as("av"), col("nrm").as("an"))
+        val b = n.select(col("vec_id").as("neighbor_id"), col("v").as("bv"), col("nrm").as("bn"))
+        cand.join(a, "query_id").join(b, "neighbor_id")
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+          .where(col("cos_sim") >= 0.4)
+          .select(col("query_id"), col("neighbor_id"), col("probes_flipped"),
+            col("cos_sim"))
+      }),
+
     // ---- IVF-PQ: the composed billion-scale ANN path. Coarse-route
     // each query to its nprobe=2 nearest cells (exact scaled query→
     // centroid distances — the per-subspace sums the PQ base already
