@@ -318,6 +318,71 @@ object DedupQueries {
           .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
+    // ---- INCREMENTAL dedup: admit-or-reject a DELTA batch (every
+    // 10th doc plays the new increment) against the already-indexed
+    // BASE corpus — the production shape for daily ingestion. The
+    // base's band index is built once and only JOINED against; the
+    // delta's bands broadcast (increments are small relative to the
+    // corpus), so each increment costs |delta bands| × bucket
+    // collisions, never base×base or a corpus re-hash. Verification
+    // is the same exact-Jaccard two-pointer count; docs with no
+    // surviving match are admitted. ----
+    QueryDef("q_dedup_incremental", Some {
+      val bandKeys = (0 until numBands).map { b =>
+        s"(SELECT doc_id, $b AS band, array_to_string(sig[${b * bandRows + 1}:${(b + 1) * bandRows}], '_') AS key FROM sig)"
+      }.mkString("\nUNION ALL\n")
+      s"""$shinglesCte,
+         |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
+         |bands AS ($bandKeys),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS dd, y.doc_id AS db
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0
+         |),
+         |ver AS (
+         |  SELECT cand.dd, cand.db, $jaccardSqlPair AS j
+         |  FROM cand JOIN sh a ON a.doc_id = cand.dd JOIN sh b ON b.doc_id = cand.db
+         |  WHERE $jaccardSqlPair >= $jaccardThreshold
+         |)
+         |SELECT d.doc_id, coalesce(v.n, 0) AS n_dup_base, v.max_j AS max_jaccard,
+         |  coalesce(v.n, 0) = 0 AS admit
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN (SELECT dd, count(*) AS n, max(j) AS max_j
+         |           FROM ver GROUP BY dd) v ON v.dd = d.doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val sh = docShingles(s, d).persist()
+        val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
+        val bands = sig.select(col("doc_id"), posexplode(
+          array((0 until numBands).map { b =>
+            concat_ws("_", transform(
+              slice(col("sig"), b * bandRows + 1, bandRows), x => x.cast("string")))
+          }: _*)).as(Seq("band", "key")))
+        val deltaBands = bands.where(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("dd"), col("band"), col("key"))
+        val baseBands = bands.where(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("db"), col("band"), col("key"))
+        val cand = broadcast(deltaBands)
+          .join(baseBands, Seq("band", "key"))
+          .select(col("dd"), col("db")).distinct()
+        val a = sh.select(col("doc_id").as("dd"), col("sh").as("sha"))
+        val b = sh.select(col("doc_id").as("db"), col("sh").as("shb"))
+        val inter = GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
+        val uni = size(col("sha")) + size(col("shb")) - inter
+        val ver = cand.join(a, "dd").join(b, "db")
+          .withColumn("j", inter.cast("double") / uni)
+          .where(col("j") >= jaccardThreshold)
+          .groupBy(col("dd"))
+          .agg(count(lit(1)).as("n"), max(col("j")).as("max_j"))
+        Tables(s, d, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 10 === 0)
+          .join(ver, col("doc_id") === col("dd"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n"), lit(0L)).as("n_dup_base"),
+            col("max_j").as("max_jaccard"),
+            (coalesce(col("n"), lit(0L)) === 0).as("admit"))
+      }),
+
     // ---- SimHash fingerprint + half-word band candidates, Hamming ≤ 1:
     // at most 1 flipped bit means at least one 16-bit half is intact
     // (pigeonhole), and 16-bit buckets are 256x finer than bytes — on a
