@@ -202,6 +202,26 @@ class PipelineSpec extends SparkSpecBase {
     assert(loaded.count() === expectedRows)
   }
 
+  test("bucketed-staging example config runs end-to-end with row parity") {
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("examples/job_bucketed_staging.json")), "UTF-8")
+    val ws = freshWorkspace()
+    val sp = JobSpec.fromJson(json).copy(workspace = ws)
+    assert(sp.tables.head.sources.count(_.bucketKey.isDefined) === 2)
+    new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1).runAll()
+    val want = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where("l_quantity >= 20 AND l_quantity <= 45")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet")
+        .where("o_orderstatus = 'F'"), expr("l_orderkey = o_orderkey"))
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+        expr("o_custkey = c_custkey"))
+      .count()
+    assert(spark.read.parquet(sp.targetDir("enriched_lineitem_bucketed"))
+      .count() === want)
+  }
+
   test("bucketed staging: same results, exchange-free join on resume") {
     val ws = freshWorkspace()
     val base = PipelineQueries.spec(ws)
