@@ -1,0 +1,44 @@
+package graft
+
+/** Partition-layout invariance: the engine's central reproducibility
+  * claim is that every catalog result is a pure function of the DATA —
+  * not of partition count, task scheduling, or merge order. The
+  * DuckDB gate proves Spark==DuckDB at one layout; this spec proves
+  * Spark==Spark across layouts for the operators whose algebra makes
+  * order-independence a non-trivial engineering property (integer-
+  * scaled centroid sums, sketch merges, exact moments, minhash
+  * signatures, window-free aggregation). */
+class DeterminismSpec extends SparkSpecBase {
+
+  private val queries = Seq(
+    "q_vector_centroids",    // LongVecSumAgg partial-merge order
+    "q_sketch_theta_setops", // KMV merge order
+    "q_agg_covar_exact",     // decimal moment accumulation
+    "q_dedup_minhash_lsh",   // signature + band-join build order
+    "q_pack_sequences",      // two-phase cumsum shard offsets
+    "q_events_anomaly")      // integer-cent moments
+
+  private def canon(name: String): Seq[String] = {
+    val df = Catalog.byName(name).fn(spark, sfDir)
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"`$c`"): _*)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  for (q <- queries)
+    test(s"$q is invariant to shuffle partition count") {
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = canon(q)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = canon(q)
+        assert(a.nonEmpty)
+        assert(a === b, s"$q changed results across partition layouts")
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        spark.catalog.clearCache()
+      }
+    }
+}
