@@ -405,6 +405,88 @@ object RelationalQueries {
             unix_micros(col("next_click_ts")).as("next_click_epoch_us"))
       }),
 
+    // ---- TPC-H Q3 shape (shipping priority): 3-way join, date
+    // bounds on both fact legs, top-10 by revenue. Revenue is the
+    // engine's exact-money pattern taken to products:
+    // cents × (100 − discount%) per row is int64-small, the SUM
+    // accumulates in DECIMAL(38,0) (DuckDB: HUGEINT) so a 100 TB
+    // group cannot wrap, and one final cast-to-double divides by 1e4.
+    // Date predicates are epoch-micros integers. LIMIT ties broken by
+    // key so the cut is deterministic in both engines. ----
+    QueryDef("q_tpch_q3", Some(
+      s"""SELECT l_orderkey,
+         |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue,
+         |  epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND epoch_us(o_orderdate) < 890956800000000
+         |  AND epoch_us(l_shipdate) > 890956800000000
+         |GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin))(
+      (s, d) => {
+        val cut = 890956800000000L // 1998-03-15T00:00:00Z
+        Tables(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+          .join(Tables(s, d, "orders"), expr("c_custkey = o_custkey"))
+          .where(unix_micros(col("o_orderdate").cast("timestamp")) < cut)
+          .join(Tables(s, d, "lineitem"), expr("l_orderkey = o_orderkey"))
+          .where(unix_micros(col("l_shipdate").cast("timestamp")) > cut)
+          .groupBy(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            col("o_orderpriority"))
+          .agg((sum(
+            ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+              * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")))
+              .cast("decimal(28,0)"))
+            .cast("double") / 10000.0).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+          .select(col("l_orderkey"), col("revenue"),
+            col("o_orderdate_us"), col("o_orderpriority"))
+      }),
+
+    // ---- TPC-H Q5 shape (local-supplier volume): the 6-way join with
+    // the s_nationkey = c_nationkey locality constraint. The two big
+    // tables (lineitem, orders) hash-join; supplier/customer/nation/
+    // region are dimension-sided. Same exact-revenue arithmetic. ----
+    QueryDef("q_tpch_q5", Some(
+      s"""SELECT n_name,
+         |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND epoch_us(o_orderdate) >= 852076800000000
+         |  AND epoch_us(o_orderdate) < 883612800000000
+         |GROUP BY n_name""".stripMargin))(
+      (s, d) => {
+        Tables(s, d, "customer")
+          .join(Tables(s, d, "orders"), expr("c_custkey = o_custkey"))
+          .where(unix_micros(col("o_orderdate").cast("timestamp"))
+            .between(852076800000000L, 883612800000000L - 1))
+          .join(Tables(s, d, "lineitem"), expr("l_orderkey = o_orderkey"))
+          .join(broadcast(Tables(s, d, "supplier")),
+            expr("l_suppkey = s_suppkey AND s_nationkey = c_nationkey"))
+          .join(broadcast(Tables(s, d, "nation")), expr("c_nationkey = n_nationkey"))
+          .join(broadcast(Tables(s, d, "region")), expr("n_regionkey = r_regionkey"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg((sum(
+            ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+              * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")))
+              .cast("decimal(28,0)"))
+            .cast("double") / 10000.0).as("revenue"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter
