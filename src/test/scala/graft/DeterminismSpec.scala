@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkSpecBase {
     "q_agg_covar_exact",     // decimal moment accumulation
     "q_dedup_minhash_lsh",   // signature + band-join build order
     "q_pack_sequences",      // two-phase cumsum shard offsets
-    "q_events_anomaly")      // integer-cent moments
+    "q_events_anomaly",      // integer-cent moments
+    "q_tpch_q5",             // decimal revenue accumulation
+    "q_dedup_incremental")   // delta-vs-base candidate generation
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)

@@ -132,6 +132,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"fill window must consume bin aggregates:\n${windows.head}")
   }
 
+  test("tpch q5: all joins are hash joins, dims broadcast, no cartesian") {
+    val df = Catalog.byName("q_tpch_q5").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"6-way join must stay equi-keyed:\n$plan")
+    assert(plan.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3,
+      s"supplier/nation/region should broadcast:\n$plan")
+  }
+
   test("embedding dedup: blocked equi-join, never a nested-loop/cartesian") {
     val df = Catalog.byName("q_dedup_embedding").fn(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
