@@ -111,9 +111,9 @@ object GraftFunctions {
   }
 
   /** Fused tokens → hashed n-gram shingles (see [[ShingleHashes]]).
-    * Registered variants only: n ∈ {3, 5}, mod ∈ {0, TextOps.P}. */
+    * Registered variants only: n ∈ [[ShingleNs]], mod ∈ {0, TextOps.P}. */
   def shingleHashes(toks: Column, n: Int, mod: Long): Column = {
-    require(n == 3 || n == 5, s"shingleHashes supports n in {3, 5}, got $n")
+    require(ShingleNs.contains(n), s"shingleHashes supports n in $ShingleNs, got $n")
     require(mod <= 0 || mod == graft.ops.TextOps.P,
       s"shingleHashes supports mod <= 0 (none) or TextOps.P (${graft.ops.TextOps.P}), got $mod")
     register(SparkSession.active)
@@ -150,6 +150,8 @@ object GraftFunctions {
   }
 
   private[functions] val KmvKs = Set(64, 256)
+
+  private[functions] val ShingleNs = Seq(3, 5, 16)
 
   /** Constant-state component-wise sum of `array<bigint>` vectors (see
     * [[LongVecSumAgg]]). Registered variants: dim ∈ [[LvSumDims]]
@@ -192,8 +194,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")
     }
-    // the shingle widths the engine uses (3-gram dedup, 5-gram winnow)
-    for (n <- Seq(3, 5)) {
+    // the shingle widths the engine uses (3-gram dedup, 5-gram winnow,
+    // 16-token windows for duplicated-substring detection)
+    for (n <- ShingleNs) {
       reg.createOrReplaceTempFunction(
         s"graft_shingle_hashes_${n}_modp",
         exprs => ShingleHashes(exprs(0), n, graft.ops.TextOps.P), "built-in")

@@ -318,6 +318,49 @@ object DedupQueries {
           .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       }),
 
+    // ---- duplicated-SUBSTRING detection (the Lee-et-al-style exact
+    // window dedup): every distinct 16-token window is hashed; a
+    // window that also occurs in ANOTHER doc marks its doc as carrying
+    // duplicated text, and the per-doc duplicated fraction is the
+    // basis for span-level scrubbing. Cross-doc windows come from an
+    // inverted-index equi-join on the window hash (groupBy count≥2 —
+    // one shuffle), never doc×doc. ----
+    QueryDef("q_dedup_substring", Some(
+      s"""WITH gs AS (
+         |  SELECT doc_id, ${shinglesSql("w", 16)} AS g
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents)),
+         |wh AS (SELECT doc_id, list_distinct(${shingleHashesSql("g")}) AS wh FROM gs),
+         |e AS (SELECT doc_id, unnest(wh) AS h FROM wh),
+         |dup AS (
+         |  SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT w.doc_id, len(w.wh) AS n_windows,
+         |  coalesce(d.n_dup, 0) AS n_dup_windows,
+         |  CAST(coalesce(d.n_dup, 0) AS DOUBLE) / len(w.wh) AS dup_fraction
+         |FROM wh w LEFT JOIN (
+         |  SELECT e.doc_id, count(*) AS n_dup
+         |  FROM e JOIN dup ON e.h = dup.h GROUP BY e.doc_id) d
+         |  ON d.doc_id = w.doc_id
+         |WHERE len(w.wh) > 0""".stripMargin))(
+      (s, d) => {
+        val wh = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), array_distinct(
+            GraftFunctions.shingleHashes(col("w"), 16, TextOps.P)).as("wh"))
+          .persist() // exploded twice below
+        val e = wh.select(col("doc_id"), explode(col("wh")).as("h"))
+        val dup = e.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2).select(col("h"))
+        val perDoc = e.join(dup, "h")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+        wh.where(size(col("wh")) > 0)
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), size(col("wh")).as("n_windows"),
+            coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("wh")))
+              .as("dup_fraction"))
+      }),
+
     // ---- INCREMENTAL dedup: admit-or-reject a DELTA batch (every
     // 10th doc plays the new increment) against the already-indexed
     // BASE corpus — the production shape for daily ingestion. The
