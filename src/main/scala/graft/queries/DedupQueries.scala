@@ -37,6 +37,11 @@ object DedupQueries {
 
   private val shingleN = 3
   private val jaccardThreshold = 0.6
+  /** Cosine threshold for within-cluster semantic dedup: lower than
+    * the exact-pair operator's 0.45 because SemDeDup prunes by
+    * cluster membership first (the fixture's within-cluster cosine
+    * p99 ≈ 0.30 — 0.35 keeps a non-trivial dup set). */
+  private val semThreshold = 0.35
 
   /** doc_id → distinct HASHED 3-gram shingle set (array<bigint>).
     * Shingles are hashed (h32 mod P) before any set operation: set
@@ -585,6 +590,72 @@ object DedupQueries {
           // products commute), so canonicalizing ids is safe
           .select(least(col("va"), col("vb")).as("vec_a"),
             greatest(col("va"), col("vb")).as("vec_b"), col("cos_sim"))
+      }),
+
+    // ---- SEMANTIC dedup (SemDeDup-shaped, Abbas et al.
+    // arXiv:2303.09540): k-means-style cluster assignment first, then
+    // near-dup pairs only WITHIN each cluster — the subquadratic route
+    // for corpora where exact all-pairs (`q_dedup_embedding`) is
+    // unaffordable. With cluster size bounded at c, total compute is
+    // Θ(n·c), not Θ(n²), and the pair join is a plain equi-join on the
+    // cluster id (skew = largest cluster; k grows with the corpus to
+    // keep c fixed).
+    //
+    // Scale shape: centroids are a training artifact (k rows) —
+    // broadcast; assignment is argmin over the broadcast via a
+    // map-side-combined `min_by` groupBy (the shuffle carries n
+    // pre-reduced rows, never the n·k candidate grid — unlike a
+    // window, which would shuffle AND sort all n·k). A vector is a
+    // keeper unless some same-cluster smaller-id vector is within the
+    // cosine threshold. All double math is the sequential fold shared
+    // with the oracle — bit-identical, so the >= compare is exact. ----
+    QueryDef("q_dedup_semantic", Some(
+      s"""WITH ${SimilarityQueries.centCtesSql},
+         |asg AS (
+         |  SELECT vec_id, code AS cluster, v FROM (
+         |    SELECT n.vec_id, cent.code, n.v,
+         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |        ${dotDSql("n.v", "n.v")} - 2.0 * ${dotDSql("n.v", "cent.centroid")}
+         |          + ${dotDSql("cent.centroid", "cent.centroid")}, cent.code) AS rn
+         |    FROM n, cent) WHERE rn = 1),
+         |dup AS (
+         |  SELECT b.vec_id AS dup_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE ${cosineDSql("a.v", "b.v")} >= $semThreshold
+         |  GROUP BY b.vec_id)
+         |SELECT asg.vec_id, asg.cluster, (dup.dup_id IS NULL) AS is_keeper
+         |FROM asg LEFT JOIN dup ON dup.dup_id = asg.vec_id""".stripMargin))(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = SimilarityQueries.centroidsOf(n, "label")
+        val asg = n.crossJoin(broadcast(cent))
+          .withColumn("d2",
+            GraftFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+              + GraftFunctions.dot(col("centroid"), col("centroid")))
+          // argmin with (d2, code) tie-break == the oracle's
+          // row_number ordering; partial agg collapses the k
+          // candidates per vector before the shuffle
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("code"), col("v")),
+            struct(col("d2"), col("code"))).as("m"))
+          .select(col("vec_id"), col("m.code").as("cluster"), col("m.v").as("v"),
+            GraftFunctions.norm(col("m.v")).as("nrm"))
+          .persist() // both sides of the within-cluster pair join
+        val a = asg.select(col("cluster"), col("vec_id").as("ia"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = asg.select(col("cluster"), col("vec_id").as("ib"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        val dup = a.join(b, Seq("cluster"))
+          .where(col("ia") < col("ib") &&
+            GraftFunctions.dot(col("av"), col("bv")) / (col("an") * col("bn"))
+              >= semThreshold)
+          .select(col("ib").as("dup_id")).distinct()
+        asg.join(dup, col("vec_id") === col("dup_id"), "left")
+          .select(col("vec_id"), col("cluster"),
+            col("dup_id").isNull.as("is_keeper"))
       })
   )
 }

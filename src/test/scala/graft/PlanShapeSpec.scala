@@ -156,4 +156,30 @@ class PlanShapeSpec extends SparkSpecBase {
       plan.contains("ShuffledHashJoin"),
       s"expected a hash/merge join on block keys:\n$plan")
   }
+
+  test("semantic dedup: broadcast argmin assignment, cluster-keyed pair join") {
+    val df = Catalog.byName("q_dedup_semantic").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the only nested-loop join is the k-row centroid broadcast
+    // (assignment argmin); the corpus-sized pair join must be
+    // equi-keyed on the cluster id
+    val bnlj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1, s"unexpected nested-loop joins:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"), s"cartesian:\n$plan")
+    val hashJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(hashJoins.nonEmpty, s"pair join must be equi-keyed:\n$plan")
+    // the argmin is a partial+final min_by aggregate, not a window
+    // over the n·k candidate grid
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"assignment must not window the candidate grid:\n$plan")
+  }
 }
