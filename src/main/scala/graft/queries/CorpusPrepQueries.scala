@@ -165,6 +165,62 @@ object CorpusPrepQueries {
             h32(col("doc_id").cast("string")).cast("double")
               < col("rate") * lit(4294967296.0), 1)).as("kept"))
           .select(col("source"), col("cnt"), col("rate"), col("kept"))
+      }),
+
+    // ---- NEXT-FIT bin packing (the non-splitting variant of
+    // `q_pack_sequences`): documents must not cross window boundaries,
+    // so each doc lands whole in the current bin if it fits, else
+    // opens a new one. The fold is inherently sequential, but only
+    // WITHIN a shard (shard = doc_id DIV width — a pure function of
+    // the data, reproducible under any partitioning): one shuffle on
+    // the shard id, then an O(width) in-memory fold per shard via
+    // flatMapGroups. Group size is bounded by `shardWidth` BY
+    // CONSTRUCTION — no skew, no unbounded buffering — and shard
+    // count grows with the corpus, so parallelism does too. A doc
+    // longer than the budget occupies its own (overflowing) bin, as
+    // in the oracle's recursion base. The oracle replays the same
+    // fold as a per-shard recursive CTE. ----
+    QueryDef("q_pack_nextfit", Some(
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+         |    doc_id // $shardWidth AS shard,
+         |    row_number() OVER (PARTITION BY doc_id // $shardWidth
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |nf AS (
+         |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.n,
+         |    CASE WHEN nf.fill + t.n > $packBudget THEN nf.bin + 1 ELSE nf.bin END,
+         |    CASE WHEN nf.fill + t.n > $packBudget THEN t.n ELSE nf.fill + t.n END
+         |  FROM nf JOIN t ON t.shard = nf.shard AND t.rn = nf.rn + 1)
+         |SELECT doc_id, shard, bin, n AS n_tokens, fill AS fill_after
+         |FROM nf""".stripMargin))(
+      (s, d) => {
+        import s.implicits._
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("bigint").as("n"),
+            expr(s"doc_id DIV $shardWidth").as("shard"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._3)
+          .flatMapGroups { (shard, it) =>
+            // ≤ shardWidth rows per group; flatMapGroups does not
+            // guarantee intra-group order, so sort the bounded buffer
+            val docs = it.toArray.sortBy(_._1)
+            var bin = 0L
+            var fill = 0L
+            var first = true
+            docs.iterator.map { case (docId, n, _) =>
+              if (first) { first = false; fill = n }
+              else if (fill + n > packBudget) { bin += 1; fill = n }
+              else fill += n
+              (docId, shard, bin, n, fill)
+            }
+          }
+          .toDF("doc_id", "shard", "bin", "n_tokens", "fill_after")
       })
   )
 }
