@@ -145,6 +145,65 @@ object FuzzQueries {
           .where(col("n") > minN))
   }
 
+  // ---- window family: filter → window function → outer aggregate,
+  // the fuzz grammar's third tier. The fixture's (l_orderkey,
+  // l_linenumber) is NOT unique (≈7k tie groups at sf0.01), so
+  // per-row window values are only cross-engine-deterministic when
+  // they are tie-order INVARIANT; the grammar enforces that per
+  // shape: running sums and lags lead their ORDER BY with the
+  // measured column itself (tied rows then carry equal measures, so
+  // any tie order yields the same value sequence); row_number sums
+  // are permutation-invariant because the outer group IS the window
+  // partition; dense_rank orders by value alone. FP discipline:
+  // running sums stay in DECIMAL end-to-end and only small-magnitude
+  // measures (l_quantity, l_discount) are window-summed, so the
+  // final DECIMAL→DOUBLE cast is exact. ----
+
+  private def genWindow(i: Int): QueryDef = {
+    val rnd = new Random(seed * 104729 + i)
+    val pred = predicate(rnd)
+    val pkey = pick(rnd, keyPool)
+    def over(lead: String*) = s"PARTITION BY $pkey ORDER BY " +
+      (lead ++ Seq("l_orderkey", "l_linenumber")).mkString(", ")
+    // (window expr, outer aggs over alias w) — identical in both dialects
+    val (winExpr, outerAggs) = rnd.nextInt(4) match {
+      case 0 =>
+        // sum/max of row_number over the whole partition are invariant
+        // under tie order (the values are a permutation of 1..n)
+        (s"row_number() OVER (${over()})",
+          Seq("sum(w) AS w_sum", "max(w) AS w_max"))
+      case 1 =>
+        val c = pick(rnd, Vector("l_quantity", "l_discount"))
+        (s"sum(CAST($c AS DECIMAL(18,2))) OVER (${over(c)} " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+          Seq("CAST(sum(w) AS DOUBLE) AS w_sum",
+            "CAST(max(w) AS DOUBLE) AS w_max"))
+      case 2 =>
+        (s"lag(l_quantity, ${1 + rnd.nextInt(3)}, 0.0) OVER (${over("l_quantity")})",
+          Seq("CAST(sum(CAST(w AS DECIMAL(18,2))) AS DOUBLE) AS w_sum",
+            "max(w) AS w_max"))
+      case 3 =>
+        val c = pick(rnd, Vector("l_quantity", "l_extendedprice"))
+        (s"dense_rank() OVER (PARTITION BY $pkey ORDER BY $c)",
+          Seq("sum(w) AS w_sum", "max(w) AS w_max"))
+    }
+    val sql =
+      s"""WITH b AS (
+         |  SELECT $pkey AS k, $winExpr AS w
+         |  FROM lineitem
+         |  WHERE $pred)
+         |SELECT k, count(1) AS n, ${outerAggs.mkString(", ")}
+         |FROM b GROUP BY k""".stripMargin
+    QueryDef(f"q_fuzzw_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .select(col(pkey).as("k"), expr(s"$winExpr AS w"))
+          .groupBy(col("k"))
+          .agg(expr("count(1) AS n"), outerAggs.map(expr): _*))
+  }
+
   val defs: Seq[QueryDef] =
-    (0 until N).map(gen) ++ (0 until 6).map(genJoin)
+    (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
+      (0 until 6).map(genWindow)
 }
