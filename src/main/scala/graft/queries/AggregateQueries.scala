@@ -318,6 +318,72 @@ object AggregateQueries {
               sum(when(col("o_orderstatus") === "F",
                 col("o_totalprice").cast("decimal(18,2)"))),
               lit(0).cast("decimal(18,2)"))
-              .cast("double").as("finished_value")))
+              .cast("double").as("finished_value"))),
+
+    // ---- column profiler (data-quality sweep before training runs):
+    // per-column row/null/exact-distinct counts and stringified
+    // min/max, ONE scan for all columns — the per-column aggregates
+    // compute side by side in a single agg and unpivot via stack().
+    // Exact multi-column distinct costs an Expand (scan rows × k
+    // columns) — that IS the cost of an exact profile; the 100 TB
+    // variant swaps in approx_count_distinct (see
+    // q_agg_approx_distinct's accuracy contract). Parity: min/max
+    // stringify through engine-stable types only (BIGINT verbatim,
+    // money through DECIMAL(18,2), timestamps through epoch micros). ----
+    QueryDef("q_profile_columns", Some {
+      def one(name: String, nulls: String, nd: String, mn: String, mx: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($nulls) AS n_nulls,
+           |  count(DISTINCT $nd) AS n_distinct,
+           |  CAST($mn AS VARCHAR) AS min_str, CAST($mx AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      Seq(
+        one("l_orderkey", "l_orderkey", "l_orderkey",
+          "min(l_orderkey)", "max(l_orderkey)"),
+        one("l_linenumber", "l_linenumber", "l_linenumber",
+          "min(l_linenumber)", "max(l_linenumber)"),
+        one("l_quantity", "l_quantity", "l_quantity",
+          "CAST(min(l_quantity) AS DECIMAL(18,2))",
+          "CAST(max(l_quantity) AS DECIMAL(18,2))"),
+        one("l_returnflag", "l_returnflag", "l_returnflag",
+          "min(l_returnflag)", "max(l_returnflag)"),
+        one("l_shipdate", "l_shipdate", "l_shipdate",
+          "epoch_us(min(l_shipdate))", "epoch_us(max(l_shipdate))")
+      ).mkString("\nUNION ALL\n")
+    })(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("l_orderkey")).as("ok_cnt"),
+            countDistinct(col("l_orderkey")).as("ok_nd"),
+            min(col("l_orderkey")).cast("string").as("ok_min"),
+            max(col("l_orderkey")).cast("string").as("ok_max"),
+            count(col("l_linenumber")).as("ln_cnt"),
+            countDistinct(col("l_linenumber")).as("ln_nd"),
+            min(col("l_linenumber")).cast("string").as("ln_min"),
+            max(col("l_linenumber")).cast("string").as("ln_max"),
+            count(col("l_quantity")).as("q_cnt"),
+            countDistinct(col("l_quantity")).as("q_nd"),
+            min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("q_min"),
+            max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("q_max"),
+            count(col("l_returnflag")).as("rf_cnt"),
+            countDistinct(col("l_returnflag")).as("rf_nd"),
+            min(col("l_returnflag")).as("rf_min"),
+            max(col("l_returnflag")).as("rf_max"),
+            count(col("l_shipdate")).as("sd_cnt"),
+            countDistinct(col("l_shipdate")).as("sd_nd"),
+            unix_micros(min(col("l_shipdate")).cast("timestamp"))
+              .cast("string").as("sd_min"),
+            unix_micros(max(col("l_shipdate")).cast("timestamp"))
+              .cast("string").as("sd_max"))
+          .selectExpr("n_rows",
+            """stack(5,
+              |  'l_orderkey',   n_rows - ok_cnt, ok_nd, ok_min, ok_max,
+              |  'l_linenumber', n_rows - ln_cnt, ln_nd, ln_min, ln_max,
+              |  'l_quantity',   n_rows - q_cnt,  q_nd,  q_min,  q_max,
+              |  'l_returnflag', n_rows - rf_cnt, rf_nd, rf_min, rf_max,
+              |  'l_shipdate',   n_rows - sd_cnt, sd_nd, sd_min, sd_max)
+              |AS (col_name, n_nulls, n_distinct, min_str, max_str)""".stripMargin))
   )
 }
