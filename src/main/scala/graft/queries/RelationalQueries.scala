@@ -487,6 +487,43 @@ object RelationalQueries {
             .cast("double") / 10000.0).as("revenue"))
       }),
 
+    // ---- TPC-H Q18 shape (large-volume customers): orders whose
+    // total line quantity exceeds a threshold, re-joined to customer,
+    // global top-100. Unlike the literal Q18 text (IN-subquery, then a
+    // SECOND lineitem scan to re-aggregate), the aggregate is computed
+    // once and CARRIED through the joins — exactly equivalent because
+    // the re-aggregation groups by the same order key. Scale shape:
+    // one lineitem shuffle (partial+final sum), the HAVING filter
+    // shrinks orders to a sliver that AQE broadcasts against customer,
+    // and the top-100 plans as TakeOrderedAndProject (no global sort).
+    // Quantity sums ride DECIMAL end-to-end per the parity rules. ----
+    QueryDef("q_tpch_q18", Some(
+      """WITH bigo AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS o_orderdate_us, o_totalprice,
+        |  CAST(sq AS DOUBLE) AS sum_qty
+        |FROM bigo
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin))(
+      (s, d) => {
+        val bigo = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+          .where(col("sq") > 300)
+        bigo.join(Tables(s, d, "orders"), expr("o_orderkey = l_orderkey"))
+          .join(Tables(s, d, "customer"), expr("c_custkey = o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            col("o_totalprice"), col("sq").cast("double").as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter

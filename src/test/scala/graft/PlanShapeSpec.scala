@@ -144,6 +144,25 @@ class PlanShapeSpec extends SparkSpecBase {
       s"supplier/nation/region should broadcast:\n$plan")
   }
 
+  test("tpch q18: one lineitem aggregate carried through, top-100 without a global sort") {
+    val df = Catalog.byName("q_tpch_q18").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-equi join crept in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 should not be a full sort:\n$plan")
+    // the quantity aggregate is computed once (carried), not re-grouped
+    // after the joins: exactly one aggregate pair over lineitem (node
+    // count via collectAll — the AQE plan STRING prints the initial
+    // and final plans and would double-count)
+    val aggs = collectAll(df.queryExecution.executedPlan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.aggregateExpressions.mkString.contains("l_quantity") => a
+    }
+    assert(aggs.size <= 2, s"lineitem should aggregate once (partial+final):\n$plan")
+  }
+
   test("embedding dedup: blocked equi-join, never a nested-loop/cartesian") {
     val df = Catalog.byName("q_dedup_embedding").fn(spark, sfDir)
     df.collect() // AQE finalizes the plan on execution
