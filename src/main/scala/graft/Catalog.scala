@@ -25,6 +25,7 @@ object Catalog {
       StreamingQueries.defs ++
       CorpusPrepQueries.defs ++
       EventAnalyticsQueries.defs ++
+      MigrationQueries.defs ++
       FuzzQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps.{h32, h32Sql}
+import org.apache.spark.sql.functions._
+
+/** Migration-validation operators — the checks a user of the
+  * reference (an Oracle→Cassandra bulk mover) runs AFTER a transfer
+  * to prove the copy is faithful, re-expressed as Spark plans that
+  * hold at 100 TB:
+  *
+  *  - FK integrity audit: orphan counts per relationship via LEFT
+  *    ANTI joins (each one shuffle or a dim broadcast — never a
+  *    row-by-row probe loop).
+  *  - bucketed content checksum: per-bucket row counts + an
+  *    order-independent hash SUM over a canonicalized row string.
+  *    Comparing per-bucket digests of source and target localizes a
+  *    divergence to 1/B of the data without ever co-locating the two
+  *    tables row-by-row — the standard reconciliation shape when a
+  *    full row-join is unaffordable.
+  *  - SCD2 merge: apply a change batch to a dimension producing
+  *    validity intervals — one equi-join plus a single explode pass
+  *    (never one scan per output branch).
+  *
+  * The fixture has no second "target" copy, so the checksum/audit run
+  * against the source tables themselves; the operator shape (and the
+  * oracle contract) is identical when the second side is a real
+  * target. Canonical strings stringify only through engine-stable
+  * types (BIGINT, DECIMAL(18,2), epoch micros) per the parity rules.
+  */
+object MigrationQueries {
+
+  private val checksumBuckets = 64
+  /** SCD2 change-batch effective time: 2000-01-01T00:00:00Z. */
+  private val scd2Tus = 946684800000000L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- FK integrity audit: one row per relationship ----
+    QueryDef("q_migrate_fk_audit", Some(
+      """SELECT 'lineitem_orders' AS fk,
+        |  (SELECT count(*) FROM lineitem) AS child_rows,
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS orphans
+        |UNION ALL
+        |SELECT 'orders_customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem_part',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN part p
+        |     ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem_supplier',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN supplier s
+        |     ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)""".stripMargin))(
+      (s, d) => {
+        def audit(fk: String, child: String, childKey: String,
+            parent: String, parentKey: String) = {
+          val c = Tables(s, d, child)
+          val rows = c.agg(count(lit(1)).as("child_rows"))
+          val orph = c.join(Tables(s, d, parent),
+              col(childKey) === col(parentKey), "left_anti")
+            .agg(count(lit(1)).as("orphans"))
+          rows.crossJoin(orph).select(lit(fk).as("fk"),
+            col("child_rows"), col("orphans"))
+        }
+        audit("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")
+          .unionAll(audit("orders_customer", "orders", "o_custkey",
+            "customer", "c_custkey"))
+          .unionAll(audit("lineitem_part", "lineitem", "l_partkey",
+            "part", "p_partkey"))
+          .unionAll(audit("lineitem_supplier", "lineitem", "l_suppkey",
+            "supplier", "s_suppkey"))
+      }),
+
+    // ---- bucketed content checksum over orders ----
+    QueryDef("q_migrate_checksum", Some {
+      val canon = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+        "CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), " +
+        "CAST(epoch_us(o_orderdate) AS VARCHAR), o_orderpriority)"
+      s"""SELECT o_orderkey % $checksumBuckets AS bucket,
+         |  count(*) AS n_rows,
+         |  CAST(sum(${h32Sql(canon)}) AS BIGINT) AS digest
+         |FROM orders
+         |GROUP BY o_orderkey % $checksumBuckets""".stripMargin
+    })(
+      (s, d) => {
+        val canon = concat_ws("|",
+          col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          unix_micros(col("o_orderdate").cast("timestamp")).cast("string"),
+          col("o_orderpriority"))
+        Tables(s, d, "orders")
+          .groupBy(pmod(col("o_orderkey"), lit(checksumBuckets.toLong)).as("bucket"))
+          // h32 < 2^32 and SUM is order-independent: the digest is
+          // partial-aggregable map-side and safe to ~2^31 rows/bucket
+          .agg(count(lit(1)).as("n_rows"), sum(h32(canon)).as("digest"))
+      }),
+
+    // ---- SCD2 merge: one join, one explode, 1-or-2 rows per key ----
+    QueryDef("q_scd2_merge", Some(
+      s"""WITH delta AS (
+         |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0)
+         |SELECT o_orderkey, o_orderstatus AS status,
+         |  epoch_us(o_orderdate) AS valid_from_us,
+         |  CAST($scd2Tus AS BIGINT) AS valid_to_us
+         |FROM orders JOIN delta ON o_orderkey = k
+         |UNION ALL
+         |SELECT o_orderkey, 'X', CAST($scd2Tus AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM orders JOIN delta ON o_orderkey = k
+         |UNION ALL
+         |SELECT o_orderkey, o_orderstatus, epoch_us(o_orderdate),
+         |  CAST(NULL AS BIGINT)
+         |FROM orders LEFT JOIN delta ON o_orderkey = k
+         |WHERE k IS NULL""".stripMargin))(
+      (s, d) => {
+        val base = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        val delta = base.where(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .select(col("o_orderkey").as("k"))
+        val nullUs = lit(null).cast("bigint")
+        // single pass over the joined frame: updated keys emit
+        // (closed old interval, open new version); others emit one
+        // open row — no per-branch rescan of the base table
+        base.join(delta, col("o_orderkey") === col("k"), "left")
+          .select(col("o_orderkey"), explode(when(col("k").isNotNull,
+            array(
+              struct(col("o_orderstatus").as("status"),
+                col("od_us").as("valid_from_us"),
+                lit(scd2Tus).as("valid_to_us")),
+              struct(lit("X").as("status"),
+                lit(scd2Tus).as("valid_from_us"),
+                nullUs.as("valid_to_us"))))
+            .otherwise(array(
+              struct(col("o_orderstatus").as("status"),
+                col("od_us").as("valid_from_us"),
+                nullUs.as("valid_to_us"))))).as("v"))
+          .select(col("o_orderkey"), col("v.status").as("status"),
+            col("v.valid_from_us").as("valid_from_us"),
+            col("v.valid_to_us").as("valid_to_us"))
+      })
+  )
+}
