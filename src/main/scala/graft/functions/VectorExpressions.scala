@@ -166,6 +166,18 @@ object GraftFunctions {
 
   private[functions] val LvSumDims = Set(8, 16, 32, 64, 128, 256)
 
+  /** Bounded-state top-k of (score, id) pairs, best-first by
+    * (score DESC, id ASC) — the shuffle-light replacement for a
+    * rank-window top-k (see [[TopKPairsAgg]]). Registered variants:
+    * k ∈ [[TopKKs]]. */
+  def topKPairs(score: Column, id: Column, k: Int): Column = {
+    require(TopKKs.contains(k), s"topKPairs supports k in $TopKKs, got $k")
+    register(SparkSession.active)
+    call_function(s"graft_topk_$k", score, id)
+  }
+
+  private[functions] val TopKKs = Set(5, 10, 100)
+
   private val dotInfo = new ExpressionInfo(
     classOf[DotProductD].getName, null, "graft_dot",
     "graft_dot(a, b) - double-precision dot product of two arrays " +
@@ -193,6 +205,10 @@ object GraftFunctions {
     for (k <- KmvKs) {
       reg.createOrReplaceTempFunction(
         s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")
+    }
+    for (k <- TopKKs) {
+      reg.createOrReplaceTempFunction(
+        s"graft_topk_$k", exprs => TopKPairsAgg(exprs(0), exprs(1), k), "built-in")
     }
     // the shingle widths the engine uses (3-gram dedup, 5-gram winnow,
     // 16-token windows for duplicated-substring detection)

@@ -256,15 +256,21 @@ object SimilarityQueries {
           .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
         val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
           col("nrm").as("cn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
         // broadcast the SMALL query set against the partitioned candidate
-        // scan — at cluster scale the big side never shuffles.
+        // scan — at cluster scale the big side never shuffles — then
+        // keep only k pairs per (partition, query) via the
+        // bounded-state top-k aggregate: the shuffle carries k·16
+        // bytes per query per partition instead of ALL n·q scored
+        // pairs (a rank window would sort the full cross product only
+        // to discard it). Same (score DESC, id ASC) order as the
+        // oracle's window, so results are bit-identical.
         broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
           .withColumn("cos_sim", GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-          .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= 5)
+          .groupBy(col("query_id"))
+          .agg(GraftFunctions.topKPairs(col("cos_sim"), col("neighbor_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("query_id"), col("e.id").as("neighbor_id"),
+            col("e.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rnk"))
       }),
 
     // ---- IVF: search only the query's coarse cell (label) ----
