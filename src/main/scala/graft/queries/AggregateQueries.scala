@@ -380,6 +380,38 @@ object AggregateQueries {
           .unionAll(prof("l_shipdate",
             unix_micros(min(col("l_shipdate")).cast("timestamp")).cast("string"),
             unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("string")))
+      }),
+
+    // ---- incremental aggregate refresh (materialized-view
+    // maintenance): a stored BASE aggregate absorbs a DELTA batch by
+    // merging algebraic partial states — (count, sum, min, max) are
+    // all mergeable, so the refresh costs one aggregation of the
+    // delta plus a key-wise combine with the base (size = |groups|,
+    // not |data|). The full-recompute oracle pins that merge ==
+    // recompute, the contract every incremental pipeline rests on.
+    // The delta here is a deterministic slice of the fixture
+    // (o_orderkey % 10 = 0); at 100 TB the base state would persist
+    // between runs and only the combine re-executes. ----
+    QueryDef("q_agg_incremental_refresh", Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        def state(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total_dec"),
+              min(col("o_totalprice")).as("mn"),
+              max(col("o_totalprice")).as("mx"))
+        val base = state(o.where(pmod(col("o_orderkey"), lit(10L)) =!= 0))
+        val delta = state(o.where(pmod(col("o_orderkey"), lit(10L)) === 0))
+        base.unionAll(delta)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("total_dec")).cast("double").as("total"),
+            min(col("mn")).as("mn"), max(col("mx")).as("mx"))
       })
   )
 }
