@@ -367,6 +367,73 @@ object SketchQueries {
           .select(col("theta_merged"), col("theta_direct"),
             (lit((k - 1).toDouble * twoTo32) / col("theta_merged")).as("est_merged"),
             col("exact_distinct"))
+      }),
+
+    // ---- sliding-window distinct via sketch merge: trailing 7-day
+    // distinct users per day, from PER-DAY sketches only. The exact
+    // version must re-touch every (user, day∈window) pair — 7× the
+    // data per window step, the thing that makes sliding distincts
+    // infamous at scale; the sketch version stores k longs per day
+    // and merges 7 sketches per window (mergeability pinned by
+    // q_sketch_theta_merge). Each daily sketch replicates to the ≤7
+    // windows it serves via a bounded explode — never the raw events.
+    // The exact column is the fixture-scale audit riding the oracle;
+    // at 100 TB only the sketch path runs. ----
+    QueryDef("q_sketch_sliding_distinct", Some(
+      s"""WITH e AS (
+         |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         |    ${h32Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM e),
+         |r AS (SELECT day, h,
+         |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+         |  FROM e),
+         |dsk AS (SELECT day, h FROM r WHERE rn <= $k),
+         |u AS (
+         |  SELECT target, h, row_number() OVER (PARTITION BY target
+         |      ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT d.day AS target, s.h
+         |        FROM days d JOIN dsk s ON s.day BETWEEN d.day - 6 AND d.day)),
+         |win AS (
+         |  SELECT target AS day, count(*) FILTER (WHERE rn <= $k) AS m,
+         |    max(CASE WHEN rn = $k THEN h END) AS theta
+         |  FROM u GROUP BY target),
+         |ex AS (
+         |  SELECT d.day, count(DISTINCT e2.h) AS exact7
+         |  FROM days d JOIN e e2 ON e2.day BETWEEN d.day - 6 AND d.day
+         |  GROUP BY d.day)
+         |SELECT win.day, ex.exact7, coalesce(win.theta, -1) AS theta,
+         |  CASE WHEN win.m < $k THEN CAST(win.m AS DOUBLE)
+         |       ELSE ${k - 1} * $twoTo32 / win.theta END AS est7
+         |FROM win JOIN ex ON ex.day = win.day""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(expr("unix_micros(ts) DIV 86400000000").as("day"),
+            h32(col("user_id").cast("string")).as("h"))
+          .distinct()
+          .persist() // daily sketches AND the exact audit read this
+        val daily = e.groupBy(col("day"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"))
+        val days = daily.select(col("day").as("target"))
+        val win = daily
+          .select(col("day"), explode(col("sk")).as("h"))
+          .withColumn("target", explode(sequence(col("day"), col("day") + 6)))
+          .join(days, Seq("target"), "left_semi")
+          .groupBy(col("target").as("day"))
+          .agg(GraftFunctions.kmv(col("h"), k).as("sk"))
+          .select(col("day"),
+            coalesce(when(size(col("sk")) === k, element_at(col("sk"), k)),
+              lit(-1L)).as("theta"),
+            when(size(col("sk")) < k, size(col("sk")).cast("double"))
+              .otherwise(lit((k - 1) * twoTo32) / element_at(col("sk"), k))
+              .as("est7"))
+        val exact = e
+          .withColumn("target", explode(sequence(col("day"), col("day") + 6)))
+          .join(days, Seq("target"), "left_semi")
+          .groupBy(col("target").as("day"))
+          .agg(countDistinct(col("h")).as("exact7"))
+        win.join(exact, "day")
+          .select(col("day"), col("exact7"), col("theta"), col("est7"))
       })
   )
 }
