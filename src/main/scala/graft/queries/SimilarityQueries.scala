@@ -654,6 +654,40 @@ object SimilarityQueries {
           .select(col("vec_id"), col("dim"), col("absmax"), col("q"))
       }),
 
+    // ---- BLOCK-wise int8 quantization (per-8-dim group scales — the
+    // per-group/per-channel shape LLM quantization uses instead of one
+    // whole-row scale: a single outlier then only saturates its own
+    // block). Entirely row-local: block absmaxes are a transform over
+    // the vector itself, so the operator is zero-shuffle at any
+    // scale. ----
+    QueryDef("q_vector_quantize_block", Some(
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |        list_transform(range(0, 8), b ->
+         |          list_max(list_transform(v[b*8+1 : b*8+8], x -> abs(x)))) AS bm
+         |      FROM n)
+         |SELECT vec_id, CAST(d.d AS INT) AS dim, CAST(d.d // 8 AS INT) AS blk,
+         |  bm[CAST(d.d // 8 + 1 AS INT)] AS absmax,
+         |  CASE WHEN bm[CAST(d.d // 8 + 1 AS INT)] = 0 THEN 0
+         |       ELSE CAST(floor((v[d.d + 1] * 127.0)
+         |              / bm[CAST(d.d // 8 + 1 AS INT)]) AS BIGINT) END AS q
+         |FROM b, range(0, $dim) d(d)""".stripMargin))(
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("bm", transform(sequence(lit(0), lit(7)),
+            b => array_max(transform(slice(col("v"), b * 8 + 1, lit(8)), x => abs(x)))))
+          .select(col("vec_id"), col("bm"),
+            posexplode(col("v")).as(Seq("dim0", "x")))
+          .withColumn("dim", col("dim0").cast("int"))
+          .withColumn("blk", (col("dim0") / 8).cast("int"))
+          .withColumn("absmax", element_at(col("bm"), col("blk") + 1))
+          .select(col("vec_id"), col("dim"), col("blk"), col("absmax"),
+            when(col("absmax") === 0, lit(0L))
+              .otherwise(floor((col("x") * lit(127.0)) / col("absmax")))
+              .as("q"))
+      }),
+
     // ---- one Lloyd (k-means) iteration, fully deterministic: assign
     // every vector to its nearest current centroid via the expansion
     // |v|² − 2·v·c + |c|² (three sequential-fold dot products —
