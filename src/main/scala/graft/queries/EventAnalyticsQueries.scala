@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,6 +189,68 @@ object EventAnalyticsQueries {
           .select(col("event_type"), col("day"),
             (col("cents") / 100.0).as("day_value"),
             z.as("zscore"), (abs(z) > 2.0).as("is_anomaly"))
+      }),
+
+    // ---- ROBUST anomaly flags: median/MAD instead of mean/std — one
+    // wild day cannot drag the baseline the way it drags a mean, the
+    // standard robust-monitoring upgrade. Medians are LOWER medians
+    // picked by row_number at position (n+1)/2 (no FP interpolation —
+    // Spark's percentile() interpolates and DuckDB's quantile_disc
+    // doesn't, so rank-picking is the only bit-identical route), and
+    // daily cents are integers, so median, MAD and the 3·MAD compare
+    // are all exact integer arithmetic. Scale: both median passes run
+    // over the DAILY AGGREGATE (days × types rows), never the raw
+    // events — same shape as the mean/std variant. ----
+    QueryDef("q_events_anomaly_robust", Some(
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_us(ts) // $usPerDay AS day,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS nb
+         |  FROM b),
+         |med AS (
+         |  SELECT event_type, cents AS med FROM r WHERE rn = (nb + 1) // 2),
+         |dev AS (
+         |  SELECT b.event_type, b.day, b.cents, med.med,
+         |    abs(b.cents - med.med) AS ad,
+         |    row_number() OVER (PARTITION BY b.event_type
+         |      ORDER BY abs(b.cents - med.med), b.day) AS rn,
+         |    count(*) OVER (PARTITION BY b.event_type) AS nb
+         |  FROM b JOIN med ON med.event_type = b.event_type),
+         |mad AS (
+         |  SELECT event_type, ad AS mad FROM dev WHERE rn = (nb + 1) // 2)
+         |SELECT dev.event_type, dev.day, dev.cents / 100.0 AS day_value,
+         |  dev.med / 100.0 AS med_value, mad.mad / 100.0 AS mad_value,
+         |  dev.ad > 3 * mad.mad AS is_anomaly
+         |FROM dev JOIN mad ON mad.event_type = dev.event_type""".stripMargin))(
+      (s, d) => {
+        val b = Tables(s, d, "events")
+          .select(col("event_type"),
+            expr(s"unix_micros(ts) DIV $usPerDay").as("day"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("c"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("c")).as("cents"))
+          .persist() // two median passes + the final projection
+        val wType = Window.partitionBy(col("event_type"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, value: Column,
+            out: String) =
+          df.withColumn("rn", row_number().over(wType.orderBy(value, col("day"))))
+            .withColumn("nb", count(lit(1)).over(wType))
+            .where(col("rn") === expr("(nb + 1) DIV 2"))
+            .select(col("event_type"), value.as(out))
+        val med = lowerMedian(b, col("cents"), "med")
+        val dev = b.join(med, "event_type")
+          .withColumn("ad", abs(col("cents") - col("med")))
+        val mad = lowerMedian(dev, col("ad"), "mad")
+        dev.join(mad, "event_type")
+          .select(col("event_type"), col("day"),
+            (col("cents") / 100.0).as("day_value"),
+            (col("med") / 100.0).as("med_value"),
+            (col("mad") / 100.0).as("mad_value"),
+            (col("ad") > lit(3) * col("mad")).as("is_anomaly"))
       })
   )
 }
