@@ -107,6 +107,28 @@ object EventStream {
         (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[attribution]], but
+    * signups with NO purchase within the hour emit a null-purchase row
+    * — the "unconverted signups" feed. In streaming mode the null row
+    * for a signup is emitted only once BOTH watermarks pass the end of
+    * its interval (Spark must prove no matching purchase can still
+    * arrive); until then the signup sits in bounded state. A batch
+    * caller gets the plain left-outer interval join. */
+  def attributionOuter(signups: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val s = (if (signups.isStreaming) signups.withWatermark("ts", watermark)
+             else signups).alias("s")
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark)
+             else purchases).alias("p")
+    s.join(p, expr(
+        "p.user_id = s.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("s.event_id").as("signup_id"),
+        col("p.event_id").as("purchase_id"),
+        col("s.user_id").as("user_id"),
+        (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"))
+  }
+
   // ---- custom sessionization state ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -177,6 +177,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(catalog === want)
   }
 
+  test("left-outer stream-stream join: null rows emit once both watermarks pass") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ssjo_")
+    val in = base.resolve("in").toString
+    def ts(s: String) = Timestamp.valueOf(s)
+    val data = Seq(
+      // user 1: signup with a purchase 30 min later → matched row
+      Event(10L, ts("2024-05-01 10:00:00"), 1L, "signup", 0.0),
+      Event(11L, ts("2024-05-01 10:30:00"), 1L, "purchase", 5.0),
+      // user 2: signup, no purchase within the hour → null row
+      Event(20L, ts("2024-05-01 10:00:00"), 2L, "signup", 0.0),
+      Event(21L, ts("2024-05-01 11:30:00"), 2L, "purchase", 5.0),
+      // user 3: purchase only — no signup-side row at all
+      Event(30L, ts("2024-05-01 10:15:00"), 3L, "purchase", 5.0))
+    // watermark clocks on BOTH sides, far enough that every interval
+    // above is provably closed (outer rows need min(watermarks) past
+    // signup.ts + 1h + watermark delay)
+    val clocks = Seq(
+      Event(98L, ts("2024-05-01 20:00:00"), 98L, "signup", 0.0),
+      Event(99L, ts("2024-05-01 20:00:00"), 99L, "purchase", 0.0))
+    def writeChunk(evts: Seq[Event]): Unit =
+      spark.createDataset(evts).write.mode("append").parquet(in)
+    writeChunk(data)
+    writeChunk(clocks)
+    // one file per microbatch so the watermark advances between the
+    // data chunk and the clock chunk
+    val evLimited = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in)
+    val streamed = EventStream.attributionOuter(
+      evLimited.where("event_type = 'signup'"),
+      evLimited.where("event_type = 'purchase'"))
+    val q = streamed.writeStream
+      .format("memory").queryName("ssjo_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .where("user_id < 90") // clock sentinels' own rows are not part of the contract
+      .select("signup_id", "purchase_id", "user_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    val got = canon(spark.table("ssjo_out"))
+    val batch = spark.createDataset(data ++ clocks).toDF()
+    val want = canon(EventStream.attributionOuter(
+      batch.where("event_type = 'signup'"),
+      batch.where("event_type = 'purchase'")))
+    assert(got === Seq((10L, 11L, 1L), (20L, -1L, 2L)))
+    assert(got === want)
+  }
+
   test("sessionize: gap closes a session once the watermark passes") {
     val input = MemoryStream[Event]
     val sessions = EventStream.sessionize(
