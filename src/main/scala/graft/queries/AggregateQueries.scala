@@ -382,6 +382,31 @@ object AggregateQueries {
             unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("string")))
       }),
 
+    // ---- salted exact distinct for HOT group keys: l_returnflag has
+    // 3 values over the whole fact table, so a naive per-group
+    // distinct funnels each key's entire value set through one
+    // reducer. Sharding by a hash of the VALUE (not a random salt)
+    // splits each group's distinct state into 16 disjoint shards —
+    // every distinct value lands in exactly one shard, so the shard
+    // counts SUM to the exact answer — and the heavy shuffle spreads
+    // over (key, shard). The plain-distinct oracle pins exactness.
+    // (For algebraic aggs Spark's map-side partials already handle
+    // hot keys; value-sharding is the pattern for the non-algebraic
+    // distinct state.) ----
+    QueryDef("q_agg_distinct_salted", Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_returnflag"),
+            pmod(col("l_partkey"), lit(16L)).as("shard"))
+          .agg(countDistinct(col("l_partkey")).as("nd_shard"),
+            count(lit(1)).as("n_shard"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("nd_shard")).as("nd_parts"),
+            sum(col("n_shard")).as("n"))),
+
     // ---- incremental aggregate refresh (materialized-view
     // maintenance): a stored BASE aggregate absorbs a DELTA batch by
     // merging algebraic partial states — (count, sum, min, max) are
