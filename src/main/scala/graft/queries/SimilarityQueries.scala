@@ -112,6 +112,62 @@ object SimilarityQueries {
         transform(col("sums"),
           x => x.cast("double") / lit(1e9) / col("cnt")).as("centroid"))
 
+  /** Shared IVF-PQ ADC pipeline (SQL): nprobe=2 coarse routing + ADC
+    * over probed cells, on top of [[pqBaseSql]]'s CTEs. Produces
+    * `adc(query_id, candidate_id, adc_scaled)`. */
+  private[queries] val ivfpqAdcSql: String =
+    s"""qroute AS (
+       |  SELECT vec_id AS query_id, code AS cell, rn AS probe_rank FROM (
+       |    SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d_cell, code) AS rn
+       |    FROM (SELECT vec_id, code,
+       |            CAST(sum(CAST(floor(dist * 1000000000) AS BIGINT)) AS BIGINT) AS d_cell
+       |          FROM dists WHERE $querySetPred GROUP BY vec_id, code))
+       |  WHERE rn <= 2),
+       |dtable AS (
+       |  SELECT vec_id AS query_id, subspace, code,
+       |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+       |  FROM dists WHERE $querySetPred),
+       |adc AS (
+       |  SELECT q.query_id, n.vec_id AS candidate_id,
+       |    CAST(sum(d.d_scaled) AS BIGINT) AS adc_scaled
+       |  FROM qroute q
+       |  JOIN n ON n.label = q.cell AND n.vec_id <> q.query_id
+       |  JOIN codes k ON k.vec_id = n.vec_id
+       |  JOIN dtable d ON d.query_id = q.query_id
+       |    AND d.subspace = k.subspace AND d.code = k.code
+       |  GROUP BY q.query_id, n.vec_id)""".stripMargin
+
+  /** Shared IVF-PQ ADC pipeline (Spark): the twin of [[ivfpqAdcSql]].
+    * Routing + distance tables are query-set-sized: broadcast both;
+    * the corpus-sized sides only ever hash-join locally. */
+  private[queries] def ivfpqAdc(s: SparkSession, d: String): DataFrame = {
+    val (dists, codes) = pqBase(s, d)
+    val scaled = floor(col("dist") * 1000000000L).cast("bigint")
+    val routeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d_cell").asc, col("code").asc)
+    val qroute = dists.where(expr(querySetPred))
+      .groupBy(col("vec_id"), col("code"))
+      .agg(org.apache.spark.sql.functions.sum(scaled).as("d_cell"))
+      .withColumn("rn", row_number().over(routeW))
+      .where(col("rn") <= 2)
+      .select(col("vec_id").as("query_id"), col("code").as("cell"))
+    val dtable = dists.where(expr(querySetPred))
+      .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+        scaled.as("d_scaled"))
+    val cands = Tables(s, d, "embeddings")
+      .select(col("vec_id").as("candidate_id"), col("label"))
+    cands
+      .join(broadcast(qroute), col("label") === col("cell") &&
+        col("candidate_id") =!= col("query_id"))
+      .join(codes.withColumnRenamed("vec_id", "candidate_id")
+        .select(col("candidate_id"), col("subspace"), col("code")),
+        Seq("candidate_id"))
+      .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("candidate_id"))
+      .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
+  }
+
   /** Shared PQ base (Spark): returns (dists, codes) DataFrames with
     * the same columns/semantics as the SQL CTEs above. */
   private[queries] def pqBase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
@@ -441,62 +497,69 @@ object SimilarityQueries {
     // summing, so ranking is order-independent and DuckDB-oracled. ----
     QueryDef("q_ann_ivfpq_search", Some(
       s"""WITH $pqBaseSql,
-         |qroute AS (
-         |  SELECT vec_id AS query_id, code AS cell, rn AS probe_rank FROM (
-         |    SELECT vec_id, code, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d_cell, code) AS rn
-         |    FROM (SELECT vec_id, code,
-         |            CAST(sum(CAST(floor(dist * 1000000000) AS BIGINT)) AS BIGINT) AS d_cell
-         |          FROM dists WHERE $querySetPred GROUP BY vec_id, code))
-         |  WHERE rn <= 2),
-         |dtable AS (
-         |  SELECT vec_id AS query_id, subspace, code,
-         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
-         |  FROM dists WHERE $querySetPred),
-         |adc AS (
-         |  SELECT q.query_id, n.vec_id AS candidate_id,
-         |    CAST(sum(d.d_scaled) AS BIGINT) AS adc_scaled
-         |  FROM qroute q
-         |  JOIN n ON n.label = q.cell AND n.vec_id <> q.query_id
-         |  JOIN codes k ON k.vec_id = n.vec_id
-         |  JOIN dtable d ON d.query_id = q.query_id
-         |    AND d.subspace = k.subspace AND d.code = k.code
-         |  GROUP BY q.query_id, n.vec_id)
+         |$ivfpqAdcSql
          |SELECT query_id, candidate_id, adc_scaled, rnk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY adc_scaled, candidate_id) AS rnk FROM adc) WHERE rnk <= 5""".stripMargin))(
       (s, d) => {
-        val (dists, codes) = pqBase(s, d)
-        val scaled = floor(col("dist") * 1000000000L).cast("bigint")
-        val routeW = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d_cell").asc, col("code").asc)
-        val qroute = dists.where(expr(querySetPred))
-          .groupBy(col("vec_id"), col("code"))
-          .agg(org.apache.spark.sql.functions.sum(scaled).as("d_cell"))
-          .withColumn("rn", row_number().over(routeW))
-          .where(col("rn") <= 2)
-          .select(col("vec_id").as("query_id"), col("code").as("cell"))
-        val dtable = dists.where(expr(querySetPred))
-          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
-            scaled.as("d_scaled"))
-        val cands = Tables(s, d, "embeddings")
-          .select(col("vec_id").as("candidate_id"), col("label"))
-        // routing + distance tables are query-set-sized: broadcast
-        // both; the corpus-sized sides only ever hash-join locally.
-        val adc = cands
-          .join(broadcast(qroute), col("label") === col("cell") &&
-            col("candidate_id") =!= col("query_id"))
-          .join(codes.withColumnRenamed("vec_id", "candidate_id")
-            .select(col("candidate_id"), col("subspace"), col("code")),
-            Seq("candidate_id"))
-          .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
-          .groupBy(col("query_id"), col("candidate_id"))
-          .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
+        val adc = ivfpqAdc(s, d)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
         adc.withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= 5)
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
+      }),
+
+    // ---- IVF-PQ + exact re-rank: the production retrieval shape.
+    // ADC distances are quantized approximations, so real systems
+    // over-fetch a shortlist (here top-20 by ADC) and re-rank it with
+    // EXACT distances before returning top-5 — recovering most of the
+    // recall PQ loses at the cost of |shortlist| exact distance
+    // computations per query. The shortlist is query-set-sized
+    // (broadcast); only shortlisted candidate vectors are fetched, and
+    // the final top-5 uses the bounded-state top-k aggregate (score =
+    // −d2: IEEE negation is exact, so (−d2 DESC, id ASC) is exactly
+    // (d2 ASC, id ASC)). ----
+    QueryDef("q_ann_ivfpq_rerank", Some(
+      s"""WITH $pqBaseSql,
+         |$ivfpqAdcSql,
+         |short AS (
+         |  SELECT query_id, candidate_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_scaled, candidate_id) AS rnk FROM adc) WHERE rnk <= 20),
+         |rr AS (
+         |  SELECT s.query_id, s.candidate_id,
+         |    ${dotDSql("q.v", "q.v")} - 2.0 * ${dotDSql("q.v", "c.v")}
+         |      + ${dotDSql("c.v", "c.v")} AS d2
+         |  FROM short s
+         |  JOIN n q ON q.vec_id = s.query_id
+         |  JOIN n c ON c.vec_id = s.candidate_id)
+         |SELECT query_id, candidate_id, d2, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY d2, candidate_id) AS rnk FROM rr) WHERE rnk <= 5""".stripMargin))(
+      (s, d) => {
+        val adc = ivfpqAdc(s, d)
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        val short = adc.withColumn("rnk", row_number().over(wA))
+          .where(col("rnk") <= 20)
+          .select(col("query_id"), col("candidate_id"))
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val qv = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val cv = n.select(col("vec_id").as("candidate_id"), col("v").as("cv"))
+        cv.join(broadcast(short), Seq("candidate_id"))
+          .join(broadcast(qv), Seq("query_id"))
+          .withColumn("d2",
+            GraftFunctions.dot(col("qv"), col("qv"))
+              - lit(2.0) * GraftFunctions.dot(col("qv"), col("cv"))
+              + GraftFunctions.dot(col("cv"), col("cv")))
+          .groupBy(col("query_id"))
+          .agg(GraftFunctions.topKPairs(-col("d2"), col("candidate_id"), 5).as("tk"))
+          .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+          .select(col("query_id"), col("e.id").as("candidate_id"),
+            (-col("e.score")).as("d2"), (col("pos") + 1).cast("int").as("rnk"))
       }),
 
     // ---- residual IVF-PQ: the faithful composed index. Vectors are
