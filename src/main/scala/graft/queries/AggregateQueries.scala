@@ -437,6 +437,64 @@ object AggregateQueries {
           .agg(sum(col("n")).as("n"),
             sum(col("total_dec")).cast("double").as("total"),
             min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      }),
+
+    // ---- per-group winsorization at an EXACT p95 (feature-clipping
+    // for training pipelines / robust revenue rollups). The cutoff is
+    // the smallest value v with #(rows ≤ v) ≥ 95% of the group —
+    // integer rank arithmetic (20·cum ≥ 19·n), no FP percentile, so
+    // both engines agree bit-for-bit. Scale: the rank window runs
+    // over the per-(group, value) HISTOGRAM — cardinality = distinct
+    // prices per flag, not rows — so the only full-data shuffles are
+    // the histogram groupBy and the final aggregate; the tiny cutoff
+    // table broadcasts back. (For truly unbounded value domains route
+    // to q_sketch_quantile_sample and accept approximation.) Money is
+    // integer cents throughout; sums are integral and exact. ----
+    QueryDef("q_agg_winsorize", Some(
+      """WITH c AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |h AS (SELECT rf, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT rf, cents,
+        |    sum(cnt) OVER (PARTITION BY rf ORDER BY cents) AS cum,
+        |    sum(cnt) OVER (PARTITION BY rf) AS n
+        |  FROM h),
+        |cut AS (
+        |  SELECT rf, min(cents) AS cutoff FROM r
+        |  WHERE 20 * cum >= 19 * n GROUP BY rf)
+        |SELECT c.rf, count(*) AS n,
+        |  cut.cutoff / 100.0 AS p95_value,
+        |  sum(c.cents) / 100.0 AS sum_raw,
+        |  sum(least(c.cents, cut.cutoff)) / 100.0 AS sum_winsorized,
+        |  count(CASE WHEN c.cents > cut.cutoff THEN 1 END) AS n_capped
+        |FROM c JOIN cut ON c.rf = cut.rf
+        |GROUP BY c.rf, cut.cutoff""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"))
+        val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rf")).orderBy(col("cents"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("rf"))
+        val cut = h
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .where(lit(20) * col("cum") >= lit(19) * col("n"))
+          .groupBy(col("rf")).agg(min(col("cents")).as("cutoff"))
+        c.join(broadcast(cut), "rf")
+          .groupBy(col("rf"), col("cutoff"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            sum(least(col("cents"), col("cutoff"))).as("sum_win_cents"),
+            count(when(col("cents") > col("cutoff"), 1)).as("n_capped"))
+          .select(col("rf"), col("n"),
+            (col("cutoff") / 100.0).as("p95_value"),
+            (col("sum_cents") / 100.0).as("sum_raw"),
+            (col("sum_win_cents") / 100.0).as("sum_winsorized"),
+            col("n_capped"))
       })
   )
 }

@@ -656,6 +656,84 @@ object DedupQueries {
         asg.join(dup, col("vec_id") === col("dup_id"), "left")
           .select(col("vec_id"), col("cluster"),
             col("dup_id").isNull.as("is_keeper"))
+      }),
+
+    // ---- span REMOVAL (remediation twin of q_dedup_substring's
+    // detection): every token covered by a 16-token window that also
+    // appears in another doc is dropped, and the doc is rewritten
+    // from its surviving tokens — the RefinedWeb/Dolma-style "cut the
+    // boilerplate out, keep the rest" pass, not a whole-doc kill.
+    // Windows are positional hashes (graft_shingle_hashes keeps
+    // duplicates and order), so window i covers tokens [i, i+15].
+    // Scale: dup-window detection is the inverted-index groupBy from
+    // the detection query; coverage explodes dup windows only (16×
+    // the MATCHED windows, not the corpus); the rewrite is one
+    // anti-join on (doc, pos) plus a per-doc sort of that doc's own
+    // surviving tokens (collect_list state is bounded by the doc
+    // length, the same bound the text column itself already imposes).
+    QueryDef("q_dedup_span_removal", Some {
+      val winParts = (0 until 16).map(o => s"w[i+$o]").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(w) - 14, 1)),
+         |    i -> ${h32Sql(s"concat_ws(' ', $winParts)")} % ${TextOps.P}) AS gl
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(gl) AS h,
+         |    unnest(range(0, len(gl))) AS i FROM g),
+         |dup AS (
+         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT wins.doc_id, unnest(range(wins.i, wins.i + 16)) AS pos
+         |    FROM wins JOIN dup ON wins.h = dup.h)),
+         |tok AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |    unnest(range(0, len(w))) AS pos FROM t),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.tok, tok.pos
+         |  FROM tok LEFT JOIN cov
+         |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  WHERE cov.doc_id IS NULL),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w) AS n_tokens,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  len(t.w) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN a ON a.doc_id = t.doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .persist() // windows, token stream, and final doc list
+        val wins = base.select(col("doc_id"),
+          posexplode(GraftFunctions.shingleHashes(col("w"), 16, TextOps.P))
+            .as(Seq("i", "h")))
+        val dup = wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2).select(col("h"))
+        val cov = wins.join(dup, "h")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 15)).as("pos"))
+          .distinct()
+        val tok = base.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("pos", "tok")))
+        val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+        val agg = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")), " ").as("clean_text"))
+        base.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
       })
   )
 }

@@ -251,6 +251,39 @@ object EventAnalyticsQueries {
             (col("med") / 100.0).as("med_value"),
             (col("mad") / 100.0).as("mad_value"),
             (col("ad") > lit(3) * col("mad")).as("is_anomaly"))
+      }),
+
+    // ---- event-type transition matrix (first-order Markov counts):
+    // per user, events ordered by time give (prev_type → type) bigrams;
+    // the global count per ordered pair is the transition matrix every
+    // journey/path analysis starts from. A user's first event counts
+    // as a '<start>' transition, so row sums equal per-type event
+    // totals. Order within a user is (ts, event_id) — event_id breaks
+    // same-microsecond ties deterministically. Scale: ONE shuffle on
+    // user_id for the lag window (each user's history sorts
+    // independently), then a pre-aggregated-by-pair shuffle whose
+    // cardinality is |types|², not |events|. ----
+    QueryDef("q_events_transitions", Some(
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT coalesce(prev_type, '<start>') AS prev_type,
+        |  event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s GROUP BY 1, 2""".stripMargin))(
+      (s, d) => {
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(wUser).as("prev"))
+          .groupBy(coalesce(col("prev"), lit("<start>")).as("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n_transitions"),
+            countDistinct(col("user_id")).as("n_users"))
       })
   )
 }

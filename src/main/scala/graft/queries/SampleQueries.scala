@@ -105,6 +105,36 @@ object SampleQueries {
             count(lit(1)).over(byClass).as("n_lang"))
           .where(col("q_rank") * 5 <= col("n_lang"))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("q_rank"))
+      }),
+
+    // ---- weighted sample WITHOUT replacement (priority sampling,
+    // Duffield–Lund–Thorup): each row draws priority w/u with u
+    // uniform in (0,1]; the k highest-priority rows are a weighted
+    // k-sample. u comes from the portable hash — u = (h+1)/2^32 — so
+    // the draw is deterministic and engine-reproducible, and the
+    // constant 2^32 factor is dropped (monotone): priority =
+    // w / (h+1), ONE IEEE double division, which both engines round
+    // identically (division is a correctly-rounded primitive — this
+    // is the only FP op in the query). Weight = n_chars, so long
+    // docs are proportionally likelier, the standard byte-budget
+    // sampler. Scale: orderBy+limit compiles to TakeOrderedAndProject
+    // — per-partition top-k heaps, only k rows per partition reach
+    // the driver; no global sort, no shuffle of the corpus. ----
+    QueryDef("q_sample_weighted", Some(
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(n_chars AS DOUBLE)
+         |    / CAST(${h32Sql("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+         |    AS priority
+         |FROM documents
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin))(
+      (s, d) => {
+        val priority = col("n_chars").cast("double") /
+          (h32(col("doc_id").cast("string")) + lit(1L)).cast("double")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            priority.as("priority"))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(100)
       })
   )
 }

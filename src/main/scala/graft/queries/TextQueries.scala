@@ -720,6 +720,44 @@ object TextQueries {
           .groupBy(col("lang"), expr("n_chars div 50").as("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             min(col("n_chars")).as("min_chars"),
-            max(col("n_chars")).as("max_chars")))
+            max(col("n_chars")).as("max_chars"))),
+
+    // ---- vocabulary construction + per-doc OOV rate: the top-V
+    // tokens by corpus frequency (deterministic tiebreak on the token)
+    // become the vocabulary; every doc then reports how many of its
+    // tokens fall outside it — the coverage stat that sizes a
+    // tokenizer vocab and flags gibberish docs. Counts are exact
+    // integers; the rate is one double division (correctly rounded in
+    // both engines). Scale: token counts are one partial+final hash
+    // agg; the top-V selection is orderBy+limit over the DISTINCT-
+    // token frame (TakeOrderedAndProject — per-partition heaps, never
+    // a global sort); the V-row vocab broadcasts back to the exploded
+    // token stream, so no shuffle touches per-occurrence data twice.
+    QueryDef("q_text_vocab_oov", Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.w AS w
+         |  FROM documents, unnest(${tokensSql("text")}) AS t(w)),
+         |c AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         |v AS (SELECT w FROM c ORDER BY n DESC, w LIMIT 64)
+         |SELECT tok.doc_id,
+         |  count(*) AS n_tokens,
+         |  count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov,
+         |  CAST(count(CASE WHEN v.w IS NULL THEN 1 END) AS DOUBLE)
+         |    / count(*) AS oov_rate
+         |FROM tok LEFT JOIN v ON tok.w = v.w
+         |GROUP BY tok.doc_id""".stripMargin))(
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w").asc).limit(64)
+          .select(col("w"), lit(true).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("w"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+          .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      })
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the round-5 curation operators beyond the
+  * oracle gate's value equality: cross-query consistency (removal vs
+  * detection), structural invariants of the rewritten docs, and the
+  * plan shapes the scale claims rest on. */
+class CurationSpec extends SparkSpecBase {
+
+  test("span removal: counts reconcile and clean_text matches n_kept") {
+    val out = Catalog.byName("q_dedup_span_removal").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, nKept, nDropped, clean) =>
+      assert(nKept + nDropped == nTok, s"doc $id: $nKept + $nDropped != $nTok")
+      val cleanToks = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(cleanToks == nKept, s"doc $id: clean_text has $cleanToks tokens, n_kept=$nKept")
+    }
+    // at least something was actually removed in the fixture (the corpus
+    // contains planted near-dups), and not everything
+    assert(out.exists(_._4 > 0), "no spans removed anywhere")
+    assert(out.exists(_._4 == 0), "every doc had spans removed")
+  }
+
+  test("span removal agrees with substring detection: zero dup windows == untouched doc") {
+    val detect = Catalog.byName("q_dedup_substring").fn(spark, sfDir)
+      .select(col("doc_id"), col("n_dup_windows")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val removal = Catalog.byName("q_dedup_span_removal").fn(spark, sfDir)
+      .select(col("doc_id"), col("n_dropped")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    detect.foreach { case (id, nDup) =>
+      val dropped = removal(id)
+      if (nDup == 0) assert(dropped == 0, s"doc $id: no dup windows but $dropped tokens dropped")
+      else assert(dropped >= 16, s"doc $id: $nDup dup windows but only $dropped tokens dropped")
+    }
+  }
+
+  test("weighted sample plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Catalog.byName("q_sample_weighted").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"priority top-k should be per-partition heaps, not a full sort:\n$plan")
+  }
+
+  test("weighted sample favors heavy rows: mean sampled weight above corpus mean") {
+    val corpusMean = Tables(spark, sfDir, "documents")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = Catalog.byName("q_sample_weighted").fn(spark, sfDir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("vocab/OOV: vocab selection is top-k not a sort; vocab join broadcasts") {
+    val df = Catalog.byName("q_text_vocab_oov").fn(spark, sfDir)
+    df.collect() // AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-V should be TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the V-row vocab should broadcast back to the token stream:\n$plan")
+  }
+
+  test("winsorize: cutoff is a real p95 and capped sums never exceed raw") {
+    val rows = Catalog.byName("q_agg_winsorize").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p95, raw, win, capped) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(win <= raw, "winsorized sum exceeds raw sum")
+      assert(capped > 0 && capped * 20 <= n,
+        s"capped rows $capped should be >0 and at most 5% of $n")
+      assert(p95 > 0)
+    }
+    // the cutoff join is a broadcast (three-row build side)
+    val plan = Catalog.byName("q_agg_winsorize").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff table should broadcast:\n$plan")
+  }
+
+  test("event transitions: totals reconcile with the event count") {
+    val events = Tables(spark, sfDir, "events")
+    val total = events.count()
+    val trans = Catalog.byName("q_events_transitions").fn(spark, sfDir)
+    // every event contributes exactly one transition (first events via <start>)
+    assert(trans.agg(sum(col("n_transitions"))).head().getLong(0) == total)
+    val nUsers = events.select(col("user_id")).distinct().count()
+    assert(trans.where(col("prev_type") === "<start>")
+      .agg(sum(col("n_transitions"))).head().getLong(0) == nUsers)
+  }
+}
