@@ -26,6 +26,7 @@ object Catalog {
       CorpusPrepQueries.defs ++
       EventAnalyticsQueries.defs ++
       MigrationQueries.defs ++
+      GraphQueries.defs ++
       FuzzQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

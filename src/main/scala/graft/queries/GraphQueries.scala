@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship tables (north-star extension,
+  * complementing the connected-components clustering in
+  * [[DedupQueries]]): iterative link analysis expressed as repeated
+  * equi-join + aggregate rounds — the distributed PageRank shape.
+  *
+  * Everything is integer arithmetic: ranks are scaled by 1e9, each
+  * node's contribution is an integer division by its out-degree, and
+  * the damping step is `(85·mass) DIV 100` — so three unrolled
+  * iterations are bit-identical between Spark and DuckDB with no
+  * float accumulation anywhere.
+  */
+object GraphQueries {
+
+  /** Fixed-point scale for rank mass (1e9 per node of initial mass). */
+  private val prScale = 1000000000L
+  /** Teleport mass per node per iteration: (15 · scale) DIV 100. */
+  private val prBase = 15L * prScale / 100L
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PageRank (3 unrolled iterations, damping 0.85) over the
+    // part↔supplier bipartite graph: nodes are parts (even ids,
+    // 2·partkey) and suppliers (odd ids, 2·suppkey+1); edges are the
+    // DISTINCT supply relationships in lineitem, symmetrized, so
+    // every node has out-edges (no dangling-mass term) and appears
+    // as a destination (no left-join backfill). Scale: each
+    // iteration is ONE equi-join of the rank vector against the
+    // edge list (both keyed on the node id — the natural
+    // co-partitioning) plus a partial+final aggregate on dst;
+    // per-iteration state is |nodes| rows, lineage stays linear in
+    // the iteration count. Integer headroom: 85 × total mass must
+    // stay under 2^63 — at ~1e9 nodes drop prScale to 1e6 or lift
+    // the mass sums to DECIMAL(38,0), same plan. ----
+    QueryDef("q_graph_pagerank", Some {
+      def step(prev: String, out: String, cast: Boolean) = {
+        val expr = s"$prBase + (85 * m) // 100"
+        s"""s_$out AS (
+           |  SELECT e.dst, sum($prev.pr // deg.deg) AS m
+           |  FROM e JOIN $prev ON e.src = $prev.node
+           |    JOIN deg ON deg.src = e.src
+           |  GROUP BY e.dst),
+           |$out AS (SELECT dst AS node,
+           |  ${if (cast) s"CAST($expr AS BIGINT)" else expr} AS pr FROM s_$out)"""
+          .stripMargin
+      }
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem),
+         |e AS (SELECT p AS src, sp AS dst FROM b
+         |      UNION ALL SELECT sp AS src, p AS dst FROM b),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p0 AS (SELECT src AS node, CAST($prScale AS BIGINT) AS pr FROM deg),
+         |${step("p0", "p1", cast = false)},
+         |${step("p1", "p2", cast = false)},
+         |${step("p2", "p3", cast = true)}
+         |SELECT node, node % 2 = 0 AS is_part, pr FROM p3""".stripMargin
+    })(
+      (s, d) => {
+        val b = Tables(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val e = b.select(col("p").as("src"), col("sp").as("dst"))
+          .unionAll(b.select(col("sp").as("src"), col("p").as("dst")))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val ew = e.join(deg, "src").persist() // reused every iteration
+        var pr = deg.select(col("src").as("node"), lit(prScale).as("pr"))
+        for (_ <- 1 to 3) {
+          pr = ew.join(pr, ew("src") === pr("node"))
+            .select(col("dst"), expr("pr DIV deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+            .select(col("dst").as("node"),
+              (lit(prBase) + expr("(85 * m) DIV 100")).as("pr"))
+        }
+        pr.select(col("node"), (pmod(col("node"), lit(2L)) === 0).as("is_part"),
+          col("pr"))
+      })
+  )
+}

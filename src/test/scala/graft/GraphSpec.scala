@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural checks for the iterative link-analysis operator beyond
+  * the oracle's value equality. */
+class GraphSpec extends SparkSpecBase {
+
+  test("pagerank: node set matches the bipartite graph and ranks are sane") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val nParts = li.select(col("l_partkey")).distinct().count()
+    val nSupps = li.select(col("l_suppkey")).distinct().count()
+    val pr = Catalog.byName("q_graph_pagerank").fn(spark, sfDir)
+    val rows = pr.collect()
+    assert(rows.length == nParts + nSupps, "one rank per node")
+    assert(rows.count(_.getBoolean(1)) == nParts, "even ids are parts")
+    // damping guarantees every node keeps at least the teleport mass,
+    // and no node can exceed the total initial mass
+    val total = (nParts + nSupps) * 1000000000L
+    rows.foreach { r =>
+      val v = r.getLong(2)
+      assert(v >= 150000000L, s"node ${r.getLong(0)} below teleport floor: $v")
+      assert(v < total, s"node ${r.getLong(0)} above total mass: $v")
+    }
+    // integer flooring only ever loses mass: the grand total after 3
+    // damped iterations stays below the initial mass and above the
+    // teleport-only floor
+    val sum = rows.map(_.getLong(2)).sum
+    assert(sum <= total && sum > (nParts + nSupps) * 150000000L)
+  }
+
+  test("pagerank plan: equi-joins only, no cartesian/nested-loop round") {
+    val plan = Catalog.byName("q_graph_pagerank").fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"iteration should be equi-join + aggregate:\n$plan")
+  }
+}
