@@ -27,6 +27,7 @@ object Catalog {
       EventAnalyticsQueries.defs ++
       MigrationQueries.defs ++
       GraphQueries.defs ++
+      AffinityQueries.defs ++
       FuzzQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap

@@ -758,6 +758,61 @@ object TextQueries {
             count(when(col("in_vocab").isNull, 1)).as("n_oov"))
           .select(col("doc_id"), col("n_tokens"), col("n_oov"),
             (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      }),
+
+    // ---- one BPE TRAINING iteration: count adjacent character pairs
+    // (overlapping, weighted by word frequency), pick the most
+    // frequent pair (lexicographic tiebreak), apply the merge
+    // leftmost-non-overlapping — exactly the sennrich-style algorithm
+    // step — and report each doc's symbol count before/after. Pure
+    // integer + string ops, so the whole iteration is exactly
+    // oracled. Scale: pair counting and merge application run over
+    // the DISTINCT-WORD frame (vocabulary×word-length work, not
+    // occurrences); the winning pair is a 1-row broadcast; per-doc
+    // deltas come from re-joining the vocab stats (broadcast) to the
+    // token stream — the same reduce-then-rejoin shape as langid. ----
+    QueryDef("q_text_bpe_merge", Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.w AS w
+         |  FROM documents, unnest(${tokensSql("text")}) AS t(w)),
+         |wf AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         |pc AS (
+         |  SELECT p.p AS pair, sum(wf.n) AS cnt
+         |  FROM wf, unnest(list_transform(range(1, len(wf.w)),
+         |    i -> wf.w[i:i+1])) AS p(p)
+         |  GROUP BY p.p),
+         |top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 1),
+         |ws AS (
+         |  SELECT wf.w, len(wf.w) AS lw,
+         |    (len(wf.w) - len(replace(wf.w, top.pair, ''))) // 2 AS occ
+         |  FROM wf CROSS JOIN top)
+         |SELECT tok.doc_id, top.pair AS merge_pair,
+         |  CAST(top.cnt AS BIGINT) AS pair_count,
+         |  CAST(sum(ws.lw) AS BIGINT) AS n_sym_before,
+         |  CAST(sum(ws.lw - ws.occ) AS BIGINT) AS n_sym_after
+         |FROM tok JOIN ws ON tok.w = ws.w CROSS JOIN top
+         |GROUP BY tok.doc_id, top.pair, top.cnt""".stripMargin))(
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val wf = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        // guard: sequence(1, 0) would be DESCENDING for 1-char words
+        val pairsOf = when(length(col("w")) >= 2,
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .otherwise(array().cast("array<string>"))
+        val top = wf.select(explode(pairsOf).as("pair"), col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        val ws = wf.crossJoin(broadcast(top))
+          .select(col("w"), col("pair"), col("cnt"),
+            length(col("w")).cast("bigint").as("lw"),
+            expr("CAST((length(w) - length(replace(w, pair, ''))) DIV 2 AS BIGINT)")
+              .as("occ"))
+        tok.join(broadcast(ws), "w")
+          .groupBy(col("doc_id"), col("pair").as("merge_pair"),
+            col("cnt").as("pair_count"))
+          .agg(sum(col("lw")).as("n_sym_before"),
+            sum(col("lw") - col("occ")).as("n_sym_after"))
       })
   )
 }

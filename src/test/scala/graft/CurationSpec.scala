@@ -82,6 +82,37 @@ class CurationSpec extends SparkSpecBase {
       s"cutoff table should broadcast:\n$plan")
   }
 
+  test("bpe merge step: a real 2-char pair wins and merging only shrinks docs") {
+    val rows = Catalog.byName("q_text_bpe_merge").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(_.getString(1)).distinct
+    assert(pairs.length == 1 && pairs.head.length == 2,
+      s"one global 2-char merge pair expected, got ${pairs.mkString(",")}")
+    rows.foreach { r =>
+      val (before, after) = (r.getLong(3), r.getLong(4))
+      assert(after <= before, s"doc ${r.getLong(0)}: merge grew the doc")
+      assert(after >= before / 2, "a single merge cannot halve more than everything")
+    }
+    // the corpus-wide winning pair must actually occur somewhere
+    assert(rows.exists(r => r.getLong(3) > r.getLong(4)),
+      "winning pair merged zero occurrences corpus-wide")
+  }
+
+  test("basket pairs: probabilities in range, top-k plan, bounded fanout join") {
+    val df = Catalog.byName("q_basket_pairs").fn(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    rows.foreach { r =>
+      val (conf, lift) = (r.getDouble(3), r.getDouble(4))
+      assert(conf > 0 && conf <= 1.0, s"confidence out of range: $conf")
+      assert(lift > 0, s"lift must be positive: $lift")
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized p1 < p2")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 should not globally sort the pair space:\n$plan")
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
