@@ -658,6 +658,51 @@ object DedupQueries {
             col("dup_id").isNull.as("is_keeper"))
       }),
 
+    // ---- pairwise SOURCE overlap matrix: distinct 5-gram shingles
+    // per source, then |A∩B| and Jaccard for every source pair — the
+    // corpus diagnostic that finds mirror sites / re-crawls BEFORE
+    // doc-level dedup runs. Same inverted-index shape as the dedup
+    // family: the pair join is an equi-join on the shingle hash, so a
+    // shingle shared by k sources costs k² pair rows (bounded by
+    // sources², never docs²); per-source distincts are one shuffle.
+    // Jaccard is one integer division — exact parity. ----
+    QueryDef("q_text_source_overlap", Some(
+      s"""WITH gs AS (
+         |  SELECT source, ${shinglesSql("w", 5)} AS g
+         |  FROM (SELECT source, ${tokensSql("text")} AS w FROM documents)),
+         |sh AS (
+         |  SELECT DISTINCT source, t.h AS h
+         |  FROM gs, unnest(${shingleHashesSql("g")}) AS t(h)),
+         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+         |ix AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT ix.src_a, ix.src_b, za.n AS n_a, zb.n AS n_b, ix.n_common,
+         |  CAST(ix.n_common AS DOUBLE)
+         |    / CAST(za.n + zb.n - ix.n_common AS DOUBLE) AS jaccard
+         |FROM ix JOIN sz za ON za.source = ix.src_a
+         |  JOIN sz zb ON zb.source = ix.src_b""".stripMargin))(
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("source"), tokens(col("text")).as("w"))
+          .select(col("source"), explode(array_distinct(
+            GraftFunctions.shingleHashes(col("w"), 5, TextOps.P))).as("h"))
+          .distinct()
+          .persist() // both sides of the pair join + the size frame
+        val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val a = sh.select(col("source").as("src_a"), col("h"))
+        val b = sh.select(col("source").as("src_b"), col("h"))
+        val ix = a.join(b, Seq("h")).where(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+        ix.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+          .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+            (col("n_common").cast("double")
+              / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+              .as("jaccard"))
+      }),
+
     // ---- span REMOVAL (remediation twin of q_dedup_substring's
     // detection): every token covered by a 16-token window that also
     // appears in another doc is dropped, and the doc is rewritten

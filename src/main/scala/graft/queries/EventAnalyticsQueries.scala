@@ -284,6 +284,49 @@ object EventAnalyticsQueries {
             col("event_type").as("next_type"))
           .agg(count(lit(1)).as("n_transitions"),
             countDistinct(col("user_id")).as("n_users"))
+      }),
+
+    // ---- time-weighted average value per user (TWAP): each reading
+    // holds until the next one, so it weighs by its interval length.
+    // dt comes from one per-user lead() window; weights are integer
+    // micros × integer cents — per-row products fit int64, the SUMS
+    // accumulate in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), both
+    // exact, with ONE final cast-to-double division pair — the same
+    // wrap-proof arithmetic as q_agg_covar_exact. Scale: the lead
+    // window and the groupBy share the user_id partitioning (one
+    // shuffle total), per-user state is a constant accumulator. ----
+    QueryDef("q_events_twap", Some(
+      """WITH s AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS dt
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(dt) AS BIGINT) AS span_us,
+        |    sum(cents * dt) AS wsum
+        |  FROM s WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, span_us,
+        |  CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0 AS twap
+        |FROM m WHERE span_us > 0""".stripMargin))(
+      (s, d) => {
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cents"),
+            (lead(unix_micros(col("ts")), 1).over(wUser)
+              - unix_micros(col("ts"))).as("dt"))
+          .where(col("dt").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt")).as("span_us"),
+            sum((col("cents") * col("dt")).cast("decimal(28,0)")).as("wsum"))
+          .where(col("span_us") > 0)
+          .select(col("user_id"), col("n_intervals"), col("span_us"),
+            (col("wsum").cast("double") / col("span_us").cast("double")
+              / lit(100.0)).as("twap"))
       })
   )
 }

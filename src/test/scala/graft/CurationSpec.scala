@@ -113,6 +113,45 @@ class CurationSpec extends SparkSpecBase {
       s"top-20 should not globally sort the pair space:\n$plan")
   }
 
+  test("twap: one user_id shuffle shared by window and aggregate; values bounded") {
+    val df = Catalog.byName("q_events_twap").fn(spark, sfDir)
+    df.collect()
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // count exchanges in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the lead() window and the per-user aggregate both key on user_id:
+    // Spark must reuse the partitioning, not exchange twice
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected exactly one user_id shuffle, got $exchanges:\n$plan")
+    val (mn, mx) = {
+      val r = Tables(spark, sfDir, "events")
+        .agg(min(col("value")), max(col("value"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    df.collect().foreach { r =>
+      val t = r.getDouble(3)
+      assert(t >= mn - 0.01 && t <= mx + 0.01,
+        s"twap $t outside value range [$mn, $mx]")
+      assert(r.getLong(2) > 0, "span must be positive")
+    }
+  }
+
+  test("source overlap: canonical pairs, jaccard in [0,1], bounded by sources^2") {
+    val nSources = Tables(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    val rows = Catalog.byName("q_text_source_overlap").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonicalized")
+      val (na, nb, common, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(common > 0 && common <= math.min(na, nb))
+      assert(j > 0 && j <= 1.0, s"jaccard out of range: $j")
+    }
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
