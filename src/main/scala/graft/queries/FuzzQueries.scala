@@ -203,7 +203,64 @@ object FuzzQueries {
           .agg(expr("count(1) AS n"), outerAggs.map(expr): _*))
   }
 
+  // ---- subquery family: EXISTS / NOT EXISTS / IN / correlated
+  // scalar over orders↔lineitem — the fuzz grammar's fourth tier.
+  // These shapes exercise Catalyst's decorrelation (semi/anti joins,
+  // aggregate + outer join) from GENERATED text, so a planner
+  // regression on any rewrite path fails the oracle gate, not just
+  // the six hand-written subquery entries. Spark executes the SAME
+  // ANSI string (subqueries have no DataFrame rendering), DuckDB the
+  // identical text — both planned from one source. Correlated
+  // scalars are coalesced to 0 before aggregation (empty-match NULL
+  // handling pinned on both sides); all aggregates follow the
+  // established parity rules (DECIMAL money, min/max, counts). ----
+
+  private def genSub(i: Int): QueryDef = {
+    val rnd = new Random(seed * 15485863L + i)
+    val outerPred = ordersAtom(rnd)
+    val innerAtom = atom(rnd)
+    val key = pick(rnd, Vector("o_orderstatus", "o_orderpriority"))
+    val shape = i % 4
+    val sql = shape match {
+      case 0 =>
+        s"""SELECT $key AS k, count(1) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS money_sum
+           |FROM orders o
+           |WHERE $outerPred AND EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey AND $innerAtom)
+           |GROUP BY $key""".stripMargin
+      case 1 =>
+        s"""SELECT $key AS k, count(1) AS n, min(o_orderkey) AS mn,
+           |  max(o_orderkey) AS mx
+           |FROM orders o
+           |WHERE $outerPred AND NOT EXISTS (
+           |  SELECT 1 FROM lineitem l
+           |  WHERE l.l_orderkey = o.o_orderkey AND $innerAtom)
+           |GROUP BY $key""".stripMargin
+      case 2 =>
+        s"""SELECT $key AS k, count(1) AS n,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS money_sum
+           |FROM orders o
+           |WHERE $outerPred AND o_orderkey IN (
+           |  SELECT l_orderkey FROM lineitem WHERE $innerAtom)
+           |GROUP BY $key""".stripMargin
+      case _ =>
+        s"""SELECT $key AS k, count(1) AS n,
+           |  max(coalesce((SELECT max(l.l_quantity) FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey AND $innerAtom), 0)) AS mx_sub,
+           |  CAST(sum(CAST(coalesce((SELECT max(l.l_quantity) FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey AND $innerAtom), 0)
+           |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_sub
+           |FROM orders o
+           |WHERE $outerPred
+           |GROUP BY $key""".stripMargin
+    }
+    QueryDef(f"q_fuzzs_$i%02d", Some(sql))(
+      (s, d) => { Tables.registerAll(s, d); s.sql(sql) })
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
-      (0 until 6).map(genWindow)
+      (0 until 6).map(genWindow) ++ (0 until 8).map(genSub)
 }

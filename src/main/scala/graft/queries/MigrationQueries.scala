@@ -146,6 +146,52 @@ object MigrationQueries {
           .select(col("o_orderkey"), col("v.status").as("status"),
             col("v.valid_from_us").as("valid_from_us"),
             col("v.valid_to_us").as("valid_to_us"))
+      }),
+
+    // ---- snapshot diff: added / removed / changed / unchanged per
+    // source between two corpus versions — the dataset-versioning
+    // report every reproducible training pipeline publishes per
+    // release. The two snapshots are modeled as deterministic slices
+    // of the fixture (docs ≡0 mod 23 are "new in B", ≡0 mod 17
+    // "removed in B", ≡0 mod 13 carry changed content — reverse(text)
+    // stands in for the edit); with real before/after tables the plan
+    // is identical. Shape: one full-outer equi-join on the doc key
+    // (each side shuffles once), content compared by h32 digest —
+    // never row-strings across the wire — then a |sources|-cardinality
+    // count-FILTER aggregate. ----
+    QueryDef("q_migrate_snapshot_diff", Some(
+      s"""WITH a AS (
+         |  SELECT doc_id, source, ${h32Sql("text")} AS h
+         |  FROM documents WHERE doc_id % 23 <> 0),
+         |b AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 13 = 0 THEN ${h32Sql("reverse(text)")}
+         |         ELSE ${h32Sql("text")} END AS h
+         |  FROM documents WHERE doc_id % 17 <> 0)
+         |SELECT coalesce(a.source, b.source) AS source,
+         |  count(CASE WHEN a.doc_id IS NULL THEN 1 END) AS n_added,
+         |  count(CASE WHEN b.doc_id IS NULL THEN 1 END) AS n_removed,
+         |  count(CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL
+         |    AND a.h <> b.h THEN 1 END) AS n_changed,
+         |  count(CASE WHEN a.h = b.h THEN 1 END) AS n_unchanged
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |GROUP BY coalesce(a.source, b.source)""".stripMargin))(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val a = docs.where(pmod(col("doc_id"), lit(23L)) =!= 0)
+          .select(col("doc_id").as("a_id"), col("source").as("a_src"),
+            h32(col("text")).as("a_h"))
+        val b = docs.where(pmod(col("doc_id"), lit(17L)) =!= 0)
+          .select(col("doc_id").as("b_id"), col("source").as("b_src"),
+            when(pmod(col("doc_id"), lit(13L)) === 0, h32(reverse(col("text"))))
+              .otherwise(h32(col("text"))).as("b_h"))
+        a.join(b, col("a_id") === col("b_id"), "full_outer")
+          .groupBy(coalesce(col("a_src"), col("b_src")).as("source"))
+          .agg(count(when(col("a_id").isNull, 1)).as("n_added"),
+            count(when(col("b_id").isNull, 1)).as("n_removed"),
+            count(when(col("a_id").isNotNull && col("b_id").isNotNull
+              && col("a_h") =!= col("b_h"), 1)).as("n_changed"),
+            count(when(col("a_h") === col("b_h"), 1)).as("n_unchanged"))
       })
   )
 }

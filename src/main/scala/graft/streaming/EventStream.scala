@@ -134,6 +134,7 @@ object EventStream {
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class TypeCount(user_id: Long, event_type: String, n: Long, rnk: Int)
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
   final case class RecentStat(user_id: Long, n_kept: Int, sum_cents: Long)
   final case class SessionState(start: Long, lastTs: Long, n: Int, totalCents: Long)
   final case class Session(user_id: Long, session_start_us: Long,
@@ -234,6 +235,23 @@ object EventStream {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events.groupByKey(_.user_id)
       .transformWithState(new RecentWindowProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Incremental event-type transitions (see [[TransitionProcessor]]):
+    * the streaming twin of `q_events_transitions`'s per-user lag — one
+    * `Transition` row per input event, each emitted exactly once, with
+    * the per-user previous type carried across batches in a single
+    * ValueState[String]. Aggregating the output by (prev, next) gives
+    * the batch query's Markov matrix incrementally. */
+  def transitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
@@ -371,5 +389,40 @@ final class SessionProcessor(gapMinutes: Int)
       }
     }
     Iterator.empty
+  }
+}
+
+/** Per-user previous-event-type carry on the transformWithState
+  * ValueState surface — constant state per user (one string) no
+  * matter the stream length. A batch's rows fold in deterministic
+  * (event-time micros, event_id) order, the same total order the
+  * batch twin's lag() window sorts by, so the emitted transitions
+  * aggregate to exactly `q_events_transitions`. First event per user
+  * emits from the '<start>' sentinel, matching the batch coalesce. */
+final class TransitionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, EventStream.Transition] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var prev: ValueState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    prev = getHandle.getValueState[String]("prev", Encoders.STRING, TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000 + t.getNanos / 1000 % 1000000
+
+  override def handleInputRows(userId: Long, rows: Iterator[EventStream.Event],
+      tv: TimerValues): Iterator[EventStream.Transition] = {
+    val ordered = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    val out = Seq.newBuilder[EventStream.Transition]
+    var p = if (prev.exists()) prev.get() else "<start>"
+    ordered.foreach { e =>
+      out += EventStream.Transition(userId, p, e.event_type)
+      p = e.event_type
+    }
+    if (ordered.nonEmpty) prev.update(p)
+    out.result().iterator
   }
 }

@@ -550,4 +550,38 @@ class StreamingSpec extends SparkSpecBase {
     }.toSeq.sorted
     assert(got === want)
   }
+
+  test("transitions: incremental ValueState twin equals the oracled batch Markov matrix") {
+    // the WHOLE fixture streams through in two batches split on the
+    // global (ts, event_id) order — the split proves the previous-type
+    // state carries across micro-batches, not just within one
+    val sample = Tables(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = sample.splitAt(sample.length / 2)
+
+    val input = MemoryStream[Event]
+    val q = EventStream.transitions(input.toDS()).writeStream
+      .format("memory").queryName("transitions_out")
+      .outputMode("update")
+      .start()
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("transitions_out")
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    q.stop()
+
+    val want = Catalog.byName("q_events_transitions").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want)
+  }
 }
