@@ -133,4 +133,32 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__ra", "__rb", "__z")
   }
+
+  /** Compact a small-files directory: rewrite `srcDir`'s parquet as
+    * ceil(rows / targetRows) right-sized files, preserving (or
+    * establishing) a cluster key. The small-files problem is the
+    * standard failure mode of incremental ingestion at scale — every
+    * micro-batch/task leaves a file, listings and footer reads come to
+    * dominate scan time, and row-group stats stop pruning because each
+    * file is a sliver. One COUNT (parquet footers only — no data scan)
+    * sizes the job; the rewrite is a single range exchange, so the
+    * result is both compacted AND range-clustered for downstream
+    * pruning. `maxRecordsPerFile` caps any straggler task's output, so
+    * range-sampling skew costs at most a few extra files, never an
+    * oversized one. Returns the file count written. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, targetRows: Long, keys: String*): Int = {
+    val df = spark.read.parquet(srcDir)
+    val rows = df.count() // metadata-only under the parquet footer path
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRows).toInt)
+    val clustered =
+      if (keys.nonEmpty) clusterByRange(df, nFiles, keys: _*)
+      else df.repartition(nFiles)
+    clustered.write.mode("overwrite")
+      .option("maxRecordsPerFile", targetRows)
+      .parquet(dstDir)
+    val p = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+  }
 }

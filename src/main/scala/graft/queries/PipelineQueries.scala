@@ -65,6 +65,77 @@ object PipelineQueries {
           src => Relational.scanParquet(s, s"$d/${src.name}.parquet"),
           retryInitialDelayMs = 50).runAll()
         Relational.scanParquet(s, sp.targetDir("enriched_lineitem"))
+      }),
+
+    // ---- composed CURATION pipeline e2e: the catalog's corpus
+    // operators chained as one DAG — quality gate (length + stopword
+    // ratio, integer arithmetic) → exact dedup (keep the min doc_id
+    // per content hash) → leakage-safe content-hash split → per
+    // (split, lang) release report. This is the "a user can run their
+    // whole recipe on this library" proof: each stage is individually
+    // oracled elsewhere; here the COMPOSITION is oracled end-to-end.
+    // Scale: one token-stat scan, one hash-shuffle groupBy for dedup
+    // keepers (broadcast back), split assignment row-local, final
+    // report a |splits×langs| aggregate. ----
+    QueryDef("q_curation_e2e", Some {
+      import graft.ops.TextOps.{h32Sql, tokensSql}
+      val stopIn = Seq("the", "a", "value", "data", "table")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text,
+         |    len(${tokensSql("text")}) AS n_tokens,
+         |    len(list_filter(${tokensSql("text")},
+         |      t -> t IN ($stopIn))) AS n_stop
+         |  FROM documents),
+         |quality AS (
+         |  SELECT * FROM base
+         |  WHERE n_tokens BETWEEN 30 AND 500 AND 4 * n_stop <= n_tokens),
+         |keepers AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keeper
+         |  FROM quality GROUP BY md5(text)),
+         |deduped AS (
+         |  SELECT q.* FROM quality q
+         |  JOIN keepers k ON md5(q.text) = k.h AND q.doc_id = k.keeper),
+         |split AS (
+         |  SELECT *, CASE WHEN ${h32Sql("text")} % 100 < 80 THEN 'train'
+         |    WHEN ${h32Sql("text")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM deduped)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM split GROUP BY split, lang""".stripMargin
+    })(
+      (s, d) => {
+        import graft.Tables
+        import graft.ops.TextOps.{h32, tokens}
+        import org.apache.spark.sql.functions._
+        val stopwords = Seq("the", "a", "value", "data", "table")
+        val w = tokens(col("text"))
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"),
+            size(w).cast("bigint").as("n_tokens"),
+            size(filter(w, t => t.isInCollection(stopwords)))
+              .cast("bigint").as("n_stop"))
+        val quality = base
+          .where(col("n_tokens").between(30, 500)
+            && lit(4) * col("n_stop") <= col("n_tokens"))
+        val keepers = quality
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val deduped = quality
+          .join(keepers, md5(col("text")) === col("h")
+            && col("doc_id") === col("keeper"))
+        val bucket = pmod(h32(col("text")), lit(100L))
+        deduped
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
       })
   )
 }

@@ -106,4 +106,38 @@ class LayoutSpec extends SparkSpecBase {
     assert(uA <= total / 2, s"uniform z-order should prune key A: $uA of $total")
     assert(uB <= total / 2, s"uniform z-order should prune key B: $uB of $total")
   }
+
+  test("compact: a small-files mess becomes right-sized, clustered, lossless files") {
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("graft_smallfiles_").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_compacted_").toString
+    // model incremental ingestion: 64 sliver files
+    val li = Tables(spark, sfDir, "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles >= 60, s"expected a small-files mess, got $srcFiles")
+
+    val total = li.count()
+    val target = 2000L
+    val written = pipeline.Layout.compact(spark, src, dst, target, "l_orderkey")
+    val expect = math.ceil(total.toDouble / target).toInt
+    // range-sampling skew can overfill a range; maxRecordsPerFile then
+    // splits it — near-ideal, never a mess
+    assert(written >= expect && written <= expect + 2,
+      s"expected ~$expect right-sized files, got $written")
+    assert(written * 10 < srcFiles, s"compaction barely reduced files: $written")
+    // lossless
+    val back = spark.read.parquet(dst)
+    assert(back.count() === total)
+    // and clustered: an orderkey band must NOT read every row group
+    val bound = back.agg(org.apache.spark.sql.functions.max(col("l_orderkey")))
+      .head().getLong(0) / 10
+    val scanned = {
+      val df = back.where(col("l_orderkey") <= bound)
+      df.collect()
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+      leaves.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    }
+    assert(scanned < total, s"compacted layout should prune: scanned $scanned of $total")
+  }
 }
