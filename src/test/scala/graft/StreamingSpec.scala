@@ -584,4 +584,59 @@ class StreamingSpec extends SparkSpecBase {
       .sorted.toSeq
     assert(got === want)
   }
+
+  test("transitions: ValueState survives a checkpointed restart (new query instance)") {
+    // run 1 streams the time-wise first half of the fixture, the query
+    // STOPS, and a brand-new query instance on the same checkpoint
+    // streams the second half: the per-user previous-type state must be
+    // restored, so the union of both runs' emissions still equals the
+    // batch Markov matrix (each transition emitted exactly once)
+    val base = java.nio.file.Files.createTempDirectory("graft_trans_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val sample = Tables(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val (first, second) = sample.splitAt(sample.length / 2)
+
+    def runOnce(): Unit = {
+      // the input files are written from Dataset[Event] below (real
+      // TIMESTAMP column) — read them back with the encoder's schema
+      val events = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+        .parquet(in)
+        .as[Event]
+      val q = EventStream.transitions(events).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStream.Transition], _: Long) =>
+          df.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // the file source reads whole files; each run appends one file whose
+    // rows are time-ordered, matching the arrival order the state expects
+    spark.createDataset(first.toIndexedSeq).toDF()
+      .write.mode("append").parquet(in)
+    runOnce()
+    spark.createDataset(second.toIndexedSeq).toDF()
+      .write.mode("append").parquet(in)
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    val want = Catalog.byName("q_events_transitions").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got === want)
+  }
 }
