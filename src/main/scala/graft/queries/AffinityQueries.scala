@@ -42,9 +42,15 @@ object AffinityQueries {
         |  CROSS JOIN n
         |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin))(
       (s, d) => {
+        // pre-partition the distinct items on the basket key: the pair
+        // self-join then reads BOTH sides from the same persisted
+        // partitioning (no exchange at the join) — the distinct itself
+        // already paid a (o, p) shuffle, so this adds one narrow
+        // re-key, not a second full pass
         val items = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct().persist() // pair self-join + supports + basket count
+          .distinct().repartition(col("o"))
+          .persist() // pair self-join + supports + basket count
         val supp = items.groupBy(col("p")).agg(count(lit(1)).as("s"))
         val nBaskets = items.select(col("o")).distinct().count()
         val a = items.select(col("o"), col("p").as("p1"))

@@ -68,7 +68,12 @@ object GraphQueries {
         val e = b.select(col("p").as("src"), col("sp").as("dst"))
           .unionAll(b.select(col("sp").as("src"), col("p").as("dst")))
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        val ew = e.join(deg, "src").persist() // reused every iteration
+        // pre-partition the edge list on the join key ONCE: every
+        // iteration's rank join then exchanges only the |nodes|-sized
+        // rank vector, never the edges — the loop-invariant
+        // partitioning a Pregel-style runtime maintains
+        val ew = e.join(deg, "src").repartition(col("src"))
+          .persist() // reused every iteration
         var pr = deg.select(col("src").as("node"), lit(prScale).as("pr"))
         for (_ <- 1 to 3) {
           pr = ew.join(pr, ew("src") === pr("node"))

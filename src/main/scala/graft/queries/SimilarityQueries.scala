@@ -804,6 +804,78 @@ object SimilarityQueries {
           .select(col("new_label"), col("n"),
             posexplode(col("centroid")).as(Seq("dim", "val")))
           .select(col("new_label"), col("n"), col("dim"), col("val"))
+      }),
+
+    // ---- RANGE search: all neighbors with cos ≥ τ, the second
+    // standard ANN API next to top-k (dedup thresholds, "find all
+    // matches above confidence" retrieval). Same broadcast-query ×
+    // partitioned-candidate shape as brute top-k, but NO window and
+    // NO per-group state at all — score, filter, done; the result
+    // size is data-dependent, which is exactly the range-search
+    // contract. FP parity: both engines build bit-identical cosines
+    // (same op sequence), so the τ compare can't straddle. ----
+    QueryDef("q_ann_range_search", Some(
+      s"""WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings)
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+         |FROM (SELECT * FROM n WHERE $querySetPred) q
+         |JOIN n c ON c.vec_id <> q.vec_id
+         |WHERE ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) >= 0.3""".stripMargin))(
+      (s, d) => {
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .where(col("cos_sim") >= 0.3)
+          .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      }),
+
+    // ---- one POWER-ITERATION step toward the corpus' top principal
+    // direction: v₁ ∝ Xᵀ(X·v₀) with v₀ = 1 — the matrix-free
+    // distributed-linear-algebra primitive under PCA/spectral
+    // embedding, computed without ever materializing the d×d
+    // covariance. Integer-scaled exact: components quantize to 1e-6
+    // (q ≲ 3e5 here), the row projection sᵢ = Σⱼ qᵢⱼ fits int64 at
+    // any d, and the per-dimension back-projection Σᵢ qᵢⱼ·sᵢ
+    // accumulates in DECIMAL(38,0)/HUGEINT (headroom ~1e25 rows —
+    // int64 would wrap at ~1e9 rows at these magnitudes). Scale: one
+    // shuffle on vec_id (projection), one map-side-combined aggregate
+    // onto d=64 groups; nothing ever holds more than a row or a
+    // d-sized partial. ----
+    QueryDef("q_vector_power_iteration", Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY vec_id),
+        |p AS (
+        |  SELECT q.j, sum(q.qv * s.sv) AS comp, count(*) AS n
+        |  FROM q JOIN s ON q.vec_id = s.vec_id
+        |  GROUP BY q.j)
+        |SELECT CAST(j AS INT) AS dim, CAST(n AS BIGINT) AS n_rows,
+        |  CAST(comp AS DOUBLE) / 1e12 AS component
+        |FROM p""".stripMargin))(
+      (s, d) => {
+        val q = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"),
+            floor(col("x") * 1000000.0 + 0.5).cast("bigint").as("qv"))
+          .persist() // projection pass + back-projection pass
+        val sv = q.groupBy(col("vec_id")).agg(sum(col("qv")).as("sv"))
+        q.join(sv, "vec_id")
+          .groupBy(col("j"))
+          .agg(sum((col("qv") * col("sv")).cast("decimal(28,0)")).as("comp"),
+            count(lit(1)).as("n"))
+          .select(col("j").as("dim"), col("n").as("n_rows"),
+            (col("comp").cast("double") / lit(1e12)).as("component"))
       })
   )
 }

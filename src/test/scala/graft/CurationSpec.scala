@@ -152,6 +152,28 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("range search: thresholded, self-free, query set only") {
+    val rows = Catalog.byName("q_ann_range_search").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 == 0, "query ids come from the fixed query set")
+      assert(r.getLong(0) != r.getLong(1), "no self pairs")
+      assert(r.getDouble(2) >= 0.3, s"below threshold: ${r.getDouble(2)}")
+    }
+  }
+
+  test("power iteration: every dimension present, back-projection over all rows") {
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    val rows = Catalog.byName("q_vector_power_iteration").fn(spark, sfDir).collect()
+    assert(rows.length == 64, s"expected 64 dims, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (0 until 64),
+      "dims must be exactly 0..63")
+    rows.foreach(r => assert(r.getLong(1) == nVecs,
+      s"dim ${r.getInt(0)} aggregated ${r.getLong(1)} of $nVecs rows"))
+    // v1 must not be the zero vector (the fixture is not degenerate)
+    assert(rows.exists(r => math.abs(r.getDouble(2)) > 1e-6))
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
