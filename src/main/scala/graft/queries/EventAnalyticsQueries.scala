@@ -327,6 +327,70 @@ object EventAnalyticsQueries {
           .select(col("user_id"), col("n_intervals"), col("span_us"),
             (col("wsum").cast("double") / col("span_us").cast("double")
               / lit(100.0)).as("twap"))
+      }),
+
+    // ---- A/B comparison (Welch's t): treatment 'click' vs control
+    // 'view' event values, the experimentation-analytics primitive.
+    // Group moments (n, Σx, Σx²) come from integer cents with
+    // DECIMAL(38,0)/HUGEINT sums — exact at any group size — via ONE
+    // conditional aggregate over the scan (no join, no second pass);
+    // the t-statistic is then a fixed sequence of IEEE ops (+ the
+    // allowed exact sqrt) on those exact moments, bit-identical in
+    // both engines. Output includes the |t| > 1.96 verdict. ----
+    QueryDef("q_events_ab_test", Some(
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |m AS (
+        |  SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END) AS sa,
+        |    sum(CASE WHEN event_type = 'click' THEN c * c ELSE 0 END) AS qa,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nb,
+        |    sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END) AS sb,
+        |    sum(CASE WHEN event_type = 'view' THEN c * c ELSE 0 END) AS qb
+        |  FROM s)
+        |SELECT na, nb,
+        |  CAST(sa AS DOUBLE) / na / 100.0 AS mean_a,
+        |  CAST(sb AS DOUBLE) / nb / 100.0 AS mean_b,
+        |  (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |    / sqrt(CAST(na * qa - sa * sa AS DOUBLE) / na / (na - 1) / na
+        |         + CAST(nb * qb - sb * sb AS DOUBLE) / nb / (nb - 1) / nb)
+        |    AS t_stat,
+        |  abs((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |    / sqrt(CAST(na * qa - sa * sa AS DOUBLE) / na / (na - 1) / na
+        |         + CAST(nb * qb - sb * sb AS DOUBLE) / nb / (nb - 1) / nb))
+        |    > 1.96 AS significant
+        |FROM m""".stripMargin))(
+      (s, d) => {
+        val c = floor(col("value") * 100 + 0.5).cast("bigint")
+        def side(t: String, e: Column) = when(col("event_type") === t, e)
+        val m = Tables(s, d, "events")
+          .where(col("event_type").isin("click", "view"))
+          .select(col("event_type"), c.as("c"))
+          .agg(
+            count(side("click", lit(1))).as("na"),
+            sum(coalesce(side("click", col("c")), lit(0L))
+              .cast("decimal(28,0)")).as("sa"),
+            sum(coalesce(side("click", col("c") * col("c")), lit(0L))
+              .cast("decimal(28,0)")).as("qa"),
+            count(side("view", lit(1))).as("nb"),
+            sum(coalesce(side("view", col("c")), lit(0L))
+              .cast("decimal(28,0)")).as("sb"),
+            sum(coalesce(side("view", col("c") * col("c")), lit(0L))
+              .cast("decimal(28,0)")).as("qb"))
+        val meanA = col("sa").cast("double") / col("na")
+        val meanB = col("sb").cast("double") / col("nb")
+        val se = sqrt(
+          (col("na") * col("qa") - col("sa") * col("sa")).cast("double")
+            / col("na") / (col("na") - 1) / col("na")
+          + (col("nb") * col("qb") - col("sb") * col("sb")).cast("double")
+            / col("nb") / (col("nb") - 1) / col("nb"))
+        val t = (meanA - meanB) / se
+        m.select(col("na"), col("nb"),
+          (meanA / 100.0).as("mean_a"), (meanB / 100.0).as("mean_b"),
+          t.as("t_stat"), (abs(t) > 1.96).as("significant"))
       })
   )
 }

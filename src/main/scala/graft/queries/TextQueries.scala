@@ -813,6 +813,64 @@ object TextQueries {
             col("cnt").as("pair_count"))
           .agg(sum(col("lw")).as("n_sym_before"),
             sum(col("lw") - col("occ")).as("n_sym_after"))
+      }),
+
+    // ---- count-based bigram LM scoring: train P(next|prev) on the
+    // corpus itself (MLE from bigram/prefix counts), then score each
+    // doc by its average conditional probability — the transcendental-
+    // free proxy for perplexity filtering (low avg-P == the LM finds
+    // the doc surprising). Probabilities are EXACT integer rationals:
+    // p_scaled = (1e9·c2) DIV c1 per distinct bigram, so training and
+    // scoring are bit-oracled end-to-end; the only FP op is the final
+    // average division. Scale: bigram extraction is row-local
+    // (transform over the token array, no window over the corpus
+    // token stream); counting is one hash agg over bigram instances;
+    // the model is vocab²-bounded and broadcasts back. Headroom: the
+    // 1e9-scaled numerator wraps int64 once a single bigram exceeds
+    // ~9e9 occurrences — at that corpus scale drop the scale to 1e6
+    // (or lift the product to DECIMAL), same plan. ----
+    QueryDef("q_text_lm_bigram_score", Some(
+      s"""WITH bg AS (
+         |  SELECT doc_id, g.g AS g
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g(g)),
+         |c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),
+         |c1 AS (
+         |  SELECT split_part(g, ' ', 1) AS prev, count(*) AS n1
+         |  FROM bg GROUP BY split_part(g, ' ', 1)),
+         |model AS (
+         |  SELECT c2.g, (1000000000 * c2.n2) // c1.n1 AS p_scaled
+         |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.prev)
+         |SELECT bg.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(model.p_scaled) AS BIGINT) AS sum_p_scaled,
+         |  CAST(sum(model.p_scaled) AS DOUBLE) / count(*) / 1000000000.0
+         |    AS avg_prob
+         |FROM bg JOIN model ON bg.g = model.g
+         |GROUP BY bg.doc_id""".stripMargin))(
+      (s, d) => {
+        val bigramsOf = when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))
+        val bg = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"), explode(bigramsOf).as("g"))
+          .persist() // training counts + scoring join
+        val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("n2"))
+        val c1 = bg.groupBy(substring_index(col("g"), " ", 1).as("prev"))
+          .agg(count(lit(1)).as("n1"))
+        val model = c2
+          .join(c1, substring_index(col("g"), " ", 1) === col("prev"))
+          .select(col("g"),
+            expr("(1000000000 * n2) DIV n1").as("p_scaled"))
+        bg.join(broadcast(model), "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("p_scaled")).as("sum_p_scaled"))
+          .select(col("doc_id"), col("n_bigrams"), col("sum_p_scaled"),
+            (col("sum_p_scaled").cast("double") / col("n_bigrams")
+              / lit(1000000000.0)).as("avg_prob"))
       })
   )
 }

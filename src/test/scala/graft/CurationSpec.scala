@@ -174,6 +174,28 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.exists(r => math.abs(r.getDouble(2)) > 1e-6))
   }
 
+  test("ab test: group sizes reconcile and the statistic is finite") {
+    val events = Tables(spark, sfDir, "events")
+    val r = Catalog.byName("q_events_ab_test").fn(spark, sfDir).head()
+    assert(r.getLong(0) == events.where(col("event_type") === "click").count())
+    assert(r.getLong(1) == events.where(col("event_type") === "view").count())
+    assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    assert(r.getBoolean(5) == (math.abs(r.getDouble(4)) > 1.96))
+  }
+
+  test("lm bigram score: probabilities in (0,1], every multi-token doc scored") {
+    val nDocs = Catalog.byName("q_text_vocab_oov").fn(spark, sfDir)
+      .where(col("n_tokens") >= 2).count()
+    val rows = Catalog.byName("q_text_lm_bigram_score").fn(spark, sfDir).collect()
+    assert(rows.length == nDocs, s"expected $nDocs scored docs, got ${rows.length}")
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p > 0 && p <= 1.0, s"doc ${r.getLong(0)}: avg_prob out of range $p")
+    }
+    // an MLE-trained model must find SOME doc likelier than another
+    assert(rows.map(_.getDouble(3)).distinct.length > 1)
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
