@@ -495,6 +495,50 @@ object AggregateQueries {
             (col("sum_cents") / 100.0).as("sum_raw"),
             (col("sum_win_cents") / 100.0).as("sum_winsorized"),
             col("n_capped"))
+      }),
+
+    // ---- equi-depth DECILE boundaries per group — the statistics-
+    // collection primitive behind optimizer histograms and drift
+    // monitoring. Boundary k is the smallest value with
+    // #(rows ≤ v) ≥ k/10 of the group: same histogram-rank arithmetic
+    // as q_agg_winsorize (10·cum ≥ k·n, pure integers) with the nine
+    // k's exploded AGAINST THE HISTOGRAM (distinct values × 9, never
+    // rows × 9), then a min per (group, k). One full-data shuffle
+    // total (the histogram groupBy); everything after runs on the
+    // distinct-value frame. ----
+    QueryDef("q_agg_decile_bounds", Some(
+      """WITH c AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |h AS (SELECT rf, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |r AS (
+        |  SELECT rf, cents,
+        |    sum(cnt) OVER (PARTITION BY rf ORDER BY cents) AS cum,
+        |    sum(cnt) OVER (PARTITION BY rf) AS n
+        |  FROM h),
+        |x AS (
+        |  SELECT r.rf, r.cents, r.cum, r.n, k.k
+        |  FROM r, unnest(range(1, 10)) AS k(k)
+        |  WHERE 10 * r.cum >= k.k * r.n)
+        |SELECT rf, CAST(k AS INT) AS decile,
+        |  min(cents) / 100.0 AS boundary
+        |FROM x GROUP BY rf, k""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"))
+        val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rf")).orderBy(col("cents"))
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("rf"))
+        h.withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select(col("rf"), col("cents"), col("cum"), col("n"),
+            explode(sequence(lit(1L), lit(9L))).as("k"))
+          .where(lit(10) * col("cum") >= col("k") * col("n"))
+          .groupBy(col("rf"), col("k").cast("int").as("decile"))
+          .agg((min(col("cents")) / 100.0).as("boundary"))
       })
   )
 }

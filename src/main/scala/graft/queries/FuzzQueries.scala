@@ -260,7 +260,46 @@ object FuzzQueries {
       (s, d) => { Tables.registerAll(s, d); s.sql(sql) })
   }
 
+  // ---- set-op family: two filtered projections of lineitem combined
+  // by UNION / UNION ALL / INTERSECT / EXCEPT, then aggregated — the
+  // fuzz grammar's fifth tier. Spark renders the DataFrame form
+  // (union/distinct/intersect/except — bag vs set semantics chosen to
+  // match the ANSI operator exactly), DuckDB the generated text. ----
+
+  private def genSet(i: Int): QueryDef = {
+    val rnd = new Random(seed * 32452843L + i)
+    val predA = predicate(rnd)
+    val predB = predicate(rnd)
+    val c1 = pick(rnd, longCols)
+    val c2 = pick(rnd, Vector("l_linenumber", "l_returnflag", "l_linestatus"))
+    val op = i % 4
+    val opSql = Vector("UNION", "UNION ALL", "INTERSECT", "EXCEPT")(op)
+    val sql =
+      s"""WITH u AS (
+         |  (SELECT $c1, $c2 FROM lineitem WHERE $predA)
+         |  $opSql
+         |  (SELECT $c1, $c2 FROM lineitem WHERE $predB))
+         |SELECT count(1) AS n, min($c1) AS mn, max($c1) AS mx,
+         |  count(DISTINCT $c2) AS nd
+         |FROM u""".stripMargin
+    QueryDef(f"q_fuzzu_$i%02d", Some(sql))(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val a = li.where(predA).select(col(c1), col(c2))
+        val b = li.where(predB).select(col(c1), col(c2))
+        val u = op match {
+          case 0 => a.union(b).distinct()
+          case 1 => a.union(b)
+          case 2 => a.intersect(b)
+          case _ => a.except(b)
+        }
+        u.agg(count(lit(1)).as("n"), min(col(c1)).as("mn"),
+          max(col(c1)).as("mx"), countDistinct(col(c2)).as("nd"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
-      (0 until 6).map(genWindow) ++ (0 until 8).map(genSub)
+      (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
+      (0 until 4).map(genSet)
 }

@@ -196,6 +196,22 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.map(_.getDouble(3)).distinct.length > 1)
   }
 
+  test("decile bounds: nine monotone boundaries per group, p90 below the max") {
+    val rows = Catalog.byName("q_agg_decile_bounds").fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    val groups = rows.groupBy(_._1)
+    assert(groups.nonEmpty)
+    groups.foreach { case (rf, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 9), s"$rf: missing deciles")
+      val bounds = g.sortBy(_._2).map(_._3)
+      assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b },
+        s"$rf: boundaries not monotone: ${bounds.mkString(",")}")
+    }
+    val mx = Tables(spark, sfDir, "lineitem")
+      .agg(max(col("l_extendedprice"))).head().getDouble(0)
+    assert(rows.filter(_._2 == 9).forall(_._3 <= mx))
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
