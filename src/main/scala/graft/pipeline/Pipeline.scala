@@ -273,4 +273,34 @@ final class Pipeline(
       binfo(f"[${t.targetTable}] progress $processed/$total rows ($pct%.1f%%)")
     }
   }
+
+  /** Workspace GC: drop a completed table's staging + checkpoint
+    * residue, keeping the loaded target. SAFE only when the load is
+    * fully committed, so it refuses unless (a) the target dataset
+    * exists and (b) EVERY transformed file has its checkpoint marker —
+    * the same completion predicate a resume would use to skip the
+    * table. Removing staging for an incomplete table would strand the
+    * resume path (the driver re-reads transformed files to finish the
+    * load), hence the hard precondition rather than a best-effort
+    * sweep. Returns true when the table was vacuumed. At 100 TB the
+    * staging residue is the same order as the corpus — leaving it
+    * doubles storage forever; this is the lifecycle step every
+    * production run schedules after commit. */
+  def vacuum(targetTable: String): Boolean = {
+    val transformedDir = spec.transformedDir(targetTable)
+    val checkpointDir = spec.checkpointDir(targetTable)
+    if (!storage.datasetExists(spec.targetDir(targetTable))) return false
+    val files = storage.listParquet(transformedDir)
+    val committed = files.nonEmpty && files.forall { f =>
+      storage.checkpointExists(checkpointDir,
+        f.substring(f.lastIndexOf('/') + 1))
+    }
+    if (!committed) return false
+    val raws = spec.tables.filter(_.targetTable == targetTable)
+      .flatMap(_.sources.map(_.name)).distinct
+    raws.foreach(n => storage.delete(spec.rawDir(n)))
+    storage.delete(transformedDir)
+    storage.delete(checkpointDir)
+    true
+  }
 }

@@ -55,6 +55,33 @@ class PipelineSpec extends SparkSpecBase {
       "order_id", "price", "priority", "qty", "segment"))
   }
 
+  test("vacuum: staging residue removed only once fully committed; target intact") {
+    val ws = freshWorkspace()
+    val sp = PipelineQueries.spec(ws)
+    val p = new Pipeline(spark, sp,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1)
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    // nothing loaded yet → refuses
+    assert(!p.vacuum("enriched_lineitem"))
+    p.runAll()
+    // knock out one checkpoint marker → "incomplete load" → refuses
+    val files = storage.listParquet(sp.transformedDir("enriched_lineitem"))
+    val name0 = files.head.substring(files.head.lastIndexOf('/') + 1)
+    storage.delete(storage.checkpointMarker(
+      sp.checkpointDir("enriched_lineitem"), name0).toString)
+    assert(!p.vacuum("enriched_lineitem"),
+      "must refuse while a transformed file is unconfirmed")
+    storage.createCheckpoint(sp.checkpointDir("enriched_lineitem"), name0)
+    // fully committed → vacuums staging + checkpoints, keeps the target
+    assert(p.vacuum("enriched_lineitem"))
+    assert(!storage.datasetExists(sp.transformedDir("enriched_lineitem")))
+    assert(!storage.datasetExists(sp.rawDir("lineitem")))
+    assert(!new java.io.File(sp.checkpointDir("enriched_lineitem")).exists())
+    assert(spark.read.parquet(sp.targetDir("enriched_lineitem")).count()
+      === expectedRows)
+  }
+
   test("observed stage counts: extract/transform rows recorded by the write job itself") {
     val ws = freshWorkspace()
     val sp = PipelineQueries.spec(ws)
