@@ -169,14 +169,14 @@ object GraftFunctions {
   /** Bounded-state top-k of (score, id) pairs, best-first by
     * (score DESC, id ASC) — the shuffle-light replacement for a
     * rank-window top-k (see [[TopKPairsAgg]]). Registered variants:
-    * k ∈ [[TopKKs]]. */
+    * k ∈ [[TopKKs]] (1 = argmax, the hard-negative miner). */
   def topKPairs(score: Column, id: Column, k: Int): Column = {
     require(TopKKs.contains(k), s"topKPairs supports k in $TopKKs, got $k")
     register(SparkSession.active)
     call_function(s"graft_topk_$k", score, id)
   }
 
-  private[functions] val TopKKs = Set(5, 10, 100)
+  private[functions] val TopKKs = Set(1, 5, 10, 100)
 
   private val dotInfo = new ExpressionInfo(
     classOf[DotProductD].getName, null, "graft_dot",

@@ -876,6 +876,86 @@ object SimilarityQueries {
             count(lit(1)).as("n"))
           .select(col("j").as("dim"), col("n").as("n_rows"),
             (col("comp").cast("double") / lit(1e12)).as("component"))
+      }),
+
+    // ---- HARD-NEGATIVE mining for contrastive training: for each
+    // query vector, the single most-similar candidate with a
+    // DIFFERENT label — the canonical "close but wrong" pair every
+    // embedding-training recipe mines. Same broadcast-query ×
+    // partitioned-candidate shape as brute top-k, with the label
+    // inequality pushed into the join condition and the per-query
+    // top-1 kept by the bounded-state TopKPairsAgg (1 entry per
+    // partition per query through the shuffle). ----
+    QueryDef("q_ann_hard_negatives", Some(
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, q.label AS query_label,
+         |    c.vec_id AS negative_id, c.label AS negative_label,
+         |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+         |  FROM (SELECT * FROM n WHERE $querySetPred) q
+         |  JOIN n c ON c.label <> q.label)
+         |SELECT query_id, query_label, negative_id, negative_label, cos_sim
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cos_sim DESC, negative_id) AS rn FROM scored)
+         |WHERE rn = 1""".stripMargin))(
+      (s, d) => {
+        val n = vecs(s, d)
+        val q = n.select(col("vec_id").as("query_id"),
+          col("label").as("query_label"), col("v").as("qv"), col("nrm").as("qn"))
+          .where(expr("query_id % 100 = 0"))
+        val c = n.select(col("vec_id").as("negative_id"),
+          col("label").as("negative_label"), col("v").as("cv"), col("nrm").as("cn"))
+        broadcast(q).join(c, col("negative_label") =!= col("query_label"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .groupBy(col("query_id"), col("query_label"))
+          .agg(GraftFunctions.topKPairs(col("cos_sim"), col("negative_id"), 1).as("tk"))
+          .select(col("query_id"), col("query_label"),
+            explode(col("tk")).as("e"))
+          .select(col("query_id"), col("query_label"),
+            col("e.id").as("negative_id"), col("e.score").as("cos_sim"))
+          .join(broadcast(c.select(col("negative_id"), col("negative_label"))),
+            "negative_id")
+          .select(col("query_id"), col("query_label"), col("negative_id"),
+            col("negative_label"), col("cos_sim"))
+      }),
+
+    // ---- DIVERSITY selection: per cell, the 3 vectors FARTHEST from
+    // their own centroid — the spread-maximizing picks a curation
+    // recipe adds so a cell is not represented only by its mode.
+    // Centroids are the constant-state integer-scaled means; the
+    // distance is the same |v|² − 2v·c + |c|² op sequence the k-means
+    // step uses (bit-reproducible); ranking is one window per cell
+    // over candidates already joined to their OWN centroid (k-row
+    // broadcast, no cross-cell work). ----
+    QueryDef("q_sample_diverse", Some(
+      s"""WITH $centCtesSql,
+         |dist AS (
+         |  SELECT n.vec_id, n.label,
+         |    ${dotDSql("n.v", "n.v")} - 2.0 * ${dotDSql("n.v", "cent.centroid")}
+         |      + ${dotDSql("cent.centroid", "cent.centroid")} AS d2
+         |  FROM n JOIN cent ON cent.code = n.label)
+         |SELECT vec_id, label, d2, CAST(rn AS INT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |  ORDER BY d2 DESC, vec_id) AS rn FROM dist)
+         |WHERE rn <= 3""".stripMargin))(
+      (s, d) => {
+        val n = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val cent = centroidsOf(n, "label")
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("d2").desc, col("vec_id").asc)
+        n.join(broadcast(cent), col("label") === col("code"))
+          .withColumn("d2",
+            GraftFunctions.dot(col("v"), col("v"))
+              - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+              + GraftFunctions.dot(col("centroid"), col("centroid")))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("vec_id"), col("label"), col("d2"),
+            col("rn").cast("int").as("rnk"))
       })
   )
 }

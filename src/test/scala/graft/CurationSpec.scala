@@ -212,6 +212,40 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.filter(_._2 == 9).forall(_._3 <= mx))
   }
 
+  test("hard negatives: cross-label only, one per query, really the max") {
+    val rows = Catalog.byName("q_ann_hard_negatives").fn(spark, sfDir).collect()
+    val nQueries = Tables(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 100 === 0).count()
+    assert(rows.length == nQueries, "exactly one hard negative per query")
+    rows.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), "negative must carry a different label")
+      assert(r.getLong(0) != r.getLong(2))
+    }
+    // cross-check one query against the windowed formulation
+    val q0 = rows.minBy(_.getLong(0))
+    val best = Catalog.byName("q_ann_range_search").fn(spark, sfDir)
+      .where(col("query_id") === q0.getLong(0)).collect()
+    // if any range hit shares the query's best-negative id, scores agree
+    best.find(_.getLong(1) == q0.getLong(2)).foreach { m =>
+      assert(m.getDouble(2) == q0.getDouble(4))
+    }
+  }
+
+  test("diversity selection: three per cell, distances non-increasing by rank") {
+    val rows = Catalog.byName("q_sample_diverse").fn(spark, sfDir).collect()
+      .map(r => (r.getInt(1), r.getInt(3), r.getDouble(2)))
+    val cells = rows.groupBy(_._1)
+    val nCells = Tables(spark, sfDir, "embeddings")
+      .select(col("label")).distinct().count()
+    assert(cells.size == nCells)
+    cells.foreach { case (cell, g) =>
+      assert(g.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"cell $cell ranks")
+      val d = g.sortBy(_._2).map(_._3)
+      assert(d.zip(d.tail).forall { case (a, b) => a >= b },
+        s"cell $cell: farthest-first order violated")
+    }
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
