@@ -878,6 +878,63 @@ object SimilarityQueries {
             (col("comp").cast("double") / lit(1e12)).as("component"))
       }),
 
+    // ---- SECOND power-iteration step with integer renormalization:
+    // v₂ ∝ Xᵀ(X·v₁ₙ) where v₁ₙ is the first step's direction rescaled
+    // to fixed-point ±1e3 by ITS OWN max component — an exact integer
+    // division both engines reproduce, so the chained iteration stays
+    // bit-oracled end-to-end (the rescale is what a float pipeline
+    // does with a norm, done wrap-proof). Magnitude budget, proven in
+    // line: |s₂| ≤ d·qmax·1e3 ≈ 2e10, per-term |q·s₂| ≤ 7e15 — int64
+    // holds through every product, DECIMAL(38,0) holds every sum.
+    // Scale shape identical to step 1 plus one 64-row broadcast. ----
+    QueryDef("q_vector_power_iteration2", Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |s1 AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY vec_id),
+        |p1 AS (
+        |  SELECT q.j, sum(q.qv * s1.sv) AS comp1
+        |  FROM q JOIN s1 ON q.vec_id = s1.vec_id GROUP BY q.j),
+        |m AS (SELECT max(abs(comp1)) AS mx FROM p1),
+        |v1 AS (SELECT j, CAST((comp1 * 1000) // m.mx AS BIGINT) AS vj
+        |       FROM p1, m),
+        |s2 AS (
+        |  SELECT q.vec_id, CAST(sum(q.qv * v1.vj) AS BIGINT) AS sv2
+        |  FROM q JOIN v1 ON q.j = v1.j GROUP BY q.vec_id),
+        |p2 AS (
+        |  SELECT q.j, sum(q.qv * s2.sv2) AS comp2
+        |  FROM q JOIN s2 ON q.vec_id = s2.vec_id GROUP BY q.j)
+        |SELECT CAST(p2.j AS INT) AS dim, v1.vj AS v1_scaled,
+        |  CAST(p2.comp2 AS DOUBLE) / 1e12 AS component2
+        |FROM p2 JOIN v1 ON v1.j = p2.j""".stripMargin))(
+      (s, d) => {
+        val q = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"),
+            floor(col("x") * 1000000.0 + 0.5).cast("bigint").as("qv"))
+          .persist() // three passes: s1, s2, both back-projections
+        val s1 = q.groupBy(col("vec_id")).agg(sum(col("qv")).as("sv"))
+        val p1 = q.join(s1, "vec_id")
+          .groupBy(col("j"))
+          .agg(sum((col("qv") * col("sv")).cast("decimal(28,0)")).as("comp1"))
+        val m = p1.agg(max(abs(col("comp1"))).as("mx"))
+        val v1 = p1.crossJoin(broadcast(m))
+          .select(col("j"),
+            expr("CAST((comp1 * 1000) DIV mx AS BIGINT)").as("vj"))
+        val s2 = q.join(broadcast(v1), "j")
+          .groupBy(col("vec_id")).agg(sum(col("qv") * col("vj")).as("sv2"))
+        q.join(s2, "vec_id")
+          .groupBy(col("j"))
+          .agg(sum((col("qv") * col("sv2")).cast("decimal(28,0)")).as("comp2"))
+          .join(broadcast(v1), "j")
+          .select(col("j").cast("int").as("dim"), col("vj").as("v1_scaled"),
+            (col("comp2").cast("double") / lit(1e12)).as("component2"))
+      }),
+
     // ---- HARD-NEGATIVE mining for contrastive training: for each
     // query vector, the single most-similar candidate with a
     // DIFFERENT label — the canonical "close but wrong" pair every

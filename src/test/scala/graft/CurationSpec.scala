@@ -246,6 +246,17 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("power iteration step 2: PSD operator keeps the direction aligned") {
+    val rows = Catalog.byName("q_vector_power_iteration2").fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 64)
+    // v1 was rescaled by its own max — some component must sit at ±1000
+    assert(rows.map(r => math.abs(r._2)).max == 1000L)
+    // XᵀX is PSD: applying it again cannot flip the dominant direction
+    val dot = rows.map(r => r._2.toDouble * r._3).sum
+    assert(dot > 0, s"v2 should align with v1, got <v1,v2> = $dot")
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
