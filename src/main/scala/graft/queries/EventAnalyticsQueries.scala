@@ -391,6 +391,111 @@ object EventAnalyticsQueries {
         m.select(col("na"), col("nb"),
           (meanA / 100.0).as("mean_a"), (meanB / 100.0).as("mean_b"),
           t.as("t_stat"), (abs(t) > 1.96).as("significant"))
+      }),
+
+    // ---- lag-k autocorrelation of the daily series (k = 1 and 7):
+    // the seasonality detector a monitoring pipeline runs on every
+    // metric — weekly periodicity shows up as high lag-7 ACF. The
+    // series is the daily cents total per event type (integers); each
+    // lag pairs the series with itself via ONE lag() window over the
+    // DAILY AGGREGATE (days×types rows, never raw events), and the
+    // correlation comes from exact integer moments — the same
+    // wrap-proof covar/corr arithmetic as q_agg_covar_exact. ----
+    QueryDef("q_events_autocorr", Some {
+      def branch(k: Int) =
+        s"""SELECT event_type, $k AS lag_k, c AS x,
+           |  lag(c, $k) OVER (PARTITION BY event_type ORDER BY day) AS y
+           |FROM b""".stripMargin
+      s"""WITH b AS (
+         |  SELECT event_type, epoch_us(ts) // $usPerDay AS day,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |l AS (${branch(1)}
+         |UNION ALL
+         |${branch(7)}),
+         |m AS (
+         |  SELECT event_type, lag_k, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM l WHERE y IS NOT NULL GROUP BY event_type, lag_k)
+         |SELECT event_type, CAST(lag_k AS INT) AS lag_k, n,
+         |  CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+         |FROM m""".stripMargin
+    })(
+      (s, d) => {
+        val b = Tables(s, d, "events")
+          .select(col("event_type"),
+            expr(s"unix_micros(ts) DIV $usPerDay").as("day"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cv"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("cv")).as("c"))
+          .persist() // one pass per lag branch
+        val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        def branch(k: Int) = b.select(col("event_type"),
+          lit(k).as("lag_k"), col("c").as("x"),
+          lag(col("c"), k).over(wLag).as("y"))
+        def dec(c: Column) = c.cast("decimal(28,0)")
+        branch(1).unionAll(branch(7))
+          .where(col("y").isNotNull)
+          .groupBy(col("event_type"), col("lag_k"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+            sum(dec(col("x") * col("y"))).as("sxy"),
+            sum(dec(col("x") * col("x"))).as("sxx"),
+            sum(dec(col("y") * col("y"))).as("syy"))
+          .select(col("event_type"), col("lag_k").cast("int").as("lag_k"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("acf"))
+      }),
+
+    // ---- RFM segmentation: per-user Recency (days since last
+    // event), Frequency (event count), Monetary (total cents), each
+    // cut into quintiles — the classic lifecycle-marketing scoring,
+    // all integers until the final segment label. ntile() assigns
+    // identically in both engines given a total order, so every
+    // ORDER BY carries the user_id tiebreak. One user_id shuffle for
+    // the profile, three ntile windows over the |users| frame — the
+    // profile is 1 row per user, so this sorts users, not events;
+    // at a |users| that no longer sorts comfortably, cut quintiles
+    // with the q_agg_decile_bounds histogram-rank arithmetic instead
+    // (same boundaries, no global sort). ----
+    QueryDef("q_events_rfm", Some(
+      s"""WITH mx AS (SELECT max(epoch_us(ts)) // $usPerDay AS today FROM events),
+         |prof AS (
+         |  SELECT user_id,
+         |    mx.today - max(epoch_us(ts)) // $usPerDay AS recency_days,
+         |    count(*) AS frequency,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS monetary_cents
+         |  FROM events, mx GROUP BY user_id, mx.today)
+         |SELECT user_id, recency_days, frequency, monetary_cents,
+         |  ntile(5) OVER (ORDER BY recency_days, user_id) AS r_quintile,
+         |  ntile(5) OVER (ORDER BY frequency DESC, user_id) AS f_quintile,
+         |  ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_quintile
+         |FROM prof""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"),
+            expr(s"unix_micros(ts) DIV $usPerDay").as("day"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cv"))
+        val prof = e
+          .crossJoin(broadcast(e.agg(max(col("day")).as("today"))))
+          .groupBy(col("user_id"), col("today"))
+          .agg((col("today") - max(col("day"))).as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(col("cv")).as("monetary_cents"))
+        prof.select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary_cents"),
+          ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+            .as("r_quintile"),
+          ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
+            .as("f_quintile"),
+          ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
+            .as("m_quintile"))
       })
   )
 }

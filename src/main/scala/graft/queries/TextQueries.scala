@@ -871,6 +871,70 @@ object TextQueries {
           .select(col("doc_id"), col("n_bigrams"), col("sum_p_scaled"),
             (col("sum_p_scaled").cast("double") / col("n_bigrams")
               / lit(1000000000.0)).as("avg_prob"))
+      }),
+
+    // ---- distribution DRIFT per source: exact total-variation
+    // distance between each source's doc-length histogram and the
+    // corpus-wide one — the release gate that catches a crawler
+    // change or a broken source before it contaminates a mix.
+    // TV = ½·Σ|aᵢ/b − cᵢ/d| is summed as EXACT integers via the
+    // common denominator: Σ|aᵢ·d − cᵢ·b| accumulated in
+    // DECIMAL(38,0)/HUGEINT (aᵢ·d wraps int64 only past ~1e18 rows²),
+    // ONE division at the end — no order-dependent float sum ever
+    // exists. Shape: one histogram aggregate, the |buckets×sources|
+    // frame joins the broadcast corpus histogram, then a per-source
+    // reduce. ----
+    QueryDef("q_text_drift_tv", Some(
+      """WITH h AS (
+        |  SELECT source, n_chars // 50 AS bucket, count(*) AS a
+        |  FROM documents GROUP BY source, n_chars // 50),
+        |tot AS (SELECT source, CAST(sum(a) AS BIGINT) AS b FROM h GROUP BY source),
+        |corp AS (
+        |  SELECT bucket, CAST(sum(a) AS BIGINT) AS c FROM h GROUP BY bucket),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS d FROM h),
+        |terms AS (
+        |  SELECT h.source, abs(h.a * n.d - corp.c * tot.b) AS num, tot.b, n.d
+        |  FROM h JOIN corp ON corp.bucket = h.bucket
+        |    JOIN tot ON tot.source = h.source CROSS JOIN n
+        |  UNION ALL
+        |  -- buckets the source is MISSING still contribute |0 - c_i/d|
+        |  SELECT tot.source, corp.c * tot.b AS num, tot.b, n.d
+        |  FROM corp CROSS JOIN n CROSS JOIN tot
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM h WHERE h.source = tot.source AND h.bucket = corp.bucket))
+        |SELECT source,
+        |  CAST(sum(num) AS DOUBLE) / (2.0 * CAST(min(b) AS DOUBLE)
+        |    * CAST(min(d) AS DOUBLE)) AS tv_distance
+        |FROM terms GROUP BY source""".stripMargin))(
+      (s, d) => {
+        val h = Tables(s, d, "documents")
+          .groupBy(col("source"), expr("n_chars div 50").as("bucket"))
+          .agg(count(lit(1)).as("a"))
+          .persist() // histogram feeds totals, corpus marginal, terms
+        val tot = h.groupBy(col("source")).agg(sum(col("a")).as("b"))
+        val corp = h.groupBy(col("bucket")).agg(sum(col("a")).as("c"))
+        val n = h.agg(sum(col("a")).as("d"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,0)")
+        val present = h
+          .join(broadcast(corp), "bucket")
+          .join(broadcast(tot), "source")
+          .crossJoin(broadcast(n))
+          .select(col("source"),
+            abs(dec(col("a") * col("d")) - dec(col("c") * col("b")))
+              .cast("decimal(38,0)").as("num"),
+            col("b"), col("d"))
+        val missing = corp.crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+          .join(h.select(col("source"), col("bucket"), lit(true).as("has")),
+            Seq("source", "bucket"), "left")
+          .where(col("has").isNull)
+          .select(col("source"),
+            dec(col("c") * col("b")).cast("decimal(38,0)").as("num"),
+            col("b"), col("d"))
+        present.unionAll(missing)
+          .groupBy(col("source"))
+          .agg((sum(col("num")).cast("double")
+            / (lit(2.0) * min(col("b")).cast("double")
+              * min(col("d")).cast("double"))).as("tv_distance"))
       })
   )
 }

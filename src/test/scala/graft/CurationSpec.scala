@@ -257,6 +257,44 @@ class CurationSpec extends SparkSpecBase {
     assert(dot > 0, s"v2 should align with v1, got <v1,v2> = $dot")
   }
 
+  test("autocorr: both lags per type, coefficients within [-1, 1]") {
+    val nTypes = Tables(spark, sfDir, "events")
+      .select(col("event_type")).distinct().count()
+    val rows = Catalog.byName("q_events_autocorr").fn(spark, sfDir).collect()
+    assert(rows.length == 2 * nTypes, s"expected 2 lags x $nTypes types")
+    rows.foreach { r =>
+      assert(Set(1, 7).contains(r.getInt(1)))
+      val acf = r.getDouble(3)
+      assert(acf >= -1.0 - 1e-9 && acf <= 1.0 + 1e-9, s"acf out of range: $acf")
+    }
+  }
+
+  test("rfm: one row per user, quintiles 1..5 and balanced within one") {
+    val nUsers = Tables(spark, sfDir, "events")
+      .select(col("user_id")).distinct().count()
+    val rows = Catalog.byName("q_events_rfm").fn(spark, sfDir).collect()
+    assert(rows.length == nUsers)
+    Seq(4, 5, 6).foreach { i =>
+      val qs = rows.map(_.getInt(i))
+      assert(qs.forall(q => q >= 1 && q <= 5))
+      val sizes = qs.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"col $i quintiles unbalanced: $sizes")
+    }
+  }
+
+  test("drift: one TV distance per source, all within [0, 1]") {
+    val nSources = Tables(spark, sfDir, "documents")
+      .select(col("source")).distinct().count()
+    val rows = Catalog.byName("q_text_drift_tv").fn(spark, sfDir).collect()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      val tv = r.getDouble(1)
+      assert(tv >= 0.0 && tv <= 1.0, s"${r.getString(0)}: tv out of range $tv")
+    }
+    // sources differ from the corpus marginal somewhere
+    assert(rows.exists(_.getDouble(1) > 0))
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
