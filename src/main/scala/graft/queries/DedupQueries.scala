@@ -658,6 +658,57 @@ object DedupQueries {
             col("dup_id").isNull.as("is_keeper"))
       }),
 
+    // ---- CONTAINMENT dedup (asymmetric Jaccard): flags doc A whose
+    // shingle set is ≥90% inside doc B — quote-wrappers, boilerplate-
+    // padded mirrors, and excerpt pages that symmetric Jaccard misses
+    // (a small doc inside a big one has LOW Jaccard but TOTAL
+    // containment). Threshold compare is exact integers
+    // (10·inter ≥ 9·|A|). Candidates come from the inverted index
+    // with the containment prefix rule: a qualifying A must share one
+    // of its |A| − ceil(0.9|A|) + 1 RAREST shingles (rarity ranking
+    // keeps the joined postings short); only the contained side is
+    // prefix-limited — the container side joins its full postings,
+    // which is what makes the asymmetric bound correct. Verification
+    // is the codegen'd two-pointer intersection over the full sorted
+    // sets, candidates only. ----
+    QueryDef("q_dedup_containment", Some(
+      s"""$shinglesCte
+         |SELECT a.doc_id AS doc_small, b.doc_id AS doc_big,
+         |  len(list_intersect(a.sh, b.sh)) AS n_shared,
+         |  len(a.sh) AS n_small, len(b.sh) AS n_big
+         |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+         |WHERE len(a.sh) > 0
+         |  AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)""".stripMargin))(
+      (s, d) => {
+        val sh = docShingles(s, d).where(size(col("sh")) > 0).persist()
+        val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("shingle"))
+        val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy(col("doc_id"))
+        val ranked = ex.join(dfreq, "shingle")
+          .select(col("doc_id"), col("shingle"), col("sz"),
+            (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
+              .as("pos"))
+        // prefix bound for containment at t = 9/10: ceil(9·sz/10) via
+        // (9·sz+9) div 10 — exact integer arithmetic
+        val prefixA = ranked
+          .where(col("pos") < expr("CAST(sz - ((sz*9+9) div 10) + 1 AS INT)"))
+          .select(col("doc_id").as("da"), col("shingle"))
+        val postings = ranked.select(col("doc_id").as("db"), col("shingle"))
+        val cand = prefixA.join(postings, "shingle")
+          .where(col("da") =!= col("db"))
+          .select(col("da"), col("db")).distinct()
+        cand
+          .join(sh.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+          .join(sh.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+          .select(col("da").as("doc_small"), col("db").as("doc_big"),
+            GraftFunctions.intersectCountSorted(col("sha"), col("shb"))
+              .as("n_shared"),
+            size(col("sha")).cast("bigint").as("n_small"),
+            size(col("shb")).cast("bigint").as("n_big"))
+          .where(lit(10) * col("n_shared") >= lit(9) * col("n_small"))
+      }),
+
     // ---- pairwise SOURCE overlap matrix: distinct 5-gram shingles
     // per source, then |A∩B| and Jaccard for every source pair — the
     // corpus diagnostic that finds mirror sites / re-crawls BEFORE

@@ -295,6 +295,25 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.exists(_.getDouble(1) > 0))
   }
 
+  test("containment: threshold honored and asymmetric pairs beyond Jaccard exist") {
+    val rows = Catalog.byName("q_dedup_containment").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb) =>
+      assert(a != b)
+      assert(shared <= math.min(na, nb))
+      assert(10 * shared >= 9 * na, s"pair ($a,$b) below containment threshold")
+    }
+    // both directions of a mutual near-dup must appear (containment at
+    // 0.9 is asymmetric; the fixture's planted dups are size-symmetric,
+    // so each qualifying pair qualifies both ways — a small-doc-inside-
+    // big-doc corpus would break the symmetry, not the operator)
+    val asSet = rows.map(r => (r._1, r._2)).toSet
+    assert(rows.forall { case (a, b, shared, _, nb) =>
+      !(10 * shared >= 9 * nb) || asSet.contains((b, a))
+    }, "a pair contained in BOTH directions must be reported twice")
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
