@@ -148,6 +148,80 @@ object MigrationQueries {
             col("v.valid_to_us").as("valid_to_us"))
       }),
 
+    // ---- POINT-IN-TIME join against the SCD2 dimension: each
+    // lineitem is enriched with the order VERSION valid at its ship
+    // time — the temporal-correctness query every versioned warehouse
+    // must answer ("what did the dimension say WHEN this happened"),
+    // and the reason SCD2 intervals exist at all. Plan: an equi-join
+    // on the order key carries the interval predicate as a residual
+    // (versions per key are 1-2, so the residual filters a constant
+    // fanout — no band join needed when the version count is
+    // bounded); facts that predate every version survive via the
+    // left join's '<none>' row. Money sums in DECIMAL as usual. ----
+    QueryDef("q_scd2_pit", Some(
+      s"""WITH delta AS (
+         |  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 = 0),
+         |scd AS (
+         |  SELECT o_orderkey, o_orderstatus AS status,
+         |    epoch_us(o_orderdate) AS valid_from_us,
+         |    CAST($scd2Tus AS BIGINT) AS valid_to_us
+         |  FROM orders JOIN delta ON o_orderkey = k
+         |  UNION ALL
+         |  SELECT o_orderkey, 'X', CAST($scd2Tus AS BIGINT), CAST(NULL AS BIGINT)
+         |  FROM orders JOIN delta ON o_orderkey = k
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, epoch_us(o_orderdate),
+         |    CAST(NULL AS BIGINT)
+         |  FROM orders LEFT JOIN delta ON o_orderkey = k
+         |  WHERE k IS NULL),
+         |li AS (
+         |  SELECT l_orderkey, epoch_us(l_shipdate) AS ship_us,
+         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents
+         |  FROM lineitem)
+         |SELECT coalesce(scd.status, '<none>') AS status,
+         |  count(*) AS n_lines,
+         |  CAST(sum(li.cents) AS DOUBLE) / 100.0 AS total_value
+         |FROM li LEFT JOIN scd ON scd.o_orderkey = li.l_orderkey
+         |  AND scd.valid_from_us <= li.ship_us
+         |  AND (scd.valid_to_us IS NULL OR li.ship_us < scd.valid_to_us)
+         |GROUP BY coalesce(scd.status, '<none>')""".stripMargin))(
+      (s, d) => {
+        val base = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        val delta = base.where(pmod(col("o_orderkey"), lit(7L)) === 0)
+          .select(col("o_orderkey").as("k"))
+        val nullUs = lit(null).cast("bigint")
+        val scd = base.join(delta, col("o_orderkey") === col("k"), "left")
+          .select(col("o_orderkey"), explode(when(col("k").isNotNull,
+            array(
+              struct(col("o_orderstatus").as("status"),
+                col("od_us").as("valid_from_us"),
+                lit(scd2Tus).as("valid_to_us")),
+              struct(lit("X").as("status"),
+                lit(scd2Tus).as("valid_from_us"),
+                nullUs.as("valid_to_us"))))
+            .otherwise(array(
+              struct(col("o_orderstatus").as("status"),
+                col("od_us").as("valid_from_us"),
+                nullUs.as("valid_to_us"))))).as("v"))
+          .select(col("o_orderkey"), col("v.status").as("status"),
+            col("v.valid_from_us").as("vf"), col("v.valid_to_us").as("vt"))
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"))
+        li.join(scd,
+            col("o_orderkey") === col("l_orderkey")
+              && col("vf") <= col("ship_us")
+              && (col("vt").isNull || col("ship_us") < col("vt")),
+            "left")
+          .groupBy(coalesce(col("status"), lit("<none>")).as("status"))
+          .agg(count(lit(1)).as("n_lines"),
+            (sum(col("cents").cast("decimal(28,0)")).cast("double") / 100.0)
+              .as("total_value"))
+      }),
+
     // ---- snapshot diff: added / removed / changed / unchanged per
     // source between two corpus versions — the dataset-versioning
     // report every reproducible training pipeline publishes per

@@ -314,6 +314,16 @@ class CurationSpec extends SparkSpecBase {
     }, "a pair contained in BOTH directions must be reported twice")
   }
 
+  test("scd2 point-in-time: disjoint versions mean every fact lands exactly once") {
+    val total = Tables(spark, sfDir, "lineitem").count()
+    val rows = Catalog.byName("q_scd2_pit").fn(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "facts must partition across versions (intervals are disjoint)")
+    // the versioned-history mechanics actually engaged: some fact
+    // resolved to a CLOSED old version of an updated key
+    assert(rows.exists(r => r.getString(0) != "<none>"))
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
