@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.ops.TextOps.{h32, h32Sql}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -539,6 +540,88 @@ object AggregateQueries {
           .where(lit(10) * col("cum") >= col("k") * col("n"))
           .groupBy(col("rf"), col("k").cast("int").as("decile"))
           .agg((min(col("cents")) / 100.0).as("boundary"))
+      }),
+
+    // ---- POISSON bootstrap CI for the mean — THE distributed
+    // bootstrap (resampling-with-replacement needs global row
+    // indexing; Poisson weights need only the row itself): every
+    // (row, replica) draws a weight from Poisson(1) via hash-inverse-
+    // CDF against PRECOMPUTED integer thresholds, so the entire
+    // resample — and therefore the CI — is deterministic and
+    // bit-oracled. Replica means are one exact-integer division each;
+    // the across-replica moments fold the B=16 ordered means
+    // SEQUENTIALLY (sorted list + left fold in both engines), so even
+    // that float sum has a pinned order. Scale: the explode is a
+    // map-side 16× fanout into a partial+final aggregate with B
+    // groups — no shuffle grows with B×rows. ----
+    QueryDef("q_agg_bootstrap_ci", Some {
+      // cumulative Poisson(1) thresholds on the h32 range [0, 2^32):
+      // floor(2^32 * CDF(k)) for k = 0..3; weight 4 beyond (mass 4e-5)
+      val e = math.exp(1.0)
+      val cdf = Seq(1.0, 2.0, 2.5, 8.0 / 3.0).map(_ / e)
+      val ts = cdf.map(c => math.floor(c * 4294967296.0).toLong)
+      val wSql = s"""CASE WHEN u < ${ts(0)} THEN 0 WHEN u < ${ts(1)} THEN 1
+                    |WHEN u < ${ts(2)} THEN 2 WHEN u < ${ts(3)} THEN 3
+                    |ELSE 4 END""".stripMargin.replace("\n", " ")
+      s"""WITH r AS (
+         |  SELECT b.b AS b,
+         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         |    ${h32Sql("CAST(o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)")} AS u
+         |  FROM orders, unnest(range(0, 16)) AS b(b)),
+         |w AS (SELECT b, cents, $wSql AS w FROM r),
+         |rep AS (
+         |  SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+         |    AS mean_b
+         |  FROM w WHERE w > 0 GROUP BY b),
+         |folds AS (
+         |  SELECT list(mean_b ORDER BY b) AS l FROM rep),
+         |stats AS (
+         |  SELECT
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+         |      (x, y) -> x + y) AS s1,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(l, x -> x * x)), (x, y) -> x + y) AS s2
+         |  FROM folds),
+         |pt AS (
+         |  SELECT CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+         |      AS DOUBLE) / count(*) AS point_mean
+         |  FROM orders)
+         |SELECT pt.point_mean / 100.0 AS point_mean,
+         |  stats.s1 / 16.0 / 100.0 AS boot_mean,
+         |  sqrt((stats.s2 - stats.s1 * stats.s1 / 16.0) / 15.0) / 100.0
+         |    AS boot_se
+         |FROM pt CROSS JOIN stats""".stripMargin
+    })(
+      (s, d) => {
+        val e = math.exp(1.0)
+        val cdf = Seq(1.0, 2.0, 2.5, 8.0 / 3.0).map(_ / e)
+        val ts = cdf.map(c => math.floor(c * 4294967296.0).toLong)
+        val o = Tables(s, d, "orders")
+        val r = o.select(
+            explode(sequence(lit(0), lit(15))).as("b"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"),
+            col("o_orderkey"))
+          .withColumn("u", h32(concat(col("o_orderkey").cast("string"),
+            lit("_"), col("b").cast("string"))))
+        val w = when(col("u") < ts(0), 0).when(col("u") < ts(1), 1)
+          .when(col("u") < ts(2), 2).when(col("u") < ts(3), 3).otherwise(4)
+        val rep = r.withColumn("w", w).where(col("w") > 0)
+          .groupBy(col("b"))
+          .agg((sum(col("w") * col("cents")).cast("double")
+            / sum(col("w")).cast("double")).as("mean_b"))
+        val folds = rep
+          .agg(array_sort(collect_list(struct(col("b"), col("mean_b")))).as("sl"))
+          .select(transform(col("sl"), x => x.getField("mean_b")).as("l"))
+          .select(
+            aggregate(col("l"), lit(0.0), (a, x) => a + x).as("s1"),
+            aggregate(col("l"), lit(0.0), (a, x) => a + x * x).as("s2"))
+        val pt = o.agg((sum(floor(col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")).cast("double") / count(lit(1))).as("point_mean"))
+        pt.crossJoin(folds)
+          .select((col("point_mean") / 100.0).as("point_mean"),
+            (col("s1") / 16.0 / 100.0).as("boot_mean"),
+            (sqrt((col("s2") - col("s1") * col("s1") / 16.0) / 15.0) / 100.0)
+              .as("boot_se"))
       })
   )
 }

@@ -324,6 +324,16 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.exists(r => r.getString(0) != "<none>"))
   }
 
+  test("bootstrap CI: replica mean brackets the point estimate within a few SE") {
+    val r = Catalog.byName("q_agg_bootstrap_ci").fn(spark, sfDir).head()
+    val (point, boot, se) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(se > 0, "bootstrap SE must be positive")
+    assert(math.abs(boot - point) < 4 * se,
+      s"bootstrap mean $boot too far from point $point (se=$se)")
+    // the SE of a mean over thousands of rows must be far below the mean
+    assert(se < point / 10)
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
