@@ -129,6 +129,26 @@ object EventStream {
         (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"))
   }
 
+  /** Temporal stream-static enrichment — the streaming twin of the
+    * batch point-in-time join (`q_scd2_pit`): each event joins the
+    * dimension VERSION valid at ITS OWN event time, so late-arriving
+    * events still resolve against history, not the current row. The
+    * static side re-plans every micro-batch (broadcast at dimension
+    * size); the interval predicate rides the key equi-join as a
+    * residual over a bounded per-key version count. `dim` must carry
+    * (`key`, `valid_from_us`, `valid_to_us` nullable-open). Works
+    * identically on a batch events frame. */
+  def enrichTemporal(events: DataFrame, dim: DataFrame): DataFrame = {
+    val ev = events.alias("e")
+    val dm = dim.alias("dim")
+    ev.join(dm,
+      expr("""dim.key = e.user_id
+             |AND dim.valid_from_us <= unix_micros(e.ts)
+             |AND (dim.valid_to_us IS NULL
+             |     OR unix_micros(e.ts) < dim.valid_to_us)""".stripMargin),
+      "left")
+  }
+
   // ---- custom sessionization state ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -324,6 +324,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.toSeq === Seq((1L, 7L, "tier_1"), (2L, 999L, null)))
   }
 
+  test("temporal stream-static enrichment: events resolve the version at THEIR time") {
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cut = Timestamp.valueOf("2024-06-01 00:00:00")
+    val cutUs = cut.getTime * 1000
+    // two versions per user: 'old' closes at the cut, 'new' opens there
+    val dim = spark.range(0, 10).selectExpr(
+        "id AS key", "'old' AS tier", "CAST(0 AS BIGINT) AS valid_from_us",
+        s"CAST($cutUs AS BIGINT) AS valid_to_us")
+      .unionByName(spark.range(0, 10).selectExpr(
+        "id AS key", "'new' AS tier", s"CAST($cutUs AS BIGINT) AS valid_from_us",
+        "CAST(NULL AS BIGINT) AS valid_to_us"))
+    val q = EventStream.enrichTemporal(events, dim)
+      .select("event_id", "tier")
+      .writeStream.format("memory").queryName("temporal_out")
+      .outputMode("append").start()
+    val before = Timestamp.valueOf("2024-01-15 12:00:00")
+    val atCut = cut // boundary belongs to the NEW version (from <= t < to)
+    val after = Timestamp.valueOf("2024-12-31 23:59:59")
+    input.addData(
+      (1L, before, 3L, "click", 1.0, "{}"),
+      (2L, atCut, 3L, "click", 1.0, "{}"),
+      (3L, after, 3L, "click", 1.0, "{}"),
+      (4L, after, 99L, "click", 1.0, "{}")) // no dim row at all
+    q.processAllAvailable()
+    val got = spark.table("temporal_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq === Seq((1L, "old"), (2L, "new"), (3L, "new"), (4L, null)),
+      "each event must see the dimension as of ITS OWN timestamp")
+  }
+
   test("file source honors maxFilesPerTrigger (bounded per-batch ingestion)") {
     val base = java.nio.file.Files.createTempDirectory("graft_mfpt_")
     val in = base.resolve("in").toString
