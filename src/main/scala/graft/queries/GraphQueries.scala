@@ -84,6 +84,46 @@ object GraphQueries {
         }
         pr.select(col("node"), (pmod(col("node"), lit(2L)) === 0).as("is_part"),
           col("pr"))
+      }),
+
+    // ---- triangle counting over the co-purchase graph (parts that
+    // share ≥2 baskets): the canonical clustering-coefficient
+    // primitive, as the ORIENTED two-join plan — every edge stored
+    // once as (lo, hi), triangles found by joining e(a,b)⋈e(b,c) and
+    // closing with e(a,c), so each triangle is counted exactly once
+    // and the quadratic wedge enumeration only ever extends in one
+    // direction. (Production refinement at heavy skew: orient
+    // low-degree → high-degree instead of by id — same plan, wedge
+    // count drops to O(m^1.5).) Support ≥2 keeps the graph the
+    // meaningful repeat-co-occurrence one, not single-basket noise.
+    QueryDef("q_graph_triangles", Some(
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |pairs AS (
+        |  SELECT a.p AS p1, b.p AS p2, count(*) AS s
+        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        |e AS (SELECT p1, p2 FROM pairs WHERE s >= 2)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e a
+        |     JOIN e b ON b.p1 = a.p2
+        |     JOIN e c ON c.p1 = a.p1 AND c.p2 = b.p2) AS n_triangles""".stripMargin))(
+      (s, d) => {
+        val items = Tables(s, d, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = items.alias("a").join(items.alias("b"),
+            expr("a.o = b.o AND a.p < b.p"))
+          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+          .agg(count(lit(1)).as("s"))
+          .where(col("s") >= 2).select(col("p1"), col("p2"))
+          .persist() // wedge join reads it three times
+        val wedges = e.alias("x").join(e.alias("y"),
+          expr("y.p1 = x.p2"))
+        val tri = wedges.join(e.alias("z"),
+          expr("z.p1 = x.p1 AND z.p2 = y.p2"))
+        e.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       })
   )
 }

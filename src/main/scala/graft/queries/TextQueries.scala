@@ -873,6 +873,62 @@ object TextQueries {
               / lit(1000000000.0)).as("avg_prob"))
       }),
 
+    // ---- collocation mining (PMI-style lift): adjacent token pairs
+    // that co-occur far beyond their unigram frequencies predict —
+    // multiword expressions, the phrase-table seed. The score is the
+    // transcendental-free LIFT N·c₁₂/(c₁·c₂) (= e^PMI, same ranking):
+    // exact-integer cross products, ONE correctly-rounded division.
+    // Min support 5 prunes noise; top-20 by (lift, pair) is
+    // TakeOrderedAndProject. Counts come from two hash aggregates
+    // over the bigram/token streams; the unigram table joins back
+    // broadcast (vocab-bounded). Headroom: N·c₁₂ wraps int64 past
+    // ~9e18 — lift the products to DECIMAL at web-corpus N·c. ----
+    QueryDef("q_text_collocations", Some(
+      s"""WITH tok AS (
+         |  SELECT t.w AS w
+         |  FROM documents, unnest(${tokensSql("text")}) AS t(w)),
+         |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |n AS (SELECT count(*) AS n FROM tok),
+         |bg AS (
+         |  SELECT g.g AS g, count(*) AS c12
+         |  FROM (SELECT ${tokensSql("text")} AS w FROM documents),
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g(g)
+         |  GROUP BY g.g)
+         |SELECT split_part(bg.g, ' ', 1) AS w1,
+         |  split_part(bg.g, ' ', 2) AS w2, bg.c12, u1.c AS c1, u2.c AS c2,
+         |  CAST(n.n * bg.c12 AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+         |FROM bg
+         |  JOIN uni u1 ON u1.w = split_part(bg.g, ' ', 1)
+         |  JOIN uni u2 ON u2.w = split_part(bg.g, ' ', 2)
+         |  CROSS JOIN n
+         |WHERE bg.c12 >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tok = docs.select(explode(tokens(col("text"))).as("w"))
+        val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val n = tok.count()
+        val bigramsOf = when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))
+        val bg = docs.select(tokens(col("text")).as("w"))
+          .select(explode(bigramsOf).as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c12"))
+          .where(col("c12") >= 5)
+        bg.select(substring_index(col("g"), " ", 1).as("w1"),
+            substring_index(col("g"), " ", -1).as("w2"),
+            col("c12"))
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))), "w2")
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            ((lit(n) * col("c12")).cast("double")
+              / (col("c1") * col("c2")).cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(20)
+      }),
+
     // ---- distribution DRIFT per source: exact total-variation
     // distance between each source's doc-length histogram and the
     // corpus-wide one — the release gate that catches a crawler

@@ -29,6 +29,28 @@ class GraphSpec extends SparkSpecBase {
     assert(sum <= total && sum > (nParts + nSupps) * 150000000L)
   }
 
+  test("triangles: oriented count matches a brute-force model") {
+    val r = Catalog.byName("q_graph_triangles").fn(spark, sfDir).head()
+    val (nEdges, nTri) = (r.getLong(0), r.getLong(1))
+    assert(nEdges > 0)
+    // brute force on the collected edge set (small at spec scale)
+    val items = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = items.alias("a").join(items.alias("b"),
+        org.apache.spark.sql.functions.expr("a.o = b.o AND a.p < b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .where(col("count") >= 2)
+      .select(col("a.p"), col("b.p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.length.toLong == nEdges)
+    val eSet = edges.toSet
+    val byNode = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var tri = 0L
+    for ((a, bs) <- byNode; b <- bs; c <- byNode.getOrElse(b, Array.empty[Long]))
+      if (eSet.contains((a, c))) tri += 1
+    assert(tri == nTri, s"model counted $tri, query $nTri")
+  }
+
   test("pagerank plan: equi-joins only, no cartesian/nested-loop round") {
     val plan = Catalog.byName("q_graph_pagerank").fn(spark, sfDir)
       .queryExecution.executedPlan.toString
