@@ -98,6 +98,31 @@ object EvalQueries {
           .groupBy(col("b.query_id").as("query_id"))
           .agg(count(col("a.candidate_id")).as("n_hits"),
             (count(col("a.candidate_id")) / lit(k.toDouble)).as(s"recall_at_$k"))
-      })
+      }),
+
+    // ---- language-ID confusion matrix + per-class recall: the
+    // classifier-audit twin of q_text_langid, built by COMPOSING the
+    // catalog — both the Spark plan and the oracle wrap the langid
+    // entry itself, so the eval can never drift from the operator it
+    // audits. Per-class recall is one exact-integer division; the
+    // matrix is a |langs|² aggregate. ----
+    QueryDef("q_eval_langid_confusion", Some {
+      // composes TextQueries directly (not via Catalog — Catalog.all
+      // evaluates THIS defs val, so a byName call here would re-enter
+      // the object initializer)
+      val inner = TextQueries.defs.find(_.name == "q_text_langid").get.oracle.get
+      s"""WITH l AS ($inner)
+         |SELECT declared, guess,
+         |  count(*) AS n,
+         |  CAST(count(CASE WHEN is_match THEN 1 END) AS DOUBLE)
+         |    / count(*) AS cell_recall
+         |FROM l GROUP BY declared, guess""".stripMargin
+    })(
+      (s, d) =>
+        TextQueries.defs.find(_.name == "q_text_langid").get.fn(s, d)
+          .groupBy(col("declared"), col("guess"))
+          .agg(count(lit(1)).as("n"),
+            (count(when(col("is_match"), 1)).cast("double")
+              / count(lit(1))).as("cell_recall")))
   )
 }

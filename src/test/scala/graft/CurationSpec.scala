@@ -334,6 +334,17 @@ class CurationSpec extends SparkSpecBase {
     assert(se < point / 10)
   }
 
+  test("langid confusion: cells partition the corpus, recall is the diagonal") {
+    val total = Tables(spark, sfDir, "documents").count()
+    val rows = Catalog.byName("q_eval_langid_confusion").fn(spark, sfDir).collect()
+    assert(rows.map(_.getLong(2)).sum == total, "cells must partition all docs")
+    rows.foreach { r =>
+      val onDiag = r.getString(0) == r.getString(1)
+      assert(r.getDouble(3) == (if (onDiag) 1.0 else 0.0),
+        s"cell (${r.getString(0)}, ${r.getString(1)}) recall must be the diagonal indicator")
+    }
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
