@@ -452,6 +452,62 @@ object EventAnalyticsQueries {
               .as("acf"))
       }),
 
+    // ---- time-to-convert distribution: for each converting user the
+    // delay from first view to first subsequent purchase, summarized
+    // as exact quartiles of the HOUR-bucketed delay — the product
+    // question behind every funnel ("how long does conversion take").
+    // Quartiles use the same histogram-rank arithmetic as the decile
+    // query (4·cum ≥ k·n over the distinct-delay frame, pure
+    // integers); the per-user delays come from the funnel's
+    // one-row-per-user min-time joins, never a window over raw
+    // events. ----
+    QueryDef("q_events_time_to_convert", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+         |v AS (
+         |  SELECT user_id, min(tus) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |p AS (
+         |  SELECT e.user_id,
+         |    (min(e.tus) - v.t1) // 3600000000 AS delay_h
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'purchase' AND e.tus > v.t1
+         |  GROUP BY e.user_id, v.t1),
+         |h AS (SELECT delay_h, count(*) AS cnt FROM p GROUP BY delay_h),
+         |r AS (
+         |  SELECT delay_h,
+         |    sum(cnt) OVER (ORDER BY delay_h) AS cum,
+         |    sum(cnt) OVER () AS n
+         |  FROM h)
+         |SELECT CAST(k AS INT) AS quartile, min(delay_h) AS delay_hours,
+         |  CAST(min(n) AS BIGINT) AS n_converters
+         |FROM (SELECT r.*, k.k FROM r, unnest(range(1, 4)) AS k(k)
+         |      WHERE 4 * r.cum >= k.k * r.n)
+         |GROUP BY k""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val v = e.where(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(v, "user_id").where(col("tus") > col("t1"))
+          .groupBy(col("user_id"), col("t1"))
+          .agg(expr("(min(tus) - t1) DIV 3600000000").as("delay_h"))
+        val h = p.groupBy(col("delay_h")).agg(count(lit(1)).as("cnt"))
+        val wCum = Window.orderBy(col("delay_h"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+        h.withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select(col("delay_h"), col("cum"), col("n"),
+            explode(sequence(lit(1L), lit(3L))).as("k"))
+          .where(lit(4) * col("cum") >= col("k") * col("n"))
+          .groupBy(col("k").cast("int").as("quartile"))
+          .agg(min(col("delay_h")).as("delay_hours"),
+            min(col("n")).as("n_converters"))
+      }),
+
     // ---- RFM segmentation: per-user Recency (days since last
     // event), Frequency (event count), Monetary (total cents), each
     // cut into quintiles — the classic lifecycle-marketing scoring,

@@ -873,6 +873,37 @@ object TextQueries {
               / lit(1000000000.0)).as("avg_prob"))
       }),
 
+    // ---- Zipf rank-frequency profile: the top-50 tokens with their
+    // rank, frequency, and the rank·frequency product — under Zipf's
+    // law the product is near-constant, so this one table is the
+    // corpus-health check that catches template spam (flat head) or
+    // tokenizer breakage (no head at all) at a glance. All integers;
+    // the ranking is a TakeOrderedAndProject over the distinct-token
+    // counts, then a 50-row window for the rank number. ----
+    QueryDef("q_text_zipf", Some(
+      s"""WITH c AS (
+         |  SELECT t.w AS w, count(*) AS freq
+         |  FROM documents, unnest(${tokensSql("text")}) AS t(w)
+         |  GROUP BY t.w),
+         |top AS (SELECT w, freq FROM c ORDER BY freq DESC, w LIMIT 50)
+         |SELECT w AS token, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, w) AS BIGINT) * freq
+         |    AS rank_freq
+         |FROM top""".stripMargin))(
+      (s, d) => {
+        val top = Tables(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          .orderBy(col("freq").desc, col("w").asc).limit(50)
+        val wRank = org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("w").asc)
+        top.select(col("w").as("token"), col("freq"),
+            row_number().over(wRank).cast("bigint").as("rank"))
+          .select(col("token"), col("freq"), col("rank"),
+            (col("rank") * col("freq")).as("rank_freq"))
+      }),
+
     // ---- collocation mining (PMI-style lift): adjacent token pairs
     // that co-occur far beyond their unigram frequencies predict —
     // multiword expressions, the phrase-table seed. The score is the

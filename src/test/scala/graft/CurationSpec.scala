@@ -345,6 +345,27 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("time to convert: three monotone quartiles over a consistent population") {
+    val rows = Catalog.byName("q_events_time_to_convert").fn(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(rows.map(_._3).distinct.length == 1 && rows.head._3 > 0,
+      "every quartile summarizes the same converter population")
+    val delays = rows.map(_._2)
+    assert(delays.zip(delays.tail).forall { case (a, b) => a <= b },
+      s"quartile delays must be monotone: ${delays.mkString(",")}")
+  }
+
+  test("zipf profile: contiguous ranks, non-increasing frequencies") {
+    val rows = Catalog.byName("q_text_zipf").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val freqs = rows.map(_._2)
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    rows.foreach { case (rank, freq, rf) => assert(rf == rank * freq) }
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
