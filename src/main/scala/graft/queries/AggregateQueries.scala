@@ -563,11 +563,18 @@ object AggregateQueries {
       val wSql = s"""CASE WHEN u < ${ts(0)} THEN 0 WHEN u < ${ts(1)} THEN 1
                     |WHEN u < ${ts(2)} THEN 2 WHEN u < ${ts(3)} THEN 3
                     |ELSE 4 END""".stripMargin.replace("\n", " ")
-      s"""WITH r AS (
-         |  SELECT b.b AS b,
-         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
-         |    ${h32Sql("CAST(o_orderkey AS VARCHAR) || '_' || CAST(b.b AS VARCHAR)")} AS u
-         |  FROM orders, unnest(range(0, 16)) AS b(b)),
+      // ONE md5 per row, then a per-replica affine rehash over the
+      // 32-bit ring (the minhash-family construction) — 16x cheaper
+      // than hashing (row, replica) pairs, same determinism
+      s"""WITH base AS (
+         |  SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+         |    ${h32Sql("CAST(o_orderkey AS VARCHAR)")} AS h0
+         |  FROM orders),
+         |r AS (
+         |  SELECT b.b AS b, cents,
+         |    (${graft.ops.TextOps.minhashA.head} * b.b + 12345
+         |      + h0 * (2 * b.b + 1)) % 4294967296 AS u
+         |  FROM base, unnest(range(0, 16)) AS b(b)),
          |w AS (SELECT b, cents, $wSql AS w FROM r),
          |rep AS (
          |  SELECT b, CAST(sum(w * cents) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
@@ -597,12 +604,17 @@ object AggregateQueries {
         val cdf = Seq(1.0, 2.0, 2.5, 8.0 / 3.0).map(_ / e)
         val ts = cdf.map(c => math.floor(c * 4294967296.0).toLong)
         val o = Tables(s, d, "orders")
-        val r = o.select(
-            explode(sequence(lit(0), lit(15))).as("b"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"),
-            col("o_orderkey"))
-          .withColumn("u", h32(concat(col("o_orderkey").cast("string"),
-            lit("_"), col("b").cast("string"))))
+        // hash BEFORE the replica fanout: one md5 per order, not 16 —
+        // a projection after the Generate would re-evaluate per
+        // exploded row (measured 3x on this query)
+        val base = o.select(
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"),
+          h32(col("o_orderkey").cast("string")).as("h0"))
+        val r = base.select(col("cents"), col("h0"),
+            explode(sequence(lit(0L), lit(15L))).as("b"))
+          .withColumn("u",
+            (lit(graft.ops.TextOps.minhashA.head) * col("b") + lit(12345L)
+              + col("h0") * (lit(2L) * col("b") + lit(1L))) % lit(4294967296L))
         val w = when(col("u") < ts(0), 0).when(col("u") < ts(1), 1)
           .when(col("u") < ts(2), 2).when(col("u") < ts(3), 3).otherwise(4)
         val rep = r.withColumn("w", w).where(col("w") > 0)
