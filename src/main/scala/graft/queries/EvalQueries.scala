@@ -123,6 +123,31 @@ object EvalQueries {
           .groupBy(col("declared"), col("guess"))
           .agg(count(lit(1)).as("n"),
             (count(when(col("is_match"), 1)).cast("double")
-              / count(lit(1))).as("cell_recall")))
+              / count(lit(1))).as("cell_recall"))),
+
+    // ---- near-dup cluster statistics: the dedup RELEASE summary —
+    // cluster-size histogram plus the removal rate — composed from
+    // the connected-components catalog entry itself (plan and oracle
+    // both wrap q_dedup_clusters, so the report can never drift from
+    // the clustering it describes). Two tiny aggregates over the
+    // |docs|-row label frame. ----
+    QueryDef("q_eval_cluster_stats", Some {
+      val inner = DedupQueries.defs.find(_.name == "q_dedup_clusters").get.oracle.get
+      s"""WITH sizes AS (
+         |  SELECT cluster_id, count(*) AS sz
+         |  FROM ($inner) l GROUP BY cluster_id)
+         |SELECT sz AS cluster_size,
+         |  count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz - 1) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY sz""".stripMargin
+    })(
+      (s, d) =>
+        DedupQueries.defs.find(_.name == "q_dedup_clusters").get.fn(s, d)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("sz")).as("n_docs"),
+            sum(col("sz") - 1).as("n_removable")))
   )
 }

@@ -366,6 +366,18 @@ class CurationSpec extends SparkSpecBase {
     rows.foreach { case (rank, freq, rf) => assert(rf == rank * freq) }
   }
 
+  test("cluster stats: sizes partition the corpus; removable = docs - clusters") {
+    val total = Tables(spark, sfDir, "documents").count()
+    val rows = Catalog.byName("q_eval_cluster_stats").fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == total, "cluster sizes must partition all docs")
+    rows.foreach { case (sz, nc, nd, nr) =>
+      assert(nd == sz * nc && nr == (sz - 1) * nc)
+    }
+    assert(rows.exists(_._1 > 1), "the fixture's planted dups must cluster")
+    assert(rows.exists(_._1 == 1), "singletons must survive as their own clusters")
+  }
+
   test("event transitions: totals reconcile with the event count") {
     val events = Tables(spark, sfDir, "events")
     val total = events.count()
