@@ -54,7 +54,7 @@ object DedupQueries {
     * Spark inlines column expressions into higher-order lambdas, so
     * fusing these would re-split the text once per array element
     * (measured ~8× slower at sf0.1). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("w"))
       // fused codegen'd tokens→hashed-shingles (ShingleHashes): no
@@ -223,9 +223,10 @@ object DedupQueries {
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split(trim(text), ' '))), ' ')) AS h FROM documents)
         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
-        |  CASE WHEN levenshtein(a.text, c.text) <= 64
-        |       THEN levenshtein(a.text, c.text) ELSE -1 END AS edit_dist,
-        |  length(a.text) AS len_a, length(c.text) AS len_b
+        |  CAST(CASE WHEN levenshtein(a.text, c.text) <= 64
+        |       THEN levenshtein(a.text, c.text) ELSE -1 END AS BIGINT) AS edit_dist,
+        |  CAST(length(a.text) AS BIGINT) AS len_a,
+        |  CAST(length(c.text) AS BIGINT) AS len_b
         |FROM b a JOIN b c ON a.h = c.h AND a.doc_id < c.doc_id""".stripMargin))(
       (s, d) => {
         val b = Tables(s, d, "documents")
@@ -237,8 +238,10 @@ object DedupQueries {
           .join(b.alias("c"), col("a.h") === col("c.h") &&
             col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-            levenshtein(col("a.text"), col("c.text"), 64).as("edit_dist"),
-            length(col("a.text")).as("len_a"), length(col("c.text")).as("len_b"))
+            levenshtein(col("a.text"), col("c.text"), 64).cast("bigint")
+              .as("edit_dist"),
+            length(col("a.text")).cast("bigint").as("len_a"),
+            length(col("c.text")).cast("bigint").as("len_b"))
       }),
 
     // ---- train/benchmark decontamination: which training docs share
@@ -360,7 +363,7 @@ object DedupQueries {
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
         wh.where(size(col("wh")) > 0)
           .join(perDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), size(col("wh")).as("n_windows"),
+          .select(col("doc_id"), size(col("wh")).cast("bigint").as("n_windows"),
             coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
             (coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("wh")))
               .as("dup_fraction"))
@@ -445,7 +448,7 @@ object DedupQueries {
          |fp AS (SELECT doc_id, ${simhash32FromHashesSql("h")} AS fp FROM hs),
          |bands AS ($bandKeys)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  bit_count(xor(x.fp, y.fp)) AS hamming
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.fp, y.fp)) <= 1""".stripMargin
@@ -465,7 +468,8 @@ object DedupQueries {
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+            bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("bigint")
+              .as("hamming"))
           .where(col("hamming") <= 1)
           .distinct()
       }),

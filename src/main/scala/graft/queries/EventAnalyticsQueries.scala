@@ -547,11 +547,11 @@ object EventAnalyticsQueries {
         prof.select(col("user_id"), col("recency_days"), col("frequency"),
           col("monetary_cents"),
           ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
-            .as("r_quintile"),
+            .cast("bigint").as("r_quintile"),
           ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
-            .as("f_quintile"),
+            .cast("bigint").as("f_quintile"),
           ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
-            .as("m_quintile"))
+            .cast("bigint").as("m_quintile"))
       })
   )
 }

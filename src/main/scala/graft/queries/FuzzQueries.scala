@@ -22,7 +22,7 @@ import scala.util.Random
 object FuzzQueries {
 
   private val seed = 20260812L
-  private val N = 12
+  private val N = 16
 
   private val longCols = Vector("l_orderkey", "l_partkey", "l_suppkey")
   private val keyPool = Vector("l_returnflag", "l_linestatus", "l_linenumber")
@@ -70,7 +70,11 @@ object FuzzQueries {
       "count(1) AS n",
       s"CAST(sum(CAST(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_discount"))}" +
         " AS DECIMAL(18,2))) AS DOUBLE) AS money_sum",
-      s"sum(${pick(rnd, longCols)}) AS key_sum",
+      // CAST pins the width: DuckDB sum(BIGINT) is HUGEINT (→ pandas
+      // float64), Spark's is BIGINT; the driver hashes via pandas where
+      // width is part of identity. Same text runs in both dialects
+      // (Spark-side cast is a no-op).
+      s"CAST(sum(${pick(rnd, longCols)}) AS BIGINT) AS key_sum",
       s"min(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_orderkey"))}) AS mn",
       s"max(${pick(rnd, Vector("l_quantity", "l_extendedprice", "l_orderkey"))}) AS mx",
       s"count(DISTINCT ${pick(rnd, longCols)}) AS nd")
@@ -95,9 +99,6 @@ object FuzzQueries {
         Tables(s, d, "lineitem")
           .where(pred)
           .groupBy(keys.map(col): _*)
-          // sum(BIGINT) is BIGINT in Spark but HUGEINT in DuckDB; both
-          // hold the exact value at these magnitudes and the driver
-          // compares values, not storage widths
           .agg(expr(ags.head), ags.tail.map(expr): _*))
   }
 
@@ -169,9 +170,13 @@ object FuzzQueries {
     val (winExpr, outerAggs) = rnd.nextInt(4) match {
       case 0 =>
         // sum/max of row_number over the whole partition are invariant
-        // under tie order (the values are a permutation of 1..n)
-        (s"row_number() OVER (${over()})",
-          Seq("sum(w) AS w_sum", "max(w) AS w_max"))
+        // under tie order (the values are a permutation of 1..n).
+        // CAST pins widths: Spark's rank functions return INT where
+        // DuckDB's return BIGINT, and DuckDB's sum(BIGINT) is HUGEINT —
+        // the driver hashes pandas dtypes, so widths are identity.
+        (s"CAST(row_number() OVER (${over()}) AS BIGINT)",
+          Seq("CAST(sum(w) AS BIGINT) AS w_sum",
+            "CAST(max(w) AS BIGINT) AS w_max"))
       case 1 =>
         val c = pick(rnd, Vector("l_quantity", "l_discount"))
         (s"sum(CAST($c AS DECIMAL(18,2))) OVER (${over(c)} " +
@@ -184,8 +189,9 @@ object FuzzQueries {
             "max(w) AS w_max"))
       case 3 =>
         val c = pick(rnd, Vector("l_quantity", "l_extendedprice"))
-        (s"dense_rank() OVER (PARTITION BY $pkey ORDER BY $c)",
-          Seq("sum(w) AS w_sum", "max(w) AS w_max"))
+        (s"CAST(dense_rank() OVER (PARTITION BY $pkey ORDER BY $c) AS BIGINT)",
+          Seq("CAST(sum(w) AS BIGINT) AS w_sum",
+            "CAST(max(w) AS BIGINT) AS w_max"))
     }
     val sql =
       s"""WITH b AS (
@@ -298,8 +304,87 @@ object FuzzQueries {
       })
   }
 
+  // ---- ORDER BY + LIMIT family: filter → group → agg → top-k — the
+  // fuzz grammar's sixth tier. LIMIT is only cross-engine-deterministic
+  // under a TOTAL order, so the ORDER BY leads with the count and
+  // tie-breaks on the full group-key tuple (groups are unique, so the
+  // order is total regardless of count ties). ----
+
+  private def genTopk(i: Int): QueryDef = {
+    val rnd = new Random(seed * 179424673L + i)
+    val pred = predicate(rnd)
+    val keys = rnd.shuffle(keyPool).take(1 + rnd.nextInt(2))
+    val ags = aggs(rnd)
+    val k = 3 + rnd.nextInt(5)
+    val orderCols = "n DESC, " + keys.mkString(", ")
+    val sql =
+      s"""SELECT ${(keys ++ ags).mkString(", ")}
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY ${keys.mkString(", ")}
+         |ORDER BY $orderCols
+         |LIMIT $k""".stripMargin
+    QueryDef(f"q_fuzzt_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(keys.map(col): _*)
+          .agg(expr(ags.head), ags.tail.map(expr): _*)
+          .orderBy(col("n").desc +: keys.map(c => col(c).asc): _*)
+          .limit(k))
+  }
+
+  // ---- join + window composite family: lineitem ⋈ orders → filter →
+  // window over the joined rows → outer aggregate — the seventh tier,
+  // composing two rewrite paths (join planning and window exec) in one
+  // generated query. Same tie-order-invariance discipline as the
+  // window tier: row_number aggregates are permutation-invariant when
+  // the outer group IS the window partition; dense_rank orders by
+  // value alone; whole-partition DECIMAL sums are order-free. Widths
+  // pinned via CAST (rank fns are INT in Spark / BIGINT in DuckDB;
+  // DuckDB sum(BIGINT) is HUGEINT). ----
+
+  private def genJoinWindow(i: Int): QueryDef = {
+    val rnd = new Random(seed * 611953L + i)
+    val pred = s"${atom(rnd)} AND ${ordersAtom(rnd)}"
+    val pkey = pick(rnd, Vector("o_orderstatus", "o_orderpriority", "l_returnflag"))
+    val (winExpr, outerAggs) = i % 3 match {
+      case 0 =>
+        (s"CAST(row_number() OVER (PARTITION BY $pkey " +
+          "ORDER BY l_orderkey, l_linenumber, l_suppkey) AS BIGINT)",
+          Seq("CAST(sum(w) AS BIGINT) AS w_sum",
+            "CAST(max(w) AS BIGINT) AS w_max"))
+      case 1 =>
+        val c = pick(rnd, Vector("o_totalprice", "l_extendedprice"))
+        (s"CAST(dense_rank() OVER (PARTITION BY $pkey ORDER BY $c) AS BIGINT)",
+          Seq("CAST(sum(w) AS BIGINT) AS w_sum",
+            "CAST(max(w) AS BIGINT) AS w_max"))
+      case _ =>
+        val c = pick(rnd, Vector("l_quantity", "l_discount"))
+        (s"sum(CAST($c AS DECIMAL(18,2))) OVER (PARTITION BY $pkey)",
+          Seq("CAST(sum(w) AS DOUBLE) AS w_sum",
+            "CAST(max(w) AS DOUBLE) AS w_max"))
+    }
+    val sql =
+      s"""WITH b AS (
+         |  SELECT $pkey AS k, $winExpr AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE $pred)
+         |SELECT k, count(1) AS n, ${outerAggs.mkString(", ")}
+         |FROM b GROUP BY k""".stripMargin
+    QueryDef(f"q_fuzzjw_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .join(Tables(s, d, "orders"), expr("l_orderkey = o_orderkey"))
+          .where(pred)
+          .select(col(pkey).as("k"), expr(s"$winExpr AS w"))
+          .groupBy(col("k"))
+          .agg(expr("count(1) AS n"), outerAggs.map(expr): _*))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
-      (0 until 4).map(genSet)
+      (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
+      (0 until 6).map(genJoinWindow)
 }

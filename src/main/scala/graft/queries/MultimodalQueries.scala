@@ -50,7 +50,7 @@ object MultimodalQueries {
           col("doc_id").as("media_id"),
           element_at(array(lit("image"), lit("audio"), lit("video")),
             (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
-          octet_length(encode(col("text"), "UTF-8")).as("n_bytes"),
+          octet_length(encode(col("text"), "UTF-8")).cast("bigint").as("n_bytes"),
           upper(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"),
           md5(col("text")).as("content_md5"))),
 
@@ -124,7 +124,7 @@ object MultimodalQueries {
     broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim",
         graft.functions.GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
   }

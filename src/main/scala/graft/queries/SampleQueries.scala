@@ -58,7 +58,7 @@ object SampleQueries {
           .orderBy(h32(col("doc_id").cast("string")), col("doc_id"))
         Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            row_number().over(w).as("class_rank"))
+            row_number().over(w).cast("bigint").as("class_rank"))
           .where(col("class_rank") <= 50)
       }),
 
@@ -74,7 +74,8 @@ object SampleQueries {
          |WHERE (lang = 'en' AND bucket < 75) OR (lang = 'de' AND bucket < 25)""".stripMargin))(
       (s, d) => {
         val base = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"),
+          .select(col("doc_id"), col("lang"),
+            length(col("text")).cast("bigint").as("n_chars"),
             pmod(h32(col("text")), lit(100L)).as("bucket"))
         base.where(col("lang") === "en" && col("bucket") < 75)
           .unionByName(base.where(col("lang") === "de" && col("bucket") < 25))
@@ -101,7 +102,7 @@ object SampleQueries {
         val byClass = Window.partitionBy(col("lang"))
         Tables(s, d, "documents")
           .select(col("doc_id"), col("lang"), col("n_chars"),
-            row_number().over(byScore).as("q_rank"),
+            row_number().over(byScore).cast("bigint").as("q_rank"),
             count(lit(1)).over(byClass).as("n_lang"))
           .where(col("q_rank") * 5 <= col("n_lang"))
           .select(col("doc_id"), col("lang"), col("n_chars"), col("q_rank"))

@@ -21,7 +21,7 @@ object ScalarQueries {
       """SELECT c_custkey AS custkey,
         |  upper(c_name) AS uname,
         |  substr(c_name, 1, 9) AS prefix,
-        |  length(c_name) AS name_len,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
         |  concat_ws('|', c_mktsegment, c_name) AS tag,
         |  replace(lower(c_name), 'customer', 'cust') AS shortname,
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_id,
@@ -32,7 +32,7 @@ object ScalarQueries {
           col("c_custkey").as("custkey"),
           upper(col("c_name")).as("uname"),
           substring(col("c_name"), 1, 9).as("prefix"),
-          length(col("c_name")).as("name_len"),
+          length(col("c_name")).cast("bigint").as("name_len"),
           concat_ws("|", col("c_mktsegment"), col("c_name")).as("tag"),
           regexp_replace(lower(col("c_name")), "customer", "cust").as("shortname"),
           lpad(col("c_custkey").cast("string"), 8, "0").as("padded_id"),
@@ -40,8 +40,10 @@ object ScalarQueries {
 
     QueryDef("q_fn_date", Some(
       """SELECT o_orderkey AS orderkey,
-        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
-        |  day(o_orderdate) AS dom, quarter(o_orderdate) AS q,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
         |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
         |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
         |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
@@ -50,10 +52,10 @@ object ScalarQueries {
       (s, d) =>
         Tables(s, d, "orders").select(
           col("o_orderkey").as("orderkey"),
-          year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"),
-          dayofmonth(col("o_orderdate")).as("dom"),
-          quarter(col("o_orderdate")).as("q"),
+          year(col("o_orderdate")).cast("bigint").as("y"),
+          month(col("o_orderdate")).cast("bigint").as("m"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+          quarter(col("o_orderdate")).cast("bigint").as("q"),
           (weekday(col("o_orderdate")) + 1).as("iso_dow"),
           date_trunc("month", col("o_orderdate")).cast("date").cast("string")
             .as("month_start"),
@@ -144,7 +146,7 @@ object ScalarQueries {
         |  list_contains(w, 'data') AS has_data,
         |  w[1] AS first_token,
         |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3_sorted,
-        |  coalesce(list_position(w, 'data'), 0) AS pos_data,
+        |  CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS pos_data,
         |  list_aggregate(w, 'max') AS max_token
         |FROM (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents)""".stripMargin))(
       (s, d) =>
@@ -152,7 +154,7 @@ object ScalarQueries {
           .select(col("doc_id"), split(trim(col("text")), " ").as("w"))
           .select(
             col("doc_id"),
-            size(col("w")).as("n_tokens"),
+            size(col("w")).cast("bigint").as("n_tokens"),
             array_contains(col("w"), "data").as("has_data"),
             element_at(col("w"), 1).as("first_token"),
             array_join(slice(array_sort(array_distinct(col("w"))), 1, 3), " ")
@@ -166,7 +168,7 @@ object ScalarQueries {
       """SELECT doc_id,
         |  map_extract(MAP(['lang','source'], [lang, source]), 'lang')[1] AS m_lang,
         |  array_to_string(list_sort(map_keys(MAP(['lang','source'], [lang, source]))), ' ') AS keys_sorted,
-        |  cardinality(MAP(['lang','source'], [lang, source])) AS m_size
+        |  CAST(cardinality(MAP(['lang','source'], [lang, source])) AS BIGINT) AS m_size
         |FROM documents""".stripMargin))(
       (s, d) =>
         Tables(s, d, "documents")
@@ -176,7 +178,7 @@ object ScalarQueries {
             col("doc_id"),
             element_at(col("m"), "lang").as("m_lang"),
             array_join(array_sort(map_keys(col("m"))), " ").as("keys_sorted"),
-            size(col("m")).as("m_size"))),
+            size(col("m")).cast("bigint").as("m_size"))),
 
     // null handling: coalesce / nullif / CASE over an outer-join null.
     QueryDef("q_fn_nulls", Some(

@@ -287,7 +287,7 @@ object SimilarityQueries {
           .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
-        adc.withColumn("rnk", row_number().over(w))
+        adc.withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 5)
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       }),
@@ -326,7 +326,7 @@ object SimilarityQueries {
           .agg(GraftFunctions.topKPairs(col("cos_sim"), col("neighbor_id"), 5).as("tk"))
           .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
           .select(col("query_id"), col("e.id").as("neighbor_id"),
-            col("e.score").as("cos_sim"), (col("pos") + 1).cast("int").as("rnk"))
+            col("e.score").as("cos_sim"), (col("pos") + 1).cast("bigint").as("rnk"))
       }),
 
     // ---- IVF: search only the query's coarse cell (label) ----
@@ -356,7 +356,7 @@ object SimilarityQueries {
             col("neighbor_id") =!= col("query_id"))
           .withColumn("cos_sim", GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .select(col("query_id"), col("cell"), col("neighbor_id"), col("cos_sim"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 3)
       }),
 
@@ -505,7 +505,7 @@ object SimilarityQueries {
         val adc = ivfpqAdc(s, d)
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
-        adc.withColumn("rnk", row_number().over(w))
+        adc.withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 5)
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       }),
@@ -559,7 +559,7 @@ object SimilarityQueries {
           .agg(GraftFunctions.topKPairs(-col("d2"), col("candidate_id"), 5).as("tk"))
           .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
           .select(col("query_id"), col("e.id").as("candidate_id"),
-            (-col("e.score")).as("d2"), (col("pos") + 1).cast("int").as("rnk"))
+            (-col("e.score")).as("d2"), (col("pos") + 1).cast("bigint").as("rnk"))
       }),
 
     // ---- residual IVF-PQ: the faithful composed index. Vectors are
@@ -686,7 +686,7 @@ object SimilarityQueries {
           .agg(org.apache.spark.sql.functions.sum(col("d_scaled")).as("adc_scaled"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
-        adc.withColumn("rnk", row_number().over(w))
+        adc.withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 5)
           .select(col("query_id"), col("candidate_id"), col("adc_scaled"), col("rnk"))
       }),

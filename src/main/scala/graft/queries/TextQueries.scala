@@ -61,8 +61,8 @@ object TextQueries {
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(
             col("doc_id"),
-            size(col("w")).as("n_tokens"),
-            size(array_distinct(col("w"))).as("n_distinct"),
+            size(col("w")).cast("bigint").as("n_tokens"),
+            size(array_distinct(col("w"))).cast("bigint").as("n_distinct"),
             totalChars.as("total_token_chars"),
             (totalChars.cast("double") / size(col("w"))).as("avg_token_len"))
       }),
@@ -90,11 +90,15 @@ object TextQueries {
           .select(col("doc_id"), regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)).as("t"))
           .select(col("doc_id"),
-            size(col("t")).as("n_subtokens"),
-            size(array_distinct(col("t"))).as("n_distinct_subtokens"),
-            size(filter(col("t"), x => x.rlike("^[A-Za-z]"))).as("n_word_runs"),
-            size(filter(col("t"), x => x.rlike("^[0-9]"))).as("n_digit_runs"),
-            size(filter(col("t"), x => x.rlike("^[^A-Za-z0-9]"))).as("n_symbol_runs"))),
+            size(col("t")).cast("bigint").as("n_subtokens"),
+            size(array_distinct(col("t"))).cast("bigint")
+              .as("n_distinct_subtokens"),
+            size(filter(col("t"), x => x.rlike("^[A-Za-z]"))).cast("bigint")
+              .as("n_word_runs"),
+            size(filter(col("t"), x => x.rlike("^[0-9]"))).cast("bigint")
+              .as("n_digit_runs"),
+            size(filter(col("t"), x => x.rlike("^[^A-Za-z0-9]"))).cast("bigint")
+              .as("n_symbol_runs"))),
 
     // ---- quality scoring ----
     QueryDef("q_text_quality", Some(
@@ -116,12 +120,13 @@ object TextQueries {
           .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
           .select(
             col("doc_id"),
-            length(col("text")).as("n_chars_measured"),
-            size(col("w")).as("n_tokens"),
-            nStop.as("n_stop"),
+            length(col("text")).cast("bigint").as("n_chars_measured"),
+            size(col("w")).cast("bigint").as("n_tokens"),
+            nStop.cast("bigint").as("n_stop"),
             stopRatio.as("stop_ratio"),
             (length(col("text")) -
-              length(regexp_replace(col("text"), "[a-z ]", ""))).as("n_nonalpha"),
+              length(regexp_replace(col("text"), "[a-z ]", "")))
+              .cast("bigint").as("n_nonalpha"),
             when(size(col("w")) >= 150, "long")
               .when(size(col("w")) >= 60, "medium").otherwise("short").as("length_class"),
             when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
@@ -182,8 +187,9 @@ object TextQueries {
         val second = greatest(langs.map(l =>
           when(lit(l) === guess, -1).otherwise(col(s"s_$l"))): _*)
         scored.select(col("doc_id"), guess.as("guess"),
-          m.as("best_score"), second.as("second_score"),
-          (m - second).as("margin"),
+          m.cast("bigint").as("best_score"),
+          second.cast("bigint").as("second_score"),
+          (m - second).cast("bigint").as("margin"),
           (m - second >= 3).as("is_confident"))
       }),
 
@@ -282,7 +288,7 @@ object TextQueries {
         Tables(s, d, "documents")
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(col("doc_id"), gh.as("gh"))
-          .select(col("doc_id"), size(col("gh")).as("n_grams"),
+          .select(col("doc_id"), size(col("gh")).cast("bigint").as("n_grams"),
             // string-joined: the driver compare can't sort array cells
             array_join(transform(
               array_sort(array_distinct(
@@ -543,14 +549,15 @@ object TextQueries {
           .select(col("event_id"),
             concat(col("event_type"), lit(" "), col("props")).as("t"))
           .select(col("event_id"), col("t"),
-            length(col("t")).as("n_chars"),
+            length(col("t")).cast("bigint").as("n_chars"),
             (length(col("t")) - length(regexp_replace(col("t"), "[a-z]", "")))
-              .as("n_alpha"),
+              .cast("bigint").as("n_alpha"),
             (length(col("t")) - length(regexp_replace(col("t"), "[0-9]", "")))
-              .as("n_digit"),
+              .cast("bigint").as("n_digit"),
             (length(col("t")) - length(regexp_replace(col("t"), "[ ]", "")))
-              .as("n_space"),
-            length(regexp_replace(col("t"), "[a-z0-9 ]", "")).as("n_symbol"))
+              .cast("bigint").as("n_space"),
+            length(regexp_replace(col("t"), "[a-z0-9 ]", "")).cast("bigint")
+              .as("n_symbol"))
         counted.select(col("event_id"), col("n_chars"), col("n_alpha"),
           col("n_digit"), col("n_space"), col("n_symbol"),
           (col("n_digit").cast("double") / col("n_chars")).as("digit_ratio"),
@@ -650,12 +657,13 @@ object TextQueries {
         Tables(s, d, "documents")
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"),
-            size(col("t")).as("n_tokens"),
+            size(col("t")).cast("bigint").as("n_tokens"),
             (aggregate(col("t"), lit(0), (a, x) => a + length(x)).cast("double") /
               size(col("t"))).as("mean_word_len"),
             (size(array_distinct(col("t"))).cast("double") / size(col("t")))
               .as("uniq_frac"),
-            size(filter(col("t"), x => x.isInCollection(stopwords))).as("n_stop"))
+            size(filter(col("t"), x => x.isInCollection(stopwords)))
+              .cast("bigint").as("n_stop"))
           .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
             col("uniq_frac"), col("n_stop"),
             (col("n_tokens").between(30, 100000) &&
@@ -700,7 +708,7 @@ object TextQueries {
           .crossJoin(broadcast(n))
           .withColumn("score_scaled",
             expr("(tf * n_docs * 1000000) div df"))
-          .withColumn("rnk", row_number().over(w))
+          .withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 3)
           .select(col("doc_id"), col("term"), col("tf"), col("df"),
             col("score_scaled"), col("rnk"))

@@ -30,8 +30,9 @@ object WindowQueries {
         Tables(s, d, "customer")
           .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
             col("c_nationkey").as("nationkey"),
-            row_number().over(w).as("rn"), rank().over(w).as("rnk"),
-            dense_rank().over(w).as("drnk"))
+            row_number().over(w).cast("bigint").as("rn"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"))
           .where(col("rn") <= 3)
       }),
 
@@ -52,7 +53,7 @@ object WindowQueries {
             sum(dec(col("o_totalprice")))
               .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
               .cast("double").as("running_spend"),
-            row_number().over(w).as("order_idx"))
+            row_number().over(w).cast("bigint").as("order_idx"))
       }),
 
     // lag/lead: inter-shipment gaps per supplier, in exact microseconds.
@@ -104,7 +105,7 @@ object WindowQueries {
         val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
         Tables(s, d, "customer")
           .select(col("c_custkey").as("custkey"),
-            ntile(4).over(w).as("quartile"))
+            ntile(4).over(w).cast("bigint").as("quartile"))
       }),
 
     // Global top-k (orderBy+limit — Spark plans TakeOrderedAndProject:

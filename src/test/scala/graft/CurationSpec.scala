@@ -275,7 +275,7 @@ class CurationSpec extends SparkSpecBase {
     val rows = Catalog.byName("q_events_rfm").fn(spark, sfDir).collect()
     assert(rows.length == nUsers)
     Seq(4, 5, 6).foreach { i =>
-      val qs = rows.map(_.getInt(i))
+      val qs = rows.map(_.getLong(i))
       assert(qs.forall(q => q >= 1 && q <= 5))
       val sizes = qs.groupBy(identity).values.map(_.length)
       assert(sizes.max - sizes.min <= 1, s"col $i quintiles unbalanced: $sizes")

@@ -176,6 +176,30 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected a hash/merge join on block keys:\n$plan")
   }
 
+  test("as-of join: one user-partitioned shuffle, LOCF window, no join operator") {
+    // the union+last(ignoreNulls) rewrite's whole point is a single
+    // shuffle on user_id and NO pairwise join; pin it so an AQE or
+    // planner drift (e.g. falling back to a sort-merge self-join)
+    // shows up as a test failure, not a silent bench regression
+    val df = Catalog.byName("q_asof_join").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"as-of must be join-free (union + window):\n$plan")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected exactly one user-partitioned LOCF window:\n$plan")
+    val shuffles = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"union+window as-of should shuffle exactly once:\n$plan")
+  }
+
   test("semantic dedup: broadcast argmin assignment, cluster-keyed pair join") {
     val df = Catalog.byName("q_dedup_semantic").fn(spark, sfDir)
     df.collect()

@@ -37,21 +37,30 @@ def main(sf_dir, out_dir):
             oracle = con.execute(sql)
             ocols = [d[0] for d in oracle.description]
             orows = oracle.fetchall()
-            spark = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            spark_sel = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+            spark = con.execute(spark_sel)
             scols = [d[0] for d in spark.description]
             srows = spark.fetchall()
-            # physical types must match too: the driver hashes via pandas,
-            # where e.g. DuckDB HUGEINT (sum of ints) vs Spark BIGINT
-            # hash differently even when values are equal
-            otypes = {d[0]: str(d[1]) for d in oracle.description}
-            stypes = {d[0]: str(d[1]) for d in spark.description}
+            # Physical widths must match too: the driver hashes via pandas,
+            # where e.g. DuckDB HUGEINT (sum of ints) vs Spark BIGINT hash
+            # differently even when values are equal. DB-API `description`
+            # is BLIND to this (duckdb 1.0.0 stringifies every numeric as
+            # 'NUMBER'), so compare pandas dtypes from .df() — the driver's
+            # actual identity function.
+            odt = con.execute(sql).df().dtypes
+            sdt = con.execute(spark_sel).df().dtypes
+            otypes = {c: str(odt[c]) for c in odt.index}
+            stypes = {c: str(sdt[c]) for c in sdt.index}
             tdiff = {c: (stypes.get(c), otypes.get(c))
                      for c in set(otypes) | set(stypes)
                      if stypes.get(c) != otypes.get(c)}
+            # nested-type detection still needs the logical types
+            otypes_l = {d[0]: str(d[1]) for d in oracle.description}
+            stypes_l = {d[0]: str(d[1]) for d in spark.description}
             oc, ocn = canon(orows, ocols)
             sc, scn = canon(srows, scols)
             # array/struct/map cells break the driver's pandas row sort
-            nested = {c: t for c, t in {**stypes, **otypes}.items()
+            nested = {c: t for c, t in {**stypes_l, **otypes_l}.items()
                       if "[]" in t or "STRUCT" in t or "MAP" in t or "LIST" in t}
             if nested:
                 failed.append((name, f"nested-type result columns (driver can't sort): {nested}"))
