@@ -4,7 +4,8 @@
 executes each oracle in DuckDB over the same fixture dir and compares
 (column-name-sorted, row-sorted, exact values).
 
-Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir> [only]
+  only: optional comma-separated query names to check (default: all)
 """
 import json, sys, math
 import duckdb
@@ -26,11 +27,14 @@ def canon(rows, cols):
         out.append(tuple(vals))
     return sorted(out, key=repr), [cols[i] for i in order]
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        want = {q.strip() for q in only.split(",")}
+        oracles = {k: v for k, v in oracles.items() if k in want}
     passed, failed = [], []
     for name, sql in sorted(oracles.items()):
         try:
@@ -84,4 +88,5 @@ def main(sf_dir, out_dir):
     return 1 if failed else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
