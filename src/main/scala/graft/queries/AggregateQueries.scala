@@ -15,6 +15,43 @@ object AggregateQueries {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  /** Per-(rf, cents) histogram with EXACT cumulative counts `cum` and
+    * group totals `n` — the shared rank frame of q_agg_winsorize and
+    * q_agg_decile_bounds. The cumsum is computed scale-safely in two
+    * phases (the q_pack_sequences trick): `rf` has only a handful of
+    * distinct values, so a Window.partitionBy(rf).orderBy(cents) would
+    * sort the whole corpus-sized histogram on as many tasks as there
+    * are groups (measured 2.7 s at sf0.1, 3 tasks doing everything).
+    * Instead: shard = cents DIV 65536 is MONOTONE in cents, so the
+    * within-shard cumsum (parallel: one window partition per
+    * (rf, shard)) plus an exclusive running offset over the per-shard
+    * totals (rows = value-range/65536 — tiny, broadcast back) compose
+    * into the exact global rank. Measured cost of the extra offset
+    * branch at sf0.1 (same-JVM, same-order bench): decile bounds
+    * 4.1 → 4.7 s, winsorize unchanged — ~10% locally for a window
+    * whose parallelism now scales with the value range instead of
+    * being capped at the group count. */
+  private def histogramRanks(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLoc = Window.partitionBy(col("rf"), col("shard")).orderBy(col("cents"))
+    val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr("cents DIV 65536"))
+    // both branches hang off the SAME histogram aggregate — Spark's
+    // ReuseExchange computes that shuffle once
+    val local = h.withColumn("lcum", sum(col("cnt")).over(wLoc))
+    val wSh = Window.partitionBy(col("rf")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("rf"))
+    val offs = h.groupBy(col("rf"), col("shard")).agg(sum(col("cnt")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+      .withColumn("n", sum(col("tot")).over(wAll))
+      .select(col("rf"), col("shard"), col("off"), col("n"))
+    local.join(broadcast(offs), Seq("rf", "shard"))
+      .select(col("rf"), col("cents"),
+        (col("lcum") + col("off")).as("cum"), col("n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // TPC-H Q1-shaped pricing summary: the canonical partial+final hash
     // agg. Money math runs in integer cents — floor(x*100 + 0.5) gives
@@ -476,13 +513,7 @@ object AggregateQueries {
         val c = Tables(s, d, "lineitem")
           .select(col("l_returnflag").as("rf"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"))
-        val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("rf")).orderBy(col("cents"))
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("rf"))
-        val cut = h
-          .withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("n", sum(col("cnt")).over(wAll))
+        val cut = histogramRanks(c)
           .where(lit(20) * col("cum") >= lit(19) * col("n"))
           .groupBy(col("rf")).agg(min(col("cents")).as("cutoff"))
         c.join(broadcast(cut), "rf")
@@ -529,12 +560,7 @@ object AggregateQueries {
         val c = Tables(s, d, "lineitem")
           .select(col("l_returnflag").as("rf"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"))
-        val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
-        val wCum = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("rf")).orderBy(col("cents"))
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("rf"))
-        h.withColumn("cum", sum(col("cnt")).over(wCum))
-          .withColumn("n", sum(col("cnt")).over(wAll))
+        histogramRanks(c)
           .select(col("rf"), col("cents"), col("cum"), col("n"),
             explode(sequence(lit(1L), lit(9L))).as("k"))
           .where(lit(10) * col("cum") >= col("k") * col("n"))

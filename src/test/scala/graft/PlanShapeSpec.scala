@@ -115,6 +115,26 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("decile bounds: no histogram-sized window keyed only by the group") {
+    // the exact-rank cumsum must parallelize beyond the group count:
+    // any window over the full (rf, cents) histogram is partitioned by
+    // (rf, shard); windows partitioned by rf alone may only consume
+    // the per-shard AGGREGATE frame (rows = value-range/shardWidth)
+    val df = Catalog.byName("q_agg_decile_bounds").fn(spark, sfDir)
+    df.collect()
+    val windows = collectAll(df.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.filter(_.partitionSpec.size < 2).foreach { w =>
+      val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggBelow.exists(_.groupingExpressions.size >= 2),
+        s"group-only window must consume shard aggregates, not the histogram:\n$w")
+    }
+  }
+
   test("LOCF resample: fill window runs over the generated grid, not raw events") {
     val df = Catalog.byName("q_events_resample_locf").fn(spark, sfDir)
     df.collect()
