@@ -382,9 +382,88 @@ object FuzzQueries {
           .agg(expr("count(1) AS n"), outerAggs.map(expr): _*))
   }
 
+  // ---- scalar-function family: string/date expressions composed at
+  // random and pushed through filter→group→agg — the eighth tier,
+  // covering the surface where SQL dialects diverge most (substring
+  // indexing, replace, case transforms, date part extraction). The
+  // grammar stays inside proven cross-engine semantics: ASCII-only
+  // fixture strings (upper/lower/reverse/trim agree), substr with
+  // 1-based starts ≥ 1 (both dialects), replace/||-concat (identical),
+  // binary string collation for min/max/GROUP BY, and date parts
+  // CAST to BIGINT (Spark int32 vs DuckDB int64 widths). ----
+
+  // the fixture's customer table carries two string columns
+  private val custStrCols = Vector("c_name", "c_mktsegment")
+
+  private def strExpr(rnd: Random): String = {
+    val c = pick(rnd, custStrCols)
+    rnd.nextInt(6) match {
+      case 0 => s"upper($c)"
+      case 1 => s"lower($c)"
+      case 2 => s"substr($c, ${1 + rnd.nextInt(5)}, ${1 + rnd.nextInt(8)})"
+      case 3 => s"replace(lower($c), '${pick(rnd, Vector("a", "e", "r", "0"))}'," +
+        s" '${pick(rnd, Vector("", "_", "xx"))}')"
+      case 4 => s"reverse(substr($c, 1, ${2 + rnd.nextInt(6)}))"
+      case 5 => s"upper($c) || '#' || lower(${pick(rnd, custStrCols)})"
+    }
+  }
+
+  private def genScalar(i: Int): QueryDef = {
+    val rnd = new Random(seed * 472882027L + i)
+    if (i % 2 == 0) {
+      // string shape over customer
+      val keyExpr = pick(rnd, Vector(
+        s"substr(c_name, ${10 + rnd.nextInt(6)}, 1)",
+        "upper(c_mktsegment)",
+        s"CAST(length(c_name) % ${2 + rnd.nextInt(4)} AS BIGINT)"))
+      val s1 = strExpr(rnd)
+      val s2 = strExpr(rnd)
+      val pred = s"c_custkey % ${2 + rnd.nextInt(5)} = ${rnd.nextInt(2)}" +
+        s" AND c_acctbal ${pick(rnd, cmpOps)} ${-500 + rnd.nextInt(9000)}"
+      val sql =
+        s"""SELECT $keyExpr AS k, count(1) AS n,
+           |  CAST(sum(length($s1)) AS BIGINT) AS len_sum,
+           |  min($s2) AS mn, max($s2) AS mx
+           |FROM customer
+           |WHERE $pred
+           |GROUP BY $keyExpr""".stripMargin
+      QueryDef(f"q_fuzzf_$i%02d", Some(sql))(
+        (s, d) =>
+          Tables(s, d, "customer")
+            .where(pred)
+            .groupBy(expr(s"$keyExpr AS k"))
+            .agg(expr("count(1) AS n"),
+              expr(s"CAST(sum(length($s1)) AS BIGINT) AS len_sum"),
+              expr(s"min($s2) AS mn"), expr(s"max($s2) AS mx")))
+    } else {
+      // date shape over orders
+      val part = pick(rnd, Vector("year", "month", "day"))
+      val pred = s"o_custkey % ${2 + rnd.nextInt(4)} = ${rnd.nextInt(2)}" +
+        s" AND o_orderstatus ${if (rnd.nextBoolean()) "=" else "<>"} 'O'"
+      val sql =
+        s"""SELECT CAST($part(o_orderdate) AS BIGINT) AS k,
+           |  count(1) AS n,
+           |  CAST(min(month(o_orderdate)) AS BIGINT) AS mn_m,
+           |  CAST(max(day(o_orderdate)) AS BIGINT) AS mx_d,
+           |  min(o_orderpriority) AS mn_p
+           |FROM orders
+           |WHERE $pred
+           |GROUP BY CAST($part(o_orderdate) AS BIGINT)""".stripMargin
+      QueryDef(f"q_fuzzf_$i%02d", Some(sql))(
+        (s, d) =>
+          Tables(s, d, "orders")
+            .where(pred)
+            .groupBy(expr(s"CAST($part(o_orderdate) AS BIGINT) AS k"))
+            .agg(expr("count(1) AS n"),
+              expr("CAST(min(month(o_orderdate)) AS BIGINT) AS mn_m"),
+              expr("CAST(max(day(o_orderdate)) AS BIGINT) AS mx_d"),
+              expr("min(o_orderpriority) AS mn_p")))
+    }
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
-      (0 until 6).map(genJoinWindow)
+      (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar)
 }
