@@ -9,12 +9,15 @@ import org.apache.spark.sql.SparkSession
 
 import java.util.concurrent.atomic.AtomicLong
 
-/** Empirical scaling probe for the dedup family (VERDICT r5 item 5):
-  * measures wall time, shuffle-write bytes, CANDIDATE-pair counts and
-  * result counts for `q_dedup_ngram_jaccard` (PPJoin prefix filtering)
-  * and `q_dedup_minhash_lsh` (banded inverted index) at sf0.01 / sf0.1
-  * and a synthesized sf1-scale corpus (50k docs), so the "near-linear
-  * at 100 TB" claim rests on data points, not just plan shape.
+/** Empirical scaling probe for the dedup + ANN families (VERDICT r5
+  * item 5): measures wall time, shuffle-write bytes, CANDIDATE counts
+  * and result counts for `q_dedup_ngram_jaccard` (PPJoin prefix
+  * filtering), `q_dedup_minhash_lsh` (banded inverted index),
+  * `q_ann_brute_topk` (exact baseline — quadratic by definition) and
+  * `q_ann_ivf_label` (cell-restricted search) at sf0.01 / sf0.1 and a
+  * synthesized sf1-scale corpus (50k docs / 64k vectors), so the
+  * "near-linear at 100 TB" claim rests on data points, not just plan
+  * shape.
   *
   * The sf1 corpus is 10 replicas of the sf0.1 documents where replica
   * r > 0 suffixes every token with `_r`. Each replica therefore keeps
@@ -113,6 +116,46 @@ object ScaleProbe {
     n
   }
 
+  /** Replicate the sf0.1 embeddings 10× (vec_id offset per replica,
+    * dimension 0 shifted by the replica index so replicas are not
+    * byte-identical). Labels are offset per replica (disjoint cell ids)
+    * — modeling what a real IVF deployment does at 10× corpus: re-train
+    * with ~10× the centroids so CELL SIZE stays constant and per-query
+    * scanned candidates stay flat, while brute force grows ×100. */
+  private def buildSf1Embeddings(spark: SparkSession, sf01Dir: String,
+      outDir: String): Unit = {
+    val vecs = Tables(spark, sf01Dir, "embeddings")
+    val replicas = (0 until 10).map { r =>
+      vecs.withColumn("vec_id", col("vec_id") + lit(r * 1000000L))
+        .withColumn("label", col("label") + lit(r * 1000))
+        .withColumn("embedding",
+          concat(array((element_at(col("embedding"), 1) + lit(r.toFloat))
+            .cast("float")), slice(col("embedding"), 2, 63)))
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** Scanned-candidate count of the ANN paths: brute force examines
+    * every (query, non-self corpus vector) pair by SEMANTICS
+    * (q_ann_brute_topk's join); IVF examines only the query's own
+    * coarse cell minus self (q_ann_ivf_label's join). Computed
+    * arithmetically from the data — the contrast (×100 vs ×10 at a
+    * 10× corpus) is the routing rule the 100 TB design rests on. */
+  private def annCandidates(spark: SparkSession, dir: String,
+      brute: Boolean): Long = {
+    val vecs = Tables(spark, dir, "embeddings")
+    val nq = vecs.where(col("vec_id") % 100 === 0).count()
+    if (brute) nq * (vecs.count() - 1)
+    else {
+      val cells = vecs.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      vecs.where(col("vec_id") % 100 === 0)
+        .join(cells, "label")
+        .agg(sum(col("sz"))).head().getLong(0) - nq
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -127,22 +170,28 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(meter)
 
     buildSf1(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+    buildSf1Embeddings(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
       "sf1" -> s"$outDir/sf1")
-    val queries = Seq("q_dedup_ngram_jaccard", "q_dedup_minhash_lsh")
+    // (query, input table, candidate counter)
+    val probes: Seq[(String, String, (SparkSession, String) => Long)] = Seq(
+      ("q_dedup_ngram_jaccard", "documents", ngramCandidates),
+      ("q_dedup_minhash_lsh", "documents", lshCandidates),
+      ("q_ann_brute_topk", "embeddings", annCandidates(_, _, brute = true)),
+      ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)))
 
     // warmup (JIT/codegen) on the smallest scale
-    queries.foreach(q => Catalog.byName(q).fn(spark, scales.head._2)
-      .write.mode("overwrite").format("noop").save())
+    probes.foreach { case (q, _, _) =>
+      Catalog.byName(q).fn(spark, scales.head._2)
+        .write.mode("overwrite").format("noop").save()
+    }
     spark.catalog.clearCache()
 
-    for ((sfName, dir) <- scales; q <- queries) {
-      val nDocs = Tables(spark, dir, "documents").count()
-      val cands =
-        if (q == "q_dedup_ngram_jaccard") ngramCandidates(spark, dir)
-        else lshCandidates(spark, dir)
+    for ((sfName, dir) <- scales; (q, table, candFn) <- probes) {
+      val nRows = Tables(spark, dir, table).count()
+      val cands = candFn(spark, dir)
       spark.catalog.clearCache()
       val b0 = meter.bytes.get(); val r0 = meter.records.get()
       val t0 = System.nanoTime()
@@ -150,8 +199,8 @@ object ScaleProbe {
       val nOut = out.count()
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      println(s"""{"probe":"$q","scale":"$sfName","docs":$nDocs,""" +
-        s""""candidates":$cands,"result_pairs":$nOut,"sec":$secs,""" +
+      println(s"""{"probe":"$q","scale":"$sfName","rows":$nRows,""" +
+        s""""candidates":$cands,"result_rows":$nOut,"sec":$secs,""" +
         s""""shuffle_bytes":${meter.bytes.get() - b0},""" +
         s""""shuffle_records":${meter.records.get() - r0}}""")
     }
