@@ -266,6 +266,56 @@ object MigrationQueries {
             count(when(col("a_id").isNotNull && col("b_id").isNotNull
               && col("a_h") =!= col("b_h"), 1)).as("n_changed"),
             count(when(col("a_h") === col("b_h"), 1)).as("n_unchanged"))
-      })
+      }),
+
+    // ---- PII masking: the data-governance pass a regulated migration
+    // runs in flight (GDPR/CCPA pseudonymization). Direct identifier
+    // (c_name) becomes a deterministic md5 surrogate (joinable across
+    // tables, not reversible) plus a digit-masked display form; the
+    // sensitive numeric (c_acctbal) is generalized to a 1000-wide band.
+    // Pure stateless projection — every function codegen'd, zero
+    // shuffles, trivially 100 TB-safe (and exactly where it belongs:
+    // fused into the migration scan so raw PII never lands on the
+    // target). floor(x/1000) is the same IEEE divide+floor in both
+    // engines, so banding is oracle-exact. ----
+    QueryDef("q_migrate_pii_mask", Some(
+      """SELECT c_custkey,
+        |  md5(c_name) AS name_surrogate,
+        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+        |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+        |  c_mktsegment
+        |FROM customer""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer").select(
+          col("c_custkey"),
+          md5(col("c_name")).as("name_surrogate"),
+          regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+          (floor(col("c_acctbal") / lit(1000.0)) * 1000).cast("bigint")
+            .as("acctbal_band"),
+          col("c_mktsegment"))),
+
+    // ---- k-anonymity / l-diversity audit over the quasi-identifier
+    // (c_nationkey, c_mktsegment): one row per equivalence class with
+    // its size, the diversity of the sensitive attribute (distinct
+    // acctbal bands), and a violation flag for classes smaller than
+    // k=5 — the re-identification risk report run before releasing a
+    // masked copy. One hash-shuffle groupBy with partial aggregation;
+    // the distinct is per-class (bounded band domain), so no second
+    // expand pass is needed at scale. ----
+    QueryDef("q_privacy_k_anon", Some(
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+        |  count(*) AS class_size,
+        |  count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS l_diversity,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates_k
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .groupBy(col("c_nationkey").cast("bigint").as("c_nationkey"),
+            col("c_mktsegment"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(floor(col("c_acctbal") / lit(1000.0))).as("l_diversity"))
+          .withColumn("violates_k",
+            when(col("class_size") < 5, 1L).otherwise(0L)))
   )
 }
