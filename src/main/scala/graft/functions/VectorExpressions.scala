@@ -151,6 +151,18 @@ object GraftFunctions {
 
   private[functions] val KmvKs = Set(64, 256)
 
+  /** Mergeable KLL quantile sketch of a DOUBLE column: struct of
+    * (values, weights) arrays sorted by value (see [[KllSketchAgg]]
+    * for the deterministic rank-error contract). Registered variants:
+    * k ∈ [[KllKs]]. */
+  def kll(v: Column, k: Int): Column = {
+    require(KllKs.contains(k), s"kll supports k in $KllKs, got $k")
+    register(SparkSession.active)
+    call_function(s"graft_kll_$k", v)
+  }
+
+  private[functions] val KllKs = Set(128, 400)
+
   private[functions] val ShingleNs = Seq(3, 5, 16)
 
   /** Constant-state component-wise sum of `array<bigint>` vectors (see
@@ -205,6 +217,10 @@ object GraftFunctions {
     for (k <- KmvKs) {
       reg.createOrReplaceTempFunction(
         s"graft_kmv_$k", exprs => KmvSketchAgg(exprs(0), k), "built-in")
+    }
+    for (k <- KllKs) {
+      reg.createOrReplaceTempFunction(
+        s"graft_kll_$k", exprs => KllSketchAgg(exprs(0), k), "built-in")
     }
     for (k <- TopKKs) {
       reg.createOrReplaceTempFunction(

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions
 import graft.ops.TextOps.{h32, h32Sql}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Theta-sketch (KMV) surface: bounded-memory distinct estimation with
@@ -178,6 +179,56 @@ object SketchQueries {
             percentile(col("c_acctbal"), lit(0.5)).as("q50_exact"),
             percentile(when(inSample, col("c_acctbal")), lit(0.95)).as("q95_sample"),
             percentile(col("c_acctbal"), lit(0.95)).as("q95_exact"))
+      }),
+
+    // ---- mergeable KLL quantile sketch, rank-contract oracled: the
+    // bounded-state path for percentiles at 100 TB (exact needs a
+    // global sort or sharded cumsum; the sketch is one pass +
+    // O(k·log(n/k)) state per group, and partial sketches merge).
+    // Unlike the hash-sample above, KLL's merge order DOES leak into
+    // which items are retained — so the entry outputs not the
+    // estimates but their accuracy CONTRACT: the exact rank of each
+    // sketch-estimated quartile must sit within 5% of target (the
+    // deterministic compactor's worst case here is ~1.6%, see
+    // KllSketch.scala). That flag holds under ANY merge order, which
+    // is precisely what makes a merge-order-sensitive sketch
+    // driver-hashable. Plan: one partial-agg shuffle for the sketch,
+    // a sketch-sized window scan, then a broadcast of the |groups|×3
+    // estimates back over the fact for the exact-rank audit. ----
+    QueryDef("q_sketch_kll_quantile", Some(
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin))(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val sk = li.groupBy(col("l_returnflag").as("rf"))
+          .agg(GraftFunctions.kll(col("l_extendedprice"), 400).as("sk"))
+        // unpack into (value, weight) rows; weighted-rank scan per group
+        val pairs = sk.select(col("rf"),
+            explode(arrays_zip(col("sk.v"), col("sk.w"))).as("p"))
+          .select(col("rf"), col("p.v").as("v"), col("p.w").as("w"))
+        val wCum = Window.partitionBy(col("rf")).orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("rf"))
+        val est = pairs
+          .withColumn("cum", sum(col("w")).over(wCum))
+          .withColumn("tot", sum(col("w")).over(wAll))
+          .groupBy(col("rf"))
+          .agg(
+            min(when(col("cum") >= lit(0.25) * col("tot"), col("v"))).as("e25"),
+            min(when(col("cum") >= lit(0.50) * col("tot"), col("v"))).as("e50"),
+            min(when(col("cum") >= lit(0.75) * col("tot"), col("v"))).as("e75"))
+        li.select(col("l_returnflag").as("rf"), col("l_extendedprice").as("x"))
+          .join(broadcast(est), "rf")
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("x") <= col("e25"), 1L).otherwise(0L)).as("r25"),
+            sum(when(col("x") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+            sum(when(col("x") <= col("e75"), 1L).otherwise(0L)).as("r75"))
+          .select(col("rf"), col("n"),
+            (abs(col("r25") - lit(0.25) * col("n")) <= lit(0.05) * col("n")).as("q25_ok"),
+            (abs(col("r50") - lit(0.50) * col("n")) <= lit(0.05) * col("n")).as("q50_ok"),
+            (abs(col("r75") - lit(0.75) * col("n")) <= lit(0.05) * col("n")).as("q75_ok"))
       }),
 
     // ---- theta estimate WITH its error bound: KMV relative standard
