@@ -420,6 +420,39 @@ object AggregateQueries {
             unix_micros(max(col("l_shipdate")).cast("timestamp")).cast("string")))
       }),
 
+    // ---- key-skew report: the profiling pass run BEFORE sizing a
+    // join/agg on a key — per-key counts reduced to the distribution
+    // stats that drive the salting decision (max/avg fan-out, p99,
+    // and the integer salt factor the measured-fanout salted join in
+    // Relational.scala would apply). Two shuffles total: per-key
+    // count (partial+final), then a single-row global reduce — the
+    // report costs one pass regardless of table size. The salt
+    // recommendation is exact integer arithmetic (ceil via
+    // (max·keys + rows − 1) div rows), no FP boundary. ----
+    QueryDef("q_profile_key_skew", Some(
+      """WITH k AS (
+        |  SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  min(c) AS min_c, max(c) AS max_c,
+        |  quantile_cont(c, 0.99) AS p99_c,
+        |  max(c) * count(*) / CAST(sum(c) AS DOUBLE) AS skew_ratio,
+        |  CAST((max(c) * count(*) + sum(c) - 1) // sum(c) AS BIGINT)
+        |    AS salt_factor
+        |FROM k""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("key"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+            min(col("c")).as("min_c"), max(col("c")).as("max_c"),
+            expr("percentile(c, 0.99D)").as("p99_c"))
+          .select(col("n_keys"), col("n_rows"), col("min_c"), col("max_c"),
+            col("p99_c"),
+            (col("max_c") * col("n_keys") / col("n_rows").cast("double"))
+              .as("skew_ratio"),
+            expr("CAST((max_c * n_keys + n_rows - 1) div n_rows AS BIGINT)")
+              .as("salt_factor"))),
+
     // ---- salted exact distinct for HOT group keys: l_returnflag has
     // 3 values over the whole fact table, so a naive per-group
     // distinct funnels each key's entire value set through one
