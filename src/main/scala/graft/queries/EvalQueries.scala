@@ -148,6 +148,54 @@ object EvalQueries {
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"),
             sum(col("sz")).as("n_docs"),
-            sum(col("sz") - 1).as("n_removable")))
+            sum(col("sz") - 1).as("n_removable"))),
+
+    // ---- pass@k (k=5): the standard unbiased estimator
+    // 1 − C(n−c, k)/C(n, k) over per-task samples (n attempts, c
+    // passes), here tasks = parts and an attempt passes when its
+    // lineitem quantity ≥ 25. The binomial ratio is computed as a
+    // quotient of EXACT integer falling-factorial products (k=5 →
+    // five BIGINT factors per side, far below 2^63 for fixture n),
+    // so the only FP op is one IEEE division — oracle-exact. The
+    // corpus mean goes through the established scaled-integer-sum
+    // pattern (floor(x·10^9 + 0.5) per task, BIGINT sum, one final
+    // divide) because a raw avg() of doubles is partition-order-
+    // dependent. One shuffle for the per-task agg, a single-row
+    // reduce for the mean — the eval costs one pass at any corpus
+    // size. ----
+    QueryDef("q_eval_pass_at_k", Some(
+      """WITH o AS (
+        |  SELECT l_partkey AS task, count(*) AS n,
+        |    count(CASE WHEN l_quantity >= 25 THEN 1 END) AS c
+        |  FROM lineitem GROUP BY 1 HAVING count(*) >= 5),
+        |e AS (
+        |  SELECT task, n, c,
+        |    CASE WHEN n - c < 5 THEN CAST(1.0 AS DOUBLE)
+        |         ELSE 1.0 - CAST((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4) AS DOUBLE)
+        |                  / CAST(n*(n-1)*(n-2)*(n-3)*(n-4) AS DOUBLE)
+        |    END AS pass_at_5
+        |  FROM o)
+        |SELECT count(*) AS n_tasks, CAST(sum(n) AS BIGINT) AS n_samples,
+        |  CAST(sum(c) AS BIGINT) AS n_passes,
+        |  CAST(sum(CAST(floor(pass_at_5 * 1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS pass_at_5_e9_sum
+        |FROM e""".stripMargin))(
+      (s, d) => {
+        val o = graft.Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("task"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("l_quantity") >= 25, 1)).as("c"))
+          .where(col("n") >= 5)
+        val f = col("n") - col("c")
+        val failAll = (f * (f - 1) * (f - 2) * (f - 3) * (f - 4)).cast("double") /
+          (col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3) *
+            (col("n") - 4)).cast("double")
+        o.withColumn("pass_at_5",
+            when(f < 5, lit(1.0)).otherwise(lit(1.0) - failAll))
+          .agg(count(lit(1)).as("n_tasks"), sum(col("n")).as("n_samples"),
+            sum(col("c")).as("n_passes"),
+            sum(floor(col("pass_at_5") * 1000000000 + 0.5).cast("bigint"))
+              .as("pass_at_5_e9_sum"))
+      })
   )
 }
