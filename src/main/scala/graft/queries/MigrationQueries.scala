@@ -31,6 +31,26 @@ import org.apache.spark.sql.functions._
 object MigrationQueries {
 
   private val checksumBuckets = 64
+
+  /** Shared by q_migrate_pii_mask and q_migrate_governance_e2e (the
+    * e2e wraps this definition on both the plan and the oracle side,
+    * so the composed report can never drift from the mask it audits). */
+  private val piiMaskSql =
+    """SELECT c_custkey,
+      |  md5(c_name) AS name_surrogate,
+      |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+      |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
+      |  c_mktsegment
+      |FROM customer""".stripMargin
+
+  private def piiMask(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "customer").select(
+      col("c_custkey"),
+      md5(col("c_name")).as("name_surrogate"),
+      regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+      (floor(col("c_acctbal") / lit(1000.0)) * 1000).cast("bigint")
+        .as("acctbal_band"),
+      col("c_mktsegment"))
   /** SCD2 change-batch effective time: 2000-01-01T00:00:00Z. */
   private val scd2Tus = 946684800000000L
 
@@ -278,21 +298,7 @@ object MigrationQueries {
     // fused into the migration scan so raw PII never lands on the
     // target). floor(x/1000) is the same IEEE divide+floor in both
     // engines, so banding is oracle-exact. ----
-    QueryDef("q_migrate_pii_mask", Some(
-      """SELECT c_custkey,
-        |  md5(c_name) AS name_surrogate,
-        |  regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
-        |  CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS acctbal_band,
-        |  c_mktsegment
-        |FROM customer""".stripMargin))(
-      (s, d) =>
-        Tables(s, d, "customer").select(
-          col("c_custkey"),
-          md5(col("c_name")).as("name_surrogate"),
-          regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
-          (floor(col("c_acctbal") / lit(1000.0)) * 1000).cast("bigint")
-            .as("acctbal_band"),
-          col("c_mktsegment"))),
+    QueryDef("q_migrate_pii_mask", Some(piiMaskSql))((s, d) => piiMask(s, d)),
 
     // ---- k-anonymity / l-diversity audit over the quasi-identifier
     // (c_nationkey, c_mktsegment): one row per equivalence class with
@@ -316,6 +322,50 @@ object MigrationQueries {
           .agg(count(lit(1)).as("class_size"),
             countDistinct(floor(col("c_acctbal") / lit(1000.0))).as("l_diversity"))
           .withColumn("violates_k",
-            when(col("class_size") < 5, 1L).otherwise(0L)))
+            when(col("class_size") < 5, 1L).otherwise(0L))),
+
+    // ---- composed governance e2e: mask → k-anonymity audit of the
+    // MASKED copy → per-segment transfer digest, one DAG (the
+    // pre-release report a regulated migration ships with the data).
+    // Both plan and oracle wrap the q_migrate_pii_mask definition, so
+    // the report can never drift from the mask it audits. The digest
+    // is the order-independent h32 SUM over the canonical masked row
+    // string (same reconciliation shape as q_migrate_checksum): the
+    // receiving side recomputes it from what actually landed. One
+    // stateless projection + two segment-keyed aggregates. ----
+    QueryDef("q_migrate_governance_e2e", Some(
+      s"""WITH m AS ($piiMaskSql),
+         |chk AS (
+         |  SELECT c_mktsegment, count(*) AS n_rows,
+         |    CAST(sum(${h32Sql("concat_ws('|', CAST(c_custkey AS VARCHAR), " +
+                "name_surrogate, name_masked, CAST(acctbal_band AS VARCHAR))")})
+         |      AS BIGINT) AS digest
+         |  FROM m GROUP BY c_mktsegment),
+         |cls AS (
+         |  SELECT c_mktsegment, acctbal_band, count(*) AS sz
+         |  FROM m GROUP BY c_mktsegment, acctbal_band)
+         |SELECT k.c_mktsegment, chk.n_rows, chk.digest,
+         |  k.n_classes, k.n_violating
+         |FROM (SELECT c_mktsegment, count(*) AS n_classes,
+         |        CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_violating
+         |      FROM cls GROUP BY c_mktsegment) k
+         |JOIN chk ON chk.c_mktsegment = k.c_mktsegment""".stripMargin))(
+      (s, d) => {
+        val m = piiMask(s, d).persist()
+        val chk = m.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(h32(concat_ws("|", col("c_custkey").cast("string"),
+              col("name_surrogate"), col("name_masked"),
+              col("acctbal_band").cast("string")))).as("digest"))
+        val cls = m.groupBy(col("c_mktsegment"), col("acctbal_band"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_violating"))
+        cls.join(chk, "c_mktsegment")
+          .select(col("c_mktsegment"), col("n_rows"), col("digest"),
+            col("n_classes"), col("n_violating"))
+      })
   )
 }
