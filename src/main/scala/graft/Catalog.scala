@@ -27,6 +27,7 @@ object Catalog {
       EventAnalyticsQueries.defs ++
       MigrationQueries.defs ++
       GraphQueries.defs ++
+      LayoutQueries.defs ++
       AffinityQueries.defs ++
       FuzzQueries.defs
 

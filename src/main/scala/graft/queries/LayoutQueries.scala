@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Data-layout operators: multi-dimensional clustering (Z-order) and
+  * the zone-map pruning audit that justifies it. The reference's sink
+  * writes partition-key-grouped files (verizon_table_migration_Rakesh_
+  * filters.py:347-353); at 100 TB the next lever after partitioning is
+  * HOW rows are ordered WITHIN files — min/max footer stats only prune
+  * when the layout clusters the filtered columns. Z-order interleaves
+  * the bits of two keys so ranges of BOTH columns stay clustered, where
+  * a linear sort clusters only its leading key.
+  *
+  * Everything here is exact integer arithmetic (bit spread via
+  * `(x | x*2^k) & mask`, grid scaling via `floor(a/b)` with magnitudes
+  * where IEEE-double division is exact), so the full audit — layout,
+  * zone maps, pruning decision — has a bit-exact DuckDB twin.
+  */
+object LayoutQueries {
+
+  /** Morton spread: bit i of an 8..16-bit value moves to bit 2i.
+    * Standard magic-number spread written with only `|`, `&` and
+    * multiplication by powers of two — identical text runs in Spark
+    * and DuckDB (neither dialect shift operator is shared, `*2^k`
+    * is). Fully parenthesized: `&`/`|` precedence differs across
+    * dialects. */
+  private def spreadSql(x: String): String = {
+    val s1 = s"((($x) | (($x) * 256)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 * 16)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 * 4)) & 858993459)"
+    s"(($s3 | ($s3 * 2)) & 1431655765)"
+  }
+
+  /** Scale `c` in [lo,hi] to the 0..255 grid. Exact despite the
+    * double division: a = (c-lo)*256 < 2^45 and the quotient is
+    * < 2^8, so floor(a/b) cannot misround (the true quotient is
+    * always >= 2^-45 away from the next integer, far above the
+    * double spacing at this magnitude). */
+  private def gridSql(c: String, lo: String, hi: String): String =
+    s"CAST(floor((($c - $lo) * 256.0) / (($hi - $lo) + 1)) AS BIGINT)"
+
+  // The audit's probe predicate, a 2-D box in grid coordinates —
+  // deliberately NOT aligned to bucket boundaries (an aligned box
+  // would flatter z-order).
+  private val (pLo, pHi, sLo, sHi) = (100, 140, 90, 130)
+
+  private def prunedSql(pmin: String, pmax: String, smin: String, smax: String) =
+    s"$pmax < $pLo OR $pmin > $pHi OR $smax < $sLo OR $smin > $sHi"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Z-order vs linear layout: zone-map pruning audit. Scales
+    // (l_partkey, l_suppkey) to an 8-bit grid, Morton-interleaves to a
+    // 16-bit z-value, buckets rows by the z prefix (64 buckets = the
+    // files a repartitionByRange(zv)+sortWithinPartitions write would
+    // produce) and by a partkey-only linear sort, then evaluates a
+    // 2-D box predicate against each layout's per-bucket min/max zone
+    // maps. Output: buckets pruned + rows scanned per layout — the
+    // number a table optimizer would use to decide the rewrite.
+    // Plan: one scalar agg (broadcast back), per-row codegen'd bit
+    // math, one hash agg per layout over a persisted 4-column frame —
+    // no sort, no window; the audit costs O(rows) regardless of
+    // table size. ----
+    QueryDef("q_layout_zorder", Some {
+      val g1 = gridSql("l_partkey", "plo", "phi")
+      val g2 = gridSql("l_suppkey", "slo", "shi")
+      val pr = prunedSql("pmin", "pmax", "smin", "smax")
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+         |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+         |  FROM lineitem),
+         |g AS (SELECT $g1 AS pg, $g2 AS sg FROM lineitem, st),
+         |z AS (SELECT pg, sg,
+         |        (${spreadSql("pg")} + 2 * ${spreadSql("sg")}) AS zv
+         |      FROM g),
+         |b AS (SELECT pg, sg,
+         |        CAST(floor(zv / 1024.0) AS BIGINT) AS bz,
+         |        CAST(floor(pg / 4.0) AS BIGINT) AS bl
+         |      FROM z),
+         |zones AS (
+         |  SELECT 'zorder' AS layout, bz AS bucket,
+         |    min(pg) AS pmin, max(pg) AS pmax,
+         |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
+         |  FROM b GROUP BY bz
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, bl AS bucket,
+         |    min(pg) AS pmin, max(pg) AS pmax,
+         |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
+         |  FROM b GROUP BY bl)
+         |SELECT layout, count(*) AS n_buckets,
+         |  CAST(sum(CASE WHEN $pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |  CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(sum(CASE WHEN $pr THEN 0 ELSE n END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM zones GROUP BY layout""".stripMargin
+    })((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val st = li.agg(
+        min("l_partkey").as("plo"), max("l_partkey").as("phi"),
+        min("l_suppkey").as("slo"), max("l_suppkey").as("shi"))
+      val b = li.crossJoin(broadcast(st))
+        .select(
+          expr(gridSql("l_partkey", "plo", "phi")).as("pg"),
+          expr(gridSql("l_suppkey", "slo", "shi")).as("sg"))
+        .select(col("pg"), col("sg"),
+          expr(s"${spreadSql("pg")} + 2 * ${spreadSql("sg")}").as("zv"))
+        .select(col("pg"), col("sg"),
+          expr("CAST(floor(zv / 1024.0) AS BIGINT)").as("bz"),
+          expr("CAST(floor(pg / 4.0) AS BIGINT)").as("bl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def zones(bucket: String, tag: String): DataFrame =
+        b.groupBy(col(bucket).as("bucket"))
+          .agg(min("pg").as("pmin"), max("pg").as("pmax"),
+            min("sg").as("smin"), max("sg").as("smax"),
+            count(lit(1)).as("n"))
+          .select(lit(tag).as("layout"), col("bucket"), col("pmin"),
+            col("pmax"), col("smin"), col("smax"), col("n"))
+      val pruned = expr(prunedSql("pmin", "pmax", "smin", "smax"))
+      zones("bz", "zorder").unionByName(zones("bl", "linear"))
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(pruned, 1L).otherwise(0L)).cast("bigint").as("n_pruned"),
+          sum("n").cast("bigint").as("rows_total"),
+          sum(when(pruned, 0L).otherwise(col("n"))).cast("bigint")
+            .as("rows_scanned"))
+    }))
+}
