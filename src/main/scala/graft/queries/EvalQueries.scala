@@ -196,6 +196,127 @@ object EvalQueries {
             sum(col("c")).as("n_passes"),
             sum(floor(col("pass_at_5") * 1000000000 + 0.5).cast("bigint"))
               .as("pass_at_5_e9_sum"))
+      }),
+
+    // ---- exact ROC-AUC via the Mann-Whitney U rank-sum, per class.
+    // The classifier audit every filtering model (quality scorer,
+    // langid, toxicity) gets before its threshold ships: label =
+    // urgent-priority order, score = order value in exact cents. Ties
+    // use the standard midrank; everything stays in integer space
+    // (2·ranksum is integral), so the AUC numerator is oracled as a
+    // BIGINT and the only FP op is one final division — identically
+    // rounded in both engines. Scale: per-score-group histogram (one
+    // shuffle), then the sharded two-phase cumsum from
+    // q_agg_decile_bounds — window parallelism scales with the value
+    // range, NOT the number of classes; no corpus-sized sort on 3
+    // tasks. ----
+    QueryDef("q_eval_auc", Some(
+      """WITH t AS (
+        |  SELECT o_orderstatus AS grp,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS sc,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |g AS (SELECT grp, sc, count(*) AS c, CAST(sum(pos) AS BIGINT) AS p
+        |      FROM t GROUP BY grp, sc),
+        |r AS (SELECT grp, c, p,
+        |        sum(c) OVER (PARTITION BY grp ORDER BY sc) AS cum FROM g),
+        |a AS (SELECT grp,
+        |        CAST(sum(p*(2*cum - c + 1)) AS BIGINT) AS r2,
+        |        CAST(sum(p) AS BIGINT) AS n_pos,
+        |        CAST(sum(c) AS BIGINT) AS n
+        |      FROM r GROUP BY grp)
+        |SELECT grp, n_pos, (n - n_pos) AS n_neg,
+        |  (r2 - n_pos*(n_pos+1)) AS auc_num2,
+        |  CASE WHEN n_pos = 0 OR n = n_pos THEN NULL
+        |       ELSE CAST(r2 - n_pos*(n_pos+1) AS DOUBLE)
+        |            / (2*n_pos*(n - n_pos)) END AS auc
+        |FROM a""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = graft.Tables(s, d, "orders").select(
+          col("o_orderstatus").as("grp"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("sc"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("pos"))
+        val g = t.groupBy(col("grp"), col("sc"))
+          .agg(count(lit(1)).as("c"), sum(col("pos")).as("p"))
+          .withColumn("shard", expr("sc DIV 65536"))
+        // two-phase cumsum: within-shard window + broadcast shard offsets
+        val wLoc = Window.partitionBy(col("grp"), col("shard"))
+          .orderBy(col("sc"))
+        val local = g.withColumn("lcum", sum(col("c")).over(wLoc))
+        val wSh = Window.partitionBy(col("grp")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy(col("grp"), col("shard"))
+          .agg(sum(col("c")).as("tot"))
+          .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+          .select(col("grp"), col("shard"), col("off"))
+        val r = local.join(broadcast(offs), Seq("grp", "shard"))
+          .withColumn("cum", col("lcum") + col("off"))
+        r.groupBy(col("grp"))
+          .agg(
+            sum(col("p") * (lit(2) * col("cum") - col("c") + 1))
+              .cast("bigint").as("r2"),
+            sum(col("p")).cast("bigint").as("n_pos"),
+            sum(col("c")).cast("bigint").as("n"))
+          .select(col("grp"), col("n_pos"),
+            (col("n") - col("n_pos")).as("n_neg"),
+            (col("r2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num2"),
+            when(col("n_pos") === 0 || col("n") === col("n_pos"), lit(null))
+              .otherwise(
+                (col("r2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+                  / (lit(2) * col("n_pos") * (col("n") - col("n_pos"))))
+              .as("auc"))
+      }),
+
+    // ---- inter-annotator agreement (Cohen's kappa) between two
+    // label sources — here two deterministic quality heuristics
+    // (char-length vs token-count gates), the audit run before
+    // trusting weak labels for filter training. Chance-corrected
+    // agreement stays in exact integer space: kappa = (n·agree −
+    // Σ marginal products) / (n² − Σ marginal products), emitted as
+    // BIGINT numerator/denominator plus the one-division double.
+    // Scale: one scan, one 4-cell agg — the confusion matrix is
+    // map-side-combined regardless of corpus size. ----
+    QueryDef("q_eval_kappa", Some(
+      """WITH t AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN len(string_split(trim(text), ' ')) >= 50
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(a*b) AS BIGINT) AS n11,
+        |        CAST(sum((1-a)*(1-b)) AS BIGINT) AS n00,
+        |        CAST(sum(a*(1-b)) AS BIGINT) AS n10,
+        |        CAST(sum((1-a)*b) AS BIGINT) AS n01
+        |      FROM t)
+        |SELECT n, n11, n00, n10, n01,
+        |  (n*(n11+n00) - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10)))
+        |    AS kappa_num,
+        |  (n*n - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))) AS kappa_den,
+        |  CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))
+        |       AS DOUBLE)
+        |    / (n*n - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10))) AS kappa
+        |FROM c""".stripMargin))(
+      (s, d) => {
+        val t = graft.Tables(s, d, "documents").select(
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("a"),
+          when(size(split(trim(col("text")), " ")) >= 50, 1L).otherwise(0L)
+            .as("b"))
+        val c = t.agg(
+          count(lit(1)).as("n"),
+          sum(col("a") * col("b")).cast("bigint").as("n11"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).cast("bigint")
+            .as("n00"),
+          sum(col("a") * (lit(1L) - col("b"))).cast("bigint").as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).cast("bigint").as("n01"))
+        val pe = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n00") + col("n01")) * (col("n00") + col("n10"))
+        val num = col("n") * (col("n11") + col("n00")) - pe
+        val den = col("n") * col("n") - pe
+        c.select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
+          num.as("kappa_num"), den.as("kappa_den"),
+          (num.cast("double") / den).as("kappa"))
       })
   )
 }

@@ -136,6 +136,61 @@ object SampleQueries {
             priority.as("priority"))
           .orderBy(col("priority").desc, col("doc_id"))
           .limit(100)
+      }),
+
+    // ---- largest-remainder (Hamilton) apportionment of a char
+    // budget across languages — the data-mixing step that turns
+    // target proportions into an EXACT integer allocation: floats
+    // proportional shares drift (sum != budget); here base quotas
+    // floor(B·w/W) plus one extra char... unit to the largest
+    // remainders make sum(alloc) == B by construction. Weights =
+    // per-lang doc counts (proportional-to-representation mix);
+    // rate = alloc/avail is the sampling rate the downstream
+    // weighted sampler would apply per lang. Scale: one groupBy on
+    // lang; the windows run over n_langs rows (the aggregated
+    // frame), not the corpus. ----
+    QueryDef("q_mix_apportion", Some(
+      """WITH a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS w,
+        |    CAST(sum(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY lang),
+        |q AS (SELECT lang, w, avail,
+        |        1000000 * w AS num,
+        |        CAST(sum(w) OVER () AS BIGINT) AS tw FROM a),
+        |b AS (SELECT lang, w, avail,
+        |        CAST(floor(num / tw) AS BIGINT) AS base,
+        |        (num % tw) AS rem FROM q),
+        |b2 AS (SELECT lang, w, avail, base, rem,
+        |         CAST(1000000 - sum(base) OVER () AS BIGINT) AS k,
+        |         row_number() OVER (ORDER BY rem DESC, lang) AS rnk
+        |       FROM b)
+        |SELECT lang, w, avail,
+        |  (base + CASE WHEN rnk <= k THEN 1 ELSE 0 END) AS alloc,
+        |  CAST(base + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS DOUBLE)
+        |    / avail AS rate
+        |FROM b2""".stripMargin))(
+      (s, d) => {
+        val wAll = Window.partitionBy(lit(1))
+        val a = Tables(s, d, "documents")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("w"), sum(col("n_chars")).as("avail"))
+        val q = a.select(col("lang"), col("w"), col("avail"),
+          (lit(1000000L) * col("w")).as("num"),
+          sum(col("w")).over(wAll).as("tw"))
+        val b = q.select(col("lang"), col("w"), col("avail"),
+          expr("CAST(floor(num / tw) AS BIGINT)").as("base"),
+          (col("num") % col("tw")).as("rem"))
+        val b2 = b.select(col("lang"), col("w"), col("avail"), col("base"),
+          col("rem"),
+          (lit(1000000L) - sum(col("base")).over(wAll)).as("k"),
+          row_number().over(
+            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+            .as("rnk"))
+        b2.select(col("lang"), col("w"), col("avail"),
+          (col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
+            .as("alloc"),
+          ((col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
+            .cast("double") / col("avail")).as("rate"))
       })
   )
 }
