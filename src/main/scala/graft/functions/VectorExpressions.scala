@@ -163,6 +163,18 @@ object GraftFunctions {
 
   private[functions] val KllKs = Set(128, 400)
 
+  /** Misra-Gries frequent-items sketch of a STRING column: struct of
+    * (key, cnt) arrays, at most k counters (see [[MisraGriesAgg]] for
+    * the deterministic error contract). Registered variants:
+    * k ∈ [[MgKs]]. */
+  def misraGries(c: Column, k: Int): Column = {
+    require(MgKs.contains(k), s"misraGries supports k in $MgKs, got $k")
+    register(SparkSession.active)
+    call_function(s"graft_mg_$k", c)
+  }
+
+  private[functions] val MgKs = Set(16, 64)
+
   private[functions] val ShingleNs = Seq(3, 5, 16)
 
   /** Constant-state component-wise sum of `array<bigint>` vectors (see
@@ -221,6 +233,10 @@ object GraftFunctions {
     for (k <- KllKs) {
       reg.createOrReplaceTempFunction(
         s"graft_kll_$k", exprs => KllSketchAgg(exprs(0), k), "built-in")
+    }
+    for (k <- MgKs) {
+      reg.createOrReplaceTempFunction(
+        s"graft_mg_$k", exprs => MisraGriesAgg(exprs(0), k), "built-in")
     }
     for (k <- TopKKs) {
       reg.createOrReplaceTempFunction(

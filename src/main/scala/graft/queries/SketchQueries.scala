@@ -231,6 +231,43 @@ object SketchQueries {
             (abs(col("r75") - lit(0.75) * col("n")) <= lit(0.05) * col("n")).as("q75_ok"))
       }),
 
+    // ---- Misra-Gries frequent items, error-contract oracled: the
+    // completeness dual of CountMin — finds WHICH keys are frequent
+    // with k counters of state, no prior key list, partials merging
+    // by the mergeable-summaries rule (MisraGries.scala). Like KLL,
+    // merge order leaks into which borderline keys survive, so the
+    // entry outputs the contract, not the estimates: for EVERY key,
+    // est <= true and (true − est)·(k+1) <= n — deterministic TRUE
+    // under any merge tree. (The fixture corpus is near-uniform —
+    // 31 tokens, no key above n/(k+1) — so heavy-hitter completeness
+    // is vacuous here; MisraGriesSpec exercises it on a skewed
+    // stream.) Plan: explode → one O(k)-state partial agg, exact
+    // counts from one hash agg, broadcast of the <= k sketch rows
+    // back onto the vocabulary. ----
+    QueryDef("q_sketch_heavy_hitters", Some(
+      """WITH t AS (
+        |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+        |SELECT tok, cnt, TRUE AS underest_ok, TRUE AS err_within_bound
+        |FROM c""".stripMargin))(
+      (s, d) => {
+        val k = 16
+        val toks = Tables(s, d, "documents")
+          .select(explode(split(trim(col("text")), " ")).as("tok"))
+        val sk = toks.agg(GraftFunctions.misraGries(col("tok"), k).as("sk"))
+          .select(explode(arrays_zip(col("sk.key"), col("sk.cnt"))).as("p"))
+          .select(col("p.key").as("tok"), col("p.cnt").as("est"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .join(broadcast(sk), Seq("tok"), "left")
+          .select(col("tok"), col("cnt"),
+            (coalesce(col("est"), lit(0L)) <= col("cnt")).as("underest_ok"),
+            ((col("cnt") - coalesce(col("est"), lit(0L))) * (k + 1)
+              <= col("tot")).as("err_within_bound"))
+      }),
+
     // ---- theta estimate WITH its error bound: KMV relative standard
     // error ≈ 1/sqrt(k−2); emit the ±2·RSE interval and whether the
     // exact count landed inside it — the self-auditing form a pipeline
