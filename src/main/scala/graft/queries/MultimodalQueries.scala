@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  /** Shared by the row lane and the Arrow lane — both decode stages
-    * must produce exactly this. */
-  private val decodeOracle =
-    """WITH f AS (
+  /** The FakeDecoder twin: FNV-1a over payload bytes as a DuckDB fold
+    * over character codes (ASCII corpus ⇒ bytes). Shared by every
+    * oracle that needs decode-stage outputs. */
+  private val fnvCte =
+    """f AS (
       |  SELECT doc_id,
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
       |         WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -26,7 +27,12 @@ object MultimodalQueries {
       |      list_transform(range(1, length(text)+1),
       |        i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
       |      (h, b) -> (xor(h, b) * 16777619) % 4294967296) AS h
-      |  FROM documents)
+      |  FROM documents)""".stripMargin
+
+  /** Shared by the row lane and the Arrow lane — both decode stages
+    * must produce exactly this. */
+  private val decodeOracle =
+    s"""WITH $fnvCte
       |SELECT doc_id AS media_id, modality, n_bytes,
       |  CAST(h % 640 + 1 AS INT) AS width,
       |  CAST((h // 256) % 480 + 1 AS INT) AS height,
@@ -74,6 +80,40 @@ object MultimodalQueries {
     QueryDef("q_multimodal_decode_arrow", Some(decodeOracle))(
       (s, d) =>
         graft.multimodal.ArrowDecode.decode(Media.fromDocuments(s, d).toDF()))
+  ,
+
+    // ---- temporal frame sampling: expand each audio/video payload
+    // into the 1 Hz frame-extraction work list — one row per sampled
+    // timestamp, keyed by a content-addressed md5 so retries and
+    // dedup of the (expensive) extraction stage are idempotent. The
+    // expansion is a distributed generate over a computed sequence
+    // (no driver round-trip); output fan-out is duration/step per
+    // media, exactly the batch shape the decode stage consumes.
+    // Durations come from the decode metadata, so the whole work
+    // list — including the sampled timestamps — is oracled through
+    // the FNV twin. ----
+    QueryDef("q_multimodal_framesample", Some(
+      s"""WITH $fnvCte,
+         |v AS (SELECT doc_id AS media_id, modality,
+         |        h % 60000 + 1 AS duration_ms, h
+         |      FROM f WHERE modality <> 'image'),
+         |s AS (SELECT media_id, modality, duration_ms, h,
+         |        unnest(range(0, duration_ms, 1000)) AS ts_ms FROM v)
+         |SELECT media_id, modality, duration_ms, ts_ms,
+         |  md5(concat(CAST(h AS VARCHAR), ':', CAST(ts_ms AS VARCHAR)))
+         |    AS frame_key
+         |FROM s""".stripMargin))(
+      (s, d) =>
+        Media.decodeAll(Media.fromDocuments(s, d), FakeDecoder).toDF()
+          .where(col("modality") =!= "image")
+          .select(col("media_id"), col("modality"), col("duration_ms"),
+            col("checksum"),
+            explode(sequence(lit(0L), col("duration_ms") - 1, lit(1000L)))
+              .as("ts_ms"))
+          .select(col("media_id"), col("modality"), col("duration_ms"),
+            col("ts_ms"),
+            md5(concat(col("checksum").cast("string"), lit(":"),
+              col("ts_ms").cast("string"))).as("frame_key")))
   ,
 
     // ---- decode → ANN: top-3 cosine neighbors over the DECODED
