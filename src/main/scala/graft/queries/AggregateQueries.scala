@@ -453,6 +453,43 @@ object AggregateQueries {
             expr("CAST((max_c * n_keys + n_rows - 1) div n_rows AS BIGINT)")
               .as("salt_factor"))),
 
+    // ---- join-cardinality forecast from key histograms: the
+    // pre-flight a planner (or a dedup pipeline) runs BEFORE paying
+    // for an N:M join — |A ⋈_k A| = Σ c(k)², computed from the
+    // per-key histogram at the cost of one count(*) aggregate
+    // instead of the join itself. Forecasting the self-join on
+    // l_partkey is exactly the candidate-pair explosion check for a
+    // similarity self-join keyed on partkey. Exact BIGINT arithmetic
+    // end-to-end; the hottest key is reported with a deterministic
+    // min-key tiebreak. ----
+    QueryDef("q_profile_join_fanout", Some(
+      """WITH c AS (
+        |  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+        |m AS (SELECT max(c) AS cmax FROM c),
+        |t AS (SELECT min(k) AS top_key, min(cmax) AS cmax
+        |      FROM c, m WHERE c.c = m.cmax)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(c*c) AS BIGINT) AS pairs_forecast,
+        |  CAST(min(t.top_key) AS BIGINT) AS top_key,
+        |  CAST(min(t.cmax) * min(t.cmax) AS BIGINT) AS max_key_pairs
+        |FROM c, t""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("k"))
+          .agg(count(lit(1)).as("c"))
+        val m = c.agg(max(col("c")).as("cmax"))
+        val t = c.crossJoin(broadcast(m)).where(col("c") === col("cmax"))
+          .agg(min(col("k")).as("top_key"), min(col("cmax")).as("cmax"))
+        c.agg(count(lit(1)).as("n_keys"),
+            sum(col("c")).cast("bigint").as("n_rows"),
+            sum(col("c") * col("c")).cast("bigint").as("pairs_forecast"))
+          .crossJoin(broadcast(t))
+          .select(col("n_keys"), col("n_rows"), col("pairs_forecast"),
+            col("top_key").cast("bigint").as("top_key"),
+            (col("cmax") * col("cmax")).cast("bigint").as("max_key_pairs"))
+      }),
+
     // ---- salted exact distinct for HOT group keys: l_returnflag has
     // 3 values over the whole fact table, so a naive per-group
     // distinct funnels each key's entire value set through one

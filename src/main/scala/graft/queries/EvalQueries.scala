@@ -317,6 +317,44 @@ object EvalQueries {
         c.select(col("n"), col("n11"), col("n00"), col("n10"), col("n01"),
           num.as("kappa_num"), den.as("kappa_den"),
           (num.cast("double") / den).as("kappa"))
+      }),
+
+    // ---- calibration / reliability curve: bucket a score into 10
+    // equal-width bins (exact integer cents grid — the same
+    // broadcast-min/max + floor-division shape as q_layout_zorder)
+    // and report the observed positive rate per bin. The companion
+    // to q_eval_auc: AUC says the score RANKS well, the reliability
+    // curve says whether its VALUES mean what they claim — the check
+    // run before using a quality score as a sampling weight. One
+    // scalar agg broadcast back + one 10-key hash agg; the only FP
+    // op is the final per-bin division. ----
+    QueryDef("q_eval_calibration", Some(
+      """WITH t AS (
+        |  SELECT CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS pos
+        |  FROM customer),
+        |st AS (SELECT min(cents) AS lo, max(cents) AS hi FROM t),
+        |b AS (SELECT CAST(floor(((cents - lo) * 10.0) / ((hi - lo) + 1))
+        |             AS BIGINT) AS bin, pos
+        |      FROM t, st)
+        |SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(sum(pos) AS DOUBLE) / count(*) AS pos_rate
+        |FROM b GROUP BY bin""".stripMargin))(
+      (s, d) => {
+        val t = graft.Tables(s, d, "customer").select(
+          floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("pos"))
+        val st = t.agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        t.crossJoin(broadcast(st))
+          .select(
+            expr("CAST(floor(((cents - lo) * 10.0) / ((hi - lo) + 1)) AS BIGINT)")
+              .as("bin"),
+            col("pos"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("pos")).cast("bigint").as("n_pos"),
+            (sum(col("pos")).cast("double") / count(lit(1))).as("pos_rate"))
       })
   )
 }
