@@ -552,6 +552,78 @@ object EventAnalyticsQueries {
             .cast("bigint").as("f_quintile"),
           ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
             .cast("bigint").as("m_quintile"))
+      }),
+
+    // ---- peak session concurrency via a sweep line: the 30-min-gap
+    // sessions (same definition as q_stream_sessionize_batch) explode
+    // into +1/−1 boundary deltas; the time-ordered running sum counts
+    // open sessions and its max is the capacity number a serving tier
+    // provisions for. Intervals are closed ([first,last] event time),
+    // so starts sort before ends at the same instant (delta DESC) —
+    // a single-event session is momentarily open and two sessions
+    // touching at a point are concurrent. The global sweep runs as
+    // the two-phase sharded cumsum (hourly shards): parallelism
+    // scales with the time span, never 1 task; equal (t,delta) runs
+    // produce the same cum multiset under any intra-tie order, so
+    // max and argmax stay deterministic. ----
+    QueryDef("q_events_concurrency", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |        AS session_id FROM g),
+        |sess AS (SELECT user_id, session_id, min(tus) AS st, max(tus) AS en
+        |         FROM s GROUP BY user_id, session_id),
+        |b AS (SELECT st AS t, 1 AS delta FROM sess
+        |      UNION ALL SELECT en AS t, -1 AS delta FROM sess),
+        |c AS (SELECT t, delta,
+        |        CAST(sum(delta) OVER (ORDER BY t, delta DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM b),
+        |m AS (SELECT max(cum) AS mx FROM c)
+        |SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+        |  CAST(mx AS BIGINT) AS max_concurrent,
+        |  CAST((SELECT min(t) FROM c, m m2 WHERE c.cum = m2.mx) AS BIGINT)
+        |    AS t_at_max_us
+        |FROM m""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("event_id").asc)
+        val sess = e
+          .withColumn("new_s",
+            when(lag(col("tus"), 1).over(w).isNull ||
+              col("tus") - lag(col("tus"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(min(col("tus")).as("st"), max(col("tus")).as("en"))
+        val b = sess.select(col("st").as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+          .withColumn("shard", expr("t DIV 3600000000"))
+        val wLoc = Window.partitionBy(col("shard"))
+          .orderBy(col("t").asc, col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = b.withColumn("lcum", sum(col("delta")).over(wLoc))
+        val wSh = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = b.groupBy(col("shard")).agg(sum(col("delta")).as("tot"))
+          .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+          .select(col("shard"), col("off"))
+        val c = local.join(broadcast(offs), "shard")
+          .withColumn("cum", col("lcum") + col("off"))
+        val m = c.agg(max(col("cum")).as("mx"))
+        val tAt = c.crossJoin(broadcast(m)).where(col("cum") === col("mx"))
+          .agg(min(col("t")).as("t_at_max_us"), min(col("mx")).as("mx"))
+        sess.agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(broadcast(tAt))
+          .select(col("n_sessions"), col("mx").as("max_concurrent"),
+            col("t_at_max_us"))
       })
   )
 }
