@@ -132,6 +132,48 @@ object TextQueries {
             when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
       }),
 
+    // ---- lexical complexity (readability proxy): vowel-cluster
+    // count as the classic syllable estimate, per token via one
+    // global regexp collapse, rolled up per doc into mean syllables
+    // per word and the polysyllabic fraction — the SMOG/FK-style
+    // signals a quality filter thresholds on. Pure
+    // regexp+length integer arithmetic (no transcendentals), so the
+    // per-doc report is exactly oracled; one explode + one hash agg
+    // on doc_id. ----
+    QueryDef("q_text_readability", Some(
+      """WITH t AS (SELECT doc_id, lang,
+        |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, lang,
+        |        length(rv) - length(replace(rv, '#', '')) AS cl
+        |      FROM (SELECT doc_id, lang,
+        |              regexp_replace(tok, '[aeiou]+', '#', 'g') AS rv
+        |            FROM t))
+        |SELECT doc_id, lang, count(*) AS n_tokens,
+        |  CAST(sum(cl) AS BIGINT) AS syllables,
+        |  CAST(sum(CASE WHEN cl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_poly,
+        |  CAST(sum(cl) AS DOUBLE) / count(*) AS mean_syllables,
+        |  CAST(sum(CASE WHEN cl >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS poly_frac
+        |FROM c GROUP BY doc_id, lang""".stripMargin))(
+      (s, d) => {
+        val rv = regexp_replace(col("tok"), "[aeiou]+", "#")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"),
+            (length(rv) - length(replace(rv, lit("#"), lit("")))).as("cl"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("cl")).cast("bigint").as("syllables"),
+            sum(when(col("cl") >= 3, 1L).otherwise(0L)).cast("bigint")
+              .as("n_poly"),
+            (sum(col("cl")).cast("double") / count(lit(1)))
+              .as("mean_syllables"),
+            (sum(when(col("cl") >= 3, 1L).otherwise(0L)).cast("double")
+              / count(lit(1))).as("poly_frac"))
+      }),
+
     // ---- language ID via hash-lexicon scoring (deterministic n-gram
     // model proxy: each lang owns the ~1/7 of the vocab whose salted
     // hash ≡ 0 mod 7; argmax with alphabetical tiebreak) ----
