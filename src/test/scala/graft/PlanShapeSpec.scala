@@ -245,4 +245,43 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     assert(windows.isEmpty, s"assignment must not window the candidate grid:\n$plan")
   }
+
+  test("AUC + concurrency sweep: unpartitioned windows only over shard aggregates") {
+    // both entries rest on the two-phase sharded cumsum; the scale
+    // claim is the same as q_pack_sequences — any Window over
+    // corpus-sized input is shard-partitioned, the only unpartitioned
+    // windows consume per-shard AGGREGATES
+    for (name <- Seq("q_eval_auc", "q_events_concurrency")) {
+      val df = Catalog.byName(name).fn(spark, sfDir)
+      df.collect()
+      val windows = collectAll(df.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, name)
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"$name: unpartitioned window must consume shard aggregates:\n$w")
+      }
+    }
+  }
+
+  test("z-order audit: no sort, no window — scalar broadcast + hash aggs only") {
+    // the layout audit costs O(rows): min/max broadcast back via a
+    // nested-loop join of a 1-row aggregate, per-row codegen'd bit
+    // math, hash aggs per layout — never a global sort or window
+    val df = Catalog.byName("q_layout_zorder").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"audit must not window:\n$plan")
+    val sorts = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, s"audit must not sort:\n$plan")
+  }
 }
