@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+
 
 /** Data-layout operators: multi-dimensional clustering (Z-order) and
   * the zone-map pruning audit that justifies it. The reference's sink
@@ -61,9 +61,14 @@ object LayoutQueries {
     // maps. Output: buckets pruned + rows scanned per layout — the
     // number a table optimizer would use to decide the rewrite.
     // Plan: one scalar agg (broadcast back), per-row codegen'd bit
-    // math, one hash agg per layout over a persisted 4-column frame —
-    // no sort, no window; the audit costs O(rows) regardless of
-    // table size. ----
+    // math, then BOTH layouts' zone maps from a single grouping-sets
+    // pass — one scan, one Expand(×2), one shuffle of 64-key
+    // partials; no sort, no window, no cache. Locally a persist+two-
+    // agg variant measures ~25% faster (Expand breaks the codegen
+    // span), but it materializes a corpus-sized 4-column cache — at
+    // 100 TB that is the wrong trade, so the single-scan form is the
+    // one shipped. The audit costs O(rows) regardless of table
+    // size. ----
     QueryDef("q_layout_zorder", Some {
       val g1 = gridSql("l_partkey", "plo", "phi")
       val g2 = gridSql("l_suppkey", "slo", "shi")
@@ -110,16 +115,21 @@ object LayoutQueries {
         .select(col("pg"), col("sg"),
           expr("CAST(floor(zv / 1024.0) AS BIGINT)").as("bz"),
           expr("CAST(floor(pg / 4.0) AS BIGINT)").as("bl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      def zones(bucket: String, tag: String): DataFrame =
-        b.groupBy(col(bucket).as("bucket"))
-          .agg(min("pg").as("pmin"), max("pg").as("pmax"),
-            min("sg").as("smin"), max("sg").as("smax"),
-            count(lit(1)).as("n"))
-          .select(lit(tag).as("layout"), col("bucket"), col("pmin"),
-            col("pmax"), col("smin"), col("smax"), col("n"))
+      // grouping_id over (bz, bl): set (bz) -> bl aggregated -> gid 1,
+      // set (bl) -> gid 2
+      val zones = b
+        .groupingSets(Seq(Seq(col("bz")), Seq(col("bl"))),
+          col("bz"), col("bl"))
+        .agg(grouping_id().as("gid"),
+          min("pg").as("pmin"), max("pg").as("pmax"),
+          min("sg").as("smin"), max("sg").as("smax"),
+          count(lit(1)).as("n"))
+        .select(
+          when(col("gid") === 1, "zorder").otherwise("linear").as("layout"),
+          coalesce(col("bz"), col("bl")).as("bucket"), col("pmin"),
+          col("pmax"), col("smin"), col("smax"), col("n"))
       val pruned = expr(prunedSql("pmin", "pmax", "smin", "smax"))
-      zones("bz", "zorder").unionByName(zones("bl", "linear"))
+      zones
         .groupBy("layout")
         .agg(count(lit(1)).as("n_buckets"),
           sum(when(pruned, 1L).otherwise(0L)).cast("bigint").as("n_pruned"),
