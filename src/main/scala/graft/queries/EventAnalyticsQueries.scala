@@ -624,6 +624,61 @@ object EventAnalyticsQueries {
           .crossJoin(broadcast(tAt))
           .select(col("n_sessions"), col("mx").as("max_concurrent"),
             col("t_at_max_us"))
+      }),
+
+    // ---- interval union / gaps-and-islands: merge each user's
+    // overlapping validity windows (event start + value-proportional
+    // duration, the q_scd2_pit convention) into maximal islands and
+    // report interval count, island count, and total covered time —
+    // the dual of the concurrency sweep (how LONG covered vs how MANY
+    // open). The island break uses a running max of interval ends
+    // (ROWS UNBOUNDED..1 PRECEDING), not lag(en): with nested
+    // intervals lag's end can close before an earlier interval does,
+    // splitting an island that is actually connected. Touching
+    // intervals (en == next st) merge. All integer micros; windows
+    // are user-partitioned, so the shape scales with users. ----
+    QueryDef("q_events_interval_coverage", Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + CAST(floor(value*100 + 0.5) AS BIGINT) * 60000000
+        |      AS en
+        |  FROM events),
+        |g AS (SELECT *, CASE WHEN max(en) OVER (PARTITION BY user_id
+        |          ORDER BY st, en, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= st
+        |        THEN 0 ELSE 1 END AS new_i
+        |      FROM e),
+        |i AS (SELECT *, CAST(sum(new_i) OVER (PARTITION BY user_id
+        |        ORDER BY st, en, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS island FROM g),
+        |isl AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien,
+        |          count(*) AS cnt
+        |        FROM i GROUP BY user_id, island)
+        |SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events").select(
+          col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 100 + 0.5).cast("bigint") * 60000000L)
+            .as("en"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("st").asc, col("en").asc, col("event_id").asc)
+        val runMax = ord.rowsBetween(Window.unboundedPreceding, -1)
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("new_i",
+            when(max(col("en")).over(runMax) >= col("st"), 0L).otherwise(1L))
+          .withColumn("island", sum(col("new_i")).over(cum))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"),
+            count(lit(1)).as("cnt"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("cnt")).cast("bigint").as("n_intervals"),
+            count(lit(1)).cast("bigint").as("n_islands"),
+            sum(col("ien") - col("ist")).cast("bigint").as("covered_us"))
       })
   )
 }
