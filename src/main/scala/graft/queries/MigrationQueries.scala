@@ -366,6 +366,60 @@ object MigrationQueries {
         cls.join(chk, "c_mktsegment")
           .select(col("c_mktsegment"), col("n_rows"), col("digest"),
             col("n_classes"), col("n_violating"))
+      }),
+
+    // ---- keyset-paginated export batching: split a keyed table into
+    // exactly-N-row batches in key order, each with its [lo, hi]
+    // cursor — the resumable unit a bulk loader (the reference's
+    // actual job, py:347-353) writes per round-trip, and the cursor
+    // it restarts from after a failure. Ranks come from the two-phase
+    // sharded pattern (per-shard row_number + broadcast offsets, the
+    // key being dense-agnostic), so batch assignment never needs a
+    // global sort: parallelism scales with the key range. Batches
+    // are contiguous and disjoint by construction; the oracle pins
+    // sizes and cursor bounds exactly. ----
+    QueryDef("q_migrate_export_batches", Some(
+      """WITH k AS (
+        |  SELECT o_orderkey AS key,
+        |    CAST(floor(o_orderkey / 65536.0) AS BIGINT) AS shard
+        |  FROM orders),
+        |l AS (SELECT key, shard,
+        |        row_number() OVER (PARTITION BY shard ORDER BY key) AS rn
+        |      FROM k),
+        |o AS (SELECT shard, count(*) AS c FROM k GROUP BY shard),
+        |ofs AS (SELECT shard,
+        |          CAST(coalesce(sum(c) OVER (ORDER BY shard
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS off
+        |        FROM o),
+        |b AS (SELECT key,
+        |        CAST(floor((l.rn + ofs.off - 1) / 1000.0) AS BIGINT)
+        |          AS batch_id
+        |      FROM l JOIN ofs ON l.shard = ofs.shard)
+        |SELECT batch_id, count(*) AS n_rows,
+        |  CAST(min(key) AS BIGINT) AS cursor_lo,
+        |  CAST(max(key) AS BIGINT) AS cursor_hi
+        |FROM b GROUP BY batch_id""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = Tables(s, d, "orders").select(
+          col("o_orderkey").as("key"),
+          expr("CAST(floor(o_orderkey / 65536.0) AS BIGINT)").as("shard"))
+        val l = k.withColumn("rn", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("key"))))
+        val ofs = k.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(
+            sum(col("c")).over(Window.orderBy(col("shard"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("shard"), col("off"))
+        l.join(broadcast(ofs), "shard")
+          .select(col("key"),
+            expr("CAST(floor((rn + off - 1) / 1000.0) AS BIGINT)")
+              .as("batch_id"))
+          .groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("key")).cast("bigint").as("cursor_lo"),
+            max(col("key")).cast("bigint").as("cursor_hi"))
       })
   )
 }
