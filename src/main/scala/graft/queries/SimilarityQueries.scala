@@ -935,6 +935,46 @@ object SimilarityQueries {
             (col("comp2").cast("double") / lit(1e12)).as("component2"))
       }),
 
+    // ---- distributed Gram matrix G = EᵀE (upper triangle): the
+    // covariance/PCA primitive — one 64×64 exact integer matrix from
+    // the whole embedding corpus, computed as the COO join-agg
+    // formulation (explode to (vec, dim, q) triples, self-join on
+    // vec with i ≤ j, hash-agg the products). The ×d(d+1)/2 fan-out
+    // is a CONSTANT factor of the embedding payload (d = 64 fixed),
+    // and every stage is map-side-combinable; for d large enough
+    // that d² rows per vector hurts, the bounded-state alternative
+    // is an outer-product TypedImperativeAggregate (the
+    // VectorMeanAggregator pattern) — same result, one pass, noted
+    // here as the scale path. Magnitude budget: |q| ≤ 6e6 scaled,
+    // per-term ≤ 4e13, summed over 5e3 vectors ≤ 2e17 — int64 holds;
+    // Spark accumulates in DECIMAL(28,0) for headroom. ----
+    QueryDef("q_vector_gram_matrix", Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings)
+        |SELECT CAST(a.j AS INT) AS i, CAST(b.j AS INT) AS j,
+        |  count(*) AS n_vectors,
+        |  CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_scaled
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.j <= b.j
+        |GROUP BY a.j, b.j""".stripMargin))(
+      (s, d) => {
+        val q = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"),
+            floor(col("x") * 1000000.0 + 0.5).cast("bigint").as("qv"))
+        q.as("a").join(q.as("b"),
+            col("a.vec_id") === col("b.vec_id") && col("a.j") <= col("b.j"))
+          .groupBy(col("a.j").as("i"), col("b.j").as("j"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum((col("a.qv") * col("b.qv")).cast("decimal(28,0)")).as("g"))
+          .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+            col("n_vectors"), col("g").cast("bigint").as("gram_scaled"))
+      }),
+
     // ---- HARD-NEGATIVE mining for contrastive training: for each
     // query vector, the single most-similar candidate with a
     // DIFFERENT label — the canonical "close but wrong" pair every
