@@ -975,6 +975,45 @@ object SimilarityQueries {
             col("n_vectors"), col("g").cast("bigint").as("gram_scaled"))
       }),
 
+    // ---- per-dimension moments (the standardization pre-pass):
+    // mean and variance per embedding dimension, the statistics a
+    // whitening/normalization stage broadcasts before training.
+    // Variance via the exact integer identity n·Σq² − (Σq)²,
+    // computed in 128-bit space (HUGEINT / DECIMAL(38,0) — n·Σq²
+    // tops 9e20, past int64) and converted to double only at the
+    // end, so both engines round the same exact rational. One
+    // explode + one 64-group agg; map-side combinable. ----
+    QueryDef("q_vector_dim_stats", Some(
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    unnest(range(0, len(embedding))) AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |a AS (SELECT j, count(*) AS n, CAST(sum(qv) AS BIGINT) AS s,
+        |        sum(CAST(qv AS HUGEINT) * qv) AS ss
+        |      FROM q GROUP BY j)
+        |SELECT CAST(j AS INT) AS dim, CAST(n AS BIGINT) AS n,
+        |  CAST(s AS DOUBLE) / n AS mean_e6,
+        |  CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * n) AS var_e12
+        |FROM a""".stripMargin))(
+      (s, d) => {
+        Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("j", "x")))
+          .select(col("j"),
+            floor(col("x") * 1000000.0 + 0.5).cast("bigint").as("qv"))
+          .groupBy(col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("qv")).as("s"),
+            sum(col("qv").cast("decimal(38,0)") * col("qv")).as("ss"))
+          .select(col("j").cast("int").as("dim"), col("n"),
+            (col("s").cast("double") / col("n")).as("mean_e6"),
+            ((col("n").cast("decimal(38,0)") * col("ss") -
+              col("s").cast("decimal(38,0)") * col("s")).cast("double")
+              / (col("n").cast("double") * col("n"))).as("var_e12"))
+      }),
+
     // ---- HARD-NEGATIVE mining for contrastive training: for each
     // query vector, the single most-similar candidate with a
     // DIFFERENT label — the canonical "close but wrong" pair every
