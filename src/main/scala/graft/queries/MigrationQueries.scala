@@ -400,26 +400,32 @@ object MigrationQueries {
         |  CAST(min(key) AS BIGINT) AS cursor_lo,
         |  CAST(max(key) AS BIGINT) AS cursor_hi
         |FROM b GROUP BY batch_id""".stripMargin))(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val k = Tables(s, d, "orders").select(
-          col("o_orderkey").as("key"),
-          expr("CAST(floor(o_orderkey / 65536.0) AS BIGINT)").as("shard"))
-        val l = k.withColumn("rn", row_number().over(
-          Window.partitionBy(col("shard")).orderBy(col("key"))))
-        val ofs = k.groupBy(col("shard")).agg(count(lit(1)).as("c"))
-          .withColumn("off", coalesce(
-            sum(col("c")).over(Window.orderBy(col("shard"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("shard"), col("off"))
-        l.join(broadcast(ofs), "shard")
-          .select(col("key"),
-            expr("CAST(floor((rn + off - 1) / 1000.0) AS BIGINT)")
-              .as("batch_id"))
-          .groupBy(col("batch_id"))
-          .agg(count(lit(1)).as("n_rows"),
-            min(col("key")).cast("bigint").as("cursor_lo"),
-            max(col("key")).cast("bigint").as("cursor_hi"))
-      })
+      (s, d) =>
+        exportBatches(
+          Tables(s, d, "orders").select(col("o_orderkey").as("key"))))
   )
+
+  /** Keyset batching shared by the catalog entry and ExportBatchSpec
+    * (which pins the resume contract): exactly-1000-row batches in
+    * `key` order via per-shard row_number + broadcast shard offsets. */
+  private[graft] def exportBatches(keys: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = keys.select(col("key"),
+      expr("CAST(floor(key / 65536.0) AS BIGINT)").as("shard"))
+    val l = k.withColumn("rn", row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("key"))))
+    val ofs = k.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(
+        sum(col("c")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("off"))
+    l.join(broadcast(ofs), "shard")
+      .select(col("key"),
+        expr("CAST(floor((rn + off - 1) / 1000.0) AS BIGINT)").as("batch_id"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("key")).cast("bigint").as("cursor_lo"),
+        max(col("key")).cast("bigint").as("cursor_hi"))
+  }
 }
