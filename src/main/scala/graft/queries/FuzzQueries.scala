@@ -461,9 +461,60 @@ object FuzzQueries {
     }
   }
 
+  // ---- bit-arithmetic family: random `&` / `|` / `*2^k` / `%`
+  // expressions over the long columns, grouped by a derived bucket —
+  // the ninth tier, probing exactly the cross-dialect surface the
+  // Z-order audit rests on (bit ops share syntax but NOT precedence,
+  // so every generated node is fully parenthesized; `^` is XOR in
+  // Spark but POWER in DuckDB and is deliberately absent; operands
+  // stay < 2^32 so no product leaves int64). ----
+
+  private def bitExpr(rnd: Random): String = {
+    val c = pick(rnd, longCols)
+    val m1 = 1 + rnd.nextInt(4095)
+    val m2 = 1 + rnd.nextInt(65535)
+    val sh = 1 << (1 + rnd.nextInt(8))
+    rnd.nextInt(4) match {
+      case 0 => s"($c & $m1)"
+      case 1 => s"(($c & $m1) | (($c * $sh) & $m2))"
+      case 2 => s"((($c % ${2 + rnd.nextInt(251)}) * $sh) & $m2)"
+      case 3 => s"(($c | $m1) & $m2)"
+    }
+  }
+
+  private def genBits(i: Int): QueryDef = {
+    val rnd = new Random(seed * 7000 + i)
+    val e1 = bitExpr(rnd)
+    val e2 = bitExpr(rnd)
+    // modulo-only predicate: ~1/m of rows at ANY scale — the general
+    // atom() pool draws key equalities that select nothing on the
+    // small fixtures, and an empty result compares trivially
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val nb = 2 + rnd.nextInt(7)
+    val sql =
+      s"""SELECT CAST($e1 % $nb AS BIGINT) AS b, count(1) AS n,
+         |  CAST(sum($e2) AS BIGINT) AS bit_sum,
+         |  CAST(min($e2) AS BIGINT) AS mn,
+         |  CAST(max($e2) AS BIGINT) AS mx
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY CAST($e1 % $nb AS BIGINT)""".stripMargin
+    QueryDef(f"q_fuzzb_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(expr(s"CAST($e1 % $nb AS BIGINT) AS b"))
+          .agg(expr("count(1) AS n"),
+            expr(s"CAST(sum($e2) AS BIGINT) AS bit_sum"),
+            expr(s"CAST(min($e2) AS BIGINT) AS mn"),
+            expr(s"CAST(max($e2) AS BIGINT) AS mx")))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
-      (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar)
+      (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
+      (0 until 6).map(genBits)
 }
