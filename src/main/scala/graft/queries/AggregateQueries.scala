@@ -499,57 +499,10 @@ object AggregateQueries {
     // reduces to an exact BIGINT violation count + a PASS flag, so
     // the whole report is oracled. Scale: one aggregate per table
     // plus one anti-join — no constraint costs more than a scan. ----
-    QueryDef("q_profile_constraints", Some(
-      """WITH u AS (
-        |  SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
-        |  FROM orders),
-        |fk AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS v
-        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_orderkey IS NULL),
-        |nn AS (
-        |  SELECT CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS v FROM customer),
-        |rng AS (
-        |  SELECT CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM lineitem),
-        |dom AS (
-        |  SELECT CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM orders)
-        |SELECT 'orders_pk_unique' AS constraint_name, v AS violations,
-        |  v = 0 AS passed FROM u
-        |UNION ALL SELECT 'lineitem_fk_orders', v, v = 0 FROM fk
-        |UNION ALL SELECT 'customer_acctbal_nonnull', v, v = 0 FROM nn
-        |UNION ALL SELECT 'lineitem_discount_range', v, v = 0 FROM rng
-        |UNION ALL SELECT 'orders_status_domain', v, v = 0 FROM dom"""
-        .stripMargin))(
-      (s, d) => {
-        def report(name: String, v: org.apache.spark.sql.DataFrame) =
-          v.select(lit(name).as("constraint_name"),
-            col("v").cast("bigint").as("violations"),
-            (col("v") === 0).as("passed"))
-        val orders = Tables(s, d, "orders")
-        val lineitem = Tables(s, d, "lineitem")
-        val u = orders.agg(
-          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
-        val fk = lineitem.join(orders,
-            lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("v"))
-        val nn = Tables(s, d, "customer").agg(
-          sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("v"))
-        val rng = lineitem.agg(
-          sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
-            .otherwise(0L)).as("v"))
-        val dom = orders.agg(
-          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
-            .otherwise(0L)).as("v"))
-        report("orders_pk_unique", u)
-          .unionByName(report("lineitem_fk_orders", fk))
-          .unionByName(report("customer_acctbal_nonnull", nn))
-          .unionByName(report("lineitem_discount_range", rng))
-          .unionByName(report("orders_status_domain", dom))
-      }),
+    QueryDef("q_profile_constraints", Some(constraintsSql))(
+      (s, d) => constraintsReport(s, d)),
 
+    // ---- salted exact distinct for HOT group keys: l_returnflag has
     // ---- salted exact distinct for HOT group keys: l_returnflag has
     // 3 values over the whole fact table, so a naive per-group
     // distinct funnels each key's entire value set through one
@@ -792,4 +745,62 @@ object AggregateQueries {
               .as("boot_se"))
       })
   )
+
+  /** The constraint suite's DuckDB twin — also reused as a building
+    * block by the migration-readiness e2e report. */
+  private[queries] lazy val constraintsSql: String =
+    """WITH u AS (
+      |  SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+      |  FROM orders),
+      |fk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS v
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL),
+      |nn AS (
+      |  SELECT CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS v FROM customer),
+      |rng AS (
+      |  SELECT CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM lineitem),
+      |dom AS (
+      |  SELECT CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS v FROM orders)
+      |SELECT 'orders_pk_unique' AS constraint_name, v AS violations,
+      |  v = 0 AS passed FROM u
+      |UNION ALL SELECT 'lineitem_fk_orders', v, v = 0 FROM fk
+      |UNION ALL SELECT 'customer_acctbal_nonnull', v, v = 0 FROM nn
+      |UNION ALL SELECT 'lineitem_discount_range', v, v = 0 FROM rng
+      |UNION ALL SELECT 'orders_status_domain', v, v = 0 FROM dom"""
+      .stripMargin
+
+  /** Spark side of the constraint suite, shared with the readiness
+    * e2e. */
+  private[queries] def constraintsReport(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    def report(name: String, v: org.apache.spark.sql.DataFrame) =
+      v.select(lit(name).as("constraint_name"),
+        col("v").cast("bigint").as("violations"),
+        (col("v") === 0).as("passed"))
+    val orders = Tables(s, d, "orders")
+    val lineitem = Tables(s, d, "lineitem")
+    val u = orders.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v"))
+    val fk = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+    val nn = Tables(s, d, "customer").agg(
+      sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("v"))
+    val rng = lineitem.agg(
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v"))
+    val dom = orders.agg(
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("v"))
+    report("orders_pk_unique", u)
+      .unionByName(report("lineitem_fk_orders", fk))
+      .unionByName(report("customer_acctbal_nonnull", nn))
+      .unionByName(report("lineitem_discount_range", rng))
+      .unionByName(report("orders_status_domain", dom))
+  }
 }

@@ -50,6 +50,42 @@ object LayoutQueries {
   private def prunedSql(pmin: String, pmax: String, smin: String, smax: String) =
     s"$pmax < $pLo OR $pmin > $pHi OR $smax < $sLo OR $smin > $sHi"
 
+  /** The audit's DuckDB twin — also reused as a building block by the
+    * migration-readiness e2e report. */
+  private[queries] val zorderSql: String = {
+    val g1 = gridSql("l_partkey", "plo", "phi")
+    val g2 = gridSql("l_suppkey", "slo", "shi")
+    val pr = prunedSql("pmin", "pmax", "smin", "smax")
+    s"""WITH st AS (
+       |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+       |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+       |  FROM lineitem),
+       |g AS (SELECT $g1 AS pg, $g2 AS sg FROM lineitem, st),
+       |z AS (SELECT pg, sg,
+       |        (${spreadSql("pg")} + 2 * ${spreadSql("sg")}) AS zv
+       |      FROM g),
+       |b AS (SELECT pg, sg,
+       |        CAST(floor(zv / 1024.0) AS BIGINT) AS bz,
+       |        CAST(floor(pg / 4.0) AS BIGINT) AS bl
+       |      FROM z),
+       |zones AS (
+       |  SELECT 'zorder' AS layout, bz AS bucket,
+       |    min(pg) AS pmin, max(pg) AS pmax,
+       |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
+       |  FROM b GROUP BY bz
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, bl AS bucket,
+       |    min(pg) AS pmin, max(pg) AS pmax,
+       |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
+       |  FROM b GROUP BY bl)
+       |SELECT layout, count(*) AS n_buckets,
+       |  CAST(sum(CASE WHEN $pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       |  CAST(sum(n) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN $pr THEN 0 ELSE n END) AS BIGINT)
+       |    AS rows_scanned
+       |FROM zones GROUP BY layout""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Z-order vs linear layout: zone-map pruning audit. Scales
@@ -69,39 +105,7 @@ object LayoutQueries {
     // 100 TB that is the wrong trade, so the single-scan form is the
     // one shipped. The audit costs O(rows) regardless of table
     // size. ----
-    QueryDef("q_layout_zorder", Some {
-      val g1 = gridSql("l_partkey", "plo", "phi")
-      val g2 = gridSql("l_suppkey", "slo", "shi")
-      val pr = prunedSql("pmin", "pmax", "smin", "smax")
-      s"""WITH st AS (
-         |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
-         |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
-         |  FROM lineitem),
-         |g AS (SELECT $g1 AS pg, $g2 AS sg FROM lineitem, st),
-         |z AS (SELECT pg, sg,
-         |        (${spreadSql("pg")} + 2 * ${spreadSql("sg")}) AS zv
-         |      FROM g),
-         |b AS (SELECT pg, sg,
-         |        CAST(floor(zv / 1024.0) AS BIGINT) AS bz,
-         |        CAST(floor(pg / 4.0) AS BIGINT) AS bl
-         |      FROM z),
-         |zones AS (
-         |  SELECT 'zorder' AS layout, bz AS bucket,
-         |    min(pg) AS pmin, max(pg) AS pmax,
-         |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
-         |  FROM b GROUP BY bz
-         |  UNION ALL
-         |  SELECT 'linear' AS layout, bl AS bucket,
-         |    min(pg) AS pmin, max(pg) AS pmax,
-         |    min(sg) AS smin, max(sg) AS smax, count(*) AS n
-         |  FROM b GROUP BY bl)
-         |SELECT layout, count(*) AS n_buckets,
-         |  CAST(sum(CASE WHEN $pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
-         |  CAST(sum(n) AS BIGINT) AS rows_total,
-         |  CAST(sum(CASE WHEN $pr THEN 0 ELSE n END) AS BIGINT)
-         |    AS rows_scanned
-         |FROM zones GROUP BY layout""".stripMargin
-    })((s, d) => {
+    QueryDef("q_layout_zorder", Some(zorderSql))((s, d) => {
       val li = Tables(s, d, "lineitem").select("l_partkey", "l_suppkey")
       val st = li.agg(
         min("l_partkey").as("plo"), max("l_partkey").as("phi"),

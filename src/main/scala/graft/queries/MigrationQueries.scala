@@ -378,32 +378,91 @@ object MigrationQueries {
     // global sort: parallelism scales with the key range. Batches
     // are contiguous and disjoint by construction; the oracle pins
     // sizes and cursor bounds exactly. ----
-    QueryDef("q_migrate_export_batches", Some(
-      """WITH k AS (
-        |  SELECT o_orderkey AS key,
-        |    CAST(floor(o_orderkey / 65536.0) AS BIGINT) AS shard
-        |  FROM orders),
-        |l AS (SELECT key, shard,
-        |        row_number() OVER (PARTITION BY shard ORDER BY key) AS rn
-        |      FROM k),
-        |o AS (SELECT shard, count(*) AS c FROM k GROUP BY shard),
-        |ofs AS (SELECT shard,
-        |          CAST(coalesce(sum(c) OVER (ORDER BY shard
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS BIGINT) AS off
-        |        FROM o),
-        |b AS (SELECT key,
-        |        CAST(floor((l.rn + ofs.off - 1) / 1000.0) AS BIGINT)
-        |          AS batch_id
-        |      FROM l JOIN ofs ON l.shard = ofs.shard)
-        |SELECT batch_id, count(*) AS n_rows,
-        |  CAST(min(key) AS BIGINT) AS cursor_lo,
-        |  CAST(max(key) AS BIGINT) AS cursor_hi
-        |FROM b GROUP BY batch_id""".stripMargin))(
+    QueryDef("q_migrate_export_batches", Some(exportBatchesSql))(
       (s, d) =>
         exportBatches(
-          Tables(s, d, "orders").select(col("o_orderkey").as("key"))))
+          Tables(s, d, "orders").select(col("o_orderkey").as("key")))),
+
+    // ---- migration-readiness report: the pre-cutover composition —
+    // (1) the declarative constraint gate must be all-green, (2) the
+    // keyset export plan must be exactly sized, (3) the layout audit
+    // must justify (or reject) a z-order rewrite of the target — all
+    // reusing the same catalog building blocks (constraintsSql /
+    // exportBatchesSql / zorderSql verbatim on the oracle side, the
+    // shared Spark helpers on the engine side), so the e2e can never
+    // drift from the operators it composes. One row per check:
+    // (check_name, metric, passed). ----
+    QueryDef("q_migrate_readiness_e2e", Some(
+      s"""WITH con AS (SELECT * FROM (${AggregateQueries.constraintsSql}) x),
+         |bat AS (SELECT * FROM ($exportBatchesSql) x),
+         |zz AS (SELECT * FROM (${LayoutQueries.zorderSql}) x)
+         |SELECT 'constraints_green' AS check_name,
+         |  CAST((SELECT sum(violations) FROM con) AS BIGINT) AS metric,
+         |  (SELECT count(*) FROM con WHERE NOT passed) = 0 AS passed
+         |UNION ALL
+         |SELECT 'export_plan_sized',
+         |  CAST((SELECT count(*) FROM bat) AS BIGINT),
+         |  (SELECT count(*) FROM bat WHERE n_rows <> 1000) <= 1
+         |UNION ALL
+         |SELECT 'zorder_scan_gain',
+         |  CAST((SELECT max(CASE WHEN layout = 'linear' THEN rows_scanned END)
+         |        - max(CASE WHEN layout = 'zorder' THEN rows_scanned END)
+         |        FROM zz) AS BIGINT),
+         |  (SELECT max(CASE WHEN layout = 'linear' THEN rows_scanned END)
+         |   FROM zz) >=
+         |  (SELECT max(CASE WHEN layout = 'zorder' THEN rows_scanned END)
+         |   FROM zz)""".stripMargin))(
+      (s, d) => {
+        val con = AggregateQueries.constraintsReport(s, d)
+          .agg(sum(col("violations")).as("total_v"),
+            sum(when(!col("passed"), 1L).otherwise(0L)).as("n_red"))
+          .select(lit("constraints_green").as("check_name"),
+            col("total_v").cast("bigint").as("metric"),
+            (col("n_red") === 0).as("passed"))
+        val bat = exportBatches(
+            Tables(s, d, "orders").select(col("o_orderkey").as("key")))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(when(col("n_rows") =!= 1000, 1L).otherwise(0L)).as("odd"))
+          .select(lit("export_plan_sized").as("check_name"),
+            col("n_batches").cast("bigint").as("metric"),
+            (col("odd") <= 1).as("passed"))
+        val z = graft.Catalog.byName("q_layout_zorder").fn(s, d)
+          .agg(
+            max(when(col("layout") === "linear", col("rows_scanned")))
+              .as("lin"),
+            max(when(col("layout") === "zorder", col("rows_scanned")))
+              .as("zor"))
+          .select(lit("zorder_scan_gain").as("check_name"),
+            (col("lin") - col("zor")).cast("bigint").as("metric"),
+            (col("lin") >= col("zor")).as("passed"))
+        con.unionByName(bat).unionByName(z)
+      })
   )
+
+  /** The export-batching DuckDB twin — also reused by the readiness
+    * e2e. */
+  private[queries] lazy val exportBatchesSql: String =
+    """WITH k AS (
+      |  SELECT o_orderkey AS key,
+      |    CAST(floor(o_orderkey / 65536.0) AS BIGINT) AS shard
+      |  FROM orders),
+      |l AS (SELECT key, shard,
+      |        row_number() OVER (PARTITION BY shard ORDER BY key) AS rn
+      |      FROM k),
+      |o AS (SELECT shard, count(*) AS c FROM k GROUP BY shard),
+      |ofs AS (SELECT shard,
+      |          CAST(coalesce(sum(c) OVER (ORDER BY shard
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |          AS BIGINT) AS off
+      |        FROM o),
+      |b AS (SELECT key,
+      |        CAST(floor((l.rn + ofs.off - 1) / 1000.0) AS BIGINT)
+      |          AS batch_id
+      |      FROM l JOIN ofs ON l.shard = ofs.shard)
+      |SELECT batch_id, count(*) AS n_rows,
+      |  CAST(min(key) AS BIGINT) AS cursor_lo,
+      |  CAST(max(key) AS BIGINT) AS cursor_hi
+      |FROM b GROUP BY batch_id""".stripMargin
 
   /** Keyset batching shared by the catalog entry and ExportBatchSpec
     * (which pins the resume contract): exactly-1000-row batches in
