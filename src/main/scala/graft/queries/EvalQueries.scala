@@ -22,6 +22,14 @@ object EvalQueries {
 
   private val k = 5
 
+  /** 1e12-scaled nDCG discounts 1/log2(i+1), computed once here and
+    * embedded as integer literals in BOTH dialects — transcendental-
+    * free at query time, and integer DCG sums cannot be perturbed by
+    * summation order. */
+  private val discE12: Map[Int, Long] = (1 to k).map(i =>
+    i -> Math.round(1e12 * (Math.log(2) / Math.log(i + 1)))).toMap
+  private val idcgE12: Long = (1 to k).map(discE12).sum
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- recall@5 of PQ ADC ranking vs exact cosine top-5 ----
@@ -98,6 +106,101 @@ object EvalQueries {
           .groupBy(col("b.query_id").as("query_id"))
           .agg(count(col("a.candidate_id")).as("n_hits"),
             (count(col("a.candidate_id")) / lit(k.toDouble)).as(s"recall_at_$k"))
+      }),
+
+    // ---- nDCG@5 of the PQ/ADC ranking vs exact cosine: recall@k
+    // (above) scores membership; nDCG scores ORDER — an approximate
+    // index that finds the right 5 neighbors in the wrong order
+    // degrades downstream k-NN weighting even at recall 1.0. Binary
+    // relevance (ADC position i counts iff it is a true top-5
+    // neighbor), discounts 1/log2(i+1) as 1e12-scaled INTEGER
+    // literals computed once in Scala and embedded in both dialects
+    // (the HLL literal-table trick — no transcendentals at query
+    // time, and the DCG sum is an exact integer, so order of
+    // summation cannot perturb it). IDCG = all-relevant = ΣW, a
+    // constant. Same plan shapes as the recall entry. ----
+    QueryDef("q_eval_pq_ndcg", Some {
+      import SimilarityQueries.{pqBaseSql, querySetPred}
+      val caseW = (1 to k).map(i =>
+        s"WHEN ${i} THEN ${discE12(i)}").mkString("CASE a.rnk ", " ", " ELSE 0 END")
+      s"""WITH $pqBaseSql,
+         |nv AS (SELECT vec_id, v, ${normDSql("v")} AS nrm FROM n),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM nv WHERE $querySetPred) q
+         |    JOIN nv c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k),
+         |dtable AS (
+         |  SELECT vec_id AS query_id, subspace, code,
+         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+         |  FROM dists WHERE $querySetPred),
+         |adc AS (
+         |  SELECT dtable.query_id, codes.vec_id AS candidate_id,
+         |    CAST(sum(dtable.d_scaled) AS BIGINT) AS adc_scaled
+         |  FROM codes JOIN dtable
+         |    ON codes.subspace = dtable.subspace AND codes.code = dtable.code
+         |  WHERE codes.vec_id <> dtable.query_id
+         |  GROUP BY dtable.query_id, codes.vec_id),
+         |adc_top AS (
+         |  SELECT query_id, candidate_id, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_scaled, candidate_id) AS rnk FROM adc)
+         |  WHERE rnk <= $k)
+         |SELECT a.query_id,
+         |  CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+         |       THEN $caseW ELSE 0 END) AS BIGINT) AS dcg_e12,
+         |  CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+         |       THEN $caseW ELSE 0 END) AS DOUBLE) / $idcgE12
+         |    AS ndcg_at_$k
+         |FROM adc_top a LEFT JOIN brute b
+         |  ON b.query_id = a.query_id AND b.neighbor_id = a.candidate_id
+         |GROUP BY a.query_id""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{pqBase, querySetPred, vecs}
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val brute = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wB))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        val (dists, codes) = pqBase(s, d)
+        val dtable = dists.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+            floor(col("dist") * 1000000000L).cast("bigint").as("d_scaled"))
+        val adc = codes.select(col("vec_id").as("candidate_id"),
+            col("subspace"), col("code"))
+          .join(broadcast(dtable), Seq("subspace", "code"))
+          .where(col("candidate_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(sum(col("d_scaled")).as("adc_scaled"))
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        val adcTop = adc.withColumn("rnk", row_number().over(wA))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("candidate_id"), col("rnk"))
+        val w = (1 to k).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("a.rnk") === i, lit(discE12(i))).otherwise(acc)
+        }
+        val dcg = sum(when(col("b.neighbor_id").isNotNull, w).otherwise(0L))
+        adcTop.alias("a")
+          .join(brute.alias("b"),
+            col("b.query_id") === col("a.query_id") &&
+              col("b.neighbor_id") === col("a.candidate_id"), "left")
+          .groupBy(col("a.query_id").as("query_id"))
+          .agg(dcg.cast("bigint").as("dcg_e12"),
+            (dcg.cast("double") / lit(idcgE12.toDouble)).as(s"ndcg_at_$k"))
       }),
 
     // ---- language-ID confusion matrix + per-class recall: the
