@@ -203,6 +203,117 @@ object EvalQueries {
             (dcg.cast("double") / lit(idcgE12.toDouble)).as(s"ndcg_at_$k"))
       }),
 
+    // ---- recall@5 vs nprobe for the IVF coarse quantizer: the
+    // quality/cost knob of an inverted-file index measured IN the
+    // engine. For nprobe ∈ {1,2,4}, candidates are the vectors in the
+    // query's nprobe nearest cells (exact integer-scaled centroid
+    // distances — same routing as q_ann_ivfpq_search), scored with
+    // EXACT cosine (so this isolates coarse-quantizer loss from PQ
+    // loss), top-5 per (nprobe, query), then corpus-level recall
+    // against brute force. Routing + per-query candidate frames are
+    // query-set-sized → broadcast; the corpus never shuffles. One row
+    // per nprobe: the curve an operator reads to pick the knob. ----
+    QueryDef("q_eval_ivf_nprobe_recall", Some {
+      import SimilarityQueries.{pqBaseSql, querySetPred}
+      s"""WITH $pqBaseSql,
+         |nv AS (SELECT vec_id, label, v, ${normDSql("v")} AS nrm FROM n),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM nv WHERE $querySetPred) q
+         |    JOIN nv c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k),
+         |qcnt AS (SELECT count(*) AS nq FROM nv WHERE $querySetPred),
+         |route AS (
+         |  SELECT query_id, cell, probe_rank FROM (
+         |    SELECT vec_id AS query_id, code AS cell,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d_cell, code) AS probe_rank
+         |    FROM (SELECT vec_id, code,
+         |            CAST(sum(CAST(floor(dist * 1000000000) AS BIGINT)) AS BIGINT) AS d_cell
+         |          FROM dists WHERE $querySetPred GROUP BY vec_id, code))
+         |  WHERE probe_rank <= 4),
+         |cand AS (
+         |  SELECT r.query_id, r.probe_rank, c.vec_id AS candidate_id,
+         |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS sim
+         |  FROM route r
+         |  JOIN nv c ON c.label = r.cell AND c.vec_id <> r.query_id
+         |  JOIN nv q ON q.vec_id = r.query_id),
+         |ivftop AS (
+         |  SELECT np, query_id, candidate_id FROM (
+         |    SELECT nps.np, c2.query_id, c2.candidate_id,
+         |      row_number() OVER (PARTITION BY nps.np, c2.query_id
+         |        ORDER BY c2.sim DESC, c2.candidate_id) AS rnk
+         |    FROM cand c2
+         |    JOIN (SELECT CAST(1 AS BIGINT) AS np UNION ALL SELECT 2
+         |          UNION ALL SELECT 4) nps
+         |      ON c2.probe_rank <= nps.np)
+         |  WHERE rnk <= $k)
+         |SELECT i.np, CAST(count(b.neighbor_id) AS BIGINT) AS hits,
+         |  count(b.neighbor_id) / (${k}.0 * qcnt.nq) AS recall_at_$k
+         |FROM ivftop i
+         |LEFT JOIN brute b ON b.query_id = i.query_id
+         |  AND b.neighbor_id = i.candidate_id
+         |CROSS JOIN qcnt
+         |GROUP BY i.np, qcnt.nq""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{pqBase, querySetPred, vecs}
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val brute = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wB))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        val qcnt = q.agg(count(lit(1)).as("nq"))
+        val (dists, _) = pqBase(s, d)
+        val routeW = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d_cell").asc, col("code").asc)
+        val route = dists.where(expr(querySetPred))
+          .groupBy(col("vec_id"), col("code"))
+          .agg(sum(floor(col("dist") * 1000000000L).cast("bigint")).as("d_cell"))
+          .withColumn("probe_rank", row_number().over(routeW))
+          .where(col("probe_rank") <= 4)
+          .select(col("vec_id").as("query_id"), col("code").as("cell"),
+            col("probe_rank"))
+        val cand = n.select(col("vec_id").as("candidate_id"), col("label"),
+            col("v").as("cv"), col("nrm").as("cn"))
+          .join(broadcast(route), col("label") === col("cell") &&
+            col("candidate_id") =!= col("query_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .select(col("query_id"), col("probe_rank"), col("candidate_id"),
+            col("sim"))
+        val wI = Window.partitionBy(col("np"), col("query_id"))
+          .orderBy(col("sim").desc, col("candidate_id").asc)
+        val ivfTop = cand
+          .withColumn("np", explode(array(lit(1L), lit(2L), lit(4L))))
+          .where(col("probe_rank") <= col("np"))
+          .withColumn("rnk", row_number().over(wI))
+          .where(col("rnk") <= k)
+          .select(col("np"), col("query_id"), col("candidate_id"))
+        ivfTop.alias("i")
+          .join(brute.alias("b"),
+            col("b.query_id") === col("i.query_id") &&
+              col("b.neighbor_id") === col("i.candidate_id"), "left")
+          .crossJoin(broadcast(qcnt))
+          .groupBy(col("i.np").as("np"), col("nq"))
+          .agg(count(col("b.neighbor_id")).as("hits"))
+          .select(col("np"), col("hits"),
+            (col("hits") / (lit(k.toDouble) * col("nq"))).as(s"recall_at_$k"))
+      }),
+
     // ---- language-ID confusion matrix + per-class recall: the
     // classifier-audit twin of q_text_langid, built by COMPOSING the
     // catalog — both the Spark plan and the oracle wrap the langid

@@ -393,6 +393,74 @@ object EventAnalyticsQueries {
           t.as("t_stat"), (abs(t) > 1.96).as("significant"))
       }),
 
+    // ---- chi-square independence audit: event type × day-of-week
+    // contingency table, the categorical sibling of the Welch's t
+    // entry (is traffic mix stable across weekdays, or does a segment
+    // behave differently on weekends?). Day-of-week is pure integer
+    // micros arithmetic (no calendar functions). The cell frame is
+    // |types|×7 regardless of data size, so after ONE bounded partial
+    // aggregate every remaining window runs over ≤ dozens of rows.
+    // Per-cell χ² terms use the exact identity
+    // (obs·N − R·C)² / (N·R·C): the numerator is an exact
+    // HUGEINT/DECIMAL(38,0) integer (int64 would wrap at sf0.1), one
+    // division per cell, then the scaled-sum parity pattern
+    // (floor(x·1e9 + 0.5) integers) makes the global χ² an exact
+    // integer sum no float ordering can perturb. ----
+    QueryDef("q_events_chi_square", Some(
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    ((epoch_us(ts) // $usPerDay) + 4) % 7 AS dow FROM events),
+         |o AS (
+         |  SELECT event_type, dow, count(*) AS obs FROM e
+         |  GROUP BY event_type, dow),
+         |t AS (
+         |  SELECT event_type, dow, obs,
+         |    CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+         |    CAST(sum(obs) OVER (PARTITION BY dow) AS BIGINT) AS c,
+         |    CAST(sum(obs) OVER () AS BIGINT) AS n
+         |  FROM o),
+         |x AS (
+         |  SELECT event_type, dow, obs, r, c, n,
+         |    CAST(floor(CAST(r * c AS DOUBLE) / n * 1000000 + 0.5) AS BIGINT)
+         |      AS expected_e6,
+         |    CAST(floor(
+         |      CAST((CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+         |         * (CAST(obs AS HUGEINT) * n - CAST(r AS HUGEINT) * c) AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * r * c) * 1000000000 + 0.5) AS BIGINT)
+         |      AS contrib_e9
+         |  FROM t)
+         |SELECT event_type, CAST(dow AS BIGINT) AS dow, obs AS observed,
+         |  expected_e6, contrib_e9,
+         |  CAST(sum(contrib_e9) OVER () AS BIGINT) AS chi2_e9
+         |FROM x""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("event_type"),
+            ((expr(s"unix_micros(ts) DIV $usPerDay") + 4) % 7).as("dow"))
+        val o = e.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("obs"))
+        val t = o
+          .withColumn("r",
+            sum(col("obs")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("c",
+            sum(col("obs")).over(Window.partitionBy(col("dow"))))
+          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+        val dev = col("obs").cast("decimal(38,0)") * col("n") -
+          col("r").cast("decimal(38,0)") * col("c")
+        val x = t
+          .withColumn("expected_e6",
+            floor((col("r") * col("c")).cast("double") / col("n")
+              * 1000000 + 0.5).cast("bigint"))
+          .withColumn("contrib_e9",
+            floor((dev * dev).cast("double")
+              / (col("n").cast("double") * col("r") * col("c"))
+              * 1000000000 + 0.5).cast("bigint"))
+        x.select(col("event_type"), col("dow").cast("bigint").as("dow"),
+          col("obs").as("observed"), col("expected_e6"), col("contrib_e9"),
+          sum(col("contrib_e9")).over(Window.partitionBy())
+            .cast("bigint").as("chi2_e9"))
+      }),
+
     // ---- lag-k autocorrelation of the daily series (k = 1 and 7):
     // the seasonality detector a monitoring pipeline runs on every
     // metric — weekly periodicity shows up as high lag-7 ACF. The
