@@ -743,6 +743,63 @@ object AggregateQueries {
             (col("s1") / 16.0 / 100.0).as("boot_mean"),
             (sqrt((col("s2") - col("s1") * col("s1") / 16.0) / 15.0) / 100.0)
               .as("boot_se"))
+      }),
+
+    // ---- WEIGHTED median per group (weight = quantity, value =
+    // price): the lower weighted median is the smallest value whose
+    // cumulative weight reaches half the group total — the summary a
+    // volume-weighted pricing report needs where the plain median
+    // over-counts single-unit lines. Same histogram-rank shape as
+    // q_agg_winsorize but the histogram carries sum(weight) instead of
+    // count(*): one full-data shuffle builds the weighted histogram,
+    // the sharded two-phase cumsum ranks it (parallelism scales with
+    // the value range, not the group count), and 2·cum ≥ total picks
+    // the boundary with zero divisions. Quantities are integral by
+    // fixture contract, so CAST is exact. ----
+    QueryDef("q_agg_weighted_median", Some(
+      """WITH t AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |h AS (SELECT rf, cents, CAST(sum(w) AS BIGINT) AS w
+        |      FROM t GROUP BY rf, cents),
+        |r AS (
+        |  SELECT rf, cents,
+        |    CAST(sum(w) OVER (PARTITION BY rf ORDER BY cents) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY rf) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT rf, CAST(min(tot) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN 2 * cum >= tot THEN cents END) / 100.0
+        |    AS weighted_median
+        |FROM r GROUP BY rf""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val h = Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+              .as("cents"),
+            col("l_quantity").cast("bigint").as("w"))
+          .groupBy(col("rf"), col("cents")).agg(sum(col("w")).as("w"))
+          .withColumn("shard", expr("cents DIV 65536"))
+        val wLoc = Window.partitionBy(col("rf"), col("shard"))
+          .orderBy(col("cents"))
+        val local = h.withColumn("lcum", sum(col("w")).over(wLoc))
+        val wSh = Window.partitionBy(col("rf")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.partitionBy(col("rf"))
+        val offs = h.groupBy(col("rf"), col("shard"))
+          .agg(sum(col("w")).as("stot"))
+          .withColumn("off", coalesce(sum(col("stot")).over(wSh), lit(0L)))
+          .withColumn("tot", sum(col("stot")).over(wAll))
+          .select(col("rf"), col("shard"), col("off"), col("tot"))
+        local.join(broadcast(offs), Seq("rf", "shard"))
+          .withColumn("cum", col("lcum") + col("off"))
+          .groupBy(col("rf"))
+          .agg(min(col("tot")).cast("bigint").as("total_weight"),
+            (min(when(lit(2) * col("cum") >= col("tot"), col("cents")))
+              / 100.0).as("weighted_median"))
       })
   )
 

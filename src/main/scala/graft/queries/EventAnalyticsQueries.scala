@@ -747,6 +747,203 @@ object EventAnalyticsQueries {
           .agg(sum(col("cnt")).cast("bigint").as("n_intervals"),
             count(lit(1)).cast("bigint").as("n_islands"),
             sum(col("ien") - col("ist")).cast("bigint").as("covered_us"))
+      }),
+
+    // ---- last-touch attribution: each purchase is credited to the
+    // user's most recent click no older than 7 days, else 'organic' —
+    // the marketing-attribution join every event warehouse answers.
+    // Shape: ONE user-partitioned window over only the click+purchase
+    // subset (filter pushed below the shuffle); the strictly-before
+    // last-click time is max(CASE WHEN click THEN tus END) over ROWS
+    // UNBOUNDED..1 PRECEDING (max ignores NULLs in both engines, and
+    // the (tus, event_id) order is total so the prefix is identical).
+    // No per-conversion as-of join: the LOCF-style running max carries
+    // the same answer in a single pass. Money in exact cents. ----
+    QueryDef("q_events_attribution", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |t AS (
+         |  SELECT event_type, tus, cents,
+         |    max(CASE WHEN event_type = 'click' THEN tus END)
+         |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS last_click_tus
+         |  FROM e)
+         |SELECT CASE WHEN last_click_tus IS NOT NULL
+         |            AND tus - last_click_tus <= ${7 * usPerDay}
+         |       THEN 'click' ELSE 'organic' END AS channel,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS cents,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+        val before = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("last_click_tus",
+            max(when(col("event_type") === "click", col("tus"))).over(before))
+          .where(col("event_type") === "purchase")
+          .groupBy(
+            when(col("last_click_tus").isNotNull
+              && col("tus") - col("last_click_tus") <= lit(7L * usPerDay),
+              "click").otherwise("organic").as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).cast("bigint").as("cents"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      }),
+
+    // ---- cumulative reach: distinct users ever seen, by day — the
+    // audience-growth curve. Exact without any distinct-over-window:
+    // each user collapses to their FIRST-seen day (one hash agg over
+    // |users| keys), new-user counts land on |days| rows, and the
+    // running total is a window over that bounded frame (days grow
+    // with calendar time, not data volume — at 100 TB this window is
+    // still a few thousand rows). ----
+    QueryDef("q_events_cum_reach", Some(
+      s"""WITH f AS (
+         |  SELECT user_id, min(epoch_us(ts) // $usPerDay) AS first_day
+         |  FROM events GROUP BY user_id),
+         |n AS (SELECT first_day AS day, count(*) AS new_users
+         |      FROM f GROUP BY first_day)
+         |SELECT day, new_users,
+         |  CAST(sum(new_users) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_users
+         |FROM n""".stripMargin))(
+      (s, d) => {
+        val f = Tables(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(min(expr(s"unix_micros(ts) DIV $usPerDay")).as("first_day"))
+        val n = f.groupBy(col("first_day").as("day"))
+          .agg(count(lit(1)).as("new_users"))
+        n.withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"))
+      }),
+
+    // ---- Gini coefficient of revenue concentration across purchasing
+    // users — the inequality summary ("do 1% of users drive 90% of
+    // revenue?") behind sampling and capping decisions. Exact rational
+    // arithmetic via the rank-sum identity: for per-user cents x sorted
+    // ascending, 2·Σ i·x_i = Σ_v v·c·(2·cum − c + 1) over the DISTINCT-
+    // value frame (ties share a value, so any tie order gives the same
+    // sum), then G = (2Σi·x_i − (n+1)·Σx) / (n·Σx) with one final
+    // double division. The cumsum runs on the sharded two-phase
+    // pattern (per-shard window + broadcast shard offsets), so no
+    // global sort even with billions of users; products go through
+    // DECIMAL(38,0) (v·c·cum can pass int64 at scale). ----
+    QueryDef("q_events_gini", Some(
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |g AS (SELECT cents AS v, count(*) AS c FROM u GROUP BY cents),
+        |r AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM g),
+        |a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(CAST(v AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS s,
+        |        CAST(sum(CAST(v AS DECIMAL(38,0)) * c * (2*cum - c + 1))
+        |          AS DECIMAL(38,0)) AS s2
+        |      FROM r)
+        |SELECT n AS n_users, CAST(s AS BIGINT) AS total_cents,
+        |  CASE WHEN n = 0 OR s = 0 THEN NULL
+        |       ELSE CAST(s2 - (n+1)*s AS DOUBLE)
+        |            / CAST(n * s AS DOUBLE) END AS gini
+        |FROM a""".stripMargin))(
+      (s, d) => {
+        val u = Tables(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        val g = u.groupBy(col("cents").as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("shard", expr("v DIV 65536"))
+        // sharded two-phase cumsum (q_eval_auc pattern): local window
+        // within a value-range shard, then broadcast shard offsets
+        val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
+        val local = g.withColumn("lcum", sum(col("c")).over(wLoc))
+        val wSh = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy(col("shard")).agg(sum(col("c")).as("tot"))
+          .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
+          .select(col("shard"), col("off"))
+        val r = local.join(broadcast(offs), "shard")
+          .withColumn("cum", col("lcum") + col("off"))
+        val dv = col("v").cast("decimal(38,0)")
+        r.agg(sum(col("c")).cast("bigint").as("n"),
+            sum(dv * col("c")).cast("decimal(38,0)").as("s"),
+            sum(dv * col("c") * (lit(2) * col("cum") - col("c") + 1))
+              .cast("decimal(38,0)").as("s2"))
+          .select(col("n").as("n_users"),
+            col("s").cast("bigint").as("total_cents"),
+            when(col("n") === 0 || col("s") === 0, lit(null))
+              .otherwise((col("s2") - (col("n") + 1) * col("s")).cast("double")
+                / (col("n") * col("s")).cast("double")).as("gini"))
+      }),
+
+    // ---- top session paths: 30-minute-gap sessions (the engine's
+    // standing sessionization convention), each session rendered as
+    // its ordered event-type path, top 10 paths by frequency with a
+    // total (count DESC, path ASC) order so the LIMIT is
+    // deterministic in both engines. Spark has no ordered string_agg,
+    // so the path is built order-free: sort_array over
+    // (tus, event_id, type) structs — lexicographic struct order IS
+    // the session order — then transform + array_join; sessions are
+    // bounded by the gap rule, so the collected array is small by
+    // construction, never corpus-sized. ----
+    QueryDef("q_events_top_paths", Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN tus - lag(tus)
+        |      OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |ss AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS sess
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+        |  FROM ss GROUP BY user_id, sess)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 10""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"))
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus").asc, col("event_id").asc)
+        val sess = e
+          .withColumn("brk",
+            when(col("tus") - lag(col("tus"), 1).over(ord) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum(col("brk")).over(
+            ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sess.groupBy(col("user_id"), col("sess"))
+          .agg(array_join(
+            transform(
+              sort_array(collect_list(struct(col("tus"), col("event_id"),
+                col("event_type").as("t")))),
+              x => x.getField("t")), ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(10)
       })
   )
 }

@@ -511,10 +511,51 @@ object FuzzQueries {
             expr(s"CAST(max($e2) AS BIGINT) AS mx")))
   }
 
+  // ---- rollup/cube family: filter → multi-level grouping → pinned
+  // aggregates — the tenth tier, probing the Expand-based grouping-
+  // sets rewrite from generated text. Keys are STRINGS only (a raw
+  // flag column plus a derived CASE band), so the rolled-up NULL
+  // markers land as object-dtype None on both sides of the driver's
+  // pandas hash — no int-with-NULL width question. The DataFrame
+  // side renders .rollup()/.cube() (same Expand plan Spark gives the
+  // SQL text); DuckDB runs the generated ROLLUP/CUBE clause.
+  // Predicates are MODULO-ONLY (the bits-tier rule) and additionally
+  // load-bearing here: on EMPTY input DuckDB's ROLLUP emits the
+  // standard grand-total row while Spark emits zero rows, so a
+  // nothing-selecting predicate is a false dialect mismatch, not a
+  // bug in either engine. ----
+
+  private def genRollup(i: Int): QueryDef = {
+    val rnd = new Random(seed * 982451653L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val k1 = pick(rnd, Vector("l_returnflag", "l_linestatus"))
+    val lo = 10 + rnd.nextInt(20)
+    val caseExpr = s"CASE WHEN l_quantity < $lo THEN 'lo' " +
+      s"WHEN l_quantity < ${lo + 10 + rnd.nextInt(10)} THEN 'mid' " +
+      "ELSE 'hi' END"
+    val ags = aggs(rnd)
+    val useCube = i % 2 == 1
+    val op = if (useCube) "CUBE" else "ROLLUP"
+    val sql =
+      s"""SELECT $k1, $caseExpr AS qb, ${ags.mkString(", ")}
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY $op ($k1, $caseExpr)""".stripMargin
+    QueryDef(f"q_fuzzr_$i%02d", Some(sql))(
+      (s, d) => {
+        val base = Tables(s, d, "lineitem").where(pred)
+        val g =
+          if (useCube) base.cube(col(k1), expr(s"$caseExpr AS qb"))
+          else base.rollup(col(k1), expr(s"$caseExpr AS qb"))
+        g.agg(expr(ags.head), ags.tail.map(expr): _*)
+      })
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
-      (0 until 6).map(genBits)
+      (0 until 6).map(genBits) ++ (0 until 6).map(genRollup)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.TextOps.{h32, h32Sql}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Migration-validation operators — the checks a user of the
@@ -436,8 +437,153 @@ object MigrationQueries {
             (col("lin") - col("zor")).cast("bigint").as("metric"),
             (col("lin") >= col("zor")).as("passed"))
         con.unionByName(bat).unionByName(z)
+      }),
+
+    // ---- CDC changelog apply: materialize the current snapshot from
+    // a base load plus an ordered change stream (I/U/D records with a
+    // per-key sequence) — the incremental half of the migrator's job
+    // once the bulk copy lands. Last-writer-wins per key is a
+    // primitive max(seq) hash aggregate plus a key-co-partitioned
+    // shuffled-hash join back to the log (no rank window, no sort
+    // aggregate — both would sort every key group), then deletes drop
+    // out. The fixture's
+    // changelog is modeled from orders in a single scan (conditional
+    // per-row record arrays + one explode — the SCD2-merge discipline,
+    // never one scan per op type): updates at keys ≡0 (mod 5) and a
+    // second update wave at ≡0 (mod 35), deletes at ≡0 (mod 11); a
+    // real changelog table plugs in with the identical apply plan.
+    // Money stays in exact integer cents (updates are +cents deltas,
+    // not FP multiplies). ----
+    QueryDef("q_migrate_cdc_apply", Some(
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+        |    o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', 'U1',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 500
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'U2',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 1000
+        |  FROM orders WHERE o_orderkey % 35 = 0),
+        |last AS (
+        |  SELECT k, seq, op, status, cents,
+        |    row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM log)
+        |SELECT k AS o_orderkey, op AS last_op, status, cents,
+        |  CAST(seq AS BIGINT) AS version
+        |FROM last WHERE rn = 1 AND op <> 'D'""".stripMargin))(
+      (s, d) => {
+        // last-writer-wins: max(seq) is a pure-primitive HashAggregate
+        // (max_by over the record struct would fall back to
+        // SortAggregate), then join back on the key — both sides hash-
+        // partitioned on k, and the shuffle_hash hint keeps the probe
+        // sort-free, so the whole apply is shuffles + hash ops only
+        val log = cdcLog(s, d)
+        val latest = log.groupBy(col("k")).agg(max(col("seq")).as("mseq"))
+          .withColumnRenamed("k", "lk")
+        log.join(latest.hint("shuffle_hash"),
+            col("k") === col("lk") && col("seq") === col("mseq"))
+          .where(col("op") =!= "D")
+          .select(col("k").as("o_orderkey"), col("op").as("last_op"),
+            col("status"), col("cents"),
+            col("seq").cast("bigint").as("version"))
+      }),
+
+    // ---- inclusion-dependency profiling: for each candidate
+    // child→parent column pair, what fraction of the child's DISTINCT
+    // values exist in the parent — the FK-discovery pre-flight a
+    // migrator runs on an undocumented schema before trusting join
+    // keys (coefficient 1.0 = containment holds; the deliberate
+    // negative pair shows a non-key). Each pair is distinct-child (one
+    // hash agg) + LEFT SEMI join against the parent keys — never a
+    // row-level join of the full tables — so cost scales with distinct
+    // key counts. The single FP division is exact-integer ÷
+    // exact-integer, correctly rounded in both engines. ----
+    QueryDef("q_profile_inclusion", Some {
+      def pairSql(pair: String, child: String, ckey: String,
+          parent: String, pkey: String) =
+        s"""SELECT '$pair' AS pair,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $ckey FROM $child))
+           |    AS n_child,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $ckey FROM $child) c
+           |     WHERE EXISTS (SELECT 1 FROM $parent p
+           |                   WHERE p.$pkey = c.$ckey)) AS n_matched""".stripMargin
+      s"""WITH pairs AS (
+         |${pairSql("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${pairSql("lineitem.l_partkey->part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${pairSql("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${pairSql("orders.o_custkey->part.p_partkey",
+            "orders", "o_custkey", "part", "p_partkey")})
+         |SELECT pair, n_child, n_matched,
+         |  CAST(n_matched AS DOUBLE) / n_child AS coefficient
+         |FROM pairs""".stripMargin
+    })(
+      (s, d) => {
+        def pair(name: String, child: String, ckey: String,
+            parent: String, pkey: String) = {
+          val ck = Tables(s, d, child).select(col(ckey)).distinct()
+          val matched = ck.join(Tables(s, d, parent),
+              col(ckey) === col(pkey), "left_semi")
+            .agg(count(lit(1)).as("n_matched"))
+          ck.agg(count(lit(1)).as("n_child"))
+            .crossJoin(matched)
+            .select(lit(name).as("pair"), col("n_child"), col("n_matched"),
+              (col("n_matched").cast("double") / col("n_child"))
+                .as("coefficient"))
+        }
+        pair("lineitem.l_orderkey->orders.o_orderkey",
+            "lineitem", "l_orderkey", "orders", "o_orderkey")
+          .unionAll(pair("lineitem.l_partkey->part.p_partkey",
+            "lineitem", "l_partkey", "part", "p_partkey"))
+          .unionAll(pair("orders.o_custkey->customer.c_custkey",
+            "orders", "o_custkey", "customer", "c_custkey"))
+          .unionAll(pair("orders.o_custkey->part.p_partkey",
+            "orders", "o_custkey", "part", "p_partkey"))
       })
   )
+
+  /** The modeled CDC changelog (flat: k, seq, op, status, cents) —
+    * one scan, each base row emits its full per-key log slice via
+    * conditional record arrays + one explode. Shared by the
+    * q_migrate_cdc_apply entry and the streaming CDC test (the
+    * stream replays exactly this log through `CdcStream.apply`). */
+  private[graft] def cdcLog(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables(s, d, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"))
+    def rec(seq: Int, op: String, status: Column, cents: Column) =
+      struct(lit(seq).as("seq"), lit(op).as("op"),
+        status.cast("string").as("status"),
+        cents.cast("bigint").as("cents"))
+    val emptyRec =
+      array().cast("array<struct<seq:int,op:string,status:string,cents:bigint>>")
+    base.select(col("k"), explode(concat(
+        array(rec(0, "I", col("status"), col("cents"))),
+        when(pmod(col("k"), lit(5L)) === 0,
+          array(rec(1, "U", lit("U1"), col("cents") + 500)))
+          .otherwise(emptyRec),
+        when(pmod(col("k"), lit(11L)) === 0,
+          array(rec(2, "D", lit(null), lit(null))))
+          .otherwise(emptyRec),
+        when(pmod(col("k"), lit(35L)) === 0,
+          array(rec(3, "U", lit("U2"), col("cents") + 1000)))
+          .otherwise(emptyRec))).as("r"))
+      .select(col("k"), col("r.seq").as("seq"), col("r.op").as("op"),
+        col("r.status").as("status"), col("r.cents").as("cents"))
+  }
 
   /** The export-batching DuckDB twin — also reused by the readiness
     * e2e. */

@@ -284,4 +284,51 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     assert(sorts.isEmpty, s"audit must not sort:\n$plan")
   }
+
+  test("CDC apply: last-writer-wins is a hash aggregate, never a rank window") {
+    // the changelog can be petabyte-scale; the apply must be a
+    // partial+final max_by aggregate (one shuffle on the key, map-side
+    // combine), not row_number-over-key — a window would sort every
+    // key group just to keep one row
+    val df = Catalog.byName("q_migrate_cdc_apply").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"LWW must not window:\n$plan")
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(aggs.nonEmpty, s"LWW must be a hash aggregate:\n$plan")
+    val sortAggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(sortAggs.isEmpty, s"LWW fell back to a sort aggregate:\n$plan")
+    val sorts = collectAll(plan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }
+    assert(sorts.isEmpty, s"apply must be sort-free end to end:\n$plan")
+  }
+
+  test("attribution: one user-partitioned window, type filter pushed to scan") {
+    // the running last-click max is a single pass over the
+    // click+purchase subset; the event-type filter must reach the
+    // parquet scan so the window never sees the other event types
+    val df = Catalog.byName("q_events_attribution").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1, s"expected exactly one window:\n$plan")
+    assert(windows.head.partitionSpec.nonEmpty,
+      s"attribution window must be user-partitioned:\n$plan")
+    val scan = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PushedFilters").contains("In(event_type"),
+      s"type filter not pushed: ${scan.metadata("PushedFilters")}")
+  }
 }

@@ -672,4 +672,38 @@ class StreamingSpec extends SparkSpecBase {
       .sorted.toSeq
     assert(got === want)
   }
+
+  test("streaming CDC apply: latest emission per key equals the batch snapshot") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.CdcRecord
+    // the same modeled changelog the batch entry applies, replayed in
+    // seq order across micro-batches (base load, then two change waves)
+    val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
+      .as[CdcRecord].collect()
+    val input = MemoryStream[CdcRecord]
+    val q = CdcStream(input.toDS()).writeStream
+      .format("memory").queryName("cdc_out")
+      .outputMode("update")
+      .start()
+    input.addData(log.filter(_.seq == 0).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(log.filter(r => r.seq == 1 || r.seq == 2).toIndexedSeq)
+    q.processAllAvailable()
+    // replay part of wave 2 plus the final wave: stale seqs must lose
+    input.addData(log.filter(r => r.seq == 2 || r.seq == 3).toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("cdc_out").as[CdcRecord].collect()
+      .groupBy(_.k).map { case (_, rs) => rs.maxBy(_.seq) }
+      .filter(_.op != "D")
+      .map(r => (r.k, r.op, r.status, r.cents.getOrElse(-1L), r.seq.toLong))
+      .toSeq.sorted
+    q.stop()
+    val want = Catalog.byName("q_migrate_cdc_apply").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
 }
