@@ -502,6 +502,58 @@ object AggregateQueries {
     QueryDef("q_profile_constraints", Some(constraintsSql))(
       (s, d) => constraintsReport(s, d)),
 
+    // ---- most-common-values profile (optimizer MCV statistics): the
+    // top-5 values per profiled column with counts, fractions, and
+    // the column's distinct count — the companion to
+    // q_agg_decile_bounds for categorical/discrete columns, and what
+    // a cost model consults before picking join sides. One pruned
+    // single-column scan per column (the q_profile_columns lesson:
+    // faster than a stack()/Expand over the whole row), histograms
+    // unioned, and the rank window runs over the per-column HISTOGRAM
+    // (|distinct values| rows), never over the table. The
+    // (cnt DESC, val ASC) order is total, so the top-5 cut is
+    // deterministic in both engines. ----
+    QueryDef("q_profile_mfv", Some(
+      """WITH vals AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        |h AS (SELECT col_name, val, count(*) AS cnt FROM vals GROUP BY 1, 2),
+        |tot AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n,
+        |          count(*) AS n_distinct
+        |        FROM h GROUP BY col_name),
+        |r AS (SELECT h.*, row_number() OVER (PARTITION BY col_name
+        |        ORDER BY cnt DESC, val) AS rk FROM h)
+        |SELECT r.col_name, CAST(r.rk AS BIGINT) AS rank, r.val, r.cnt,
+        |  CAST(r.cnt AS DOUBLE) / t.n AS frac, t.n_distinct
+        |FROM r JOIN tot t ON t.col_name = r.col_name
+        |WHERE r.rk <= 5""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def colVals(name: String, c: Column) =
+          Tables(s, d, "orders").select(lit(name).as("col_name"),
+            c.cast("string").as("val"))
+        val h = colVals("o_orderstatus", col("o_orderstatus"))
+          .unionAll(colVals("o_orderpriority", col("o_orderpriority")))
+          .unionAll(colVals("o_custkey", col("o_custkey")))
+          .groupBy(col("col_name"), col("val"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = h.groupBy(col("col_name"))
+          .agg(sum(col("cnt")).cast("bigint").as("n"),
+            count(lit(1)).as("n_distinct"))
+        h.withColumn("rk", row_number().over(
+            Window.partitionBy(col("col_name"))
+              .orderBy(col("cnt").desc, col("val").asc)))
+          .where(col("rk") <= 5)
+          .join(broadcast(tot), "col_name")
+          .select(col("col_name"), col("rk").cast("bigint").as("rank"),
+            col("val"), col("cnt"),
+            (col("cnt").cast("double") / col("n")).as("frac"),
+            col("n_distinct"))
+      }),
+
     // ---- salted exact distinct for HOT group keys: l_returnflag has
     // ---- salted exact distinct for HOT group keys: l_returnflag has
     // 3 values over the whole fact table, so a naive per-group

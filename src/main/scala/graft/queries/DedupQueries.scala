@@ -78,6 +78,42 @@ object DedupQueries {
   private def jaccardSqlPair =
     s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 
+  /** The LSH-cluster CTE chain (shingles → signatures → bands →
+    * verified pairs → symmetric edges → recursive reachability) and
+    * the final labeling select — factored so q_dedup_canonical can
+    * compose the SAME oracle text under additional CTEs (a nested
+    * WITH RECURSIVE cannot be embedded as a subquery CTE). */
+  private lazy val clustersPairsCte: String =
+    s"""${shinglesCte.stripPrefix("WITH ")},
+       |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
+       |bands AS (${(0 until numBands).map { b =>
+      s"(SELECT doc_id, $b AS band, array_to_string(sig[${b * bandRows + 1}:${(b + 1) * bandRows}], '_') AS key FROM sig)"
+    }.mkString("\nUNION ALL\n")}),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |),
+       |pairs AS (
+       |  SELECT cand.da, cand.db
+       |  FROM cand JOIN sh a ON a.doc_id = cand.da JOIN sh b ON b.doc_id = cand.db
+       |  WHERE $jaccardSqlPair >= $jaccardThreshold
+       |),
+       |edges AS (SELECT da AS a, db AS b FROM pairs
+       |          UNION ALL SELECT db AS a, da AS b FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)""".stripMargin
+
+  private lazy val clustersSelect: String =
+    """SELECT d.doc_id,
+      |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
+      |  (least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id) AS is_keeper
+      |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |GROUP BY d.doc_id""".stripMargin
+
   /** Block count B for the triangle-blocked exact embedding join
     * (`q_dedup_embedding`). The join fans out to B(B+1)/2 block-pair
     * tasks, so the default is the smallest B whose task count covers
@@ -482,37 +518,9 @@ object DedupQueries {
     // test). cluster_id = min doc_id of the component; keepers are the
     // dedup survivors. The oracle computes the same components with a
     // recursive-CTE transitive closure. ----
-    QueryDef("q_dedup_clusters", Some {
-      val pairsSql =
-        s"""${shinglesCte.stripPrefix("WITH ")},
-           |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
-           |bands AS (${(0 until numBands).map { b =>
-          s"(SELECT doc_id, $b AS band, array_to_string(sig[${b * bandRows + 1}:${(b + 1) * bandRows}], '_') AS key FROM sig)"
-        }.mkString("\nUNION ALL\n")}),
-           |cand AS (
-           |  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-           |),
-           |pairs AS (
-           |  SELECT cand.da, cand.db
-           |  FROM cand JOIN sh a ON a.doc_id = cand.da JOIN sh b ON b.doc_id = cand.db
-           |  WHERE $jaccardSqlPair >= $jaccardThreshold
-           |),
-           |edges AS (SELECT da AS a, db AS b FROM pairs
-           |          UNION ALL SELECT db AS a, da AS b FROM pairs),
-           |reach AS (
-           |  SELECT a, b FROM edges
-           |  UNION
-           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-           |)""".stripMargin
-      s"""WITH RECURSIVE $pairsSql
-         |SELECT d.doc_id,
-         |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
-         |  (least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id) AS is_keeper
-         |FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-         |GROUP BY d.doc_id""".stripMargin
-    })(
+    QueryDef("q_dedup_clusters", Some(
+      s"""WITH RECURSIVE $clustersPairsCte
+         |$clustersSelect""".stripMargin))(
       (s, d) => {
         // reuse the minhash-LSH pair pipeline for the edge set
         val sh = docShingles(s, d).persist()
@@ -834,6 +842,52 @@ object DedupQueries {
             coalesce(col("n_kept"), lit(0L)).as("n_kept"),
             (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
             coalesce(col("clean_text"), lit("")).as("clean_text"))
+      }),
+
+    // ---- canonical selection per duplicate cluster: the release
+    // keep-list — for every LSH cluster keep its LONGEST member
+    // (n_chars, tie → smallest doc_id), the standard near-dup
+    // remediation heuristic (the longest variant usually subsumes the
+    // truncated copies). Composes q_dedup_clusters on BOTH the plan
+    // and oracle side, so the keep-list can never drift from the
+    // clustering it reads. The argmax is the engine's sort-free
+    // shape: (n_chars, doc_id) packed into ONE order-preserving
+    // BIGINT (n_chars·2^33 − doc_id — injective while doc_id < 2^33),
+    // so the per-cluster winner is a primitive max() HashAggregate
+    // plus a join-back on the encoded value — no rank window, no
+    // struct-buffer SortAggregate (the q_migrate_cdc_apply lesson). ----
+    QueryDef("q_dedup_canonical", Some(
+      s"""WITH RECURSIVE $clustersPairsCte,
+         |cl AS ($clustersSelect),
+         |m AS (
+         |  SELECT cl.cluster_id, d.doc_id, d.n_chars,
+         |    d.n_chars * 8589934592 - d.doc_id AS enc
+         |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+         |best AS (
+         |  SELECT cluster_id, CAST(max(enc) AS BIGINT) AS benc,
+         |    count(*) AS sz
+         |  FROM m GROUP BY cluster_id)
+         |SELECT b.cluster_id,
+         |  m.doc_id AS keeper_doc_id,
+         |  m.n_chars AS keeper_n_chars,
+         |  CAST(b.sz AS BIGINT) AS cluster_size,
+         |  CAST(b.sz - 1 AS BIGINT) AS n_removed
+         |FROM best b
+         |JOIN m ON m.cluster_id = b.cluster_id AND m.enc = b.benc""".stripMargin))(
+      (s, d) => {
+        val cl = defs.find(_.name == "q_dedup_clusters").get.fn(s, d)
+        val m = cl.join(Tables(s, d, "documents")
+            .select(col("doc_id"), col("n_chars")), "doc_id")
+          .select(col("cluster_id"), col("doc_id"), col("n_chars"),
+            (col("n_chars") * 8589934592L - col("doc_id")).as("enc"))
+        val best = m.groupBy(col("cluster_id"))
+          .agg(max(col("enc")).as("benc"), count(lit(1)).as("sz"))
+        best.join(m, best("cluster_id") === m("cluster_id")
+            && best("benc") === m("enc"))
+          .select(best("cluster_id"), col("doc_id").as("keeper_doc_id"),
+            col("n_chars").as("keeper_n_chars"),
+            col("sz").cast("bigint").as("cluster_size"),
+            (col("sz") - 1).cast("bigint").as("n_removed"))
       })
   )
 }

@@ -552,10 +552,56 @@ object FuzzQueries {
       })
   }
 
+  // ---- RANGE-frame window family: value-based frames over integer
+  // cents — the eleventh tier. RANGE frames are tie-order-invariant
+  // BY DEFINITION (peers share the frame), so unlike the ROWS tier no
+  // per-shape invariance argument is needed; what this tier probes is
+  // the frame-boundary arithmetic itself (peer inclusion, numeric
+  // offset comparison) across engines. ORDER BY and offsets stay in
+  // BIGINT cents; aggregates of w are width-pinned as usual.
+  // Modulo-only predicates (never-empty rule). ----
+
+  private def genRange(i: Int): QueryDef = {
+    val rnd = new Random(seed * 15487469L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val pkey = pick(rnd, keyPool)
+    val r = (1 + rnd.nextInt(50)) * 100L
+    val winExpr = rnd.nextInt(3) match {
+      case 0 => s"CAST(sum(v) OVER (PARTITION BY k ORDER BY v " +
+        s"RANGE BETWEEN $r PRECEDING AND CURRENT ROW) AS BIGINT)"
+      case 1 => s"CAST(count(1) OVER (PARTITION BY k ORDER BY v " +
+        s"RANGE BETWEEN $r PRECEDING AND $r FOLLOWING) AS BIGINT)"
+      case 2 => s"CAST(max(v) OVER (PARTITION BY k ORDER BY v " +
+        s"RANGE BETWEEN $r PRECEDING AND CURRENT ROW) AS BIGINT)"
+    }
+    val sql =
+      s"""WITH c AS (
+         |  SELECT $pkey AS k,
+         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v
+         |  FROM lineitem WHERE $pred),
+         |b AS (SELECT k, $winExpr AS w FROM c)
+         |SELECT k, count(1) AS n, CAST(sum(w) AS BIGINT) AS w_sum,
+         |  CAST(min(w) AS BIGINT) AS w_min, CAST(max(w) AS BIGINT) AS w_max
+         |FROM b GROUP BY k""".stripMargin
+    QueryDef(f"q_fuzzg_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .select(col(pkey).as("k"),
+            expr("CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)").as("v"))
+          .select(col("k"), expr(s"$winExpr AS w"))
+          .groupBy(col("k"))
+          .agg(expr("count(1) AS n"), expr("CAST(sum(w) AS BIGINT) AS w_sum"),
+            expr("CAST(min(w) AS BIGINT) AS w_min"),
+            expr("CAST(max(w) AS BIGINT) AS w_max")))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
-      (0 until 6).map(genBits) ++ (0 until 6).map(genRollup)
+      (0 until 6).map(genBits) ++ (0 until 6).map(genRollup) ++
+      (0 until 6).map(genRange)
 }

@@ -514,6 +514,53 @@ object RelationalQueries {
           .limit(100)
       }),
 
+    // ---- TPC-H Q10 shape (returned-item revenue): which customers
+    // returned the most value in a quarter-year window — the
+    // classic 3-way join → customer-grained aggregate → top-20. The
+    // plan Spark should (and does) pick: lineitem filtered on
+    // returnflag at the scan, hash-join to the date-filtered orders,
+    // customer broadcast, one hash aggregate, TakeOrderedAndProject
+    // for the cut. Revenue through the exact integer
+    // cents·(100−disc) arithmetic shared with Q3/Q5; ORDER BY leads
+    // with revenue and tie-breaks on the key so the LIMIT is total. ----
+    QueryDef("q_tpch_q10", Some(
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue,
+         |  count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'
+         |  AND epoch_us(o_orderdate) >= 820454400000000
+         |  AND epoch_us(o_orderdate) < 852076800000000
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val lo = 820454400000000L // 1996-01-01T00:00:00Z
+        val hi = 852076800000000L // 1997-01-01T00:00:00Z
+        val ous = unix_micros(col("o_orderdate").cast("timestamp"))
+        Tables(s, d, "lineitem").where(col("l_returnflag") === "R")
+          .join(Tables(s, d, "orders")
+            .where(ous >= lo && ous < hi), expr("l_orderkey = o_orderkey"))
+          .join(Tables(s, d, "customer"), expr("o_custkey = c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .agg(
+            (sum(
+              ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+                * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+                  .cast("bigint")))
+                .cast("decimal(28,0)"))
+              .cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("revenue"), col("n_items"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter

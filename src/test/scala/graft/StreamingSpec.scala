@@ -673,6 +673,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("streaming CDC apply: restart from checkpoint continues the snapshot") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.CdcRecord
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
+      .as[CdcRecord].collect()
+    def runOnce(): Unit = {
+      val ds = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
+        .parquet(in).as[CdcRecord]
+      val q = CdcStream(ds).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: base load only; run 2 (NEW query instance, same
+    // checkpoint) applies both change waves — per-key state must
+    // survive the restart or seq-0 rows would win for unchanged keys
+    spark.createDataset(log.filter(_.seq == 0).toIndexedSeq)
+      .write.mode("append").parquet(in)
+    runOnce()
+    spark.createDataset(log.filter(_.seq > 0).toIndexedSeq)
+      .write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out).as[CdcRecord].collect()
+      .groupBy(_.k).map { case (_, rs) => rs.maxBy(_.seq) }
+      .filter(_.op != "D")
+      .map(r => (r.k, r.op, r.status, r.cents.getOrElse(-1L), r.seq.toLong))
+      .toSeq.sorted
+    val want = Catalog.byName("q_migrate_cdc_apply").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming CDC apply: latest emission per key equals the batch snapshot") {
     import graft.streaming.CdcStream
     import graft.streaming.CdcStream.CdcRecord
