@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
 
   private val shingleN = 3
-  private val jaccardThreshold = 0.6
+  private[queries] val jaccardThreshold = 0.6
   /** Cosine threshold for within-cluster semantic dedup: lower than
     * the exact-pair operator's 0.45 because SemDeDup prunes by
     * cluster membership first (the fixture's within-cluster cosine
@@ -75,7 +75,7 @@ object DedupQueries {
        |),
        |sh AS (SELECT doc_id, list_distinct(${shingleHashesSql("g")}) AS sh FROM gs)""".stripMargin
 
-  private def jaccardSqlPair =
+  private[queries] def jaccardSqlPair =
     s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 
   /** The LSH-cluster CTE chain (shingles → signatures → bands →
@@ -83,7 +83,7 @@ object DedupQueries {
     * the final labeling select — factored so q_dedup_canonical can
     * compose the SAME oracle text under additional CTEs (a nested
     * WITH RECURSIVE cannot be embedded as a subquery CTE). */
-  private lazy val clustersPairsCte: String =
+  private[queries] lazy val clustersPairsCte: String =
     s"""${shinglesCte.stripPrefix("WITH ")},
        |sig AS (SELECT doc_id, ${minhashSigFromHashesSql("sh")} AS sig FROM sh),
        |bands AS (${(0 until numBands).map { b =>

@@ -569,6 +569,49 @@ object EvalQueries {
           .agg(count(lit(1)).as("n"),
             sum(col("pos")).cast("bigint").as("n_pos"),
             (sum(col("pos")).cast("double") / count(lit(1))).as("pos_rate"))
+      }),
+
+    // ---- LSH recall audit: what fraction of the TRUE ≥0.6-Jaccard
+    // pairs does the banded minhash index actually surface — the
+    // knob-tuning number (bands × rows) an operator reads before
+    // trusting the subquadratic dedup path over the exact PPJoin one.
+    // Composes the catalog's OWN operators on both sides: exact pairs
+    // from the q_dedup_ngram_jaccard definition, candidate pairs from
+    // the q_dedup_minhash_lsh pipeline (whose verify stage makes them
+    // a SUBSET of the exact pairs — the anti-join still counts misses
+    // rather than assuming it). Oracle reuses the factored cluster CTE
+    // chain verbatim (its `pairs` CTE IS the verified LSH pair set),
+    // so the eval cannot drift from the operators it audits. Output is
+    // one row: counts + the single-division recall. ----
+    QueryDef("q_eval_lsh_recall", Some(
+      s"""WITH RECURSIVE ${DedupQueries.clustersPairsCte},
+         |exact AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE ${DedupQueries.jaccardSqlPair}
+         |    >= ${DedupQueries.jaccardThreshold})
+         |SELECT
+         |  (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM pairs) AS n_lsh,
+         |  (SELECT count(*) FROM exact e
+         |   WHERE NOT EXISTS (SELECT 1 FROM pairs p
+         |                     WHERE p.da = e.da AND p.db = e.db)) AS n_missed,
+         |  CAST((SELECT count(*) FROM pairs) AS DOUBLE)
+         |    / (SELECT count(*) FROM exact) AS recall""".stripMargin))(
+      (s, d) => {
+        val exact = DedupQueries.defs
+          .find(_.name == "q_dedup_ngram_jaccard").get.fn(s, d)
+          .select(col("doc_a").as("da"), col("doc_b").as("db")).persist()
+        val lsh = DedupQueries.defs
+          .find(_.name == "q_dedup_minhash_lsh").get.fn(s, d)
+          .select(col("doc_a").as("da"), col("doc_b").as("db")).persist()
+        val missed = exact.join(lsh, Seq("da", "db"), "left_anti")
+          .agg(count(lit(1)).as("n_missed"))
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+          .crossJoin(missed)
+          .select(col("n_exact"), col("n_lsh"), col("n_missed"),
+            (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
       })
   )
 }

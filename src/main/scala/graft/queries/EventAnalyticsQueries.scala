@@ -800,6 +800,51 @@ object EventAnalyticsQueries {
             (sum(col("cents")).cast("double") / 100.0).as("revenue"))
       }),
 
+    // ---- multi-touch attribution profile: per purchase, how many
+    // clicks sit inside its 7-day lookback — the touch-count
+    // distribution (0 / 1 / 2 / 3+) that decides whether last-touch
+    // credit (q_events_attribution) is even defensible, and the
+    // denominator a linear-credit model would divide by. One
+    // user-partitioned RANGE-frame window over the click+purchase
+    // subset: value-based frames are tie-order-invariant, and the
+    // conditional count never sees other event types because the
+    // filter is pushed below the shuffle. ----
+    QueryDef("q_events_attribution_multi", Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |t AS (
+         |  SELECT event_type, cents,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END)
+         |      OVER (PARTITION BY user_id ORDER BY tus
+         |            RANGE BETWEEN ${7 * usPerDay} PRECEDING AND CURRENT ROW)
+         |      AS n_touches
+         |  FROM e)
+         |SELECT least(n_touches, 3) AS touch_bucket,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS cents,
+         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY least(n_touches, 3)""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("tus"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+        val lookback = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"))
+          .rangeBetween(-7L * usPerDay, Window.currentRow)
+        e.withColumn("n_touches",
+            count(when(col("event_type") === "click", 1)).over(lookback))
+          .where(col("event_type") === "purchase")
+          .groupBy(least(col("n_touches"), lit(3L)).as("touch_bucket"))
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("cents")).cast("bigint").as("cents"),
+            (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      }),
+
     // ---- cumulative reach: distinct users ever seen, by day — the
     // audience-growth curve. Exact without any distinct-over-window:
     // each user collapses to their FIRST-seen day (one hash agg over

@@ -716,6 +716,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("streaming CDC apply: out-of-order delivery converges to the same snapshot") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.CdcRecord
+    // the final change wave arrives FIRST, the base load LAST — a
+    // replayed/partitioned transport can do exactly this; LWW by seq
+    // must make delivery order irrelevant
+    val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
+      .as[CdcRecord].collect()
+    val input = MemoryStream[CdcRecord]
+    val q = CdcStream(input.toDS()).writeStream
+      .format("memory").queryName("cdc_ooo_out")
+      .outputMode("update")
+      .start()
+    input.addData(log.filter(_.seq == 3).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(log.filter(r => r.seq == 1 || r.seq == 2).toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(log.filter(_.seq == 0).toIndexedSeq)
+    q.processAllAvailable()
+    val got = spark.table("cdc_ooo_out").as[CdcRecord].collect()
+      .groupBy(_.k).map { case (_, rs) => rs.maxBy(_.seq) }
+      .filter(_.op != "D")
+      .map(r => (r.k, r.op, r.status, r.cents.getOrElse(-1L), r.seq.toLong))
+      .toSeq.sorted
+    q.stop()
+    val want = Catalog.byName("q_migrate_cdc_apply").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    assert(got === want)
+  }
+
   test("streaming CDC apply: latest emission per key equals the batch snapshot") {
     import graft.streaming.CdcStream
     import graft.streaming.CdcStream.CdcRecord
