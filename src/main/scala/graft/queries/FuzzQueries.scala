@@ -597,11 +597,58 @@ object FuzzQueries {
             expr("CAST(max(w) AS BIGINT) AS w_max")))
   }
 
+  // ---- outer-join family: lineitem LEFT JOIN a FILTERED orders
+  // slice, aggregated per lineitem key — the twelfth tier, probing
+  // NULL propagation through outer joins from generated text:
+  // count(col) vs count(1) on the nullable side, min/max over
+  // partially-NULL groups, and conditional sums that must treat
+  // unmatched rows as absent. Aggregates over the nullable side CAST
+  // to BIGINT as usual; groups whose orders side is entirely NULL
+  // emit NULL mn/mx — both engines land them as the same pandas
+  // NULL-widened dtype, symmetric through the driver hash. Left-side
+  // predicate is modulo-only (never empty); the right-side filter is
+  // what manufactures the unmatched rows. ----
+
+  private def genOuter(i: Int): QueryDef = {
+    val rnd = new Random(seed * 86028121L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val oFilter = ordersAtom(rnd)
+    val key = pick(rnd, keyPool)
+    val sql =
+      s"""WITH o AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS ocents
+         |  FROM orders WHERE $oFilter)
+         |SELECT $key, count(1) AS n,
+         |  count(o.o_orderkey) AS n_matched,
+         |  CAST(min(o.ocents) AS BIGINT) AS mn,
+         |  CAST(max(o.ocents) AS BIGINT) AS mx,
+         |  count(DISTINCT o.o_custkey) AS nd
+         |FROM lineitem LEFT JOIN o ON l_orderkey = o.o_orderkey
+         |WHERE $pred
+         |GROUP BY $key""".stripMargin
+    QueryDef(f"q_fuzzo_$i%02d", Some(sql))(
+      (s, d) => {
+        val o = Tables(s, d, "orders").where(oFilter)
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)").as("ocents"))
+        Tables(s, d, "lineitem").where(pred)
+          .join(o, expr("l_orderkey = o_orderkey"), "left")
+          .groupBy(col(key))
+          .agg(expr("count(1) AS n"),
+            expr("count(o_orderkey) AS n_matched"),
+            expr("CAST(min(ocents) AS BIGINT) AS mn"),
+            expr("CAST(max(ocents) AS BIGINT) AS mx"),
+            expr("count(DISTINCT o_custkey) AS nd"))
+      })
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
       (0 until 6).map(genBits) ++ (0 until 6).map(genRollup) ++
-      (0 until 6).map(genRange)
+      (0 until 6).map(genRange) ++ (0 until 6).map(genOuter)
 }

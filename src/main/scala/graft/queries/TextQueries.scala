@@ -1072,6 +1072,77 @@ object TextQueries {
           .agg((sum(col("num")).cast("double")
             / (lit(2.0) * min(col("b")).cast("double")
               * min(col("d")).cast("double"))).as("tv_distance"))
+      }),
+
+    // ---- quantile normalization of a quality score across sources:
+    // map each source's score distribution onto the POOLED
+    // distribution (a doc at within-source rank r/n_g gets the global
+    // score at that quantile) — the calibration step before filtering
+    // a multi-source corpus with one threshold, when sources score on
+    // different scales. All rank arithmetic is exact integers: target
+    // rank t = ceil(r·N / n_g), and the lookup "smallest global value
+    // with gcum ≥ t" is the engine's forward as-of shape — the query
+    // rows and the global cumulative curve UNION into one frame and a
+    // single FOLLOWING-frame first_value resolves every lookup (no
+    // per-row subquery, no band join). Windows run over HISTOGRAMS
+    // (distinct score values), never over docs. The oracle states the
+    // same lookup as a correlated min — different plan, same exact
+    // values. ----
+    QueryDef("q_text_quality_qnorm", Some(
+      """WITH h AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |sr AS (
+        |  SELECT source, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS r,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ng
+        |  FROM h),
+        |g AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS gcum
+        |  FROM documents GROUP BY n_chars),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |q AS (
+        |  SELECT sr.source, sr.v, sr.c,
+        |    CAST((sr.r * n.n + sr.ng - 1) // sr.ng AS BIGINT) AS t
+        |  FROM sr, n)
+        |SELECT q.source, q.v, CAST(q.c AS BIGINT) AS n_docs,
+        |  (SELECT min(g.v) FROM g WHERE g.gcum >= q.t) AS v_norm
+        |FROM q""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables(s, d, "documents")
+        val h = docs.groupBy(col("source"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c")).persist()
+        val sr = h
+          .withColumn("r", sum(col("c")).over(
+            Window.partitionBy(col("source")).orderBy(col("v"))))
+          .withColumn("ng", sum(col("c")).over(
+            Window.partitionBy(col("source"))))
+        val g = h.groupBy(col("v")).agg(sum(col("c")).as("gc"))
+          .withColumn("gcum", sum(col("gc")).over(Window.orderBy(col("v"))))
+        val n = h.agg(sum(col("c")).as("n"))
+        val q = sr.crossJoin(broadcast(n))
+          .select(col("source"), col("v"), col("c"),
+            expr("CAST((r * n + ng - 1) div ng AS BIGINT)").as("t"))
+        // forward as-of: queries keyed by t (tag 0) + curve keyed by
+        // gcum (tag 1) in ONE frame; first following curve row wins.
+        // gcum == t must resolve to that very curve row, hence tag
+        // ordering query-before-curve at equal keys.
+        val curve = g.select(lit(null).cast("string").as("source"),
+          lit(null).cast("bigint").as("v"), lit(null).cast("bigint").as("c"),
+          col("gcum").as("key"), lit(1).as("tag"), col("v").as("vn"))
+        val qr = q.select(col("source"), col("v"), col("c"),
+          col("t").as("key"), lit(0).as("tag"),
+          lit(null).cast("bigint").as("vn"))
+        val wFwd = Window.orderBy(col("key").asc, col("tag").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        qr.unionAll(curve)
+          .withColumn("v_norm",
+            first(col("vn"), ignoreNulls = true).over(wFwd))
+          .where(col("tag") === 0)
+          .select(col("source"), col("v"), col("c").cast("bigint").as("n_docs"),
+            col("v_norm"))
       })
   )
 }
