@@ -18,7 +18,11 @@ class DeterminismSpec extends SparkSpecBase {
     "q_pack_sequences",      // two-phase cumsum shard offsets
     "q_events_anomaly",      // integer-cent moments
     "q_tpch_q5",             // decimal revenue accumulation
-    "q_dedup_incremental")   // delta-vs-base candidate generation
+    "q_dedup_incremental",   // delta-vs-base candidate generation
+    "q_events_gini",         // sharded-cumsum rank-sum identity
+    "q_agg_weighted_median", // sharded weighted histogram-rank
+    "q_migrate_cdc_apply",   // LWW max(seq) + shuffle-hash join-back
+    "q_text_quality_qnorm")  // unioned-curve forward as-of lookup
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
