@@ -852,6 +852,64 @@ object AggregateQueries {
           .agg(min(col("tot")).cast("bigint").as("total_weight"),
             (min(when(lit(2) * col("cum") >= col("tot"), col("cents")))
               / 100.0).as("weighted_median"))
+      }),
+
+    // ---- exact distributed OLS (y = a + b·x per return flag):
+    // slope / intercept / r² from the closed-form moment sums — the
+    // one-pass parallel-regression shape (a single partial+final hash
+    // agg collects n, Σx, Σy, Σx², Σxy, Σy²; no covariance UDAF, no
+    // second scan, no centering pass). x is the integer quantity and
+    // y integer cents, and every moment accumulates EXACTLY in
+    // DECIMAL(38,0) (HUGEINT on the oracle side — Σy² alone exceeds
+    // int64 at sf0.1), so the sums are order-independent under any
+    // partitioning. The final ratios are formed from the exact
+    // integers with single correctly-rounded double ops; the >2^53
+    // wide-integer→DOUBLE cast parity is the chi-square precedent. ----
+    QueryDef("q_agg_regression", Some(
+      """WITH p AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT rf, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    sum(CAST(y AS HUGEINT)*y) AS syy
+        |  FROM p GROUP BY rf)
+        |SELECT rf, n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |    AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |     - CAST(n*sxy - sx*sy AS DOUBLE)
+        |       / CAST(n*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+        |    / (CAST(n*sxx - sx*sx AS DOUBLE)
+        |       * CAST(n*syy - sy*sy AS DOUBLE)) AS r2
+        |FROM m""".stripMargin))(
+      (s, d) => {
+        val p = Tables(s, d, "lineitem").select(
+          col("l_returnflag").as("rf"),
+          floor(col("l_quantity") + 0.5).cast("bigint").as("x"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("y"))
+        val m = p.groupBy(col("rf")).agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).cast("decimal(38,0)").as("sx"),
+          sum(col("y")).cast("decimal(38,0)").as("sy"),
+          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        val nD = col("n").cast("decimal(38,0)")
+        val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+        val denx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+        val deny = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+        m.select(col("rf"), col("n"),
+          (num / denx).as("slope"),
+          ((col("sy").cast("double") - num / denx * col("sx").cast("double"))
+            / col("n").cast("double")).as("intercept"),
+          ((num * num) / (denx * deny)).as("r2"))
       })
   )
 

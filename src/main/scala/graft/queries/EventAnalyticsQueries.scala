@@ -989,6 +989,93 @@ object EventAnalyticsQueries {
           .agg(count(lit(1)).as("n_sessions"))
           .orderBy(col("n_sessions").desc, col("path").asc)
           .limit(10)
+      }),
+
+    // ---- sequence-pattern detection (MATCH_RECOGNIZE-style): each
+    // user's ordered event history becomes ONE symbol string
+    // (v/c/p/s/e), conversion is then a REGEX over that string and
+    // direct view→purchase hand-offs a substring-occurrence count.
+    // Scale shape: the per-user sequence is bounded state — the
+    // collect_list partial-aggregates map-side and its size is the
+    // user's own event count (at 100 TB you'd bound it with the
+    // session window first, exactly as q_events_top_paths does) — and
+    // the regex runs once per USER, not per event. (user_id, ts) is
+    // unique in the fixture at every SF, so array_sort over the
+    // (tus, ch) struct yields one deterministic string per user in
+    // both engines; the v[vces]*p / 'vp' patterns use only literal
+    // classes, identical under Java regex and RE2. ----
+    QueryDef("q_events_pattern", Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+        |      ELSE 'e' END AS ch
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY tus) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS n_events,
+        |  CAST((length(seq) - length(replace(seq, 'vp', ''))) // 2
+        |    AS BIGINT) AS n_direct_vp,
+        |  CAST(CASE WHEN regexp_matches(seq, 'v[vces]*p') THEN 1 ELSE 0 END
+        |    AS BIGINT) AS converted
+        |FROM s""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("tus"),
+          expr("CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'" +
+            " WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'" +
+            " ELSE 'e' END").as("ch"))
+        e.groupBy(col("user_id"))
+          .agg(array_join(
+            transform(
+              sort_array(collect_list(struct(col("tus"), col("ch")))),
+              x => x.getField("ch")), "").as("seq"))
+          .select(col("user_id"), col("seq"),
+            length(col("seq")).cast("bigint").as("n_events"),
+            expr("CAST((length(seq) - length(replace(seq, 'vp', '')))" +
+              " DIV 2 AS BIGINT)").as("n_direct_vp"),
+            expr("CAST(CASE WHEN seq RLIKE 'v[vces]*p' THEN 1 ELSE 0 END" +
+              " AS BIGINT)").as("converted"))
+      }),
+
+    // ---- maximum drawdown per user over the purchase-value series:
+    // running peak (a ROWS-unbounded-preceding max — tie-order
+    // invariant because (user_id, ts) is unique at every SF) minus
+    // the current value, maximized per user — the risk metric every
+    // monitoring/finance pipeline computes, and a window shape the
+    // catalog didn't yet pin: running MAX (non-invertible, so engines
+    // can't use the sliding-sum trick; both must carry the prefix
+    // extremum). Values ride integer cents end-to-end; the window
+    // partitions by user (hash-partition parallel at 1000 executors,
+    // no global single-partition window). ----
+    QueryDef("q_events_drawdown", Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT user_id, v,
+        |    CAST(max(v) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS peak
+        |  FROM e)
+        |SELECT user_id, count(1) AS n,
+        |  CAST(max(peak - v) AS BIGINT) AS max_drawdown_cents,
+        |  CAST(max(peak) AS BIGINT) AS peak_cents
+        |FROM r GROUP BY user_id""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("v"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("peak", max(col("v")).over(w).cast("bigint"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("peak") - col("v")).cast("bigint").as("max_drawdown_cents"),
+            max(col("peak")).cast("bigint").as("peak_cents"))
       })
   )
 }

@@ -644,11 +644,50 @@ object FuzzQueries {
       })
   }
 
+  // ---- conditional-aggregate family: CASE expressions INSIDE the
+  // aggregate functions (sum of a guarded column, count of matches,
+  // min/max over a possibly-all-NULL branch) — the thirteenth tier,
+  // probing conditional-aggregation rewrites from generated text.
+  // `count(CASE WHEN .. THEN 1 END)` counts non-NULLs in both
+  // dialects; min/max over an all-NULL group emit NULL BIGINT, which
+  // pandas NULL-widens identically on both sides (the outer-join-tier
+  // precedent). Predicates are modulo-only (never-empty rule); all
+  // integer aggregates CAST to BIGINT as usual. ----
+
+  private def genCase(i: Int): QueryDef = {
+    val rnd = new Random(seed * 275604541L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val key = pick(rnd, keyPool)
+    val condA = atom(rnd)
+    val condB = atom(rnd)
+    val c1 = pick(rnd, longCols)
+    val c2 = pick(rnd, longCols)
+    val ags = Seq(
+      "count(1) AS n",
+      s"CAST(sum(CASE WHEN $condA THEN $c1 ELSE 0 END) AS BIGINT) AS s_cond",
+      s"count(CASE WHEN $condB THEN 1 END) AS n_cond",
+      s"CAST(min(CASE WHEN $condA THEN $c2 END) AS BIGINT) AS mn_cond",
+      s"CAST(max(CASE WHEN $condB THEN $c2 END) AS BIGINT) AS mx_cond")
+    val sql =
+      s"""SELECT $key, ${ags.mkString(", ")}
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY $key""".stripMargin
+    QueryDef(f"q_fuzzc_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(col(key))
+          .agg(expr(ags.head), ags.tail.map(expr): _*))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
       (0 until 4).map(genSet) ++ (0 until 6).map(genTopk) ++
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
       (0 until 6).map(genBits) ++ (0 until 6).map(genRollup) ++
-      (0 until 6).map(genRange) ++ (0 until 6).map(genOuter)
+      (0 until 6).map(genRange) ++ (0 until 6).map(genOuter) ++
+      (0 until 6).map(genCase)
 }

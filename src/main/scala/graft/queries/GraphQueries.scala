@@ -124,6 +124,70 @@ object GraphQueries {
           expr("z.p1 = x.p1 AND z.p2 = y.p2"))
         e.agg(count(lit(1)).as("n_edges"))
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      }),
+
+    // ---- degree assortativity of the symmetrized part↔supplier
+    // graph: the Pearson correlation between deg(src) and deg(dst)
+    // over directed edges — the one-number structural summary that
+    // tells a sampler whether hubs attach to hubs (r > 0) or to
+    // leaves (r < 0). Scale shape: the degree table is |nodes| rows
+    // joined onto the edge list twice by key (plain equi-joins — at
+    // 1000 executors both sides hash-partition on the node id), then
+    // ONE partial+final agg collects the five exact moment sums
+    // (HUGEINT / DECIMAL(38,0) — the q_agg_regression machinery on a
+    // graph-derived table). sqrt is IEEE-exact, so the final double
+    // expression agrees bitwise across engines. ----
+    QueryDef("q_graph_assortativity", Some(
+      """WITH b AS (
+        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+        |  FROM lineitem),
+        |e AS (SELECT p AS src, sp AS dst FROM b
+        |      UNION ALL SELECT sp AS src, p AS dst FROM b),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+        |j AS (
+        |  SELECT ds.deg AS dx, dd.deg AS dy
+        |  FROM e JOIN deg ds ON ds.node = e.src
+        |         JOIN deg dd ON dd.node = e.dst),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
+        |    CAST(sum(dx*dx) AS HUGEINT) AS sxx,
+        |    CAST(sum(dy*dy) AS HUGEINT) AS syy,
+        |    CAST(sum(dx*dy) AS HUGEINT) AS sxy
+        |  FROM j)
+        |SELECT n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+        |FROM m""".stripMargin))(
+      (s, d) => {
+        val b = Tables(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val e = b.select(col("p").as("src"), col("sp").as("dst"))
+          .union(b.select(col("sp").as("src"), col("p").as("dst")))
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val j = e
+          .join(deg.select(col("node").as("sn"), col("deg").as("dx")),
+            col("src") === col("sn"))
+          .join(deg.select(col("node").as("dn"), col("deg").as("dy")),
+            col("dst") === col("dn"))
+          .select(col("dx"), col("dy"))
+        val m = j.agg(
+          count(lit(1)).as("n"),
+          sum(col("dx")).cast("decimal(38,0)").as("sx"),
+          sum(col("dy")).cast("decimal(38,0)").as("sy"),
+          sum(col("dx") * col("dx")).cast("decimal(38,0)").as("sxx"),
+          sum(col("dy") * col("dy")).cast("decimal(38,0)").as("syy"),
+          sum(col("dx") * col("dy")).cast("decimal(38,0)").as("sxy"))
+        val nD = col("n").cast("decimal(38,0)")
+        val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+        val denx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")
+        val deny = (nD * col("syy") - col("sy") * col("sy")).cast("double")
+        m.select(col("n"),
+          (num / (sqrt(denx) * sqrt(deny))).as("assortativity"))
       })
   )
 }

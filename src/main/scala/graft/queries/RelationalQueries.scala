@@ -561,6 +561,131 @@ object RelationalQueries {
             col("revenue"), col("n_items"))
       }),
 
+    // ---- TPC-H Q6 shape (forecasting revenue change): the purest
+    // scan query in the suite — no join, one global aggregate, and
+    // EVERY predicate eligible for parquet pushdown (shipdate range,
+    // discount band, quantity cap all sit on raw columns, so the
+    // row-group statistics prune before decode; pinned in
+    // PlanShapeSpec). At 100 TB this query is the I/O-efficiency
+    // bellwether: its cost is the filtered scan, nothing else.
+    // Revenue = Σ cents(price)·disc%, exact integers accumulated in
+    // DECIMAL(28,0)/HUGEINT, one final double division. Discount
+    // literals 0.05/0.07 parse to identical doubles in both engines
+    // and the fixture stores exact 2-decimal values, so the band
+    // comparison is deterministic. ----
+    QueryDef("q_tpch_q6", Some(
+      s"""SELECT
+         |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |WHERE epoch_us(l_shipdate) >= 820454400000000
+         |  AND epoch_us(l_shipdate) < 852076800000000
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin))(
+      (s, d) => {
+        val lo = 820454400000000L // 1996-01-01T00:00:00Z
+        val hi = 852076800000000L // 1997-01-01T00:00:00Z
+        val sus = unix_micros(col("l_shipdate").cast("timestamp"))
+        Tables(s, d, "lineitem")
+          .where(sus >= lo && sus < hi &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(
+            (sum(
+              ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+                * (col("l_discount").cast("decimal(18,2)") * 100).cast("bigint"))
+                .cast("decimal(28,0)"))
+              .cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+      }),
+
+    // ---- TPC-H Q14 shape (promotion effect): one month of lineitem
+    // joined to part, promo share as a conditional aggregate — the
+    // CASE-inside-SUM pattern over a dimension attribute. Scale
+    // shape: the month filter cuts lineitem at the SCAN (pushdown),
+    // part broadcasts (dimension-sided), and the share is ONE
+    // partial+final agg — no second pass for the denominator. Both
+    // sums stay exact integers (DECIMAL(28,0)/HUGEINT); the percent
+    // is a single double expression over the two exact sums. ----
+    QueryDef("q_tpch_q14", Some(
+      s"""WITH l AS (
+         |  SELECT l_partkey,
+         |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+         |      AS DECIMAL(28,0)) AS rev
+         |  FROM lineitem
+         |  WHERE epoch_us(l_shipdate) >= 841536000000000
+         |    AND epoch_us(l_shipdate) < 844128000000000)
+         |SELECT
+         |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+         |                        ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+         |    / CAST(sum(rev) AS DOUBLE) AS promo_revenue_pct,
+         |  CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_revenue,
+         |  count(*) AS n_items
+         |FROM l JOIN part ON l_partkey = p_partkey""".stripMargin))(
+      (s, d) => {
+        val lo = 841536000000000L // 1996-09-01T00:00:00Z
+        val hi = 844128000000000L // 1996-10-01T00:00:00Z
+        val sus = unix_micros(col("l_shipdate").cast("timestamp"))
+        val l = Tables(s, d, "lineitem")
+          .where(sus >= lo && sus < hi)
+          .select(col("l_partkey"),
+            (((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+              * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+                .cast("bigint"))).cast("decimal(28,0)")).as("rev"))
+        l.join(broadcast(Tables(s, d, "part")), expr("l_partkey = p_partkey"))
+          .agg(
+            (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))
+              .otherwise(lit(0).cast("decimal(28,0)"))).cast("double")
+              / sum(col("rev")).cast("double")).as("promo_revenue_pct"),
+            (sum(col("rev")).cast("double") / 10000.0).as("total_revenue"),
+            count(lit(1)).as("n_items"))
+      }),
+
+    // ---- format round-trip through the DuckDB gate: the fixture
+    // slice travels parquet → CSV → JSON → ORC (every non-parquet
+    // format the engine ships, write AND read) and only then
+    // aggregates; the oracle computes the same aggregate from the
+    // parquet directly, so a value lost or mangled by ANY codec in
+    // the chain fails the hash compare. All staged columns are
+    // BIGINT/VARCHAR (cents + epoch-micros), so the trip is lossless
+    // BY CONSTRUCTION — this entry proves the multi-file write/read
+    // plumbing (partitioned writers, explicit read schemas), not
+    // float-text semantics. Reads use the explicit source schema:
+    // inferSchema on CSV is a per-run sampling pass that could drift
+    // types between runs, which a deterministic pipeline never wants. ----
+    QueryDef("q_format_roundtrip", Some(
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+        |FROM lineitem WHERE l_linenumber <= 2
+        |GROUP BY l_returnflag""".stripMargin))(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+        val src = Tables(s, d, "lineitem").where(col("l_linenumber") <= 2)
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_quantity") + 0.5).cast("bigint").as("qty"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("cents"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        Relational.sinkCsv(src, s"$tmp/csv")
+        val afterCsv = s.read.schema(src.schema)
+          .option("header", "true").csv(s"$tmp/csv")
+        Relational.sinkJson(afterCsv, s"$tmp/json")
+        val afterJson = s.read.schema(src.schema).json(s"$tmp/json")
+        Relational.sinkOrc(afterJson, s"$tmp/orc")
+        Relational.scanOrc(s, s"$tmp/orc")
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("qty")).cast("bigint").as("sum_qty"),
+            sum(col("cents")).cast("bigint").as("sum_cents"),
+            max(col("ship_us")).cast("bigint").as("max_ship_us"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter

@@ -74,6 +74,49 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(h.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$h")
   }
 
+  test("tpch q6: every predicate pushes to the parquet scan, no join, no shuffle") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Catalog.byName("q_tpch_q6").fn(spark, sfDir)
+    df.collect()
+    // the scan hides below AQE query-stage wrappers, which collectLeaves
+    // treats as leaves — unwrap them recursively
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val exec = df.queryExecution.executedPlan
+    val scan = scans(exec).headOption
+      .getOrElse(fail(s"no parquet scan in:\n$exec"))
+    val pushed = scan.metadata("PushedFilters")
+    // the discount band and quantity cap sit on raw columns → row-group
+    // statistics prune before decode; this is the query's entire cost
+    // model at 100 TB
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      pushed.contains("LessThanOrEqual(l_discount,0.07)") &&
+      pushed.contains("LessThan(l_quantity,24.0)"),
+      s"predicates not pushed: $pushed")
+    val readSchema = scan.metadata("ReadSchema")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"read schema not pruned: $readSchema")
+    val plan = exec.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"scan-aggregate query should have no hash exchange:\n$plan")
+  }
+
+  test("tpch q14: part broadcasts, lineitem never shuffles, one agg pass") {
+    val df = Catalog.byName("q_tpch_q14").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part should broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side should not shuffle:\n$plan")
+    // numerator and denominator come out of ONE partial+final aggregate
+    assert(plan.contains("partial_"), s"no map-side partial agg:\n$plan")
+  }
+
   test("top-k global plans as TakeOrderedAndProject (no full sort)") {
     val plan = Catalog.byName("q_topk_global").fn(spark, sfDir)
       .queryExecution.executedPlan.toString
