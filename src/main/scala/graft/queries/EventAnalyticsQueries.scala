@@ -1076,6 +1076,51 @@ object EventAnalyticsQueries {
           .agg(count(lit(1)).as("n"),
             max(col("peak") - col("v")).cast("bigint").as("max_drawdown_cents"),
             max(col("peak")).cast("bigint").as("peak_cents"))
+      }),
+
+    // ---- week-over-week growth of the daily purchase total: lag(7)
+    // over the DAILY aggregate (|days| rows, never raw events — the
+    // same pre-aggregate-then-window discipline as the autocorr
+    // entry), growth as an EXACT scaled integer. The percent is
+    // sign-split so both operands of the integer division are
+    // non-negative — DuckDB's `//` floors while Spark's DIV truncates
+    // toward zero, and the two only agree on non-negative operands;
+    // this is the catalog's integer-division parity rule from the
+    // PageRank entry applied to a signed delta. ----
+    QueryDef("q_events_wow", Some(
+      s"""WITH dy AS (
+         |  SELECT CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
+         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events WHERE event_type = 'purchase'
+         |  GROUP BY CAST(epoch_us(ts) // $usPerDay AS BIGINT)),
+         |l AS (
+         |  SELECT day, cents,
+         |    lag(cents, 7) OVER (ORDER BY day) AS prev
+         |  FROM dy)
+         |SELECT day, cents, CAST(prev AS BIGINT) AS prev_cents,
+         |  CAST(CASE
+         |    WHEN prev IS NULL OR prev = 0 THEN NULL
+         |    WHEN cents >= prev THEN ((cents - prev) * 1000000) // prev
+         |    ELSE -(((prev - cents) * 1000000) // prev)
+         |  END AS BIGINT) AS wow_e6
+         |FROM l""".stripMargin))(
+      (s, d) => {
+        val dy = Tables(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy((unix_micros(col("ts")).cast("bigint") / usPerDay)
+            .cast("bigint").as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        val w = Window.orderBy(col("day"))
+        dy.withColumn("prev", lag(col("cents"), 7).over(w))
+          .select(col("day"), col("cents"),
+            col("prev").cast("bigint").as("prev_cents"),
+            expr("""CAST(CASE
+              WHEN prev IS NULL OR prev = 0 THEN NULL
+              WHEN cents >= prev THEN ((cents - prev) * 1000000) DIV prev
+              ELSE -(((prev - cents) * 1000000) DIV prev)
+            END AS BIGINT)""").as("wow_e6"))
       })
   )
 }

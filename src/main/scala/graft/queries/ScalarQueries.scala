@@ -221,6 +221,50 @@ object ScalarQueries {
           col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
           shiftleft(col("o_orderkey"), 2).as("shl2"),
           shiftright(col("o_orderkey"), 3).as("shr3"),
-          bit_count(col("o_orderkey")).as("popcount")))
+          bit_count(col("o_orderkey")).as("popcount"))),
+
+    // ---- boolean aggregate surface: count_if / bool_and / bool_or —
+    // the predicate-summary trio behind data-quality gates. Shared
+    // text in both dialects (Spark and DuckDB agree on all three
+    // names); count_if is CAST to BIGINT because DuckDB's returns
+    // HUGEINT. Exact by construction: integer counts and three-valued
+    // boolean logic over non-NULL inputs. ----
+    QueryDef("q_fn_bool", Some(
+      """SELECT o_orderstatus AS status,
+        |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(count_if(o_custkey % 2 = 0) AS BIGINT) AS n_even,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            expr("CAST(count_if(o_totalprice > 150000) AS BIGINT)").as("n_big"),
+            expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+            expr("CAST(count_if(o_custkey % 2 = 0) AS BIGINT)").as("n_even"),
+            count(lit(1)).as("n"))),
+
+    // ---- ordered string aggregation: the LISTAGG/STRING_AGG surface.
+    // Spark's collect_set is unordered (shuffle-order-dependent), so
+    // the deterministic rendering is array_sort BEFORE the join —
+    // semantically identical to DuckDB's
+    // string_agg(DISTINCT .. ORDER BY ..). Distinct priorities per
+    // group are ≤5, so the aggregated string is bounded state. ----
+    QueryDef("q_fn_string_agg", Some(
+      """SELECT o_orderstatus AS status,
+        |  string_agg(DISTINCT o_orderpriority, ','
+        |    ORDER BY o_orderpriority) AS prios,
+        |  count(DISTINCT o_orderpriority) AS n_prios
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+              .as("prios"),
+            countDistinct(col("o_orderpriority")).as("n_prios")))
   )
 }
