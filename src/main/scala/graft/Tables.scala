@@ -16,13 +16,23 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects.
-      // Read nanos as long, floor-divide to micros — identical to DuckDB's
-      // epoch_us() view of the same column.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark
+      // only exposes as long via the legacy flag) in some fixture
+      // generations and TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ)
+      // in others — normalize EVERY variant to session-TZ TIMESTAMP at
+      // micros precision, identical to DuckDB's epoch_us() view of the
+      // same column (sessions run UTC, so the NTZ→TZ cast is wall-clock
+      // exact).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

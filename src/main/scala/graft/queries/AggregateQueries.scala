@@ -874,8 +874,8 @@ object AggregateQueries {
         |m AS (
         |  SELECT rf, count(*) AS n,
         |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
-        |    CAST(sum(x*x) AS HUGEINT) AS sxx,
-        |    CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |    sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |    sum(CAST(x AS HUGEINT)*y) AS sxy,
         |    sum(CAST(y AS HUGEINT)*y) AS syy
         |  FROM p GROUP BY rf)
         |SELECT rf, n,
@@ -896,10 +896,10 @@ object AggregateQueries {
           floor(col("l_extendedprice") * 100 + 0.5).cast("bigint").as("y"))
         val m = p.groupBy(col("rf")).agg(
           count(lit(1)).as("n"),
-          sum(col("x")).cast("decimal(38,0)").as("sx"),
-          sum(col("y")).cast("decimal(38,0)").as("sy"),
-          sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
-          sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+          sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
           sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
         val nD = col("n").cast("decimal(38,0)")
         val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")

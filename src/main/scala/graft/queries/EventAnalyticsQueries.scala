@@ -1078,15 +1078,19 @@ object EventAnalyticsQueries {
             max(col("peak")).cast("bigint").as("peak_cents"))
       }),
 
-    // ---- week-over-week growth of the daily purchase total: lag(7)
-    // over the DAILY aggregate (|days| rows, never raw events — the
-    // same pre-aggregate-then-window discipline as the autocorr
-    // entry), growth as an EXACT scaled integer. The percent is
-    // sign-split so both operands of the integer division are
-    // non-negative — DuckDB's `//` floors while Spark's DIV truncates
-    // toward zero, and the two only agree on non-negative operands;
-    // this is the catalog's integer-division parity rule from the
-    // PageRank entry applied to a signed delta. ----
+    // ---- week-over-week growth of the daily purchase total: a
+    // SELF-JOIN of the daily aggregate on day − 7 (|days| rows, never
+    // raw events — the same pre-aggregate discipline as the autocorr
+    // entry). A self-join, NOT lag(cents, 7): a row-based lag over a
+    // sparse daily series silently compares against the 7th prior
+    // PRESENT day rather than the same weekday, and the unpartitioned
+    // ORDER BY window it needs is a single-task bottleneck anyway —
+    // the equi-join is both calendar-correct and shuffle-parallel.
+    // Growth is an EXACT scaled integer, sign-split so both operands
+    // of the integer division are non-negative — DuckDB's `//` floors
+    // while Spark's DIV truncates toward zero, and the two only agree
+    // on non-negative operands (the catalog's integer-division parity
+    // rule from the PageRank entry applied to a signed delta). ----
     QueryDef("q_events_wow", Some(
       s"""WITH dy AS (
          |  SELECT CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
@@ -1095,9 +1099,8 @@ object EventAnalyticsQueries {
          |  FROM events WHERE event_type = 'purchase'
          |  GROUP BY CAST(epoch_us(ts) // $usPerDay AS BIGINT)),
          |l AS (
-         |  SELECT day, cents,
-         |    lag(cents, 7) OVER (ORDER BY day) AS prev
-         |  FROM dy)
+         |  SELECT a.day AS day, a.cents AS cents, b.cents AS prev
+         |  FROM dy a LEFT JOIN dy b ON b.day = a.day - 7)
          |SELECT day, cents, CAST(prev AS BIGINT) AS prev_cents,
          |  CAST(CASE
          |    WHEN prev IS NULL OR prev = 0 THEN NULL
@@ -1112,8 +1115,8 @@ object EventAnalyticsQueries {
             .cast("bigint").as("day"))
           .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
             .cast("bigint").as("cents"))
-        val w = Window.orderBy(col("day"))
-        dy.withColumn("prev", lag(col("cents"), 7).over(w))
+        val prev = dy.select(col("day").as("pday"), col("cents").as("prev"))
+        dy.join(prev, col("pday") === col("day") - 7, "left")
           .select(col("day"), col("cents"),
             col("prev").cast("bigint").as("prev_cents"),
             expr("""CAST(CASE

@@ -151,9 +151,9 @@ object GraphQueries {
         |m AS (
         |  SELECT count(*) AS n,
         |    CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
-        |    CAST(sum(dx*dx) AS HUGEINT) AS sxx,
-        |    CAST(sum(dy*dy) AS HUGEINT) AS syy,
-        |    CAST(sum(dx*dy) AS HUGEINT) AS sxy
+        |    sum(CAST(dx AS HUGEINT)*dx) AS sxx,
+        |    sum(CAST(dy AS HUGEINT)*dy) AS syy,
+        |    sum(CAST(dx AS HUGEINT)*dy) AS sxy
         |  FROM j)
         |SELECT n,
         |  CAST(n*sxy - sx*sy AS DOUBLE)
@@ -177,11 +177,11 @@ object GraphQueries {
           .select(col("dx"), col("dy"))
         val m = j.agg(
           count(lit(1)).as("n"),
-          sum(col("dx")).cast("decimal(38,0)").as("sx"),
-          sum(col("dy")).cast("decimal(38,0)").as("sy"),
-          sum(col("dx") * col("dx")).cast("decimal(38,0)").as("sxx"),
-          sum(col("dy") * col("dy")).cast("decimal(38,0)").as("syy"),
-          sum(col("dx") * col("dy")).cast("decimal(38,0)").as("sxy"))
+          sum(col("dx").cast("decimal(38,0)")).as("sx"),
+          sum(col("dy").cast("decimal(38,0)")).as("sy"),
+          sum(col("dx").cast("decimal(38,0)") * col("dx")).as("sxx"),
+          sum(col("dy").cast("decimal(38,0)") * col("dy")).as("syy"),
+          sum(col("dx").cast("decimal(38,0)") * col("dy")).as("sxy"))
         val nD = col("n").cast("decimal(38,0)")
         val num = (nD * col("sxy") - col("sx") * col("sy")).cast("double")
         val denx = (nD * col("sxx") - col("sx") * col("sx")).cast("double")

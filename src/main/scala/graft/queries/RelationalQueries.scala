@@ -666,7 +666,13 @@ object RelationalQueries {
         |FROM lineitem WHERE l_linenumber <= 2
         |GROUP BY l_returnflag""".stripMargin))(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_").toString
+        // Deterministic per-dataset staging dir: repeated bench/verify
+        // invocations in one JVM OVERWRITE the same three staged copies
+        // instead of leaking a fresh tree per call, and the shutdown
+        // hook removes the whole tree when the process exits (the
+        // staged files must outlive this builder — the returned frame
+        // reads them lazily).
+        val tmp = formatStageDir(d)
         val src = Tables(s, d, "lineitem").where(col("l_linenumber") <= 2)
           .select(col("l_returnflag").as("rf"),
             floor(col("l_quantity") + 0.5).cast("bigint").as("qty"),
@@ -719,11 +725,38 @@ object RelationalQueries {
       })
   )
 
+  /** Per-dataset staging dir for the format round-trip, removed on JVM
+    * exit (the staged CSV/JSON/ORC copies are read lazily by the
+    * returned frame, so they cannot be deleted inline). */
+  private def formatStageDir(d: String): String = {
+    val dir = s"/tmp/graft_fmt_${Integer.toHexString(d.hashCode)}"
+    val f = new java.io.File(dir)
+    if (fmtHooked.add(dir)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
+        }
+        rm(f)
+      }))
+    }
+    dir
+  }
+  private val fmtHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Stage lineitem partitioned by ship month (idempotent per fixture
     * dir) and read it back — a Hive-partitioned fact for the DPP
     * query/spec. Partition discovery types `mon` as INTEGER. */
   def monthPartitionedLineitem(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft_dpp_${Integer.toHexString(d.hashCode)}"
+    // Cache key includes the source file's (mtime, size): a REGENERATED
+    // fixture under the same path must invalidate the staged copy, or
+    // this would silently serve pre-regeneration rows.
+    val srcMeta = {
+      val f = new java.io.File(s"$d/lineitem.parquet")
+      s"${f.lastModified()}_${f.length()}".hashCode
+    }
+    val dir =
+      s"/tmp/graft_dpp_${Integer.toHexString(d.hashCode ^ srcMeta)}"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       Tables(s, d, "lineitem")

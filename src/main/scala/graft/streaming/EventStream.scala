@@ -19,11 +19,13 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet physical schema: ts is TIMESTAMP(NANOS), which
-    * Spark's reader only exposes as long (legacy nanosAsLong). */
+  /** events.parquet logical schema with `ts` left abstract — the
+    * fixture has shipped ts as TIMESTAMP(NANOS) (readable only as long
+    * via the legacy flag) and as TIMESTAMP(MICROS)/NTZ across
+    * generations, so the concrete ts type is probed per directory. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
+    StructField("ts", LongType), // nanos generation; micros probes NTZ
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,11 +37,23 @@ object EventStream {
   /** File-source stream over a directory of events parquet. Source
     * options pass through — e.g. `maxFilesPerTrigger` to bound each
     * micro-batch's ingestion (the backpressure knob for a backlog of
-    * arrived files; honored per batch by AvailableNow too). */
+    * arrived files; honored per batch by AvailableNow too).
+    *
+    * File streams need an explicit schema, so the on-disk ts type is
+    * probed with a batch footer read first and the stream's schema +
+    * normalization chosen to match (both generations end up session-TZ
+    * TIMESTAMP at micros precision, same as [[graft.Tables]]). */
   def readEvents(spark: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanosToTs(spark.readStream.options(options).schema(rawSchema).parquet(dir))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream.options(options).schema(schema).parquet(dir)
+    tsType match {
+      case LongType => nanosToTs(raw)
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Tumbling-window counts/sums per event type. Works on batch and

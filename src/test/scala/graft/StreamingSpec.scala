@@ -15,6 +15,17 @@ class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  /** Await with a CHECKED timeout: on expiry stop the query and fail
+    * loudly — a still-running AvailableNow query would otherwise make
+    * the next assertion (or the next run against the same checkpoint)
+    * fail with a confusing secondary error. */
+  private def awaitFinished(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val finished = q.awaitTermination(120000)
+    if (!finished) q.stop()
+    assert(finished, "streaming query did not finish within 120 s")
+  }
+
   test("windowedAgg: streaming (availableNow, complete) equals batch") {
     // file-source streams read a DIRECTORY of arriving files
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_")
@@ -28,7 +39,7 @@ class StreamingSpec extends SparkSpecBase {
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitFinished(q)
     val got = spark.table("win_counts")
       .orderBy("window_start_us", "event_type")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
@@ -76,7 +87,7 @@ class StreamingSpec extends SparkSpecBase {
         .option("path", out).option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitFinished(q)
     }
     raw.where("event_id < 500").write.mode("append").parquet(in)
     runOnce()
@@ -158,7 +169,7 @@ class StreamingSpec extends SparkSpecBase {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitFinished(q)
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .select("signup_id", "purchase_id", "user_id", "delay_us")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -214,7 +225,7 @@ class StreamingSpec extends SparkSpecBase {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitFinished(q)
     def canon(df: org.apache.spark.sql.DataFrame) = df
       .where("user_id < 90") // clock sentinels' own rows are not part of the contract
       .select("signup_id", "purchase_id", "user_id")
@@ -372,7 +383,7 @@ class StreamingSpec extends SparkSpecBase {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    awaitFinished(q)
     val batches = q.recentProgress.filter(_.numInputRows > 0)
     assert(batches.length >= 4,
       s"expected >=4 bounded batches, got ${batches.length}")
@@ -442,7 +453,7 @@ class StreamingSpec extends SparkSpecBase {
         .option("checkpointLocation", cp)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitFinished(q)
     }
     // first run: early events only — sessions for quiet users emit,
     // still-open sessions stay in state
@@ -649,7 +660,7 @@ class StreamingSpec extends SparkSpecBase {
         .outputMode("update")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitFinished(q)
     }
     // the file source reads whole files; each run appends one file whose
     // rows are time-ordered, matching the arrival order the state expects
@@ -691,7 +702,7 @@ class StreamingSpec extends SparkSpecBase {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      awaitFinished(q)
     }
     // run 1: base load only; run 2 (NEW query instance, same
     // checkpoint) applies both change waves — per-key state must
