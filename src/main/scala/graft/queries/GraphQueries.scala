@@ -188,6 +188,90 @@ object GraphQueries {
         val deny = (nD * col("syy") - col("sy") * col("sy")).cast("double")
         m.select(col("n"),
           (num / (sqrt(denx) * sqrt(deny))).as("assortativity"))
+      }),
+
+    // ---- semi-supervised label propagation (2 unrolled iterations)
+    // over the symmetrized part↔supplier graph: anchor nodes
+    // (node % 7 = 0) carry a fixed label (node % 5) and never change;
+    // every other node takes the MAJORITY label among its labeled
+    // neighbors each round, ties broken by the smallest label — the
+    // fully deterministic variant (random or arrival-order tie-breaks
+    // are irreproducible across partitionings). Per iteration: ONE
+    // equi-join of the label vector against the edge list + a
+    // (node, label) count + a per-node top-1 window — the same
+    // join-agg round shape as PageRank, with per-iteration state
+    // |nodes| rows. The result is the label histogram with node-range
+    // witnesses, which pins every assignment without emitting the
+    // whole vector. ----
+    QueryDef("q_graph_label_prop", Some {
+      def iter(prev: String, out: String) =
+        s"""v_$out AS (
+           |  SELECT e.dst AS node, p.lab, count(*) AS c
+           |  FROM e JOIN $prev p ON e.src = p.node
+           |  WHERE p.lab IS NOT NULL
+           |  GROUP BY e.dst, p.lab),
+           |b_$out AS (
+           |  SELECT node, lab FROM (
+           |    SELECT node, lab,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY c DESC, lab ASC) AS rn
+           |    FROM v_$out) t WHERE rn = 1),
+           |$out AS (
+           |  SELECT n.node,
+           |    CASE WHEN n.node % 7 = 0 THEN n.node % 5
+           |         ELSE coalesce(b.lab, p.lab) END AS lab
+           |  FROM nodes n
+           |  LEFT JOIN b_$out b ON b.node = n.node
+           |  LEFT JOIN $prev p ON p.node = n.node)""".stripMargin
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem),
+         |e AS (SELECT p AS src, sp AS dst FROM bi
+         |      UNION ALL SELECT sp AS src, p AS dst FROM bi),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |l0 AS (SELECT node,
+         |  CASE WHEN node % 7 = 0 THEN node % 5 END AS lab FROM nodes),
+         |${iter("l0", "l1")},
+         |${iter("l1", "l2")}
+         |SELECT CAST(lab AS BIGINT) AS lab, count(*) AS n_nodes,
+         |  CAST(min(node) AS BIGINT) AS min_node,
+         |  CAST(max(node) AS BIGINT) AS max_node
+         |FROM l2 GROUP BY lab""".stripMargin
+    })(
+      (s, d) => {
+        val bi = Tables(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val e = bi.select(col("p").as("src"), col("sp").as("dst"))
+          .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
+          .repartition(col("src")).persist() // loop-invariant, reused twice
+        val nodes = e.select(col("src").as("node")).distinct()
+        var labs = nodes.select(col("node"),
+          when(col("node") % 7 === 0, col("node") % 5).as("lab"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
+        for (_ <- 1 to 2) {
+          val votes = e.join(labs.where(col("lab").isNotNull)
+              .select(col("node").as("src"), col("lab")), "src")
+            .groupBy(col("dst").as("node"), col("lab"))
+            .agg(count(lit(1)).as("c"))
+          val best = votes
+            .withColumn("rn", row_number().over(w))
+            .where(col("rn") === 1)
+            .select(col("node").as("bn"), col("lab").as("blab"))
+          labs = nodes
+            .join(best, col("node") === col("bn"), "left")
+            .join(labs.select(col("node").as("pn"), col("lab").as("plab")),
+              col("node") === col("pn"), "left")
+            .select(col("node"),
+              when(col("node") % 7 === 0, col("node") % 5)
+                .otherwise(coalesce(col("blab"), col("plab"))).as("lab"))
+        }
+        labs.groupBy(col("lab").cast("bigint").as("lab"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("node")).cast("bigint").as("min_node"),
+            max(col("node")).cast("bigint").as("max_node"))
       })
   )
 }

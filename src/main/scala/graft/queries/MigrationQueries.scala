@@ -551,6 +551,73 @@ object MigrationQueries {
             "orders", "o_custkey", "customer", "c_custkey"))
           .unionAll(pair("orders.o_custkey->part.p_partkey",
             "orders", "o_custkey", "part", "p_partkey"))
+      }),
+
+    // ---- probabilistic record linkage (Fellegi–Sunter shape):
+    // candidate pairs from BLOCKING (equi-join on nationkey — never
+    // all-pairs; at 100 TB swap in a second blocking pass on another
+    // key and union candidates), then a per-pair AGREEMENT VECTOR over
+    // three comparators (balance within $100; key fragments mod 97 and
+    // mod 10 — stand-ins for id-fragment comparators on real entity
+    // data) and a LINKAGE SCORE as the sum of fixed integer log-odds
+    // weights per agreement/disagreement (weights are trained
+    // constants in a real deployment; integers here, so the score is
+    // exact in both engines — no log() at query time, same reason the
+    // BM25 entry is log-free). Pairs at or above the match threshold
+    // survive. The oracle restates the same spec relationally; the
+    // Spark side is one broadcast-free equi-join on the block key +
+    // codegen'd comparators. ----
+    QueryDef("q_link_fellegi", Some(
+      """SELECT c.c_custkey AS custkey, s.s_suppkey AS suppkey,
+        |  CAST(c.c_nationkey AS BIGINT) AS block,
+        |  CAST(CASE WHEN abs(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)
+        |    - CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT)) <= 10000
+        |    THEN 1 ELSE 0 END AS BIGINT) AS a_bal,
+        |  CAST(CASE WHEN c.c_custkey % 97 = s.s_suppkey % 97
+        |    THEN 1 ELSE 0 END AS BIGINT) AS a_f97,
+        |  CAST(CASE WHEN c.c_custkey % 10 = s.s_suppkey % 10
+        |    THEN 1 ELSE 0 END AS BIGINT) AS a_f10,
+        |  CAST((CASE WHEN abs(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)
+        |          - CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT)) <= 10000
+        |          THEN 18 ELSE -3 END)
+        |    + (CASE WHEN c.c_custkey % 97 = s.s_suppkey % 97
+        |          THEN 66 ELSE -1 END)
+        |    + (CASE WHEN c.c_custkey % 10 = s.s_suppkey % 10
+        |          THEN 33 ELSE -5 END) AS BIGINT) AS score
+        |FROM customer c JOIN supplier s
+        |  ON c.c_nationkey = s.s_nationkey
+        |WHERE (CASE WHEN abs(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)
+        |          - CAST(floor(s.s_acctbal*100 + 0.5) AS BIGINT)) <= 10000
+        |          THEN 18 ELSE -3 END)
+        |    + (CASE WHEN c.c_custkey % 97 = s.s_suppkey % 97
+        |          THEN 66 ELSE -1 END)
+        |    + (CASE WHEN c.c_custkey % 10 = s.s_suppkey % 10
+        |          THEN 33 ELSE -5 END) >= 80""".stripMargin))(
+      (s, d) => {
+        val c = Tables(s, d, "customer").select(
+          col("c_custkey").as("custkey"),
+          col("c_nationkey").cast("bigint").as("block"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("c_cents"))
+        val sup = Tables(s, d, "supplier").select(
+          col("s_suppkey").as("suppkey"),
+          col("s_nationkey").cast("bigint").as("s_block"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("bigint").as("s_cents"))
+        c.join(sup, col("block") === col("s_block"))
+          .withColumn("a_bal",
+            (abs(col("c_cents") - col("s_cents")) <= 10000)
+              .cast("bigint"))
+          .withColumn("a_f97",
+            (col("custkey") % 97 === col("suppkey") % 97).cast("bigint"))
+          .withColumn("a_f10",
+            (col("custkey") % 10 === col("suppkey") % 10).cast("bigint"))
+          .withColumn("score",
+            (when(col("a_bal") === 1, 18L).otherwise(-3L)
+              + when(col("a_f97") === 1, 66L).otherwise(-1L)
+              + when(col("a_f10") === 1, 33L).otherwise(-5L))
+              .cast("bigint"))
+          .where(col("score") >= 80)
+          .select(col("custkey"), col("suppkey"), col("block"),
+            col("a_bal"), col("a_f97"), col("a_f10"), col("score"))
       })
   )
 

@@ -692,6 +692,55 @@ object RelationalQueries {
             max(col("ship_us")).cast("bigint").as("max_ship_us"))
       }),
 
+    // ---- schema evolution across file generations: a legacy batch
+    // written WITHOUT the cents column and a current batch WITH it are
+    // read back as one frame via mergeSchema — the reader unions the
+    // footer schemas and NULL-fills the missing column for legacy
+    // files (the standard long-lived-dataset upgrade path: add a
+    // column, never rewrite old files). The aggregate proves the fill:
+    // sum(cents) covers only current-generation rows and n_legacy
+    // counts exactly the NULL-filled ones. The oracle states the same
+    // result from the source table directly, modeling the missing
+    // column with CASE on the generation key — so a reader that
+    // misaligned columns or dropped legacy rows fails the hash. Scale:
+    // mergeSchema unions footer schemas on the driver (per-FILE
+    // footers, not data) and the aggregate is one partial+final hash
+    // agg; pin the merged schema explicitly once known to skip even
+    // the footer sweep. ----
+    QueryDef("q_schema_evolution", Some(
+      """SELECT l_returnflag AS rf, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty,
+        |  CAST(sum(CASE WHEN l_linenumber = 2
+        |    THEN CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN l_linenumber = 2 THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_legacy
+        |FROM lineitem WHERE l_linenumber <= 2
+        |GROUP BY l_returnflag""".stripMargin))(
+      (s, d) => {
+        val tmp = stageDir("evo", d)
+        val base = Tables(s, d, "lineitem").where(col("l_linenumber") <= 2)
+        base.where(col("l_linenumber") === 1)
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_quantity") + 0.5).cast("bigint").as("qty"))
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        base.where(col("l_linenumber") === 2)
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_quantity") + 0.5).cast("bigint").as("qty"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+              .as("cents"))
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("bigint").as("sum_qty"),
+            sum(col("cents")).cast("bigint").as("sum_cents"),
+            sum(when(col("cents").isNull, 1L).otherwise(0L)).cast("bigint")
+              .as("n_legacy"))
+      }),
+
     // ---- dynamic partition pruning over a month-partitioned fact ----
     // The fact is staged Hive-partitioned by ship month (the layout a
     // 100 TB lineitem would actually use) and carries NO static filter
@@ -725,13 +774,14 @@ object RelationalQueries {
       })
   )
 
-  /** Per-dataset staging dir for the format round-trip, removed on JVM
-    * exit (the staged CSV/JSON/ORC copies are read lazily by the
-    * returned frame, so they cannot be deleted inline). */
-  private def formatStageDir(d: String): String = {
-    val dir = s"/tmp/graft_fmt_${Integer.toHexString(d.hashCode)}"
+  /** Per-dataset staging dir (one per prefix), removed on JVM exit —
+    * staged copies are read lazily by the returned frames, so they
+    * cannot be deleted inline; repeated invocations in one JVM
+    * overwrite rather than leak. */
+  private def stageDir(prefix: String, d: String): String = {
+    val dir = s"/tmp/graft_${prefix}_${Integer.toHexString(d.hashCode)}"
     val f = new java.io.File(dir)
-    if (fmtHooked.add(dir)) {
+    if (stageHooked.add(dir)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(x: java.io.File): Unit = {
           Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(): Unit
@@ -741,8 +791,10 @@ object RelationalQueries {
     }
     dir
   }
-  private val fmtHooked =
+  private val stageHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def formatStageDir(d: String): String = stageDir("fmt", d)
 
   /** Stage lineitem partitioned by ship month (idempotent per fixture
     * dir) and read it back — a Hive-partitioned fact for the DPP

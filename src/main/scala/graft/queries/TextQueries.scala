@@ -1143,6 +1143,93 @@ object TextQueries {
           .where(col("tag") === 0)
           .select(col("source"), col("v"), col("c").cast("bigint").as("n_docs"),
             col("v_norm"))
+      }),
+
+    // ---- BM25 ranking over the corpus for a fixed 3-term query
+    // ('join','vector','scan'), log-free Robertson variant: the
+    // catalog's no-transcendentals parity rule forbids ln(), so idf is
+    // the exact rational (N − df + ½)/(df + ½) — doubled to integers
+    // (2N − 2df + 1)/(2df + 1) — and the tf saturation
+    // tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75
+    // is cleared of ALL fractions by multiplying through by 40·T
+    // (T = corpus token count, avgdl = T/N): numerator 88·T·tf,
+    // denominator 40·T·tf + 12·T + 36·dl·N, every factor an exact
+    // integer. Per term the score is ONE double division of two exact
+    // DECIMAL(38,0)/HUGEINT products (int64 would wrap at web-corpus
+    // scale), and the doc score adds the three per-term doubles in
+    // FIXED query order — float addition isn't associative, so the
+    // pivot-then-add keeps Spark and DuckDB bit-identical where a
+    // sum() over an unordered term set would not be. Scale shape: one
+    // explode→hash-agg for tf/dl, a 3-row broadcast for df, a 1-row
+    // broadcast for the corpus totals, TakeOrderedAndProject for the
+    // top-20 (per-partition heaps, no global sort). ----
+    QueryDef("q_text_bm25", Some(
+      """WITH tok AS (
+        |  SELECT doc_id, t.w AS term
+        |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS t_total,
+        |             (SELECT CAST(count(*) AS HUGEINT) FROM documents)
+        |               AS n_docs
+        |      FROM tok),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |       WHERE term IN ('join', 'vector', 'scan')
+        |       GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS HUGEINT) AS df
+        |       FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST((2*g.n_docs - 2*df.df + 1) * (88 * g.t_total * tf.tf)
+        |      AS DOUBLE)
+        |    / CAST((2*df.df + 1)
+        |        * (40 * g.t_total * tf.tf + 12 * g.t_total
+        |           + 36 * dl.dl * g.n_docs) AS DOUBLE) AS s
+        |  FROM tf JOIN df ON tf.term = df.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+        |agg AS (
+        |  SELECT sc.doc_id,
+        |    coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
+        |    + coalesce(max(CASE WHEN term = 'scan' THEN s END), 0.0)
+        |      AS score
+        |  FROM sc GROUP BY sc.doc_id)
+        |SELECT agg.doc_id, CAST(dl.dl AS BIGINT) AS dl, agg.score
+        |FROM agg JOIN dl ON agg.doc_id = dl.doc_id
+        |WHERE agg.score > 0
+        |ORDER BY agg.score DESC, agg.doc_id LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val terms = Seq("join", "vector", "scan")
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val g = tok.agg(count(lit(1)).cast("decimal(38,0)").as("t_total"))
+          .crossJoin(Tables(s, d, "documents")
+            .agg(count(lit(1)).cast("decimal(38,0)").as("n_docs")))
+        val tf = tok.where(col("term").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("df"))
+        val sc = tf.join(broadcast(df), "term")
+          .join(dl, "doc_id").crossJoin(broadcast(g))
+          .withColumn("s",
+            ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+              * (lit(88) * col("t_total") * col("tf"))).cast("double")
+            / ((lit(2) * col("df") + lit(1))
+              * (lit(40) * col("t_total") * col("tf")
+                 + lit(12) * col("t_total")
+                 + lit(36) * col("dl").cast("decimal(38,0)") * col("n_docs")))
+              .cast("double"))
+        val agg = sc.groupBy(col("doc_id"))
+          .agg(terms.map(t =>
+              coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+            .reduce(_ + _).as("score"))
+        agg.join(dl, "doc_id")
+          .where(col("score") > 0)
+          .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
+            col("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
       })
   )
 }

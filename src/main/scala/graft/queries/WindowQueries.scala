@@ -178,6 +178,55 @@ object WindowQueries {
             col("c_acctbal"),
             first(col("c_acctbal")).over(w).as("lowest_bal"),
             last(col("c_acctbal")).over(w).as("highest_bal"))
+      }),
+
+    // ---- Pareto frontier (skyline): per brand, the parts no other
+    // part weakly dominates (price ≤, size ≥, at least one strict) —
+    // the multi-objective shortlist operator (cheapest-per-capability
+    // sweep). The Spark side is the O(n log n) plane-sweep as TWO
+    // windows per brand: a row survives iff its size is strictly above
+    // max(size) over all STRICTLY cheaper rows (RANGE … 1 PRECEDING on
+    // integer cents — a ROWS frame would wrongly include price ties)
+    // AND it has the max size within its own price point (equal-price,
+    // larger-size rows dominate; equal-price equal-size duplicates
+    // both survive, since neither dominates strictly). The oracle is
+    // the O(n²) NOT-EXISTS dominance SPEC, so this entry differentially
+    // tests algorithm against definition, not a rewrite against
+    // itself. Scale: windows partition by brand — parallel across
+    // brands, no global sort; for a frontier over a single giant group
+    // shard the sweep by a price prefix and merge shard frontiers
+    // (frontier size is tiny vs input). ----
+    QueryDef("q_pareto_frontier", Some(
+      """SELECT p.p_brand AS brand, p.p_partkey AS partkey,
+        |  CAST(floor(p.p_retailprice*100 + 0.5) AS BIGINT) AS price_cents,
+        |  CAST(p.p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND floor(q.p_retailprice*100 + 0.5)
+        |        <= floor(p.p_retailprice*100 + 0.5)
+        |    AND q.p_size >= p.p_size
+        |    AND (floor(q.p_retailprice*100 + 0.5)
+        |         < floor(p.p_retailprice*100 + 0.5)
+        |         OR q.p_size > p.p_size))""".stripMargin))(
+      (s, d) => {
+        val p = Tables(s, d, "part").select(
+          col("p_brand").as("brand"), col("p_partkey").as("partkey"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("bigint")
+            .as("price_cents"),
+          col("p_size").cast("bigint").as("size"))
+        val wCheaper = Window.partitionBy(col("brand"))
+          .orderBy(col("price_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wSamePrice = Window.partitionBy(col("brand"), col("price_cents"))
+        p.withColumn("best_cheaper", max(col("size")).over(wCheaper))
+          .withColumn("best_same", max(col("size")).over(wSamePrice))
+          .where(col("best_cheaper").isNull ||
+            col("size") > col("best_cheaper"))
+          .where(col("size") === col("best_same"))
+          .select(col("brand"), col("partkey"), col("price_cents"),
+            col("size"))
       })
   )
 }
