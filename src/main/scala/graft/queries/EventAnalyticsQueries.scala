@@ -1124,6 +1124,49 @@ object EventAnalyticsQueries {
               WHEN cents >= prev THEN ((cents - prev) * 1000000) DIV prev
               ELSE -(((prev - cents) * 1000000) DIV prev)
             END AS BIGINT)""").as("wow_e6"))
+      }),
+
+    // ---- time-decayed value per event type with a one-week half-life
+    // — the recency-weighted engagement score. Decay weights are EXACT
+    // dyadic rationals, not exp(): age in half-lives k = (max_day −
+    // day) div 7 (clamped to 40), weight 2^(−k), and every event
+    // contributes cents·2^(40−k) — an integer — to a DECIMAL(38,0)/
+    // HUGEINT sum (cents·2^40 alone overflows int64). ONE double cast
+    // + division by the constant 2^40 at the end converts the exact
+    // scaled sum to the reported score, so there is no transcendental
+    // and no order-dependent float accumulation anywhere; the >2^53
+    // wide-integer→DOUBLE parity is the chi-square precedent. The
+    // anchor max(day) is a 1-row broadcast. Scale: one scan, one
+    // partial+final agg. ----
+    QueryDef("q_events_decay", Some(
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+         |    CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day
+         |  FROM events),
+         |m AS (SELECT max(day) AS mx FROM e),
+         |w AS (SELECT event_type, cents,
+         |        least((m.mx - e.day) // 7, 40) AS k FROM e, m)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(cents AS HUGEINT)
+         |        * (CAST(1 AS BIGINT) << CAST(40 - k AS INTEGER)))
+         |      AS DOUBLE) / 1099511627776.0 AS decayed_cents
+         |FROM w GROUP BY event_type""".stripMargin))(
+      (s, d) => {
+        val e = Tables(s, d, "events").select(
+          col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("bigint").as("cents"),
+          (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+            .as("day"))
+        val m = e.agg(max(col("day")).as("mx"))
+        e.crossJoin(broadcast(m))
+          .withColumn("k", least(expr("(mx - day) div 7"), lit(40L)))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(col("cents").cast("decimal(38,0)")
+                * expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))")
+                  .cast("decimal(38,0)"))
+              .cast("double") / lit(1099511627776.0)).as("decayed_cents"))
       })
   )
 }

@@ -191,6 +191,40 @@ object SampleQueries {
             .as("alloc"),
           ((col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
             .cast("double") / col("avail")).as("rate"))
+      }),
+
+    // ---- nucleus (top-p) selection per source: rank docs by length
+    // (the quality-score stand-in) and keep the SMALLEST prefix whose
+    // cumulative byte mass reaches half the group total — including
+    // the row that crosses the threshold, the standard top-p rule. The
+    // cut is exact integer arithmetic on the running sum (a row
+    // survives iff the mass STRICTLY BEFORE it is under p·total:
+    // 2·(cum − own) < total for p = ½), so there is no float epsilon
+    // at the boundary in either engine. Unlike top-quantile (fixed
+    // COUNT fraction), the prefix adapts to the mass distribution —
+    // a head-heavy source contributes few docs, a flat one many.
+    // Scale: two windows per source partition, no global sort; the
+    // per-group running sum is the only sequential dependency. ----
+    QueryDef("q_sample_nucleus", Some(
+      """SELECT doc_id, source, n_chars,
+        |  CAST(cum AS BIGINT) AS cum_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY source) AS tot
+        |  FROM documents)
+        |WHERE (cum - n_chars) * 2 < tot""".stripMargin))(
+      (s, d) => {
+        val byMass = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        val whole = Window.partitionBy(col("source"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            sum(col("n_chars")).over(byMass).as("cum"),
+            sum(col("n_chars")).over(whole).as("tot"))
+          .where((col("cum") - col("n_chars")) * 2 < col("tot"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("cum").cast("bigint").as("cum_chars"))
       })
   )
 }
