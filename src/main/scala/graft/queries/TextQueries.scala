@@ -1230,6 +1230,97 @@ object TextQueries {
             col("score"))
           .orderBy(col("score").desc, col("doc_id").asc)
           .limit(20)
+      }),
+
+    // ---- BPE ENCODE: train three merges on the corpus and APPLY them
+    // — the full train→apply tokenizer round-trip (q_text_bpe_merge
+    // stops after scoring one merge). Each round re-counts adjacent
+    // symbol pairs over the frequency-weighted VOCABULARY (never the
+    // token stream), takes the top pair (count desc, pair asc — the
+    // deterministic tie-break), and applies it with plain replace()
+    // over a DOUBLE-SPACED symbol string: tokens are stored
+    // ' s1  s2  s3 ' (two spaces between symbols, one at each bound),
+    // so the pattern ' p1  p2 ' borrows one space from each side and
+    // adjacent occurrences DON'T share characters — left-to-right
+    // non-overlapping replace() then merges exactly the pairs BPE
+    // would (e.g. 'a a a' + (a,a) → 'aa a', and 'a b a b' merges
+    // twice), and its replacement ' p1p2 ' restores the double-space
+    // invariant for the next round. replace() is literal and
+    // left-to-right in both engines, so the rounds are bit-identical.
+    // Scale: all merge work is vocab-sized (distinct words), each
+    // winning pair is a 1-row broadcast, and per-doc symbol counts
+    // come from re-joining the vocab stats to the token stream — the
+    // reduce-then-rejoin shape. ----
+    QueryDef("q_text_bpe_encode", Some {
+      def round(prev: String, out: String) =
+        s"""c_$out AS (
+           |  SELECT p.p AS pair, sum(s.n) AS cnt
+           |  FROM (SELECT n, string_split(trim(sp), '  ') AS a
+           |        FROM $prev) s,
+           |    unnest(list_transform(range(1, len(s.a)),
+           |      i -> s.a[i] || ' ' || s.a[i+1])) AS p(p)
+           |  GROUP BY p.p),
+           |t_$out AS (SELECT pair FROM c_$out
+           |           ORDER BY cnt DESC, pair LIMIT 1),
+           |$out AS (
+           |  SELECT p.w, p.n,
+           |    replace(p.sp, ' ' || replace(t.pair, ' ', '  ') || ' ',
+           |                  ' ' || replace(t.pair, ' ', '') || ' ') AS sp
+           |  FROM $prev p CROSS JOIN t_$out t)""".stripMargin
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.w AS w
+         |  FROM documents, unnest(${tokensSql("text")}) AS t(w)),
+         |wf AS (SELECT w, count(*) AS n FROM tok GROUP BY w),
+         |v0 AS (SELECT w, n,
+         |  ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+         |    i -> w[i:i]), '  ') || ' ' AS sp
+         |  FROM wf),
+         |${round("v0", "v1")},
+         |${round("v1", "v2")},
+         |${round("v2", "v3")},
+         |ws AS (SELECT w, len(w) AS sym0,
+         |         len(string_split(trim(sp), '  ')) AS sym3
+         |       FROM v3)
+         |SELECT tok.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(ws.sym0) AS BIGINT) AS n_sym_chars,
+         |  CAST(sum(ws.sym3) AS BIGINT) AS n_sym_bpe
+         |FROM tok JOIN ws ON tok.w = ws.w
+         |GROUP BY tok.doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val wf = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+        // sequence(1, 0) would be DESCENDING — guard zero-length words
+        var v = wf.select(col("w"), col("n"),
+          when(length(col("w")) >= 1,
+            expr("""concat(' ', array_join(transform(
+              sequence(1, length(w)), i -> substring(w, i, 1)), '  '), ' ')"""))
+            .otherwise(lit("  ")).as("sp"))
+        for (_ <- 1 to 3) {
+          val pairs = v.select(col("n"),
+              expr("split(trim(sp), '  ')").as("a"))
+            .select(col("n"), explode(when(size(col("a")) >= 2,
+              expr("""transform(sequence(1, size(a) - 1),
+                i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"""))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+          val top = pairs.groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+            .select(col("pair"))
+          v = v.crossJoin(broadcast(top))
+            .select(col("w"), col("n"),
+              expr("""replace(sp, concat(' ', replace(pair, ' ', '  '), ' '),
+                concat(' ', replace(pair, ' ', ''), ' '))""").as("sp"))
+        }
+        val ws = v.select(col("w"),
+          length(col("w")).cast("bigint").as("sym0"),
+          size(expr("split(trim(sp), '  ')")).cast("bigint")
+            .as("sym3"))
+        tok.join(broadcast(ws), "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("sym0")).cast("bigint").as("n_sym_chars"),
+            sum(col("sym3")).cast("bigint").as("n_sym_bpe"))
       })
   )
 }

@@ -24,7 +24,8 @@ class DeterminismSpec extends SparkSpecBase {
     "q_migrate_cdc_apply",   // LWW max(seq) + shuffle-hash join-back
     "q_text_quality_qnorm",  // unioned-curve forward as-of lookup
     "q_graph_label_prop",    // majority-vote tie-break under layouts
-    "q_text_bm25")           // fixed-order double addition + top-k cut
+    "q_text_bm25",           // fixed-order double addition + top-k cut
+    "q_text_bpe_encode")     // per-round top-pair tie-break + replace
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
