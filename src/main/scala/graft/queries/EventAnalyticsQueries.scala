@@ -1167,6 +1167,46 @@ object EventAnalyticsQueries {
                 * expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - k AS INT))")
                   .cast("decimal(38,0)"))
               .cast("double") / lit(1099511627776.0)).as("decayed_cents"))
+      }),
+
+    // ---- rolling 7-day distinct users per day (WAU): COUNT DISTINCT
+    // over a sliding window, which no engine's window functions
+    // support directly (distinct state isn't mergeable across frame
+    // slides). The scale-safe shape: dedupe to (user, active-day)
+    // first, then each active day COVERS the 7 report days it counts
+    // toward via a bounded sequence-explode (fan-out exactly 7, row-
+    // local), dedupe (user, report-day), and count — three hash
+    // shuffles, no window at all, fan-out independent of corpus size.
+    // The oracle states the identical cover construction. Report days
+    // clamp to the observed [min, max] range (1-row broadcast). ----
+    QueryDef("q_events_rolling_distinct", Some(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+         |cover AS (
+         |  SELECT DISTINCT user_id, day + o.o AS rday
+         |  FROM ud, unnest(range(0, 7)) AS o(o))
+         |SELECT cover.rday AS day, count(*) AS wau
+         |FROM cover, b
+         |WHERE cover.rday BETWEEN b.mn AND b.mx
+         |GROUP BY cover.rday""".stripMargin))(
+      (s, d) => {
+        val ud = Tables(s, d, "events")
+          .select(col("user_id"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+              .as("day"))
+          .distinct()
+        val b = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        val cover = ud
+          .select(col("user_id"),
+            explode(expr("sequence(day, day + 6)")).as("rday"))
+          .distinct()
+        cover.crossJoin(broadcast(b))
+          .where(col("rday").between(col("mn"), col("mx")))
+          .groupBy(col("rday").as("day"))
+          .agg(count(lit(1)).as("wau"))
       })
   )
 }
