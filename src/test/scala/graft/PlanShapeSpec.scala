@@ -374,4 +374,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(scan.metadata("PushedFilters").contains("In(event_type"),
       s"type filter not pushed: ${scan.metadata("PushedFilters")}")
   }
+
+  test("pareto frontier: join-free two-window plane sweep, brand-partitioned") {
+    // the differential claim: the Spark side must be the O(n log n)
+    // sweep — if it ever degenerates to the oracle's O(n²) dominance
+    // join (NOT EXISTS → anti nested-loop), this fails
+    val df = Catalog.byName("q_pareto_frontier").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"sweep must be join-free:\n$plan")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2, s"expected the two sweep windows:\n$plan")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      s"sweep windows must be brand-partitioned (no global window):\n$plan")
+  }
+
+  test("bm25: df/totals broadcast, top-20 is TakeOrderedAndProject") {
+    val df = Catalog.byName("q_text_bm25").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps, not a global sort:\n$s")
+    val bc = collectAll(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bc.nonEmpty,
+      s"the 3-row df frame and 1-row totals must broadcast:\n$s")
+  }
 }
