@@ -203,6 +203,108 @@ object EvalQueries {
             (dcg.cast("double") / lit(idcgE12.toDouble)).as(s"ndcg_at_$k"))
       }),
 
+    // ---- rank-biased overlap (RBO@5, truncated prefix form) of the
+    // PQ/ADC ranking vs exact cosine — the set-free companion to nDCG
+    // (nDCG scores positions of RELEVANT items; RBO scores agreement
+    // of the two RANKINGS at every depth). Persistence p = 1/2 makes
+    // every weight an exact dyadic rational: RBO = (1−p)·Σ_d
+    // p^(d−1)·|A_d∩B_d|/d, and with L = lcm(1..5)·2⁴ = 960 each
+    // depth-d term is the integer 960/(d·2^(d−1)) — [960,240,80,30,
+    // 12]. A matched item at ranks (rA,rB) contributes to every depth
+    // ≥ max(rA,rB), so its total weight is the integer SUFFIX sum
+    // [1322,362,122,42,12][max−1], summed exactly per query and
+    // divided by 2·960 once at the end. Same broadcast shapes as the
+    // recall/nDCG entries. ----
+    QueryDef("q_eval_pq_rbo", Some {
+      import SimilarityQueries.{pqBaseSql, querySetPred}
+      s"""WITH $pqBaseSql,
+         |nv AS (SELECT vec_id, v, ${normDSql("v")} AS nrm FROM n),
+         |brute AS (
+         |  SELECT query_id, neighbor_id, rnk FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM (SELECT * FROM nv WHERE $querySetPred) q
+         |    JOIN nv c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k),
+         |dtable AS (
+         |  SELECT vec_id AS query_id, subspace, code,
+         |    CAST(floor(dist * 1000000000) AS BIGINT) AS d_scaled
+         |  FROM dists WHERE $querySetPred),
+         |adc AS (
+         |  SELECT dtable.query_id, codes.vec_id AS candidate_id,
+         |    CAST(sum(dtable.d_scaled) AS BIGINT) AS adc_scaled
+         |  FROM codes JOIN dtable
+         |    ON codes.subspace = dtable.subspace AND codes.code = dtable.code
+         |  WHERE codes.vec_id <> dtable.query_id
+         |  GROUP BY dtable.query_id, codes.vec_id),
+         |adc_top AS (
+         |  SELECT query_id, candidate_id, rnk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_scaled, candidate_id) AS rnk FROM adc)
+         |  WHERE rnk <= $k)
+         |SELECT a.query_id,
+         |  CAST(count(b.neighbor_id) AS BIGINT) AS n_common,
+         |  CAST(sum(CASE WHEN b.neighbor_id IS NULL THEN 0
+         |    ELSE CASE greatest(a.rnk, b.rnk)
+         |      WHEN 1 THEN 1322 WHEN 2 THEN 362 WHEN 3 THEN 122
+         |      WHEN 4 THEN 42 ELSE 12 END END) AS BIGINT) AS rbo5_scaled,
+         |  CAST(sum(CASE WHEN b.neighbor_id IS NULL THEN 0
+         |    ELSE CASE greatest(a.rnk, b.rnk)
+         |      WHEN 1 THEN 1322 WHEN 2 THEN 362 WHEN 3 THEN 122
+         |      WHEN 4 THEN 42 ELSE 12 END END) AS DOUBLE) / 1920.0 AS rbo5
+         |FROM adc_top a LEFT JOIN brute b
+         |  ON b.query_id = a.query_id AND b.neighbor_id = a.candidate_id
+         |GROUP BY a.query_id""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{pqBase, querySetPred, vecs}
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val brute = broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wB))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        val (dists, codes) = pqBase(s, d)
+        val dtable = dists.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("subspace"), col("code"),
+            floor(col("dist") * 1000000000L).cast("bigint").as("d_scaled"))
+        val adc = codes.select(col("vec_id").as("candidate_id"),
+            col("subspace"), col("code"))
+          .join(broadcast(dtable), Seq("subspace", "code"))
+          .where(col("candidate_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("candidate_id"))
+          .agg(sum(col("d_scaled")).as("adc_scaled"))
+        val wA = Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_scaled").asc, col("candidate_id").asc)
+        val adcTop = adc.withColumn("rnk", row_number().over(wA))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("candidate_id"), col("rnk"))
+        val suffix = Seq(1 -> 1322L, 2 -> 362L, 3 -> 122L, 4 -> 42L)
+          .foldRight(lit(12L): org.apache.spark.sql.Column) {
+            case ((m, v), acc) =>
+              when(greatest(col("a.rnk"), col("b.rnk")) === m, lit(v))
+                .otherwise(acc)
+          }
+        val wsum = sum(when(col("b.neighbor_id").isNull, 0L).otherwise(suffix))
+        adcTop.alias("a")
+          .join(brute.alias("b"),
+            col("b.query_id") === col("a.query_id") &&
+              col("b.neighbor_id") === col("a.candidate_id"), "left")
+          .groupBy(col("a.query_id").as("query_id"))
+          .agg(count(col("b.neighbor_id")).cast("bigint").as("n_common"),
+            wsum.cast("bigint").as("rbo5_scaled"),
+            (wsum.cast("double") / lit(1920.0)).as("rbo5"))
+      }),
+
     // ---- recall@5 vs nprobe for the IVF coarse quantizer: the
     // quality/cost knob of an inverted-file index measured IN the
     // engine. For nprobe ∈ {1,2,4}, candidates are the vectors in the
