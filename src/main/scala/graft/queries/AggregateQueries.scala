@@ -470,7 +470,7 @@ object AggregateQueries {
         |      FROM c, m WHERE c.c = m.cmax)
         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
         |  CAST(sum(c) AS BIGINT) AS n_rows,
-        |  CAST(sum(c*c) AS BIGINT) AS pairs_forecast,
+        |  CAST(sum(CAST(c AS HUGEINT)*c) AS BIGINT) AS pairs_forecast,
         |  CAST(min(t.top_key) AS BIGINT) AS top_key,
         |  CAST(min(t.cmax) * min(t.cmax) AS BIGINT) AS max_key_pairs
         |FROM c, t""".stripMargin))(
@@ -483,7 +483,8 @@ object AggregateQueries {
           .agg(min(col("k")).as("top_key"), min(col("cmax")).as("cmax"))
         c.agg(count(lit(1)).as("n_keys"),
             sum(col("c")).cast("bigint").as("n_rows"),
-            sum(col("c") * col("c")).cast("bigint").as("pairs_forecast"))
+            sum(col("c").cast("decimal(38,0)") * col("c")).cast("bigint")
+              .as("pairs_forecast"))
           .crossJoin(broadcast(t))
           .select(col("n_keys"), col("n_rows"), col("pairs_forecast"),
             col("top_key").cast("bigint").as("top_key"),

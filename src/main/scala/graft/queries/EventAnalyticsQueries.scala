@@ -161,8 +161,8 @@ object EventAnalyticsQueries {
          |  FROM events GROUP BY 1, 2),
          |m AS (
          |  SELECT event_type, count(*) AS nb,
-         |    CAST(sum(cents) AS BIGINT) AS sx,
-         |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+         |    CAST(sum(cents) AS HUGEINT) AS sx,
+         |    sum(CAST(cents AS HUGEINT) * cents) AS sxx
          |  FROM b GROUP BY event_type)
          |SELECT b.event_type, b.day, b.cents / 100.0 AS day_value,
          |  (CAST(b.cents AS DOUBLE) - CAST(m.sx AS DOUBLE) / m.nb)
@@ -179,9 +179,12 @@ object EventAnalyticsQueries {
             floor(col("value") * 100 + 0.5).cast("bigint").as("c"))
           .groupBy(col("event_type"), col("day"))
           .agg(sum(col("c")).as("cents"))
+        // moments in decimal(38,0)/HUGEINT: Σcents² wraps int64 once
+        // daily totals pass ~3e9 cents (the OLS-entry precedent)
         val m = b.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("nb"), sum(col("cents")).as("sx"),
-            sum(col("cents") * col("cents")).as("sxx"))
+          .agg(count(lit(1)).as("nb"),
+            sum(col("cents").cast("decimal(38,0)")).as("sx"),
+            sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sxx"))
         val z = (col("cents").cast("double") - col("sx").cast("double") / col("nb")) /
           sqrt((col("nb") * col("sxx") - col("sx") * col("sx")).cast("double")
             / col("nb") / col("nb"))
