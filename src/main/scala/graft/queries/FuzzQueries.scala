@@ -682,6 +682,50 @@ object FuzzQueries {
           .agg(expr(ags.head), ags.tail.map(expr): _*))
   }
 
+  // ---- null-logic family: NULLIF manufactures NULLs from never-null
+  // fixture columns, which then flow through coalesce, the
+  // null-skipping aggregates (count/min/max ignore NULLs in both
+  // dialects), and IS DISTINCT FROM (the only equality that treats
+  // NULL as a comparable value) — the fourteenth tier, probing
+  // three-valued-logic rewrites from generated text. Predicates are
+  // modulo-only (never-empty rule); every integer aggregate CASTs to
+  // BIGINT as usual; an all-NULL min/max group NULL-widens identically
+  // on both sides (the outer-join-tier precedent). ----
+
+  private def genNull(i: Int): QueryDef = {
+    val rnd = new Random(seed * 179424673L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val key = pick(rnd, keyPool)
+    val c1 = pick(rnd, longCols)
+    val c2 = pick(rnd, longCols)
+    val k1 = 2 + rnd.nextInt(6)
+    val r1 = rnd.nextInt(k1)
+    val k2 = 2 + rnd.nextInt(6)
+    val r2 = rnd.nextInt(k2)
+    val k3 = 2 + rnd.nextInt(4)
+    val r3 = rnd.nextInt(k3)
+    val ags = Seq(
+      "count(1) AS n",
+      s"count(NULLIF($c1 % $k1, $r1)) AS n_nonnull",
+      s"CAST(sum(coalesce(NULLIF($c1 % $k2, $r2), -1)) AS BIGINT) AS s_coal",
+      s"CAST(sum(CASE WHEN NULLIF($c1 % $k3, $r3)" +
+        s" IS DISTINCT FROM NULLIF($c2 % $k3, $r3)" +
+        " THEN 1 ELSE 0 END) AS BIGINT) AS n_dfrom",
+      s"CAST(max(NULLIF($c2 % $k1, $r1)) AS BIGINT) AS mx_n")
+    val sql =
+      s"""SELECT $key, ${ags.mkString(", ")}
+         |FROM lineitem
+         |WHERE $pred
+         |GROUP BY $key""".stripMargin
+    QueryDef(f"q_fuzzn_$i%02d", Some(sql))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(col(key))
+          .agg(expr(ags.head), ags.tail.map(expr): _*))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
@@ -689,5 +733,5 @@ object FuzzQueries {
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
       (0 until 6).map(genBits) ++ (0 until 6).map(genRollup) ++
       (0 until 6).map(genRange) ++ (0 until 6).map(genOuter) ++
-      (0 until 6).map(genCase)
+      (0 until 6).map(genCase) ++ (0 until 6).map(genNull)
 }
