@@ -644,6 +644,52 @@ object RelationalQueries {
             count(lit(1)).as("n_items"))
       }),
 
+    // ---- TPC-H Q19 shape (discounted revenue, disjunctive
+    // predicate): three OR'd branches each tying a PART attribute
+    // (brand + size band) to a LINEITEM attribute (quantity band) —
+    // the classic test of disjunctive pushdown and join-predicate
+    // splitting. Catalyst extracts each side's implied disjunction
+    // and pushes it to that side's SCAN — part gets the full
+    // (brand=…∧size≤…)∨… Or filter plus the common size lower bound,
+    // lineitem gets the quantity envelope — while the cross-table
+    // residual evaluates on the joined row (plan pinned in
+    // PlanShapeSpec); neither table is scanned unfiltered. Revenue is
+    // the exact integer-cents product (DECIMAL(28,0)/HUGEINT, the Q6
+    // idiom) with one double division at the end. ----
+    QueryDef("q_tpch_q19", Some(
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)
+        |    * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS DECIMAL(28,0))) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))(
+      (s, d) => {
+        val disj =
+          """(p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+            |   AND l_quantity BETWEEN 1 AND 11)
+            |OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+            |   AND l_quantity BETWEEN 10 AND 20)
+            |OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+            |   AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+        Tables(s, d, "lineitem")
+          .join(broadcast(Tables(s, d, "part")),
+            expr("l_partkey = p_partkey"))
+          .where(expr(disj))
+          .agg(count(lit(1)).as("n_items"),
+            (sum(
+              ((col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+                * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+                  .cast("bigint"))).cast("decimal(28,0)"))
+              .cast("double") / 10000.0).as("revenue"))
+      }),
+
     // ---- format round-trip through the DuckDB gate: the fixture
     // slice travels parquet → CSV → JSON → ORC (every non-parquet
     // format the engine ships, write AND read) and only then

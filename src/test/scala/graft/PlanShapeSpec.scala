@@ -394,6 +394,28 @@ class PlanShapeSpec extends SparkSpecBase {
       s"sweep windows must be brand-partitioned (no global window):\n$plan")
   }
 
+  test("q19: disjunctive predicate splits — brand set to part scan, quantity range to lineitem scan") {
+    val df = Catalog.byName("q_tpch_q19").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val part = scans.find(_.metadata("Location").contains("part.parquet"))
+      .getOrElse(fail(s"no part scan:\n$plan"))
+    // the WHOLE part-only disjunction (brand=…∧size≤…) ∨ … reaches the
+    // part scan as an Or filter, plus the extracted common size bound
+    val pf = part.metadata("PushedFilters")
+    assert(pf.contains("EqualTo(p_brand,Brand#11)") && pf.contains("Or(")
+      && pf.contains("GreaterThanOrEqual(p_size,1)"),
+      s"part-side disjunction not pushed to part: $pf")
+    val li = scans.find(_.metadata("Location").contains("lineitem.parquet"))
+      .getOrElse(fail(s"no lineitem scan:\n$plan"))
+    val lf = li.metadata("PushedFilters")
+    assert(lf.contains("l_quantity"),
+      s"quantity envelope not pushed to lineitem: $lf")
+  }
+
   test("bm25: df/totals broadcast, top-20 is TakeOrderedAndProject") {
     val df = Catalog.byName("q_text_bm25").fn(spark, sfDir)
     df.collect()
