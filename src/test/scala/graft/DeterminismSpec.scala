@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkSpecBase {
     "q_text_quality_qnorm",  // unioned-curve forward as-of lookup
     "q_graph_label_prop",    // majority-vote tie-break under layouts
     "q_text_bm25",           // fixed-order double addition + top-k cut
-    "q_text_bpe_encode")     // per-round top-pair tie-break + replace
+    "q_text_bpe_encode",     // per-round top-pair tie-break + replace
+    "q_events_rolling_distinct", // double-dedup cover under layouts
+    "q_eval_pq_rbo")         // two rank lists + suffix weights
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
