@@ -1210,6 +1210,69 @@ object EventAnalyticsQueries {
           .where(col("rday").between(col("mn"), col("mx")))
           .groupBy(col("rday").as("day"))
           .agg(count(lit(1)).as("wau"))
+      }),
+
+    // ---- rolling 7-day OLS trend per event type: the q_agg_regression
+    // exact-moment machinery moved INSIDE a window frame — five
+    // windowed sums (n, Σx, Σy, Σx², Σxy) over ROWS 6 PRECEDING give a
+    // per-day least-squares slope of daily cents against the epoch-day
+    // index, the trend-detection operator a monitoring pipeline runs.
+    // Products are formed in DECIMAL(38,0)/HUGEINT BEFORE the windowed
+    // sum (day ≈ 2e4 and daily cents can be large; the OLS-entry
+    // precedent), the slope is ONE double division of two exact
+    // integers, and the degenerate frames (n < 2, or zero x-variance)
+    // are NULLed by an exact CASE — never a NaN whose propagation
+    // differs by engine. The frame is over PRESENT days (sparse days
+    // shorten the lookback; densify with the LOCF grid first if
+    // calendar-exact windows are needed). One daily pre-aggregate,
+    // one type-partitioned window pass. ----
+    QueryDef("q_events_rolling_slope", Some(
+      s"""WITH dy AS (
+         |  SELECT event_type,
+         |    CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
+         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, day, cents,
+         |    count(*) OVER f AS n,
+         |    CAST(sum(day) OVER f AS HUGEINT) AS sx,
+         |    CAST(sum(cents) OVER f AS HUGEINT) AS sy,
+         |    sum(CAST(day AS HUGEINT)*day) OVER f AS sxx,
+         |    sum(CAST(day AS HUGEINT)*cents) OVER f AS sxy
+         |  FROM dy
+         |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, day, cents, CAST(n AS BIGINT) AS n_window,
+         |  CASE WHEN n >= 2 AND n*sxx - sx*sx <> 0
+         |    THEN CAST(n*sxy - sx*sy AS DOUBLE)
+         |         / CAST(n*sxx - sx*sx AS DOUBLE)
+         |  END AS slope7
+         |FROM w""".stripMargin))(
+      (s, d) => {
+        val dy = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+              .as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        val f = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(-6, 0)
+        val w = dy
+          .withColumn("n", count(lit(1)).over(f))
+          .withColumn("sx", sum(col("day").cast("decimal(38,0)")).over(f))
+          .withColumn("sy", sum(col("cents").cast("decimal(38,0)")).over(f))
+          .withColumn("sxx",
+            sum(col("day").cast("decimal(38,0)") * col("day")).over(f))
+          .withColumn("sxy",
+            sum(col("day").cast("decimal(38,0)") * col("cents")).over(f))
+        val nD = col("n").cast("decimal(38,0)")
+        val denom = nD * col("sxx") - col("sx") * col("sx")
+        w.select(col("event_type"), col("day"), col("cents"),
+          col("n").cast("bigint").as("n_window"),
+          when(col("n") >= 2 && denom =!= 0,
+            (nD * col("sxy") - col("sx") * col("sy")).cast("double")
+              / denom.cast("double")).as("slope7"))
       })
   )
 }
