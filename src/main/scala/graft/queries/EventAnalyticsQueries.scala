@@ -1273,6 +1273,75 @@ object EventAnalyticsQueries {
           when(col("n") >= 2 && denom =!= 0,
             (nD * col("sxy") - col("sx") * col("sy")).cast("double")
               / denom.cast("double")).as("slope7"))
+      }),
+
+    // ---- growth accounting: every day's active users decomposed into
+    // NEW (first-ever activity), RETAINED (also active the previous
+    // day) and RESURRECTED (returning after a gap), plus the day's
+    // CHURNED count (active yesterday, absent today) — the standard
+    // DAU decomposition, with the invariant new + retained +
+    // resurrected = active built into the output. One FULL OUTER
+    // self-join of the deduped (user, day) frame against itself
+    // shifted by one day classifies every (user, day±1) incidence;
+    // first-activity days come from a min-aggregate joined back.
+    // All counts are exact integers; days clamp to the observed range
+    // (a 1-row broadcast) so the trailing churn row of max_day+1
+    // doesn't invent a calendar day. Scale: dedupe + two equi-joins +
+    // one hash agg, all keyed on user — no window over the corpus. ----
+    QueryDef("q_events_growth", Some(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day
+         |  FROM events),
+         |fu AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY user_id),
+         |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+         |j AS (
+         |  SELECT coalesce(t.user_id, y.user_id) AS user_id,
+         |    coalesce(t.day, y.day + 1) AS day,
+         |    CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS today,
+         |    CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END AS yest
+         |  FROM ud t FULL JOIN ud y
+         |    ON y.user_id = t.user_id AND y.day = t.day - 1)
+         |SELECT j.day,
+         |  CAST(sum(j.today) AS BIGINT) AS active,
+         |  CAST(sum(CASE WHEN j.today = 1 AND fu.fday = j.day
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+         |  CAST(sum(j.today * j.yest) AS BIGINT) AS retained,
+         |  CAST(sum(CASE WHEN j.today = 1 AND j.yest = 0 AND fu.fday < j.day
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+         |  CAST(sum(CASE WHEN j.today = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS churned
+         |FROM j JOIN fu ON fu.user_id = j.user_id CROSS JOIN b
+         |WHERE j.day BETWEEN b.mn AND b.mx
+         |GROUP BY j.day""".stripMargin))(
+      (s, d) => {
+        val ud = Tables(s, d, "events")
+          .select(col("user_id"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+              .as("day"))
+          .distinct()
+        val fu = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+        val b = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        val t = ud.select(col("user_id").as("tu"), col("day").as("td"))
+        val y = ud.select(col("user_id").as("yu"), col("day").as("yd"))
+        val j = t.join(y, col("yu") === col("tu") && col("yd") === col("td") - 1,
+            "full_outer")
+          .select(coalesce(col("tu"), col("yu")).as("user_id"),
+            coalesce(col("td"), col("yd") + 1).as("day"),
+            when(col("tu").isNotNull, 1L).otherwise(0L).as("today"),
+            when(col("yu").isNotNull, 1L).otherwise(0L).as("yest"))
+        j.join(fu, "user_id").crossJoin(broadcast(b))
+          .where(col("day").between(col("mn"), col("mx")))
+          .groupBy(col("day"))
+          .agg(sum(col("today")).cast("bigint").as("active"),
+            sum(when(col("today") === 1 && col("fday") === col("day"), 1L)
+              .otherwise(0L)).cast("bigint").as("new_users"),
+            sum(col("today") * col("yest")).cast("bigint").as("retained"),
+            sum(when(col("today") === 1 && col("yest") === 0
+                && col("fday") < col("day"), 1L)
+              .otherwise(0L)).cast("bigint").as("resurrected"),
+            sum(when(col("today") === 0, 1L).otherwise(0L)).cast("bigint")
+              .as("churned"))
       })
   )
 }
