@@ -113,6 +113,54 @@ object AggregateQueries {
             count(lit(1)).as("n"))),
 
     // ROLLUP: hierarchical subtotals (NULL marks rolled-up levels in both).
+    // ---- hierarchical share-of-parent: each nation's share of its
+    // region and each region's share of the corpus, in one report —
+    // the ratio-to-parent reporting shape rollup alone can't express
+    // (rollup gives the LEVELS; the shares need child and parent on
+    // the same row). Two-level aggregate + broadcast join-back of the
+    // region and grand totals; shares are exact integer millionths
+    // ((child · 1e6) DIV parent — counts are non-negative, so DuckDB's
+    // floor `//` and Spark's truncating DIV agree) with NO double
+    // ratios, so the row is bit-stable. Scale: one hash agg over the
+    // fact, then dimension-sized frames only. ----
+    QueryDef("q_agg_share_of_parent", Some(
+      """WITH cn AS (
+        |  SELECT n.n_regionkey AS rkey, n.n_name AS nation,
+        |    count(*) AS n_cust
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |cr AS (SELECT rkey, CAST(sum(n_cust) AS BIGINT) AS r_cust
+        |       FROM cn GROUP BY rkey),
+        |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS t_cust FROM cn)
+        |SELECT r.r_name AS region, cn.nation,
+        |  CAST(cn.n_cust AS BIGINT) AS n_cust, cr.r_cust,
+        |  CAST((cn.n_cust * 1000000) // cr.r_cust AS BIGINT)
+        |    AS share_region_e6,
+        |  CAST((cr.r_cust * 1000000) // t.t_cust AS BIGINT)
+        |    AS region_share_e6
+        |FROM cn JOIN cr ON cn.rkey = cr.rkey
+        |JOIN region r ON r.r_regionkey = cn.rkey CROSS JOIN t""".stripMargin))(
+      (s, d) => {
+        val cn = Tables(s, d, "customer")
+          .join(broadcast(Tables(s, d, "nation")),
+            expr("c_nationkey = n_nationkey"))
+          .groupBy(col("n_regionkey").as("rkey"), col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n_cust"))
+        val cr = cn.groupBy(col("rkey").as("crkey"))
+          .agg(sum(col("n_cust")).cast("bigint").as("r_cust"))
+        val t = cn.agg(sum(col("n_cust")).cast("bigint").as("t_cust"))
+        cn.join(broadcast(cr), col("rkey") === col("crkey"))
+          .join(broadcast(Tables(s, d, "region")),
+            expr("r_regionkey = rkey"))
+          .crossJoin(broadcast(t))
+          .select(col("r_name").as("region"), col("nation"),
+            col("n_cust").cast("bigint").as("n_cust"), col("r_cust"),
+            expr("CAST((n_cust * 1000000) DIV r_cust AS BIGINT)")
+              .as("share_region_e6"),
+            expr("CAST((r_cust * 1000000) DIV t_cust AS BIGINT)")
+              .as("region_share_e6"))
+      }),
+
     QueryDef("q_agg_rollup", Some(
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
