@@ -156,6 +156,35 @@ object ScaleProbe {
     }
   }
 
+  /** Replicate the sf0.1 events 10× with disjoint user/event ids per
+    * replica (same timestamps): 10× users ⇒ the sliding-distinct and
+    * growth-accounting outputs scale exactly 10×, so a linear design
+    * shows ×10 intermediate rows, never ×100. */
+  private def buildSf1Events(spark: SparkSession, sf01Dir: String,
+      outDir: String): Unit = {
+    val ev = Tables(spark, sf01Dir, "events")
+    val replicas = (0 until 10).map { r =>
+      ev.withColumn("user_id", col("user_id") + lit(r * 1000000000L))
+        .withColumn("event_id", col("event_id") + lit(r * 1000000000L))
+    }
+    replicas.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** Intermediate-size counter for the events family: the deduped
+    * (user, active-day) incidence frame — the unit both the 7-day
+    * cover explode (×7 exactly) and the day-shift self-join fan out
+    * from. Linear in true activity, independent of raw event count. */
+  private def userDayCandidates(spark: SparkSession, dir: String): Long = {
+    val usPerDay = 86400000000L
+    Tables(spark, dir, "events")
+      .select(col("user_id"),
+        (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+          .as("day"))
+      .distinct().count()
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -171,6 +200,7 @@ object ScaleProbe {
 
     buildSf1(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
     buildSf1Embeddings(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+    buildSf1Events(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -180,7 +210,9 @@ object ScaleProbe {
       ("q_dedup_ngram_jaccard", "documents", ngramCandidates),
       ("q_dedup_minhash_lsh", "documents", lshCandidates),
       ("q_ann_brute_topk", "embeddings", annCandidates(_, _, brute = true)),
-      ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)))
+      ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)),
+      ("q_events_rolling_distinct", "events", userDayCandidates),
+      ("q_events_growth", "events", userDayCandidates))
 
     // warmup (JIT/codegen) on the smallest scale
     probes.foreach { case (q, _, _) =>
