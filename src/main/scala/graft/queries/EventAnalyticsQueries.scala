@@ -1342,6 +1342,56 @@ object EventAnalyticsQueries {
               .otherwise(0L)).cast("bigint").as("resurrected"),
             sum(when(col("today") === 0, 1L).otherwise(0L)).cast("bigint")
               .as("churned"))
+      }),
+
+    // ---- stickiness (DAU/WAU): daily distinct users over the rolling
+    // 7-day distinct — the engagement-frequency ratio. Composes the
+    // WAU cover-explode with a plain daily distinct on one scan
+    // lineage; the ratio is exact integer millionths (both operands
+    // non-negative, so floor `//` == truncating DIV) plus one double
+    // division for the human-readable form — DAU ≤ WAU by
+    // construction, so the ratio is bounded in (0, 1]. ----
+    QueryDef("q_events_stickiness", Some(
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id,
+         |    CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day
+         |  FROM events),
+         |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ud),
+         |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+         |cover AS (
+         |  SELECT DISTINCT user_id, day + o.o AS rday
+         |  FROM ud, unnest(range(0, 7)) AS o(o)),
+         |wau AS (
+         |  SELECT cover.rday AS day, count(*) AS wau
+         |  FROM cover, b WHERE cover.rday BETWEEN b.mn AND b.mx
+         |  GROUP BY cover.rday)
+         |SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+         |  CAST(wau.wau AS BIGINT) AS wau,
+         |  CAST((dau.dau * 1000000) // wau.wau AS BIGINT)
+         |    AS stickiness_e6,
+         |  CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin))(
+      (s, d) => {
+        val ud = Tables(s, d, "events")
+          .select(col("user_id"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+              .as("day"))
+          .distinct()
+        val b = ud.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(expr("sequence(day, day + 6)")).as("rday"))
+          .distinct()
+          .crossJoin(broadcast(b))
+          .where(col("rday").between(col("mn"), col("mx")))
+          .groupBy(col("rday")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, col("day") === col("rday"))
+          .select(col("day"), col("dau").cast("bigint").as("dau"),
+            col("wau").cast("bigint").as("wau"),
+            expr("CAST((dau * 1000000) DIV wau AS BIGINT)")
+              .as("stickiness_e6"),
+            (col("dau").cast("double") / col("wau")).as("stickiness"))
       })
   )
 }

@@ -142,6 +142,32 @@ object WindowQueries {
           .drop("rn")
       }),
 
+    // ---- per-group top-k WITH TIES: rank() ≤ k instead of
+    // row_number() ≤ k — every row tying the kth value survives, so
+    // the result is a well-defined SET even without a unique
+    // tie-break key (the FETCH FIRST k ROWS WITH TIES semantics;
+    // row_number's cut would pick an arbitrary subset of the tied
+    // rows without one). p_size per brand ties heavily, making the
+    // semantic difference visible: groups return more than k rows. ----
+    QueryDef("q_topk_with_ties", Some(
+      """SELECT brand, partkey, size, rnk FROM (
+        |  SELECT p_brand AS brand, p_partkey AS partkey,
+        |    CAST(p_size AS BIGINT) AS size,
+        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC)
+        |      AS BIGINT) AS rnk
+        |  FROM part
+        |) WHERE rnk <= 3""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_size").desc)
+        Tables(s, d, "part")
+          .select(col("p_brand").as("brand"),
+            col("p_partkey").as("partkey"),
+            col("p_size").cast("bigint").as("size"),
+            rank().over(w).cast("bigint").as("rnk"))
+          .where(col("rnk") <= 3)
+      }),
+
     // ---- distribution window functions: percent_rank + cume_dist per
     // segment. Both are ANSI-defined from integer rank/count — one
     // double division each, so values match the oracle exactly. ----
