@@ -553,6 +553,66 @@ object MigrationQueries {
             "orders", "o_custkey", "part", "p_partkey"))
       }),
 
+    // ---- functional-dependency discovery: for each candidate A→B,
+    // the FD holds iff grouping by A never sees two B values —
+    // count(DISTINCT A) = count(DISTINCT (A,B)) — and the violation
+    // count (pairs distinct minus lhs distinct) says HOW broken a
+    // failing candidate is, the signal schema inference ranks on.
+    // Candidates mix true FDs (nation→region, the o_orderkey→custkey
+    // key dependency) with a deliberate non-FD (mktsegment→nation).
+    // Each check is one distinct-aggregate pass over the two columns
+    // only (pruned scan); candidates union into one report. ----
+    QueryDef("q_profile_fd", Some {
+      def fdSql(name: String, table: String, a: String, b: String) =
+        s"""SELECT '$name' AS candidate,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |    (SELECT DISTINCT $a FROM $table)) AS lhs_distinct,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM
+           |    (SELECT DISTINCT $a, $b FROM $table)) AS pair_distinct""".stripMargin
+      s"""WITH cands AS (
+         |${fdSql("nation.n_nationkey->n_regionkey", "nation",
+            "n_nationkey", "n_regionkey")}
+         |UNION ALL
+         |${fdSql("orders.o_orderkey->o_custkey", "orders",
+            "o_orderkey", "o_custkey")}
+         |UNION ALL
+         |${fdSql("customer.c_nationkey->c_mktsegment", "customer",
+            "c_nationkey", "c_mktsegment")}
+         |UNION ALL
+         |${fdSql("lineitem.l_partkey->l_suppkey", "lineitem",
+            "l_partkey", "l_suppkey")})
+         |SELECT candidate, lhs_distinct, pair_distinct,
+         |  CAST(pair_distinct - lhs_distinct AS BIGINT) AS violations,
+         |  pair_distinct = lhs_distinct AS holds
+         |FROM cands""".stripMargin
+    })(
+      (s, d) => {
+        def fd(name: String, table: String, a: String, b: String) = {
+          val t = Tables(s, d, table)
+          t.select(col(a)).distinct().agg(count(lit(1)).as("lhs_distinct"))
+            .crossJoin(t.select(col(a), col(b)).distinct()
+              .agg(count(lit(1)).as("pair_distinct")))
+            .select(lit(name).as("candidate"),
+              col("lhs_distinct").cast("bigint").as("lhs_distinct"),
+              col("pair_distinct").cast("bigint").as("pair_distinct"))
+        }
+        Seq(
+          fd("nation.n_nationkey->n_regionkey", "nation",
+            "n_nationkey", "n_regionkey"),
+          fd("orders.o_orderkey->o_custkey", "orders",
+            "o_orderkey", "o_custkey"),
+          fd("customer.c_nationkey->c_mktsegment", "customer",
+            "c_nationkey", "c_mktsegment"),
+          fd("lineitem.l_partkey->l_suppkey", "lineitem",
+            "l_partkey", "l_suppkey"))
+          .reduce(_ unionAll _)
+          .select(col("candidate"), col("lhs_distinct"),
+            col("pair_distinct"),
+            (col("pair_distinct") - col("lhs_distinct")).cast("bigint")
+              .as("violations"),
+            (col("pair_distinct") === col("lhs_distinct")).as("holds"))
+      }),
+
     // ---- probabilistic record linkage (Fellegi–Sunter shape):
     // candidate pairs from BLOCKING (equi-join on nationkey — never
     // all-pairs; at 100 TB swap in a second blocking pass on another
