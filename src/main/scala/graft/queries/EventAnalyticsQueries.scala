@@ -1344,6 +1344,72 @@ object EventAnalyticsQueries {
               .as("churned"))
       }),
 
+    // ---- cohort LTV curve: cumulative purchase revenue per user by
+    // days-since-acquisition, per acquisition cohort — the
+    // revenue-based companion to the count-based retention matrix.
+    // Cohort = each user's first-activity day (ANY event type, so
+    // zero-revenue users still dilute the denominator, as a real LTV
+    // does); offsets come from purchases joined back to the cohort
+    // frame; the curve is a running sum over the |cohorts|×|offsets|
+    // cell grid (bounded by days², never by users), cumulated with a
+    // per-cohort ROWS window ordered by offset — gaps in offsets are
+    // fine because the cells are pre-aggregated. LTV is exact
+    // integer cents DIV cohort size (non-negative), plus one double
+    // division for the readable form. ----
+    QueryDef("q_events_cohort_ltv", Some(
+      s"""WITH fu AS (
+         |  SELECT user_id,
+         |    min(CAST(epoch_us(ts) // $usPerDay AS BIGINT)) AS fday
+         |  FROM events GROUP BY user_id),
+         |cs AS (SELECT fday AS cohort, count(*) AS n_users
+         |       FROM fu GROUP BY fday),
+         |p AS (
+         |  SELECT fu.fday AS cohort,
+         |    CAST(epoch_us(e.ts) // $usPerDay AS BIGINT) - fu.fday
+         |      AS offset_d,
+         |    CAST(sum(CAST(floor(e.value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events e JOIN fu ON e.user_id = fu.user_id
+         |  WHERE e.event_type = 'purchase'
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT cohort, offset_d, cents,
+         |    CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY offset_d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_cents
+         |  FROM p)
+         |SELECT c.cohort, c.offset_d, c.cum_cents,
+         |  CAST(cs.n_users AS BIGINT) AS n_users,
+         |  CAST(c.cum_cents // cs.n_users AS BIGINT)
+         |    AS ltv_cents_per_user,
+         |  CAST(c.cum_cents AS DOUBLE) / cs.n_users / 100.0
+         |    AS ltv_per_user
+         |FROM c JOIN cs ON c.cohort = cs.cohort""".stripMargin))(
+      (s, d) => {
+        val day = (unix_micros(col("ts")).cast("bigint") / usPerDay)
+          .cast("bigint")
+        val ev = Tables(s, d, "events")
+        val fu = ev.groupBy(col("user_id")).agg(min(day).as("fday"))
+        val cs = fu.groupBy(col("fday").as("cohort"))
+          .agg(count(lit(1)).as("n_users"))
+        val p = ev.where(col("event_type") === "purchase")
+          .join(fu, "user_id")
+          .groupBy(col("fday").as("cohort"), (day - col("fday")).as("offset_d"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("offset_d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        p.withColumn("cum_cents", sum(col("cents")).over(w).cast("bigint"))
+          .join(cs.select(col("cohort").as("csc"), col("n_users")),
+            col("cohort") === col("csc"))
+          .select(col("cohort"), col("offset_d"), col("cum_cents"),
+            col("n_users").cast("bigint").as("n_users"),
+            expr("CAST(cum_cents DIV n_users AS BIGINT)")
+              .as("ltv_cents_per_user"),
+            (col("cum_cents").cast("double") / col("n_users") / 100.0)
+              .as("ltv_per_user"))
+      }),
+
     // ---- stickiness (DAU/WAU): daily distinct users over the rolling
     // 7-day distinct — the engagement-frequency ratio. Composes the
     // WAU cover-explode with a plain daily distinct on one scan
