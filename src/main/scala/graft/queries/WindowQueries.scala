@@ -206,6 +206,30 @@ object WindowQueries {
             last(col("c_acctbal")).over(w).as("highest_bal"))
       }),
 
+    // ---- nth_value over the full-partition frame: the runner-up
+    // balance per segment on every row (the "second best" reporting
+    // shape). Same explicit-frame discipline as first/last_value —
+    // the DEFAULT frame stops at the current row, where nth_value(2)
+    // would be NULL for the first row and the frame gotcha returns;
+    // the order key is made unique so both engines agree. ----
+    QueryDef("q_window_nth_value", Some(
+      """SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        |  nth_value(c_acctbal, 2) OVER w AS second_highest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal"),
+            nth_value(col("c_acctbal"), 2).over(w).as("second_highest"))
+      }),
+
     // ---- Pareto frontier (skyline): per brand, the parts no other
     // part weakly dominates (price ≤, size ≥, at least one strict) —
     // the multi-objective shortlist operator (cheapest-per-capability
