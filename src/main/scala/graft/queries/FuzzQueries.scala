@@ -726,6 +726,45 @@ object FuzzQueries {
           .agg(expr(ags.head), ags.tail.map(expr): _*))
   }
 
+  // ---- derived-table family: an aggregate subquery in FROM with an
+  // OUTER filter and integer arithmetic over the aggregated columns —
+  // the fifteenth tier, probing filter-through-aggregate and
+  // subquery-merge rewrites from generated text (the outer WHERE is a
+  // HAVING in disguise that the optimizer may or may not push).
+  // Aggregates are over non-negative key columns, so the derived
+  // integer division has no floor-vs-truncate divergence; widths CAST
+  // to BIGINT as usual; modulo-only inner predicate (never-empty). ----
+
+  private def genDerived(i: Int): QueryDef = {
+    val rnd = new Random(seed * 961748941L + i)
+    val m = 2 + rnd.nextInt(5)
+    val pred = s"${pick(rnd, longCols)} % $m = ${rnd.nextInt(m)}"
+    val key = pick(rnd, keyPool)
+    val c = pick(rnd, longCols)
+    val m2 = 2 + rnd.nextInt(6)
+    val r2 = rnd.nextInt(m2)
+    val m3 = 3 + rnd.nextInt(7)
+    val r3 = rnd.nextInt(m3)
+    val sql =
+      s"""SELECT key, s, n, CAST(s DIV n AS BIGINT) AS avg_i,
+         |  CAST((s + n) % $m3 AS BIGINT) AS mix_mod
+         |FROM (SELECT $key AS key, CAST(sum($c) AS BIGINT) AS s,
+         |        count(1) AS n
+         |      FROM lineitem WHERE $pred GROUP BY $key) t
+         |WHERE n % $m2 = $r2 OR s % $m3 = $r3""".stripMargin
+    QueryDef(f"q_fuzzd_$i%02d", Some(sql.replace(" DIV ", " // ")))(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .where(pred)
+          .groupBy(col(key).as("key"))
+          .agg(expr(s"CAST(sum($c) AS BIGINT) AS s"),
+            expr("count(1) AS n"))
+          .where(expr(s"n % $m2 = $r2 OR s % $m3 = $r3"))
+          .select(col("key"), col("s"), col("n"),
+            expr("CAST(s DIV n AS BIGINT) AS avg_i"),
+            expr(s"CAST((s + n) % $m3 AS BIGINT) AS mix_mod")))
+  }
+
   val defs: Seq[QueryDef] =
     (0 until N).map(gen) ++ (0 until 6).map(genJoin) ++
       (0 until 6).map(genWindow) ++ (0 until 8).map(genSub) ++
@@ -733,5 +772,6 @@ object FuzzQueries {
       (0 until 6).map(genJoinWindow) ++ (0 until 8).map(genScalar) ++
       (0 until 6).map(genBits) ++ (0 until 6).map(genRollup) ++
       (0 until 6).map(genRange) ++ (0 until 6).map(genOuter) ++
-      (0 until 6).map(genCase) ++ (0 until 6).map(genNull)
+      (0 until 6).map(genCase) ++ (0 until 6).map(genNull) ++
+      (0 until 6).map(genDerived)
 }
