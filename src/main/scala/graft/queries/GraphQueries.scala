@@ -272,6 +272,72 @@ object GraphQueries {
           .agg(count(lit(1)).as("n_nodes"),
             min(col("node")).cast("bigint").as("min_node"),
             max(col("node")).cast("bigint").as("max_node"))
+      }),
+
+    // ---- k-core decomposition (k = 10) by iterative peeling: drop
+    // every node whose degree in the SURVIVING subgraph is below k,
+    // recompute, repeat — the standard community-pruning primitive.
+    // Four peeling rounds are unrolled IDENTICALLY in both dialects:
+    // peeling is idempotent at its fixpoint, so extra rounds are
+    // no-ops and cross-engine parity holds round-for-round; this
+    // fixture's graph converges by round 3 at every scale (measured).
+    // ITERATIVE-PLAN LESSON (cost of learning it: a first cut with 10
+    // un-materialized rounds never finished ANALYSIS): each round
+    // references the previous node set TWICE, so inlined lineage
+    // doubles per round — 2^rounds plan copies. The oracle pins the
+    // CTEs MATERIALIZED and the Spark side cuts lineage per round
+    // with an eager localCheckpoint — the same reason
+    // ops.ConnectedComponents checkpoints its loop (use that
+    // checkpointed-loop shape with a convergence count at production
+    // scale instead of a fixed unroll). Each round is edge ⋈
+    // survivors ⋈ survivors + a degree aggregate — the PageRank round
+    // shape with a shrinking node set. ----
+    QueryDef("q_graph_kcore", Some {
+      val K = 10
+      def round(prev: String, i: Int) =
+        s"""d_$i AS MATERIALIZED (
+           |  SELECT e.src AS node, count(*) AS dg
+           |  FROM e JOIN $prev a ON e.src = a.node
+           |         JOIN $prev b ON e.dst = b.node
+           |  GROUP BY e.src),
+           |n_$i AS MATERIALIZED (SELECT node FROM d_$i WHERE dg >= $K)"""
+          .stripMargin
+      val rounds = (1 to 4).map(i =>
+        round(if (i == 1) "n_0" else s"n_${i - 1}", i)).mkString(",\n")
+      s"""WITH bi AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+         |  FROM lineitem),
+         |e AS MATERIALIZED (
+         |  SELECT p AS src, sp AS dst FROM bi
+         |  UNION ALL SELECT sp AS src, p AS dst FROM bi),
+         |n_0 AS (SELECT DISTINCT src AS node FROM e),
+         |$rounds
+         |SELECT n_4.node, CAST(d_4.dg AS BIGINT) AS core_deg
+         |FROM n_4 JOIN d_4 ON d_4.node = n_4.node""".stripMargin
+    })(
+      (s, d) => {
+        val K = 10
+        val bi = Tables(s, d, "lineitem")
+          .select((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("sp"))
+          .distinct()
+        val e = bi.select(col("p").as("src"), col("sp").as("dst"))
+          .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
+          .repartition(col("src")).persist() // loop-invariant
+        var nodes = e.select(col("src").as("node")).distinct()
+          .localCheckpoint(true)
+        var deg = nodes // rebound each round
+        for (_ <- 1 to 4) {
+          deg = e
+            .join(nodes.select(col("node").as("an")), col("src") === col("an"))
+            .join(nodes.select(col("node").as("bn")), col("dst") === col("bn"))
+            .groupBy(col("src").as("node"))
+            .agg(count(lit(1)).as("dg"))
+            .localCheckpoint(true) // cut the doubling lineage per round
+          nodes = deg.where(col("dg") >= K).select(col("node"))
+        }
+        nodes.join(deg, "node")
+          .select(col("node"), col("dg").cast("bigint").as("core_deg"))
       })
   )
 }
