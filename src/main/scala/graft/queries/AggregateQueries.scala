@@ -113,6 +113,57 @@ object AggregateQueries {
             count(lit(1)).as("n"))),
 
     // ROLLUP: hierarchical subtotals (NULL marks rolled-up levels in both).
+    // ---- two-sided 10% trimmed mean: EXCLUDE the bottom and top
+    // decile rows and average the rest — the outlier-robust mean that
+    // complements q_agg_winsorize (which CLIPS the tails instead of
+    // dropping them). Trim boundaries are exact integer ranks
+    // (n div 10 off each side) over a per-group row_number with a
+    // unique tie-break, so both engines drop the same rows; the mean
+    // is an exact cents sum DIV count plus one double division.
+    // Scale: one group-partitioned window pass + one aggregate — at a
+    // group too large for a window sort, swap the rank for the
+    // sharded-cumsum rank (the weighted-median machinery). ----
+    QueryDef("q_agg_trimmed_mean", Some(
+      """WITH r AS (
+        |  SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY floor(l_extendedprice*100 + 0.5),
+        |               l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT rf, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS trimmed_mean_cents,
+        |  CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS trimmed_mean
+        |FROM r
+        |WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY rf""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("rf"))
+          .orderBy(col("sortc").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        val wN = Window.partitionBy(col("rf"))
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag").as("rf"),
+            floor(col("l_extendedprice") * 100 + 0.5).as("sortc"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+              .as("cents"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wN))
+          .where(col("rn") > expr("n div 10") &&
+            col("rn") <= col("n") - expr("n div 10"))
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            sum(col("cents")).cast("bigint").as("sum_cents"),
+            expr("CAST(sum(cents) DIV count(1) AS BIGINT)")
+              .as("trimmed_mean_cents"),
+            (sum(col("cents")).cast("double") / count(lit(1)) / 100.0)
+              .as("trimmed_mean"))
+      }),
+
     // ---- hierarchical share-of-parent: each nation's share of its
     // region and each region's share of the corpus, in one report —
     // the ratio-to-parent reporting shape rollup alone can't express
