@@ -193,6 +193,30 @@ object SampleQueries {
             .cast("double") / col("avail")).as("rate"))
       }),
 
+    // ---- systematic sampling: every 10th document per source in a
+    // fixed key order — the stratified-coverage complement of the
+    // hash samplers (hash picks are uniform but clumpy; a systematic
+    // stride guarantees even coverage across the ordered key range,
+    // the classic QA-review draw). The stride anchor is rank 1 per
+    // source, ranks come from a per-source row_number over the unique
+    // doc_id, and membership is exact modular arithmetic — fully
+    // deterministic, no RNG. Scale: one source-partitioned window. ----
+    QueryDef("q_sample_systematic", Some(
+      """SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn % 10 = 1""".stripMargin))(
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            row_number().over(w).as("rn"))
+          .where(col("rn") % 10 === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("rn").cast("bigint").as("rn"))
+      }),
+
     // ---- nucleus (top-p) selection per source: rank docs by length
     // (the quality-score stand-in) and keep the SMALLEST prefix whose
     // cumulative byte mass reaches half the group total — including
