@@ -113,6 +113,29 @@ object AggregateQueries {
             count(lit(1)).as("n"))),
 
     // ROLLUP: hierarchical subtotals (NULL marks rolled-up levels in both).
+    // ---- boolean aggregates: bool_and / bool_or / count_if — the
+    // ANSI EVERY/ANY surface, identical text in both dialects (both
+    // engines ship all three under these names). The predicates mix a
+    // group-invariant check (prices positive everywhere) with
+    // group-varying ones, so both TRUE and FALSE appear in each
+    // column. ----
+    QueryDef("q_agg_bool", Some(
+      """SELECT o_orderstatus AS status,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_and(o_totalprice > 100000) AS all_large,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(expr("bool_and(o_totalprice > 0) AS all_positive"),
+            expr("bool_and(o_totalprice > 100000) AS all_large"),
+            expr("bool_or(o_orderpriority = '1-URGENT') AS any_urgent"),
+            expr("CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big"),
+            count(lit(1)).as("n"))),
+
     // ---- two-sided 10% trimmed mean: EXCLUDE the bottom and top
     // decile rows and average the rest — the outlier-robust mean that
     // complements q_agg_winsorize (which CLIPS the tails instead of
