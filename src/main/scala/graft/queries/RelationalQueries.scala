@@ -395,6 +395,57 @@ object RelationalQueries {
             unix_micros(col("next_click_ts")).as("next_click_epoch_us"))
       }),
 
+    // ---- NEAREST as-of: the click closest in time to each error in
+    // EITHER direction, ties to the earlier side — the sensor-fusion
+    // variant (align each reading with whichever reference sample is
+    // closest). One tagged frame carries BOTH the backward LOCF and
+    // the forward first-following window over the same user
+    // partitioning (one exchange, two sort passes), then an exact
+    // integer micros comparison picks the side; the oracle composes
+    // DuckDB's native ASOF twice (≤ and ≥) and applies the identical
+    // tie rule. ----
+    QueryDef("q_asof_join_nearest", Some(
+      """WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS e_us,
+        |    epoch_us(c.ts) AS prev_us
+        |  FROM err e ASOF LEFT JOIN clk c
+        |    ON e.user_id = c.user_id AND c.ts <= e.ts),
+        |f AS (
+        |  SELECT e.event_id, epoch_us(c.ts) AS next_us
+        |  FROM err e ASOF LEFT JOIN clk c
+        |    ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |SELECT b.event_id AS error_id, b.user_id,
+        |  CAST(CASE
+        |    WHEN b.prev_us IS NULL THEN f.next_us
+        |    WHEN f.next_us IS NULL THEN b.prev_us
+        |    WHEN b.e_us - b.prev_us <= f.next_us - b.e_us THEN b.prev_us
+        |    ELSE f.next_us END AS BIGINT) AS nearest_click_epoch_us
+        |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin))(
+      (s, d) => {
+        val wB = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("is_click").asc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        asofTagged(s, d)
+          .withColumn("prev_ts",
+            last(col("click_ts"), ignoreNulls = true).over(wB))
+          .withColumn("next_ts",
+            first(col("click_ts"), ignoreNulls = true).over(wF))
+          .where(col("error_id").isNotNull)
+          .select(col("error_id"), col("user_id"),
+            when(col("prev_ts").isNull, unix_micros(col("next_ts")))
+              .when(col("next_ts").isNull, unix_micros(col("prev_ts")))
+              .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+                unix_micros(col("next_ts")) - unix_micros(col("ts")),
+                unix_micros(col("prev_ts")))
+              .otherwise(unix_micros(col("next_ts")))
+              .cast("bigint").as("nearest_click_epoch_us"))
+      }),
+
     // ---- TPC-H Q3 shape (shipping priority): 3-way join, date
     // bounds on both fact legs, top-10 by revenue. Revenue is the
     // engine's exact-money pattern taken to products:
