@@ -318,6 +318,71 @@ object DedupQueries {
             countDistinct(col("h")).as("n_shared_shingles"))
       }),
 
+    // ---- benchmark DECONTAMINATION (the remediation twin of
+    // q_dedup_contamination's detection report): score EVERY training
+    // doc against a small held-out eval split — per-doc contaminated
+    // 5-gram-window count, fraction, and the keep/drop decision
+    // (drop when >25% of a doc's windows appear in the eval set;
+    // exact integer compare 4·contam > windows). The asymmetric
+    // shape is the 100 TB argument: the eval split's distinct-shingle
+    // index is benchmark-sized, so it BROADCASTS; the corpus streams
+    // map-side through the broadcast join and never shuffles — the
+    // only exchanges carry (a) matched windows into a per-doc count
+    // bounded by the contamination volume and (b) nothing else, since
+    // the contaminated-doc count table broadcasts back onto the
+    // corpus scan for the left join. Clean docs emit n_contam = 0. ----
+    QueryDef("q_dedup_decontaminate", Some(
+      s"""WITH gs AS (
+         |  SELECT doc_id, ${h32Sql("text")} % 100 AS bucket,
+         |    ${shinglesSql("w", 5)} AS g
+         |  FROM (SELECT doc_id, text, ${tokensSql("text")} AS w FROM documents)),
+         |sh AS (SELECT doc_id, bucket,
+         |         list_distinct(${shingleHashesSql("g")}) AS sh FROM gs),
+         |ev AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE bucket >= 95),
+         |tr AS (SELECT doc_id, len(sh) AS n_windows, sh
+         |       FROM sh WHERE bucket < 95),
+         |hit AS (
+         |  SELECT t.doc_id, count(*) AS n_contam
+         |  FROM (SELECT doc_id, unnest(sh) AS h FROM tr) t
+         |  JOIN ev ON t.h = ev.h
+         |  GROUP BY t.doc_id)
+         |SELECT tr.doc_id, tr.n_windows,
+         |  coalesce(hit.n_contam, 0) AS n_contam,
+         |  CASE WHEN tr.n_windows = 0 THEN 0.0
+         |       ELSE CAST(coalesce(hit.n_contam, 0) AS DOUBLE) / tr.n_windows
+         |  END AS contam_frac,
+         |  (4 * coalesce(hit.n_contam, 0) <= tr.n_windows) AS keep,
+         |  (coalesce(hit.n_contam, 0) = 0) AS strict_keep
+         |FROM tr LEFT JOIN hit ON hit.doc_id = tr.doc_id""".stripMargin))(
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
+            tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("bucket"),
+            array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+        val evalIdx = sh.where(col("bucket") >= 95)
+          .select(explode(col("sh")).as("h")).distinct()
+        val train = sh.where(col("bucket") < 95)
+          .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_windows"),
+            col("sh"))
+        val hits = train
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .join(broadcast(evalIdx), Seq("h"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
+        val nC = coalesce(col("n_contam"), lit(0L))
+        train.join(broadcast(hits), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            nC.as("n_contam"),
+            when(col("n_windows") === 0, lit(0.0))
+              .otherwise(nC.cast("double") / col("n_windows"))
+              .as("contam_frac"),
+            (lit(4) * nC <= col("n_windows")).as("keep"),
+            // zero-tolerance variant (drop on ANY shared window) —
+            // what most eval-decontamination runs actually ship
+            (nC === 0).as("strict_keep"))
+      }),
+
     // ---- MinHash + LSH banding, exact-Jaccard verified ----
     QueryDef("q_dedup_minhash_lsh", Some {
       val bandKeys = (0 until numBands).map { b =>

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationship tables (north-star extension,
@@ -73,7 +74,11 @@ object GraphQueries {
         // rank vector, never the edges — the loop-invariant
         // partitioning a Pregel-style runtime maintains
         val ew = e.join(deg, "src").repartition(col("src"))
-          .persist() // reused every iteration
+          // materialized once, reused every iteration; localCheckpoint
+          // (not persist) so repeated catalog runs in one JVM don't
+          // accumulate cache entries — checkpoint blocks are freed by
+          // the ContextCleaner when the frame is GC'd
+          .localCheckpoint(true)
         var pr = deg.select(col("src").as("node"), lit(prScale).as("pr"))
         for (_ <- 1 to 3) {
           pr = ew.join(pr, ew("src") === pr("node"))
@@ -89,13 +94,16 @@ object GraphQueries {
     // ---- triangle counting over the co-purchase graph (parts that
     // share ≥2 baskets): the canonical clustering-coefficient
     // primitive, as the ORIENTED two-join plan — every edge stored
-    // once as (lo, hi), triangles found by joining e(a,b)⋈e(b,c) and
-    // closing with e(a,c), so each triangle is counted exactly once
-    // and the quadratic wedge enumeration only ever extends in one
-    // direction. (Production refinement at heavy skew: orient
-    // low-degree → high-degree instead of by id — same plan, wedge
-    // count drops to O(m^1.5).) Support ≥2 keeps the graph the
-    // meaningful repeat-co-occurrence one, not single-basket noise.
+    // once, triangles found by joining e(a,b)⋈e(b,c) and closing with
+    // e(a,c), so each triangle is counted exactly once and the wedge
+    // enumeration only ever extends in one direction. Edges are
+    // oriented by the DEGREE total order (deg, id), lower endpoint →
+    // higher: every out-degree is then O(√m), so the wedge
+    // intermediate is bounded O(m^1.5) even when a skewed hub has a
+    // small id — the id-only orientation kept a small-id hub's full
+    // out-degree and its wedge set grew quadratically at 100× scale.
+    // Support ≥2 keeps the graph the meaningful repeat-co-occurrence
+    // one, not single-basket noise.
     QueryDef("q_graph_triangles", Some(
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -103,25 +111,48 @@ object GraphQueries {
         |  SELECT a.p AS p1, b.p AS p2, count(*) AS s
         |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
         |  GROUP BY a.p, b.p),
-        |e AS (SELECT p1, p2 FROM pairs WHERE s >= 2)
+        |und AS (SELECT p1, p2 FROM pairs WHERE s >= 2),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT p1 AS node FROM und
+        |    UNION ALL SELECT p2 AS node FROM und)
+        |  GROUP BY node),
+        |e AS (
+        |  SELECT CASE WHEN d1.dg <= d2.dg THEN u.p1 ELSE u.p2 END AS src,
+        |         CASE WHEN d1.dg <= d2.dg THEN u.p2 ELSE u.p1 END AS dst
+        |  FROM und u JOIN deg d1 ON d1.node = u.p1
+        |             JOIN deg d2 ON d2.node = u.p2)
         |SELECT (SELECT count(*) FROM e) AS n_edges,
         |  (SELECT count(*) FROM e a
-        |     JOIN e b ON b.p1 = a.p2
-        |     JOIN e c ON c.p1 = a.p1 AND c.p2 = b.p2) AS n_triangles""".stripMargin))(
+        |     JOIN e b ON b.src = a.dst
+        |     JOIN e c ON c.src = a.src AND c.dst = b.dst) AS n_triangles""".stripMargin))(
       (s, d) => {
         val items = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .distinct()
-        val e = items.alias("a").join(items.alias("b"),
+        val und = items.alias("a").join(items.alias("b"),
             expr("a.o = b.o AND a.p < b.p"))
           .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
           .agg(count(lit(1)).as("s"))
           .where(col("s") >= 2).select(col("p1"), col("p2"))
-          .persist() // wedge join reads it three times
+        val deg = und.select(col("p1").as("node"))
+          .unionAll(und.select(col("p2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+        // orient lower (deg, id) → higher; p1 < p2 by construction, so
+        // the (deg, id) tie-break reduces to d1 <= d2
+        val lowFirst = col("d1") <= col("d2")
+        val e = und
+          .join(deg.select(col("node").as("p1"), col("dg").as("d1")), "p1")
+          .join(deg.select(col("node").as("p2"), col("dg").as("d2")), "p2")
+          .select(when(lowFirst, col("p1")).otherwise(col("p2")).as("src"),
+            when(lowFirst, col("p2")).otherwise(col("p1")).as("dst"))
+          // wedge join reads it three times; localCheckpoint not
+          // persist — repeated catalog runs must not accumulate cache
+          .localCheckpoint(true)
         val wedges = e.alias("x").join(e.alias("y"),
-          expr("y.p1 = x.p2"))
+          expr("y.src = x.dst"))
         val tri = wedges.join(e.alias("z"),
-          expr("z.p1 = x.p1 AND z.p2 = y.p2"))
+          expr("z.src = x.src AND z.dst = y.dst"))
         e.agg(count(lit(1)).as("n_edges"))
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       }),
@@ -245,7 +276,9 @@ object GraphQueries {
           .distinct()
         val e = bi.select(col("p").as("src"), col("sp").as("dst"))
           .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
-          .repartition(col("src")).persist() // loop-invariant, reused twice
+          // loop-invariant, reused twice; localCheckpoint not persist —
+          // repeated catalog runs must not accumulate cached blocks
+          .repartition(col("src")).localCheckpoint(true)
         val nodes = e.select(col("src").as("node")).distinct()
         var labs = nodes.select(col("node"),
           when(col("node") % 7 === 0, col("node") % 5).as("lab"))
@@ -316,28 +349,40 @@ object GraphQueries {
          |FROM n_4 JOIN d_4 ON d_4.node = n_4.node""".stripMargin
     })(
       (s, d) => {
-        val K = 10
-        val bi = Tables(s, d, "lineitem")
-          .select((col("l_partkey") * 2).as("p"),
-            (col("l_suppkey") * 2 + 1).as("sp"))
-          .distinct()
-        val e = bi.select(col("p").as("src"), col("sp").as("dst"))
-          .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
-          .repartition(col("src")).persist() // loop-invariant
-        var nodes = e.select(col("src").as("node")).distinct()
-          .localCheckpoint(true)
-        var deg = nodes // rebound each round
-        for (_ <- 1 to 4) {
-          deg = e
-            .join(nodes.select(col("node").as("an")), col("src") === col("an"))
-            .join(nodes.select(col("node").as("bn")), col("dst") === col("bn"))
-            .groupBy(col("src").as("node"))
-            .agg(count(lit(1)).as("dg"))
-            .localCheckpoint(true) // cut the doubling lineage per round
-          nodes = deg.where(col("dg") >= K).select(col("node"))
-        }
+        val (nodes, deg) = kcorePeel(s, d, k = 10, rounds = 4)
         nodes.join(deg, "node")
           .select(col("node"), col("dg").cast("bigint").as("core_deg"))
       })
   )
+
+  /** The k-core peel loop, exposed so KcoreConvergenceSpec can assert
+    * the fixed 4-round unroll has actually converged on the fixture
+    * (the oracle unrolls identically, so the differential gate alone
+    * cannot detect a non-converged unroll — both engines would agree
+    * on the same wrong answer). Returns the surviving node set and
+    * the last round's in-subgraph degree table. */
+  private[graft] def kcorePeel(s: SparkSession, d: String, k: Int,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val bi = Tables(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+    val e = bi.select(col("p").as("src"), col("sp").as("dst"))
+      .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
+      // loop-invariant; localCheckpoint not persist (see label_prop)
+      .repartition(col("src")).localCheckpoint(true)
+    var nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var deg = nodes // rebound each round
+    for (_ <- 1 to rounds) {
+      deg = e
+        .join(nodes.select(col("node").as("an")), col("src") === col("an"))
+        .join(nodes.select(col("node").as("bn")), col("dst") === col("bn"))
+        .groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true) // cut the doubling lineage per round
+      nodes = deg.where(col("dg") >= k).select(col("node"))
+    }
+    (nodes, deg)
+  }
 }

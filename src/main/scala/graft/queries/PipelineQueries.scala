@@ -68,28 +68,22 @@ object PipelineQueries {
       }),
 
     // ---- composed CURATION pipeline e2e: the catalog's corpus
-    // operators chained as one DAG — quality gate (length + stopword
-    // ratio, integer arithmetic) → exact dedup (keep the min doc_id
-    // per content hash) → leakage-safe content-hash split → per
-    // (split, lang) release report. This is the "a user can run their
-    // whole recipe on this library" proof: each stage is individually
-    // oracled elsewhere; here the COMPOSITION is oracled end-to-end.
-    // Scale: one token-stat scan, one hash-shuffle groupBy for dedup
+    // operators chained as one DAG — quality gate (the full
+    // C4/Gopher rule battery of q_text_quality_rules, shared via
+    // TextQueries.qualityFlags — integer-exact keep bit) → exact
+    // dedup (keep the min doc_id per content hash) → leakage-safe
+    // content-hash split → per (split, lang) release report. This is
+    // the "a user can run their whole recipe on this library" proof:
+    // each stage is individually oracled elsewhere; here the
+    // COMPOSITION is oracled end-to-end. Scale: one token-stat scan
+    // (battery is shuffle-free), one hash-shuffle groupBy for dedup
     // keepers (broadcast back), split assignment row-local, final
     // report a |splits×langs| aggregate. ----
     QueryDef("q_curation_e2e", Some {
-      import graft.ops.TextOps.{h32Sql, tokensSql}
-      val stopIn = Seq("the", "a", "value", "data", "table")
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH base AS (
-         |  SELECT doc_id, lang, text,
-         |    len(${tokensSql("text")}) AS n_tokens,
-         |    len(list_filter(${tokensSql("text")},
-         |      t -> t IN ($stopIn))) AS n_stop
-         |  FROM documents),
+      import graft.ops.TextOps.h32Sql
+      s"""WITH ${TextQueries.qualityCteSql},
          |quality AS (
-         |  SELECT * FROM base
-         |  WHERE n_tokens BETWEEN 30 AND 500 AND 4 * n_stop <= n_tokens),
+         |  SELECT doc_id, lang, text, n_tokens FROM qflags WHERE keep),
          |keepers AS (
          |  SELECT md5(text) AS h, min(doc_id) AS keeper
          |  FROM quality GROUP BY md5(text)),
@@ -108,18 +102,13 @@ object PipelineQueries {
     })(
       (s, d) => {
         import graft.Tables
-        import graft.ops.TextOps.{h32, tokens}
+        import graft.ops.TextOps.h32
         import org.apache.spark.sql.functions._
-        val stopwords = Seq("the", "a", "value", "data", "table")
-        val w = tokens(col("text"))
-        val base = Tables(s, d, "documents")
-          .select(col("doc_id"), col("lang"), col("text"),
-            size(w).cast("bigint").as("n_tokens"),
-            size(filter(w, t => t.isInCollection(stopwords)))
-              .cast("bigint").as("n_stop"))
-        val quality = base
-          .where(col("n_tokens").between(30, 500)
-            && lit(4) * col("n_stop") <= col("n_tokens"))
+        // the battery passes lang/text through, so the quality gate is
+        // the same single scan — no self-join on doc_id
+        val quality = TextQueries.qualityFlags(s, d)
+          .where(col("keep"))
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
         val keepers = quality
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keeper"))

@@ -874,9 +874,12 @@ object RelationalQueries {
   /** Per-dataset staging dir (one per prefix), removed on JVM exit —
     * staged copies are read lazily by the returned frames, so they
     * cannot be deleted inline; repeated invocations in one JVM
-    * overwrite rather than leak. */
+    * overwrite rather than leak. The dir is keyed on the PROCESS id
+    * too: two concurrent JVMs on the same fixture (bench ∥ verify)
+    * must not overwrite each other's staged files mid-read. */
   private def stageDir(prefix: String, d: String): String = {
-    val dir = s"/tmp/graft_${prefix}_${Integer.toHexString(d.hashCode)}"
+    val dir = s"/tmp/graft_${prefix}_${ProcessHandle.current.pid}_" +
+      Integer.toHexString(d.hashCode)
     val f = new java.io.File(dir)
     if (stageHooked.add(dir)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() => {

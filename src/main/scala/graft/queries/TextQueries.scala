@@ -42,6 +42,97 @@ object TextQueries {
         langs.tail.map(l => sum(col(s"f_$l")).cast("int").as(s"s_$l")): _*)
   }
 
+  /** C4/Gopher-style quality-rule battery, factored so the per-doc
+    * operator (`q_text_quality_rules`) and the curation-e2e
+    * composition (`q_curation_e2e`) share one rule definition. Every
+    * threshold is an exact INTEGER comparison (ratio > t rewritten as
+    * cross-multiplication), so both engines flag identically — the
+    * DOUBLE ratios are emitted for reporting only.
+    *
+    * Rules (violation = true):
+    *  - r_len:      token count outside [50, 100000)  (Gopher word-count gate)
+    *  - r_word_len: mean word length outside [3, 10]  (sum vs 3n / 10n)
+    *  - r_symbol:   symbol-to-char ratio > 0.1        (C4 symbol gate)
+    *  - r_stopword: fewer than 2 distinct stopwords   (Gopher stop-hit gate)
+    *  - r_dupgram:  duplicate 5-gram fraction > 0.3   (repetition gate —
+    *                the fixture text is single-line, so the classic
+    *                repeated-LINE fraction degenerates; dup n-grams is
+    *                the same signal one level down)
+    * Scale: one pruned scan of (doc_id, text), all rules computed
+    * row-local in one codegen'd projection — no shuffle at all. */
+  private[queries] val qualityRuleNames =
+    Seq("r_len", "r_word_len", "r_symbol", "r_stopword", "r_dupgram")
+
+  /** The battery as DuckDB CTEs (no leading WITH): qbase → qfeat →
+    * qrules → qflags(doc_id, features…, flags…, n_violations, keep). */
+  private[queries] def qualityCteSql: String =
+    s"""qbase AS (
+       |  SELECT doc_id, lang, text, ${tokensSql("text")} AS w FROM documents),
+       |qfeat AS (
+       |  SELECT doc_id, lang, text,
+       |    len(w) AS n_tokens,
+       |    CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+       |      AS sum_tok_len,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS BIGINT)
+       |      AS n_sym,
+       |    len(list_distinct(list_filter(w, t -> t IN ($stopIn))))
+       |      AS n_stop_distinct,
+       |    CAST(CASE WHEN len(w) >= 5 THEN len(w) - 4 ELSE 0 END AS BIGINT)
+       |      AS n_5grams,
+       |    CAST(CASE WHEN len(w) >= 5
+       |      THEN len(w) - 4 - len(list_distinct(${shinglesSql("w", 5)}))
+       |      ELSE 0 END AS BIGINT) AS n_dup_5grams
+       |  FROM qbase),
+       |qrules AS (
+       |  SELECT *,
+       |    (n_tokens < 50 OR n_tokens >= 100000) AS r_len,
+       |    (sum_tok_len < 3 * n_tokens OR sum_tok_len > 10 * n_tokens)
+       |      AS r_word_len,
+       |    (10 * n_sym > n_chars) AS r_symbol,
+       |    (n_stop_distinct < 2) AS r_stopword,
+       |    (10 * n_dup_5grams > 3 * n_5grams) AS r_dupgram
+       |  FROM qfeat),
+       |qflags AS (
+       |  SELECT *,
+       |    CAST(${qualityRuleNames.map(r => s"CAST($r AS INT)").mkString(" + ")}
+       |      AS BIGINT) AS n_violations,
+       |    (${qualityRuleNames.map(r => s"NOT $r").mkString(" AND ")}) AS keep
+       |  FROM qrules)""".stripMargin
+
+  /** Spark twin of [[qualityCteSql]]'s qflags: one row per doc with
+    * the integer features, the five rule flags, n_violations, keep. */
+  private[queries] def qualityFlags(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val nTok = size(col("w"))
+    val feat = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"), col("lang"), col("text"),
+        nTok.cast("bigint").as("n_tokens"),
+        aggregate(transform(col("w"), t => length(t).cast("bigint")),
+          lit(0L), (acc, v) => acc + v).as("sum_tok_len"),
+        length(col("text")).cast("bigint").as("n_chars"),
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("bigint")
+          .as("n_sym"),
+        size(array_distinct(filter(col("w"), t => t.isInCollection(stopwords))))
+          .cast("bigint").as("n_stop_distinct"),
+        when(nTok >= 5, nTok - 4).otherwise(0).cast("bigint").as("n_5grams"),
+        when(nTok >= 5, nTok - 4 - size(array_distinct(shingles(col("w"), 5))))
+          .otherwise(0).cast("bigint").as("n_dup_5grams"))
+    val flagged = feat.select(col("*"),
+      (col("n_tokens") < 50 || col("n_tokens") >= 100000).as("r_len"),
+      (col("sum_tok_len") < lit(3) * col("n_tokens") ||
+        col("sum_tok_len") > lit(10) * col("n_tokens")).as("r_word_len"),
+      (lit(10) * col("n_sym") > col("n_chars")).as("r_symbol"),
+      (col("n_stop_distinct") < 2).as("r_stopword"),
+      (lit(10) * col("n_dup_5grams") > lit(3) * col("n_5grams")).as("r_dupgram"))
+    flagged.select(col("*"),
+      qualityRuleNames.map(r => col(r).cast("int")).reduce(_ + _)
+        .cast("bigint").as("n_violations"),
+      (!qualityRuleNames.map(r => col(r)).reduce(_ || _)).as("keep"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting ----
@@ -131,6 +222,37 @@ object TextQueries {
               .when(size(col("w")) >= 60, "medium").otherwise("short").as("length_class"),
             when(stopRatio > 0.25, "boilerplate").otherwise("ok").as("quality_flag"))
       }),
+
+    // ---- C4/Gopher quality-rule battery (see [[qualityCteSql]] for
+    // the rule set): per-doc flags, violation count, keep decision,
+    // plus the reporting ratios. All thresholds compare integers, so
+    // the keep bit is bit-exact across engines; the ratios are one
+    // double division of identical integers. One pruned scan, zero
+    // shuffles — at 100 TB this runs at read bandwidth. ----
+    QueryDef("q_text_quality_rules", Some(
+      s"""WITH $qualityCteSql
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_word_len,
+         |  CAST(n_sym AS DOUBLE) / n_chars AS symbol_ratio,
+         |  n_stop_distinct,
+         |  CASE WHEN n_5grams = 0 THEN 0.0
+         |       ELSE CAST(n_dup_5grams AS DOUBLE) / n_5grams END AS dup5_frac,
+         |  r_len, r_word_len, r_symbol, r_stopword, r_dupgram,
+         |  n_violations, keep
+         |FROM qflags""".stripMargin))(
+      (s, d) =>
+        qualityFlags(s, d).select(
+          col("doc_id"), col("n_tokens"),
+          (col("sum_tok_len").cast("double") / col("n_tokens"))
+            .as("mean_word_len"),
+          (col("n_sym").cast("double") / col("n_chars")).as("symbol_ratio"),
+          col("n_stop_distinct"),
+          when(col("n_5grams") === 0, lit(0.0))
+            .otherwise(col("n_dup_5grams").cast("double") / col("n_5grams"))
+            .as("dup5_frac"),
+          col("r_len"), col("r_word_len"), col("r_symbol"),
+          col("r_stopword"), col("r_dupgram"),
+          col("n_violations"), col("keep"))),
 
     // ---- lexical complexity (readability proxy): vowel-cluster
     // count as the classic syllable estimate, per token via one

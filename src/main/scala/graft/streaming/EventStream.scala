@@ -42,11 +42,19 @@ object EventStream {
     * File streams need an explicit schema, so the on-disk ts type is
     * probed with a batch footer read first and the stream's schema +
     * normalization chosen to match (both generations end up session-TZ
-    * TIMESTAMP at micros precision, same as [[graft.Tables]]). */
+    * TIMESTAMP at micros precision, same as [[graft.Tables]]). An
+    * EMPTY directory (the normal start-stream-before-data pattern)
+    * cannot be probed — it falls back to the nanos-as-long rawSchema,
+    * the generation the static schema always assumed. Directories
+    * mixing nanos- and micros-generation files are unsupported: the
+    * probe reads one footer's ts type and applies it to every file. */
   def readEvents(spark: SparkSession, dir: String,
       options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        rawSchema("ts").dataType }
     val schema = StructType(rawSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = tsType) else f))
     val raw = spark.readStream.options(options).schema(schema).parquet(dir)

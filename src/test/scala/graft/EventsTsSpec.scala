@@ -30,9 +30,16 @@ class EventsTsSpec extends SparkSpecBase {
 
   test("streaming readEvents agrees with the batch Tables view") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsprobe_")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"))
+    // stage via a raw-footer copy so the staged file keeps the fixture
+    // generation's physical ts type (a Tables-based rewrite would
+    // normalize it and the probe under test would see nothing); assert
+    // the source shape first so a future multi-file fixture fails here
+    // with a clear message instead of as a confusing reader error.
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    assert(java.nio.file.Files.isRegularFile(src),
+      s"$src is not a regular file — fixture now ships events as a " +
+        "directory; stage every part file here instead of one copy")
+    java.nio.file.Files.copy(src, dir.resolve("events.parquet"))
     val streamed = streaming.EventStream.readEvents(spark, dir.toString)
     assert(streamed.schema("ts").dataType === TimestampType)
     val q = streamed

@@ -58,4 +58,53 @@ class GraphSpec extends SparkSpecBase {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"iteration should be equi-join + aggregate:\n$plan")
   }
+
+  test("kcore: the fixed 4-round unroll has converged on this fixture") {
+    // q_graph_kcore unrolls 4 peeling rounds in BOTH engines, so the
+    // differential gate cannot see a non-converged unroll (identical
+    // wrong answers agree). The 'converges by round 3' claim the
+    // query comment rests on is asserted here: the round-3 and
+    // round-4 survivor sets must be identical.
+    import graft.queries.GraphQueries
+    val n3 = GraphQueries.kcorePeel(spark, sfDir, k = 10, rounds = 3)._1
+    val n4 = GraphQueries.kcorePeel(spark, sfDir, k = 10, rounds = 4)._1
+    val c3 = n3.count()
+    val c4 = n4.count()
+    assert(c3 == c4, s"peeling NOT converged by round 3 on this fixture " +
+      s"($c3 survivors at r3 vs $c4 at r4) — the 4-round unroll in " +
+      "q_graph_kcore no longer reaches the true 10-core; raise the unroll")
+    // set equality, not just cardinality: a swap would also be drift
+    assert(n3.except(n4).isEmpty && n4.except(n3).isEmpty,
+      "round-3 and round-4 survivor SETS differ")
+  }
+
+  test("triangles: edges orient from the lower-degree endpoint") {
+    // the O(m^1.5) wedge bound rests on this orientation — recompute
+    // the undirected degree table and check every oriented edge
+    val items = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val und = items.alias("a").join(items.alias("b"),
+        org.apache.spark.sql.functions.expr("a.o = b.o AND a.p < b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .where(col("count") >= 2)
+      .select(col("a.p"), col("b.p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // max out-degree under (deg, id) orientation must respect the
+    // O(sqrt(m)) shape: every wedge center has out-degree bounded by
+    // the number of nodes with degree >= its own
+    def lt(a: Long, b: Long): Boolean =
+      deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+    val out = und.map { case (p1, p2) => if (lt(p1, p2)) p1 else p2 }
+      .groupBy(identity).view.mapValues(_.length).toMap
+    out.foreach { case (n, d) =>
+      assert(d <= deg(n), s"out-degree exceeds degree at $n")
+      // a node keeps an out-edge only toward (deg,id)-greater partners,
+      // so its out-degree is at most the count of such partners; the
+      // global implication: sum of out-deg² (wedge count) is O(m^1.5)
+      val geq = deg.keys.count(m => m != n && !lt(m, n))
+      assert(d <= geq, s"orientation violated at node $n: out=$d, |geq|=$geq")
+    }
+  }
 }
