@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Catalog-wide physical-plan guard: NO entry may plan a cartesian
+  * product or a nested-loop join whose broadcast side is unbounded.
+  * Individual PlanShapeSpec pins protect ~25 queries; this sweep
+  * protects all of them against future plan rot — a refactor that
+  * silently turns an equi-join into a nested loop fails here, not in
+  * a 100 TB production run.
+  *
+  * A nested-loop join is acceptable only when its build side is
+  * provably tiny: the subtree ends in a global / near-global
+  * aggregate (the scalar-broadcast crossJoin pattern — 1-row totals,
+  * k-row centroids), a LocalTableScan (literal frames), or a limit.
+  * Anything else — and every CartesianProduct — must be whitelisted
+  * by name with a justification, or the sweep fails.
+  */
+class PlanGuardSpec extends SparkSpecBase {
+
+  /** Entries whose plan legitimately contains a cartesian / unbounded
+    * nested-loop join. Keep justifications honest: each must be a
+    * bounded-size cross by construction. */
+  private val whitelist: Map[String, String] = {
+    // the exact-ANN family: a small query set (querySetPred selects
+    // 1% of vectors; in production, the user's query batch) broadcasts
+    // against the corpus, and the cross output is consumed by a
+    // bounded-state top-k / range aggregate — the cross is never
+    // materialized and the corpus side never shuffles. This is the
+    // intended brute-force baseline / recall-audit oracle shape, not
+    // plan rot; the scale path is the IVF/LSH entries, which must NOT
+    // appear here.
+    val bruteAnn = Seq(
+      "q_ann_brute_topk", "q_ann_range_search", "q_ann_hard_negatives",
+      "q_eval_pq_recall", "q_eval_pq_ndcg", "q_eval_pq_rbo",
+      "q_eval_ivf_nprobe_recall", "q_multimodal_knn", "q_multimodal_knn_arrow"
+    ).map(_ -> "broadcast query batch x corpus into a bounded-state top-k aggregate (exact baseline / recall oracle)")
+    (bruteAnn :+ (
+      "q_join_cross" -> "intentional tiny-dim cross: region(5) x nation(25), guarded by input size"
+    )).toMap
+  }
+
+  private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case q: QueryStageExec => Seq(q.plan)
+    case other => other.children
+  }
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
+    pf.lift(p).toSeq ++ descend(p).flatMap(collectAll(_)(pf))
+
+  /** A build side is bounded when something in its subtree caps its
+    * cardinality independent of the corpus size: a global (or single-
+    * key) aggregate, a literal local relation, or an explicit limit. */
+  private def bounded(side: SparkPlan): Boolean = {
+    val nodes = collectAll(side) { case n => n }
+    nodes.exists {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec =>
+        a.groupingExpressions.size <= 1
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec =>
+        a.groupingExpressions.size <= 1
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec =>
+        a.groupingExpressions.size <= 1
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+  }
+
+  test("no catalog entry plans an unbounded cartesian / nested-loop join") {
+    val offenders = Catalog.all.flatMap { q =>
+      val problems =
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+          val carts = collectAll(plan) { case c: CartesianProductExec => c }
+            .map(_ => "CartesianProduct")
+          val badNl = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
+            .filterNot { j =>
+              val buildSide = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                case _ => j.right
+              }
+              bounded(buildSide)
+            }
+            .map(_ => "unbounded BroadcastNestedLoopJoin")
+          carts ++ badNl
+        } catch {
+          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
+        }
+      if (problems.isEmpty || whitelist.contains(q.name)) Nil
+      else Seq(s"${q.name}: ${problems.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"catalog entries with scale-killer join plans:\n${offenders.mkString("\n")}")
+  }
+
+  test("whitelist names still exist in the catalog") {
+    val names = Catalog.all.map(_.name).toSet
+    val stale = whitelist.keys.filterNot(names.contains)
+    assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+}
