@@ -75,6 +75,45 @@ object DedupQueries {
        |),
        |sh AS (SELECT doc_id, list_distinct(${shingleHashesSql("g")}) AS sh FROM gs)""".stripMargin
 
+  /** PPJoin prefix index over a (doc_id, sh) shingle frame: each
+    * doc's shingles ranked rarest-first, keeping only the first
+    * |A| - ceil(t|A|) + 1 positions (t = 3/5, exact integer bounds).
+    *
+    * Rarity ranking WITHOUT shuffling the exploded shingle stream:
+    * only shingles with df >= 2 are broadcast as a dictionary, and
+    * the rank key is coalesce(df, 1). This reproduces the exact
+    * (df, shingle) total order BIT-FOR-BIT — a df = 1 shingle gets
+    * key (1, shingle) from the coalesce exactly as it would from the
+    * equi-join, and a df = 1 shingle can never generate a candidate
+    * anyway (no second document shares it) — so candidate counts are
+    * identical to the exact-df design (SCALING.md; a bounded top-K
+    * dictionary was measured first and REJECTED: treating the
+    * uncovered vocabulary tail as uniformly rare degraded candidates
+    * ×14.6 per decade vs ×10 exact). The dictionary is
+    * duplicate-vocabulary-sized (shingles occurring in >= 2 docs):
+    * ~4 MB at the 50k-doc probe scale. For corpora whose repeated
+    * vocabulary outgrows broadcast limits, swap `broadcast(dict)`
+    * for the plain equi-join — a one-line change that trades this
+    * map-side lookup for the exploded-stream shuffle. */
+  private[queries] def prefixIndex(sh: DataFrame): DataFrame = {
+    // sz rides along from the array (one cheap scalar per row) —
+    // deriving it with count() OVER (PARTITION BY doc_id) would be
+    // a SECOND WindowExec pass (different frame spec than the
+    // row_number below), i.e. an extra full sort of the exploded
+    // shingle stream
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("shingle"))
+    val dict = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(broadcast(dict), Seq("shingle"), "left")
+      .select(col("doc_id"), col("shingle"), col("sz"),
+        (row_number().over(wDoc.orderBy(
+          coalesce(col("df"), lit(1L)).asc, col("shingle").asc)) - 1)
+          .as("pos"))
+    ranked.where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
+  }
+
   private[queries] def jaccardSqlPair =
     s"CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
 
@@ -194,24 +233,7 @@ object DedupQueries {
         // prefix is self-joined (each side would otherwise recompute
         // the whole tokenize→shingle→rank subtree)
         val sh = docShingles(s, d).persist()
-        // sz rides along from the array (one cheap scalar per row) —
-        // deriving it with count() OVER (PARTITION BY doc_id) would be
-        // a SECOND WindowExec pass (different frame spec than the
-        // row_number below), i.e. an extra full sort of the exploded
-        // shingle stream
-        val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-          explode(col("sh")).as("shingle"))
-        val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-        // rank each doc's shingles rarest-first with one window pass —
-        // one shuffle on doc_id, no interpreted collect_list/array_sort
-        val wDoc = Window.partitionBy(col("doc_id"))
-        val ranked = ex.join(dfreq, "shingle")
-          .select(col("doc_id"), col("shingle"), col("sz"),
-            (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
-              .as("pos"))
-        val prefix = ranked
-          .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
-          .persist()
+        val prefix = prefixIndex(sh).persist()
         // t = 3/5 exactly, so every bound is exact integer arithmetic:
         //  - size filter: 3*max <= 5*min
         //  - PPJoin positional filter: a shared prefix shingle at

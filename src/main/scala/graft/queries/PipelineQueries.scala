@@ -53,6 +53,12 @@ object PipelineQueries {
       |  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
       |  AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7', 'NATION_9', 'NATION_11')""".stripMargin
 
+
+  /** Export-budget / packing constants for q_corpus_export_e2e. */
+  private val exportDocs = 200
+  private val exportShardWidth = 100
+  private val exportPackBudget = 2000
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pipeline_e2e", Some(oracle))(
       (s, d) => {
@@ -123,6 +129,168 @@ object PipelineQueries {
           .groupBy(col("split"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+      }),
+
+    // ---- corpus EXPORT pipeline e2e: the full release recipe as one
+    // oracled DAG — quality battery → exact dedup → eval-set
+    // decontamination (strict: drop any doc sharing a 5-token hash
+    // window with the held-out split) → largest-remainder language
+    // mixing (200-doc export budget apportioned over clean
+    // availability) → deterministic token packing (cumulative-token
+    // bins of 2000 per language, prefix selection so the cumsum over
+    // clean docs IS the cumsum over selected docs) → per (lang, bin)
+    // shard manifest with order-independent h32-sum checksums (the
+    // q_migrate_checksum reconciliation shape).
+    // Scale: quality is a shuffle-free scan; dedup one hash groupBy;
+    // decontamination an inverted-index join against a BROADCAST eval
+    // index; apportionment a |langs|-row frame; rank/cumsum via the
+    // two-phase sharded pattern (per-(lang,shard) windows + broadcast
+    // per-shard offsets — never a per-lang global sort); manifest a
+    // |langs×bins| aggregate. The oracle replays the identical
+    // integer arithmetic with plain per-lang windows, feasible at
+    // gate scale. ----
+    QueryDef("q_corpus_export_e2e", Some {
+      import graft.ops.TextOps.{h32Sql, tokensSql, shinglesSql, shingleHashesSql}
+      val docTokE2e = "concat_ws('|', CAST(doc_id AS VARCHAR), CAST(n_tokens AS VARCHAR))"
+      s"""WITH ${TextQueries.qualityCteSql},
+         |quality AS (
+         |  SELECT doc_id, lang, text, n_tokens FROM qflags WHERE keep),
+         |keepers AS (
+         |  SELECT md5(text) AS h, min(doc_id) AS keeper
+         |  FROM quality GROUP BY md5(text)),
+         |dd AS (
+         |  SELECT q.doc_id, q.lang, q.text, q.n_tokens FROM quality q
+         |  JOIN keepers k ON md5(q.text) = k.h AND q.doc_id = k.keeper),
+         |evx AS (
+         |  SELECT DISTINCT unnest(list_distinct(${shingleHashesSql("g")})) AS h
+         |  FROM (SELECT ${shinglesSql("w", 5)} AS g
+         |        FROM (SELECT text, ${tokensSql("text")} AS w FROM documents
+         |              WHERE ${h32Sql("text")} % 100 >= 95))),
+         |tr AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    list_distinct(${shingleHashesSql(shinglesSql("w", 5))}) AS shw
+         |  FROM (SELECT dd.*, ${tokensSql("text")} AS w FROM dd
+         |        WHERE ${h32Sql("text")} % 100 < 95)),
+         |hits AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(shw) AS h FROM tr) t
+         |  JOIN evx ON t.h = evx.h),
+         |clean AS (
+         |  SELECT doc_id, lang, n_tokens FROM tr
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM clean GROUP BY lang),
+         |q2 AS (SELECT lang, cnt, $exportDocs * cnt AS num,
+         |         CAST(sum(cnt) OVER () AS BIGINT) AS tw FROM a),
+         |b AS (SELECT lang, CAST(floor(num / tw) AS BIGINT) AS base,
+         |        (num % tw) AS rem FROM q2),
+         |b2 AS (SELECT lang, base, rem,
+         |         CAST($exportDocs - sum(base) OVER () AS BIGINT) AS k,
+         |         row_number() OVER (ORDER BY rem DESC, lang) AS rnk FROM b),
+         |alloc AS (SELECT lang,
+         |            base + CASE WHEN rnk <= k THEN 1 ELSE 0 END AS alloc
+         |          FROM b2),
+         |r AS (
+         |  SELECT clean.*,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_before
+         |  FROM clean),
+         |sel AS (
+         |  SELECT r.*, tok_before // $exportPackBudget AS bin
+         |  FROM r JOIN alloc ON r.lang = alloc.lang
+         |  WHERE rn <= alloc.alloc)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(${h32Sql(docTokE2e)}) AS BIGINT) AS digest,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sel GROUP BY lang, bin""".stripMargin
+    })(
+      (s, d) => {
+        import graft.Tables
+        import graft.functions.GraftFunctions
+        import graft.ops.TextOps
+        import graft.ops.TextOps.{h32, tokens}
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val quality = TextQueries.qualityFlags(s, d)
+          .where(col("keep"))
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+        val keepers = quality
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("keeper"))
+        val dd = quality
+          .join(keepers, md5(col("text")) === col("h")
+            && col("doc_id") === col("keeper"))
+          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+        val bucket = pmod(h32(col("text")), lit(100L))
+        // held-out split's window index — small by contract, broadcast
+        val evIdx = Tables(s, d, "documents").where(bucket >= 95)
+          .select(explode(array_distinct(
+            GraftFunctions.shingleHashes(tokens(col("text")), 5, TextOps.P)))
+            .as("h"))
+          .distinct()
+        val tr = dd.where(bucket < 95)
+          .withColumn("shw", array_distinct(
+            GraftFunctions.shingleHashes(tokens(col("text")), 5, TextOps.P)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"), col("shw"))
+        val hits = tr
+          .select(col("doc_id"), explode(col("shw")).as("h"))
+          .join(broadcast(evIdx), Seq("h"))
+          .select(col("doc_id")).distinct()
+        val clean = tr.join(hits, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        // largest-remainder apportionment over a |langs|-row frame
+        val wAll = Window.partitionBy(lit(1))
+        val a = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+        val q2 = a.select(col("lang"),
+          (lit(exportDocs.toLong) * col("cnt")).as("num"),
+          sum(col("cnt")).over(wAll).as("tw"))
+        val b = q2.select(col("lang"),
+          expr("CAST(floor(num / tw) AS BIGINT)").as("base"),
+          (col("num") % col("tw")).as("rem"))
+        val b2 = b.select(col("lang"), col("base"),
+          (lit(exportDocs.toLong) - sum(col("base")).over(wAll)).as("k"),
+          row_number().over(
+            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+            .as("rnk"))
+        val alloc = b2.select(col("lang"),
+          (col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
+            .as("alloc"))
+        // two-phase sharded rank + token cumsum: per-(lang,shard)
+        // windows, per-shard offsets broadcast back — never a global
+        // per-lang sort
+        val sharded = clean.withColumn("shard",
+          expr(s"doc_id DIV $exportShardWidth"))
+        val per = sharded.groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as("s_cnt"), sum(col("n_tokens")).as("s_tok"))
+        val wLang = Window.partitionBy(col("lang")).orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = per.select(col("lang"), col("shard"),
+          coalesce(sum(col("s_cnt")).over(wLang), lit(0L)).as("cnt_off"),
+          coalesce(sum(col("s_tok")).over(wLang), lit(0L)).as("tok_off"))
+        val wLoc = Window.partitionBy(col("lang"), col("shard"))
+          .orderBy(col("doc_id"))
+        val ranked = sharded
+          .withColumn("local_rn", row_number().over(wLoc))
+          .withColumn("local_tb", coalesce(sum(col("n_tokens"))
+            .over(wLoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .join(broadcast(offsets), Seq("lang", "shard"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("cnt_off") + col("local_rn")).as("rn"),
+            (col("tok_off") + col("local_tb")).as("tok_before"))
+        val sel = ranked.join(broadcast(alloc), Seq("lang"))
+          .where(col("rn") <= col("alloc"))
+          .withColumn("bin", expr(s"tok_before DIV $exportPackBudget"))
+        sel.groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+            sum(h32(concat_ws("|", col("doc_id").cast("string"),
+              col("n_tokens").cast("string")))).cast("bigint").as("digest"),
             min(col("doc_id")).as("min_doc"),
             max(col("doc_id")).as("max_doc"))
       })

@@ -68,17 +68,9 @@ object ScaleProbe {
     * (DedupQueries.scala:166-194), counted before the verify stage. */
   private def ngramCandidates(spark: SparkSession, dir: String): Long = {
     val sh = DedupQueries.docShingles(spark, dir).persist()
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val ranked = ex.join(dfreq, "shingle")
-      .select(col("doc_id"), col("shingle"), col("sz"),
-        (row_number().over(wDoc.orderBy(col("df").asc, col("shingle").asc)) - 1)
-          .as("pos"))
-    val prefix = ranked
-      .where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
-      .persist()
+    // the SAME index builder the query uses (broadcast-dictionary
+    // ranking) — shared so this probe cannot drift from the plan
+    val prefix = DedupQueries.prefixIndex(sh).persist()
     val n = prefix.alias("a")
       .join(prefix.alias("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -185,6 +177,59 @@ object ScaleProbe {
       .distinct().count()
   }
 
+  /** Intermediate-size counter for q_events_cohort_ltv: the
+    * (cohort, day-offset) purchase frame — the input of the running-
+    * sum window. Bounded by distinct (first-day, offset) shapes, NOT
+    * by users: on the disjoint-user sf1 replicas (same timestamps) it
+    * stays constant while users grow ×10. */
+  private def cohortOffsetCandidates(spark: SparkSession, dir: String): Long = {
+    val usPerDay = 86400000000L
+    val day = (unix_micros(col("ts")).cast("bigint") / usPerDay).cast("bigint")
+    val ev = Tables(spark, dir, "events")
+    val fu = ev.groupBy(col("user_id")).agg(min(day).as("fday"))
+    ev.where(col("event_type") === "purchase")
+      .join(fu, "user_id")
+      .select(col("fday"), (day - col("fday")).as("off"))
+      .distinct().count()
+  }
+
+  /** Wedge-bound probe for triangle counting on a synthetic skewed
+    * graph: a hub at id n/2 adjacent to every node, plus a ring. The
+    * wedge join's intermediate is sum over v of indeg(v)·outdeg(v).
+    * Id-orientation (src < dst) splits the hub's edges half-in /
+    * half-out → (n/2)² wedges at the hub alone (quadratic in hub
+    * degree); (deg, id)-orientation turns every hub edge INWARD
+    * (the hub has max degree) → 0 wedges at the hub, O(n) total.
+    * Returns (edges, wedges_id_orient, wedges_deg_orient). */
+  private[queries] def wedgeProbe(spark: SparkSession, n: Int): (Long, Long, Long) = {
+    import spark.implicits._
+    val hub = n / 2
+    val star = (0 until n).filter(_ != hub)
+      .map(i => (math.min(i, hub).toLong, math.max(i, hub).toLong))
+    val ring = (0 until n)
+      .map(i => (math.min(i, (i + 1) % n).toLong, math.max(i, (i + 1) % n).toLong))
+    val und = (star ++ ring).distinct.toDF("p1", "p2")
+      .repartition(8).localCheckpoint(true)
+    val deg = und.select(col("p1").as("node"))
+      .unionAll(und.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    def wedges(e: org.apache.spark.sql.DataFrame): Long = {
+      val od = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val id = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+      od.join(id, col("src") === col("dst"))
+        .agg(coalesce(sum(col("od") * col("ind")), lit(0L)))
+        .head().getLong(0)
+    }
+    val byId = und.select(col("p1").as("src"), col("p2").as("dst"))
+    val lowFirst = col("d1") <= col("d2")
+    val byDeg = und
+      .join(deg.select(col("node").as("p1"), col("dg").as("d1")), "p1")
+      .join(deg.select(col("node").as("p2"), col("dg").as("d2")), "p2")
+      .select(when(lowFirst, col("p1")).otherwise(col("p2")).as("src"),
+        when(lowFirst, col("p2")).otherwise(col("p1")).as("dst"))
+    (und.count(), wedges(byId), wedges(byDeg))
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -212,7 +257,8 @@ object ScaleProbe {
       ("q_ann_brute_topk", "embeddings", annCandidates(_, _, brute = true)),
       ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)),
       ("q_events_rolling_distinct", "events", userDayCandidates),
-      ("q_events_growth", "events", userDayCandidates))
+      ("q_events_growth", "events", userDayCandidates),
+      ("q_events_cohort_ltv", "events", cohortOffsetCandidates))
 
     // warmup (JIT/codegen) on the smallest scale
     probes.foreach { case (q, _, _) =>
@@ -235,6 +281,13 @@ object ScaleProbe {
         s""""candidates":$cands,"result_rows":$nOut,"sec":$secs,""" +
         s""""shuffle_bytes":${meter.bytes.get() - b0},""" +
         s""""shuffle_records":${meter.records.get() - r0}}""")
+    }
+    // orientation probe: one line per graph size — the deg-orient
+    // wedge count must stay linear while id-orient goes quadratic
+    for (n <- Seq(1000, 2000, 4000)) {
+      val (edges, wId, wDeg) = wedgeProbe(spark, n)
+      println(s"""{"probe":"triangle_wedges","n":$n,"edges":$edges,""" +
+        s""""wedges_id_orient":$wId,"wedges_deg_orient":$wDeg}""")
     }
     spark.stop()
   }

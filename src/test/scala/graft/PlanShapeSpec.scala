@@ -416,6 +416,78 @@ class PlanShapeSpec extends SparkSpecBase {
       s"quantity envelope not pushed to lineitem: $lf")
   }
 
+  test("nearest as-of join: join-free, one shuffle, two user-partitioned windows") {
+    // the bidirectional nearest-click lookup is the union+window as-of
+    // run twice (backward LOCF + forward first): still NO pairwise
+    // join, still exactly one user_id shuffle — the two windows share
+    // the partitioning and differ only in sort order
+    val df = Catalog.byName("q_asof_join_nearest").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"nearest as-of must be join-free:\n$plan")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 2 && windows.forall(_.partitionSpec.nonEmpty),
+      s"expected two user-partitioned sweep windows:\n$plan")
+    val shuffles = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.size === 1,
+      s"both windows must reuse one user_id shuffle:\n$plan")
+  }
+
+  test("decontamination: eval index broadcasts, corpus joins are broadcast-hash only") {
+    // the asymmetric corpus-vs-evalset shape IS the 100 TB argument:
+    // the (small) eval-window index and the per-doc hit counts
+    // broadcast onto the corpus scan — the corpus side must never
+    // shuffle for a join (its only exchange is the hit-count groupBy)
+    val df = Catalog.byName("q_dedup_decontaminate").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val nonBroadcast = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nonBroadcast.isEmpty,
+      s"corpus must join only against broadcast sides:\n$plan")
+    val bhj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 2,
+      s"eval index and hit counts should both broadcast:\n$plan")
+  }
+
+  test("quality-rule battery: single pruned scan, no join, no window") {
+    // the C4/Gopher battery is a per-row profile: all five rules come
+    // out of one pass over (doc_id, text) — any join, window, or
+    // extra column in the read schema is plan rot
+    val df = Catalog.byName("q_text_quality_rules").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"battery must be join-free:\n$plan")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"battery must be window-free:\n$plan")
+    val scans = collectAll(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1, s"expected exactly one corpus scan:\n$plan")
+    val readSchema = scans.head.metadata("ReadSchema")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("lang"),
+      s"read schema not pruned to (doc_id, text): $readSchema")
+  }
+
   test("bm25: df/totals broadcast, top-20 is TakeOrderedAndProject") {
     val df = Catalog.byName("q_text_bm25").fn(spark, sfDir)
     df.collect()
