@@ -37,6 +37,10 @@ object DedupQueries {
 
   private val shingleN = 3
   private[queries] val jaccardThreshold = 0.6
+  /** Bloom-prefilter width (2^20 bits): sized so the eval split's
+    * ~100k windows load the filter ≲0.2 — FPR ≈ (1−e^−load)² ≈ 3%,
+    * and the query MEASURES the realized rate per doc. */
+  private val bloomBits = 1048576L
   /** Cosine threshold for within-cluster semantic dedup: lower than
     * the exact-pair operator's 0.45 because SemDeDup prunes by
     * cluster membership first (the fixture's within-cluster cosine
@@ -403,6 +407,92 @@ object DedupQueries {
             // zero-tolerance variant (drop on ANY shared window) —
             // what most eval-decontamination runs actually ship
             (nC === 0).as("strict_keep"))
+      }),
+
+    // ---- Bloom-filter prefilter for historical-corpus anti-joins,
+    // with EXACT false-positive accounting: the same eval split as
+    // q_dedup_decontaminate is folded into a modeled Bloom filter
+    // (m = 2^20 bits, two h32-derived hash functions), the training
+    // corpus' windows probe it, and the exact membership check runs
+    // alongside so the output reports true hits AND false positives
+    // per doc — the measurement that sizes m before trusting the
+    // filter at 100 TB. The filter is modeled relationally as its
+    // DISTINCT set-bit table (≤ 2·|eval windows| rows, ~MBs for a
+    // benchmark-sized split), so the probe is two BROADCAST joins on
+    // the bit positions plus one on the exact hash — the corpus
+    // streams map-side, never shuffling for any membership test; a
+    // Bloom miss (either bit absent) is a guaranteed non-member, which
+    // is the 99%+ of windows that skip the expensive exact path in a
+    // production anti-join. All hashing is exact int64 (a·h ≤ 2^61),
+    // bit-identical across engines. ----
+    QueryDef("q_dedup_bloom_prefilter", Some {
+      val m = bloomBits
+      val (a, b) = (TextOps.minhashA.head, TextOps.minhashB.head)
+      s"""WITH gs AS (
+         |  SELECT doc_id, ${h32Sql("text")} % 100 AS bucket,
+         |    ${shinglesSql("w", 5)} AS g
+         |  FROM (SELECT doc_id, text, ${tokensSql("text")} AS w FROM documents)),
+         |sh AS (SELECT doc_id, bucket,
+         |         list_distinct(${shingleHashesSql("g")}) AS sh FROM gs),
+         |evh AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE bucket >= 95),
+         |bits AS (
+         |  SELECT DISTINCT b FROM (
+         |    SELECT h % $m AS b FROM evh
+         |    UNION ALL
+         |    SELECT (($a * h + $b) % ${TextOps.P}) % $m AS b FROM evh)),
+         |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket < 95),
+         |probe AS (
+         |  SELECT tr.doc_id,
+         |    (tr.h % $m) IN (SELECT b FROM bits)
+         |      AND ((($a * tr.h + $b) % ${TextOps.P}) % $m)
+         |            IN (SELECT b FROM bits) AS bloom_hit,
+         |    tr.h IN (SELECT h FROM evh) AS is_member
+         |  FROM tr)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bloom_hits,
+         |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_false_pos
+         |FROM probe GROUP BY doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val m = lit(bloomBits)
+        val (a, b) = (lit(TextOps.minhashA.head), lit(TextOps.minhashB.head))
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
+            tokens(col("text")).as("w"))
+          .select(col("doc_id"), col("bucket"),
+            array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+          .persist() // eval index + probe stream
+        val evh = sh.where(col("bucket") >= 95)
+          .select(explode(col("sh")).as("h")).distinct()
+        val bits = evh.select(pmod(col("h"), m).as("b"))
+          .unionAll(evh.select(pmod(pmod(a * col("h") + b, lit(TextOps.P)), m).as("b")))
+          .distinct()
+        val pr = sh.where(col("bucket") < 95)
+          .select(col("doc_id"), explode(col("sh")).as("h"))
+          .select(col("doc_id"), col("h"),
+            pmod(col("h"), m).as("b1"),
+            pmod(pmod(a * col("h") + b, lit(TextOps.P)), m).as("b2"))
+        val hit = pr
+          .join(broadcast(bits.select(col("b").as("b1"), lit(1).as("m1"))),
+            Seq("b1"), "left")
+          .join(broadcast(bits.select(col("b").as("b2"), lit(1).as("m2"))),
+            Seq("b2"), "left")
+          .join(broadcast(evh.select(col("h"), lit(1).as("mh"))),
+            Seq("h"), "left")
+          .select(col("doc_id"),
+            (col("m1").isNotNull && col("m2").isNotNull).as("bloom_hit"),
+            col("mh").isNotNull.as("is_member"))
+        hit.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("bloom_hit"), 1).otherwise(0)).as("n_bloom_hits"),
+            sum(when(col("is_member"), 1).otherwise(0)).as("n_true"),
+            sum(when(col("bloom_hit") && !col("is_member"), 1).otherwise(0))
+              .as("n_false_pos"))
       }),
 
     // ---- MinHash + LSH banding, exact-Jaccard verified ----

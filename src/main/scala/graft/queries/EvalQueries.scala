@@ -416,6 +416,85 @@ object EvalQueries {
             (col("hits") / (lit(k.toDouble) * col("nq"))).as(s"recall_at_$k"))
       }),
 
+    // ---- mean reciprocal rank of the IVF ranking vs the exact
+    // nearest neighbor — the position-sensitive companion to
+    // recall@k (recall says the NN was found; MRR says WHERE). The
+    // true NN is brute rank 1 per query; its reciprocal rank inside
+    // the query's IVF cell ranking enters the mean as the exact
+    // integer 1e9 DIV rank (a double sum of 1/rank values would be
+    // addition-order-dependent — the scaled-integer sum is not), a
+    // cell miss contributes 0, and the final MRR is ONE double
+    // division. Scale shape: brute leg = broadcast query batch ×
+    // corpus into a rank-1 cut (the exact-oracle shape, whitelisted);
+    // IVF leg ranks only within the query's cell. ----
+    QueryDef("q_eval_mrr", Some {
+      import SimilarityQueries.querySetPred
+      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |brute1 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |          c.vec_id) AS rnk
+         |    FROM (SELECT * FROM n WHERE $querySetPred) q
+         |    JOIN n c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk = 1),
+         |ivfrank AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS candidate_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |        c.vec_id) AS rnk
+         |  FROM (SELECT * FROM n WHERE $querySetPred) q
+         |  JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id),
+         |hit AS (
+         |  SELECT b.query_id, i.rnk FROM brute1 b
+         |  LEFT JOIN ivfrank i ON i.query_id = b.query_id
+         |    AND i.candidate_id = b.neighbor_id)
+         |SELECT count(*) AS n_queries,
+         |  CAST(count(rnk) AS BIGINT) AS n_found,
+         |  CAST(sum(coalesce(1000000000 // rnk, 0)) AS BIGINT) AS mrr_scaled,
+         |  CAST(sum(coalesce(1000000000 // rnk, 0)) AS DOUBLE)
+         |    / 1000000000.0 / count(*) AS mrr
+         |FROM hit""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{querySetPred, vecs}
+        val n = vecs(s, d)
+        val q = n.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("label").as("qcell"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = n.select(col("vec_id").as("candidate_id"), col("label"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("candidate_id").asc)
+        val brute1 = broadcast(q)
+          .join(c, col("candidate_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") === 1)
+          .select(col("query_id"), col("candidate_id").as("neighbor_id"))
+        val ivfRank = broadcast(q)
+          .join(c, col("label") === col("qcell") &&
+            col("candidate_id") =!= col("query_id"))
+          .withColumn("cos_sim",
+            GraftFunctions.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(w))
+          .select(col("query_id"), col("candidate_id"), col("rnk"))
+        brute1.alias("b")
+          .join(ivfRank.alias("i"),
+            col("i.query_id") === col("b.query_id") &&
+              col("i.candidate_id") === col("b.neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            count(col("i.rnk")).as("n_found"),
+            sum(coalesce(expr("1000000000 DIV i.rnk"), lit(0L)))
+              .as("mrr_scaled"))
+          .select(col("n_queries"), col("n_found"), col("mrr_scaled"),
+            (col("mrr_scaled").cast("double") / lit(1e9) / col("n_queries"))
+              .as("mrr"))
+      }),
+
     // ---- language-ID confusion matrix + per-class recall: the
     // classifier-audit twin of q_text_langid, built by COMPOSING the
     // catalog — both the Spark plan and the oracle wrap the langid
@@ -714,6 +793,84 @@ object EvalQueries {
           .crossJoin(missed)
           .select(col("n_exact"), col("n_lsh"), col("n_missed"),
             (col("n_lsh").cast("double") / col("n_exact")).as("recall"))
+      }),
+
+    // ---- reciprocal-rank fusion (RRF, k=60) of a sparse and a dense
+    // retrieval leg — the hybrid-search primitive every retrieval-
+    // augmented data pipeline runs: BM25 over `documents` (the shared
+    // log-free [[TextQueries.bm25CtesSql]] leg, fixed 3-term query)
+    // fused with embedding-cosine against one fixed query vector
+    // (vec_id 0; doc_id and vec_id are 1:1 in the fixture). Each leg
+    // is ranked top-50 independently, then fused on the doc key with
+    // score Σ 1/(60+rank) — each term ONE double division of exact
+    // integers, added in fixed leg order, so the fused ranking is
+    // bit-identical across engines. A leg miss contributes 0 (the
+    // full-outer join keeps single-leg docs, their missing rank NULL).
+    // Scale shape: both legs end in TakeOrderedAndProject (per-
+    // partition heaps — no global sort of either corpus); the fusion
+    // join and final window touch ≤100 rows. ----
+    QueryDef("q_eval_rrf", Some(
+      s"""WITH ${TextQueries.bm25CtesSql},
+         |stop AS (SELECT doc_id, score FROM bmagg WHERE score > 0
+         |         ORDER BY score DESC, doc_id LIMIT 50),
+         |srank AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_sparse
+         |  FROM stop),
+         |nv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+         |qv AS (SELECT v AS q, nrm AS qn FROM nv WHERE vec_id = 0),
+         |dense AS (
+         |  SELECT nv.vec_id, ${dotDSql("qv.q", "nv.v")} / (qv.qn * nv.nrm) AS cos
+         |  FROM nv CROSS JOIN qv WHERE nv.vec_id <> 0),
+         |dtop AS (SELECT vec_id, cos FROM dense
+         |         ORDER BY cos DESC, vec_id LIMIT 50),
+         |drank AS (SELECT vec_id, CAST(row_number() OVER
+         |    (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_dense
+         |  FROM dtop),
+         |fused AS (
+         |  SELECT coalesce(s.doc_id, d.vec_id) AS doc_id,
+         |    s.rank_sparse, d.rank_dense,
+         |    coalesce(1.0 / (60 + s.rank_sparse), 0.0)
+         |      + coalesce(1.0 / (60 + d.rank_dense), 0.0) AS rrf_score
+         |  FROM srank s FULL OUTER JOIN drank d ON s.doc_id = d.vec_id)
+         |SELECT doc_id, rank_sparse, rank_dense, rrf_score,
+         |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+         |    AS BIGINT) AS fused_rank
+         |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val sTop = TextQueries.bm25Scores(s, d)
+          .where(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        val sRank = sTop.select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc,
+            col("doc_id").asc)).cast("bigint").as("rank_sparse"))
+        val nv = graft.Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("nrm", GraftFunctions.norm(col("v")))
+        val qv = nv.where(col("vec_id") === 0)
+          .select(col("v").as("q"), col("nrm").as("qn"))
+          .limit(1) // vec_id unique ⇒ exact; proves the broadcast side
+                    // bounded to the catalog-wide plan guard
+        val dense = nv.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            (GraftFunctions.dot(col("q"), col("v"))
+              / (col("qn") * col("nrm"))).as("cos"))
+        val dTop = dense.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
+        val dRank = dTop.select(col("vec_id"),
+          row_number().over(Window.orderBy(col("cos").desc,
+            col("vec_id").asc)).cast("bigint").as("rank_dense"))
+        val fused = sRank
+          .join(dRank, sRank("doc_id") === dRank("vec_id"), "full_outer")
+          .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+            col("rank_sparse"), col("rank_dense"),
+            (coalesce(lit(1.0) / (lit(60) + col("rank_sparse")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)))
+              .as("rrf_score"))
+        fused
+          .withColumn("fused_rank", row_number().over(
+            Window.orderBy(col("rrf_score").desc, col("doc_id").asc))
+            .cast("bigint"))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
       })
   )
 }

@@ -147,6 +147,93 @@ object EventAnalyticsQueries {
               .as("locf_value"))
       }),
 
+    // ---- LINEAR-interpolation resample (the gap-filling twin of
+    // q_events_resample_locf, same 6 h grid): an empty bin gets
+    // pv + (nv − pv)·(t − pt)/(nt − pt) between its nearest non-empty
+    // neighbors; leading/trailing gaps stay NULL (no extrapolation).
+    // Four IGNORE NULLS window lookups fetch the neighbor (value, bin)
+    // pairs in one pass per direction over the same per-type sort the
+    // LOCF uses; bin arithmetic is exact int64 and the interpolation
+    // is a fixed three-op double tree over engine-identical inputs, so
+    // the filled series oracles bitwise. Scale: grid is types × bins
+    // (bounded), everything windows inside the event_type partition —
+    // one shuffle, no global sort. ----
+    QueryDef("q_events_interpolate", Some {
+      val start = 1704067200000000L // 2024-01-01T00:00:00Z
+      val end = 1706745600000000L   // 2024-02-01T00:00:00Z
+      val step = 21600000000L       // 6 h
+      s"""WITH grid AS (
+         |  SELECT t.event_type, b.bin_start
+         |  FROM (SELECT DISTINCT event_type FROM events) t,
+         |    (SELECT unnest(range($start, $end, $step)) AS bin_start) b),
+         |agg AS (
+         |  SELECT event_type,
+         |    epoch_us(ts) - epoch_us(ts) % $step AS bin_start,
+         |    count(*) AS n,
+         |    sum(floor(value * 100 + 0.5)) / 100.0 AS total_value
+         |  FROM events GROUP BY 1, 2),
+         |j AS (
+         |  SELECT g.event_type, g.bin_start,
+         |    coalesce(a.n, 0) AS n_events, a.total_value AS raw_value
+         |  FROM grid g LEFT JOIN agg a
+         |    ON g.event_type = a.event_type AND g.bin_start = a.bin_start),
+         |x AS (
+         |  SELECT *,
+         |    last_value(raw_value IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN raw_value IS NOT NULL THEN bin_start END
+         |      IGNORE NULLS) OVER wp AS pt,
+         |    first_value(raw_value IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN raw_value IS NOT NULL THEN bin_start END
+         |      IGNORE NULLS) OVER wn AS nt
+         |  FROM j
+         |  WINDOW wp AS (PARTITION BY event_type ORDER BY bin_start
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |  wn AS (PARTITION BY event_type ORDER BY bin_start
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, bin_start, n_events, raw_value,
+         |  coalesce(raw_value,
+         |    pv + (nv - pv) * (CAST(bin_start - pt AS DOUBLE)
+         |                      / CAST(nt - pt AS DOUBLE))) AS interp_value
+         |FROM x""".stripMargin
+    })(
+      (s, d) => {
+        val start = 1704067200000000L
+        val end = 1706745600000000L
+        val step = 21600000000L
+        val types = Tables(s, d, "events").select(col("event_type")).distinct()
+        val grid = types.withColumn("bin_start",
+          explode(sequence(lit(start), lit(end - 1), lit(step))))
+        val agg = Tables(s, d, "events")
+          .select(col("event_type"),
+            (unix_micros(col("ts")) - unix_micros(col("ts")) % step).as("bin_start"),
+            col("value"))
+          .groupBy(col("event_type"), col("bin_start"))
+          .agg(count(lit(1)).as("n"),
+            (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total_value"))
+        val wp = Window.partitionBy(col("event_type")).orderBy(col("bin_start"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wn = Window.partitionBy(col("event_type")).orderBy(col("bin_start"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val markedBin = when(col("raw_value").isNotNull, col("bin_start"))
+        grid.join(agg, Seq("event_type", "bin_start"), "left")
+          .select(col("event_type"), col("bin_start"),
+            coalesce(col("n"), lit(0L)).as("n_events"),
+            col("total_value").as("raw_value"))
+          .select(col("event_type"), col("bin_start"), col("n_events"),
+            col("raw_value"),
+            last(col("raw_value"), ignoreNulls = true).over(wp).as("pv"),
+            last(markedBin, ignoreNulls = true).over(wp).as("pt"),
+            first(col("raw_value"), ignoreNulls = true).over(wn).as("nv"),
+            first(markedBin, ignoreNulls = true).over(wn).as("nt"))
+          .select(col("event_type"), col("bin_start"), col("n_events"),
+            col("raw_value"),
+            coalesce(col("raw_value"),
+              col("pv") + (col("nv") - col("pv"))
+                * ((col("bin_start") - col("pt")).cast("double")
+                   / (col("nt") - col("pt")).cast("double")))
+              .as("interp_value"))
+      }),
+
     // ---- per-bin anomaly flags (pipeline monitoring): daily value
     // totals per event type z-scored against that type's own
     // distribution. Moments are exact integer sums over cents (the

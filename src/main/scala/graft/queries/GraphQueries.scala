@@ -22,6 +22,31 @@ object GraphQueries {
   /** Teleport mass per node per iteration: (15 · scale) DIV 100. */
   private val prBase = 15L * prScale / 100L
 
+  /** Co-purchase graph CTEs (no leading WITH): parts sharing ≥2
+    * baskets, one undirected edge per pair with p1 < p2. Shared by
+    * q_graph_triangles and q_graph_link_predict so the two operators
+    * cannot drift onto different graphs. */
+  private val coPurchaseUndCte: String =
+    """items AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS s
+      |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY a.p, b.p),
+      |und AS (SELECT p1, p2 FROM pairs WHERE s >= 2)""".stripMargin
+
+  /** Spark twin of [[coPurchaseUndCte]]'s `und`. */
+  private def coPurchaseUnd(s: SparkSession, d: String): DataFrame = {
+    val items = Tables(s, d, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    items.alias("a").join(items.alias("b"),
+        expr("a.o = b.o AND a.p < b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= 2).select(col("p1"), col("p2"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PageRank (3 unrolled iterations, damping 0.85) over the
@@ -105,13 +130,7 @@ object GraphQueries {
     // Support ≥2 keeps the graph the meaningful repeat-co-occurrence
     // one, not single-basket noise.
     QueryDef("q_graph_triangles", Some(
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |pairs AS (
-        |  SELECT a.p AS p1, b.p AS p2, count(*) AS s
-        |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
-        |  GROUP BY a.p, b.p),
-        |und AS (SELECT p1, p2 FROM pairs WHERE s >= 2),
+      s"""WITH $coPurchaseUndCte,
         |deg AS (
         |  SELECT node, count(*) AS dg FROM (
         |    SELECT p1 AS node FROM und
@@ -127,14 +146,7 @@ object GraphQueries {
         |     JOIN e b ON b.src = a.dst
         |     JOIN e c ON c.src = a.src AND c.dst = b.dst) AS n_triangles""".stripMargin))(
       (s, d) => {
-        val items = Tables(s, d, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val und = items.alias("a").join(items.alias("b"),
-            expr("a.o = b.o AND a.p < b.p"))
-          .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
-          .agg(count(lit(1)).as("s"))
-          .where(col("s") >= 2).select(col("p1"), col("p2"))
+        val und = coPurchaseUnd(s, d)
         val deg = und.select(col("p1").as("node"))
           .unionAll(und.select(col("p2").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("dg"))
@@ -155,6 +167,69 @@ object GraphQueries {
           expr("z.src = x.src AND z.dst = y.dst"))
         e.agg(count(lit(1)).as("n_edges"))
           .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      }),
+
+    // ---- link prediction over the co-purchase graph (shared
+    // [[coPurchaseUndCte]] graph): for every NON-adjacent pair, the
+    // common-neighbor count and the Resource-Allocation index
+    // Σ_z 1/deg(z) (Zhou et al. — the log-free cousin of Adamic-Adar;
+    // 1e9 DIV deg is exact, so the ranking is bit-identical across
+    // engines). Wedges are enumerated once per common neighbor z as
+    // its (nb1 < nb2) neighbor pairs, candidate pairs hash-aggregate,
+    // existing edges leave via ONE anti-join, top-20 is
+    // TakeOrderedAndProject. Scale: wedge count is Σ_z deg(z)² — the
+    // deg ≤ 1000 hub cap (a no-op on this fixture, applied identically
+    // in the oracle) bounds each z's contribution the way production
+    // link predictors bound celebrity nodes; RA then also down-weights
+    // whatever large-but-capped hubs remain. ----
+    QueryDef("q_graph_link_predict", Some(
+      s"""WITH $coPurchaseUndCte,
+         |adj AS (SELECT p1 AS z, p2 AS nb FROM und
+         |        UNION ALL SELECT p2 AS z, p1 AS nb FROM und),
+         |deg AS (SELECT z, count(*) AS dg FROM adj GROUP BY z),
+         |wedge AS (
+         |  SELECT a.nb AS n1, b.nb AS n2, a.z AS z
+         |  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb),
+         |cand AS (
+         |  SELECT w.n1, w.n2, count(*) AS cn,
+         |    CAST(sum(1000000000 // deg.dg) AS BIGINT) AS ra_scaled
+         |  FROM wedge w JOIN deg ON deg.z = w.z AND deg.dg <= 1000
+         |  GROUP BY w.n1, w.n2),
+         |fresh AS (
+         |  SELECT c.n1, c.n2, c.cn, c.ra_scaled FROM cand c
+         |  LEFT JOIN und u ON u.p1 = c.n1 AND u.p2 = c.n2
+         |  WHERE u.p1 IS NULL)
+         |SELECT n1, n2, cn, ra_scaled,
+         |  CAST(row_number() OVER (ORDER BY cn DESC, ra_scaled DESC,
+         |    n1, n2) AS BIGINT) AS rnk
+         |FROM fresh
+         |ORDER BY cn DESC, ra_scaled DESC, n1, n2 LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val und = coPurchaseUnd(s, d)
+          .localCheckpoint(true) // adjacency ×2 + the anti-join probe
+        val adj = und.select(col("p1").as("z"), col("p2").as("nb"))
+          .unionAll(und.select(col("p2").as("z"), col("p1").as("nb")))
+        val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+        val wedge = adj.alias("a").join(adj.alias("b"),
+            expr("a.z = b.z AND a.nb < b.nb"))
+          .select(col("a.nb").as("n1"), col("b.nb").as("n2"),
+            col("a.z").as("z"))
+        val cand = wedge
+          .join(deg.where(col("dg") <= 1000), "z")
+          .groupBy(col("n1"), col("n2"))
+          .agg(count(lit(1)).as("cn"),
+            sum(expr("1000000000 DIV dg")).as("ra_scaled"))
+        val fresh = cand.join(und,
+          cand("n1") === und("p1") && cand("n2") === und("p2"), "left_anti")
+          .orderBy(col("cn").desc, col("ra_scaled").desc,
+            col("n1").asc, col("n2").asc)
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cn").desc, col("ra_scaled").desc,
+            col("n1").asc, col("n2").asc)
+        fresh.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .select(col("n1"), col("n2"), col("cn"), col("ra_scaled"),
+            col("rnk"))
       }),
 
     // ---- degree assortativity of the symmetrized part↔supplier

@@ -249,6 +249,76 @@ object SampleQueries {
           .where((col("cum") - col("n_chars")) * 2 < col("tot"))
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("cum").cast("bigint").as("cum_chars"))
+      }),
+
+    // ---- DSIR-flavored importance scoring (log-free linear variant):
+    // rank the corpus by how target-domain-like each doc's hashed
+    // bag-of-words is. Features are unigrams hashed into 256 buckets
+    // (h32 mod 256 — the hashed-ngram trick from DSIR, Xie et al.
+    // 2023); the target distribution is the lang='en' slice, the
+    // source distribution the whole corpus; each bucket's weight is
+    // the 1e9-scaled probability DIFFERENCE (1e9·t_cnt DIV t_tot −
+    // 1e9·s_cnt DIV s_tot) — the log-free linear stand-in for the
+    // log-ratio (same sign structure; exact integers, so scores are
+    // bit-identical cross-engine where log-ratios would not be). A
+    // doc's score is Σ_buckets c_b·w_b — int64-safe (≤ tokens·1e9 per
+    // doc). Top-25 by (score DESC, doc_id) is the selected resample.
+    // Scale shape: explode → per-(doc,bucket) counts → a 256-row
+    // broadcast weight table → one hash-agg per doc →
+    // TakeOrderedAndProject; the corpus never shuffles by content. ----
+    QueryDef("q_sample_importance", Some(
+      s"""WITH tok AS (
+         |  SELECT d.doc_id, d.lang, ${h32Sql("t.w")} % 256 AS b
+         |  FROM documents d, unnest(${tokensSql("d.text")}) AS t(w)),
+         |db AS (SELECT doc_id, b, count(*) AS c FROM tok GROUP BY doc_id, b),
+         |tgt AS (SELECT b, count(*) AS tc FROM tok WHERE lang = 'en' GROUP BY b),
+         |src AS (SELECT b, count(*) AS sc FROM tok GROUP BY b),
+         |tot AS (
+         |  SELECT (SELECT count(*) FROM tok WHERE lang = 'en') AS tt,
+         |         (SELECT count(*) FROM tok) AS st),
+         |wgt AS (
+         |  SELECT src.b,
+         |    (1000000000 * coalesce(tgt.tc, 0)) // tot.tt
+         |      - (1000000000 * src.sc) // tot.st AS w
+         |  FROM src LEFT JOIN tgt ON src.b = tgt.b CROSS JOIN tot)
+         |SELECT db.doc_id,
+         |  CAST(sum(db.c * wgt.w) AS BIGINT) AS score_scaled,
+         |  CAST(sum(db.c) AS BIGINT) AS n_tokens,
+         |  CAST(row_number() OVER (ORDER BY sum(db.c * wgt.w) DESC,
+         |    db.doc_id) AS BIGINT) AS rnk
+         |FROM db JOIN wgt ON db.b = wgt.b
+         |GROUP BY db.doc_id
+         |ORDER BY score_scaled DESC, db.doc_id LIMIT 25""".stripMargin))(
+      (s, d) => {
+        val tok = Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            explode(tokens(col("text"))).as("t"))
+          .select(col("doc_id"), col("lang"),
+            pmod(h32(col("t")), lit(256L)).as("b"))
+          .persist() // feature counts read 3× (doc, target, source)
+        val db = tok.groupBy(col("doc_id"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val tgt = tok.where(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tc"))
+        val src = tok.groupBy(col("b")).agg(count(lit(1)).as("sc"))
+        val tot = tok.where(col("lang") === "en")
+          .agg(count(lit(1)).as("tt"))
+          .crossJoin(tok.agg(count(lit(1)).as("st")))
+        val wgt = src.join(tgt, Seq("b"), "left_outer")
+          .crossJoin(broadcast(tot))
+          .select(col("b"),
+            (expr("(1000000000 * coalesce(tc, 0)) DIV tt")
+              - expr("(1000000000 * sc) DIV st")).as("w"))
+        val scored = db.join(broadcast(wgt), "b")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c") * col("w")).as("score_scaled"),
+            sum(col("c")).as("n_tokens"))
+          .orderBy(col("score_scaled").desc, col("doc_id").asc)
+          .limit(25)
+        val w = Window.orderBy(col("score_scaled").desc, col("doc_id").asc)
+        scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+          .select(col("doc_id"), col("score_scaled"), col("n_tokens"),
+            col("rnk"))
       })
   )
 }

@@ -230,6 +230,30 @@ object ScaleProbe {
     (und.count(), wedges(byId), wedges(byDeg))
   }
 
+  /** Link-prediction wedge probe on the hub graph (closed form —
+    * Σ_z C(deg(z), 2) needs no join): without the hub cap the hub
+    * alone contributes C(n−1, 2) candidate wedges (quadratic in n);
+    * with the deg ≤ 1000 cap of q_graph_link_predict the hub drops
+    * out and the count is ring+spoke-bounded (linear). Returns
+    * (edges, wedges_uncapped, wedges_capped). */
+  private[queries] def linkWedgeProbe(spark: SparkSession, n: Int): (Long, Long, Long) = {
+    import spark.implicits._
+    val hub = n / 2
+    val star = (0 until n).filter(_ != hub)
+      .map(i => (math.min(i, hub).toLong, math.max(i, hub).toLong))
+    val ring = (0 until n)
+      .map(i => (math.min(i, (i + 1) % n).toLong, math.max(i, (i + 1) % n).toLong))
+    val und = (star ++ ring).distinct.toDF("p1", "p2")
+      .repartition(8).localCheckpoint(true)
+    val deg = und.select(col("p1").as("node"))
+      .unionAll(und.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    def wedges(d: org.apache.spark.sql.DataFrame): Long =
+      d.agg(coalesce(sum(col("dg") * (col("dg") - 1) / 2), lit(0L))
+        .cast("long")).head().getLong(0)
+    (und.count(), wedges(deg), wedges(deg.where(col("dg") <= 1000)))
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_scale")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -288,6 +312,28 @@ object ScaleProbe {
       val (edges, wId, wDeg) = wedgeProbe(spark, n)
       println(s"""{"probe":"triangle_wedges","n":$n,"edges":$edges,""" +
         s""""wedges_id_orient":$wId,"wedges_deg_orient":$wDeg}""")
+    }
+    // link-prediction hub-cap probe: uncapped wedge candidates grow
+    // quadratically with hub degree; the deg ≤ 1000 cap keeps them
+    // linear in the graph size
+    for (n <- Seq(1000, 2000, 4000)) {
+      val (edges, wAll, wCap) = linkWedgeProbe(spark, n)
+      println(s"""{"probe":"link_predict_wedges","n":$n,"edges":$edges,""" +
+        s""""wedges_uncapped":$wAll,"wedges_capped":$wCap}""")
+    }
+    // bloom-prefilter probe: fixed m = 2^20 bits against a growing
+    // eval split — the false-positive tally is the sizing signal
+    // (when the eval window count approaches m the filter saturates
+    // and n_false_pos → n_windows − n_true; m must scale with |eval|)
+    for ((sfName, dir) <- scales) {
+      val r = Catalog.byName("q_dedup_bloom_prefilter").fn(spark, dir)
+        .agg(sum(col("n_windows")).as("w"), sum(col("n_bloom_hits")).as("h"),
+          sum(col("n_true")).as("t"), sum(col("n_false_pos")).as("fp"))
+        .head()
+      spark.catalog.clearCache()
+      println(s"""{"probe":"bloom_prefilter","scale":"$sfName",""" +
+        s""""windows":${r.getLong(0)},"bloom_hits":${r.getLong(1)},""" +
+        s""""true_members":${r.getLong(2)},"false_pos":${r.getLong(3)}}""")
     }
     spark.stop()
   }

@@ -133,6 +133,146 @@ object TextQueries {
       (!qualityRuleNames.map(r => col(r)).reduce(_ || _)).as("keep"))
   }
 
+  /** Corpus-trained bigram LM doc scoring as DuckDB CTEs (no leading
+    * WITH): maximum-likelihood P(w2|w1) scaled to 1e9 integers
+    * (p_scaled = 1e9·n2 DIV n1 — exact in both engines), summed per
+    * doc. Produces `lmdoc(doc_id, n_bigrams, sum_p_scaled)`. Shared by
+    * `q_text_lm_bigram_score` and the CCNet-style perplexity buckets
+    * (`q_text_ccnet_buckets`). Scale shape: the model is
+    * vocabulary²-bounded and joins back BROADCAST; the doc stream is
+    * one explode→hash-agg. */
+  private[queries] val bigramLmCtesSql: String =
+    s"""bg AS (
+       |  SELECT doc_id, g.g AS g
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
+       |    unnest(list_transform(range(1, len(w)),
+       |      i -> w[i] || ' ' || w[i+1])) AS g(g)),
+       |c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),
+       |c1 AS (
+       |  SELECT split_part(g, ' ', 1) AS prev, count(*) AS n1
+       |  FROM bg GROUP BY split_part(g, ' ', 1)),
+       |model AS (
+       |  SELECT c2.g, (1000000000 * c2.n2) // c1.n1 AS p_scaled
+       |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.prev),
+       |lmdoc AS (
+       |  SELECT bg.doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(model.p_scaled) AS BIGINT) AS sum_p_scaled
+       |  FROM bg JOIN model ON bg.g = model.g
+       |  GROUP BY bg.doc_id)""".stripMargin
+
+  /** Spark twin of [[bigramLmCtesSql]]'s lmdoc: (doc_id, n_bigrams,
+    * sum_p_scaled). Docs with fewer than two tokens have no bigrams
+    * and are absent (matching the SQL inner joins). */
+  private[queries] def bigramLmDocScores(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val bigramsOf = when(size(col("w")) >= 2,
+      expr("transform(sequence(1, size(w) - 1)," +
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+      .otherwise(array().cast("array<string>"))
+    val bg = Tables(s, d, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(bigramsOf).as("g"))
+      .persist() // training counts + scoring join
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy(substring_index(col("g"), " ", 1).as("prev"))
+      .agg(count(lit(1)).as("n1"))
+    val model = c2
+      .join(c1, substring_index(col("g"), " ", 1) === col("prev"))
+      .select(col("g"),
+        expr("(1000000000 * n2) DIV n1").as("p_scaled"))
+    bg.join(broadcast(model), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_scaled")).as("sum_p_scaled"))
+  }
+
+  /** Fixed lexical query for the BM25 / hybrid-fusion entries. */
+  private[queries] val bm25Terms = Seq("join", "vector", "scan")
+
+  /** Log-free BM25 as DuckDB CTEs (no leading WITH): the catalog's
+    * no-transcendentals parity rule forbids ln(), so idf is the exact
+    * rational (N − df + ½)/(df + ½) — doubled to integers
+    * (2N − 2df + 1)/(2df + 1) — and the tf saturation
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75
+    * is cleared of ALL fractions by multiplying through by 40·T
+    * (T = corpus token count, avgdl = T/N): numerator 88·T·tf,
+    * denominator 40·T·tf + 12·T + 36·dl·N, every factor an exact
+    * integer. Per term the score is ONE double division of two exact
+    * DECIMAL(38,0)/HUGEINT products (int64 would wrap at web-corpus
+    * scale), and the doc score adds the per-term doubles in FIXED
+    * query order — float addition isn't associative, so the
+    * pivot-then-add keeps Spark and DuckDB bit-identical where a
+    * sum() over an unordered term set would not be. Produces
+    * `dl(doc_id, dl)` and `bmagg(doc_id, score)`. Shared by
+    * `q_text_bm25` and the RRF fusion (`q_eval_rrf`). */
+  private[queries] val bm25CtesSql: String = {
+    val termIn = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""tok AS (
+       |  SELECT doc_id, t.w AS term
+       |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |g AS (SELECT CAST(count(*) AS HUGEINT) AS t_total,
+       |             (SELECT CAST(count(*) AS HUGEINT) FROM documents)
+       |               AS n_docs
+       |      FROM tok),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($termIn)
+       |       GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS HUGEINT) AS df
+       |       FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST((2*g.n_docs - 2*df.df + 1) * (88 * g.t_total * tf.tf)
+       |      AS DOUBLE)
+       |    / CAST((2*df.df + 1)
+       |        * (40 * g.t_total * tf.tf + 12 * g.t_total
+       |           + 36 * dl.dl * g.n_docs) AS DOUBLE) AS s
+       |  FROM tf JOIN df ON tf.term = df.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
+       |bmagg AS (
+       |  SELECT sc.doc_id,
+       |    ${bm25Terms.map(t =>
+             s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+             .mkString("\n    + ")}
+       |      AS score
+       |  FROM sc GROUP BY sc.doc_id)""".stripMargin
+  }
+
+  /** Spark twin of [[bm25CtesSql]]: (doc_id, dl, score) for every doc
+    * containing at least one query term. Scale shape: one explode→hash
+    * -agg for tf/dl, a |terms|-row broadcast for df, a 1-row broadcast
+    * for the corpus totals. */
+  private[queries] def bm25Scores(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val tok = Tables(s, d, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val g = tok.agg(count(lit(1)).cast("decimal(38,0)").as("t_total"))
+      .crossJoin(Tables(s, d, "documents")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n_docs")))
+    val tf = tok.where(col("term").isin(bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("df"))
+    val sc = tf.join(broadcast(df), "term")
+      .join(dl, "doc_id").crossJoin(broadcast(g))
+      .withColumn("s",
+        ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+          * (lit(88) * col("t_total") * col("tf"))).cast("double")
+        / ((lit(2) * col("df") + lit(1))
+          * (lit(40) * col("t_total") * col("tf")
+             + lit(12) * col("t_total")
+             + lit(36) * col("dl").cast("decimal(38,0)") * col("n_docs")))
+          .cast("double"))
+    sc.groupBy(col("doc_id"))
+      .agg(bm25Terms.map(t =>
+          coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+        .reduce(_ + _).as("score"))
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("dl"), col("score"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- token counting ----
@@ -1002,48 +1142,110 @@ object TextQueries {
     // ~9e9 occurrences — at that corpus scale drop the scale to 1e6
     // (or lift the product to DECIMAL), same plan. ----
     QueryDef("q_text_lm_bigram_score", Some(
-      s"""WITH bg AS (
-         |  SELECT doc_id, g.g AS g
-         |  FROM (SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
-         |    unnest(list_transform(range(1, len(w)),
-         |      i -> w[i] || ' ' || w[i+1])) AS g(g)),
-         |c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),
-         |c1 AS (
-         |  SELECT split_part(g, ' ', 1) AS prev, count(*) AS n1
-         |  FROM bg GROUP BY split_part(g, ' ', 1)),
-         |model AS (
-         |  SELECT c2.g, (1000000000 * c2.n2) // c1.n1 AS p_scaled
-         |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.prev)
-         |SELECT bg.doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(model.p_scaled) AS BIGINT) AS sum_p_scaled,
-         |  CAST(sum(model.p_scaled) AS DOUBLE) / count(*) / 1000000000.0
+      s"""WITH $bigramLmCtesSql
+         |SELECT doc_id, n_bigrams, sum_p_scaled,
+         |  CAST(sum_p_scaled AS DOUBLE) / n_bigrams / 1000000000.0
          |    AS avg_prob
-         |FROM bg JOIN model ON bg.g = model.g
-         |GROUP BY bg.doc_id""".stripMargin))(
-      (s, d) => {
-        val bigramsOf = when(size(col("w")) >= 2,
-          expr("transform(sequence(1, size(w) - 1)," +
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-          .otherwise(array().cast("array<string>"))
-        val bg = Tables(s, d, "documents")
-          .select(col("doc_id"), tokens(col("text")).as("w"))
-          .select(col("doc_id"), explode(bigramsOf).as("g"))
-          .persist() // training counts + scoring join
-        val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("n2"))
-        val c1 = bg.groupBy(substring_index(col("g"), " ", 1).as("prev"))
-          .agg(count(lit(1)).as("n1"))
-        val model = c2
-          .join(c1, substring_index(col("g"), " ", 1) === col("prev"))
-          .select(col("g"),
-            expr("(1000000000 * n2) DIV n1").as("p_scaled"))
-        bg.join(broadcast(model), "g")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("p_scaled")).as("sum_p_scaled"))
+         |FROM lmdoc""".stripMargin))(
+      (s, d) =>
+        bigramLmDocScores(s, d)
           .select(col("doc_id"), col("n_bigrams"), col("sum_p_scaled"),
             (col("sum_p_scaled").cast("double") / col("n_bigrams")
-              / lit(1000000000.0)).as("avg_prob"))
+              / lit(1000000000.0)).as("avg_prob"))),
+
+    // ---- CCNet-style perplexity bucketing: score every doc with the
+    // corpus-trained bigram LM (shared [[bigramLmCtesSql]] leg), then
+    // split EACH LANGUAGE into head/middle/tail terciles by model
+    // score — the filtering CCNet runs before keeping head+middle for
+    // training. The per-doc score is the exact integer
+    // sum_p_scaled DIV n_bigrams (no float compare anywhere), the
+    // tercile is ntile(3) over (score DESC, doc_id) — SQL-standard
+    // semantics in both engines (first n mod 3 buckets one larger) —
+    // and the output is the per-(lang, bucket) doc count with the
+    // exact score bounds. Scale shape: the LM model is vocab²-bounded
+    // broadcast; the bucketing shuffles once on lang (the window
+    // partition key) — per-language sort, never a global one. ----
+    QueryDef("q_text_ccnet_buckets", Some(
+      s"""WITH $bigramLmCtesSql,
+         |sc AS (
+         |  SELECT l.doc_id, d.lang, l.sum_p_scaled // l.n_bigrams AS score_scaled
+         |  FROM lmdoc l JOIN documents d ON l.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT lang, doc_id, score_scaled,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY score_scaled DESC, doc_id) AS nt
+         |  FROM sc)
+         |SELECT lang,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(min(score_scaled) AS BIGINT) AS min_score,
+         |  CAST(max(score_scaled) AS BIGINT) AS max_score
+         |FROM b GROUP BY lang, nt""".stripMargin))(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("score_scaled").desc, col("doc_id").asc)
+        bigramLmDocScores(s, d)
+          .join(Tables(s, d, "documents").select(col("doc_id"), col("lang")),
+            "doc_id")
+          .select(col("doc_id"), col("lang"),
+            expr("sum_p_scaled DIV n_bigrams").as("score_scaled"))
+          .withColumn("nt", ntile(3).over(w))
+          .groupBy(col("lang"), col("nt"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("score_scaled")).cast("bigint").as("min_score"),
+            max(col("score_scaled")).cast("bigint").as("max_score"))
+          .select(col("lang"),
+            when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+              .otherwise("tail").as("bucket"),
+            col("n_docs"), col("min_score"), col("max_score"))
       }),
+
+    // ---- tokenizer fertility per language: subword tokens per word
+    // and bytes per subword token — THE multilingual tokenizer-quality
+    // metric (a language with fertility ≫ the corpus mean is being
+    // over-segmented and will train poorly at the same token budget).
+    // Words are whitespace tokens, subwords the BPE-ish regex runs of
+    // q_text_tokens_bpe, bytes the text length (ASCII fixture ⇒
+    // chars = bytes). All counts exact integers; the two ratios are
+    // one double division each of identical integer sums. Scale: one
+    // pruned scan → row-local array lengths → a |langs|-row hash
+    // aggregate; no join, no window. ----
+    QueryDef("q_text_fertility", Some(
+      s"""WITH f AS (
+         |  SELECT lang,
+         |    len(${tokensSql("text")}) AS w,
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS st,
+         |    length(text) AS b
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(st) AS BIGINT) AS n_subtokens,
+         |  CAST(sum(b) AS BIGINT) AS n_bytes,
+         |  CAST(sum(st) AS DOUBLE) / sum(w) AS fertility,
+         |  CAST(sum(b) AS DOUBLE) / sum(st) AS bytes_per_subtoken
+         |FROM f GROUP BY lang""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            size(tokens(col("text"))).cast("bigint").as("w"),
+            size(regexp_extract_all(col("text"),
+              lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+              .cast("bigint").as("st"),
+            length(col("text")).cast("bigint").as("b"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("n_words"),
+            sum(col("st")).as("n_subtokens"),
+            sum(col("b")).as("n_bytes"))
+          .select(col("lang"), col("n_docs"), col("n_words"),
+            col("n_subtokens"), col("n_bytes"),
+            (col("n_subtokens").cast("double") / col("n_words"))
+              .as("fertility"),
+            (col("n_bytes").cast("double") / col("n_subtokens"))
+              .as("bytes_per_subtoken"))),
 
     // ---- Zipf rank-frequency profile: the top-50 tokens with their
     // rank, frequency, and the rank·frequency product — under Zipf's
@@ -1268,91 +1470,23 @@ object TextQueries {
       }),
 
     // ---- BM25 ranking over the corpus for a fixed 3-term query
-    // ('join','vector','scan'), log-free Robertson variant: the
-    // catalog's no-transcendentals parity rule forbids ln(), so idf is
-    // the exact rational (N − df + ½)/(df + ½) — doubled to integers
-    // (2N − 2df + 1)/(2df + 1) — and the tf saturation
-    // tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) with k1 = 1.2, b = 0.75
-    // is cleared of ALL fractions by multiplying through by 40·T
-    // (T = corpus token count, avgdl = T/N): numerator 88·T·tf,
-    // denominator 40·T·tf + 12·T + 36·dl·N, every factor an exact
-    // integer. Per term the score is ONE double division of two exact
-    // DECIMAL(38,0)/HUGEINT products (int64 would wrap at web-corpus
-    // scale), and the doc score adds the three per-term doubles in
-    // FIXED query order — float addition isn't associative, so the
-    // pivot-then-add keeps Spark and DuckDB bit-identical where a
-    // sum() over an unordered term set would not be. Scale shape: one
-    // explode→hash-agg for tf/dl, a 3-row broadcast for df, a 1-row
-    // broadcast for the corpus totals, TakeOrderedAndProject for the
-    // top-20 (per-partition heaps, no global sort). ----
+    // ('join','vector','scan'), log-free Robertson variant — math and
+    // scale shape documented on [[bm25CtesSql]]/[[bm25Scores]] (shared
+    // with the hybrid fusion q_eval_rrf). The top-20 here is
+    // TakeOrderedAndProject (per-partition heaps, no global sort). ----
     QueryDef("q_text_bm25", Some(
-      """WITH tok AS (
-        |  SELECT doc_id, t.w AS term
-        |  FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        |g AS (SELECT CAST(count(*) AS HUGEINT) AS t_total,
-        |             (SELECT CAST(count(*) AS HUGEINT) FROM documents)
-        |               AS n_docs
-        |      FROM tok),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-        |       WHERE term IN ('join', 'vector', 'scan')
-        |       GROUP BY doc_id, term),
-        |df AS (SELECT term, CAST(count(*) AS HUGEINT) AS df
-        |       FROM tf GROUP BY term),
-        |sc AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    CAST((2*g.n_docs - 2*df.df + 1) * (88 * g.t_total * tf.tf)
-        |      AS DOUBLE)
-        |    / CAST((2*df.df + 1)
-        |        * (40 * g.t_total * tf.tf + 12 * g.t_total
-        |           + 36 * dl.dl * g.n_docs) AS DOUBLE) AS s
-        |  FROM tf JOIN df ON tf.term = df.term
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g),
-        |agg AS (
-        |  SELECT sc.doc_id,
-        |    coalesce(max(CASE WHEN term = 'join' THEN s END), 0.0)
-        |    + coalesce(max(CASE WHEN term = 'vector' THEN s END), 0.0)
-        |    + coalesce(max(CASE WHEN term = 'scan' THEN s END), 0.0)
-        |      AS score
-        |  FROM sc GROUP BY sc.doc_id)
-        |SELECT agg.doc_id, CAST(dl.dl AS BIGINT) AS dl, agg.score
-        |FROM agg JOIN dl ON agg.doc_id = dl.doc_id
-        |WHERE agg.score > 0
-        |ORDER BY agg.score DESC, agg.doc_id LIMIT 20""".stripMargin))(
-      (s, d) => {
-        val terms = Seq("join", "vector", "scan")
-        val tok = Tables(s, d, "documents")
-          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val g = tok.agg(count(lit(1)).cast("decimal(38,0)").as("t_total"))
-          .crossJoin(Tables(s, d, "documents")
-            .agg(count(lit(1)).cast("decimal(38,0)").as("n_docs")))
-        val tf = tok.where(col("term").isin(terms: _*))
-          .groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy(col("term"))
-          .agg(count(lit(1)).cast("decimal(38,0)").as("df"))
-        val sc = tf.join(broadcast(df), "term")
-          .join(dl, "doc_id").crossJoin(broadcast(g))
-          .withColumn("s",
-            ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
-              * (lit(88) * col("t_total") * col("tf"))).cast("double")
-            / ((lit(2) * col("df") + lit(1))
-              * (lit(40) * col("t_total") * col("tf")
-                 + lit(12) * col("t_total")
-                 + lit(36) * col("dl").cast("decimal(38,0)") * col("n_docs")))
-              .cast("double"))
-        val agg = sc.groupBy(col("doc_id"))
-          .agg(terms.map(t =>
-              coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
-            .reduce(_ + _).as("score"))
-        agg.join(dl, "doc_id")
+      s"""WITH $bm25CtesSql
+         |SELECT bmagg.doc_id, CAST(dl.dl AS BIGINT) AS dl, bmagg.score
+         |FROM bmagg JOIN dl ON bmagg.doc_id = dl.doc_id
+         |WHERE bmagg.score > 0
+         |ORDER BY bmagg.score DESC, bmagg.doc_id LIMIT 20""".stripMargin))(
+      (s, d) =>
+        bm25Scores(s, d)
           .where(col("score") > 0)
           .select(col("doc_id"), col("dl").cast("bigint").as("dl"),
             col("score"))
           .orderBy(col("score").desc, col("doc_id").asc)
-          .limit(20)
-      }),
+          .limit(20)),
 
     // ---- BPE ENCODE: train three merges on the corpus and APPLY them
     // — the full train→apply tokenizer round-trip (q_text_bpe_merge

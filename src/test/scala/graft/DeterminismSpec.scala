@@ -27,7 +27,11 @@ class DeterminismSpec extends SparkSpecBase {
     "q_text_bm25",           // fixed-order double addition + top-k cut
     "q_text_bpe_encode",     // per-round top-pair tie-break + replace
     "q_events_rolling_distinct", // double-dedup cover under layouts
-    "q_eval_pq_rbo")         // two rank lists + suffix weights
+    "q_eval_pq_rbo",         // two rank lists + suffix weights
+    "q_eval_rrf",            // two top-k cuts + fixed-order fusion sum
+    "q_sample_importance",   // hashed-bucket weight sums under layouts
+    "q_graph_link_predict",  // wedge aggregation + RA integer sums
+    "q_dedup_bloom_prefilter") // set-bit dedup + probe-join build order
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)

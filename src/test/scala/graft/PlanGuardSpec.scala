@@ -35,7 +35,8 @@ class PlanGuardSpec extends SparkSpecBase {
     val bruteAnn = Seq(
       "q_ann_brute_topk", "q_ann_range_search", "q_ann_hard_negatives",
       "q_eval_pq_recall", "q_eval_pq_ndcg", "q_eval_pq_rbo",
-      "q_eval_ivf_nprobe_recall", "q_multimodal_knn", "q_multimodal_knn_arrow"
+      "q_eval_ivf_nprobe_recall", "q_eval_mrr",
+      "q_multimodal_knn", "q_multimodal_knn_arrow"
     ).map(_ -> "broadcast query batch x corpus into a bounded-state top-k aggregate (exact baseline / recall oracle)")
     (bruteAnn :+ (
       "q_join_cross" -> "intentional tiny-dim cross: region(5) x nation(25), guarded by input size"

@@ -502,4 +502,95 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(bc.nonEmpty,
       s"the 3-row df frame and 1-row totals must broadcast:\n$s")
   }
+
+  test("rrf fusion: both legs end in per-partition top-k heaps, fusion is tiny") {
+    // the two retrieval legs each rank a full corpus — both MUST be
+    // TakeOrderedAndProject (per-partition heaps); the only full sorts
+    // allowed are over the ≤100 fused rows
+    val df = Catalog.byName("q_eval_rrf").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val heaps = collectAll(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(heaps.size >= 2,
+      s"both retrieval legs must rank via TakeOrderedAndProject:\n$plan")
+    val carts = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(carts.isEmpty, s"no cartesian in the fusion:\n$plan")
+  }
+
+  test("importance scoring: weight table broadcasts, top-25 is a heap") {
+    // the 256-row hashed-feature weight table must broadcast onto the
+    // per-(doc,bucket) counts — a shuffled join on the bucket key would
+    // reshuffle the whole exploded corpus at 100 TB
+    val df = Catalog.byName("q_sample_importance").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"top-25 must be per-partition heaps:\n$plan")
+    val shuffledJoins = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffledJoins.isEmpty,
+      s"the weight lookup must be broadcast-hash, not shuffled:\n$plan")
+  }
+
+  test("bloom prefilter: every membership probe is a broadcast-hash join") {
+    // the modeled filter (bit table ×2 + exact hash set) must broadcast
+    // onto the corpus probe stream; the corpus' only exchange is the
+    // final per-doc count groupBy
+    val df = Catalog.byName("q_dedup_bloom_prefilter").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val nonBroadcast = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nonBroadcast.isEmpty,
+      s"probe joins must all be broadcast-hash:\n$plan")
+    val bhj = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3,
+      s"two bit probes + the exact-membership probe must broadcast:\n$plan")
+  }
+
+  test("link prediction: equi-join wedges + one anti-join, no nested loop") {
+    val df = Catalog.byName("q_graph_link_predict").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bad = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty,
+      s"wedge enumeration must stay an equi-join on z:\n$plan")
+    val anti = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(anti.nonEmpty,
+      s"existing edges must leave via one anti-join:\n$plan")
+  }
+
+  test("ccnet buckets + interpolation: all windows are partition-keyed") {
+    // both queries window per lang / per event_type — an unpartitioned
+    // window would funnel the corpus through one task
+    for (name <- Seq("q_text_ccnet_buckets", "q_events_interpolate")) {
+      val df = Catalog.byName(name).fn(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val unpartitioned = collectAll(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name: unpartitioned window over the corpus:\n$plan")
+    }
+  }
 }
