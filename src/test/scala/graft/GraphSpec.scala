@@ -107,4 +107,42 @@ class GraphSpec extends SparkSpecBase {
       assert(d <= geq, s"orientation violated at node $n: out=$d, |geq|=$geq")
     }
   }
+
+  test("link prediction: top-20 matches a brute-force model, no existing edges") {
+    val rows = Catalog.byName("q_graph_link_predict").fn(spark, sfDir)
+      .orderBy(col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // brute-force model on the collected co-purchase edge set
+    val items = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val und = items.alias("a").join(items.alias("b"),
+        org.apache.spark.sql.functions.expr("a.o = b.o AND a.p < b.p"))
+      .groupBy(col("a.p"), col("b.p")).count()
+      .where(col("count") >= 2)
+      .select(col("a.p"), col("b.p")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eSet = und.toSet
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val scores = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    for ((z, nbs) <- adj if nbs.length <= 1000) {
+      val ra = 1000000000L / nbs.length
+      for (i <- nbs.indices; j <- (i + 1) until nbs.length) {
+        val key = (nbs(i), nbs(j))
+        val (cn0, ra0) = scores.getOrElse(key, (0L, 0L))
+        scores(key) = (cn0 + 1, ra0 + ra)
+      }
+    }
+    val expected = scores.toSeq
+      .filterNot { case (k, _) => eSet.contains(k) }
+      .map { case ((n1, n2), (cn, ra)) => (n1, n2, cn, ra) }
+      .sortBy { case (n1, n2, cn, ra) => (-cn, -ra, n1, n2) }
+      .take(rows.length)
+    assert(rows.toSeq == expected,
+      s"query top-${rows.length} diverges from the model")
+    rows.foreach { case (n1, n2, _, _) =>
+      assert(!eSet.contains((n1, n2)), s"existing edge ($n1,$n2) predicted")
+    }
+  }
 }

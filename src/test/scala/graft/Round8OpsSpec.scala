@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral checks for the round-8 operators beyond the oracle
+  * gate's value equality: the Bloom filter's no-false-negative
+  * guarantee, RRF fusion arithmetic, MRR bounds, interpolation
+  * betweenness, and per-language reconciliation of the fertility and
+  * perplexity-bucket reports. */
+class Round8OpsSpec extends SparkSpecBase {
+
+  test("bloom prefilter: no false negatives, tallies reconcile per doc") {
+    val rows = Catalog.byName("q_dedup_bloom_prefilter").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (w, h, t, fp) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(h <= w, s"doc ${r.getLong(0)}: more hits than windows")
+      // the Bloom guarantee: every true member hits the filter
+      assert(t <= h, s"doc ${r.getLong(0)}: false negative (true=$t > hits=$h)")
+      assert(fp == h - t, s"doc ${r.getLong(0)}: fp tally does not reconcile")
+    }
+    // the filter must actually prune at this load: corpus-wide, bloom
+    // hits stay well below the probed window count
+    val (sumW, sumH) = rows.foldLeft((0L, 0L)) { case ((w, h), r) =>
+      (w + r.getLong(1), h + r.getLong(2)) }
+    assert(sumH < sumW / 2,
+      s"filter prunes nothing: $sumH hits of $sumW windows")
+  }
+
+  test("rrf fusion: scores recompute from the ranks, fused order is dense") {
+    val rows = Catalog.byName("q_eval_rrf").fn(spark, sfDir)
+      .orderBy(col("fused_rank")).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = Double.MaxValue
+    for ((r, i) <- rows.zipWithIndex) {
+      val rs = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(rs.nonEmpty || rd.nonEmpty,
+        s"doc ${r.getLong(0)} fused without appearing in either leg")
+      val expected = rs.map(v => 1.0 / (60 + v)).getOrElse(0.0) +
+        rd.map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected,
+        s"doc ${r.getLong(0)}: rrf_score ${r.getDouble(3)} != $expected")
+      assert(r.getLong(4) == i + 1, "fused_rank must be dense 1..n")
+      assert(r.getDouble(3) <= prev, "fused order must be non-increasing")
+      prev = r.getDouble(3)
+    }
+  }
+
+  test("mrr: bounded by n_found/n_queries and scaled sum consistent") {
+    val r = Catalog.byName("q_eval_mrr").fn(spark, sfDir).head()
+    val (nq, nf, scaled, mrr) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nq > 0 && nf <= nq)
+    assert(mrr >= 0.0 && mrr <= 1.0)
+    // each found query contributes at most 1e9 (rank 1)
+    assert(scaled <= nf * 1000000000L)
+    assert(mrr == scaled.toDouble / 1e9 / nq)
+  }
+
+  test("interpolation: exact on filled bins, between its neighbors in gaps") {
+    val rows = Catalog.byName("q_events_interpolate").fn(spark, sfDir)
+      .orderBy(col("event_type"), col("bin_start")).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    for ((_, series) <- byType) {
+      val raw = series.map(r => if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      for (i <- series.indices) {
+        val interp =
+          if (series(i).isNullAt(4)) None else Some(series(i).getDouble(4))
+        raw(i) match {
+          case Some(v) => assert(interp.contains(v),
+            "a bin with data must pass through unchanged")
+          case None =>
+            val pv = raw.slice(0, i).flatten.lastOption
+            val nv = raw.slice(i + 1, series.length).flatten.headOption
+            (pv, nv) match {
+              case (Some(p), Some(n)) =>
+                val (lo, hi) = (math.min(p, n), math.max(p, n))
+                assert(interp.exists(v => v >= lo && v <= hi),
+                  s"interpolated value $interp outside [$lo, $hi]")
+              case _ => assert(interp.isEmpty,
+                "leading/trailing gaps must not extrapolate")
+            }
+        }
+      }
+    }
+  }
+
+  test("fertility: language partition covers the corpus, ratios sane") {
+    val rows = Catalog.byName("q_text_fertility").fn(spark, sfDir).collect()
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    for (r <- rows) {
+      // every whitespace word is at least one subword run
+      assert(r.getDouble(5) >= 1.0, s"${r.getString(0)}: fertility < 1")
+      assert(r.getDouble(6) > 0.0)
+    }
+  }
+
+  test("ccnet buckets: per-language terciles partition and order by score") {
+    val rows = Catalog.byName("q_text_ccnet_buckets").fn(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    for ((lang, bs) <- byLang) {
+      assert(bs.map(_.getString(1)).toSet == Set("head", "middle", "tail"),
+        s"$lang: missing bucket")
+      def b(name: String) = bs.find(_.getString(1) == name).get
+      // score ordering is (desc): head floor >= middle ceiling >= ...
+      assert(b("head").getLong(3) >= b("middle").getLong(4),
+        s"$lang: head/middle overlap")
+      assert(b("middle").getLong(3) >= b("tail").getLong(4),
+        s"$lang: middle/tail overlap")
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = bs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang: unbalanced terciles")
+    }
+  }
+
+  test("importance scoring: top-25 ranked by score with dense ranks") {
+    val rows = Catalog.byName("q_sample_importance").fn(spark, sfDir)
+      .orderBy(col("rnk")).collect()
+    assert(rows.length == 25)
+    var prev = Long.MaxValue
+    for ((r, i) <- rows.zipWithIndex) {
+      assert(r.getLong(3) == i + 1)
+      assert(r.getLong(1) <= prev, "scores must be non-increasing by rank")
+      prev = r.getLong(1)
+    }
+  }
+}
