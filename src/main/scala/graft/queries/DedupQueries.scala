@@ -1057,6 +1057,9 @@ object DedupQueries {
             .select(col("doc_id"), col("n_chars")), "doc_id")
           .select(col("cluster_id"), col("doc_id"), col("n_chars"),
             (col("n_chars") * 8589934592L - col("doc_id")).as("enc"))
+          // persisted: the argmax join-back reads m twice — without it
+          // the UPSTREAM connected-components loop also runs twice
+          .persist()
         val best = m.groupBy(col("cluster_id"))
           .agg(max(col("enc")).as("benc"), count(lit(1)).as("sz"))
         best.join(m, best("cluster_id") === m("cluster_id")

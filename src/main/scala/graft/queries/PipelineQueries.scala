@@ -111,10 +111,13 @@ object PipelineQueries {
         import graft.ops.TextOps.h32
         import org.apache.spark.sql.functions._
         // the battery passes lang/text through, so the quality gate is
-        // the same single scan — no self-join on doc_id
+        // the same single scan — no self-join on doc_id. Persisted:
+        // the exact-dedup self-join (keepers probe + kept side) would
+        // otherwise run the 5-gram battery twice
         val quality = TextQueries.qualityFlags(s, d)
           .where(col("keep"))
           .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+          .persist()
         val keepers = quality
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keeper"))
@@ -217,9 +220,15 @@ object PipelineQueries {
         import graft.ops.TextOps.{h32, tokens}
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
+        // persisted: the stage DAG re-reads each hot frame on several
+        // branches (keepers self-join; tr feeds both the contamination
+        // probe and the anti-join; clean feeds the apportionment AND
+        // the sharded rank/cumsum) — without materialization every
+        // branch re-runs the full 5-gram battery upstream
         val quality = TextQueries.qualityFlags(s, d)
           .where(col("keep"))
           .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+          .persist()
         val keepers = quality
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("keeper"))
@@ -238,12 +247,14 @@ object PipelineQueries {
           .withColumn("shw", array_distinct(
             GraftFunctions.shingleHashes(tokens(col("text")), 5, TextOps.P)))
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("shw"))
+          .persist()
         val hits = tr
           .select(col("doc_id"), explode(col("shw")).as("h"))
           .join(broadcast(evIdx), Seq("h"))
           .select(col("doc_id")).distinct()
         val clean = tr.join(hits, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("n_tokens"))
+          .persist()
         // largest-remainder apportionment over a |langs|-row frame
         val wAll = Window.partitionBy(lit(1))
         val a = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))

@@ -28,6 +28,28 @@ class Round8OpsSpec extends SparkSpecBase {
       s"filter prunes nothing: $sumH hits of $sumW windows")
   }
 
+  test("bloom prefilter agrees with decontamination: exact membership identical") {
+    // both operators hash the SAME per-doc distinct 5-gram windows
+    // against the SAME bucket>=95 eval split — decontaminate's
+    // n_contam and the bloom probe's exact-path n_true must be the
+    // same number for every doc, and the window totals must match
+    val bloom = Catalog.byName("q_dedup_bloom_prefilter").fn(spark, sfDir)
+      .select(col("doc_id"), col("n_windows").as("bw"), col("n_true"))
+    val deco = Catalog.byName("q_dedup_decontaminate").fn(spark, sfDir)
+      .select(col("doc_id"), col("n_windows").as("dw"), col("n_contam"))
+    val j = bloom.join(deco, Seq("doc_id"), "full_outer").collect()
+    assert(j.nonEmpty)
+    for (r <- j) {
+      assert(!r.isNullAt(1) && !r.isNullAt(3),
+        s"doc ${r.getLong(0)} present in only one operator")
+      assert(r.getLong(1) == r.getLong(3),
+        s"doc ${r.getLong(0)}: window counts diverge")
+      assert(r.getLong(2) == r.getLong(4),
+        s"doc ${r.getLong(0)}: exact membership diverges (bloom n_true=" +
+          s"${r.getLong(2)}, decontaminate n_contam=${r.getLong(4)})")
+    }
+  }
+
   test("rrf fusion: scores recompute from the ranks, fused order is dense") {
     val rows = Catalog.byName("q_eval_rrf").fn(spark, sfDir)
       .orderBy(col("fused_rank")).collect()
