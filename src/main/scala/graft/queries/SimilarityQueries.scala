@@ -360,6 +360,93 @@ object SimilarityQueries {
           .where(col("rnk") <= 3)
       }),
 
+    // ---- incremental IVF maintenance (the daily-ingest shape): a
+    // delta batch (vec_id % 10 = 7) arrives AFTER the index was
+    // built, so centroids are trained on the BASE ONLY (the exact
+    // integer-scaled means of [[centroidsOf]]) and each delta vector
+    // routes to its nearest base centroid by exact L2 argmin
+    // (v·v − 2·v·c + c·c, (d2, code) tie-break). The report is what
+    // an index maintainer watches: per-cell base/added/total counts,
+    // how many delta vectors landed in their original cell
+    // (n_stable — routing drift means the centroids need retraining),
+    // and the summed 1e9-scaled assignment distances (order-
+    // independent exact integers). Scale shape: the delta streams
+    // through a BROADCAST of the k centroids (bounded build side —
+    // one global-ish aggregate), the base contributes only its
+    // per-cell count aggregate, and NOTHING re-scans base vectors
+    // per delta row. ----
+    QueryDef("q_ann_ivf_incremental", Some(
+      s"""WITH nb AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 <> 7),
+         |nd AS (
+         |  SELECT vec_id, label AS old_label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id % 10 = 7),
+         |g AS (
+         |  SELECT label, d.d AS dim,
+         |    CAST(sum(CAST(floor(v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+         |    count(*) AS cnt
+         |  FROM nb, range(0, $dim) d(d) GROUP BY label, d.d),
+         |cent AS (
+         |  SELECT label AS code,
+         |    list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS centroid
+         |  FROM g GROUP BY label),
+         |dist AS (
+         |  SELECT nd.vec_id, nd.old_label, cent.code,
+         |    ${dotDSql("nd.v", "nd.v")} - 2.0 * ${dotDSql("nd.v", "cent.centroid")}
+         |      + ${dotDSql("cent.centroid", "cent.centroid")} AS d2
+         |  FROM nd, cent),
+         |route AS (
+         |  SELECT vec_id, old_label, code, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1),
+         |b AS (SELECT label AS cell, count(*) AS n_base FROM nb GROUP BY label),
+         |a AS (
+         |  SELECT code AS cell, count(*) AS n_added,
+         |    CAST(sum(CASE WHEN old_label = code THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_stable,
+         |    CAST(sum(CAST(floor(d2 * 1000000000.0) AS BIGINT)) AS BIGINT)
+         |      AS sum_d2_scaled
+         |  FROM route GROUP BY code)
+         |SELECT b.cell, CAST(b.n_base AS BIGINT) AS n_base,
+         |  coalesce(a.n_added, 0) AS n_added,
+         |  coalesce(a.n_stable, 0) AS n_stable,
+         |  coalesce(a.sum_d2_scaled, 0) AS sum_d2_scaled,
+         |  CAST(b.n_base + coalesce(a.n_added, 0) AS BIGINT) AS n_total
+         |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin))(
+      (s, d) => {
+        val all = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("v"))
+        val nb = all.where(pmod(col("vec_id"), lit(10L)) =!= 7)
+        val nd = all.where(pmod(col("vec_id"), lit(10L)) === 7)
+          .select(col("vec_id"), col("label").as("old_label"), col("v"))
+        val cent = centroidsOf(nb.select(col("label"), col("v")), "label")
+        val routeW = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("code").asc)
+        val route = nd.crossJoin(broadcast(cent))
+          .withColumn("d2", GraftFunctions.dot(col("v"), col("v"))
+            - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+            + GraftFunctions.dot(col("centroid"), col("centroid")))
+          .withColumn("rn", row_number().over(routeW))
+          .where(col("rn") === 1)
+        val b = nb.groupBy(col("label").as("cell"))
+          .agg(count(lit(1)).as("n_base"))
+        val a = route.groupBy(col("code"))
+          .agg(count(lit(1)).as("n_added"),
+            sum(when(col("old_label") === col("code"), 1L).otherwise(0L))
+              .as("n_stable"),
+            sum(floor(col("d2") * lit(1e9)).cast("bigint"))
+              .as("sum_d2_scaled"))
+          .withColumnRenamed("code", "cell")
+        b.join(a, Seq("cell"), "left_outer")
+          .select(col("cell"), col("n_base"),
+            coalesce(col("n_added"), lit(0L)).as("n_added"),
+            coalesce(col("n_stable"), lit(0L)).as("n_stable"),
+            coalesce(col("sum_d2_scaled"), lit(0L)).as("sum_d2_scaled"),
+            (col("n_base") + coalesce(col("n_added"), lit(0L))).as("n_total"))
+      }),
+
     // ---- LSH: hyperplane sign signatures, banded buckets ----
     QueryDef("q_ann_lsh_hyperplane", Some {
       val signBitsSql = (0 until numPlanes).map { p =>

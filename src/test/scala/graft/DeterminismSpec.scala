@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkSpecBase {
     "q_eval_rrf",            // two top-k cuts + fixed-order fusion sum
     "q_sample_importance",   // hashed-bucket weight sums under layouts
     "q_graph_link_predict",  // wedge aggregation + RA integer sums
-    "q_dedup_bloom_prefilter") // set-bit dedup + probe-join build order
+    "q_dedup_bloom_prefilter", // set-bit dedup + probe-join build order
+    "q_ann_ivf_incremental") // integer-scaled centroid sums + argmin route
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)

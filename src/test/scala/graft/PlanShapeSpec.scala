@@ -578,6 +578,24 @@ class PlanShapeSpec extends SparkSpecBase {
       s"existing edges must leave via one anti-join:\n$plan")
   }
 
+  test("incremental IVF: delta routes through broadcast centroids only") {
+    // the daily-ingest contract: the delta batch crosses ONLY the
+    // k-row centroid table (bounded aggregate build side) — any
+    // shuffled join against base vectors means the index rebuild
+    // cost returned
+    val df = Catalog.byName("q_ann_ivf_incremental").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val carts = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(carts.isEmpty, s"no cartesian in the routing:\n$plan")
+    val nl = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nl.nonEmpty, s"centroid routing must broadcast the centroids:\n$plan")
+  }
+
   test("ccnet buckets + interpolation: all windows are partition-keyed") {
     // both queries window per lang / per event_type — an unpartitioned
     // window would funnel the corpus through one task
