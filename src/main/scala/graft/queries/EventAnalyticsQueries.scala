@@ -1216,6 +1216,55 @@ object EventAnalyticsQueries {
             END AS BIGINT)""").as("wow_e6"))
       }),
 
+    // ---- seasonal-naive forecast backtest: the forecast for
+    // day d is the actual of day d−7 (the baseline every forecasting
+    // system must beat), scored per event type over all days where
+    // both sides exist. The error aggregate is sum|actual − forecast|
+    // in exact integer cents plus the worst single day, and MAE is
+    // ONE double division at the end — so the backtest itself is
+    // bit-oracled. Same day−7 equi-join shape as q_events_wow (never
+    // a window over the raw events); the per-(type, day) totals frame
+    // is |types|·|days|, bounded. ----
+    QueryDef("q_events_seasonal_naive", Some(
+      s"""WITH dy AS (
+         |  SELECT event_type, CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
+         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events
+         |  GROUP BY event_type, CAST(epoch_us(ts) // $usPerDay AS BIGINT)),
+         |j AS (
+         |  SELECT a.event_type, a.day, a.cents, b.cents AS fc
+         |  FROM dy a JOIN dy b
+         |    ON b.event_type = a.event_type AND b.day = a.day - 7)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(abs(cents - fc)) AS BIGINT) AS sae_cents,
+         |  CAST(max(abs(cents - fc)) AS BIGINT) AS worst_cents,
+         |  CAST(sum(abs(cents - fc)) AS DOUBLE) / count(*) / 100.0 AS mae
+         |FROM j GROUP BY event_type""".stripMargin))(
+      (s, d) => {
+        val dy = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay)
+              .cast("bigint").as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        // shift the forecast side so the join is a plain TWO-key
+        // equi-join on (event_type, day) — keyed on event_type alone
+        // the |days|² filter would run per type
+        val prev = dy.select(col("event_type"), (col("day") + 7).as("day"),
+          col("cents").as("fc"))
+        val err = abs(col("cents") - col("fc"))
+        dy.join(prev, Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(err).cast("bigint").as("sae_cents"),
+            max(err).cast("bigint").as("worst_cents"))
+          .select(col("event_type"), col("n_days"), col("sae_cents"),
+            col("worst_cents"),
+            (col("sae_cents").cast("double") / col("n_days") / lit(100.0))
+              .as("mae"))
+      }),
+
     // ---- time-decayed value per event type with a one-week half-life
     // — the recency-weighted engagement score. Decay weights are EXACT
     // dyadic rationals, not exp(): age in half-lives k = (max_day −

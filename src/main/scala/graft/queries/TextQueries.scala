@@ -1153,6 +1153,92 @@ object TextQueries {
             (col("sum_p_scaled").cast("double") / col("n_bigrams")
               / lit(1000000000.0)).as("avg_prob"))),
 
+    // ---- weak-supervision label-model diagnostics (Snorkel-style):
+    // three deterministic labeling functions vote keep(1)/drop(0)/
+    // abstain(NULL) on each doc — length, symbol ratio, stopword
+    // presence, each with an abstention band around its threshold —
+    // and the output is the canonical LF health report: per-LF
+    // coverage, pairwise overlap and conflict counts, plus the
+    // majority-vote label distribution (ties and all-abstain docs
+    // stay 'abstain'). Every vote is an exact integer comparison
+    // (ratios cross-multiplied), so coverage/overlap/conflict and the
+    // final labels are bit-identical across engines. Scale: one
+    // pruned scan, all votes row-local, ONE global conditional
+    // aggregate — no shuffle beyond the final 1-row reduce. ----
+    QueryDef("q_label_model_stats", Some(
+      s"""WITH $qualityCteSql,
+         |votes AS (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tokens < 40 THEN 0
+         |         WHEN n_tokens >= 60 THEN 1 END AS v_len,
+         |    CASE WHEN 10 * n_sym > n_chars THEN 0
+         |         WHEN 20 * n_sym < n_chars THEN 1 END AS v_sym,
+         |    CASE WHEN n_stop_distinct >= 3 THEN 1
+         |         WHEN n_stop_distinct = 0 THEN 0 END AS v_stop
+         |  FROM qfeat),
+         |lab AS (
+         |  SELECT *,
+         |    (CASE WHEN v_len = 1 THEN 1 ELSE 0 END
+         |     + CASE WHEN v_sym = 1 THEN 1 ELSE 0 END
+         |     + CASE WHEN v_stop = 1 THEN 1 ELSE 0 END) AS keeps,
+         |    (CASE WHEN v_len = 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN v_sym = 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN v_stop = 0 THEN 1 ELSE 0 END) AS drops
+         |  FROM votes)
+         |SELECT count(*) AS n_docs,
+         |  CAST(count(v_len) AS BIGINT) AS cov_len,
+         |  CAST(count(v_sym) AS BIGINT) AS cov_sym,
+         |  CAST(count(v_stop) AS BIGINT) AS cov_stop,
+         |  CAST(sum(CASE WHEN v_len IS NOT NULL AND v_sym IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS ovl_len_sym,
+         |  CAST(sum(CASE WHEN v_len IS NOT NULL AND v_stop IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS ovl_len_stop,
+         |  CAST(sum(CASE WHEN v_sym IS NOT NULL AND v_stop IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS ovl_sym_stop,
+         |  CAST(sum(CASE WHEN v_len <> v_sym THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS con_len_sym,
+         |  CAST(sum(CASE WHEN v_len <> v_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS con_len_stop,
+         |  CAST(sum(CASE WHEN v_sym <> v_stop THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS con_sym_stop,
+         |  CAST(sum(CASE WHEN keeps > drops THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(sum(CASE WHEN drops > keeps THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_drop,
+         |  CAST(sum(CASE WHEN keeps = drops THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_abstain
+         |FROM lab""".stripMargin))(
+      (s, d) => {
+        val votes = qualityFlags(s, d).select(col("doc_id"),
+          when(col("n_tokens") < 40, 0)
+            .when(col("n_tokens") >= 60, 1).as("v_len"),
+          when(lit(10) * col("n_sym") > col("n_chars"), 0)
+            .when(lit(20) * col("n_sym") < col("n_chars"), 1).as("v_sym"),
+          when(col("n_stop_distinct") >= 3, 1)
+            .when(col("n_stop_distinct") === 0, 0).as("v_stop"))
+        def k(c: String) = when(col(c) === 1, 1).otherwise(0)
+        def dr(c: String) = when(col(c) === 0, 1).otherwise(0)
+        val lab = votes.select(col("*"),
+          (k("v_len") + k("v_sym") + k("v_stop")).as("keeps"),
+          (dr("v_len") + dr("v_sym") + dr("v_stop")).as("drops"))
+        def nn(c: String) = col(c).isNotNull
+        def cnt(cond: org.apache.spark.sql.Column) =
+          sum(when(cond, 1).otherwise(0))
+        lab.agg(count(lit(1)).as("n_docs"),
+          count(col("v_len")).as("cov_len"),
+          count(col("v_sym")).as("cov_sym"),
+          count(col("v_stop")).as("cov_stop"),
+          cnt(nn("v_len") && nn("v_sym")).as("ovl_len_sym"),
+          cnt(nn("v_len") && nn("v_stop")).as("ovl_len_stop"),
+          cnt(nn("v_sym") && nn("v_stop")).as("ovl_sym_stop"),
+          cnt(col("v_len") =!= col("v_sym")).as("con_len_sym"),
+          cnt(col("v_len") =!= col("v_stop")).as("con_len_stop"),
+          cnt(col("v_sym") =!= col("v_stop")).as("con_sym_stop"),
+          cnt(col("keeps") > col("drops")).as("n_keep"),
+          cnt(col("drops") > col("keeps")).as("n_drop"),
+          cnt(col("keeps") === col("drops")).as("n_abstain"))
+      }),
+
     // ---- CCNet-style perplexity bucketing: score every doc with the
     // corpus-trained bigram LM (shared [[bigramLmCtesSql]] leg), then
     // split EACH LANGUAGE into head/middle/tail terciles by model
