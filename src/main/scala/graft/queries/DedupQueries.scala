@@ -440,6 +440,8 @@ object DedupQueries {
          |    SELECT h % $m AS b FROM evh
          |    UNION ALL
          |    SELECT (($a * h + $b) % ${TextOps.P}) % $m AS b FROM evh)),
+         |tr0 AS (SELECT doc_id, len(sh) AS n_windows
+         |        FROM sh WHERE bucket < 95),
          |tr AS (SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket < 95),
          |probe AS (
          |  SELECT tr.doc_id,
@@ -447,15 +449,21 @@ object DedupQueries {
          |      AND ((($a * tr.h + $b) % ${TextOps.P}) % $m)
          |            IN (SELECT b FROM bits) AS bloom_hit,
          |    tr.h IN (SELECT h FROM evh) AS is_member
-         |  FROM tr)
-         |SELECT doc_id, count(*) AS n_windows,
-         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_bloom_hits,
-         |  CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_true,
-         |  CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_false_pos
-         |FROM probe GROUP BY doc_id""".stripMargin
+         |  FROM tr),
+         |pagg AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_bloom_hits,
+         |    CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true,
+         |    CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_false_pos
+         |  FROM probe GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_windows AS BIGINT) AS n_windows,
+         |  coalesce(pagg.n_bloom_hits, 0) AS n_bloom_hits,
+         |  coalesce(pagg.n_true, 0) AS n_true,
+         |  coalesce(pagg.n_false_pos, 0) AS n_false_pos
+         |FROM tr0 t LEFT JOIN pagg ON pagg.doc_id = t.doc_id""".stripMargin
     })(
       (s, d) => {
         val m = lit(bloomBits)
@@ -472,6 +480,8 @@ object DedupQueries {
         val bits = evh.select(pmod(col("h"), m).as("b"))
           .unionAll(evh.select(pmod(pmod(a * col("h") + b, lit(TextOps.P)), m).as("b")))
           .distinct()
+        val tr0 = sh.where(col("bucket") < 95)
+          .select(col("doc_id"), size(col("sh")).cast("bigint").as("n_windows"))
         val pr = sh.where(col("bucket") < 95)
           .select(col("doc_id"), explode(col("sh")).as("h"))
           .select(col("doc_id"), col("h"),
@@ -487,12 +497,19 @@ object DedupQueries {
           .select(col("doc_id"),
             (col("m1").isNotNull && col("m2").isNotNull).as("bloom_hit"),
             col("mh").isNotNull.as("is_member"))
-        hit.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_windows"),
-            sum(when(col("bloom_hit"), 1).otherwise(0)).as("n_bloom_hits"),
+        val pagg = hit.groupBy(col("doc_id"))
+          .agg(sum(when(col("bloom_hit"), 1).otherwise(0)).as("n_bloom_hits"),
             sum(when(col("is_member"), 1).otherwise(0)).as("n_true"),
             sum(when(col("bloom_hit") && !col("is_member"), 1).otherwise(0))
               .as("n_false_pos"))
+        // left join from the DOC list so a doc with no 5-gram windows
+        // (under 5 tokens) still reports a zeros row — same roster as
+        // q_dedup_decontaminate, which the consistency spec pins
+        tr0.join(pagg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_bloom_hits"), lit(0L)).as("n_bloom_hits"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_false_pos"), lit(0L)).as("n_false_pos"))
       }),
 
     // ---- MinHash + LSH banding, exact-Jaccard verified ----

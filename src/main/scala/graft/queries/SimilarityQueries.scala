@@ -418,6 +418,9 @@ object SimilarityQueries {
         val all = Tables(s, d, "embeddings")
           .select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("v"))
+          // persisted: nb feeds the centroid training AND the per-cell
+          // count, nd the routing — three scans of the table otherwise
+          .persist()
         val nb = all.where(pmod(col("vec_id"), lit(10L)) =!= 7)
         val nd = all.where(pmod(col("vec_id"), lit(10L)) === 7)
           .select(col("vec_id"), col("label").as("old_label"), col("v"))

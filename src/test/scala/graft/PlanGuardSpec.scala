@@ -43,14 +43,27 @@ class PlanGuardSpec extends SparkSpecBase {
     )).toMap
   }
 
-  private def descend(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-    case q: QueryStageExec => Seq(q.plan)
-    case other => other.children
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // each cached frame's fill plan is swept ONCE even when scanned at
+    // several sites (dedupe keeps bounded()'s existence checks honest
+    // and avoids multi-counting)
+    val seenCaches = collection.mutable.Set.empty[SparkPlan]
+    def go(p: SparkPlan): Seq[T] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        // a persist() boundary would otherwise hide the whole cached
+        // subtree (and any join in it) behind an InMemoryTableScan
+        // leaf — sweep THROUGH the cache into the plan that fills it
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          val cp = i.relation.cachedPlan
+          if (seenCaches.add(cp)) Seq(cp) else Nil
+        case other => other.children
+      }
+      pf.lift(p).toSeq ++ kids.flatMap(go)
+    }
+    go(p)
   }
-
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] =
-    pf.lift(p).toSeq ++ descend(p).flatMap(collectAll(_)(pf))
 
   /** A build side is bounded when something in its subtree caps its
     * cardinality independent of the corpus size: a global (or single-

@@ -130,12 +130,24 @@ class PlanShapeSpec extends SparkSpecBase {
   private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
       pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: QueryStageExec => Seq(q.plan)
-      case other => other.children
+    // one cached frame may be SCANNED at several sites — sweep its
+    // fill plan once, or join-count pins would multi-count its nodes
+    val seenCaches =
+      collection.mutable.Set.empty[org.apache.spark.sql.execution.SparkPlan]
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[T] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        // descend through persist() boundaries too — a cached subtree
+        // must not exempt its joins/windows from the pinned claims
+        case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          val cp = i.relation.cachedPlan
+          if (seenCaches.add(cp)) Seq(cp) else Nil
+        case other => other.children
+      }
+      pf.lift(p).toSeq ++ kids.flatMap(go)
     }
-    pf.lift(p).toSeq ++ kids.flatMap(collectAll(_)(pf))
+    go(p)
   }
 
   test("sequence packing: no global single-partition window over the corpus") {

@@ -139,6 +139,36 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("label model: votes partition the corpus, overlap/conflict bounded") {
+    val r = Catalog.byName("q_label_model_stats").fn(spark, sfDir).head()
+    val n = r.getLong(0)
+    val (covLen, covSym, covStop) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val (oLS, oLT, oST) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    val (cLS, cLT, cST) = (r.getLong(7), r.getLong(8), r.getLong(9))
+    val (nKeep, nDrop, nAbstain) = (r.getLong(10), r.getLong(11), r.getLong(12))
+    assert(nKeep + nDrop + nAbstain == n,
+      "majority labels must partition the corpus")
+    assert(covLen <= n && covSym <= n && covStop <= n)
+    assert(oLS <= math.min(covLen, covSym), "overlap exceeds a coverage")
+    assert(oLT <= math.min(covLen, covStop))
+    assert(oST <= math.min(covSym, covStop))
+    assert(cLS <= oLS && cLT <= oLT && cST <= oST,
+      "conflicts only exist where LFs overlap")
+  }
+
+  test("seasonal naive: errors reconcile, mae is the single division") {
+    val rows = Catalog.byName("q_events_seasonal_naive").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, sae, worst, mae) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(n > 0 && worst <= sae, s"${r.getString(0)}: worst > total")
+      assert(mae == sae.toDouble / n / 100.0,
+        s"${r.getString(0)}: mae does not reconcile")
+    }
+  }
+
   test("importance scoring: top-25 ranked by score with dense ranks") {
     val rows = Catalog.byName("q_sample_importance").fn(spark, sfDir)
       .orderBy(col("rnk")).collect()
