@@ -116,6 +116,69 @@ object MultimodalQueries {
               col("ts_ms").cast("string"))).as("frame_key")))
   ,
 
+    // ---- RESIZE (the remaining stage of the decode / feature /
+    // resize / frame-sample quartet): 2×2 average pooling of an 8×8
+    // pixel grid down to 4×4 — the downsample every image-ingest
+    // pipeline runs before featurization. The "pixels" are a
+    // deterministic stand-in (payload byte k mod length at grid slot
+    // k — the codec is stubbed in this container), but the pooling
+    // arithmetic is the real thing: 4-neighbor integer mean with
+    // exact DIV 4, an order-weighted integer checksum of the pooled
+    // grid, and min/max pooled intensity. Entirely row-local
+    // higher-order array functions — no UDF, no shuffle; at 100 TB
+    // this stage runs at scan bandwidth next to the decode. ----
+    QueryDef("q_multimodal_resize", Some(
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+        |    text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT media_id, n_bytes,
+        |    list_transform(range(0, 64),
+        |      k -> ascii(substr(text, CAST(k % length(text) AS INT) + 1, 1)))
+        |      AS px
+        |  FROM img),
+        |p AS (
+        |  SELECT media_id, n_bytes,
+        |    list_transform(range(0, 16), j ->
+        |      (px[(j // 4) * 16 + (j % 4) * 2 + 1]
+        |       + px[(j // 4) * 16 + (j % 4) * 2 + 2]
+        |       + px[(j // 4) * 16 + (j % 4) * 2 + 9]
+        |       + px[(j // 4) * 16 + (j % 4) * 2 + 10]) // 4) AS pooled
+        |  FROM g)
+        |SELECT media_id, n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(0, 16), j -> (j + 1) * pooled[j + 1])),
+        |    (a, b) -> a + b) AS BIGINT) AS pooled_checksum,
+        |  CAST(list_min(pooled) AS BIGINT) AS pooled_min,
+        |  CAST(list_max(pooled) AS BIGINT) AS pooled_max
+        |FROM p""".stripMargin))(
+      (s, d) => {
+        val img = Tables(s, d, "documents")
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id").as("media_id"),
+            octet_length(encode(col("text"), "UTF-8")).cast("bigint")
+              .as("n_bytes"),
+            col("text"))
+        // element_at is 1-based like DuckDB's list[i]; pool cell j
+        // covers grid rows 2·(j div 4), cols 2·(j mod 4)
+        img
+          .withColumn("px", expr("transform(sequence(0, 63)," +
+            " k -> ascii(substr(text, CAST(k % length(text) AS INT) + 1, 1)))"))
+          .withColumn("pooled", expr("""transform(sequence(0, 15), j ->
+            (element_at(px, CAST((j DIV 4) * 16 + (j % 4) * 2 + 1 AS INT))
+             + element_at(px, CAST((j DIV 4) * 16 + (j % 4) * 2 + 2 AS INT))
+             + element_at(px, CAST((j DIV 4) * 16 + (j % 4) * 2 + 9 AS INT))
+             + element_at(px, CAST((j DIV 4) * 16 + (j % 4) * 2 + 10 AS INT)))
+            DIV 4)"""))
+          .select(col("media_id"), col("n_bytes"),
+            expr("CAST(aggregate(sequence(0, 15), 0L," +
+              " (a, j) -> a + (j + 1) * element_at(pooled, j + 1)) AS BIGINT)")
+              .as("pooled_checksum"),
+            expr("CAST(array_min(pooled) AS BIGINT)").as("pooled_min"),
+            expr("CAST(array_max(pooled) AS BIGINT)").as("pooled_max"))
+      }),
+
     // ---- decode → ANN: top-3 cosine neighbors over the DECODED
     // feature vectors — the full multimodal-to-similarity pipeline in
     // one oracled query. The stub featurizer derives 8 float32 values
