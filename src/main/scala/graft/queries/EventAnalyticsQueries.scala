@@ -1265,6 +1265,70 @@ object EventAnalyticsQueries {
               .as("mae"))
       }),
 
+    // ---- regression metrics over the seasonal-naive backtest: MAE,
+    // RMSE, signed bias and R² per event type — the eval quartet a
+    // forecasting (or any regression-label) pipeline reports, absent
+    // from the model-eval suite until now. All moments are EXACT
+    // integers (DECIMAL(38,0)/HUGEINT — SSE at web-scale day counts
+    // would wrap int64), R² uses the n·Σa²−(Σa)² identity so no mean
+    // is ever materialized, and the only doubles are the four final
+    // expressions (sqrt is IEEE-exact). Same (type, day−7) two-key
+    // equi-join as q_events_seasonal_naive. ----
+    QueryDef("q_eval_forecast_metrics", Some(
+      s"""WITH dy AS (
+         |  SELECT event_type, CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
+         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events
+         |  GROUP BY event_type, CAST(epoch_us(ts) // $usPerDay AS BIGINT)),
+         |j AS (
+         |  SELECT a.event_type, a.cents AS av, b.cents AS fc
+         |  FROM dy a JOIN dy b
+         |    ON b.event_type = a.event_type AND b.day = a.day - 7),
+         |m AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(av) AS HUGEINT) AS sa,
+         |    sum(CAST(av AS HUGEINT) * av) AS saa,
+         |    CAST(sum(av - fc) AS HUGEINT) AS se,
+         |    CAST(sum(abs(av - fc)) AS HUGEINT) AS sae,
+         |    sum(CAST(av - fc AS HUGEINT) * (av - fc)) AS sse
+         |  FROM j GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+         |  CAST(sae AS DOUBLE) / n / 100.0 AS mae,
+         |  sqrt(CAST(sse AS DOUBLE) / n) / 100.0 AS rmse,
+         |  CAST(se AS DOUBLE) / n / 100.0 AS bias,
+         |  1.0 - CAST(n * sse AS DOUBLE) / CAST(n * saa - sa * sa AS DOUBLE)
+         |    AS r2
+         |FROM m""".stripMargin))(
+      (s, d) => {
+        val dy = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")).cast("bigint") / usPerDay)
+              .cast("bigint").as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+        val prev = dy.select(col("event_type"), (col("day") + 7).as("day"),
+          col("cents").as("fc"))
+        val errD = (col("av") - col("fc")).cast("decimal(38,0)")
+        val m = dy.withColumnRenamed("cents", "av")
+          .join(prev, Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("av").cast("decimal(38,0)")).as("sa"),
+            sum(col("av").cast("decimal(38,0)") * col("av")).as("saa"),
+            sum(errD).as("se"),
+            sum(abs(col("av") - col("fc")).cast("decimal(38,0)")).as("sae"),
+            sum(errD * (col("av") - col("fc"))).as("sse"))
+        val nD = col("n").cast("decimal(38,0)")
+        m.select(col("event_type"), col("n").cast("bigint").as("n_days"),
+          (col("sae").cast("double") / col("n") / lit(100.0)).as("mae"),
+          (sqrt(col("sse").cast("double") / col("n")) / lit(100.0)).as("rmse"),
+          (col("se").cast("double") / col("n") / lit(100.0)).as("bias"),
+          (lit(1.0) - (nD * col("sse")).cast("double")
+            / (nD * col("saa") - col("sa") * col("sa")).cast("double"))
+            .as("r2"))
+      }),
+
     // ---- time-decayed value per event type with a one-week half-life
     // — the recency-weighted engagement score. Decay weights are EXACT
     // dyadic rationals, not exp(): age in half-lives k = (max_day −

@@ -169,6 +169,20 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("forecast metrics: rmse dominates mae, r2 bounded above by one") {
+    val rows = Catalog.byName("q_eval_forecast_metrics").fn(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, mae, rmse, r2) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      assert(n > 0 && mae >= 0.0)
+      // quadratic mean >= arithmetic mean of |errors|, always
+      assert(rmse >= mae - 1e-12, s"${r.getString(0)}: rmse $rmse < mae $mae")
+      assert(r2 <= 1.0, s"${r.getString(0)}: r2 above 1")
+    }
+  }
+
   test("importance scoring: top-25 ranked by score with dense ranks") {
     val rows = Catalog.byName("q_sample_importance").fn(spark, sfDir)
       .orderBy(col("rnk")).collect()
