@@ -232,6 +232,77 @@ object GraphQueries {
             col("rnk"))
       }),
 
+    // ---- edge embeddedness over the co-purchase graph (shared
+    // [[coPurchaseUndCte]]): for every EXISTING edge, its triangle
+    // support (common-neighbor count) and neighborhood-Jaccard
+    // strength cn/(deg(a)+deg(b)−2−cn) as an exact 1e6-scaled
+    // integer — the tie-strength signal a graph-data curator uses to
+    // separate structural edges from noise before sampling. Same
+    // wedge enumeration as q_graph_link_predict (deg ≤ 1000 hub cap)
+    // but SEMI-joined onto the edge list instead of anti-joined;
+    // edges whose endpoints share no neighbor carry support 0 via the
+    // left join. Top-20 by (support, jaccard, pair) is a heap. ----
+    QueryDef("q_graph_edge_support", Some(
+      s"""WITH $coPurchaseUndCte,
+         |adj AS (SELECT p1 AS z, p2 AS nb FROM und
+         |        UNION ALL SELECT p2 AS z, p1 AS nb FROM und),
+         |deg AS (SELECT z, count(*) AS dg FROM adj GROUP BY z),
+         |wedge AS (
+         |  SELECT a.nb AS n1, b.nb AS n2
+         |  FROM adj a JOIN adj b ON a.z = b.z AND a.nb < b.nb
+         |  JOIN deg ON deg.z = a.z AND deg.dg <= 1000),
+         |sup AS (
+         |  SELECT n1, n2, count(*) AS cn FROM wedge GROUP BY n1, n2),
+         |e AS (
+         |  SELECT u.p1, u.p2, coalesce(s.cn, 0) AS cn,
+         |    d1.dg AS deg1, d2.dg AS deg2
+         |  FROM und u
+         |  LEFT JOIN sup s ON s.n1 = u.p1 AND s.n2 = u.p2
+         |  JOIN deg d1 ON d1.z = u.p1
+         |  JOIN deg d2 ON d2.z = u.p2)
+         |SELECT p1, p2, CAST(cn AS BIGINT) AS support,
+         |  CAST(CASE WHEN deg1 + deg2 - 2 - cn = 0 THEN 0
+         |    ELSE (1000000 * cn) // (deg1 + deg2 - 2 - cn) END AS BIGINT)
+         |    AS jaccard_e6,
+         |  CAST(row_number() OVER (ORDER BY cn DESC,
+         |    (1000000 * cn) // greatest(deg1 + deg2 - 2 - cn, 1) DESC,
+         |    p1, p2) AS BIGINT) AS rnk
+         |FROM e
+         |ORDER BY support DESC, jaccard_e6 DESC, p1, p2 LIMIT 20""".stripMargin))(
+      (s, d) => {
+        val und = coPurchaseUnd(s, d)
+          .localCheckpoint(true) // adjacency ×2 + the edge roster
+        val adj = und.select(col("p1").as("z"), col("p2").as("nb"))
+          .unionAll(und.select(col("p2").as("z"), col("p1").as("nb")))
+        val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("dg"))
+        val wedge = adj.alias("a").join(adj.alias("b"),
+            expr("a.z = b.z AND a.nb < b.nb"))
+          .select(col("a.nb").as("n1"), col("b.nb").as("n2"), col("a.z").as("z"))
+          .join(deg.where(col("dg") <= 1000), "z")
+        val sup = wedge.groupBy(col("n1"), col("n2"))
+          .agg(count(lit(1)).as("cn"))
+        val e = und
+          .join(sup, und("p1") === sup("n1") && und("p2") === sup("n2"), "left")
+          .join(deg.select(col("z").as("p1"), col("dg").as("deg1")), "p1")
+          .join(deg.select(col("z").as("p2"), col("dg").as("deg2")), "p2")
+          .select(col("p1"), col("p2"),
+            coalesce(col("cn"), lit(0L)).as("cn"),
+            col("deg1"), col("deg2"))
+        val denom = col("deg1") + col("deg2") - 2 - col("cn")
+        val scored = e.select(col("p1"), col("p2"),
+          col("cn").cast("bigint").as("support"),
+          when(denom === 0, 0L)
+            .otherwise(expr("(1000000 * cn) DIV (deg1 + deg2 - 2 - cn)"))
+            .cast("bigint").as("jaccard_e6"))
+          .orderBy(col("support").desc, col("jaccard_e6").desc,
+            col("p1").asc, col("p2").asc)
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("support").desc, col("jaccard_e6").desc,
+            col("p1").asc, col("p2").asc)
+        scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      }),
+
     // ---- degree assortativity of the symmetrized part↔supplier
     // graph: the Pearson correlation between deg(src) and deg(dst)
     // over directed edges — the one-number structural summary that

@@ -379,6 +379,54 @@ object MigrationQueries {
     // global sort: parallelism scales with the key range. Batches
     // are contiguous and disjoint by construction; the oracle pins
     // sizes and cursor bounds exactly. ----
+    // ---- dead-letter-queue routing (the remediation half of the
+    // constraint suite): every fact row is routed 'main' or 'dlq'
+    // with ONE reason code picked by PRECEDENCE — referential orphan
+    // first, then the policy gates (discount cap, quantity cap,
+    // price cap) — exactly the quarantine split a production loader
+    // writes next to its main sink so bad rows never block the batch
+    // and every reject is replayable. The report carries per-reason
+    // row/order counts plus min/max order keys (the replay cursor).
+    // Scale: one equi-join against orders (broadcast or key-
+    // partitioned) and one hash aggregate; the CASE precedence is a
+    // codegen'd projection. Comparisons are on the fixture's exact
+    // 2-decimal doubles, so routing is bit-identical cross-engine. ----
+    QueryDef("q_migrate_dlq_routing", Some(
+      """WITH r AS (
+        |  SELECT l.l_orderkey,
+        |    CASE
+        |      WHEN o.o_orderkey IS NULL THEN 'orphan_order'
+        |      WHEN l.l_discount > 0.08 THEN 'discount_above_8pct'
+        |      WHEN l.l_quantity > 45 THEN 'qty_above_45'
+        |      WHEN l.l_extendedprice > 80000 THEN 'price_above_80k'
+        |      ELSE 'pass' END AS reason
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT CASE WHEN reason = 'pass' THEN 'main' ELSE 'dlq' END AS route,
+        |  reason, count(*) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey
+        |FROM r GROUP BY 1, 2""".stripMargin))(
+      (s, d) => {
+        val l = Tables(s, d, "lineitem")
+        val o = Tables(s, d, "orders").select(col("o_orderkey"))
+        val reason =
+          when(col("o_orderkey").isNull, "orphan_order")
+            .when(col("l_discount") > 0.08, "discount_above_8pct")
+            .when(col("l_quantity") > 45, "qty_above_45")
+            .when(col("l_extendedprice") > 80000, "price_above_80k")
+            .otherwise("pass")
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left")
+          .select(col("l_orderkey"), reason.as("reason"))
+          .groupBy(
+            when(col("reason") === "pass", "main").otherwise("dlq")
+              .as("route"),
+            col("reason"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            min(col("l_orderkey")).as("min_orderkey"),
+            max(col("l_orderkey")).as("max_orderkey"))
+      }),
+
     QueryDef("q_migrate_export_batches", Some(exportBatchesSql))(
       (s, d) =>
         exportBatches(

@@ -183,6 +183,37 @@ class Round8OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("dlq routing: partition of the fact table, routes match reasons") {
+    val rows = Catalog.byName("q_migrate_dlq_routing").fn(spark, sfDir)
+      .collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables(spark, sfDir, "lineitem").count(),
+      "every fact row must route exactly once")
+    for (r <- rows) {
+      val (route, reason) = (r.getString(0), r.getString(1))
+      assert(if (reason == "pass") route == "main" else route == "dlq",
+        s"route/reason mismatch: $route/$reason")
+      assert(r.getLong(3) <= r.getLong(2), "more orders than rows")
+    }
+    assert(rows.exists(_.getString(0) == "dlq"),
+      "policy gates should quarantine something on this fixture")
+  }
+
+  test("edge support: jaccard bounded, ranks dense, order consistent") {
+    val rows = Catalog.byName("q_graph_edge_support").fn(spark, sfDir)
+      .orderBy(col("rnk")).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    var prev = (Long.MaxValue, Long.MaxValue)
+    for ((r, i) <- rows.zipWithIndex) {
+      val (sup, jac) = (r.getLong(2), r.getLong(3))
+      assert(jac >= 0 && jac <= 1000000L, "jaccard_e6 out of range")
+      assert(r.getLong(4) == i + 1, "rnk must be dense 1..n")
+      assert(sup < prev._1 || (sup == prev._1 && jac <= prev._2),
+        "order must be non-increasing on (support, jaccard)")
+      prev = (sup, jac)
+    }
+  }
+
   test("importance scoring: top-25 ranked by score with dense ranks") {
     val rows = Catalog.byName("q_sample_importance").fn(spark, sfDir)
       .orderBy(col("rnk")).collect()
