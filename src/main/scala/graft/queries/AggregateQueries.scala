@@ -1033,6 +1033,60 @@ object AggregateQueries {
           ((col("sy").cast("double") - num / denx * col("sx").cast("double"))
             / col("n").cast("double")).as("intercept"),
           ((num * num) / (denx * deny)).as("r2"))
+      }),
+
+    // ---- Benford first-digit audit: the classic fabricated-data /
+    // corruption screen over a spanning-several-decades money column.
+    // The first significant digit comes from the BIGINT→string cast
+    // (no logarithms on data); the Benford expectations log10(1+1/d)
+    // are compile-time constants embedded as the SAME 1e9-scaled
+    // integer literals in both dialects (the nDCG-discount trick), so
+    // deviation stays an exact BIGINT and each χ² contribution is one
+    // DECIMAL(38,0) square divided out in a single double op. Scale:
+    // one scan into a 9-row aggregate — map-side combined, no sort. ----
+    QueryDef("q_profile_benford", Some {
+      val pE9 = (1 to 9).map(dd =>
+        math.floor(math.log10(1.0 + 1.0 / dd) * 1e9 + 0.5).toLong)
+      s"""WITH t AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         |      FROM t GROUP BY digit),
+         |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
+         |e AS (
+         |  SELECT digit, n_obs, n.n,
+         |    CAST(([${pE9.mkString(", ")}])[CAST(digit AS INT)] AS BIGINT)
+         |      AS p_e9
+         |  FROM g, n)
+         |SELECT digit, n_obs, p_e9,
+         |  CAST(n_obs*1000000000 - n*p_e9 AS BIGINT) AS dev_e9,
+         |  CAST(
+         |    (CAST(n_obs AS HUGEINT)*1000000000 - CAST(n AS HUGEINT)*p_e9)
+         |    * (CAST(n_obs AS HUGEINT)*1000000000 - CAST(n AS HUGEINT)*p_e9)
+         |    AS DOUBLE)
+         |    / (CAST(n AS DOUBLE) * p_e9 * 1000000000) AS chi2_contrib
+         |FROM e""".stripMargin
+    })(
+      (s, d) => {
+        val pE9 = (1 to 9).map(dd =>
+          math.floor(math.log10(1.0 + 1.0 / dd) * 1e9 + 0.5).toLong)
+        val g = Tables(s, d, "orders")
+          .select(substring(floor(col("o_totalprice")).cast("bigint")
+            .cast("string"), 1, 1).cast("bigint").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        val n = g.agg(sum(col("n_obs")).cast("bigint").as("n"))
+        val dev = col("n_obs").cast("decimal(38,0)") * 1000000000L -
+          col("n").cast("decimal(38,0)") * col("p_e9")
+        g.crossJoin(broadcast(n))
+          .withColumn("p_e9",
+            element_at(array(pE9.map(lit): _*), col("digit").cast("int")))
+          .select(col("digit"), col("n_obs"), col("p_e9"),
+            (col("n_obs") * 1000000000L - col("n") * col("p_e9"))
+              .cast("bigint").as("dev_e9"),
+            ((dev * dev).cast("double")
+              / (col("n").cast("double") * col("p_e9") * 1000000000L))
+              .as("chi2_contrib"))
       })
   )
 

@@ -871,6 +871,96 @@ object EvalQueries {
             Window.orderBy(col("rrf_score").desc, col("doc_id").asc))
             .cast("bigint"))
           .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
+      }),
+
+    // ---- per-class precision / recall / F1 + the macro summary,
+    // composed from the langid catalog entry (plan and oracle both
+    // wrap q_text_langid, so the scorecard can never drift from the
+    // classifier it audits). Exact integer counts per class: tp from
+    // the declared-side aggregate, fp = guessed − tp, fn = declared −
+    // tp (full-outer join of the two marginals covers classes that
+    // are never guessed or never declared). Every ratio is a single
+    // exact-integer division — F1 in particular is 2tp/(2tp+fp+fn),
+    // NOT 2PR/(P+R), so it too is one division. The __MACRO__ row
+    // carries micro totals plus macro averages via the established
+    // floor(x·1e9+0.5) scaled-sum pattern (a raw avg() of doubles is
+    // partition-order-dependent). Scale: two |classes|-row aggregates
+    // and a |classes|-row join — corpus cost is the one langid scan. ----
+    QueryDef("q_eval_macro_f1", Some {
+      val inner = graft.queries.TextQueries.defs
+        .find(_.name == "q_text_langid").get.oracle.get
+      s"""WITH l AS ($inner),
+         |dec AS (
+         |  SELECT declared AS class, CAST(count(*) AS BIGINT) AS n_dec,
+         |    CAST(count(CASE WHEN is_match THEN 1 END) AS BIGINT) AS tp
+         |  FROM l GROUP BY declared),
+         |gue AS (
+         |  SELECT guess AS class, CAST(count(*) AS BIGINT) AS n_gue
+         |  FROM l GROUP BY guess),
+         |j AS (
+         |  SELECT coalesce(d.class, g.class) AS class,
+         |    coalesce(d.tp, 0) AS tp,
+         |    coalesce(g.n_gue, 0) - coalesce(d.tp, 0) AS fp,
+         |    coalesce(d.n_dec, 0) - coalesce(d.tp, 0) AS fn
+         |  FROM dec d FULL OUTER JOIN gue g ON d.class = g.class),
+         |m AS (
+         |  SELECT class, tp, fp, fn,
+         |    CASE WHEN tp + fp = 0 THEN NULL
+         |         ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+         |    CASE WHEN tp + fn = 0 THEN NULL
+         |         ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS rec,
+         |    CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+         |         ELSE CAST(2*tp AS DOUBLE) / (2*tp + fp + fn) END AS f1
+         |  FROM j)
+         |SELECT class, tp, fp, fn, prec, rec, f1 FROM m
+         |UNION ALL
+         |SELECT '__MACRO__' AS class,
+         |  CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+         |  CAST(sum(fn) AS BIGINT) AS fn,
+         |  CAST(sum(CAST(floor(prec*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (count(prec) * 1000000000) AS prec,
+         |  CAST(sum(CAST(floor(rec*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (count(rec) * 1000000000) AS rec,
+         |  CAST(sum(CAST(floor(f1*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / (count(f1) * 1000000000) AS f1
+         |FROM m""".stripMargin
+    })(
+      (s, d) => {
+        val l = graft.queries.TextQueries.defs
+          .find(_.name == "q_text_langid").get.fn(s, d)
+        val dec = l.groupBy(col("declared").as("class"))
+          .agg(count(lit(1)).as("n_dec"),
+            count(when(col("is_match"), 1)).as("tp"))
+        val gue = l.groupBy(col("guess").as("gclass"))
+          .agg(count(lit(1)).as("n_gue"))
+        val j = dec.join(gue, col("class") === col("gclass"), "full_outer")
+          .select(coalesce(col("class"), col("gclass")).as("class"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            (coalesce(col("n_gue"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+              .as("fp"),
+            (coalesce(col("n_dec"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+              .as("fn"))
+        val m = j.select(col("class"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0, lit(null))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+            .as("prec"),
+          when(col("tp") + col("fn") === 0, lit(null))
+            .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+            .as("rec"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(null))
+            .otherwise((lit(2) * col("tp")).cast("double")
+              / (lit(2) * col("tp") + col("fp") + col("fn")))
+            .as("f1")).persist() // per-class rows + the macro fold
+        def macroAvg(c: String) =
+          (sum(floor(col(c) * 1000000000 + 0.5).cast("bigint")).cast("double")
+            / (count(col(c)) * 1000000000)).as(c)
+        m.unionAll(m.agg(
+          sum(col("tp")).cast("bigint").as("tp"),
+          sum(col("fp")).cast("bigint").as("fp"),
+          sum(col("fn")).cast("bigint").as("fn"),
+          macroAvg("prec"), macroAvg("rec"), macroAvg("f1"))
+          .select(lit("__MACRO__").as("class"), col("tp"), col("fp"),
+            col("fn"), col("prec"), col("rec"), col("f1")))
       })
   )
 }

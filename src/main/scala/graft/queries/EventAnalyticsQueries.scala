@@ -1658,6 +1658,133 @@ object EventAnalyticsQueries {
             expr("CAST((dau * 1000000) DIV wau AS BIGINT)")
               .as("stickiness_e6"),
             (col("dau").cast("double") / col("wau")).as("stickiness"))
+      }),
+
+    // ---- two-sample Kolmogorov–Smirnov: the distribution-drift test
+    // between two samples (here click vs purchase order values) —
+    // D = max over thresholds of |F1(v) − F2(v)|, computed EXACTLY as
+    // max |n2·cum1(v) − n1·cum2(v)| over the distinct-value grid, so
+    // the statistic's numerator is an oracled BIGINT (n1·n2 ≤ 2^63
+    // far beyond fixture scale) and the only FP op is one final
+    // division. ks_at_sc = the smallest threshold attaining the max
+    // (deterministic argmax). Scale: per-value histogram (one map-side
+    // -combined shuffle), then the sharded two-phase cumsum from
+    // q_eval_auc — window parallelism scales with the value range;
+    // no corpus-sized global sort. ----
+    QueryDef("q_events_ks_test", Some(
+      """WITH t AS (
+        |  SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS sc,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS in1,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in2
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT sc, CAST(sum(in1) AS BIGINT) AS c1,
+        |        CAST(sum(in2) AS BIGINT) AS c2 FROM t GROUP BY sc),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |        CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |r AS (SELECT sc,
+        |        sum(c1) OVER (ORDER BY sc) AS cum1,
+        |        sum(c2) OVER (ORDER BY sc) AS cum2 FROM g),
+        |dev AS (SELECT sc, abs(n.n2*cum1 - n.n1*cum2) AS dnum FROM r, n),
+        |m AS (SELECT CAST(max(dnum) AS BIGINT) AS ks_num FROM dev)
+        |SELECT n.n1, n.n2, m.ks_num,
+        |  (SELECT min(sc) FROM dev WHERE dev.dnum = m.ks_num) AS ks_at_sc,
+        |  CAST(m.ks_num AS DOUBLE) / (n.n1 * n.n2) AS ks
+        |FROM n, m""".stripMargin))(
+      (s, d) => {
+        val t = Tables(s, d, "events")
+          .where(col("event_type").isin("click", "purchase"))
+          .select(floor(col("value") * 100 + 0.5).cast("bigint").as("sc"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("in1"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("in2"))
+        val g = t.groupBy(col("sc"))
+          .agg(sum(col("in1")).cast("bigint").as("c1"),
+            sum(col("in2")).cast("bigint").as("c2"))
+          .withColumn("shard", expr("sc DIV 4096"))
+          .persist() // totals + two-phase cumsum below share it
+        val n = g.agg(sum(col("c1")).cast("bigint").as("n1"),
+          sum(col("c2")).cast("bigint").as("n2"))
+        // two-phase cumsum: within-shard window + broadcast offsets
+        val wLoc = Window.partitionBy(col("shard")).orderBy(col("sc"))
+        val local = g
+          .withColumn("l1", sum(col("c1")).over(wLoc))
+          .withColumn("l2", sum(col("c2")).over(wLoc))
+        val wSh = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy(col("shard"))
+          .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+          .withColumn("o1", coalesce(sum(col("t1")).over(wSh), lit(0L)))
+          .withColumn("o2", coalesce(sum(col("t2")).over(wSh), lit(0L)))
+          .select(col("shard"), col("o1"), col("o2"))
+        val dev = local.join(broadcast(offs), "shard")
+          .crossJoin(broadcast(n))
+          .select(col("sc"), col("n1"), col("n2"),
+            abs(col("n2") * (col("l1") + col("o1"))
+              - col("n1") * (col("l2") + col("o2"))).as("dnum"))
+          .persist() // max + argmax passes
+        val m = dev.agg(max(col("dnum")).cast("bigint").as("ks_num"))
+        val at = dev.join(broadcast(m), col("dnum") === col("ks_num"))
+          .agg(min(col("sc")).as("ks_at_sc"))
+        n.crossJoin(broadcast(m)).crossJoin(broadcast(at))
+          .select(col("n1"), col("n2"), col("ks_num"), col("ks_at_sc"),
+            (col("ks_num").cast("double") / (col("n1") * col("n2")))
+              .as("ks"))
+      }),
+
+    // ---- CUSUM change-point monitor over the daily revenue series:
+    // the classic drift alarm S_i = max(0, S_{i−1} + (x_i − μ)),
+    // computed WINDOW-EXPRESSIBLY via the prefix identity
+    // S_i = cum_i − min(0, min_{j≤i} cum_j) where cum is the running
+    // sum of deviations. Everything stays exact: deviations are
+    // multiplied through by n_days (dvn = n·x_i − Σx, integer cents·n)
+    // so the mean never becomes a float; the alarm threshold 2·mean
+    // becomes cusum_n > 2·Σx in the same scaled space. The one FP op
+    // is the readable cusum_cents division. Scale: the windows run on
+    // the DAY-grain frame (bounded at 366 rows/year regardless of
+    // corpus size — the aggregate shrinks the data before any sort). ----
+    QueryDef("q_events_cusum", Some(
+      s"""WITH daily AS (
+         |  SELECT CAST(epoch_us(ts) // $usPerDay AS BIGINT) AS day,
+         |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS x
+         |  FROM events WHERE event_type = 'purchase'
+         |  GROUP BY CAST(epoch_us(ts) // $usPerDay AS BIGINT)),
+         |tot AS (SELECT CAST(sum(x) AS BIGINT) AS sx,
+         |          CAST(count(*) AS BIGINT) AS nd FROM daily),
+         |c AS (
+         |  SELECT day, x, tot.sx, tot.nd,
+         |    sum(tot.nd * x - tot.sx) OVER (ORDER BY day) AS cum
+         |  FROM daily, tot),
+         |r AS (
+         |  SELECT day, x, sx, nd, cum,
+         |    cum - least(CAST(0 AS BIGINT), min(cum) OVER (ORDER BY day))
+         |      AS cusum_n
+         |  FROM c)
+         |SELECT day, x AS cents, CAST(cum AS BIGINT) AS cum_n,
+         |  CAST(cusum_n AS BIGINT) AS cusum_n,
+         |  CAST(cusum_n AS DOUBLE) / nd AS cusum_cents,
+         |  (cusum_n > 2 * sx) AS alarm
+         |FROM r""".stripMargin))(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .where(col("event_type") === "purchase")
+          .groupBy((unix_micros(col("ts")).cast("bigint") / usPerDay)
+            .cast("bigint").as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("x"))
+        val tot = daily.agg(sum(col("x")).cast("bigint").as("sx"),
+          count(lit(1)).as("nd"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.crossJoin(broadcast(tot))
+          .withColumn("cum", sum(col("nd") * col("x") - col("sx")).over(w))
+          .withColumn("cusum_n",
+            col("cum") - least(lit(0L), min(col("cum")).over(w)))
+          .select(col("day"), col("x").as("cents"),
+            col("cum").cast("bigint").as("cum_n"),
+            col("cusum_n").cast("bigint").as("cusum_n"),
+            (col("cusum_n").cast("double") / col("nd")).as("cusum_cents"),
+            (col("cusum_n") > lit(2) * col("sx")).as("alarm"))
       })
   )
 }

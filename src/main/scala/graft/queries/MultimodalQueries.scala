@@ -205,7 +205,81 @@ object MultimodalQueries {
       (s, d) =>
         knnOver(
           graft.multimodal.ArrowDecode
-            .decodeWithFeatures(Media.fromDocuments(s, d).toDF())))
+            .decodeWithFeatures(Media.fromDocuments(s, d).toDF()))),
+
+    // ---- perceptual-hash (dHash) image near-dup: the standard
+    // image-dedup fingerprint — sample a fixed 8×8 intensity grid
+    // over the WHOLE payload (position k·len/64, so a small edit
+    // anywhere moves few samples), emit one bit per horizontal
+    // adjacent-pixel comparison (8 rows × 7 = 56 bits), then find
+    // near-dup candidates by simhash-style banding: 4 bands × 14
+    // bits, candidates collide on any band, verify = popcount of the
+    // fingerprint XOR. All integer arithmetic; the "pixels" are the
+    // deterministic codec stand-in (byte intensities), but the
+    // fingerprint/banding/verify machinery is the production path.
+    // Scale: the corpus never self-joins — candidates come from the
+    // banded inverted index (equi-join on (band, key)), exactly the
+    // q_dedup_simhash shape; expected collisions per band are
+    // n²/2^14-bounded and verified pairs carry an exact hamming
+    // distance. ----
+    QueryDef("q_multimodal_phash", Some(
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |g AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64),
+        |      k -> ascii(substr(text, CAST((k * n) // 64 AS INT) + 1, 1)))
+        |      AS px
+        |  FROM img),
+        |h AS (
+        |  SELECT media_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(0, 56), k ->
+        |        CASE WHEN px[CAST((k // 7) * 8 + (k % 7) AS INT) + 1]
+        |                  > px[CAST((k // 7) * 8 + (k % 7) AS INT) + 2]
+        |             THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+        |             ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS fp
+        |  FROM g),
+        |bands AS (SELECT media_id, fp, unnest(range(0, 4)) AS band FROM h),
+        |bk AS (SELECT media_id, fp, band,
+        |         (fp >> CAST(band * 14 AS INT)) & 16383 AS key FROM bands)
+        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+        |  (bit_count(xor(a.fp, b.fp)) <= 12) AS is_dup
+        |FROM bk a JOIN bk b
+        |  ON a.band = b.band AND a.key = b.key
+        | AND a.media_id < b.media_id""".stripMargin))(
+      (s, d) => {
+        val img = Tables(s, d, "documents")
+          .where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id").as("media_id"), col("text"),
+            length(col("text")).as("n"))
+        val fp = img
+          .withColumn("px", expr("transform(sequence(0, 63)," +
+            " k -> ascii(substr(text, CAST((k * n) DIV 64 AS INT) + 1, 1)))"))
+          .withColumn("fp", expr("""aggregate(sequence(0, 55), 0L, (a, k) ->
+            a + CASE WHEN element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 1)
+                        > element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 2)
+                     THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)"""))
+          .select(col("media_id"), col("fp"))
+          .persist() // banded self-join reads it twice
+        val bands = fp.select(col("media_id"), col("fp"), posexplode(
+          array((0 until 4).map(b =>
+            shiftright(col("fp"), b * 14).bitwiseAND(lit(16383L))): _*))
+          .as(Seq("band", "key")))
+        bands.alias("x")
+          .join(bands.alias("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("media_a"),
+            col("y.media_id").as("media_b"),
+            bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("bigint")
+              .as("hamming"))
+          .withColumn("is_dup", col("hamming") <= 12)
+          .distinct()
+      })
   )
 
   /** Top-3 cosine neighbors over a decoded-features frame

@@ -32,7 +32,10 @@ class DeterminismSpec extends SparkSpecBase {
     "q_sample_importance",   // hashed-bucket weight sums under layouts
     "q_graph_link_predict",  // wedge aggregation + RA integer sums
     "q_dedup_bloom_prefilter", // set-bit dedup + probe-join build order
-    "q_ann_ivf_incremental") // integer-scaled centroid sums + argmin route
+    "q_ann_ivf_incremental", // integer-scaled centroid sums + argmin route
+    "q_events_ks_test",      // sharded-cumsum ECDF deviation + argmax
+    "q_eval_macro_f1",       // scaled-integer macro fold over class rows
+    "q_multimodal_phash")    // banded fingerprint self-join build order
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
