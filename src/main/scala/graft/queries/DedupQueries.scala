@@ -1038,6 +1038,87 @@ object DedupQueries {
             coalesce(col("clean_text"), lit("")).as("clean_text"))
       }),
 
+    // ---- decontamination SCRUB (remediation twin of
+    // q_dedup_decontaminate's detection): instead of flagging
+    // contaminated docs, REMOVE the contaminated 5-token windows and
+    // rewrite the doc — the "train on the rest" pass a pipeline runs
+    // when whole-doc drops would cost too much data. Same asymmetric
+    // split as the detection entry (hash buckets ≥95 = held-out eval
+    // set, <95 = training corpus); the rewrite machinery is
+    // q_dedup_span_removal's coverage anti-join, but the dup-window
+    // set is the BROADCAST eval-set index rather than a cross-corpus
+    // groupBy — the corpus streams map-side against a benchmark-sized
+    // hash set, never shuffling for the membership test, which is the
+    // 100 TB shape. Window i covers tokens [i, i+4]. ----
+    QueryDef("q_dedup_decontam_scrub", Some {
+      val winParts = (0 until 5).map(o => s"w[i+$o]").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, ${h32Sql("text")} % 100 AS bucket,
+         |    ${tokensSql("text")} AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, bucket,
+         |    list_transform(range(1, greatest(len(w) - 3, 1)),
+         |      i -> ${h32Sql(s"concat_ws(' ', $winParts)")} % ${TextOps.P})
+         |      AS gl
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, bucket, unnest(gl) AS h,
+         |    unnest(range(0, len(gl))) AS i FROM g),
+         |ev AS (SELECT DISTINCT h FROM wins WHERE bucket >= 95),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT w2.doc_id, unnest(range(w2.i, w2.i + 5)) AS pos
+         |    FROM wins w2 JOIN ev ON w2.h = ev.h WHERE w2.bucket < 95)),
+         |tok AS (
+         |  SELECT doc_id, unnest(w) AS tok,
+         |    unnest(range(0, len(w))) AS pos FROM t WHERE bucket < 95),
+         |kept AS (
+         |  SELECT tok.doc_id, tok.tok, tok.pos
+         |  FROM tok LEFT JOIN cov
+         |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  WHERE cov.doc_id IS NULL),
+         |a AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.w) AS n_tokens,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  len(t.w) - coalesce(a.n_kept, 0) AS n_dropped,
+         |  coalesce(a.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+         |WHERE t.bucket < 95""".stripMargin
+    })(
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
+            tokens(col("text")).as("w"))
+          .persist() // eval index, train windows, token stream, doc list
+        val wins = t.select(col("doc_id"), col("bucket"),
+          posexplode(GraftFunctions.shingleHashes(col("w"), 5, TextOps.P))
+            .as(Seq("i", "h")))
+        val ev = wins.where(col("bucket") >= 95).select(col("h")).distinct()
+        val cov = wins.where(col("bucket") < 95)
+          .join(broadcast(ev), "h")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 4)).as("pos"))
+          .distinct()
+        val train = t.where(col("bucket") < 95)
+        val tok = train.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("pos", "tok")))
+        val kept = tok.join(cov, Seq("doc_id", "pos"), "left_anti")
+        val agg = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+                x => x.getField("tok")), " ").as("clean_text"))
+        train.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
+          .join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+            coalesce(col("clean_text"), lit("")).as("clean_text"))
+      }),
+
     // ---- canonical selection per duplicate cluster: the release
     // keep-list — for every LSH cluster keep its LONGEST member
     // (n_chars, tie → smallest doc_id), the standard near-dup

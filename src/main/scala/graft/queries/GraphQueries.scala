@@ -47,6 +47,80 @@ object GraphQueries {
       .where(col("s") >= 2).select(col("p1"), col("p2"))
   }
 
+  private def lpIter(prev: String, out: String) =
+    s"""v_$out AS (
+       |  SELECT e.dst AS node, p.lab, count(*) AS c
+       |  FROM e JOIN $prev p ON e.src = p.node
+       |  WHERE p.lab IS NOT NULL
+       |  GROUP BY e.dst, p.lab),
+       |b_$out AS (
+       |  SELECT node, lab FROM (
+       |    SELECT node, lab,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY c DESC, lab ASC) AS rn
+       |    FROM v_$out) t WHERE rn = 1),
+       |$out AS (
+       |  SELECT n.node,
+       |    CASE WHEN n.node % 7 = 0 THEN n.node % 5
+       |         ELSE coalesce(b.lab, p.lab) END AS lab
+       |  FROM nodes n
+       |  LEFT JOIN b_$out b ON b.node = n.node
+       |  LEFT JOIN $prev p ON p.node = n.node)""".stripMargin
+
+  /** The label-propagation CTE chain (bipartite build + 2 unrolled
+    * rounds, final labels in `l2`) — factored so q_graph_label_prop
+    * and the modularity eval share ONE text and cannot drift. */
+  private lazy val labelPropCtes: String =
+    s"""bi AS (
+       |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
+       |  FROM lineitem),
+       |e AS (SELECT p AS src, sp AS dst FROM bi
+       |      UNION ALL SELECT sp AS src, p AS dst FROM bi),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |l0 AS (SELECT node,
+       |  CASE WHEN node % 7 = 0 THEN node % 5 END AS lab FROM nodes),
+       |${lpIter("l0", "l1")},
+       |${lpIter("l1", "l2")}""".stripMargin
+
+  /** Spark twin of [[labelPropCtes]]: returns (bi, e, final labels). */
+  private def labelPropFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bi = Tables(s, d, "lineitem")
+      .select((col("l_partkey") * 2).as("p"),
+        (col("l_suppkey") * 2 + 1).as("sp"))
+      .distinct()
+      // reused by edges AND (in the modularity eval) the e_in join;
+      // localCheckpoint not persist — repeated catalog runs must not
+      // accumulate cached blocks
+      .localCheckpoint(true)
+    val e = bi.select(col("p").as("src"), col("sp").as("dst"))
+      .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labs = nodes.select(col("node"),
+      when(col("node") % 7 === 0, col("node") % 5).as("lab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to 2) {
+      val votes = e.join(labs.where(col("lab").isNotNull)
+          .select(col("node").as("src"), col("lab")), "src")
+        .groupBy(col("dst").as("node"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val best = votes
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node").as("bn"), col("lab").as("blab"))
+      labs = nodes
+        .join(best, col("node") === col("bn"), "left")
+        .join(labs.select(col("node").as("pn"), col("lab").as("plab")),
+          col("node") === col("pn"), "left")
+        .select(col("node"),
+          when(col("node") % 7 === 0, col("node") % 5)
+            .otherwise(coalesce(col("blab"), col("plab"))).as("lab"))
+    }
+    (bi, e, labs)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PageRank (3 unrolled iterations, damping 0.85) over the
