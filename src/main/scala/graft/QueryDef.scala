@@ -23,3 +23,20 @@ final case class QueryDef(
     oracle: Option[String],
     headline: Boolean = false)(
     val fn: (SparkSession, String) => DataFrame)
+
+object QueryDef {
+
+  /** Resolve a composed entry's dependency by name with a descriptive
+    * failure: these lookups run at object initialization, where a bare
+    * `.get` NoSuchElementException would break construction of the
+    * ENTIRE dependent catalog object, with no hint of which rename
+    * caused it. */
+  def requireDef(defs: Seq[QueryDef], name: String, forQuery: String): QueryDef =
+    defs.find(_.name == name).getOrElse(sys.error(
+      s"$forQuery composes $name, which is no longer in the catalog"))
+
+  /** [[requireDef]] for the dependency's oracle SQL. */
+  def requireOracle(defs: Seq[QueryDef], name: String, forQuery: String): String =
+    requireDef(defs, name, forQuery).oracle.getOrElse(sys.error(
+      s"$forQuery composes the oracle of $name, which has been removed"))
+}

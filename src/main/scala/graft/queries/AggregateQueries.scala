@@ -1050,7 +1050,7 @@ object AggregateQueries {
       s"""WITH t AS (
          |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
          |    AS VARCHAR), 1, 1) AS BIGINT) AS digit
-         |  FROM orders),
+         |  FROM orders WHERE o_totalprice >= 1),
          |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
          |      FROM t GROUP BY digit),
          |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
@@ -1072,6 +1072,12 @@ object AggregateQueries {
         val pE9 = (1 to 9).map(dd =>
           math.floor(math.log10(1.0 + 1.0 / dd) * 1e9 + 0.5).toLong)
         val g = Tables(s, d, "orders")
+          // the digit extraction assumes a value in [1, ∞): below 1 the
+          // first character is '0' (element_at index 0 throws where
+          // DuckDB list[0] is NULL) and a negative sign breaks the
+          // BIGINT cast — make the domain assumption explicit in BOTH
+          // dialects rather than relying on fixture ranges
+          .where(col("o_totalprice") >= 1)
           .select(substring(floor(col("o_totalprice")).cast("bigint")
             .cast("string"), 1, 1).cast("bigint").as("digit"))
           .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))

@@ -352,11 +352,15 @@ object DedupQueries {
     // exact integer compare 4·contam > windows). The asymmetric
     // shape is the 100 TB argument: the eval split's distinct-shingle
     // index is benchmark-sized, so it BROADCASTS; the corpus streams
-    // map-side through the broadcast join and never shuffles — the
-    // only exchanges carry (a) matched windows into a per-doc count
-    // bounded by the contamination volume and (b) nothing else, since
-    // the contaminated-doc count table broadcasts back onto the
-    // corpus scan for the left join. Clean docs emit n_contam = 0. ----
+    // map-side through the broadcast join and never shuffles for the
+    // eval lookup. The per-doc hit-count frame, by contrast, is
+    // contamination-PROPORTIONAL (one row per contaminated train doc)
+    // — bounded only by the assumption that contamination is rare, so
+    // it carries NO broadcast hint: on a clean corpus AQE will still
+    // choose a broadcast for the final left join, but on a dirty one
+    // (an eval set leaked wholesale into a crawl) the planner is free
+    // to fall back to a shuffled join instead of OOMing the driver.
+    // Clean docs emit n_contam = 0. ----
     QueryDef("q_dedup_decontaminate", Some(
       s"""WITH gs AS (
          |  SELECT doc_id, ${h32Sql("text")} % 100 AS bucket,
@@ -397,7 +401,7 @@ object DedupQueries {
           .join(broadcast(evalIdx), Seq("h"))
           .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam"))
         val nC = coalesce(col("n_contam"), lit(0L))
-        train.join(broadcast(hits), Seq("doc_id"), "left")
+        train.join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_windows"),
             nC.as("n_contam"),
             when(col("n_windows") === 0, lit(0.0))
@@ -1150,7 +1154,8 @@ object DedupQueries {
          |FROM best b
          |JOIN m ON m.cluster_id = b.cluster_id AND m.enc = b.benc""".stripMargin))(
       (s, d) => {
-        val cl = defs.find(_.name == "q_dedup_clusters").get.fn(s, d)
+        val cl = QueryDef.requireDef(defs, "q_dedup_clusters",
+          "q_dedup_canonical").fn(s, d)
         val m = cl.join(Tables(s, d, "documents")
             .select(col("doc_id"), col("n_chars")), "doc_id")
           .select(col("cluster_id"), col("doc_id"), col("n_chars"),

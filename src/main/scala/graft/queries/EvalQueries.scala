@@ -505,7 +505,7 @@ object EvalQueries {
       // composes TextQueries directly (not via Catalog — Catalog.all
       // evaluates THIS defs val, so a byName call here would re-enter
       // the object initializer)
-      val inner = TextQueries.defs.find(_.name == "q_text_langid").get.oracle.get
+      val inner = QueryDef.requireOracle(TextQueries.defs, "q_text_langid", "q_eval_langid_confusion")
       s"""WITH l AS ($inner)
          |SELECT declared, guess,
          |  count(*) AS n,
@@ -514,7 +514,8 @@ object EvalQueries {
          |FROM l GROUP BY declared, guess""".stripMargin
     })(
       (s, d) =>
-        TextQueries.defs.find(_.name == "q_text_langid").get.fn(s, d)
+        QueryDef.requireDef(TextQueries.defs, "q_text_langid",
+            "q_eval_langid_confusion").fn(s, d)
           .groupBy(col("declared"), col("guess"))
           .agg(count(lit(1)).as("n"),
             (count(when(col("is_match"), 1)).cast("double")
@@ -527,7 +528,7 @@ object EvalQueries {
     // the clustering it describes). Two tiny aggregates over the
     // |docs|-row label frame. ----
     QueryDef("q_eval_cluster_stats", Some {
-      val inner = DedupQueries.defs.find(_.name == "q_dedup_clusters").get.oracle.get
+      val inner = QueryDef.requireOracle(DedupQueries.defs, "q_dedup_clusters", "q_eval_cluster_stats")
       s"""WITH sizes AS (
          |  SELECT cluster_id, count(*) AS sz
          |  FROM ($inner) l GROUP BY cluster_id)
@@ -538,7 +539,8 @@ object EvalQueries {
          |FROM sizes GROUP BY sz""".stripMargin
     })(
       (s, d) =>
-        DedupQueries.defs.find(_.name == "q_dedup_clusters").get.fn(s, d)
+        QueryDef.requireDef(DedupQueries.defs, "q_dedup_clusters",
+            "q_eval_cluster_stats").fn(s, d)
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz").as("cluster_size"))
           .agg(count(lit(1)).as("n_clusters"),
@@ -780,11 +782,11 @@ object EvalQueries {
          |  CAST((SELECT count(*) FROM pairs) AS DOUBLE)
          |    / (SELECT count(*) FROM exact) AS recall""".stripMargin))(
       (s, d) => {
-        val exact = DedupQueries.defs
-          .find(_.name == "q_dedup_ngram_jaccard").get.fn(s, d)
+        val exact = QueryDef.requireDef(DedupQueries.defs,
+            "q_dedup_ngram_jaccard", "q_eval_lsh_recall").fn(s, d)
           .select(col("doc_a").as("da"), col("doc_b").as("db")).persist()
-        val lsh = DedupQueries.defs
-          .find(_.name == "q_dedup_minhash_lsh").get.fn(s, d)
+        val lsh = QueryDef.requireDef(DedupQueries.defs,
+            "q_dedup_minhash_lsh", "q_eval_lsh_recall").fn(s, d)
           .select(col("doc_a").as("da"), col("doc_b").as("db")).persist()
         val missed = exact.join(lsh, Seq("da", "db"), "left_anti")
           .agg(count(lit(1)).as("n_missed"))
@@ -887,8 +889,8 @@ object EvalQueries {
     // partition-order-dependent). Scale: two |classes|-row aggregates
     // and a |classes|-row join — corpus cost is the one langid scan. ----
     QueryDef("q_eval_macro_f1", Some {
-      val inner = graft.queries.TextQueries.defs
-        .find(_.name == "q_text_langid").get.oracle.get
+      val inner = QueryDef.requireOracle(
+        graft.queries.TextQueries.defs, "q_text_langid", "q_eval_macro_f1")
       s"""WITH l AS ($inner),
          |dec AS (
          |  SELECT declared AS class, CAST(count(*) AS BIGINT) AS n_dec,
@@ -926,8 +928,8 @@ object EvalQueries {
          |FROM m""".stripMargin
     })(
       (s, d) => {
-        val l = graft.queries.TextQueries.defs
-          .find(_.name == "q_text_langid").get.fn(s, d)
+        val l = QueryDef.requireDef(graft.queries.TextQueries.defs,
+            "q_text_langid", "q_eval_macro_f1").fn(s, d)
         val dec = l.groupBy(col("declared").as("class"))
           .agg(count(lit(1)).as("n_dec"),
             count(when(col("is_match"), 1)).as("tp"))

@@ -455,76 +455,81 @@ object GraphQueries {
     // witnesses, which pins every assignment without emitting the
     // whole vector. ----
     QueryDef("q_graph_label_prop", Some {
-      def iter(prev: String, out: String) =
-        s"""v_$out AS (
-           |  SELECT e.dst AS node, p.lab, count(*) AS c
-           |  FROM e JOIN $prev p ON e.src = p.node
-           |  WHERE p.lab IS NOT NULL
-           |  GROUP BY e.dst, p.lab),
-           |b_$out AS (
-           |  SELECT node, lab FROM (
-           |    SELECT node, lab,
-           |      row_number() OVER (PARTITION BY node
-           |        ORDER BY c DESC, lab ASC) AS rn
-           |    FROM v_$out) t WHERE rn = 1),
-           |$out AS (
-           |  SELECT n.node,
-           |    CASE WHEN n.node % 7 = 0 THEN n.node % 5
-           |         ELSE coalesce(b.lab, p.lab) END AS lab
-           |  FROM nodes n
-           |  LEFT JOIN b_$out b ON b.node = n.node
-           |  LEFT JOIN $prev p ON p.node = n.node)""".stripMargin
-      s"""WITH bi AS (
-         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS sp
-         |  FROM lineitem),
-         |e AS (SELECT p AS src, sp AS dst FROM bi
-         |      UNION ALL SELECT sp AS src, p AS dst FROM bi),
-         |nodes AS (SELECT DISTINCT src AS node FROM e),
-         |l0 AS (SELECT node,
-         |  CASE WHEN node % 7 = 0 THEN node % 5 END AS lab FROM nodes),
-         |${iter("l0", "l1")},
-         |${iter("l1", "l2")}
+      s"""WITH $labelPropCtes
          |SELECT CAST(lab AS BIGINT) AS lab, count(*) AS n_nodes,
          |  CAST(min(node) AS BIGINT) AS min_node,
          |  CAST(max(node) AS BIGINT) AS max_node
          |FROM l2 GROUP BY lab""".stripMargin
     })(
       (s, d) => {
-        val bi = Tables(s, d, "lineitem")
-          .select((col("l_partkey") * 2).as("p"),
-            (col("l_suppkey") * 2 + 1).as("sp"))
-          .distinct()
-        val e = bi.select(col("p").as("src"), col("sp").as("dst"))
-          .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
-          // loop-invariant, reused twice; localCheckpoint not persist —
-          // repeated catalog runs must not accumulate cached blocks
-          .repartition(col("src")).localCheckpoint(true)
-        val nodes = e.select(col("src").as("node")).distinct()
-        var labs = nodes.select(col("node"),
-          when(col("node") % 7 === 0, col("node") % 5).as("lab"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
-        for (_ <- 1 to 2) {
-          val votes = e.join(labs.where(col("lab").isNotNull)
-              .select(col("node").as("src"), col("lab")), "src")
-            .groupBy(col("dst").as("node"), col("lab"))
-            .agg(count(lit(1)).as("c"))
-          val best = votes
-            .withColumn("rn", row_number().over(w))
-            .where(col("rn") === 1)
-            .select(col("node").as("bn"), col("lab").as("blab"))
-          labs = nodes
-            .join(best, col("node") === col("bn"), "left")
-            .join(labs.select(col("node").as("pn"), col("lab").as("plab")),
-              col("node") === col("pn"), "left")
-            .select(col("node"),
-              when(col("node") % 7 === 0, col("node") % 5)
-                .otherwise(coalesce(col("blab"), col("plab"))).as("lab"))
-        }
+        val (_, _, labs) = labelPropFrames(s, d)
         labs.groupBy(col("lab").cast("bigint").as("lab"))
           .agg(count(lit(1)).as("n_nodes"),
             min(col("node")).cast("bigint").as("min_node"),
             max(col("node")).cast("bigint").as("max_node"))
+      }),
+
+    // ---- modularity evaluation of the label-propagation partition:
+    // per community, Newman's Q term e_in/|E| − (vol/|E|)², where
+    // e_in counts directed in-community edges, vol the community's
+    // total degree, |E| the directed edge count — the standard "did
+    // the communities beat a random graph with the same degrees"
+    // audit a clustering run ships alongside its assignments. Shares
+    // labelPropCtes/labelPropFrames with q_graph_label_prop (one CTE
+    // text, no drift). Scale: e_in is two node-keyed equi-joins of
+    // the edge list against the (|nodes|-row) label vector; vol is a
+    // degree aggregate joined the same way; |E| is a 1-row scalar
+    // broadcast. Integer numerators keep the doubles a last-step
+    // division — bit-identical across engines. ----
+    QueryDef("q_graph_modularity", Some {
+      s"""WITH $labelPropCtes,
+         |deg AS (SELECT src AS node, count(*) AS dg FROM e GROUP BY src),
+         |tot AS (SELECT count(*) AS m2 FROM e),
+         |lab_e AS (
+         |  SELECT ls.lab, count(*) AS e_in
+         |  FROM e JOIN l2 ls ON e.src = ls.node
+         |         JOIN l2 ld ON e.dst = ld.node
+         |  WHERE ls.lab IS NOT NULL AND ls.lab = ld.lab
+         |  GROUP BY ls.lab),
+         |lab_v AS (
+         |  SELECT l.lab, count(*) AS n_nodes, sum(d.dg) AS vol
+         |  FROM l2 l JOIN deg d ON l.node = d.node
+         |  WHERE l.lab IS NOT NULL
+         |  GROUP BY l.lab)
+         |SELECT CAST(v.lab AS BIGINT) AS lab, v.n_nodes,
+         |  CAST(coalesce(le.e_in, 0) AS BIGINT) AS e_in,
+         |  CAST(v.vol AS BIGINT) AS vol,
+         |  CAST(coalesce(le.e_in, 0) AS DOUBLE) / t.m2
+         |    - (CAST(v.vol AS DOUBLE) / t.m2)
+         |      * (CAST(v.vol AS DOUBLE) / t.m2) AS q_term
+         |FROM lab_v v LEFT JOIN lab_e le ON le.lab = v.lab
+         |CROSS JOIN tot t""".stripMargin
+    })(
+      (s, d) => {
+        val (_, e, labsRaw) = labelPropFrames(s, d)
+        // labels feed THREE joins below — materialize once
+        val labs = labsRaw.where(col("lab").isNotNull).localCheckpoint(true)
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("dg"))
+        val tot = e.agg(count(lit(1)).as("m2"))
+        val labE = e
+          .join(labs.select(col("node").as("src"), col("lab")), "src")
+          .join(labs.select(col("node").as("dst"), col("lab").as("dlab")),
+            "dst")
+          .where(col("lab") === col("dlab"))
+          .groupBy(col("lab")).agg(count(lit(1)).as("e_in"))
+        val labV = labs.join(deg, "node")
+          .groupBy(col("lab"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("vol"))
+        val eIn = coalesce(col("e_in"), lit(0L))
+        labV.join(labE, Seq("lab"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("lab").cast("bigint").as("lab"), col("n_nodes"),
+            eIn.cast("bigint").as("e_in"),
+            col("vol").cast("bigint").as("vol"),
+            (eIn.cast("double") / col("m2")
+              - (col("vol").cast("double") / col("m2"))
+                * (col("vol").cast("double") / col("m2"))).as("q_term"))
       }),
 
     // ---- k-core decomposition (k = 10) by iterative peeling: drop

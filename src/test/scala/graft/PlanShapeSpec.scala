@@ -452,27 +452,39 @@ class PlanShapeSpec extends SparkSpecBase {
       s"both windows must reuse one user_id shuffle:\n$plan")
   }
 
-  test("decontamination: eval index broadcasts, corpus joins are broadcast-hash only") {
+  test("decontamination: eval index broadcasts; no join against the eval side shuffles") {
     // the asymmetric corpus-vs-evalset shape IS the 100 TB argument:
-    // the (small) eval-window index and the per-doc hit counts
-    // broadcast onto the corpus scan — the corpus side must never
-    // shuffle for a join (its only exchange is the hit-count groupBy)
+    // the (small, benchmark-sized) eval-window index broadcasts onto
+    // the exploded corpus stream, so the corpus never shuffles for the
+    // eval lookup. The final hit-count left join is deliberately NOT
+    // pinned to a broadcast: `hits` has one row per CONTAMINATED train
+    // doc — contamination-proportional, unbounded by construction — so
+    // the planner must stay free to pick a shuffled join on a dirty
+    // corpus. We therefore assert (a) no cartesian/nested-loop joins,
+    // (b) the inner eval-lookup join is broadcast-hash (any
+    // non-broadcast join must be the LeftOuter hit-count join-back,
+    // never the Inner eval probe).
     val df = Catalog.byName("q_dedup_decontaminate").fn(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan
-    val nonBroadcast = collectAll(plan) {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    val unbounded = collectAll(plan) {
       case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }
-    assert(nonBroadcast.isEmpty,
-      s"corpus must join only against broadcast sides:\n$plan")
+    assert(unbounded.isEmpty, s"no cartesian/nested-loop joins:\n$plan")
+    val shuffledInner = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+    }
+    assert(shuffledInner.isEmpty,
+      s"the eval-index probe must be a broadcast join — the corpus " +
+        s"side must not shuffle for the eval lookup:\n$plan")
     val bhj = collectAll(plan) {
       case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
-    assert(bhj.size >= 2,
-      s"eval index and hit counts should both broadcast:\n$plan")
+    assert(bhj.nonEmpty, s"eval index should broadcast:\n$plan")
   }
 
   test("quality-rule battery: single pruned scan, no join, no window") {
