@@ -100,22 +100,36 @@ object DedupQueries {
     * for the plain equi-join — a one-line change that trades this
     * map-side lookup for the exploded-stream shuffle. */
   private[queries] def prefixIndex(sh: DataFrame): DataFrame = {
-    // sz rides along from the array (one cheap scalar per row) —
-    // deriving it with count() OVER (PARTITION BY doc_id) would be
-    // a SECOND WindowExec pass (different frame spec than the
-    // row_number below), i.e. an extra full sort of the exploded
-    // shingle stream
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("shingle"))
+    // WINDOW-FREE ranking (round 9): the old shape exploded the full
+    // shingle stream and ranked it with row_number() over a doc_id
+    // window — one hash exchange plus a full sort of every shingle in
+    // the corpus just to keep the first |A| − ceil(t|A|) + 1 of each
+    // doc. With the df ≥ 2 dictionary already small enough to
+    // broadcast, the (df, shingle) total order can instead be
+    // computed ROW-LOCALLY over each doc's shingle array: fold the
+    // dictionary into a single-row df-map, array_sort the per-doc
+    // (coalesce(df,1), shingle) structs, slice the prefix, and
+    // posexplode ONLY the prefix. The exploded-prefix output is
+    // ~2/5 of the old exploded stream and never shuffles or sorts;
+    // positions are identical bit-for-bit (same total order, and
+    // slice keeps exactly the rows the old pos < bound filter kept).
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val dict = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
-    val wDoc = Window.partitionBy(col("doc_id"))
     val ranked = ex.join(broadcast(dict), Seq("shingle"), "left")
-      .select(col("doc_id"), col("shingle"), col("sz"),
-        (row_number().over(wDoc.orderBy(
-          coalesce(col("df"), lit(1L)).asc, col("shingle").asc)) - 1)
-          .as("pos"))
-    ranked.where(col("pos") < expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"),
+        col("shingle").as("shingle"))).as("ds"))
+      .select(col("doc_id"), size(col("ds")).as("sz"), col("ds"))
+    ranked
+      .select(col("doc_id"), col("sz"),
+        slice(array_sort(col("ds")),
+          lit(1), expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
+          .as("pref"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(col("pref")).as(Seq("pos", "ps")))
+      .select(col("doc_id"), col("ps.shingle").as("shingle"),
+        col("sz"), col("pos"))
   }
 
   private[queries] def jaccardSqlPair =
@@ -601,6 +615,76 @@ object DedupQueries {
             coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
             (coalesce(col("n_dup"), lit(0L)).cast("double") / size(col("wh")))
               .as("dup_fraction"))
+      }),
+
+    // ---- repeated-substring SPAN extraction (the Lee-et-al exact
+    // substring dedup proper): q_dedup_substring counts duplicated
+    // windows per doc; this entry GROUPS consecutive duplicated
+    // 16-token window positions into maximal runs and emits each run
+    // as a removable span — a repeated substring of L ≥ 16 tokens
+    // shows up as L−15 consecutive duplicated windows, so a run of n
+    // windows pins a span of n+15 tokens; spans under 24 tokens
+    // (run < 9) are dropped as below the removal threshold. Runs come
+    // from the classic gaps-and-islands trick (pos − row_number() is
+    // constant within a run); the only window function partitions by
+    // doc_id, so its state is bounded by one document's length — the
+    // same bound the text column already imposes — and the exchange
+    // it needs carries only the DUPLICATED window positions, which
+    // track the corpus's duplicated bytes, not its size (measured in
+    // SCALING.md). ----
+    QueryDef("q_dedup_substring_spans", Some {
+      // positional windows — shinglesSql's list_distinct would shift
+      // positions wherever a doc repeats a window internally
+      val winParts = (0 until 16).map(o => s"w[i+$o]").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, list_transform(range(1, greatest(len(w) - 14, 1)),
+         |    i -> ${h32Sql(s"concat_ws(' ', $winParts)")} % ${TextOps.P}) AS gl
+         |  FROM t),
+         |wins AS (
+         |  SELECT doc_id, unnest(gl) AS h,
+         |    unnest(range(0, len(gl))) AS i FROM g),
+         |dup AS (
+         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |dwin AS (
+         |  SELECT DISTINCT wins.doc_id, wins.i
+         |  FROM wins JOIN dup ON wins.h = dup.h),
+         |runs AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM dwin),
+         |spans AS (
+         |  SELECT doc_id, CAST(min(i) AS BIGINT) AS start_tok,
+         |    CAST(max(i) + 15 AS BIGINT) AS end_tok,
+         |    CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(max(i) - min(i) + 16 AS BIGINT) AS span_tokens
+         |  FROM runs GROUP BY doc_id, grp)
+         |SELECT doc_id, start_tok, end_tok, n_windows, span_tokens
+         |FROM spans WHERE span_tokens >= 24""".stripMargin
+    })(
+      (s, d) => {
+        val wins = Tables(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            posexplode(GraftFunctions.shingleHashes(col("w"), 16, TextOps.P))
+              .as(Seq("i", "h")))
+        val dup = wins.groupBy(col("h"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .where(col("nd") >= 2).select(col("h"))
+        val dwin = wins.join(dup, "h")
+          .select(col("doc_id"), col("i")).distinct()
+        val runs = dwin.select(col("doc_id"), col("i"),
+          (col("i") - row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("i")))).as("grp"))
+        runs.groupBy(col("doc_id"), col("grp"))
+          .agg(min(col("i")).cast("bigint").as("start_tok"),
+            (max(col("i")) + 15).cast("bigint").as("end_tok"),
+            count(lit(1)).as("n_windows"),
+            (max(col("i")) - min(col("i")) + 16).cast("bigint")
+              .as("span_tokens"))
+          .where(col("span_tokens") >= 24)
+          .select(col("doc_id"), col("start_tok"), col("end_tok"),
+            col("n_windows"), col("span_tokens"))
       }),
 
     // ---- INCREMENTAL dedup: admit-or-reject a DELTA batch (every

@@ -40,6 +40,56 @@ object MultimodalQueries {
       |  h AS checksum
       |FROM f""".stripMargin
 
+  /** Shared perceptual-hash CTE chain (image universe → 8×8 pixel
+    * sample → 56-bit row-gradient fp → 4×14-bit Hamming-LSH bands) —
+    * factored so q_multimodal_phash and q_multimodal_phash_dedup
+    * share ONE text and cannot drift. */
+  private lazy val phashBandsCte: String =
+    """img AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS n
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 64),
+      |      k -> ascii(substr(text, CAST((k * n) // 64 AS INT) + 1, 1)))
+      |      AS px
+      |  FROM img),
+      |h AS (
+      |  SELECT media_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 56), k ->
+      |        CASE WHEN px[CAST((k // 7) * 8 + (k % 7) AS INT) + 1]
+      |                  > px[CAST((k // 7) * 8 + (k % 7) AS INT) + 2]
+      |             THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+      |             ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a + b) AS fp
+      |  FROM g),
+      |bands AS (SELECT media_id, fp, unnest(range(0, 4)) AS band FROM h),
+      |bk AS (SELECT media_id, fp, band,
+      |         (fp >> CAST(band * 14 AS INT)) & 16383 AS key FROM bands)"""
+      .stripMargin
+
+  /** Spark twin of [[phashBandsCte]]'s `h`: (media_id, fp). */
+  private def phashFp(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d, "documents")
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").as("media_id"), col("text"),
+        length(col("text")).as("n"))
+      .withColumn("px", expr("transform(sequence(0, 63)," +
+        " k -> ascii(substr(text, CAST((k * n) DIV 64 AS INT) + 1, 1)))"))
+      .withColumn("fp", expr("""aggregate(sequence(0, 55), 0L, (a, k) ->
+        a + CASE WHEN element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 1)
+                    > element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 2)
+                 THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)"""))
+      .select(col("media_id"), col("fp"))
+
+  /** Spark twin of [[phashBandsCte]]'s `bk`. */
+  private def phashBands(fp: org.apache.spark.sql.DataFrame) =
+    fp.select(col("media_id"), col("fp"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("fp"), b * 14).bitwiseAND(lit(16383L))): _*))
+      .as(Seq("band", "key")))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- binary column plumbing, oracle-checked ----
@@ -223,52 +273,17 @@ object MultimodalQueries {
     // n²/2^14-bounded and verified pairs carry an exact hamming
     // distance. ----
     QueryDef("q_multimodal_phash", Some(
-      """WITH img AS (
-        |  SELECT doc_id AS media_id, text, length(text) AS n
-        |  FROM documents WHERE doc_id % 3 = 0),
-        |g AS (
-        |  SELECT media_id,
-        |    list_transform(range(0, 64),
-        |      k -> ascii(substr(text, CAST((k * n) // 64 AS INT) + 1, 1)))
-        |      AS px
-        |  FROM img),
-        |h AS (
-        |  SELECT media_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(0, 56), k ->
-        |        CASE WHEN px[CAST((k // 7) * 8 + (k % 7) AS INT) + 1]
-        |                  > px[CAST((k // 7) * 8 + (k % 7) AS INT) + 2]
-        |             THEN CAST(1 AS BIGINT) << CAST(k AS INT)
-        |             ELSE CAST(0 AS BIGINT) END)),
-        |      (a, b) -> a + b) AS fp
-        |  FROM g),
-        |bands AS (SELECT media_id, fp, unnest(range(0, 4)) AS band FROM h),
-        |bk AS (SELECT media_id, fp, band,
-        |         (fp >> CAST(band * 14 AS INT)) & 16383 AS key FROM bands)
-        |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
-        |  (bit_count(xor(a.fp, b.fp)) <= 12) AS is_dup
-        |FROM bk a JOIN bk b
-        |  ON a.band = b.band AND a.key = b.key
-        | AND a.media_id < b.media_id""".stripMargin))(
+      s"""WITH $phashBandsCte
+         |SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+         |  (bit_count(xor(a.fp, b.fp)) <= 12) AS is_dup
+         |FROM bk a JOIN bk b
+         |  ON a.band = b.band AND a.key = b.key
+         | AND a.media_id < b.media_id""".stripMargin))(
       (s, d) => {
-        val img = Tables(s, d, "documents")
-          .where(pmod(col("doc_id"), lit(3)) === 0)
-          .select(col("doc_id").as("media_id"), col("text"),
-            length(col("text")).as("n"))
-        val fp = img
-          .withColumn("px", expr("transform(sequence(0, 63)," +
-            " k -> ascii(substr(text, CAST((k * n) DIV 64 AS INT) + 1, 1)))"))
-          .withColumn("fp", expr("""aggregate(sequence(0, 55), 0L, (a, k) ->
-            a + CASE WHEN element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 1)
-                        > element_at(px, CAST((k DIV 7) * 8 + (k % 7) AS INT) + 2)
-                     THEN shiftleft(1L, CAST(k AS INT)) ELSE 0L END)"""))
-          .select(col("media_id"), col("fp"))
+        val fp = phashFp(s, d)
           .persist() // banded self-join reads it twice
-        val bands = fp.select(col("media_id"), col("fp"), posexplode(
-          array((0 until 4).map(b =>
-            shiftright(col("fp"), b * 14).bitwiseAND(lit(16383L))): _*))
-          .as(Seq("band", "key")))
+        val bands = phashBands(fp)
         bands.alias("x")
           .join(bands.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -279,6 +294,63 @@ object MultimodalQueries {
               .as("hamming"))
           .withColumn("is_dup", col("hamming") <= 12)
           .distinct()
+      }),
+
+    // ---- phash near-dup CLUSTERING: the release artifact on top of
+    // q_multimodal_phash's pair stream — transitively-linked images
+    // (Hamming ≤ 12 through the 4×14-bit band index) grouped under a
+    // min-id cluster label with keeper selection, exactly the
+    // q_dedup_clusters contract on the image universe. NO all-pairs
+    // Hamming anywhere: candidates come only from band-bucket
+    // collisions (PlanGuard sweeps this plan like every other), and
+    // the clustering loop is the checkpointed pointer-doubling CC in
+    // ops.ConnectedComponents, running on the edge-touched subgraph
+    // only — singletons rejoin via the final left join. ----
+    QueryDef("q_multimodal_phash_dedup", Some(
+      s"""WITH RECURSIVE $phashBandsCte,
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+         |    a.fp AS fa, b.fp AS fb
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.key = b.key
+         |   AND a.media_id < b.media_id),
+         |dpairs AS (
+         |  SELECT ma, mb FROM cand WHERE bit_count(xor(fa, fb)) <= 12),
+         |edges AS (SELECT ma AS a, mb AS b FROM dpairs
+         |          UNION ALL SELECT mb AS a, ma AS b FROM dpairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+         |)
+         |SELECT i.media_id,
+         |  least(i.media_id, coalesce(min(r.b), i.media_id)) AS cluster_id,
+         |  (least(i.media_id, coalesce(min(r.b), i.media_id)) = i.media_id)
+         |    AS is_keeper
+         |FROM img i LEFT JOIN reach r ON r.a = i.media_id
+         |GROUP BY i.media_id""".stripMargin))(
+      (s, d) => {
+        val fp = phashFp(s, d)
+          .persist() // banded self-join + final id universe
+        val bands = phashBands(fp)
+        val pairs = bands.alias("x")
+          .join(bands.alias("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.media_id") < col("y.media_id"))
+          .select(col("x.media_id").as("ma"), col("y.media_id").as("mb"),
+            col("x.fp").as("fa"), col("y.fp").as("fb"))
+          .distinct()
+          .where(bit_count(col("fa").bitwiseXOR(col("fb"))) <= 12)
+          .select(col("ma"), col("mb"))
+        val edges = pairs.union(pairs.select(col("mb"), col("ma")))
+          .toDF("a", "b").persist()
+        val labels = graft.ops.ConnectedComponents.labels(s, edges)
+        fp.select(col("media_id"))
+          .join(labels, col("media_id") === col("node"), "left")
+          .select(col("media_id"),
+            coalesce(col("label"), col("media_id")).as("cluster_id"),
+            (coalesce(col("label"), col("media_id")) === col("media_id"))
+              .as("is_keeper"))
       })
   )
 

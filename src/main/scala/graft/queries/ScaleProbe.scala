@@ -85,6 +85,25 @@ object ScaleProbe {
     n
   }
 
+  /** Duplicated (doc, window-position) count — the stream entering
+    * q_dedup_substring_spans' run-length grouping, and its only
+    * per-doc-windowed exchange. Tracks the corpus's DUPLICATED bytes:
+    * on the 10×-replica corpus it must grow ~×10 (each replica keeps
+    * the original's cross-doc duplication, vocabularies are disjoint),
+    * never ~×100. */
+  private def substringDupWindows(spark: SparkSession, dir: String): Long = {
+    import graft.functions.GraftFunctions
+    val wins = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.shingleHashes(col("w"), 16, TextOps.P))
+          .as(Seq("i", "h")))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("h"))
+    wins.join(dup, "h").select(col("doc_id"), col("i")).distinct().count()
+  }
+
   /** Candidate-pair count of the LSH band-bucket join — same banding
     * as q_dedup_minhash_lsh (DedupQueries.scala:303-318). */
   private def lshCandidates(spark: SparkSession, dir: String): Long = {
@@ -277,6 +296,7 @@ object ScaleProbe {
     // (query, input table, candidate counter)
     val probes: Seq[(String, String, (SparkSession, String) => Long)] = Seq(
       ("q_dedup_ngram_jaccard", "documents", ngramCandidates),
+      ("q_dedup_substring_spans", "documents", substringDupWindows),
       ("q_dedup_minhash_lsh", "documents", lshCandidates),
       ("q_ann_brute_topk", "embeddings", annCandidates(_, _, brute = true)),
       ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)),

@@ -112,6 +112,62 @@ object SimilarityQueries {
         transform(col("sums"),
           x => x.cast("double") / lit(1e9) / col("cnt")).as("centroid"))
 
+  /** Shared incremental-IVF delta CTEs (SQL): base/delta split (every
+    * 10th vector plays the increment), base-trained centroids, and the
+    * delta's nearest-centroid routing — factored so
+    * q_ann_ivf_incremental and q_ann_ivf_retrain_signal share ONE
+    * text and cannot drift. Produces `nb`, `nd`, `cent`, `route`. */
+  private[queries] lazy val ivfDeltaCte: String =
+    s"""nb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 10 <> 7),
+       |nd AS (
+       |  SELECT vec_id, label AS old_label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id % 10 = 7),
+       |g AS (
+       |  SELECT label, d.d AS dim,
+       |    CAST(sum(CAST(floor(v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
+       |    count(*) AS cnt
+       |  FROM nb, range(0, $dim) d(d) GROUP BY label, d.d),
+       |cent AS (
+       |  SELECT label AS code,
+       |    list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS centroid
+       |  FROM g GROUP BY label),
+       |dist AS (
+       |  SELECT nd.vec_id, nd.old_label, cent.code,
+       |    ${dotDSql("nd.v", "nd.v")} - 2.0 * ${dotDSql("nd.v", "cent.centroid")}
+       |      + ${dotDSql("cent.centroid", "cent.centroid")} AS d2
+       |  FROM nd, cent),
+       |route AS (
+       |  SELECT vec_id, old_label, code, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** Spark twin of [[ivfDeltaCte]]: (all, nb, cent, route) — `all` is
+    * the persisted table scan the caller should rely on for reuse. */
+  private[queries] def ivfDeltaFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val all = Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      // persisted: nb feeds centroid training AND per-cell aggregates,
+      // nd the routing — three scans of the table otherwise
+      .persist()
+    val nb = all.where(pmod(col("vec_id"), lit(10L)) =!= 7)
+    val nd = all.where(pmod(col("vec_id"), lit(10L)) === 7)
+      .select(col("vec_id"), col("label").as("old_label"), col("v"))
+    val cent = centroidsOf(nb.select(col("label"), col("v")), "label")
+    val routeW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("code").asc)
+    val route = nd.crossJoin(broadcast(cent))
+      .withColumn("d2", GraftFunctions.dot(col("v"), col("v"))
+        - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+        + GraftFunctions.dot(col("centroid"), col("centroid")))
+      .withColumn("rn", row_number().over(routeW))
+      .where(col("rn") === 1)
+    (all, nb, cent, route)
+  }
+
   /** Shared IVF-PQ ADC pipeline (SQL): nprobe=2 coarse routing + ADC
     * over probed cells, on top of [[pqBaseSql]]'s CTEs. Produces
     * `adc(query_id, candidate_id, adc_scaled)`. */
@@ -376,30 +432,7 @@ object SimilarityQueries {
     // per-cell count aggregate, and NOTHING re-scans base vectors
     // per delta row. ----
     QueryDef("q_ann_ivf_incremental", Some(
-      s"""WITH nb AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id % 10 <> 7),
-         |nd AS (
-         |  SELECT vec_id, label AS old_label, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings WHERE vec_id % 10 = 7),
-         |g AS (
-         |  SELECT label, d.d AS dim,
-         |    CAST(sum(CAST(floor(v[d.d + 1] * 1000000000.0) AS BIGINT)) AS BIGINT) AS ssum,
-         |    count(*) AS cnt
-         |  FROM nb, range(0, $dim) d(d) GROUP BY label, d.d),
-         |cent AS (
-         |  SELECT label AS code,
-         |    list(CAST(ssum AS DOUBLE) / 1000000000.0 / cnt ORDER BY dim) AS centroid
-         |  FROM g GROUP BY label),
-         |dist AS (
-         |  SELECT nd.vec_id, nd.old_label, cent.code,
-         |    ${dotDSql("nd.v", "nd.v")} - 2.0 * ${dotDSql("nd.v", "cent.centroid")}
-         |      + ${dotDSql("cent.centroid", "cent.centroid")} AS d2
-         |  FROM nd, cent),
-         |route AS (
-         |  SELECT vec_id, old_label, code, d2 FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d2, code) AS rn FROM dist) WHERE rn = 1),
+      s"""WITH $ivfDeltaCte,
          |b AS (SELECT label AS cell, count(*) AS n_base FROM nb GROUP BY label),
          |a AS (
          |  SELECT code AS cell, count(*) AS n_added,
@@ -415,24 +448,7 @@ object SimilarityQueries {
          |  CAST(b.n_base + coalesce(a.n_added, 0) AS BIGINT) AS n_total
          |FROM b LEFT JOIN a ON a.cell = b.cell""".stripMargin))(
       (s, d) => {
-        val all = Tables(s, d, "embeddings")
-          .select(col("vec_id"), col("label"),
-            col("embedding").cast("array<double>").as("v"))
-          // persisted: nb feeds the centroid training AND the per-cell
-          // count, nd the routing — three scans of the table otherwise
-          .persist()
-        val nb = all.where(pmod(col("vec_id"), lit(10L)) =!= 7)
-        val nd = all.where(pmod(col("vec_id"), lit(10L)) === 7)
-          .select(col("vec_id"), col("label").as("old_label"), col("v"))
-        val cent = centroidsOf(nb.select(col("label"), col("v")), "label")
-        val routeW = Window.partitionBy(col("vec_id"))
-          .orderBy(col("d2").asc, col("code").asc)
-        val route = nd.crossJoin(broadcast(cent))
-          .withColumn("d2", GraftFunctions.dot(col("v"), col("v"))
-            - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
-            + GraftFunctions.dot(col("centroid"), col("centroid")))
-          .withColumn("rn", row_number().over(routeW))
-          .where(col("rn") === 1)
+        val (_, nb, _, route) = ivfDeltaFrames(s, d)
         val b = nb.groupBy(col("label").as("cell"))
           .agg(count(lit(1)).as("n_base"))
         val a = route.groupBy(col("code"))
@@ -448,6 +464,93 @@ object SimilarityQueries {
             coalesce(col("n_stable"), lit(0L)).as("n_stable"),
             coalesce(col("sum_d2_scaled"), lit(0L)).as("sum_d2_scaled"),
             (col("n_base") + coalesce(col("n_added"), lit(0L))).as("n_total"))
+      }),
+
+    // ---- IVF RE-TRAIN trigger: the drift report that decides when
+    // incremental maintenance (q_ann_ivf_incremental) stops being
+    // enough and the coarse quantizer must be re-trained. Per cell:
+    // the added/base growth ratio and the delta epoch's mean
+    // assignment distance vs the BASE epoch's (base vectors scored
+    // against their own trained centroid — the epoch the index was
+    // built from). Both trigger flags are exact integer compares on
+    // the 1e9-scaled distance sums (HUGEINT/DECIMAL(38,0) cross
+    // products — no FP boundary risk): growth fires at added/base >
+    // 20% (5·added > base), inflation at mean-delta/mean-base > 1.2
+    // (5·Σd_delta·n_base > 6·Σd_base·n_added). Scale: everything
+    // after the shared routing is two |cells|-row aggregates joined
+    // on cell; the base-epoch distances ride the SAME broadcast
+    // k-row centroid table as the routing — the corpus never
+    // shuffles for a join here either. ----
+    QueryDef("q_ann_ivf_retrain_signal", Some(
+      s"""WITH $ivfDeltaCte,
+         |bd AS (
+         |  SELECT nb.label AS cell, count(*) AS n_base,
+         |    CAST(sum(CAST(floor((${dotDSql("nb.v", "nb.v")}
+         |      - 2.0 * ${dotDSql("nb.v", "cent.centroid")}
+         |      + ${dotDSql("cent.centroid", "cent.centroid")})
+         |        * 1000000000.0) AS BIGINT)) AS BIGINT) AS base_d2_scaled
+         |  FROM nb JOIN cent ON cent.code = nb.label GROUP BY nb.label),
+         |ad AS (
+         |  SELECT code AS cell, count(*) AS n_added,
+         |    CAST(sum(CAST(floor(d2 * 1000000000.0) AS BIGINT)) AS BIGINT)
+         |      AS delta_d2_scaled
+         |  FROM route GROUP BY code)
+         |SELECT bd.cell, CAST(bd.n_base AS BIGINT) AS n_base,
+         |  coalesce(ad.n_added, 0) AS n_added,
+         |  bd.base_d2_scaled,
+         |  coalesce(ad.delta_d2_scaled, 0) AS delta_d2_scaled,
+         |  CASE WHEN bd.n_base = 0 THEN NULL
+         |    ELSE CAST(bd.base_d2_scaled AS DOUBLE) / 1000000000.0 / bd.n_base
+         |  END AS mean_base_d2,
+         |  CASE WHEN coalesce(ad.n_added, 0) = 0 THEN NULL
+         |    ELSE CAST(ad.delta_d2_scaled AS DOUBLE) / 1000000000.0 / ad.n_added
+         |  END AS mean_delta_d2,
+         |  (5 * coalesce(ad.n_added, 0) > bd.n_base) AS growth_flag,
+         |  (coalesce(ad.n_added, 0) > 0 AND
+         |   5 * CAST(coalesce(ad.delta_d2_scaled, 0) AS HUGEINT) * bd.n_base
+         |     > 6 * CAST(bd.base_d2_scaled AS HUGEINT) * ad.n_added)
+         |    AS inflation_flag,
+         |  ((5 * coalesce(ad.n_added, 0) > bd.n_base) OR
+         |   (coalesce(ad.n_added, 0) > 0 AND
+         |    5 * CAST(coalesce(ad.delta_d2_scaled, 0) AS HUGEINT) * bd.n_base
+         |      > 6 * CAST(bd.base_d2_scaled AS HUGEINT) * ad.n_added))
+         |    AS retrain
+         |FROM bd LEFT JOIN ad ON ad.cell = bd.cell""".stripMargin))(
+      (s, d) => {
+        val (_, nb, cent, route) = ivfDeltaFrames(s, d)
+        val bd = nb.join(broadcast(cent), col("code") === col("label"))
+          .withColumn("bd2", GraftFunctions.dot(col("v"), col("v"))
+            - lit(2.0) * GraftFunctions.dot(col("v"), col("centroid"))
+            + GraftFunctions.dot(col("centroid"), col("centroid")))
+          .groupBy(col("label").as("cell"))
+          .agg(count(lit(1)).as("n_base"),
+            sum(floor(col("bd2") * lit(1e9)).cast("bigint"))
+              .as("base_d2_scaled"))
+        val ad = route.groupBy(col("code").as("cell"))
+          .agg(count(lit(1)).as("n_added"),
+            sum(floor(col("d2") * lit(1e9)).cast("bigint"))
+              .as("delta_d2_scaled"))
+        val nAdd = coalesce(col("n_added"), lit(0L))
+        val dScaled = coalesce(col("delta_d2_scaled"), lit(0L))
+        val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+        val growth = lit(5) * nAdd > col("n_base")
+        val inflation = nAdd > 0 &&
+          dec(lit(5)) * dec(dScaled) * dec(col("n_base")) >
+            dec(lit(6)) * dec(col("base_d2_scaled")) * dec(nAdd)
+        bd.join(ad, Seq("cell"), "left_outer")
+          .select(col("cell"), col("n_base"),
+            nAdd.as("n_added"),
+            col("base_d2_scaled"),
+            dScaled.as("delta_d2_scaled"),
+            when(col("n_base") === 0, lit(null).cast("double"))
+              .otherwise(col("base_d2_scaled").cast("double") / lit(1e9)
+                / col("n_base")).as("mean_base_d2"),
+            when(nAdd === 0, lit(null).cast("double"))
+              .otherwise(col("delta_d2_scaled").cast("double") / lit(1e9)
+                / col("n_added")).as("mean_delta_d2"),
+            growth.as("growth_flag"),
+            inflation.as("inflation_flag"),
+            (growth || inflation).as("retrain"))
       }),
 
     // ---- LSH: hyperplane sign signatures, banded buckets ----

@@ -620,6 +620,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(nl.nonEmpty, s"centroid routing must broadcast the centroids:\n$plan")
   }
 
+  test("IVF retrain signal: base-epoch distances ride broadcast centroids") {
+    // the drift report must not make the maintenance decision more
+    // expensive than the maintenance: base vectors score against the
+    // k-row centroid table via a BROADCAST join (cartesian-free), and
+    // everything downstream is |cells|-row aggregates
+    val df = Catalog.byName("q_ann_ivf_retrain_signal").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val carts = collectAll(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(carts.isEmpty, s"no cartesian in the drift report:\n$plan")
+    val shuffledBase = collectAll(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+        if j.joinType == org.apache.spark.sql.catalyst.plans.Inner => j
+    }
+    assert(shuffledBase.isEmpty,
+      s"base vectors must join centroids via broadcast, never a shuffle:\n$plan")
+  }
+
   test("ccnet buckets + interpolation: all windows are partition-keyed") {
     // both queries window per lang / per event_type — an unpartitioned
     // window would funnel the corpus through one task
