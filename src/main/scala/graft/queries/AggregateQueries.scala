@@ -1093,6 +1093,48 @@ object AggregateQueries {
             ((dev * dev).cast("double")
               / (col("n").cast("double") * col("p_e9") * 1000000000L))
               .as("chi2_contrib"))
+      }),
+
+    // ---- Simpson diversity index per column (profiling): the
+    // probability two random rows share a value, Σnᵢ(nᵢ−1)/(N(N−1)) —
+    // the log-free concentration statistic (entropy needs
+    // transcendentals, banned by the parity rules; Simpson is an
+    // exact rational → 1e9-scaled integer). High for near-constant
+    // columns, →0 for key-like ones: the profiler signal that picks
+    // dictionary-encoding, skew-salting and stats collection
+    // candidates. Σnᵢ(nᵢ−1) exceeds int64 at scale — accumulated in
+    // DECIMAL(38,0)/HUGEINT, one division at the end. Scale: one
+    // union-scan + per-column histogram agg; output = 3 rows. ----
+    QueryDef("q_profile_simpson", Some(
+      """WITH vals AS (
+        |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS val
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders),
+        |h AS (SELECT col_name, val, count(*) AS cnt FROM vals GROUP BY 1, 2)
+        |SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n,
+        |  count(*) AS n_distinct,
+        |  CAST((1000000000 * sum(cnt * (cnt - 1)))
+        |    // (CAST(sum(cnt) AS HUGEINT) * (sum(cnt) - 1)) AS BIGINT)
+        |    AS simpson_e9
+        |FROM h GROUP BY col_name""".stripMargin))(
+      (s, d) => {
+        def colVals(name: String, c: org.apache.spark.sql.Column) =
+          Tables(s, d, "orders").select(lit(name).as("col_name"),
+            c.cast("string").as("val"))
+        colVals("o_orderstatus", col("o_orderstatus"))
+          .unionAll(colVals("o_orderpriority", col("o_orderpriority")))
+          .unionAll(colVals("o_custkey", col("o_custkey")))
+          .groupBy(col("col_name"), col("val"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("col_name"))
+          .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_distinct"),
+            sum((col("cnt") * (col("cnt") - 1)).cast("decimal(38,0)"))
+              .as("ss"))
+          .select(col("col_name"), col("n"), col("n_distinct"),
+            expr("CAST((1000000000 * ss) DIV (CAST(n AS DECIMAL(38,0))" +
+              " * (n - 1)) AS BIGINT)").as("simpson_e9"))
       })
   )
 

@@ -297,6 +297,98 @@ object CorpusPrepQueries {
             }
           }
           .toDF("doc_id", "shard", "bin", "n_tokens", "fill_after")
+      }),
+
+    // ---- length-bucketed batching (dynamic batching): docs group
+    // into 64-token-wide length buckets; a bucket with max length L
+    // packs cap = max(1, 4096 DIV L) docs per batch, so every batch
+    // pads only to ITS bucket's ceiling instead of the global max —
+    // the standard padding-waste reduction for variable-length
+    // training batches. Per bucket: batch count (exact ceil by
+    // integer arithmetic), padded-token total (batch grid minus real
+    // tokens), and a 1e6-scaled fill efficiency. Scale: ONE
+    // shuffle-free scan + one |buckets|-key hash-agg (bucket count ≤
+    // max-doc-len/64, data-independent); no window, no join. ----
+    QueryDef("q_pack_length_bucketed", Some(
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT n, n // 64 AS bucket, 64 * (n // 64 + 1) AS maxlen
+        |      FROM t),
+        |g AS (SELECT bucket, maxlen,
+        |    CASE WHEN 4096 // maxlen > 1 THEN 4096 // maxlen ELSE 1 END
+        |      AS cap,
+        |    count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY bucket, maxlen)
+        |SELECT bucket, maxlen, cap, n_docs,
+        |  (n_docs + cap - 1) // cap AS n_batches,
+        |  CAST(((n_docs + cap - 1) // cap) * cap * maxlen - sum_tokens
+        |    AS BIGINT) AS padded_tokens,
+        |  CAST((1000000 * sum_tokens)
+        |    // (((n_docs + cap - 1) // cap) * cap * maxlen) AS BIGINT)
+        |    AS fill_ppm
+        |FROM g""".stripMargin))(
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+          .select(size(tokens(col("text"))).cast("bigint").as("n"))
+        val g = t
+          .select(col("n"), expr("n DIV 64").as("bucket"),
+            expr("64 * (n DIV 64 + 1)").as("maxlen"))
+          .select(col("n"), col("bucket"), col("maxlen"),
+            greatest(expr("4096 DIV maxlen"), lit(1L)).as("cap"))
+          .groupBy(col("bucket"), col("maxlen"), col("cap"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+        g.select(col("bucket"), col("maxlen"), col("cap"), col("n_docs"),
+          expr("(n_docs + cap - 1) DIV cap").as("n_batches"),
+          expr("((n_docs + cap - 1) DIV cap) * cap * maxlen - sum_tokens")
+            .as("padded_tokens"),
+          expr("(1000000 * sum_tokens) DIV " +
+            "(((n_docs + cap - 1) DIV cap) * cap * maxlen)").as("fill_ppm"))
+      }),
+
+    // ---- deterministic epoch shuffle: every epoch needs a fresh,
+    // reproducible global permutation of the corpus. Position =
+    // rank of h32(doc_id # epoch) within the epoch — but computed
+    // WITHOUT a global sort: the hash's high bits define 32 ordered
+    // shards (shard = key DIV 2^27 preserves key order across shard
+    // boundaries), each shard ranks locally in parallel, and a
+    // 64-row per-(epoch, shard) count table turns local ranks into
+    // global positions via an exclusive cumsum computed over shard
+    // AGGREGATES only and broadcast back. Deterministic under any
+    // partitioning (pure function of doc_id — no rand(), whose
+    // sequence is partition-relative). Scale: one corpus shuffle on
+    // the shard key per epoch batch; the single-partition window
+    // touches 64 aggregate rows, never the corpus. ----
+    QueryDef("q_corpus_epoch_shuffle", Some(
+      s"""WITH k AS (
+         |  SELECT doc_id, e.e AS epoch,
+         |    ${h32Sql("CAST(doc_id AS VARCHAR) || '#' || CAST(e.e AS VARCHAR)")} AS key
+         |  FROM documents, (SELECT e FROM range(0, 2) t(e)) e)
+         |SELECT doc_id, epoch,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM k""".stripMargin))(
+      (s, d) => {
+        val k = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), lit(1L))).as("epoch"))
+          .select(col("doc_id"), col("epoch"),
+            h32(concat(col("doc_id").cast("string"), lit("#"),
+              col("epoch").cast("string"))).as("key"))
+          .withColumn("shard", expr("key DIV 134217728")) // 2^27: 32 ordered shards
+        val offs = k.groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("off",
+            coalesce(sum(col("cnt")).over(
+              Window.partitionBy(col("epoch")).orderBy(col("shard"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("epoch"), col("shard"), col("off"))
+        val local = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("key").asc, col("doc_id").asc)
+        k.withColumn("rn", row_number().over(local))
+          .join(broadcast(offs), Seq("epoch", "shard"))
+          .select(col("doc_id"), col("epoch"),
+            (col("off") + col("rn")).cast("bigint").as("pos"))
       })
   )
 }

@@ -164,7 +164,7 @@ object DedupQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
        |)""".stripMargin
 
-  private lazy val clustersSelect: String =
+  private[queries] lazy val clustersSelect: String =
     """SELECT d.doc_id,
       |  least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id,
       |  (least(d.doc_id, coalesce(min(r.b), d.doc_id)) = d.doc_id) AS is_keeper

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.functions.GraftFunctions
 import graft.ops.TextOps._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -427,6 +428,73 @@ object EvalQueries {
     // division. Scale shape: brute leg = broadcast query batch ×
     // corpus into a rank-1 cut (the exact-oracle shape, whitelisted);
     // IVF leg ranks only within the query's cell. ----
+    // ---- recall@5 of DIMENSION-TRUNCATED cosine vs full cosine:
+    // the Matryoshka/MRL design question — how much ranking quality
+    // survives keeping only the first 16 of 64 dims (4× cheaper
+    // distance math and memory)? Both legs are the whitelisted
+    // broadcast-query-set brute shape; the truncated leg slices the
+    // SAME vectors and renormalizes, so the comparison isolates the
+    // dimensionality choice. Per query: hits among the exact top-5.
+    // Scale: query-set-sized output, corpus never shuffles; this is
+    // an AUDIT query — run it on a sample before committing the
+    // production index to truncated vectors. ----
+    QueryDef("q_eval_dim_truncation_recall", Some {
+      import SimilarityQueries.querySetPred
+      def rankCte(src: String, out: String) =
+        s"""$out AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+           |          c.vec_id) AS rnk
+           |    FROM (SELECT * FROM $src WHERE $querySetPred) q
+           |    JOIN $src c ON c.vec_id <> q.vec_id)
+           |  WHERE rnk <= $k)""".stripMargin
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+         |  FROM embeddings),
+         |f AS (SELECT vec_id, v0 AS v, ${normDSql("v0")} AS nrm FROM base),
+         |t AS (SELECT vec_id, v0[1:16] AS v, ${normDSql("v0[1:16]")} AS nrm
+         |      FROM base),
+         |${rankCte("f", "full_top")},
+         |${rankCte("t", "trunc_top")}
+         |SELECT ft.query_id, count(tt.neighbor_id) AS n_hits,
+         |  count(tt.neighbor_id) / ${k}.0 AS recall_at_$k
+         |FROM full_top ft LEFT JOIN trunc_top tt
+         |  ON tt.query_id = ft.query_id AND tt.neighbor_id = ft.neighbor_id
+         |GROUP BY ft.query_id""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{querySetPred, vecs}
+        def topk(n: DataFrame): DataFrame = {
+          val q = n.where(expr(querySetPred))
+            .select(col("vec_id").as("query_id"), col("v").as("qv"),
+              col("nrm").as("qn"))
+          val c = n.select(col("vec_id").as("neighbor_id"),
+            col("v").as("cv"), col("nrm").as("cn"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+          broadcast(q).join(c, col("neighbor_id") =!= col("query_id"))
+            .withColumn("cos_sim",
+              GraftFunctions.dot(col("qv"), col("cv"))
+                / (col("qn") * col("cn")))
+            .withColumn("rnk", row_number().over(w))
+            .where(col("rnk") <= k)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+        val full = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+        val trunc = vecs(s, d)
+          .select(col("vec_id"), slice(col("v"), 1, 16).as("v"))
+          .withColumn("nrm", GraftFunctions.norm(col("v")))
+        topk(full).alias("ft")
+          .join(topk(trunc).alias("tt"),
+            col("tt.query_id") === col("ft.query_id") &&
+              col("tt.neighbor_id") === col("ft.neighbor_id"), "left")
+          .groupBy(col("ft.query_id").as("query_id"))
+          .agg(count(col("tt.neighbor_id")).as("n_hits"),
+            (count(col("tt.neighbor_id")) / lit(k.toDouble))
+              .as(s"recall_at_$k"))
+      }),
+
     QueryDef("q_eval_mrr", Some {
       import SimilarityQueries.querySetPred
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -1785,6 +1785,159 @@ object EventAnalyticsQueries {
             col("cusum_n").cast("bigint").as("cusum_n"),
             (col("cusum_n").cast("double") / col("nd")).as("cusum_cents"),
             (col("cusum_n") > lit(2) * col("sx")).as("alarm"))
+      }),
+
+    // ---- Markov stationary distribution of the event-type chain:
+    // the row-stochastic transition matrix (same per-user lag
+    // construction as q_events_transitions, '<start>' excluded) in
+    // 1e9-scaled integer probabilities, then THREE power-iteration
+    // steps from a uniform 1e6-mass start — π·P iterated as a
+    // |states|²-row broadcast join + hash-agg, every step exact
+    // integer ((Σ πᵢ·pᵢⱼ) DIV 1e9; magnitudes ≤ 5e15, int64 holds).
+    // The converged π is the "where do users spend their time"
+    // statistic behind session simulators and load models. Scale:
+    // ONE corpus-sized window pass builds the counts; every
+    // iteration after that touches |types|² rows regardless of data
+    // size. ----
+    QueryDef("q_events_markov_stationary", Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT p.next_type AS st,
+           |    CAST(CAST(sum($prev.pi * p.p_scaled) AS BIGINT)
+           |      // 1000000000 AS BIGINT) AS pi
+           |  FROM p JOIN $prev ON p.prev_type = $prev.st
+           |  GROUP BY p.next_type)""".stripMargin
+      s"""WITH s AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS prev_type
+         |  FROM events),
+         |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+         |      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+         |      FROM t GROUP BY 1),
+         |p AS (SELECT t.prev_type, t.next_type,
+         |        (1000000000 * t.n) // r.tot AS p_scaled
+         |      FROM t JOIN r ON t.prev_type = r.prev_type),
+         |pi0 AS (SELECT DISTINCT next_type AS st,
+         |          CAST(1000000 AS BIGINT) AS pi FROM t),
+         |${step("pi0", "pi1")},
+         |${step("pi1", "pi2")},
+         |${step("pi2", "pi3")}
+         |SELECT st AS state, pi AS pi3_scaled FROM pi3""".stripMargin
+    })(
+      (s, d) => {
+        val wUser = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val t = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(wUser).as("prev"))
+          .where(col("prev").isNotNull)
+          .groupBy(col("prev").as("prev_type"),
+            col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .persist() // row totals + states + the matrix all read it
+        val r = t.groupBy(col("prev_type")).agg(sum(col("n")).as("tot"))
+        val p = t.join(r, "prev_type")
+          .select(col("prev_type"), col("next_type"),
+            expr("(1000000000 * n) DIV tot").as("p_scaled"))
+          .localCheckpoint(true) // read by all three iterations
+        var pi = t.select(col("next_type").as("st")).distinct()
+          .select(col("st"), lit(1000000L).as("pi"))
+        for (_ <- 1 to 3) {
+          pi = p.join(pi.select(col("st").as("prev_type"), col("pi")),
+              "prev_type")
+            .groupBy(col("next_type").as("st"))
+            .agg(expr("CAST(CAST(sum(pi * p_scaled) AS BIGINT)" +
+              " DIV 1000000000 AS BIGINT)").as("pi"))
+        }
+        pi.select(col("st").as("state"), col("pi").as("pi3_scaled"))
+      }),
+
+    // ---- burst-episode detection: per event type, maximal runs of
+    // consecutive ABOVE-AVERAGE days (threshold = the type's daily
+    // mean, integer cross-multiplied n·nd > tot — no division) with
+    // episode start/end/length/peak/total — the activity-surge report
+    // behind capacity planning and anomaly triage, via the
+    // gaps-and-islands identity (day − row_number over in-burst days
+    // is constant within an episode). Scale: one corpus-sized
+    // (type, day) hash-agg; every window after runs at day grain,
+    // bounded by 366 rows per type-year regardless of event count. ----
+    QueryDef("q_events_bursts", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot,
+        |        count(*) AS nd
+        |      FROM daily GROUP BY 1),
+        |f AS (SELECT d.event_type, d.day, d.n
+        |      FROM daily d JOIN m ON d.event_type = m.event_type
+        |      WHERE d.n * m.nd > m.tot),
+        |g AS (SELECT event_type, day, n,
+        |        day - row_number() OVER (PARTITION BY event_type
+        |          ORDER BY day) AS grp
+        |      FROM f)
+        |SELECT event_type, min(day) AS start_day, max(day) AS end_day,
+        |  count(*) AS len_days, CAST(max(n) AS BIGINT) AS peak,
+        |  CAST(sum(n) AS BIGINT) AS total_events
+        |FROM g GROUP BY event_type, grp""".stripMargin))(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val m = daily.groupBy(col("event_type"))
+          .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+        val f = daily.join(m, "event_type")
+          .where(col("n") * col("nd") > col("tot"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        f.withColumn("grp", col("day") - row_number().over(w))
+          .groupBy(col("event_type"), col("grp"))
+          .agg(min(col("day")).as("start_day"),
+            max(col("day")).as("end_day"),
+            count(lit(1)).as("len_days"),
+            max(col("n")).cast("bigint").as("peak"),
+            sum(col("n")).cast("bigint").as("total_events"))
+          .drop("grp")
+      }),
+
+    // ---- index of dispersion (variance-to-mean ratio) of daily
+    // counts per event type: the Poisson overdispersion test — a
+    // Poisson arrival process has D = 1; D ≫ 1 means bursty/clumped
+    // arrivals (retries, bot storms), D ≪ 1 means rate-limited. With
+    // daily counts nᵢ over nd days, D = (nd·Σn² − tot²)/(nd·tot)
+    // exactly — emitted 1e6-scaled, one integer division, flag at
+    // D > 2. Scale: one (type, day) hash-agg over the corpus, then
+    // per-type scalar arithmetic on ≤ 366 rows/type. ----
+    QueryDef("q_events_dispersion", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS nd,
+        |  CAST(sum(n) AS BIGINT) AS tot,
+        |  CAST((1000000 * (count(*) * sum(n * n) - sum(n) * sum(n)))
+        |    // (count(*) * sum(n)) AS BIGINT) AS dispersion_e6,
+        |  (1000000 * (count(*) * sum(n * n) - sum(n) * sum(n)))
+        |    // (count(*) * sum(n)) > 2000000 AS overdispersed
+        |FROM daily GROUP BY event_type""".stripMargin))(
+      (s, d) => {
+        // tot² through DECIMAL(38,0): long² wraps once daily totals
+        // reach ~3e9 (plausible at 100 TB); the oracle's HUGEINT
+        // widens automatically
+        val de6 = expr("(1000000 * (nd * s2 -" +
+          " CAST(tot AS DECIMAL(38,0)) * tot)) DIV (nd * tot)")
+        Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"),
+            sum((col("n") * col("n")).cast("decimal(38,0)")).as("s2"))
+          .select(col("event_type"), col("nd"), col("tot"),
+            de6.cast("bigint").as("dispersion_e6"),
+            (de6 > 2000000L).as("overdispersed"))
       })
   )
 }

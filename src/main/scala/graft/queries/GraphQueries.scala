@@ -577,6 +577,60 @@ object GraphQueries {
         val (nodes, deg) = kcorePeel(s, d, k = 10, rounds = 4)
         nodes.join(deg, "node")
           .select(col("node"), col("dg").cast("bigint").as("core_deg"))
+      }),
+
+    // ---- BFS / unweighted single-source shortest paths on the
+    // co-purchase graph (source = min part id, deterministic): three
+    // frontier-expansion rounds unrolled identically in both dialects
+    // — each round is `reached ∪ (edges ⋈ reached)` followed by a
+    // min-distance aggregate, the canonical distributed BFS shape
+    // (Pregel's hop iteration as join+agg). Output is every node
+    // within 3 hops with its exact distance; reachability is monotone
+    // so parity holds round-for-round even pre-convergence. Scale:
+    // per-round cost is one equi-join on the frontier + one hash-agg
+    // — at diameter D run the ops.ConnectedComponents checkpointed
+    // loop shape (lineage cut per round, convergence test on the
+    // reached-count), exactly as the kcore note prescribes; no round
+    // ever materializes more than (reached ∪ frontier-expansion)
+    // rows. ----
+    QueryDef("q_graph_bfs", Some {
+      def round(prev: String, i: Int) =
+        s"""d_$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, p.dist + 1 AS dist
+           |    FROM e JOIN $prev p ON e.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      val rounds = (1 to 3).map(i =>
+        round(if (i == 1) "d_0" else s"d_${i - 1}", i)).mkString(",\n")
+      s"""WITH $coPurchaseUndCte,
+         |e AS MATERIALIZED (
+         |  SELECT p1 AS src, p2 AS dst FROM und
+         |  UNION ALL SELECT p2 AS src, p1 AS dst FROM und),
+         |d_0 AS (SELECT min(p1) AS node, 0 AS dist FROM und),
+         |$rounds
+         |SELECT node, CAST(dist AS BIGINT) AS dist FROM d_3""".stripMargin
+    })(
+      (s, d) => {
+        val und = coPurchaseUnd(s, d)
+        val e = und.select(col("p1").as("src"), col("p2").as("dst"))
+          .unionAll(und.select(col("p2").as("src"), col("p1").as("dst")))
+          .localCheckpoint(true) // both the source agg and 3 rounds read it
+        // min(src) over e == min(p1) over und (p1 < p2 on every edge),
+        // and e is already materialized — und is not re-derived
+        var reached = e.agg(min(col("src")).as("node"))
+          .select(col("node"), lit(0L).as("dist"))
+          .localCheckpoint(true)
+        for (_ <- 1 to 3) {
+          reached = reached
+            .unionAll(e
+              .join(reached.select(col("node").as("src"), col("dist")), "src")
+              .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint(true) // cut the doubling lineage per round
+        }
+        reached.select(col("node"), col("dist").cast("bigint").as("dist"))
       })
   )
 

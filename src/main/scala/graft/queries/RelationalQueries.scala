@@ -868,6 +868,131 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_lines"),
             sum(floor(col("l_quantity") * 100 + 0.5).cast("bigint"))
               .as("qty_cents"))
+      }),
+
+    // ---- incremental view maintenance for a JOIN view: the delta
+    // algebra (O∪ΔO)⋈(L∪ΔL) = O⋈L ∪ ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL, with each
+    // quadrant partially aggregated and the partials merged by a
+    // second groupBy (counts/sums merge by SUM — the same contract
+    // q_agg_incremental_refresh pins for single-table aggs). The
+    // fixture's "deltas" are deterministic cross-cutting slices
+    // (o_orderkey % 7 on the orders side, l_linenumber > 4 on the
+    // lineitem side) so all four quadrants are non-empty. The full-
+    // recompute oracle pins maintain == recompute. Scale: at 100 TB
+    // the O⋈L base state is persisted between refreshes and only the
+    // three delta quadrants execute — cost ∝ |Δ|·join-fanout, never
+    // |base|; the delta sides carry no broadcast hint on purpose
+    // (a "delta" is small by convention, not by construction — AQE
+    // picks broadcast when a given refresh's delta actually is). ----
+    QueryDef("q_ivm_join_delta", Some(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS rev_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin))(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+              .as("cents"))
+        val oBase = o.where(pmod(col("o_orderkey"), lit(7L)) =!= 0)
+        val oDelta = o.where(pmod(col("o_orderkey"), lit(7L)) === 0)
+        val lBase = l.where(col("l_linenumber") <= 4)
+        val lDelta = l.where(col("l_linenumber") > 4)
+        def quadrant(of: DataFrame, lf: DataFrame): DataFrame =
+          of.join(lf, col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+        quadrant(oBase, lBase)
+          .unionAll(quadrant(oDelta, lBase))
+          .unionAll(quadrant(oBase, lDelta))
+          .unionAll(quadrant(oDelta, lDelta))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("pn")).as("n_lines"),
+            sum(col("pc")).as("rev_cents"))
+      }),
+
+    // ---- manual skew-join mitigation (the AQE-skew-join algebra made
+    // explicit, for engines/paths where OptimizeSkewedJoin can't fire,
+    // e.g. a join feeding a co-partitioned downstream op): a fact⋈fact
+    // self-join of events (clicks ⋈ views) on a SENTINEL-SKEWED key —
+    // every 10th user collapses to uid −1, modeling the production
+    // skew source (unknown/default/null-sentinel keys concentrating a
+    // constant FRACTION of both fact sides on one reducer; the
+    // fixture's organic user activity is uniform). Hot keys are
+    // detected from a key-histogram (count cross-multiplied against
+    // 4× the mean — integer, scale-free; at every sf it flags exactly
+    // the sentinel), then routed two ways: cold keys join plain; hot
+    // keys join SALTED — the click side tags pmod(event_id, 8), the
+    // view side explodes ×8 — so one hot key's pair-explosion spreads
+    // over 8 reducers instead of one. The plain-join oracle pins
+    // salted ∪ cold == unsalted. Scale: the histogram is |distinct
+    // keys| rows (broadcast-able after the hot filter — hot keys are
+    // few BY CONSTRUCTION of the threshold); per-reducer work for a
+    // key with d_c·d_v pairs drops from d_c·d_v to d_c·d_v/8 at the
+    // cost of replicating only the hot slice of the view side ×8. ----
+    QueryDef("q_join_skew_salted", Some(
+      """WITH c AS (SELECT
+        |    CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS user_id,
+        |    event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c_cents
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT
+        |    CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS user_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'view'),
+        |hist AS (SELECT user_id, count(*) AS n FROM c GROUP BY user_id),
+        |tot AS (SELECT count(*) AS nc, count(DISTINCT user_id) AS nu FROM c),
+        |hot AS (SELECT user_id FROM hist, tot WHERE n * nu > 4 * nc),
+        |j AS (SELECT c.user_id,
+        |    CAST(CASE WHEN hot.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |      AS BIGINT) AS is_hot,
+        |    c.c_cents, v.v_cents
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  LEFT JOIN hot ON c.user_id = hot.user_id)
+        |SELECT is_hot, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(c_cents + v_cents) AS BIGINT) AS sum_cents
+        |FROM j GROUP BY is_hot""".stripMargin))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val sentinel = when(col("user_id") % 10 === 0, lit(-1L))
+          .otherwise(col("user_id"))
+        val c = ev.where(col("event_type") === "click")
+          .select(sentinel.as("user_id"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("c_cents"))
+        val v = ev.where(col("event_type") === "view")
+          .select(sentinel.as("user_id"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("v_cents"))
+        val hist = c.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val tot = hist.agg(sum(col("n")).as("nc"),
+          count(lit(1)).as("nu"))
+        val hot = hist.crossJoin(broadcast(tot))
+          .where(col("n") * col("nu") > lit(4) * col("nc"))
+          .select(col("user_id"))
+        val salts = 8
+        // cold lane: plain equi-join after anti-joining the hot set
+        val cCold = c.join(broadcast(hot), Seq("user_id"), "left_anti")
+        val vCold = v.join(broadcast(hot), Seq("user_id"), "left_anti")
+        val cold = cCold.join(vCold, Seq("user_id"))
+          .select(col("user_id"), lit(0L).as("is_hot"),
+            col("c_cents"), col("v_cents"))
+        // hot lane: click rows salt deterministically, view rows
+        // explode across every salt — join key (user_id, salt)
+        val cHot = c.join(broadcast(hot), Seq("user_id"))
+          .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
+        val vHot = v.join(broadcast(hot), Seq("user_id"))
+          .withColumn("salt",
+            explode(sequence(lit(0L), lit(salts.toLong - 1))))
+        val hotJ = cHot.join(vHot, Seq("user_id", "salt"))
+          .select(col("user_id"), lit(1L).as("is_hot"),
+            col("c_cents"), col("v_cents"))
+        cold.unionAll(hotJ)
+          .groupBy(col("is_hot"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_pairs"),
+            sum(col("c_cents") + col("v_cents")).as("sum_cents"))
       })
   )
 

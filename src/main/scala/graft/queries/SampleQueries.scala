@@ -319,6 +319,43 @@ object SampleQueries {
         scored.withColumn("rnk", row_number().over(w).cast("bigint"))
           .select(col("doc_id"), col("score_scaled"), col("n_tokens"),
             col("rnk"))
+      }),
+
+    // ---- cluster-safe split: q_sample_split's content-hash keying
+    // stops EXACT-dup leakage, but near-duplicates hash differently
+    // and can still straddle train/test. This split keys on the
+    // NEAR-DUP CLUSTER id (composing q_dedup_clusters on both the
+    // plan and the oracle side), so an entire LSH cluster lands in
+    // one split by construction — the leakage-safe protocol for
+    // held-out evaluation (Lee et al.: near-dup train/test overlap
+    // inflates eval scores). Output is per-split doc and cluster
+    // accounting; the oracle recomputes the full assignment, so any
+    // drift in clustering OR hashing fails the gate. Scale: adds one
+    // vocabulary-free hash + a 3-key hash-agg on top of the
+    // clustering (whose near-linear candidate growth is measured in
+    // SCALING.md). ----
+    QueryDef("q_sample_split_cluster_safe", Some(
+      s"""WITH RECURSIVE ${DedupQueries.clustersPairsCte},
+         |cl AS (${DedupQueries.clustersSelect}),
+         |b AS (SELECT doc_id, cluster_id,
+         |    ${h32Sql("CAST(cluster_id AS VARCHAR)")} % 10 AS bk
+         |  FROM cl)
+         |SELECT CASE WHEN bk < 8 THEN 'train' WHEN bk = 8 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT cluster_id) AS n_clusters
+         |FROM b GROUP BY 1""".stripMargin))(
+      (s, d) => {
+        val cl = QueryDef.requireDef(DedupQueries.defs, "q_dedup_clusters",
+          "q_sample_split_cluster_safe").fn(s, d)
+        val bk = pmod(h32(col("cluster_id").cast("string")), lit(10L))
+        cl.select(col("doc_id"), col("cluster_id"), bk.as("bk"))
+          .select(col("doc_id"), col("cluster_id"),
+            when(col("bk") < 8, "train").when(col("bk") === 8, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
       })
   )
 }

@@ -294,7 +294,7 @@ object ScaleProbe {
       "sf0.1" -> "/root/testdata/sf0.1",
       "sf1" -> s"$outDir/sf1")
     // (query, input table, candidate counter)
-    val probes: Seq[(String, String, (SparkSession, String) => Long)] = Seq(
+    val allProbes: Seq[(String, String, (SparkSession, String) => Long)] = Seq(
       ("q_dedup_ngram_jaccard", "documents", ngramCandidates),
       ("q_dedup_substring_spans", "documents", substringDupWindows),
       ("q_dedup_minhash_lsh", "documents", lshCandidates),
@@ -302,7 +302,18 @@ object ScaleProbe {
       ("q_ann_ivf_label", "embeddings", annCandidates(_, _, brute = false)),
       ("q_events_rolling_distinct", "events", userDayCandidates),
       ("q_events_growth", "events", userDayCandidates),
-      ("q_events_cohort_ltv", "events", cohortOffsetCandidates))
+      ("q_events_cohort_ltv", "events", cohortOffsetCandidates),
+      // e2e DAG: the probe's sec/shuffle_bytes ARE the measurement
+      // (the r8 persist-boundary fix was measured only at sf0.1; the
+      // sf1 line shows whether the whole pipeline stays ~linear). The
+      // counter is corpus size — the pipeline's work unit.
+      ("q_corpus_export_e2e", "documents",
+        (s: SparkSession, dir: String) =>
+          Tables(s, dir, "documents").count()))
+    val probes = allProbes.filter { case (q, _, _) =>
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .forall(_.split(",").map(_.trim).contains(q))
+    }
 
     // warmup (JIT/codegen) on the smallest scale
     probes.foreach { case (q, _, _) =>

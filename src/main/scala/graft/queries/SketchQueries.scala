@@ -522,6 +522,66 @@ object SketchQueries {
           .agg(countDistinct(col("h")).as("exact7"))
         win.join(exact, "day")
           .select(col("day"), col("exact7"), col("theta"), col("est7"))
+      }),
+
+    // ---- join-size estimation from count-min sketches (the AGMS /
+    // CM inner-product estimator: |A ⋈_k B| = Σ_k d_A(k)·d_B(k) ≈
+    // min_r Σ_b cmA[r][b]·cmB[r][b]) — the statistic a planner needs
+    // BEFORE choosing a join strategy. Each side is summarized into
+    // depth×width = 4×256 integer counters regardless of key
+    // cardinality; the estimate per hash row is the bucket-vector
+    // inner product, a one-sided OVER-estimate (hash collisions only
+    // add cross terms), and min across the 4 independent rows is the
+    // estimator. The exact degree-histogram join pins the bound:
+    // est_r ≥ exact for every r. Scale: exact join-size needs a
+    // |distinct keys|-row histogram per side; the sketch shuffles
+    // 1024 cells per side TOTAL (partial-agg combine), so the
+    // estimate costs one scan per side and O(1) memory at 100 TB. ----
+    QueryDef("q_sketch_join_size", Some {
+      val width = 256; val depth = 4
+      s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+         |           WHERE event_type = 'click'),
+         |v AS (SELECT CAST(user_id AS VARCHAR) AS u FROM events
+         |      WHERE event_type = 'view'),
+         |rws AS (SELECT r FROM range(0, $depth) t(r)),
+         |cc AS (SELECT rws.r AS r,
+         |    ${h32Sql(s"u || '#' || CAST(rws.r AS VARCHAR)")} % $width AS b,
+         |    count(*) AS n
+         |  FROM c, rws GROUP BY 1, 2),
+         |vv AS (SELECT rws.r AS r,
+         |    ${h32Sql(s"u || '#' || CAST(rws.r AS VARCHAR)")} % $width AS b,
+         |    count(*) AS n
+         |  FROM v, rws GROUP BY 1, 2),
+         |est AS (SELECT cc.r AS r, CAST(sum(cc.n * vv.n) AS BIGINT) AS est_r
+         |  FROM cc JOIN vv ON cc.r = vv.r AND cc.b = vv.b GROUP BY cc.r),
+         |ex AS (SELECT CAST(sum(dc.n * dv.n) AS BIGINT) AS exact
+         |  FROM (SELECT u, count(*) AS n FROM c GROUP BY u) dc
+         |  JOIN (SELECT u, count(*) AS n FROM v GROUP BY u) dv
+         |    ON dc.u = dv.u)
+         |SELECT est.r, est.est_r, ex.exact FROM est CROSS JOIN ex"""
+        .stripMargin
+    })(
+      (s, d) => {
+        val width = 256L; val depth = 4L
+        val ev = Tables(s, d, "events")
+        def side(t: String) = ev.where(col("event_type") === t)
+          .select(col("user_id").cast("string").as("u"))
+        def cm(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("r", explode(sequence(lit(0L), lit(depth - 1))))
+          .select(col("r"),
+            (h32(concat(col("u"), lit("#"), col("r").cast("string")))
+              % width).as("b"))
+          .groupBy(col("r"), col("b")).agg(count(lit(1)).as("n"))
+        val c = side("click"); val v = side("view")
+        val est = cm(c).as("cc")
+          .join(cm(v).as("vv"), Seq("r", "b"))
+          .groupBy(col("r"))
+          .agg(sum(col("cc.n") * col("vv.n")).as("est_r"))
+        val exact = c.groupBy(col("u")).agg(count(lit(1)).as("nc"))
+          .join(v.groupBy(col("u")).agg(count(lit(1)).as("nv")), "u")
+          .agg(sum(col("nc") * col("nv")).as("exact"))
+        est.crossJoin(broadcast(exact))
+          .select(col("r"), col("est_r"), col("exact"))
       })
   )
 }

@@ -1153,6 +1153,110 @@ object TextQueries {
             (col("sum_p_scaled").cast("double") / col("n_bigrams")
               / lit(1000000000.0)).as("avg_prob"))),
 
+    // ---- interpolated Kneser-Ney bigram model (the standard n-gram
+    // smoothing; Chen & Goodman 1999), in EXACT integers: with
+    // discount d = 3/4,
+    //   p_kn(w2|w1) = (max(c(w1w2)-d, 0) + d·N1+(w1·)·N1+(·w2)/T)
+    //                 / c(w1·)
+    // where N1+(w1·)/N1+(·w2) are distinct-continuation counts and T
+    // is the bigram-type total. Clearing denominators by 4·T·c(w1·)
+    // gives kn_num = T·(4·c−3) + 3·N1+(w1·)·N1+(·w2) and
+    // kn_den = 4·T·c(w1·) — pure BIGINT (for OBSERVED bigrams c ≥ 1 so
+    // the max() never clips; unobserved bigrams fall entirely to the
+    // continuation term and are not enumerated here). Output is the
+    // n2 ≥ 5 slice so it stays vocabulary-bounded. Scale: every model
+    // frame (c2/c1/bw/T) is vocabulary²-bounded, never corpus-bound;
+    // the only corpus-sized pass is the bigram explode→hash-agg, and
+    // the continuation-count joins run against broadcast
+    // vocabulary-sized frames. ----
+    QueryDef("q_text_kn_bigram", Some(
+      s"""WITH bg AS (
+         |  SELECT g.g AS g
+         |  FROM (SELECT ${tokensSql("text")} AS w FROM documents),
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i+1])) AS g(g)),
+         |c2 AS (SELECT g, count(*) AS n2 FROM bg GROUP BY g),
+         |c1 AS (SELECT split_part(g, ' ', 1) AS prev,
+         |         CAST(sum(n2) AS BIGINT) AS n1, count(*) AS fwd
+         |       FROM c2 GROUP BY 1),
+         |bw AS (SELECT split_part(g, ' ', 2) AS nxt, count(*) AS bwd
+         |       FROM c2 GROUP BY 1),
+         |t AS (SELECT count(*) AS tt FROM c2)
+         |SELECT c2.g AS bigram, c2.n2 AS n2,
+         |  CAST(t.tt * (4 * c2.n2 - 3) + 3 * c1.fwd * bw.bwd AS BIGINT)
+         |    AS kn_num,
+         |  CAST(4 * t.tt * c1.n1 AS BIGINT) AS kn_den
+         |FROM c2
+         |JOIN c1 ON split_part(c2.g, ' ', 1) = c1.prev
+         |JOIN bw ON split_part(c2.g, ' ', 2) = bw.nxt
+         |CROSS JOIN t
+         |WHERE c2.n2 >= 5""".stripMargin))(
+      (s, d) => {
+        val bigramsOf = when(size(col("w")) >= 2,
+          expr("transform(sequence(1, size(w) - 1)," +
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .otherwise(array().cast("array<string>"))
+        val bg = Tables(s, d, "documents")
+          .select(tokens(col("text")).as("w"))
+          .select(explode(bigramsOf).as("g"))
+        val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("n2"))
+          .persist() // feeds c1/bw/t AND the scored output
+        val c1 = c2.groupBy(substring_index(col("g"), " ", 1).as("prev"))
+          .agg(sum(col("n2")).as("n1"), count(lit(1)).as("fwd"))
+        val bw = c2.groupBy(substring_index(col("g"), " ", -1).as("nxt"))
+          .agg(count(lit(1)).as("bwd"))
+        val t = c2.agg(count(lit(1)).as("tt"))
+        c2.where(col("n2") >= 5)
+          .join(broadcast(c1),
+            substring_index(col("g"), " ", 1) === col("prev"))
+          .join(broadcast(bw),
+            substring_index(col("g"), " ", -1) === col("nxt"))
+          .crossJoin(broadcast(t))
+          .select(col("g").as("bigram"), col("n2"),
+            (col("tt") * (lit(4) * col("n2") - 3) +
+              lit(3) * col("fwd") * col("bwd")).as("kn_num"),
+            (lit(4) * col("tt") * col("n1")).as("kn_den"))
+      }),
+
+    // ---- corpus novelty: per doc, the fraction of its distinct
+    // 5-gram shingles whose FIRST corpus occurrence (min doc_id over
+    // containing docs) is this doc — the curriculum/memorization
+    // metric (documents that only restate earlier shingles score ~0;
+    // fresh content scores ~1e6 ppm). Exact integers end to end.
+    // Scale: one explode→hash-agg builds the shingle inverted index
+    // (the same exchange every dedup entry pays), one equi-join back
+    // on the shingle key, one per-doc aggregate — no windows, no
+    // broadcast of anything corpus-sized. ----
+    QueryDef("q_text_novelty", Some(
+      s"""WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS w
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, g.g AS g
+         |  FROM (SELECT doc_id, ${shinglesSql("w", 5)} AS gs FROM tok),
+         |    unnest(gs) AS g(g)),
+         |fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         |SELECT sh.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST((1000000 * sum(CASE WHEN fst.first_doc = sh.doc_id
+         |      THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
+         |FROM sh JOIN fst ON sh.g = fst.g
+         |GROUP BY sh.doc_id""".stripMargin))(
+      (s, d) => {
+        val sh = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(shingles(tokens(col("text")), 5)).as("g"))
+          .persist() // inverted index + join-back both read it
+        val fst = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(fst, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+            expr("(1000000 * n_novel) DIV n_shingles").as("novelty_ppm"))
+      }),
+
     // ---- weak-supervision label-model diagnostics (Snorkel-style):
     // three deterministic labeling functions vote keep(1)/drop(0)/
     // abstain(NULL) on each doc — length, symbol ratio, stopword

@@ -68,6 +68,16 @@ class FormatSpec extends SparkSpecBase {
 
   test("bucketed join on the bucket key plans with no shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    // pre-clean: a crashed earlier JVM can leave the managed-table
+    // LOCATION on disk with no metastore entry — CTAS then fails with
+    // LOCATION_ALREADY_EXISTS even after DROP TABLE IF EXISTS
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(s"spark-warehouse/$t"))
+    }
     try {
       Relational.sinkBucketed(
         Tables(spark, sfDir, "orders"), "orders_b", "o_custkey", 4, Some("o_custkey"))
