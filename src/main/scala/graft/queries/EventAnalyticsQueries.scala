@@ -1938,6 +1938,51 @@ object EventAnalyticsQueries {
           .select(col("event_type"), col("nd"), col("tot"),
             de6.cast("bigint").as("dispersion_e6"),
             (de6 > 2000000L).as("overdispersed"))
+      }),
+
+    // ---- multiplicative seasonal index per (event type, weekday):
+    // mean daily volume on that weekday over the type's overall daily
+    // mean, exact by cross-multiplication — 1e6 means "an average
+    // Monday". Weekday = epoch-day mod 7 (a rotation of the calendar
+    // weekday — constant offset, irrelevant to the index). This is
+    // the deseasonalization table q_events_seasonal_naive implies:
+    // divide a day's count by its index_e6 to compare across
+    // weekdays. The 1e6·s_dow·nd_all product is widened to
+    // HUGEINT/DECIMAL(38,0) (daily sums at 100 TB push the int64
+    // line). Scale: one (type, day) corpus agg; everything after is
+    // ≤ 7 rows per type. ----
+    QueryDef("q_events_seasonal_index", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |dw AS (SELECT event_type, day % 7 AS dow, count(*) AS nd_dow,
+        |         CAST(sum(n) AS BIGINT) AS s_dow
+        |       FROM daily GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS nd_all,
+        |        CAST(sum(n) AS BIGINT) AS s_all
+        |      FROM daily GROUP BY 1)
+        |SELECT dw.event_type, dw.dow, dw.nd_dow, dw.s_dow,
+        |  CAST((CAST(1000000 AS HUGEINT) * dw.s_dow * t.nd_all)
+        |    // (dw.nd_dow * t.s_all) AS BIGINT) AS index_e6
+        |FROM dw JOIN t ON dw.event_type = t.event_type"""
+        .stripMargin))(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .persist() // weekday and overall aggs both read it
+        val dw = daily
+          .groupBy(col("event_type"), (col("day") % 7).as("dow"))
+          .agg(count(lit(1)).as("nd_dow"), sum(col("n")).as("s_dow"))
+        val t = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nd_all"), sum(col("n")).as("s_all"))
+        dw.join(broadcast(t), "event_type")
+          .select(col("event_type"), col("dow"), col("nd_dow"),
+            col("s_dow"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_dow * nd_all)" +
+              " DIV (nd_dow * s_all) AS BIGINT)").as("index_e6"))
       })
   )
 }

@@ -726,6 +726,72 @@ object MigrationQueries {
           .where(col("score") >= 80)
           .select(col("custkey"), col("suppkey"), col("block"),
             col("a_bal"), col("a_f97"), col("a_f10"), col("score"))
+      }),
+
+    // ---- blocking-quality audit (record linkage): before running a
+    // pairwise matcher (q_link_fellegi), a blocking scheme must be
+    // judged on the two standard metrics — REDUCTION RATIO (fraction
+    // of the N² pair space the blocks discard) and PAIRS COMPLETENESS
+    // (fraction of TRUE matching pairs that co-block, ground truth =
+    // the LSH near-dup clusters, composed from q_dedup_clusters on
+    // both sides). Every count is a per-group c·(c−1)/2 over
+    // histogram rows — candidate pairs are NEVER materialized, so the
+    // audit costs three hash-aggs over doc-count-sized frames no
+    // matter how bad the blocking is. Blocking key = (lang,
+    // n_chars DIV 100): near-dups can straddle length buckets, so PC
+    // is a real measurement, not 1.0 by construction. ----
+    QueryDef("q_link_blocking_quality", Some(
+      s"""WITH RECURSIVE ${DedupQueries.clustersPairsCte},
+         |cl AS (${DedupQueries.clustersSelect}),
+         |d2 AS (SELECT d.doc_id, cl.cluster_id, d.lang,
+         |         d.n_chars // 100 AS lb
+         |       FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
+         |tp AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_true
+         |       FROM (SELECT cluster_id, count(*) AS m FROM d2
+         |             GROUP BY 1) t),
+         |cp AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand
+         |       FROM (SELECT lang, lb, count(*) AS c FROM d2
+         |             GROUP BY 1, 2) b),
+         |cv AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cov
+         |       FROM (SELECT cluster_id, lang, lb, count(*) AS c FROM d2
+         |             GROUP BY 1, 2, 3) x),
+         |n AS (SELECT count(*) AS nd FROM d2)
+         |SELECT n.nd AS n_docs, tp.n_true AS n_true_pairs,
+         |  cp.n_cand AS n_cand_pairs, cv.n_cov AS n_covered_pairs,
+         |  CAST((1000000 * (n.nd * (n.nd - 1) // 2 - cp.n_cand))
+         |    // (n.nd * (n.nd - 1) // 2) AS BIGINT) AS rr_ppm,
+         |  CAST(CASE WHEN tp.n_true = 0 THEN 1000000
+         |       ELSE (1000000 * cv.n_cov) // tp.n_true END AS BIGINT)
+         |    AS pc_ppm
+         |FROM n, tp, cp, cv""".stripMargin))(
+      (s, d) => {
+        val cl = QueryDef.requireDef(DedupQueries.defs, "q_dedup_clusters",
+          "q_link_blocking_quality").fn(s, d)
+        val d2 = cl
+          .join(Tables(s, d, "documents").select(col("doc_id"),
+            col("lang"), expr("n_chars DIV 100").as("lb")), "doc_id")
+          .persist() // four aggregates read it; upstream CC loop is dear
+        def pairsOf(g: org.apache.spark.sql.DataFrame, out: String) =
+          g.agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+            .cast("bigint").as(out))
+        val tp = pairsOf(d2.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("c")), "n_true")
+        val cp = pairsOf(d2.groupBy(col("lang"), col("lb"))
+          .agg(count(lit(1)).as("c")), "n_cand")
+        val cv = pairsOf(d2.groupBy(col("cluster_id"), col("lang"),
+          col("lb")).agg(count(lit(1)).as("c")), "n_cov")
+        val n = d2.agg(count(lit(1)).as("nd"))
+        n.crossJoin(broadcast(tp)).crossJoin(broadcast(cp))
+          .crossJoin(broadcast(cv))
+          .select(col("nd").as("n_docs"),
+            col("n_true").as("n_true_pairs"),
+            col("n_cand").as("n_cand_pairs"),
+            col("n_cov").as("n_covered_pairs"),
+            expr("CAST((1000000 * (nd * (nd - 1) DIV 2 - n_cand))" +
+              " DIV (nd * (nd - 1) DIV 2) AS BIGINT)").as("rr_ppm"),
+            expr("CAST(CASE WHEN n_true = 0 THEN 1000000" +
+              " ELSE (1000000 * n_cov) DIV n_true END AS BIGINT)")
+              .as("pc_ppm"))
       })
   )
 

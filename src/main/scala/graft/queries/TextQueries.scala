@@ -1257,6 +1257,68 @@ object TextQueries {
             expr("(1000000 * n_novel) DIV n_shingles").as("novelty_ppm"))
       }),
 
+    // ---- Heaps'-law vocabulary-growth curve: distinct-token count
+    // after each tenth of the corpus (doc_id-value deciles — the
+    // ingest order), computed WITHOUT re-scanning prefixes: each
+    // token contributes to the decile of its FIRST occurrence (the
+    // q_text_novelty min-doc trick), so one token-grain hash-agg +
+    // one 10-row cumsum yields the whole curve. The curve is the
+    // tokenizer-sizing / dedup-saturation signal: sublinear growth
+    // (Heaps) means new data repeats old vocabulary; a linear tail
+    // means the corpus is still surfacing new content. Scale: the
+    // only corpus-sized stage is the explode→min agg; the window
+    // runs over exactly 10 aggregate rows. ----
+    QueryDef("q_text_heaps_curve", Some(
+      s"""WITH tok AS (
+         |  SELECT doc_id, t.w AS w
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS w0 FROM documents),
+         |    unnest(w0) AS t(w)),
+         |st AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+         |       FROM documents),
+         |fst AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+         |g AS (SELECT (10 * (fst.fd - st.lo)) // (st.hi - st.lo + 1)
+         |        AS dix, count(*) AS new_tokens
+         |      FROM fst, st GROUP BY 1),
+         |dd AS (SELECT (10 * (doc_id - st.lo)) // (st.hi - st.lo + 1)
+         |         AS dix, count(*) AS n_docs
+         |       FROM documents, st GROUP BY 1),
+         |f AS (SELECT dd.dix AS dix, dd.n_docs,
+         |        coalesce(g.new_tokens, 0) AS new_tokens
+         |      FROM dd LEFT JOIN g ON g.dix = dd.dix)
+         |SELECT dix + 1 AS decile,
+         |  CAST(sum(n_docs) OVER w AS BIGINT) AS n_docs_prefix,
+         |  CAST(new_tokens AS BIGINT) AS new_tokens,
+         |  CAST(sum(new_tokens) OVER w AS BIGINT) AS vocab_size
+         |FROM f
+         |WINDOW w AS (ORDER BY dix ROWS UNBOUNDED PRECEDING)"""
+        .stripMargin))(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val st = docs.agg(min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+        val dix = expr("(10 * (fd - lo)) DIV (hi - lo + 1)")
+        val fst = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        val g = fst.crossJoin(broadcast(st))
+          .select(dix.as("dix"))
+          .groupBy(col("dix")).agg(count(lit(1)).as("new_tokens"))
+        val dd = docs.crossJoin(broadcast(st))
+          .select(expr("(10 * (doc_id - lo)) DIV (hi - lo + 1)").as("dix"))
+          .groupBy(col("dix")).agg(count(lit(1)).as("n_docs"))
+        // the cumsum window touches exactly the 10 decile rows
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("dix"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dd.join(g, Seq("dix"), "left")
+          .select(col("dix"), col("n_docs"),
+            coalesce(col("new_tokens"), lit(0L)).as("new_tokens"))
+          .select((col("dix") + 1).as("decile"),
+            sum(col("n_docs")).over(w).cast("bigint").as("n_docs_prefix"),
+            col("new_tokens").cast("bigint").as("new_tokens"),
+            sum(col("new_tokens")).over(w).cast("bigint").as("vocab_size"))
+      }),
+
     // ---- weak-supervision label-model diagnostics (Snorkel-style):
     // three deterministic labeling functions vote keep(1)/drop(0)/
     // abstain(NULL) on each doc — length, symbol ratio, stopword
