@@ -351,6 +351,61 @@ object MultimodalQueries {
             coalesce(col("label"), col("media_id")).as("cluster_id"),
             (coalesce(col("label"), col("media_id")) === col("media_id"))
               .as("is_keeper"))
+      }),
+
+    // ---- audio frame-energy profile (VAD front-end): the audio
+    // universe's payload split into 64-byte frames, per-frame energy
+    // = Σ byte codes, then per-file frame count, exact mean (DIV),
+    // peak energy + first peak frame (deterministic argmax via
+    // array_position), and the count of ABOVE-MEAN frames (the
+    // voice-activity proxy — a real VAD thresholds exactly this
+    // statistic; the codec is stubbed, the frame/energy/threshold
+    // plumbing is the production shape). Entirely row-local
+    // higher-order array functions — no UDF, no shuffle: at 100 TB
+    // this runs at scan bandwidth like the decode stage. ----
+    QueryDef("q_multimodal_audio_energy", Some(
+      """WITH a AS (
+        |  SELECT doc_id AS media_id, text,
+        |    length(text) // 64 AS nf
+        |  FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 64),
+        |e AS (
+        |  SELECT media_id, nf,
+        |    list_transform(range(0, nf), k ->
+        |      list_reduce(
+        |        list_transform(range(1, 65),
+        |          i -> CAST(ascii(substr(text, CAST(k * 64 + i AS INT), 1))
+        |            AS BIGINT)),
+        |        (x, y) -> x + y)) AS en
+        |  FROM a)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(list_reduce(en, (x, y) -> x + y) AS BIGINT) AS total_energy,
+        |  CAST(list_reduce(en, (x, y) -> x + y) // nf AS BIGINT)
+        |    AS mean_energy,
+        |  CAST(list_max(en) AS BIGINT) AS peak_energy,
+        |  CAST(list_position(en, list_max(en)) AS BIGINT) AS peak_frame,
+        |  CAST(len(list_filter(en, x ->
+        |    x * nf > list_reduce(en, (a2, b2) -> a2 + b2) )) AS BIGINT)
+        |    AS n_active
+        |FROM e""".stripMargin))(
+      (s, d) => {
+        val frames = expr("transform(sequence(0, nf - 1), k -> " +
+          "aggregate(sequence(1, 64), 0L, " +
+          "(x, i) -> x + ascii(substring(text, CAST(k * 64 + i AS INT), 1))))")
+        Tables(s, d, "documents")
+          .where(col("doc_id") % 3 === 1 && length(col("text")) >= 64)
+          .select(col("doc_id").as("media_id"), col("text"),
+            expr("length(text) DIV 64").as("nf"))
+          .select(col("media_id"), col("nf"), frames.as("en"))
+          .select(col("media_id"), col("nf").cast("bigint").as("n_frames"),
+            expr("aggregate(en, 0L, (x, y) -> x + y)").as("total_energy"),
+            expr("aggregate(en, 0L, (x, y) -> x + y) DIV nf")
+              .as("mean_energy"),
+            array_max(col("en")).as("peak_energy"),
+            array_position(col("en"), array_max(col("en")))
+              .as("peak_frame"),
+            expr("CAST(size(filter(en, x -> " +
+              "x * nf > aggregate(en, 0L, (a2, b2) -> a2 + b2))) AS BIGINT)")
+              .as("n_active"))
       })
   )
 

@@ -1286,5 +1286,44 @@ object SimilarityQueries {
           .select(col("vec_id"), col("label"), col("d2"),
             col("rn").cast("int").as("rnk"))
       })
+  ,
+
+    // ---- IVF index-health stats: the cell-size distribution that
+    // determines real query latency. imbalance_e6 = max-cell/mean-cell
+    // (a hot cell serves every query routed to it); exp_scan_e6 =
+    // Σsz²/total = the EXPECTED candidates scanned per query when
+    // queries distribute like the corpus (the size-biased mean — the
+    // number that degrades as an index drifts, and the one
+    // q_ann_ivf_retrain_signal's growth flag protects). Exact
+    // integers, Σsz² widened to HUGEINT/DECIMAL(38,0). Scale: one
+    // |cells|-row hash-agg then scalar math — the audit costs one
+    // scan no matter the corpus. ----
+    QueryDef("q_ann_ivf_cell_stats", Some(
+      """WITH cells AS (
+        |  SELECT label, count(*) AS sz FROM embeddings GROUP BY label)
+        |SELECT count(*) AS n_cells,
+        |  CAST(sum(sz) AS BIGINT) AS n_vectors,
+        |  CAST(min(sz) AS BIGINT) AS min_cell,
+        |  CAST(max(sz) AS BIGINT) AS max_cell,
+        |  CAST((1000000 * max(sz) * count(*)) // sum(sz) AS BIGINT)
+        |    AS imbalance_e6,
+        |  CAST((CAST(1000000 AS HUGEINT) * sum(sz * sz)) // sum(sz)
+        |    AS BIGINT) AS exp_scan_e6
+        |FROM cells""".stripMargin))(
+      (s, d) =>
+        graft.Tables(s, d, "embeddings")
+          .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("sz")).as("n_vectors"),
+            min(col("sz")).cast("bigint").as("min_cell"),
+            max(col("sz")).cast("bigint").as("max_cell"),
+            (lit(1000000L) * max(col("sz")) * count(lit(1))).as("imb_num"),
+            sum((col("sz") * col("sz")).cast("decimal(38,0)")).as("s2"))
+          .select(col("n_cells"), col("n_vectors"), col("min_cell"),
+            col("max_cell"),
+            expr("imb_num DIV n_vectors").as("imbalance_e6"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s2)" +
+              " DIV n_vectors AS BIGINT)").as("exp_scan_e6"))
+      )
   )
 }

@@ -35,7 +35,10 @@ class DeterminismSpec extends SparkSpecBase {
     "q_ann_ivf_incremental", // integer-scaled centroid sums + argmin route
     "q_events_ks_test",      // sharded-cumsum ECDF deviation + argmax
     "q_eval_macro_f1",       // scaled-integer macro fold over class rows
-    "q_multimodal_phash")    // banded fingerprint self-join build order
+    "q_multimodal_phash",    // banded fingerprint self-join build order
+    "q_corpus_epoch_shuffle", // two-phase sharded rank offsets under layouts
+    "q_text_kn_bigram",      // broadcast continuation-count joins
+    "q_join_skew_salted")    // salted hot lane ∪ cold lane merge order
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
