@@ -495,6 +495,103 @@ object EvalQueries {
               .as(s"recall_at_$k"))
       }),
 
+    // ---- recall@5 of BINARY-QUANTIZED (1-bit-per-dim) Hamming
+    // ranking vs full cosine: the other memory-compression axis
+    // (q_eval_dim_truncation_recall cuts DIMS; BQ cuts PRECISION —
+    // 64 dims × 4 B → 2 longs, 16× smaller, and distance becomes two
+    // XOR+popcounts). Sign masks pack dims 1–32 / 33–64 into two
+    // BIGINTs; the Hamming ranking is pure-integer, so even the
+    // approximate leg's order is bit-oracled. Per query: hits among
+    // the exact top-5. Scale: the audit is the whitelisted broadcast
+    // brute shape; the PRODUCTION win is that a BQ scan reads 16×
+    // fewer bytes and codegen's popcount — this entry measures what
+    // that costs in recall before an index commits to it. ----
+    QueryDef("q_eval_bq_recall", Some {
+      import SimilarityQueries.querySetPred
+      def maskSql(lo: Int) =
+        s"""list_reduce(list_transform(range(${lo}, ${lo + 32}),
+           |  j -> CASE WHEN v0[CAST(j AS INT)] > 0
+           |       THEN (CAST(1 AS BIGINT) << CAST(j - $lo AS INT))
+           |       ELSE CAST(0 AS BIGINT) END),
+           |  (x, y) -> x | y)""".stripMargin
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+         |  FROM embeddings),
+         |f AS (SELECT vec_id, v0 AS v, ${normDSql("v0")} AS nrm FROM base),
+         |b AS (SELECT vec_id, ${maskSql(1)} AS mlo, ${maskSql(33)} AS mhi
+         |      FROM base),
+         |full_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) DESC,
+         |          c.vec_id) AS rnk
+         |    FROM (SELECT * FROM f WHERE $querySetPred) q
+         |    JOIN f c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k),
+         |bq_top AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY bit_count(xor(q.mlo, c.mlo))
+         |          + bit_count(xor(q.mhi, c.mhi)), c.vec_id) AS rnk
+         |    FROM (SELECT * FROM b WHERE $querySetPred) q
+         |    JOIN b c ON c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k)
+         |SELECT ft.query_id, count(bt.neighbor_id) AS n_hits,
+         |  count(bt.neighbor_id) / ${k}.0 AS recall_at_$k
+         |FROM full_top ft LEFT JOIN bq_top bt
+         |  ON bt.query_id = ft.query_id AND bt.neighbor_id = ft.neighbor_id
+         |GROUP BY ft.query_id""".stripMargin
+    })(
+      (s, d) => {
+        import SimilarityQueries.{querySetPred, vecs}
+        val full = vecs(s, d)
+        val qf = full.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val cf = full.select(col("vec_id").as("neighbor_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        val wF = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+        val fullTop = broadcast(qf)
+          .join(cf, col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos_sim", GraftFunctions.dot(col("qv"), col("cv"))
+            / (col("qn") * col("cn")))
+          .withColumn("rnk", row_number().over(wF))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        def mask(lo: Int) = expr(
+          s"aggregate(sequence($lo, ${lo + 31}), 0L, (x, j) -> " +
+            s"x + CASE WHEN element_at(v, CAST(j AS INT)) > 0 " +
+            s"THEN shiftleft(CAST(1 AS BIGINT), CAST(j - $lo AS INT)) " +
+            s"ELSE 0L END)")
+        val bq = vecs(s, d).select(col("vec_id"),
+          mask(1).as("mlo"), mask(33).as("mhi"))
+        val qb = bq.where(expr(querySetPred))
+          .select(col("vec_id").as("query_id"), col("mlo").as("qlo"),
+            col("mhi").as("qhi"))
+        val cb = bq.select(col("vec_id").as("neighbor_id"), col("mlo"),
+          col("mhi"))
+        val wB = Window.partitionBy(col("query_id"))
+          .orderBy(col("hd").asc, col("neighbor_id").asc)
+        val bqTop = broadcast(qb)
+          .join(cb, col("neighbor_id") =!= col("query_id"))
+          .withColumn("hd",
+            bit_count(col("qlo").bitwiseXOR(col("mlo"))) +
+              bit_count(col("qhi").bitwiseXOR(col("mhi"))))
+          .withColumn("rnk", row_number().over(wB))
+          .where(col("rnk") <= k)
+          .select(col("query_id"), col("neighbor_id"))
+        fullTop.alias("ft")
+          .join(bqTop.alias("bt"),
+            col("bt.query_id") === col("ft.query_id") &&
+              col("bt.neighbor_id") === col("ft.neighbor_id"), "left")
+          .groupBy(col("ft.query_id").as("query_id"))
+          .agg(count(col("bt.neighbor_id")).as("n_hits"),
+            (count(col("bt.neighbor_id")) / lit(k.toDouble))
+              .as(s"recall_at_$k"))
+      }),
+
     QueryDef("q_eval_mrr", Some {
       import SimilarityQueries.querySetPred
       s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -36,7 +36,7 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_ann_brute_topk", "q_ann_range_search", "q_ann_hard_negatives",
       "q_eval_pq_recall", "q_eval_pq_ndcg", "q_eval_pq_rbo",
       "q_eval_ivf_nprobe_recall", "q_eval_mrr",
-      "q_eval_dim_truncation_recall",
+      "q_eval_dim_truncation_recall", "q_eval_bq_recall",
       "q_multimodal_knn", "q_multimodal_knn_arrow"
     ).map(_ -> "broadcast query batch x corpus into a bounded-state top-k aggregate (exact baseline / recall oracle)")
     (bruteAnn :+ (
