@@ -32,6 +32,25 @@ import java.util.concurrent.atomic.AtomicLong
   */
 object ScaleProbe {
 
+  /** Tracks the MAXIMUM per-task shuffle-read volume — the straggler
+    * reducer a skewed join creates (stage-level sums hide it). */
+  private final class TaskMaxMeter extends SparkListener {
+    val maxRecords = new AtomicLong
+    val maxBytes = new AtomicLong
+    private def raise(a: AtomicLong, v: Long): Unit = {
+      var cur = a.get()
+      while (v > cur && !a.compareAndSet(cur, v)) cur = a.get()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        raise(maxRecords, m.shuffleReadMetrics.recordsRead)
+        raise(maxBytes, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
   /** Sums shuffle-write bytes/records across completed stages. */
   private final class ShuffleMeter extends SparkListener {
     val bytes = new AtomicLong
@@ -286,9 +305,15 @@ object ScaleProbe {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
-    buildSf1(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
-    buildSf1Embeddings(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
-    buildSf1Events(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+    val wantsSf1 = sys.env.get("SPARK_GRAFT_PROBE_ONLY").forall(only =>
+      only.split(",").map(_.trim)
+        .exists(n => n != "skew_salted" && n != "graph_wedges" &&
+          n != "link_wedges"))
+    if (wantsSf1) {
+      buildSf1(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+      buildSf1Embeddings(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+      buildSf1Events(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
+    }
     val scales = Seq(
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
@@ -337,9 +362,63 @@ object ScaleProbe {
         s""""shuffle_bytes":${meter.bytes.get() - b0},""" +
         s""""shuffle_records":${meter.records.get() - r0}}""")
     }
+    def probeEnabled(name: String): Boolean =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .forall(_.split(",").map(_.trim).contains(name))
+
+    // skew-salting probe: per-task shuffle spread of the sentinel-hot
+    // join, plain vs the catalog's salted routing. Forces the SMJ path
+    // (autoBroadcastJoinThreshold=-1 — modeling the big⋈big case where
+    // broadcasting is not an option); the statistic is the MAX task
+    // shuffle-read record count — the straggler reducer. Salting must
+    // cut it ~8× on the hot key at identical output.
+    if (probeEnabled("skew_salted")) {
+      val dir = "/root/testdata/sf0.1"
+      val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val beforeCoalesce =
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // at fixture scale AQE coalesces the whole shuffle into ONE task,
+      // which hides per-reducer skew — at 100 TB partitions are above
+      // the advisory size and coalescing leaves them alone
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      try {
+        val ev = Tables(spark, dir, "events")
+        val sentinel = when(col("user_id") % 10 === 0, lit(-1L))
+          .otherwise(col("user_id"))
+        val c = ev.where(col("event_type") === "click")
+          .select(sentinel.as("user_id"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("c_cents"))
+        val v = ev.where(col("event_type") === "view")
+          .select(sentinel.as("user_id"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("v_cents"))
+        val plain = c.join(v, Seq("user_id"))
+          .groupBy(lit(1).as("g"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("c_cents") + col("v_cents")).as("sum_cents"))
+        val salted = Catalog.byName("q_join_skew_salted").fn(spark, dir)
+        for ((name, df) <- Seq("plain" -> plain, "salted" -> salted)) {
+          val tm = new TaskMaxMeter
+          spark.sparkContext.addSparkListener(tm)
+          val t0 = System.nanoTime()
+          df.write.mode("overwrite").format("noop").save()
+          val secs = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.removeSparkListener(tm)
+          println(s"""{"probe":"skew_salted","plan":"$name",""" +
+            s""""max_task_shuffle_records":${tm.maxRecords.get()},""" +
+            s""""max_task_shuffle_bytes":${tm.maxBytes.get()},"sec":$secs}""")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          beforeCoalesce)
+      }
+    }
+
     // orientation probe: one line per graph size — the deg-orient
     // wedge count must stay linear while id-orient goes quadratic
-    for (n <- Seq(1000, 2000, 4000)) {
+    if (probeEnabled("graph_wedges")) for (n <- Seq(1000, 2000, 4000)) {
       val (edges, wId, wDeg) = wedgeProbe(spark, n)
       println(s"""{"probe":"triangle_wedges","n":$n,"edges":$edges,""" +
         s""""wedges_id_orient":$wId,"wedges_deg_orient":$wDeg}""")
@@ -347,7 +426,7 @@ object ScaleProbe {
     // link-prediction hub-cap probe: uncapped wedge candidates grow
     // quadratically with hub degree; the deg ≤ 1000 cap keeps them
     // linear in the graph size
-    for (n <- Seq(1000, 2000, 4000)) {
+    if (probeEnabled("link_wedges")) for (n <- Seq(1000, 2000, 4000)) {
       val (edges, wAll, wCap) = linkWedgeProbe(spark, n)
       println(s"""{"probe":"link_predict_wedges","n":$n,"edges":$edges,""" +
         s""""wedges_uncapped":$wAll,"wedges_capped":$wCap}""")
@@ -356,7 +435,7 @@ object ScaleProbe {
     // eval split — the false-positive tally is the sizing signal
     // (when the eval window count approaches m the filter saturates
     // and n_false_pos → n_windows − n_true; m must scale with |eval|)
-    for ((sfName, dir) <- scales) {
+    if (probeEnabled("bloom_prefilter")) for ((sfName, dir) <- scales) {
       val r = Catalog.byName("q_dedup_bloom_prefilter").fn(spark, dir)
         .agg(sum(col("n_windows")).as("w"), sum(col("n_bloom_hits")).as("h"),
           sum(col("n_true")).as("t"), sum(col("n_false_pos")).as("fp"))
