@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (avoids timezone / sub-second rounding divergence).
   *  - no transcendental functions except IEEE-exact `sqrt`; no `round`
   *    on data-derived doubles (HALF_UP vs HALF_EVEN divergence).
+  *  - SIGNED integer division is parity-safe as-is: DuckDB `//` is
+  *    C-style truncation toward zero, NOT floor ((-1539000000)//17 =
+  *    -90529411 with remainder -13 — verified), matching Spark `DIV`
+  *    exactly. Do NOT "fix" a signed DIV with the pmod floor identity
+  *    — that breaks parity (the q_events_theil_sen lesson).
   *  - every computed column is aliased identically on both sides (the
   *    driver sorts columns by name before hashing).
   */

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.ops.TextOps.{h32, h32Sql}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY.md §2.4): hash aggregates with map-side
@@ -1135,6 +1135,70 @@ object AggregateQueries {
           .select(col("col_name"), col("n"), col("n_distinct"),
             expr("CAST((1000000000 * ss) DIV (CAST(n AS DECIMAL(38,0))" +
               " * (n - 1)) AS BIGINT)").as("simpson_e9"))
+      }),
+
+    // ---- median absolute deviation (MAD) per priority class: the
+    // robust dispersion statistic (insensitive to the outliers that
+    // drive stddev) — two chained EXACT median passes, each the
+    // integer histogram-rank shape (2·cum ≥ tot over per-(group,
+    // value) counts, never per-row sorting): first the cents median,
+    // then the median of |cents − median|. Scale: both windows run
+    // over HISTOGRAM rows (distinct values per group, not rows); the
+    // tiny per-group median table broadcasts back between passes. ----
+    QueryDef("q_agg_mad", Some(
+      """WITH t AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |h1 AS (SELECT pri, cents, count(*) AS w FROM t GROUP BY 1, 2),
+        |r1 AS (SELECT pri, cents,
+        |         CAST(sum(w) OVER (PARTITION BY pri ORDER BY cents)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(w) OVER (PARTITION BY pri) AS BIGINT) AS tot
+        |       FROM h1),
+        |med AS (SELECT pri, CAST(min(tot) AS BIGINT) AS n,
+        |          min(CASE WHEN 2 * cum >= tot THEN cents END) AS m
+        |        FROM r1 GROUP BY pri),
+        |h2 AS (SELECT t.pri, abs(t.cents - med.m) AS dev, count(*) AS w
+        |       FROM t JOIN med ON t.pri = med.pri GROUP BY 1, 2),
+        |r2 AS (SELECT pri, dev,
+        |         CAST(sum(w) OVER (PARTITION BY pri ORDER BY dev)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(w) OVER (PARTITION BY pri) AS BIGINT) AS tot
+        |       FROM h2)
+        |SELECT r2.pri AS o_orderpriority, med.n,
+        |  med.m / 100.0 AS median_price,
+        |  min(CASE WHEN 2 * r2.cum >= r2.tot THEN r2.dev END) / 100.0
+        |    AS mad_price
+        |FROM r2 JOIN med ON r2.pri = med.pri
+        |GROUP BY r2.pri, med.n, med.m""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("pri"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("bigint")
+              .as("cents"))
+          .persist() // both median passes scan it
+        def medianOf(vals: DataFrame, vc: String): DataFrame = {
+          val h = vals.groupBy(col("pri"), col(vc))
+            .agg(count(lit(1)).as("w"))
+          val wOrd = Window.partitionBy(col("pri")).orderBy(col(vc))
+          val wAll = Window.partitionBy(col("pri"))
+          h.withColumn("cum", sum(col("w")).over(wOrd))
+            .withColumn("tot", sum(col("w")).over(wAll))
+            .groupBy(col("pri"))
+            .agg(min(col("tot")).cast("bigint").as("n"),
+              min(when(lit(2) * col("cum") >= col("tot"), col(vc)))
+                .as("m"))
+        }
+        val med = medianOf(t, "cents")
+        val dev = t.join(broadcast(med), "pri")
+          .select(col("pri"), abs(col("cents") - col("m")).as("dev"))
+        medianOf(dev, "dev").as("m2")
+          .join(broadcast(med).as("m1"), "pri")
+          .select(col("pri").as("o_orderpriority"), col("m1.n").as("n"),
+            (col("m1.m") / 100.0).as("median_price"),
+            (col("m2.m") / 100.0).as("mad_price"))
       })
   )
 

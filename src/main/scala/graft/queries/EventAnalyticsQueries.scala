@@ -1983,6 +1983,67 @@ object EventAnalyticsQueries {
             col("s_dow"),
             expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_dow * nd_all)" +
               " DIV (nd_dow * s_all) AS BIGINT)").as("index_e6"))
+      }),
+
+    // ---- Theil–Sen robust trend per event type: the MEDIAN of all
+    // pairwise daily-total slopes — the estimator that shrugs off the
+    // outlier days OLS (q_events_rolling_slope) chases. Slopes are
+    // exact integers ((1e6·Δcents) DIV Δdays), and the median is the
+    // same histogram-rank shape as q_agg_mad (2·cum ≥ tot over
+    // per-(type, slope) counts). Scale: the pair join runs at DAY
+    // grain — ≤ 366 rows/type/year regardless of event volume, so
+    // the ~67k slope pairs per type-year are a constant; the only
+    // corpus-sized stage is the daily aggregate. ----
+    QueryDef("q_events_theil_sen", Some(
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (
+        |  SELECT a.event_type,
+        |    (1000000 * (b.cents - a.cents)) // (b.day - a.day) AS s
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |h AS (SELECT event_type, s, count(*) AS w FROM sl GROUP BY 1, 2),
+        |r AS (SELECT event_type, s,
+        |        CAST(sum(w) OVER (PARTITION BY event_type ORDER BY s)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT)
+        |          AS tot
+        |      FROM h)
+        |SELECT event_type, CAST(min(tot) AS BIGINT) AS n_pairs,
+        |  CAST(min(CASE WHEN 2 * cum >= tot THEN s END) AS BIGINT)
+        |    AS median_slope_e6
+        |FROM r GROUP BY event_type""".stripMargin))(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("cents"))
+          .persist() // both sides of the pair join
+        val sl = daily.alias("a")
+          .join(daily.alias("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.day") < col("b.day"))
+          .select(col("a.event_type").as("event_type"),
+            // slopes are SIGNED — safe here because BOTH integer
+            // divisions truncate toward zero (DuckDB `//` is C-style
+            // truncation, verified: (-1539000000)//17 = -90529411
+            // with remainder -13; Spark DIV matches)
+            expr("(1000000 * (b.cents - a.cents)) DIV (b.day - a.day)")
+              .as("s"))
+        val h = sl.groupBy(col("event_type"), col("s"))
+          .agg(count(lit(1)).as("w"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("s"))
+        val wAll = Window.partitionBy(col("event_type"))
+        h.withColumn("cum", sum(col("w")).over(wOrd))
+          .withColumn("tot", sum(col("w")).over(wAll))
+          .groupBy(col("event_type"))
+          .agg(min(col("tot")).cast("bigint").as("n_pairs"),
+            min(when(lit(2) * col("cum") >= col("tot"), col("s")))
+              .cast("bigint").as("median_slope_e6"))
       })
   )
 }
