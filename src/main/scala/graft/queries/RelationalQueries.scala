@@ -929,10 +929,12 @@ object RelationalQueries {
     // view side explodes ×8 — so one hot key's pair-explosion spreads
     // over 8 reducers instead of one. The plain-join oracle pins
     // salted ∪ cold == unsalted. Scale: the histogram is |distinct
-    // keys| rows (broadcast-able after the hot filter — hot keys are
-    // few BY CONSTRUCTION of the threshold); per-reducer work for a
-    // key with d_c·d_v pairs drops from d_c·d_v to d_c·d_v/8 at the
-    // cost of replicating only the hot slice of the view side ×8. ----
+    // keys| rows; the hot SET is mass-bounded (each hot key carries
+    // > 4× mean, so ≤ nu/4 keys worst case) but not row-bounded, so
+    // its probes carry no broadcast hint — AQE broadcasts when it is
+    // actually small. Per-reducer work for a key with d_c·d_v pairs
+    // drops from d_c·d_v to d_c·d_v/8 at the cost of replicating
+    // only the hot slice of the view side ×8. ----
     QueryDef("q_join_skew_salted", Some(
       """WITH c AS (SELECT
         |    CASE WHEN user_id % 10 = 0 THEN -1 ELSE user_id END AS user_id,
@@ -972,17 +974,21 @@ object RelationalQueries {
           .where(col("n") * col("nu") > lit(4) * col("nc"))
           .select(col("user_id"))
         val salts = 8
+        // the hot SET is small in the intended regime but only
+        // mass-bounded, not row-bounded, by the 4×-mean threshold
+        // (worst case nu/4 keys) — so its four semi/anti probes carry
+        // no broadcast hint; AQE broadcasts when it actually is small
         // cold lane: plain equi-join after anti-joining the hot set
-        val cCold = c.join(broadcast(hot), Seq("user_id"), "left_anti")
-        val vCold = v.join(broadcast(hot), Seq("user_id"), "left_anti")
+        val cCold = c.join(hot, Seq("user_id"), "left_anti")
+        val vCold = v.join(hot, Seq("user_id"), "left_anti")
         val cold = cCold.join(vCold, Seq("user_id"))
           .select(col("user_id"), lit(0L).as("is_hot"),
             col("c_cents"), col("v_cents"))
         // hot lane: click rows salt deterministically, view rows
         // explode across every salt — join key (user_id, salt)
-        val cHot = c.join(broadcast(hot), Seq("user_id"))
+        val cHot = c.join(hot, Seq("user_id"), "left_semi")
           .withColumn("salt", pmod(col("event_id"), lit(salts.toLong)))
-        val vHot = v.join(broadcast(hot), Seq("user_id"))
+        val vHot = v.join(hot, Seq("user_id"), "left_semi")
           .withColumn("salt",
             explode(sequence(lit(0L), lit(salts.toLong - 1))))
         val hotJ = cHot.join(vHot, Seq("user_id", "salt"))

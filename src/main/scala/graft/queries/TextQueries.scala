@@ -1166,9 +1166,11 @@ object TextQueries {
     // continuation term and are not enumerated here). Output is the
     // n2 ≥ 5 slice so it stays vocabulary-bounded. Scale: every model
     // frame (c2/c1/bw/T) is vocabulary²-bounded, never corpus-bound;
-    // the only corpus-sized pass is the bigram explode→hash-agg, and
-    // the continuation-count joins run against broadcast
-    // vocabulary-sized frames. ----
+    // the only corpus-sized pass is the bigram explode→hash-agg. The
+    // continuation-count joins carry NO broadcast hint — vocabulary
+    // is small on most corpora but not bounded by construction, so
+    // the planner stays free to shuffle them (AQE broadcasts when a
+    // given corpus's vocabulary actually is small). ----
     QueryDef("q_text_kn_bigram", Some(
       s"""WITH bg AS (
          |  SELECT g.g AS g
@@ -1206,11 +1208,15 @@ object TextQueries {
         val bw = c2.groupBy(substring_index(col("g"), " ", -1).as("nxt"))
           .agg(count(lit(1)).as("bwd"))
         val t = c2.agg(count(lit(1)).as("tt"))
+        // c1/bw are VOCABULARY-sized — small on this fixture but NOT
+        // bounded by construction (web-scale corpora reach 1e8+ token
+        // types), so no broadcast hint: AQE picks broadcast when a
+        // given corpus's vocabulary actually is small, and falls back
+        // to a shuffled prefix-key join when it is not. Only the
+        // 1-row total keeps its hint.
         c2.where(col("n2") >= 5)
-          .join(broadcast(c1),
-            substring_index(col("g"), " ", 1) === col("prev"))
-          .join(broadcast(bw),
-            substring_index(col("g"), " ", -1) === col("nxt"))
+          .join(c1, substring_index(col("g"), " ", 1) === col("prev"))
+          .join(bw, substring_index(col("g"), " ", -1) === col("nxt"))
           .crossJoin(broadcast(t))
           .select(col("g").as("bigram"), col("n2"),
             (col("tt") * (lit(4) * col("n2") - 3) +
