@@ -528,6 +528,113 @@ object RelationalQueries {
             .cast("double") / 10000.0).as("revenue"))
       }),
 
+    // ---- TPC-H Q7 (volume shipping): bilateral trade between two
+    // nations by ship year — supplier nation vs customer nation in
+    // both directions through the lineitem⋈orders bridge and TWO
+    // nation dimension aliases. Revenue rides the engine's exact
+    // integer-cents ladder (the q5 parity treatment). The nation pair
+    // (NATION_3/NATION_8) has suppliers at every fixture scale. Scale
+    // shape: one lineitem⋈orders shuffle pair; both nation aliases
+    // broadcast; the disjunctive pair filter prunes before the
+    // aggregate. ----
+    QueryDef("q_tpch_q7", Some(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(vol) AS DOUBLE) / 10000.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS DECIMAL(28,0)) AS vol
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |     OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year""".stripMargin))(
+      (s, d) => {
+        val n1 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+        Tables(s, d, "supplier")
+          .join(Tables(s, d, "lineitem"), expr("s_suppkey = l_suppkey"))
+          .join(Tables(s, d, "orders"), expr("o_orderkey = l_orderkey"))
+          .join(Tables(s, d, "customer"), expr("c_custkey = o_custkey"))
+          .join(broadcast(n1), expr("s_nationkey = n1k"))
+          .join(broadcast(n2), expr("c_nationkey = n2k"))
+          .where(expr("(supp_nation = 'NATION_3' AND cust_nation = 'NATION_8')" +
+            " OR (supp_nation = 'NATION_8' AND cust_nation = 'NATION_3')"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg((sum(
+            ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+              * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+                .cast("bigint"))).cast("decimal(28,0)"))
+            .cast("double") / 10000.0).as("revenue"))
+      }),
+
+    // ---- TPC-H Q8 (national market share): NATION_3's share of
+    // STANDARD-part revenue sold to ASIA customers, by order year —
+    // the conditional-aggregate-over-a-star shape (numerator = CASE
+    // inside the same sum, never a second scan). Both sums ride the
+    // exact-cents ladder; the share is ONE double division of two
+    // exactly-computed totals. Scale shape: part prunes on p_type at
+    // the scan and joins un-hinted (a growing dim — AQE broadcasts
+    // only while it fits); nation/region broadcast. ----
+    QueryDef("q_tpch_q8", Some(
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |            ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(vol) AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    n1.n_name AS supp_nation,
+        |    CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS DECIMAL(28,0)) AS vol
+        |  FROM part
+        |  JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        |) all_nations
+        |GROUP BY o_year""".stripMargin))(
+      (s, d) => {
+        val n1 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+        val n2 = Tables(s, d, "nation")
+          .select(col("n_nationkey").as("n2k"), col("n_regionkey").as("n2r"))
+        val vol =
+          ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+            * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+              .cast("bigint"))).cast("decimal(28,0)")
+        Tables(s, d, "part").where(col("p_type") === "STANDARD")
+          .join(Tables(s, d, "lineitem"), expr("p_partkey = l_partkey"))
+          .join(Tables(s, d, "supplier"), expr("s_suppkey = l_suppkey"))
+          .join(Tables(s, d, "orders"), expr("l_orderkey = o_orderkey"))
+          .join(Tables(s, d, "customer"), expr("o_custkey = c_custkey"))
+          .join(broadcast(n2), expr("c_nationkey = n2k"))
+          .join(broadcast(Tables(s, d, "region")), expr("n2r = r_regionkey"))
+          .join(broadcast(n1), expr("s_nationkey = n1k"))
+          .where(col("r_name") === "ASIA")
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast("decimal(28,0)"))).cast("double")
+              / sum(vol).cast("double")).as("mkt_share"),
+            (sum(vol).cast("double") / 10000.0).as("total_revenue"))
+      }),
+
     // ---- TPC-H Q18 shape (large-volume customers): orders whose
     // total line quantity exceeds a threshold, re-joined to customer,
     // global top-100. Unlike the literal Q18 text (IN-subquery, then a
