@@ -635,6 +635,115 @@ object RelationalQueries {
             (sum(vol).cast("double") / 10000.0).as("total_revenue"))
       }),
 
+    // ---- TPC-H Q13 (customer distribution): orders per customer
+    // via LEFT join (zero-order customers count!), then the histogram
+    // of those counts — the two-level aggregate every engagement
+    // funnel runs. (The original's o_comment NOT LIKE filter is
+    // dropped — the fixture has no comment column; the shape is the
+    // point.) Scale: one customer⋈orders shuffle, then a
+    // |distinct counts|-row second aggregate. ----
+    QueryDef("q_tpch_q13", Some(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin))(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .join(Tables(s, d, "orders"),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))),
+
+    // ---- TPC-H Q15 (top supplier): quarterly revenue per supplier,
+    // keep every supplier at the MAX (the original's view + scalar
+    // subquery, decorrelated into one broadcast of the 1-row max —
+    // ties survive, exactly as the spec requires). Revenue rides the
+    // exact-cents ladder so the max comparison is integer-exact.
+    // Scale: one lineitem shuffle on suppkey; the max broadcasts
+    // back; supplier joins the (tiny) winner set un-hinted. ----
+    QueryDef("q_tpch_q15", Some(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+        |        AS BIGINT)) AS DECIMAL(28,0))) AS BIGINT) AS total_e4
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) >= 852076800000000
+        |    AND epoch_us(l_shipdate) < 859939200000000
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_e4) AS mx FROM revenue)
+        |SELECT s_suppkey, s_name,
+        |  CAST(r.total_e4 AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM supplier JOIN revenue r ON s_suppkey = r.supplier_no
+        |CROSS JOIN m WHERE r.total_e4 = m.mx""".stripMargin))(
+      (s, d) => {
+        val rev = Tables(s, d, "lineitem")
+          .where(unix_micros(col("l_shipdate").cast("timestamp"))
+            .between(852076800000000L, 859939200000000L - 1))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(
+            ((col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("bigint")
+              * (lit(100) - (col("l_discount").cast("decimal(18,2)") * 100)
+                .cast("bigint"))).cast("decimal(28,0)"))
+            .cast("bigint").as("total_e4"))
+        val m = rev.agg(max(col("total_e4")).as("mx"))
+        Tables(s, d, "supplier")
+          .join(rev, col("s_suppkey") === col("supplier_no"))
+          .crossJoin(broadcast(m))
+          .where(col("total_e4") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"),
+            (col("total_e4").cast("double") / 10000.0).as("total_revenue"))
+      }),
+
+    // ---- TPC-H Q17 (small-quantity-order revenue): lineitems of one
+    // brand whose quantity is under 20% of that part's average — the
+    // correlated scalar subquery DECORRELATED into a per-part
+    // aggregate joined back (what Catalyst's RewriteCorrelatedScalar-
+    // Subquery does; written directly so the plan is one lineitem
+    // shuffle on partkey + a broadcast-able per-part threshold). The
+    // 0.2·avg comparison is exact by cross-multiplication: 10·qty·n
+    // < 2·sum_qty in integer cents — no fractional avg anywhere.
+    // (p_container doesn't exist in the fixture; p_brand alone scopes
+    // the part set.) ----
+    QueryDef("q_tpch_q17", Some(
+      """WITH pq AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS sq,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS rev_cents,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |JOIN pq ON pq.l_partkey = lineitem.l_partkey
+        |WHERE 10 * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) * pq.n
+        |  < 2 * pq.sq""".stripMargin))(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val pq = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(floor(col("l_quantity") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("sq"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(Tables(s, d, "part")
+            .where(col("p_brand") === "Brand#1")),
+            expr("p_partkey = l_partkey"))
+          .join(pq, col("pk") === col("l_partkey"))
+          .where(lit(10) * floor(col("l_quantity") * 100 + 0.5)
+            .cast("bigint") * col("n") < lit(2) * col("sq"))
+          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint").as("rev_cents"),
+            count(lit(1)).as("n_lines"))
+      }),
+
     // ---- TPC-H Q18 shape (large-volume customers): orders whose
     // total line quantity exceeds a threshold, re-joined to customer,
     // global top-100. Unlike the literal Q18 text (IN-subquery, then a
