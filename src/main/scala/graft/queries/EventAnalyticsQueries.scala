@@ -16,6 +16,21 @@ object EventAnalyticsQueries {
 
   private val usPerDay = 86400000000L
 
+  /** Wilson 95% interval bound over integer columns (wa, wb, wd):
+    * z = 1.96 = 49/25 EXACTLY, so the whole interval clears to
+    *   (A ± 98·sqrt(D)) / B  with
+    *   A = (2500k + 4802)·n, B = n·(2500n + 9604),
+    *   D = 2500·n·k·(n−k) + 2401·n²  — all exact integers.
+    * The double tail is then four individually-rounded binary64 ops
+    * (sqrt, ×98, ±, ÷) with INTEGER constants only. (The first cut
+    * used decimal literals like 0.9604 — both engines type those as
+    * DECIMAL and their division scale rules differ, which cost a ULP:
+    * never put a non-integer literal inside a parity-critical double
+    * chain.) `sign` is "-" (lower) or "+" (upper). */
+  private def wilsonSql(tag: String, sign: String): String =
+    s"((CAST(wa AS DOUBLE) $sign 98 * sqrt(CAST(wd AS DOUBLE)))" +
+      " / CAST(wb AS DOUBLE))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- ordered funnel view → click → purchase: each step's
@@ -1983,6 +1998,56 @@ object EventAnalyticsQueries {
             col("s_dow"),
             expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * s_dow * nd_all)" +
               " DIV (nd_dow * s_all) AS BIGINT)").as("index_e6"))
+      }),
+
+    // ---- Wilson 95% confidence interval on daily view→purchase
+    // conversion: the binomial CI that stays inside [0,1] at small n
+    // (the normal approximation q_events_ab_test uses for MEANS is
+    // wrong for small-count PROPORTIONS). Inputs are exact integers
+    // (distinct viewers / converters per day); the interval is one
+    // shared arithmetic text over z=1.96 literals (z²=3.8416,
+    // z²/2=1.9208, z²/4=0.9604) — ±, ×, ÷ and IEEE-exact sqrt only,
+    // identical operation order in both dialects, so even the bounds
+    // hash-match. Scale: one (day, user) dedup agg over the corpus,
+    // then day-grain arithmetic. ----
+    QueryDef("q_events_conversion_ci", Some {
+      s"""WITH du AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+         |  FROM events WHERE event_type IN ('view', 'purchase')
+         |  GROUP BY 1, 2),
+         |dd AS (
+         |  SELECT day, CAST(sum(hv) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN hv = 1 AND hp = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM du GROUP BY day),
+         |pp AS (SELECT day, n, k, CAST(k AS DOUBLE) / n AS p
+         |       FROM dd WHERE n >= 1)
+         |SELECT day, n, k, p,
+         |  ${wilsonSql("lo", "-")} AS wilson_lo,
+         |  ${wilsonSql("hi", "+")} AS wilson_hi
+         |FROM pp""".stripMargin
+    })(
+      (s, d) => {
+        val du = Tables(s, d, "events")
+          .where(col("event_type").isin("view", "purchase"))
+          .groupBy(expr("unix_micros(ts) DIV 86400000000").as("day"),
+            col("user_id"))
+          .agg(max(when(col("event_type") === "view", 1).otherwise(0))
+            .as("hv"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0))
+              .as("hp"))
+        du.groupBy(col("day"))
+          .agg(sum(col("hv")).as("n"),
+            sum(when(col("hv") === 1 && col("hp") === 1, 1).otherwise(0))
+              .as("k"))
+          .where(col("n") >= 1)
+          .select(col("day"), col("n"), col("k"),
+            (col("k").cast("double") / col("n")).as("p"))
+          .select(col("day"), col("n"), col("k"), col("p"),
+            expr(wilsonSql("lo", "-")).as("wilson_lo"),
+            expr(wilsonSql("hi", "+")).as("wilson_hi"))
       }),
 
     // ---- Theil–Sen robust trend per event type: the MEDIAN of all
