@@ -2022,7 +2022,11 @@ object EventAnalyticsQueries {
          |    CAST(sum(CASE WHEN hv = 1 AND hp = 1 THEN 1 ELSE 0 END)
          |      AS BIGINT) AS k
          |  FROM du GROUP BY day),
-         |pp AS (SELECT day, n, k, CAST(k AS DOUBLE) / n AS p
+         |pp AS (SELECT day, n, k, CAST(k AS DOUBLE) / n AS p,
+         |         (CAST(2500 AS HUGEINT) * k + 4802) * n AS wa,
+         |         n * (CAST(2500 AS HUGEINT) * n + 9604) AS wb,
+         |         CAST(2500 AS HUGEINT) * n * k * (n - k)
+         |           + CAST(2401 AS HUGEINT) * n * n AS wd
          |       FROM dd WHERE n >= 1)
          |SELECT day, n, k, p,
          |  ${wilsonSql("lo", "-")} AS wilson_lo,
@@ -2044,7 +2048,13 @@ object EventAnalyticsQueries {
               .as("k"))
           .where(col("n") >= 1)
           .select(col("day"), col("n"), col("k"),
-            (col("k").cast("double") / col("n")).as("p"))
+            (col("k").cast("double") / col("n")).as("p"),
+            // widened to DECIMAL(38,0)/HUGEINT: wd ~ 2500·n³ passes
+            // the int64 line at n ≈ 1.5e5 distinct daily viewers
+            expr("(CAST(2500 AS DECIMAL(38,0)) * k + 4802) * n").as("wa"),
+            expr("n * (CAST(2500 AS DECIMAL(38,0)) * n + 9604)").as("wb"),
+            expr("CAST(2500 AS DECIMAL(38,0)) * n * k * (n - k)" +
+              " + CAST(2401 AS DECIMAL(38,0)) * n * n").as("wd"))
           .select(col("day"), col("n"), col("k"), col("p"),
             expr(wilsonSql("lo", "-")).as("wilson_lo"),
             expr(wilsonSql("hi", "+")).as("wilson_hi"))

@@ -746,20 +746,24 @@ object MigrationQueries {
          |d2 AS (SELECT d.doc_id, cl.cluster_id, d.lang,
          |         d.n_chars // 100 AS lb
          |       FROM documents d JOIN cl ON cl.doc_id = d.doc_id),
-         |tp AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_true
+         |tp AS (SELECT CAST(sum(CAST(m AS HUGEINT) * (m - 1) // 2)
+         |         AS BIGINT) AS n_true
          |       FROM (SELECT cluster_id, count(*) AS m FROM d2
          |             GROUP BY 1) t),
-         |cp AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand
+         |cp AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2)
+         |         AS BIGINT) AS n_cand
          |       FROM (SELECT lang, lb, count(*) AS c FROM d2
          |             GROUP BY 1, 2) b),
-         |cv AS (SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cov
+         |cv AS (SELECT CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2)
+         |         AS BIGINT) AS n_cov
          |       FROM (SELECT cluster_id, lang, lb, count(*) AS c FROM d2
          |             GROUP BY 1, 2, 3) x),
          |n AS (SELECT count(*) AS nd FROM d2)
          |SELECT n.nd AS n_docs, tp.n_true AS n_true_pairs,
          |  cp.n_cand AS n_cand_pairs, cv.n_cov AS n_covered_pairs,
-         |  CAST((1000000 * (n.nd * (n.nd - 1) // 2 - cp.n_cand))
-         |    // (n.nd * (n.nd - 1) // 2) AS BIGINT) AS rr_ppm,
+         |  CAST((CAST(1000000 AS HUGEINT)
+         |      * (CAST(n.nd AS HUGEINT) * (n.nd - 1) - 2 * cp.n_cand))
+         |    // (CAST(n.nd AS HUGEINT) * (n.nd - 1)) AS BIGINT) AS rr_ppm,
          |  CAST(CASE WHEN tp.n_true = 0 THEN 1000000
          |       ELSE (1000000 * cv.n_cov) // tp.n_true END AS BIGINT)
          |    AS pc_ppm
@@ -771,8 +775,12 @@ object MigrationQueries {
           .join(Tables(s, d, "documents").select(col("doc_id"),
             col("lang"), expr("n_chars DIV 100").as("lb")), "doc_id")
           .persist() // four aggregates read it; upstream CC loop is dear
+        // pair-space products widened to DECIMAL(38,0)/HUGEINT: c·(c−1)
+        // passes the int64 line once one block holds ~3e9 docs, and
+        // nd·(nd−1) at ~3e9 docs total — both reachable at 100 TB
         def pairsOf(g: org.apache.spark.sql.DataFrame, out: String) =
-          g.agg(coalesce(sum(expr("c * (c - 1) DIV 2")), lit(0L))
+          g.agg(coalesce(
+            sum(expr("CAST(c AS DECIMAL(38,0)) * (c - 1) DIV 2")), lit(0L))
             .cast("bigint").as(out))
         val tp = pairsOf(d2.groupBy(col("cluster_id"))
           .agg(count(lit(1)).as("c")), "n_true")
@@ -787,8 +795,12 @@ object MigrationQueries {
             col("n_true").as("n_true_pairs"),
             col("n_cand").as("n_cand_pairs"),
             col("n_cov").as("n_covered_pairs"),
-            expr("CAST((1000000 * (nd * (nd - 1) DIV 2 - n_cand))" +
-              " DIV (nd * (nd - 1) DIV 2) AS BIGINT)").as("rr_ppm"),
+            // 2× cleared denominators so the pair space never needs its
+            // own DIV 2 (Spark decimal DIV narrows to int64)
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0))" +
+              " * (CAST(nd AS DECIMAL(38,0)) * (nd - 1) - 2 * n_cand))" +
+              " DIV (CAST(nd AS DECIMAL(38,0)) * (nd - 1)) AS BIGINT)")
+              .as("rr_ppm"),
             expr("CAST(CASE WHEN n_true = 0 THEN 1000000" +
               " ELSE (1000000 * n_cov) DIV n_true END AS BIGINT)")
               .as("pc_ppm"))

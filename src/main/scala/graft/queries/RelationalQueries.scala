@@ -588,9 +588,10 @@ object RelationalQueries {
     // only while it fits); nation/region broadcast. ----
     QueryDef("q_tpch_q8", Some(
       """SELECT o_year,
-        |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
-        |            ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
-        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  CASE WHEN sum(vol) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |              ELSE CAST(0 AS DECIMAL(28,0)) END) AS DOUBLE)
+        |      / CAST(sum(vol) AS DOUBLE) END AS mkt_share,
         |  CAST(sum(vol) AS DOUBLE) / 10000.0 AS total_revenue
         |FROM (
         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
@@ -629,9 +630,13 @@ object RelationalQueries {
           .where(col("r_name") === "ASIA")
           .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
           .agg(
-            (sum(when(col("supp_nation") === "NATION_3", vol)
-              .otherwise(lit(0).cast("decimal(28,0)"))).cast("double")
-              / sum(vol).cast("double")).as("mkt_share"),
+            // 0/0 guard: an all-zero-revenue year (100% discounts)
+            // would be NaN on Spark but engine-dependent on the oracle
+            when(sum(vol) === 0, lit(null).cast("double"))
+              .otherwise(
+                sum(when(col("supp_nation") === "NATION_3", vol)
+                  .otherwise(lit(0).cast("decimal(28,0)"))).cast("double")
+                  / sum(vol).cast("double")).as("mkt_share"),
             (sum(vol).cast("double") / 10000.0).as("total_revenue"))
       }),
 
