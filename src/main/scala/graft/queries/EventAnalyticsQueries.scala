@@ -684,14 +684,16 @@ object EventAnalyticsQueries {
     // ---- RFM segmentation: per-user Recency (days since last
     // event), Frequency (event count), Monetary (total cents), each
     // cut into quintiles — the classic lifecycle-marketing scoring,
-    // all integers until the final segment label. ntile() assigns
-    // identically in both engines given a total order, so every
-    // ORDER BY carries the user_id tiebreak. One user_id shuffle for
-    // the profile, three ntile windows over the |users| frame — the
-    // profile is 1 row per user, so this sorts users, not events;
-    // at a |users| that no longer sorts comfortably, cut quintiles
-    // with the q_agg_decile_bounds histogram-rank arithmetic instead
-    // (same boundaries, no global sort). ----
+    // all integers until the final segment label. The oracle keeps
+    // ntile() (every ORDER BY carries the user_id tiebreak); Spark
+    // computes the SAME buckets via three ShardedRank passes, so no
+    // window ever sorts the |users| frame in one task: recency and
+    // frequency shard on (exact key, user_id DIV 16384) — the
+    // low-cardinality keys whose tie classes (e.g. every one-event
+    // user) would otherwise pile into one sort — and near-unique
+    // monetary shards on $1000 value bands. One user_id shuffle for
+    // the profile; the only unpartitioned windows run over per-shard
+    // aggregates. ----
     QueryDef("q_events_rfm", Some(
       s"""WITH mx AS (SELECT max(epoch_us(ts)) // $usPerDay AS today FROM events),
          |prof AS (
@@ -717,14 +719,25 @@ object EventAnalyticsQueries {
           .agg((col("today") - max(col("day"))).as("recency_days"),
             count(lit(1)).as("frequency"),
             sum(col("cv")).as("monetary_cents"))
-        prof.select(col("user_id"), col("recency_days"), col("frequency"),
-          col("monetary_cents"),
-          ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
-            .cast("bigint").as("r_quintile"),
-          ntile(5).over(Window.orderBy(col("frequency").desc, col("user_id")))
-            .cast("bigint").as("f_quintile"),
-          ntile(5).over(Window.orderBy(col("monetary_cents").desc, col("user_id")))
-            .cast("bigint").as("m_quintile"))
+          .persist() // three rank passes + the count read it
+        val ush = expr("user_id DIV 16384")
+        val ranked = Seq(
+          (Seq(col("recency_days"), ush), Seq(false, false),
+            Seq(col("recency_days").asc, col("user_id").asc), "rn_r"),
+          (Seq(col("frequency"), ush), Seq(true, false),
+            Seq(col("frequency").desc, col("user_id").asc), "rn_f"),
+          (Seq(expr("monetary_cents DIV 100000")), Seq(true),
+            Seq(col("monetary_cents").desc, col("user_id").asc), "rn_m"))
+          .foldLeft(prof) { case (acc, (sh, dsc, ord, out)) =>
+            graft.ops.ShardedRank.rowNumber(acc, sh, dsc, ord, out)
+          }
+        import graft.ops.ShardedRank.ntileSql
+        ranked.crossJoin(broadcast(prof.agg(count(lit(1)).as("n"))))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary_cents"),
+            expr(ntileSql("rn_r", "n", 5)).as("r_quintile"),
+            expr(ntileSql("rn_f", "n", 5)).as("f_quintile"),
+            expr(ntileSql("rn_m", "n", 5)).as("m_quintile"))
       }),
 
     // ---- peak session concurrency via a sweep line: the 30-min-gap

@@ -96,16 +96,26 @@ object WindowQueries {
             sum(dec(col("c_acctbal"))).over(w).cast("double").as("near_sum"))
       }),
 
-    // ntile bucketing over a total order.
+    // ntile bucketing over a total order — computed WITHOUT the
+    // single-partition sort ntile()'s unpartitioned window plans:
+    // two-phase sharded rank (100-unit acctbal bands are monotone in
+    // the DESC order and ≤ ~110 shards at ANY scale factor, TPC-H
+    // acctbal range being fixed) + exact integer NTILE arithmetic.
+    // Bit-identical to the window function; the oracle keeps ntile().
     QueryDef("q_window_ntile", Some(
       """SELECT c_custkey AS custkey,
         |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
         |FROM customer""".stripMargin))(
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-        Tables(s, d, "customer")
+        val c = Tables(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"))
+        val ranked = graft.ops.ShardedRank.rowNumber(c,
+          Seq(floor(col("c_acctbal") / 100).cast("bigint")), Seq(true),
+          Seq(col("c_acctbal").desc, col("c_custkey").asc), "rn")
+        ranked.crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
           .select(col("c_custkey").as("custkey"),
-            ntile(4).over(w).cast("bigint").as("quartile"))
+            expr(graft.ops.ShardedRank.ntileSql("rn", "n", 4))
+              .as("quartile"))
       }),
 
     // Global top-k (orderBy+limit — Spark plans TakeOrderedAndProject:
