@@ -75,7 +75,64 @@ object SubqueryQueries {
       |    ON CAST(floor(c.c_custkey / 2) AS BIGINT) = t.node)
       |SELECT node, depth FROM tree""".stripMargin
 
+  /** TPC-H Q21's correlation topology (the multi-correlated
+    * EXISTS + NOT-EXISTS the date-blocked q21 would have exercised —
+    * VERDICT r9 item 5), re-expressed over available columns:
+    * "supplier with a >2-years-late line on a finished multi-supplier
+    * order where NO OTHER supplier on that order was late". Lateness =
+    * ship minus order date in integer micros, so both NOT-EXISTS
+    * predicates correlate on TWO outer relations (l1.l_orderkey AND
+    * o_orderdate). Catalyst decorrelates to one left-semi and one
+    * left-anti hash join on l_orderkey (pinned in PlanShapeSpec) —
+    * lineitem never re-executes per row; fan-out is per-order. The
+    * epoch fn is the only dialect split ($EP → epoch_us /
+    * unix_micros). */
+  private def q21Sql(ep: String => String): String =
+    s"""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       |FROM supplier, lineitem l1, orders
+       |WHERE s_suppkey = l1.l_suppkey
+       |  AND o_orderkey = l1.l_orderkey
+       |  AND o_orderstatus = 'F'
+       |  AND ${ep("l1.l_shipdate")} - ${ep("o_orderdate")} > 63072000000000
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey
+       |      AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey
+       |      AND l3.l_suppkey <> l1.l_suppkey
+       |      AND ${ep("l3.l_shipdate")} - ${ep("o_orderdate")}
+       |        > 63072000000000)
+       |GROUP BY s_name""".stripMargin
+
+  /** TPC-H Q22's shape (phone-blocked): scalar-subquery threshold +
+    * NOT-EXISTS anti-join. Nation keys stand in for country codes;
+    * "has no order at all" (empty in this fixture — every customer
+    * orders) becomes "has no high-value order", the same anti-join.
+    * The avg threshold is cross-multiplied into exact cents
+    * (cents·n > Σcents, DECIMAL(38,0) product) so no FP mean exists
+    * to diverge; both uncorrelated scalars plan as 1-row broadcasts. */
+  private val q22Sql: String =
+    """SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS tot_cents
+      |FROM customer c
+      |WHERE c_nationkey IN (0, 2, 4, 6, 8, 10, 12)
+      |  AND CAST(floor(c_acctbal * 100 + 0.5) AS DECIMAL(38,0))
+      |      * (SELECT count(*) FROM customer
+      |         WHERE c_acctbal > 0.0
+      |           AND c_nationkey IN (0, 2, 4, 6, 8, 10, 12))
+      |    > (SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+      |       FROM customer WHERE c_acctbal > 0.0
+      |         AND c_nationkey IN (0, 2, 4, 6, 8, 10, 12))
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 300000)
+      |GROUP BY c_nationkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_q21_shape",
+      Some(q21Sql(c => s"epoch_us($c)")))(
+      sql(q21Sql(c => s"unix_micros(CAST($c AS TIMESTAMP))"))),
+    QueryDef("q_subquery_q22_shape", Some(q22Sql))(sql(q22Sql)),
     QueryDef("q_subquery_recursive_cte", Some(recursiveSql))(sql(recursiveSql)),
     QueryDef("q_subquery_scalar", Some(scalarSql))(sql(scalarSql)),
     QueryDef("q_subquery_corr_scalar", Some(corrScalarSql))(sql(corrScalarSql)),

@@ -323,6 +323,50 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q21 shape: EXISTS/NOT-EXISTS decorrelate to semi/anti hash joins") {
+    // the multi-correlated subqueries must become ONE left-semi and
+    // ONE left-anti join on l_orderkey — per-row re-execution or a
+    // nested-loop fallback would be quadratic in lineitem
+    val df = Catalog.byName("q_subquery_q21_shape").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected decorrelated semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected decorrelated anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"correlation must stay an equi hash join:\n$plan")
+  }
+
+  test("q22 shape: threshold scalars broadcast, anti join, no nested loop") {
+    val df = Catalog.byName("q_subquery_q22_shape").fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected anti join on o_custkey:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar thresholds must plan as subquery broadcasts:\n$plan")
+  }
+
+  test("ntile + rfm: unpartitioned windows only over per-shard aggregates") {
+    // the ShardedRank rewrite's claim: no WindowExec sorts the whole
+    // customer/user frame in one task — unpartitioned windows consume
+    // only the bounded per-shard count aggregate
+    for (name <- Seq("q_window_ntile", "q_events_rfm")) {
+      val df = Catalog.byName(name).fn(spark, sfDir)
+      df.collect()
+      val windows = collectAll(df.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, name)
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        }
+        assert(aggBelow.nonEmpty,
+          s"$name: unpartitioned window must consume shard aggregates:\n$w")
+      }
+    }
+  }
+
   test("z-order audit: no sort, no window — scalar broadcast + hash aggs only") {
     // the layout audit costs O(rows): min/max broadcast back via a
     // nested-loop join of a 1-row aggregate, per-row codegen'd bit
