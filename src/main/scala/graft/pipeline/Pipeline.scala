@@ -296,9 +296,24 @@ final class Pipeline(
         f.substring(f.lastIndexOf('/') + 1))
     }
     if (!committed) return false
-    val raws = spec.tables.filter(_.targetTable == targetTable)
-      .flatMap(_.sources.map(_.name)).distinct
-    raws.foreach(n => storage.delete(spec.rawDir(n)))
+    val srcs = spec.tables.filter(_.targetTable == targetTable)
+      .flatMap(_.sources).distinctBy(_.name)
+    srcs.foreach { s =>
+      if (s.bucketKey.isDefined) {
+        // bucketed sources staged as a managed catalog table, not a
+        // rawDir — drop BOTH the catalog entry and its storage (DROP
+        // TABLE removes managed data, but a table whose write died
+        // half-way can leave orphan files; sweep the location too)
+        val tbl = bucketTableName(s.name)
+        if (spark.catalog.tableExists(tbl)) {
+          val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+            .find(_.getString(0).trim == "Location")
+            .map(_.getString(1).trim)
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          loc.foreach(storage.delete)
+        }
+      } else storage.delete(spec.rawDir(s.name))
+    }
     storage.delete(transformedDir)
     storage.delete(checkpointDir)
     true

@@ -292,6 +292,36 @@ class PipelineSpec extends SparkSpecBase {
       .count() === expectedRows)
   }
 
+  test("vacuum: bucketed staging drops the catalog table and its storage") {
+    val ws = freshWorkspace()
+    val base = PipelineQueries.spec(ws)
+    val t = base.tables.head
+    val bucketed = base.copy(tables = Seq(t.copy(sources = t.sources.map {
+      case s if s.name == "orders" =>
+        s.copy(bucketKey = Some("o_orderkey"), numBuckets = 4)
+      case s => s
+    })))
+    val p = new Pipeline(spark, bucketed,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1)
+    p.runAll()
+    val tbl = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("graft_raw_orders_")).get
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
+      .find(_.getString(0).trim == "Location").map(_.getString(1).trim).get
+    val locPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = locPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(locPath), "staged bucket table data must exist pre-vacuum")
+    assert(p.vacuum("enriched_lineitem"))
+    assert(!spark.catalog.tableExists(tbl),
+      "vacuum must drop the staged bucket table from the catalog")
+    assert(!fs.exists(locPath),
+      "vacuum must remove the staged bucket table's storage")
+    // the loaded target is untouched
+    assert(spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
+  }
+
   test("bucketed staging: lost table data is detected and rebuilt") {
     val ws = freshWorkspace()
     val base = PipelineQueries.spec(ws)

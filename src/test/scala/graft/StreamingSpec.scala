@@ -128,6 +128,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.find(_._1 == w0).get === ((w0, 1L, 1.0)))
   }
 
+  test("out-of-order within the watermark is kept; beyond it is counted dropped") {
+    // the exact late-data contract: the drop filter keys on the WINDOW
+    // end, not the raw event time — an out-of-order event whose window
+    // is still open lands in the agg even if its timestamp trails the
+    // watermark; only rows for already-finalized windows drop, and the
+    // engine accounts for each in numRowsDroppedByWatermark
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val df = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.windowedAgg(df, windowLen = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    def ts(s: String) = Timestamp.valueOf(s)
+    input.addData((1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    // watermark → 01:20; finalizes the 00:00 window
+    input.addData((2L, ts("2024-01-01 01:30:00"), 1L, "click", 2.0, "{}"))
+    q.processAllAvailable()
+    input.addData(
+      // 01:15 trails the 01:20 watermark but its 01:00 window is still
+      // open → KEPT
+      (3L, ts("2024-01-01 01:15:00"), 1L, "click", 4.0, "{}"),
+      // 00:05's window closed at the 01:20 watermark → DROPPED
+      (4L, ts("2024-01-01 00:05:00"), 1L, "click", 99.0, "{}"))
+    q.processAllAvailable()
+    // close the 01:00 window so append emits it
+    input.addData((5L, ts("2024-01-01 05:00:00"), 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    val rows = spark.table("ooo_out")
+      .select("window_start_us", "n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    q.stop()
+    def w(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    assert(rows.find(_._1 == w("2024-01-01 00:00:00")).get._2 === 1L,
+      "finalized window must not re-open for the late row")
+    assert(rows.find(_._1 == w("2024-01-01 01:00:00")).get ===
+      ((w("2024-01-01 01:00:00"), 2L, 6.0)),
+      "out-of-order row within an open window must be aggregated")
+    assert(dropped === 1L,
+      s"exactly the finalized-window row counts as dropped, got $dropped")
+  }
+
   test("dedupeWithinWatermark: bounded state — dups dropped in-horizon, key evicted after") {
     val input = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
     val df = input.toDF()
