@@ -120,6 +120,14 @@ object GraftFunctions {
     call_function(s"graft_shingle_hashes_${n}_${if (mod > 0) "modp" else "raw"}", toks)
   }
 
+  /** Optimizer fence (see [[Materialize]]): the wrapped column is
+    * computed once per row where it is defined; filters will not push
+    * through it and projections will not inline it. */
+  def materialize(c: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_materialize", c)
+  }
+
   /** Positional character n-grams (see [[CharNGrams]]); only n = 3 is
     * registered. */
   def charNGrams(s: Column, n: Int): Column = {
@@ -221,6 +229,8 @@ object GraftFunctions {
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_materialize", exprs => Materialize(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_l2sub_8", exprs => L2SubDist(exprs(0), exprs(1), exprs(2), 8), "built-in")
     for (d <- LvSumDims)

@@ -113,21 +113,26 @@ object PipelineQueries {
         // the battery passes lang/text through, so the quality gate is
         // the same single scan — no self-join on doc_id. Persisted:
         // the exact-dedup self-join (keepers probe + kept side) would
-        // otherwise run the 5-gram battery twice
+        // otherwise run the 5-gram battery twice. BOTH content hashes
+        // (dedup md5, split h32) are computed in the same pre-persist
+        // projection, so the cached frame holds 2 small hashes instead
+        // of the full text and no branch ever re-hashes it
         val quality = TextQueries.qualityFlags(s, d)
           .where(col("keep"))
-          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            md5(col("text")).as("mh"),
+            pmod(h32(col("text")), lit(100L)).as("bucket"))
           .persist()
         val keepers = quality
-          .groupBy(md5(col("text")).as("h"))
+          .groupBy(col("mh"))
           .agg(min(col("doc_id")).as("keeper"))
         val deduped = quality
-          .join(keepers, md5(col("text")) === col("h")
-            && col("doc_id") === col("keeper"))
-        val bucket = pmod(h32(col("text")), lit(100L))
+          .join(keepers, Seq("mh"))
+          .where(col("doc_id") === col("keeper"))
         deduped
           .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
               .otherwise("test"))
           .groupBy(col("split"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
@@ -224,28 +229,35 @@ object PipelineQueries {
         // branches (keepers self-join; tr feeds both the contamination
         // probe and the anti-join; clean feeds the apportionment AND
         // the sharded rank/cumsum) — without materialization every
-        // branch re-runs the full 5-gram battery upstream
-        val quality = TextQueries.qualityFlags(s, d)
+        // branch re-runs the full 5-gram battery upstream. The battery
+        // already tokenized every doc (keepTokens reuses its `w`), so
+        // the 5-gram hash windows, the dedup md5 and the split bucket
+        // are ALL computed in the one pre-persist projection: the
+        // cached frame holds hashes, never text, and no branch
+        // re-tokenizes
+        val quality = TextQueries.qualityFlags(s, d, keepTokens = true)
           .where(col("keep"))
-          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            md5(col("text")).as("mh"),
+            pmod(h32(col("text")), lit(100L)).as("bucket"),
+            array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("shw"))
           .persist()
         val keepers = quality
-          .groupBy(md5(col("text")).as("h"))
+          .groupBy(col("mh"))
           .agg(min(col("doc_id")).as("keeper"))
         val dd = quality
-          .join(keepers, md5(col("text")) === col("h")
-            && col("doc_id") === col("keeper"))
-          .select(col("doc_id"), col("lang"), col("text"), col("n_tokens"))
-        val bucket = pmod(h32(col("text")), lit(100L))
+          .join(keepers, Seq("mh"))
+          .where(col("doc_id") === col("keeper"))
         // held-out split's window index — small by contract, broadcast
-        val evIdx = Tables(s, d, "documents").where(bucket >= 95)
+        // (over ALL documents incl. quality-dropped, per the recipe)
+        val evIdx = Tables(s, d, "documents")
+          .where(pmod(h32(col("text")), lit(100L)) >= 95)
           .select(explode(array_distinct(
             GraftFunctions.shingleHashes(tokens(col("text")), 5, TextOps.P)))
             .as("h"))
           .distinct()
-        val tr = dd.where(bucket < 95)
-          .withColumn("shw", array_distinct(
-            GraftFunctions.shingleHashes(tokens(col("text")), 5, TextOps.P)))
+        val tr = dd.where(col("bucket") < 95)
           .select(col("doc_id"), col("lang"), col("n_tokens"), col("shw"))
           .persist()
         val hits = tr

@@ -101,14 +101,24 @@ object TextQueries {
        |  FROM qrules)""".stripMargin
 
   /** Spark twin of [[qualityCteSql]]'s qflags: one row per doc with
-    * the integer features, the five rule flags, n_violations, keep. */
+    * the integer features, the five rule flags, n_violations, keep.
+    * `keepTokens` passes the token array `w` through so a downstream
+    * consumer (the export e2e's 5-gram battery) reuses ONE tokenize
+    * pass instead of re-running it past the persist boundary. */
   private[queries] def qualityFlags(s: org.apache.spark.sql.SparkSession,
-      d: String): DataFrame = {
+      d: String, keepTokens: Boolean = false): DataFrame = {
     val nTok = size(col("w"))
+    val passthrough =
+      Seq(col("doc_id"), col("lang"), col("text")) ++
+        (if (keepTokens) Seq(col("w")) else Nil)
+    // Materialize fences the token array: without it the keep-filter
+    // pushdown substitutes `w` by split(text) inside every element_at
+    // lambda (no CSE inside HOF lambdas) — measured ~10× battery cost
     val feat = Tables(s, d, "documents")
-      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        graft.functions.GraftFunctions.materialize(tokens(col("text"))).as("w"))
       .select(
-        col("doc_id"), col("lang"), col("text"),
+        passthrough ++ Seq(
         nTok.cast("bigint").as("n_tokens"),
         aggregate(transform(col("w"), t => length(t).cast("bigint")),
           lit(0L), (acc, v) => acc + v).as("sum_tok_len"),
@@ -119,7 +129,7 @@ object TextQueries {
           .cast("bigint").as("n_stop_distinct"),
         when(nTok >= 5, nTok - 4).otherwise(0).cast("bigint").as("n_5grams"),
         when(nTok >= 5, nTok - 4 - size(array_distinct(shingles(col("w"), 5))))
-          .otherwise(0).cast("bigint").as("n_dup_5grams"))
+          .otherwise(0).cast("bigint").as("n_dup_5grams")): _*)
     val flagged = feat.select(col("*"),
       (col("n_tokens") < 50 || col("n_tokens") >= 100000).as("r_len"),
       (col("sum_tok_len") < lit(3) * col("n_tokens") ||
