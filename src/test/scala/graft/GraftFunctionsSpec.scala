@@ -222,4 +222,30 @@ class GraftFunctionsSpec extends SparkSpecBase {
         TextOps.minhashSigFromHashes(col("h")).as("r"))
       .where(col("n") =!= col("r")).count() === 0)
   }
+
+  test("materialize: identity values, fences filter pushdown past the projection") {
+    val docs = Tables(spark, sfDir, "documents").limit(50)
+    val plain = docs.select(col("doc_id"), split(trim(col("text")), " ").as("w"))
+    val fenced = docs.select(col("doc_id"),
+      GraftFunctions.materialize(split(trim(col("text")), " ")).as("w"))
+    // identity: same token arrays
+    val a = plain.select(col("doc_id"), col("w")).collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = fenced.select(col("doc_id"), col("w")).collect().map(r =>
+      r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a === b)
+    // fence: a filter over the aliased array stays ABOVE the projection —
+    // its condition references the attribute, never re-inlines split()
+    val filtered = fenced.where(size(col("w")) >= 5)
+    val optimized = filtered.queryExecution.optimizedPlan
+    val filters = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.nonEmpty)
+    filters.foreach { f =>
+      assert(!f.condition.toString.contains("split"),
+        s"filter must consume the materialized attribute:\n$f")
+    }
+    assert(filtered.count() > 0)
+  }
 }
