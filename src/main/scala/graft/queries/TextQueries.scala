@@ -1238,33 +1238,42 @@ object TextQueries {
     // 5-gram shingles whose FIRST corpus occurrence (min doc_id over
     // containing docs) is this doc — the curriculum/memorization
     // metric (documents that only restate earlier shingles score ~0;
-    // fresh content scores ~1e6 ppm). Exact integers end to end.
-    // Scale: one explode→hash-agg builds the shingle inverted index
-    // (the same exchange every dedup entry pays), one equi-join back
-    // on the shingle key, one per-doc aggregate — no windows, no
-    // broadcast of anything corpus-sized. ----
+    // fresh content scores ~1e6 ppm). Exact integers end to end,
+    // over the HASHED shingle space (h32 mod P, same modulus both
+    // engines — the decontamination convention): the inverted index
+    // and the join-back shuffle 8-byte keys instead of ~50-byte
+    // 5-gram strings, and the fused ShingleHashes expression never
+    // materializes the concatenated gram at all (7.5 → ~2 s at
+    // sf0.1). Collisions merge identically on both engines. Scale:
+    // one explode→hash-agg builds the index (the same exchange every
+    // dedup entry pays), one equi-join back on the hash, one per-doc
+    // aggregate — no windows, no broadcast of anything corpus-sized.
     QueryDef("q_text_novelty", Some(
       s"""WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS w
          |  FROM documents),
          |sh AS (
-         |  SELECT doc_id, g.g AS g
-         |  FROM (SELECT doc_id, ${shinglesSql("w", 5)} AS gs FROM tok),
-         |    unnest(gs) AS g(g)),
-         |fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+         |  SELECT doc_id, g.h AS h
+         |  FROM (SELECT doc_id,
+         |          list_distinct(${shingleHashesSql(shinglesSql("w", 5))})
+         |            AS hs FROM tok),
+         |    unnest(hs) AS g(h)),
+         |fst AS (SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h)
          |SELECT sh.doc_id, count(*) AS n_shingles,
          |  CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_novel,
          |  CAST((1000000 * sum(CASE WHEN fst.first_doc = sh.doc_id
          |      THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS novelty_ppm
-         |FROM sh JOIN fst ON sh.g = fst.g
+         |FROM sh JOIN fst ON sh.h = fst.h
          |GROUP BY sh.doc_id""".stripMargin))(
       (s, d) => {
         val sh = Tables(s, d, "documents")
           .select(col("doc_id"),
-            explode(shingles(tokens(col("text")), 5)).as("g"))
+            explode(array_distinct(graft.functions.GraftFunctions
+              .shingleHashes(tokens(col("text")), 5, graft.ops.TextOps.P)))
+              .as("h"))
           .persist() // inverted index + join-back both read it
-        val fst = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-        sh.join(fst, "g")
+        val fst = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+        sh.join(fst, "h")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_shingles"),
             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
