@@ -346,8 +346,10 @@ object DedupQueries {
           .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
             tokens(col("text")).as("w"))
           .select(col("doc_id"), col("bucket"),
-            array_distinct(
-              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+            // Materialize: explode's implicit isnotnull filter would
+            // otherwise inline (and re-run) the whole shingle pipeline
+            GraftFunctions.materialize(array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P))).as("sh"))
         val exTrain = sh.where(col("bucket") < 80)
           .select(col("doc_id"), explode(col("sh")).as("h"))
         val exTest = sh.where(col("bucket") >= 90)
@@ -403,8 +405,10 @@ object DedupQueries {
           .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
             tokens(col("text")).as("w"))
           .select(col("doc_id"), col("bucket"),
-            array_distinct(
-              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+            // Materialize: explode's implicit isnotnull filter would
+            // otherwise inline (and re-run) the whole shingle pipeline
+            GraftFunctions.materialize(array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P))).as("sh"))
         val evalIdx = sh.where(col("bucket") >= 95)
           .select(explode(col("sh")).as("h")).distinct()
         val train = sh.where(col("bucket") < 95)
@@ -490,8 +494,10 @@ object DedupQueries {
           .select(col("doc_id"), pmod(h32(col("text")), lit(100L)).as("bucket"),
             tokens(col("text")).as("w"))
           .select(col("doc_id"), col("bucket"),
-            array_distinct(
-              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P)).as("sh"))
+            // Materialize: explode's implicit isnotnull filter would
+            // otherwise inline (and re-run) the whole shingle pipeline
+            GraftFunctions.materialize(array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 5, TextOps.P))).as("sh"))
           .persist() // eval index + probe stream
         val evh = sh.where(col("bucket") >= 95)
           .select(explode(col("sh")).as("h")).distinct()
