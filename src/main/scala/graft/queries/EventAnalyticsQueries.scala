@@ -719,8 +719,12 @@ object EventAnalyticsQueries {
           .agg((col("today") - max(col("day"))).as("recency_days"),
             count(lit(1)).as("frequency"),
             sum(col("cv")).as("monetary_cents"))
-          .persist() // three rank passes + the count read it
+          .persist() // three rank branches + the count read it
         val ush = expr("user_id DIV 16384")
+        // BRANCHED, not chained: each rank pass runs off the persisted
+        // profile and joins back a (user_id, rank) pair — a chained
+        // fold would re-execute every earlier pass inside the next
+        // pass's offsets branch (measured ~4× the window work)
         val ranked = Seq(
           (Seq(col("recency_days"), ush), Seq(false, false),
             Seq(col("recency_days").asc, col("user_id").asc), "rn_r"),
@@ -728,9 +732,11 @@ object EventAnalyticsQueries {
             Seq(col("frequency").desc, col("user_id").asc), "rn_f"),
           (Seq(expr("monetary_cents DIV 100000")), Seq(true),
             Seq(col("monetary_cents").desc, col("user_id").asc), "rn_m"))
-          .foldLeft(prof) { case (acc, (sh, dsc, ord, out)) =>
-            graft.ops.ShardedRank.rowNumber(acc, sh, dsc, ord, out)
+          .map { case (sh, dsc, ord, out) =>
+            graft.ops.ShardedRank.rowNumber(prof, sh, dsc, ord, out)
+              .select(col("user_id"), col(out))
           }
+          .foldLeft(prof)((acc, r) => acc.join(r, "user_id"))
         import graft.ops.ShardedRank.ntileSql
         ranked.crossJoin(broadcast(prof.agg(count(lit(1)).as("n"))))
           .select(col("user_id"), col("recency_days"), col("frequency"),
