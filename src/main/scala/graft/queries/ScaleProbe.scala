@@ -334,7 +334,18 @@ object ScaleProbe {
       // counter is corpus size — the pipeline's work unit.
       ("q_corpus_export_e2e", "documents",
         (s: SparkSession, dir: String) =>
-          Tables(s, dir, "documents").count()))
+          Tables(s, dir, "documents").count()),
+      // novelty's only exchange-bound frame: the exploded distinct-
+      // hash inverted index. On the ×10 replica corpus (disjoint
+      // vocabularies) it must grow ~×10 — the join-back fan-out is
+      // per-shingle-instance, never cross-replica.
+      ("q_text_novelty", "documents",
+        (s: SparkSession, dir: String) =>
+          Tables(s, dir, "documents")
+            .select(explode(array_distinct(
+              graft.functions.GraftFunctions.shingleHashes(
+                TextOps.tokens(col("text")), 5, TextOps.P))).as("h"))
+            .count()))
     val probes = allProbes.filter { case (q, _, _) =>
       sys.env.get("SPARK_GRAFT_PROBE_ONLY")
         .forall(_.split(",").map(_.trim).contains(q))
