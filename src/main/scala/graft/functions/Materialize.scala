@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.DataType
   * only columns whose consumers would otherwise re-compute them. */
 case class Materialize(child: Expression) extends UnaryExpression {
   override lazy val deterministic: Boolean = false
+  // UnaryExpression delegates foldable to the child — a foldable child
+  // would let ConstantFolding / EliminateWindowPartitions look through
+  // the fence (BoundedWindow partitions by Materialize(0) precisely so
+  // the constant key survives optimization)
+  override def foldable: Boolean = false
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
   override def eval(input: InternalRow): Any = child.eval(input)

@@ -50,7 +50,7 @@ object ShardedRank {
       case (n, false) => col(n).asc
     }
     // |shards| rows only — the bounded frame the pattern exists for
-    val wSh = Window.orderBy(shardOrd: _*)
+    val wSh = BoundedWindow.ordered(shardOrd: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = withS.groupBy(sNames.map(col): _*)
       .agg(count(lit(1)).as("__srk_c"))

@@ -66,7 +66,7 @@ object CorpusPrepQueries {
           .rowsBetween(Window.unboundedPreceding, -1)
         val local = docs.withColumn("local_off",
           coalesce(sum(col("n")).over(wLocal), lit(0L)))
-        val wShard = Window.orderBy(col("shard"))
+        val wShard = graft.ops.BoundedWindow.ordered(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val shardOff = docs.groupBy(col("shard")).agg(sum(col("n")).as("tot"))
           .withColumn("shard_off", coalesce(sum(col("tot")).over(wShard), lit(0L)))

@@ -1009,7 +1009,7 @@ object EvalQueries {
           .where(col("score") > 0)
           .orderBy(col("score").desc, col("doc_id").asc).limit(50)
         val sRank = sTop.select(col("doc_id"),
-          row_number().over(Window.orderBy(col("score").desc,
+          row_number().over(graft.ops.BoundedWindow.ordered(col("score").desc,
             col("doc_id").asc)).cast("bigint").as("rank_sparse"))
         val nv = graft.Tables(s, d, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1024,7 +1024,7 @@ object EvalQueries {
               / (col("qn") * col("nrm"))).as("cos"))
         val dTop = dense.orderBy(col("cos").desc, col("vec_id").asc).limit(50)
         val dRank = dTop.select(col("vec_id"),
-          row_number().over(Window.orderBy(col("cos").desc,
+          row_number().over(graft.ops.BoundedWindow.ordered(col("cos").desc,
             col("vec_id").asc)).cast("bigint").as("rank_dense"))
         val fused = sRank
           .join(dRank, sRank("doc_id") === dRank("vec_id"), "full_outer")
@@ -1035,7 +1035,7 @@ object EvalQueries {
               .as("rrf_score"))
         fused
           .withColumn("fused_rank", row_number().over(
-            Window.orderBy(col("rrf_score").desc, col("doc_id").asc))
+            graft.ops.BoundedWindow.ordered(col("rrf_score").desc, col("doc_id").asc))
             .cast("bigint"))
           .orderBy(col("rrf_score").desc, col("doc_id").asc).limit(20)
       }),

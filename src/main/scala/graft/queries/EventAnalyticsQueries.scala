@@ -549,7 +549,7 @@ object EventAnalyticsQueries {
             sum(col("obs")).over(Window.partitionBy(col("event_type"))))
           .withColumn("c",
             sum(col("obs")).over(Window.partitionBy(col("dow"))))
-          .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+          .withColumn("n", sum(col("obs")).over(graft.ops.BoundedWindow.all()))
         val dev = col("obs").cast("decimal(38,0)") * col("n") -
           col("r").cast("decimal(38,0)") * col("c")
         val x = t
@@ -562,7 +562,7 @@ object EventAnalyticsQueries {
               * 1000000000 + 0.5).cast("bigint"))
         x.select(col("event_type"), col("dow").cast("bigint").as("dow"),
           col("obs").as("observed"), col("expected_e6"), col("contrib_e9"),
-          sum(col("contrib_e9")).over(Window.partitionBy())
+          sum(col("contrib_e9")).over(graft.ops.BoundedWindow.all())
             .cast("bigint").as("chi2_e9"))
       }),
 
@@ -668,9 +668,9 @@ object EventAnalyticsQueries {
           .groupBy(col("user_id"), col("t1"))
           .agg(expr("(min(tus) - t1) DIV 3600000000").as("delay_h"))
         val h = p.groupBy(col("delay_h")).agg(count(lit(1)).as("cnt"))
-        val wCum = Window.orderBy(col("delay_h"))
+        val wCum = graft.ops.BoundedWindow.ordered(col("delay_h"))
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy()
+        val wAll = graft.ops.BoundedWindow.all()
         h.withColumn("cum", sum(col("cnt")).over(wCum))
           .withColumn("n", sum(col("cnt")).over(wAll))
           .select(col("delay_h"), col("cum"), col("n"),
@@ -802,7 +802,7 @@ object EventAnalyticsQueries {
           .orderBy(col("t").asc, col("delta").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = b.withColumn("lcum", sum(col("delta")).over(wLoc))
-        val wSh = Window.orderBy(col("shard"))
+        val wSh = graft.ops.BoundedWindow.ordered(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = b.groupBy(col("shard")).agg(sum(col("delta")).as("tot"))
           .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
@@ -994,7 +994,7 @@ object EventAnalyticsQueries {
         val n = f.groupBy(col("first_day").as("day"))
           .agg(count(lit(1)).as("new_users"))
         n.withColumn("cum_users",
-          sum(col("new_users")).over(Window.orderBy(col("day"))
+          sum(col("new_users")).over(graft.ops.BoundedWindow.ordered(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("bigint"))
       }),
@@ -1040,7 +1040,7 @@ object EventAnalyticsQueries {
         // within a value-range shard, then broadcast shard offsets
         val wLoc = Window.partitionBy(col("shard")).orderBy(col("v"))
         val local = g.withColumn("lcum", sum(col("c")).over(wLoc))
-        val wSh = Window.orderBy(col("shard"))
+        val wSh = graft.ops.BoundedWindow.ordered(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = g.groupBy(col("shard")).agg(sum(col("c")).as("tot"))
           .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
@@ -1743,7 +1743,7 @@ object EventAnalyticsQueries {
         val local = g
           .withColumn("l1", sum(col("c1")).over(wLoc))
           .withColumn("l2", sum(col("c2")).over(wLoc))
-        val wSh = Window.orderBy(col("shard"))
+        val wSh = graft.ops.BoundedWindow.ordered(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = g.groupBy(col("shard"))
           .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
@@ -1808,7 +1808,7 @@ object EventAnalyticsQueries {
             .cast("bigint").as("x"))
         val tot = daily.agg(sum(col("x")).cast("bigint").as("sx"),
           count(lit(1)).as("nd"))
-        val w = Window.orderBy(col("day"))
+        val w = graft.ops.BoundedWindow.ordered(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         daily.crossJoin(broadcast(tot))
           .withColumn("cum", sum(col("nd") * col("x") - col("sx")).over(w))

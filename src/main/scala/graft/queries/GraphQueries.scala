@@ -298,8 +298,8 @@ object GraphQueries {
           .orderBy(col("cn").desc, col("ra_scaled").desc,
             col("n1").asc, col("n2").asc)
           .limit(20)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("cn").desc, col("ra_scaled").desc,
+        val w = graft.ops.BoundedWindow
+          .ordered(col("cn").desc, col("ra_scaled").desc,
             col("n1").asc, col("n2").asc)
         fresh.withColumn("rnk", row_number().over(w).cast("bigint"))
           .select(col("n1"), col("n2"), col("cn"), col("ra_scaled"),
@@ -371,8 +371,8 @@ object GraphQueries {
           .orderBy(col("support").desc, col("jaccard_e6").desc,
             col("p1").asc, col("p2").asc)
           .limit(20)
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("support").desc, col("jaccard_e6").desc,
+        val w = graft.ops.BoundedWindow
+          .ordered(col("support").desc, col("jaccard_e6").desc,
             col("p1").asc, col("p2").asc)
         scored.withColumn("rnk", row_number().over(w).cast("bigint"))
       }),

@@ -875,7 +875,7 @@ object MigrationQueries {
       Window.partitionBy(col("shard")).orderBy(col("key"))))
     val ofs = k.groupBy(col("shard")).agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(
-        sum(col("c")).over(Window.orderBy(col("shard"))
+        sum(col("c")).over(graft.ops.BoundedWindow.ordered(col("shard"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("shard"), col("off"))
     l.join(broadcast(ofs), "shard")

@@ -268,7 +268,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), col("n_tokens"))
           .persist()
         // largest-remainder apportionment over a |langs|-row frame
-        val wAll = Window.partitionBy(lit(1))
+        val wAll = graft.ops.BoundedWindow.all()
         val a = clean.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
         val q2 = a.select(col("lang"),
           (lit(exportDocs.toLong) * col("cnt")).as("num"),
@@ -279,7 +279,7 @@ object PipelineQueries {
         val b2 = b.select(col("lang"), col("base"),
           (lit(exportDocs.toLong) - sum(col("base")).over(wAll)).as("k"),
           row_number().over(
-            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+            graft.ops.BoundedWindow.ordered(col("rem").desc, col("lang")))
             .as("rnk"))
         val alloc = b2.select(col("lang"),
           (col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))

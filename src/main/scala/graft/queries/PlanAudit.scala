@@ -31,6 +31,16 @@ object PlanAudit {
   private def countAll(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  private def windows(p: SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case _ => Nil
+    }
+    self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -51,6 +61,10 @@ object PlanAudit {
           println(s"[audit] ${q.name}: " + bad.map(_.map {
             case (n, c) => s"$n x$c"
           }.mkString(", ")).mkString(" | "))
+        val unpart = windows(plan).filter(_.partitionSpec.isEmpty)
+        if (unpart.nonEmpty)
+          println(s"[audit-window] ${q.name}: ${unpart.size} unpartitioned " +
+            unpart.map(_.child.getClass.getSimpleName).mkString("(", ",", ")"))
       } catch {
         case e: Exception =>
           println(s"[audit] ${q.name}: PLAN ERROR ${e.getMessage.take(80)}")

@@ -170,7 +170,7 @@ object SampleQueries {
         |    / avail AS rate
         |FROM b2""".stripMargin))(
       (s, d) => {
-        val wAll = Window.partitionBy(lit(1))
+        val wAll = graft.ops.BoundedWindow.all()
         val a = Tables(s, d, "documents")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("w"), sum(col("n_chars")).as("avail"))
@@ -184,7 +184,7 @@ object SampleQueries {
           col("rem"),
           (lit(1000000L) - sum(col("base")).over(wAll)).as("k"),
           row_number().over(
-            Window.partitionBy(lit(1)).orderBy(col("rem").desc, col("lang")))
+            graft.ops.BoundedWindow.ordered(col("rem").desc, col("lang")))
             .as("rnk"))
         b2.select(col("lang"), col("w"), col("avail"),
           (col("base") + when(col("rnk") <= col("k"), 1L).otherwise(0L))
@@ -315,7 +315,7 @@ object SampleQueries {
             sum(col("c")).as("n_tokens"))
           .orderBy(col("score_scaled").desc, col("doc_id").asc)
           .limit(25)
-        val w = Window.orderBy(col("score_scaled").desc, col("doc_id").asc)
+        val w = graft.ops.BoundedWindow.ordered(col("score_scaled").desc, col("doc_id").asc)
         scored.withColumn("rnk", row_number().over(w).cast("bigint"))
           .select(col("doc_id"), col("score_scaled"), col("n_tokens"),
             col("rnk"))

@@ -1333,7 +1333,7 @@ object TextQueries {
           .groupBy(col("dix")).agg(count(lit(1)).as("n_docs"))
         // the cumsum window touches exactly the 10 decile rows
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("dix"))
+        val w = graft.ops.BoundedWindow.ordered(col("dix"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         dd.join(g, Seq("dix"), "left")
           .select(col("dix"), col("n_docs"),
@@ -1547,8 +1547,8 @@ object TextQueries {
           .select(explode(tokens(col("text"))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).as("freq"))
           .orderBy(col("freq").desc, col("w").asc).limit(50)
-        val wRank = org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("w").asc)
+        val wRank = graft.ops.BoundedWindow
+          .ordered(col("freq").desc, col("w").asc)
         top.select(col("w").as("token"), col("freq"),
             row_number().over(wRank).cast("bigint").as("rank"))
           .select(col("token"), col("freq"), col("rank"),
@@ -1721,7 +1721,7 @@ object TextQueries {
           .withColumn("ng", sum(col("c")).over(
             Window.partitionBy(col("source"))))
         val g = h.groupBy(col("v")).agg(sum(col("c")).as("gc"))
-          .withColumn("gcum", sum(col("gc")).over(Window.orderBy(col("v"))))
+          .withColumn("gcum", sum(col("gc")).over(graft.ops.BoundedWindow.ordered(col("v"))))
         val n = h.agg(sum(col("c")).as("n"))
         val q = sr.crossJoin(broadcast(n))
           .select(col("source"), col("v"), col("c"),
@@ -1736,7 +1736,7 @@ object TextQueries {
         val qr = q.select(col("source"), col("v"), col("c"),
           col("t").as("key"), lit(0).as("tag"),
           lit(null).cast("bigint").as("vn"))
-        val wFwd = Window.orderBy(col("key").asc, col("tag").asc)
+        val wFwd = graft.ops.BoundedWindow.ordered(col("key").asc, col("tag").asc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         qr.unionAll(curve)
           .withColumn("v_norm",

@@ -305,8 +305,10 @@ class PipelineSpec extends SparkSpecBase {
       src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
       retryInitialDelayMs = 1)
     p.runAll()
-    val tbl = spark.catalog.listTables().collect().map(_.name)
-      .find(_.startsWith("graft_raw_orders_")).get
+    // exact per-workspace name (a prefix search could land on another
+    // test's staged table from a different, un-vacuumed workspace)
+    val tbl = s"graft_raw_orders_${Integer.toHexString(ws.hashCode)}"
+    assert(spark.catalog.tableExists(tbl))
     val loc = spark.sql(s"DESCRIBE FORMATTED $tbl").collect()
       .find(_.getString(0).trim == "Location").map(_.getString(1).trim).get
     val locPath = new org.apache.hadoop.fs.Path(loc)
