@@ -128,7 +128,27 @@ object SubqueryQueries {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 300000)
       |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q4's shape (order-priority checking — blocked on
+    * commit/receipt dates): orders in a date window having AT LEAST
+    * ONE late line, counted by priority. The EXISTS correlates on
+    * l_orderkey with the lateness predicate referencing the OUTER
+    * o_orderdate — decorrelated to one left-semi hash join; orders
+    * prunes on its date window at the scan. */
+  private def q4Sql(ep: String => String): String =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       |FROM orders
+       |WHERE ${ep("o_orderdate")} >= 820454400000000
+       |  AND ${ep("o_orderdate")} < 852076800000000
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |    WHERE l.l_orderkey = o_orderkey
+       |      AND ${ep("l.l_shipdate")} - ${ep("o_orderdate")}
+       |        > 31536000000000)
+       |GROUP BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_q4_shape",
+      Some(q4Sql(c => s"epoch_us($c)")))(
+      sql(q4Sql(c => s"unix_micros(CAST($c AS TIMESTAMP))"))),
     QueryDef("q_subquery_q21_shape",
       Some(q21Sql(c => s"epoch_us($c)")))(
       sql(q21Sql(c => s"unix_micros(CAST($c AS TIMESTAMP))"))),
