@@ -113,6 +113,64 @@ class PlanGuardSpec extends SparkSpecBase {
       s"catalog entries with scale-killer join plans:\n${offenders.mkString("\n")}")
   }
 
+  test("no catalog entry plans an unpartitioned window") {
+    // the BoundedWindow contract (round 10): every deliberate single-
+    // partition window carries a constant partition key, so an EMPTY
+    // partitionSpec in any catalog plan is an unbounded global
+    // sort-the-world window — a scale bug, never intentional
+    val offenders = Catalog.all.flatMap { q =>
+      val problems =
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+          collectAll(plan) {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+                if w.partitionSpec.isEmpty => w
+          }.map(w => s"unpartitioned window over ${w.child.nodeName}")
+        } catch {
+          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
+        }
+      if (problems.isEmpty) Nil
+      else Seq(s"${q.name}: ${problems.mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"catalog entries with single-partition windows:\n${offenders.mkString("\n")}")
+  }
+
+  test("no catalog entry filter re-runs heavy array work per reference") {
+    // the Materialize contract (round 10): a predicate pushed through a
+    // projection inlines aliases — with no CSE inside HOF lambdas, a
+    // Filter condition carrying MANY COPIES OF THE SAME heavy
+    // expression re-does the array work per copy (the 10x quality-
+    // battery bug inlined split(trim ~20x). The threshold is per
+    // needle: a conjunction of a few DISTINCT features evaluated once
+    // each (the designed residual of a keep-filter over materialized
+    // arrays) is fine; the same subtree repeated >3x is not.
+    val offenders = Catalog.all.flatMap { q =>
+      val problems =
+        try {
+          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+          collectAll(plan) {
+            case f: org.apache.spark.sql.execution.FilterExec => f
+          }.flatMap { f =>
+            val cond = f.condition.toString
+            val needles = Seq("split(trim", "transform(", "aggregate(",
+              "array_distinct(", "graft_shingle", "regexp_replace(")
+            val hits = needles.map(n =>
+              n -> cond.sliding(n.length).count(_ == n)).filter(_._2 > 3)
+            if (hits.nonEmpty)
+              Seq(hits.map { case (n, c) => s"$n x$c" }.mkString(", "))
+            else Nil
+          }
+        } catch {
+          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
+        }
+      if (problems.isEmpty) Nil
+      else Seq(s"${q.name}: ${problems.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      s"catalog entries with HOF-heavy filter conditions:\n${offenders.mkString("\n")}")
+  }
+
   test("whitelist names still exist in the catalog") {
     val names = Catalog.all.map(_.name).toSet
     val stale = whitelist.keys.filterNot(names.contains)
