@@ -145,7 +145,30 @@ object SubqueryQueries {
        |        > 31536000000000)
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q20's shape (potential part promotion — blocked on
+    * partsupp): the doubly-nested IN with an aggregate-correlated
+    * scalar in the HAVING. Suppliers who shipped >15% of some
+    * STANDARD part's total quantity: the inner scalar correlates on
+    * the OUTER GROUP BY column (l.l_partkey), so Catalyst must
+    * decorrelate an aggregate-over-aggregate — the per-part total
+    * becomes its own aggregate joined back on partkey, then the
+    * supplier IN a left-semi join. Quantities ride integer cents;
+    * the 15% threshold is the cross-multiplied 20·sup > 3·tot. */
+  private val q20Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l.l_suppkey FROM lineitem l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_type = 'STANDARD')
+      |  GROUP BY l.l_suppkey, l.l_partkey
+      |  HAVING 20 * sum(CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT))
+      |    > 3 * (SELECT sum(CAST(floor(l2.l_quantity * 100 + 0.5)
+      |                      AS BIGINT))
+      |           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_q20_shape", Some(q20Sql))(sql(q20Sql)),
     QueryDef("q_subquery_q4_shape",
       Some(q4Sql(c => s"epoch_us($c)")))(
       sql(q4Sql(c => s"unix_micros(CAST($c AS TIMESTAMP))"))),
