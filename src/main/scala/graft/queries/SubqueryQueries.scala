@@ -167,7 +167,45 @@ object SubqueryQueries {
       |           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))"""
       .stripMargin
 
+  /** TPC-H Q2's shape (minimum-cost supplier — blocked on partsupp):
+    * the correlated-ARGMIN scalar. Each qualifying part keeps only
+    * the supplier lines matching the part's global minimum price; the
+    * correlated min decorrelates to a per-part aggregate joined back
+    * on partkey (ties survive, as Q2 requires). Price equality
+    * compares the raw parquet doubles — the same stored values both
+    * engines select their min from, so no FP arithmetic exists. */
+  private val q2Sql: String =
+    """SELECT p.p_partkey, s.s_suppkey, s.s_name,
+      |  CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+      |    AS price_cents
+      |FROM part p, supplier s, lineitem l
+      |WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+      |  AND p.p_type = 'STANDARD' AND p.p_size <= 10
+      |  AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+      |                           FROM lineitem l2
+      |                           WHERE l2.l_partkey = p.p_partkey)"""
+      .stripMargin
+
+  /** TPC-H Q11's shape (important stock — blocked on partsupp): the
+    * global-share HAVING threshold. Parts whose value exceeds 1/1250
+    * of the corpus total: the uncorrelated scalar total broadcasts as
+    * a 1-row subquery against the per-part aggregate. Both sides of
+    * the comparison widen to DECIMAL(38,0) — 1250·Σcents crosses
+    * int64 once one part moves ~$7e13. */
+  private val q11Sql: String =
+    """SELECT l_partkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS value_cents
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING 1250 * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+      |    AS BIGINT)) AS DECIMAL(38,0))
+      |  > (SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+      |       AS BIGINT)) AS DECIMAL(38,0)) FROM lineitem)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subquery_q2_shape", Some(q2Sql))(sql(q2Sql)),
+    QueryDef("q_subquery_q11_shape", Some(q11Sql))(sql(q11Sql)),
     QueryDef("q_subquery_q20_shape", Some(q20Sql))(sql(q20Sql)),
     QueryDef("q_subquery_q4_shape",
       Some(q4Sql(c => s"epoch_us($c)")))(
