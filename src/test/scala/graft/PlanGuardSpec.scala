@@ -86,11 +86,18 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
+  /** One plan construction per entry, shared by all three sweeps —
+    * building 400+ physical plans dominates this suite's runtime. */
+  private lazy val plans: Seq[(String, Either[String, SparkPlan])] =
+    Catalog.all.map { q =>
+      q.name -> (try Right(q.fn(spark, sfDir).queryExecution.executedPlan)
+      catch { case e: Throwable =>
+        Left(s"plan construction failed: ${e.getMessage}") })
+    }
+
   test("no catalog entry plans an unbounded cartesian / nested-loop join") {
-    val offenders = Catalog.all.flatMap { q =>
-      val problems =
-        try {
-          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+    val offenders = plans.flatMap { case (name, planOrErr) =>
+      val problems = planOrErr.fold(Seq(_), { plan =>
           val carts = collectAll(plan) { case c: CartesianProductExec => c }
             .map(_ => "CartesianProduct")
           val badNl = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
@@ -103,11 +110,9 @@ class PlanGuardSpec extends SparkSpecBase {
             }
             .map(_ => "unbounded BroadcastNestedLoopJoin")
           carts ++ badNl
-        } catch {
-          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
-        }
-      if (problems.isEmpty || whitelist.contains(q.name)) Nil
-      else Seq(s"${q.name}: ${problems.mkString(", ")}")
+        })
+      if (problems.isEmpty || whitelist.contains(name)) Nil
+      else Seq(s"$name: ${problems.mkString(", ")}")
     }
     assert(offenders.isEmpty,
       s"catalog entries with scale-killer join plans:\n${offenders.mkString("\n")}")
@@ -118,19 +123,15 @@ class PlanGuardSpec extends SparkSpecBase {
     // partition window carries a constant partition key, so an EMPTY
     // partitionSpec in any catalog plan is an unbounded global
     // sort-the-world window — a scale bug, never intentional
-    val offenders = Catalog.all.flatMap { q =>
-      val problems =
-        try {
-          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+    val offenders = plans.flatMap { case (name, planOrErr) =>
+      val problems = planOrErr.fold(Seq(_), { plan =>
           collectAll(plan) {
             case w: org.apache.spark.sql.execution.window.WindowExec
                 if w.partitionSpec.isEmpty => w
           }.map(w => s"unpartitioned window over ${w.child.nodeName}")
-        } catch {
-          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
-        }
+        })
       if (problems.isEmpty) Nil
-      else Seq(s"${q.name}: ${problems.mkString(", ")}")
+      else Seq(s"$name: ${problems.mkString(", ")}")
     }
     assert(offenders.isEmpty,
       s"catalog entries with single-partition windows:\n${offenders.mkString("\n")}")
@@ -145,10 +146,8 @@ class PlanGuardSpec extends SparkSpecBase {
     // needle: a conjunction of a few DISTINCT features evaluated once
     // each (the designed residual of a keep-filter over materialized
     // arrays) is fine; the same subtree repeated >3x is not.
-    val offenders = Catalog.all.flatMap { q =>
-      val problems =
-        try {
-          val plan = q.fn(spark, sfDir).queryExecution.executedPlan
+    val offenders = plans.flatMap { case (name, planOrErr) =>
+      val problems = planOrErr.fold(Seq(_), { plan =>
           collectAll(plan) {
             case f: org.apache.spark.sql.execution.FilterExec => f
           }.flatMap { f =>
@@ -161,11 +160,9 @@ class PlanGuardSpec extends SparkSpecBase {
               Seq(hits.map { case (n, c) => s"$n x$c" }.mkString(", "))
             else Nil
           }
-        } catch {
-          case e: Throwable => Seq(s"plan construction failed: ${e.getMessage}")
-        }
+        })
       if (problems.isEmpty) Nil
-      else Seq(s"${q.name}: ${problems.mkString("; ")}")
+      else Seq(s"$name: ${problems.mkString("; ")}")
     }
     assert(offenders.isEmpty,
       s"catalog entries with HOF-heavy filter conditions:\n${offenders.mkString("\n")}")
