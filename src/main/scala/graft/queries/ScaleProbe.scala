@@ -308,7 +308,7 @@ object ScaleProbe {
     val wantsSf1 = sys.env.get("SPARK_GRAFT_PROBE_ONLY").forall(only =>
       only.split(",").map(_.trim)
         .exists(n => n != "skew_salted" && n != "graph_wedges" &&
-          n != "link_wedges"))
+          n != "link_wedges" && n != "rank_sharded"))
     if (wantsSf1) {
       buildSf1(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
       buildSf1Embeddings(spark, "/root/testdata/sf0.1", s"$outDir/sf1")
@@ -422,6 +422,54 @@ object ScaleProbe {
         }
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+          beforeCoalesce)
+      }
+    }
+
+    // sharded-rank probe: per-task sort spread of an exact global
+    // row_number, plain unpartitioned window vs ShardedRank (the
+    // q_window_ntile / q_events_rfm rewrite). The statistic is the MAX
+    // task shuffle-read record count — the plain form funnels EVERY
+    // row into one WindowExec task; the sharded form's largest task
+    // carries one shard. AQE coalescing off for the same reason as
+    // the skew probe (at fixture scale it folds the sharded exchange
+    // back into one task and hides the spread).
+    if (probeEnabled("rank_sharded")) {
+      val dir = "/root/testdata/sf0.1"
+      val beforeCoalesce =
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      try {
+        import org.apache.spark.sql.expressions.Window
+        val rows = Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("id"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("bigint")
+              .as("cents"),
+            col("l_linenumber").as("ln"))
+        val plain = rows.withColumn("rn", row_number().over(
+          Window.orderBy(col("cents").desc, col("id").asc, col("ln").asc)))
+          .groupBy(lit(1).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("rn")).as("rn_sum"))
+        val sharded = graft.ops.ShardedRank.rowNumber(rows,
+          Seq(expr("cents DIV 65536")), Seq(true),
+          Seq(col("cents").desc, col("id").asc, col("ln").asc), "rn")
+          .groupBy(lit(1).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("rn")).as("rn_sum"))
+        for ((name, df) <- Seq("plain" -> plain, "sharded" -> sharded)) {
+          val tm = new TaskMaxMeter
+          spark.sparkContext.addSparkListener(tm)
+          val t0 = System.nanoTime()
+          val checksum = df.collect().head.getLong(2)
+          val secs = (System.nanoTime() - t0) / 1e9
+          spark.sparkContext.removeSparkListener(tm)
+          println(s"""{"probe":"rank_sharded","plan":"$name",""" +
+            s""""rn_checksum":$checksum,""" +
+            s""""max_task_shuffle_records":${tm.maxRecords.get()},""" +
+            s""""max_task_shuffle_bytes":${tm.maxBytes.get()},"sec":$secs}""")
+        }
+      } finally {
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
           beforeCoalesce)
       }
