@@ -82,6 +82,24 @@ object GraphQueries {
        |${lpIter("l0", "l1")},
        |${lpIter("l1", "l2")}""".stripMargin
 
+  /** Right-size an iterative build's shuffle parallelism to its edge
+    * set (the ops.ConnectedComponents pattern): one partition per
+    * ~100k edges, capped at the session setting, restored afterward.
+    * Loop rounds materialize eagerly (localCheckpoint(true)) INSIDE
+    * the block, so every per-round exchange runs at the loop's
+    * parallelism — at fixture scale a round is hundreds of rows and
+    * 32-way task scheduling is pure overhead (measured ~25% of the
+    * graph family's wall time); at 100 TB the cap leaves the session
+    * setting in charge. */
+  private def loopSized[T](s: SparkSession, edgeRows: Long)(f: => T): T = {
+    val sess = s.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L,
+      math.min(sess.toLong, (edgeRows + 99999) / 100000)).toInt
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Spark twin of [[labelPropCtes]]: returns (bi, e, final labels). */
   private def labelPropFrames(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -101,7 +119,7 @@ object GraphQueries {
       when(col("node") % 7 === 0, col("node") % 5).as("lab"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc, col("lab").asc)
-    for (_ <- 1 to 2) {
+    loopSized(s, e.count()) { for (_ <- 1 to 2) {
       val votes = e.join(labs.where(col("lab").isNotNull)
           .select(col("node").as("src"), col("lab")), "src")
         .groupBy(col("dst").as("node"), col("lab"))
@@ -117,7 +135,8 @@ object GraphQueries {
         .select(col("node"),
           when(col("node") % 7 === 0, col("node") % 5)
             .otherwise(coalesce(col("blab"), col("plab"))).as("lab"))
-    }
+        .localCheckpoint(true) // rounds run at loop parallelism
+    } }
     (bi, e, labs)
   }
 
@@ -179,13 +198,14 @@ object GraphQueries {
           // the ContextCleaner when the frame is GC'd
           .localCheckpoint(true)
         var pr = deg.select(col("src").as("node"), lit(prScale).as("pr"))
-        for (_ <- 1 to 3) {
+        loopSized(s, ew.count()) { for (_ <- 1 to 3) {
           pr = ew.join(pr, ew("src") === pr("node"))
             .select(col("dst"), expr("pr DIV deg").as("c"))
             .groupBy(col("dst")).agg(sum(col("c")).as("m"))
             .select(col("dst").as("node"),
               (lit(prBase) + expr("(85 * m) DIV 100")).as("pr"))
-        }
+            .localCheckpoint(true) // rounds run at loop parallelism
+        } }
         pr.select(col("node"), (pmod(col("node"), lit(2L)) === 0).as("is_part"),
           col("pr"))
       }),
@@ -622,14 +642,14 @@ object GraphQueries {
         var reached = e.agg(min(col("src")).as("node"))
           .select(col("node"), lit(0L).as("dist"))
           .localCheckpoint(true)
-        for (_ <- 1 to 3) {
+        loopSized(s, e.count()) { for (_ <- 1 to 3) {
           reached = reached
             .unionAll(e
               .join(reached.select(col("node").as("src"), col("dist")), "src")
               .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
             .groupBy(col("node")).agg(min(col("dist")).as("dist"))
             .localCheckpoint(true) // cut the doubling lineage per round
-        }
+        } }
         reached.select(col("node"), col("dist").cast("bigint").as("dist"))
       })
   )
@@ -650,6 +670,7 @@ object GraphQueries {
       .unionAll(bi.select(col("sp").as("src"), col("p").as("dst")))
       // loop-invariant; localCheckpoint not persist (see label_prop)
       .repartition(col("src")).localCheckpoint(true)
+    loopSized(s, e.count()) {
     var nodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var deg = nodes // rebound each round
@@ -663,5 +684,6 @@ object GraphQueries {
       nodes = deg.where(col("dg") >= k).select(col("node"))
     }
     (nodes, deg)
+    }
   }
 }
