@@ -18,6 +18,20 @@ object Relational {
     * (ref py:101-116). `partition` adds the four options that make Spark
     * generate one stripe query per `[lower,upper)` range
     * (partitionColumn/lowerBound/upperBound/numPartitions, ref py:109-114).
+    *
+    * Numeric-type fidelity (SURVEY.md §1.4): Oracle `NUMBER` columns
+    * arrive as `DecimalType(38,10)` over JDBC — 10 forced fraction
+    * digits even on integral keys like the reference's `objid`
+    * (json:35-52 bounds it well inside int64). Two deliberate knobs:
+    *  - `customSchema`: Spark's `customSchema` JDBC option — pins the
+    *    Spark-side type per column (e.g. `"objid DECIMAL(38,0)"`),
+    *    overriding the driver's default mapping at READ time, so the
+    *    staged parquet carries exactly the declared type.
+    *  - `decimalNormalize`: `""` keeps decimals exact as mapped;
+    *    `"bigint"`/`"double"` casts every DecimalType column after the
+    *    load — the normalize-deliberately path for integral keys (the
+    *    reference compares them against numeric literal bounds, so
+    *    int64 is the faithful staging type).
     */
   final case class JdbcScan(
       url: String,
@@ -26,7 +40,9 @@ object Relational {
       password: String = "",
       driver: String = "",
       fetchSize: Int = 10000,
-      partition: Option[JdbcPartition] = None)
+      partition: Option[JdbcPartition] = None,
+      customSchema: String = "",
+      decimalNormalize: String = "")
 
   final case class JdbcPartition(
       column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
@@ -46,7 +62,21 @@ object Relational {
         .option("upperBound", p.upperBound.toString)
         .option("numPartitions", p.numPartitions.toString)
     }
-    r.load()
+    if (s.customSchema.nonEmpty) r = r.option("customSchema", s.customSchema)
+    val df = r.load()
+    if (s.decimalNormalize.isEmpty) df
+    else {
+      require(Set("bigint", "double").contains(s.decimalNormalize),
+        s"decimalNormalize must be '', 'bigint' or 'double': ${s.decimalNormalize}")
+      import org.apache.spark.sql.functions.col
+      df.select(df.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.DecimalType =>
+            col(f.name).cast(s.decimalNormalize).as(f.name)
+          case _ => col(f.name)
+        }
+      }: _*)
+    }
   }
 
   /** F1 — config-supplied SQL predicate string (ref py:118-120). Parsed by

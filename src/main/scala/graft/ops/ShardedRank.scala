@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,7 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object ShardedRank {
 
+  /** Row-count threshold (per frame) below which [[rowNumberAdaptive]]
+    * plans the plain single-partition window instead of the two-phase
+    * sharded plan. A ≤2M-row sort is a few hundred MB in ONE task —
+    * cheaper than three extra exchanges + a broadcast join-back — while
+    * anything bigger is exactly the frame the sharded plan exists for. */
+  val ThresholdConf = "spark.graft.shardedRank.threshold"
+  val DefaultThreshold = 2000000L
+
+  def threshold(spark: SparkSession): Long =
+    spark.conf.getOption(ThresholdConf).map(_.toLong)
+      .getOrElse(DefaultThreshold)
+
   /** Adds `out` = exact global 1-based row_number of `order` to `df`.
+    *
+    * NULL shard keys are supported (they form their own tie class, kept
+    * via a null-safe join-back) and sort per Spark's default placement:
+    * FIRST under an ascending shard flag, LAST under descending — the
+    * same default `order` gets, so a null-keyed frame still ranks
+    * consistently as long as `order` uses default null ordering too.
     *
     * @param shards    shard-key columns; the tuple must sort (under
     *                  `shardDesc`) consistently with `order`, and every
@@ -39,6 +57,7 @@ object ShardedRank {
       order: Seq[Column], out: String): DataFrame = {
     require(shards.nonEmpty && shards.size == shardDesc.size)
     val sNames = shards.indices.map(i => s"__srk_s$i")
+    val oNames = shards.indices.map(i => s"__srk_o$i")
     val withS = shards.zip(sNames).foldLeft(df) {
       case (acc, (c, n)) => acc.withColumn(n, c)
     }
@@ -56,10 +75,46 @@ object ShardedRank {
       .agg(count(lit(1)).as("__srk_c"))
       .withColumn("__srk_off",
         coalesce(sum(col("__srk_c")).over(wSh), lit(0L)))
-      .select(sNames.map(col) :+ col("__srk_off"): _*)
-    local.join(broadcast(offs), sNames)
+      .select(sNames.zip(oNames).map { case (s, o) => col(s).as(o) } :+
+        col("__srk_off"): _*)
+    // null-SAFE equi keys: a NULL shard key (possible when the key is
+    // an aggregate, e.g. sum of an all-null column) groups into its own
+    // window/groupBy class on both branches, but plain `=` would drop
+    // its rows here — <=> keeps them. Spark plans EqualNullSafe as a
+    // hash-join key, so this stays a broadcast hash join.
+    val joinCond = sNames.zip(oNames)
+      .map { case (s, o) => col(s) <=> col(o) }.reduce(_ && _)
+    local.join(broadcast(offs), joinCond)
       .withColumn(out, col("__srk_lrn") + col("__srk_off"))
-      .drop(sNames ++ Seq("__srk_lrn", "__srk_off"): _*)
+      .drop(sNames ++ oNames ++ Seq("__srk_lrn", "__srk_off"): _*)
+  }
+
+  /** The interactive-scale path: the plain global window, partitioned
+    * by [[BoundedWindow]]'s constant fence so the single partition is
+    * DECLARED bounded — callers use it only after measuring the frame
+    * under [[threshold]], which is what makes the bound true. */
+  def plainRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    df.withColumn(out,
+      row_number().over(BoundedWindow.ordered(order: _*)).cast("bigint"))
+
+  /** Size-adaptive exact global row_number: counts `df` (one cheap job —
+    * callers hand a persisted or column-pruned frame), then plans the
+    * plain bounded window at/below [[threshold]] and the two-phase
+    * sharded plan above it. Returns the ranked frame AND the count so
+    * callers feed `lit(n)` to [[ntileSql]] instead of re-aggregating.
+    *
+    * The sharded plan's 14.5× max-task win (SCALING.md) only matters
+    * when the frame outgrows one task; below that its 3 extra
+    * exchanges are pure overhead — measured 4× on q_events_rfm at
+    * sf0.1. This keeps one code path correct at both ends. */
+  def rowNumberAdaptive(df: DataFrame, shards: Seq[Column],
+      shardDesc: Seq[Boolean], order: Seq[Column], out: String)
+      : (DataFrame, Long) = {
+    val n = df.count()
+    val ranked =
+      if (n <= threshold(df.sparkSession)) plainRowNumber(df, order, out)
+      else rowNumber(df, shards, shardDesc, order, out)
+    (ranked, n)
   }
 
   /** SQL-standard NTILE(b) from an exact global row_number `rn` and the

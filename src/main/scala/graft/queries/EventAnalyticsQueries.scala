@@ -686,14 +686,17 @@ object EventAnalyticsQueries {
     // cut into quintiles — the classic lifecycle-marketing scoring,
     // all integers until the final segment label. The oracle keeps
     // ntile() (every ORDER BY carries the user_id tiebreak); Spark
-    // computes the SAME buckets via three ShardedRank passes, so no
-    // window ever sorts the |users| frame in one task: recency and
-    // frequency shard on (exact key, user_id DIV 16384) — the
-    // low-cardinality keys whose tie classes (e.g. every one-event
-    // user) would otherwise pile into one sort — and near-unique
-    // monetary shards on $1000 value bands. One user_id shuffle for
-    // the profile; the only unpartitioned windows run over per-shard
-    // aggregates. ----
+    // computes the SAME buckets SIZE-ADAPTIVELY off the persisted
+    // profile's measured count: at/below the ShardedRank threshold,
+    // three plain bounded windows over the one small frame (the
+    // interactive-scale plan — no join-backs); above it, three
+    // branched ShardedRank passes so no window ever sorts the |users|
+    // frame in one task: recency and frequency shard on (exact key,
+    // user_id DIV 16384) — the low-cardinality keys whose tie classes
+    // (e.g. every one-event user) would otherwise pile into one sort —
+    // and near-unique monetary shards on $1000 value bands. One
+    // user_id shuffle for the profile; at scale the only unpartitioned
+    // windows run over per-shard aggregates. ----
     QueryDef("q_events_rfm", Some(
       s"""WITH mx AS (SELECT max(epoch_us(ts)) // $usPerDay AS today FROM events),
          |prof AS (
@@ -709,41 +712,68 @@ object EventAnalyticsQueries {
          |  ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS m_quintile
          |FROM prof""".stripMargin))(
       (s, d) => {
+        import graft.ops.{BoundedWindow, ShardedRank}
         val e = Tables(s, d, "events")
           .select(col("user_id"),
             expr(s"unix_micros(ts) DIV $usPerDay").as("day"),
             floor(col("value") * 100 + 0.5).cast("bigint").as("cv"))
-        val prof = e
+        def profile = e
           .crossJoin(broadcast(e.agg(max(col("day")).as("today"))))
           .groupBy(col("user_id"), col("today"))
           .agg((col("today") - max(col("day"))).as("recency_days"),
             count(lit(1)).as("frequency"),
             sum(col("cv")).as("monetary_cents"))
-          .persist() // three rank branches + the count read it
-        val ush = expr("user_id DIV 16384")
-        // BRANCHED, not chained: each rank pass runs off the persisted
-        // profile and joins back a (user_id, rank) pair — a chained
-        // fold would re-execute every earlier pass inside the next
-        // pass's offsets branch (measured ~4× the window work)
-        val ranked = Seq(
-          (Seq(col("recency_days"), ush), Seq(false, false),
-            Seq(col("recency_days").asc, col("user_id").asc), "rn_r"),
-          (Seq(col("frequency"), ush), Seq(true, false),
-            Seq(col("frequency").desc, col("user_id").asc), "rn_f"),
-          (Seq(expr("monetary_cents DIV 100000")), Seq(true),
-            Seq(col("monetary_cents").desc, col("user_id").asc), "rn_m"))
-          .map { case (sh, dsc, ord, out) =>
-            graft.ops.ShardedRank.rowNumber(prof, sh, dsc, ord, out)
-              .select(col("user_id"), col(out))
-          }
-          .foldLeft(prof)((acc, r) => acc.join(r, "user_id"))
-        import graft.ops.ShardedRank.ntileSql
-        ranked.crossJoin(broadcast(prof.agg(count(lit(1)).as("n"))))
-          .select(col("user_id"), col("recency_days"), col("frequency"),
-            col("monetary_cents"),
-            expr(ntileSql("rn_r", "n", 5)).as("r_quintile"),
-            expr(ntileSql("rn_f", "n", 5)).as("f_quintile"),
-            expr(ntileSql("rn_m", "n", 5)).as("m_quintile"))
+        val orders = Seq(
+          (Seq(col("recency_days").asc, col("user_id").asc), "r_quintile"),
+          (Seq(col("frequency").desc, col("user_id").asc), "f_quintile"),
+          (Seq(col("monetary_cents").desc, col("user_id").asc), "m_quintile"))
+        // |events| is a metadata-cheap count (no columns decoded) and an
+        // upper bound on |users| — under the threshold the whole query
+        // is ONE job: three ntile() windows over the bounded profile,
+        // no persist, no exact count, no join-backs
+        val thr = ShardedRank.threshold(s)
+        if (Tables(s, d, "events").count() <= thr) {
+          orders.foldLeft(profile) { case (acc, (ord, out)) =>
+            acc.withColumn(out,
+              ntile(5).over(BoundedWindow.ordered(ord: _*)).cast("bigint"))
+          }.select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary_cents"), col("r_quintile"), col("f_quintile"),
+            col("m_quintile"))
+        } else {
+          val prof = profile.persist() // the count + the rank passes read it
+          val n = prof.count()
+          val ush = expr("user_id DIV 16384")
+          val passes = Seq(
+            (Seq(col("recency_days"), ush), Seq(false, false),
+              Seq(col("recency_days").asc, col("user_id").asc), "rn_r"),
+            (Seq(col("frequency"), ush), Seq(true, false),
+              Seq(col("frequency").desc, col("user_id").asc), "rn_f"),
+            (Seq(expr("monetary_cents DIV 100000")), Seq(true),
+              Seq(col("monetary_cents").desc, col("user_id").asc), "rn_m"))
+          val ranked =
+            if (n <= thr)
+              // many events over few users: plain bounded windows off
+              // the persisted profile, still one downstream job
+              passes.foldLeft(prof) { case (acc, (_, _, ord, out)) =>
+                ShardedRank.plainRowNumber(acc, ord, out)
+              }
+            else
+              // BRANCHED, not chained: each rank pass runs off the
+              // persisted profile and joins back a (user_id, rank)
+              // pair — a chained fold would re-execute every earlier
+              // pass inside the next pass's offsets branch (measured
+              // ~4× the window work)
+              passes.map { case (sh, dsc, ord, out) =>
+                ShardedRank.rowNumber(prof, sh, dsc, ord, out)
+                  .select(col("user_id"), col(out))
+              }.foldLeft(prof)((acc, r) => acc.join(r, "user_id"))
+          ranked.withColumn("n", lit(n))
+            .select(col("user_id"), col("recency_days"), col("frequency"),
+              col("monetary_cents"),
+              expr(ShardedRank.ntileSql("rn_r", "n", 5)).as("r_quintile"),
+              expr(ShardedRank.ntileSql("rn_f", "n", 5)).as("f_quintile"),
+              expr(ShardedRank.ntileSql("rn_m", "n", 5)).as("m_quintile"))
+        }
       }),
 
     // ---- peak session concurrency via a sweep line: the 30-min-gap

@@ -86,6 +86,119 @@ object StreamingQueries {
             col("n_events")))
   ,
 
+    // ---- The stream-stream attribution join, oracled through its
+    // BATCH rendering: q_stream_attribution_batch composes the EXACT
+    // function the streaming path runs (EventStream.attribution — the
+    // isStreaming fork only adds watermarks), so the DuckDB gate now
+    // covers the interval-join semantics the stream executes. Batch
+    // plan: equi join on user_id with the time predicates as residual —
+    // a hash/merge join, never a time-cross-product (per-user event
+    // counts bound the residual scan). ----
+    QueryDef("q_stream_attribution_batch", Some(
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  s.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id
+        | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        EventStream.attribution(
+          ev.where(col("event_type") === "signup"),
+          ev.where(col("event_type") === "purchase"))
+      }),
+
+    // Left-outer variant: unconverted signups keep a null purchase row —
+    // same shared function as the streaming outer join (which holds the
+    // signup in bounded state until both watermarks pass its interval).
+    QueryDef("q_stream_attribution_outer_batch", Some(
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        |  s.user_id AS user_id,
+        |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = s.user_id
+        | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        EventStream.attributionOuter(
+          ev.where(col("event_type") === "signup"),
+          ev.where(col("event_type") === "purchase"))
+      }),
+
+    // ---- The REAL streaming sessionizer through the oracle gate: the
+    // fixture is staged as a file-source directory, the
+    // flatMapGroupsWithState query runs under Trigger.AvailableNow with
+    // maxFilesPerTrigger=1 (each file its own micro-batch, so the
+    // watermark ratchets file by file exactly as a live stream's
+    // would), and two later-modtime sentinel files advance the
+    // watermark past every real session's idle gap — the same
+    // two-step flush the StreamingSpec restart tests use. The parquet
+    // sink's rows, minus the sentinel user, must equal the lag+cumsum
+    // SQL — i.e. DuckDB now checks the state machine itself, timers,
+    // eviction and all, not a batch re-expression of it. ----
+    QueryDef("q_stream_sessionize_run", Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+        |                       OR tus - lag(tus) OVER w > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) AS session_end_us, count(*) AS n_events,
+        |  sum(floor(value*100 + 0.5))/100.0 AS total_value
+        |FROM s GROUP BY user_id, session_id""".stripMargin))(
+      (s, d) => {
+        import java.nio.file.{Files, Paths}
+        import java.nio.file.attribute.FileTime
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = Files.createTempDirectory("graft_sess_run_").toString
+        val inDir = s"$tmp/in"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        ev.coalesce(4).write.parquet(inDir)
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        val base = System.currentTimeMillis()
+        new java.io.File(inDir).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(f => Files.setLastModifiedTime(f.toPath,
+            FileTime.fromMillis(base)))
+        // two watermark-flush sentinels (the first advances the
+        // watermark past every real session's gap; the second makes the
+        // timers set before it fire), staged as strictly-later files
+        Seq((1, 2), (2, 4)).foreach { case (i, hours) =>
+          import s.implicits._
+          val t = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
+          val df = Seq((-i.toLong, t, -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          val sDir = s"$tmp/sent$i"
+          df.coalesce(1).write.parquet(sDir)
+          val part = new java.io.File(sDir).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = Paths.get(inDir, s"zz_sentinel_$i.parquet")
+          Files.move(part.toPath, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + i * 60000L))
+        }
+        import s.implicits._
+        val events = EventStream
+          .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStream.Event]
+        val q = EventStream.sessionize(events).writeStream
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), "sessionize stream did not finish")
+        s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start_us"),
+            col("session_end_us"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value"))
+      }),
+
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
     // two batches; the consumer seeks to the end offsets committed

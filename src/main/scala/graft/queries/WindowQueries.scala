@@ -96,12 +96,15 @@ object WindowQueries {
             sum(dec(col("c_acctbal"))).over(w).cast("double").as("near_sum"))
       }),
 
-    // ntile bucketing over a total order — computed WITHOUT the
-    // single-partition sort ntile()'s unpartitioned window plans:
-    // two-phase sharded rank (100-unit acctbal bands are monotone in
-    // the DESC order and ≤ ~110 shards at ANY scale factor, TPC-H
-    // acctbal range being fixed) + exact integer NTILE arithmetic.
-    // Bit-identical to the window function; the oracle keeps ntile().
+    // ntile bucketing over a total order — SIZE-ADAPTIVE: the frame is
+    // counted first (a metadata-cheap job on the 2-column pruned scan)
+    // and at/below the ShardedRank threshold the plain bounded window
+    // runs; above it, the two-phase sharded rank (100-unit acctbal
+    // bands are monotone in the DESC order and ≤ ~110 shards at ANY
+    // scale factor, TPC-H acctbal range being fixed) keeps any single
+    // sort task shard-sized. Exact integer NTILE arithmetic either
+    // way — bit-identical to the window function; the oracle keeps
+    // ntile().
     QueryDef("q_window_ntile", Some(
       """SELECT c_custkey AS custkey,
         |  ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
@@ -109,10 +112,10 @@ object WindowQueries {
       (s, d) => {
         val c = Tables(s, d, "customer")
           .select(col("c_custkey"), col("c_acctbal"))
-        val ranked = graft.ops.ShardedRank.rowNumber(c,
+        val (ranked, n) = graft.ops.ShardedRank.rowNumberAdaptive(c,
           Seq(floor(col("c_acctbal") / 100).cast("bigint")), Seq(true),
           Seq(col("c_acctbal").desc, col("c_custkey").asc), "rn")
-        ranked.crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+        ranked.withColumn("n", lit(n))
           .select(col("c_custkey").as("custkey"),
             expr(graft.ops.ShardedRank.ntileSql("rn", "n", 4))
               .as("quartile"))

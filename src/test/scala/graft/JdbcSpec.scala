@@ -65,6 +65,57 @@ class JdbcSpec extends SparkSpecBase {
       s"filter not pushed down:\n$pushed")
   }
 
+  test("DECIMAL fidelity: customSchema pins the type, normalize casts it, " +
+      "staged parquet preserves both (SURVEY §1.4 Oracle NUMBER risk)") {
+    // Oracle NUMBER lands as DECIMAL(38,10); Derby caps precision at 31,
+    // so the table ships DECIMAL(31,10) and customSchema exercises the
+    // same read-side override an Oracle user applies for (38,10)
+    val conn = DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    try st.execute("DROP TABLE acct") catch { case _: Throwable => () }
+    st.execute("CREATE TABLE acct (objid DECIMAL(31,10), bal DECIMAL(31,10))")
+    st.execute("INSERT INTO acct VALUES " +
+      "(268435455, 1234.5000000001), (12345678901234567, -0.0000000001), (7, 0)")
+    conn.close()
+
+    // default mapping: exact DecimalType(31,10), values bit-exact
+    val plain = Relational.scanJdbc(spark, JdbcScan(url, "acct", driver = driver))
+    assert(plain.schema("OBJID").dataType ===
+      org.apache.spark.sql.types.DecimalType(31, 10))
+    assert(plain.selectExpr("sum(bal)").first().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1234.5000000000")) == 0)
+
+    // customSchema: the Spark-side type is the DECLARED one, and the
+    // staged parquet round-trips it exactly (type + values)
+    val pinned = Relational.scanJdbc(spark, JdbcScan(url, "acct",
+      driver = driver, customSchema = "OBJID DECIMAL(38,0), BAL DECIMAL(38,10)"))
+    assert(pinned.schema("OBJID").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(pinned.schema("BAL").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 10))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_jdbc_dec_").toString + "/acct"
+    Relational.sinkParquet(pinned, staged)
+    val back = spark.read.parquet(staged)
+    assert(back.schema("OBJID").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(back.schema("BAL").dataType ===
+      org.apache.spark.sql.types.DecimalType(38, 10))
+    assert(back.selectExpr("cast(sum(objid) AS STRING)").first().getString(0)
+      === "12345679169670029")
+    assert(back.where("bal = CAST('-0.0000000001' AS DECIMAL(38,10))").count() === 1)
+
+    // decimalNormalize="bigint": integral keys stage as int64 — the
+    // deliberate normalization for the reference's objid bound checks
+    val norm = Relational.scanJdbc(spark, JdbcScan(url, "acct",
+      driver = driver, customSchema = "OBJID DECIMAL(38,0)",
+      decimalNormalize = "bigint"))
+    assert(norm.schema("OBJID").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(norm.selectExpr("sum(objid)").first().getLong(0) ===
+      268435455L + 12345678901234567L + 7L)
+  }
+
   test("JDBC sink round-trip: write back, then scan equals the source") {
     val src = Tables(spark, sfDir, "nation")
       .selectExpr("CAST(n_nationkey AS LONG) AS n_nationkey", "n_name",

@@ -347,23 +347,56 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("ntile + rfm: unpartitioned windows only over per-shard aggregates") {
-    // the ShardedRank rewrite's claim: no WindowExec sorts the whole
+    // the ShardedRank rewrite's claim, exercised on the AT-SCALE path
+    // (threshold forced to 0 so the adaptive fork takes the sharded
+    // plan even at spec scale): no WindowExec sorts the whole
     // customer/user frame in one task — unpartitioned windows consume
     // only the bounded per-shard count aggregate
+    spark.conf.set(graft.ops.ShardedRank.ThresholdConf, "0")
+    try {
+      for (name <- Seq("q_window_ntile", "q_events_rfm")) {
+        val df = Catalog.byName(name).fn(spark, sfDir)
+        df.collect()
+        val windows = collectAll(df.queryExecution.executedPlan) {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(windows.nonEmpty, name)
+        windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+          val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
+            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+          }
+          assert(aggBelow.nonEmpty,
+            s"$name: unpartitioned window must consume shard aggregates:\n$w")
+        }
+      }
+    } finally spark.conf.unset(graft.ops.ShardedRank.ThresholdConf)
+  }
+
+  test("ntile + rfm small-frame path: no joins, windows carry the bounded fence") {
+    // the adaptive fork's interactive-scale claim: under the threshold
+    // the plan is window-only (no rank join-backs, no offset branch)
+    // and every window is partitioned (by the BoundedWindow constant
+    // key — the zero-single-partition-window lint stays meaningful)
     for (name <- Seq("q_window_ntile", "q_events_rfm")) {
       val df = Catalog.byName(name).fn(spark, sfDir)
       df.collect()
-      val windows = collectAll(df.queryExecution.executedPlan) {
+      val plan = df.queryExecution.executedPlan
+      val windows = collectAll(plan) {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(windows.nonEmpty, name)
-      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-        val aggBelow = collectAll(w: org.apache.spark.sql.execution.SparkPlan) {
-          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-        }
-        assert(aggBelow.nonEmpty,
-          s"$name: unpartitioned window must consume shard aggregates:\n$w")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name: small-frame windows must carry the bounded constant key:\n$plan")
+      // the 1-row `today`/count aggregate broadcasts (BNLJ cross) are
+      // fine; what must be gone is the per-pass EQUI join-back of a
+      // (key, rank) branch — those plan as hash/merge joins
+      val joins = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       }
+      assert(joins.isEmpty,
+        s"$name: small-frame path must not join rank branches back:\n$plan")
     }
   }
 

@@ -47,6 +47,48 @@ class ShardedRankSpec extends SparkSpecBase {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("NULL shard keys: rows are kept (null-safe join-back), ranks exact") {
+    // a shard key built from an aggregate can be NULL (e.g. sum over an
+    // all-null group); the join-back must be null-safe or those rows
+    // silently vanish. Nulls sort FIRST under asc — same as the plain
+    // window's default — so the null tie class ranks first here too.
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Long)](
+      (1L, 30L), (2L, null), (3L, 10L), (4L, null), (5L, 20L),
+      (6L, 10L), (7L, null), (8L, 40L))
+      .toDF("id", "v")
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("bigint"))
+      .select(col("id"), col("rn"))
+    val got = ShardedRank.rowNumber(df,
+      Seq(expr("v DIV 15")), Seq(false),
+      Seq(col("v").asc, col("id").asc), "rn")
+      .select(col("id"), col("rn"))
+    assert(got.count() == 8, "null-keyed rows must not be dropped")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("rowNumberAdaptive: both sides of the threshold agree with the window") {
+    val df = seeded(500)
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("level").desc, col("id").asc))
+        .cast("bigint"))
+      .select(col("id"), col("rn"))
+    for (thr <- Seq("0", "1000000")) { // force sharded, then plain
+      spark.conf.set(ShardedRank.ThresholdConf, thr)
+      try {
+        val (ranked, n) = ShardedRank.rowNumberAdaptive(df,
+          Seq(col("level"), expr("id DIV 64")), Seq(true, false),
+          Seq(col("level").desc, col("id").asc), "rn")
+        assert(n == 500L)
+        val got = ranked.select(col("id"), col("rn"))
+        assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+          s"threshold=$thr")
+      } finally spark.conf.unset(ShardedRank.ThresholdConf)
+    }
+  }
+
   test("ntileSql == ntile() for every (n, b) boundary shape") {
     import spark.implicits._
     for (n <- Seq(1, 3, 4, 5, 7, 40, 41); b <- Seq(2, 4, 5, 10)) {
