@@ -1,68 +1,49 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[T](label: String)(f: => T): T = {
+    def time[T](label: String)(f: => T): Unit = {
       val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+      f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
 
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // warmup
-    noop(spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count())
-
-    // ---- band join stage breakdown: join-only vs full query ----
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.plans.BandJoinConvert
-    spark.experimental.extraStrategies =
-      spark.experimental.extraStrategies :+ graft.plans.BandJoinStrategy
-
-    def bucketed() = {
-      // native() flips this conf and BandJoinConvert also matches the
-      // equi+BETWEEN conjunction, so reset it here or every bucketed()
-      // run after the first native() call silently measures BandJoinExec.
-      spark.conf.set("spark.graft.bandjoin.native", "false")
-      val p = Tables(spark, sfDir, "part")
-        .withColumn("bucket", explode(sequence(
-          floor((col("p_retailprice") - 5) / 10),
-          floor((col("p_retailprice") + 5) / 10))))
-      val li = Tables(spark, sfDir, "lineitem")
-        .withColumn("bucket", floor(col("l_extendedprice") / 10))
-      p.join(li, p("bucket") === li("bucket") &&
-        li("l_extendedprice").between(
-          p("p_retailprice") - 5, p("p_retailprice") + 5))
-    }
-    def native() = {
-      spark.conf.set("spark.graft.bandjoin.native", "true")
-      val p = Tables(spark, sfDir, "part")
-      val li = Tables(spark, sfDir, "lineitem")
-      p.join(li, li("l_extendedprice").between(
-        p("p_retailprice") - 5, p("p_retailprice") + 5))
-    }
-    for (round <- 1 to 3) {
-      time(s"r$round bucketed join only")(noop(bucketed().select(col("p_brand"))))
-      time(s"r$round native   join only")(noop(native().select(col("p_brand"))))
-      time(s"r$round bucketed full agg")(noop(bucketed()
-        .groupBy(col("p_brand")).agg(count(lit(1)), countDistinct(col("p_partkey")))))
-      time(s"r$round native   full agg")(noop(native()
-        .groupBy(col("p_brand")).agg(count(lit(1)), countDistinct(col("p_partkey")))))
+    // ---- cost of BoundedWindow's materialize(0) constant key vs a
+    // bare unpartitioned window, mechanism isolation ----
+    val m0 = graft.functions.GraftFunctions.materialize(lit(0))
+    for (n <- Seq(3000000L)) {
+      val base = spark.range(n).select(col("id"),
+        (col("id") * 2654435761L % 1000).as("v"))
+      val variants = Seq(
+        "A empty (v,id)       " -> Window.orderBy(col("v").asc, col("id").asc),
+        "B part=m0 (v,id)     " -> Window.partitionBy(m0)
+          .orderBy(col("v").asc, col("id").asc),
+        "C empty (m0,v,id)    " -> Window.orderBy(m0.asc, col("v").asc, col("id").asc),
+        "D empty (v,id,m0)    " -> Window.orderBy(col("v").asc, col("id").asc, m0.asc),
+        "E BoundedWindow      " -> graft.ops.BoundedWindow
+          .ordered(col("v").asc, col("id").asc))
+      for (round <- 1 to 3; (label, w) <- variants) {
+        time(s"n=$n r$round $label")(noop(
+          base.withColumn("rn", row_number().over(w))
+            .withColumn("cs", sum(col("v")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))))
+      }
     }
     spark.stop()
   }

@@ -14,10 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
     // flag-run hook (local iteration; the driver never sets this):
     // SPARK_GRAFT_SQLCONF="k=v,k=v" e.g. codegen-off / AQE-off sweeps
-    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(",").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
-    })
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => sys.error(
+            s"SPARK_GRAFT_SQLCONF segment '$kv' is not key=value")
+        }
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

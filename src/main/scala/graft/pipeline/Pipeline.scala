@@ -311,6 +311,15 @@ final class Pipeline(
             .map(_.getString(1).trim)
           spark.sql(s"DROP TABLE IF EXISTS $tbl")
           loc.foreach(storage.delete)
+        } else {
+          // a write that died BEFORE the table committed to the catalog
+          // leaves orphan files at the default managed location with no
+          // catalog entry pointing at them — mirror the non-bucketed
+          // branch's unconditional delete with a best-effort sweep of
+          // the derivable warehouse path
+          val wh = spark.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:")
+          storage.delete(s"$wh/$tbl")
         }
       } else storage.delete(spec.rawDir(s.name))
     }

@@ -11,12 +11,21 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * subexpression elimination — so a Filter whose condition contains
   * many copies of `split(`/`transform(`/`aggregate(` re-does the heavy
   * array work per reference. Prints every catalog entry whose plan has
-  * a Filter with more than THRESHOLD such occurrences (plan
-  * construction only — nothing executes). */
+  * a Filter where any single needle repeats more than
+  * [[PerNeedleThreshold]] times (plan construction only — nothing
+  * executes). The needle list and threshold are THE shared contract:
+  * PlanGuardSpec's CI sweep imports both, so this CLI and the test can
+  * never drift apart. */
 object PlanAudit {
-  private val Needles = Seq("split(trim", "transform(", "aggregate(",
+  val Needles: Seq[String] = Seq("split(trim", "transform(", "aggregate(",
     "array_distinct(", "graft_shingle", "regexp_replace(")
-  private val Threshold = 3
+
+  /** A conjunction of a few DISTINCT heavy features evaluated once
+    * each (the designed residual of a keep-filter over materialized
+    * arrays) is fine; the SAME subtree repeated more than this many
+    * times is the inlining bug. Per-needle, not summed — summing
+    * would flag legitimate multi-feature filters. */
+  val PerNeedleThreshold = 3
 
   private def filters(p: SparkPlan): Seq[FilterExec] = {
     val self = p match {
@@ -28,18 +37,8 @@ object PlanAudit {
       p.subqueries.flatMap(filters)
   }
 
-  private def countAll(hay: String, needle: String): Int =
+  def countAll(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
-
-  private def windows(p: SparkPlan)
-      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
-      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
-      case _ => Nil
-    }
-    self ++ p.children.flatMap(windows) ++ p.subqueries.flatMap(windows)
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -52,16 +51,23 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.Catalog.all.foreach { q =>
       try {
-        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
-        val bad = filters(plan).map { f =>
+        val qe = q.fn(spark, sfDir).queryExecution
+        val bad = filters(qe.executedPlan).map { f =>
           val cond = f.condition.toString
-          Needles.map(n => n -> countAll(cond, n)).filter(_._2 > 0)
-        }.filter(_.map(_._2).sum > Threshold)
+          Needles.map(n => n -> countAll(cond, n))
+            .filter(_._2 > PerNeedleThreshold)
+        }.filter(_.nonEmpty)
         if (bad.nonEmpty)
           println(s"[audit] ${q.name}: " + bad.map(_.map {
             case (n, c) => s"$n x$c"
           }.mkString(", ")).mkString(" | "))
-        val unpart = windows(plan).filter(_.partitionSpec.isEmpty)
+        // the window lint reads the ANALYZED plan: BoundedWindow's
+        // foldable constant key is visible there and deliberately
+        // folded out of the executed plan (EliminateWindowPartitions)
+        val unpart = qe.analyzed.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
         if (unpart.nonEmpty)
           println(s"[audit-window] ${q.name}: ${unpart.size} unpartitioned " +
             unpart.map(_.child.getClass.getSimpleName).mkString("(", ",", ")"))

@@ -324,6 +324,39 @@ class PipelineSpec extends SparkSpecBase {
       .count() === expectedRows)
   }
 
+  test("vacuum: bucketed orphan files with NO catalog entry are swept") {
+    // a staged-table write that dies before committing to the catalog
+    // leaves files at the default managed location with no table
+    // pointing at them; vacuum must sweep that derivable path like the
+    // non-bucketed branch's unconditional rawDir delete
+    val ws = freshWorkspace()
+    val base = PipelineQueries.spec(ws)
+    val t = base.tables.head
+    val bucketed = base.copy(tables = Seq(t.copy(sources = t.sources.map {
+      case s if s.name == "orders" =>
+        s.copy(bucketKey = Some("o_orderkey"), numBuckets = 4)
+      case s => s
+    })))
+    val p = new Pipeline(spark, bucketed,
+      src => Relational.scanParquet(spark, s"$sfDir/${src.name}.parquet"),
+      retryInitialDelayMs = 1)
+    p.runAll()
+    // simulate the half-dead write: drop the catalog entry but leave
+    // (recreate) files at the default warehouse location for the table
+    val tbl = s"graft_raw_orders_${Integer.toHexString(ws.hashCode)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val orphan = new java.io.File(s"$wh/$tbl")
+    orphan.mkdirs()
+    val stray = new java.io.File(orphan, "part-orphan.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    assert(p.vacuum("enriched_lineitem"))
+    assert(!orphan.exists(),
+      "vacuum must sweep orphan bucket-table files when the catalog entry is absent")
+    assert(spark.read.parquet(bucketed.targetDir("enriched_lineitem"))
+      .count() === expectedRows)
+  }
+
   test("bucketed staging: lost table data is detected and rebuilt") {
     val ws = freshWorkspace()
     val base = PipelineQueries.spec(ws)

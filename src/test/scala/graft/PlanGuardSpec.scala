@@ -86,18 +86,25 @@ class PlanGuardSpec extends SparkSpecBase {
     }
   }
 
-  /** One plan construction per entry, shared by all three sweeps —
-    * building 400+ physical plans dominates this suite's runtime. */
-  private lazy val plans: Seq[(String, Either[String, SparkPlan])] =
+  /** One plan construction per entry, shared by all sweeps — building
+    * 400+ physical plans dominates this suite's runtime. Carries the
+    * ANALYZED logical plan too: the window lint reads it there, where
+    * BoundedWindow's foldable constant key is still visible (the
+    * optimizer folds it away before execution — deliberately, so the
+    * executed window pays nothing for the marker). */
+  private lazy val plans: Seq[(String, Either[String,
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, SparkPlan)])] =
     Catalog.all.map { q =>
-      q.name -> (try Right(q.fn(spark, sfDir).queryExecution.executedPlan)
-      catch { case e: Throwable =>
+      q.name -> (try {
+        val qe = q.fn(spark, sfDir).queryExecution
+        Right((qe.analyzed, qe.executedPlan))
+      } catch { case e: Throwable =>
         Left(s"plan construction failed: ${e.getMessage}") })
     }
 
   test("no catalog entry plans an unbounded cartesian / nested-loop join") {
     val offenders = plans.flatMap { case (name, planOrErr) =>
-      val problems = planOrErr.fold(Seq(_), { plan =>
+      val problems = planOrErr.fold(Seq(_), { case (_, plan) =>
           val carts = collectAll(plan) { case c: CartesianProductExec => c }
             .map(_ => "CartesianProduct")
           val badNl = collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }
@@ -119,16 +126,23 @@ class PlanGuardSpec extends SparkSpecBase {
   }
 
   test("no catalog entry plans an unpartitioned window") {
-    // the BoundedWindow contract (round 10): every deliberate single-
-    // partition window carries a constant partition key, so an EMPTY
-    // partitionSpec in any catalog plan is an unbounded global
-    // sort-the-world window — a scale bug, never intentional
+    // the BoundedWindow contract (round-11 form): every deliberate
+    // single-partition window carries the constant lit(0) marker in
+    // its ANALYZED plan — an EMPTY partitionSpec there is an unbounded
+    // global sort-the-world window, a scale bug, never intentional.
+    // The lint reads the analyzed plan because the optimizer's
+    // EliminateWindowPartitions folds the marker away before execution
+    // (so the executed window is the bare fast single-partition form —
+    // the round-10 non-foldable marker survived to execution and
+    // measured ~2x per window, the bulk of that round's catalog
+    // drift).
     val offenders = plans.flatMap { case (name, planOrErr) =>
-      val problems = planOrErr.fold(Seq(_), { plan =>
-          collectAll(plan) {
-            case w: org.apache.spark.sql.execution.window.WindowExec
-                if w.partitionSpec.isEmpty => w
-          }.map(w => s"unpartitioned window over ${w.child.nodeName}")
+      val problems = planOrErr.fold(Seq(_), { case (analyzed, _) =>
+          analyzed.collectWithSubqueries {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+                if w.partitionSpec.isEmpty =>
+              s"unpartitioned window over ${w.child.nodeName}"
+          }
         })
       if (problems.isEmpty) Nil
       else Seq(s"$name: ${problems.mkString(", ")}")
@@ -147,15 +161,17 @@ class PlanGuardSpec extends SparkSpecBase {
     // each (the designed residual of a keep-filter over materialized
     // arrays) is fine; the same subtree repeated >3x is not.
     val offenders = plans.flatMap { case (name, planOrErr) =>
-      val problems = planOrErr.fold(Seq(_), { plan =>
+      val problems = planOrErr.fold(Seq(_), { case (_, plan) =>
           collectAll(plan) {
             case f: org.apache.spark.sql.execution.FilterExec => f
           }.flatMap { f =>
+            // needles + threshold are shared with the PlanAudit CLI
+            // (graft.queries.PlanAudit) so the two contracts cannot
+            // drift: both flag per-needle repetition, never the sum
             val cond = f.condition.toString
-            val needles = Seq("split(trim", "transform(", "aggregate(",
-              "array_distinct(", "graft_shingle", "regexp_replace(")
-            val hits = needles.map(n =>
-              n -> cond.sliding(n.length).count(_ == n)).filter(_._2 > 3)
+            val hits = graft.queries.PlanAudit.Needles.map(n =>
+              n -> graft.queries.PlanAudit.countAll(cond, n))
+              .filter(_._2 > graft.queries.PlanAudit.PerNeedleThreshold)
             if (hits.nonEmpty)
               Seq(hits.map { case (n, c) => s"$n x$c" }.mkString(", "))
             else Nil

@@ -372,21 +372,28 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.conf.unset(graft.ops.ShardedRank.ThresholdConf)
   }
 
-  test("ntile + rfm small-frame path: no joins, windows carry the bounded fence") {
+  test("ntile + rfm small-frame path: no joins, bounded marker folds away") {
     // the adaptive fork's interactive-scale claim: under the threshold
-    // the plan is window-only (no rank join-backs, no offset branch)
-    // and every window is partitioned (by the BoundedWindow constant
-    // key — the zero-single-partition-window lint stays meaningful)
+    // the plan is window-only (no rank join-backs, no offset branch).
+    // The BoundedWindow lit(0) marker must be visible in the ANALYZED
+    // plan (that is where PlanGuardSpec's lint reads it) and FOLDED OUT
+    // of the executed plan (so the window pays nothing for it).
     for (name <- Seq("q_window_ntile", "q_events_rfm")) {
       val df = Catalog.byName(name).fn(spark, sfDir)
       df.collect()
+      val logicalWindows = df.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(logicalWindows.nonEmpty &&
+        logicalWindows.forall(_.partitionSpec.nonEmpty),
+        s"$name: analyzed windows must carry the bounded constant key")
       val plan = df.queryExecution.executedPlan
       val windows = collectAll(plan) {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
       assert(windows.nonEmpty, name)
-      assert(windows.forall(_.partitionSpec.nonEmpty),
-        s"$name: small-frame windows must carry the bounded constant key:\n$plan")
+      assert(windows.forall(_.partitionSpec.isEmpty),
+        s"$name: the constant key must fold out of the executed plan:\n$plan")
       // the 1-row `today`/count aggregate broadcasts (BNLJ cross) are
       // fine; what must be gone is the per-pass EQUI join-back of a
       // (key, rank) branch — those plan as hash/merge joins
