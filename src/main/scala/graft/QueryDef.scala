@@ -22,11 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — that breaks parity (the q_events_theil_sen lesson).
   *  - every computed column is aliased identically on both sides (the
   *    driver sorts columns by name before hashing).
+  *
+  * `effectful`: invoking `fn` RUNS a real job (stages files, executes a
+  * streaming query, drives the pipeline) rather than merely declaring a
+  * lazy plan. Catalog-wide *plan construction* sweeps (PlanGuardSpec,
+  * PlanAudit, any explain-only tooling) must skip these — their "plan"
+  * is just the read of an already-produced output, and building it
+  * costs a full run. Verify/Bench still execute them normally.
   */
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    headline: Boolean = false)(
+    headline: Boolean = false,
+    effectful: Boolean = false)(
     val fn: (SparkSession, String) => DataFrame)
 
 object QueryDef {

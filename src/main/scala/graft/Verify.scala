@@ -24,6 +24,10 @@ object Verify {
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every catalog window is BoundedWindow-fenced or CI-linted; the
+    // per-plan warning is pure noise HERE (and only here — the
+    // override is entry-point-scoped, see BoundedWindow)
+    graft.ops.BoundedWindow.quietPlannerWarnings()
     new java.io.File(outDir).mkdirs()
     // local-iteration escape hatch: dump only the named queries
     // (comma-separated). The driver never sets this.

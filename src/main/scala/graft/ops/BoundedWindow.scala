@@ -35,16 +35,21 @@ object BoundedWindow {
   /** Marker name the PlanGuardSpec sweep looks for in analyzed plans. */
   val MarkerValue = 0
 
-  // the warning fires per empty-partition WindowExec at planning time;
-  // with the lint moved to PlanGuardSpec's analyzed-plan sweep it
-  // carries no residual signal (an accidental global window FAILS CI
-  // instead of warning), so drop it to keep Verify/Bench logs clean
-  private lazy val quietOnce: Unit =
+  /** Silence WindowExec's per-plan 'No Partition Defined' warning —
+    * ENTRY-POINT SCOPED, deliberately not library-side: Verify, Bench
+    * and the spec base call this because every window they run is
+    * either BoundedWindow-fenced or swept by PlanGuardSpec's
+    * analyzed-plan lint, so the warning carries no signal there and
+    * only buries real ones. Library code (Pipeline, streaming helpers,
+    * a user's ad-hoc session) does NOT get the override — an
+    * accidental global window in un-linted code still warns at
+    * runtime. */
+  def quietPlannerWarnings(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
 
-  private def one: Column = { quietOnce; lit(MarkerValue) }
+  private def one: Column = lit(MarkerValue)
 
   /** `OVER (ORDER BY …)` over a bounded frame. */
   def ordered(cols: Column*): WindowSpec =

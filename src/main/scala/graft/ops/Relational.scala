@@ -28,10 +28,15 @@ object Relational {
     *    overriding the driver's default mapping at READ time, so the
     *    staged parquet carries exactly the declared type.
     *  - `decimalNormalize`: `""` keeps decimals exact as mapped;
-    *    `"bigint"`/`"double"` casts every DecimalType column after the
+    *    `"bigint"`/`"double"` casts DecimalType columns after the
     *    load — the normalize-deliberately path for integral keys (the
     *    reference compares them against numeric literal bounds, so
     *    int64 is the faithful staging type).
+    *  - `decimalNormalizeCols`: which decimal columns to normalize
+    *    (empty = all of them). A `"bigint"` normalize is GUARDED: any
+    *    row whose value does not round-trip (fractional part, or
+    *    > int64) raises at read time instead of silently truncating /
+    *    nulling — a migration must never quietly corrupt a key.
     */
   final case class JdbcScan(
       url: String,
@@ -42,7 +47,8 @@ object Relational {
       fetchSize: Int = 10000,
       partition: Option[JdbcPartition] = None,
       customSchema: String = "",
-      decimalNormalize: String = "")
+      decimalNormalize: String = "",
+      decimalNormalizeCols: Seq[String] = Nil)
 
   final case class JdbcPartition(
       column: String, lowerBound: Long, upperBound: Long, numPartitions: Int)
@@ -68,11 +74,32 @@ object Relational {
     else {
       require(Set("bigint", "double").contains(s.decimalNormalize),
         s"decimalNormalize must be '', 'bigint' or 'double': ${s.decimalNormalize}")
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
+      val wanted = s.decimalNormalizeCols.map(_.toLowerCase).toSet
+      val unknown = wanted --
+        df.schema.fields.map(_.name.toLowerCase).toSet
+      require(unknown.isEmpty,
+        s"decimalNormalizeCols not in the scan: ${unknown.mkString(", ")}")
       df.select(df.schema.fields.map { f =>
         f.dataType match {
-          case _: org.apache.spark.sql.types.DecimalType =>
-            col(f.name).cast(s.decimalNormalize).as(f.name)
+          case _: org.apache.spark.sql.types.DecimalType
+              if wanted.isEmpty || wanted.contains(f.name.toLowerCase) =>
+            val c = col(f.name)
+            val casted = c.cast(s.decimalNormalize)
+            if (s.decimalNormalize == "bigint")
+              // loud on lossy: a fractional value truncates and a
+              // >int64 value nulls under non-ANSI cast — both corrupt
+              // a supposedly-integral key, so raise with the value
+              // instead of staging garbage (one codegen'd compare per
+              // row, noise next to the JDBC fetch itself)
+              when(c.isNull, casted)
+                .when(c === casted.cast(f.dataType), casted)
+                .otherwise(raise_error(concat_ws("",
+                  lit(s"decimalNormalize=bigint is lossy for ${f.name}="),
+                  c.cast("string")))
+                  .cast("bigint"))
+                .as(f.name)
+            else casted.as(f.name)
           case _ => col(f.name)
         }
       }: _*)

@@ -314,12 +314,15 @@ final class Pipeline(
         } else {
           // a write that died BEFORE the table committed to the catalog
           // leaves orphan files at the default managed location with no
-          // catalog entry pointing at them — mirror the non-bucketed
-          // branch's unconditional delete with a best-effort sweep of
-          // the derivable warehouse path
-          val wh = spark.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:")
-          storage.delete(s"$wh/$tbl")
+          // catalog entry pointing at them — sweep the path the CATALOG
+          // would have assigned (defaultTablePath resolves the current
+          // database's location and returns a proper URI, so hdfs:/s3:
+          // warehouses and non-default databases sweep the right place;
+          // the previous $warehouse/$tbl string-build was only correct
+          // for the default database on a local filesystem)
+          val loc = spark.sessionState.catalog.defaultTablePath(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+          storage.delete(new org.apache.hadoop.fs.Path(loc).toString)
         }
       } else storage.delete(spec.rawDir(s.name))
     }

@@ -43,19 +43,21 @@ object GraphQueries {
     * run that touches several family members (Bench's full catalog,
     * Verify) without changing any entry's result. localCheckpoint —
     * not persist — so `spark.catalog.clearCache()` between bench
-    * timings cannot evict them mid-family, and blocks are freed when
-    * the map entry (and its frame) is GC'd at session end. The key
-    * carries the shuffle-partition conf so layout-invariance tests
-    * (DeterminismSpec runs entries at 4 vs 7 partitions) still rebuild
-    * the frames under each layout rather than comparing a frame to
-    * itself. */
-  private val frameCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String, String), DataFrame]
-
+    * timings cannot evict them mid-family. The key carries the
+    * shuffle-partition conf so layout-invariance tests (DeterminismSpec
+    * runs entries at 4 vs 7 partitions) still rebuild the frames under
+    * each layout rather than comparing a frame to itself.
+    *
+    * Fault tolerance and lifecycle live in [[graft.ops.FrameCache]]:
+    * a lost checkpoint block (executor death — ChaosSpec's simulated
+    * scenario) evicts and REBUILDS the frame instead of poisoning the
+    * family for the session's lifetime, entries are LRU-bounded with
+    * explicit unpersist on evict, and the whole set clears at
+    * application end. */
   private def memo(s: SparkSession, d: String, kind: String)
       (build: => DataFrame): DataFrame =
-    frameCache.getOrElseUpdate(
-      (s, d, s.conf.get("spark.sql.shuffle.partitions"), kind), build)
+    graft.ops.FrameCache.memo(s,
+      s"graph:$d:${s.conf.get("spark.sql.shuffle.partitions")}:$kind")(build)
 
   /** Spark twin of [[coPurchaseUndCte]]'s `und` (shared by triangles,
     * link-predict, edge-support and bfs — memoized). */

@@ -60,11 +60,13 @@ object PipelineQueries {
   private val exportPackBudget = 2000
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_pipeline_e2e", Some(oracle))(
+    QueryDef("q_pipeline_e2e", effectful = true, oracle = Some(oracle))(
       (s, d) => {
-        // Fresh workspace per invocation: the query checks the happy
-        // path end-to-end; resume/skip semantics are covered by
-        // PipelineSpec (kill-and-resume on a pre-seeded workspace).
+        // Fresh workspace per invocation (deliberately NOT memoized:
+        // the query checks the happy path end-to-end; resume/skip
+        // semantics are covered by PipelineSpec's kill-and-resume on a
+        // pre-seeded workspace). `effectful` keeps plan-only sweeps
+        // from paying the run.
         val ws = Files.createTempDirectory("graft_pipeline_").toString
         val sp = spec(ws)
         new Pipeline(s, sp,

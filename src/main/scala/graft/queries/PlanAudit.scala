@@ -49,7 +49,9 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.Catalog.all.foreach { q =>
+    // effectful entries RUN a job on fn invocation — same skip contract
+    // as PlanGuardSpec's `plans` val (their pinned set lives there)
+    graft.Catalog.all.filterNot(_.effectful).foreach { q =>
       try {
         val qe = q.fn(spark, sfDir).queryExecution
         val bad = filters(qe.executedPlan).map { f =>

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -137,8 +138,20 @@ object StreamingQueries {
     // two-step flush the StreamingSpec restart tests use. The parquet
     // sink's rows, minus the sentinel user, must equal the lag+cumsum
     // SQL — i.e. DuckDB now checks the state machine itself, timers,
-    // eviction and all, not a batch re-expression of it. ----
-    QueryDef("q_stream_sessionize_run", Some(
+    // eviction and all, not a batch re-expression of it.
+    //
+    // `effectful`: plan sweeps skip this (the run IS the plan);
+    // the streaming plan itself is linted in PlanGuardSpec's
+    // dedicated streaming-plan test. The run is memoized per
+    // (session, dir) via FrameCache — Verify's oracle pass and any
+    // repeated invocation pay it once — and the staging dir is
+    // deleted as soon as the (small: one row per session) output is
+    // pinned via localCheckpoint. File order is contractual, not
+    // lucky: the staged files are RANGE-PARTITIONED on ts with
+    // strictly ascending modtimes, so FileStreamSource's
+    // modtime-ordered delivery ratchets the watermark monotonically
+    // no matter how listing breaks ties. ----
+    QueryDef("q_stream_sessionize_run", effectful = true, oracle = Some(
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
         |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
         |                       OR tus - lag(tus) OVER w > 1800000000
@@ -150,7 +163,7 @@ object StreamingQueries {
         |  max(tus) AS session_end_us, count(*) AS n_events,
         |  sum(floor(value*100 + 0.5))/100.0 AS total_value
         |FROM s GROUP BY user_id, session_id""".stripMargin))(
-      (s, d) => {
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:sessionize_run:$d") {
         import java.nio.file.{Files, Paths}
         import java.nio.file.attribute.FileTime
         import org.apache.spark.sql.streaming.Trigger
@@ -159,13 +172,14 @@ object StreamingQueries {
         val ev = Tables(s, d, "events")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"), col("props"))
-        ev.coalesce(4).write.parquet(inDir)
+        // range-partition on ts: file i holds a time range strictly
+        // before file i+1's, so modtime-ordered per-file micro-batches
+        // never present a row behind the ratcheting watermark (the
+        // files' relative order is forced by stageRanged — equal-
+        // modtime listing ties are not contractual in FileStreamSource)
+        stageRanged(ev, inDir, 4, col("ts"))
         val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
         val base = System.currentTimeMillis()
-        new java.io.File(inDir).listFiles()
-          .filter(_.getName.endsWith(".parquet"))
-          .foreach(f => Files.setLastModifiedTime(f.toPath,
-            FileTime.fromMillis(base)))
         // two watermark-flush sentinels (the first advances the
         // watermark past every real session's gap; the second makes the
         // timers set before it fire), staged as strictly-later files
@@ -192,11 +206,14 @@ object StreamingQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(Trigger.AvailableNow()).start()
         assert(q.awaitTermination(300000), "sessionize stream did not finish")
-        s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
           .select(col("user_id"), col("session_start_us"),
             col("session_end_us"),
             col("n_events").cast("bigint").as("n_events"),
             col("total_value"))
+          .localCheckpoint(true) // pin rows so the staging dir can go
+        deleteRecursively(tmp)
+        out
       }),
 
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
@@ -208,13 +225,14 @@ object StreamingQueries {
     // hash/partition detail (those are Spark-side internals the ledger
     // must make invisible). A dupe, gap, or non-monotonic offset makes
     // the two formulations diverge. ----
-    QueryDef("q_keyedlog_replay", Some(
+    QueryDef("q_keyedlog_replay", effectful = true, oracle = Some(
       """SELECT event_id, user_id, event_type
         |FROM events WHERE event_id % 3 = 0""".stripMargin))(
-      (s, d) => {
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:keyedlog_replay:$d") {
         import graft.sources.KeyedLog
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_klog_").toString + "/log"
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_klog_").toString
+        val dir = s"$tmp/log"
         val ev = Tables(s, d, "events")
           .select(col("event_id"), col("user_id"), col("event_type"))
         KeyedLog.append(ev.where(col("event_id") % 3 =!= 0), dir,
@@ -222,8 +240,143 @@ object StreamingQueries {
         val committed = KeyedLog.endOffsets(s, dir, ev.schema, 4)
         KeyedLog.append(ev.where(col("event_id") % 3 === 0), dir,
           "user_id", 4, Seq(col("event_id")))
-        KeyedLog.readBatch(s, dir, committed)
+        val out = KeyedLog.readBatch(s, dir, committed)
           .select(col("event_id"), col("user_id"), col("event_type"))
+          .localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- The REAL streaming CDC apply through the oracle gate: the
+    // last-writer-wins changelog (the exact cdcLog frame the batch
+    // q_migrate_cdc_apply folds) is staged as seq-range files and
+    // replayed file-by-file through CdcStream's transformWithState
+    // state machine (RocksDB ValueState, one record per key), with the
+    // emissions landing through ExactlyOnceBatchSink's foreachBatch —
+    // the production shape of "bulk copy done, now keep the target
+    // current". The committed batches reduce to the final snapshot
+    // (max-seq per key, tombstones dropped), which must hash-equal the
+    // batch LWW SQL — so DuckDB now checks the streaming state
+    // machine AND the commit protocol, not a batch re-expression.
+    // Before reading, the last committed batch is RE-DELIVERED to the
+    // sink (the crash-in-the-write→checkpoint-window replay): the
+    // marker must make it a no-op or the snapshot double-counts. ----
+    QueryDef("q_stream_cdc_run", effectful = true, oracle = Some(
+      QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_apply",
+        "q_stream_cdc_run")))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:cdc_run:$d") {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.{CdcStream, ExactlyOnceBatchSink}
+        import s.implicits._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cdc_run_").toString
+        val inDir = s"$tmp/in"
+        val log = MigrationQueries.cdcLog(s, d)
+        // seq-major ranges: inserts arrive before their updates, the
+        // live ordering; LWW must ALSO absorb replays, proven below
+        stageRanged(log, inDir, 4, col("seq"), col("k"))
+        val stream = s.readStream.schema(log.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .as[CdcStream.CdcRecord]
+        val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+        val q = CdcStream(stream).toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(sink.foreachBatchFn)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), "cdc stream did not finish")
+        val last = sink.committedBatches(s).last
+        assert(!sink.writeBatch(s.read.parquet(sink.batchDir(last)), last),
+          "already-committed batch was re-written — exactly-once broken")
+        val emitted = sink.read(s)
+        val latest = emitted.groupBy(col("k")).agg(max(col("seq")).as("mseq"))
+          .withColumnRenamed("k", "lk")
+        val out = emitted.join(latest.hint("shuffle_hash"),
+            col("k") === col("lk") && col("seq") === col("mseq"))
+          .where(col("op") =!= "D")
+          .select(col("k").as("o_orderkey"), col("op").as("last_op"),
+            col("status"), col("cents"),
+            col("seq").cast("bigint").as("version"))
+          .localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- Exactly-once storage under crash-amnesia replay: a
+    // stateless purchase projection streams file-by-file through the
+    // foreachBatch sink, then the ENTIRE stream runs AGAIN from a
+    // FRESH streaming checkpoint — the worst-case at-least-once
+    // delivery, every batch re-delivered. stageRanged's deterministic
+    // modtime order makes the second run's micro-batches bit-identical
+    // to the first's, so every one must hit its marker and skip; a
+    // sink without the marker protocol would exactly double the
+    // output and fail the DuckDB hash. ----
+    QueryDef("q_stream_exactly_once_run", effectful = true, oracle = Some(
+      """SELECT event_id, user_id,
+        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'purchase'""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:exactly_once_run:$d") {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.ExactlyOnceBatchSink
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_eos_run_").toString
+        val inDir = s"$tmp/in"
+        stageRanged(Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props")),
+          inDir, 4, col("ts"))
+        val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+        def runOnce(ckpt: String): Unit = {
+          val q = EventStream
+            .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+            .where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"),
+              floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+            .writeStream
+            .foreachBatch(sink.foreachBatchFn)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000), "exactly-once stream did not finish")
+        }
+        runOnce(s"$tmp/ckpt1")
+        val committed = sink.committedBatches(s)
+        runOnce(s"$tmp/ckpt2") // full replay: every batch must skip
+        assert(sink.committedBatches(s) == committed,
+          "replay committed new batches — exactly-once broken")
+        val out = sink.read(s).localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
       })
   )
+
+  /** Stage a frame as `n` range-partitioned parquet files with
+    * STRICTLY ASCENDING modtimes in range order: part-0000i holds
+    * range-partition i (Spark task i writes file i), so
+    * FileStreamSource's modtime-ordered, one-file-per-trigger delivery
+    * replays the frame range by range — deterministic micro-batch
+    * boundaries across runs, and (when the range key is the event
+    * time) a monotone watermark no matter how listing breaks ties. */
+  private def stageRanged(df: DataFrame, dir: String, n: Int,
+      rangeCols: Column*): Unit = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    df.repartitionByRange(n, rangeCols: _*).write.parquet(dir)
+    val base = System.currentTimeMillis()
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .zipWithIndex
+      .foreach { case (f, i) => Files.setLastModifiedTime(f.toPath,
+        FileTime.fromMillis(base + i * 1000L)) }
+  }
+
+  /** Best-effort recursive delete for a run's staging dir (the output
+    * rows are already pinned via localCheckpoint when this is called). */
+  private[queries] def deleteRecursively(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(go))
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
 }

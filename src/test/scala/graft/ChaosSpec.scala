@@ -63,6 +63,52 @@ class ChaosSpec extends SparkSpecBase {
     assert(out.contains("[chaos-band] OK"), s"missing success marker:\n$out")
   }
 
+  test("memoized graph frames rebuild after block loss (no session poisoning)") {
+    // warm the whole memoized family (co-purchase, bipartite, edges,
+    // label vector), snapshot a result...
+    val before = graft.Catalog.byName("q_graph_triangles")
+      .fn(spark, sfDir).collect().toSet
+    assert(graft.Catalog.byName("q_graph_pagerank")
+      .fn(spark, sfDir).count() > 0)
+    // ...kill every executor-held block (localCheckpoint lineage is
+    // truncated, so without rebuild-on-loss these frames are dead)...
+    dropAllPersistedBlocks()
+    // ...and the family must still serve, bit-identically: FrameCache
+    // detects the dead entries at serve time and rebuilds from source.
+    val after = graft.Catalog.byName("q_graph_triangles")
+      .fn(spark, sfDir).collect().toSet
+    assert(after == before)
+    assert(graft.Catalog.byName("q_graph_pagerank")
+      .fn(spark, sfDir).count() > 0)
+  }
+
+  test("FrameCache bounds its entries and frees evicted blocks") {
+    import graft.ops.FrameCache
+    FrameCache.clear(spark)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    // overflow the LRU with distinct keys: live entries must stay
+    // bounded and the evicted frames' checkpoint blocks must be freed
+    // (not retained for the JVM's lifetime, the round-11 leak)
+    (1 to FrameCache.maxEntries + 8).foreach { i =>
+      FrameCache.memo(spark, s"chaos_evict_$i") {
+        spark.range(10).toDF("x").localCheckpoint(true)
+      }
+    }
+    assert(FrameCache.size <= FrameCache.maxEntries)
+    assert(spark.sparkContext.getPersistentRDDs.size <=
+      persistedBefore + FrameCache.maxEntries)
+    // clear() releases everything for the session
+    FrameCache.clear(spark)
+    assert(FrameCache.size == 0)
+    // a hit serves the SAME frame (no rebuild) while blocks are intact
+    var builds = 0
+    def build() = { builds += 1; spark.range(5).toDF("x").localCheckpoint(true) }
+    val a = FrameCache.memo(spark, "chaos_hit")(build())
+    val b = FrameCache.memo(spark, "chaos_hit")(build())
+    assert(builds == 1 && (a eq b))
+    FrameCache.clear(spark)
+  }
+
   test("embedding block count scales with shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -105,15 +105,36 @@ class JdbcSpec extends SparkSpecBase {
       === "12345679169670029")
     assert(back.where("bal = CAST('-0.0000000001' AS DECIMAL(38,10))").count() === 1)
 
-    // decimalNormalize="bigint": integral keys stage as int64 — the
-    // deliberate normalization for the reference's objid bound checks
+    // decimalNormalize="bigint" scoped to OBJID: the integral key
+    // stages as int64 (the reference's objid bound checks) while the
+    // genuinely-fractional BAL keeps its exact decimal type — the
+    // column list exists precisely so one integral key doesn't drag
+    // every decimal in the row through a lossy cast
     val norm = Relational.scanJdbc(spark, JdbcScan(url, "acct",
       driver = driver, customSchema = "OBJID DECIMAL(38,0)",
-      decimalNormalize = "bigint"))
+      decimalNormalize = "bigint", decimalNormalizeCols = Seq("objid")))
     assert(norm.schema("OBJID").dataType ===
       org.apache.spark.sql.types.LongType)
+    assert(norm.schema("BAL").dataType ===
+      org.apache.spark.sql.types.DecimalType(31, 10))
     assert(norm.selectExpr("sum(objid)").first().getLong(0) ===
       268435455L + 12345678901234567L + 7L)
+
+    // a LOSSY bigint normalize fails loudly instead of truncating:
+    // BAL holds 1234.5000000001, whose fractional part a silent cast
+    // would destroy — the migration must stop, not corrupt
+    val lossy = Relational.scanJdbc(spark, JdbcScan(url, "acct",
+      driver = driver, decimalNormalize = "bigint",
+      decimalNormalizeCols = Seq("bal")))
+    val e = intercept[Exception](lossy.collect())
+    assert(e.getMessage.contains("lossy for BAL"),
+      s"expected loud lossy-cast failure, got: ${e.getMessage}")
+
+    // a column list naming a column the scan doesn't have is a
+    // config typo — reject it up front
+    intercept[IllegalArgumentException](Relational.scanJdbc(spark,
+      JdbcScan(url, "acct", driver = driver,
+        decimalNormalize = "bigint", decimalNormalizeCols = Seq("nope"))))
   }
 
   test("JDBC sink round-trip: write back, then scan equals the source") {

@@ -94,7 +94,13 @@ class PlanGuardSpec extends SparkSpecBase {
     * executed window pays nothing for the marker). */
   private lazy val plans: Seq[(String, Either[String,
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, SparkPlan)])] =
-    Catalog.all.map { q =>
+    Catalog.all.filterNot(_.effectful).map { q =>
+      // effectful entries RUN a job when fn is invoked (streaming
+      // sessionize, the pipeline driver) — their "plan" is just the
+      // read of an output they produce, so sweeping them here buys no
+      // lint and costs a full run. Their streaming/pipeline plans are
+      // covered by the dedicated streaming-plan lint below and by
+      // PipelineSpec.
       q.name -> (try {
         val qe = q.fn(spark, sfDir).queryExecution
         Right((qe.analyzed, qe.executedPlan))
@@ -188,5 +194,39 @@ class PlanGuardSpec extends SparkSpecBase {
     val names = Catalog.all.map(_.name).toSet
     val stale = whitelist.keys.filterNot(names.contains)
     assert(stale.isEmpty, s"stale whitelist entries: ${stale.mkString(", ")}")
+  }
+
+  test("effectful entries are exactly the justified run-a-job set") {
+    // the flag exempts an entry from every sweep above — pin the set
+    // so a scale-killer plan can never hide behind it
+    val effectful = Catalog.all.filter(_.effectful).map(_.name).toSet
+    assert(effectful === Set("q_pipeline_e2e", "q_stream_sessionize_run",
+      "q_keyedlog_replay", "q_stream_cdc_run", "q_stream_exactly_once_run"),
+      "new effectful entry? justify it here AND make sure its real plan " +
+        "is linted some other way (streaming-plan test below / PipelineSpec)")
+  }
+
+  test("the streaming sessionize plan is watermarked, keyed state — linted without running") {
+    // q_stream_sessionize_run is effectful (the sweeps above skip it),
+    // so lint the STREAMING plan directly: build the unstarted
+    // streaming Dataset over the fixture dir and check its analyzed
+    // plan carries (a) an event-time watermark — without one the state
+    // store grows forever at 100 TB — and (b) keyed
+    // FlatMapGroupsWithState (grouped on user_id, so state is
+    // hash-partitioned, never a global shuffle to one task).
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, FlatMapGroupsWithState}
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val events = EventStream
+      .readEvents(spark, s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val plan = EventStream.sessionize(events).queryExecution.analyzed
+    assert(plan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "sessionize stream lost its watermark — unbounded state at scale")
+    val fmgs = plan.collect { case f: FlatMapGroupsWithState => f }
+    assert(fmgs.nonEmpty, "sessionize no longer uses keyed state")
+    assert(fmgs.forall(_.groupingAttributes.nonEmpty),
+      "sessionize state is not key-partitioned")
   }
 }

@@ -19,6 +19,8 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // specs run the same fenced/linted catalog windows as Verify
+    graft.ops.BoundedWindow.quietPlannerWarnings()
     s
   }
 }
