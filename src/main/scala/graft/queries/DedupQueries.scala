@@ -809,7 +809,16 @@ object DedupQueries {
     QueryDef("q_dedup_clusters", Some(
       s"""WITH RECURSIVE $clustersPairsCte
          |$clustersSelect""".stripMargin))(
-      (s, d) => {
+      // Memoized per (session, dir, layout) via FrameCache: FOUR other
+      // entries compose this frame (q_dedup_canonical,
+      // q_eval_cluster_stats, q_link_blocking_quality,
+      // q_sample_split_cluster_safe), each of which would otherwise
+      // re-run the whole minhash+LSH+verify+connected-components
+      // pipeline just to read the tiny (doc_id, cluster_id, keeper)
+      // labeling. The frame is |documents| rows — cheap to pin; block
+      // loss evicts and rebuilds (ChaosSpec's FrameCache contract).
+      (s, d) => graft.ops.FrameCache.memo(s,
+        s"dedup:clusters:$d:${s.conf.get("spark.sql.shuffle.partitions")}") {
         // reuse the minhash-LSH pair pipeline for the edge set
         val sh = docShingles(s, d).persist()
         val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
@@ -843,6 +852,7 @@ object DedupQueries {
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("cluster_id"),
             (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("is_keeper"))
+          .localCheckpoint(true) // materialize once for the memo
       })
   ,
 

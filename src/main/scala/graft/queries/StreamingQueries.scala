@@ -152,69 +152,18 @@ object StreamingQueries {
     // modtime-ordered delivery ratchets the watermark monotonically
     // no matter how listing breaks ties. ----
     QueryDef("q_stream_sessionize_run", effectful = true, oracle = Some(
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
-        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-        |                       OR tus - lag(tus) OVER w > 1800000000
-        |                     THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
-        |SELECT user_id, min(tus) AS session_start_us,
-        |  max(tus) AS session_end_us, count(*) AS n_events,
-        |  sum(floor(value*100 + 0.5))/100.0 AS total_value
-        |FROM s GROUP BY user_id, session_id""".stripMargin))(
-      (s, d) => graft.ops.FrameCache.memo(s, s"stream:sessionize_run:$d") {
-        import java.nio.file.{Files, Paths}
-        import java.nio.file.attribute.FileTime
-        import org.apache.spark.sql.streaming.Trigger
-        val tmp = Files.createTempDirectory("graft_sess_run_").toString
-        val inDir = s"$tmp/in"
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        // range-partition on ts: file i holds a time range strictly
-        // before file i+1's, so modtime-ordered per-file micro-batches
-        // never present a row behind the ratcheting watermark (the
-        // files' relative order is forced by stageRanged — equal-
-        // modtime listing ties are not contractual in FileStreamSource)
-        stageRanged(ev, inDir, 4, col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        val base = System.currentTimeMillis()
-        // two watermark-flush sentinels (the first advances the
-        // watermark past every real session's gap; the second makes the
-        // timers set before it fire), staged as strictly-later files
-        Seq((1, 2), (2, 4)).foreach { case (i, hours) =>
-          import s.implicits._
-          val t = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
-          val df = Seq((-i.toLong, t, -1L, "flush", 0.0, ""))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          val sDir = s"$tmp/sent$i"
-          df.coalesce(1).write.parquet(sDir)
-          val part = new java.io.File(sDir).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = Paths.get(inDir, s"zz_sentinel_$i.parquet")
-          Files.move(part.toPath, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(base + i * 60000L))
-        }
-        import s.implicits._
-        val events = EventStream
-          .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
-          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-          .as[EventStream.Event]
-        val q = EventStream.sessionize(events).writeStream
-          .format("parquet").option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        assert(q.awaitTermination(300000), "sessionize stream did not finish")
-        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
-          .select(col("user_id"), col("session_start_us"),
-            col("session_end_us"),
-            col("n_events").cast("bigint").as("n_events"),
-            col("total_value"))
-          .localCheckpoint(true) // pin rows so the staging dir can go
-        deleteRecursively(tmp)
-        out
-      }),
+      sessionizeRunSql))(
+      (s, d) => sessionizeRun(s, d, "fmgws")(EventStream.sessionize(_))),
+
+    // ---- The SAME run, on Spark 4's transformWithState sessionizer
+    // (StatefulProcessor + typed ValueState + first-class event-time
+    // timers — the successor API to flatMapGroupsWithState): identical
+    // staging, identical oracle, so DuckDB pins that BOTH state-machine
+    // surfaces implement the same session algebra (StreamingSpec pins
+    // them against each other; this pins each against the SQL). ----
+    QueryDef("q_stream_sessionize_tws_run", effectful = true, oracle = Some(
+      sessionizeRunSql))(
+      (s, d) => sessionizeRun(s, d, "tws")(EventStream.sessionizeTws(_))),
 
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
@@ -348,6 +297,88 @@ object StreamingQueries {
         out
       })
   )
+
+  /** The gap-sessionization oracle (lag + cumsum session ids, 30-min
+    * idle gap, cent-exact totals) — shared verbatim by BOTH streaming
+    * sessionizer runs so the two state-machine APIs are pinned to one
+    * SQL truth. */
+  // lazy: referenced by `defs` above during object init (declaration
+  // order would otherwise hand the QueryDef a null oracle)
+  private lazy val sessionizeRunSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+      |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+      |                       OR tus - lag(tus) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+      |SELECT user_id, min(tus) AS session_start_us,
+      |  max(tus) AS session_end_us, count(*) AS n_events,
+      |  sum(floor(value*100 + 0.5))/100.0 AS total_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Stage the events fixture as a file stream (time-ranged files +
+    * two watermark-flush sentinels), run the given sessionizer state
+    * machine under Trigger.AvailableNow with one file per micro-batch,
+    * and return the sink's sessions (sentinel user dropped). Memoized
+    * per (session, dir, variant) via FrameCache; staging is deleted
+    * once the one-row-per-session output is pinned. */
+  private def sessionizeRun(s: org.apache.spark.sql.SparkSession,
+      d: String, variant: String)(
+      machine: org.apache.spark.sql.Dataset[EventStream.Event] =>
+        org.apache.spark.sql.Dataset[EventStream.Session]): DataFrame =
+    graft.ops.FrameCache.memo(s, s"stream:sessionize_run:$variant:$d") {
+      import java.nio.file.{Files, Paths}
+      import java.nio.file.attribute.FileTime
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = Files.createTempDirectory(s"graft_sess_${variant}_").toString
+      val inDir = s"$tmp/in"
+      val ev = Tables(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      // range-partition on ts: file i holds a time range strictly
+      // before file i+1's, so modtime-ordered per-file micro-batches
+      // never present a row behind the ratcheting watermark (the
+      // files' relative order is forced by stageRanged — equal-
+      // modtime listing ties are not contractual in FileStreamSource)
+      stageRanged(ev, inDir, 4, col("ts"))
+      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+      val base = System.currentTimeMillis()
+      // two watermark-flush sentinels (the first advances the
+      // watermark past every real session's gap; the second makes the
+      // timers set before it fire), staged as strictly-later files
+      Seq((1, 2), (2, 4)).foreach { case (i, hours) =>
+        import s.implicits._
+        val t = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
+        val df = Seq((-i.toLong, t, -1L, "flush", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        val sDir = s"$tmp/sent$i"
+        df.coalesce(1).write.parquet(sDir)
+        val part = new java.io.File(sDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = Paths.get(inDir, s"zz_sentinel_$i.parquet")
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(base + i * 60000L))
+      }
+      import s.implicits._
+      val events = EventStream
+        .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStream.Event]
+      val q = machine(events).writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(300000), s"$variant sessionize stream did not finish")
+      val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"),
+          col("n_events").cast("bigint").as("n_events"),
+          col("total_value"))
+        .localCheckpoint(true) // pin rows so the staging dir can go
+      deleteRecursively(tmp)
+      out
+    }
 
   /** Stage a frame as `n` range-partitioned parquet files with
     * STRICTLY ASCENDING modtimes in range order: part-0000i holds

@@ -201,7 +201,8 @@ class PlanGuardSpec extends SparkSpecBase {
     // so a scale-killer plan can never hide behind it
     val effectful = Catalog.all.filter(_.effectful).map(_.name).toSet
     assert(effectful === Set("q_pipeline_e2e", "q_stream_sessionize_run",
-      "q_keyedlog_replay", "q_stream_cdc_run", "q_stream_exactly_once_run"),
+      "q_stream_sessionize_tws_run", "q_keyedlog_replay",
+      "q_stream_cdc_run", "q_stream_exactly_once_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
