@@ -314,10 +314,20 @@ object DedupQueries {
           .join(b.alias("c"), col("a.h") === col("c.h") &&
             col("a.doc_id") < col("c.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-            levenshtein(col("a.text"), col("c.text"), 64).cast("bigint")
+            col("a.text").as("ta"), col("c.text").as("tb"))
+          // verify-stage skew break: the join output is partitioned by
+          // the CANDIDATE key h, so one bag-of-words cluster of n docs
+          // lands all its n(n-1)/2 pairs on ONE task and the banded-DP
+          // verify runs serially (measured 86% of pairs on one key at
+          // sf0.1: 3.5 s -> 0.9 s). Re-keying by the PAIR spreads the
+          // O(cap·len) compute; the exchanged rows are just the
+          // candidate pairs + texts, tiny next to the verify itself.
+          .repartition(col("doc_a"), col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb"), 64).cast("bigint")
               .as("edit_dist"),
-            length(col("a.text")).cast("bigint").as("len_a"),
-            length(col("c.text")).cast("bigint").as("len_b"))
+            length(col("ta")).cast("bigint").as("len_a"),
+            length(col("tb")).cast("bigint").as("len_b"))
       }),
 
     // ---- train/benchmark decontamination: which training docs share

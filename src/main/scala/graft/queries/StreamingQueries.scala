@@ -228,12 +228,14 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1").parquet(inDir)
           .as[CdcStream.CdcRecord]
         val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
-        val q = CdcStream(stream).toDF().writeStream
-          .outputMode("update")
-          .foreachBatch(sink.foreachBatchFn)
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        assert(q.awaitTermination(300000), "cdc stream did not finish")
+        withStatePartitions(s) {
+          val q = CdcStream(stream).toDF().writeStream
+            .outputMode("update")
+            .foreachBatch(sink.foreachBatchFn)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000), "cdc stream did not finish")
+        }
         val last = sink.committedBatches(s).last
         assert(!sink.writeBatch(s.read.parquet(sink.batchDir(last)), last),
           "already-committed batch was re-written — exactly-once broken")
@@ -365,11 +367,13 @@ object StreamingQueries {
         .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
         .selectExpr("event_id", "ts", "user_id", "event_type", "value")
         .as[EventStream.Event]
-      val q = machine(events).writeStream
-        .format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      assert(q.awaitTermination(300000), s"$variant sessionize stream did not finish")
+      withStatePartitions(s) {
+        val q = machine(events).writeStream
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), s"$variant sessionize stream did not finish")
+      }
       val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
         .select(col("user_id"), col("session_start_us"),
           col("session_end_us"),
@@ -379,6 +383,25 @@ object StreamingQueries {
       deleteRecursively(tmp)
       out
     }
+
+  /** Run a stateful streaming query at state parallelism sized to the
+    * staged fixture instead of the session's batch setting: each
+    * stateful operator materializes ONE state store instance PER
+    * shuffle partition PER micro-batch (snapshot + commit files), so a
+    * 6-batch run over a 100k-row fixture at 32 partitions pays
+    * 6·32 state-store commit rounds of pure per-instance overhead.
+    * 8 partitions keeps the run parallel while cutting that fixed cost
+    * 4× (the loopSized lesson, applied to streaming state). At
+    * production scale the session setting is larger and this override
+    * would be too — the knob is the fixture-sized default, not a cap.
+    * Same single-threaded-driver assumption as GraphQueries.loopSized:
+    * the override is session-global while the stream runs. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int = 8)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   /** Stage a frame as `n` range-partitioned parquet files with
     * STRICTLY ASCENDING modtimes in range order: part-0000i holds
