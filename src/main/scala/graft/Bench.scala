@@ -50,6 +50,14 @@ object Bench {
         }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache() // per-query persists must not leak across timings
+        // multi-run mode medians must time INDEPENDENT runs: clearCache
+        // drops SQL-cache blocks but not FrameCache's localCheckpoint
+        // memos, so without this, runs 2..n of a memoized entry time a
+        // cache-hit count() and the median under-reports by orders of
+        // magnitude. Single-run full-catalog mode keeps the memos on
+        // purpose — amortization across a family IS the engine design
+        // there (recorded in the artifact's "memo" field).
+        if (runs > 1) graft.ops.FrameCache.clear(spark)
         elapsed
       }
       val sorted = times.sorted
@@ -65,7 +73,10 @@ object Bench {
       "\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"loadavg_before":$loadBefore,"loadavg_after":$loadavg,"runs_per_query":$runs,"sf":"$sfDir"}""")
+    val memoNote =
+      if (runs > 1) "FrameCache cleared between timed runs (independent medians)"
+      else "FrameCache memos amortize across the catalog (single-pass design)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"loadavg_before":$loadBefore,"loadavg_after":$loadavg,"runs_per_query":$runs,"memo":"$memoNote","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,15 +16,15 @@ import scala.util.control.NonFatal
   * truncates the lineage needed to rebuild them — so one executor
   * death made every cached frame permanently unrecomputable, poisoning
   * the whole family for the session's lifetime. This cache closes the
-  * hole by keeping the BUILD THUNK alongside each frame and validating
-  * on every serve: a cheap `count()` over the cached frame (all blocks
-  * are local/cached, so this is milliseconds at any fixture scale and
-  * touches EVERY partition — a head(1) probe would miss loss of a
-  * later partition's block). If the probe throws — block dropped,
-  * executor dead, checkpoint truncated — the entry is evicted and the
-  * thunk rebuilds it from source. At 100 TB the probe cost is bounded
-  * by the cached frame's size (these are the SMALL shared bases:
-  * distinct edge lists, label vectors), never the corpus.
+  * hole by validating on every serve: the backing checkpoint RDD's
+  * block inventory is read from the driver's BlockManagerMaster
+  * metadata ([[alive]]) — every partition must still hold a live
+  * block. That is a pure driver-side metadata scan, O(#cached RDDs),
+  * no job, no matter how large the cached frame is (the round-12
+  * version ran a full `count()` per serve — milliseconds at fixture
+  * scale but O(frame) at 100 TB). If a block is gone — executor dead,
+  * storage evicted, checkpoint dropped — the entry is evicted and the
+  * caller's by-name thunk rebuilds it from source.
   *
   * Lifecycle (closing the round-11 leak): entries are LRU-bounded
   * ([[maxEntries]]); eviction explicitly unpersists the backing RDD so
@@ -48,17 +48,27 @@ import scala.util.control.NonFatal
   */
 object FrameCache {
 
-  private final case class Entry(df: DataFrame, build: () => DataFrame)
-
   /** Insertion-ordered for LRU (touch = remove + re-insert). */
   private val entries =
-    mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
+    mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
   private val listened = mutable.Set.empty[SparkSession]
 
   /** Bound on live memoized frames across all sessions: enough for the
     * whole graph family at two layouts plus the streaming-run outputs,
     * small enough that a long-lived multi-tenant session cannot
-    * accumulate unbounded checkpoint blocks across fixture dirs. */
+    * accumulate unbounded checkpoint blocks across fixture dirs.
+    *
+    * Eviction hazard (documented contract): LRU eviction unpersists
+    * the victim's checkpoint blocks even if a caller still holds the
+    * served DataFrame without having run its action yet — the lineage
+    * is truncated, so that action then fails LOUDLY and
+    * unrebuildably. The engine's callers are safe by construction:
+    * every memo site either runs its action inside the build thunk
+    * (the frames are eager localCheckpoints) or composes the served
+    * frame into a query executed before the next >maxEntries distinct
+    * memo calls — with serial drivers and 24 slots, an entire catalog
+    * family fits between serve and action. Holding a served frame
+    * across unbounded later memo traffic is outside the contract. */
   val maxEntries = 24
 
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
@@ -66,17 +76,17 @@ object FrameCache {
       registerCleanup(s)
       val k = (s, key)
       entries.remove(k) match {
-        case Some(e) if alive(e.df) =>
-          entries.put(k, e) // LRU touch
-          e.df
+        case Some(df) if alive(s, df) =>
+          entries.put(k, df) // LRU touch
+          df
         case stale =>
-          stale.foreach(e => unpersistBacking(e.df)) // partial survivors
+          stale.foreach(unpersistBacking) // partial survivors
           val df = build
-          entries.put(k, Entry(df, () => build))
+          entries.put(k, df)
           while (entries.size > maxEntries) {
             val (_, victim) = entries.head
             entries.remove(entries.head._1)
-            unpersistBacking(victim.df)
+            unpersistBacking(victim)
           }
           df
       }
@@ -85,29 +95,47 @@ object FrameCache {
   /** Drop (and unpersist) every entry belonging to `s`. */
   def clear(s: SparkSession): Unit = synchronized {
     val dead = entries.keys.filter(_._1 eq s).toSeq
-    dead.foreach { k => entries.remove(k).foreach(e => unpersistBacking(e.df)) }
+    dead.foreach { k => entries.remove(k).foreach(unpersistBacking) }
   }
 
   /** Live entry count (test hook). */
   def size: Int = synchronized(entries.size)
 
+  /** The persisted RDDs a cached frame is served from (LogicalRDD —
+    * the localCheckpoint shape). */
+  private def backingRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    try df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    } catch { case NonFatal(_) => Nil }
+
   /** All partitions of the cached frame still servable? The frames
     * here are lineage-truncated (localCheckpoint), so a lost block is
-    * unrecoverable in place — the count() surfaces that NOW, at serve
-    * time, instead of deep inside a composed query's action. */
-  private def alive(df: DataFrame): Boolean =
-    try { df.count(); true } catch { case NonFatal(_) => false }
+    * unrecoverable in place — surface that NOW, at serve time, instead
+    * of deep inside a composed query's action. The probe reads the
+    * driver's block-inventory metadata (getRDDStorageInfo): every
+    * backing RDD must report one live block per partition. No job
+    * runs, so the probe stays O(#cached RDDs) metadata however large
+    * the frame — a frame with NO LogicalRDD backing (not the memo
+    * sites' shape) falls back to a real count(). */
+  private def alive(s: SparkSession, df: DataFrame): Boolean =
+    backingRdds(df) match {
+      case Seq() =>
+        try { df.count(); true } catch { case NonFatal(_) => false }
+      case rdds =>
+        try {
+          val info = s.sparkContext.getRDDStorageInfo
+          rdds.forall(r => info.find(_.id == r.id)
+            .exists(_.numCachedPartitions == r.getNumPartitions))
+        } catch { case NonFatal(_) => false }
+    }
 
   /** Free the checkpoint blocks behind a materialized frame, if its
     * plan exposes them (LogicalRDD — the localCheckpoint shape). */
   private def unpersistBacking(df: DataFrame): Unit =
-    try {
-      df.queryExecution.analyzed.foreach {
-        case l: org.apache.spark.sql.execution.LogicalRDD =>
-          l.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    } catch { case NonFatal(_) => () }
+    backingRdds(df).foreach { r =>
+      try r.unpersist(blocking = false)
+      catch { case NonFatal(_) => () }
+    }
 
   private def registerCleanup(s: SparkSession): Unit =
     if (listened.add(s)) {

@@ -70,16 +70,31 @@ object Relational {
     }
     if (s.customSchema.nonEmpty) r = r.option("customSchema", s.customSchema)
     val df = r.load()
-    if (s.decimalNormalize.isEmpty) df
-    else {
+    if (s.decimalNormalize.isEmpty) {
+      // a col list without a target type is a config contradiction —
+      // silently ignoring it would discard the user's stated intent
+      require(s.decimalNormalizeCols.isEmpty,
+        "decimalNormalizeCols requires decimalNormalize ('bigint' or " +
+          s"'double'); got cols ${s.decimalNormalizeCols.mkString(", ")} " +
+          "with no target type")
+      df
+    } else {
       require(Set("bigint", "double").contains(s.decimalNormalize),
         s"decimalNormalize must be '', 'bigint' or 'double': ${s.decimalNormalize}")
       import org.apache.spark.sql.functions.{col, concat_ws, lit, raise_error, when}
       val wanted = s.decimalNormalizeCols.map(_.toLowerCase).toSet
-      val unknown = wanted --
-        df.schema.fields.map(_.name.toLowerCase).toSet
+      val byName = df.schema.fields.map(f => f.name.toLowerCase -> f).toMap
+      val unknown = wanted -- byName.keySet
       require(unknown.isEmpty,
         s"decimalNormalizeCols not in the scan: ${unknown.mkString(", ")}")
+      // a named column that is not DecimalType would normalize nothing
+      // — the user asked for it explicitly (e.g. customSchema already
+      // mapped it to DOUBLE), so refuse instead of silently no-opping
+      val notDecimal = wanted.filterNot(n => byName(n).dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType])
+      require(notDecimal.isEmpty,
+        "decimalNormalizeCols must name DECIMAL columns as scanned " +
+          s"(already non-decimal: ${notDecimal.toSeq.sorted.mkString(", ")})")
       df.select(df.schema.fields.map { f =>
         f.dataType match {
           case _: org.apache.spark.sql.types.DecimalType

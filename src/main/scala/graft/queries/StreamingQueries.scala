@@ -95,14 +95,7 @@ object StreamingQueries {
     // plan: equi join on user_id with the time predicates as residual —
     // a hash/merge join, never a time-cross-product (per-user event
     // counts bound the residual scan). ----
-    QueryDef("q_stream_attribution_batch", Some(
-      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
-        |  s.user_id AS user_id,
-        |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
-        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
-        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON p.user_id = s.user_id
-        | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin))(
+    QueryDef("q_stream_attribution_batch", Some(attributionSql))(
       (s, d) => {
         val ev = Tables(s, d, "events")
         EventStream.attribution(
@@ -113,20 +106,45 @@ object StreamingQueries {
     // Left-outer variant: unconverted signups keep a null purchase row —
     // same shared function as the streaming outer join (which holds the
     // signup in bounded state until both watermarks pass its interval).
-    QueryDef("q_stream_attribution_outer_batch", Some(
-      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
-        |  s.user_id AS user_id,
-        |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
-        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
-        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON p.user_id = s.user_id
-        | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin))(
+    QueryDef("q_stream_attribution_outer_batch", Some(attributionOuterSql))(
       (s, d) => {
         val ev = Tables(s, d, "events")
         EventStream.attributionOuter(
           ev.where(col("event_type") === "signup"),
           ev.where(col("event_type") === "purchase"))
       }),
+
+    // ---- The REAL watermarked stream-stream interval join through
+    // the oracle gate: signups and purchases are staged as two
+    // separate range-partitioned file streams (strictly ascending
+    // modtimes per side, so each side's micro-batches walk event time
+    // monotonically), both sides carry watermarks, and the symmetric
+    // hash join runs under Trigger.AvailableNow with one file per
+    // trigger per source. The global watermark is the MIN across both
+    // inputs (Spark's default multipleWatermarkPolicy), and each
+    // side's files are range-disjoint in ts — so no arriving row is
+    // ever behind the watermark (no late drops) and every buffered
+    // signup stays in state until the purchase watermark provably
+    // passes its 1-hour interval (state eviction = the condition-
+    // derived state watermark, exercised for real by the sentinel
+    // clocks). The parquet sink's rows must hash-equal the batch
+    // interval-join SQL — DuckDB now checks the streaming join's
+    // buffering, matching, AND eviction, not a batch re-expression. ----
+    QueryDef("q_stream_attribution_run", effectful = true,
+      oracle = Some(attributionSql))(
+      (s, d) => attributionRun(s, d, "inner")),
+
+    // ---- Same machinery, LEFT-OUTER: an unconverted signup's null
+    // row is emitted only once BOTH watermarks pass the end of its
+    // interval — which is exactly what the sentinel clock files force
+    // (one clock per side at max(ts)+2h, a second at +4h so the
+    // emission batch after the watermark advance always exists). The
+    // clocks can never join (equal ts fails p.ts > s.ts; the +4h/+2h
+    // cross misses the 1-hour bound) and their own null rows are
+    // dropped by the sentinel-user filter. ----
+    QueryDef("q_stream_attribution_outer_run", effectful = true,
+      oracle = Some(attributionOuterSql))(
+      (s, d) => attributionRun(s, d, "left_outer")),
 
     // ---- The REAL streaming sessionizer through the oracle gate: the
     // fixture is staged as a file-source directory, the
@@ -177,7 +195,7 @@ object StreamingQueries {
     QueryDef("q_keyedlog_replay", effectful = true, oracle = Some(
       """SELECT event_id, user_id, event_type
         |FROM events WHERE event_id % 3 = 0""".stripMargin))(
-      (s, d) => graft.ops.FrameCache.memo(s, s"stream:keyedlog_replay:$d") {
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:keyedlog_replay:${layout(s)}:$d") {
         import graft.sources.KeyedLog
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_klog_").toString
@@ -213,7 +231,7 @@ object StreamingQueries {
     QueryDef("q_stream_cdc_run", effectful = true, oracle = Some(
       QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_apply",
         "q_stream_cdc_run")))(
-      (s, d) => graft.ops.FrameCache.memo(s, s"stream:cdc_run:$d") {
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:cdc_run:${layout(s)}:$d") {
         import org.apache.spark.sql.streaming.Trigger
         import graft.streaming.{CdcStream, ExactlyOnceBatchSink}
         import s.implicits._
@@ -266,7 +284,7 @@ object StreamingQueries {
       """SELECT event_id, user_id,
         |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
         |FROM events WHERE event_type = 'purchase'""".stripMargin))(
-      (s, d) => graft.ops.FrameCache.memo(s, s"stream:exactly_once_run:$d") {
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:exactly_once_run:${layout(s)}:$d") {
         import org.apache.spark.sql.streaming.Trigger
         import graft.streaming.ExactlyOnceBatchSink
         val tmp = java.nio.file.Files
@@ -300,6 +318,30 @@ object StreamingQueries {
       })
   )
 
+  /** The interval-join oracle, shared verbatim by the batch rendering
+    * AND the real streaming run so both surfaces are pinned to one SQL
+    * truth. */
+  // lazy: referenced by `defs` above during object init
+  private lazy val attributionSql: String =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  s.user_id AS user_id,
+      |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = s.user_id
+      | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin
+
+  /** Left-outer twin of [[attributionSql]] (unconverted signups keep a
+    * null purchase row). */
+  private lazy val attributionOuterSql: String =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  s.user_id AS user_id,
+      |  epoch_us(p.ts) - epoch_us(s.ts) AS delay_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = s.user_id
+      | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin
+
   /** The gap-sessionization oracle (lag + cumsum session ids, 30-min
     * idle gap, cent-exact totals) — shared verbatim by BOTH streaming
     * sessionizer runs so the two state-machine APIs are pinned to one
@@ -319,70 +361,180 @@ object StreamingQueries {
       |  sum(floor(value*100 + 0.5))/100.0 AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
-  /** Stage the events fixture as a file stream (time-ranged files +
-    * two watermark-flush sentinels), run the given sessionizer state
-    * machine under Trigger.AvailableNow with one file per micro-batch,
+  /** The session's shuffle-partition layout — carried in every
+    * streaming memo key (same contract as the GraphQueries/
+    * DedupQueries keys): a layout change must rebuild, not serve the
+    * first layout's cached frame. */
+  private def layout(s: org.apache.spark.sql.SparkSession): String =
+    s.conf.get("spark.sql.shuffle.partitions")
+
+  /** Staged sessionize fixture shared by BOTH sessionizer variants:
+    * one range-partitioned copy of events + flush sentinels per
+    * (session, dir), staged on first use and deleted once both
+    * machines have consumed it. A lone variant's staging (bench-only
+    * runs) is reaped by the JVM-exit sweep instead. */
+  private val sessStaging = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (String, scala.collection.mutable.Set[String])]
+  private lazy val exitSweep: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sessStaging.synchronized {
+        sessStaging.values.foreach { case (t, _) => deleteRecursively(t) }
+        sessStaging.clear()
+      }))
+
+  private def withSessionizeStaging(s: org.apache.spark.sql.SparkSession,
+      d: String)(variant: String)(run: String => DataFrame): DataFrame = {
+    val key = (s, d)
+    val tmp = sessStaging.synchronized {
+      exitSweep
+      sessStaging.getOrElseUpdate(key, {
+        import java.nio.file.Files
+        val t = Files.createTempDirectory("graft_sess_fixture_").toString
+        val inDir = s"$t/in"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        // range-partition on ts: file i holds a time range strictly
+        // before file i+1's, so modtime-ordered per-file micro-batches
+        // never present a row behind the ratcheting watermark (the
+        // files' relative order is forced by stageRanged — equal-
+        // modtime listing ties are not contractual in FileStreamSource)
+        stageRanged(ev, inDir, 4, col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        // two watermark-flush sentinels (the first advances the
+        // watermark past every real session's gap; the second makes
+        // the timers set before it fire), staged as strictly-later files
+        stageSentinels(s, inDir, maxTs, "flush")
+        (t, scala.collection.mutable.Set.empty[String])
+      })._1
+    }
+    val out = run(s"$tmp/in")
+    sessStaging.synchronized {
+      sessStaging.get(key).foreach { case (t, used) =>
+        used += variant
+        if (used == Set("fmgws", "tws")) {
+          deleteRecursively(t)
+          sessStaging.remove(key); ()
+        }
+      }
+    }
+    out
+  }
+
+  /** Run the given sessionizer state machine over the shared staged
+    * fixture under Trigger.AvailableNow with one file per micro-batch,
     * and return the sink's sessions (sentinel user dropped). Memoized
-    * per (session, dir, variant) via FrameCache; staging is deleted
-    * once the one-row-per-session output is pinned. */
+    * per (session, dir, variant, layout) via FrameCache; the variant's
+    * out/ckpt dirs are deleted once the one-row-per-session output is
+    * pinned, the shared staging once both variants have run. */
   private def sessionizeRun(s: org.apache.spark.sql.SparkSession,
       d: String, variant: String)(
       machine: org.apache.spark.sql.Dataset[EventStream.Event] =>
         org.apache.spark.sql.Dataset[EventStream.Session]): DataFrame =
-    graft.ops.FrameCache.memo(s, s"stream:sessionize_run:$variant:$d") {
-      import java.nio.file.{Files, Paths}
-      import java.nio.file.attribute.FileTime
+    graft.ops.FrameCache.memo(s,
+        s"stream:sessionize_run:$variant:${layout(s)}:$d") {
+      withSessionizeStaging(s, d)(variant) { inDir =>
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        import s.implicits._
+        val tmp = Files.createTempDirectory(s"graft_sess_${variant}_").toString
+        val events = EventStream
+          .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+          .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+          .as[EventStream.Event]
+        withStatePartitions(s) {
+          val q = machine(events).writeStream
+            .format("parquet").option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000), s"$variant sessionize stream did not finish")
+        }
+        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start_us"),
+            col("session_end_us"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value"))
+          .localCheckpoint(true) // pin rows so the sink dir can go
+        deleteRecursively(tmp)
+        out
+      }
+    }
+
+  /** Stage signups and purchases as two range-partitioned file
+    * streams (+ a clock sentinel pair per side), run the REAL
+    * watermarked stream-stream interval join under
+    * Trigger.AvailableNow, and return the sink's matches (sentinel
+    * user dropped). Memoized per (session, dir, joinKind, layout). */
+  private def attributionRun(s: org.apache.spark.sql.SparkSession,
+      d: String, joinKind: String): DataFrame =
+    graft.ops.FrameCache.memo(s,
+        s"stream:attribution_run:$joinKind:${layout(s)}:$d") {
+      import java.nio.file.Files
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = Files.createTempDirectory(s"graft_sess_${variant}_").toString
-      val inDir = s"$tmp/in"
+      val tmp = Files.createTempDirectory(s"graft_attr_${joinKind}_").toString
       val ev = Tables(s, d, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
-      // range-partition on ts: file i holds a time range strictly
-      // before file i+1's, so modtime-ordered per-file micro-batches
-      // never present a row behind the ratcheting watermark (the
-      // files' relative order is forced by stageRanged — equal-
-      // modtime listing ties are not contractual in FileStreamSource)
-      stageRanged(ev, inDir, 4, col("ts"))
       val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      val base = System.currentTimeMillis()
-      // two watermark-flush sentinels (the first advances the
-      // watermark past every real session's gap; the second makes the
-      // timers set before it fire), staged as strictly-later files
-      Seq((1, 2), (2, 4)).foreach { case (i, hours) =>
-        import s.implicits._
-        val t = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
-        val df = Seq((-i.toLong, t, -1L, "flush", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        val sDir = s"$tmp/sent$i"
-        df.coalesce(1).write.parquet(sDir)
-        val part = new java.io.File(sDir).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = Paths.get(inDir, s"zz_sentinel_$i.parquet")
-        Files.move(part.toPath, dst)
-        Files.setLastModifiedTime(dst, FileTime.fromMillis(base + i * 60000L))
+      def stageSide(name: String, etype: String): DataFrame = {
+        val dir = s"$tmp/$name"
+        stageRanged(ev.where(col("event_type") === etype), dir, 4, col("ts"))
+        // clock sentinels advance THIS side's watermark past every
+        // real interval (outer-join null rows need min(watermarks)
+        // past signup.ts + 1h + delay; inner-join state eviction
+        // needs the same bound)
+        stageSentinels(s, dir, maxTs, etype)
+        EventStream.readEvents(s, dir, Map("maxFilesPerTrigger" -> "1"))
       }
-      import s.implicits._
-      val events = EventStream
-        .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
-        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventStream.Event]
+      val sig = stageSide("signups", "signup")
+      val pur = stageSide("purchases", "purchase")
+      val joined =
+        if (joinKind == "inner") EventStream.attribution(sig, pur)
+        else EventStream.attributionOuter(sig, pur)
       withStatePartitions(s) {
-        val q = machine(events).writeStream
+        val q = joined.writeStream
           .format("parquet").option("path", s"$tmp/out")
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(Trigger.AvailableNow()).start()
-        assert(q.awaitTermination(300000), s"$variant sessionize stream did not finish")
+        assert(q.awaitTermination(300000),
+          s"$joinKind attribution stream did not finish")
       }
       val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
-        .select(col("user_id"), col("session_start_us"),
-          col("session_end_us"),
-          col("n_events").cast("bigint").as("n_events"),
-          col("total_value"))
+        .select(col("signup_id"), col("purchase_id"),
+          col("user_id"), col("delay_us"))
         .localCheckpoint(true) // pin rows so the staging dir can go
       deleteRecursively(tmp)
       out
     }
+
+  /** Append two single-row watermark-clock files (max(ts) + 2h and
+    * + 4h, sentinel user -1) to a staged stream dir, with modtimes
+    * strictly later than every data file's — the first clock advances
+    * the watermark past every real event's horizon, the second
+    * guarantees a micro-batch AFTER that advance in which timers fire
+    * and finalized state (sessions, outer-join nulls) is emitted. */
+  private def stageSentinels(s: org.apache.spark.sql.SparkSession,
+      inDir: String, maxTs: java.sql.Timestamp, eventType: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import s.implicits._
+    val base = System.currentTimeMillis()
+    Seq((1, 2), (2, 4)).foreach { case (i, hours) =>
+      val t = new java.sql.Timestamp(maxTs.getTime + hours * 3600000L)
+      val df = Seq((-i.toLong, t, -1L, eventType, 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val sTmp = Files.createTempDirectory("graft_sentinel_").toString
+      val sDir = s"$sTmp/row"
+      df.coalesce(1).write.parquet(sDir)
+      val part = new java.io.File(sDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = Paths.get(inDir, s"zz_sentinel_$i.parquet")
+      Files.move(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(base + i * 60000L))
+      deleteRecursively(sTmp)
+    }
+  }
 
   /** Run a stateful streaming query at state parallelism sized to the
     * staged fixture instead of the session's batch setting: each

@@ -135,6 +135,20 @@ class JdbcSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](Relational.scanJdbc(spark,
       JdbcScan(url, "acct", driver = driver,
         decimalNormalize = "bigint", decimalNormalizeCols = Seq("nope"))))
+
+    // a column list naming an existing but NON-decimal column (e.g.
+    // customSchema already mapped it to DOUBLE) would silently
+    // normalize nothing — the user's stated intent must not be a no-op
+    intercept[IllegalArgumentException](Relational.scanJdbc(spark,
+      JdbcScan(url, "acct", driver = driver,
+        customSchema = "OBJID DOUBLE",
+        decimalNormalize = "bigint", decimalNormalizeCols = Seq("objid"))))
+
+    // a column list WITHOUT a target type is a config contradiction —
+    // reject instead of silently ignoring the list
+    intercept[IllegalArgumentException](Relational.scanJdbc(spark,
+      JdbcScan(url, "acct", driver = driver,
+        decimalNormalizeCols = Seq("objid"))))
   }
 
   test("JDBC sink round-trip: write back, then scan equals the source") {

@@ -202,7 +202,11 @@ class PlanGuardSpec extends SparkSpecBase {
     val effectful = Catalog.all.filter(_.effectful).map(_.name).toSet
     assert(effectful === Set("q_pipeline_e2e", "q_stream_sessionize_run",
       "q_stream_sessionize_tws_run", "q_keyedlog_replay",
-      "q_stream_cdc_run", "q_stream_exactly_once_run"),
+      "q_stream_cdc_run", "q_stream_exactly_once_run",
+      // the real stream-stream interval joins: running fn stages two
+      // file streams and executes the watermarked join; the unstarted
+      // streaming plan is linted in the attribution-join test below
+      "q_stream_attribution_run", "q_stream_attribution_outer_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
@@ -229,5 +233,67 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(fmgs.nonEmpty, "sessionize no longer uses keyed state")
     assert(fmgs.forall(_.groupingAttributes.nonEmpty),
       "sessionize state is not key-partitioned")
+  }
+
+  test("the transformWithState sessionizer plan is watermarked, keyed state — linted without running") {
+    // q_stream_sessionize_tws_run is effectful (the sweeps skip it) —
+    // lint the unstarted transformWithState plan directly, the same
+    // contract as the flatMapGroupsWithState lint above: an
+    // accidentally dropped withWatermark in sessionizeTws would leave
+    // every session's state live forever (the fixture-scale oracle
+    // cannot detect unbounded state).
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, TransformWithState}
+    import graft.streaming.EventStream
+    import spark.implicits._
+    val events = EventStream
+      .readEvents(spark, s"$sfDir/events.parquet")
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val plan = EventStream.sessionizeTws(events).queryExecution.analyzed
+    assert(plan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "tws sessionize stream lost its watermark — unbounded state at scale")
+    val tws = plan.collect { case t: TransformWithState => t }
+    assert(tws.nonEmpty, "tws sessionize no longer uses keyed state")
+    assert(tws.forall(_.groupingAttributes.nonEmpty),
+      "tws sessionize state is not key-partitioned")
+  }
+
+  test("the streaming attribution join is double-watermarked with a two-sided interval — linted without running") {
+    // q_stream_attribution_run / _outer_run are effectful (the sweeps
+    // skip them) — lint the unstarted stream-stream join plan: BOTH
+    // inputs must carry event-time watermarks AND the join condition
+    // must bound p.ts relative to s.ts from both ends. Without both,
+    // Spark cannot derive a state watermark for one side and that
+    // side's join state grows forever at 100 TB.
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Join}
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.col
+    val ev = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+    Seq(
+      EventStream.attribution(
+        ev.where(col("event_type") === "signup"),
+        ev.where(col("event_type") === "purchase")),
+      EventStream.attributionOuter(
+        ev.where(col("event_type") === "signup"),
+        ev.where(col("event_type") === "purchase"))
+    ).foreach { joined =>
+      val plan = joined.queryExecution.analyzed
+      assert(plan.collect { case w: EventTimeWatermark => w }.size == 2,
+        "both interval-join inputs must carry an event-time watermark")
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "attribution no longer plans a join")
+      val j = joins.head
+      val leftTs = j.left.output.filter(_.name == "ts").map(_.exprId).toSet
+      val rightTs = j.right.output.filter(_.name == "ts").map(_.exprId).toSet
+      val twoSided = j.condition.toSeq.flatMap(_.collect {
+        case b: BinaryComparison
+            if b.references.exists(a => leftTs.contains(a.exprId)) &&
+              b.references.exists(a => rightTs.contains(a.exprId)) => b
+      })
+      assert(twoSided.size >= 2,
+        "the join condition must bound p.ts against s.ts from BOTH ends " +
+          "(state-cleanup condition) — found: " + twoSided.mkString(", "))
+    }
   }
 }
