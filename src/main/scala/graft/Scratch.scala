@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract).
-  * Currently holding: q_dedup_edit_distance stage isolation at sf0.1 —
-  * candidate generation vs banded-levenshtein verify. */
+  * Currently holding: the round-13 constant-factor audit of the
+  * mid-tier agg entries (q_agg_decile_bounds, q_basket_pairs,
+  * q_agg_mad) — per-query timing plus exchange/sort census of the
+  * executed plan, to see whether the two-pass median/histogram shapes
+  * pay an avoidable extra shuffle. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -15,38 +17,113 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-
-    def time[T](label: String)(f: => T): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    import graft.ops.TextOps.tokens
-    for (round <- 1 to 3) {
-      val b = Tables(spark, d, "documents")
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
-        .select(col("doc_id"), col("text"),
-          md5(concat_ws(" ", array_sort(array_distinct(col("w"))))).as("h"))
-        .persist()
-      time(s"r$round build b (tokenize+sort+md5)")(noop(b))
-      val joined = b.alias("a").join(b.alias("c"),
-        col("a.h") === col("c.h") && col("a.doc_id") < col("c.doc_id"))
-      time(s"r$round join only (no lev)")(noop(
-        joined.select(col("a.doc_id"), col("c.doc_id"))))
-      time(s"r$round join + lev64")(noop(
-        joined.select(col("a.doc_id"), col("c.doc_id"),
-          levenshtein(col("a.text"), col("c.text"), 64).as("ed"))))
-      time(s"r$round join + pair-repart + lev64")(noop(
-        joined.select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-            col("a.text").as("ta"), col("c.text").as("tb"))
-          .repartition(col("doc_a"), col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            levenshtein(col("ta"), col("tb"), 64).as("ed"))))
-      b.unpersist()
+    if (args.headOption.contains("streamprofile")) {
+      // per-micro-batch cost breakdown for the real streaming runs:
+      // where does the wall-clock sit — state-store commits, the
+      // batch's own work (addBatch), or scheduling/offset bookkeeping?
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            val dm = p.durationMs
+            def ms(k: String) = Option(dm.get(k)).map(_.longValue).getOrElse(-1L)
+            val st = p.stateOperators.toSeq.map(so =>
+              s"commit=${so.commitTimeMs}ms rows=${so.numRowsTotal}").mkString("; ")
+            println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"trigger=${ms("triggerExecution")} addBatch=${ms("addBatch")} " +
+              s"getBatch=${ms("getBatch")} latestOffset=${ms("latestOffset")} " +
+              s"walCommit=${ms("walCommit")} commitOffsets=${ms("commitOffsets")} " +
+              s"queryPlanning=${ms("queryPlanning")} state[$st]")
+          }
+        })
+      args.drop(1).foreach { name =>
+        val t0 = System.nanoTime()
+        noop(Catalog.byName(name).fn(spark, d))
+        println(f"[scratch] $name total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("stageprobe")) {
+      // where does the NON-trigger time of a streaming run go? time
+      // each staging step the run pays before the stream starts
+      import org.apache.spark.sql.functions._
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      val ev = Tables(spark, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_probe_").toString
+      time("stageRanged (repartitionByRange 4 + write)")(
+        ev.repartitionByRange(4, col("ts")).write.parquet(s"$tmp/in"))
+      val maxTs = time("maxTs agg")(ev.agg(max(col("ts"))).head.getTimestamp(0))
+      time("2 sentinel writes") {
+        (1 to 2).foreach { i =>
+          import spark.implicits._
+          val t = new java.sql.Timestamp(maxTs.getTime + i * 3600000L)
+          Seq((-i.toLong, t, -1L, "flush", 0.0, ""))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.parquet(s"$tmp/s$i")
+        }
+      }
+      time("read back + filter + localCheckpoint")(
+        spark.read.parquet(s"$tmp/in").where(col("user_id") =!= -1L)
+          .localCheckpoint(true))
+      spark.stop(); return
+    }
+
+    val names = args.toSeq match {
+      case Seq() => Seq("q_agg_decile_bounds", "q_basket_pairs", "q_agg_mad")
+      case more => more
+    }
+
+    names.foreach { name =>
+      val q = Catalog.byName(name)
+      (1 to 3).foreach { r =>
+        val t0 = System.nanoTime()
+        noop(q.fn(spark, d))
+        println(f"[scratch] $name r$r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        spark.catalog.clearCache()
+        graft.ops.FrameCache.clear(spark)
+      }
+      val df = q.fn(spark, d)
+      noop(df) // AQE-final plan
+      val plan = df.queryExecution.executedPlan
+      def census(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case qse: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(qse.plan)
+          case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            Seq(i.relation.cachedPlan)
+          case other => other.children
+        }
+        val here = p match {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            Seq(s"Exchange(${e.outputPartitioning})")
+          case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+            Seq("BroadcastExchange")
+          case so: org.apache.spark.sql.execution.SortExec =>
+            Seq(s"Sort(global=${so.global})")
+          case _: org.apache.spark.sql.execution.window.WindowExec => Seq("Window")
+          case _ => Nil
+        }
+        here ++ kids.flatMap(census)
+      }
+      println(s"[scratch] $name census: " + census(plan).groupBy(identity)
+        .map { case (k, v) => s"$k x${v.size}" }.toSeq.sorted.mkString(", "))
       spark.catalog.clearCache()
     }
     spark.stop()

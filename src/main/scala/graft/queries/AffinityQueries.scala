@@ -42,14 +42,15 @@ object AffinityQueries {
         |  CROSS JOIN n
         |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin))(
       (s, d) => {
-        // pre-partition the distinct items on the basket key: the pair
-        // self-join then reads BOTH sides from the same persisted
-        // partitioning (no exchange at the join) — the distinct itself
-        // already paid a (o, p) shuffle, so this adds one narrow
-        // re-key, not a second full pass
+        // ONE shuffle on the basket key does double duty: partitioning
+        // by o satisfies the (o, p) dedup's clustering requirement (o
+        // is a subset of the grouping keys), so the distinct runs
+        // in-place on the re-keyed partitions with no second exchange,
+        // and the pair self-join then reads BOTH sides from the same
+        // persisted o-partitioning (no exchange at the join either)
         val items = Tables(s, d, "lineitem")
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct().repartition(col("o"))
+          .repartition(col("o")).dropDuplicates("o", "p")
           .persist() // pair self-join + supports + basket count
         val supp = items.groupBy(col("p")).agg(count(lit(1)).as("s"))
         val nBaskets = items.select(col("o")).distinct().count()

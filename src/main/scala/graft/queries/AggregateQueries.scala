@@ -37,13 +37,22 @@ object AggregateQueries {
     val wLoc = Window.partitionBy(col("rf"), col("shard")).orderBy(col("cents"))
     val h = c.groupBy(col("rf"), col("cents")).agg(count(lit(1)).as("cnt"))
       .withColumn("shard", expr("cents DIV 65536"))
-    // both branches hang off the SAME histogram aggregate — Spark's
-    // ReuseExchange computes that shuffle once
     val local = h.withColumn("lcum", sum(col("cnt")).over(wLoc))
     val wSh = Window.partitionBy(col("rf")).orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col("rf"))
-    val offs = h.groupBy(col("rf"), col("shard")).agg(sum(col("cnt")).as("tot"))
+    // per-shard totals straight from the SOURCE at (group, shard)
+    // grain: the partial aggregate collapses map-side to
+    // |groups × shards| rows, so this branch's shuffle is a few
+    // hundred rows however big the corpus. The round-12 shape
+    // re-aggregated the (group, value) histogram here instead, and
+    // exchange reuse does NOT dedupe the two branches in practice
+    // (measured: two full source scans AND two full histogram
+    // shuffles at sf0.1) — deriving the offsets at shard grain keeps
+    // the second scan (pruned, cheap) but deletes the duplicated
+    // full-histogram exchange without caching anything
+    val offs = c.withColumn("shard", expr("cents DIV 65536"))
+      .groupBy(col("rf"), col("shard")).agg(count(lit(1)).as("tot"))
       .withColumn("off", coalesce(sum(col("tot")).over(wSh), lit(0L)))
       .withColumn("n", sum(col("tot")).over(wAll))
       .select(col("rf"), col("shard"), col("off"), col("n"))
@@ -1191,7 +1200,11 @@ object AggregateQueries {
               min(when(lit(2) * col("cum") >= col("tot"), col(vc)))
                 .as("m"))
         }
-        val med = medianOf(t, "cents")
+        // pin the 5-row median table: it is joined twice (building the
+        // deviations AND decorating the final output) and broadcast
+        // subtree reuse does not fire across the two joins — without
+        // the pin the whole first median pass runs twice (measured)
+        val med = medianOf(t, "cents").persist()
         val dev = t.join(broadcast(med), "pri")
           .select(col("pri"), abs(col("cents") - col("m")).as("dev"))
         medianOf(dev, "dev").as("m2")

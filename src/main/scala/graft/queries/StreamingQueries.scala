@@ -119,8 +119,11 @@ object StreamingQueries {
     // separate range-partitioned file streams (strictly ascending
     // modtimes per side, so each side's micro-batches walk event time
     // monotonically), both sides carry watermarks, and the symmetric
-    // hash join runs under Trigger.AvailableNow with one file per
-    // trigger per source. The global watermark is the MIN across both
+    // hash join runs under Trigger.AvailableNow with two range-
+    // disjoint files per trigger per source (the stream-stream join
+    // materializes FOUR state stores per partition per batch, so batch
+    // count is the dominant fixed cost — the round-13 streaming-floor
+    // profile). The global watermark is the MIN across both
     // inputs (Spark's default multipleWatermarkPolicy), and each
     // side's files are range-disjoint in ts — so no arriving row is
     // ever behind the watermark (no late drops) and every buffered
@@ -149,9 +152,11 @@ object StreamingQueries {
     // ---- The REAL streaming sessionizer through the oracle gate: the
     // fixture is staged as a file-source directory, the
     // flatMapGroupsWithState query runs under Trigger.AvailableNow with
-    // maxFilesPerTrigger=1 (each file its own micro-batch, so the
-    // watermark ratchets file by file exactly as a live stream's
-    // would), and two later-modtime sentinel files advance the
+    // maxFilesPerTrigger=2 (the files are range-disjoint in ts, so a
+    // two-file micro-batch still ratchets the watermark monotonically
+    // exactly as a live stream's would, at half the per-batch
+    // state-commit/bookkeeping overhead — the round-13 streaming-floor
+    // profile), and two later-modtime sentinel files advance the
     // watermark past every real session's idle gap — the same
     // two-step flush the StreamingSpec restart tests use. The parquet
     // sink's rows, minus the sentinel user, must equal the lag+cumsum
@@ -243,7 +248,7 @@ object StreamingQueries {
         // live ordering; LWW must ALSO absorb replays, proven below
         stageRanged(log, inDir, 4, col("seq"), col("k"))
         val stream = s.readStream.schema(log.schema)
-          .option("maxFilesPerTrigger", "1").parquet(inDir)
+          .option("maxFilesPerTrigger", "2").parquet(inDir)
           .as[CdcStream.CdcRecord]
         val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
         withStatePartitions(s) {
@@ -297,7 +302,7 @@ object StreamingQueries {
         val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
         def runOnce(ckpt: String): Unit = {
           val q = EventStream
-            .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+            .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "2"))
             .where(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"),
               floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
@@ -368,54 +373,44 @@ object StreamingQueries {
   private def layout(s: org.apache.spark.sql.SparkSession): String =
     s.conf.get("spark.sql.shuffle.partitions")
 
-  /** Staged sessionize fixture shared by BOTH sessionizer variants:
-    * one range-partitioned copy of events + flush sentinels per
-    * (session, dir), staged on first use and deleted once both
-    * machines have consumed it. A lone variant's staging (bench-only
-    * runs) is reaped by the JVM-exit sweep instead. */
-  private val sessStaging = scala.collection.mutable.Map
+  /** Fixture stagings shared across catalog entries: one staged copy
+    * per (session, staging key), built on first use and deleted once
+    * every variant in the consumer set has run over it — staging a
+    * stream fixture costs a range shuffle + write (~the cost of one
+    * micro-batch round at fixture scale), so entries that read the
+    * SAME staged bytes (the two sessionizer APIs; the inner and outer
+    * interval joins) must not pay it twice. A partially-consumed
+    * staging (single-entry bench runs) is reaped at JVM exit. */
+  private val stagings = scala.collection.mutable.Map
     .empty[(org.apache.spark.sql.SparkSession, String),
       (String, scala.collection.mutable.Set[String])]
   private lazy val exitSweep: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sessStaging.synchronized {
-        sessStaging.values.foreach { case (t, _) => deleteRecursively(t) }
-        sessStaging.clear()
+      stagings.synchronized {
+        stagings.values.foreach { case (t, _) => deleteRecursively(t) }
+        stagings.clear()
       }))
 
-  private def withSessionizeStaging(s: org.apache.spark.sql.SparkSession,
-      d: String)(variant: String)(run: String => DataFrame): DataFrame = {
-    val key = (s, d)
-    val tmp = sessStaging.synchronized {
+  private def withSharedStaging(s: org.apache.spark.sql.SparkSession,
+      stagingKey: String, variant: String, allVariants: Set[String])(
+      stage: String => Unit)(run: String => DataFrame): DataFrame = {
+    val key = (s, stagingKey)
+    val tmp = stagings.synchronized {
       exitSweep
-      sessStaging.getOrElseUpdate(key, {
-        import java.nio.file.Files
-        val t = Files.createTempDirectory("graft_sess_fixture_").toString
-        val inDir = s"$t/in"
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        // range-partition on ts: file i holds a time range strictly
-        // before file i+1's, so modtime-ordered per-file micro-batches
-        // never present a row behind the ratcheting watermark (the
-        // files' relative order is forced by stageRanged — equal-
-        // modtime listing ties are not contractual in FileStreamSource)
-        stageRanged(ev, inDir, 4, col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        // two watermark-flush sentinels (the first advances the
-        // watermark past every real session's gap; the second makes
-        // the timers set before it fire), staged as strictly-later files
-        stageSentinels(s, inDir, maxTs, "flush")
+      stagings.getOrElseUpdate(key, {
+        val t = java.nio.file.Files
+          .createTempDirectory("graft_staging_").toString
+        stage(t)
         (t, scala.collection.mutable.Set.empty[String])
       })._1
     }
-    val out = run(s"$tmp/in")
-    sessStaging.synchronized {
-      sessStaging.get(key).foreach { case (t, used) =>
+    val out = run(tmp)
+    stagings.synchronized {
+      stagings.get(key).foreach { case (t, used) =>
         used += variant
-        if (used == Set("fmgws", "tws")) {
+        if (used == allVariants) {
           deleteRecursively(t)
-          sessStaging.remove(key); ()
+          stagings.remove(key); ()
         }
       }
     }
@@ -434,13 +429,30 @@ object StreamingQueries {
         org.apache.spark.sql.Dataset[EventStream.Session]): DataFrame =
     graft.ops.FrameCache.memo(s,
         s"stream:sessionize_run:$variant:${layout(s)}:$d") {
-      withSessionizeStaging(s, d)(variant) { inDir =>
+      withSharedStaging(s, s"sess:$d", variant, Set("fmgws", "tws")) { t =>
+        val inDir = s"$t/in"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        // range-partition on ts: file i holds a time range strictly
+        // before file i+1's, so modtime-ordered micro-batches never
+        // present a row behind the ratcheting watermark (the files'
+        // relative order is forced by stageRanged — equal-modtime
+        // listing ties are not contractual in FileStreamSource)
+        stageRanged(ev, inDir, 4, col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        // two watermark-flush sentinels (the first advances the
+        // watermark past every real session's gap; the second makes
+        // the timers set before it fire), staged as strictly-later files
+        stageSentinels(s, inDir, maxTs, "flush")
+      } { staged =>
+        val inDir = s"$staged/in"
         import java.nio.file.Files
         import org.apache.spark.sql.streaming.Trigger
         import s.implicits._
         val tmp = Files.createTempDirectory(s"graft_sess_${variant}_").toString
         val events = EventStream
-          .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "1"))
+          .readEvents(s, inDir, Map("maxFilesPerTrigger" -> "2"))
           .selectExpr("event_id", "ts", "user_id", "event_type", "value")
           .as[EventStream.Event]
         withStatePartitions(s) {
@@ -472,40 +484,49 @@ object StreamingQueries {
         s"stream:attribution_run:$joinKind:${layout(s)}:$d") {
       import java.nio.file.Files
       import org.apache.spark.sql.streaming.Trigger
-      val tmp = Files.createTempDirectory(s"graft_attr_${joinKind}_").toString
-      val ev = Tables(s, d, "events")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-      val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-      def stageSide(name: String, etype: String): DataFrame = {
-        val dir = s"$tmp/$name"
-        stageRanged(ev.where(col("event_type") === etype), dir, 4, col("ts"))
-        // clock sentinels advance THIS side's watermark past every
-        // real interval (outer-join null rows need min(watermarks)
-        // past signup.ts + 1h + delay; inner-join state eviction
-        // needs the same bound)
-        stageSentinels(s, dir, maxTs, etype)
-        EventStream.readEvents(s, dir, Map("maxFilesPerTrigger" -> "1"))
+      withSharedStaging(s, s"attr:$d", joinKind,
+          Set("inner", "left_outer")) { t =>
+        // the staged bytes are identical for the inner and outer
+        // variants — one staging serves both
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        Seq("signup" -> "signups", "purchase" -> "purchases").foreach {
+          case (etype, name) =>
+            val dir = s"$t/$name"
+            stageRanged(ev.where(col("event_type") === etype), dir, 4,
+              col("ts"))
+            // clock sentinels advance THIS side's watermark past every
+            // real interval (outer-join null rows need min(watermarks)
+            // past signup.ts + 1h + delay; inner-join state eviction
+            // needs the same bound)
+            stageSentinels(s, dir, maxTs, etype)
+        }
+      } { staged =>
+        val tmp = Files.createTempDirectory(s"graft_attr_${joinKind}_").toString
+        def side(name: String): DataFrame = EventStream
+          .readEvents(s, s"$staged/$name", Map("maxFilesPerTrigger" -> "2"))
+        val sig = side("signups")
+        val pur = side("purchases")
+        val joined =
+          if (joinKind == "inner") EventStream.attribution(sig, pur)
+          else EventStream.attributionOuter(sig, pur)
+        withStatePartitions(s) {
+          val q = joined.writeStream
+            .format("parquet").option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000),
+            s"$joinKind attribution stream did not finish")
+        }
+        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+          .select(col("signup_id"), col("purchase_id"),
+            col("user_id"), col("delay_us"))
+          .localCheckpoint(true) // pin rows so the sink dir can go
+        deleteRecursively(tmp)
+        out
       }
-      val sig = stageSide("signups", "signup")
-      val pur = stageSide("purchases", "purchase")
-      val joined =
-        if (joinKind == "inner") EventStream.attribution(sig, pur)
-        else EventStream.attributionOuter(sig, pur)
-      withStatePartitions(s) {
-        val q = joined.writeStream
-          .format("parquet").option("path", s"$tmp/out")
-          .option("checkpointLocation", s"$tmp/ckpt")
-          .trigger(Trigger.AvailableNow()).start()
-        assert(q.awaitTermination(300000),
-          s"$joinKind attribution stream did not finish")
-      }
-      val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
-        .select(col("signup_id"), col("purchase_id"),
-          col("user_id"), col("delay_us"))
-        .localCheckpoint(true) // pin rows so the staging dir can go
-      deleteRecursively(tmp)
-      out
     }
 
   /** Append two single-row watermark-clock files (max(ts) + 2h and
