@@ -38,7 +38,15 @@ class DeterminismSpec extends SparkSpecBase {
     "q_multimodal_phash",    // banded fingerprint self-join build order
     "q_corpus_epoch_shuffle", // two-phase sharded rank offsets under layouts
     "q_text_kn_bigram",      // broadcast continuation-count joins
-    "q_join_skew_salted")    // salted hot lane ∪ cold lane merge order
+    "q_join_skew_salted",    // salted hot lane ∪ cold lane merge order
+    // the REAL streaming runs: each layout must REBUILD (their
+    // FrameCache keys carry spark.sql.shuffle.partitions — without
+    // that this test would serve the first layout's memoized frame
+    // and vacuously compare it to itself), and the state machines'
+    // emissions must not depend on the session layout
+    "q_stream_sessionize_run", // fmgws state machine + staged replay
+    "q_stream_cdc_run",        // LWW transformWithState + commit protocol
+    "q_stream_attribution_run") // watermarked stream-stream interval join
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)
