@@ -37,6 +37,7 @@ object Scratch {
             val st = p.stateOperators.toSeq.map(so =>
               s"commit=${so.commitTimeMs}ms rows=${so.numRowsTotal}").mkString("; ")
             println(s"[stream] batch=${p.batchId} rows=${p.numInputRows} " +
+              s"out=${p.sink.numOutputRows} wm=${p.eventTime.get("watermark")} " +
               s"trigger=${ms("triggerExecution")} addBatch=${ms("addBatch")} " +
               s"getBatch=${ms("getBatch")} latestOffset=${ms("latestOffset")} " +
               s"walCommit=${ms("walCommit")} commitOffsets=${ms("commitOffsets")} " +
@@ -48,6 +49,23 @@ object Scratch {
         noop(Catalog.byName(name).fn(spark, d))
         println(f"[scratch] $name total: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("windbg")) {
+      import org.apache.spark.sql.functions._
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.001")
+      val got = Catalog.byName("q_stream_window_run").fn(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = Catalog.byName("q_stream_window_batch").fn(spark, sf)
+        .select(col("window_start_us"), col("event_type"),
+          col("n_events").cast("bigint"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      println(s"[windbg] missing from stream: ${(want -- got).toSeq.sortBy(_._1)}")
+      println(s"[windbg] extra in stream:    ${(got -- want).toSeq.sortBy(_._1)}")
+      val maxTs = Tables(spark, sf, "events").agg(max(unix_micros(col("ts"))))
+        .head.getLong(0)
+      println(s"[windbg] max event us: $maxTs")
       spark.stop(); return
     }
 

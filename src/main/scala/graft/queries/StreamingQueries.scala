@@ -15,11 +15,7 @@ import org.apache.spark.sql.expressions.Window
 object StreamingQueries {
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q_stream_window_batch", Some(
-      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
-        |  event_type, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin), headline = true)(
+    QueryDef("q_stream_window_batch", Some(windowSql), headline = true)(
       (s, d) =>
         EventStream.windowedAgg(Tables(s, d, "events"))
           .drop("approx_users")), // sketch values are engine-specific
@@ -188,6 +184,153 @@ object StreamingQueries {
       sessionizeRunSql))(
       (s, d) => sessionizeRun(s, d, "tws")(EventStream.sessionizeTws(_))),
 
+    // ---- The REAL streaming tumbling-window aggregation through the
+    // oracle gate (the windowed agg was previously gated only as its
+    // batch rendering): the shared staged fixture replays under
+    // Trigger.AvailableNow, the watermarked window-agg holds each
+    // (window, type) group in state and emits it in append mode only
+    // once the watermark passes the window end — the flush sentinels
+    // force that for the final hour, and the no-data batch drains the
+    // rest. Sentinel groups (event_type 'flush') are filtered AFTER
+    // the aggregate so the sentinels' event time still ratchets the
+    // watermark. DuckDB now hashes the state machine's actual
+    // emissions — late-binding, eviction, finalization — against the
+    // same SQL as the batch twin. ----
+    QueryDef("q_stream_window_run", effectful = true,
+      oracle = Some(windowSql))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:window_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        withSharedStaging(s, s"sess:$d", "window", sessConsumers)(
+            stageSessionFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_window_run_").toString
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            // NO in-stream sentinel filter: a predicate on the group
+            // key pushes through the aggregate AND the watermark node
+            // down to the scan, silently removing the flush sentinels
+            // before they can ratchet the watermark (measured: the
+            // final window per type never flushed) — sentinel groups
+            // are dropped AFTER the sink instead, like every other run
+            val q = EventStream.windowedAgg(stream)
+              .drop("approx_users") // sketch values are engine-specific
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000), "window stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("event_type") =!= "flush")
+            .select(col("window_start_us"), col("event_type"),
+              col("n_events").cast("bigint").as("n_events"),
+              col("total_value"))
+            .localCheckpoint(true) // pin rows so the sink dir can go
+          deleteRecursively(tmp)
+          out
+        }
+      }),
+
+    // ---- Bounded-state keyed dedup under REAL duplicate delivery:
+    // the fixture is staged with EVERY ROW TWICE (the worst-case
+    // at-least-once source, both copies inside the duplicate's
+    // watermark horizon since they share a ts), and
+    // dropDuplicatesWithinWatermark must emit each event exactly once
+    // while the watermark evicts old keys behind it. A missing or
+    // broken dedup doubles every row and fails the DuckDB hash; the
+    // oracle is the PLAIN events projection (event_id is unique in
+    // the fixture — pinned by the constraint suite). ----
+    QueryDef("q_stream_dedupe_run", effectful = true, oracle = Some(
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
+        |FROM events""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:dedupe_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = Files.createTempDirectory("graft_dedupe_run_").toString
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        // both copies of a row carry the same ts, so range staging
+        // lands them in the same file — in-horizon duplicates, the
+        // case the operator exists for (a copy delivered after the
+        // watermark passed would be dropped as late, not deduped)
+        stageRanged(ev.union(ev), s"$tmp/in", 4, col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        stageSentinels(s, s"$tmp/in", maxTs, "flush")
+        val stream = EventStream.readEvents(s, s"$tmp/in",
+          Map("maxFilesPerTrigger" -> "2"))
+        withStatePartitions(s) {
+          // sentinel filter stays POST-SINK (same pushdown hazard as
+          // the window run: an in-stream event_type predicate lands
+          // below the watermark node and the sentinels never advance
+          // it — here that would silently skip the eviction exercise)
+          val q = EventStream.dedupeWithinWatermark(stream)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+            .writeStream
+            .format("parquet").option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000), "dedupe stream did not finish")
+        }
+        val out = s.read.parquet(s"$tmp/out")
+          .where(col("event_type") =!= "flush")
+          .localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- The update-mode transitions processor through the oracle
+    // gate: one Transition row per input event, emitted EXACTLY ONCE
+    // with the per-user previous type carried across micro-batches in
+    // ValueState. Update-mode output cannot land in a file sink, so
+    // the emissions flow through ExactlyOnceBatchSink's foreachBatch
+    // (the same commit protocol the CDC run proves); aggregating them
+    // by (prev, next) must reproduce the batch Markov matrix — a
+    // double emission, a lost carry, or cross-batch misordering each
+    // breaks the count or the '<start>' rows. Shares the staged
+    // fixture; the sentinel user's transitions are dropped. ----
+    QueryDef("q_stream_transitions_run", effectful = true, oracle = Some(
+      QueryDef.requireOracle(EventAnalyticsQueries.defs,
+        "q_events_transitions", "q_stream_transitions_run")))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:transitions_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.ExactlyOnceBatchSink
+        import s.implicits._
+        withSharedStaging(s, s"sess:$d", "transitions", sessConsumers)(
+            stageSessionFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_trans_run_").toString
+          val events = EventStream
+            .readEvents(s, s"$staged/in", Map("maxFilesPerTrigger" -> "2"))
+            .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+            .as[EventStream.Event]
+          val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+          withStatePartitions(s) {
+            val q = EventStream.transitions(events).toDF().writeStream
+              .outputMode("update")
+              .foreachBatch(sink.foreachBatchFn)
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "transitions stream did not finish")
+          }
+          val out = sink.read(s)
+            .where(col("user_id") =!= -1L) // the flush sentinels' own rows
+            .groupBy(col("prev_type"), col("next_type"))
+            .agg(count(lit(1)).as("n_transitions"),
+              countDistinct(col("user_id")).as("n_users"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
+        }
+      }),
+
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
     // two batches; the consumer seeks to the end offsets committed
@@ -323,6 +466,16 @@ object StreamingQueries {
       })
   )
 
+  /** The tumbling-window oracle (epoch-floor window starts, decimal-
+    * exact totals), shared verbatim by the batch rendering AND the
+    * real streaming run. */
+  // lazy: referenced by `defs` above during object init
+  private lazy val windowSql: String =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** The interval-join oracle, shared verbatim by the batch rendering
     * AND the real streaming run so both surfaces are pinned to one SQL
     * truth. */
@@ -391,6 +544,32 @@ object StreamingQueries {
         stagings.clear()
       }))
 
+  /** Consumers of the shared events-fixture staging (range files +
+    * flush sentinels): the two sessionizer state machines, the
+    * windowed-agg run, and the transitions run all read the same
+    * staged bytes — the staging is deleted once all four have run. */
+  private val sessConsumers = Set("fmgws", "tws", "window", "transitions")
+
+  /** Stage the events fixture for the [[sessConsumers]] runs under
+    * `t/in`: range-partitioned on ts (file i holds a time range
+    * strictly before file i+1's, so modtime-ordered micro-batches
+    * never present a row behind the ratcheting watermark — the files'
+    * relative order is forced by stageRanged; equal-modtime listing
+    * ties are not contractual in FileStreamSource), plus two
+    * watermark-flush sentinels (the first advances the watermark past
+    * every real session/window's horizon; the second makes the timers
+    * set before it fire). */
+  private def stageSessionFixture(s: org.apache.spark.sql.SparkSession,
+      d: String)(t: String): Unit = {
+    val inDir = s"$t/in"
+    val ev = Tables(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    stageRanged(ev, inDir, 4, col("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    stageSentinels(s, inDir, maxTs, "flush")
+  }
+
   private def withSharedStaging(s: org.apache.spark.sql.SparkSession,
       stagingKey: String, variant: String, allVariants: Set[String])(
       stage: String => Unit)(run: String => DataFrame): DataFrame = {
@@ -429,23 +608,8 @@ object StreamingQueries {
         org.apache.spark.sql.Dataset[EventStream.Session]): DataFrame =
     graft.ops.FrameCache.memo(s,
         s"stream:sessionize_run:$variant:${layout(s)}:$d") {
-      withSharedStaging(s, s"sess:$d", variant, Set("fmgws", "tws")) { t =>
-        val inDir = s"$t/in"
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        // range-partition on ts: file i holds a time range strictly
-        // before file i+1's, so modtime-ordered micro-batches never
-        // present a row behind the ratcheting watermark (the files'
-        // relative order is forced by stageRanged — equal-modtime
-        // listing ties are not contractual in FileStreamSource)
-        stageRanged(ev, inDir, 4, col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        // two watermark-flush sentinels (the first advances the
-        // watermark past every real session's gap; the second makes
-        // the timers set before it fire), staged as strictly-later files
-        stageSentinels(s, inDir, maxTs, "flush")
-      } { staged =>
+      withSharedStaging(s, s"sess:$d", variant, sessConsumers)(
+          stageSessionFixture(s, d)) { staged =>
         val inDir = s"$staged/in"
         import java.nio.file.Files
         import org.apache.spark.sql.streaming.Trigger

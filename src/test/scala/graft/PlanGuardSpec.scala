@@ -206,7 +206,14 @@ class PlanGuardSpec extends SparkSpecBase {
       // the real stream-stream interval joins: running fn stages two
       // file streams and executes the watermarked join; the unstarted
       // streaming plan is linted in the attribution-join test below
-      "q_stream_attribution_run", "q_stream_attribution_outer_run"),
+      "q_stream_attribution_run", "q_stream_attribution_outer_run",
+      // windowed agg / bounded dedup / update-mode transitions runs:
+      // each executes a staged replay through the REAL machinery; the
+      // unstarted streaming plans are linted in the dedicated tests
+      // below (watermarked stateful agg, DeduplicateWithinWatermark,
+      // keyed TransformWithState)
+      "q_stream_window_run", "q_stream_dedupe_run",
+      "q_stream_transitions_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
@@ -256,6 +263,45 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(tws.nonEmpty, "tws sessionize no longer uses keyed state")
     assert(tws.forall(_.groupingAttributes.nonEmpty),
       "tws sessionize state is not key-partitioned")
+  }
+
+  test("the streaming window-agg, dedup, and transitions plans are watermarked / keyed — linted without running") {
+    // q_stream_window_run / q_stream_dedupe_run / q_stream_transitions_run
+    // are effectful (the sweeps skip them) — lint their unstarted
+    // streaming plans directly, same contract as the sessionize lints:
+    // a dropped watermark leaves window-agg / dedup state growing
+    // forever at 100 TB; transitions carries no watermark BY DESIGN
+    // (one string per user — bounded by the key domain, not time) but
+    // must stay key-partitioned.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, DeduplicateWithinWatermark, EventTimeWatermark, TransformWithState}
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ev = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+
+    val winPlan = EventStream.windowedAgg(ev).queryExecution.analyzed
+    assert(winPlan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "windowed agg lost its watermark — unbounded window state at scale")
+    val aggs = winPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.nonEmpty),
+      "windowed agg is no longer a keyed (window, type) aggregate")
+
+    val dedupPlan = EventStream.dedupeWithinWatermark(ev)
+      .queryExecution.analyzed
+    assert(dedupPlan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "dedup lost its watermark — every event_id ever seen stays in state")
+    assert(dedupPlan.collect {
+        case d: DeduplicateWithinWatermark => d }.nonEmpty,
+      "dedup no longer uses the watermark-bounded operator")
+
+    val transPlan = EventStream.transitions(
+      ev.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStream.Event]).queryExecution.analyzed
+    val tws = transPlan.collect { case t: TransformWithState => t }
+    assert(tws.nonEmpty, "transitions no longer uses keyed state")
+    assert(tws.forall(_.groupingAttributes.nonEmpty),
+      "transitions state is not key-partitioned")
   }
 
   test("the streaming attribution join is double-watermarked with a two-sided interval — linted without running") {
