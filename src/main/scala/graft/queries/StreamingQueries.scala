@@ -331,6 +331,55 @@ object StreamingQueries {
         }
       }),
 
+    // ---- The MapState machine (per-user running top-k event types)
+    // through the oracle gate: every batch a user appears in re-emits
+    // their CURRENT top-k (update mode), so the machine's final answer
+    // is the latest emission per user — selected as max(batch) per
+    // user from the committed batch dirs. Counts fold across batches
+    // in O(|distinct types|) state per user; the deterministic
+    // (count desc, type asc) tiebreak is what lets one SQL pin both
+    // engines. ----
+    QueryDef("q_stream_topk_run", effectful = true, oracle = Some(
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY n DESC, event_type) AS rnk
+        |      FROM c)
+        |SELECT user_id, event_type, n, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:topk_run:${layout(s)}:$d") {
+        updateModeRun(s, d, "topk")(EventStream.topKEventTypes(_)) { em =>
+          em.select(col("user_id"), col("event_type"), col("n"),
+            col("rnk"))
+        }
+      }),
+
+    // ---- The ListState machine (per-user last-5 amounts ring buffer)
+    // through the oracle gate: state is AT MOST n cents values per
+    // user however long the stream; each batch re-emits the user's
+    // current window size and sum, so the final answer is again the
+    // latest emission per user. Order ACROSS batches matters here
+    // (unlike top-k counts): the staged ranges + per-batch
+    // (event-time, event_id) sort must walk each user's history in
+    // exactly the order the oracle's DESC row_number assumes. ----
+    QueryDef("q_stream_recent_run", effectful = true, oracle = Some(
+      """WITH s AS (SELECT user_id,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS INT) AS n_kept,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM s WHERE rn <= 5 GROUP BY user_id""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:recent_run:${layout(s)}:$d") {
+        updateModeRun(s, d, "recent")(EventStream.recentAmounts(_)) { em =>
+          em.select(col("user_id"), col("n_kept"), col("sum_cents"))
+        }
+      }),
+
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
     // two batches; the consumer seeks to the end offsets committed
@@ -546,9 +595,54 @@ object StreamingQueries {
 
   /** Consumers of the shared events-fixture staging (range files +
     * flush sentinels): the two sessionizer state machines, the
-    * windowed-agg run, and the transitions run all read the same
-    * staged bytes — the staging is deleted once all four have run. */
-  private val sessConsumers = Set("fmgws", "tws", "window", "transitions")
+    * windowed-agg run, and the three update-mode machines all read
+    * the same staged bytes — the staging is deleted once all have
+    * run. */
+  private val sessConsumers =
+    Set("fmgws", "tws", "window", "transitions", "topk", "recent")
+
+  /** Run an update-mode transformWithState machine over the shared
+    * staged fixture through the exactly-once foreachBatch sink and
+    * return the machine's FINAL answer: update mode re-emits a
+    * touched key's current state every batch, so the answer is the
+    * latest emission per user — max committed batch id per user,
+    * sentinel user dropped. Callers project the machine-specific
+    * columns. */
+  private def updateModeRun[T](s: org.apache.spark.sql.SparkSession,
+      d: String, variant: String)(
+      machine: org.apache.spark.sql.Dataset[EventStream.Event] =>
+        org.apache.spark.sql.Dataset[T])(
+      project: DataFrame => DataFrame): DataFrame =
+    withSharedStaging(s, s"sess:$d", variant, sessConsumers)(
+        stageSessionFixture(s, d)) { staged =>
+      import java.nio.file.Files
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.ExactlyOnceBatchSink
+      import s.implicits._
+      val tmp = Files.createTempDirectory(s"graft_${variant}_run_").toString
+      val events = EventStream
+        .readEvents(s, s"$staged/in", Map("maxFilesPerTrigger" -> "2"))
+        .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStream.Event]
+      val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+      withStatePartitions(s) {
+        val q = machine(events).toDF().writeStream
+          .outputMode("update")
+          .foreachBatch(sink.foreachBatchFn)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), s"$variant stream did not finish")
+      }
+      val em = sink.readKeepingBatch(s).where(col("user_id") =!= -1L)
+      val last = em.groupBy(col("user_id").as("lu"))
+        .agg(max(col("batch")).as("lb"))
+      val out = project(
+          em.join(broadcast(last),
+            col("user_id") === col("lu") && col("batch") === col("lb")))
+        .localCheckpoint(true)
+      deleteRecursively(tmp)
+      out
+    }
 
   /** Stage the events fixture for the [[sessConsumers]] runs under
     * `t/in`: range-partitioned on ts (file i holds a time range

@@ -67,11 +67,17 @@ final case class ExactlyOnceBatchSink(target: String, markerDir: String) {
 
   /** Read ONLY marker-committed batches — torn (uncommitted) batch
     * directories never reach a consumer. */
-  def read(spark: SparkSession): DataFrame = {
+  def read(spark: SparkSession): DataFrame =
+    readKeepingBatch(spark).drop("batch")
+
+  /** [[read]] keeping the `batch` partition id: update-mode state
+    * machines re-emit a key's current answer every batch it appears
+    * in, so "the latest emission per key" — the machine's final
+    * answer — selects on max(batch) per key. */
+  def readKeepingBatch(spark: SparkSession): DataFrame = {
     val ids = committedBatches(spark)
     require(ids.nonEmpty, s"no committed batches under $markerDir")
     spark.read.option("basePath", target)
       .parquet(ids.map(batchDir): _*)
-      .drop("batch")
   }
 }

@@ -46,7 +46,8 @@ class DeterminismSpec extends SparkSpecBase {
     // emissions must not depend on the session layout
     "q_stream_sessionize_run", // fmgws state machine + staged replay
     "q_stream_cdc_run",        // LWW transformWithState + commit protocol
-    "q_stream_attribution_run") // watermarked stream-stream interval join
+    "q_stream_attribution_run", // watermarked stream-stream interval join
+    "q_stream_recent_run")     // last-n ring buffer: cross-batch ORDER under layouts
 
   private def canon(name: String): Seq[String] = {
     val df = Catalog.byName(name).fn(spark, sfDir)

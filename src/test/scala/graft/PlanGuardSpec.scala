@@ -213,7 +213,10 @@ class PlanGuardSpec extends SparkSpecBase {
       // below (watermarked stateful agg, DeduplicateWithinWatermark,
       // keyed TransformWithState)
       "q_stream_window_run", "q_stream_dedupe_run",
-      "q_stream_transitions_run"),
+      "q_stream_transitions_run",
+      // MapState top-k and ListState recent-window machines through
+      // the update-mode foreachBatch sink; keyed-state lint below
+      "q_stream_topk_run", "q_stream_recent_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
@@ -295,13 +298,24 @@ class PlanGuardSpec extends SparkSpecBase {
         case d: DeduplicateWithinWatermark => d }.nonEmpty,
       "dedup no longer uses the watermark-bounded operator")
 
-    val transPlan = EventStream.transitions(
-      ev.selectExpr("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventStream.Event]).queryExecution.analyzed
-    val tws = transPlan.collect { case t: TransformWithState => t }
-    assert(tws.nonEmpty, "transitions no longer uses keyed state")
-    assert(tws.forall(_.groupingAttributes.nonEmpty),
-      "transitions state is not key-partitioned")
+    // the three update-mode machines carry no watermark BY DESIGN —
+    // their state is bounded by the key domain (one string / one
+    // count map over |types| / an n-slot ring per user), not by time —
+    // but all must stay key-partitioned
+    val typedEv = ev
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    Seq[(String, org.apache.spark.sql.Dataset[_])](
+      "transitions" -> EventStream.transitions(typedEv),
+      "topk" -> EventStream.topKEventTypes(typedEv),
+      "recent" -> EventStream.recentAmounts(typedEv)
+    ).foreach { case (name, ds) =>
+      val tws = ds.queryExecution.analyzed
+        .collect { case t: TransformWithState => t }
+      assert(tws.nonEmpty, s"$name no longer uses keyed state")
+      assert(tws.forall(_.groupingAttributes.nonEmpty),
+        s"$name state is not key-partitioned")
+    }
   }
 
   test("the streaming attribution join is double-watermarked with a two-sided interval — linted without running") {
