@@ -380,6 +380,65 @@ object StreamingQueries {
         }
       }),
 
+    // ---- Temporal stream-static enrichment through the oracle gate
+    // (the streaming twin of the batch point-in-time join,
+    // q_scd2_pit): each streamed event must resolve the dimension
+    // VERSION valid at ITS OWN event time. The dim is two versions
+    // per even-keyed user split at the fixture's time midpoint
+    // ('bronze' closes at the cut, 'silver' opens there; odd users
+    // have no dim row at all — the left-outer lane), so the correct
+    // enrichment is statable in closed form and one SQL pins the
+    // interval-join semantics. Stateless per batch (the static side
+    // re-plans and broadcasts each micro-batch) — no watermark, no
+    // sentinels needed; the staged flush rows resolve to null and
+    // are dropped with the sentinel user. ----
+    QueryDef("q_stream_enrich_run", effectful = true, oracle = Some(
+      """WITH cut AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c
+        |  FROM events)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN e.user_id % 2 = 1 THEN NULL
+        |       WHEN epoch_us(e.ts) < (SELECT c FROM cut) THEN 'bronze'
+        |       ELSE 'silver' END AS tier
+        |FROM events e""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:enrich_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        withSharedStaging(s, s"sess:$d", "enrich", sessConsumers)(
+            stageSessionFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_enrich_run_").toString
+          val ev = Tables(s, d, "events")
+          val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+            max(unix_micros(col("ts"))).as("hi")).head
+          val cut = (b.getLong(0) + b.getLong(1)) / 2
+          val users = ev.select(col("user_id").as("key")).distinct()
+            .where(pmod(col("key"), lit(2L)) === 0)
+          val dim = users.select(col("key"), lit("bronze").as("tier"),
+              lit(0L).as("valid_from_us"), lit(cut).as("valid_to_us"))
+            .unionByName(users.select(col("key"), lit("silver").as("tier"),
+              lit(cut).as("valid_from_us"),
+              lit(null).cast("bigint").as("valid_to_us")))
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            val q = EventStream.enrichTemporal(stream, dim)
+              .select(col("event_id"), col("e.user_id").as("user_id"),
+                col("tier"))
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000), "enrich stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("user_id") =!= -1L)
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
+        }
+      }),
+
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
     // two batches; the consumer seeks to the end offsets committed
@@ -599,7 +658,7 @@ object StreamingQueries {
     * the same staged bytes — the staging is deleted once all have
     * run. */
   private val sessConsumers =
-    Set("fmgws", "tws", "window", "transitions", "topk", "recent")
+    Set("fmgws", "tws", "window", "transitions", "topk", "recent", "enrich")
 
   /** Run an update-mode transformWithState machine over the shared
     * staged fixture through the exactly-once foreachBatch sink and
