@@ -108,6 +108,18 @@ object FrameCache {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     } catch { case NonFatal(_) => Nil }
 
+  /** Conf key: force the serve-time probe to run a real `count()`
+    * even for LogicalRDD-backed frames. The default metadata probe
+    * reads the driver's BlockManagerMaster inventory, which on a real
+    * cluster can LAG an executor/block loss by a heartbeat — a
+    * stale-positive in that window serves a lineage-truncated frame
+    * whose later action fails unrebuildably. In local mode (one JVM,
+    * no remote block managers) the inventory is authoritative and the
+    * window does not exist, so the O(1) probe is safe; cluster
+    * deployments that cannot tolerate a serve-then-fail should set
+    * this to `true` and pay O(frame) per serve. */
+  val strictProbeKey = "spark.graft.frameCache.strictProbe"
+
   /** All partitions of the cached frame still servable? The frames
     * here are lineage-truncated (localCheckpoint), so a lost block is
     * unrecoverable in place — surface that NOW, at serve time, instead
@@ -116,7 +128,10 @@ object FrameCache {
     * backing RDD must report one live block per partition. No job
     * runs, so the probe stays O(#cached RDDs) metadata however large
     * the frame — a frame with NO LogicalRDD backing (not the memo
-    * sites' shape) falls back to a real count(). */
+    * sites' shape) falls back to a real count(). The metadata is
+    * authoritative in local mode; on a cluster it can lag a block
+    * loss by a heartbeat — [[strictProbeKey]] opts into a verifying
+    * count() for that deployment. */
   private def alive(s: SparkSession, df: DataFrame): Boolean =
     backingRdds(df) match {
       case Seq() =>
@@ -124,8 +139,12 @@ object FrameCache {
       case rdds =>
         try {
           val info = s.sparkContext.getRDDStorageInfo
-          rdds.forall(r => info.find(_.id == r.id)
+          val metaOk = rdds.forall(r => info.find(_.id == r.id)
             .exists(_.numCachedPartitions == r.getNumPartitions))
+          if (!metaOk) false
+          else if (s.conf.get(strictProbeKey, "false").toBoolean)
+            try { df.count(); true } catch { case NonFatal(_) => false }
+          else true
         } catch { case NonFatal(_) => false }
     }
 

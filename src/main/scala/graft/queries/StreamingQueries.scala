@@ -62,26 +62,102 @@ object StreamingQueries {
     // operator == hand-rolled batch == the streaming state machines
     // (StreamingSpec). session_window's end is last-event + gap, so
     // the oracle emits max(tus) + gap. ----
-    QueryDef("q_stream_session_window_batch", Some(
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
-        |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-        |                       OR tus - lag(tus) OVER w > 1800000000
-        |                     THEN 1 ELSE 0 END AS new_s
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
-        |SELECT user_id, min(tus) AS session_start_us,
-        |  max(tus) + 1800000000 AS session_end_us, count(*) AS n_events
-        |FROM s GROUP BY user_id, session_id""".stripMargin))(
-      (s, d) =>
-        Tables(s, d, "events")
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
-          .agg(count(lit(1)).as("n_events"))
-          .select(col("user_id"),
-            unix_micros(col("sw.start")).as("session_start_us"),
-            unix_micros(col("sw.end")).as("session_end_us"),
-            col("n_events")))
-  ,
+    QueryDef("q_stream_session_window_batch", Some(sessionWindowSql))(
+      (s, d) => EventStream.sessionWindowAgg(Tables(s, d, "events"))),
+
+    // ---- The REAL streaming native session_window aggregation
+    // through the oracle gate: the shared staged fixture replays under
+    // Trigger.AvailableNow, the watermarked MergingSessions operator
+    // holds each user's open session in state and emits it in append
+    // mode only once the watermark passes session end (last event +
+    // gap) — the flush sentinels force that for every real session.
+    // Same pushdown hazard as the window run: the sentinel user is
+    // filtered AFTER the sink (an in-stream user_id predicate would
+    // land below the watermark node and the clocks would never
+    // ratchet it). Batch twin q_stream_session_window_batch gates the
+    // EXACT same function; this entry gates the streaming state
+    // machine itself — merge-on-arrival, eviction, append
+    // finalization — against the same lag+cumsum SQL. ----
+    QueryDef("q_stream_session_window_run", effectful = true,
+      oracle = Some(sessionWindowSql))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:session_window_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        withSharedStaging(s, s"sess:$d", "session_window", sessConsumers)(
+            stageSessionFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_sesswin_run_").toString
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            val q = EventStream.sessionWindowAgg(stream)
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "session_window stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("user_id") =!= -1L)
+            .select(col("user_id"), col("session_start_us"),
+              col("session_end_us"),
+              col("n_events").cast("bigint").as("n_events"),
+              col("total_value"))
+            .localCheckpoint(true) // pin rows so the sink dir can go
+          deleteRecursively(tmp)
+          out
+        }
+      }),
+
+    // ---- CHAINED stateful operators under REAL duplicate delivery:
+    // the fixture is staged with every row twice (the worst-case
+    // at-least-once source), and ONE streaming query runs
+    // dropDuplicatesWithinWatermark FEEDING the watermarked tumbling-
+    // window aggregate — two state stores, one watermark, append mode.
+    // The dedup emits each event exactly once into the agg, the agg
+    // finalizes each (window, type) group once the watermark passes
+    // the window end (sentinels + the no-data batch). A broken chain
+    // shows as doubled counts (dedup lost) or missing windows (agg
+    // never flushed); the oracle is the SAME windowSql as the
+    // single-operator run — the at-least-once-to-exact-windows
+    // pipeline contract in one DuckDB hash. ----
+    QueryDef("q_stream_dedup_window_chain_run", effectful = true,
+      oracle = Some(windowSql))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:dedup_window_chain_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = Files.createTempDirectory("graft_chain_run_").toString
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"), col("props"))
+        // both copies of a row share a ts, so range staging lands them
+        // in the same file — in-horizon duplicates (same contract as
+        // q_stream_dedupe_run)
+        stageRanged(ev.union(ev), s"$tmp/in", 4, col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+        stageSentinels(s, s"$tmp/in", maxTs, "flush")
+        val stream = EventStream.readEvents(s, s"$tmp/in",
+          Map("maxFilesPerTrigger" -> "2"))
+        withStatePartitions(s) {
+          val q = EventStream.dedupedWindowedAgg(stream)
+            .writeStream
+            .format("parquet").option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000),
+            "dedup→window chain stream did not finish")
+        }
+        val out = s.read.parquet(s"$tmp/out")
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start_us"), col("event_type"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value"))
+          .localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
+      }),
 
     // ---- The stream-stream attribution join, oracled through its
     // BATCH rendering: q_stream_attribution_batch composes the EXACT
@@ -627,6 +703,25 @@ object StreamingQueries {
       |  sum(floor(value*100 + 0.5))/100.0 AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** The native-session-window oracle: same lag+cumsum gap-session
+    * algebra as [[sessionizeRunSql]] but with session_window's
+    * end-definition (last event + gap) — shared verbatim by the batch
+    * rendering AND the real streaming run so the MergingSessions
+    * operator is pinned to the same SQL truth on both surfaces. */
+  // lazy: referenced by `defs` above during object init
+  private lazy val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+      |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+      |                       OR tus - lag(tus) OVER w > 1800000000
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+      |SELECT user_id, min(tus) AS session_start_us,
+      |  max(tus) + 1800000000 AS session_end_us, count(*) AS n_events,
+      |  sum(floor(value*100 + 0.5))/100.0 AS total_value
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
   /** The session's shuffle-partition layout — carried in every
     * streaming memo key (same contract as the GraphQueries/
     * DedupQueries keys): a layout change must rebuild, not serve the
@@ -642,23 +737,52 @@ object StreamingQueries {
     * SAME staged bytes (the two sessionizer APIs; the inner and outer
     * interval joins) must not pay it twice. A partially-consumed
     * staging (single-entry bench runs) is reaped at JVM exit. */
+  private final class Staging(val dir: String) {
+    val used = scala.collection.mutable.Set.empty[String]
+    @volatile var ready = false
+  }
   private val stagings = scala.collection.mutable.Map
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      (String, scala.collection.mutable.Set[String])]
+    .empty[(org.apache.spark.sql.SparkSession, String), Staging]
+  private val stagingListened =
+    scala.collection.mutable.Set.empty[org.apache.spark.sql.SparkSession]
   private lazy val exitSweep: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       stagings.synchronized {
-        stagings.values.foreach { case (t, _) => deleteRecursively(t) }
+        stagings.values.foreach(st => deleteRecursively(st.dir))
         stagings.clear()
       }))
 
+  /** Reap a stopped session's stagings (and the session reference
+    * itself) instead of letting partially-consumed dirs linger to JVM
+    * exit — the same application-end listener FrameCache registers. */
+  private def registerStagingCleanup(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    stagings.synchronized {
+      if (stagingListened.add(s)) {
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler
+                  .SparkListenerApplicationEnd): Unit =
+              stagings.synchronized {
+                val dead = stagings.keys.filter(_._1 eq s).toSeq
+                dead.foreach { k =>
+                  stagings.remove(k).foreach(st => deleteRecursively(st.dir))
+                }
+                stagingListened.remove(s); ()
+              }
+          })
+      }
+    }
+
   /** Consumers of the shared events-fixture staging (range files +
     * flush sentinels): the two sessionizer state machines, the
-    * windowed-agg run, and the three update-mode machines all read
-    * the same staged bytes — the staging is deleted once all have
-    * run. */
+    * windowed-agg and native session_window runs, the three
+    * update-mode machines, and the temporal enrichment all read the
+    * same staged bytes — the staging is deleted once all have run. */
   private val sessConsumers =
-    Set("fmgws", "tws", "window", "transitions", "topk", "recent", "enrich")
+    Set("fmgws", "tws", "window", "session_window", "transitions", "topk",
+      "recent", "enrich")
 
   /** Run an update-mode transformWithState machine over the shared
     * staged fixture through the exactly-once foreachBatch sink and
@@ -727,21 +851,33 @@ object StreamingQueries {
       stagingKey: String, variant: String, allVariants: Set[String])(
       stage: String => Unit)(run: String => DataFrame): DataFrame = {
     val key = (s, stagingKey)
-    val tmp = stagings.synchronized {
+    registerStagingCleanup(s)
+    // insert the holder under the map lock, but run the staging Spark
+    // jobs (range shuffle + write + agg) OUTSIDE it — a concurrent
+    // caller for a DIFFERENT key must not block behind this key's
+    // staging; same-key callers serialize on the holder itself.
+    val st = stagings.synchronized {
       exitSweep
-      stagings.getOrElseUpdate(key, {
-        val t = java.nio.file.Files
-          .createTempDirectory("graft_staging_").toString
-        stage(t)
-        (t, scala.collection.mutable.Set.empty[String])
-      })._1
+      stagings.getOrElseUpdate(key, new Staging(
+        java.nio.file.Files.createTempDirectory("graft_staging_").toString))
     }
-    val out = run(tmp)
+    st.synchronized {
+      if (!st.ready) {
+        try { stage(st.dir); st.ready = true }
+        catch { case e: Throwable =>
+          // a half-staged dir must not be served to the next caller
+          stagings.synchronized { stagings.remove(key); () }
+          deleteRecursively(st.dir)
+          throw e
+        }
+      }
+    }
+    val out = run(st.dir)
     stagings.synchronized {
-      stagings.get(key).foreach { case (t, used) =>
-        used += variant
-        if (used == allVariants) {
-          deleteRecursively(t)
+      stagings.get(key).foreach { cur =>
+        cur.used += variant
+        if (cur.used == allVariants) {
+          deleteRecursively(cur.dir)
           stagings.remove(key); ()
         }
       }
@@ -848,10 +984,16 @@ object StreamingQueries {
 
   /** Append two single-row watermark-clock files (max(ts) + 2h and
     * + 4h, sentinel user -1) to a staged stream dir, with modtimes
-    * strictly later than every data file's — the first clock advances
-    * the watermark past every real event's horizon, the second
-    * guarantees a micro-batch AFTER that advance in which timers fire
-    * and finalized state (sessions, outer-join nulls) is emitted. */
+    * strictly later than every data file's — the clocks advance the
+    * watermark past every real event's horizon. NOTE: with
+    * maxFilesPerTrigger=2 both sentinels can land in the SAME
+    * micro-batch, so the final emission round (timers firing,
+    * append-mode windows closing, outer-join nulls) is produced by
+    * the no-data micro-batch that follows the watermark advance —
+    * [[withStatePartitions]] pins
+    * spark.sql.streaming.noDataMicroBatches.enabled=true for the
+    * run's duration so that batch is guaranteed, not a default we
+    * silently depend on. */
   private def stageSentinels(s: org.apache.spark.sql.SparkSession,
       inDir: String, maxTs: java.sql.Timestamp, eventType: String): Unit = {
     import java.nio.file.{Files, Paths}
@@ -888,9 +1030,22 @@ object StreamingQueries {
     * the override is session-global while the stream runs. */
   private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
       n: Int = 8)(f: => T): T = {
+    // also pin no-data micro-batches ON: the sentinel contract
+    // (stageSentinels) relies on a post-watermark-advance batch to
+    // flush timers / close append-mode windows / emit outer-join
+    // nulls, and with maxFilesPerTrigger=2 both sentinels can share
+    // one trigger — the flush batch then IS the no-data batch. true
+    // is Spark's default, but a session that disabled it would make
+    // every final emission silently vanish, so pin it per-run.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNd = s.conf.get(ndKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.conf.set(ndKey, "true")
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(ndKey, prevNd)
+    }
   }
 
   /** Stage a frame as `n` range-partitioned parquet files with

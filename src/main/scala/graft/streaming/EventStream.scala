@@ -82,6 +82,52 @@ object EventStream {
         col("approx_users"))
   }
 
+  /** Native session-window aggregation (Spark's MergingSessions
+    * operator — the built-in third rendering of the gap-session
+    * algebra next to the two hand-rolled state machines). Works on
+    * batch and streaming frames alike; session end is last-event + gap
+    * by session_window's contract. In streaming append mode a session
+    * row is emitted only once the watermark passes its end — bounded
+    * state, one row per closed session, no custom state code. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100 + 0.5)) / 100.0).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** CHAINED stateful operators in one streaming query: watermark-
+    * bounded keyed dedup feeding the tumbling-window aggregate — the
+    * at-least-once-source-to-exact-windows pipeline (dedup absorbs the
+    * source's redelivery, the agg sees each event once). One watermark
+    * node upstream serves BOTH operators (dedup emits rows
+    * immediately, so the agg's event-time semantics are unchanged);
+    * re-watermarking between them would reset the late-row bound
+    * mid-pipeline. Batch rendering: dropDuplicates then the same
+    * aggregate. */
+  def dedupedWindowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val deduped =
+      if (events.isStreaming)
+        events.withWatermark("ts", watermark)
+          .dropDuplicatesWithinWatermark("event_id")
+      else events.dropDuplicates("event_id")
+    deduped.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Exactly-once-per-key view: keyed dedup with watermark-bounded
     * state (late duplicates beyond the watermark may reappear — the
     * documented trade; the reference's at-least-once load has the same
@@ -452,8 +498,11 @@ final class TransitionProcessor
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     prev = getHandle.getValueState[String]("prev", Encoders.STRING, TTLConfig.NONE)
 
+  // floorDiv, matching the other processors' (micros, event_id) sort
+  // contract exactly — truncating division would order pre-epoch
+  // timestamps differently
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000 + t.getNanos / 1000 % 1000000
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   override def handleInputRows(userId: Long, rows: Iterator[EventStream.Event],
       tv: TimerValues): Iterator[EventStream.Transition] = {

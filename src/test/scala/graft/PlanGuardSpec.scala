@@ -216,7 +216,17 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_stream_transitions_run",
       // MapState top-k and ListState recent-window machines through
       // the update-mode foreachBatch sink; keyed-state lint below
-      "q_stream_topk_run", "q_stream_recent_run"),
+      "q_stream_topk_run", "q_stream_recent_run",
+      // temporal stream-static enrichment: running fn stages a file
+      // stream and executes the interval left-join against a static
+      // dim per micro-batch; the unstarted plan (stateless left
+      // equi-join, static side broadcastable) is linted in the
+      // enrichment test below
+      "q_stream_enrich_run",
+      // native session_window agg and the chained dedup→window-agg
+      // pipeline through the real machinery; unstarted plans linted
+      // in the session-window / chained-operators tests below
+      "q_stream_session_window_run", "q_stream_dedup_window_chain_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
@@ -355,5 +365,129 @@ class PlanGuardSpec extends SparkSpecBase {
         "the join condition must bound p.ts against s.ts from BOTH ends " +
           "(state-cleanup condition) — found: " + twoSided.mkString(", "))
     }
+  }
+
+  test("the temporal enrichment plan is a stateless stream-static left equi-join — linted without running") {
+    // q_stream_enrich_run is effectful (the sweeps skip it) — lint the
+    // unstarted plan directly: the STREAM must be the left/preserved
+    // side of a LeftOuter join against a NON-streaming dim (a
+    // stream-stream outer here would silently need watermarks and
+    // grow state), the condition must carry a key equality (so the
+    // per-batch join is hash/broadcast-able, never a nested loop over
+    // the dim), and the plan must carry NO watermark and NO stateful
+    // operator — the enrichment is stateless per micro-batch by
+    // design, which is what makes it safe at 100 TB.
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      EventTimeWatermark, FlatMapGroupsWithState, Join, TransformWithState}
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.{col, lit}
+    val stream = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+    val dim = spark.range(4).select(col("id").as("key"),
+      lit("bronze").as("tier"), lit(0L).as("valid_from_us"),
+      lit(null).cast("bigint").as("valid_to_us"))
+    val plan = EventStream.enrichTemporal(stream, dim)
+      .queryExecution.analyzed
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
+    val j = joins.head
+    assert(j.joinType == LeftOuter,
+      "enrichment must preserve every event (left outer)")
+    assert(j.left.isStreaming && !j.right.isStreaming,
+      "the stream must be the left side and the dim must be static — " +
+        "a stream-stream join here would need watermarked state")
+    val keyEq = j.condition.toSeq.flatMap(_.collect {
+      case e: EqualTo
+          if e.references.exists(a =>
+            j.left.outputSet.exists(_.exprId == a.exprId)) &&
+            e.references.exists(a =>
+              j.right.outputSet.exists(_.exprId == a.exprId)) => e
+    })
+    assert(keyEq.nonEmpty,
+      "the join condition lost its key equality — the per-batch join " +
+        "degrades to a nested loop over the dim")
+    assert(plan.collect { case w: EventTimeWatermark => w }.isEmpty &&
+      plan.collect { case f: FlatMapGroupsWithState => f }.isEmpty &&
+      plan.collect { case t: TransformWithState => t }.isEmpty,
+      "enrichment grew stateful operators — it is stateless by design")
+  }
+
+  test("the native session_window plan is a watermarked keyed session aggregate — linted without running") {
+    // q_stream_session_window_run is effectful (the sweeps skip it) —
+    // lint the unstarted plan: it must carry an event-time watermark
+    // (without one, append mode never closes a session and open-
+    // session state grows forever) and the aggregate must group on
+    // (user_id, session_window) — keyed, hash-partitioned session
+    // state, Spark's MergingSessions operator shape.
+    // the analyzer rewrites the SessionWindow expression into a
+    // named-struct Project whose output attribute (named
+    // "session_window", carrying the watermark-delay metadata) is what
+    // the Aggregate groups on — lint the REWRITTEN shape, it is what
+    // executes
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark}
+    import graft.streaming.EventStream
+    val stream = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+    val plan = EventStream.sessionWindowAgg(stream).queryExecution.analyzed
+    assert(plan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "session_window agg lost its watermark — open sessions never close")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "session_window agg no longer plans an aggregate")
+    val sessioned = aggs.filter(_.groupingExpressions.exists {
+      case a: Attribute => a.name == "session_window"
+      case _ => false
+    })
+    assert(sessioned.nonEmpty,
+      "the aggregate no longer groups on the session_window attribute")
+    assert(sessioned.forall(_.groupingExpressions.size >= 2),
+      "session state lost its user key — sessions would merge across users")
+  }
+
+  test("the chained dedup→window plan has ONE watermark feeding both stateful operators — linted without running") {
+    // q_stream_dedup_window_chain_run is effectful (the sweeps skip
+    // it) — lint the unstarted plan: exactly one EventTimeWatermark
+    // node upstream of BOTH the watermark-bounded dedup and the keyed
+    // window aggregate (a second mid-pipeline watermark would reset
+    // the late-row bound between the operators), dedup must be the
+    // bounded variant, and the aggregate must stay keyed.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, DeduplicateWithinWatermark, EventTimeWatermark}
+    import graft.streaming.EventStream
+    val stream = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+    val plan = EventStream.dedupedWindowedAgg(stream).queryExecution.analyzed
+    assert(plan.collect { case w: EventTimeWatermark => w }.size == 1,
+      "the chain must carry exactly one watermark node")
+    val dedups = plan.collect { case d: DeduplicateWithinWatermark => d }
+    assert(dedups.size == 1,
+      "the chain lost its watermark-bounded dedup — duplicates reach the agg")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.nonEmpty),
+      "the chained aggregate is no longer keyed")
+    // the watermark must sit BELOW the dedup (one bound serves both
+    // operators): the dedup's subtree contains the watermark node
+    assert(dedups.head.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "the watermark is no longer upstream of the dedup")
+  }
+
+  test("the streaming CDC apply plan is keyed transformWithState — linted without running") {
+    // q_stream_cdc_run is effectful (the sweeps skip it) — lint the
+    // unstarted CdcStream plan the same way as the other keyed
+    // machines: state must be keyed TransformWithState (hash-
+    // partitioned on k, one LWW record per key — bounded by the key
+    // domain, not time, so no watermark by design). An accidental
+    // regroup to a constant key would funnel the whole changelog's
+    // state through one task at 100 TB.
+    import org.apache.spark.sql.catalyst.plans.logical.TransformWithState
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[CdcStream.CdcRecord]
+    val plan = CdcStream(in.toDS()).queryExecution.analyzed
+    val tws = plan.collect { case t: TransformWithState => t }
+    assert(tws.nonEmpty, "CDC apply no longer uses keyed state")
+    assert(tws.forall(_.groupingAttributes.nonEmpty),
+      "CDC state is not key-partitioned")
   }
 }
