@@ -128,35 +128,29 @@ object StreamingQueries {
           s"stream:dedup_window_chain_run:${layout(s)}:$d") {
         import java.nio.file.Files
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = Files.createTempDirectory("graft_chain_run_").toString
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        // both copies of a row share a ts, so range staging lands them
-        // in the same file — in-horizon duplicates (same contract as
-        // q_stream_dedupe_run)
-        stageRanged(ev.union(ev), s"$tmp/in", 4, col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        stageSentinels(s, s"$tmp/in", maxTs, "flush")
-        val stream = EventStream.readEvents(s, s"$tmp/in",
-          Map("maxFilesPerTrigger" -> "2"))
-        withStatePartitions(s) {
-          val q = EventStream.dedupedWindowedAgg(stream)
-            .writeStream
-            .format("parquet").option("path", s"$tmp/out")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .trigger(Trigger.AvailableNow()).start()
-          assert(q.awaitTermination(300000),
-            "dedup→window chain stream did not finish")
+        withSharedStaging(s, s"dedup:$d", "chain", dedupConsumers)(
+            stageDoubledFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_chain_run_").toString
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            val q = EventStream.dedupedWindowedAgg(stream)
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "dedup→window chain stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("event_type") =!= "flush")
+            .select(col("window_start_us"), col("event_type"),
+              col("n_events").cast("bigint").as("n_events"),
+              col("total_value"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
         }
-        val out = s.read.parquet(s"$tmp/out")
-          .where(col("event_type") =!= "flush")
-          .select(col("window_start_us"), col("event_type"),
-            col("n_events").cast("bigint").as("n_events"),
-            col("total_value"))
-          .localCheckpoint(true)
-        deleteRecursively(tmp)
-        out
       }),
 
     // ---- The stream-stream attribution join, oracled through its
@@ -220,6 +214,30 @@ object StreamingQueries {
     QueryDef("q_stream_attribution_outer_run", effectful = true,
       oracle = Some(attributionOuterSql))(
       (s, d) => attributionRun(s, d, "left_outer")),
+
+    // ---- LEFT-SEMI batch rendering: converted signups — existence,
+    // not pairing (multi-purchase signups emit once). Same shared
+    // function as the streaming run below. ----
+    QueryDef("q_stream_attribution_semi_batch", Some(attributionSemiSql))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        EventStream.attributionSemi(
+          ev.where(col("event_type") === "signup"),
+          ev.where(col("event_type") === "purchase"))
+      }),
+
+    // ---- The REAL left-semi stream-stream interval join: a signup
+    // emits AT MOST ONCE, as soon as its first in-window purchase
+    // arrives (Spark then drops it from join state — semi state is
+    // strictly smaller than inner-join state, the scale argument for
+    // existence-only feeds); unmatched signups evict silently when
+    // both watermarks pass their interval. Same staged sides and
+    // clock sentinels as the inner/outer runs — one staging serves
+    // all three variants. The DuckDB EXISTS oracle fails on a double
+    // emission (a multi-purchase signup) or a lost conversion. ----
+    QueryDef("q_stream_attribution_semi_run", effectful = true,
+      oracle = Some(attributionSemiSql))(
+      (s, d) => attributionRun(s, d, "left_semi")),
 
     // ---- The REAL streaming sessionizer through the oracle gate: the
     // fixture is staged as a file-source directory, the
@@ -326,38 +344,31 @@ object StreamingQueries {
           s"stream:dedupe_run:${layout(s)}:$d") {
         import java.nio.file.Files
         import org.apache.spark.sql.streaming.Trigger
-        val tmp = Files.createTempDirectory("graft_dedupe_run_").toString
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        // both copies of a row carry the same ts, so range staging
-        // lands them in the same file — in-horizon duplicates, the
-        // case the operator exists for (a copy delivered after the
-        // watermark passed would be dropped as late, not deduped)
-        stageRanged(ev.union(ev), s"$tmp/in", 4, col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        stageSentinels(s, s"$tmp/in", maxTs, "flush")
-        val stream = EventStream.readEvents(s, s"$tmp/in",
-          Map("maxFilesPerTrigger" -> "2"))
-        withStatePartitions(s) {
-          // sentinel filter stays POST-SINK (same pushdown hazard as
-          // the window run: an in-stream event_type predicate lands
-          // below the watermark node and the sentinels never advance
-          // it — here that would silently skip the eviction exercise)
-          val q = EventStream.dedupeWithinWatermark(stream)
-            .select(col("event_id"), col("user_id"), col("event_type"),
-              floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
-            .writeStream
-            .format("parquet").option("path", s"$tmp/out")
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .trigger(Trigger.AvailableNow()).start()
-          assert(q.awaitTermination(300000), "dedupe stream did not finish")
+        withSharedStaging(s, s"dedup:$d", "dedupe", dedupConsumers)(
+            stageDoubledFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_dedupe_run_").toString
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            // sentinel filter stays POST-SINK (same pushdown hazard as
+            // the window run: an in-stream event_type predicate lands
+            // below the watermark node and the sentinels never advance
+            // it — here that would silently skip the eviction exercise)
+            val q = EventStream.dedupeWithinWatermark(stream)
+              .select(col("event_id"), col("user_id"), col("event_type"),
+                floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000), "dedupe stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("event_type") =!= "flush")
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
         }
-        val out = s.read.parquet(s"$tmp/out")
-          .where(col("event_type") =!= "flush")
-          .localCheckpoint(true)
-        deleteRecursively(tmp)
-        out
       }),
 
     // ---- The update-mode transitions processor through the oracle
@@ -684,6 +695,20 @@ object StreamingQueries {
       |  ON p.user_id = s.user_id
       | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Left-semi twin of [[attributionSql]] (converted signups — one
+    * row per signup with at least one in-window purchase, no purchase
+    * columns), shared by the batch rendering and the real run. */
+  private lazy val attributionSemiSql: String =
+    """SELECT s.event_id AS signup_id, s.user_id AS user_id,
+      |  epoch_us(s.ts) AS signup_us
+      |FROM events s
+      |WHERE s.event_type = 'signup'
+      |  AND EXISTS (SELECT 1 FROM events p
+      |              WHERE p.event_type = 'purchase'
+      |                AND p.user_id = s.user_id
+      |                AND p.ts > s.ts
+      |                AND p.ts <= s.ts + INTERVAL 1 HOUR)""".stripMargin
+
   /** The gap-sessionization oracle (lag + cumsum session ids, 30-min
     * idle gap, cent-exact totals) — shared verbatim by BOTH streaming
     * sessionizer runs so the two state-machine APIs are pinned to one
@@ -783,6 +808,27 @@ object StreamingQueries {
   private val sessConsumers =
     Set("fmgws", "tws", "window", "session_window", "transitions", "topk",
       "recent", "enrich")
+
+  /** Consumers of the shared DOUBLED events staging (every row twice —
+    * the worst-case at-least-once source): the bounded dedup run and
+    * the chained dedup→window run read the same staged bytes. */
+  private val dedupConsumers = Set("dedupe", "chain")
+
+  /** Stage the events fixture DOUBLED under `t/in` (both copies of a
+    * row share a ts, so range staging lands them in the same file —
+    * in-horizon duplicates, the case dropDuplicatesWithinWatermark
+    * exists for; a copy delivered after the watermark passed would be
+    * dropped as late, not deduped), plus the flush sentinels. */
+  private def stageDoubledFixture(s: org.apache.spark.sql.SparkSession,
+      d: String)(t: String): Unit = {
+    val inDir = s"$t/in"
+    val ev = Tables(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    stageRanged(ev.union(ev), inDir, 4, col("ts"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    stageSentinels(s, inDir, maxTs, "flush")
+  }
 
   /** Run an update-mode transformWithState machine over the shared
     * staged fixture through the exactly-once foreachBatch sink and
@@ -938,7 +984,7 @@ object StreamingQueries {
       import java.nio.file.Files
       import org.apache.spark.sql.streaming.Trigger
       withSharedStaging(s, s"attr:$d", joinKind,
-          Set("inner", "left_outer")) { t =>
+          Set("inner", "left_outer", "left_semi")) { t =>
         // the staged bytes are identical for the inner and outer
         // variants — one staging serves both
         val ev = Tables(s, d, "events")
@@ -962,9 +1008,11 @@ object StreamingQueries {
           .readEvents(s, s"$staged/$name", Map("maxFilesPerTrigger" -> "2"))
         val sig = side("signups")
         val pur = side("purchases")
-        val joined =
-          if (joinKind == "inner") EventStream.attribution(sig, pur)
-          else EventStream.attributionOuter(sig, pur)
+        val joined = joinKind match {
+          case "inner" => EventStream.attribution(sig, pur)
+          case "left_semi" => EventStream.attributionSemi(sig, pur)
+          case _ => EventStream.attributionOuter(sig, pur)
+        }
         withStatePartitions(s) {
           val q = joined.writeStream
             .format("parquet").option("path", s"$tmp/out")
@@ -973,9 +1021,13 @@ object StreamingQueries {
           assert(q.awaitTermination(300000),
             s"$joinKind attribution stream did not finish")
         }
-        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
-          .select(col("signup_id"), col("purchase_id"),
+        val cols =
+          if (joinKind == "left_semi")
+            Seq(col("signup_id"), col("user_id"), col("signup_us"))
+          else Seq(col("signup_id"), col("purchase_id"),
             col("user_id"), col("delay_us"))
+        val out = s.read.parquet(s"$tmp/out").where(col("user_id") =!= -1L)
+          .select(cols: _*)
           .localCheckpoint(true) // pin rows so the sink dir can go
         deleteRecursively(tmp)
         out
@@ -1037,14 +1089,23 @@ object StreamingQueries {
     // one trigger — the flush batch then IS the no-data batch. true
     // is Spark's default, but a session that disabled it would make
     // every final emission silently vanish, so pin it per-run.
+    // and restore the state-store provider afterwards: the
+    // transformWithState builders REQUIRE RocksDB and set it
+    // session-globally before their query starts — without a restore,
+    // every LATER streaming entry in the session silently inherits
+    // RocksDB too, making an entry's provider (and its measured cost)
+    // depend on catalog order instead of on the entry.
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     val prevNd = s.conf.get(ndKey)
+    val prevProv = s.conf.get(provKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     s.conf.set(ndKey, "true")
     try f finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set(ndKey, prevNd)
+      s.conf.set(provKey, prevProv)
     }
   }
 

@@ -197,6 +197,29 @@ object EventStream {
         (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"))
   }
 
+  /** LEFT-SEMI stream-stream interval join: converted signups — one
+    * row per signup that has at least one purchase within the hour,
+    * with NO purchase columns (the semi contract: existence, not
+    * pairing — a signup with five purchases emits once, where
+    * [[attribution]] emits five). In streaming mode Spark emits the
+    * signup as soon as its first match arrives and drops it from
+    * state; unmatched signups are evicted silently once both
+    * watermarks pass their interval. A batch caller gets the plain
+    * left-semi interval join. */
+  def attributionSemi(signups: DataFrame, purchases: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val s = (if (signups.isStreaming) signups.withWatermark("ts", watermark)
+             else signups).alias("s")
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark)
+             else purchases).alias("p")
+    s.join(p, expr(
+        "p.user_id = s.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"),
+        "left_semi")
+      .select(col("s.event_id").as("signup_id"),
+        col("s.user_id").as("user_id"),
+        unix_micros(col("s.ts")).as("signup_us"))
+  }
+
   /** Temporal stream-static enrichment — the streaming twin of the
     * batch point-in-time join (`q_scd2_pit`): each event joins the
     * dimension VERSION valid at ITS OWN event time, so late-arriving

@@ -203,10 +203,12 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(effectful === Set("q_pipeline_e2e", "q_stream_sessionize_run",
       "q_stream_sessionize_tws_run", "q_keyedlog_replay",
       "q_stream_cdc_run", "q_stream_exactly_once_run",
-      // the real stream-stream interval joins: running fn stages two
-      // file streams and executes the watermarked join; the unstarted
-      // streaming plan is linted in the attribution-join test below
+      // the real stream-stream interval joins (inner, left-outer,
+      // left-semi): running fn stages two file streams and executes
+      // the watermarked join; the unstarted streaming plans are
+      // linted in the attribution-join test below
       "q_stream_attribution_run", "q_stream_attribution_outer_run",
+      "q_stream_attribution_semi_run",
       // windowed agg / bounded dedup / update-mode transitions runs:
       // each executes a staged replay through the REAL machinery; the
       // unstarted streaming plans are linted in the dedicated tests
@@ -345,6 +347,9 @@ class PlanGuardSpec extends SparkSpecBase {
         ev.where(col("event_type") === "signup"),
         ev.where(col("event_type") === "purchase")),
       EventStream.attributionOuter(
+        ev.where(col("event_type") === "signup"),
+        ev.where(col("event_type") === "purchase")),
+      EventStream.attributionSemi(
         ev.where(col("event_type") === "signup"),
         ev.where(col("event_type") === "purchase"))
     ).foreach { joined =>

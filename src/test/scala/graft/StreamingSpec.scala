@@ -526,6 +526,66 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("chained dedup→window restart: recovered state in BOTH stores equals batch") {
+    // the chain holds TWO state stores (dedup keys + open windows) in
+    // one checkpoint; a restart must recover both. Run 1 sees the
+    // first half once. Run 2 RE-DELIVERS the in-horizon tail of run 1
+    // (its ts is ahead of the recovered watermark, so only the
+    // RECOVERED dedup state can reject it — a lost store doubles
+    // window counts) plus the second half doubled, then the flush
+    // clocks close every window exactly once.
+    val base = java.nio.file.Files.createTempDirectory("graft_chain_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 10)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+    val mid = sample(sample.length / 2).ts.getTime
+    val firstHalf = sample.filter(_.ts.getTime <= mid).toIndexedSeq
+    val secondHalf = sample.filter(_.ts.getTime > mid).toIndexedSeq
+    val run1Max = firstHalf.map(_.ts.getTime).max
+    // ahead of the recovered watermark (run1Max - 10 min) AND still in
+    // the dedup store's eviction horizon (ts + 10 min >= watermark)
+    val redelivered = firstHalf.filter(_.ts.getTime > run1Max - 10 * 60 * 1000L)
+    assert(redelivered.nonEmpty, "fixture too sparse for an in-horizon tail")
+    def writeChunk(evts: Seq[Event]): Unit =
+      spark.createDataset(evts).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+        .parquet(in)
+      val q = EventStream.dedupedWindowedAgg(events).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitFinished(q)
+    }
+    writeChunk(firstHalf)
+    runOnce()
+    writeChunk(redelivered ++ secondHalf ++ secondHalf)
+    runOnce()
+    writeChunk(Seq(
+      Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0),
+      Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0)))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .where($"event_type" =!= "flush")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    val want = EventStream.dedupedWindowedAgg(
+        spark.createDataset(sample.toIndexedSeq).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(got === want)
+  }
+
   test("streaming top-k event types (MapState) equals the batch twin") {
     val sample = Tables(spark, sfDir, "events")
       .where($"user_id" < 20)
