@@ -901,23 +901,35 @@ object StreamingQueries {
     // insert the holder under the map lock, but run the staging Spark
     // jobs (range shuffle + write + agg) OUTSIDE it — a concurrent
     // caller for a DIFFERENT key must not block behind this key's
-    // staging; same-key callers serialize on the holder itself.
-    val st = stagings.synchronized {
-      exitSweep
-      stagings.getOrElseUpdate(key, new Staging(
-        java.nio.file.Files.createTempDirectory("graft_staging_").toString))
-    }
-    st.synchronized {
-      if (!st.ready) {
-        try { stage(st.dir); st.ready = true }
-        catch { case e: Throwable =>
-          // a half-staged dir must not be served to the next caller
-          stagings.synchronized { stagings.remove(key); () }
-          deleteRecursively(st.dir)
-          throw e
+    // staging; same-key callers serialize on the holder itself. The
+    // loop re-resolves the holder after acquiring it: a waiter that
+    // blocked behind a FAILED stager would otherwise stage into the
+    // dir that stager already removed from the map (and deleted).
+    @annotation.tailrec
+    def acquire(): Staging = {
+      val st = stagings.synchronized {
+        exitSweep
+        stagings.getOrElseUpdate(key, new Staging(
+          java.nio.file.Files.createTempDirectory("graft_staging_").toString))
+      }
+      val ok = st.synchronized {
+        if (st.ready) true
+        else if (stagings.synchronized(!stagings.get(key).contains(st))) false
+        else {
+          try { stage(st.dir); st.ready = true; true }
+          catch { case e: Throwable =>
+            // a half-staged dir must not be served to the next caller
+            stagings.synchronized {
+              if (stagings.get(key).contains(st)) { stagings.remove(key); () }
+            }
+            deleteRecursively(st.dir)
+            throw e
+          }
         }
       }
+      if (ok) st else acquire()
     }
+    val st = acquire()
     val out = run(st.dir)
     stagings.synchronized {
       stagings.get(key).foreach { cur =>
