@@ -543,6 +543,54 @@ object MigrationQueries {
             col("seq").cast("bigint").as("version"))
       }),
 
+    // ---- SCD2 history from the same changelog: where cdc_apply
+    // keeps only the LATEST state, this builds the full versioned
+    // dimension — every non-delete record opens a version valid
+    // [its seq, next record's seq); the key's last record leaves an
+    // open (current) version; a delete closes the prior version
+    // without opening one, and a later re-insert/update reopens
+    // history (the k%385 keys exercise exactly that: I,U1,D,U2).
+    // The only window partitions BY KEY over ≤4 records per key —
+    // per-key bounded state, hash-partitioned, no global sort, the
+    // same scale contract as the streaming sessionizers. ----
+    QueryDef("q_migrate_cdc_history", Some(
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, 0 AS seq, 'I' AS op,
+        |    o_orderstatus AS status,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, 'U', 'U1',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 500
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL, NULL
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'U', 'U2',
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) + 1000
+        |  FROM orders WHERE o_orderkey % 35 = 0),
+        |v AS (
+        |  SELECT k, seq, op, status, cents,
+        |    lead(seq) OVER (PARTITION BY k ORDER BY seq) AS next_seq
+        |  FROM log)
+        |SELECT k AS o_orderkey, status, cents,
+        |  CAST(seq AS BIGINT) AS valid_from_version,
+        |  CAST(next_seq AS BIGINT) AS valid_to_version,
+        |  (next_seq IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("k")).orderBy(col("seq"))
+        cdcLog(s, d)
+          .withColumn("next_seq", lead(col("seq"), 1).over(w))
+          .where(col("op") =!= "D")
+          .select(col("k").as("o_orderkey"), col("status"), col("cents"),
+            col("seq").cast("bigint").as("valid_from_version"),
+            col("next_seq").cast("bigint").as("valid_to_version"),
+            col("next_seq").isNull.as("is_current"))
+      }),
+
     // ---- inclusion-dependency profiling: for each candidate
     // child→parent column pair, what fraction of the child's DISTINCT
     // values exist in the parent — the FK-discovery pre-flight a

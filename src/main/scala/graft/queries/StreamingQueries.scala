@@ -65,6 +65,20 @@ object StreamingQueries {
     QueryDef("q_stream_session_window_batch", Some(sessionWindowSql))(
       (s, d) => EventStream.sessionWindowAgg(Tables(s, d, "events"))),
 
+    // The gap PARAMETER pinned at both extremes (5 min fragments the
+    // stream into many short sessions; 2 h merges most of a user's
+    // day): the 30-min default above cannot catch a gap unit/scale
+    // bug (minutes-as-seconds, off-by-1000 micros) that these do.
+    QueryDef("q_stream_session_window_gap5m",
+      Some(sessionWindowGapSql(300000000L)))(
+      (s, d) => EventStream.sessionWindowAgg(Tables(s, d, "events"),
+        gap = "5 minutes")),
+
+    QueryDef("q_stream_session_window_gap2h",
+      Some(sessionWindowGapSql(7200000000L)))(
+      (s, d) => EventStream.sessionWindowAgg(Tables(s, d, "events"),
+        gap = "2 hours")),
+
     // ---- The REAL streaming native session_window aggregation
     // through the oracle gate: the shared staged fixture replays under
     // Trigger.AvailableNow, the watermarked MergingSessions operator
@@ -578,40 +592,93 @@ object StreamingQueries {
         import org.apache.spark.sql.streaming.Trigger
         import graft.streaming.{CdcStream, ExactlyOnceBatchSink}
         import s.implicits._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_cdc_run_").toString
-        val inDir = s"$tmp/in"
-        val log = MigrationQueries.cdcLog(s, d)
-        // seq-major ranges: inserts arrive before their updates, the
-        // live ordering; LWW must ALSO absorb replays, proven below
-        stageRanged(log, inDir, 4, col("seq"), col("k"))
-        val stream = s.readStream.schema(log.schema)
-          .option("maxFilesPerTrigger", "2").parquet(inDir)
-          .as[CdcStream.CdcRecord]
-        val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
-        withStatePartitions(s) {
-          val q = CdcStream(stream).toDF().writeStream
-            .outputMode("update")
-            .foreachBatch(sink.foreachBatchFn)
-            .option("checkpointLocation", s"$tmp/ckpt")
-            .trigger(Trigger.AvailableNow()).start()
-          assert(q.awaitTermination(300000), "cdc stream did not finish")
+        withSharedStaging(s, s"cdc:$d", "apply", cdcConsumers)(
+            stageCdcFixture(s, d)) { staged =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_cdc_run_").toString
+          val stream = s.readStream
+            .schema(MigrationQueries.cdcLog(s, d).schema)
+            .option("maxFilesPerTrigger", "2").parquet(s"$staged/in")
+            .as[CdcStream.CdcRecord]
+          val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+          withStatePartitions(s) {
+            val q = CdcStream(stream).toDF().writeStream
+              .outputMode("update")
+              .foreachBatch(sink.foreachBatchFn)
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000), "cdc stream did not finish")
+          }
+          val last = sink.committedBatches(s).last
+          assert(!sink.writeBatch(s.read.parquet(sink.batchDir(last)), last),
+            "already-committed batch was re-written — exactly-once broken")
+          val emitted = sink.read(s)
+          val latest = emitted.groupBy(col("k")).agg(max(col("seq")).as("mseq"))
+            .withColumnRenamed("k", "lk")
+          val out = emitted.join(latest.hint("shuffle_hash"),
+              col("k") === col("lk") && col("seq") === col("mseq"))
+            .where(col("op") =!= "D")
+            .select(col("k").as("o_orderkey"), col("op").as("last_op"),
+              col("status"), col("cents"),
+              col("seq").cast("bigint").as("version"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
         }
-        val last = sink.committedBatches(s).last
-        assert(!sink.writeBatch(s.read.parquet(sink.batchDir(last)), last),
-          "already-committed batch was re-written — exactly-once broken")
-        val emitted = sink.read(s)
-        val latest = emitted.groupBy(col("k")).agg(max(col("seq")).as("mseq"))
-          .withColumnRenamed("k", "lk")
-        val out = emitted.join(latest.hint("shuffle_hash"),
-            col("k") === col("lk") && col("seq") === col("mseq"))
-          .where(col("op") =!= "D")
-          .select(col("k").as("o_orderkey"), col("op").as("last_op"),
-            col("status"), col("cents"),
-            col("seq").cast("bigint").as("version"))
-          .localCheckpoint(true)
-        deleteRecursively(tmp)
-        out
+      }),
+
+    // ---- Streaming SCD2 history maintenance through the oracle gate:
+    // the SAME staged changelog replays through CdcHistoryProcessor,
+    // whose ValueState (one record per key — the apply machine's exact
+    // bound) closes the previous version and opens the new one as each
+    // record arrives. Update-mode emissions flow through the
+    // exactly-once sink; the latest emission per (k, valid_from) IS
+    // the finished history (an open version emitted in batch i is
+    // re-emitted closed when its successor arrives, and the later
+    // batch wins), which must hash-equal the batch lead()-window
+    // build's SQL — DuckDB gates the incremental version algebra
+    // itself: closing, reopening after deletes, and is_current. ----
+    QueryDef("q_stream_cdc_history_run", effectful = true, oracle = Some(
+      QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_history",
+        "q_stream_cdc_history_run")))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:cdc_history_run:${layout(s)}:$d") {
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.streaming.{CdcStream, ExactlyOnceBatchSink}
+        import s.implicits._
+        withSharedStaging(s, s"cdc:$d", "history", cdcConsumers)(
+            stageCdcFixture(s, d)) { staged =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_cdc_hist_run_").toString
+          val stream = s.readStream
+            .schema(MigrationQueries.cdcLog(s, d).schema)
+            .option("maxFilesPerTrigger", "2").parquet(s"$staged/in")
+            .as[CdcStream.CdcRecord]
+          val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+          withStatePartitions(s) {
+            val q = CdcStream.history(stream).toDF().writeStream
+              .outputMode("update")
+              .foreachBatch(sink.foreachBatchFn)
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "cdc history stream did not finish")
+          }
+          val emitted = sink.readKeepingBatch(s)
+          val latest = emitted
+            .groupBy(col("k").as("lk"), col("valid_from").as("lf"))
+            .agg(max(col("batch")).as("lb"))
+          val out = emitted.join(latest.hint("shuffle_hash"),
+              col("k") === col("lk") && col("valid_from") === col("lf") &&
+                col("batch") === col("lb"))
+            .select(col("k").as("o_orderkey"), col("status"), col("cents"),
+              col("valid_from").cast("bigint").as("valid_from_version"),
+              col("valid_to").cast("bigint").as("valid_to_version"),
+              col("is_current"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
+        }
       }),
 
     // ---- Exactly-once storage under crash-amnesia replay: a
@@ -734,6 +801,21 @@ object StreamingQueries {
     * rendering AND the real streaming run so the MergingSessions
     * operator is pinned to the same SQL truth on both surfaces. */
   // lazy: referenced by `defs` above during object init
+  /** [[sessionWindowSql]] for an arbitrary gap (micros) — the gap
+    * parameter's DuckDB twin. */
+  private def sessionWindowGapSql(gapUs: Long): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
+       |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+       |                       OR tus - lag(tus) OVER w > $gapUs
+       |                     THEN 1 ELSE 0 END AS new_s
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+       |SELECT user_id, min(tus) AS session_start_us,
+       |  max(tus) + $gapUs AS session_end_us, count(*) AS n_events,
+       |  sum(floor(value*100 + 0.5))/100.0 AS total_value
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
   private lazy val sessionWindowSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
       |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
@@ -813,6 +895,18 @@ object StreamingQueries {
     * the worst-case at-least-once source): the bounded dedup run and
     * the chained dedup→window run read the same staged bytes. */
   private val dedupConsumers = Set("dedupe", "chain")
+
+  /** Consumers of the shared seq-major CDC changelog staging: the LWW
+    * apply run and the SCD2 history run replay the same staged log. */
+  private val cdcConsumers = Set("apply", "history")
+
+  /** Stage the modeled CDC changelog under `t/in`, seq-major ranges
+    * sub-ordered by key: inserts arrive before their updates — the
+    * live ordering both CDC machines contractually consume. */
+  private def stageCdcFixture(s: org.apache.spark.sql.SparkSession,
+      d: String)(t: String): Unit =
+    stageRanged(MigrationQueries.cdcLog(s, d), s"$t/in", 4,
+      col("seq"), col("k"))
 
   /** Stage the events fixture DOUBLED under `t/in` (both copies of a
     * row share a ts, so range staging lands them in the same file —

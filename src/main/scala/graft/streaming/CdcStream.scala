@@ -33,6 +33,36 @@ object CdcStream {
       .transformWithState(new CdcProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One SCD2 version row: valid [validFrom, validTo) in changelog
+    * seq space; `validTo` None = the key's current (open) version. */
+  final case class VersionRow(k: Long, status: String, cents: Option[Long],
+      valid_from: Int, valid_to: Option[Int], is_current: Boolean)
+
+  /** Streaming SCD2 history maintenance — the incremental twin of the
+    * batch lead()-window history build (q_migrate_cdc_history): state
+    * is ONE record per key (the key's latest log record, same constant
+    * bound as [[apply]]); each arriving record CLOSES the previous
+    * non-delete version (emits it with valid_to = the new seq) and, if
+    * itself a non-delete, emits its own OPEN version. Update-mode
+    * last-emission-per-(k, valid_from) is therefore the finished
+    * history: a version emitted open in batch i is re-emitted closed
+    * in the batch its successor arrives, and the later emission wins.
+    * Within one batch a version can both open and close — the
+    * processor emits only each version's LAST state for the batch, so
+    * per-(k, valid_from) emissions are unambiguous per batch. Replayed
+    * records (seq <= stored seq) are dropped so re-delivery never
+    * corrupts state; output-side exactly-once is the foreachBatch
+    * sink's marker protocol, same as [[apply]]. */
+  def history(log: Dataset[CdcRecord]): Dataset[VersionRow] = {
+    import log.sparkSession.implicits._
+    log.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    log.groupByKey(_.k)
+      .transformWithState(new CdcHistoryProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }
 
 /** Last-writer-wins state machine: keep the max-seq record per key,
@@ -56,5 +86,47 @@ final class CdcProcessor
     val best = (prev ++ rows).maxBy(_.seq)
     cur.update(best)
     Iterator.single(best)
+  }
+}
+
+/** SCD2 state machine behind [[CdcStream.history]]: ValueState holds
+  * the key's latest record; an arriving record closes the previous
+  * non-delete version and (unless a delete) opens its own. Emissions
+  * within a batch are deduplicated per version (last state wins) so
+  * the update-mode sink sees one row per (k, valid_from) per batch. */
+final class CdcHistoryProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, CdcStream.CdcRecord, CdcStream.VersionRow] {
+  import CdcStream.{CdcRecord, VersionRow}
+
+  @transient private var cur: ValueState[CdcRecord] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cur = getHandle.getValueState[CdcRecord]("cur",
+      Encoders.product[CdcRecord], TTLConfig.NONE)
+
+  override def handleInputRows(k: Long, rows: Iterator[CdcRecord],
+      tv: TimerValues): Iterator[VersionRow] = {
+    // seq order within the batch: the fold's "previous" must be the
+    // true predecessor even when one batch carries several records
+    val ordered = rows.toSeq.sortBy(_.seq)
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, VersionRow]
+    var prev = if (cur.exists()) Some(cur.get()) else None
+    ordered.foreach { r =>
+      prev match {
+        case Some(p) if r.seq <= p.seq => // replayed/stale — already folded
+        case _ =>
+          prev.filter(_.op != "D").foreach { p =>
+            out(p.seq) = VersionRow(k, p.status, p.cents, p.seq,
+              Some(r.seq), is_current = false)
+          }
+          if (r.op != "D")
+            out(r.seq) = VersionRow(k, r.status, r.cents, r.seq,
+              None, is_current = true)
+          prev = Some(r)
+      }
+    }
+    prev.foreach(cur.update)
+    out.valuesIterator
   }
 }

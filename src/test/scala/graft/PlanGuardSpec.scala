@@ -202,7 +202,8 @@ class PlanGuardSpec extends SparkSpecBase {
     val effectful = Catalog.all.filter(_.effectful).map(_.name).toSet
     assert(effectful === Set("q_pipeline_e2e", "q_stream_sessionize_run",
       "q_stream_sessionize_tws_run", "q_keyedlog_replay",
-      "q_stream_cdc_run", "q_stream_exactly_once_run",
+      "q_stream_cdc_run", "q_stream_cdc_history_run",
+      "q_stream_exactly_once_run",
       // the real stream-stream interval joins (inner, left-outer,
       // left-semi): running fn stages two file streams and executes
       // the watermarked join; the unstarted streaming plans are
@@ -475,24 +476,28 @@ class PlanGuardSpec extends SparkSpecBase {
       "the watermark is no longer upstream of the dedup")
   }
 
-  test("the streaming CDC apply plan is keyed transformWithState — linted without running") {
-    // q_stream_cdc_run is effectful (the sweeps skip it) — lint the
-    // unstarted CdcStream plan the same way as the other keyed
-    // machines: state must be keyed TransformWithState (hash-
-    // partitioned on k, one LWW record per key — bounded by the key
-    // domain, not time, so no watermark by design). An accidental
-    // regroup to a constant key would funnel the whole changelog's
-    // state through one task at 100 TB.
+  test("the streaming CDC apply and history plans are keyed transformWithState — linted without running") {
+    // q_stream_cdc_run / q_stream_cdc_history_run are effectful (the
+    // sweeps skip them) — lint the unstarted CdcStream plans the same
+    // way as the other keyed machines: state must be keyed
+    // TransformWithState (hash-partitioned on k, one record per key —
+    // bounded by the key domain, not time, so no watermark by
+    // design). An accidental regroup to a constant key would funnel
+    // the whole changelog's state through one task at 100 TB.
     import org.apache.spark.sql.catalyst.plans.logical.TransformWithState
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.CdcStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val in = MemoryStream[CdcStream.CdcRecord]
-    val plan = CdcStream(in.toDS()).queryExecution.analyzed
-    val tws = plan.collect { case t: TransformWithState => t }
-    assert(tws.nonEmpty, "CDC apply no longer uses keyed state")
-    assert(tws.forall(_.groupingAttributes.nonEmpty),
-      "CDC state is not key-partitioned")
+    Seq[(String, org.apache.spark.sql.Dataset[_])](
+      "apply" -> CdcStream(MemoryStream[CdcStream.CdcRecord].toDS()),
+      "history" -> CdcStream.history(MemoryStream[CdcStream.CdcRecord].toDS())
+    ).foreach { case (name, ds) =>
+      val tws = ds.queryExecution.analyzed
+        .collect { case t: TransformWithState => t }
+      assert(tws.nonEmpty, s"CDC $name no longer uses keyed state")
+      assert(tws.forall(_.groupingAttributes.nonEmpty),
+        s"CDC $name state is not key-partitioned")
+    }
   }
 }
