@@ -831,6 +831,59 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("streaming CDC history: restart from checkpoint keeps closing versions") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.{CdcRecord, VersionRow}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdch_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
+      .as[CdcRecord].collect()
+    def runOnce(): Unit = {
+      val ds = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
+        .parquet(in).as[CdcRecord]
+      val q = CdcStream.history(ds).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitFinished(q)
+    }
+    // run 1: base inserts only — every key's version 0 emits OPEN; run
+    // 2 (NEW query instance, same checkpoint) delivers both change
+    // waves: the RECOVERED per-key record must close version 0 with
+    // the successor's seq (a lost state store would leave version 0
+    // open forever and also mis-open post-delete versions)
+    spark.createDataset(log.filter(_.seq == 0).toIndexedSeq)
+      .write.mode("append").parquet(in)
+    runOnce()
+    spark.createDataset(log.filter(_.seq > 0).toIndexedSeq)
+      .write.mode("append").parquet(in)
+    runOnce()
+    // append-mode file sink keeps every emission; the finished row per
+    // (k, valid_from) is its CLOSED emission if one exists (a version
+    // closes at most once — valid_to is the unique successor seq — so
+    // this is order-free, unlike file read order, which is not
+    // emission order)
+    val got = spark.read.parquet(out).as[VersionRow].collect()
+      .groupBy(v => (v.k, v.valid_from))
+      .map { case (_, g) => g.find(_.valid_to.nonEmpty).getOrElse(g.head) }
+      .map(v => (v.k, v.status, v.cents.getOrElse(-1L),
+        v.valid_from.toLong, v.valid_to.map(_.toLong).getOrElse(-1L),
+        v.is_current))
+      .toSeq.sorted
+    val want = Catalog.byName("q_migrate_cdc_history").fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .sorted.toSeq
+    assert(got.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming CDC apply: out-of-order delivery converges to the same snapshot") {
     import graft.streaming.CdcStream
     import graft.streaming.CdcStream.CdcRecord
