@@ -102,6 +102,30 @@ object RelationalQueries {
           Seq("o_orderkey AS order_id", "o_totalprice AS total",
             "o_orderpriority AS priority"))),
 
+    // ---- DataSource V2 synthetic corpus through the oracle gate:
+    // the graft.sources.SyntheticDocs TableProvider generates a
+    // deterministic doc stripe per input partition (parallel, no
+    // files, no driver rows) and prunes columns at the reader; every
+    // field is total arithmetic on doc_id, so DuckDB reproduces the
+    // whole corpus from range() — the oracle gates the SOURCE, not
+    // just a count. SyntheticSourceSpec pins the pruning and the
+    // partition plan. ----
+    QueryDef("q_scan_dsv2_synthetic", Some(
+      """SELECT user_id, count(*) AS n_docs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(ts_us) AS first_ts_us
+        |FROM (SELECT doc_id, doc_id % 9973 AS user_id,
+        |        1704067200000000 + doc_id * 1000000 AS ts_us,
+        |        (doc_id * 31) % 100000 AS cents
+        |      FROM range(100000) t(doc_id))
+        |GROUP BY user_id""".stripMargin))(
+      (s, _) => s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("partitions", "8").load()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("ts_us")).as("first_ts_us"))),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

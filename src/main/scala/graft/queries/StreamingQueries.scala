@@ -65,6 +65,54 @@ object StreamingQueries {
     QueryDef("q_stream_session_window_batch", Some(sessionWindowSql))(
       (s, d) => EventStream.sessionWindowAgg(Tables(s, d, "events"))),
 
+    // ---- SLIDING windows (1 h window every 15 min): each event lands
+    // in 4 overlapping windows via one Expand feeding the same keyed
+    // aggregate as the tumbling shape — never a self-join or a
+    // per-window rescan. The oracle replicates the multi-assignment
+    // with a 4-row range cross (bounded by len/slide, not data). ----
+    QueryDef("q_stream_sliding_window_batch", Some(slidingWindowSql))(
+      (s, d) => EventStream.slidingWindowAgg(Tables(s, d, "events"))),
+
+    // ---- The REAL sliding-window streaming run: same staged fixture
+    // and flush sentinels as the tumbling run; state holds 4× the
+    // tumbling window count (len/slide), each (window, type) group
+    // emitted in append mode once the watermark passes ITS end — the
+    // overlap means one event's groups finalize across FOUR different
+    // watermark thresholds, which the oracle hash checks exactly. ----
+    QueryDef("q_stream_sliding_window_run", effectful = true,
+      oracle = Some(slidingWindowSql))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:sliding_window_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        withSharedStaging(s, s"sess:$d", "sliding", sessConsumers)(
+            stageSessionFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_sliding_run_").toString
+          val stream = EventStream.readEvents(s, s"$staged/in",
+            Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            // sentinel filter stays POST-SINK (the window run's
+            // pushdown hazard: an in-stream group-key predicate lands
+            // below the watermark node)
+            val q = EventStream.slidingWindowAgg(stream)
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "sliding window stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .where(col("event_type") =!= "flush")
+            .select(col("window_start_us"), col("event_type"),
+              col("n_events").cast("bigint").as("n_events"),
+              col("total_value"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
+        }
+      }),
+
     // The gap PARAMETER pinned at both extremes (5 min fragments the
     // stream into many short sessions; 2 h merges most of a user's
     // day): the 30-min default above cannot catch a gap unit/scale
@@ -228,6 +276,62 @@ object StreamingQueries {
     QueryDef("q_stream_attribution_outer_run", effectful = true,
       oracle = Some(attributionOuterSql))(
       (s, d) => attributionRun(s, d, "left_outer")),
+
+    // ---- CHAINED join→agg batch rendering: hourly conversion rollup
+    // over the interval join's output (count, total signup→purchase
+    // delay, exact-cent revenue), the same shared function as the
+    // streaming chain below. ----
+    QueryDef("q_stream_attribution_window_batch",
+      Some(attributionWindowSql))(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        EventStream.attributionWindowed(
+          ev.where(col("event_type") === "signup"),
+          ev.where(col("event_type") === "purchase"))
+      }),
+
+    // ---- CHAINED stateful operators, join flavor: ONE streaming
+    // query runs the watermarked stream-stream interval join FEEDING
+    // a tumbling-window aggregate on purchase time — the funnel
+    // pipeline (conversions → hourly rollup) without an intermediate
+    // sink. The join's two input watermarks propagate (as their min)
+    // through the join into the aggregate, so a window finalizes only
+    // once NO conversion with a purchase in it can still be produced
+    // — buffering, matching, eviction AND window finalization in one
+    // DuckDB hash. Same staged sides + clock sentinels as the other
+    // attribution runs (the clocks can never join, so no sentinel
+    // groups reach the aggregate). ----
+    QueryDef("q_stream_attribution_window_run", effectful = true,
+      oracle = Some(attributionWindowSql))(
+      (s, d) => graft.ops.FrameCache.memo(s,
+          s"stream:attribution_window_run:${layout(s)}:$d") {
+        import java.nio.file.Files
+        import org.apache.spark.sql.streaming.Trigger
+        withSharedStaging(s, s"attr:$d", "window_chain", attrConsumers)(
+            stageAttrFixture(s, d)) { staged =>
+          val tmp = Files.createTempDirectory("graft_attrwin_run_").toString
+          def side(name: String): DataFrame = EventStream
+            .readEvents(s, s"$staged/$name", Map("maxFilesPerTrigger" -> "2"))
+          withStatePartitions(s) {
+            val q = EventStream
+              .attributionWindowed(side("signups"), side("purchases"))
+              .writeStream
+              .format("parquet").option("path", s"$tmp/out")
+              .option("checkpointLocation", s"$tmp/ckpt")
+              .trigger(Trigger.AvailableNow()).start()
+            assert(q.awaitTermination(300000),
+              "attribution window chain stream did not finish")
+          }
+          val out = s.read.parquet(s"$tmp/out")
+            .select(col("window_start_us"),
+              col("n_conversions").cast("bigint").as("n_conversions"),
+              col("sum_delay_us").cast("bigint").as("sum_delay_us"),
+              col("sum_cents").cast("bigint").as("sum_cents"))
+            .localCheckpoint(true)
+          deleteRecursively(tmp)
+          out
+        }
+      }),
 
     // ---- LEFT-SEMI batch rendering: converted signups — existence,
     // not pairing (multi-purchase signups emit once). Same shared
@@ -762,6 +866,24 @@ object StreamingQueries {
       |  ON p.user_id = s.user_id
       | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** The chained join→window oracle: hourly rollup (by purchase time)
+    * of the interval join's conversions — count, total delay, exact
+    * cents. Shared by the batch rendering and the real chained run. */
+  private lazy val attributionWindowSql: String =
+    """WITH conv AS (
+      |  SELECT p.ts AS pts,
+      |    epoch_us(p.ts) - epoch_us(s.ts) AS delay_us,
+      |    CAST(floor(p.value*100 + 0.5) AS BIGINT) AS cents
+      |  FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = s.user_id
+      |   AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)
+      |SELECT epoch_us(pts) - epoch_us(pts) % 3600000000 AS window_start_us,
+      |  count(*) AS n_conversions,
+      |  CAST(sum(delay_us) AS BIGINT) AS sum_delay_us,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM conv GROUP BY 1""".stripMargin
+
   /** Left-semi twin of [[attributionSql]] (converted signups — one
     * row per signup with at least one in-window purchase, no purchase
     * columns), shared by the batch rendering and the real run. */
@@ -801,6 +923,20 @@ object StreamingQueries {
     * rendering AND the real streaming run so the MergingSessions
     * operator is pinned to the same SQL truth on both surfaces. */
   // lazy: referenced by `defs` above during object init
+  /** The sliding-window oracle (1 h / 15 min): every event joins the
+    * 4 window starts covering it — the cross is bounded by len/slide,
+    * never by data. Shared by the batch rendering AND the real run. */
+  // lazy: referenced by `defs` above during object init
+  private lazy val slidingWindowSql: String =
+    """WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+      |w AS (SELECT tus - tus % 900000000 - k * 900000000 AS wstart,
+      |             event_type, value
+      |      FROM e CROSS JOIN (SELECT unnest(range(4)) AS k)
+      |      WHERE tus - tus % 900000000 - k * 900000000 > tus - 3600000000)
+      |SELECT wstart AS window_start_us, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2""".stripMargin
+
   /** [[sessionWindowSql]] for an arbitrary gap (micros) — the gap
     * parameter's DuckDB twin. */
   private def sessionWindowGapSql(gapUs: Long): String =
@@ -888,8 +1024,8 @@ object StreamingQueries {
     * update-mode machines, and the temporal enrichment all read the
     * same staged bytes — the staging is deleted once all have run. */
   private val sessConsumers =
-    Set("fmgws", "tws", "window", "session_window", "transitions", "topk",
-      "recent", "enrich")
+    Set("fmgws", "tws", "window", "sliding", "session_window",
+      "transitions", "topk", "recent", "enrich")
 
   /** Consumers of the shared DOUBLED events staging (every row twice —
     * the worst-case at-least-once source): the bounded dedup run and
@@ -899,6 +1035,34 @@ object StreamingQueries {
   /** Consumers of the shared seq-major CDC changelog staging: the LWW
     * apply run and the SCD2 history run replay the same staged log. */
   private val cdcConsumers = Set("apply", "history")
+
+  /** Consumers of the shared two-sided attribution staging: the
+    * inner/outer/semi interval joins and the join→agg chain all read
+    * the same staged signup/purchase sides. */
+  private val attrConsumers =
+    Set("inner", "left_outer", "left_semi", "window_chain")
+
+  /** Stage the two-sided attribution fixture (signups and purchases as
+    * separate range-partitioned file streams under `t/signups` and
+    * `t/purchases`), with per-side clock sentinels: each side's
+    * watermark must advance past every real interval (outer-join null
+    * rows need min(watermarks) past signup.ts + 1h + delay; inner-join
+    * state eviction and the chained window's finalization need the
+    * same bound). */
+  private def stageAttrFixture(s: org.apache.spark.sql.SparkSession,
+      d: String)(t: String): Unit = {
+    val ev = Tables(s, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    Seq("signup" -> "signups", "purchase" -> "purchases").foreach {
+      case (etype, name) =>
+        val dir = s"$t/$name"
+        stageRanged(ev.where(col("event_type") === etype), dir, 4,
+          col("ts"))
+        stageSentinels(s, dir, maxTs, etype)
+    }
+  }
 
   /** Stage the modeled CDC changelog under `t/in`, seq-major ranges
     * sub-ordered by key: inserts arrive before their updates — the
@@ -1089,26 +1253,8 @@ object StreamingQueries {
         s"stream:attribution_run:$joinKind:${layout(s)}:$d") {
       import java.nio.file.Files
       import org.apache.spark.sql.streaming.Trigger
-      withSharedStaging(s, s"attr:$d", joinKind,
-          Set("inner", "left_outer", "left_semi")) { t =>
-        // the staged bytes are identical for the inner and outer
-        // variants — one staging serves both
-        val ev = Tables(s, d, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"), col("props"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
-        Seq("signup" -> "signups", "purchase" -> "purchases").foreach {
-          case (etype, name) =>
-            val dir = s"$t/$name"
-            stageRanged(ev.where(col("event_type") === etype), dir, 4,
-              col("ts"))
-            // clock sentinels advance THIS side's watermark past every
-            // real interval (outer-join null rows need min(watermarks)
-            // past signup.ts + 1h + delay; inner-join state eviction
-            // needs the same bound)
-            stageSentinels(s, dir, maxTs, etype)
-        }
-      } { staged =>
+      withSharedStaging(s, s"attr:$d", joinKind, attrConsumers)(
+          stageAttrFixture(s, d)) { staged =>
         val tmp = Files.createTempDirectory(s"graft_attr_${joinKind}_").toString
         def side(name: String): DataFrame = EventStream
           .readEvents(s, s"$staged/$name", Map("maxFilesPerTrigger" -> "2"))

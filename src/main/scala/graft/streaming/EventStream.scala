@@ -82,6 +82,25 @@ object EventStream {
         col("approx_users"))
   }
 
+  /** SLIDING-window counts/sums per event type: each event belongs to
+    * len/slide overlapping windows (Spark plans one Expand — 4 rows
+    * per event at 1h/15m — feeding the same keyed aggregate as the
+    * tumbling shape; state is len/slide× the tumbling window count,
+    * still watermark-bounded). Batch and streaming alike. */
+  def slidingWindowAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    in.groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Native session-window aggregation (Spark's MergingSessions
     * operator — the built-in third rendering of the gap-session
     * algebra next to the two hand-rolled state machines). Works on
@@ -218,6 +237,37 @@ object EventStream {
       .select(col("s.event_id").as("signup_id"),
         col("s.user_id").as("user_id"),
         unix_micros(col("s.ts")).as("signup_us"))
+  }
+
+  /** CHAINED stream-stream join → windowed aggregate in ONE streaming
+    * query (the funnel-at-scale pipeline): the watermarked interval
+    * join emits (signup, purchase) conversions, and a downstream
+    * tumbling-window aggregate on PURCHASE time rolls them up per
+    * hour — two stateful operators, the join's two input watermarks
+    * propagating (as their min) through the join into the aggregate,
+    * which finalizes each window in append mode once that derived
+    * watermark passes its end. Conversion money stays in exact cents.
+    * Works identically on batch frames. */
+  def attributionWindowed(signups: DataFrame, purchases: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val s = (if (signups.isStreaming) signups.withWatermark("ts", watermark)
+             else signups).alias("s")
+    val p = (if (purchases.isStreaming) purchases.withWatermark("ts", watermark)
+             else purchases).alias("p")
+    s.join(p, expr(
+        "p.user_id = s.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR"))
+      .select(col("p.ts").as("pts"),
+        (unix_micros(col("p.ts")) - unix_micros(col("s.ts"))).as("delay_us"),
+        floor(col("p.value") * 100 + 0.5).cast("bigint").as("cents"))
+      .groupBy(window(col("pts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        sum(col("delay_us")).as("sum_delay_us"),
+        sum(col("cents")).as("sum_cents"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        col("n_conversions"), col("sum_delay_us"), col("sum_cents"))
   }
 
   /** Temporal stream-static enrichment — the streaming twin of the

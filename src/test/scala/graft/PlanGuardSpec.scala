@@ -210,13 +210,16 @@ class PlanGuardSpec extends SparkSpecBase {
       // linted in the attribution-join test below
       "q_stream_attribution_run", "q_stream_attribution_outer_run",
       "q_stream_attribution_semi_run",
+      // join→agg chain: double-watermarked interval join feeding the
+      // purchase-time window aggregate; linted in the chained-join test
+      "q_stream_attribution_window_run",
       // windowed agg / bounded dedup / update-mode transitions runs:
       // each executes a staged replay through the REAL machinery; the
       // unstarted streaming plans are linted in the dedicated tests
       // below (watermarked stateful agg, DeduplicateWithinWatermark,
       // keyed TransformWithState)
-      "q_stream_window_run", "q_stream_dedupe_run",
-      "q_stream_transitions_run",
+      "q_stream_window_run", "q_stream_sliding_window_run",
+      "q_stream_dedupe_run", "q_stream_transitions_run",
       // MapState top-k and ListState recent-window machines through
       // the update-mode foreachBatch sink; keyed-state lint below
       "q_stream_topk_run", "q_stream_recent_run",
@@ -303,6 +306,20 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.nonEmpty),
       "windowed agg is no longer a keyed (window, type) aggregate")
 
+    // sliding variant: same contract (q_stream_sliding_window_run) —
+    // watermark present, aggregate keyed; the len/slide Expand stays
+    // inside the plan, never a self-join
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val slidePlan = EventStream.slidingWindowAgg(ev).queryExecution.analyzed
+    assert(slidePlan.collect { case w: EventTimeWatermark => w }.nonEmpty,
+      "sliding agg lost its watermark — unbounded window state at scale")
+    val slideAggs = slidePlan.collect { case a: Aggregate => a }
+    assert(slideAggs.nonEmpty &&
+      slideAggs.forall(_.groupingExpressions.nonEmpty),
+      "sliding agg is no longer a keyed (window, type) aggregate")
+    assert(slidePlan.collect { case j: Join => j }.isEmpty,
+      "sliding windows planned a join — the multi-assignment must be an Expand")
+
     val dedupPlan = EventStream.dedupeWithinWatermark(ev)
       .queryExecution.analyzed
     assert(dedupPlan.collect { case w: EventTimeWatermark => w }.nonEmpty,
@@ -371,6 +388,41 @@ class PlanGuardSpec extends SparkSpecBase {
         "the join condition must bound p.ts against s.ts from BOTH ends " +
           "(state-cleanup condition) — found: " + twoSided.mkString(", "))
     }
+  }
+
+  test("the chained join→window plan keeps both watermarks, a two-sided interval, and a keyed aggregate — linted without running") {
+    // q_stream_attribution_window_run is effectful (the sweeps skip
+    // it) — lint the unstarted chained plan: the interval join's
+    // contract exactly as above (two watermarks, two-sided ts bound),
+    // PLUS a keyed window aggregate downstream of the join — the
+    // funnel rollup must stay a grouped aggregate, never collapse to
+    // a global one (single-task state at 100 TB).
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.functions.col
+    val ev = EventStream.readEvents(spark, s"$sfDir/events.parquet")
+    val plan = EventStream.attributionWindowed(
+        ev.where(col("event_type") === "signup"),
+        ev.where(col("event_type") === "purchase"))
+      .queryExecution.analyzed
+    assert(plan.collect { case w: EventTimeWatermark => w }.size == 2,
+      "both interval-join inputs must carry an event-time watermark")
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, "the chain no longer plans exactly one join")
+    val j = joins.head
+    val leftTs = j.left.output.filter(_.name == "ts").map(_.exprId).toSet
+    val rightTs = j.right.output.filter(_.name == "ts").map(_.exprId).toSet
+    val twoSided = j.condition.toSeq.flatMap(_.collect {
+      case b: BinaryComparison
+          if b.references.exists(a => leftTs.contains(a.exprId)) &&
+            b.references.exists(a => rightTs.contains(a.exprId)) => b
+    })
+    assert(twoSided.size >= 2,
+      "the chained join lost its two-sided state-cleanup condition")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.nonEmpty),
+      "the chained rollup is no longer a keyed (window) aggregate")
   }
 
   test("the temporal enrichment plan is a stateless stream-static left equi-join — linted without running") {
