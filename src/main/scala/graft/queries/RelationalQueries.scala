@@ -126,6 +126,49 @@ object RelationalQueries {
           sum(col("cents")).as("sum_cents"),
           min(col("ts_us")).as("first_ts_us"))),
 
+    // ---- The SAME DSv2 source through its MICRO-BATCH read path:
+    // the offset is the doc_id position (nothing external to
+    // corrupt), admission control caps each trigger at 25k rows so
+    // the bounded AvailableNow run walks the corpus in 4 REAL
+    // micro-batches (asserted), each planned as parallel stripes of
+    // the delta. The sink's union must equal the batch corpus — the
+    // same range() oracle gates offset tracking, delta planning, and
+    // restart bookkeeping end to end. ----
+    QueryDef("q_stream_dsv2_source_run", effectful = true, oracle = Some(
+      """SELECT user_id, count(*) AS n_docs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(ts_us) AS first_ts_us
+        |FROM (SELECT doc_id, doc_id % 9973 AS user_id,
+        |        1704067200000000 + doc_id * 1000000 AS ts_us,
+        |        (doc_id * 31) % 100000 AS cents
+        |      FROM range(100000) t(doc_id))
+        |GROUP BY user_id""".stripMargin))(
+      (s, _) => graft.ops.FrameCache.memo(s,
+          s"stream:dsv2_source_run:${s.conf.get("spark.sql.shuffle.partitions")}") {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dsv2_run_").toString
+        val q = s.readStream.format("graft.sources.SyntheticDocs")
+          .option("rows", "100000").option("partitions", "8")
+          .option("rowsPerTrigger", "25000").load()
+          .writeStream
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), "dsv2 stream did not finish")
+        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        assert(batches.length >= 4,
+          s"admission control ignored: ${batches.length} batches for 4 caps")
+        val out = s.read.parquet(s"$tmp/out")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("cents")).as("sum_cents"),
+            min(col("ts_us")).as("first_ts_us"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

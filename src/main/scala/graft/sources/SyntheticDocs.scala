@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,11 +28,22 @@ import java.util
   *    Spark asks for (SupportsPushDownRequiredColumns), so
   *    `select(count)` pays for no string building — asserted by spec
   *    on the executed scan's readSchema.
+  *  - doc_id range predicates are FULLY pushed
+  *    (SupportsPushDownFilters): stripes are planned inside the
+  *    bounds and the residual Filter disappears from the executed
+  *    plan — asserted by spec.
+  *  - The MICRO-BATCH path (readStream on the same format) tracks the
+  *    doc_id position as its offset with admission-controlled pacing
+  *    (`rowsPerTrigger`), each delta planned as parallel stripes —
+  *    the V2 streaming-source extension point, gated end to end by
+  *    the same range() oracle (q_stream_dsv2_source_run).
   *
   * Usage:
   * {{{
   *   spark.read.format("graft.sources.SyntheticDocs")
   *     .option("rows", 100000).option("partitions", 8).load()
+  *   spark.readStream.format("graft.sources.SyntheticDocs")
+  *     .option("rows", 100000).option("rowsPerTrigger", 25000).load()
   * }}}
   */
 class SyntheticDocs extends TableProvider {
@@ -42,7 +54,8 @@ class SyntheticDocs extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SyntheticDocs.SynTable(
       properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt)
+      properties.getOrDefault("partitions", "4").toInt,
+      properties.getOrDefault("rowsPerTrigger", "25000").toLong)
 }
 
 object SyntheticDocs {
@@ -57,39 +70,132 @@ object SyntheticDocs {
 
   private val langs = Array("en", "de", "fr", "ja")
 
-  private[sources] final class SynTable(rows: Long, partitions: Int)
-      extends Table with SupportsRead {
+  private[sources] final class SynTable(rows: Long, partitions: Int,
+      rowsPerTrigger: Long) extends Table with SupportsRead {
     override def name(): String = s"synthetic_docs($rows)"
     override def schema(): StructType = SyntheticDocs.schema
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     override def newScanBuilder(
         options: CaseInsensitiveStringMap): ScanBuilder =
-      new SynScanBuilder(rows, partitions)
+      new SynScanBuilder(rows, partitions, rowsPerTrigger)
   }
 
-  private final class SynScanBuilder(rows: Long, partitions: Int)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private final class SynScanBuilder(rows: Long, partitions: Int,
+      rowsPerTrigger: Long)
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    import org.apache.spark.sql.sources._
     private var required: StructType = SyntheticDocs.schema
+    private var accepted: Array[Filter] = Array.empty
+    private var lo = 0L
+    private var hi = rows
     override def pruneColumns(requiredSchema: StructType): Unit =
       // empty projections (pure count) keep zero fields — honor that
       required = requiredSchema
-    override def build(): Scan = new SynScan(rows, partitions, required)
+
+    /** doc_id range bounds are FULLY pushed (no residual re-filter —
+      * the generator simply never produces out-of-range ids, and the
+      * planner prunes whole stripes); anything else stays Spark's. */
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      def long(v: Any): Option[Long] = v match {
+        case n: Number => Some(n.longValue)
+        case _ => None
+      }
+      val (ours, residual) = filters.partition {
+        case GreaterThan("doc_id", v) => long(v).isDefined
+        case GreaterThanOrEqual("doc_id", v) => long(v).isDefined
+        case LessThan("doc_id", v) => long(v).isDefined
+        case LessThanOrEqual("doc_id", v) => long(v).isDefined
+        case EqualTo("doc_id", v) => long(v).isDefined
+        case _ => false
+      }
+      ours.foreach {
+        case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+        case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
+        case LessThan(_, v) => hi = math.min(hi, long(v).get)
+        case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+        case EqualTo(_, v) =>
+          lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+        case _ => ()
+      }
+      accepted = ours
+      residual
+    }
+    override def pushedFilters(): Array[Filter] = accepted
+    override def build(): Scan =
+      new SynScan(lo, math.max(lo, hi), partitions, rowsPerTrigger, required)
   }
 
-  private final class SynScan(rows: Long, partitions: Int,
-      required: StructType) extends Scan with Batch {
+  private final class SynScan(lo: Long, hi: Long, partitions: Int,
+      rowsPerTrigger: Long, required: StructType) extends Scan with Batch {
     override def readSchema(): StructType = required
+    override def description(): String =
+      s"SyntheticDocs[range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}]"
     override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val per = (rows + partitions - 1) / partitions
-      (0 until partitions).iterator
-        .map(p => SynPartition(p * per, math.min(rows, (p + 1) * per)))
-        .filter(ip => ip.start < ip.end)
-        .toArray[InputPartition]
-    }
+    override def planInputPartitions(): Array[InputPartition] =
+      stripes(lo, hi, partitions)
     override def createReaderFactory(): PartitionReaderFactory =
       new SynReaderFactory(required.fieldNames)
+    override def toMicroBatchStream(
+        checkpointLocation: String): MicroBatchStream =
+      new SynMicroBatch(hi, partitions, rowsPerTrigger,
+        required.fieldNames, lo)
+  }
+
+  /** The doc_id range [start, end) cut into `partitions` disjoint
+    * stripes (empty stripes dropped, not planned). */
+  private def stripes(start: Long, end: Long,
+      partitions: Int): Array[InputPartition] = {
+    val n = end - start
+    val per = (n + partitions - 1) / math.max(1, partitions)
+    (0 until partitions).iterator
+      .map(p => SynPartition(start + p * per,
+        math.min(end, start + (p + 1) * per)))
+      .filter(ip => ip.start < ip.end)
+      .toArray[InputPartition]
+  }
+
+  /** The micro-batch read path: the offset IS the doc_id position —
+    * nothing external to corrupt, replays are pure recomputation (the
+    * same determinism the batch path has). Admission control caps a
+    * trigger at `rowsPerTrigger`, so a bounded run under
+    * Trigger.AvailableNow walks the corpus in several real
+    * micro-batches, each planned as parallel stripes of the delta. */
+  private final class SynMicroBatch(rows: Long, partitions: Int,
+      rowsPerTrigger: Long, fields: Array[String], from: Long = 0L)
+      extends MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+    private case class SynOffset(pos: Long) extends Offset {
+      override def json(): String = pos.toString
+    }
+    override def initialOffset(): Offset = SynOffset(from)
+    override def deserializeOffset(json: String): Offset =
+      SynOffset(json.toLong)
+    override def getDefaultReadLimit: ReadLimit =
+      ReadLimit.maxRows(rowsPerTrigger)
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "admission-controlled source: latestOffset(start, limit)")
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[SynOffset].pos
+      val cap = limit match {
+        case m: ReadMaxRows => m.maxRows()
+        case _ => rows
+      }
+      SynOffset(math.min(rows, s + cap))
+    }
+    override def reportLatestOffset(): Offset = SynOffset(rows)
+    override def prepareForTriggerAvailableNow(): Unit = ()
+    override def planInputPartitions(start: Offset,
+        end: Offset): Array[InputPartition] =
+      stripes(start.asInstanceOf[SynOffset].pos,
+        end.asInstanceOf[SynOffset].pos, partitions)
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SynReaderFactory(fields)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private case class SynPartition(start: Long, end: Long)

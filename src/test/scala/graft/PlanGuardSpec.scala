@@ -232,7 +232,13 @@ class PlanGuardSpec extends SparkSpecBase {
       // native session_window agg and the chained dedup→window-agg
       // pipeline through the real machinery; unstarted plans linted
       // in the session-window / chained-operators tests below
-      "q_stream_session_window_run", "q_stream_dedup_window_chain_run"),
+      "q_stream_session_window_run", "q_stream_dedup_window_chain_run",
+      // DSv2 micro-batch source run: stateless projection from the
+      // admission-controlled synthetic stream into a file sink — no
+      // state machine to lint; the running fn asserts >=4 real
+      // micro-batches and SyntheticSourceSpec pins the source's
+      // pruning/striping contracts
+      "q_stream_dsv2_source_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }

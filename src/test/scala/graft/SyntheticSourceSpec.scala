@@ -42,6 +42,50 @@ class SyntheticSourceSpec extends SparkSpecBase {
       s"projection did not prune the scan: ${pruned.scan.readSchema()}")
   }
 
+  test("doc_id bounds push into the v2 scan: stripes pruned, no residual filter") {
+    import org.apache.spark.sql.execution.FilterExec
+    val df = load(1000, 4)
+      .where(col("doc_id") >= 900L && col("doc_id") < 980L)
+      .select(col("doc_id"))
+    assert(df.count() === 80L)
+    // FULLY pushed: the executed plan must carry no re-filter on the
+    // generator's output, and the scan's planned range is the bounds
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case f: FilterExec => f }.isEmpty,
+      s"doc_id bounds left a residual FilterExec:\n$plan")
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("range=[900,980)"),
+      s"scan did not prune to the pushed range: ${scan.scan.description()}")
+    // non-doc_id predicates stay residual (correctness over heroics)
+    val mixed = load(1000, 4).where(col("user_id") === 7L)
+    assert(mixed.queryExecution.executedPlan
+      .collect { case f: FilterExec => f }.nonEmpty,
+      "a non-pushable predicate lost its Filter node")
+    assert(mixed.count() === load(1000, 4).collect()
+      .count(_.getLong(1) == 7L).toLong)
+  }
+
+  test("micro-batch path: admission control paces the corpus, union equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("graft_synstream_")
+    val q = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("partitions", "4")
+      .option("rowsPerTrigger", "300").load()
+      .writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "synthetic stream did not finish")
+    // 1000 rows at 300/trigger = 4 real micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) === 4)
+    val got = spark.read.parquet(s"$tmp/out")
+    assert(got.count() === 1000L)
+    // bit-identical to the batch path — offsets lost or double-planned
+    // deltas would break the exceptAll both ways
+    val batch = load(1000, 4)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("partition plan is the requested stripe set") {
     val scan = scanOf(load(1000, 8).select(col("doc_id")))
     assert(scan.inputRDD.getNumPartitions === 8)
