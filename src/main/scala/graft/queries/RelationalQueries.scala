@@ -126,6 +126,31 @@ object RelationalQueries {
           sum(col("cents")).as("sum_cents"),
           min(col("ts_us")).as("first_ts_us"))),
 
+    // ---- The pushed-bounds read through the oracle gate: the
+    // doc_id range lands in the V2 scan (stripes planned inside the
+    // bounds, residual Filter eliminated — SyntheticSourceSpec pins
+    // the plan), so this entry's rows exist ONLY if the generator
+    // honors the pushed range exactly; off-by-one stripe math or a
+    // dropped bound breaks the hash. ----
+    QueryDef("q_scan_dsv2_pushdown", Some(
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (SELECT doc_id, (doc_id * 31) % 100000 AS cents,
+        |        CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |          WHEN 2 THEN 'fr' ELSE 'ja' END AS lang
+        |      FROM range(100000) t(doc_id))
+        |WHERE doc_id >= 31337 AND doc_id < 72001
+        |GROUP BY lang""".stripMargin))(
+      (s, _) => s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("partitions", "8").load()
+        .where(col("doc_id") >= 31337L && col("doc_id") < 72001L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))),
+
     // ---- The SAME DSv2 source through its MICRO-BATCH read path:
     // the offset is the doc_id position (nothing external to
     // corrupt), admission control caps each trigger at 25k rows so

@@ -81,37 +81,14 @@ object StreamingQueries {
     // watermark thresholds, which the oracle hash checks exactly. ----
     QueryDef("q_stream_sliding_window_run", effectful = true,
       oracle = Some(slidingWindowSql))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:sliding_window_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"sess:$d", "sliding", sessConsumers)(
-            stageSessionFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_sliding_run_").toString
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            // sentinel filter stays POST-SINK (the window run's
-            // pushdown hazard: an in-stream group-key predicate lands
-            // below the watermark node)
-            val q = EventStream.slidingWindowAgg(stream)
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000),
-              "sliding window stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("event_type") =!= "flush")
-            .select(col("window_start_us"), col("event_type"),
-              col("n_events").cast("bigint").as("n_events"),
-              col("total_value"))
-            .localCheckpoint(true)
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+      (s, d) => fileSinkRun(s, d, "sliding_window_run", "sliding",
+          s"sess:$d", sessConsumers, stageSessionFixture(s, d))(
+        EventStream.slidingWindowAgg(_))(
+        sink => sink
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start_us"), col("event_type"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value")))),
 
     // The gap PARAMETER pinned at both extremes (5 min fragments the
     // stream into many short sessions; 2 h merges most of a user's
@@ -142,35 +119,15 @@ object StreamingQueries {
     // finalization — against the same lag+cumsum SQL. ----
     QueryDef("q_stream_session_window_run", effectful = true,
       oracle = Some(sessionWindowSql))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:session_window_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"sess:$d", "session_window", sessConsumers)(
-            stageSessionFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_sesswin_run_").toString
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            val q = EventStream.sessionWindowAgg(stream)
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000),
-              "session_window stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("user_id") =!= -1L)
-            .select(col("user_id"), col("session_start_us"),
-              col("session_end_us"),
-              col("n_events").cast("bigint").as("n_events"),
-              col("total_value"))
-            .localCheckpoint(true) // pin rows so the sink dir can go
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+      (s, d) => fileSinkRun(s, d, "session_window_run", "session_window",
+          s"sess:$d", sessConsumers, stageSessionFixture(s, d))(
+        EventStream.sessionWindowAgg(_))(
+        sink => sink
+          .where(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start_us"),
+            col("session_end_us"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value")))),
 
     // ---- CHAINED stateful operators under REAL duplicate delivery:
     // the fixture is staged with every row twice (the worst-case
@@ -186,34 +143,14 @@ object StreamingQueries {
     // pipeline contract in one DuckDB hash. ----
     QueryDef("q_stream_dedup_window_chain_run", effectful = true,
       oracle = Some(windowSql))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:dedup_window_chain_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"dedup:$d", "chain", dedupConsumers)(
-            stageDoubledFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_chain_run_").toString
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            val q = EventStream.dedupedWindowedAgg(stream)
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000),
-              "dedup→window chain stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("event_type") =!= "flush")
-            .select(col("window_start_us"), col("event_type"),
-              col("n_events").cast("bigint").as("n_events"),
-              col("total_value"))
-            .localCheckpoint(true)
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+      (s, d) => fileSinkRun(s, d, "dedup_window_chain_run", "chain",
+          s"dedup:$d", dedupConsumers, stageDoubledFixture(s, d))(
+        EventStream.dedupedWindowedAgg(_))(
+        sink => sink
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start_us"), col("event_type"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value")))),
 
     // ---- The stream-stream attribution join, oracled through its
     // BATCH rendering: q_stream_attribution_batch composes the EXACT
@@ -410,40 +347,21 @@ object StreamingQueries {
     // same SQL as the batch twin. ----
     QueryDef("q_stream_window_run", effectful = true,
       oracle = Some(windowSql))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:window_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"sess:$d", "window", sessConsumers)(
-            stageSessionFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_window_run_").toString
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            // NO in-stream sentinel filter: a predicate on the group
-            // key pushes through the aggregate AND the watermark node
-            // down to the scan, silently removing the flush sentinels
-            // before they can ratchet the watermark (measured: the
-            // final window per type never flushed) — sentinel groups
-            // are dropped AFTER the sink instead, like every other run
-            val q = EventStream.windowedAgg(stream)
-              .drop("approx_users") // sketch values are engine-specific
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000), "window stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("event_type") =!= "flush")
-            .select(col("window_start_us"), col("event_type"),
-              col("n_events").cast("bigint").as("n_events"),
-              col("total_value"))
-            .localCheckpoint(true) // pin rows so the sink dir can go
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+      (s, d) => fileSinkRun(s, d, "window_run", "window", s"sess:$d",
+          sessConsumers, stageSessionFixture(s, d))(
+        // NO in-stream sentinel filter: a predicate on the group key
+        // pushes through the aggregate AND the watermark node down to
+        // the scan, silently removing the flush sentinels before they
+        // can ratchet the watermark (measured: the final window per
+        // type never flushed) — fileSinkRun drops sentinel groups
+        // AFTER the sink instead, like every other run
+        stream => EventStream.windowedAgg(stream)
+          .drop("approx_users"))( // sketch values are engine-specific
+        sink => sink
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start_us"), col("event_type"),
+            col("n_events").cast("bigint").as("n_events"),
+            col("total_value")))),
 
     // ---- Bounded-state keyed dedup under REAL duplicate delivery:
     // the fixture is staged with EVERY ROW TWICE (the worst-case
@@ -458,36 +376,12 @@ object StreamingQueries {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents
         |FROM events""".stripMargin))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:dedupe_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"dedup:$d", "dedupe", dedupConsumers)(
-            stageDoubledFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_dedupe_run_").toString
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            // sentinel filter stays POST-SINK (same pushdown hazard as
-            // the window run: an in-stream event_type predicate lands
-            // below the watermark node and the sentinels never advance
-            // it — here that would silently skip the eviction exercise)
-            val q = EventStream.dedupeWithinWatermark(stream)
-              .select(col("event_id"), col("user_id"), col("event_type"),
-                floor(col("value") * 100 + 0.5).cast("bigint").as("cents"))
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000), "dedupe stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("event_type") =!= "flush")
-            .localCheckpoint(true)
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+      (s, d) => fileSinkRun(s, d, "dedupe_run", "dedupe", s"dedup:$d",
+          dedupConsumers, stageDoubledFixture(s, d))(
+        stream => EventStream.dedupeWithinWatermark(stream)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("bigint").as("cents")))(
+        _.where(col("event_type") =!= "flush"))),
 
     // ---- The update-mode transitions processor through the oracle
     // gate: one Transition row per input event, emitted EXACTLY ONCE
@@ -606,13 +500,12 @@ object StreamingQueries {
         |       WHEN epoch_us(e.ts) < (SELECT c FROM cut) THEN 'bronze'
         |       ELSE 'silver' END AS tier
         |FROM events e""".stripMargin))(
-      (s, d) => graft.ops.FrameCache.memo(s,
-          s"stream:enrich_run:${layout(s)}:$d") {
-        import java.nio.file.Files
-        import org.apache.spark.sql.streaming.Trigger
-        withSharedStaging(s, s"sess:$d", "enrich", sessConsumers)(
-            stageSessionFixture(s, d)) { staged =>
-          val tmp = Files.createTempDirectory("graft_enrich_run_").toString
+      (s, d) => fileSinkRun(s, d, "enrich_run", "enrich", s"sess:$d",
+          sessConsumers, stageSessionFixture(s, d))(
+        stream => {
+          // dim derivation stays INSIDE the build closure so it runs
+          // only on memo miss (an agg + distinct job per rebuild, not
+          // per serve)
           val ev = Tables(s, d, "events")
           val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
             max(unix_micros(col("ts"))).as("hi")).head
@@ -624,25 +517,11 @@ object StreamingQueries {
             .unionByName(users.select(col("key"), lit("silver").as("tier"),
               lit(cut).as("valid_from_us"),
               lit(null).cast("bigint").as("valid_to_us")))
-          val stream = EventStream.readEvents(s, s"$staged/in",
-            Map("maxFilesPerTrigger" -> "2"))
-          withStatePartitions(s) {
-            val q = EventStream.enrichTemporal(stream, dim)
-              .select(col("event_id"), col("e.user_id").as("user_id"),
-                col("tier"))
-              .writeStream
-              .format("parquet").option("path", s"$tmp/out")
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000), "enrich stream did not finish")
-          }
-          val out = s.read.parquet(s"$tmp/out")
-            .where(col("user_id") =!= -1L)
-            .localCheckpoint(true)
-          deleteRecursively(tmp)
-          out
-        }
-      }),
+          EventStream.enrichTemporal(stream, dim)
+            .select(col("event_id"), col("e.user_id").as("user_id"),
+              col("tier"))
+        })(
+        _.where(col("user_id") =!= -1L))),
 
     // ---- Kafka-shaped keyed-log ledger contract (graft.sources
     // .KeyedLog): events append to a partitioned offset-ordered log in
@@ -917,12 +796,6 @@ object StreamingQueries {
       |  sum(floor(value*100 + 0.5))/100.0 AS total_value
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
-  /** The native-session-window oracle: same lag+cumsum gap-session
-    * algebra as [[sessionizeRunSql]] but with session_window's
-    * end-definition (last event + gap) — shared verbatim by the batch
-    * rendering AND the real streaming run so the MergingSessions
-    * operator is pinned to the same SQL truth on both surfaces. */
-  // lazy: referenced by `defs` above during object init
   /** The sliding-window oracle (1 h / 15 min): every event joins the
     * 4 window starts covering it — the cross is bounded by len/slide,
     * never by data. Shared by the batch rendering AND the real run. */
@@ -952,18 +825,49 @@ object StreamingQueries {
        |  sum(floor(value*100 + 0.5))/100.0 AS total_value
        |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** The native-session-window oracle at the 30-min default: the SAME
+    * text as [[sessionWindowGapSql]] (one SQL truth with the gap5m/
+    * gap2h twins — a future algebra edit cannot silently diverge),
+    * shared verbatim by the batch rendering AND the real run so the
+    * MergingSessions operator is pinned on both surfaces. */
+  // lazy: referenced by `defs` above during object init
   private lazy val sessionWindowSql: String =
-    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, value FROM events),
-      |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
-      |                       OR tus - lag(tus) OVER w > 1800000000
-      |                     THEN 1 ELSE 0 END AS new_s
-      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-      |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
-      |SELECT user_id, min(tus) AS session_start_us,
-      |  max(tus) + 1800000000 AS session_end_us, count(*) AS n_events,
-      |  sum(floor(value*100 + 0.5))/100.0 AS total_value
-      |FROM s GROUP BY user_id, session_id""".stripMargin
+    sessionWindowGapSql(1800000000L)
+
+  /** The shared skeleton of every parquet-sink streaming run: memoize
+    * per (session, layout, dir), read the shared staged fixture as a
+    * two-files-per-trigger file stream, run `build`'s query under
+    * Trigger.AvailableNow at fixture-sized state parallelism, then
+    * `post`-process the sink (sentinel filtering stays POST-SINK here
+    * — an in-stream predicate on a group key pushes below the
+    * watermark node and silently defeats the flush clocks, measured on
+    * the window run) and pin the rows so the run dirs can go. One
+    * place for the run contract instead of a copy per entry. */
+  private def fileSinkRun(s: org.apache.spark.sql.SparkSession, d: String,
+      memoName: String, variant: String, stagingKey: String,
+      consumers: Set[String], stager: String => Unit)(
+      build: DataFrame => DataFrame)(
+      post: DataFrame => DataFrame): DataFrame =
+    graft.ops.FrameCache.memo(s, s"stream:$memoName:${layout(s)}:$d") {
+      import org.apache.spark.sql.streaming.Trigger
+      withSharedStaging(s, stagingKey, variant, consumers)(stager) { staged =>
+        val tmp = java.nio.file.Files
+          .createTempDirectory(s"graft_${memoName}_").toString
+        val stream = EventStream.readEvents(s, s"$staged/in",
+          Map("maxFilesPerTrigger" -> "2"))
+        withStatePartitions(s) {
+          val q = build(stream).writeStream
+            .format("parquet").option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(Trigger.AvailableNow()).start()
+          assert(q.awaitTermination(300000),
+            s"$memoName stream did not finish")
+        }
+        val out = post(s.read.parquet(s"$tmp/out")).localCheckpoint(true)
+        deleteRecursively(tmp)
+        out
+      }
+    }
 
   /** The session's shuffle-partition layout — carried in every
     * streaming memo key (same contract as the GraphQueries/
@@ -1190,7 +1094,11 @@ object StreamingQueries {
     val st = acquire()
     val out = run(st.dir)
     stagings.synchronized {
-      stagings.get(key).foreach { cur =>
+      // mark the variant ONLY on the instance we actually read: after
+      // a remove/recreate cycle the map can hold a successor staging
+      // this caller never touched — crediting it would delete the
+      // successor's dir under a consumer that still needs it
+      stagings.get(key).filter(_ eq st).foreach { cur =>
         cur.used += variant
         if (cur.used == allVariants) {
           deleteRecursively(cur.dir)

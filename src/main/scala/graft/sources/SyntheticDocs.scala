@@ -99,8 +99,15 @@ object SyntheticDocs {
       * the generator simply never produces out-of-range ids, and the
       * planner prunes whole stripes); anything else stays Spark's. */
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      // integral widths only: accepting a fractional bound and
+      // truncating would drop/include boundary rows with NO residual
+      // Filter left to correct it (the bounds are reported fully
+      // pushed) — a fractional comparison stays Spark's to evaluate
       def long(v: Any): Option[Long] = v match {
-        case n: Number => Some(n.longValue)
+        case n: java.lang.Long => Some(n.longValue)
+        case n: java.lang.Integer => Some(n.longValue)
+        case n: java.lang.Short => Some(n.longValue)
+        case n: java.lang.Byte => Some(n.longValue)
         case _ => None
       }
       val (ours, residual) = filters.partition {
@@ -220,9 +227,20 @@ object SyntheticDocs {
           case other => throw new IllegalArgumentException(
             s"unknown synthetic column: $other")
         }
+        // hot loop: fill one reusable-width GenericInternalRow with a
+        // while — no per-row Seq/Array copies (this reader's whole
+        // point is that generating N rows costs N, not N·allocs)
         override def next(): Boolean = { id += 1; id < p.end }
-        override def get(): InternalRow =
-          InternalRow.fromSeq(writers.map(_(id)).toSeq)
+        override def get(): InternalRow = {
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(writers.length)
+          var i = 0
+          while (i < writers.length) {
+            row.update(i, writers(i)(id))
+            i += 1
+          }
+          row
+        }
         override def close(): Unit = ()
       }
     }

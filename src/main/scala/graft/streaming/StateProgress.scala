@@ -58,9 +58,21 @@ object StateProgress {
 
     spark.streams.addListener(listener)
 
-    /** Stop listening and return every sample seen so far (batch
-      * order per query; listener delivery is ordered per stream). */
+    /** Stop listening and return every sample seen. Listener events
+      * are delivered asynchronously (LiveListenerBus), so a query's
+      * final progress can still be in flight when awaitTermination/
+      * stop return — quiesce first: wait until the buffer stops
+      * growing (two consecutive 50 ms windows with no new samples,
+      * 5 s cap), THEN remove the listener and read. */
     def detach(): Seq[Sample] = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var still = 0
+      var last = -1
+      while (still < 2 && System.nanoTime() < deadline) {
+        val n = buf.synchronized(buf.size)
+        if (n == last) still += 1 else { still = 0; last = n }
+        Thread.sleep(50)
+      }
       spark.streams.removeListener(listener)
       buf.synchronized(buf.toSeq)
     }

@@ -547,15 +547,23 @@ class PlanGuardSpec extends SparkSpecBase {
     import graft.streaming.CdcStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    Seq[(String, org.apache.spark.sql.Dataset[_])](
-      "apply" -> CdcStream(MemoryStream[CdcStream.CdcRecord].toDS()),
-      "history" -> CdcStream.history(MemoryStream[CdcStream.CdcRecord].toDS())
-    ).foreach { case (name, ds) =>
-      val tws = ds.queryExecution.analyzed
-        .collect { case t: TransformWithState => t }
-      assert(tws.nonEmpty, s"CDC $name no longer uses keyed state")
-      assert(tws.forall(_.groupingAttributes.nonEmpty),
-        s"CDC $name state is not key-partitioned")
-    }
+    // the CdcStream builders set the RocksDB provider session-globally
+    // (transformWithState requires it at query START) — restore it so
+    // the shared test session's later streaming tests keep running on
+    // the default provider, same hygiene as withStatePartitions
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
+    try {
+      Seq[(String, org.apache.spark.sql.Dataset[_])](
+        "apply" -> CdcStream(MemoryStream[CdcStream.CdcRecord].toDS()),
+        "history" -> CdcStream.history(MemoryStream[CdcStream.CdcRecord].toDS())
+      ).foreach { case (name, ds) =>
+        val tws = ds.queryExecution.analyzed
+          .collect { case t: TransformWithState => t }
+        assert(tws.nonEmpty, s"CDC $name no longer uses keyed state")
+        assert(tws.forall(_.groupingAttributes.nonEmpty),
+          s"CDC $name state is not key-partitioned")
+      }
+    } finally spark.conf.set(provKey, prevProv)
   }
 }

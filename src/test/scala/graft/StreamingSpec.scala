@@ -840,15 +840,21 @@ class StreamingSpec extends SparkSpecBase {
     val cp = base.resolve("cp").toString
     val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
       .as[CdcRecord].collect()
+    // restore the provider CdcStream.history sets session-globally so
+    // later streaming tests keep the shared session's default
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.get(provKey)
     def runOnce(): Unit = {
       val ds = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
         .parquet(in).as[CdcRecord]
-      val q = CdcStream.history(ds).writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", cp)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = try {
+        CdcStream.history(ds).writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set(provKey, prevProv)
       awaitFinished(q)
     }
     // run 1: base inserts only — every key's version 0 emits OPEN; run
