@@ -232,6 +232,77 @@ class StreamingSpec extends SparkSpecBase {
     assert(catalog === want)
   }
 
+  test("chained join→agg restart: buffered signups and open windows survive the checkpoint") {
+    // the funnel chain holds THREE state stores (both join buffers +
+    // the window agg) in one checkpoint. Run 1 delivers only the
+    // early halves: signups near the cut sit in join state awaiting
+    // purchases, and open windows sit in agg state. Run 2 (a NEW
+    // query instance on the same checkpoint) delivers the late halves
+    // plus per-side flush clocks — every cross-restart conversion
+    // (early signup × late purchase) exists ONLY if the recovered
+    // join buffer still holds the signup, and the final rollup must
+    // equal the batch chain exactly.
+    val base = java.nio.file.Files.createTempDirectory("graft_chainjoin_ckpt_")
+    val sigIn = base.resolve("signups").toString
+    val purIn = base.resolve("purchases").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val sample = Tables(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val signups = sample.filter(_.event_type == "signup").toIndexedSeq
+    val purchases = sample.filter(_.event_type == "purchase").toIndexedSeq
+    assert(signups.nonEmpty && purchases.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+    // cut the restart INSIDE a real conversion's interval, so a
+    // cross-restart pair exists by construction (early signup ≤ mid <
+    // late purchase) instead of hoping the row midpoint lands in one
+    val pairs = for {
+      s <- signups; p <- purchases
+      if p.user_id == s.user_id && p.ts.getTime > s.ts.getTime &&
+        p.ts.getTime <= s.ts.getTime + 3600000L
+    } yield (s.ts.getTime, p.ts.getTime)
+    assert(pairs.nonEmpty, "fixture has no conversions at all")
+    val (cutS, cutP) = pairs.maxBy(t => t._2 - t._1)
+    val mid = (cutS + cutP) / 2 // cutS <= mid < cutP (strict gap)
+    def writeChunk(dir: String, evts: Seq[Event]): Unit =
+      spark.createDataset(evts).write.mode("append").parquet(dir)
+    def runOnce(): Unit = {
+      def side(dir: String) = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+        .parquet(dir)
+      val q = EventStream.attributionWindowed(side(sigIn), side(purIn))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitFinished(q)
+    }
+    writeChunk(sigIn, signups.filter(_.ts.getTime <= mid))
+    writeChunk(purIn, purchases.filter(_.ts.getTime <= mid))
+    runOnce()
+    writeChunk(sigIn, signups.filter(_.ts.getTime > mid))
+    writeChunk(purIn, purchases.filter(_.ts.getTime > mid))
+    runOnce()
+    // per-side flush clocks (they can never join: equal ts fails
+    // p.ts > s.ts, the +4h/+2h cross misses the 1-hour bound)
+    Seq(1, 2).foreach { i =>
+      val t = new Timestamp(maxTs + i * 2 * 3600 * 1000L)
+      writeChunk(sigIn, Seq(Event(-i.toLong, t, -1L, "signup", 0.0)))
+      writeChunk(purIn, Seq(Event(-10L - i, t, -1L, "purchase", 0.0)))
+    }
+    runOnce()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start_us", "n_conversions", "sum_delay_us", "sum_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got = canon(spark.read.parquet(out))
+    val want = canon(EventStream.attributionWindowed(
+      spark.createDataset(signups).toDF(),
+      spark.createDataset(purchases).toDF()))
+    assert(got.nonEmpty && got === want)
+  }
+
   test("left-outer stream-stream join: null rows emit once both watermarks pass") {
     val base = java.nio.file.Files.createTempDirectory("graft_ssjo_")
     val in = base.resolve("in").toString
