@@ -118,13 +118,18 @@ object SyntheticDocs {
         case EqualTo("doc_id", v) => long(v).isDefined
         case _ => false
       }
+      // saturating +1: at Long.MaxValue a wrapping increment would
+      // silently invert the bound (> MaxValue -> all rows instead of
+      // none) with no residual Filter left to catch it
+      def inc(v: Long): Long =
+        if (v == Long.MaxValue) Long.MaxValue else v + 1
       ours.foreach {
-        case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+        case GreaterThan(_, v) => lo = math.max(lo, inc(long(v).get))
         case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
         case LessThan(_, v) => hi = math.min(hi, long(v).get)
-        case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+        case LessThanOrEqual(_, v) => hi = math.min(hi, inc(long(v).get))
         case EqualTo(_, v) =>
-          lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+          lo = math.max(lo, long(v).get); hi = math.min(hi, inc(long(v).get))
         case _ => ()
       }
       accepted = ours
@@ -227,13 +232,14 @@ object SyntheticDocs {
           case other => throw new IllegalArgumentException(
             s"unknown synthetic column: $other")
         }
-        // hot loop: fill one reusable-width GenericInternalRow with a
-        // while — no per-row Seq/Array copies (this reader's whole
-        // point is that generating N rows costs N, not N·allocs)
+        // hot loop: ONE mutable row per reader, refilled in place —
+        // downstream copies when buffering and codegen projects to
+        // UnsafeRow immediately, the standard row-reuse contract for
+        // v2 readers; generating N rows costs N, not N allocations
+        private val row = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(writers.length)
         override def next(): Boolean = { id += 1; id < p.end }
         override def get(): InternalRow = {
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(writers.length)
           var i = 0
           while (i < writers.length) {
             row.update(i, writers(i)(id))

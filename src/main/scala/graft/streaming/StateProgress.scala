@@ -67,11 +67,11 @@ object StateProgress {
     def detach(): Seq[Sample] = {
       val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
       var still = 0
-      var last = -1
+      var last = buf.synchronized(buf.size)
       while (still < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
         val n = buf.synchronized(buf.size)
         if (n == last) still += 1 else { still = 0; last = n }
-        Thread.sleep(50)
       }
       spark.streams.removeListener(listener)
       buf.synchronized(buf.toSeq)

@@ -11,9 +11,22 @@ import java.sql.Timestamp
   * agg, keyed dedup, and watermark-driven sessionization (no DuckDB
   * oracle exists for stateful streaming — deterministic micro-batch
   * tests instead, SURVEY.md §7.4). */
-class StreamingSpec extends SparkSpecBase {
+class StreamingSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterEach {
   import spark.implicits._
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // nine tests here start transformWithState machines whose builders
+  // set the RocksDB state-store provider session-globally (required
+  // at query START) — reset to the pre-suite default after EVERY test
+  // so no later test silently runs on a leaked provider
+  private val provKey = "spark.sql.streaming.stateStore.providerClass"
+  private lazy val defaultProv = spark.conf.get(provKey)
+  override def beforeEach(): Unit = { defaultProv; super.beforeEach() }
+  override def afterEach(): Unit = {
+    spark.conf.set(provKey, defaultProv)
+    super.afterEach()
+  }
 
   /** Await with a CHECKED timeout: on expiry stop the query and fail
     * loudly — a still-running AvailableNow query would otherwise make
@@ -911,21 +924,16 @@ class StreamingSpec extends SparkSpecBase {
     val cp = base.resolve("cp").toString
     val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
       .as[CdcRecord].collect()
-    // restore the provider CdcStream.history sets session-globally so
-    // later streaming tests keep the shared session's default
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = spark.conf.get(provKey)
+    // (provider leak handled suite-wide by afterEach)
     def runOnce(): Unit = {
       val ds = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
         .parquet(in).as[CdcRecord]
-      val q = try {
-        CdcStream.history(ds).writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", cp)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set(provKey, prevProv)
+      val q = CdcStream.history(ds).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
       awaitFinished(q)
     }
     // run 1: base inserts only — every key's version 0 emits OPEN; run
