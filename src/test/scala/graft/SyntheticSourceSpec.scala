@@ -86,6 +86,32 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("micro-batch restart: the checkpointed offset resumes, no re-generation") {
+    import org.apache.spark.sql.streaming.Trigger
+    // Trigger.Once processes EXACTLY ONE admission-controlled batch
+    // per start; a second query instance on the same checkpoint must
+    // resume from the committed doc_id offset — a reset offset would
+    // re-generate stripe 0 and double those rows, an over-advanced
+    // one would skip rows. Four runs of 300 rows cover the 1000-row
+    // corpus; union must equal the batch read exactly.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_synrestart_")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000").option("partitions", "4")
+        .option("rowsPerTrigger", "300").load()
+        .writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.Once()).start()
+      assert(q.awaitTermination(120000), "synthetic restart run hung")
+    }
+    (1 to 4).foreach(_ => runOnce())
+    val got = spark.read.parquet(s"$tmp/out")
+    assert(got.count() === 1000L)
+    val batch = load(1000, 4)
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
   test("partition plan is the requested stripe set") {
     val scan = scanOf(load(1000, 8).select(col("doc_id")))
     assert(scan.inputRDD.getNumPartitions === 8)
