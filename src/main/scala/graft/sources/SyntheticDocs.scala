@@ -51,11 +51,16 @@ class SyntheticDocs extends TableProvider {
     SyntheticDocs.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DSv2 options are nominally case-insensitive; an exact-key lookup
+    // would silently ignore a caller's "rowsPerTrigger" vs
+    // "rowspertrigger" and fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new SyntheticDocs.SynTable(
-      properties.getOrDefault("rows", "1000").toLong,
-      properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("rowsPerTrigger", "25000").toLong)
+      opts.getLong("rows", 1000L),
+      opts.getInt("partitions", 4),
+      opts.getLong("rowsPerTrigger", 25000L))
+  }
 }
 
 object SyntheticDocs {

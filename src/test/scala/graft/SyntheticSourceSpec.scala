@@ -86,26 +86,53 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
-  test("micro-batch restart: the checkpointed offset resumes, no re-generation") {
+  test("micro-batch restart: the checkpointed offset resumes mid-corpus, no re-generation") {
     import org.apache.spark.sql.streaming.Trigger
-    // Trigger.Once processes EXACTLY ONE admission-controlled batch
-    // per start; a second query instance on the same checkpoint must
-    // resume from the committed doc_id offset — a reset offset would
-    // re-generate stripe 0 and double those rows, an over-advanced
-    // one would skip rows. Four runs of 300 rows cover the 1000-row
-    // corpus; union must equal the batch read exactly.
+    // NOTE: Trigger.Once is useless here — MicroBatchExecution passes
+    // ReadLimit.allAvailable under Once, so a single "restart run"
+    // would consume the whole corpus and later starts would process
+    // nothing (offset recovery never exercised). Instead: start an
+    // admission-controlled AvailableNow run and STOP it after its
+    // first committed batch, mid-corpus by construction (20 batches of
+    // 50 rows; the poll catches the stop long before 19 more commit).
+    // The second start must resume from the committed doc_id offset —
+    // a reset offset re-generates stripe 0 and doubles those rows, an
+    // over-advanced one skips rows; either breaks the exceptAll.
     val tmp = java.nio.file.Files.createTempDirectory("graft_synrestart_")
-    def runOnce(): Unit = {
-      val q = spark.readStream.format("graft.sources.SyntheticDocs")
-        .option("rows", "1000").option("partitions", "4")
-        .option("rowsPerTrigger", "300").load()
-        .writeStream
-        .format("parquet").option("path", s"$tmp/out")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.Once()).start()
-      assert(q.awaitTermination(120000), "synthetic restart run hung")
-    }
-    (1 to 4).foreach(_ => runOnce())
+    def start() = spark.readStream.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("partitions", "4")
+      .option("rowsPerTrigger", "50").load()
+      .writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    // run 1: stop after the first committed batch (progress events are
+    // emitted post-commit, so lastProgress != null means batch 0 is
+    // durable in the checkpoint)
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while ((q1.lastProgress == null || q1.lastProgress.numInputRows == 0L)
+        && q1.isActive && System.currentTimeMillis() < deadline)
+      Thread.sleep(5)
+    q1.stop()
+    q1.awaitTermination()
+    // the sink's _spark_metadata log hides uncommitted files, so this
+    // count is exactly the committed prefix
+    val n1 = spark.read.parquet(s"$tmp/out").count()
+    assert(n1 >= 50L && n1 % 50L == 0L,
+      s"run 1 committed $n1 rows — not a whole number of 50-row batches")
+    assert(n1 < 1000L,
+      s"run 1 consumed the whole corpus ($n1 rows) — restart not mid-corpus; " +
+        "admission control was ignored or the stop lost the race")
+    // run 2: resume from the checkpointed offset and finish the corpus
+    val q2 = start()
+    assert(q2.awaitTermination(120000), "synthetic restart run 2 hung")
+    // pacing held on the resumed run too: every batch is the 50-row cap
+    val run2 = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(run2.nonEmpty && run2.forall(_.numInputRows == 50L),
+      s"resumed run not paced at 50: ${run2.map(_.numInputRows).toSeq}")
+    assert(run2.map(_.numInputRows).sum === 1000L - n1,
+      "resumed run did not process exactly the remaining corpus")
     val got = spark.read.parquet(s"$tmp/out")
     assert(got.count() === 1000L)
     val batch = load(1000, 4)
