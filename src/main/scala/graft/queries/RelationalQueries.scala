@@ -151,6 +151,41 @@ object RelationalQueries {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))),
 
+    // ---- The top rung of the V2 pushdown ladder: a global
+    // count/min/max over the (already filter-pushed) doc_id bounds is
+    // COMPLETELY pushed (SupportsPushDownAggregates) — the scan emits
+    // ONE closed-form row and Spark plans no aggregate at all, so the
+    // answer costs a subtraction however many rows the corpus claims
+    // (SyntheticSourceSpec proves it at 10^12). The entry asserts the
+    // push happened before returning, so the oracle gates the PUSHED
+    // path, not a silent fallback to Spark's own aggregate. ----
+    QueryDef("q_scan_dsv2_agg_pushdown", Some(
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT doc_id) AS n_distinct,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  min(1704067200000000 + doc_id * 1000000) AS first_ts_us,
+        |  max(1704067200000000 + doc_id * 1000000) AS last_ts_us
+        |FROM range(100000) t(doc_id)
+        |WHERE doc_id >= 20000 AND doc_id < 80000""".stripMargin))(
+      (s, _) => {
+        val out = s.read.format("graft.sources.SyntheticDocs")
+          .option("rows", "100000").option("partitions", "8").load()
+          .where(col("doc_id") >= 20000L && col("doc_id") < 80000L)
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("doc_id")).as("n_distinct"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            min(col("ts_us")).as("first_ts_us"),
+            max(col("ts_us")).as("last_ts_us"))
+        val pushed = out.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan.description()
+        }
+        assert(pushed.exists(_.contains("pushedAggregates=")),
+          s"aggregate did not push into the v2 scan: $pushed")
+        out
+      }),
+
     // ---- The SAME DSv2 source through its MICRO-BATCH read path:
     // the offset is the doc_id position (nothing external to
     // corrupt), admission control caps each trigger at 25k rows so

@@ -90,15 +90,81 @@ object SyntheticDocs {
   private final class SynScanBuilder(rows: Long, partitions: Int,
       rowsPerTrigger: Long)
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
     import org.apache.spark.sql.sources._
     private var required: StructType = SyntheticDocs.schema
     private var accepted: Array[Filter] = Array.empty
+    private var pushedAgg: Option[Seq[AggSpec]] = None
     private var lo = 0L
     private var hi = rows
     override def pruneColumns(requiredSchema: StructType): Unit =
-      // empty projections (pure count) keep zero fields — honor that
-      required = requiredSchema
+      // empty projections (pure count) keep zero fields — honor that.
+      // once an aggregation is pushed the scan's output IS the agg
+      // schema; a later pruning call (which would carry agg output
+      // attributes, not source fields) must not clobber it
+      if (pushedAgg.isEmpty) required = requiredSchema
+
+    /** COMPLETE aggregate pushdown: a global (no GROUP BY) count /
+      * min / max over columns whose extremes are pure arithmetic on
+      * the scan's [lo, hi) doc_id bounds is answered from the bounds
+      * alone — zero rows generated, however large `rows` is (the spec
+      * proves it by aggregating a 10^12-row corpus instantly). Only
+      * aggregates this source can answer EXACTLY are accepted:
+      * count(*) / count(col) (every column is non-null) = hi-lo;
+      * count(DISTINCT doc_id) = hi-lo (doc_id is the PK); min/max of
+      * doc_id and ts_us (ts_us is strictly monotone in doc_id).
+      * Anything else — min/max of the modular columns, sums, avg,
+      * GROUP BY — returns false and Spark keeps its own aggregate.
+      * Complete (not partial) pushdown: the empty-or-not range is one
+      * answer, so the scan plans ONE partition emitting ONE row and
+      * Spark plans NO aggregate node at all over it. */
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean = translateAgg(agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean =
+      translateAgg(agg) match {
+        case s @ Some(_) => pushedAgg = s; true
+        case None => false
+      }
+
+    private def translateAgg(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Option[Seq[AggSpec]] = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      def field(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+      if (agg.groupByExpressions.nonEmpty) return None
+      val specs = agg.aggregateExpressions.map {
+        case _: CountStar => Some(RowCountSpec)
+        case c: Count if !c.isDistinct && field(c.column).isDefined =>
+          Some(RowCountSpec) // all columns are non-null by schema
+        case c: Count if c.isDistinct && field(c.column).contains("doc_id") =>
+          Some(RowCountSpec) // doc_id is the PK: distinct == count
+        case m: Min => field(m.column) match {
+          case Some("doc_id") => Some(MinDocSpec)
+          case Some("ts_us") => Some(MinTsSpec)
+          case _ => None
+        }
+        case m: Max => field(m.column) match {
+          case Some("doc_id") => Some(MaxDocSpec)
+          case Some("ts_us") => Some(MaxTsSpec)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (specs.nonEmpty && specs.forall(_.isDefined))
+        Some(specs.toSeq.flatten)
+      else None
+    }
 
     /** doc_id range bounds are FULLY pushed (no residual re-filter —
       * the generator simply never produces out-of-range ids, and the
@@ -141,8 +207,74 @@ object SyntheticDocs {
       residual
     }
     override def pushedFilters(): Array[Filter] = accepted
-    override def build(): Scan =
-      new SynScan(lo, math.max(lo, hi), partitions, rowsPerTrigger, required)
+    override def build(): Scan = pushedAgg match {
+      case Some(specs) => new SynAggScan(lo, math.max(lo, hi), specs)
+      case None =>
+        new SynScan(lo, math.max(lo, hi), partitions, rowsPerTrigger, required)
+    }
+  }
+
+  /** One pushed-down aggregate column: its output field and its
+    * closed-form answer over the scan's doc_id range [lo, hi).
+    * `eval` returns null for min/max over an empty range (the SQL
+    * global-aggregate contract); counts are 0 there. */
+  private sealed abstract class AggSpec(name: String, nullable: Boolean) {
+    def eval(lo: Long, hi: Long): Any
+    final def toField: StructField = StructField(name, LongType, nullable)
+  }
+  private case object RowCountSpec extends AggSpec("agg_count", false) {
+    def eval(lo: Long, hi: Long): Any = java.lang.Long.valueOf(hi - lo)
+  }
+  private case object MinDocSpec extends AggSpec("agg_min_doc", true) {
+    def eval(lo: Long, hi: Long): Any =
+      if (hi <= lo) null else java.lang.Long.valueOf(lo)
+  }
+  private case object MaxDocSpec extends AggSpec("agg_max_doc", true) {
+    def eval(lo: Long, hi: Long): Any =
+      if (hi <= lo) null else java.lang.Long.valueOf(hi - 1)
+  }
+  private case object MinTsSpec extends AggSpec("agg_min_ts", true) {
+    def eval(lo: Long, hi: Long): Any =
+      if (hi <= lo) null
+      else java.lang.Long.valueOf(1704067200000000L + lo * 1000000L)
+  }
+  private case object MaxTsSpec extends AggSpec("agg_max_ts", true) {
+    def eval(lo: Long, hi: Long): Any =
+      if (hi <= lo) null
+      else java.lang.Long.valueOf(1704067200000000L + (hi - 1) * 1000000L)
+  }
+
+  /** The completely-pushed-aggregate scan: ONE partition, ONE row,
+    * every value closed-form arithmetic on the (already filter-pushed)
+    * doc_id bounds — `count(*)` over 10^12 synthetic rows costs one
+    * driver-side subtraction, not 10^12 generated rows. */
+  private final class SynAggScan(lo: Long, hi: Long, specs: Seq[AggSpec])
+      extends Scan with Batch {
+    override def readSchema(): StructType = StructType(specs.map(_.toField))
+    override def description(): String =
+      s"SyntheticDocs[range=[$lo,$hi), pushedAggregates=" +
+        s"${specs.map(_.toField.name).mkString(",")}]"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(SynPartition(0L, 1L)) // one carrier row for the global agg
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SynAggReaderFactory(specs.map(_.eval(lo, hi)).toArray)
+  }
+
+  /** Ships only the pre-computed answer values (boxed longs / nulls),
+    * never the scan — the factory crosses the driver/executor wire. */
+  private final class SynAggReaderFactory(answers: Array[Any])
+      extends PartitionReaderFactory {
+    override def createReader(
+        partition: InputPartition): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean = { val r = !served; served = true; r }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(answers.clone())
+        override def close(): Unit = ()
+      }
   }
 
   private final class SynScan(lo: Long, hi: Long, partitions: Int,

@@ -139,6 +139,81 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  // the V2 scan actually chosen after pushdown, independent of AQE
+  // wrapping (read from the optimized logical plan, not the physical)
+  private def pushedScan(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.scan
+    }
+    assert(scans.size == 1, s"expected one v2 scan, got ${scans.size}")
+    scans.head
+  }
+
+  test("aggregate pushdown: global count/min/max answered from bounds, no aggregate exec") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val df = load(1000, 4)
+      .where(col("doc_id") >= 200L && col("doc_id") < 900L)
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        min(col("ts_us")).as("ts_lo"), max(col("ts_us")).as("ts_hi"))
+    assert(pushedScan(df).description().contains("pushedAggregates="),
+      s"aggregation did not push: ${pushedScan(df).description()}")
+    // COMPLETE pushdown: Spark plans NO aggregate node over the scan
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect {
+      case h: HashAggregateExec => h
+      case s: SortAggregateExec => s
+    }.isEmpty, s"complete pushdown still planned an aggregate:\n$plan")
+    assert(df.head.toSeq === Seq(700L, 200L, 899L,
+      1704067200000000L + 200L * 1000000L,
+      1704067200000000L + 899L * 1000000L))
+  }
+
+  test("aggregate pushdown scales: a 10^12-row corpus aggregates without generating rows") {
+    val trillion = 1000000000000L
+    val df = load(trillion, 4)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("hi"),
+        countDistinct(col("doc_id")).as("nd"))
+    // fail FAST if the push regressed — collecting an unpushed
+    // trillion-row aggregate would hang the suite, not fail it
+    assert(pushedScan(df).description().contains("pushedAggregates="),
+      s"aggregation did not push: ${pushedScan(df).description()}")
+    assert(df.head.toSeq === Seq(trillion, trillion - 1L, trillion))
+  }
+
+  test("aggregate pushdown refuses what the bounds cannot answer exactly") {
+    // min over a MODULAR column is not derivable from the range ends;
+    // the source must refuse and Spark's own aggregate must answer
+    val modular = load(1000, 4).agg(min(col("cents")).as("m"),
+      count(lit(1)).as("n"))
+    assert(!pushedScan(modular).description().contains("pushedAggregates="),
+      "pushed an aggregate the bounds cannot answer (min of a modular column)")
+    assert(modular.head.toSeq === Seq(0L, 1000L))
+    // GROUP BY is never pushed (the source only answers global aggs)
+    val grouped = load(1000, 4).groupBy(col("lang")).count()
+    assert(!pushedScan(grouped).description().contains("pushedAggregates="),
+      "pushed a grouped aggregate")
+    assert(grouped.collect().map(_.getLong(1)).sum === 1000L)
+    // count(DISTINCT) only pushes for the PK column
+    val dd = load(1000, 4).agg(countDistinct(col("lang")).as("n"))
+    assert(!pushedScan(dd).description().contains("pushedAggregates="),
+      "pushed count(DISTINCT) on a non-unique column")
+    assert(dd.head.getLong(0) === 4L)
+  }
+
+  test("aggregate pushdown: empty pushed range yields count 0 and null extremes") {
+    val df = load(1000, 4).where(col("doc_id") >= 5000L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("ts_us")).as("hi"))
+    assert(pushedScan(df).description().contains("pushedAggregates="),
+      s"aggregation did not push: ${pushedScan(df).description()}")
+    val r = df.head
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2),
+      "empty-range extremes must be NULL, the global-aggregate contract")
+  }
+
   test("partition plan is the requested stripe set") {
     val scan = scanOf(load(1000, 8).select(col("doc_id")))
     assert(scan.inputRDD.getNumPartitions === 8)
