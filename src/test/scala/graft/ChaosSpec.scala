@@ -109,6 +109,97 @@ class ChaosSpec extends SparkSpecBase {
     FrameCache.clear(spark)
   }
 
+  test("FrameCache count() fallback: a non-LogicalRDD frame is probed by counting, dead sources rebuild") {
+    import graft.ops.FrameCache
+    import java.nio.file.{Files, Paths}
+    FrameCache.clear(spark)
+    val base = Files.createTempDirectory("graft_fc_fallback_")
+    val dirA = s"$base/a"
+    val dirB = s"$base/b"
+    val src = spark.range(100).toDF("x")
+    src.write.parquet(dirA)
+    src.write.parquet(dirB)
+    val expected = src.collect().toSet
+    // a plain parquet read has NO LogicalRDD backing — alive() must
+    // take the `case Seq() => df.count()` fallback on EVERY serve
+    val first = FrameCache.memo(spark, "chaos_fallback") {
+      spark.read.parquet(dirA)
+    }
+    assert(first.collect().toSet == expected)
+    // intact source: the fallback count succeeds and the SAME frame is
+    // served (a rebuild here would mean the fallback always fails)
+    var rebuilt = false
+    val again = FrameCache.memo(spark, "chaos_fallback") {
+      rebuilt = true; spark.read.parquet(dirB)
+    }
+    assert((again eq first) && !rebuilt,
+      "fallback probe rebuilt a healthy frame")
+    // kill the files behind the cached frame: the fallback count must
+    // FAIL at serve time and the by-name thunk must rebuild — a probe
+    // that swallowed the error would serve a frame whose every action
+    // throws
+    StreamingQueries.deleteRecursively(dirA)
+    val recovered = FrameCache.memo(spark, "chaos_fallback") {
+      rebuilt = true; spark.read.parquet(dirB)
+    }
+    assert(rebuilt, "dead source not detected by the count() fallback")
+    assert(recovered.collect().toSet == expected,
+      "rebuilt frame is not bit-identical to the original")
+    FrameCache.clear(spark)
+    StreamingQueries.deleteRecursively(base.toString)
+  }
+
+  test("FrameCache strictProbe: the verifying count catches loss the block metadata cannot see") {
+    import graft.ops.FrameCache
+    import java.nio.file.Files
+    FrameCache.clear(spark)
+    val base = Files.createTempDirectory("graft_fc_strict_")
+    val dirA = s"$base/a"
+    val dirB = s"$base/b"
+    spark.range(50, 100).toDF("x").write.parquet(dirA)
+    spark.range(50, 100).toDF("x").write.parquet(dirB)
+    // the cluster blind spot, reproduced locally: the frame's plan
+    // HAS a live LogicalRDD (so the O(1) metadata probe passes) but
+    // ALSO depends on state the block inventory knows nothing about
+    // (a parquet side). Killing the files leaves metadata green while
+    // the frame is actually dead — exactly the lagging-heartbeat
+    // window strictProbe exists for.
+    def build(dir: String) =
+      spark.range(0, 50).toDF("x").localCheckpoint(true)
+        .union(spark.read.parquet(dir))
+    val expected = (0L until 100L).toSet
+    val first = FrameCache.memo(spark, "chaos_strict")(build(dirA))
+    assert(first.collect().map(_.getLong(0)).toSet == expected)
+    StreamingQueries.deleteRecursively(dirA)
+    // default probe: metadata-only, serves the half-dead frame — the
+    // documented stale-positive (local block inventory is green, the
+    // parquet side is gone, the action fails downstream)
+    val stale = FrameCache.memo(spark, "chaos_strict") {
+      fail("default probe must not rebuild: its metadata view is green")
+    }
+    intercept[Exception](stale.count())
+    // strict probe: the verifying count() runs at serve time, fails,
+    // and the entry rebuilds from the thunk instead of being served
+    spark.conf.set(FrameCache.strictProbeKey, "true")
+    try {
+      var rebuilt = false
+      val recovered = FrameCache.memo(spark, "chaos_strict") {
+        rebuilt = true; build(dirB)
+      }
+      assert(rebuilt, "strictProbe did not detect the dead parquet side")
+      assert(recovered.collect().map(_.getLong(0)).toSet == expected,
+        "rebuilt frame is not bit-identical to the original")
+      // and a healthy frame under strictProbe is served, not rebuilt
+      val served = FrameCache.memo(spark, "chaos_strict") {
+        fail("strictProbe rebuilt a healthy frame: the verifying count " +
+          "should have passed")
+      }
+      assert(served eq recovered)
+    } finally spark.conf.unset(FrameCache.strictProbeKey)
+    FrameCache.clear(spark)
+    StreamingQueries.deleteRecursively(base.toString)
+  }
+
   test("embedding block count scales with shuffle parallelism") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     try {
