@@ -24,10 +24,13 @@ import scala.collection.mutable
   * moves.
   *
   * Usage: `val m = StateProgress.attach(spark)` before `start()`,
-  * `m.detach()` after `awaitTermination`; samples are driver-local.
-  * Listener callbacks are async — call [[detach]] (which does a final
-  * drain) before reading. Scoped per query id: one monitor can watch a
-  * session running several queries.
+  * `m.detach(q)` after the query stops; samples are driver-local.
+  * Listener callbacks are async, so [[Monitor.detach]] takes the query
+  * handles and reconciles against their own `recentProgress` (updated
+  * synchronously by the stream-execution thread before the progress
+  * event is even posted) — a progress event still in flight on the
+  * listener bus can never truncate the sample set. Scoped per query
+  * id: one monitor can watch a session running several queries.
   */
 object StateProgress {
 
@@ -45,36 +48,39 @@ object StateProgress {
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val p = e.progress
-        val rows = p.stateOperators.map { op =>
-          Sample(p.id.toString, p.batchId, op.operatorName,
-            op.numRowsTotal, op.numRowsUpdated, op.numRowsRemoved,
-            op.memoryUsedBytes, p.numInputRows)
-        }
-        buf.synchronized { buf ++= rows; () }
-      }
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        buf.synchronized { buf ++= toSamples(e.progress); () }
     }
 
     spark.streams.addListener(listener)
 
-    /** Stop listening and return every sample seen. Listener events
-      * are delivered asynchronously (LiveListenerBus), so a query's
-      * final progress can still be in flight when awaitTermination/
-      * stop return — quiesce first: wait until the buffer stops
-      * growing (two consecutive 50 ms windows with no new samples,
-      * 5 s cap), THEN remove the listener and read. */
-    def detach(): Seq[Sample] = {
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      var still = 0
-      var last = buf.synchronized(buf.size)
-      while (still < 2 && System.nanoTime() < deadline) {
-        Thread.sleep(50)
-        val n = buf.synchronized(buf.size)
-        if (n == last) still += 1 else { still = 0; last = n }
+    private def toSamples(
+        p: org.apache.spark.sql.streaming.StreamingQueryProgress)
+        : Seq[Sample] =
+      p.stateOperators.toSeq.map { op =>
+        Sample(p.id.toString, p.batchId, op.operatorName,
+          op.numRowsTotal, op.numRowsUpdated, op.numRowsRemoved,
+          op.memoryUsedBytes, p.numInputRows)
       }
+
+    /** Stop listening and return every sample seen. Deterministic, no
+      * quiesce heuristic: each stopped query's own `recentProgress`
+      * (filled synchronously at batch completion, BEFORE the async
+      * listener event is posted) is authoritative for the batches it
+      * retains, so handle-derived samples replace listener samples
+      * batch for batch — an event still in flight on a backed-up
+      * listener bus cannot truncate the result. The listener buffer
+      * only contributes batches the bounded `recentProgress` ring
+      * (default 100 updates) has already evicted on very long runs. */
+    def detach(queries: org.apache.spark.sql.streaming.StreamingQuery*)
+        : Seq[Sample] = {
       spark.streams.removeListener(listener)
-      buf.synchronized(buf.toSeq)
+      val fromHandles = queries.flatMap(_.recentProgress.toSeq)
+        .flatMap(toSamples)
+      val covered = fromHandles.map(s => (s.queryId, s.batchId)).toSet
+      val evicted = buf.synchronized(buf.toSeq)
+        .filter(s => !covered((s.queryId, s.batchId)))
+      (fromHandles ++ evicted).sortBy(s => (s.queryId, s.batchId))
     }
 
     /** Samples for one operator (by substring of the operator name —

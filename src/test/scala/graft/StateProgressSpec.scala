@@ -35,7 +35,7 @@ class StateProgressSpec extends SparkSpecBase {
       .outputMode(OutputMode.Append()).start()
     chunks.foreach { c => input.addData(c); q.processAllAvailable() }
     q.stop()
-    val samples = mon.detach()
+    val samples = mon.detach(q)
     val (peak, removed, seen) = mon.boundedness(samples, "dedupe")
     assert(seen == total, s"listener missed batches: saw $seen of $total rows")
     assert(removed > 0,
@@ -65,7 +65,7 @@ class StateProgressSpec extends SparkSpecBase {
       new java.sql.Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0)))
     q.processAllAvailable()
     q.stop()
-    val samples = mon.detach()
+    val samples = mon.detach(q)
     val (peak, removed, _) = mon.boundedness(samples, "stateStoreSave")
     assert(peak > 0, "no aggregate state observed — wrong operator name?")
     assert(removed > 0,
