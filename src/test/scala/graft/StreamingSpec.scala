@@ -610,6 +610,85 @@ class StreamingSpec extends SparkSpecBase
     assert(got === want)
   }
 
+  test("native session_window restart: the MergingSessions store merges across the checkpoint") {
+    // the native session_window operator keeps OPEN sessions in its
+    // own state store (MergingSessions); the cut is placed INSIDE a
+    // session's gap — a same-user event pair under 30 minutes apart
+    // straddles the restart by construction — so a correct recovery
+    // MUST merge run-2 events into a session recovered from run-1
+    // state. A lost/reset store would emit the two halves as separate
+    // sessions and break the batch equality.
+    val base = java.nio.file.Files.createTempDirectory("graft_sw_ckpt_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val sample = Tables(spark, sfDir, "events")
+      .where($"user_id" < 10)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    assert(sample.nonEmpty)
+    val maxTs = sample.map(_.ts.getTime).max
+    // find the intra-session pair (same user, strictly increasing ts,
+    // gap < 30 min) closest to the sample's median time, and cut at
+    // its first event: run 1 ends with that session open in state,
+    // run 2 must extend it
+    val medianTs = sample(sample.length / 2).ts.getTime
+    val pairs = sample.groupBy(_.user_id).values.flatMap { evs =>
+      val s = evs.sortBy(_.ts.getTime)
+      s.zip(s.drop(1)).filter { case (a, b) =>
+        b.ts.getTime > a.ts.getTime &&
+          b.ts.getTime - a.ts.getTime < 30 * 60 * 1000L
+      }
+    }.toSeq
+    assert(pairs.nonEmpty, "fixture has no intra-session event pair")
+    val (e1, e2) = pairs.minBy(p => math.abs(p._1.ts.getTime - medianTs))
+    val cut = e1.ts.getTime
+    assert(e2.ts.getTime > cut, "cut is not strictly inside the gap")
+    def writeChunk(evts: Seq[Event]): Unit =
+      spark.createDataset(evts).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val events = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Event].schema)
+        .parquet(in)
+      val q = EventStream.sessionWindowAgg(events).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitFinished(q)
+    }
+    writeChunk(sample.filter(_.ts.getTime <= cut).toIndexedSeq)
+    runOnce()
+    writeChunk(sample.filter(_.ts.getTime > cut).toIndexedSeq)
+    runOnce()
+    writeChunk(Seq(
+      Event(-1L, new Timestamp(maxTs + 2 * 3600 * 1000L), -1L, "flush", 0.0),
+      Event(-2L, new Timestamp(maxTs + 4 * 3600 * 1000L), -1L, "flush", 0.0)))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .where($"user_id" >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // the straddling session really merged: one emitted session for
+    // e1's user spans the cut (started at-or-before, ended after)
+    // full-microsecond cut: getTime is millis-truncated, and the
+    // fixture's timestamps carry real microseconds — a millis-only cut
+    // misses a session that starts AT e1 by its sub-millisecond part
+    val cutUs = cut * 1000L + (e1.ts.getNanos / 1000L) % 1000L
+    assert(rows.exists(s => s._1 == e1.user_id
+        && s._2 <= cutUs && s._3 > cutUs),
+      s"no recovered session spans the restart cut for user ${e1.user_id}")
+    val got = rows.sorted.toSeq
+    val want = Catalog.byName("q_stream_session_window_batch").fn(spark, sfDir)
+      .where($"user_id" >= 0 && $"user_id" < 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sorted.toSeq
+    assert(got === want)
+  }
+
   test("chained dedup→window restart: recovered state in BOTH stores equals batch") {
     // the chain holds TWO state stores (dedup keys + open windows) in
     // one checkpoint; a restart must recover both. Run 1 sees the
