@@ -584,13 +584,19 @@ object StreamingQueries {
             .option("maxFilesPerTrigger", "2").parquet(s"$staged/in")
             .as[CdcStream.CdcRecord]
           val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+          // changelog checkpointing ON: state commits persist the
+          // batch delta, not a full RocksDB snapshot — the 100 TB
+          // recovery-cost knob, gated by the same DuckDB SQL that
+          // gated the full-snapshot runs (measured in SCALING.md)
           withStatePartitions(s) {
-            val q = CdcStream(stream).toDF().writeStream
-              .outputMode("update")
-              .foreachBatch(sink.foreachBatchFn)
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000), "cdc stream did not finish")
+            CdcStream.withChangelogCheckpointing(s) {
+              val q = CdcStream(stream).toDF().writeStream
+                .outputMode("update")
+                .foreachBatch(sink.foreachBatchFn)
+                .option("checkpointLocation", s"$tmp/ckpt")
+                .trigger(Trigger.AvailableNow()).start()
+              assert(q.awaitTermination(300000), "cdc stream did not finish")
+            }
           }
           val last = sink.committedBatches(s).last
           assert(!sink.writeBatch(s.read.parquet(sink.batchDir(last)), last),
@@ -638,14 +644,17 @@ object StreamingQueries {
             .option("maxFilesPerTrigger", "2").parquet(s"$staged/in")
             .as[CdcStream.CdcRecord]
           val sink = ExactlyOnceBatchSink(s"$tmp/out", s"$tmp/markers")
+          // changelog checkpointing ON, same rationale as the apply run
           withStatePartitions(s) {
-            val q = CdcStream.history(stream).toDF().writeStream
-              .outputMode("update")
-              .foreachBatch(sink.foreachBatchFn)
-              .option("checkpointLocation", s"$tmp/ckpt")
-              .trigger(Trigger.AvailableNow()).start()
-            assert(q.awaitTermination(300000),
-              "cdc history stream did not finish")
+            CdcStream.withChangelogCheckpointing(s) {
+              val q = CdcStream.history(stream).toDF().writeStream
+                .outputMode("update")
+                .foreachBatch(sink.foreachBatchFn)
+                .option("checkpointLocation", s"$tmp/ckpt")
+                .trigger(Trigger.AvailableNow()).start()
+              assert(q.awaitTermination(300000),
+                "cdc history stream did not finish")
+            }
           }
           val emitted = sink.readKeepingBatch(s)
           val latest = emitted

@@ -24,6 +24,39 @@ object CdcStream {
   final case class CdcRecord(k: Long, seq: Int, op: String,
       status: String, cents: Option[Long])
 
+  /** RocksDB changelog checkpointing, scoped: inside `f`, per-batch
+    * state checkpoints persist only the batch's write-set (a changelog
+    * file) instead of a full RocksDB snapshot, and recovery replays
+    * the changelog on top of the last snapshot. At real state sizes
+    * full-snapshot uploads are the state-commit cost bottleneck — the
+    * snapshot is O(total state) per batch per partition, the changelog
+    * O(batch's updates) — so this is the knob a 100 TB deployment
+    * turns on; measured numbers in SCALING.md. Output is
+    * bit-identical either way (the CDC catalog entries run under it
+    * against the same DuckDB SQL that gated the full-snapshot runs,
+    * and the history restart test recovers THROUGH a changelog
+    * checkpoint). The previous session setting is restored after `f`. */
+  def withChangelogCheckpointing[T](s: org.apache.spark.sql.SparkSession,
+      enabled: Boolean = true)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, enabled.toString)
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  /** SIDE EFFECT (session-global, by necessity): constructing this
+    * Dataset sets `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDB for the whole session — transformWithState requires that
+    * provider AT QUERY START, which happens after this method returns,
+    * so a scoped set-and-restore here would be unwound before the
+    * start it exists for. Callers that start OTHER streaming queries
+    * later must restore the previous provider themselves; the catalog
+    * harness (withStatePartitions) and the spec suite (afterEach) both
+    * do. */
   def apply(log: Dataset[CdcRecord]): Dataset[CdcRecord] = {
     import log.sparkSession.implicits._
     log.sparkSession.conf.set(
@@ -53,7 +86,10 @@ object CdcStream {
     * per-(k, valid_from) emissions are unambiguous per batch. Replayed
     * records (seq <= stored seq) are dropped so re-delivery never
     * corrupts state; output-side exactly-once is the foreachBatch
-    * sink's marker protocol, same as [[apply]]. */
+    * sink's marker protocol, same as [[apply]].
+    *
+    * Same session-global provider SIDE EFFECT as [[apply]] (RocksDB is
+    * required at query start, after construction) — see there. */
   def history(log: Dataset[CdcRecord]): Dataset[VersionRow] = {
     import log.sparkSession.implicits._
     log.sparkSession.conf.set(

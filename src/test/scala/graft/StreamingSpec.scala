@@ -1004,7 +1004,12 @@ class StreamingSpec extends SparkSpecBase
     val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
       .as[CdcRecord].collect()
     // (provider leak handled suite-wide by afterEach)
-    def runOnce(): Unit = {
+    // changelog checkpointing ON for BOTH runs: run 2's recovery must
+    // rebuild per-key state by replaying changelog files over the last
+    // snapshot, not by loading a full per-batch snapshot — the restart
+    // path the catalog's changelog-enabled CDC runs rely on (the apply
+    // restart test above keeps the full-snapshot recovery covered)
+    def runOnce(): Unit = CdcStream.withChangelogCheckpointing(spark) {
       val ds = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
         .parquet(in).as[CdcRecord]
