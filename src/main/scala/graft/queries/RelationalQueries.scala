@@ -186,6 +186,35 @@ object RelationalQueries {
         out
       }),
 
+    // ---- Fully-pushed TopN through the oracle gate: ORDER BY doc_id
+    // DESC LIMIT 100 collapses to the closed-form tail sub-range
+    // (SupportsPushDownTopN; Spark plans neither Sort nor Limit), and
+    // the rows exist ONLY if the reversed window math is exact — an
+    // off-by-one or a dropped composition with the pushed lower bound
+    // breaks the hash. The entry asserts the push happened so the
+    // oracle gates the PUSHED path. ----
+    QueryDef("q_scan_dsv2_topn_pushdown", Some(
+      """SELECT doc_id, doc_id % 9973 AS user_id,
+        |  (doc_id * 31) % 100000 AS cents
+        |FROM range(100000) t(doc_id)
+        |WHERE doc_id >= 1000
+        |ORDER BY doc_id DESC LIMIT 100""".stripMargin))(
+      (s, _) => {
+        val out = s.read.format("graft.sources.SyntheticDocs")
+          .option("rows", "100000").option("partitions", "8").load()
+          .where(col("doc_id") >= 1000L)
+          .orderBy(col("doc_id").desc)
+          .limit(100)
+          .select(col("doc_id"), col("user_id"), col("cents"))
+        val pushed = out.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan.description()
+        }
+        assert(pushed.exists(_.contains("pushedTopN=doc_id DESC n=100")),
+          s"topN did not push into the v2 scan: $pushed")
+        out
+      }),
+
     // ---- The SAME DSv2 source through its MICRO-BATCH read path:
     // the offset is the doc_id position (nothing external to
     // corrupt), admission control caps each trigger at 25k rows so

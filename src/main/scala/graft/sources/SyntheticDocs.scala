@@ -32,6 +32,13 @@ import java.util
   *    (SupportsPushDownFilters): stripes are planned inside the
   *    bounds and the residual Filter disappears from the executed
   *    plan — asserted by spec.
+  *  - global count/min/max over doc_id arithmetic is COMPLETELY
+  *    pushed (SupportsPushDownAggregates): one closed-form row, no
+  *    generation, no aggregate node in the plan.
+  *  - LIMIT and ORDER BY doc_id LIMIT are FULLY pushed
+  *    (SupportsPushDownLimit / SupportsPushDownTopN): the scan
+  *    narrows to the first/last n of the range, emitted in the
+  *    requested order.
   *  - The MICRO-BATCH path (readStream on the same format) tracks the
   *    doc_id position as its offset with admission-controlled pacing
   *    (`rowsPerTrigger`), each delta planned as parallel stripes —
@@ -91,13 +98,56 @@ object SyntheticDocs {
       rowsPerTrigger: Long)
       extends ScanBuilder with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
     import org.apache.spark.sql.sources._
     private var required: StructType = SyntheticDocs.schema
     private var accepted: Array[Filter] = Array.empty
     private var pushedAgg: Option[Seq[AggSpec]] = None
+    private var pushedLimit: Option[Int] = None
+    private var pushedTopNDesc: Option[(Int, Boolean)] = None
     private var lo = 0L
     private var hi = rows
+
+    /** LIMIT n is FULLY pushed: any n rows satisfy a bare limit, so
+      * the scan narrows to the first n of the (already filter-pushed)
+      * range and plans ONE stripe — Spark drops its own Limit. n is
+      * small by the nature of a pushed limit, so losing stripe
+      * parallelism is the right trade (a trillion-row `LIMIT 10`
+      * generates 10 rows, not one stripe's worth). */
+    override def pushLimit(limit: Int): Boolean = {
+      pushedLimit = Some(limit); true
+    }
+
+    // both limit and topN pushes are EXACT (the scan emits precisely
+    // the requested window, in order for topN), so Spark may drop its
+    // own Limit/Sort — the Java default in both parent interfaces,
+    // made explicit because Scala requires disambiguation
+    override def isPartiallyPushed(): Boolean = false
+
+    /** ORDER BY doc_id [ASC|DESC] LIMIT n is FULLY pushed: doc_id is
+      * the generation order, so the top-n window is a closed-form
+      * sub-range — [lo, lo+n) ascending, [hi-n, hi) descending, the
+      * reader emitting rows IN the requested order (one stripe; Spark
+      * eliminates both the Sort and the Limit). Any other sort column
+      * is refused (the generator's order proves nothing about it). */
+    override def pushTopN(
+        orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+        limit: Int): Boolean = {
+      import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      orders.toSeq match {
+        case Seq(o) => o.expression() match {
+          case nr: NamedReference
+              if nr.fieldNames.toSeq == Seq("doc_id") =>
+            pushedTopNDesc =
+              Some((limit, o.direction() == SortDirection.DESCENDING))
+            true
+          case _ => false
+        }
+        case _ => false
+      }
+    }
     override def pruneColumns(requiredSchema: StructType): Unit =
       // empty projections (pure count) keep zero fields — honor that.
       // once an aggregation is pushed the scan's output IS the agg
@@ -210,7 +260,24 @@ object SyntheticDocs {
     override def build(): Scan = pushedAgg match {
       case Some(specs) => new SynAggScan(lo, math.max(lo, hi), specs)
       case None =>
-        new SynScan(lo, math.max(lo, hi), partitions, rowsPerTrigger, required)
+        val lo0 = lo
+        val hi0 = math.max(lo, hi)
+        // overflow-safe min(hi0, lo0 + n): lo0 + n can wrap near
+        // Long.MaxValue, hi0 - n cannot underflow meaningfully
+        def firstN(n: Int): Long = if (lo0 > hi0 - n) hi0 else lo0 + n
+        (pushedTopNDesc, pushedLimit) match {
+          case (Some((n, desc)), _) =>
+            val (l2, h2) =
+              if (desc) (math.max(lo0, hi0 - n), hi0)
+              else (lo0, firstN(n))
+            new SynScan(l2, h2, 1, rowsPerTrigger, required, desc = desc,
+              pushedNote = s", pushedTopN=doc_id ${if (desc) "DESC" else "ASC"} n=$n")
+          case (None, Some(n)) =>
+            new SynScan(lo0, firstN(n), 1, rowsPerTrigger, required,
+              pushedNote = s", pushedLimit=$n")
+          case (None, None) =>
+            new SynScan(lo0, hi0, partitions, rowsPerTrigger, required)
+        }
     }
   }
 
@@ -278,13 +345,18 @@ object SyntheticDocs {
   }
 
   private final class SynScan(lo: Long, hi: Long, partitions: Int,
-      rowsPerTrigger: Long, required: StructType) extends Scan with Batch {
+      rowsPerTrigger: Long, required: StructType,
+      desc: Boolean = false, pushedNote: String = "")
+      extends Scan with Batch {
     override def readSchema(): StructType = required
     override def description(): String =
-      s"SyntheticDocs[range=[$lo,$hi), cols=${required.fieldNames.mkString(",")}]"
+      s"SyntheticDocs[range=[$lo,$hi), " +
+        s"cols=${required.fieldNames.mkString(",")}$pushedNote]"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      stripes(lo, hi, partitions)
+      stripes(lo, hi, partitions).map {
+        case SynPartition(s, e, _) => SynPartition(s, e, desc)
+      }.toArray[InputPartition]
     override def createReaderFactory(): PartitionReaderFactory =
       new SynReaderFactory(required.fieldNames)
     override def toMicroBatchStream(
@@ -347,8 +419,8 @@ object SyntheticDocs {
     override def stop(): Unit = ()
   }
 
-  private case class SynPartition(start: Long, end: Long)
-      extends InputPartition
+  private case class SynPartition(start: Long, end: Long,
+      desc: Boolean = false) extends InputPartition
 
   private final class SynReaderFactory(fields: Array[String])
       extends PartitionReaderFactory {
@@ -356,7 +428,8 @@ object SyntheticDocs {
         partition: InputPartition): PartitionReader[InternalRow] = {
       val p = partition.asInstanceOf[SynPartition]
       new PartitionReader[InternalRow] {
-        private var id = p.start - 1
+        // cursor starts one step OUTSIDE the range in iteration order
+        private var id = if (p.desc) p.end else p.start - 1
         // one writer per required field — pruning decided ONCE at
         // reader build, not per row
         private val writers: Array[Long => Any] = fields.map {
@@ -372,10 +445,16 @@ object SyntheticDocs {
         // hot loop: ONE mutable row per reader, refilled in place —
         // downstream copies when buffering and codegen projects to
         // UnsafeRow immediately, the standard row-reuse contract for
-        // v2 readers; generating N rows costs N, not N allocations
+        // v2 readers; generating N rows costs N, not N allocations.
+        // a pushed-TopN-DESC partition walks the range backwards so
+        // rows leave the reader already in the requested order
         private val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(writers.length)
-        override def next(): Boolean = { id += 1; id < p.end }
+        private val step = if (p.desc) -1L else 1L
+        override def next(): Boolean = {
+          id += step
+          if (p.desc) id >= p.start else id < p.end
+        }
         override def get(): InternalRow = {
           var i = 0
           while (i < writers.length) {

@@ -214,6 +214,50 @@ class SyntheticSourceSpec extends SparkSpecBase {
       "empty-range extremes must be NULL, the global-aggregate contract")
   }
 
+  test("limit pushdown: LIMIT n narrows generation to n rows, even at 10^12") {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec}
+    val trillion = 1000000000000L
+    val df = load(trillion, 8).limit(7)
+    assert(pushedScan(df).description().contains("pushedLimit=7"),
+      s"limit did not push: ${pushedScan(df).description()}")
+    // fully pushed: one stripe of exactly n rows; the collect below
+    // would generate a trillion rows if the push regressed
+    val got = df.collect()
+    assert(got.length === 7)
+    assert(got.map(_.getLong(0)).toSet === (0L until 7L).toSet)
+    // the pushed bounds compose: filter first, then limit within them
+    val bounded = load(1000, 4)
+      .where(col("doc_id") >= 500L).limit(5).select(col("doc_id"))
+    assert(pushedScan(bounded).description().contains("range=[500,505)"),
+      s"limit did not compose with pushed bounds: ${pushedScan(bounded).description()}")
+    assert(bounded.collect().map(_.getLong(0)).toSet ===
+      (500L until 505L).toSet)
+  }
+
+  test("topN pushdown: ORDER BY doc_id LIMIT n is a closed-form sub-range in order") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val trillion = 1000000000000L
+    val desc = load(trillion, 8).orderBy(col("doc_id").desc).limit(5)
+    assert(pushedScan(desc).description().contains("pushedTopN=doc_id DESC n=5"),
+      s"topN DESC did not push: ${pushedScan(desc).description()}")
+    assert(desc.collect().map(_.getLong(0)).toSeq ===
+      (0 until 5).map(trillion - 1L - _))
+    val asc = load(trillion, 8).orderBy(col("doc_id")).limit(3)
+    assert(pushedScan(asc).description().contains("pushedTopN=doc_id ASC n=3"),
+      s"topN ASC did not push: ${pushedScan(asc).description()}")
+    assert(asc.collect().map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L))
+    // a non-generation-order sort column is refused: Spark must keep
+    // its own TakeOrdered over the full scan
+    val other = load(1000, 4).orderBy(col("cents")).limit(3)
+    assert(!pushedScan(other).description().contains("pushedTopN"),
+      "pushed a topN the generation order cannot answer")
+    assert(other.queryExecution.executedPlan.collect {
+      case t: TakeOrderedAndProjectExec => t
+    }.nonEmpty, "refused topN lost Spark's own TakeOrdered")
+    assert(other.collect().map(_.getLong(3)).toSeq ===
+      load(1000, 4).collect().map(_.getLong(3)).sorted.take(3).toSeq)
+  }
+
   test("partition plan is the requested stripe set") {
     val scan = scanOf(load(1000, 8).select(col("doc_id")))
     assert(scan.inputRDD.getNumPartitions === 8)
