@@ -1053,6 +1053,52 @@ class StreamingSpec extends SparkSpecBase
     assert(got === want)
   }
 
+  test("state data source: the CDC store holds exactly the LWW record per key") {
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.CdcRecord
+    // state INTROSPECTION, the 100 TB ops tool: Spark's statestore
+    // data source reads a checkpoint's stores offline, so the engine's
+    // "one ValueState record per key, always the max-seq one" bound
+    // is audited from the STATE ITSELF — not inferred from outputs —
+    // without touching the running job's checkpoint contract.
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_sread_")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val cp = base.resolve("cp").toString
+    val log = graft.queries.MigrationQueries.cdcLog(spark, sfDir)
+      .as[CdcRecord].collect()
+    spark.createDataset(log.toIndexedSeq).write.parquet(in)
+    val ds = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[CdcRecord].schema)
+      .parquet(in).as[CdcRecord]
+    val q = CdcStream(ds).writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitFinished(q)
+    val state = spark.read.format("statestore")
+      .option("stateVarName", "cur")
+      .load(cp)
+    val got = state
+      .select($"key.value".as("key_k"), $"value.k", $"value.seq",
+        $"value.op", $"value.status", $"value.cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getString(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+    // the ValueState bound, read from the store: one record per key...
+    assert(got.map(_._1).distinct.length === got.length,
+      "a key holds more than one state record")
+    // ...the record is stored under its own key...
+    assert(got.forall(r => r._1 == r._2), "state record filed under a foreign key")
+    // ...and it is exactly the LWW winner (max seq, tombstones KEPT in
+    // state so late replays of lower seqs still lose)
+    val want = log.groupBy(_.k).map { case (_, rs) => rs.maxBy(_.seq) }
+      .map(r => (r.k, r.k, r.seq, r.op, r.status, r.cents.getOrElse(-1L)))
+      .toSeq.sorted
+    assert(got.sorted.toSeq === want)
+  }
+
   test("streaming CDC apply: out-of-order delivery converges to the same snapshot") {
     import graft.streaming.CdcStream
     import graft.streaming.CdcStream.CdcRecord
