@@ -44,6 +44,23 @@ final case class KeyedParquetAppendSink(keyCol: String, taskParallelism: Int = 8
       .write.mode("append").partitionBy(keyCol).parquet(target)
 }
 
+/** The CONNECTOR-shaped sink: the same partition-key-grouped append
+  * contract as [[KeyedParquetAppendSink]], but through the real
+  * DataSource V2 write protocol ([[graft.sources.KeyedTable]] —
+  * planner-enforced key clustering via RequiresDistributionAndOrdering,
+  * staged files made visible only by driver-side manifest commit,
+  * task-retry garbage never readable). This is the seam a live
+  * deployment fills with the actual Cassandra connector: swap the
+  * format string, keep the pipeline. */
+final case class V2KeyedTableSink(keyCol: String, writeParallelism: Int = 8)
+    extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    df.write.format("graft.sources.KeyedTable")
+      .option("key", keyCol)
+      .option("writePartitions", writeParallelism.toString)
+      .mode("append").save(target)
+}
+
 /** Exactly-once variant (beyond the reference's at-least-once,
   * SURVEY.md §3.4): output is keyed by the SOURCE file
   * (`target/src=<file>`) and written with overwrite, so a crash

@@ -258,6 +258,43 @@ object RelationalQueries {
         out
       }),
 
+    // ---- The V2 SINK through the oracle gate: orders flow through
+    // the real DataSource V2 write protocol (KeyedTable — planner-
+    // enforced key clustering, staged row-logs made visible only by
+    // the driver's manifest commit) via the pipeline's AppendSink
+    // seam, then the manifested shards are read BACK through the V2
+    // scan and aggregated — the hash exists only if every row
+    // survived the encode→commit→manifest→decode round trip exactly
+    // once. KeyedTableSpec pins clustering, visibility, task-retry
+    // and epoch-replay exactly-once. Cents are stored as BIGINT so
+    // the sum is exact on both engines. ----
+    QueryDef("q_sink_v2_keyed_roundtrip", effectful = true, oracle = Some(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"sink:v2_keyed:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_v2sink_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          // via DECIMAL(18,2): a raw double*100 truncates in Spark but
+          // ROUNDS in DuckDB's bigint cast — the decimal hop makes the
+          // cents exact and engine-agnostic
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        graft.pipeline.V2KeyedTableSink("k").append(src, target)
+        val out = s.read.format("graft.sources.KeyedTable").load(target)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("sum_cents"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

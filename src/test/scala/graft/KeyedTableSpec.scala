@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 keyed-table SINK's commit-protocol contracts: manifest
+  * visibility (staged-but-uncommitted bytes are never rows), schema
+  * pinning, planner-enforced key clustering, exactly-once under task
+  * retry (forked JVM) and under streaming epoch replay. */
+class KeyedTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def newTarget(): String =
+    java.nio.file.Files.createTempDirectory("graft_ktable_").toString + "/t"
+
+  private def readBack(t: String) =
+    spark.read.format("graft.sources.KeyedTable").load(t)
+
+  test("batch round trip: appends accumulate, nulls survive, schema is pinned") {
+    val t = newTarget()
+    val a = Seq(
+      (1L, Some("alpha"), Some(1.5), Some(true), Some(10)),
+      (2L, None, Some(-2.25), Some(false), None),
+      (3L, Some(""), None, None, Some(-7)))
+      .toDF("k", "s", "d", "b", "i")
+    a.write.format("graft.sources.KeyedTable")
+      .option("key", "k").mode("append").save(t)
+    val b = Seq((4L, Some("delta"), Some(0.0), Some(true), Some(0)))
+      .toDF("k", "s", "d", "b", "i")
+    b.write.format("graft.sources.KeyedTable")
+      .option("key", "k").mode("append").save(t)
+    val got = readBack(t)
+    assert(got.schema === a.schema)
+    val want = a.unionAll(b)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a third append with a drifted schema must fail LOUDLY — silent
+    // drift would corrupt every older file's decode
+    val bad = Seq((9L, 1.0)).toDF("k", "s")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.KeyedTable")
+        .option("key", "k").mode("append").save(t)
+    }
+    assert(e.getMessage != null)
+    assert(readBack(t).count() === 4L, "failed append must commit nothing")
+  }
+
+  test("writes are key-clustered by the planner: committed shards hold disjoint key sets") {
+    val t = newTarget()
+    spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 31 % 100000).as("cents"))
+      .write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "4")
+      .mode("append").save(t)
+    // the requiredDistribution contract, observed from storage: one
+    // key's rows land in ONE shard (clustered), so per-file key sets
+    // are pairwise disjoint; the file= option reads a single shard
+    val files = new java.io.File(s"$t/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".rows")).toSeq
+    assert(files.size === 4, s"expected 4 shards, got $files")
+    val keySets = files.map { f =>
+      readBack(t).queryExecution // force a fresh plan per option set
+      spark.read.format("graft.sources.KeyedTable")
+        .option("file", f).load(t)
+        .select("k").collect().map(_.getLong(0)).toSet
+    }
+    for (i <- keySets.indices; j <- keySets.indices if i < j)
+      assert(keySets(i).intersect(keySets(j)).isEmpty,
+        s"shards $i and $j share keys — writes not key-clustered")
+    assert(keySets.map(_.size).sum === 1000)
+  }
+
+  test("manifest visibility: staged or stray bytes in data/ are never rows") {
+    val t = newTarget()
+    spark.range(0, 100).select(col("id").as("k"), lit("x").as("v"))
+      .write.format("graft.sources.KeyedTable")
+      .option("key", "k").mode("append").save(t)
+    assert(readBack(t).count() === 100L)
+    // simulate a crashed writer (inprogress) and a task-committed but
+    // never driver-committed attempt (a .rows file no manifest lists)
+    val data = new java.io.File(s"$t/data")
+    java.nio.file.Files.write(
+      data.toPath.resolve(".part-9-999-dead.rows.inprogress"),
+      Array.fill[Byte](64)(7))
+    java.nio.file.Files.write(
+      data.toPath.resolve("part-9-999-orphan.rows"),
+      Array.fill[Byte](64)(7))
+    assert(readBack(t).count() === 100L,
+      "uncommitted bytes in data/ leaked into the read")
+  }
+
+  test("exactly-once under write-task retry: a mid-partition failure leaves no trace (forked JVM)") {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(java, "-cp", cp, "-Xmx2g",
+      "graft.ChaosKeyedWriteMain")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    val rc = proc.waitFor()
+    assert(rc === 0, s"chaos write failed rc=$rc:\n$out")
+    assert(out.contains("[chaos-ktable] OK"), s"missing success marker:\n$out")
+  }
+
+  test("the AppendSink adapter drives the V2 write path") {
+    val t = newTarget()
+    val df = spark.range(0, 500).select(col("id").as("k"),
+      concat(lit("p"), col("id")).as("payload"))
+    graft.pipeline.V2KeyedTableSink("k", writeParallelism = 4).append(df, t)
+    val got = readBack(t)
+    assert(got.exceptAll(df).isEmpty && df.exceptAll(got).isEmpty)
+    // appends accumulate through the seam, like every other AppendSink
+    graft.pipeline.V2KeyedTableSink("k", writeParallelism = 4).append(df, t)
+    assert(readBack(t).count() === 1000L)
+  }
+
+  test("streaming write: epoch manifests make a replayed batch a no-op") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_ktable_stream_")
+    val t = s"$base/t"
+    val cp = s"$base/ckpt"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000").option("partitions", "4")
+        .option("rowsPerTrigger", "250").load()
+        .writeStream.format("graft.sources.KeyedTable")
+        .option("key", "user_id").option("writePartitions", "4")
+        .option("path", t)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "keyed-table stream did not finish")
+    }
+    run()
+    val batch = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "1000").option("partitions", "4").load()
+    val got1 = readBack(t)
+    assert(got1.count() === 1000L)
+    assert(got1.exceptAll(batch).isEmpty && batch.exceptAll(got1).isEmpty)
+    // crash-amnesia replay: drop the LAST batch's entry from the
+    // checkpoint's commit log (the crash window is "sink committed,
+    // checkpoint did not") — recovery re-runs that batch and the
+    // epoch-named manifest must absorb the replay
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // also the local-FS checksum sibling, or the re-commit's rename
+    // trips over the stale crc
+    val crc = new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc")
+    if (crc.exists()) crc.delete()
+    run()
+    val got2 = readBack(t)
+    assert(got2.count() === 1000L,
+      "replayed epoch doubled its rows — epoch manifest did not absorb it")
+    assert(got2.exceptAll(batch).isEmpty && batch.exceptAll(got2).isEmpty)
+  }
+}

@@ -238,7 +238,15 @@ class PlanGuardSpec extends SparkSpecBase {
       // state machine to lint; the running fn asserts >=4 real
       // micro-batches and SyntheticSourceSpec pins the source's
       // pruning/striping contracts
-      "q_stream_dsv2_source_run"),
+      "q_stream_dsv2_source_run",
+      // DSv2 SINK round trip: running fn writes orders through the V2
+      // commit protocol and reads the manifested shards back — a
+      // batch write+read, no state machine to lint; KeyedTableSpec
+      // pins key clustering, manifest visibility, task-retry and
+      // epoch-replay exactly-once; the write's distribution is
+      // planner-enforced (RequiresDistributionAndOrdering), not a
+      // hand shuffle
+      "q_sink_v2_keyed_roundtrip"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
