@@ -168,6 +168,26 @@ object KeyedTable {
     ()
   }
 
+  /** Reap staging garbage the commit protocol left invisible: data/
+    * files no manifest lists (task-committed but never
+    * driver-committed — a driver crash between task and job commit)
+    * and orphaned `.inprogress` attempts (writer crashed before task
+    * commit). Invisible bytes are CORRECT forever; vacuum is about
+    * storage, so it only touches files older than `graceMs` — a
+    * concurrent in-flight write's staged files are younger by
+    * construction. Returns the deleted file names. */
+  def vacuum(path: String, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val f = fs(path)
+    val dataDir = new Path(path, "data")
+    if (!f.exists(dataDir)) return Seq.empty
+    val committed = committedFiles(path).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    f.listStatus(dataDir).toSeq
+      .filter(st => st.isFile && st.getModificationTime < cutoff)
+      .filter(st => !committed.contains(st.getPath.getName))
+      .map { st => f.delete(st.getPath, false); st.getPath.getName }
+  }
+
   // ---------- table ----------
 
   private[sources] final class KTable(path: String, schema0: StructType,

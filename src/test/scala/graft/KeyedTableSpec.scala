@@ -85,6 +85,18 @@ class KeyedTableSpec extends SparkSpecBase {
       Array.fill[Byte](64)(7))
     assert(readBack(t).count() === 100L,
       "uncommitted bytes in data/ leaked into the read")
+    // vacuum reaps exactly the garbage: with zero grace both stray
+    // files go, every committed shard stays, rows unchanged; a
+    // day-long grace protects files that could belong to an
+    // in-flight write
+    assert(graft.sources.KeyedTable.vacuum(t).isEmpty,
+      "default grace must protect young files")
+    val reaped = graft.sources.KeyedTable.vacuum(t, graceMs = 0L)
+    assert(reaped.toSet ===
+      Set(".part-9-999-dead.rows.inprogress", "part-9-999-orphan.rows"),
+      s"vacuum reaped the wrong set: $reaped")
+    assert(readBack(t).count() === 100L,
+      "vacuum touched committed data")
   }
 
   test("exactly-once under write-task retry: a mid-partition failure leaves no trace (forked JVM)") {
