@@ -39,10 +39,11 @@ import java.util
   *    commit coordinator), so partial/duplicate attempts are garbage
   *    bytes, never visible rows.
   *  - **Exactly-once streaming**: `toStreaming` commits one manifest
-  *    per epoch named by the epoch id; a replayed epoch (crash in the
-  *    write→checkpoint window) finds its manifest already present,
-  *    deletes the re-staged files, and no-ops — the V2-native version
-  *    of ExactlyOnceBatchSink's marker protocol.
+  *    per epoch, named by (stable query id, epoch id); a replayed
+  *    epoch (crash in the write→checkpoint window) finds its manifest
+  *    already present, deletes the re-staged files, and no-ops — the
+  *    V2-native version of ExactlyOnceBatchSink's marker protocol —
+  *    while a DIFFERENT query's epochs never collide with this one's.
   *
   * Read-back is first-class (BATCH_READ over the manifested files,
   * one partition per file; the `file=` option narrows to one shard for
@@ -74,7 +75,8 @@ class KeyedTable extends TableProvider {
     require(path != null, "KeyedTable requires a path")
     new KeyedTable.KTable(path, schema,
       Option(opts.get("key")),
-      opts.getInt("writePartitions", 8))
+      opts.getInt("writePartitions", 8),
+      Option(opts.get("chaosWriteKey")).map(_.toLong))
   }
 }
 
@@ -129,17 +131,27 @@ object KeyedTable {
   }
 
   /** First commit persists the schema; later commits must match it —
-    * a silent schema drift would corrupt every older file's decode. */
+    * a silent schema drift would corrupt every older file's decode.
+    * The first-write race (two writers, both seeing no schema) is
+    * settled by CREATE-EXCLUSIVE: exactly one writer's create(p,
+    * overwrite=false) wins; everyone then re-reads and must MATCH the
+    * winner, so two concurrent first writes with different schemas
+    * cannot both commit. */
   private def ensureSchema(path: String, schema: StructType): Unit = {
     val f = fs(path)
-    readSchemaFile(path) match {
-      case Some(existing) =>
-        require(existing == schema,
-          s"KeyedTable schema mismatch at $path: table has $existing, " +
-            s"write brings $schema")
-      case None =>
-        writeAtomic(f, new Path(path, "_schema.json"), schema.json)
+    val p = new Path(path, "_schema.json")
+    if (readSchemaFile(path).isEmpty) {
+      try {
+        val out = f.create(p, false) // exclusive — loser throws
+        try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
+    val committed = readSchemaFile(path).getOrElse(
+      throw new java.io.IOException(s"could not persist schema at $p"))
+    require(committed == schema,
+      s"KeyedTable schema mismatch at $path: table has $committed, " +
+        s"write brings $schema")
   }
 
   private def manifest(path: String, name: String,
@@ -190,8 +202,15 @@ object KeyedTable {
 
   // ---------- table ----------
 
+  /** `chaosKey`: test-only fault injection (option `chaosWriteKey`) —
+    * the row writer throws mid-file on its FIRST attempt right after
+    * writing that key's row, so the retry/abort path runs against a
+    * genuinely partial staged file IN THE WRITE STAGE (a failing udf
+    * in the query lands below the required-distribution exchange, in
+    * the map stage, and never exercises the writer at all). */
   private[sources] final class KTable(path: String, schema0: StructType,
-      keyCol: Option[String], writePartitions: Int)
+      keyCol: Option[String], writePartitions: Int,
+      chaosKey: Option[Long] = None)
       extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"keyed_table($path)"
     override def schema(): StructType = schema0
@@ -200,6 +219,14 @@ object KeyedTable {
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      // a caller-supplied read schema that differs from the committed
+      // one would mis-frame the binary decode into garbage values —
+      // fail LOUDLY here instead (the write side has ensureSchema)
+      readSchemaFile(path).foreach { committed =>
+        require(committed == schema0,
+          s"KeyedTable read schema mismatch at $path: table has " +
+            s"$committed, read asks for $schema0")
+      }
       val only = Option(options.get("file"))
       new ScanBuilder {
         override def build(): Scan = new KScan(path, schema0, only)
@@ -218,7 +245,8 @@ object KeyedTable {
         s"key column '$key' not in write schema ${schema.fieldNames.mkString(",")}")
       new WriteBuilder {
         override def build(): Write =
-          new KWrite(path, schema, key, writePartitions, info.queryId())
+          new KWrite(path, schema, key, writePartitions, info.queryId(),
+            chaosKey)
       }
     }
   }
@@ -229,8 +257,10 @@ object KeyedTable {
       extends WriterCommitMessage
 
   private final class KWrite(path: String, schema: StructType, key: String,
-      writePartitions: Int, queryId: String)
+      writePartitions: Int, queryId: String, chaosKey: Option[Long] = None)
       extends Write with RequiresDistributionAndOrdering {
+    private def factory = new KWriterFactory(path, schema,
+      chaosKey.map(k => (schema.fieldIndex(key), k)))
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
     // within the task — batch.grouping.key=partition, Spark-natively
@@ -247,8 +277,7 @@ object KeyedTable {
       ensureDirs(path)
       ensureSchema(path, schema)
       override def createBatchWriterFactory(
-          info: PhysicalWriteInfo): DataWriterFactory =
-        new KWriterFactory(path, schema)
+          info: PhysicalWriteInfo): DataWriterFactory = factory
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         manifest(path, s"batch-$queryId.manifest", messages)
       override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -259,16 +288,20 @@ object KeyedTable {
       ensureDirs(path)
       ensureSchema(path, schema)
       override def createStreamingWriterFactory(
-          info: PhysicalWriteInfo): StreamingDataWriterFactory =
-        new KWriterFactory(path, schema)
-      /** Exactly-once: the manifest is NAMED by the epoch. A replayed
-        * epoch (crash between sink commit and checkpoint commit, then
-        * recovery re-runs the batch) finds the manifest present —
-        * its re-staged files are dropped and the commit no-ops, so
-        * the epoch's rows are visible exactly once. */
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+      /** Exactly-once: the manifest is NAMED by (query id, epoch). A
+        * replayed epoch (crash between sink commit and checkpoint
+        * commit, then recovery re-runs the batch) carries the SAME
+        * stable streaming-query id (recovered from the checkpoint) and
+        * finds its manifest present — the re-staged files are dropped
+        * and the commit no-ops. Scoping by query id keeps a SECOND
+        * stream (its own checkpoint, its own id) appending to the same
+        * table from colliding with this one's epoch numbers: epoch-N
+        * of another query is a different manifest, never a false
+        * "replay" that silently drops its rows. */
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = {
-        val name = s"epoch-$epochId.manifest"
+        val name = s"epoch-$queryId-$epochId.manifest"
         if (fs(path).exists(new Path(s"$path/_commits", name)))
           dropStaged(path, messages) // replay — already visible
         else manifest(path, name, messages)
@@ -283,14 +316,16 @@ object KeyedTable {
     * (as JSON — StructType itself is serializable, json is defensive
     * clarity) cross the wire. Serves BOTH factory interfaces — the
     * streaming variant just folds the epoch into the file name. */
-  private final class KWriterFactory(path: String, schema: StructType)
+  private final class KWriterFactory(path: String, schema: StructType,
+      chaos: Option[(Int, Long)])
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
-      new KRowWriter(path, schema, s"part-$partitionId-$taskId")
+      new KRowWriter(path, schema, s"part-$partitionId-$taskId", chaos)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
-      new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId")
+      new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId",
+        chaos)
   }
 
   /** One staged row-log file per task attempt. The attempt writes to
@@ -299,7 +334,8 @@ object KeyedTable {
     * position was task-committed, and VISIBLE only if some driver
     * manifest lists it. Task abort deletes the inprogress file. */
   private final class KRowWriter(path: String, schema: StructType,
-      base: String) extends DataWriter[InternalRow] {
+      base: String, chaos: Option[(Int, Long)] = None)
+      extends DataWriter[InternalRow] {
     private val name =
       s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
     private val f = fs(path)
@@ -337,6 +373,18 @@ object KeyedTable {
         i += 1
       }
       rows += 1L
+      // test-only fault injection: die MID-FILE on the first attempt
+      // after the poisoned key's row is already in the stream — the
+      // retry must leave this partial file invisible forever
+      chaos.foreach { case (keyIdx, poisoned) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 &&
+            !row.isNullAt(keyIdx) && row.getLong(keyIdx) == poisoned) {
+          out.flush()
+          throw new RuntimeException(
+            s"graft-chaos: injected writer failure at key $poisoned")
+        }
+      }
     }
 
     override def commit(): WriterCommitMessage = {

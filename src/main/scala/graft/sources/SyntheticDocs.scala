@@ -82,6 +82,12 @@ object SyntheticDocs {
 
   private val langs = Array("en", "de", "fr", "ja")
 
+  /** ts_us generation formula — ONE definition shared by the row
+    * writer and the pushed min/max(ts_us) closed forms, so the
+    * completely-pushed aggregate can never silently disagree with the
+    * rows it claims to summarize. */
+  private def tsOf(i: Long): Long = 1704067200000000L + i * 1000000L
+
   private[sources] final class SynTable(rows: Long, partitions: Int,
       rowsPerTrigger: Long) extends Table with SupportsRead {
     override def name(): String = s"synthetic_docs($rows)"
@@ -303,12 +309,12 @@ object SyntheticDocs {
   private case object MinTsSpec extends AggSpec("agg_min_ts", true) {
     def eval(lo: Long, hi: Long): Any =
       if (hi <= lo) null
-      else java.lang.Long.valueOf(1704067200000000L + lo * 1000000L)
+      else java.lang.Long.valueOf(tsOf(lo))
   }
   private case object MaxTsSpec extends AggSpec("agg_max_ts", true) {
     def eval(lo: Long, hi: Long): Any =
       if (hi <= lo) null
-      else java.lang.Long.valueOf(1704067200000000L + (hi - 1) * 1000000L)
+      else java.lang.Long.valueOf(tsOf(hi - 1))
   }
 
   /** The completely-pushed-aggregate scan: ONE partition, ONE row,
@@ -435,7 +441,7 @@ object SyntheticDocs {
         private val writers: Array[Long => Any] = fields.map {
           case "doc_id" => (i: Long) => i
           case "user_id" => (i: Long) => i % 9973L
-          case "ts_us" => (i: Long) => 1704067200000000L + i * 1000000L
+          case "ts_us" => (i: Long) => tsOf(i)
           case "cents" => (i: Long) => (i * 31L) % 100000L
           case "lang" => (i: Long) => UTF8String.fromString(
             langs((i % langs.length).toInt))

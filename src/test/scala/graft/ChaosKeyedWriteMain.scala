@@ -1,23 +1,24 @@
 package graft
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Forked-JVM chaos harness for the DSv2 keyed-table SINK: injects
-  * exactly one task failure in the WRITE stage, mid-partition (after
-  * rows have already streamed into the attempt's staged file), and
-  * checks the retried write commits exactly-once — the first
-  * attempt's partial file must never become visible rows. The fork
-  * exists because task retries need a `local[N,maxFailures]` master
+/** Forked-JVM chaos harness for the DSv2 keyed-table SINK: the
+  * `chaosWriteKey` table option makes the DataWriter itself throw on
+  * its FIRST attempt right after the poisoned key's row is in the
+  * staged file — a genuine WRITE-STAGE failure with a partially
+  * written `.inprogress` file on disk at the moment of death. (A
+  * failing udf in the query would land BELOW the sink's
+  * required-distribution exchange, in the map stage, and never touch
+  * the writer.) The retried attempt must commit exactly-once: the
+  * first attempt's partial file is aborted/unmanifested, never rows.
+  * The fork exists because task retries need `local[N,maxFailures]`
   * and the shared spec session is `local[4]` (maxFailures=1).
   *
-  * Exit codes: 0 OK; 2 result mismatch (duplicates or losses); 3 the
-  * injection never fired (vacuous run); other non-zero = job died.
+  * Exit codes: 0 OK; 2 result mismatch (duplicates or losses);
+  * other non-zero = job died (retry did not recover).
   */
 object ChaosKeyedWriteMain {
-  private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-
   def main(args: Array[String]): Unit = {
     val target = java.nio.file.Files
       .createTempDirectory("graft_ktable_chaos_").toString + "/t"
@@ -28,31 +29,40 @@ object ChaosKeyedWriteMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
-    // fail ONE first-attempt write task midway: rows below the fuse
-    // have already been written to the attempt's inprogress file when
-    // the exception fires, so a visibility bug (reading staged bytes)
-    // would double them. nondeterministic pins the udf ABOVE the
-    // sink's required-distribution shuffle, in the write stage itself.
-    val chaos = udf((k: Long) => {
-      val tc = TaskContext.get()
-      if (k % 100 == 57 && tc != null && tc.attemptNumber() == 0 &&
-          fired.compareAndSet(false, true))
-        throw new RuntimeException("graft-chaos: injected write-task failure")
-      k
-    }).asNondeterministic()
+    // vacuous-run guard: the injected death must be OBSERVED as a real
+    // failed task, or a silently unplumbed chaos option would make
+    // this whole harness pass without testing anything
+    val failedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        e.reason match {
+          case _: org.apache.spark.TaskFailedReason =>
+            failedTasks.incrementAndGet(); ()
+          case _ => ()
+        }
+    })
 
+    // poison key 5057: its task dies mid-file on attempt 0 with ~half
+    // its shard already streamed into the inprogress file
     val rows = spark.range(0, 10000).select(
-      chaos(col("id")).as("k"),
+      col("id").as("k"),
       (col("id") % 97).cast("long").as("grp"),
       concat(lit("v"), col("id")).as("payload"))
 
     rows.write.format("graft.sources.KeyedTable")
       .option("key", "k").option("writePartitions", "4")
+      .option("chaosWriteKey", "5057")
       .mode("append").save(target)
 
-    if (!fired.get()) { System.err.println("injection never fired"); sys.exit(3) }
+    // listener delivery is async — give the bus a beat, then require
+    // the injected write-task death actually happened
+    Thread.sleep(500)
+    if (failedTasks.get() < 1) {
+      System.err.println("injection never fired (no failed task observed)")
+      sys.exit(3)
+    }
 
     val got = spark.read.format("graft.sources.KeyedTable").load(target)
     val n = got.count()
@@ -62,6 +72,17 @@ object ChaosKeyedWriteMain {
       .agg(sum(col("id") * (col("id") % 97))).head.getLong(0)
     if (n != 10000L || nd != 10000L || chk != wantChk) {
       System.err.println(s"mismatch: n=$n distinct=$nd chk=$chk want=$wantChk")
+      sys.exit(2)
+    }
+    // the first attempt's partial file must be gone (task abort) or at
+    // worst unmanifested garbage — either way, invisible; and exactly
+    // 4 shards are committed (one per retried write partition)
+    val committed = new java.io.File(s"$target/_commits").listFiles()
+      .filter(_.getName.endsWith(".manifest"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .count(_.nonEmpty)
+    if (committed != 4) {
+      System.err.println(s"expected 4 committed shards, got $committed")
       sys.exit(2)
     }
     println("[chaos-ktable] OK")

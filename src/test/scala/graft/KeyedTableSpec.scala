@@ -41,6 +41,16 @@ class KeyedTableSpec extends SparkSpecBase {
     }
     assert(e.getMessage != null)
     assert(readBack(t).count() === 4L, "failed append must commit nothing")
+    // a caller-supplied READ schema that differs from the committed
+    // one must fail loudly too — decoding a length-framed binary with
+    // the wrong frame plan would yield garbage values, not errors
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.KeyedTable")
+        .schema("k LONG, s LONG, d DOUBLE, b BOOLEAN, i INT")
+        .load(t).collect()
+    }
+    assert(e2.getMessage.contains("schema mismatch"),
+      s"wrong read schema not rejected: ${e2.getMessage}")
   }
 
   test("writes are key-clustered by the planner: committed shards hold disjoint key sets") {
