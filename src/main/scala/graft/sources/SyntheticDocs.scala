@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
@@ -353,8 +353,25 @@ object SyntheticDocs {
   private final class SynScan(lo: Long, hi: Long, partitions: Int,
       rowsPerTrigger: Long, required: StructType,
       desc: Boolean = false, pushedNote: String = "")
-      extends Scan with Batch {
+      extends Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsReportOrdering {
     override def readSchema(): StructType = required
+
+    /** Each stripe is generated in doc_id order (ascending, or
+      * descending for a pushed TopN DESC), so REPORT it
+      * (SupportsReportOrdering): Spark then elides its own per-
+      * partition SortExec over doc_id instead of re-sorting rows that
+      * are born sorted — at 100 TB a redundant sort is a full extra
+      * pass over the data. Only reported when doc_id survives column
+      * pruning (the ordering must be resolvable against the output). */
+    override def outputOrdering(): Array[
+        org.apache.spark.sql.connector.expressions.SortOrder] =
+      if (!required.fieldNames.contains("doc_id")) Array.empty
+      else Array(Expressions.sort(Expressions.column("doc_id"),
+        if (desc) org.apache.spark.sql.connector.expressions
+          .SortDirection.DESCENDING
+        else org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING))
     override def description(): String =
       s"SyntheticDocs[range=[$lo,$hi), " +
         s"cols=${required.fieldNames.mkString(",")}$pushedNote]"

@@ -258,6 +258,30 @@ class SyntheticSourceSpec extends SparkSpecBase {
       load(1000, 4).collect().map(_.getLong(3)).sorted.take(3).toSeq)
   }
 
+  test("reported ordering elides Spark's per-partition sort on doc_id") {
+    import org.apache.spark.sql.execution.SortExec
+    // stripes are born doc_id-sorted and the scan REPORTS it, so a
+    // per-partition sort on doc_id must plan NO SortExec — at scale a
+    // redundant sort is a full extra pass over generated data
+    val sorted = load(100000, 8).select(col("doc_id"), col("cents"))
+      .sortWithinPartitions(col("doc_id"))
+    assert(sorted.queryExecution.executedPlan.collect {
+      case s: SortExec => s
+    }.isEmpty,
+      s"born-sorted scan re-sorted:\n${sorted.queryExecution.executedPlan}")
+    assert(sorted.count() === 100000L)
+    // a sort the generator does NOT provide keeps its SortExec
+    val other = load(1000, 4).sortWithinPartitions(col("cents"))
+    assert(other.queryExecution.executedPlan.collect {
+      case s: SortExec => s
+    }.nonEmpty, "non-doc_id sort lost its SortExec")
+    // and pruning doc_id away drops the (now unresolvable) claim
+    // without breaking the plan
+    val pruned = load(1000, 4).select(col("cents"))
+      .sortWithinPartitions(col("cents"))
+    assert(pruned.count() === 1000L)
+  }
+
   test("partition plan is the requested stripe set") {
     val scan = scanOf(load(1000, 8).select(col("doc_id")))
     assert(scan.inputRDD.getNumPartitions === 8)
