@@ -130,32 +130,52 @@ object KeyedTable {
         .filter(_.nonEmpty))
   }
 
-  /** First commit persists the schema; later commits must match it —
-    * a silent schema drift would corrupt every older file's decode.
-    * The first-write race (two writers, both seeing no schema) is
-    * settled by CREATE-EXCLUSIVE: exactly one writer's create(p,
-    * overwrite=false) wins; everyone then re-reads and must MATCH the
-    * winner, so two concurrent first writes with different schemas
-    * cannot both commit. */
+  /** Decode-compatibility: the row-log frame plan depends on field
+    * ORDER and TYPES only — the null flag is always written, so
+    * declared nullability (and metadata) differences are harmless and
+    * must not reject a read or write. */
+  private def sameShape(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => (f.name, f.dataType)).toSeq ==
+      b.fields.map(f => (f.name, f.dataType)).toSeq
+
+  /** First commit persists the schema; later commits must match its
+    * SHAPE — a silent type/order drift would corrupt every older
+    * file's decode. Publication is a fully-written unique temp file
+    * renamed into place (readers NEVER see partial bytes, and a crash
+    * mid-publish leaves only an invisible temp, not a bricked table);
+    * the rename is skipped when a schema already exists, and everyone
+    * re-reads and must match the winner. On rename-no-overwrite
+    * stores (HDFS) first-publish is fully exclusive; on a clobbering
+    * local FS two different-schema first writes racing inside this
+    * window resolve last-complete-writer-wins and the loser fails its
+    * re-check — the manifest commit re-verifies once more. */
   private def ensureSchema(path: String, schema: StructType): Unit = {
     val f = fs(path)
     val p = new Path(path, "_schema.json")
     if (readSchemaFile(path).isEmpty) {
-      try {
-        val out = f.create(p, false) // exclusive — loser throws
-        try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-      } catch { case scala.util.control.NonFatal(_) => () }
+      val tmp = new Path(path,
+        s"._schema.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try { if (!f.exists(p)) f.rename(tmp, p); () }
+      finally { try { f.delete(tmp, false); () }
+        catch { case scala.util.control.NonFatal(_) => () } }
     }
     val committed = readSchemaFile(path).getOrElse(
       throw new java.io.IOException(s"could not persist schema at $p"))
-    require(committed == schema,
+    require(sameShape(committed, schema),
       s"KeyedTable schema mismatch at $path: table has $committed, " +
         s"write brings $schema")
   }
 
   private def manifest(path: String, name: String,
-      messages: Array[WriterCommitMessage]): Unit = {
+      messages: Array[WriterCommitMessage],
+      schema: StructType): Unit = {
+    // last line of defense for the local-FS first-publish race: never
+    // manifest rows whose shape disagrees with the winning schema
+    readSchemaFile(path).foreach(c => require(sameShape(c, schema),
+      s"KeyedTable schema changed under this write at $path"))
     val files = messages.collect { case m: KFileMessage if m.rows > 0 => m.file }
     ensureDirs(path)
     writeAtomic(fs(path), new Path(s"$path/_commits", name),
@@ -218,12 +238,18 @@ object KeyedTable {
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
+    // read once per table handle, not per planned scan — the common
+    // no-user-schema path already paid this read in inferSchema
+    private lazy val committedSchema = readSchemaFile(path)
+
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      // a caller-supplied read schema that differs from the committed
-      // one would mis-frame the binary decode into garbage values —
-      // fail LOUDLY here instead (the write side has ensureSchema)
-      readSchemaFile(path).foreach { committed =>
-        require(committed == schema0,
+      // a caller-supplied read schema whose SHAPE (field order/types)
+      // differs from the committed one would mis-frame the binary
+      // decode into garbage values — fail LOUDLY here instead (the
+      // write side has ensureSchema); nullability differences decode
+      // identically and pass
+      committedSchema.foreach { committed =>
+        require(sameShape(committed, schema0),
           s"KeyedTable read schema mismatch at $path: table has " +
             s"$committed, read asks for $schema0")
       }
@@ -260,7 +286,13 @@ object KeyedTable {
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None)
       extends Write with RequiresDistributionAndOrdering {
     private def factory = new KWriterFactory(path, schema,
-      chaosKey.map(k => (schema.fieldIndex(key), k)))
+      chaosKey.map { k =>
+        val idx = schema.fieldIndex(key)
+        require(schema.fields(idx).dataType == LongType,
+          s"chaosWriteKey requires a LONG key column; '$key' is " +
+            schema.fields(idx).dataType.sql)
+        (idx, k)
+      })
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
     // within the task — batch.grouping.key=partition, Spark-natively
@@ -279,7 +311,7 @@ object KeyedTable {
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DataWriterFactory = factory
       override def commit(messages: Array[WriterCommitMessage]): Unit =
-        manifest(path, s"batch-$queryId.manifest", messages)
+        manifest(path, s"batch-$queryId.manifest", messages, schema)
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         dropStaged(path, messages)
     }
@@ -304,7 +336,7 @@ object KeyedTable {
         val name = s"epoch-$queryId-$epochId.manifest"
         if (fs(path).exists(new Path(s"$path/_commits", name)))
           dropStaged(path, messages) // replay — already visible
-        else manifest(path, name, messages)
+        else manifest(path, name, messages, schema)
       }
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * The fork exists because task retries need `local[N,maxFailures]`
   * and the shared spec session is `local[4]` (maxFailures=1).
   *
-  * Exit codes: 0 OK; 2 result mismatch (duplicates or losses);
-  * other non-zero = job died (retry did not recover).
+  * Exit codes: 0 OK; 2 result mismatch (duplicates or losses); 3 the
+  * injection never fired (vacuous run — e.g. the chaosWriteKey option
+  * silently unplumbed); other non-zero = job died (retry did not
+  * recover).
   */
 object ChaosKeyedWriteMain {
   def main(args: Array[String]): Unit = {
@@ -56,9 +58,12 @@ object ChaosKeyedWriteMain {
       .option("chaosWriteKey", "5057")
       .mode("append").save(target)
 
-    // listener delivery is async — give the bus a beat, then require
-    // the injected write-task death actually happened
-    Thread.sleep(500)
+    // listener delivery is async — poll with a bounded deadline (a
+    // fixed sleep flakes on a loaded box), then require the injected
+    // write-task death actually happened
+    val deadline = System.currentTimeMillis() + 30000
+    while (failedTasks.get() < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
     if (failedTasks.get() < 1) {
       System.err.println("injection never fired (no failed task observed)")
       sys.exit(3)
@@ -79,7 +84,8 @@ object ChaosKeyedWriteMain {
     // 4 shards are committed (one per retried write partition)
     val committed = new java.io.File(s"$target/_commits").listFiles()
       .filter(_.getName.endsWith(".manifest"))
-      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
+        .toArray(Array.empty[String]))
       .count(_.nonEmpty)
     if (committed != 4) {
       System.err.println(s"expected 4 committed shards, got $committed")

@@ -51,6 +51,14 @@ class KeyedTableSpec extends SparkSpecBase {
     }
     assert(e2.getMessage.contains("schema mismatch"),
       s"wrong read schema not rejected: ${e2.getMessage}")
+    // ...but a nullability-only difference decodes identically (the
+    // null flag is always framed) and must NOT be rejected: DDL
+    // schemas default every field nullable
+    val ddl = spark.read.format("graft.sources.KeyedTable")
+      .schema("k LONG, s STRING, d DOUBLE, b BOOLEAN, i INT")
+      .load(t)
+    assert(ddl.count() === 4L,
+      "nullability-only schema difference was spuriously rejected")
   }
 
   test("writes are key-clustered by the planner: committed shards hold disjoint key sets") {
