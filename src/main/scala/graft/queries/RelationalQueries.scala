@@ -186,6 +186,41 @@ object RelationalQueries {
         out
       }),
 
+    // ---- GROUPED complete aggregate pushdown through the oracle
+    // gate: lang IS doc_id mod 4, so each group is a residue class of
+    // the filter-pushed range and its count/min/max are closed-form —
+    // the scan emits four final group rows and Spark plans NO
+    // aggregate (asserted in-entry). The sibling q_scan_dsv2_pushdown
+    // keeps sum(cents) in its aggregate list, so it gates the REFUSAL
+    // path (falls back to Spark's aggregate) against the same SQL
+    // truth. ----
+    QueryDef("q_scan_dsv2_group_pushdown", Some(
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |    WHEN 2 THEN 'fr' ELSE 'ja' END AS lang,
+        |  count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  min(1704067200000000 + doc_id * 1000000) AS first_ts_us
+        |FROM range(100000) t(doc_id)
+        |WHERE doc_id >= 12345 AND doc_id < 98765
+        |GROUP BY 1""".stripMargin))(
+      (s, _) => {
+        val out = s.read.format("graft.sources.SyntheticDocs")
+          .option("rows", "100000").option("partitions", "8").load()
+          .where(col("doc_id") >= 12345L && col("doc_id") < 98765L)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"),
+            min(col("ts_us")).as("first_ts_us"))
+        val pushed = out.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan.description()
+        }
+        assert(pushed.exists(_.contains("groupBy=lang")),
+          s"grouped aggregate did not push into the v2 scan: $pushed")
+        out
+      }),
+
     // ---- Fully-pushed TopN through the oracle gate: ORDER BY doc_id
     // DESC LIMIT 100 collapses to the closed-form tail sub-range
     // (SupportsPushDownTopN; Spark plans neither Sort nor Limit), and

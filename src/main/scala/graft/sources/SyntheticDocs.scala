@@ -110,7 +110,7 @@ object SyntheticDocs {
     import org.apache.spark.sql.sources._
     private var required: StructType = SyntheticDocs.schema
     private var accepted: Array[Filter] = Array.empty
-    private var pushedAgg: Option[Seq[AggSpec]] = None
+    private var pushedAgg: Option[(Boolean, Seq[AggSpec])] = None
     private var pushedLimit: Option[Int] = None
     private var pushedTopNDesc: Option[(Int, Boolean)] = None
     private var lo = 0L
@@ -161,20 +161,21 @@ object SyntheticDocs {
       // attributes, not source fields) must not clobber it
       if (pushedAgg.isEmpty) required = requiredSchema
 
-    /** COMPLETE aggregate pushdown: a global (no GROUP BY) count /
-      * min / max over columns whose extremes are pure arithmetic on
-      * the scan's [lo, hi) doc_id bounds is answered from the bounds
-      * alone — zero rows generated, however large `rows` is (the spec
-      * proves it by aggregating a 10^12-row corpus instantly). Only
-      * aggregates this source can answer EXACTLY are accepted:
-      * count(*) / count(col) (every column is non-null) = hi-lo;
-      * count(DISTINCT doc_id) = hi-lo (doc_id is the PK); min/max of
-      * doc_id and ts_us (ts_us is strictly monotone in doc_id).
-      * Anything else — min/max of the modular columns, sums, avg,
-      * GROUP BY — returns false and Spark keeps its own aggregate.
-      * Complete (not partial) pushdown: the empty-or-not range is one
-      * answer, so the scan plans ONE partition emitting ONE row and
-      * Spark plans NO aggregate node at all over it. */
+    /** COMPLETE aggregate pushdown: count / min / max over columns
+      * whose extremes are pure arithmetic on the scan's [lo, hi)
+      * doc_id bounds is answered from the bounds alone — zero rows
+      * generated, however large `rows` is (the spec proves it by
+      * aggregating a 10^12-row corpus instantly). Only aggregates
+      * this source can answer EXACTLY are accepted: count(*) /
+      * count(col) (every column is non-null); count(DISTINCT doc_id)
+      * (the PK); min/max of doc_id and the strictly monotone ts_us.
+      * GROUP BY lang is ALSO complete: lang = doc_id mod 4, so each
+      * group is a residue class of the range and its count/min/max
+      * are closed-form too — the scan emits at most four group rows.
+      * Anything else — min/max of the other modular columns, sums,
+      * avg, other group keys — returns false and Spark keeps its own
+      * aggregate. Complete (not partial) pushdown: ONE partition
+      * emits the final row(s) and Spark plans NO aggregate node. */
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate
           .Aggregation): Boolean = translateAgg(agg).isDefined
@@ -189,7 +190,7 @@ object SyntheticDocs {
 
     private def translateAgg(
         agg: org.apache.spark.sql.connector.expressions.aggregate
-          .Aggregation): Option[Seq[AggSpec]] = {
+          .Aggregation): Option[(Boolean, Seq[AggSpec])] = {
       import org.apache.spark.sql.connector.expressions.NamedReference
       import org.apache.spark.sql.connector.expressions.aggregate._
       def field(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -198,7 +199,12 @@ object SyntheticDocs {
           Some(nr.fieldNames()(0))
         case _ => None
       }
-      if (agg.groupByExpressions.nonEmpty) return None
+      val grouped = agg.groupByExpressions.toSeq match {
+        case Seq() => Some(false)
+        case Seq(e) if field(e).contains("lang") => Some(true)
+        case _ => None
+      }
+      if (grouped.isEmpty) return None
       val specs = agg.aggregateExpressions.map {
         case _: CountStar => Some(RowCountSpec)
         case c: Count if !c.isDistinct && field(c.column).isDefined =>
@@ -218,7 +224,7 @@ object SyntheticDocs {
         case _ => None
       }
       if (specs.nonEmpty && specs.forall(_.isDefined))
-        Some(specs.toSeq.flatten)
+        Some((grouped.get, specs.toSeq.flatten: Seq[AggSpec]))
       else None
     }
 
@@ -264,7 +270,8 @@ object SyntheticDocs {
     }
     override def pushedFilters(): Array[Filter] = accepted
     override def build(): Scan = pushedAgg match {
-      case Some(specs) => new SynAggScan(lo, math.max(lo, hi), specs)
+      case Some((grouped, specs)) =>
+        new SynAggScan(lo, math.max(lo, hi), specs, grouped)
       case None =>
         val lo0 = lo
         val hi0 = math.max(lo, hi)
@@ -287,65 +294,96 @@ object SyntheticDocs {
     }
   }
 
+  /** Closed-form summary of a doc_id id-set (the whole range, or one
+    * lang residue class of it): enough to answer every accepted
+    * aggregate. `minDoc`/`maxDoc` are meaningful only when count>0. */
+  private final case class RangeStats(count: Long, minDoc: Long,
+      maxDoc: Long)
+
   /** One pushed-down aggregate column: its output field and its
-    * closed-form answer over the scan's doc_id range [lo, hi).
-    * `eval` returns null for min/max over an empty range (the SQL
-    * global-aggregate contract); counts are 0 there. */
+    * closed-form answer over an id-set summary. `eval` returns null
+    * for min/max over an empty set (the SQL aggregate contract);
+    * counts are 0 there. */
   private sealed abstract class AggSpec(name: String, nullable: Boolean) {
-    def eval(lo: Long, hi: Long): Any
+    def eval(s: RangeStats): Any
     final def toField: StructField = StructField(name, LongType, nullable)
   }
   private case object RowCountSpec extends AggSpec("agg_count", false) {
-    def eval(lo: Long, hi: Long): Any = java.lang.Long.valueOf(hi - lo)
+    def eval(s: RangeStats): Any = java.lang.Long.valueOf(s.count)
   }
   private case object MinDocSpec extends AggSpec("agg_min_doc", true) {
-    def eval(lo: Long, hi: Long): Any =
-      if (hi <= lo) null else java.lang.Long.valueOf(lo)
+    def eval(s: RangeStats): Any =
+      if (s.count <= 0) null else java.lang.Long.valueOf(s.minDoc)
   }
   private case object MaxDocSpec extends AggSpec("agg_max_doc", true) {
-    def eval(lo: Long, hi: Long): Any =
-      if (hi <= lo) null else java.lang.Long.valueOf(hi - 1)
+    def eval(s: RangeStats): Any =
+      if (s.count <= 0) null else java.lang.Long.valueOf(s.maxDoc)
   }
   private case object MinTsSpec extends AggSpec("agg_min_ts", true) {
-    def eval(lo: Long, hi: Long): Any =
-      if (hi <= lo) null
-      else java.lang.Long.valueOf(tsOf(lo))
+    def eval(s: RangeStats): Any =
+      if (s.count <= 0) null else java.lang.Long.valueOf(tsOf(s.minDoc))
   }
   private case object MaxTsSpec extends AggSpec("agg_max_ts", true) {
-    def eval(lo: Long, hi: Long): Any =
-      if (hi <= lo) null
-      else java.lang.Long.valueOf(tsOf(hi - 1))
+    def eval(s: RangeStats): Any =
+      if (s.count <= 0) null else java.lang.Long.valueOf(tsOf(s.maxDoc))
   }
 
-  /** The completely-pushed-aggregate scan: ONE partition, ONE row,
-    * every value closed-form arithmetic on the (already filter-pushed)
-    * doc_id bounds — `count(*)` over 10^12 synthetic rows costs one
-    * driver-side subtraction, not 10^12 generated rows. */
-  private final class SynAggScan(lo: Long, hi: Long, specs: Seq[AggSpec])
-      extends Scan with Batch {
-    override def readSchema(): StructType = StructType(specs.map(_.toField))
+  /** The completely-pushed-aggregate scan: ONE partition whose row(s)
+    * are closed-form arithmetic on the (already filter-pushed) doc_id
+    * bounds — `count(*)` over 10^12 synthetic rows costs one
+    * driver-side subtraction, not 10^12 generated rows. Global shape:
+    * exactly one row (even over an empty range — the SQL global-agg
+    * contract). GROUP BY lang shape: one row per NON-EMPTY residue
+    * class, group column first (empty groups don't exist in SQL
+    * output). */
+  private final class SynAggScan(lo: Long, hi: Long, specs: Seq[AggSpec],
+      grouped: Boolean) extends Scan with Batch {
+    override def readSchema(): StructType =
+      if (grouped)
+        StructType(StructField("lang", StringType, nullable = false) +:
+          specs.map(_.toField))
+      else StructType(specs.map(_.toField))
     override def description(): String =
       s"SyntheticDocs[range=[$lo,$hi), pushedAggregates=" +
-        s"${specs.map(_.toField.name).mkString(",")}]"
+        s"${specs.map(_.toField.name).mkString(",")}" +
+        s"${if (grouped) ", groupBy=lang" else ""}]"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
-      Array(SynPartition(0L, 1L)) // one carrier row for the global agg
-    override def createReaderFactory(): PartitionReaderFactory =
-      new SynAggReaderFactory(specs.map(_.eval(lo, hi)).toArray)
+      Array(SynPartition(0L, 1L)) // one carrier partition, final rows
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val hi0 = math.max(lo, hi)
+      val rows: Array[Array[Any]] =
+        if (!grouped)
+          Array(specs.map(_.eval(
+            RangeStats(hi0 - lo, lo, hi0 - 1))).toArray)
+        else (0 until langs.length).iterator.map { r =>
+          // ids in [lo, hi0) with id mod 4 == r: closed-form count
+          // and first/last member of the residue class
+          def upTo(x: Long) = if (x <= r) 0L else (x - r + 3) / 4
+          val cnt = upTo(hi0) - upTo(lo)
+          val mn = lo + (((r - lo % 4) % 4) + 4) % 4
+          val mx = (hi0 - 1) - ((((hi0 - 1) % 4 - r) % 4) + 4) % 4
+          (r, RangeStats(cnt, mn, mx))
+        }.filter(_._2.count > 0).map { case (r, st) =>
+          UTF8String.fromString(langs(r)) +: specs.map(_.eval(st)).toArray[Any]
+        }.toArray
+      new SynAggReaderFactory(rows)
+    }
   }
 
-  /** Ships only the pre-computed answer values (boxed longs / nulls),
-    * never the scan — the factory crosses the driver/executor wire. */
-  private final class SynAggReaderFactory(answers: Array[Any])
+  /** Ships only the pre-computed answer rows (boxed longs / UTF8
+    * strings / nulls), never the scan — the factory crosses the
+    * driver/executor wire. */
+  private final class SynAggReaderFactory(answers: Array[Array[Any]])
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] =
       new PartitionReader[InternalRow] {
-        private var served = false
-        override def next(): Boolean = { val r = !served; served = true; r }
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < answers.length }
         override def get(): InternalRow =
           new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(answers.clone())
+            .GenericInternalRow(answers(i).clone())
         override def close(): Unit = ()
       }
   }

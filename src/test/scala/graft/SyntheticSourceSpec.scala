@@ -190,10 +190,11 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(!pushedScan(modular).description().contains("pushedAggregates="),
       "pushed an aggregate the bounds cannot answer (min of a modular column)")
     assert(modular.head.toSeq === Seq(0L, 1000L))
-    // GROUP BY is never pushed (the source only answers global aggs)
-    val grouped = load(1000, 4).groupBy(col("lang")).count()
+    // GROUP BY keys other than lang are refused (only the mod-4
+    // residue classes have closed-form group stats)
+    val grouped = load(1000, 4).groupBy(col("user_id")).count()
     assert(!pushedScan(grouped).description().contains("pushedAggregates="),
-      "pushed a grouped aggregate")
+      "pushed a grouped aggregate on an unsupported key")
     assert(grouped.collect().map(_.getLong(1)).sum === 1000L)
     // count(DISTINCT) only pushes for the PK column
     val dd = load(1000, 4).agg(countDistinct(col("lang")).as("n"))
@@ -212,6 +213,63 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(r.getLong(0) === 0L)
     assert(r.isNullAt(1) && r.isNullAt(2),
       "empty-range extremes must be NULL, the global-aggregate contract")
+  }
+
+  test("grouped aggregate pushdown: GROUP BY lang is answered closed-form per residue class") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val trillion = 1000000000000L
+    val df = load(trillion, 8)
+      .where(col("doc_id") >= 10L && col("doc_id") < trillion - 3L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    assert(pushedScan(df).description().contains("groupBy=lang"),
+      s"grouped aggregation did not push: ${pushedScan(df).description()}")
+    assert(df.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec => h
+      case s: SortAggregateExec => s
+    }.isEmpty, "grouped complete pushdown still planned an aggregate")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // range [10, 10^12 - 3): residues 0..3 map to en/de/fr/ja; check
+    // against independently derived closed forms
+    def brute(r: Int) = {
+      val lo = 10L; val hi = trillion - 3L
+      def upTo(x: Long) = if (x <= r) 0L else (x - r + 3) / 4
+      val n = upTo(hi) - upTo(lo)
+      val mn = lo + (((r - lo % 4) % 4) + 4) % 4
+      val mx = (hi - 1) - ((((hi - 1) % 4 - r) % 4) + 4) % 4
+      (Seq("en", "de", "fr", "ja")(r), n, mn, mx)
+    }
+    assert(got === (0 to 3).map(brute).sortBy(_._1))
+    // cross-check the closed forms against REAL generated rows at a
+    // size Spark can brute-force (pushdown disabled by an unsupported
+    // aggregate in the same query forces the fallback)
+    val small = load(1000, 4).where(col("doc_id") >= 10L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"), min(col("cents")).as("force_fallback"))
+    assert(!pushedScan(small).description().contains("pushedAggregates"),
+      "fallback query unexpectedly pushed")
+    val fallback = small.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val pushedSmall = load(1000, 4).where(col("doc_id") >= 10L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    assert(pushedScan(pushedSmall).description().contains("groupBy=lang"))
+    assert(pushedSmall.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq === fallback,
+      "pushed grouped answers disagree with Spark aggregating real rows")
+    // an empty range yields ZERO group rows (grouped-agg contract,
+    // unlike the global one-row case)
+    val empty = load(1000, 4).where(col("doc_id") >= 5000L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    assert(pushedScan(empty).description().contains("groupBy=lang"))
+    assert(empty.collect().isEmpty)
   }
 
   test("limit pushdown: LIMIT n narrows generation to n rows, even at 10^12") {
