@@ -330,6 +330,54 @@ object RelationalQueries {
         out
       }),
 
+    // ---- The V2 table TAILED as a micro-batch stream, through the
+    // oracle gate: orders land in the keyed table as TWO separate
+    // commits, then the tail source replays the manifest log
+    // incrementally (admission-controlled at one manifest per
+    // trigger — >=2 real micro-batches asserted) into a file sink;
+    // the aggregate over the tailed rows must hash-equal the same
+    // SQL that gates the sink round trip. Offset = consumed manifest
+    // set, so a lost or re-delivered commit breaks the hash. ----
+    QueryDef("q_stream_ktable_tail_run", effectful = true, oracle = Some(
+      """SELECT o_orderstatus AS status, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"stream:ktable_tail:$d") {
+        import org.apache.spark.sql.streaming.Trigger
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ktail_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val half = src.agg(
+          org.apache.spark.sql.functions.expr("percentile_approx(k, 0.5)"))
+          .head.getLong(0)
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        sink.append(src.where(col("k") > half), target)
+        val q = s.readStream.format("graft.sources.KeyedTable")
+          .option("manifestsPerTrigger", "1")
+          .load(target)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        assert(q.awaitTermination(300000), "ktable tail did not finish")
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "manifest pacing did not produce one micro-batch per commit")
+        val out = s.read.parquet(s"$tmp/out")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("sum_cents"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -236,6 +236,7 @@ object KeyedTable {
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
     // read once per table handle, not per planned scan — the common
@@ -254,8 +255,9 @@ object KeyedTable {
             s"$committed, read asks for $schema0")
       }
       val only = Option(options.get("file"))
+      val perTrigger = options.getInt("manifestsPerTrigger", 10)
       new ScanBuilder {
-        override def build(): Scan = new KScan(path, schema0, only)
+        override def build(): Scan = new KScan(path, schema0, only, perTrigger)
       }
     }
 
@@ -440,7 +442,8 @@ object KeyedTable {
   // ---------- read path ----------
 
   private final class KScan(path: String, schema: StructType,
-      only: Option[String]) extends Scan with Batch {
+      only: Option[String], manifestsPerTrigger: Int = 10)
+      extends Scan with Batch {
     override def readSchema(): StructType = schema
     override def description(): String =
       s"KeyedTable[$path${only.map(f => s", file=$f").getOrElse("")}]"
@@ -458,6 +461,83 @@ object KeyedTable {
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new KReaderFactory(schema)
+    override def toMicroBatchStream(
+        checkpointLocation: String): org.apache.spark.sql.connector
+          .read.streaming.MicroBatchStream =
+      new KTailStream(path, schema, manifestsPerTrigger)
+  }
+
+  /** TAIL the table as a micro-batch stream — the "keys just loaded,
+    * stream them onward" half of a migration (the batch mover lands
+    * commits; downstream consumes them incrementally). The OFFSET is
+    * the set of consumed manifest names: manifests are immutable and
+    * only ever added, so a batch's delta (end-set minus start-set) is
+    * pure recomputation on replay — restart-safe with no side state.
+    * Admission control paces a trigger at `manifestsPerTrigger`
+    * commits (one manifest = one upstream commit — the natural unit;
+    * a capped trigger picks the name-sorted prefix of the outstanding
+    * set, deterministic given the offsets that bound it). Offset JSON
+    * is the sorted name list — O(#commits) control-plane metadata; a
+    * production deployment compacts manifests to bound it, same as
+    * any file-source listing. */
+  private final class KTailStream(path: String, schema: StructType,
+      manifestsPerTrigger: Int)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
+
+    private case class TailOffset(names: Seq[String]) extends V2Offset {
+      // canonical (sorted, comma-joined): Offset equality is json
+      // equality, so the same set must always serialize identically.
+      // NEVER newline-join here — the checkpoint's OffsetSeqLog is
+      // line-based (one line per SOURCE), so an embedded newline makes
+      // one offset parse as several sources on restart
+      override def json(): String = names.sorted.mkString(",")
+    }
+    private def parse(o: V2Offset): Set[String] =
+      o.asInstanceOf[TailOffset].names.toSet
+
+    private def listManifests(): Seq[String] = {
+      val f = fs(path)
+      val dir = new Path(path, "_commits")
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.endsWith(".manifest")).sorted
+    }
+
+    override def initialOffset(): V2Offset = TailOffset(Seq.empty)
+    override def deserializeOffset(json: String): V2Offset =
+      TailOffset(json.split(",").toSeq.filter(_.nonEmpty))
+    override def getDefaultReadLimit: ReadLimit =
+      ReadLimit.maxFiles(manifestsPerTrigger)
+    override def latestOffset(): V2Offset =
+      throw new UnsupportedOperationException(
+        "admission-controlled source: latestOffset(start, limit)")
+    override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+      val seen = parse(start)
+      val outstanding = listManifests().filterNot(seen)
+      val take = limit match {
+        case m: ReadMaxFiles => m.maxFiles()
+        case _ => outstanding.size
+      }
+      TailOffset((seen ++ outstanding.take(take)).toSeq)
+    }
+    override def reportLatestOffset(): V2Offset = TailOffset(listManifests())
+    override def prepareForTriggerAvailableNow(): Unit = ()
+    override def planInputPartitions(start: V2Offset,
+        end: V2Offset): Array[InputPartition] = {
+      val delta = (parse(end) -- parse(start)).toSeq.sorted
+      val f = fs(path)
+      delta.flatMap { m =>
+        readText(f, new Path(s"$path/_commits", m))
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }.map(file => KFilePartition(path, file)).toArray[InputPartition]
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KReaderFactory(schema)
+    override def commit(end: V2Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private case class KFilePartition(path: String, file: String)

@@ -246,7 +246,12 @@ class PlanGuardSpec extends SparkSpecBase {
       // epoch-replay exactly-once; the write's distribution is
       // planner-enforced (RequiresDistributionAndOrdering), not a
       // hand shuffle
-      "q_sink_v2_keyed_roundtrip"),
+      "q_sink_v2_keyed_roundtrip",
+      // V2 table TAIL run: stateless manifest-log replay (offset =
+      // consumed manifest set) into a file sink — no state machine to
+      // lint; the running fn asserts >=2 admission-controlled
+      // micro-batches and KeyedTableSpec pins pacing + no-re-delivery
+      "q_stream_ktable_tail_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
