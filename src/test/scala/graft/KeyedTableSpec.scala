@@ -142,6 +142,38 @@ class KeyedTableSpec extends SparkSpecBase {
     assert(readBack(t).count() === 1000L)
   }
 
+  test("two streams appending to one table never collide on epoch numbers") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the epoch-manifest scoping contract: manifests are named by
+    // (stable query id, epoch), so TWO distinct streaming queries —
+    // each starting at epoch 0 on its own checkpoint — can append to
+    // the SAME table without one's epoch-0 manifest making the
+    // other's epoch-0 commit look like a replay and silently DROP its
+    // rows (the pre-fix failure mode)
+    val base = java.nio.file.Files.createTempDirectory("graft_ktable_two_")
+    val t = s"$base/t"
+    def stream(ckpt: String, lo: Long, hi: Long): Unit = {
+      val q = spark.readStream.format("graft.sources.SyntheticDocs")
+        .option("rows", "1000").option("partitions", "2")
+        .option("rowsPerTrigger", "250").load()
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("k"), col("lang"))
+        .writeStream.format("graft.sources.KeyedTable")
+        .option("key", "k").option("writePartitions", "2")
+        .option("path", t).option("checkpointLocation", s"$base/$ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), "two-stream append did not finish")
+    }
+    stream("cpA", 0L, 500L)
+    stream("cpB", 500L, 1000L) // same epoch numbers, different query id
+    val got = readBack(t)
+    assert(got.count() === 1000L,
+      "a second stream's epochs collided with the first's manifests " +
+        "and its rows were dropped as a false replay")
+    assert(got.select("k").distinct().count() === 1000L)
+  }
+
   test("tail stream: new commits flow incrementally, paced per manifest, no re-delivery") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft_ktable_tail_")
