@@ -121,9 +121,17 @@ object SyntheticDocs {
       * range and plans ONE stripe — Spark drops its own Limit. n is
       * small by the nature of a pushed limit, so losing stripe
       * parallelism is the right trade (a trillion-row `LIMIT 10`
-      * generates 10 rows, not one stripe's worth). */
+      * generates 10 rows, not one stripe's worth).
+      *
+      * REFUSED once an aggregate is pushed: Spark pushes aggregates
+      * before limits, and a completely-pushed aggregate scan answers
+      * from closed form — it cannot also narrow to "first n" of
+      * anything. Accepting here would let Spark drop its own Limit
+      * (isPartiallyPushed=false) over agg output it never limited —
+      * silent wrong results for `groupBy(...).agg(...).limit(n)`. */
     override def pushLimit(limit: Int): Boolean = {
-      pushedLimit = Some(limit); true
+      if (pushedAgg.isDefined) false
+      else { pushedLimit = Some(limit); true }
     }
 
     // both limit and topN pushes are EXACT (the scan emits precisely
@@ -137,11 +145,14 @@ object SyntheticDocs {
       * sub-range — [lo, lo+n) ascending, [hi-n, hi) descending, the
       * reader emitting rows IN the requested order (one stripe; Spark
       * eliminates both the Sort and the Limit). Any other sort column
-      * is refused (the generator's order proves nothing about it). */
+      * is refused (the generator's order proves nothing about it).
+      * Refused outright over a pushed aggregate — same hazard as
+      * pushLimit: the closed-form agg scan can't honor a row window. */
     override def pushTopN(
         orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
         limit: Int): Boolean = {
       import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+      if (pushedAgg.isDefined) return false
       orders.toSeq match {
         case Seq(o) => o.expression() match {
           case nr: NamedReference

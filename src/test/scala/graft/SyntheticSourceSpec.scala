@@ -272,6 +272,34 @@ class SyntheticSourceSpec extends SparkSpecBase {
     assert(empty.collect().isEmpty)
   }
 
+  test("limit over a pushed aggregate is refused: Spark keeps its own Limit") {
+    // Spark pushes aggregates BEFORE limits. A completely-pushed
+    // aggregate scan answers from closed form and cannot also narrow
+    // to "first n" — if pushLimit accepted here, Spark would drop its
+    // own Limit (isPartiallyPushed=false) and limit(n) over agg output
+    // silently returned all rows. Regression for the round-15 bug.
+    val df = load(1000, 4).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+      .limit(2)
+    val desc = pushedScan(df).description()
+    assert(desc.contains("groupBy=lang"),
+      s"grouped aggregation did not push: $desc")
+    assert(!desc.contains("pushedLimit") && !desc.contains("pushedTopN"),
+      s"limit/topN pushed over a complete aggregate: $desc")
+    assert(df.collect().length === 2,
+      "limit(2) over a pushed grouped aggregate returned a wrong row count")
+    // ordered variant: ORDER BY + LIMIT over the pushed agg must also
+    // stay Spark's (pushTopN refused), and still answer correctly
+    val ordered = load(1000, 4).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).orderBy(col("lang")).limit(2)
+    assert(!pushedScan(ordered).description().contains("pushedTopN"),
+      "topN pushed over a complete aggregate")
+    assert(ordered.collect().map(_.getString(0)).toSeq === Seq("de", "en"))
+    // global agg + limit(1): the degenerate but legal shape
+    val global = load(1000, 4).agg(count(lit(1)).as("n")).limit(1)
+    assert(global.collect().map(_.getLong(0)).toSeq === Seq(1000L))
+  }
+
   test("limit pushdown: LIMIT n narrows generation to n rows, even at 10^12") {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec}
     val trillion = 1000000000000L
