@@ -61,6 +61,25 @@ final case class V2KeyedTableSink(keyCol: String, writeParallelism: Int = 8)
       .mode("append").save(target)
 }
 
+/** Exactly-once V2 variant: each staged file's append commits under a
+  * manifest NAMED by that file, so a resume re-driving the same file
+  * (crash in the append→checkpoint window, the at-least-once hazard of
+  * SURVEY.md §3.4) finds its manifest already committed and no-ops at
+  * the SINK — per-file exactly-once without rewriting storage, the
+  * batch twin of the table's streaming-epoch replay protocol. */
+final case class V2IdempotentKeyedTableSink(keyCol: String,
+    writeParallelism: Int = 8) extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    throw new UnsupportedOperationException(
+      "V2IdempotentKeyedTableSink requires the source-file overload")
+  override def append(df: DataFrame, target: String, sourceFile: String): Unit =
+    df.write.format("graft.sources.KeyedTable")
+      .option("key", keyCol)
+      .option("writePartitions", writeParallelism.toString)
+      .option("commitName", sourceFile)
+      .mode("append").save(target)
+}
+
 /** Exactly-once variant (beyond the reference's at-least-once,
   * SURVEY.md §3.4): output is keyed by the SOURCE file
   * (`target/src=<file>`) and written with overwrite, so a crash
@@ -114,8 +133,9 @@ final class Pipeline(
     * `count()` actions that re-ran every Oracle scan and join
     * (SURVEY.md §4.3). Metrics piggyback on the write's own pass, so
     * the count is free at any scale. */
+  // TrieMap: parallel runAll(n) has one thread per in-flight table
   val stageCounts: scala.collection.mutable.Map[String, Long] =
-    scala.collection.mutable.Map.empty
+    scala.collection.concurrent.TrieMap.empty
 
   /** Attach a row-count observation; `harvest()` reads it after the
     * write action and records + logs the count. */
@@ -173,6 +193,63 @@ final class Pipeline(
       spark.conf.set("spark.graft.checkpoint.dir", s"${spec.workspace}/rdd_checkpoints")
     try spec.tables.foreach { t => runTable(t); lease.renew() }
     finally lease.release()
+  }
+
+  /** Optional parallel table execution — the upgrade the reference
+    * sketched but never shipped (`threading` imported at py:3, loop
+    * kept sequential at py:441-442). Tables are scheduled into WAVES:
+    * within a wave no two tables share a staged source (raw staging —
+    * plain or bucketed — is one-per-source-name per workspace), so
+    * concurrent threads never race one staging dataset, while each
+    * table already owns its transformed/checkpoint/target dirs and
+    * log file by name. Waves run under the same exclusive workspace
+    * lease as the sequential driver; a failed table surfaces after
+    * its wave drains (completed tables keep their checkpoints and
+    * resume exactly like the sequential path). */
+  def runAll(parallelism: Int): Unit = {
+    if (parallelism <= 1) { runAll(); return }
+    val lease = new WorkspaceLease(
+      spark.sparkContext.hadoopConfiguration, spec.workspace, leaseTtlMs)
+    if (!lease.tryAcquire())
+      throw new WorkspaceBusyException(spec.workspace, lease.currentHolder())
+    if (spark.conf.getOption("spark.graft.checkpoint.dir").isEmpty)
+      spark.conf.set("spark.graft.checkpoint.dir", s"${spec.workspace}/rdd_checkpoints")
+    try waves(spec.tables).foreach { wave =>
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(parallelism, wave.size))
+      try {
+        val futures = wave.map(t =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = runTable(t)
+          }))
+        val failures = futures.flatMap(f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            Option(e.getCause).orElse(Some(e)) })
+        failures.headOption.foreach(throw _)
+      } finally pool.shutdownNow()
+      lease.renew()
+    } finally lease.release()
+  }
+
+  /** Greedy wave packing: a table joins the first wave holding none
+    * of its source names. Declaration order is preserved within and
+    * across waves, so sequential semantics are the parallelism=1
+    * special case, not a different program. */
+  private def waves(tables: Seq[TableSpec]): Seq[Seq[TableSpec]] = {
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[TableSpec],
+        scala.collection.mutable.Set[String])]
+    tables.foreach { t =>
+      val srcs = t.sources.map(_.name).toSet
+      acc.find { case (_, used) => srcs.forall(!used.contains(_)) } match {
+        case Some((wave, used)) => wave += t; used ++= srcs
+        case None =>
+          acc += ((scala.collection.mutable.ArrayBuffer(t),
+            scala.collection.mutable.Set(srcs.toSeq: _*)))
+      }
+    }
+    acc.map(_._1.toSeq).toSeq
   }
 
   def runTable(t: TableSpec): Unit = {

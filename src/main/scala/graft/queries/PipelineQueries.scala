@@ -75,6 +75,101 @@ object PipelineQueries {
         Relational.scanParquet(s, sp.targetDir("enriched_lineitem"))
       }),
 
+    // ---- the V2 MIGRATION e2e: the reference pipeline (py:376-421)
+    // loading into the DataSource V2 keyed table, composed with every
+    // round-15/16 seam in one oracled run — (1) extract→transform→
+    // checkpointed load through V2IdempotentKeyedTableSink with an
+    // INJECTED CRASH after file 2's append but before its checkpoint
+    // (the at-least-once hazard window of SURVEY.md §3.4); the
+    // pipeline's retry re-drives the file and the sink's named
+    // manifest makes the replay a no-op — exactly-once delivery,
+    // which is what lets this entry be HASH-gated at all; (2) table
+    // vacuum sweeping injected stray bytes without touching committed
+    // rows; (3) manifest COMPACTION folding the per-file commits into
+    // one checkpoint manifest; (4) the compacted table TAILED as a
+    // micro-batch stream (logical manifest names survive compaction,
+    // so pacing still sees one unit per original commit) into a
+    // downstream aggregate. The final hash covers the whole chain:
+    // any duplicate, lost, or re-delivered file breaks it. ----
+    QueryDef("q_migrate_v2_e2e", effectful = true, oracle = Some(
+      """SELECT n_name AS nation, o_orderpriority AS priority,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS qty_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_quantity >= 20 AND l_quantity <= 45
+        |  AND o_orderstatus = 'F'
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |  AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7',
+        |    'NATION_9', 'NATION_11')
+        |GROUP BY n_name, o_orderpriority""".stripMargin))(
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val ws = Files.createTempDirectory("graft_v2e2e_").toString
+        val sp = spec(ws)
+        val target = sp.targetDir("enriched_lineitem")
+        // crash exactly once, AFTER the second file's rows are
+        // committed in the table but BEFORE the pipeline checkpoints
+        // the file — the worst-case resume window
+        var appends = 0
+        var crashed = false
+        val chaosSink = new AppendSink {
+          private val inner = V2IdempotentKeyedTableSink("order_id")
+          def append(df: org.apache.spark.sql.DataFrame,
+              t: String): Unit = throw new UnsupportedOperationException
+          override def append(df: org.apache.spark.sql.DataFrame,
+              t: String, sourceFile: String): Unit = {
+            inner.append(df, t, sourceFile)
+            appends += 1
+            if (appends == 2 && !crashed) {
+              crashed = true
+              throw new RuntimeException(
+                "graft-chaos: crash between append and checkpoint")
+            }
+          }
+        }
+        new Pipeline(s, sp,
+          src => Relational.scanParquet(s, s"$d/${src.name}.parquet"),
+          sink = chaosSink, retryInitialDelayMs = 50).runAll()
+        assert(crashed, "the injected crash never fired")
+        // stray staged bytes (a writer that died pre-task-commit would
+        // leave these) are vacuumed; committed rows are untouchable
+        val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+          s.sparkContext.hadoopConfiguration)
+        val stray = new org.apache.hadoop.fs.Path(s"$target/data/stray.rows")
+        val out0 = fs.create(stray, true)
+        out0.write(Array[Byte](1, 2, 3)); out0.close()
+        val reaped = graft.sources.KeyedTable.vacuum(target, graceMs = 0L)
+        assert(reaped == Seq("stray.rows"),
+          s"vacuum reaped the wrong set: $reaped")
+        // compaction folds the per-file commit manifests into one
+        // checkpoint; logical names (and the tail's pacing unit) survive
+        val folded = graft.sources.KeyedTable.compact(target)
+        assert(folded.size >= 4,
+          s"expected >=4 per-file manifests folded, got $folded")
+        val q = s.readStream.format("graft.sources.KeyedTable")
+          .option("manifestsPerTrigger", "2").load(target)
+          .writeStream.format("parquet")
+          .option("path", s"$ws/tailed")
+          .option("checkpointLocation", s"$ws/tail_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "v2 e2e tail did not finish")
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "tail pacing collapsed after compaction")
+        val out = s.read.parquet(s"$ws/tailed")
+          .groupBy(col("nation"), col("priority"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("qty").cast("decimal(18,2)").multiply(lit(100))
+              .cast("long"))).cast("long").as("qty_cents"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(ws)
+        out
+      }),
+
     // ---- composed CURATION pipeline e2e: the catalog's corpus
     // operators chained as one DAG — quality gate (the full
     // C4/Gopher rule battery of q_text_quality_rules, shared via

@@ -378,6 +378,142 @@ object RelationalQueries {
         out
       }),
 
+    // ---- KEY LOOKUP against the V2 table, through the oracle gate:
+    // orders land as TWO commits x 8 write buckets (16 committed
+    // row-log files), then a two-key point lookup reads back. The
+    // manifest records each file's key min/max AND its proven murmur3
+    // write bucket, so the scan routes the lookup to the only files
+    // that can hold the keys — the same pruning a partition-key
+    // predicate gets from Cassandra token routing — asserted inside
+    // the entry (planned partitions << committed files). All
+    // predicates stay residual: stats prune FILES, Spark still
+    // filters rows, so the hash is exact by construction. ----
+    QueryDef("q_scan_ktable_key_lookup", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT min(o_orderkey) FROM orders
+        |  UNION ALL SELECT max(o_orderkey) FROM orders)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_lookup:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_klookup_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        sink.append(src.where(col("k") > half), target)
+        val committed = graft.sources.KeyedTable.committedFiles(target).size
+        val lookup = s.read.format("graft.sources.KeyedTable").load(target)
+          .where(col("k").isin(lo, hi))
+        val plannedFiles = lookup.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }.sum
+        assert(plannedFiles < committed && plannedFiles <= 2,
+          s"key lookup scanned $plannedFiles of $committed committed files " +
+            "— manifest stats/bucket routing did not prune")
+        val out = lookup.localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- CLUSTERED READ-BACK: a keyed aggregate over the V2 table
+    // reuses the clustering the WRITE already paid for. The table is
+    // loaded through graft.sources.KeyedTableCatalog (the
+    // FunctionCatalog that makes the bucket transform resolvable), the
+    // scan reports KeyGroupedPartitioning(bucket(8, k)) with one
+    // HasPartitionKey partition per proven write bucket, and the
+    // groupBy(k) plans NO Exchange — asserted inside the entry. At
+    // 100 TB this is the difference between a free aggregate over
+    // loaded keys and re-shuffling the whole table. ----
+    QueryDef("q_scan_ktable_clustered_agg", effectful = true, oracle = Some(
+      """SELECT o_custkey AS k, count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_custkey""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_clustered:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kclust_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_custkey").as("k"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val half = src.agg(expr("percentile_approx(k, 0.5)")).head.getLong(0)
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        sink.append(src.where(col("k") > half), target)
+        graft.sources.KeyedTableRegistry.register(s)
+        val agg = s.table(s"graft_keyed.`$target`")
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        // the clustering contract, linted on the EXECUTED plan: no
+        // shuffle anywhere between the ktable scan and the aggregate
+        def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+          p.collect {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => shuffles(q.plan)
+            case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => 1
+          }.sum
+        assert(shuffles(agg.queryExecution.executedPlan) == 0,
+          "keyed aggregate over the clustered read planned an Exchange — " +
+            "the write's clustering was not reused")
+        val out = agg.localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- MANIFEST-METADATA aggregate pushdown on the V2 table:
+    // count(*) / count(key) / min(key) / max(key) over the loaded
+    // table are answered from the manifest's per-file stats — zero
+    // row-log bytes read, however many rows are committed (the
+    // connector-side twin of the pipeline's parquet-footer progress
+    // counts). In-entry assert: the push happened and Spark planned
+    // NO aggregate node. ----
+    QueryDef("q_scan_ktable_agg_pushdown", effectful = true, oracle = Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) AS n_keys,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |FROM orders""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_agg:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kagg_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"))
+        val half = src.agg(expr("percentile_approx(k, 0.5)")).head.getLong(0)
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        sink.append(src.where(col("k") > half), target)
+        val agg = s.read.format("graft.sources.KeyedTable").load(target)
+          .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_keys"),
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        val scans = agg.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+        assert(scans.exists(_.scan.description().contains("pushedAggregates=")),
+          "manifest aggregate did not push")
+        assert(agg.queryExecution.executedPlan.collect {
+          case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }.isEmpty, "complete pushdown still planned an aggregate node")
+        val out = agg.localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -1,13 +1,16 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,21 +44,52 @@ import java.util
   *  - **Exactly-once streaming**: `toStreaming` commits one manifest
   *    per epoch, named by (stable query id, epoch id); a replayed
   *    epoch (crash in the write→checkpoint window) finds its manifest
-  *    already present, deletes the re-staged files, and no-ops — the
-  *    V2-native version of ExactlyOnceBatchSink's marker protocol —
-  *    while a DIFFERENT query's epochs never collide with this one's.
+  *    already present (standalone or compacted), deletes the
+  *    re-staged files, and no-ops — the V2-native version of
+  *    ExactlyOnceBatchSink's marker protocol — while a DIFFERENT
+  *    query's epochs never collide with this one's.
   *
-  * Read-back is first-class (BATCH_READ over the manifested files,
-  * one partition per file; the `file=` option narrows to one shard for
-  * ops inspection). The row-log encoding is a length-framed binary of
-  * the declared schema (long/int/double/string/boolean, nullable) —
-  * deliberately dumb: the format under test is the COMMIT PROTOCOL,
-  * not a columnar codec; production targets bring their own storage.
+  * Read-back is first-class and carries the pushdown ladder the
+  * Cassandra connector offers on partition-key predicates:
   *
-  * Scale notes: manifests are O(#files) driver-side metadata; data
-  * never flows through the driver. Atomicity relies on rename, same
-  * contract as Spark's own HDFS-backed commit protocols (object-store
-  * deployments swap a manifest store in, as they do for file sinks).
+  *  - **Per-file key statistics**: every manifest line records the
+  *    file's row count, null count, and key min/max (writes are
+  *    key-clustered AND key-sorted, so the ranges are tight).
+  *  - **File pruning** (`SupportsPushDownFilters`): key range /
+  *    equality / IN predicates prune committed files by stats overlap
+  *    before any byte is read — a point lookup plans the files that
+  *    can hold the key, not the whole table. Pruning filters stay
+  *    residual (stats prune files; Spark still filters rows).
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the
+  *    reader walks every frame (the row-log has no column index) but
+  *    only MATERIALIZES requested fields — strings it skips are never
+  *    allocated.
+  *  - **Clustered reads** (`SupportsReportPartitioning`): each file
+  *    additionally records the murmur3 write bucket it proved itself
+  *    into; when every committed file is consistently bucketed, a
+  *    catalog-loaded read (graft.sources.KeyedTableCatalog — needed
+  *    because Spark resolves the bucket transform through a
+  *    FunctionCatalog) reports KeyGroupedPartitioning(bucket(N, key))
+  *    with one HasPartitionKey partition per bucket, and a key-grouped
+  *    aggregate or storage-partitioned join reuses the clustering the
+  *    write already paid for — no Exchange.
+  *
+  * The row-log encoding is a length-framed binary of the declared
+  * schema (long/int/double/string/boolean, nullable) — deliberately
+  * dumb: the format under test is the COMMIT PROTOCOL, not a columnar
+  * codec; production targets bring their own storage.
+  *
+  * Scale notes: manifests are O(#commits) driver-side metadata until
+  * `compact()` folds them into one checkpoint manifest (logical
+  * manifest names — the unit tail-stream offsets are made of — are
+  * preserved across compaction, so a running tail resumes
+  * exactly-once). Data never flows through the driver. Atomicity
+  * relies on rename, same contract as Spark's own HDFS-backed commit
+  * protocols. All filesystem access resolves through the SESSION's
+  * Hadoop configuration (driver: `sessionState.newHadoopConf()`;
+  * executors: a serialized copy shipped in the reader/writer
+  * factories), so s3a credentials/endpoints configured on the session
+  * reach every manifest, writer, and reader operation.
   */
 class KeyedTable extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -63,7 +97,7 @@ class KeyedTable extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "KeyedTable requires a path")
-    KeyedTable.readSchemaFile(path).getOrElse(
+    KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf()).getOrElse(
       throw new IllegalArgumentException(
         s"KeyedTable at $path has no committed schema yet — nothing to read"))
   }
@@ -76,7 +110,9 @@ class KeyedTable extends TableProvider {
     new KeyedTable.KTable(path, schema,
       Option(opts.get("key")),
       opts.getInt("writePartitions", 8),
-      Option(opts.get("chaosWriteKey")).map(_.toLong))
+      opts.getBoolean("clusteredRead", false),
+      Option(opts.get("chaosWriteKey")).map(_.toLong),
+      Option(opts.get("commitName")))
   }
 }
 
@@ -87,9 +123,35 @@ object KeyedTable {
 
   // ---------- control-plane helpers (driver + executor safe) ----------
 
-  private def fs(path: String): FileSystem =
-    FileSystem.get(new java.net.URI(path),
-      new org.apache.hadoop.conf.Configuration())
+  /** The SESSION's Hadoop configuration — driver-side only (executors
+    * receive a [[SerConf]] copy through the factories). Falling back
+    * to a bare Configuration keeps non-Spark callers (tests building
+    * tables by hand) working on local defaults. */
+  private[sources] def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Java-serializable Hadoop Configuration carrier — the
+    * driver-captured session conf shipped to executor-side writers and
+    * readers, so credentials/endpoints/filesystem bindings configured
+    * on the session hold on every node, not just where an active
+    * SparkSession happens to exist. */
+  private[sources] final class SerConf(
+      @transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  private def fs(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
 
   private def writeAtomic(f: FileSystem, dst: Path, body: String): Unit = {
     val tmp = new Path(dst.getParent, s".${dst.getName}.tmp")
@@ -109,25 +171,153 @@ object KeyedTable {
     finally in.close()
   }
 
-  private[sources] def readSchemaFile(path: String): Option[StructType] = {
-    val f = fs(path)
+  private[sources] def readSchemaFile(path: String,
+      conf: Configuration): Option[StructType] = {
+    val f = fs(path, conf)
     val p = new Path(path, "_schema.json")
     if (f.exists(p)) Some(DataType.fromJson(readText(f, p)).asInstanceOf[StructType])
     else None
   }
 
-  /** Every data file listed by any committed manifest, in manifest
-    * order (append order across commits is not meaningful — the table
-    * is a keyed bag, like the modeled target). */
-  private def committedFiles(path: String): Seq[String] = {
-    val f = fs(path)
+  // ---------- manifest entries ----------
+
+  /** Per-file key statistics recorded at task commit. `minEnc`/
+    * `maxEnc` are canonical string encodings over NON-NULL keys
+    * (numeric/boolean: toString; string: Base64 of the raw UTF-8
+    * bytes so the recorded order is UTF8String's binary order, the
+    * one the write sorted by); absent when every key in the file is
+    * null. */
+  private[sources] final case class KeyStats(nulls: Long,
+      minEnc: Option[String], maxEnc: Option[String])
+
+  /** One committed data file as its manifest line records it.
+    * `bucket` is the murmur3 write bucket the file PROVED itself into
+    * (every row hashed there), -1 when unproven; `buckets`/`key` tie
+    * the proof to a modulus and key column so commits written with
+    * different settings can never be grouped together. Legacy (v1)
+    * lines carry the file name only: rows = -1, no stats, no bucket. */
+  private[sources] final case class KFileEntry(file: String, rows: Long,
+      bucket: Int, buckets: Int, key: String, stats: Option[KeyStats])
+
+  /** Caller-supplied commit names become file names: keep them on a
+    * strict filesystem-safe alphabet, uniqueness-preserving via a
+    * hash suffix when anything was replaced. */
+  private def sanitize(n: String): String = {
+    val safe = n.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+    if (safe == n) safe
+    else s"$safe-${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(n))}"
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def entryLine(e: KFileEntry): String = Seq(
+    e.file, e.rows.toString, e.bucket.toString, e.buckets.toString,
+    b64(e.key), e.stats.map(_.nulls).getOrElse(0L).toString,
+    e.stats.flatMap(_.minEnc).map(b64).getOrElse("-"),
+    e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-")).mkString("\t")
+
+  private def parseEntry(line: String): KFileEntry = {
+    val f = line.split("\t", -1)
+    if (f.length < 8) KFileEntry(f(0), -1L, -1, -1, "", None)
+    else KFileEntry(f(0), f(1).toLong, f(2).toInt, f(3).toInt, unb64(f(4)),
+      Some(KeyStats(f(5).toLong,
+        Some(f(6)).filter(_ != "-").map(unb64),
+        Some(f(7)).filter(_ != "-").map(unb64))))
+  }
+
+  // ---------- logical manifests & compaction ----------
+
+  private val CompactHeader = "#graft-compact-v1"
+
+  /** The committed LOGICAL manifests: every standalone
+    * `<name>.manifest` plus every section of a `compact-*.manifest`
+    * checkpoint, keyed by logical name, sorted. A checkpoint SHADOWS
+    * the standalone files it embeds (compaction deletes them, but a
+    * reader racing that window must not double-count), and duplicate
+    * sections across checkpoints dedupe — section content is
+    * immutable, so any copy is the truth. Logical names are the unit
+    * tail-stream offsets are made of; compaction preserves them. */
+  private def logicalManifests(path: String,
+      conf: Configuration): Seq[(String, Seq[String])] = {
+    val f = fs(path, conf)
     val dir = new Path(path, "_commits")
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".manifest"))
-      .sortBy(_.getName)
-      .flatMap(p => readText(f, p).split("\n").toSeq
-        .filter(_.nonEmpty))
+    if (!f.exists(dir)) return Seq.empty
+    val files = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+    val sections = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val (compacts, standalone) = files.partition(_.getName.startsWith("compact-"))
+    compacts.foreach { p =>
+      val lines = readText(f, p).split("\n", -1).toSeq
+      require(lines.headOption.contains(CompactHeader),
+        s"unrecognized compact manifest header in $p")
+      var cur: String = null
+      var buf = List.empty[String]
+      def flush(): Unit = if (cur != null) {
+        if (!sections.contains(cur)) sections(cur) = buf.reverse
+        buf = Nil
+      }
+      lines.drop(1).foreach {
+        case l if l.startsWith(">") => flush(); cur = l.substring(1)
+        case l if l.nonEmpty => buf ::= l
+        case _ => ()
+      }
+      flush()
+    }
+    standalone.foreach { p =>
+      val n = p.getName
+      if (!sections.contains(n))
+        sections(n) = readText(f, p).split("\n").toSeq.filter(_.nonEmpty)
+    }
+    sections.toSeq.sortBy(_._1)
+  }
+
+  private[sources] def committedEntries(path: String,
+      conf: Configuration): Seq[KFileEntry] =
+    logicalManifests(path, conf).flatMap(_._2).map(parseEntry)
+
+  /** Every data file listed by any committed manifest. Public ops
+    * surface (specs, vacuum-adjacent tooling). */
+  def committedFiles(path: String): Seq[String] =
+    committedFiles(path, hadoopConf())
+  private def committedFiles(path: String, conf: Configuration): Seq[String] =
+    committedEntries(path, conf).map(_.file)
+
+  /** Fold every committed manifest into ONE `compact-*.manifest`
+    * checkpoint and delete the superseded physical files. Bounds the
+    * O(#commits) listing cost of reads, tails, and vacuum. Logical
+    * manifest names (and their line content) are preserved verbatim
+    * as sections, so (a) a tail stream's offset — a set of logical
+    * names — stays valid across compaction with no re-delivery and no
+    * loss, and (b) a replayed streaming epoch still finds its
+    * manifest and no-ops. A commit racing the compaction is simply
+    * not embedded and survives as a standalone file. Returns the
+    * physical manifest files that were folded in. */
+  def compact(path: String): Seq[String] = {
+    val conf = hadoopConf()
+    val f = fs(path, conf)
+    val dir = new Path(path, "_commits")
+    if (!f.exists(dir)) return Seq.empty
+    val physical = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".manifest"))
+    if (physical.size <= 1) return Seq.empty
+    val current = logicalManifests(path, conf)
+    val body = (CompactHeader +: current.flatMap {
+      case (n, ls) => s">$n" +: ls
+    }).mkString("\n")
+    val name = s"compact-${java.util.UUID.randomUUID().toString.take(8)}.manifest"
+    writeAtomic(f, new Path(dir, name), body)
+    // delete exactly what we read: a manifest committed after the
+    // listing survives standalone; a failed delete stays harmlessly
+    // shadowed by its embedded section
+    physical.map { p =>
+      try { f.delete(p, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+      p.getName
+    }
   }
 
   /** Decode-compatibility: the row-log frame plan depends on field
@@ -149,20 +339,27 @@ object KeyedTable {
     * local FS two different-schema first writes racing inside this
     * window resolve last-complete-writer-wins and the loser fails its
     * re-check — the manifest commit re-verifies once more. */
-  private def ensureSchema(path: String, schema: StructType): Unit = {
-    val f = fs(path)
+  private def ensureSchema(path: String, schema: StructType,
+      conf: Configuration): Unit = {
+    val f = fs(path, conf)
     val p = new Path(path, "_schema.json")
-    if (readSchemaFile(path).isEmpty) {
+    if (readSchemaFile(path, conf).isEmpty) {
       val tmp = new Path(path,
         s"._schema.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
-      try out.write(schema.json.getBytes(StandardCharsets.UTF_8))
+      // persist all-nullable: the table accumulates APPENDS, and a
+      // later commit may legally carry nulls where the first writer's
+      // frame happened not to — a non-nullable pin would let Catalyst
+      // miscompile reads (count(col) -> count(*), elided null checks)
+      // over data that does hold nulls
+      val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+      try out.write(nullable.json.getBytes(StandardCharsets.UTF_8))
       finally out.close()
       try { if (!f.exists(p)) f.rename(tmp, p); () }
       finally { try { f.delete(tmp, false); () }
         catch { case scala.util.control.NonFatal(_) => () } }
     }
-    val committed = readSchemaFile(path).getOrElse(
+    val committed = readSchemaFile(path, conf).getOrElse(
       throw new java.io.IOException(s"could not persist schema at $p"))
     require(sameShape(committed, schema),
       s"KeyedTable schema mismatch at $path: table has $committed, " +
@@ -170,21 +367,25 @@ object KeyedTable {
   }
 
   private def manifest(path: String, name: String,
-      messages: Array[WriterCommitMessage],
-      schema: StructType): Unit = {
+      messages: Array[WriterCommitMessage], schema: StructType,
+      key: String, buckets: Int, conf: Configuration): Unit = {
     // last line of defense for the local-FS first-publish race: never
     // manifest rows whose shape disagrees with the winning schema
-    readSchemaFile(path).foreach(c => require(sameShape(c, schema),
+    readSchemaFile(path, conf).foreach(c => require(sameShape(c, schema),
       s"KeyedTable schema changed under this write at $path"))
-    val files = messages.collect { case m: KFileMessage if m.rows > 0 => m.file }
-    ensureDirs(path)
-    writeAtomic(fs(path), new Path(s"$path/_commits", name),
-      files.mkString("\n"))
+    val entries = messages.collect {
+      case m: KFileMessage if m.rows > 0 =>
+        KFileEntry(m.file, m.rows, m.bucket, buckets, key,
+          Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)))
+    }
+    ensureDirs(path, conf)
+    writeAtomic(fs(path, conf), new Path(s"$path/_commits", name),
+      entries.map(entryLine).mkString("\n"))
   }
 
   private def dropStaged(path: String,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val f = fs(path)
+      messages: Array[WriterCommitMessage], conf: Configuration): Unit = {
+    val f = fs(path, conf)
     messages.foreach {
       case m: KFileMessage if m.rows > 0 =>
         try { f.delete(new Path(s"$path/data", m.file), false); () }
@@ -193,8 +394,8 @@ object KeyedTable {
     }
   }
 
-  private def ensureDirs(path: String): Unit = {
-    val f = fs(path)
+  private def ensureDirs(path: String, conf: Configuration): Unit = {
+    val f = fs(path, conf)
     f.mkdirs(new Path(path, "data"))
     f.mkdirs(new Path(path, "_commits"))
     ()
@@ -209,10 +410,11 @@ object KeyedTable {
     * concurrent in-flight write's staged files are younger by
     * construction. Returns the deleted file names. */
   def vacuum(path: String, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val f = fs(path)
+    val conf = hadoopConf()
+    val f = fs(path, conf)
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
-    val committed = committedFiles(path).toSet
+    val committed = committedFiles(path, conf).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     f.listStatus(dataDir).toSeq
       .filter(st => st.isFile && st.getModificationTime < cutoff)
@@ -227,10 +429,19 @@ object KeyedTable {
     * writing that key's row, so the retry/abort path runs against a
     * genuinely partial staged file IN THE WRITE STAGE (a failing udf
     * in the query lands below the required-distribution exchange, in
-    * the map stage, and never exercises the writer at all). */
+    * the map stage, and never exercises the writer at all).
+    * `clusteredRead`: plan one read partition per write bucket and
+    * report KeyGroupedPartitioning — set by the catalog loader (which
+    * can also resolve the bucket transform) and opt-in via option.
+    * `commitName`: names the batch manifest by the CALLER's identity
+    * instead of the write's query id, making a re-run of the same
+    * logical append (a resume re-driving a staged file through the
+    * sink) a no-op replay instead of a duplicate — the batch twin of
+    * the streaming epoch protocol. */
   private[sources] final class KTable(path: String, schema0: StructType,
       keyCol: Option[String], writePartitions: Int,
-      chaosKey: Option[Long] = None)
+      clusteredRead: Boolean = false, chaosKey: Option[Long] = None,
+      commitName: Option[String] = None)
       extends Table with SupportsRead with SupportsWrite {
     override def name(): String = s"keyed_table($path)"
     override def schema(): StructType = schema0
@@ -241,7 +452,7 @@ object KeyedTable {
 
     // read once per table handle, not per planned scan — the common
     // no-user-schema path already paid this read in inferSchema
-    private lazy val committedSchema = readSchemaFile(path)
+    private lazy val committedSchema = readSchemaFile(path, hadoopConf())
 
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
       // a caller-supplied read schema whose SHAPE (field order/types)
@@ -256,9 +467,7 @@ object KeyedTable {
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
-      new ScanBuilder {
-        override def build(): Scan = new KScan(path, schema0, only, perTrigger)
-      }
+      new KScanBuilder(path, schema0, only, perTrigger, clusteredRead)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -274,26 +483,29 @@ object KeyedTable {
       new WriteBuilder {
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
-            chaosKey)
+            chaosKey, commitName)
       }
     }
   }
 
   // ---------- write path ----------
 
-  private final case class KFileMessage(file: String, rows: Long)
-      extends WriterCommitMessage
+  private final case class KFileMessage(file: String, rows: Long,
+      nulls: Long, bucket: Int, minEnc: Option[String],
+      maxEnc: Option[String]) extends WriterCommitMessage
 
   private final class KWrite(path: String, schema: StructType, key: String,
-      writePartitions: Int, queryId: String, chaosKey: Option[Long] = None)
+      writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
+      commitName: Option[String] = None)
       extends Write with RequiresDistributionAndOrdering {
-    private def factory = new KWriterFactory(path, schema,
+    private val keyIdx = schema.fieldIndex(key)
+    private def factory(conf: SerConf) = new KWriterFactory(path, schema,
+      keyIdx, writePartitions, conf,
       chaosKey.map { k =>
-        val idx = schema.fieldIndex(key)
-        require(schema.fields(idx).dataType == LongType,
+        require(schema.fields(keyIdx).dataType == LongType,
           s"chaosWriteKey requires a LONG key column; '$key' is " +
-            schema.fields(idx).dataType.sql)
-        (idx, k)
+            schema.fields(keyIdx).dataType.sql)
+        (keyIdx, k)
       })
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
@@ -308,74 +520,141 @@ object KeyedTable {
       s"KeyedTable[$path, key=$key, writePartitions=$writePartitions]"
 
     override def toBatch: BatchWrite = new BatchWrite {
-      ensureDirs(path)
-      ensureSchema(path, schema)
+      private val conf = new SerConf(hadoopConf())
+      ensureDirs(path, conf.value)
+      ensureSchema(path, schema, conf.value)
       override def createBatchWriterFactory(
-          info: PhysicalWriteInfo): DataWriterFactory = factory
-      override def commit(messages: Array[WriterCommitMessage]): Unit =
-        manifest(path, s"batch-$queryId.manifest", messages, schema)
+          info: PhysicalWriteInfo): DataWriterFactory = factory(conf)
+      /** Default manifest identity is the write's query id (every
+        * batch write is a distinct append). With `commitName` the
+        * CALLER names the logical append, and a re-run — a pipeline
+        * resume re-driving a staged file after a crash in its
+        * append→checkpoint window — finds the manifest already
+        * committed (standalone or compacted), drops its re-staged
+        * files, and no-ops: per-file exactly-once for batch loads,
+        * the same protocol the streaming epochs use. */
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val name = commitName match {
+          case Some(n) => s"named-${sanitize(n)}.manifest"
+          case None => s"batch-$queryId.manifest"
+        }
+        if (commitName.isDefined &&
+            logicalManifests(path, conf.value).exists(_._1 == name))
+          dropStaged(path, messages, conf.value) // replay — already visible
+        else manifest(path, name, messages, schema, key, writePartitions,
+          conf.value)
+      }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
-        dropStaged(path, messages)
+        dropStaged(path, messages, conf.value)
     }
 
     override def toStreaming: StreamingWrite = new StreamingWrite {
-      ensureDirs(path)
-      ensureSchema(path, schema)
+      private val conf = new SerConf(hadoopConf())
+      ensureDirs(path, conf.value)
+      ensureSchema(path, schema, conf.value)
       override def createStreamingWriterFactory(
-          info: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+          info: PhysicalWriteInfo): StreamingDataWriterFactory = factory(conf)
       /** Exactly-once: the manifest is NAMED by (query id, epoch). A
         * replayed epoch (crash between sink commit and checkpoint
         * commit, then recovery re-runs the batch) carries the SAME
         * stable streaming-query id (recovered from the checkpoint) and
         * finds its manifest present — the re-staged files are dropped
-        * and the commit no-ops. Scoping by query id keeps a SECOND
-        * stream (its own checkpoint, its own id) appending to the same
-        * table from colliding with this one's epoch numbers: epoch-N
-        * of another query is a different manifest, never a false
-        * "replay" that silently drops its rows. */
+        * and the commit no-ops. The probe is by LOGICAL name
+        * (standalone file OR section of a compaction checkpoint), so
+        * compacting the table never un-no-ops a replay. Scoping by
+        * query id keeps a SECOND stream (its own checkpoint, its own
+        * id) appending to the same table from colliding with this
+        * one's epoch numbers: epoch-N of another query is a different
+        * manifest, never a false "replay" that silently drops its
+        * rows. */
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = {
         val name = s"epoch-$queryId-$epochId.manifest"
-        if (fs(path).exists(new Path(s"$path/_commits", name)))
-          dropStaged(path, messages) // replay — already visible
-        else manifest(path, name, messages, schema)
+        if (logicalManifests(path, conf.value).exists(_._1 == name))
+          dropStaged(path, messages, conf.value) // replay — already visible
+        else manifest(path, name, messages, schema, key, writePartitions,
+          conf.value)
       }
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =
-        dropStaged(path, messages)
+        dropStaged(path, messages, conf.value)
     }
   }
 
-  /** Serializable bridge to executors: only the path and the schema
-    * (as JSON — StructType itself is serializable, json is defensive
-    * clarity) cross the wire. Serves BOTH factory interfaces — the
+  /** Serializable bridge to executors: the path, the schema, the key
+    * slot (for per-file stats), the bucket modulus, and the session
+    * Hadoop conf cross the wire. Serves BOTH factory interfaces — the
     * streaming variant just folds the epoch into the file name. */
   private final class KWriterFactory(path: String, schema: StructType,
-      chaos: Option[(Int, Long)])
+      keyIdx: Int, buckets: Int, conf: SerConf, chaos: Option[(Int, Long)])
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
-      new KRowWriter(path, schema, s"part-$partitionId-$taskId", chaos)
+      new KRowWriter(path, schema, s"part-$partitionId-$taskId", keyIdx,
+        buckets, conf, chaos)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId",
-        chaos)
+        keyIdx, buckets, conf, chaos)
   }
 
   /** One staged row-log file per task attempt. The attempt writes to
     * `data/.<name>.inprogress`; task commit renames it to
     * `data/<name>` and reports it upward — so a file in final
     * position was task-committed, and VISIBLE only if some driver
-    * manifest lists it. Task abort deletes the inprogress file. */
+    * manifest lists it. Task abort deletes the inprogress file.
+    *
+    * Alongside the bytes, the writer keeps the file's key statistics
+    * (rows, nulls, min/max — defensively compared per row rather than
+    * trusting the asked-for ordering) and PROVES the file's murmur3
+    * bucket: every non-skipped row must hash to the same
+    * pmod(murmur3(key, 42), buckets) — the exact function Spark's
+    * hashpartitioning uses — or the file reports bucket -1 and the
+    * table stops claiming clustered reads. The proof, not the
+    * planner's intent, is what read-side grouping trusts: an upstream
+    * that satisfied the clustered distribution some other way (range
+    * partitioning, single partition) fails the proof instead of
+    * corrupting grouped reads. */
   private final class KRowWriter(path: String, schema: StructType,
-      base: String, chaos: Option[(Int, Long)] = None)
+      base: String, keyIdx: Int, buckets: Int, conf: SerConf,
+      chaos: Option[(Int, Long)] = None)
       extends DataWriter[InternalRow] {
     private val name =
       s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
-    private val f = fs(path)
+    private val f = fs(path, conf.value)
     private val inprogress = new Path(s"$path/data", s".$name.inprogress")
     private var out: DataOutputStream = _
     private var rows = 0L
+    private var nulls = 0L
+    private var minKey: Any = null
+    private var maxKey: Any = null
+    private var bucketTag = -2 // -2 unset; -1 disproven; else the bucket
+    private val keyType = schema.fields(keyIdx).dataType
+
+    private val keyOrd: (Any, Any) => Int = keyType match {
+      case LongType => (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => (a, b) => java.lang.Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType => (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case BooleanType => (a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case StringType => (a, b) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case other => throw new IllegalArgumentException(other.sql)
+    }
+
+    // rows are reused by the scan pipeline: values retained across
+    // write() calls (min/max) must be copied out of the row
+    private def keyValue(row: InternalRow): Any = keyType match {
+      case LongType => row.getLong(keyIdx)
+      case IntegerType => row.getInt(keyIdx)
+      case DoubleType => row.getDouble(keyIdx)
+      case BooleanType => row.getBoolean(keyIdx)
+      case StringType => row.getUTF8String(keyIdx).clone()
+      case other => throw new IllegalArgumentException(other.sql)
+    }
 
     private val fieldWriters: Array[(DataOutputStream, InternalRow, Int) => Unit] =
       schema.fields.zipWithIndex.map { case (fd, _) =>
@@ -407,18 +686,36 @@ object KeyedTable {
         i += 1
       }
       rows += 1L
+      val kNull = row.isNullAt(keyIdx)
+      val kVal: Any = if (kNull) null else keyValue(row)
+      if (kNull) nulls += 1L
+      else {
+        if (minKey == null || keyOrd(kVal, minKey) < 0) minKey = kVal
+        if (maxKey == null || keyOrd(kVal, maxKey) > 0) maxKey = kVal
+      }
+      // bucket proof: nulls hash like hashpartitioning hashes them
+      // (murmur3 of null leaves the seed), so all-null files prove a
+      // bucket too
+      val b = bucketOf(kVal, keyType, buckets)
+      if (bucketTag == -2) bucketTag = b
+      else if (bucketTag != -1 && bucketTag != b) bucketTag = -1
       // test-only fault injection: die MID-FILE on the first attempt
       // after the poisoned key's row is already in the stream — the
       // retry must leave this partial file invisible forever
-      chaos.foreach { case (keyIdx, poisoned) =>
+      chaos.foreach { case (ki, poisoned) =>
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null && tc.attemptNumber() == 0 &&
-            !row.isNullAt(keyIdx) && row.getLong(keyIdx) == poisoned) {
+            !row.isNullAt(ki) && row.getLong(ki) == poisoned) {
           out.flush()
           throw new RuntimeException(
             s"graft-chaos: injected writer failure at key $poisoned")
         }
       }
+    }
+
+    private def enc(v: Any): Option[String] = Option(v).map {
+      case s: UTF8String => java.util.Base64.getEncoder.encodeToString(s.getBytes)
+      case other => other.toString
     }
 
     override def commit(): WriterCommitMessage = {
@@ -427,7 +724,8 @@ object KeyedTable {
         if (!f.rename(inprogress, new Path(s"$path/data", name)))
           throw new java.io.IOException(s"task commit rename failed: $name")
       }
-      KFileMessage(name, rows)
+      KFileMessage(name, rows, nulls,
+        if (bucketTag < 0) -1 else bucketTag, enc(minKey), enc(maxKey))
     }
 
     override def abort(): Unit = {
@@ -441,47 +739,423 @@ object KeyedTable {
 
   // ---------- read path ----------
 
-  private final class KScan(path: String, schema: StructType,
-      only: Option[String], manifestsPerTrigger: Int = 10)
-      extends Scan with Batch {
-    override def readSchema(): StructType = schema
-    override def description(): String =
-      s"KeyedTable[$path${only.map(f => s", file=$f").getOrElse("")}]"
-    override def toBatch: Batch = this
-    override def planInputPartitions(): Array[InputPartition] = {
-      val files = committedFiles(path)
-      val chosen = only match {
-        case Some(f) =>
-          require(files.contains(f),
-            s"file $f is not committed in $path (${files.size} committed)")
-          Seq(f)
-        case None => files
-      }
-      chosen.map(f => KFilePartition(path, f)).toArray[InputPartition]
+  /** Filter shapes usable for manifest-stats file pruning. EVERY
+    * filter stays residual (file stats prune files, they never filter
+    * rows), so pruning can only ever be conservative — a wrongly-kept
+    * file costs a read, a wrongly-claimed push would cost rows. */
+  private def prunable(fl: Filter): Boolean = attrOf(fl).isDefined
+
+  private def attrOf(fl: Filter): Option[String] = {
+    import org.apache.spark.sql.sources._
+    fl match {
+      case EqualTo(a, _) => Some(a)
+      case EqualNullSafe(a, _) => Some(a)
+      case GreaterThan(a, _) => Some(a)
+      case GreaterThanOrEqual(a, _) => Some(a)
+      case LessThan(a, _) => Some(a)
+      case LessThanOrEqual(a, _) => Some(a)
+      case In(a, _) => Some(a)
+      case IsNull(a) => Some(a)
+      case IsNotNull(a) => Some(a)
+      case _ => None
     }
+  }
+
+  /** Sign of (encoded stat value) vs (filter literal) in the key's
+    * domain; None when the literal can't be compared there — the
+    * caller then keeps the file (pruning must never be wrong, only
+    * useful). String order is unsigned-byte over UTF-8, matching the
+    * UTF8String order the writer recorded min/max in. */
+  private def cmpEnc(dt: DataType, e: String, v: Any): Option[Int] = {
+    def asLong(x: Any): Option[Long] = x match {
+      case n: java.lang.Long => Some(n.longValue)
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Short => Some(n.longValue)
+      case n: java.lang.Byte => Some(n.longValue)
+      case _ => None
+    }
+    dt match {
+      case LongType | IntegerType =>
+        asLong(v).map(l => java.lang.Long.compare(e.toLong, l))
+      case DoubleType => v match {
+        case n: java.lang.Double =>
+          Some(java.lang.Double.compare(e.toDouble, n.doubleValue))
+        case n: java.lang.Float =>
+          Some(java.lang.Double.compare(e.toDouble, n.doubleValue))
+        case _ => None
+      }
+      case BooleanType => v match {
+        case b: java.lang.Boolean =>
+          Some(java.lang.Boolean.compare(e.toBoolean, b.booleanValue))
+        case _ => None
+      }
+      case StringType => v match {
+        case s: String =>
+          val a = java.util.Base64.getDecoder.decode(e)
+          val b = s.getBytes(StandardCharsets.UTF_8)
+          val n = math.min(a.length, b.length)
+          var i = 0
+          var r = 0
+          while (i < n && r == 0) {
+            r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+            i += 1
+          }
+          Some(if (r != 0) r else java.lang.Integer.compare(a.length, b.length))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** The filter literal in the key's catalyst domain (what the hash
+    * function expects), or None when it doesn't convert exactly. */
+  private def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    case (LongType, n: java.lang.Long) => Some(n.longValue)
+    case (LongType, n: java.lang.Integer) => Some(n.longValue)
+    case (LongType, n: java.lang.Short) => Some(n.longValue)
+    case (LongType, n: java.lang.Byte) => Some(n.longValue)
+    case (IntegerType, n: java.lang.Integer) => Some(n.intValue)
+    case (IntegerType, n: java.lang.Short) => Some(n.intValue)
+    case (IntegerType, n: java.lang.Byte) => Some(n.intValue)
+    case (DoubleType, n: java.lang.Double) => Some(n.doubleValue)
+    case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
+    case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case _ => None
+  }
+
+  private[sources] def bucketOf(v: Any, dt: DataType, buckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions
+      .Murmur3HashFunction.hash(v, dt, 42L).toInt
+    ((h % buckets) + buckets) % buckets
+  }
+
+  /** Can file `e` possibly hold a row matching `fl`? Conservative:
+    * unknown shapes/types/columns keep the file. Equality/IN
+    * predicates route by BUCKET when the file proved one — the exact
+    * pruning a partition-key predicate gets from Cassandra token
+    * routing, and far sharper than range overlap on hash-clustered
+    * files (each commit's files cover interleaved key ranges, but a
+    * key hashes into exactly one file per commit). Range predicates
+    * prune by the recorded min/max — tight when loads arrive in key
+    * ranges (the incremental-load shape). */
+  private def mayMatch(e: KFileEntry, keyType: Option[DataType],
+      fl: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val st = e.stats.orNull
+    val dt = keyType.orNull
+    if (st == null || dt == null || !attrOf(fl).contains(e.key)) return true
+    val hasNonNull = st.minEnc.isDefined
+    def geMin(v: Any) = st.minEnc.flatMap(cmpEnc(dt, _, v)).forall(_ <= 0)
+    def leMax(v: Any) = st.maxEnc.flatMap(cmpEnc(dt, _, v)).forall(_ >= 0)
+    def inBucket(v: Any): Boolean =
+      e.bucket < 0 || e.buckets <= 0 ||
+        toCatalyst(dt, v).forall(cv => bucketOf(cv, dt, e.buckets) == e.bucket)
+    fl match {
+      case IsNull(_) => st.nulls > 0
+      case IsNotNull(_) => hasNonNull
+      case EqualTo(_, v) => hasNonNull && geMin(v) && leMax(v) && inBucket(v)
+      case EqualNullSafe(_, null) => st.nulls > 0
+      case EqualNullSafe(_, v) =>
+        hasNonNull && geMin(v) && leMax(v) && inBucket(v)
+      case GreaterThan(_, v) =>
+        hasNonNull && st.maxEnc.flatMap(cmpEnc(dt, _, v)).forall(_ > 0)
+      case GreaterThanOrEqual(_, v) => hasNonNull && leMax(v)
+      case LessThan(_, v) =>
+        hasNonNull && st.minEnc.flatMap(cmpEnc(dt, _, v)).forall(_ < 0)
+      case LessThanOrEqual(_, v) => hasNonNull && geMin(v)
+      case In(_, vs) => hasNonNull &&
+        vs.exists(v => v != null && geMin(v) && leMax(v) && inBucket(v))
+      case _ => true
+    }
+  }
+
+  private final class KScanBuilder(path: String, tableSchema: StructType,
+      only: Option[String], perTrigger: Int, clusteredRead: Boolean)
+      extends ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    private var required: StructType = tableSchema
+    private var pruningFilters: Array[Filter] = Array.empty
+    private var pushedAgg: Option[Seq[KAggSpec]] = None
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      pruningFilters = filters.filter(prunable)
+      // ALL filters stay Spark's to evaluate: stats prune FILES only
+      filters
+    }
+    override def pushedFilters(): Array[Filter] = pruningFilters
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      // once an aggregate is pushed the scan's output IS the agg
+      // schema; a later pruning call must not clobber it
+      if (pushedAgg.isEmpty) required = requiredSchema
+
+    /** COMPLETE aggregate pushdown from manifest METADATA: every
+      * manifest line carries the file's row count, key-null count and
+      * key min/max, so global count(*) / count(key) / min(key) /
+      * max(key) over the whole table is a manifest read — zero
+      * row-log bytes, however many rows are committed (the same
+      * footer-metadata trick the pipeline's progress counts use).
+      * Refused whenever the answer would need actual rows: any
+      * residual predicate, GROUP BY, non-key columns, distinct, or a
+      * legacy (v1) manifest line without stats. */
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean = translateAgg(agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean = translateAgg(agg) match {
+      case s @ Some(_) => pushedAgg = s; true
+      case None => false
+    }
+
+    private lazy val statsEntries: Option[(Seq[KFileEntry], String)] = {
+      val entries = committedEntries(path, hadoopConf())
+      val chosen = only match {
+        case Some(f) => entries.filter(_.file == f)
+        case None => entries
+      }
+      val keys = chosen.map(_.key).distinct
+      if (chosen.forall(e => e.rows >= 0 && e.stats.isDefined) &&
+          keys.size <= 1 && keys.forall(_.nonEmpty))
+        Some((chosen, keys.headOption.getOrElse("")))
+      else None
+    }
+
+    private def translateAgg(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Option[Seq[KAggSpec]] = {
+      import org.apache.spark.sql.connector.expressions.NamedReference
+      import org.apache.spark.sql.connector.expressions.aggregate._
+      if (pruningFilters.nonEmpty || agg.groupByExpressions.nonEmpty)
+        return None
+      val (_, key) = statsEntries.getOrElse(return None)
+      if (!tableSchema.fields.exists(_.name == key)) return None
+      def field(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            Some(nr.fieldNames()(0))
+          case _ => None
+        }
+      val specs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(KCountStar)
+        case c: Count if !c.isDistinct && field(c.column).contains(key) =>
+          Some(KCountKey)
+        case m: Min if field(m.column).contains(key) => Some(KMinKey)
+        case m: Max if field(m.column).contains(key) => Some(KMaxKey)
+        case _ => None
+      }
+      if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
+      else None
+    }
+
+    override def build(): Scan = pushedAgg match {
+      case Some(specs) =>
+        val (entries, key) = statsEntries.get
+        val keyType = tableSchema.fields.find(_.name == key).get.dataType
+        new KAggScan(path, entries, key, keyType, specs)
+      case None => new KScan(path, tableSchema, required,
+        pruningFilters, only, perTrigger, clusteredRead,
+        new SerConf(hadoopConf()))
+    }
+  }
+
+  private sealed trait KAggSpec {
+    def name: String
+    def dataType(keyType: DataType): DataType
+    def nullable: Boolean
+  }
+  private case object KCountStar extends KAggSpec {
+    val name = "agg_count"
+    def dataType(kt: DataType): DataType = LongType
+    val nullable = false
+  }
+  private case object KCountKey extends KAggSpec {
+    val name = "agg_count_key"
+    def dataType(kt: DataType): DataType = LongType
+    val nullable = false
+  }
+  private case object KMinKey extends KAggSpec {
+    val name = "agg_min_key"
+    def dataType(kt: DataType): DataType = kt
+    val nullable = true
+  }
+  private case object KMaxKey extends KAggSpec {
+    val name = "agg_max_key"
+    def dataType(kt: DataType): DataType = kt
+    val nullable = true
+  }
+
+  /** The manifest-answered aggregate scan: ONE partition carrying the
+    * final row, folded from per-file stats on the driver. */
+  private final class KAggScan(path: String, entries: Seq[KFileEntry],
+      key: String, keyType: DataType, specs: Seq[KAggSpec])
+      extends Scan with Batch {
+    override def readSchema(): StructType =
+      StructType(specs.map(s => StructField(s.name, s.dataType(keyType),
+        s.nullable)))
+    override def description(): String =
+      s"KeyedTable[$path, pushedAggregates=${specs.map(_.name).mkString(",")}" +
+        s" from ${entries.size} manifest entries]"
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(KFilesPartition(path, Seq.empty))
+    override def createReaderFactory(): PartitionReaderFactory = {
+      def decode(enc: String): Any = keyType match {
+        case LongType => java.lang.Long.valueOf(enc.toLong)
+        case IntegerType => java.lang.Integer.valueOf(enc.toInt)
+        case DoubleType => java.lang.Double.valueOf(enc.toDouble)
+        case BooleanType => java.lang.Boolean.valueOf(enc.toBoolean)
+        case StringType => UTF8String.fromBytes(
+          java.util.Base64.getDecoder.decode(enc))
+        case other => throw new IllegalArgumentException(other.sql)
+      }
+      def fold(pick: KeyStats => Option[String], sign: Int): Any = {
+        val vals = entries.flatMap(e => e.stats.flatMap(pick)).map(decode)
+        if (vals.isEmpty) null
+        else vals.reduce { (a, b) =>
+          val c = keyType match {
+            case StringType =>
+              a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+            case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+          }
+          if (sign * c <= 0) a else b
+        }
+      }
+      val row: Array[Any] = specs.map {
+        case KCountStar => java.lang.Long.valueOf(entries.map(_.rows).sum)
+        case KCountKey => java.lang.Long.valueOf(
+          entries.map(e => e.rows - e.stats.map(_.nulls).getOrElse(0L)).sum)
+        case KMinKey => fold(_.minEnc, 1)
+        case KMaxKey => fold(_.maxEnc, -1)
+      }.toArray
+      new PartitionReaderFactory {
+        override def createReader(
+            p: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private var done = false
+            override def next(): Boolean = { val r = !done; done = true; r }
+            override def get(): InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(row.clone())
+            override def close(): Unit = ()
+          }
+      }
+    }
+  }
+
+  /** A planned read split: one or more committed row-log files (one
+    * group per write bucket under clustered reads, else one file).
+    * Reports its bucket as the partition key when grouped. */
+  private final case class KFilesPartition(path: String, files: Seq[String],
+      bucket: Int = -1) extends InputPartition with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bucket))
+  }
+
+  private final class KScan(path: String, tableSchema: StructType,
+      required: StructType, filters: Array[Filter], only: Option[String],
+      manifestsPerTrigger: Int, clusteredRead: Boolean, conf: SerConf)
+      extends Scan with Batch with SupportsReportPartitioning {
+
+    private lazy val all: Seq[KFileEntry] = {
+      val entries = committedEntries(path, conf.value)
+      only match {
+        case Some(f) =>
+          require(entries.exists(_.file == f),
+            s"file $f is not committed in $path (${entries.size} committed)")
+          entries.filter(_.file == f)
+        case None => entries
+      }
+    }
+
+    private def keyTypeOf(e: KFileEntry): Option[DataType] =
+      tableSchema.fields.find(_.name == e.key).map(_.dataType)
+
+    /** Manifest-stats file pruning: a file survives only if every
+      * pushed predicate might match its recorded key range. */
+    private lazy val planned: Seq[KFileEntry] =
+      all.filter(e => filters.forall(fl => mayMatch(e, keyTypeOf(e), fl)))
+
+    /** Clustered-read grouping: one partition per write bucket, valid
+      * only when every planned file PROVED a bucket under one shared
+      * (key, modulus). Gated on the session's v2-bucketing switch —
+      * when Spark would ignore the report, per-file partitions keep
+      * the higher read parallelism instead. */
+    private lazy val grouping: Option[(String, Int, Seq[(Int, Seq[KFileEntry])])] =
+      if (!clusteredRead || planned.isEmpty ||
+          !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
+      else {
+        val keys = planned.map(_.key).distinct
+        val moduli = planned.map(_.buckets).distinct
+        if (keys.size == 1 && keys.head.nonEmpty && moduli.size == 1 &&
+            moduli.head > 0 && planned.forall(_.bucket >= 0))
+          Some((keys.head, moduli.head,
+            planned.groupBy(_.bucket).toSeq.sortBy(_._1)))
+        else None
+      }
+
+    override def readSchema(): StructType = required
+    override def description(): String = {
+      val pruned =
+        if (filters.nonEmpty) s", files=${planned.size}/${all.size}" else ""
+      val clustered = grouping
+        .map { case (k, n, g) => s", clustered=bucket($n,$k)×${g.size}" }
+        .getOrElse("")
+      s"KeyedTable[$path${only.map(f => s", file=$f").getOrElse("")}" +
+        s", cols=${required.fieldNames.mkString(",")}" +
+        s"${if (filters.nonEmpty) s", pruneBy=${filters.mkString(";")}" else ""}" +
+        pruned + clustered + "]"
+    }
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = grouping match {
+      case Some((_, _, groups)) =>
+        groups.map { case (b, es) =>
+          KFilesPartition(path, es.map(_.file), b)
+        }.toArray[InputPartition]
+      case None =>
+        planned.map(e => KFilesPartition(path, Seq(e.file)))
+          .toArray[InputPartition]
+    }
+
+    override def outputPartitioning(): Partitioning = grouping match {
+      case Some((key, n, groups)) =>
+        new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
+          groups.size)
+      case None => new UnknownPartitioning(planned.size)
+    }
+
     override def createReaderFactory(): PartitionReaderFactory =
-      new KReaderFactory(schema)
+      new KReaderFactory(tableSchema, required, conf)
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
           .read.streaming.MicroBatchStream =
-      new KTailStream(path, schema, manifestsPerTrigger)
+      new KTailStream(path, tableSchema, required, manifestsPerTrigger, conf)
   }
 
   /** TAIL the table as a micro-batch stream — the "keys just loaded,
     * stream them onward" half of a migration (the batch mover lands
     * commits; downstream consumes them incrementally). The OFFSET is
-    * the set of consumed manifest names: manifests are immutable and
-    * only ever added, so a batch's delta (end-set minus start-set) is
-    * pure recomputation on replay — restart-safe with no side state.
-    * Admission control paces a trigger at `manifestsPerTrigger`
-    * commits (one manifest = one upstream commit — the natural unit;
-    * a capped trigger picks the name-sorted prefix of the outstanding
-    * set, deterministic given the offsets that bound it). Offset JSON
-    * is the sorted name list — O(#commits) control-plane metadata; a
-    * production deployment compacts manifests to bound it, same as
-    * any file-source listing. */
-  private final class KTailStream(path: String, schema: StructType,
-      manifestsPerTrigger: Int)
+    * the set of consumed LOGICAL manifest names: manifests are
+    * immutable and only ever added (compaction re-homes them into
+    * checkpoint sections but never renames or rewrites them), so a
+    * batch's delta (end-set minus start-set) is pure recomputation on
+    * replay — restart-safe with no side state, and stable across
+    * compaction. Admission control paces a trigger at
+    * `manifestsPerTrigger` commits (one manifest = one upstream
+    * commit — the natural unit; a capped trigger picks the
+    * name-sorted prefix of the outstanding set, deterministic given
+    * the offsets that bound it). Under Trigger.AvailableNow the
+    * manifest set is SNAPSHOTTED at prepare time and the run is
+    * bounded to it — commits landing mid-run wait for the next run,
+    * per the AvailableNow contract. Offset JSON is the sorted name
+    * list — O(#commits) control-plane metadata; `compact()` bounds
+    * the LISTING cost, the offset text itself stays proportional to
+    * consumed commits. */
+  private final class KTailStream(path: String, tableSchema: StructType,
+      required: StructType, manifestsPerTrigger: Int, conf: SerConf)
       extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
       with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
       with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -498,13 +1172,13 @@ object KeyedTable {
     private def parse(o: V2Offset): Set[String] =
       o.asInstanceOf[TailOffset].names.toSet
 
-    private def listManifests(): Seq[String] = {
-      val f = fs(path)
-      val dir = new Path(path, "_commits")
-      if (!f.exists(dir)) Seq.empty
-      else f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.endsWith(".manifest")).sorted
-    }
+    private def listManifests(): Seq[String] =
+      logicalManifests(path, conf.value).map(_._1)
+
+    /** The AvailableNow bound: logical manifests present when the run
+      * prepared. None outside AvailableNow (continuous/processing-time
+      * triggers admit live commits, as they should). */
+    @volatile private var availableNowCap: Option[Seq[String]] = None
 
     override def initialOffset(): V2Offset = TailOffset(Seq.empty)
     override def deserializeOffset(json: String): V2Offset =
@@ -516,48 +1190,72 @@ object KeyedTable {
         "admission-controlled source: latestOffset(start, limit)")
     override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
       val seen = parse(start)
-      val outstanding = listManifests().filterNot(seen)
+      val visible = availableNowCap.getOrElse(listManifests())
+      val outstanding = visible.filterNot(seen)
       val take = limit match {
         case m: ReadMaxFiles => m.maxFiles()
         case _ => outstanding.size
       }
       TailOffset((seen ++ outstanding.take(take)).toSeq)
     }
-    override def reportLatestOffset(): V2Offset = TailOffset(listManifests())
-    override def prepareForTriggerAvailableNow(): Unit = ()
+    override def reportLatestOffset(): V2Offset =
+      TailOffset(availableNowCap.getOrElse(listManifests()))
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(listManifests())
     override def planInputPartitions(start: V2Offset,
         end: V2Offset): Array[InputPartition] = {
       val delta = (parse(end) -- parse(start)).toSeq.sorted
-      val f = fs(path)
+      val byName = logicalManifests(path, conf.value).toMap
       delta.flatMap { m =>
-        readText(f, new Path(s"$path/_commits", m))
-          .split("\n").toSeq.filter(_.nonEmpty)
-      }.map(file => KFilePartition(path, file)).toArray[InputPartition]
+        byName.getOrElse(m, throw new IllegalStateException(
+          s"manifest $m named by a tail offset is gone from $path — " +
+            "manifests must only ever be added or compacted, never removed"))
+          .map(parseEntry)
+      }.map(e => KFilesPartition(path, Seq(e.file)))
+        .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KReaderFactory(schema)
+      new KReaderFactory(tableSchema, required, conf)
     override def commit(end: V2Offset): Unit = ()
     override def stop(): Unit = ()
   }
 
-  private case class KFilePartition(path: String, file: String)
-      extends InputPartition
-
-  private final class KReaderFactory(schema: StructType)
+  /** Decodes the length-framed row-log. `full` is the frame plan (the
+    * committed schema shape — every field's flag+value is walked);
+    * `required` is what gets MATERIALIZED: skipped fixed-width fields
+    * are discarded reads, skipped strings are skipped bytes that
+    * never allocate. A partition may chain several files (clustered
+    * reads group a bucket's files); EOF at a row boundary rolls to
+    * the next file. */
+  private final class KReaderFactory(full: StructType,
+      required: StructType, conf: SerConf)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[KFilePartition]
+      val p = partition.asInstanceOf[KFilesPartition]
       new PartitionReader[InternalRow] {
-        private val f = fs(p.path)
-        private val in = new DataInputStream(new java.io.BufferedInputStream(
-          f.open(new Path(s"${p.path}/data", p.file)), 1 << 16))
+        private val f = fs(p.path, conf.value)
+        private var fileIdx = -1
+        private var in: DataInputStream = _
         private val row = new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(schema.length)
-        private var eof = false
+          .GenericInternalRow(required.length)
+
+        // per full-schema field: the required-row slot it lands in
+        // (-1 = walk the frame, materialize nothing)
+        private val outSlot: Array[Int] = full.fields.map(fd =>
+          required.fieldNames.indexOf(fd.name))
+
+        private def skipFully(n: Int): Unit = {
+          var left = n.toLong
+          while (left > 0) {
+            val s = in.skip(left)
+            if (s <= 0) { in.readByte(); left -= 1 } // forces EOF check
+            else left -= s
+          }
+        }
 
         private val fieldReaders: Array[DataInputStream => Any] =
-          schema.fields.map { fd =>
+          full.fields.map { fd =>
             fd.dataType match {
               case LongType => (i: DataInputStream) => java.lang.Long.valueOf(i.readLong())
               case IntegerType => (i: DataInputStream) => java.lang.Integer.valueOf(i.readInt())
@@ -573,23 +1271,53 @@ object KeyedTable {
             }
           }
 
-        override def next(): Boolean = {
-          if (eof) return false
-          // length-framed rows have no separator: EOF at a row
-          // BOUNDARY is the clean end; EOF inside a row is corruption
-          val first = try in.read() catch { case _: java.io.EOFException => -1 }
-          if (first < 0) { eof = true; return false }
-          var i = 0
-          while (i < fieldReaders.length) {
-            val isNull = if (i == 0) first == 1 else in.readBoolean()
-            if (isNull) row.update(i, null)
-            else row.update(i, fieldReaders(i)(in))
-            i += 1
+        private val fieldSkippers: Array[() => Unit] =
+          full.fields.map { fd =>
+            fd.dataType match {
+              case LongType | DoubleType => () => skipFully(8)
+              case IntegerType => () => skipFully(4)
+              case BooleanType => () => skipFully(1)
+              case StringType => () => skipFully(in.readInt())
+              case other => throw new IllegalArgumentException(other.sql)
+            }
           }
-          true
+
+        private def nextFile(): Boolean = {
+          if (in != null) { in.close(); in = null }
+          fileIdx += 1
+          if (fileIdx >= p.files.size) false
+          else {
+            in = new DataInputStream(new java.io.BufferedInputStream(
+              f.open(new Path(s"${p.path}/data", p.files(fileIdx))), 1 << 16))
+            true
+          }
+        }
+
+        override def next(): Boolean = {
+          while (true) {
+            if (in == null && !nextFile()) return false
+            // length-framed rows have no separator: EOF at a row
+            // BOUNDARY is the clean end (roll to the next file); EOF
+            // inside a row is corruption
+            val first = try in.read() catch { case _: java.io.EOFException => -1 }
+            if (first < 0) { in.close(); in = null }
+            else {
+              var i = 0
+              while (i < fieldReaders.length) {
+                val isNull = if (i == 0) first == 1 else in.readBoolean()
+                val slot = outSlot(i)
+                if (isNull) { if (slot >= 0) row.update(slot, null) }
+                else if (slot >= 0) row.update(slot, fieldReaders(i)(in))
+                else fieldSkippers(i)()
+                i += 1
+              }
+              return true
+            }
+          }
+          false
         }
         override def get(): InternalRow = row
-        override def close(): Unit = in.close()
+        override def close(): Unit = if (in != null) in.close()
       }
     }
   }

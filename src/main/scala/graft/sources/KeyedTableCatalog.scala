@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+
+/** Path-addressed V2 catalog for [[KeyedTable]]s — the piece that
+  * turns the sink's write-side clustering into a read-side plan
+  * property. Spark resolves a scan-reported
+  * `KeyGroupedPartitioning(bucket(N, key))` only through the loading
+  * catalog's FunctionCatalog (a path-based `format(...).load(...)`
+  * relation has none, so its report is silently dropped); this
+  * catalog supplies both halves:
+  *
+  *  - `loadTable` maps the identifier's name verbatim to a table
+  *    path (`spark.table("graft_keyed.`/path/to/t`")`) and loads it
+  *    with clustered reads enabled — one read partition per proven
+  *    write bucket, so a key-grouped aggregate or storage-partitioned
+  *    join downstream plans NO Exchange (the clustering the write
+  *    already paid for is reused, the declarative analogue of reading
+  *    Cassandra token ranges aligned to partition keys).
+  *  - `loadFunction("bucket")` binds pmod(murmur3(key, 42), n) — the
+  *    EXACT function Spark's hashpartitioning applies and the one the
+  *    writer proves each file against, so a partition's reported
+  *    bucket and the function's verdict can never disagree.
+  *
+  * Register once per session:
+  * `spark.sql.catalog.graft_keyed = graft.sources.KeyedTableCatalog`.
+  */
+class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
+  private var name0: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = name0 = name
+  override def name(): String = name0
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = ident.name()
+    val schema = KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf())
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    new KeyedTable.KTable(path, schema, keyCol = None,
+      writePartitions = 8, clusteredRead = true)
+  }
+
+  // the namespace is the filesystem; enumeration/DDL belong to the
+  // writer API (V2KeyedTableSink), not this read-side resolver
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create KeyedTables by writing through V2KeyedTableSink")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("KeyedTable schemas are immutable")
+  override def dropTable(ident: Identifier): Boolean = false
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("KeyedTable paths are immutable")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") KeyedTableCatalog.BucketFn
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(name0, ident.name)
+}
+
+/** One-line session wiring for clustered KeyedTable reads: registers
+  * the catalog under `graft_keyed` and turns on Spark's v2-bucketing
+  * switch (the gate under which reported KeyGroupedPartitioning is
+  * honored — and under which the scan plans bucket-grouped partitions
+  * instead of per-file ones). Idempotent; callable any time before
+  * the read. */
+object KeyedTableRegistry {
+  val CatalogName = "graft_keyed"
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$CatalogName",
+      classOf[KeyedTableCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+}
+
+object KeyedTableCatalog {
+
+  /** pmod(murmur3(key, 42), n) — byte-compatible with Spark's
+    * hashpartitioning AND with the per-file bucket proof in
+    * [[KeyedTable]]'s writer. Bound per key type; null keys hash to
+    * the seed, exactly as the shuffle does. */
+  object BucketFn extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, key) = pmod(murmur3(key, 42), n)"
+    override def bind(input: StructType): BoundFunction = {
+      require(input.length == 2, s"bucket expects (numBuckets, key): $input")
+      val dt = input(1).dataType
+      new ScalarFunction[Integer] {
+        override def inputTypes(): Array[DataType] =
+          Array(input(0).dataType, dt)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def canonicalName(): String =
+          s"graft.bucket(${dt.catalogString})"
+        override def isResultNullable: Boolean = false
+        override def produceResult(row: InternalRow): Integer = {
+          val n = row.getInt(0)
+          val v = if (row.isNullAt(1)) null else row.get(1, dt)
+          val h = org.apache.spark.sql.catalyst.expressions
+            .Murmur3HashFunction.hash(v, dt, 42L).toInt
+          ((h % n) + n) % n
+        }
+      }
+    }
+  }
+}

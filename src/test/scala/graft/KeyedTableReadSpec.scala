@@ -1,0 +1,348 @@
+package graft
+
+import graft.pipeline.V2KeyedTableSink
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** A local filesystem under a scheme only the SESSION's Hadoop
+  * configuration knows — resolvable iff the engine threads that
+  * configuration to every driver- AND executor-side table operation.
+  * `initialize` additionally demands a marker key, so even a
+  * cache-assisted resolution with the wrong conf fails loudly. */
+class KSpecFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "kspec"
+  override def getUri: java.net.URI = java.net.URI.create("kspec:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    require(conf.get("graft.kspec.marker") == "on",
+      "KSpecFs initialized from a configuration that is NOT the session's")
+    super.initialize(uri, conf)
+  }
+}
+
+/** The KeyedTable READ half (round 16): session-conf threading,
+  * manifest key statistics, file pruning (bucket routing + range
+  * overlap), column pruning, clustered reads through the catalog,
+  * AvailableNow tail bounding, and manifest compaction. */
+class KeyedTableReadSpec extends SparkSpecBase {
+  import graft.sources.KeyedTable
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(lo: Long, hi: Long): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (lo until hi).map(k => (k, s"v$k", k * 10L)).toDF("k", "s", "c")
+  }
+
+  private def readBack(target: String): DataFrame =
+    spark.read.format("graft.sources.KeyedTable").load(target)
+
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec => Seq(b)
+      }.flatten
+    val scans = walk(df.queryExecution.executedPlan)
+    assert(scans.size == 1, s"expected one v2 scan, got ${scans.size}")
+    scans.head
+  }
+
+  private def shuffles(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def walk(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case e: ShuffleExchangeExec => Seq(e) ++ walk(e.child)
+    }.flatten
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("session Hadoop conf reaches driver- and executor-side table I/O") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.kspec.impl", classOf[KSpecFs].getName)
+    // no cache: every FileSystem.get must carry a conf that can
+    // resolve the scheme itself — a fresh `new Configuration()`
+    // anywhere in the write/read/manifest path fails immediately
+    hc.set("fs.kspec.impl.disable.cache", "true")
+    hc.set("graft.kspec.marker", "on")
+    try {
+      val local = tmpDir("graft_kconf_")
+      val target = s"kspec:$local/t"
+      V2KeyedTableSink("k", writeParallelism = 4).append(rows(0, 50), target)
+      val got = readBack(target)
+      assert(got.count() === 50L)
+      assert(got.agg(sum(col("c"))).head.getLong(0) === (0L until 50L).map(_ * 10).sum)
+      // vacuum (driver-side helper) resolves through the session conf too
+      assert(KeyedTable.vacuum(target, graceMs = 0L).isEmpty)
+    } finally {
+      hc.unset("fs.kspec.impl")
+      hc.unset("fs.kspec.impl.disable.cache")
+      hc.unset("graft.kspec.marker")
+    }
+  }
+
+  test("point lookup prunes to one file per commit via bucket routing") {
+    val t = tmpDir("graft_kprune_") + "/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 4)
+    sink.append(rows(0, 100), t)
+    sink.append(rows(100, 200), t)
+    val committed = KeyedTable.committedFiles(t)
+    assert(committed.size === 8, s"expected 2 commits x 4 buckets: $committed")
+
+    val lookup = readBack(t).where(col("k") === 57L)
+    val scan = scanOf(lookup)
+    // range stats can't isolate a hash-clustered key, the bucket does:
+    // exactly one file per commit can hold k=57, and commit 2's range
+    // [100,200) excludes it entirely -> 1 planned file of 8
+    assert(scan.inputRDD.getNumPartitions === 1,
+      s"lookup planned ${scan.inputRDD.getNumPartitions} of ${committed.size} " +
+        s"files: ${scan.scan.description()}")
+    assert(lookup.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((57L, "v57")))
+
+    // IN-list: one bucket-routed file per commit per listed key, still < all
+    val inq = readBack(t).where(col("k").isin(3L, 150L))
+    assert(scanOf(inq).inputRDD.getNumPartitions <= 4)
+    assert(inq.collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 150L))
+
+    // range predicate: commit 1's files are all below 100 -> pruned
+    val range = readBack(t).where(col("k") >= 150L)
+    assert(scanOf(range).inputRDD.getNumPartitions === 4,
+      s"range scan kept commit-1 files: ${scanOf(range).scan.description()}")
+    assert(range.count() === 50L)
+
+    // no-match lookup plans zero files but still answers correctly
+    val miss = readBack(t).where(col("k") === 5000L)
+    assert(scanOf(miss).inputRDD.getNumPartitions === 0)
+    assert(miss.count() === 0L)
+
+    // pruning filters stay residual: rows are still filtered exactly
+    // (a file holds many keys; stats never claimed row-level filtering)
+    val bucketMate = readBack(t).where(col("k") === 57L || col("k") === 58L)
+    assert(bucketMate.count() === 2L)
+  }
+
+  test("column pruning reaches the row-log decoder") {
+    val t = tmpDir("graft_kcols_") + "/t"
+    V2KeyedTableSink("k", writeParallelism = 2).append(rows(0, 40), t)
+    val pruned = readBack(t).select(col("c"))
+    assert(scanOf(pruned).scan.readSchema().fieldNames.toSeq === Seq("c"),
+      s"projection did not prune: ${scanOf(pruned).scan.readSchema()}")
+    assert(pruned.agg(sum(col("c"))).head.getLong(0) ===
+      (0L until 40L).map(_ * 10).sum)
+    // pure-count projection decodes zero fields
+    val none = readBack(t).select(lit(1))
+    assert(none.count() === 40L)
+  }
+
+  test("clustered read through the catalog: key-grouped aggregate plans no exchange") {
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      graft.sources.KeyedTableRegistry.register(spark)
+      val t = tmpDir("graft_kclust_") + "/t"
+      val sink = V2KeyedTableSink("k", writeParallelism = 4)
+      sink.append(rows(0, 100), t)
+      sink.append(rows(0, 100), t) // same keys again: groups span commits
+      val agg = spark.table(s"graft_keyed.`$t`")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      assert(shuffles(agg).isEmpty,
+        s"clustered read still shuffled:\n${agg.queryExecution.executedPlan}")
+      // one read partition per proven write bucket
+      assert(scanOf(agg).inputRDD.getNumPartitions === 4)
+      val got = agg.collect()
+      assert(got.length === 100 && got.forall(_.getLong(1) == 2L),
+        "grouped read lost or duplicated rows")
+
+      // write buckets disagree across commits -> grouping must turn
+      // itself off (correctness over the plan win), per-file plan back
+      val t2 = tmpDir("graft_kclust2_") + "/t"
+      V2KeyedTableSink("k", writeParallelism = 4).append(rows(0, 50), t2)
+      V2KeyedTableSink("k", writeParallelism = 8).append(rows(0, 50), t2)
+      val agg2 = spark.table(s"graft_keyed.`$t2`")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(shuffles(agg2).nonEmpty,
+        "mixed-modulus table still claimed clustering")
+      assert(agg2.collect().forall(_.getLong(1) == 2L))
+
+      // with v2 bucketing off, per-file parallelism is kept (8 files,
+      // not 4 bucket groups)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val flat = spark.table(s"graft_keyed.`$t`")
+      assert(scanOf(flat.select(col("k"))).inputRDD.getNumPartitions === 8)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("AvailableNow tail is bounded to the manifests present at prepare time") {
+    import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val t = tmpDir("graft_know_") + "/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 2)
+    sink.append(rows(0, 10), t)
+    sink.append(rows(10, 20), t)
+    def stream(): MicroBatchStream with SupportsAdmissionControl
+        with SupportsTriggerAvailableNow = {
+      val props = new java.util.HashMap[String, String]()
+      props.put("path", t)
+      val provider = new graft.sources.KeyedTable
+      val table = provider.getTable(
+        provider.inferSchema(new CaseInsensitiveStringMap(props)),
+        Array.empty, props)
+      table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(new CaseInsensitiveStringMap(props)).build()
+        .toMicroBatchStream(tmpDir("graft_know_ckpt_"))
+        .asInstanceOf[MicroBatchStream with SupportsAdmissionControl
+          with SupportsTriggerAvailableNow]
+    }
+    val bounded = stream()
+    bounded.prepareForTriggerAvailableNow()
+    sink.append(rows(20, 30), t) // lands mid-run
+    val end = bounded.latestOffset(bounded.initialOffset(), ReadLimit.allAvailable())
+    assert(end.json().split(",").length === 2,
+      s"AvailableNow admitted a mid-run commit: ${end.json()}")
+    // an unbounded (processing-trigger) stream sees all three
+    val live = stream()
+    val liveEnd = live.latestOffset(live.initialOffset(), ReadLimit.allAvailable())
+    assert(liveEnd.json().split(",").length === 3)
+  }
+
+  test("compaction folds manifests, preserves reads, and keeps a mid-tail offset exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmpDir("graft_kcompact_")
+    val t = s"$base/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 2)
+    sink.append(rows(0, 10), t)
+    sink.append(rows(10, 20), t)
+
+    // run 1 consumes exactly the first two commits
+    def run() = spark.readStream.format("graft.sources.KeyedTable")
+      .option("manifestsPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = run()
+    assert(q1.awaitTermination(120000), "tail run 1 hung")
+    assert(spark.read.parquet(s"$base/out").count() === 20L)
+
+    // a third commit lands, then the table compacts: physical manifest
+    // files collapse to one, logical names (the offset alphabet) survive
+    sink.append(rows(20, 30), t)
+    val before = KeyedTable.committedFiles(t).toSet
+    val folded = KeyedTable.compact(t)
+    assert(folded.size === 3, s"expected 3 folded manifests: $folded")
+    assert(KeyedTable.committedFiles(t).toSet === before,
+      "compaction changed the committed file set")
+    val physical = new java.io.File(s"$t/_commits").listFiles()
+      .map(_.getName).filter(_.endsWith(".manifest"))
+    assert(physical.length === 1 && physical.head.startsWith("compact-"),
+      s"compaction left ${physical.toSeq}")
+
+    // batch read-back through the compacted manifest is intact
+    assert(readBack(t).count() === 30L)
+
+    // run 2 resumes from the pre-compaction offset: exactly commit 3's
+    // rows flow (no re-delivery of compacted-away names, no loss)
+    val q2 = run()
+    assert(q2.awaitTermination(120000), "tail run 2 hung")
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.count() === 30L, s"resume after compaction delivered ${got.count()}")
+    assert(got.groupBy(col("k")).count().where(col("count") =!= 1L).count() === 0L,
+      "a key was re-delivered or lost across compaction")
+
+    // compacting a compacted table is a no-op (single physical file)
+    assert(KeyedTable.compact(t).isEmpty)
+  }
+
+  test("manifest-metadata aggregate pushdown: count/min/max cost zero row-log bytes") {
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_kagg_") + "/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 4)
+    sink.append(rows(0, 100), t)
+    // second commit carries null keys: count(*) vs count(k) must differ
+    sink.append(Seq((Option(100L), "x", 1L), (Option.empty[Long], "y", 2L),
+      (Option.empty[Long], "z", 3L)).toDF("k", "s", "c"), t)
+    val df = readBack(t).agg(count(lit(1)).as("n"), count(col("k")).as("nk"),
+      min(col("k")).as("lo"), max(col("k")).as("hi"))
+    assert(scanOf(df).scan.description().contains("pushedAggregates="),
+      s"aggregate did not push: ${scanOf(df).scan.description()}")
+    assert(df.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec => h
+      case a: SortAggregateExec => a
+    }.isEmpty, "complete pushdown still planned an aggregate")
+    assert(df.head.toSeq === Seq(103L, 101L, 0L, 100L))
+    // refusals keep Spark's own aggregate exact: residual predicate,
+    // GROUP BY, non-key column, distinct
+    val filtered = readBack(t).where(col("k") >= 50L)
+      .agg(count(lit(1)).as("n"))
+    assert(!scanOf(filtered).scan.description().contains("pushedAggregates"),
+      "pushed an aggregate under a residual predicate")
+    assert(filtered.head.getLong(0) === 51L)
+    val grouped = readBack(t).groupBy(col("s")).count()
+    assert(!scanOf(grouped).scan.description().contains("pushedAggregates"))
+    assert(grouped.count() === 103L)
+    val nonKey = readBack(t).agg(min(col("c")).as("m"), count(lit(1)).as("n"))
+    assert(!scanOf(nonKey).scan.description().contains("pushedAggregates"))
+    assert(nonKey.head.toSeq === Seq(0L, 103L)) // min c = 0*10 from k=0
+  }
+
+  test("named batch commits: a re-run of the same logical append is a no-op") {
+    val t = tmpDir("graft_knamed_") + "/t"
+    def write(name: String, df: DataFrame): Unit =
+      df.write.format("graft.sources.KeyedTable")
+        .option("key", "k").option("writePartitions", "2")
+        .option("commitName", name).mode("append").save(t)
+    write("file-A", rows(0, 20))
+    write("file-A", rows(0, 20)) // the resume replay: same name, no-op
+    assert(readBack(t).count() === 20L,
+      "a replayed named commit duplicated rows")
+    write("file-B", rows(20, 30)) // a different append still lands
+    assert(readBack(t).count() === 30L)
+    // the replay's re-staged files were dropped at commit: nothing for
+    // vacuum to reap, nothing invisible accumulating
+    assert(KeyedTable.vacuum(t, graceMs = 0L).isEmpty)
+    // the no-op holds across compaction (logical-name probe)
+    assert(KeyedTable.compact(t).size === 2)
+    write("file-A", rows(0, 20))
+    assert(readBack(t).count() === 30L,
+      "compaction un-no-op'ed a named replay")
+  }
+
+  test("v1 manifest lines (file name only) stay readable and unpruned") {
+    val t = tmpDir("graft_kv1_") + "/t"
+    V2KeyedTableSink("k", writeParallelism = 2).append(rows(0, 20), t)
+    // rewrite every manifest to the legacy single-field format
+    val dir = new java.io.File(s"$t/_commits")
+    dir.listFiles().filter(_.getName.endsWith(".manifest")).foreach { mf =>
+      val lines = scala.io.Source.fromFile(mf)
+      val names = try lines.getLines().filter(_.nonEmpty)
+        .map(_.split("\t")(0)).toList finally lines.close()
+      val w = new java.io.PrintWriter(mf)
+      try w.print(names.mkString("\n")) finally w.close()
+      // the local FS keeps checksum sidecars; a hand-rewritten file
+      // must shed its stale .crc or reads fail on checksum
+      val crc = new java.io.File(mf.getParentFile, s".${mf.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    val lookup = readBack(t).where(col("k") === 7L)
+    // no stats -> no pruning, but answers stay exact
+    assert(scanOf(lookup).inputRDD.getNumPartitions === 2)
+    assert(lookup.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    assert(readBack(t).count() === 20L)
+  }
+}

@@ -29,7 +29,12 @@ class KeyedTableSpec extends SparkSpecBase {
     b.write.format("graft.sources.KeyedTable")
       .option("key", "k").mode("append").save(t)
     val got = readBack(t)
-    assert(got.schema === a.schema)
+    // the pin is field names/types/order; nullability is deliberately
+    // WIDENED at persist time (an appendable table's later commits may
+    // carry nulls the first writer's frame happened not to)
+    assert(got.schema ===
+      org.apache.spark.sql.types.StructType(
+        a.schema.fields.map(_.copy(nullable = true))))
     val want = a.unionAll(b)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // a third append with a drifted schema must fail LOUDLY — silent

@@ -103,6 +103,83 @@ class PipelineSpec extends SparkSpecBase {
     assert(p2.stageCounts.isEmpty)
   }
 
+  test("parallel runAll: disjoint tables genuinely race under one lease") {
+    val ws = freshWorkspace()
+    val t1 = TableSpec("t_cust_orders",
+      Seq(SourceSpec("orders"), SourceSpec("customer")),
+      root = "orders",
+      joins = Seq(JoinSpec("customer", "o_custkey", "c_custkey")),
+      transformedColumns = Seq("o_orderkey AS k", "c_name AS customer_name"))
+    val t2 = TableSpec("t_supp_nation",
+      Seq(SourceSpec("supplier"), SourceSpec("nation")),
+      root = "supplier",
+      joins = Seq(JoinSpec("nation", "s_nationkey", "n_nationkey")),
+      transformedColumns = Seq("s_suppkey AS k", "n_name AS nation"))
+    val sp = JobSpec(ws, Seq(t1, t2))
+    // proof of true concurrency: each table's root-source extract
+    // blocks on a two-party barrier — only two tables IN FLIGHT AT
+    // ONCE can both reach it; a sequential driver times out the first
+    // await and the flag stays false
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    @volatile var concurrent = false
+    val src: SourceSpec => DataFrame = s2 => {
+      if (s2.name == "orders" || s2.name == "supplier") {
+        try {
+          barrier.await(20, java.util.concurrent.TimeUnit.SECONDS)
+          concurrent = true
+        } catch { case _: Exception => () }
+      }
+      Relational.scanParquet(spark, s"$sfDir/${s2.name}.parquet")
+    }
+    new Pipeline(spark, sp, src, retryInitialDelayMs = 1).runAll(parallelism = 2)
+    assert(concurrent, "tables with disjoint sources did not run concurrently")
+    // no interleaved checkpoint state: each table's checkpoint dir
+    // holds markers for exactly its own transformed files
+    val storage = new Storage(spark.sparkContext.hadoopConfiguration)
+    Seq("t_cust_orders", "t_supp_nation").foreach { t =>
+      val files = storage.listParquet(sp.transformedDir(t))
+        .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      assert(files.nonEmpty)
+      val markers = new java.io.File(sp.checkpointDir(t)).list()
+        .filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint")).toSet
+      assert(markers === files,
+        s"$t checkpoints ($markers) don't match its transformed files ($files)")
+    }
+    assert(spark.read.parquet(sp.targetDir("t_cust_orders")).count() ===
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+    assert(spark.read.parquet(sp.targetDir("t_supp_nation")).count() ===
+      spark.read.parquet(s"$sfDir/supplier.parquet").count())
+  }
+
+  test("parallel runAll: tables sharing a source run in separate waves, extract once") {
+    val ws = freshWorkspace()
+    def table(name: String, dim: String, joinL: String, joinR: String,
+        cols: Seq[String]) = TableSpec(name,
+      Seq(SourceSpec("orders"), SourceSpec(dim)),
+      root = "orders", joins = Seq(JoinSpec(dim, joinL, joinR)),
+      transformedColumns = cols)
+    val sp = JobSpec(ws, Seq(
+      table("t_a", "customer", "o_custkey", "c_custkey",
+        Seq("o_orderkey AS k", "c_name AS customer_name")),
+      table("t_b", "customer", "o_custkey", "c_custkey",
+        Seq("o_orderkey AS k", "c_mktsegment AS segment"))))
+    val extracts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val src: SourceSpec => DataFrame = s2 => {
+      extracts.merge(s2.name, 1, (a, b) => a + b)
+      Relational.scanParquet(spark, s"$sfDir/${s2.name}.parquet")
+    }
+    new Pipeline(spark, sp, src, retryInitialDelayMs = 1).runAll(parallelism = 2)
+    // wave scheduling: t_b waited for t_a, found orders/customer staged,
+    // and extracted NOTHING — one staging job per source, never a race
+    assert(extracts.get("orders") === 1,
+      s"shared source extracted ${extracts.get("orders")} times")
+    assert(extracts.get("customer") === 1)
+    val n = spark.read.parquet(s"$sfDir/orders.parquet").count()
+    assert(spark.read.parquet(sp.targetDir("t_a")).count() === n)
+    assert(spark.read.parquet(sp.targetDir("t_b")).count() === n)
+  }
+
   test("footer row counts match data row counts") {
     val sp = run(freshWorkspace())
     val storage = new Storage(spark.sparkContext.hadoopConfiguration)

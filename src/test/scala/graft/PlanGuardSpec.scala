@@ -251,7 +251,30 @@ class PlanGuardSpec extends SparkSpecBase {
       // consumed manifest set) into a file sink — no state machine to
       // lint; the running fn asserts >=2 admission-controlled
       // micro-batches and KeyedTableSpec pins pacing + no-re-delivery
-      "q_stream_ktable_tail_run"),
+      "q_stream_ktable_tail_run",
+      // V2 table KEY LOOKUP: running fn writes two commits then point-
+      // reads back — the entry itself asserts the plan contract
+      // (planned partitions << committed files via manifest bucket/
+      // range pruning); KeyedTableReadSpec pins the pruning matrix
+      "q_scan_ktable_key_lookup",
+      // V2 table CLUSTERED read-back: running fn writes two commits
+      // then aggregates by key through the catalog-loaded scan — the
+      // entry asserts zero ShuffleExchange on the executed plan (the
+      // write's clustering reused); KeyedTableReadSpec pins grouping
+      // safety (mixed-modulus fallback, conf gate)
+      "q_scan_ktable_clustered_agg",
+      // V2 table manifest-metadata aggregate: the entry asserts the
+      // complete push (no aggregate node, zero row-log bytes);
+      // KeyedTableReadSpec pins the refusal matrix (residual
+      // predicate, GROUP BY, non-key columns)
+      "q_scan_ktable_agg_pushdown",
+      // the V2 migration e2e: pipeline → idempotent V2 sink with an
+      // injected append→checkpoint crash → vacuum → compaction → tail
+      // stream → aggregate; the entry asserts the crash fired, vacuum
+      // reaped only strays, and pacing survived compaction — batch
+      // plan is the pipeline's own (PipelineSpec) plus a stateless
+      // tail replay, no state machine to lint
+      "q_migrate_v2_e2e"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
