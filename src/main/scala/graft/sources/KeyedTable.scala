@@ -1057,7 +1057,8 @@ object KeyedTable {
   private final class KScan(path: String, tableSchema: StructType,
       required: StructType, filters: Array[Filter], only: Option[String],
       manifestsPerTrigger: Int, clusteredRead: Boolean, conf: SerConf)
-      extends Scan with Batch with SupportsReportPartitioning {
+      extends Scan with Batch with SupportsReportPartitioning
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
     private lazy val all: Seq[KFileEntry] = {
       val entries = committedEntries(path, conf.value)
@@ -1073,10 +1074,36 @@ object KeyedTable {
     private def keyTypeOf(e: KFileEntry): Option[DataType] =
       tableSchema.fields.find(_.name == e.key).map(_.dataType)
 
-    /** Manifest-stats file pruning: a file survives only if every
-      * pushed predicate might match its recorded key range. */
-    private lazy val planned: Seq[KFileEntry] =
+    /** Runtime (DPP-style) filters — delivered mid-execution from a
+      * completed build side (e.g. the IN-set of a joined dimension's
+      * keys) and folded into the same stats/bucket pruning the static
+      * predicates use. Like them, runtime filters only drop FILES;
+      * Spark still evaluates the join itself. */
+    @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+    override def filterAttributes(): Array[
+        org.apache.spark.sql.connector.expressions.NamedReference] = {
+      val keys = all.map(_.key).distinct
+      if (keys.size == 1 && keys.head.nonEmpty && all.forall(_.stats.isDefined))
+        Array(Expressions.column(keys.head))
+      else Array.empty
+    }
+    override def filter(fs: Array[Filter]): Unit =
+      runtimeFilters = fs.filter(prunable)
+
+    /** Manifest-stats file pruning under the STATIC pushed predicates.
+      * Runtime filters apply a second stage below — kept separate
+      * because clustered-read GROUPS are fixed at plan time: a runtime
+      * filter may empty a group's file list but must never change the
+      * group set Spark already planned around. */
+    private lazy val staticPlanned: Seq[KFileEntry] =
       all.filter(e => filters.forall(fl => mayMatch(e, keyTypeOf(e), fl)))
+
+    private def survivesRuntime(e: KFileEntry): Boolean =
+      runtimeFilters.forall(fl => mayMatch(e, keyTypeOf(e), fl))
+
+    private def planned: Seq[KFileEntry] =
+      staticPlanned.filter(survivesRuntime)
 
     /** Clustered-read grouping: one partition per write bucket, valid
       * only when every planned file PROVED a bucket under one shared
@@ -1084,22 +1111,22 @@ object KeyedTable {
       * when Spark would ignore the report, per-file partitions keep
       * the higher read parallelism instead. */
     private lazy val grouping: Option[(String, Int, Seq[(Int, Seq[KFileEntry])])] =
-      if (!clusteredRead || planned.isEmpty ||
+      if (!clusteredRead || staticPlanned.isEmpty ||
           !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
       else {
-        val keys = planned.map(_.key).distinct
-        val moduli = planned.map(_.buckets).distinct
+        val keys = staticPlanned.map(_.key).distinct
+        val moduli = staticPlanned.map(_.buckets).distinct
         if (keys.size == 1 && keys.head.nonEmpty && moduli.size == 1 &&
-            moduli.head > 0 && planned.forall(_.bucket >= 0))
+            moduli.head > 0 && staticPlanned.forall(_.bucket >= 0))
           Some((keys.head, moduli.head,
-            planned.groupBy(_.bucket).toSeq.sortBy(_._1)))
+            staticPlanned.groupBy(_.bucket).toSeq.sortBy(_._1)))
         else None
       }
 
     override def readSchema(): StructType = required
     override def description(): String = {
       val pruned =
-        if (filters.nonEmpty) s", files=${planned.size}/${all.size}" else ""
+        if (filters.nonEmpty) s", files=${staticPlanned.size}/${all.size}" else ""
       val clustered = grouping
         .map { case (k, n, g) => s", clustered=bucket($n,$k)×${g.size}" }
         .getOrElse("")
@@ -1112,8 +1139,11 @@ object KeyedTable {
 
     override def planInputPartitions(): Array[InputPartition] = grouping match {
       case Some((_, _, groups)) =>
+        // group set fixed at plan time; runtime filters prune files
+        // WITHIN groups (an emptied group reads zero rows) so the
+        // reported KeyGroupedPartitioning stays exactly preserved
         groups.map { case (b, es) =>
-          KFilesPartition(path, es.map(_.file), b)
+          KFilesPartition(path, es.filter(survivesRuntime).map(_.file), b)
         }.toArray[InputPartition]
       case None =>
         planned.map(e => KFilesPartition(path, Seq(e.file)))

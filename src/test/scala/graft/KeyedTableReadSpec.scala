@@ -267,6 +267,35 @@ class KeyedTableReadSpec extends SparkSpecBase {
     assert(KeyedTable.compact(t).isEmpty)
   }
 
+  test("runtime filtering: a broadcast dim's keys prune fact files mid-execution") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_krt_") + "/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 4)
+    sink.append(rows(0, 100), t)
+    sink.append(rows(100, 200), t)
+    // the DPP shape: fact ⋈ dim on the fact's key with a selective dim
+    // predicate — the dim's surviving keys arrive at the scan as a
+    // runtime IN filter and bucket-route files mid-execution. The dim
+    // must be a REAL source (an in-memory LocalRelation folds the
+    // selective filter away and the pruning rule never fires)
+    val base = tmpDir("graft_krt_dim_")
+    Seq((5L, "keep"), (157L, "keep"), (42L, "drop")).toDF("id", "tag")
+      .write.parquet(s"$base/dim")
+    val dim = s.read.parquet(s"$base/dim")
+    val fact = readBack(t)
+    val joined = fact.join(dim.where(col("tag") === "keep"),
+      fact("k") === col("id"))
+    val got = joined.collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq === Seq(5L, 157L))
+    // post-execution, the scan's partition plan reflects the runtime
+    // prune: <=1 file per (commit, surviving key), not all 8
+    val scan = scanOf(joined)
+    assert(scan.inputRDD.getNumPartitions <= 2,
+      s"runtime filter did not prune: ${scan.inputRDD.getNumPartitions} " +
+        s"partitions, ${scan.scan.description()}")
+  }
+
   test("manifest-metadata aggregate pushdown: count/min/max cost zero row-log bytes") {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
     val s = spark
