@@ -233,9 +233,13 @@ final class Pipeline(
   }
 
   /** Greedy wave packing: a table joins the first wave holding none
-    * of its source names. Declaration order is preserved within and
-    * across waves, so sequential semantics are the parallelism=1
-    * special case, not a different program. */
+    * of its source names. Declaration order is preserved WITHIN a
+    * wave; across waves a later-declared table may run earlier than a
+    * source-sharing predecessor's successor (greedy packing reorders
+    * independents). Tables are independent by contract — each owns
+    * its transformed/checkpoint/target dirs, and shared RAW staging
+    * is what the waves serialize — so no cross-table ordering beyond
+    * that is provided or should be relied on. */
   private def waves(tables: Seq[TableSpec]): Seq[Seq[TableSpec]] = {
     val acc = scala.collection.mutable.ArrayBuffer
       .empty[(scala.collection.mutable.ArrayBuffer[TableSpec],

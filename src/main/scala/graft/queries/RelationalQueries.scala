@@ -413,10 +413,14 @@ object RelationalQueries {
         val committed = graft.sources.KeyedTable.committedFiles(target).size
         val lookup = s.read.format("graft.sources.KeyedTable").load(target)
           .where(col("k").isin(lo, hi))
-        val plannedFiles = lookup.queryExecution.executedPlan.collect {
+        val scans = lookup.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
             b.inputRDD.getNumPartitions
-        }.sum
+        }
+        // scans.nonEmpty keeps the lint loud: an empty collect (plan
+        // shape drift) must fail, not pass as "0 < committed"
+        assert(scans.nonEmpty, "no v2 scan found in the lookup plan")
+        val plannedFiles = scans.sum
         assert(plannedFiles < committed && plannedFiles <= 2,
           s"key lookup scanned $plannedFiles of $committed committed files " +
             "— manifest stats/bucket routing did not prune")
@@ -451,25 +455,37 @@ object RelationalQueries {
         val sink = graft.pipeline.V2KeyedTableSink("k")
         sink.append(src.where(col("k") <= half), target)
         sink.append(src.where(col("k") > half), target)
+        // register + bucketing conf are SCOPED to this entry: the
+        // result is materialized before restore, so no later entry's
+        // plan depends on whether this one ran first (the same
+        // session-hygiene rule the streaming runs follow for their
+        // state-store provider)
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
         graft.sources.KeyedTableRegistry.register(s)
-        val agg = s.table(s"graft_keyed.`$target`")
-          .groupBy(col("k"))
-          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
-        // the clustering contract, linted on the EXECUTED plan: no
-        // shuffle anywhere between the ktable scan and the aggregate
-        def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
-          p.collect {
-            case a: org.apache.spark.sql.execution.adaptive
-                .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-            case q: org.apache.spark.sql.execution.adaptive
-                .QueryStageExec => shuffles(q.plan)
-            case _: org.apache.spark.sql.execution.exchange
-                .ShuffleExchangeExec => 1
-          }.sum
-        assert(shuffles(agg.queryExecution.executedPlan) == 0,
-          "keyed aggregate over the clustered read planned an Exchange — " +
-            "the write's clustering was not reused")
-        val out = agg.localCheckpoint(true)
+        val out = try {
+          val agg = s.table(s"graft_keyed.`$target`")
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+          // the clustering contract, linted on the EXECUTED plan: no
+          // shuffle anywhere between the ktable scan and the aggregate
+          def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+            p.collect {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => shuffles(q.plan)
+              case _: org.apache.spark.sql.execution.exchange
+                  .ShuffleExchangeExec => 1
+            }.sum
+          assert(shuffles(agg.queryExecution.executedPlan) == 0,
+            "keyed aggregate over the clustered read planned an Exchange — " +
+              "the write's clustering was not reused")
+          agg.localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
       }),

@@ -279,6 +279,52 @@ object KeyedTable {
       conf: Configuration): Seq[KFileEntry] =
     logicalManifests(path, conf).flatMap(_._2).map(parseEntry)
 
+  /** Logical manifest NAMES only — the hot-path variant (tail-stream
+    * triggers, replay probes): one directory listing plus the bodies
+    * of compaction checkpoints (few by construction; zero before the
+    * first compact), never the per-commit manifest bodies. */
+  private def logicalNames(path: String, conf: Configuration): Seq[String] = {
+    val f = fs(path, conf)
+    val dir = new Path(path, "_commits")
+    if (!f.exists(dir)) return Seq.empty
+    val files = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".manifest"))
+    val (compacts, standalone) = files.partition(_.getName.startsWith("compact-"))
+    val names = scala.collection.mutable.LinkedHashSet[String]()
+    compacts.foreach { p =>
+      readText(f, p).split("\n", -1).foreach { l =>
+        if (l.startsWith(">")) names += l.substring(1)
+      }
+    }
+    standalone.foreach(p => names += p.getName)
+    names.toSeq.sorted
+  }
+
+  /** Is a logical manifest committed? O(1) when it still stands alone
+    * (the overwhelmingly common case for a fresh replay probe); falls
+    * back to the compaction checkpoints' section lists. */
+  private def manifestCommitted(path: String, name: String,
+      conf: Configuration): Boolean = {
+    val f = fs(path, conf)
+    f.exists(new Path(s"$path/_commits", name)) ||
+      logicalNames(path, conf).contains(name)
+  }
+
+  /** The lines of ONE logical manifest: its standalone file when
+    * present, else its section in a compaction checkpoint. */
+  private def manifestLines(path: String, name: String,
+      conf: Configuration): Seq[String] = {
+    val f = fs(path, conf)
+    val standalone = new Path(s"$path/_commits", name)
+    if (f.exists(standalone))
+      readText(f, standalone).split("\n").toSeq.filter(_.nonEmpty)
+    else logicalManifests(path, conf).collectFirst {
+      case (n, lines) if n == name => lines
+    }.getOrElse(throw new IllegalStateException(
+      s"manifest $name is gone from $path — manifests must only ever be " +
+        "added or compacted, never removed"))
+  }
+
   /** Every data file listed by any committed manifest. Public ops
     * surface (specs, vacuum-adjacent tooling). */
   def committedFiles(path: String): Seq[String] =
@@ -538,8 +584,7 @@ object KeyedTable {
           case Some(n) => s"named-${sanitize(n)}.manifest"
           case None => s"batch-$queryId.manifest"
         }
-        if (commitName.isDefined &&
-            logicalManifests(path, conf.value).exists(_._1 == name))
+        if (commitName.isDefined && manifestCommitted(path, name, conf.value))
           dropStaged(path, messages, conf.value) // replay — already visible
         else manifest(path, name, messages, schema, key, writePartitions,
           conf.value)
@@ -570,7 +615,7 @@ object KeyedTable {
       override def commit(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit = {
         val name = s"epoch-$queryId-$epochId.manifest"
-        if (logicalManifests(path, conf.value).exists(_._1 == name))
+        if (manifestCommitted(path, name, conf.value))
           dropStaged(path, messages, conf.value) // replay — already visible
         else manifest(path, name, messages, schema, key, writePartitions,
           conf.value)
@@ -646,11 +691,16 @@ object KeyedTable {
     }
 
     // rows are reused by the scan pipeline: values retained across
-    // write() calls (min/max) must be copied out of the row
+    // write() calls (min/max) must be copied out of the row.
+    // doubles are ZERO-NORMALIZED (-0.0 -> 0.0, same as Spark's
+    // NormalizeFloatingNumbers does for shuffle/join keys): SQL says
+    // -0.0 == 0.0, so stats and bucket proofs recorded in raw IEEE
+    // order would wrongly prune a file whose only matching rows are
+    // the other zero
     private def keyValue(row: InternalRow): Any = keyType match {
       case LongType => row.getLong(keyIdx)
       case IntegerType => row.getInt(keyIdx)
-      case DoubleType => row.getDouble(keyIdx)
+      case DoubleType => normZero(row.getDouble(keyIdx))
       case BooleanType => row.getBoolean(keyIdx)
       case StringType => row.getUTF8String(keyIdx).clone()
       case other => throw new IllegalArgumentException(other.sql)
@@ -778,10 +828,10 @@ object KeyedTable {
       case LongType | IntegerType =>
         asLong(v).map(l => java.lang.Long.compare(e.toLong, l))
       case DoubleType => v match {
-        case n: java.lang.Double =>
-          Some(java.lang.Double.compare(e.toDouble, n.doubleValue))
-        case n: java.lang.Float =>
-          Some(java.lang.Double.compare(e.toDouble, n.doubleValue))
+        case n: java.lang.Double => Some(java.lang.Double.compare(
+          normZero(e.toDouble), normZero(n.doubleValue)))
+        case n: java.lang.Float => Some(java.lang.Double.compare(
+          normZero(e.toDouble), normZero(n.doubleValue)))
         case _ => None
       }
       case BooleanType => v match {
@@ -817,15 +867,26 @@ object KeyedTable {
     case (IntegerType, n: java.lang.Integer) => Some(n.intValue)
     case (IntegerType, n: java.lang.Short) => Some(n.intValue)
     case (IntegerType, n: java.lang.Byte) => Some(n.intValue)
-    case (DoubleType, n: java.lang.Double) => Some(n.doubleValue)
+    case (DoubleType, n: java.lang.Double) => Some(normZero(n.doubleValue))
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
     case (StringType, s: String) => Some(UTF8String.fromString(s))
     case _ => None
   }
 
+  /** -0.0 -> 0.0 (SQL equality treats them as one value; raw IEEE
+    * ordering/hashing would split them). NaN passes through —
+    * Double.compare and doubleToLongBits already canonicalize it. */
+  private[sources] def normZero(d: Double): Double =
+    if (d == 0.0d) 0.0d else d
+
   private[sources] def bucketOf(v: Any, dt: DataType, buckets: Int): Int = {
+    val nv = v match {
+      case d: java.lang.Double => java.lang.Double.valueOf(normZero(d))
+      case d: Double => normZero(d)
+      case other => other
+    }
     val h = org.apache.spark.sql.catalyst.expressions
-      .Murmur3HashFunction.hash(v, dt, 42L).toInt
+      .Murmur3HashFunction.hash(nv, dt, 42L).toInt
     ((h % buckets) + buckets) % buckets
   }
 
@@ -1202,8 +1263,7 @@ object KeyedTable {
     private def parse(o: V2Offset): Set[String] =
       o.asInstanceOf[TailOffset].names.toSet
 
-    private def listManifests(): Seq[String] =
-      logicalManifests(path, conf.value).map(_._1)
+    private def listManifests(): Seq[String] = logicalNames(path, conf.value)
 
     /** The AvailableNow bound: logical manifests present when the run
       * prepared. None outside AvailableNow (continuous/processing-time
@@ -1235,13 +1295,11 @@ object KeyedTable {
     override def planInputPartitions(start: V2Offset,
         end: V2Offset): Array[InputPartition] = {
       val delta = (parse(end) -- parse(start)).toSeq.sorted
-      val byName = logicalManifests(path, conf.value).toMap
-      delta.flatMap { m =>
-        byName.getOrElse(m, throw new IllegalStateException(
-          s"manifest $m named by a tail offset is gone from $path — " +
-            "manifests must only ever be added or compacted, never removed"))
-          .map(parseEntry)
-      }.map(e => KFilesPartition(path, Seq(e.file)))
+      // per-name resolution: the delta's standalone manifests are read
+      // directly; only compacted-away names fall back to checkpoint
+      // sections — a batch never pays for the whole commit history
+      delta.flatMap(m => manifestLines(path, m, conf.value).map(parseEntry))
+        .map(e => KFilesPartition(path, Seq(e.file)))
         .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =

@@ -106,12 +106,13 @@ object KeyedTableCatalog {
         override def canonicalName(): String =
           s"graft.bucket(${dt.catalogString})"
         override def isResultNullable: Boolean = false
+        // the ONE shared definition (KeyedTable.bucketOf) — the
+        // writer's per-file proof and this function must never be
+        // able to disagree
         override def produceResult(row: InternalRow): Integer = {
           val n = row.getInt(0)
           val v = if (row.isNullAt(1)) null else row.get(1, dt)
-          val h = org.apache.spark.sql.catalyst.expressions
-            .Murmur3HashFunction.hash(v, dt, 42L).toInt
-          ((h % n) + n) % n
+          KeyedTable.bucketOf(v, dt, n)
         }
       }
     }

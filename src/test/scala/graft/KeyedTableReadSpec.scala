@@ -130,6 +130,23 @@ class KeyedTableReadSpec extends SparkSpecBase {
     assert(bucketMate.count() === 2L)
   }
 
+  test("double keys: -0.0 and 0.0 are one SQL value for pruning and routing") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_kzero_") + "/t"
+    // -0.0 rows isolated in their own commit so a raw-IEEE stats order
+    // would record min=max=-0.0 and a 0.0 probe would wrongly prune
+    val sink = V2KeyedTableSink("k", writeParallelism = 2)
+    sink.append(Seq((-0.0d, "neg")).toDF("k", "s"), t)
+    sink.append(Seq((0.0d, "pos"), (1.5d, "x")).toDF("k", "s"), t)
+    val zero = readBack(t).where(col("k") === 0.0d)
+    assert(zero.collect().map(_.getString(1)).sorted.toSeq === Seq("neg", "pos"),
+      "zero-sign pruning dropped a matching row")
+    val negZero = readBack(t).where(col("k") === -0.0d)
+    assert(negZero.collect().map(_.getString(1)).sorted.toSeq === Seq("neg", "pos"))
+    assert(readBack(t).where(col("k") >= 0.0d).count() === 3L)
+  }
+
   test("column pruning reaches the row-log decoder") {
     val t = tmpDir("graft_kcols_") + "/t"
     V2KeyedTableSink("k", writeParallelism = 2).append(rows(0, 40), t)
