@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.pipeline.V2KeyedTableSink
+import graft.sources.KeyedTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical probe for the keyed table's round-16 read ladder: builds
+  * a table of `commits` commits × 4 write buckets and MEASURES what
+  * the manifest machinery buys —
+  *
+  *  - point lookup: planned files + wall time vs the full scan (bucket
+  *    routing should plan one file per commit, never all);
+  *  - range probe over the newest commit (min/max stats should plan
+  *    one commit's bucket set);
+  *  - manifest-metadata aggregate vs counting real rows;
+  *  - commit-history listing cost before vs after `compact()` (one
+  *    checkpoint body vs N manifest opens).
+  *
+  * Prints one JSON line per measurement; SCALING.md records the
+  * numbers. Usage: runMain graft.queries.KtableProbe [commits] [rowsPerCommit]
+  */
+object KtableProbe {
+
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def plannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.sum
+
+  private def emit(fields: (String, Any)*): Unit =
+    println(fields.map {
+      case (k, v: String) => s""""$k":"$v""""
+      case (k, v: Double) => f""""$k":$v%.4f"""
+      case (k, v) => s""""$k":$v"""
+    }.mkString("{", ",", "}"))
+
+  def main(args: Array[String]): Unit = {
+    val commits = args.lift(0).map(_.toInt).getOrElse(32)
+    val per = args.lift(1).map(_.toLong).getOrElse(20000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ktprobe_")
+    val t = s"$dir/t"
+    val sink = V2KeyedTableSink("k", writeParallelism = 4)
+    val (_, tLoad) = timed {
+      (0 until commits).foreach { c =>
+        sink.append(spark.range(c * per, (c + 1) * per)
+          .select(col("id").as("k"), concat(lit("v"), col("id")).as("s"),
+            (col("id") * 7).as("c")), t)
+      }
+    }
+    val files = KeyedTable.committedFiles(t).size
+    emit("probe" -> "load", "commits" -> commits, "rows" -> commits * per,
+      "files" -> files, "sec" -> tLoad)
+
+    def read = spark.read.format("graft.sources.KeyedTable").load(t)
+
+    // warm the JIT/fs once
+    read.where(col("k") === 1L).collect()
+
+    val (nFull, tFull) = timed(
+      read.select(col("s")).where(length(col("s")) > 0).count())
+    emit("probe" -> "full_scan", "rows" -> nFull, "files" -> files,
+      "sec" -> tFull)
+
+    val key = commits * per / 2 + 7
+    val lk = read.where(col("k") === key)
+    val (hit, tLk) = timed(lk.collect())
+    emit("probe" -> "point_lookup", "hits" -> hit.length,
+      "planned_files" -> plannedFiles(lk), "of_files" -> files, "sec" -> tLk)
+
+    val lo = (commits - 1) * per
+    val rg = read.where(col("k") >= lo)
+    val (nRange, tRange) = timed(rg.count())
+    emit("probe" -> "range_newest_commit", "rows" -> nRange,
+      "planned_files" -> plannedFiles(rg), "of_files" -> files,
+      "sec" -> tRange)
+
+    val ag = read.agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
+      max(col("k")).as("hi"))
+    val (agRow, tAg) = timed(ag.head)
+    emit("probe" -> "manifest_agg", "n" -> agRow.getLong(0), "sec" -> tAg)
+
+    val (_, tListPre) = timed(KeyedTable.committedFiles(t).size)
+    val folded = KeyedTable.compact(t)
+    val (_, tListPost) = timed(KeyedTable.committedFiles(t).size)
+    emit("probe" -> "listing", "manifests_pre" -> folded.size,
+      "sec_pre" -> tListPre, "manifests_post" -> 1, "sec_post" -> tListPost)
+
+    // the ladder survives compaction
+    val lk2 = read.where(col("k") === key)
+    val (hit2, tLk2) = timed(lk2.collect())
+    emit("probe" -> "point_lookup_post_compact", "hits" -> hit2.length,
+      "planned_files" -> plannedFiles(lk2), "of_files" -> files,
+      "sec" -> tLk2)
+
+    graft.queries.StreamingQueries.deleteRecursively(dir.toString)
+    spark.stop()
+  }
+}

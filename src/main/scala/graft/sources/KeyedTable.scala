@@ -199,6 +199,52 @@ object KeyedTable {
   private[sources] final case class KFileEntry(file: String, rows: Long,
       bucket: Int, buckets: Int, key: String, stats: Option[KeyStats])
 
+  /** CREATE TABLE support: lay out an empty table (dirs + persisted
+    * schema) so INSERT INTO / SELECT / the sink adapters all find it. */
+  private[sources] def initTable(path: String, schema: StructType,
+      conf: Configuration): Unit = {
+    schema.fields.foreach { fd =>
+      require(supported.contains(fd.dataType),
+        s"KeyedTable supports long/int/double/string/boolean columns; " +
+          s"got ${fd.name}: ${fd.dataType.sql}")
+    }
+    ensureDirs(path, conf)
+    ensureSchema(path, schema, conf)
+  }
+
+  /** DROP TABLE support: remove the whole table directory iff it IS a
+    * keyed table (has a persisted schema) — refuses to recursively
+    * delete arbitrary directories handed to it by identifier typos. */
+  private[sources] def dropTableDir(path: String,
+      conf: Configuration): Boolean = {
+    if (readSchemaFile(path, conf).isEmpty) false
+    else fs(path, conf).delete(new Path(path), true)
+  }
+
+  /** Table properties persisted by the catalog's CREATE TABLE (key
+    * column, write parallelism) so SQL-created tables round-trip their
+    * write contract to later loads. Simple `k=v` lines; absent file =
+    * empty (tables created by a first write carry no properties and
+    * keep the defaults they were written with). */
+  private[sources] def writeProps(path: String, conf: Configuration,
+      props: Map[String, String]): Unit = {
+    require(props.forall { case (k, v) =>
+      !k.contains('=') && !k.contains('\n') && !v.contains('\n') },
+      s"unencodable table properties: $props")
+    writeAtomic(fs(path, conf), new Path(path, "_props"),
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
+  }
+
+  private[sources] def readProps(path: String,
+      conf: Configuration): Map[String, String] = {
+    val f = fs(path, conf)
+    val p = new Path(path, "_props")
+    if (!f.exists(p)) Map.empty
+    else readText(f, p).split("\n").toSeq.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
   /** Caller-supplied commit names become file names: keep them on a
     * strict filesystem-safe alphabet, uniqueness-preserving via a
     * hash suffix when anything was replaced. */

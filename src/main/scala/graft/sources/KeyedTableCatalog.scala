@@ -41,24 +41,59 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val path = ident.name()
-    val schema = KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf())
+    val conf = KeyedTable.hadoopConf()
+    val schema = KeyedTable.readSchemaFile(path, conf)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
-    new KeyedTable.KTable(path, schema, keyCol = None,
-      writePartitions = 8, clusteredRead = true)
+    val props = KeyedTable.readProps(path, conf)
+    new KeyedTable.KTable(path, schema,
+      keyCol = props.get("key"),
+      writePartitions = props.get("writePartitions").map(_.toInt).getOrElse(8),
+      clusteredRead = true)
   }
 
-  // the namespace is the filesystem; enumeration/DDL belong to the
-  // writer API (V2KeyedTableSink), not this read-side resolver
+  // the namespace is the filesystem: the identifier's name IS the
+  // table path, so enumeration is not meaningful
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
+
+  /** SQL DDL: `CREATE TABLE graft_keyed.`/path/to/t` (k BIGINT, ...)
+    * TBLPROPERTIES ('key'='k', 'writePartitions'='8')` — persists the
+    * (all-nullable) schema plus the write contract, so later
+    * `INSERT INTO` / `SELECT` statements and the V2KeyedTableSink
+    * agree on key clustering without re-declaring it. */
   override def createTable(ident: Identifier, columns: Array[Column],
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "create KeyedTables by writing through V2KeyedTableSink")
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "KeyedTable clusters by its key column; PARTITIONED BY is not supported")
+    val path = ident.name()
+    val conf = KeyedTable.hadoopConf()
+    if (KeyedTable.readSchemaFile(path, conf).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val schema = org.apache.spark.sql.types.StructType(
+      columns.map(c => org.apache.spark.sql.types
+        .StructField(c.name(), c.dataType(), nullable = true)))
+    val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
+    require(schema.fieldNames.contains(key),
+      s"TBLPROPERTIES key '$key' is not a column of $schema")
+    KeyedTable.initTable(path, schema, conf)
+    val props = Seq("key" -> key) ++
+      Option(properties.get("writePartitions")).map("writePartitions" -> _)
+    KeyedTable.writeProps(path, conf, props.toMap)
+    loadTable(ident)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("KeyedTable schemas are immutable")
-  override def dropTable(ident: Identifier): Boolean = false
+
+  /** DROP TABLE removes the table directory — schema, manifests,
+    * row-logs. Path-addressed, so this is the storage lifecycle call,
+    * not a catalog-entry removal. */
+  override def dropTable(ident: Identifier): Boolean =
+    KeyedTable.dropTableDir(ident.name(), KeyedTable.hadoopConf())
+
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("KeyedTable paths are immutable")
 

@@ -369,6 +369,34 @@ class KeyedTableReadSpec extends SparkSpecBase {
       "compaction un-no-op'ed a named replay")
   }
 
+  test("SQL surface through the catalog: CREATE TABLE, INSERT INTO, SELECT, DROP") {
+    graft.sources.KeyedTableRegistry.register(spark)
+    val t = tmpDir("graft_ksql_") + "/t"
+    spark.sql(s"""CREATE TABLE graft_keyed.`$t` (k BIGINT, s STRING, c BIGINT)
+      |TBLPROPERTIES ('key'='k', 'writePartitions'='4')""".stripMargin)
+    // CREATE TABLE persisted the write contract: INSERT clusters on k
+    spark.sql(s"INSERT INTO graft_keyed.`$t` " +
+      "SELECT id, concat('v', id), id * 10 FROM range(0, 50)")
+    spark.sql(s"INSERT INTO graft_keyed.`$t` " +
+      "SELECT id, concat('v', id), id * 10 FROM range(50, 80)")
+    assert(graft.sources.KeyedTable.committedFiles(t).size === 8,
+      "INSERT did not honor the persisted writePartitions=4 contract")
+    val got = spark.sql(
+      s"SELECT count(*) AS n, sum(c) AS sc FROM graft_keyed.`$t`").head
+    assert(got.getLong(0) === 80L)
+    assert(got.getLong(1) === (0L until 80L).map(_ * 10).sum)
+    // the SQL read path carries the same pushdown ladder
+    val lookup = spark.sql(s"SELECT s FROM graft_keyed.`$t` WHERE k = 7")
+    assert(lookup.collect().map(_.getString(0)).toSeq === Seq("v7"))
+    // a second CREATE fails; DROP removes the table; typo paths refuse
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_keyed.`$t` (x BIGINT)")
+    }
+    spark.sql(s"DROP TABLE graft_keyed.`$t`")
+    assert(!new java.io.File(t).exists(), "DROP TABLE left the directory")
+    intercept[Exception] { spark.sql(s"SELECT * FROM graft_keyed.`$t`") }
+  }
+
   test("v1 manifest lines (file name only) stay readable and unpruned") {
     val t = tmpDir("graft_kv1_") + "/t"
     V2KeyedTableSink("k", writeParallelism = 2).append(rows(0, 20), t)
