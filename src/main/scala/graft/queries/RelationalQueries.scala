@@ -490,6 +490,63 @@ object RelationalQueries {
         out
       }),
 
+    // ---- STORAGE-PARTITIONED JOIN between two V2 keyed tables:
+    // orders and customer are loaded into separate keyed tables
+    // clustered on the same key domain (custkey, same modulus), then
+    // joined ON that key and aggregated BY it through catalog-loaded
+    // scans — the whole chain plans ZERO Exchange (in-entry lint):
+    // both join sides and the aggregate ride the clustering the two
+    // loads already paid for. At 100 TB this is joining two loaded
+    // tables without shuffling either one. ----
+    QueryDef("q_scan_ktable_spj", effectful = true, oracle = Some(
+      """SELECT c_custkey AS k, c_mktsegment AS segment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_spj:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kspj_").toString
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(Tables(s, d, "orders").select(
+          col("o_custkey").as("k"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")), s"$tmp/orders_k")
+        sink.append(Tables(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          col("c_mktsegment").as("segment")), s"$tmp/customer_k")
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          val o = s.table(s"graft_keyed.`$tmp/orders_k`")
+          val c = s.table(s"graft_keyed.`$tmp/customer_k`")
+          val agg = o.join(c, Seq("k"))
+            .groupBy(col("k"), col("segment"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents")).as("sum_cents"))
+          def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+            p.collect {
+              case a: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+              case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => shuffles(q.plan)
+              case _: org.apache.spark.sql.execution.exchange
+                  .ShuffleExchangeExec => 1
+            }.sum
+          assert(shuffles(agg.queryExecution.executedPlan) == 0,
+            "storage-partitioned join planned an Exchange — the two " +
+              "loads' clustering was not reused")
+          agg.localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MANIFEST-METADATA aggregate pushdown on the V2 table:
     // count(*) / count(key) / min(key) / max(key) over the loaded
     // table are answered from the manifest's per-file stats — zero

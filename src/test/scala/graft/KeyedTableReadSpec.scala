@@ -369,6 +369,40 @@ class KeyedTableReadSpec extends SparkSpecBase {
       "compaction un-no-op'ed a named replay")
   }
 
+  test("storage-partitioned join: two keyed tables join with zero shuffle") {
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      graft.sources.KeyedTableRegistry.register(spark)
+      val base = tmpDir("graft_kspj_")
+      val left = s"$base/left"
+      val right = s"$base/right"
+      val sink = V2KeyedTableSink("k", writeParallelism = 4)
+      sink.append(rows(0, 100), left)
+      sink.append(rows(100, 200), left)
+      sink.append(rows(50, 150), right)
+      val l = spark.table(s"graft_keyed.`$left`")
+      val r = spark.table(s"graft_keyed.`$right`")
+      // join + keyed aggregate: the whole chain rides the write-time
+      // clustering — zero Exchange anywhere
+      val joined = l.join(r, Seq("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(shuffles(joined).isEmpty,
+        s"SPJ shuffled:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() === 100L)
+      // row-level equality against the plain (shuffled) join
+      val plain = readBack(left).join(readBack(right), Seq("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("SQL surface through the catalog: CREATE TABLE, INSERT INTO, SELECT, DROP") {
     graft.sources.KeyedTableRegistry.register(spark)
     val t = tmpDir("graft_ksql_") + "/t"

@@ -268,6 +268,11 @@ class PlanGuardSpec extends SparkSpecBase {
       // KeyedTableReadSpec pins the refusal matrix (residual
       // predicate, GROUP BY, non-key columns)
       "q_scan_ktable_agg_pushdown",
+      // storage-partitioned join of two keyed tables: the entry
+      // asserts zero ShuffleExchange across join + keyed aggregate
+      // (both loads' clustering reused); KeyedTableReadSpec pins the
+      // row-level equality vs the plain shuffled join
+      "q_scan_ktable_spj",
       // the V2 migration e2e: pipeline → idempotent V2 sink with an
       // injected append→checkpoint crash → vacuum → compaction → tail
       // stream → aggregate; the entry asserts the crash fired, vacuum
