@@ -37,7 +37,9 @@ object KtableProbe {
   private def emit(fields: (String, Any)*): Unit =
     println(fields.map {
       case (k, v: String) => s""""$k":"$v""""
-      case (k, v: Double) => f""""$k":$v%.4f"""
+      case (k, v: Double) => // Locale.ROOT: a comma-decimal default
+        // locale would print unparseable "JSON"
+        s""""$k":${String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))}"""
       case (k, v) => s""""$k":$v"""
     }.mkString("{", ",", "}"))
 

@@ -469,16 +469,8 @@ object RelationalQueries {
             .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
           // the clustering contract, linted on the EXECUTED plan: no
           // shuffle anywhere between the ktable scan and the aggregate
-          def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
-            p.collect {
-              case a: org.apache.spark.sql.execution.adaptive
-                  .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-              case q: org.apache.spark.sql.execution.adaptive
-                  .QueryStageExec => shuffles(q.plan)
-              case _: org.apache.spark.sql.execution.exchange
-                  .ShuffleExchangeExec => 1
-            }.sum
-          assert(shuffles(agg.queryExecution.executedPlan) == 0,
+          assert(graft.ops.PlanChecks.countShuffles(
+            agg.queryExecution.executedPlan) == 0,
             "keyed aggregate over the clustered read planned an Exchange — " +
               "the write's clustering was not reused")
           agg.localCheckpoint(true)
@@ -526,16 +518,8 @@ object RelationalQueries {
             .groupBy(col("k"), col("segment"))
             .agg(count(lit(1)).as("n_orders"),
               sum(col("cents")).as("sum_cents"))
-          def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
-            p.collect {
-              case a: org.apache.spark.sql.execution.adaptive
-                  .AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-              case q: org.apache.spark.sql.execution.adaptive
-                  .QueryStageExec => shuffles(q.plan)
-              case _: org.apache.spark.sql.execution.exchange
-                  .ShuffleExchangeExec => 1
-            }.sum
-          assert(shuffles(agg.queryExecution.executedPlan) == 0,
+          assert(graft.ops.PlanChecks.countShuffles(
+            agg.queryExecution.executedPlan) == 0,
             "storage-partitioned join planned an Exchange — the two " +
               "loads' clustering was not reused")
           agg.localCheckpoint(true)

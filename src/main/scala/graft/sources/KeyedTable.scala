@@ -199,15 +199,33 @@ object KeyedTable {
   private[sources] final case class KFileEntry(file: String, rows: Long,
       bucket: Int, buckets: Int, key: String, stats: Option[KeyStats])
 
-  /** CREATE TABLE support: lay out an empty table (dirs + persisted
-    * schema) so INSERT INTO / SELECT / the sink adapters all find it. */
-  private[sources] def initTable(path: String, schema: StructType,
-      conf: Configuration): Unit = {
+  /** The one supported-column-type gate CREATE TABLE and INSERT both
+    * apply — two hand-kept copies could let DDL and DML disagree on
+    * what a legal schema is. */
+  private[sources] def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { fd =>
       require(supported.contains(fd.dataType),
         s"KeyedTable supports long/int/double/string/boolean columns; " +
           s"got ${fd.name}: ${fd.dataType.sql}")
     }
+
+  /** The write contract (key column, bucket modulus) the table's
+    * committed manifests agree on — None when the table is empty or
+    * its commits disagree (legacy lines, mixed writes). The catalog
+    * uses this so a prop-less (sink-created) table keeps clustering
+    * the way it was actually written. */
+  private[sources] def inferWriteContract(path: String,
+      conf: Configuration): Option[(String, Int)] =
+    committedEntries(path, conf).map(e => (e.key, e.buckets)).distinct match {
+      case Seq((k, b)) if k.nonEmpty && b > 0 => Some((k, b))
+      case _ => None
+    }
+
+  /** CREATE TABLE support: lay out an empty table (dirs + persisted
+    * schema) so INSERT INTO / SELECT / the sink adapters all find it. */
+  private[sources] def initTable(path: String, schema: StructType,
+      conf: Configuration): Unit = {
+    validateSchema(schema)
     ensureDirs(path, conf)
     ensureSchema(path, schema, conf)
   }
@@ -224,8 +242,9 @@ object KeyedTable {
   /** Table properties persisted by the catalog's CREATE TABLE (key
     * column, write parallelism) so SQL-created tables round-trip their
     * write contract to later loads. Simple `k=v` lines; absent file =
-    * empty (tables created by a first write carry no properties and
-    * keep the defaults they were written with). */
+    * empty (sink-created tables carry no properties — the catalog then
+    * INFERS their write contract from the committed manifests, see
+    * [[inferWriteContract]]). */
   private[sources] def writeProps(path: String, conf: Configuration,
       props: Map[String, String]): Unit = {
     require(props.forall { case (k, v) =>
@@ -564,11 +583,7 @@ object KeyedTable {
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val schema = info.schema()
-      schema.fields.foreach { fd =>
-        require(supported.contains(fd.dataType),
-          s"KeyedTable supports long/int/double/string/boolean columns; " +
-            s"got ${fd.name}: ${fd.dataType.sql}")
-      }
+      validateSchema(schema)
       val key = keyCol.getOrElse(schema.fieldNames.head)
       require(schema.fieldNames.contains(key),
         s"key column '$key' not in write schema ${schema.fieldNames.mkString(",")}")

@@ -46,9 +46,22 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
     val props = KeyedTable.readProps(path, conf)
+    // a table created by a sink write carries no _props: INFER its
+    // write contract from the committed manifests (every entry
+    // records key + modulus) so a catalog INSERT INTO clusters like
+    // the writes before it — guessed defaults would mix moduli/keys
+    // across commits and silently break clustered reads forever
+    val inferred = KeyedTable.inferWriteContract(path, conf)
+    val parts = props.get("writePartitions").map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"table property writePartitions='$v' at $path is not an integer") }
+      require(n > 0, s"table property writePartitions=$n at $path must be positive")
+      n
+    }
     new KeyedTable.KTable(path, schema,
-      keyCol = props.get("key"),
-      writePartitions = props.get("writePartitions").map(_.toInt).getOrElse(8),
+      keyCol = props.get("key").orElse(inferred.map(_._1)),
+      writePartitions = parts.orElse(inferred.map(_._2)).getOrElse(8),
       clusteredRead = true)
   }
 
@@ -78,9 +91,17 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
     val key = Option(properties.get("key")).getOrElse(schema.fieldNames.head)
     require(schema.fieldNames.contains(key),
       s"TBLPROPERTIES key '$key' is not a column of $schema")
+    // validate at CREATE, not at first use: a malformed value written
+    // here would make every later load of the table throw
+    val parts = Option(properties.get("writePartitions")).map { v =>
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"TBLPROPERTIES writePartitions='$v' is not an integer") }
+      require(n > 0, s"TBLPROPERTIES writePartitions=$n must be positive")
+      v
+    }
     KeyedTable.initTable(path, schema, conf)
-    val props = Seq("key" -> key) ++
-      Option(properties.get("writePartitions")).map("writePartitions" -> _)
+    val props = Seq("key" -> key) ++ parts.map("writePartitions" -> _)
     KeyedTable.writeProps(path, conf, props.toMap)
     loadTable(ident)
   }

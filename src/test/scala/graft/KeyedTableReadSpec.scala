@@ -53,17 +53,8 @@ class KeyedTableReadSpec extends SparkSpecBase {
     scans.head
   }
 
-  private def shuffles(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    def walk(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case q: QueryStageExec => walk(q.plan)
-      case e: ShuffleExchangeExec => Seq(e) ++ walk(e.child)
-    }.flatten
-    walk(df.queryExecution.executedPlan)
-  }
+  private def shuffleCount(df: DataFrame): Int =
+    graft.ops.PlanChecks.countShuffles(df.queryExecution.executedPlan)
 
   test("session Hadoop conf reaches driver- and executor-side table I/O") {
     val hc = spark.sparkContext.hadoopConfiguration
@@ -171,7 +162,7 @@ class KeyedTableReadSpec extends SparkSpecBase {
       sink.append(rows(0, 100), t) // same keys again: groups span commits
       val agg = spark.table(s"graft_keyed.`$t`")
         .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
-      assert(shuffles(agg).isEmpty,
+      assert(shuffleCount(agg) == 0,
         s"clustered read still shuffled:\n${agg.queryExecution.executedPlan}")
       // one read partition per proven write bucket
       assert(scanOf(agg).inputRDD.getNumPartitions === 4)
@@ -186,7 +177,7 @@ class KeyedTableReadSpec extends SparkSpecBase {
       V2KeyedTableSink("k", writeParallelism = 8).append(rows(0, 50), t2)
       val agg2 = spark.table(s"graft_keyed.`$t2`")
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      assert(shuffles(agg2).nonEmpty,
+      assert(shuffleCount(agg2) > 0,
         "mixed-modulus table still claimed clustering")
       assert(agg2.collect().forall(_.getLong(1) == 2L))
 
@@ -370,8 +361,7 @@ class KeyedTableReadSpec extends SparkSpecBase {
   }
 
   test("storage-partitioned join: two keyed tables join with zero shuffle") {
-    val keep = Seq("spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled")
       .map(k => k -> spark.conf.getOption(k))
     try {
       graft.sources.KeyedTableRegistry.register(spark)
@@ -388,7 +378,7 @@ class KeyedTableReadSpec extends SparkSpecBase {
       // clustering — zero Exchange anywhere
       val joined = l.join(r, Seq("k"))
         .groupBy(col("k")).agg(count(lit(1)).as("n"))
-      assert(shuffles(joined).isEmpty,
+      assert(shuffleCount(joined) == 0,
         s"SPJ shuffled:\n${joined.queryExecution.executedPlan}")
       assert(joined.count() === 100L)
       // row-level equality against the plain (shuffled) join
@@ -404,6 +394,11 @@ class KeyedTableReadSpec extends SparkSpecBase {
   }
 
   test("SQL surface through the catalog: CREATE TABLE, INSERT INTO, SELECT, DROP") {
+    // register flips the session's v2-bucketing conf: scope it like
+    // the sibling tests so no later suite inherits a plan change
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
     graft.sources.KeyedTableRegistry.register(spark)
     val t = tmpDir("graft_ksql_") + "/t"
     spark.sql(s"""CREATE TABLE graft_keyed.`$t` (k BIGINT, s STRING, c BIGINT)
@@ -429,6 +424,47 @@ class KeyedTableReadSpec extends SparkSpecBase {
     spark.sql(s"DROP TABLE graft_keyed.`$t`")
     assert(!new java.io.File(t).exists(), "DROP TABLE left the directory")
     intercept[Exception] { spark.sql(s"SELECT * FROM graft_keyed.`$t`") }
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("catalog INSERT INTO a sink-created table infers the original write contract") {
+    val keep = Seq("spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      graft.sources.KeyedTableRegistry.register(spark)
+      val t = tmpDir("graft_kinfer_") + "/t"
+      // sink-created: no _props file — the catalog must infer
+      // (key=k, modulus=4) from the committed manifests, NOT guess
+      // defaults that would mix moduli across commits
+      V2KeyedTableSink("k", writeParallelism = 4).append(rows(0, 50), t)
+      spark.sql(s"INSERT INTO graft_keyed.`$t` " +
+        "SELECT id, concat('v', id), id * 10 FROM range(50, 100)")
+      assert(KeyedTable.committedFiles(t).size === 8,
+        "catalog INSERT did not reuse the sink write's modulus")
+      // consistent clustering across both writers: still exchange-free
+      val agg = spark.table(s"graft_keyed.`$t`")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      assert(shuffleCount(agg) == 0,
+        "mixed write contracts broke the clustered read")
+      assert(agg.count() === 100L)
+      // malformed writePartitions rejected at CREATE, not at first use
+      Seq("four", "0", "-2").foreach { bad =>
+        intercept[Exception] {
+          spark.sql(s"CREATE TABLE graft_keyed.`${tmpDir("graft_kbad_")}/t` " +
+            s"(k BIGINT) TBLPROPERTIES ('writePartitions'='$bad')")
+        }
+      }
+    } finally {
+      keep.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
   }
 
   test("v1 manifest lines (file name only) stay readable and unpruned") {
