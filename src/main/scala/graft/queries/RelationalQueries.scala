@@ -571,6 +571,204 @@ object RelationalQueries {
         out
       }),
 
+    // ---- UPSERT SEMANTICS (the Cassandra data model the reference's
+    // sink writes into — py:347-353: INSERT *is* an upsert resolved
+    // per primary key by write time): writes stay pure appends; the
+    // LATEST view resolves the current row per key declaratively
+    // (max_by over the (_seq,_pos) metadata version — the table's
+    // deterministic writetime). Loaded through the clustered catalog
+    // the resolution rides the write's bucket clustering: the current
+    // state of a 100 TB table plans ZERO Exchange (in-entry lint). ----
+    QueryDef("q_ktable_upsert_latest", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + CASE WHEN o_orderkey % 10 = 0 THEN 1000 ELSE 0 END AS cents
+        |FROM orders""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:upsert_latest:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kup_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        // the UPSERT: every 10th key re-written with changed fields
+        sink.append(src.where(col("k") % 10 === 0)
+          .withColumn("status", lit("U"))
+          .withColumn("cents", col("cents") + 1000), target)
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the latest view planned an Exchange — last-write-wins did " +
+              "not reuse the write clustering")
+          latest.localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- KEY-ONLY DELETE via tombstone commits (Cassandra's delete
+    // path): `DELETE FROM t WHERE k IN (...)` through SQL writes one
+    // tiny marker file per write bucket — NOTHING is scanned, bytes
+    // are O(#keys) however big the table — and last-write-wins hides
+    // the keys. A later append of a deleted key outranks the marker
+    // (re-insert works), proven in the result. ----
+    QueryDef("q_ktable_delete_tombstone", effectful = true, oracle = Some(
+      """WITH dels AS (
+        |  SELECT o_orderkey AS dk FROM orders ORDER BY o_orderkey LIMIT 3),
+        |mn AS (SELECT min(o_orderkey) AS m FROM orders)
+        |SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+        |WHERE o_orderkey NOT IN (SELECT dk FROM dels)
+        |UNION ALL
+        |SELECT m AS k, 'R' AS status FROM mn""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:delete:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kdel_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        val dels = src.orderBy(col("k")).limit(3)
+          .collect().map(_.getLong(0))
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          val before = graft.sources.KeyedTable.committedFiles(target).size
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+          val added =
+            graft.sources.KeyedTable.committedFiles(target).size - before
+          assert(added <= dels.length,
+            s"deleting ${dels.length} keys added $added files — the " +
+              "delete must write markers, not rewrite the table")
+          // re-insert the smallest deleted key: it must win again
+          val o = s
+          import o.implicits._
+          sink.append(Seq((dels.min, "R")).toDF("k", "status"), target)
+          graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- TIME TRAVEL: `VERSION AS OF n` pins a read to the table's
+    // state at commit sequence n — later commits (and snapshot
+    // rewrites above the fence) are invisible, the Spark-native
+    // spelling of a snapshot-consistent read over the migration
+    // target. ----
+    QueryDef("q_ktable_time_travel", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+        |WHERE o_orderkey <=
+        |  (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 FROM orders)
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:time_travel:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ktt_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        val v1 = graft.sources.KeyedTable.currentSeq(target)
+        sink.append(src.where(col("k") > half), target)
+        // commit 3 mutates history ABOVE the pin: it must stay invisible
+        sink.append(src.where(col("k") <= half)
+          .withColumn("status", lit("X")), target)
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          s.sql(s"SELECT * FROM graft_keyed.`$target` VERSION AS OF $v1")
+            .localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- SNAPSHOT REWRITE COMPACTION (Cassandra compaction / Delta
+    // OPTIMIZE): the upsert+delete log folds into ONE clustered
+    // snapshot commit — latest row per key, deleted keys dropped,
+    // tombstones purged after grace — committed AT the fence sequence
+    // and superseding exactly what it merged, so racing commits
+    // outrank it and tail streams never see it (dataChange=false).
+    // In-entry: the live set collapses to the snapshot, vacuum
+    // reclaims superseded bytes without touching live ones, and the
+    // latest view hashes identically before and after (the oracle IS
+    // that view). ----
+    QueryDef("q_ktable_rewrite_compact", effectful = true, oracle = Some(
+      """WITH dels AS (
+        |  SELECT o_orderkey AS dk FROM orders ORDER BY o_orderkey LIMIT 2)
+        |SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + CASE WHEN o_orderkey % 10 = 0 THEN 1000 ELSE 0 END AS cents
+        |FROM orders
+        |WHERE o_orderkey NOT IN (SELECT dk FROM dels)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:rewrite:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_krw_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        sink.append(src.where(col("k") % 10 === 0)
+          .withColumn("status", lit("U"))
+          .withColumn("cents", col("cents") + 1000), target)
+        val dels = src.orderBy(col("k")).limit(2)
+          .collect().map(_.getLong(0))
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+          val folded = graft.sources.KeyedTableOps
+            .rewriteCompact(s, target, tombstoneGraceMs = 0)
+          assert(folded.isDefined, "three commits + tombstones must fold")
+          val live = graft.sources.KeyedTable.liveManifestNames(target)
+          assert(live == Seq(folded.get),
+            s"live set after rewrite must be the snapshot alone: $live")
+          val liveFiles = graft.sources.KeyedTable.liveFiles(target).toSet
+          val reclaimed = graft.sources.KeyedTable.vacuum(target, graceMs = 0)
+          assert(reclaimed.nonEmpty && !reclaimed.exists(liveFiles),
+            "vacuum must reclaim superseded bytes and only those")
+          graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

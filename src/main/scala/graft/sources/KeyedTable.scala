@@ -112,7 +112,15 @@ class KeyedTable extends TableProvider {
       opts.getInt("writePartitions", 8),
       opts.getBoolean("clusteredRead", false),
       Option(opts.get("chaosWriteKey")).map(_.toLong),
-      Option(opts.get("commitName")))
+      Option(opts.get("commitName")),
+      Option(opts.get("asOfSeq")).map(_.toLong),
+      // internal (KeyedTableOps.rewriteCompact): this write is a
+      // SNAPSHOT REWRITE committing at the given fence sequence and
+      // superseding the listed logical manifests
+      Option(opts.get("rewriteSupersedes")).map { names =>
+        (opts.get("rewriteSeq").toLong,
+          names.split(",").toSeq.filter(_.nonEmpty))
+      })
   }
 }
 
@@ -194,10 +202,37 @@ object KeyedTable {
     * `bucket` is the murmur3 write bucket the file PROVED itself into
     * (every row hashed there), -1 when unproven; `buckets`/`key` tie
     * the proof to a modulus and key column so commits written with
-    * different settings can never be grouped together. Legacy (v1)
-    * lines carry the file name only: rows = -1, no stats, no bucket. */
+    * different settings can never be grouped together. `tombstone`
+    * marks a DELETION file (rows carry the key; every other field is
+    * null) — the Cassandra delete marker: it participates in
+    * last-write-wins resolution and is purged by snapshot rewrites
+    * once older than the grace period (the gc_grace analogue). Legacy
+    * (v1) lines carry the file name only: rows = -1, no stats, no
+    * bucket. */
   private[sources] final case class KFileEntry(file: String, rows: Long,
-      bucket: Int, buckets: Int, key: String, stats: Option[KeyStats])
+      bucket: Int, buckets: Int, key: String, stats: Option[KeyStats],
+      tombstone: Boolean = false)
+
+  /** One logical manifest with its version metadata. `seq` is the
+    * commit sequence (unique per table — reserved through an exclusive
+    * marker create, see [[reserveSeq]]; -1 on legacy manifests written
+    * before versioning); `ts` the commit wall-clock millis (-1
+    * legacy); `supersedes` the logical manifests a snapshot REWRITE
+    * replaced (empty on ordinary commits). Total version order of a
+    * row = (manifest seq, file index within the manifest, row ordinal
+    * within the file) — the write path clusters a key into one file
+    * per commit, so per key this orders every version. */
+  private[sources] final case class KManifest(name: String, seq: Long,
+      ts: Long, supersedes: Seq[String], entries: Seq[KFileEntry])
+
+  /** Metadata column names (version/provenance surface). Reserved:
+    * a data column with one of these names would shadow it. */
+  private[sources] val MetaSeq = "_seq"
+  private[sources] val MetaPos = "_pos"
+  private[sources] val MetaTombstone = "_tombstone"
+  private[sources] val MetaFile = "_file"
+  private[sources] val MetaNames: Set[String] =
+    Set(MetaSeq, MetaPos, MetaTombstone, MetaFile)
 
   /** The one supported-column-type gate CREATE TABLE and INSERT both
     * apply — two hand-kept copies could let DDL and DML disagree on
@@ -207,6 +242,8 @@ object KeyedTable {
       require(supported.contains(fd.dataType),
         s"KeyedTable supports long/int/double/string/boolean columns; " +
           s"got ${fd.name}: ${fd.dataType.sql}")
+      require(!MetaNames.contains(fd.name),
+        s"column name ${fd.name} is reserved for KeyedTable metadata")
     }
 
   /** The write contract (key column, bucket modulus) the table's
@@ -274,6 +311,13 @@ object KeyedTable {
     else s"$safe-${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(n))}"
   }
 
+  /** Snapshot-rewrite manifests are NAMED by the set they supersede,
+    * so two rewrites racing over the same inputs converge on one
+    * logical manifest (the loser no-ops) and a re-run is a replay. */
+  private[sources] def rewriteName(superseded: Seq[String]): String =
+    s"rewrite-${Integer.toHexString(scala.util.hashing.MurmurHash3
+      .orderedHash(superseded.sorted))}.manifest"
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
   private def unb64(s: String): String =
@@ -283,7 +327,8 @@ object KeyedTable {
     e.file, e.rows.toString, e.bucket.toString, e.buckets.toString,
     b64(e.key), e.stats.map(_.nulls).getOrElse(0L).toString,
     e.stats.flatMap(_.minEnc).map(b64).getOrElse("-"),
-    e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-")).mkString("\t")
+    e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-"),
+    if (e.tombstone) "t" else "d").mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
     val f = line.split("\t", -1)
@@ -291,7 +336,112 @@ object KeyedTable {
     else KFileEntry(f(0), f(1).toLong, f(2).toInt, f(3).toInt, unb64(f(4)),
       Some(KeyStats(f(5).toLong,
         Some(f(6)).filter(_ != "-").map(unb64),
-        Some(f(7)).filter(_ != "-").map(unb64))))
+        Some(f(7)).filter(_ != "-").map(unb64))),
+      tombstone = f.length > 8 && f(8) == "t")
+  }
+
+  // ---------- manifest body: version headers + entry lines ----------
+  //
+  // A manifest body is header lines (leading '#': "#seq:<long>",
+  // "#ts:<millis>", "#supersedes:<name,name,...>") followed by one
+  // entry line per committed file. Headers travel verbatim through
+  // compaction (section content is preserved), so version order and
+  // rewrite lineage survive checkpointing. Legacy bodies (no headers)
+  // parse as seq/ts = -1 with no supersedes.
+
+  private def manifestBody(seq: Long, ts: Long, supersedes: Seq[String],
+      entries: Seq[KFileEntry]): String = {
+    require(supersedes.forall(n => !n.contains(',') && !n.contains('\n')),
+      s"unencodable superseded manifest names: $supersedes")
+    val headers = Seq(s"#seq:$seq", s"#ts:$ts") ++
+      (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
+       else Seq.empty)
+    (headers ++ entries.map(entryLine)).mkString("\n")
+  }
+
+  private def parseManifest(name: String, lines: Seq[String]): KManifest = {
+    val (headers, body) = lines.partition(_.startsWith("#"))
+    def header(k: String): Option[String] =
+      headers.collectFirst { case h if h.startsWith(s"#$k:") =>
+        h.substring(k.length + 2) }
+    KManifest(name,
+      header("seq").map(_.toLong).getOrElse(-1L),
+      header("ts").map(_.toLong).getOrElse(-1L),
+      header("supersedes").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      body.map(parseEntry))
+  }
+
+  private[sources] def manifests(path: String,
+      conf: Configuration): Seq[KManifest] =
+    logicalManifests(path, conf).map { case (n, ls) => parseManifest(n, ls) }
+
+  /** The LIVE manifests: every committed manifest minus those a
+    * snapshot rewrite superseded — optionally as of a commit sequence
+    * (`VERSION AS OF`): only manifests with seq <= asOf are visible,
+    * and only THEIR supersedes apply, so time travel below a rewrite's
+    * fence resolves the original commits (retained until vacuum).
+    * A name any visible manifest supersedes never returns to life,
+    * even when the superseding rewrite is itself superseded — its
+    * content was folded forward. Legacy manifests (seq -1) are always
+    * visible. */
+  private[sources] def liveManifests(path: String, conf: Configuration,
+      asOf: Option[Long] = None): Seq[KManifest] = {
+    val all = manifests(path, conf)
+    val visible = asOf match {
+      case Some(v) => all.filter(_.seq <= v)
+      case None => all
+    }
+    val dead = visible.flatMap(_.supersedes).toSet
+    visible.filterNot(m => dead(m.name))
+  }
+
+  /** Reserve the table's next commit sequence: scan the committed max,
+    * then claim max+1 upward through exclusive marker creates under
+    * `_commits/` (`.seq-N.res` — not a `.manifest`, invisible to every
+    * listing). Two racing commits therefore get DISTINCT sequences on
+    * stores with atomic create-no-overwrite (HDFS/S3A-with-conditional
+    * -writes); on a bare local FS the create carries the same
+    * tiny exists/create window as [[ensureSchema]]'s first-publish
+    * race, documented there. */
+  private def reserveSeq(path: String, conf: Configuration): Long = {
+    val f = fs(path, conf)
+    ensureDirs(path, conf)
+    var n = manifests(path, conf).map(_.seq).foldLeft(0L)(math.max) + 1L
+    while (!createExclusive(f, new Path(s"$path/_commits", s".seq-$n.res")))
+      n += 1L
+    n
+  }
+
+  /** Atomic create-no-overwrite. Hadoop's local filesystems check
+    * exists() then create — a TOCTOU window two racing commits on one
+    * machine can actually hit — so local goes through NIO's
+    * O_CREAT|O_EXCL instead; every other store keeps its own
+    * createNewFile contract (atomic on HDFS). */
+  private def createExclusive(f: FileSystem, p: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    case other => other.createNewFile(p)
+  }
+
+  /** Write one logical manifest: reserve the commit sequence (unless
+    * the caller fixes one — snapshot rewrites commit AT their fence,
+    * adding no new version), stamp headers, publish atomically. */
+  private def commitManifest(path: String, name: String,
+      entries: Seq[KFileEntry], conf: Configuration,
+      fixedSeq: Option[Long] = None,
+      supersedes: Seq[String] = Seq.empty): Unit = {
+    val seq = fixedSeq.getOrElse(reserveSeq(path, conf))
+    ensureDirs(path, conf)
+    writeAtomic(fs(path, conf), new Path(s"$path/_commits", name),
+      manifestBody(seq, System.currentTimeMillis(), supersedes, entries))
   }
 
   // ---------- logical manifests & compaction ----------
@@ -340,9 +490,12 @@ object KeyedTable {
     sections.toSeq.sortBy(_._1)
   }
 
+  /** Every entry of every committed manifest, superseded ones
+    * included — the REFERENCED set (vacuum safety, full listings).
+    * Scans plan from [[liveManifests]] instead. */
   private[sources] def committedEntries(path: String,
       conf: Configuration): Seq[KFileEntry] =
-    logicalManifests(path, conf).flatMap(_._2).map(parseEntry)
+    manifests(path, conf).flatMap(_.entries)
 
   /** Logical manifest NAMES only — the hot-path variant (tail-stream
     * triggers, replay probes): one directory listing plus the bodies
@@ -390,12 +543,28 @@ object KeyedTable {
         "added or compacted, never removed"))
   }
 
-  /** Every data file listed by any committed manifest. Public ops
-    * surface (specs, vacuum-adjacent tooling). */
+  /** Every data file listed by any committed manifest — superseded
+    * ones included (the REFERENCED set). Public ops surface (specs,
+    * vacuum-adjacent tooling). */
   def committedFiles(path: String): Seq[String] =
     committedFiles(path, hadoopConf())
   private def committedFiles(path: String, conf: Configuration): Seq[String] =
     committedEntries(path, conf).map(_.file)
+
+  /** The LIVE logical manifests (supersedes applied) — what a batch
+    * scan plans from. Public ops surface. */
+  def liveManifestNames(path: String): Seq[String] =
+    liveManifests(path, hadoopConf()).map(_.name)
+
+  /** The data files of the live manifests — what a batch scan can
+    * read. Public ops surface. */
+  def liveFiles(path: String): Seq[String] =
+    liveManifests(path, hadoopConf()).flatMap(_.entries.map(_.file))
+
+  /** The table's current commit sequence (max over live manifests; 0
+    * on an empty table). Feed to `VERSION AS OF` for a snapshot pin. */
+  def currentSeq(path: String): Long =
+    liveManifests(path, hadoopConf()).map(_.seq).foldLeft(0L)(math.max)
 
   /** Fold every committed manifest into ONE `compact-*.manifest`
     * checkpoint and delete the superseded physical files. Bounds the
@@ -479,7 +648,9 @@ object KeyedTable {
 
   private def manifest(path: String, name: String,
       messages: Array[WriterCommitMessage], schema: StructType,
-      key: String, buckets: Int, conf: Configuration): Unit = {
+      key: String, buckets: Int, conf: Configuration,
+      fixedSeq: Option[Long] = None,
+      supersedes: Seq[String] = Seq.empty): Unit = {
     // last line of defense for the local-FS first-publish race: never
     // manifest rows whose shape disagrees with the winning schema
     readSchemaFile(path, conf).foreach(c => require(sameShape(c, schema),
@@ -489,9 +660,7 @@ object KeyedTable {
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)))
     }
-    ensureDirs(path, conf)
-    writeAtomic(fs(path, conf), new Path(s"$path/_commits", name),
-      entries.map(entryLine).mkString("\n"))
+    commitManifest(path, name, entries, conf, fixedSeq, supersedes)
   }
 
   private def dropStaged(path: String,
@@ -512,25 +681,100 @@ object KeyedTable {
     ()
   }
 
-  /** Reap staging garbage the commit protocol left invisible: data/
-    * files no manifest lists (task-committed but never
-    * driver-committed — a driver crash between task and job commit)
-    * and orphaned `.inprogress` attempts (writer crashed before task
-    * commit). Invisible bytes are CORRECT forever; vacuum is about
-    * storage, so it only touches files older than `graceMs` — a
-    * concurrent in-flight write's staged files are younger by
-    * construction. Returns the deleted file names. */
+  /** Reap storage the table no longer serves: data/ files no manifest
+    * lists (task-committed but never driver-committed — a driver crash
+    * between task and job commit), orphaned `.inprogress` attempts
+    * (writer crashed before task commit), and files ONLY superseded
+    * manifests reference (their content was folded into a snapshot
+    * rewrite — Delta's VACUUM-after-OPTIMIZE shape). Invisible and
+    * superseded bytes are CORRECT forever; vacuum is about storage, so
+    * it only touches files older than `graceMs`. The grace doubles as
+    * the RETENTION window: a tail stream or `VERSION AS OF` read below
+    * a rewrite's fence resolves original commits, which stay
+    * bit-readable until the grace expires — after that they are gone,
+    * the standard retention contract. Returns the deleted names. */
   def vacuum(path: String, graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val conf = hadoopConf()
     val f = fs(path, conf)
     val dataDir = new Path(path, "data")
     if (!f.exists(dataDir)) return Seq.empty
-    val committed = committedFiles(path, conf).toSet
+    val live = liveManifests(path, conf).flatMap(_.entries.map(_.file)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     f.listStatus(dataDir).toSeq
       .filter(st => st.isFile && st.getModificationTime < cutoff)
-      .filter(st => !committed.contains(st.getPath.getName))
+      .filter(st => !live.contains(st.getPath.getName))
       .map { st => f.delete(st.getPath, false); st.getPath.getName }
+  }
+
+  /** Commit DELETION TOMBSTONES for the given key values (catalyst
+    * domain). Cassandra's delete path, not a table rewrite: the keys
+    * come from the predicate, so NOTHING is scanned — one marker file
+    * per write bucket (key populated, every other field null, keeping
+    * the file's bucket proof and key stats exactly as a data write
+    * would), one manifest commit at the next sequence. The markers
+    * outrank every existing version of those keys under
+    * last-write-wins; a LATER write of the same key outranks the
+    * marker (re-insert after delete works); snapshot rewrites purge
+    * markers older than the grace period. Bytes written are O(#keys),
+    * independent of table size. */
+  private[sources] def deleteKeys(path: String, schema: StructType,
+      key: String, keys: Seq[Any], buckets: Int,
+      conf: Configuration): Unit = {
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' not in schema ${schema.fieldNames.mkString(",")}")
+    ensureDirs(path, conf)
+    ensureSchema(path, schema, conf)
+    val keyIdx = schema.fieldIndex(key)
+    val keyType = schema.fields(keyIdx).dataType
+    val f = fs(path, conf)
+    val distinct = keys.distinct
+    if (distinct.isEmpty) return
+    def encStat(v: Any): String = v match {
+      case s: UTF8String =>
+        java.util.Base64.getEncoder.encodeToString(s.getBytes)
+      case other => other.toString
+    }
+    def leq(a: Any, b: Any): Boolean = keyType match {
+      case StringType =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) <= 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
+    }
+    val entries = distinct.groupBy(v => bucketOf(v, keyType, buckets))
+      .toSeq.sortBy(_._1).map { case (bucket, vs) =>
+        val name =
+          s"tomb-$bucket-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+        val out = new DataOutputStream(new java.io.BufferedOutputStream(
+          f.create(new Path(s"$path/data", name), true)))
+        try vs.foreach { v =>
+          var i = 0
+          while (i < schema.length) {
+            if (i == keyIdx) {
+              out.writeBoolean(false)
+              keyType match {
+                case LongType => out.writeLong(v.asInstanceOf[Long])
+                case IntegerType => out.writeInt(v.asInstanceOf[Int])
+                case DoubleType =>
+                  out.writeDouble(normZero(v.asInstanceOf[Double]))
+                case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
+                case StringType => {
+                  val b = v.asInstanceOf[UTF8String].getBytes
+                  out.writeInt(b.length); out.write(b)
+                }
+                case other => throw new IllegalArgumentException(other.sql)
+              }
+            } else out.writeBoolean(true) // every non-key field is null
+            i += 1
+          }
+        } finally out.close()
+        val mn = vs.reduce((a, b) => if (leq(a, b)) a else b)
+        val mx = vs.reduce((a, b) => if (leq(a, b)) b else a)
+        KFileEntry(name, vs.size.toLong, bucket, buckets, key,
+          Some(KeyStats(0L, Some(encStat(mn)), Some(encStat(mx)))),
+          tombstone = true)
+      }
+    commitManifest(path,
+      s"delete-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
+      entries, conf)
   }
 
   // ---------- table ----------
@@ -552,14 +796,89 @@ object KeyedTable {
   private[sources] final class KTable(path: String, schema0: StructType,
       keyCol: Option[String], writePartitions: Int,
       clusteredRead: Boolean = false, chaosKey: Option[Long] = None,
-      commitName: Option[String] = None)
-      extends Table with SupportsRead with SupportsWrite {
+      commitName: Option[String] = None, asOfSeq: Option[Long] = None,
+      rewrite: Option[(Long, Seq[String])] = None)
+      extends Table with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = s"keyed_table($path)"
     override def schema(): StructType = schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+    /** Version/provenance surface, selectable on demand
+      * (`df.select("_seq", ...)`): `_seq` the row's commit sequence,
+      * `_pos` its position within the commit (file index << 40 | row
+      * ordinal — files per commit and rows per row-log file are both
+      * far inside those widths), `_tombstone` whether the row is a
+      * deletion marker, `_file` the row-log file. (_seq, _pos) is the
+      * total version order last-write-wins resolution keys on — the
+      * writetime of Cassandra's upsert model, deterministic instead of
+      * wall-clock. */
+    override def metadataColumns(): Array[
+        org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+      import org.apache.spark.sql.connector.catalog.MetadataColumn
+      def mc(n: String, dt: DataType, comment0: String): MetadataColumn =
+        new MetadataColumn {
+          override def name(): String = n
+          override def dataType(): DataType = dt
+          override def isNullable: Boolean = false
+          override def comment(): String = comment0
+        }
+      Array(
+        mc(MetaSeq, LongType, "commit sequence of the row's manifest"),
+        mc(MetaPos, LongType, "position within the commit"),
+        mc(MetaTombstone, BooleanType, "deletion-marker row"),
+        mc(MetaFile, StringType, "row-log file name"))
+    }
+
+    /** Cassandra-model DELETE: key-predicate-only (EqualTo / IN on the
+      * key column — exactly what a partition-key delete can express),
+      * executed as a TOMBSTONE commit: no scan, no rewrite, one tiny
+      * marker file per write bucket, resolved against data versions by
+      * last-write-wins and purged by snapshot rewrites after the grace
+      * period. Any other predicate is refused (Spark then reports the
+      * table cannot delete by that condition), mirroring Cassandra's
+      * own restriction rather than hiding a full-table rewrite behind
+      * DELETE syntax. */
+    override def canDeleteWhere(filters: Array[Filter]): Boolean =
+      asOfSeq.isEmpty && deleteKeyLiterals(filters).isDefined
+
+    override def deleteWhere(filters: Array[Filter]): Unit = {
+      val keys = deleteKeyLiterals(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"KeyedTable DELETE needs a key-only predicate; got " +
+            filters.mkString(", ")))
+      deleteKeys(path, schema0, resolvedKey, keys, writePartitions,
+        hadoopConf())
+    }
+
+    private def resolvedKey: String =
+      keyCol.getOrElse(schema0.fieldNames.head)
+
+    private def deleteKeyLiterals(filters: Array[Filter]): Option[Seq[Any]] = {
+      import org.apache.spark.sql.sources._
+      val key = resolvedKey
+      val dt = schema0.fields(schema0.fieldIndex(key)).dataType
+      // IsNotNull(key) is implied by any key-value predicate; Spark
+      // may pass it alongside — ignore it, then require exactly one
+      // value predicate so the conjunction is fully honored
+      val rest = filters.toSeq.filter {
+        case IsNotNull(a) => a != key
+        case _ => true
+      }
+      rest match {
+        case Seq(EqualTo(a, v)) if a == key =>
+          toCatalyst(dt, v).map(Seq(_))
+        case Seq(In(a, vs)) if a == key && vs.nonEmpty =>
+          val conv = vs.toSeq.map(v =>
+            if (v == null) None else toCatalyst(dt, v))
+          if (conv.forall(_.isDefined)) Some(conv.flatten) else None
+        case _ => None
+      }
+    }
 
     // read once per table handle, not per planned scan — the common
     // no-user-schema path already paid this read in inferSchema
@@ -578,10 +897,14 @@ object KeyedTable {
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
-      new KScanBuilder(path, schema0, only, perTrigger, clusteredRead)
+      new KScanBuilder(path, schema0, only, perTrigger, clusteredRead,
+        asOfSeq)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(asOfSeq.isEmpty,
+        s"KeyedTable at $path was loaded VERSION AS OF ${asOfSeq.get} — " +
+          "historical snapshots are read-only")
       val schema = info.schema()
       validateSchema(schema)
       val key = keyCol.getOrElse(schema.fieldNames.head)
@@ -590,7 +913,7 @@ object KeyedTable {
       new WriteBuilder {
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
-            chaosKey, commitName)
+            chaosKey, commitName, rewrite)
       }
     }
   }
@@ -603,7 +926,8 @@ object KeyedTable {
 
   private final class KWrite(path: String, schema: StructType, key: String,
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
-      commitName: Option[String] = None)
+      commitName: Option[String] = None,
+      rewrite: Option[(Long, Seq[String])] = None)
       extends Write with RequiresDistributionAndOrdering {
     private val keyIdx = schema.fieldIndex(key)
     private def factory(conf: SerConf) = new KWriterFactory(path, schema,
@@ -640,16 +964,31 @@ object KeyedTable {
         * committed (standalone or compacted), drops its re-staged
         * files, and no-ops: per-file exactly-once for batch loads,
         * the same protocol the streaming epochs use. */
-      override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val name = commitName match {
-          case Some(n) => s"named-${sanitize(n)}.manifest"
-          case None => s"batch-$queryId.manifest"
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        rewrite match {
+          // SNAPSHOT REWRITE: name derived from the superseded set, so
+          // two racing rewrites of the same inputs produce ONE logical
+          // manifest (the loser finds it committed and drops its
+          // staged files); commits AT the fence sequence — a rewrite
+          // adds no new version, so a write racing it always outranks
+          // the snapshot, exactly as it outranked the originals
+          case Some((fence, superseded)) =>
+            val name = rewriteName(superseded)
+            if (manifestCommitted(path, name, conf.value))
+              dropStaged(path, messages, conf.value)
+            else manifest(path, name, messages, schema, key,
+              writePartitions, conf.value, Some(fence), superseded)
+          case None =>
+            val name = commitName match {
+              case Some(n) => s"named-${sanitize(n)}.manifest"
+              case None => s"batch-$queryId.manifest"
+            }
+            if (commitName.isDefined &&
+                manifestCommitted(path, name, conf.value))
+              dropStaged(path, messages, conf.value) // replay — visible
+            else manifest(path, name, messages, schema, key,
+              writePartitions, conf.value)
         }
-        if (commitName.isDefined && manifestCommitted(path, name, conf.value))
-          dropStaged(path, messages, conf.value) // replay — already visible
-        else manifest(path, name, messages, schema, key, writePartitions,
-          conf.value)
-      }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         dropStaged(path, messages, conf.value)
     }
@@ -991,8 +1330,25 @@ object KeyedTable {
     }
   }
 
+  /** One planned row-log file plus the version coordinates its rows
+    * carry: the manifest's commit sequence and the file's index within
+    * that manifest (row ordinal completes the (seq, pos) order at read
+    * time). */
+  private[sources] final case class KSplit(entry: KFileEntry, seq: Long,
+      fileIdx: Int)
+
+  /** The live splits a scan plans from: one per file of every LIVE
+    * manifest (superseded ones excluded; `asOf` time travel applies),
+    * in (seq, fileIdx) coordinates. */
+  private def liveSplits(path: String, conf: Configuration,
+      asOf: Option[Long]): Seq[KSplit] =
+    liveManifests(path, conf, asOf).flatMap { m =>
+      m.entries.zipWithIndex.map { case (e, i) => KSplit(e, m.seq, i) }
+    }
+
   private final class KScanBuilder(path: String, tableSchema: StructType,
-      only: Option[String], perTrigger: Int, clusteredRead: Boolean)
+      only: Option[String], perTrigger: Int, clusteredRead: Boolean,
+      asOfSeq: Option[Long])
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1032,7 +1388,7 @@ object KeyedTable {
     }
 
     private lazy val statsEntries: Option[(Seq[KFileEntry], String)] = {
-      val entries = committedEntries(path, hadoopConf())
+      val entries = liveSplits(path, hadoopConf(), asOfSeq).map(_.entry)
       val chosen = only match {
         case Some(f) => entries.filter(_.file == f)
         case None => entries
@@ -1077,7 +1433,7 @@ object KeyedTable {
         val keyType = tableSchema.fields.find(_.name == key).get.dataType
         new KAggScan(path, entries, key, keyType, specs)
       case None => new KScan(path, tableSchema, required,
-        pruningFilters, only, perTrigger, clusteredRead,
+        pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
         new SerConf(hadoopConf()))
     }
   }
@@ -1166,11 +1522,13 @@ object KeyedTable {
     }
   }
 
-  /** A planned read split: one or more committed row-log files (one
-    * group per write bucket under clustered reads, else one file).
-    * Reports its bucket as the partition key when grouped. */
-  private final case class KFilesPartition(path: String, files: Seq[String],
-      bucket: Int = -1) extends InputPartition with HasPartitionKey {
+  /** A planned read split: one or more committed row-log files with
+    * their version coordinates (one group per write bucket under
+    * clustered reads, else one file). Reports its bucket as the
+    * partition key when grouped. */
+  private final case class KFilesPartition(path: String,
+      splits: Seq[KSplit], bucket: Int = -1)
+      extends InputPartition with HasPartitionKey {
     override def partitionKey(): InternalRow =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](bucket))
@@ -1178,18 +1536,19 @@ object KeyedTable {
 
   private final class KScan(path: String, tableSchema: StructType,
       required: StructType, filters: Array[Filter], only: Option[String],
-      manifestsPerTrigger: Int, clusteredRead: Boolean, conf: SerConf)
+      manifestsPerTrigger: Int, clusteredRead: Boolean,
+      asOfSeq: Option[Long], conf: SerConf)
       extends Scan with Batch with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-    private lazy val all: Seq[KFileEntry] = {
-      val entries = committedEntries(path, conf.value)
+    private lazy val all: Seq[KSplit] = {
+      val splits = liveSplits(path, conf.value, asOfSeq)
       only match {
         case Some(f) =>
-          require(entries.exists(_.file == f),
-            s"file $f is not committed in $path (${entries.size} committed)")
-          entries.filter(_.file == f)
-        case None => entries
+          require(splits.exists(_.entry.file == f),
+            s"file $f is not committed in $path (${splits.size} committed)")
+          splits.filter(_.entry.file == f)
+        case None => splits
       }
     }
 
@@ -1205,8 +1564,9 @@ object KeyedTable {
 
     override def filterAttributes(): Array[
         org.apache.spark.sql.connector.expressions.NamedReference] = {
-      val keys = all.map(_.key).distinct
-      if (keys.size == 1 && keys.head.nonEmpty && all.forall(_.stats.isDefined))
+      val keys = all.map(_.entry.key).distinct
+      if (keys.size == 1 && keys.head.nonEmpty &&
+          all.forall(_.entry.stats.isDefined))
         Array(Expressions.column(keys.head))
       else Array.empty
     }
@@ -1218,13 +1578,14 @@ object KeyedTable {
       * because clustered-read GROUPS are fixed at plan time: a runtime
       * filter may empty a group's file list but must never change the
       * group set Spark already planned around. */
-    private lazy val staticPlanned: Seq[KFileEntry] =
-      all.filter(e => filters.forall(fl => mayMatch(e, keyTypeOf(e), fl)))
+    private lazy val staticPlanned: Seq[KSplit] =
+      all.filter(s => filters.forall(fl =>
+        mayMatch(s.entry, keyTypeOf(s.entry), fl)))
 
-    private def survivesRuntime(e: KFileEntry): Boolean =
-      runtimeFilters.forall(fl => mayMatch(e, keyTypeOf(e), fl))
+    private def survivesRuntime(s: KSplit): Boolean =
+      runtimeFilters.forall(fl => mayMatch(s.entry, keyTypeOf(s.entry), fl))
 
-    private def planned: Seq[KFileEntry] =
+    private def planned: Seq[KSplit] =
       staticPlanned.filter(survivesRuntime)
 
     /** Clustered-read grouping: one partition per write bucket, valid
@@ -1232,16 +1593,16 @@ object KeyedTable {
       * (key, modulus). Gated on the session's v2-bucketing switch —
       * when Spark would ignore the report, per-file partitions keep
       * the higher read parallelism instead. */
-    private lazy val grouping: Option[(String, Int, Seq[(Int, Seq[KFileEntry])])] =
+    private lazy val grouping: Option[(String, Int, Seq[(Int, Seq[KSplit])])] =
       if (!clusteredRead || staticPlanned.isEmpty ||
           !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
       else {
-        val keys = staticPlanned.map(_.key).distinct
-        val moduli = staticPlanned.map(_.buckets).distinct
+        val keys = staticPlanned.map(_.entry.key).distinct
+        val moduli = staticPlanned.map(_.entry.buckets).distinct
         if (keys.size == 1 && keys.head.nonEmpty && moduli.size == 1 &&
-            moduli.head > 0 && staticPlanned.forall(_.bucket >= 0))
+            moduli.head > 0 && staticPlanned.forall(_.entry.bucket >= 0))
           Some((keys.head, moduli.head,
-            staticPlanned.groupBy(_.bucket).toSeq.sortBy(_._1)))
+            staticPlanned.groupBy(_.entry.bucket).toSeq.sortBy(_._1)))
         else None
       }
 
@@ -1253,6 +1614,7 @@ object KeyedTable {
         .map { case (k, n, g) => s", clustered=bucket($n,$k)×${g.size}" }
         .getOrElse("")
       s"KeyedTable[$path${only.map(f => s", file=$f").getOrElse("")}" +
+        s"${asOfSeq.map(v => s", asOf=$v").getOrElse("")}" +
         s", cols=${required.fieldNames.mkString(",")}" +
         s"${if (filters.nonEmpty) s", pruneBy=${filters.mkString(";")}" else ""}" +
         pruned + clustered + "]"
@@ -1264,11 +1626,11 @@ object KeyedTable {
         // group set fixed at plan time; runtime filters prune files
         // WITHIN groups (an emptied group reads zero rows) so the
         // reported KeyGroupedPartitioning stays exactly preserved
-        groups.map { case (b, es) =>
-          KFilesPartition(path, es.filter(survivesRuntime).map(_.file), b)
+        groups.map { case (b, ss) =>
+          KFilesPartition(path, ss.filter(survivesRuntime), b)
         }.toArray[InputPartition]
       case None =>
-        planned.map(e => KFilesPartition(path, Seq(e.file)))
+        planned.map(s => KFilesPartition(path, Seq(s)))
           .toArray[InputPartition]
     }
 
@@ -1324,7 +1686,16 @@ object KeyedTable {
     private def parse(o: V2Offset): Set[String] =
       o.asInstanceOf[TailOffset].names.toSet
 
-    private def listManifests(): Seq[String] = logicalNames(path, conf.value)
+    /** Snapshot REWRITE manifests carry no new data (they re-home
+      * already-delivered rows at the fence sequence — dataChange=false
+      * in Delta's terms), so the tail never lists, delivers, or
+      * offsets them: an in-flight tail keeps consuming the ORIGINAL
+      * commits (content preserved, bytes retained for the grace
+      * window) with no duplicate and no loss, and a fresh tail replays
+      * the full upsert/delete history — the change feed, which is what
+      * a log tail means on an upsert table. */
+    private def listManifests(): Seq[String] =
+      logicalNames(path, conf.value).filterNot(_.startsWith("rewrite-"))
 
     /** The AvailableNow bound: logical manifests present when the run
       * prepared. None outside AvailableNow (continuous/processing-time
@@ -1359,9 +1730,12 @@ object KeyedTable {
       // per-name resolution: the delta's standalone manifests are read
       // directly; only compacted-away names fall back to checkpoint
       // sections — a batch never pays for the whole commit history
-      delta.flatMap(m => manifestLines(path, m, conf.value).map(parseEntry))
-        .map(e => KFilesPartition(path, Seq(e.file)))
-        .toArray[InputPartition]
+      delta.flatMap { name =>
+        val m = parseManifest(name, manifestLines(path, name, conf.value))
+        m.entries.zipWithIndex.map { case (e, i) =>
+          KFilesPartition(path, Seq(KSplit(e, m.seq, i)))
+        }
+      }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new KReaderFactory(tableSchema, required, conf)
@@ -1373,9 +1747,11 @@ object KeyedTable {
     * committed schema shape — every field's flag+value is walked);
     * `required` is what gets MATERIALIZED: skipped fixed-width fields
     * are discarded reads, skipped strings are skipped bytes that
-    * never allocate. A partition may chain several files (clustered
-    * reads group a bucket's files); EOF at a row boundary rolls to
-    * the next file. */
+    * never allocate. `required` may also name METADATA columns
+    * (_seq/_pos/_tombstone/_file) — filled from the split's version
+    * coordinates, no extra bytes read. A partition may chain several
+    * files (clustered reads group a bucket's files); EOF at a row
+    * boundary rolls to the next file. */
   private final class KReaderFactory(full: StructType,
       required: StructType, conf: SerConf)
       extends PartitionReaderFactory {
@@ -1393,6 +1769,15 @@ object KeyedTable {
         // (-1 = walk the frame, materialize nothing)
         private val outSlot: Array[Int] = full.fields.map(fd =>
           required.fieldNames.indexOf(fd.name))
+
+        // metadata slots (-1 = not requested); seq/tombstone/file are
+        // constant per split, pos advances per row
+        private val seqSlot = required.fieldNames.indexOf(MetaSeq)
+        private val posSlot = required.fieldNames.indexOf(MetaPos)
+        private val tombSlot = required.fieldNames.indexOf(MetaTombstone)
+        private val fileSlot = required.fieldNames.indexOf(MetaFile)
+        private var posBase = 0L
+        private var ordinal = 0L
 
         private def skipFully(n: Int): Unit = {
           var left = n.toLong
@@ -1434,10 +1819,17 @@ object KeyedTable {
         private def nextFile(): Boolean = {
           if (in != null) { in.close(); in = null }
           fileIdx += 1
-          if (fileIdx >= p.files.size) false
+          if (fileIdx >= p.splits.size) false
           else {
+            val s = p.splits(fileIdx)
             in = new DataInputStream(new java.io.BufferedInputStream(
-              f.open(new Path(s"${p.path}/data", p.files(fileIdx))), 1 << 16))
+              f.open(new Path(s"${p.path}/data", s.entry.file)), 1 << 16))
+            if (seqSlot >= 0) row.update(seqSlot, s.seq)
+            if (tombSlot >= 0) row.update(tombSlot, s.entry.tombstone)
+            if (fileSlot >= 0)
+              row.update(fileSlot, UTF8String.fromString(s.entry.file))
+            posBase = s.fileIdx.toLong << 40
+            ordinal = 0L
             true
           }
         }
@@ -1460,6 +1852,8 @@ object KeyedTable {
                 else fieldSkippers(i)()
                 i += 1
               }
+              if (posSlot >= 0) row.update(posSlot, posBase | ordinal)
+              ordinal += 1L
               return true
             }
           }

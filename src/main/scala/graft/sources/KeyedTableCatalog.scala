@@ -65,6 +65,28 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
       clusteredRead = true)
   }
 
+  /** Time travel: `SELECT ... FROM graft_keyed.`/path` VERSION AS OF n`
+    * reads the table as of commit sequence `n` — only manifests with
+    * seq <= n are visible, and a snapshot rewrite above the fence does
+    * not hide the original commits (retained until vacuum's grace
+    * expires). Historical loads are read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val seq = try version.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"KeyedTable versions are commit sequences; got '$version'") }
+    val path = ident.name()
+    val conf = KeyedTable.hadoopConf()
+    val schema = KeyedTable.readSchemaFile(path, conf)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    val props = KeyedTable.readProps(path, conf)
+    val inferred = KeyedTable.inferWriteContract(path, conf)
+    new KeyedTable.KTable(path, schema,
+      keyCol = props.get("key").orElse(inferred.map(_._1)),
+      writePartitions = 8,
+      clusteredRead = true, asOfSeq = Some(seq))
+  }
+
   // the namespace is the filesystem: the identifier's name IS the
   // table path, so enumeration is not meaningful
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -86,7 +86,7 @@ object ChaosKeyedWriteMain {
       .filter(_.getName.endsWith(".manifest"))
       .flatMap(f => java.nio.file.Files.readAllLines(f.toPath)
         .toArray(Array.empty[String]))
-      .count(_.nonEmpty)
+      .count(l => l.nonEmpty && !l.startsWith("#")) // skip version headers
     if (committed != 4) {
       System.err.println(s"expected 4 committed shards, got $committed")
       sys.exit(2)

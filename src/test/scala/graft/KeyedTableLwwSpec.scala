@@ -1,0 +1,289 @@
+package graft
+
+import graft.pipeline.V2KeyedTableSink
+import graft.sources.{KeyedTable, KeyedTableOps, KeyedTableRegistry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The Cassandra data model on the keyed table: last-write-wins upsert
+  * reads, key-only DELETE via tombstone commits, snapshot rewrite
+  * compaction (dataChange=false for tails), VERSION AS OF time travel,
+  * and retention vacuum. */
+class KeyedTableLwwSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(lo: Long, hi: Long, tag: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (lo until hi).map(k => (k, s"$tag$k", k * 10L)).toDF("k", "s", "c")
+  }
+
+  private def readBack(target: String): DataFrame =
+    spark.read.format("graft.sources.KeyedTable").load(target)
+
+  private def sink = V2KeyedTableSink("k", writeParallelism = 4)
+
+  private def withCatalog[A](body: => A): A = {
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prior = spark.conf.getOption(bucketingKey)
+    KeyedTableRegistry.register(spark)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(bucketingKey, v)
+      case None => spark.conf.unset(bucketingKey)
+    }
+  }
+
+  test("metadata columns expose the commit order") {
+    val t = tmpDir("graft_klww_meta_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    sink.append(rows(5, 10, "b"), t)
+    val got = readBack(t)
+      .select(col("k"), col("_seq"), col("_pos"), col("_tombstone"),
+        col("_file"))
+      .collect()
+    assert(got.length === 15)
+    assert(got.map(_.getLong(1)).distinct.sorted.toSeq === Seq(1L, 2L),
+      "two appends must carry commit sequences 1 and 2")
+    assert(got.forall(!_.getBoolean(3)), "no tombstones were written")
+    val files = KeyedTable.committedFiles(t).toSet
+    assert(got.map(_.getString(4)).toSet.subsetOf(files))
+    // within one commit a key's versions order by _pos; across commits
+    // the same key appears once per commit with distinct seqs
+    val perKey = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert((0L until 5L).forall(perKey(_) == 1))
+    assert((5L until 10L).forall(perKey(_) == 2))
+  }
+
+  test("data columns must not shadow the metadata surface") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_klww_res_") + "/t"
+    val bad = Seq((1L, 2L)).toDF("k", "_seq")
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.KeyedTable")
+        .option("key", "k").mode("append").save(t)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("latest view resolves last-write-wins, shuffle-free via catalog") {
+    val t = tmpDir("graft_klww_latest_") + "/t"
+    sink.append(rows(0, 20, "a"), t)
+    sink.append(rows(0, 20, "b").where(col("k") % 3 === 0), t)
+    withCatalog {
+      val latest = KeyedTableOps.latest(spark, t)
+      assert(graft.ops.PlanChecks.countShuffles(
+        latest.queryExecution.executedPlan) == 0,
+        "latest view over the clustered catalog read planned an Exchange")
+      val got = latest.collect().map(r =>
+        r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size === 20)
+      (0L until 20L).foreach { k =>
+        val want = if (k % 3 == 0) s"b$k" else s"a$k"
+        assert(got(k) === want, s"key $k resolved ${got(k)}, want $want")
+      }
+    }
+  }
+
+  test("SQL DELETE writes tombstones; re-insert outranks them") {
+    val t = tmpDir("graft_klww_del_") + "/t"
+    sink.append(rows(0, 12, "a"), t)
+    withCatalog {
+      val before = KeyedTable.committedFiles(t).size
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k IN (3, 7)")
+      // delete wrote marker files, scanned nothing, rewrote nothing
+      val added = KeyedTable.committedFiles(t).size - before
+      assert(added >= 1 && added <= 2,
+        s"delete of two keys added $added files — expected tiny tombstones")
+      val afterDelete = KeyedTableOps.latest(spark, t)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(afterDelete === (0L until 12L).toSet -- Set(3L, 7L))
+      // raw log keeps everything: 12 data rows + 2 markers
+      assert(readBack(t).count() === 14)
+      assert(readBack(t).where(col("_tombstone")).count() === 2)
+      // a later write of a deleted key wins again (Cassandra re-insert)
+      sink.append(rows(3, 4, "c"), t)
+      val resurrected = KeyedTableOps.latest(spark, t)
+        .where(col("k") === 3).collect()
+      assert(resurrected.length === 1 && resurrected.head.getString(1) === "c3")
+      // non-key predicates are refused, not silently table-scanned
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE s = 'a5'")
+      }
+      assert(e.getMessage.toLowerCase.contains("delete"))
+    }
+  }
+
+  test("VERSION AS OF reads the state at a commit sequence") {
+    val t = tmpDir("graft_klww_tt_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    val v1 = KeyedTable.currentSeq(t)
+    sink.append(rows(0, 10, "b").where(col("k") < 4), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 9")
+      assert(v1 === 1L)
+      val asOf1 = spark.sql(
+        s"SELECT * FROM graft_keyed.`$t` VERSION AS OF $v1")
+      assert(asOf1.count() === 10)
+      assert(asOf1.where(col("s").startsWith("b")).count() === 0,
+        "time travel leaked a later commit")
+      // latest-at-version composes: as-of 2 sees the update, not the delete
+      val asOf2 = spark.read.format("graft.sources.KeyedTable")
+        .option("asOfSeq", "2").load(t)
+      val latest2 = KeyedTableOps.latestOver(asOf2, "k").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(latest2(2L) === "b2" && latest2(9L) === "a9")
+      // historical loads are read-only
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO graft_keyed.`$t` VERSION AS OF 1 " +
+          "VALUES (99, 'x', 0)")
+      }
+      assert(e.getMessage.contains("VERSION AS OF") ||
+        e.getMessage.toLowerCase.contains("read-only") ||
+        e.getMessage.toLowerCase.contains("unsupported"))
+    }
+  }
+
+  test("rewriteCompact folds the log; racing semantics preserved") {
+    val t = tmpDir("graft_klww_rw_") + "/t"
+    sink.append(rows(0, 16, "a"), t)
+    sink.append(rows(0, 16, "b").where(col("k") % 2 === 0), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k IN (1, 2)")
+      val expected = (0L until 16L).filterNot(k => k == 1 || k == 2)
+        .map(k => k -> (if (k % 2 == 0) s"b$k" else s"a$k")).toMap
+
+      // grace = 0: the tombstone is purged into the snapshot
+      val name = KeyedTableOps.rewriteCompact(spark, t, tombstoneGraceMs = 0)
+      assert(name.isDefined, "three live commits must fold")
+      val live = KeyedTable.liveManifestNames(t)
+      assert(live === Seq(name.get),
+        s"after rewrite the live set must be the snapshot alone: $live")
+      // raw view IS the snapshot now: one row per surviving key, no
+      // markers
+      assert(readBack(t).count() === expected.size)
+      assert(readBack(t).where(col("_tombstone")).count() === 0)
+      val got = KeyedTableOps.latest(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === expected, "rewrite changed the latest view")
+
+      // the snapshot committed AT the fence: a post-rewrite write gets
+      // a higher sequence and outranks it
+      val fence = KeyedTable.currentSeq(t)
+      sink.append(rows(4, 5, "c"), t)
+      assert(KeyedTable.currentSeq(t) > fence)
+      val after = KeyedTableOps.latest(spark, t)
+        .where(col("k") === 4).head()
+      assert(after.getString(1) === "c4")
+
+      // time travel below the fence resolves the ORIGINAL commits
+      val asOf1 = spark.sql(s"SELECT * FROM graft_keyed.`$t` VERSION AS OF 1")
+      assert(asOf1.count() === 16)
+      assert(asOf1.where(col("s").startsWith("a")).count() === 16)
+
+      // re-running the same fold is a no-op replay, not a second
+      // snapshot (nothing new to fold besides the fresh commit)
+      val again = KeyedTableOps.rewriteCompact(spark, t, tombstoneGraceMs = 0)
+      assert(again.isDefined && again.get != name.get,
+        "second fold covers the new commit set")
+      assert(KeyedTableOps.latest(spark, t).count() === expected.size)
+
+      // vacuum(0) reclaims superseded bytes; live files survive
+      val liveNow = KeyedTable.liveFiles(t).toSet
+      val deleted = KeyedTable.vacuum(t, graceMs = 0)
+      assert(deleted.nonEmpty, "superseded originals must be reclaimable")
+      assert(liveNow.forall(f => !deleted.contains(f)),
+        "vacuum touched a live file")
+      assert(KeyedTableOps.latest(spark, t).count() === expected.size)
+    }
+  }
+
+  test("young tombstones survive rewrite but stay applied") {
+    val t = tmpDir("graft_klww_grace_") + "/t"
+    sink.append(rows(0, 8, "a"), t)
+    sink.append(rows(0, 8, "b").where(col("k") < 2), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 5")
+      // huge grace: the tombstone manifest must NOT be superseded
+      val name = KeyedTableOps.rewriteCompact(spark, t,
+        tombstoneGraceMs = 7L * 24 * 3600 * 1000)
+      assert(name.isDefined)
+      val live = KeyedTable.liveManifestNames(t).toSet
+      assert(live.size === 2 && live.exists(_.startsWith("delete-")),
+        s"young tombstone must stay live: $live")
+      // and the deleted key stays deleted (applied in the snapshot,
+      // still hidden by the live marker — idempotent either way)
+      val keys = KeyedTableOps.latest(spark, t)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(keys === (0L until 8L).toSet - 5L)
+      // a second fold with grace 0 purges it
+      KeyedTableOps.rewriteCompact(spark, t, tombstoneGraceMs = 0)
+      assert(KeyedTable.liveManifestNames(t).size === 1)
+      val keys2 = KeyedTableOps.latest(spark, t)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(keys2 === (0L until 8L).toSet - 5L,
+        "purging the tombstone resurrected the key")
+    }
+  }
+
+  test("tails skip rewrites: in-flight resumes exactly-once, fresh replays") {
+    val base = tmpDir("graft_klww_tail_")
+    val t = s"$base/t"
+    sink.append(rows(0, 10, "a"), t)
+    sink.append(rows(10, 20, "a"), t)
+    def run(out: String, ckpt: String) = spark.readStream
+      .format("graft.sources.KeyedTable")
+      .option("manifestsPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = run(s"$base/out", s"$base/ckpt")
+    assert(q1.awaitTermination(120000), "tail run 1 hung")
+    assert(spark.read.parquet(s"$base/out").count() === 20L)
+
+    // a third commit lands, then the log is REWRITTEN into a snapshot
+    sink.append(rows(20, 30, "a"), t)
+    assert(KeyedTableOps.rewriteCompact(spark, t, 0).isDefined)
+    assert(KeyedTable.liveManifestNames(t).size === 1)
+
+    // the in-flight tail resumes: exactly commit 3's rows, never the
+    // snapshot (no re-delivery of rows it already consumed)
+    val q2 = run(s"$base/out", s"$base/ckpt")
+    assert(q2.awaitTermination(120000), "tail run 2 hung")
+    val resumed = spark.read.parquet(s"$base/out")
+    assert(resumed.count() === 30L,
+      s"resume across rewrite delivered ${resumed.count()} rows")
+    assert(resumed.select("k").distinct().count() === 30L)
+
+    // a FRESH tail replays the full change history (the originals are
+    // retained until vacuum's grace) — still no snapshot delivery
+    val q3 = run(s"$base/out2", s"$base/ckpt2")
+    assert(q3.awaitTermination(120000), "fresh tail hung")
+    assert(spark.read.parquet(s"$base/out2").count() === 30L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("racing commits reserve distinct sequences") {
+    val t = tmpDir("graft_klww_race_") + "/t"
+    // schema published first so the race is purely over sequences
+    sink.append(rows(0, 1, "z"), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = Seq(
+        Future(sink.append(rows(100, 110, "x"), t)),
+        Future(sink.append(rows(200, 210, "y"), t)))
+      fs.foreach(Await.result(_, 120.seconds))
+    } finally pool.shutdown()
+    val seqs = readBack(t).select("_seq").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs === Seq(1L, 2L, 3L),
+      s"three commits must hold three distinct sequences, got $seqs")
+  }
+}

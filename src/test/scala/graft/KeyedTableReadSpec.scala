@@ -474,7 +474,9 @@ class KeyedTableReadSpec extends SparkSpecBase {
     val dir = new java.io.File(s"$t/_commits")
     dir.listFiles().filter(_.getName.endsWith(".manifest")).foreach { mf =>
       val lines = scala.io.Source.fromFile(mf)
-      val names = try lines.getLines().filter(_.nonEmpty)
+      // v1 bodies predate the version headers: drop those too
+      val names = try lines.getLines()
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(_.split("\t")(0)).toList finally lines.close()
       val w = new java.io.PrintWriter(mf)
       try w.print(names.mkString("\n")) finally w.close()
