@@ -769,6 +769,142 @@ object RelationalQueries {
         out
       }),
 
+    // ---- ATOMIC OVERWRITE (Cassandra truncate-then-load, one commit):
+    // `mode("overwrite")` commits the new rows in a manifest that
+    // SUPERSEDES everything live at commit time — readers never see an
+    // intermediate empty table, history stays time-travelable until
+    // vacuum's grace, and appends after the overwrite compose under
+    // last-write-wins as usual. ----
+    QueryDef("q_ktable_overwrite_load", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status
+        |FROM orders
+        |WHERE o_orderkey <=
+        |    (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 FROM orders)
+        |  OR o_orderkey % 10 = 0""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:overwrite:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kovr_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        // the OVERWRITE: replace the whole table with its lower half
+        src.where(col("k") <= half)
+          .write.format("graft.sources.KeyedTable")
+          .option("key", "k").option("writePartitions", "8")
+          .mode("overwrite").save(target)
+        assert(graft.sources.KeyedTable.liveManifestNames(target).size == 1,
+          "overwrite must supersede every previous live manifest")
+        // post-overwrite appends compose under last-write-wins
+        sink.append(src.where(col("k") % 10 === 0)
+          .withColumn("status", lit("U")), target)
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- STREAMING MATERIALIZATION of the upsert log (the "migrate,
+    // then serve downstream" composition): the table's change feed —
+    // tailed with `withVersion`, which advertises the version columns
+    // as real schema (streaming scans have no pruning phase to request
+    // metadata columns through) — is folded per micro-batch into a
+    // materialized latest-state store: LWW merge of (state ∪ batch) on
+    // the explicit (_seq,_pos) version, so the result is ORDER-
+    // INDEPENDENT, tombstones hide keys, and a re-delivered commit
+    // merges idempotently. Runs through the REAL streaming runtime
+    // (AvailableNow, one commit per micro-batch, asserted). ----
+    QueryDef("q_stream_ktable_materialize_run", effectful = true,
+      oracle = Some(
+        """WITH dels AS (
+          |  SELECT o_orderkey AS dk FROM orders ORDER BY o_orderkey LIMIT 3)
+          |SELECT o_orderkey AS k,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+          |    AS status,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |    + CASE WHEN o_orderkey % 10 = 0 THEN 1000 ELSE 0 END AS cents
+          |FROM orders
+          |WHERE o_orderkey NOT IN (SELECT dk FROM dels)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:materialize:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kmat_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        sink.append(src.where(col("k") % 10 === 0)
+          .withColumn("status", lit("U"))
+          .withColumn("cents", col("cents") + 1000), target)
+        val dels = src.orderBy(col("k")).limit(3)
+          .collect().map(_.getLong(0))
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        try s.sql(s"DELETE FROM graft_keyed.`$target` " +
+          s"WHERE k IN (${dels.mkString(", ")})")
+        finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        // the materialized store keeps markers + versions so merges
+        // stay order-independent and idempotent
+        val stateCols = Seq("k", "status", "cents",
+          "_tombstone", "_seq", "_pos")
+        def lww(df: org.apache.spark.sql.DataFrame) = {
+          val payload = stateCols.filterNot(_ == "k")
+          df.groupBy(col("k"))
+            .agg(max_by(struct(payload.map(col): _*),
+              struct(col("_seq"), col("_pos"))).as("__w"))
+            .select(col("k") +: payload.map(c => col(s"__w.`$c`").as(c)): _*)
+        }
+        val stateDir = s"$tmp/state"
+        val q = s.readStream.format("graft.sources.KeyedTable")
+          .option("withVersion", "true")
+          .option("manifestsPerTrigger", "1").load(target)
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val batch = b.select(stateCols.map(col): _*)
+            val merged =
+              if (new java.io.File(s"$stateDir/_SUCCESS").exists())
+                lww(s.read.parquet(stateDir).unionByName(batch))
+              else lww(batch)
+            // pin the merge before overwriting its own input
+            val pinned = merged.localCheckpoint(true)
+            pinned.write.mode("overwrite").parquet(stateDir)
+            pinned.unpersist()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "materialize run did not finish")
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "expected one micro-batch per commit (2 loads + 1 delete)")
+        val out = s.read.parquet(stateDir)
+          .where(!col("_tombstone"))
+          .select(col("k"), col("status"), col("cents"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -97,9 +97,12 @@ class KeyedTable extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "KeyedTable requires a path")
-    KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf()).getOrElse(
-      throw new IllegalArgumentException(
+    val data = KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf())
+      .getOrElse(throw new IllegalArgumentException(
         s"KeyedTable at $path has no committed schema yet — nothing to read"))
+    if (options.getBoolean("withVersion", false))
+      StructType(data.fields ++ KeyedTable.versionFields)
+    else data
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -120,7 +123,8 @@ class KeyedTable extends TableProvider {
       Option(opts.get("rewriteSupersedes")).map { names =>
         (opts.get("rewriteSeq").toLong,
           names.split(",").toSeq.filter(_.nonEmpty))
-      })
+      },
+      opts.getBoolean("withVersion", false))
   }
 }
 
@@ -233,6 +237,20 @@ object KeyedTable {
   private[sources] val MetaFile = "_file"
   private[sources] val MetaNames: Set[String] =
     Set(MetaSeq, MetaPos, MetaTombstone, MetaFile)
+
+  /** The version surface as REAL schema fields — what the
+    * `withVersion` read option appends to the table schema. Batch
+    * readers normally reach the same values through the metadata
+    * columns; `withVersion` exists because Spark's STREAMING scans
+    * have no column-pruning phase to request metadata columns through
+    * (the analyzer resolves them, the scan never learns) — a change
+    * feed that needs versions/tombstones reads with this option
+    * instead. */
+  private[sources] val versionFields: Array[StructField] = Array(
+    StructField(MetaSeq, LongType, nullable = false),
+    StructField(MetaPos, LongType, nullable = false),
+    StructField(MetaTombstone, BooleanType, nullable = false),
+    StructField(MetaFile, StringType, nullable = false))
 
   /** The one supported-column-type gate CREATE TABLE and INSERT both
     * apply — two hand-kept copies could let DDL and DML disagree on
@@ -797,16 +815,26 @@ object KeyedTable {
       keyCol: Option[String], writePartitions: Int,
       clusteredRead: Boolean = false, chaosKey: Option[Long] = None,
       commitName: Option[String] = None, asOfSeq: Option[Long] = None,
-      rewrite: Option[(Long, Seq[String])] = None)
+      rewrite: Option[(Long, Seq[String])] = None,
+      withVersion: Boolean = false)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = s"keyed_table($path)"
     override def schema(): StructType = schema0
+
+    /** The committed (data) schema — the frame plan. With
+      * `withVersion` the advertised schema additionally carries the
+      * version fields; they are reader-synthesized, never framed. */
+    private def dataSchema: StructType =
+      if (withVersion) StructType(schema0.fields.filterNot(f =>
+        MetaNames(f.name)))
+      else schema0
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE)
 
     /** Version/provenance surface, selectable on demand
       * (`df.select("_seq", ...)`): `_seq` the row's commit sequence,
@@ -820,6 +848,8 @@ object KeyedTable {
     override def metadataColumns(): Array[
         org.apache.spark.sql.connector.catalog.MetadataColumn] = {
       import org.apache.spark.sql.connector.catalog.MetadataColumn
+      if (withVersion)
+        return Array.empty // already advertised as real columns
       def mc(n: String, dt: DataType, comment0: String): MetadataColumn =
         new MetadataColumn {
           override def name(): String = n
@@ -851,17 +881,17 @@ object KeyedTable {
         throw new UnsupportedOperationException(
           s"KeyedTable DELETE needs a key-only predicate; got " +
             filters.mkString(", ")))
-      deleteKeys(path, schema0, resolvedKey, keys, writePartitions,
+      deleteKeys(path, dataSchema, resolvedKey, keys, writePartitions,
         hadoopConf())
     }
 
     private def resolvedKey: String =
-      keyCol.getOrElse(schema0.fieldNames.head)
+      keyCol.getOrElse(dataSchema.fieldNames.head)
 
     private def deleteKeyLiterals(filters: Array[Filter]): Option[Seq[Any]] = {
       import org.apache.spark.sql.sources._
       val key = resolvedKey
-      val dt = schema0.fields(schema0.fieldIndex(key)).dataType
+      val dt = dataSchema.fields(dataSchema.fieldIndex(key)).dataType
       // IsNotNull(key) is implied by any key-value predicate; Spark
       // may pass it alongside — ignore it, then require exactly one
       // value predicate so the conjunction is fully honored
@@ -891,30 +921,57 @@ object KeyedTable {
       // write side has ensureSchema); nullability differences decode
       // identically and pass
       committedSchema.foreach { committed =>
-        require(sameShape(committed, schema0),
+        require(sameShape(committed, dataSchema),
           s"KeyedTable read schema mismatch at $path: table has " +
-            s"$committed, read asks for $schema0")
+            s"$committed, read asks for $dataSchema")
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
-      new KScanBuilder(path, schema0, only, perTrigger, clusteredRead,
-        asOfSeq)
+      new KScanBuilder(path, dataSchema, schema0, only, perTrigger,
+        clusteredRead, asOfSeq)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(asOfSeq.isEmpty,
         s"KeyedTable at $path was loaded VERSION AS OF ${asOfSeq.get} — " +
           "historical snapshots are read-only")
+      require(!withVersion,
+        "a withVersion read handle is read-only (version columns are " +
+          "reader-synthesized)")
       val schema = info.schema()
       validateSchema(schema)
       val key = keyCol.getOrElse(schema.fieldNames.head)
       require(schema.fieldNames.contains(key),
         s"key column '$key' not in write schema ${schema.fieldNames.mkString(",")}")
-      new WriteBuilder {
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var truncate0 = false
+        /** `mode("overwrite")` / INSERT OVERWRITE: the commit atomically
+          * SUPERSEDES every manifest live at commit time and publishes
+          * the new rows — Cassandra's truncate-then-load, one commit,
+          * readers never see an intermediate empty table. */
+        override def truncate(): WriteBuilder = { truncate0 = true; this }
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
-            chaosKey, commitName, rewrite)
+            chaosKey, commitName, rewrite, truncate0)
       }
+    }
+
+    /** SQL `TRUNCATE TABLE`: one empty commit superseding every live
+      * manifest — history is retained for time travel until vacuum's
+      * grace expires (Cassandra's TRUNCATE likewise drops data without
+      * per-key tombstones; like there, truncation does not appear in
+      * the change feed a tail consumes). */
+    override def truncateTable(): Boolean = {
+      require(asOfSeq.isEmpty,
+        s"KeyedTable at $path was loaded VERSION AS OF ${asOfSeq.get} — " +
+          "historical snapshots are read-only")
+      val conf = hadoopConf()
+      val live = liveManifests(path, conf).map(_.name)
+      if (live.nonEmpty) commitManifest(path,
+        s"trunc-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
+        Seq.empty, conf, None, live)
+      true
     }
   }
 
@@ -927,8 +984,11 @@ object KeyedTable {
   private final class KWrite(path: String, schema: StructType, key: String,
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
       commitName: Option[String] = None,
-      rewrite: Option[(Long, Seq[String])] = None)
+      rewrite: Option[(Long, Seq[String])] = None,
+      truncate: Boolean = false)
       extends Write with RequiresDistributionAndOrdering {
+    require(!(truncate && rewrite.isDefined),
+      "a snapshot rewrite cannot also truncate")
     private val keyIdx = schema.fieldIndex(key)
     private def factory(conf: SerConf) = new KWriterFactory(path, schema,
       keyIdx, writePartitions, conf,
@@ -978,6 +1038,15 @@ object KeyedTable {
               dropStaged(path, messages, conf.value)
             else manifest(path, name, messages, schema, key,
               writePartitions, conf.value, Some(fence), superseded)
+          case None if truncate =>
+            // OVERWRITE: supersede what is live AT COMMIT (a commit
+            // racing this one lands after the listing, stays live, and
+            // simply outranks the overwrite under last-write-wins —
+            // the same resolution it would have won against the
+            // originals)
+            manifest(path, s"over-$queryId.manifest", messages, schema,
+              key, writePartitions, conf.value, None,
+              liveManifests(path, conf.value).map(_.name))
           case None =>
             val name = commitName match {
               case Some(n) => s"named-${sanitize(n)}.manifest"
@@ -994,6 +1063,8 @@ object KeyedTable {
     }
 
     override def toStreaming: StreamingWrite = new StreamingWrite {
+      require(!truncate && rewrite.isEmpty,
+        "overwrite/rewrite are batch-only on KeyedTable; streams append")
       private val conf = new SerConf(hadoopConf())
       ensureDirs(path, conf.value)
       ensureSchema(path, schema, conf.value)
@@ -1346,13 +1417,18 @@ object KeyedTable {
       m.entries.zipWithIndex.map { case (e, i) => KSplit(e, m.seq, i) }
     }
 
+  /** `tableSchema` is the committed DATA schema (the frame plan);
+    * `advertised` is what the table handle exposes — identical except
+    * under `withVersion`, where the version fields ride along and the
+    * default (un-pruned, e.g. streaming) read schema must include
+    * them. */
   private final class KScanBuilder(path: String, tableSchema: StructType,
-      only: Option[String], perTrigger: Int, clusteredRead: Boolean,
-      asOfSeq: Option[Long])
+      advertised: StructType, only: Option[String], perTrigger: Int,
+      clusteredRead: Boolean, asOfSeq: Option[Long])
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
-    private var required: StructType = tableSchema
+    private var required: StructType = advertised
     private var pruningFilters: Array[Filter] = Array.empty
     private var pushedAgg: Option[Seq[KAggSpec]] = None
 

@@ -266,6 +266,85 @@ class KeyedTableLwwSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("mode(overwrite) atomically replaces the live state") {
+    val t = tmpDir("graft_klww_ovr_") + "/t"
+    sink.append(rows(0, 20, "a"), t)
+    sink.append(rows(0, 5, "b"), t)
+    rows(100, 108, "n").write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "4")
+      .mode("overwrite").save(t)
+    // batch view IS the overwrite; history is superseded, not deleted
+    val got = readBack(t).select("k", "s").collect()
+    assert(got.length === 8)
+    assert(got.forall(_.getString(1).startsWith("n")))
+    assert(KeyedTable.liveManifestNames(t).size === 1)
+    assert(KeyedTable.committedFiles(t).size >
+      KeyedTable.liveFiles(t).size, "originals must stay referenced")
+    // time travel below the overwrite still resolves the old state
+    withCatalog {
+      val asOf2 = spark.sql(s"SELECT * FROM graft_keyed.`$t` VERSION AS OF 2")
+      assert(asOf2.count() === 25)
+      // an append AFTER the overwrite coexists with it (plain append
+      // semantics resume)
+      sink.append(rows(200, 201, "p"), t)
+      assert(KeyedTableOps.latest(spark, t).count() === 9)
+    }
+  }
+
+  test("SQL TRUNCATE TABLE empties the live view, keeps history") {
+    val t = tmpDir("graft_klww_trunc_") + "/t"
+    sink.append(rows(0, 15, "a"), t)
+    withCatalog {
+      spark.sql(s"TRUNCATE TABLE graft_keyed.`$t`")
+      assert(readBack(t).count() === 0)
+      assert(KeyedTableOps.latest(spark, t).count() === 0)
+      // the write contract survives truncation: inserts keep clustering
+      sink.append(rows(30, 40, "b"), t)
+      assert(KeyedTableOps.latest(spark, t).count() === 10)
+      val asOf1 = spark.sql(s"SELECT * FROM graft_keyed.`$t` VERSION AS OF 1")
+      assert(asOf1.count() === 15, "history must survive until vacuum")
+    }
+  }
+
+  test("withVersion tail: the change feed carries versions and tombstones") {
+    val base = tmpDir("graft_klww_feed_")
+    val t = s"$base/t"
+    sink.append(rows(0, 6, "a"), t)
+    sink.append(rows(2, 3, "b"), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 4")
+    }
+    // a withVersion read handle is read-only
+    val w = intercept[Exception] {
+      rows(0, 1, "x").write.format("graft.sources.KeyedTable")
+        .option("key", "k").option("withVersion", "true")
+        .mode("append").save(t)
+    }
+    assert(w.getMessage.contains("read-only") ||
+      w.getMessage.contains("reserved"))
+    val q = spark.readStream.format("graft.sources.KeyedTable")
+      .option("withVersion", "true")
+      .option("manifestsPerTrigger", "1").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "feed tail hung")
+    val feed = spark.read.parquet(s"$base/out")
+    assert(feed.count() === 8) // 6 + 1 update + 1 delete marker
+    assert(feed.where(col("_tombstone")).select("k", "_seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((4L, 3L)))
+    assert(feed.select("_seq").distinct().count() === 3)
+    // batch withVersion agrees with the metadata-column spelling
+    val batch = spark.read.format("graft.sources.KeyedTable")
+      .option("withVersion", "true").load(t)
+    assert(batch.columns.toSeq ===
+      Seq("k", "s", "c", "_seq", "_pos", "_tombstone", "_file"))
+    assert(batch.count() === 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
   test("racing commits reserve distinct sequences") {
     val t = tmpDir("graft_klww_race_") + "/t"
     // schema published first so the race is purely over sequences
