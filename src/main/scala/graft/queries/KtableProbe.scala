@@ -109,6 +109,44 @@ object KtableProbe {
       "planned_files" -> plannedFiles(lk2), "of_files" -> files,
       "sec" -> tLk2)
 
+    // ---- the upsert half: update wave + deletes, then the cost of
+    // last-write-wins resolution before and after a snapshot rewrite
+    // (what compaction buys a continuously-upserted 100 TB table) ----
+    val total = commits * per
+    sink.append(spark.range(0, total).where(col("id") % 10 === 0)
+      .select(col("id").as("k"), lit("upd").as("s"),
+        (col("id") * 11).as("c")), t)
+    graft.sources.KeyedTableRegistry.register(spark)
+    spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k IN (1, $key)")
+
+    def latest = graft.sources.KeyedTableOps.latest(spark, t)
+    val (nLat, tLat) = timed(latest.count())
+    val latShuffles = graft.ops.PlanChecks.countShuffles(
+      latest.queryExecution.executedPlan)
+    emit("probe" -> "latest_pre_rewrite", "rows" -> nLat,
+      "live_files" -> KeyedTable.liveFiles(t).size,
+      "shuffles" -> latShuffles, "sec" -> tLat)
+
+    val (folded2, tRw) = timed(
+      graft.sources.KeyedTableOps.rewriteCompact(spark, t, 0))
+    emit("probe" -> "rewrite_compact", "folded" -> folded2.isDefined,
+      "sec" -> tRw)
+
+    val (nLat2, tLat2) = timed(latest.count())
+    emit("probe" -> "latest_post_rewrite", "rows" -> nLat2,
+      "live_files" -> KeyedTable.liveFiles(t).size,
+      "sec" -> tLat2)
+
+    val (reclaimed, tVac) = timed(KeyedTable.vacuum(t, graceMs = 0))
+    emit("probe" -> "vacuum", "reclaimed_files" -> reclaimed.size,
+      "sec" -> tVac)
+
+    // raw scans over the folded table read one commit's worth of bytes
+    val (nFull2, tFull2) = timed(
+      read.select(col("s")).where(length(col("s")) > 0).count())
+    emit("probe" -> "full_scan_post_rewrite", "rows" -> nFull2,
+      "sec" -> tFull2)
+
     graft.queries.StreamingQueries.deleteRecursively(dir.toString)
     spark.stop()
   }
