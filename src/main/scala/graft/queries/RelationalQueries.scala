@@ -905,6 +905,65 @@ object RelationalQueries {
         out
       }),
 
+    // ---- COMPOSITE PRIMARY KEY (Cassandra's full key model:
+    // partition key + clustering columns): the customer-partition /
+    // orders-as-rows shape — PK (custkey, orderkey), the table
+    // clusters/routes/deletes on the PARTITION key, resolution happens
+    // per full key tuple, and a partition-key tombstone acts as a
+    // RANGE tombstone hiding the whole partition (every order of the
+    // deleted customers disappears at once). The full-key aggregate
+    // still rides the write clustering (grouping on a superset of the
+    // partition key); the tombstone cuts are a tiny broadcast. (The
+    // lineitem (orderkey, linenumber) spelling would be the textbook
+    // PK, but the synthetic fixture does not keep it unique — orders'
+    // (custkey, orderkey) is unique by construction.) ----
+    QueryDef("q_ktable_latest_composite", effectful = true, oracle = Some(
+      """WITH dels AS (
+        |  SELECT DISTINCT o_custkey AS dk FROM orders
+        |  ORDER BY dk LIMIT 2)
+        |SELECT o_custkey AS k, o_orderkey AS ord,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT dk FROM dels)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:composite:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcomp_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_custkey").as("k"),
+          col("o_orderkey").as("ord"),
+          col("o_orderstatus").as("status"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        // upsert a SUBSET of (k, ord) tuples — the customer's other
+        // orders must keep their original values
+        sink.append(src.where(col("ord") % 10 === 0)
+          .withColumn("status", lit("U")), target)
+        val dels = src.select("k").distinct().orderBy(col("k")).limit(2)
+          .collect().map(_.getLong(0))
+        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+        val prior = s.conf.getOption(bucketingKey)
+        graft.sources.KeyedTableRegistry.register(s)
+        val out = try {
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+          val t = s.table(s"graft_keyed.`$target`")
+          val latest = graft.sources.KeyedTableOps
+            .latestOver(t, Seq("k", "ord"))
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "composite latest view planned a shuffle — grouping on a " +
+              "superset of the partition key must ride the clustering")
+          latest.localCheckpoint(true)
+        } finally prior match {
+          case Some(v) => s.conf.set(bucketingKey, v)
+          case None => s.conf.unset(bucketingKey)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -56,21 +56,56 @@ object KeyedTableOps {
     * resolve against it); output columns are exactly the table's data
     * columns. The aggregate is partial+final hash aggregation — over a
     * catalog-loaded (bucket-clustered) scan it plans NO Exchange. */
-  def latestOver(df: DataFrame, key: String): DataFrame = {
+  def latestOver(df: DataFrame, key: String): DataFrame =
+    latestOver(df, Seq(key))
+
+  /** Composite-primary-key variant — Cassandra's full key model:
+    * `keys.head` is the PARTITION key (what the table clusters,
+    * routes, and DELETES on); the rest are CLUSTERING columns
+    * (distinct rows within a partition). Resolution happens per full
+    * key tuple; a tombstone — always partition-key-level, like a
+    * Cassandra partition delete — acts as a RANGE tombstone: it hides
+    * every row of that partition with a lower version, while later
+    * re-inserts survive. The tombstone cuts are a tiny broadcast
+    * (deletes are rare events, one marker row per deleted key); the
+    * big side joins and aggregates WITHOUT shuffling — grouping on a
+    * superset of the partition key still satisfies the scan's
+    * reported clustering. */
+  def latestOver(df: DataFrame, keys: Seq[String]): DataFrame = {
     val dataCols = df.columns.toSeq
-    require(dataCols.contains(key),
-      s"key column '$key' not among ${dataCols.mkString(",")}")
+    require(keys.nonEmpty && keys.forall(dataCols.contains),
+      s"key columns ${keys.mkString(",")} not among ${dataCols.mkString(",")}")
     val withMeta = df.select(dataCols.map(col) ++ Seq(
       col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
       col(KeyedTable.MetaTombstone)): _*)
-    val payload = struct(
-      col(KeyedTable.MetaTombstone).as("__tomb") +: dataCols.map(col): _*)
-    withMeta
-      .groupBy(col(key))
-      .agg(max_by(payload,
-        struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))).as("__w"))
-      .where(!col("__w.__tomb"))
-      .select(dataCols.map(c => col(s"__w.`$c`").as(c)): _*)
+    val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+    if (keys.size == 1) {
+      // single-key: the tombstone competes in the same max_by — one
+      // aggregate, no second pass
+      val rest = dataCols.filterNot(keys.contains)
+      val payload = struct(
+        col(KeyedTable.MetaTombstone).as("__tomb") +: rest.map(col): _*)
+      withMeta
+        .groupBy(col(keys.head))
+        .agg(max_by(payload, ver).as("__w"))
+        .where(!col("__w.__tomb"))
+        .select(dataCols.map(c =>
+          if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
+    } else {
+      val pk = keys.head
+      val cuts = withMeta.where(col(KeyedTable.MetaTombstone))
+        .groupBy(col(pk)).agg(max(ver).as("__cut"))
+      val live = withMeta.where(!col(KeyedTable.MetaTombstone))
+        .join(broadcast(cuts), Seq(pk), "left")
+        .where(col("__cut").isNull || ver > col("__cut"))
+      val rest = dataCols.filterNot(keys.contains)
+      if (rest.isEmpty) // every column is a key: survival IS the row
+        live.select(dataCols.map(col): _*).distinct()
+      else live.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(rest.map(col): _*), ver).as("__w"))
+        .select(dataCols.map(c =>
+          if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
+    }
   }
 
   /** The table's CURRENT STATE — what `SELECT * FROM t` means in

@@ -279,7 +279,25 @@ class PlanGuardSpec extends SparkSpecBase {
       // reaped only strays, and pacing survived compaction — batch
       // plan is the pipeline's own (PipelineSpec) plus a stateless
       // tail replay, no state machine to lint
-      "q_migrate_v2_e2e"),
+      "q_migrate_v2_e2e",
+      // the Cassandra-model family (round 16, second half): each
+      // running fn stages commits (loads, upserts, SQL DELETEs,
+      // overwrites, rewrites) through the V2 protocol — inherently
+      // run-a-job. The scale-relevant plan contracts are asserted
+      // INSIDE the entries (zero ShuffleExchange on the latest views,
+      // live-set collapse after rewrite, marker-file-count bound on
+      // DELETE) and pinned again in KeyedTableLwwSpec (LWW, range
+      // tombstones, tail-across-rewrite exactly-once, retention
+      // vacuum, distinct sequence reservation)
+      "q_ktable_upsert_latest", "q_ktable_delete_tombstone",
+      "q_ktable_time_travel", "q_ktable_rewrite_compact",
+      "q_ktable_overwrite_load", "q_ktable_latest_composite",
+      // streaming materialization of the change feed: per-micro-batch
+      // LWW merge in foreachBatch (stateless stream side, no state
+      // machine to lint); the entry asserts one commit per micro-batch
+      // and the merge is order-independent by construction (explicit
+      // (_seq,_pos) version)
+      "q_stream_ktable_materialize_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
