@@ -86,6 +86,23 @@ object RelationalQueries {
         when(!isClick, col("event_id")).as("error_id"))
   }
 
+
+  /** Scoped clustered-catalog registration for the keyed-table
+    * entries: registers graft_keyed + the v2-bucketing switch, runs
+    * the body (which must MATERIALIZE its result), restores the prior
+    * conf — so no later entry's plan depends on whether this one ran
+    * first (the same session-hygiene rule the streaming runs follow
+    * for their state-store provider). */
+  private def withKeyedCatalog[A](s: SparkSession)(body: => A): A = {
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prior = s.conf.getOption(bucketingKey)
+    graft.sources.KeyedTableRegistry.register(s)
+    try body finally prior match {
+      case Some(v) => s.conf.set(bucketingKey, v)
+      case None => s.conf.unset(bucketingKey)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_flagship_star", Some(flagshipOracle), headline = true)(flagship),
 
@@ -460,10 +477,7 @@ object RelationalQueries {
         // plan depends on whether this one ran first (the same
         // session-hygiene rule the streaming runs follow for their
         // state-store provider)
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           val agg = s.table(s"graft_keyed.`$target`")
             .groupBy(col("k"))
             .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
@@ -474,9 +488,6 @@ object RelationalQueries {
             "keyed aggregate over the clustered read planned an Exchange — " +
               "the write's clustering was not reused")
           agg.localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -508,10 +519,7 @@ object RelationalQueries {
         sink.append(Tables(s, d, "customer").select(
           col("c_custkey").as("k"),
           col("c_mktsegment").as("segment")), s"$tmp/customer_k")
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           val o = s.table(s"graft_keyed.`$tmp/orders_k`")
           val c = s.table(s"graft_keyed.`$tmp/customer_k`")
           val agg = o.join(c, Seq("k"))
@@ -523,9 +531,6 @@ object RelationalQueries {
             "storage-partitioned join planned an Exchange — the two " +
               "loads' clustering was not reused")
           agg.localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -601,19 +606,13 @@ object RelationalQueries {
         sink.append(src.where(col("k") % 10 === 0)
           .withColumn("status", lit("U"))
           .withColumn("cents", col("cents") + 1000), target)
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           val latest = graft.sources.KeyedTableOps.latest(s, target)
           assert(graft.ops.PlanChecks.countShuffles(
             latest.queryExecution.executedPlan) == 0,
             "the latest view planned an Exchange — last-write-wins did " +
               "not reuse the write clustering")
           latest.localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -643,10 +642,7 @@ object RelationalQueries {
         sink.append(src, target)
         val dels = src.orderBy(col("k")).limit(3)
           .collect().map(_.getLong(0))
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           val before = graft.sources.KeyedTable.committedFiles(target).size
           s.sql(s"DELETE FROM graft_keyed.`$target` " +
             s"WHERE k IN (${dels.mkString(", ")})")
@@ -660,9 +656,6 @@ object RelationalQueries {
           import o.implicits._
           sink.append(Seq((dels.min, "R")).toDF("k", "status"), target)
           graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -694,15 +687,9 @@ object RelationalQueries {
         // commit 3 mutates history ABOVE the pin: it must stay invisible
         sink.append(src.where(col("k") <= half)
           .withColumn("status", lit("X")), target)
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           s.sql(s"SELECT * FROM graft_keyed.`$target` VERSION AS OF $v1")
             .localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -744,10 +731,7 @@ object RelationalQueries {
           .withColumn("cents", col("cents") + 1000), target)
         val dels = src.orderBy(col("k")).limit(2)
           .collect().map(_.getLong(0))
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           s.sql(s"DELETE FROM graft_keyed.`$target` " +
             s"WHERE k IN (${dels.mkString(", ")})")
           val folded = graft.sources.KeyedTableOps
@@ -761,9 +745,6 @@ object RelationalQueries {
           assert(reclaimed.nonEmpty && !reclaimed.exists(liveFiles),
             "vacuum must reclaim superseded bytes and only those")
           graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -804,14 +785,8 @@ object RelationalQueries {
         // post-overwrite appends compose under last-write-wins
         sink.append(src.where(col("k") % 10 === 0)
           .withColumn("status", lit("U")), target)
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -854,14 +829,9 @@ object RelationalQueries {
           .withColumn("cents", col("cents") + 1000), target)
         val dels = src.orderBy(col("k")).limit(3)
           .collect().map(_.getLong(0))
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        try s.sql(s"DELETE FROM graft_keyed.`$target` " +
-          s"WHERE k IN (${dels.mkString(", ")})")
-        finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
+        withKeyedCatalog(s) {
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
         }
         // the materialized store keeps markers + versions so merges
         // stay order-independent and idempotent
@@ -942,10 +912,7 @@ object RelationalQueries {
           .withColumn("status", lit("U")), target)
         val dels = src.select("k").distinct().orderBy(col("k")).limit(2)
           .collect().map(_.getLong(0))
-        val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
-        val prior = s.conf.getOption(bucketingKey)
-        graft.sources.KeyedTableRegistry.register(s)
-        val out = try {
+        val out = withKeyedCatalog(s) {
           s.sql(s"DELETE FROM graft_keyed.`$target` " +
             s"WHERE k IN (${dels.mkString(", ")})")
           val t = s.table(s"graft_keyed.`$target`")
@@ -956,9 +923,6 @@ object RelationalQueries {
             "composite latest view planned a shuffle — grouping on a " +
               "superset of the partition key must ride the clustering")
           latest.localCheckpoint(true)
-        } finally prior match {
-          case Some(v) => s.conf.set(bucketingKey, v)
-          case None => s.conf.unset(bucketingKey)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out

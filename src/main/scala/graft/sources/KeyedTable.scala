@@ -264,17 +264,27 @@ object KeyedTable {
         s"column name ${fd.name} is reserved for KeyedTable metadata")
     }
 
-  /** The write contract (key column, bucket modulus) the table's
-    * committed manifests agree on — None when the table is empty or
-    * its commits disagree (legacy lines, mixed writes). The catalog
-    * uses this so a prop-less (sink-created) table keeps clustering
-    * the way it was actually written. */
+  /** The write contract (key column, bucket modulus) the table's LIVE
+    * manifests agree on — None when the table is empty or its live
+    * commits disagree (legacy lines, mixed writes). The catalog uses
+    * this so a prop-less (sink-created) table keeps clustering the way
+    * it was actually written. Live, not all-committed: an overwrite
+    * that legitimately RE-clusters (different modulus) supersedes the
+    * old contract along with the old rows — superseded entries must
+    * not poison inference forever. */
   private[sources] def inferWriteContract(path: String,
-      conf: Configuration): Option[(String, Int)] =
-    committedEntries(path, conf).map(e => (e.key, e.buckets)).distinct match {
-      case Seq((k, b)) if k.nonEmpty && b > 0 => Some((k, b))
-      case _ => None
-    }
+      conf: Configuration): Option[(String, Int)] = {
+    def of(entries: Seq[KFileEntry]): Option[(String, Int)] =
+      entries.map(e => (e.key, e.buckets)).distinct match {
+        case Seq((k, b)) if k.nonEmpty && b > 0 => Some((k, b))
+        case _ => None
+      }
+    val live = liveManifests(path, conf).flatMap(_.entries)
+    // a TRUNCATEd table has zero live entries — its history's contract
+    // still beats guessing
+    if (live.nonEmpty) of(live)
+    else of(committedEntries(path, conf))
+  }
 
   /** CREATE TABLE support: lay out an empty table (dirs + persisted
     * schema) so INSERT INTO / SELECT / the sink adapters all find it. */
@@ -414,21 +424,37 @@ object KeyedTable {
     visible.filterNot(m => dead(m.name))
   }
 
-  /** Reserve the table's next commit sequence: scan the committed max,
-    * then claim max+1 upward through exclusive marker creates under
-    * `_commits/` (`.seq-N.res` — not a `.manifest`, invisible to every
-    * listing). Two racing commits therefore get DISTINCT sequences on
-    * stores with atomic create-no-overwrite (HDFS/S3A-with-conditional
-    * -writes); on a bare local FS the create carries the same
-    * tiny exists/create window as [[ensureSchema]]'s first-publish
-    * race, documented there. */
+  /** Reserve the table's next commit sequence: claim max+1 upward
+    * through exclusive marker creates under `_commits/` (`.seq-N.res`
+    * — not a `.manifest`, invisible to every manifest listing). Two
+    * racing commits therefore get DISTINCT sequences on stores with
+    * atomic create-no-overwrite. The CURRENT max comes from the marker
+    * NAMES in one directory listing — every committed sequence was
+    * reserved first, so the markers are a superset of committed seqs
+    * and no manifest body is ever opened on the commit path; only a
+    * marker-less table (legacy, or pre-reservation bodies) falls back
+    * to reading bodies once. `compact()` prunes all but the highest
+    * marker, so the listing stays bounded. */
   private def reserveSeq(path: String, conf: Configuration): Long = {
     val f = fs(path, conf)
     ensureDirs(path, conf)
-    var n = manifests(path, conf).map(_.seq).foldLeft(0L)(math.max) + 1L
+    val reserved = markerSeqs(f, path)
+    val base =
+      if (reserved.nonEmpty) reserved.max
+      else manifests(path, conf).map(_.seq).foldLeft(0L)(math.max)
+    var n = base + 1L
     while (!createExclusive(f, new Path(s"$path/_commits", s".seq-$n.res")))
       n += 1L
     n
+  }
+
+  private def markerSeqs(f: FileSystem, path: String): Seq[Long] = {
+    val dir = new Path(path, "_commits")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(".seq-") && n.endsWith(".res"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(".seq-").stripSuffix(".res").toLong).toOption)
   }
 
   /** Atomic create-no-overwrite. Hadoop's local filesystems check
@@ -447,6 +473,43 @@ object KeyedTable {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     case other => other.createNewFile(p)
+  }
+
+  /** Serializes SUPERSEDING commits (rewrite / overwrite / truncate) —
+    * plain appends never take it. Two superseding commits racing on
+    * stale listings could otherwise both publish and leave a folded
+    * input live next to the fold that consumed it (e.g. a rewrite
+    * whose tombstone input a second rewrite superseded — the deleted
+    * key would resurrect). The lock makes [list live / validate /
+    * publish] atomic; a lock abandoned by a crash is taken over after
+    * a staleness TTL, so maintenance can never brick the table. */
+  private def withMaintenanceLock[A](path: String,
+      conf: Configuration)(body: => A): A = {
+    val f = fs(path, conf)
+    ensureDirs(path, conf)
+    val lock = new Path(s"$path/_commits", ".maint.lock")
+    val deadline = System.currentTimeMillis() + 30000L
+    var held = false
+    while (!held) {
+      if (createExclusive(f, lock)) held = true
+      else {
+        val stale = (try Some(f.getFileStatus(lock)) catch {
+          case _: java.io.FileNotFoundException => None
+        }).exists(_.getModificationTime <
+          System.currentTimeMillis() - 60000L)
+        if (stale) {
+          try { f.delete(lock, false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        } else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"KeyedTable maintenance lock at $lock not acquired in 30s")
+        else Thread.sleep(50)
+      }
+    }
+    try body finally {
+      try { f.delete(lock, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Write one logical manifest: reserve the commit sequence (unless
@@ -608,6 +671,18 @@ object KeyedTable {
     }).mkString("\n")
     val name = s"compact-${java.util.UUID.randomUUID().toString.take(8)}.manifest"
     writeAtomic(f, new Path(dir, name), body)
+    // sequence markers below the current max are spent — the
+    // reservation loop only probes ABOVE max, so pruning all but the
+    // highest keeps the _commits listing bounded without ever
+    // re-issuing a sequence
+    val markers = markerSeqs(f, path)
+    if (markers.nonEmpty) {
+      val top = markers.max
+      markers.filter(_ < top).foreach { n =>
+        try { f.delete(new Path(dir, s".seq-$n.res"), false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
     // delete exactly what we read: a manifest committed after the
     // listing survives standalone; a failed delete stays harmlessly
     // shadowed by its embedded section
@@ -747,16 +822,8 @@ object KeyedTable {
     val f = fs(path, conf)
     val distinct = keys.distinct
     if (distinct.isEmpty) return
-    def encStat(v: Any): String = v match {
-      case s: UTF8String =>
-        java.util.Base64.getEncoder.encodeToString(s.getBytes)
-      case other => other.toString
-    }
-    def leq(a: Any, b: Any): Boolean = keyType match {
-      case StringType =>
-        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) <= 0
-      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0
-    }
+    val ord = keyOrdering(keyType)
+    def leq(a: Any, b: Any): Boolean = ord(a, b) <= 0
     val entries = distinct.groupBy(v => bucketOf(v, keyType, buckets))
       .toSeq.sortBy(_._1).map { case (bucket, vs) =>
         val name =
@@ -787,7 +854,7 @@ object KeyedTable {
         val mn = vs.reduce((a, b) => if (leq(a, b)) a else b)
         val mx = vs.reduce((a, b) => if (leq(a, b)) b else a)
         KFileEntry(name, vs.size.toLong, bucket, buckets, key,
-          Some(KeyStats(0L, Some(encStat(mn)), Some(encStat(mx)))),
+          Some(KeyStats(0L, encStat(mn), encStat(mx))),
           tombstone = true)
       }
     commitManifest(path,
@@ -927,8 +994,16 @@ object KeyedTable {
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
+      // plan-time split of the log's two populations: "only" plans
+      // just the (tiny) tombstone marker files, "skip" just the data
+      // files — the manifest flag decides, no byte is read to filter.
+      // The composite latest view reads its tombstone-cut side with
+      // "only" so the cuts never re-scan the data
+      val tombMode = Option(options.get("tombstones")).getOrElse("include")
+      require(Set("include", "only", "skip")(tombMode),
+        s"tombstones option must be include|only|skip, got $tombMode")
       new KScanBuilder(path, dataSchema, schema0, only, perTrigger,
-        clusteredRead, asOfSeq)
+        clusteredRead, asOfSeq, tombMode)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -967,10 +1042,12 @@ object KeyedTable {
         s"KeyedTable at $path was loaded VERSION AS OF ${asOfSeq.get} — " +
           "historical snapshots are read-only")
       val conf = hadoopConf()
-      val live = liveManifests(path, conf).map(_.name)
-      if (live.nonEmpty) commitManifest(path,
-        s"trunc-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
-        Seq.empty, conf, None, live)
+      withMaintenanceLock(path, conf) {
+        val live = liveManifests(path, conf).map(_.name)
+        if (live.nonEmpty) commitManifest(path,
+          s"trunc-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
+          Seq.empty, conf, None, live)
+      }
       true
     }
   }
@@ -1031,22 +1108,36 @@ object KeyedTable {
           // manifest (the loser finds it committed and drops its
           // staged files); commits AT the fence sequence — a rewrite
           // adds no new version, so a write racing it always outranks
-          // the snapshot, exactly as it outranked the originals
+          // the snapshot, exactly as it outranked the originals.
+          // Publication validates UNDER THE MAINTENANCE LOCK that every
+          // superseded input is still live: if another superseding
+          // commit consumed any of them since this fold listed, the
+          // fold's snapshot is stale (it could resurrect a tombstoned
+          // key or re-expose overwritten rows) and must no-op
           case Some((fence, superseded)) =>
-            val name = rewriteName(superseded)
-            if (manifestCommitted(path, name, conf.value))
-              dropStaged(path, messages, conf.value)
-            else manifest(path, name, messages, schema, key,
-              writePartitions, conf.value, Some(fence), superseded)
+            withMaintenanceLock(path, conf.value) {
+              val live = liveManifests(path, conf.value).map(_.name).toSet
+              val name = rewriteName(superseded)
+              if (manifestCommitted(path, name, conf.value) ||
+                  !superseded.forall(live))
+                dropStaged(path, messages, conf.value)
+              else manifest(path, name, messages, schema, key,
+                writePartitions, conf.value, Some(fence), superseded)
+            }
           case None if truncate =>
-            // OVERWRITE: supersede what is live AT COMMIT (a commit
-            // racing this one lands after the listing, stays live, and
-            // simply outranks the overwrite under last-write-wins —
-            // the same resolution it would have won against the
-            // originals)
-            manifest(path, s"over-$queryId.manifest", messages, schema,
-              key, writePartitions, conf.value, None,
-              liveManifests(path, conf.value).map(_.name))
+            // OVERWRITE: supersede what is live AT COMMIT, with the
+            // [list live / publish] pair made atomic by the
+            // maintenance lock (a superseding commit racing in between
+            // could otherwise stay live and leak pre-overwrite rows).
+            // A plain APPEND racing this one needs no lock: it lands
+            // after the listing, stays live, and simply outranks the
+            // overwrite under last-write-wins — the same resolution it
+            // would have won against the originals
+            withMaintenanceLock(path, conf.value) {
+              manifest(path, s"over-$queryId.manifest", messages, schema,
+                key, writePartitions, conf.value, None,
+                liveManifests(path, conf.value).map(_.name))
+            }
           case None =>
             val name = commitName match {
               case Some(n) => s"named-${sanitize(n)}.manifest"
@@ -1147,19 +1238,7 @@ object KeyedTable {
     private var bucketTag = -2 // -2 unset; -1 disproven; else the bucket
     private val keyType = schema.fields(keyIdx).dataType
 
-    private val keyOrd: (Any, Any) => Int = keyType match {
-      case LongType => (a, b) => java.lang.Long.compare(
-        a.asInstanceOf[Long], b.asInstanceOf[Long])
-      case IntegerType => (a, b) => java.lang.Integer.compare(
-        a.asInstanceOf[Int], b.asInstanceOf[Int])
-      case DoubleType => (a, b) => java.lang.Double.compare(
-        a.asInstanceOf[Double], b.asInstanceOf[Double])
-      case BooleanType => (a, b) => java.lang.Boolean.compare(
-        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
-      case StringType => (a, b) =>
-        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-      case other => throw new IllegalArgumentException(other.sql)
-    }
+    private val keyOrd: (Any, Any) => Int = keyOrdering(keyType)
 
     // rows are reused by the scan pipeline: values retained across
     // write() calls (min/max) must be copied out of the row.
@@ -1234,11 +1313,6 @@ object KeyedTable {
       }
     }
 
-    private def enc(v: Any): Option[String] = Option(v).map {
-      case s: UTF8String => java.util.Base64.getEncoder.encodeToString(s.getBytes)
-      case other => other.toString
-    }
-
     override def commit(): WriterCommitMessage = {
       if (out != null) {
         out.close()
@@ -1246,7 +1320,7 @@ object KeyedTable {
           throw new java.io.IOException(s"task commit rename failed: $name")
       }
       KFileMessage(name, rows, nulls,
-        if (bucketTag < 0) -1 else bucketTag, enc(minKey), enc(maxKey))
+        if (bucketTag < 0) -1 else bucketTag, encStat(minKey), encStat(maxKey))
     }
 
     override def abort(): Unit = {
@@ -1344,6 +1418,35 @@ object KeyedTable {
     case _ => None
   }
 
+  /** THE canonical stat encoding (manifest min/max): numeric/boolean
+    * toString, string Base64 of the raw UTF-8 bytes (so the recorded
+    * order is UTF8String's binary order). One definition — the row
+    * writer and the tombstone writer both record through it, and
+    * [[cmpEnc]] prunes against it; a second hand-kept copy could
+    * silently desynchronize pruning from what writes recorded. */
+  private[sources] def encStat(v: Any): Option[String] = Option(v).map {
+    case s: UTF8String =>
+      java.util.Base64.getEncoder.encodeToString(s.getBytes)
+    case other => other.toString
+  }
+
+  /** THE canonical key comparator per supported type — shared by the
+    * row writer's min/max tracking and the tombstone writer. */
+  private[sources] def keyOrdering(dt: DataType): (Any, Any) => Int =
+    dt match {
+      case LongType => (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType => (a, b) => java.lang.Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType => (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case BooleanType => (a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+      case StringType => (a, b) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case other => throw new IllegalArgumentException(other.sql)
+    }
+
   /** -0.0 -> 0.0 (SQL equality treats them as one value; raw IEEE
     * ordering/hashing would split them). NaN passes through —
     * Double.compare and doubleToLongBits already canonicalize it. */
@@ -1424,7 +1527,8 @@ object KeyedTable {
     * them. */
   private final class KScanBuilder(path: String, tableSchema: StructType,
       advertised: StructType, only: Option[String], perTrigger: Int,
-      clusteredRead: Boolean, asOfSeq: Option[Long])
+      clusteredRead: Boolean, asOfSeq: Option[Long],
+      tombMode: String = "include")
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1465,6 +1569,7 @@ object KeyedTable {
 
     private lazy val statsEntries: Option[(Seq[KFileEntry], String)] = {
       val entries = liveSplits(path, hadoopConf(), asOfSeq).map(_.entry)
+        .filter(tombSelect)
       val chosen = only match {
         case Some(f) => entries.filter(_.file == f)
         case None => entries
@@ -1510,7 +1615,13 @@ object KeyedTable {
         new KAggScan(path, entries, key, keyType, specs)
       case None => new KScan(path, tableSchema, required,
         pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
-        new SerConf(hadoopConf()))
+        tombMode, new SerConf(hadoopConf()))
+    }
+
+    private def tombSelect(e: KFileEntry): Boolean = tombMode match {
+      case "only" => e.tombstone
+      case "skip" => !e.tombstone
+      case _ => true
     }
   }
 
@@ -1613,12 +1724,18 @@ object KeyedTable {
   private final class KScan(path: String, tableSchema: StructType,
       required: StructType, filters: Array[Filter], only: Option[String],
       manifestsPerTrigger: Int, clusteredRead: Boolean,
-      asOfSeq: Option[Long], conf: SerConf)
+      asOfSeq: Option[Long], tombMode: String, conf: SerConf)
       extends Scan with Batch with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
     private lazy val all: Seq[KSplit] = {
-      val splits = liveSplits(path, conf.value, asOfSeq)
+      val splits = liveSplits(path, conf.value, asOfSeq).filter { sp =>
+        tombMode match {
+          case "only" => sp.entry.tombstone
+          case "skip" => !sp.entry.tombstone
+          case _ => true
+        }
+      }
       only match {
         case Some(f) =>
           require(splits.exists(_.entry.file == f),

@@ -39,18 +39,35 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
       options: CaseInsensitiveStringMap): Unit = name0 = name
   override def name(): String = name0
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    resolve(ident, asOfSeq = None)
+
+  /** Time travel: `SELECT ... FROM graft_keyed.`/path` VERSION AS OF n`
+    * reads the table as of commit sequence `n` — only manifests with
+    * seq <= n are visible, and a snapshot rewrite above the fence does
+    * not hide the original commits (retained until vacuum's grace
+    * expires). Historical loads are read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val seq = try version.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"KeyedTable versions are commit sequences; got '$version'") }
+    resolve(ident, asOfSeq = Some(seq))
+  }
+
+  /** ONE resolution for current and versioned loads — a table property
+    * or inferred contract must mean the same thing on both. A table
+    * created by a sink write carries no `_props`: INFER its write
+    * contract from the live manifests (every entry records key +
+    * modulus) so a catalog INSERT INTO clusters like the writes before
+    * it — guessed defaults would mix moduli/keys across commits and
+    * silently break clustered reads forever. */
+  private def resolve(ident: Identifier, asOfSeq: Option[Long]): Table = {
     val path = ident.name()
     val conf = KeyedTable.hadoopConf()
     val schema = KeyedTable.readSchemaFile(path, conf)
       .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
     val props = KeyedTable.readProps(path, conf)
-    // a table created by a sink write carries no _props: INFER its
-    // write contract from the committed manifests (every entry
-    // records key + modulus) so a catalog INSERT INTO clusters like
-    // the writes before it — guessed defaults would mix moduli/keys
-    // across commits and silently break clustered reads forever
     val inferred = KeyedTable.inferWriteContract(path, conf)
     val parts = props.get("writePartitions").map { v =>
       val n = try v.toInt catch { case _: NumberFormatException =>
@@ -62,29 +79,7 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
     new KeyedTable.KTable(path, schema,
       keyCol = props.get("key").orElse(inferred.map(_._1)),
       writePartitions = parts.orElse(inferred.map(_._2)).getOrElse(8),
-      clusteredRead = true)
-  }
-
-  /** Time travel: `SELECT ... FROM graft_keyed.`/path` VERSION AS OF n`
-    * reads the table as of commit sequence `n` — only manifests with
-    * seq <= n are visible, and a snapshot rewrite above the fence does
-    * not hide the original commits (retained until vacuum's grace
-    * expires). Historical loads are read-only. */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val seq = try version.toLong catch { case _: NumberFormatException =>
-      throw new IllegalArgumentException(
-        s"KeyedTable versions are commit sequences; got '$version'") }
-    val path = ident.name()
-    val conf = KeyedTable.hadoopConf()
-    val schema = KeyedTable.readSchemaFile(path, conf)
-      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
-        .NoSuchTableException(ident))
-    val props = KeyedTable.readProps(path, conf)
-    val inferred = KeyedTable.inferWriteContract(path, conf)
-    new KeyedTable.KTable(path, schema,
-      keyCol = props.get("key").orElse(inferred.map(_._1)),
-      writePartitions = 8,
-      clusteredRead = true, asOfSeq = Some(seq))
+      clusteredRead = true, asOfSeq = asOfSeq)
   }
 
   // the namespace is the filesystem: the identifier's name IS the
@@ -122,8 +117,21 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
       require(n > 0, s"TBLPROPERTIES writePartitions=$n must be positive")
       v
     }
+    // full primary key: TBLPROPERTIES('clustering'='a,b') declares the
+    // clustering columns so latest views and rewrites resolve per full
+    // key tuple, never folding a composite table to one row per
+    // partition key
+    val clustering = Option(properties.get("clustering")).map { v =>
+      val cols = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"TBLPROPERTIES clustering column '$c' is not a column of $schema"))
+      require(!cols.contains(key),
+        s"clustering columns $cols must not repeat the key '$key'")
+      cols.mkString(",")
+    }
     KeyedTable.initTable(path, schema, conf)
-    val props = Seq("key" -> key) ++ parts.map("writePartitions" -> _)
+    val props = Seq("key" -> key) ++ parts.map("writePartitions" -> _) ++
+      clustering.map("clustering" -> _)
     KeyedTable.writeProps(path, conf, props.toMap)
     loadTable(ident)
   }

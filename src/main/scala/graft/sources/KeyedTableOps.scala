@@ -42,12 +42,48 @@ import org.apache.spark.sql.functions._
   */
 object KeyedTableOps {
 
-  /** The table's key column: declared properties win, else the write
-    * contract proven by the committed manifests. */
+  /** The table's PARTITION key column: declared properties win, else
+    * the write contract proven by the committed manifests. */
   def tableKey(path: String): Option[String] = {
     val conf = KeyedTable.hadoopConf()
     KeyedTable.readProps(path, conf).get("key")
       .orElse(KeyedTable.inferWriteContract(path, conf).map(_._1))
+  }
+
+  /** The table's FULL primary key — partition key plus any declared
+    * clustering columns. Clustering columns are a declared property
+    * (`clustering` in `_props` / CREATE TABLE TBLPROPERTIES /
+    * [[declareClustering]]) because the storage layer cannot infer
+    * them: it clusters, routes, and deletes on the partition key
+    * alone. EVERY key-resolving consumer (latest, rewriteCompact)
+    * reads the full key through here — resolving on the partition key
+    * alone would fold a composite table down to one row per partition
+    * and destroy its clustering rows. */
+  def tableKeys(path: String): Option[Seq[String]] =
+    tableKey(path).map { pk =>
+      val conf = KeyedTable.hadoopConf()
+      val ck = KeyedTable.readProps(path, conf).get("clustering")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      require(!ck.contains(pk),
+        s"clustering columns $ck must not repeat the partition key $pk")
+      pk +: ck
+    }
+
+  /** Declare the table's clustering columns (the non-partition part of
+    * its primary key). Idempotent; merges into the existing
+    * properties. Do this BEFORE the first rewriteCompact of a
+    * composite table — an undeclared composite table looks single-key
+    * to maintenance. */
+  def declareClustering(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty))
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.readSchemaFile(path, conf).foreach { sch =>
+      cols.foreach(c => require(sch.fieldNames.contains(c),
+        s"clustering column '$c' is not a column of $sch"))
+    }
+    KeyedTable.writeProps(path, conf,
+      KeyedTable.readProps(path, conf) + ("clustering" -> cols.mkString(",")))
   }
 
   /** Last-write-wins resolution over a KeyedTable frame: one row per
@@ -92,28 +128,44 @@ object KeyedTableOps {
         .select(dataCols.map(c =>
           if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
     } else {
-      val pk = keys.head
+      // self-contained spelling: cuts derived from the same frame (a
+      // second pass over it). latest(spark, path) builds the cuts from
+      // a tombstones-only scan instead — plan-time-pruned to the tiny
+      // marker files, no second pass over the data
       val cuts = withMeta.where(col(KeyedTable.MetaTombstone))
-        .groupBy(col(pk)).agg(max(ver).as("__cut"))
-      val live = withMeta.where(!col(KeyedTable.MetaTombstone))
-        .join(broadcast(cuts), Seq(pk), "left")
-        .where(col("__cut").isNull || ver > col("__cut"))
-      val rest = dataCols.filterNot(keys.contains)
-      if (rest.isEmpty) // every column is a key: survival IS the row
-        live.select(dataCols.map(col): _*).distinct()
-      else live.groupBy(keys.map(col): _*)
-        .agg(max_by(struct(rest.map(col): _*), ver).as("__w"))
-        .select(dataCols.map(c =>
-          if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
+        .groupBy(col(keys.head)).agg(max(ver).as("__cut"))
+      compositeResolve(withMeta, keys, cuts, dataCols)
     }
   }
 
+  /** The composite resolution given an explicit tombstone-cut frame:
+    * per partition key, the highest tombstone version; data rows at or
+    * below their partition's cut are hidden (range-tombstone
+    * semantics), survivors resolve last-write-wins per full key. */
+  private def compositeResolve(withMeta: DataFrame, keys: Seq[String],
+      cuts: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+    val live = withMeta.where(!col(KeyedTable.MetaTombstone))
+      .join(broadcast(cuts), Seq(keys.head), "left")
+      .where(col("__cut").isNull || ver > col("__cut"))
+    val rest = dataCols.filterNot(keys.contains)
+    if (rest.isEmpty) // every column is a key: survival IS the row
+      live.select(dataCols.map(col): _*).distinct()
+    else live.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(rest.map(col): _*), ver).as("__w"))
+      .select(dataCols.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
+  }
+
   /** The table's CURRENT STATE — what `SELECT * FROM t` means in
-    * Cassandra. Reads through the clustered catalog when it is
-    * registered on the session (no Exchange); falls back to a
-    * path-based scan otherwise. */
+    * Cassandra, resolved on the table's FULL declared primary key
+    * (partition key + clustering columns). Reads through the clustered
+    * catalog when it is registered on the session (no Exchange); falls
+    * back to a path-based scan otherwise. Composite tables get their
+    * tombstone cuts from a tombstones-only scan — plan-time-pruned to
+    * the marker files, never a second pass over the data. */
   def latest(spark: SparkSession, path: String): DataFrame = {
-    val key = tableKey(path).getOrElse(throw new IllegalArgumentException(
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
     val catalogged = spark.conf
       .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
@@ -121,7 +173,31 @@ object KeyedTableOps {
     val df =
       if (catalogged) spark.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
       else spark.read.format("graft.sources.KeyedTable").load(path)
-    latestOver(df, key)
+    if (keys.size == 1) latestOver(df, keys)
+    else {
+      val dataCols = df.columns.toSeq
+      val withMeta = df.select(dataCols.map(col) ++ Seq(
+        col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
+        col(KeyedTable.MetaTombstone)): _*)
+      compositeResolve(withMeta, keys, tombstoneCuts(spark, path, keys.head,
+        asOfSeq = None), dataCols)
+    }
+  }
+
+  /** Per-partition-key max tombstone version, read from a
+    * tombstones-only scan: the manifest flag prunes the plan to the
+    * marker files, so building the cuts costs marker bytes, not a
+    * table scan. */
+  private def tombstoneCuts(spark: SparkSession, path: String,
+      pk: String, asOfSeq: Option[Long]): DataFrame = {
+    val r = spark.read.format("graft.sources.KeyedTable")
+      .option("tombstones", "only")
+    asOfSeq.foreach(v => r.option("asOfSeq", v.toString))
+    r.load(path)
+      .select(col(pk), col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+      .groupBy(col(pk))
+      .agg(max(struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos)))
+        .as("__cut"))
   }
 
   /** Fold the live commit log into ONE snapshot commit — Cassandra's
@@ -153,9 +229,11 @@ object KeyedTableOps {
     def isTombstoneManifest(m: KeyedTable.KManifest): Boolean =
       m.entries.nonEmpty && m.entries.forall(_.tombstone)
     val now = System.currentTimeMillis()
+    // <=: grace 0 means "purge everything committed up to NOW",
+    // including a tombstone stamped this same millisecond
     val inputs = live.filter { m =>
       !isTombstoneManifest(m) ||
-        (m.ts >= 0 && m.ts < now - tombstoneGraceMs)
+        (m.ts >= 0 && m.ts <= now - tombstoneGraceMs)
     }
     // nothing to gain from folding fewer than two commits unless a
     // tombstone is being applied or purged
@@ -166,18 +244,36 @@ object KeyedTableOps {
         "rewriteCompact needs a total commit order")
     val fence = inputs.map(_.seq).max
     val names = inputs.map(_.name)
-    val key = tableKey(path).getOrElse(throw new IllegalArgumentException(
+    // the FULL primary key: folding a composite table on its partition
+    // key alone would keep one row per partition and destroy every
+    // clustering row — declare clustering columns before compacting
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
     val contract = KeyedTable.inferWriteContract(path, conf)
     val asOf = spark.read.format("graft.sources.KeyedTable")
       .option("asOfSeq", fence.toString).load(path)
-    latestOver(asOf, key).write.format("graft.sources.KeyedTable")
-      .option("key", key)
+    val snapshot =
+      if (keys.size == 1) latestOver(asOf, keys)
+      else {
+        val dataCols = asOf.columns.toSeq
+        val withMeta = asOf.select(dataCols.map(col) ++ Seq(
+          col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
+          col(KeyedTable.MetaTombstone)): _*)
+        compositeResolve(withMeta, keys,
+          tombstoneCuts(spark, path, keys.head, Some(fence)), dataCols)
+      }
+    snapshot.write.format("graft.sources.KeyedTable")
+      .option("key", keys.head)
       .option("writePartitions",
         contract.map(_._2).getOrElse(8).toString)
       .option("rewriteSeq", fence.toString)
       .option("rewriteSupersedes", names.mkString(","))
       .mode("append").save(path)
-    Some(KeyedTable.rewriteName(names))
+    // commit-time validation (under the maintenance lock) no-ops a
+    // fold whose inputs another superseding commit consumed first —
+    // report what actually happened
+    val committed = KeyedTable.liveManifestNames(path)
+      .contains(KeyedTable.rewriteName(names))
+    if (committed) Some(KeyedTable.rewriteName(names)) else None
   }
 }

@@ -345,6 +345,98 @@ class KeyedTableLwwSpec extends SparkSpecBase {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
 
+  test("composite tables with declared clustering survive rewriteCompact") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_klww_comprw_") + "/t"
+    // customer partitions, order rows: PK (k, ord)
+    val rows = (0L until 6L).flatMap(k =>
+      (0L until 4L).map(o => (k, k * 10 + o, s"v$k-$o")))
+      .toDF("k", "ord", "s")
+    sink.append(rows, t)
+    sink.append(rows.where(col("ord") % 2 === 0)
+      .withColumn("s", lit("upd")), t)
+    KeyedTableOps.declareClustering(t, Seq("ord"))
+    withCatalog {
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 3")
+      val before = KeyedTableOps.latest(spark, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+      assert(before.size === 20, "5 customers x 4 orders")
+      assert(before((0L, 0L)) === "upd" && before((0L, 1L)) === "v0-1")
+      val folded = KeyedTableOps.rewriteCompact(spark, t, 0)
+      assert(folded.isDefined)
+      val after = KeyedTableOps.latest(spark, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
+        .toMap
+      assert(after === before,
+        "rewrite folded the composite table down and lost clustering rows")
+      // and the snapshot really is the live set
+      assert(KeyedTable.liveManifestNames(t).size === 1)
+    }
+  }
+
+  test("re-clustering overwrite does not poison contract inference") {
+    val t = tmpDir("graft_klww_reclus_") + "/t"
+    V2KeyedTableSink("k", writeParallelism = 4).append(rows(0, 12, "a"), t)
+    rows(0, 6, "b").write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "8")
+      .mode("overwrite").save(t)
+    withCatalog {
+      // inference must follow the LIVE contract (k, 8), not refuse on
+      // the superseded 4-bucket history
+      val got = KeyedTableOps.latest(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === (0L until 6L).map(k => k -> s"b$k").toMap)
+      // appends keep composing under the LIVE contract (8 buckets —
+      // mixing moduli among live commits would re-ambiguate inference,
+      // by design)
+      V2KeyedTableSink("k", writeParallelism = 8).append(rows(6, 8, "c"), t)
+      assert(KeyedTableOps.latest(spark, t).count() === 8)
+    }
+  }
+
+  test("a rewrite whose inputs were superseded no-ops at commit") {
+    val t = tmpDir("graft_klww_stale_") + "/t"
+    sink.append(rows(0, 8, "a"), t)
+    sink.append(rows(0, 2, "b"), t)
+    withCatalog {
+      val preNames = KeyedTable.liveManifestNames(t)
+      // a real fold consumes both commits
+      assert(KeyedTableOps.rewriteCompact(spark, t, 0).isDefined)
+      val liveAfter = KeyedTable.liveManifestNames(t)
+      // now hand-drive a STALE fold: it claims to supersede the
+      // original (already-superseded) manifests — commit must no-op
+      val before = KeyedTable.committedFiles(t).size
+      readBack(t).select("k", "s", "c")
+        .write.format("graft.sources.KeyedTable")
+        .option("key", "k").option("writePartitions", "4")
+        .option("rewriteSeq", "2")
+        .option("rewriteSupersedes", preNames.mkString(","))
+        .mode("append").save(t)
+      assert(KeyedTable.liveManifestNames(t) === liveAfter,
+        "a stale rewrite changed the live set")
+      assert(KeyedTable.committedFiles(t).size === before,
+        "a stale rewrite committed files")
+      assert(KeyedTableOps.latest(spark, t).count() === 8)
+    }
+  }
+
+  test("compact prunes spent sequence markers; sequences never reuse") {
+    val t = tmpDir("graft_klww_mark_") + "/t"
+    (0 until 5).foreach(i => sink.append(rows(i * 10, i * 10 + 5, "a"), t))
+    def markers() = new java.io.File(s"$t/_commits").listFiles()
+      .map(_.getName).filter(n => n.startsWith(".seq-") && n.endsWith(".res"))
+      .toSeq
+    assert(markers().size === 5)
+    KeyedTable.compact(t)
+    assert(markers() === Seq(".seq-5.res"),
+      s"compact must keep exactly the highest marker: ${markers()}")
+    sink.append(rows(100, 101, "z"), t)
+    assert(KeyedTable.currentSeq(t) === 6L,
+      "the next commit after marker pruning must take seq 6, not reuse")
+  }
+
   test("racing commits reserve distinct sequences") {
     val t = tmpDir("graft_klww_race_") + "/t"
     // schema published first so the race is purely over sequences
