@@ -928,6 +928,113 @@ object RelationalQueries {
         out
       }),
 
+    // ---- COUNTER COLUMNS (Cassandra's counter tables): every append
+    // is a commutative INCREMENT — writers never read-modify-write —
+    // and the read merges by SUM per key instead of last-write-wins.
+    // A key-delete RESETS the counter (earlier increments stop
+    // counting; later ones count from zero; a key with no surviving
+    // increments is absent). Increments here are order rows per
+    // customer: a base wave, a second wave for every 10th order, a
+    // reset of the two smallest customers, then fresh increments for
+    // the smallest — the read is one clustered aggregate. ----
+    QueryDef("q_ktable_counter", effectful = true, oracle = Some(
+      """WITH dels AS (
+        |  SELECT DISTINCT o_custkey AS dk FROM orders
+        |  ORDER BY dk LIMIT 2),
+        |mn AS (SELECT min(o_custkey) AS m FROM orders),
+        |inc AS (
+        |  SELECT o_custkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_custkey NOT IN (SELECT dk FROM dels)
+        |  UNION ALL
+        |  SELECT o_custkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE o_custkey NOT IN (SELECT dk FROM dels)
+        |    AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_custkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE o_custkey = (SELECT m FROM mn) AND o_orderkey % 2 = 0)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_inc,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM inc GROUP BY k""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:counter:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcnt_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_custkey").as("k"),
+          col("o_orderkey").as("ord"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val inc = src.select("k", "cents")
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(inc, target)
+        sink.append(src.where(col("ord") % 10 === 0)
+          .select("k", "cents"), target)
+        val dels = src.select("k").distinct().orderBy(col("k")).limit(2)
+          .collect().map(_.getLong(0))
+        val out = withKeyedCatalog(s) {
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+          // fresh increments after the reset count from zero
+          sink.append(src.where(col("k") === dels.min &&
+            col("ord") % 2 === 0).select("k", "cents"), target)
+          val totals = graft.sources.KeyedTableOps
+            .counterTotals(s, target, Seq("cents"))
+          assert(graft.ops.PlanChecks.countShuffles(
+            totals.queryExecution.executedPlan) == 0,
+            "counter totals planned an Exchange — the sum-merge must " +
+              "ride the write clustering")
+          totals.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- TTL (Cassandra's USING TTL, per-commit granularity — the
+    // bulk-load shape): a write with ttlMs expires that many millis
+    // after its commit; expiry is a READ-time property (expired
+    // commits stop planning everywhere, time travel included), the
+    // bytes become vacuum-reclaimable after the grace, and the change
+    // feed still carries the events. Tested with the two deterministic
+    // extremes: ttl 0 (born expired) never appears, a huge ttl always
+    // does. ----
+    QueryDef("q_ktable_ttl_expiry", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+        |WHERE o_orderkey % 3 <> 0""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:ttl:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kttl_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        def write(df: org.apache.spark.sql.DataFrame, ttl: Option[Long]) = {
+          val w = df.write.format("graft.sources.KeyedTable")
+            .option("key", "k").option("writePartitions", "8")
+          ttl.foreach(t => w.option("ttlMs", t.toString))
+          w.mode("append").save(target)
+        }
+        // durable half (ttl ~forever) and an ephemeral half (born
+        // expired): only the durable rows may ever be read
+        write(src.where(col("k") % 3 =!= 0), Some(365L * 24 * 3600 * 1000))
+        write(src.where(col("k") % 3 === 0), Some(0L))
+        val all = graft.sources.KeyedTable.committedFiles(target).size
+        val live = graft.sources.KeyedTable.liveFiles(target).size
+        assert(live < all,
+          "the expired commit must be referenced but not live")
+        val out = withKeyedCatalog(s) {
+          graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -124,7 +124,10 @@ class KeyedTable extends TableProvider {
         (opts.get("rewriteSeq").toLong,
           names.split(",").toSeq.filter(_.nonEmpty))
       },
-      opts.getBoolean("withVersion", false))
+      opts.getBoolean("withVersion", false),
+      // Cassandra's USING TTL: every row of this write expires ttlMs
+      // after its commit (per-commit granularity — the bulk-load shape)
+      Option(opts.get("ttlMs")).map(_.toLong))
   }
 }
 
@@ -227,7 +230,8 @@ object KeyedTable {
     * within the file) — the write path clusters a key into one file
     * per commit, so per key this orders every version. */
   private[sources] final case class KManifest(name: String, seq: Long,
-      ts: Long, supersedes: Seq[String], entries: Seq[KFileEntry])
+      ts: Long, supersedes: Seq[String], entries: Seq[KFileEntry],
+      expires: Long = -1L)
 
   /** Metadata column names (version/provenance surface). Reserved:
     * a data column with one of these names would shadow it. */
@@ -378,10 +382,11 @@ object KeyedTable {
   // parse as seq/ts = -1 with no supersedes.
 
   private def manifestBody(seq: Long, ts: Long, supersedes: Seq[String],
-      entries: Seq[KFileEntry]): String = {
+      entries: Seq[KFileEntry], expiresAt: Long = -1L): String = {
     require(supersedes.forall(n => !n.contains(',') && !n.contains('\n')),
       s"unencodable superseded manifest names: $supersedes")
     val headers = Seq(s"#seq:$seq", s"#ts:$ts") ++
+      (if (expiresAt >= 0) Seq(s"#expires:$expiresAt") else Seq.empty) ++
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
        else Seq.empty)
     (headers ++ entries.map(entryLine)).mkString("\n")
@@ -397,7 +402,8 @@ object KeyedTable {
       header("ts").map(_.toLong).getOrElse(-1L),
       header("supersedes").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty),
-      body.map(parseEntry))
+      body.map(parseEntry),
+      header("expires").map(_.toLong).getOrElse(-1L))
   }
 
   private[sources] def manifests(path: String,
@@ -415,7 +421,14 @@ object KeyedTable {
     * visible. */
   private[sources] def liveManifests(path: String, conf: Configuration,
       asOf: Option[Long] = None): Seq[KManifest] = {
+    // TTL expiry is a READ-time property (Cassandra: TTL'd data is
+    // gone whenever you look, time travel included); expired
+    // manifests stop planning, their bytes become vacuum-reclaimable
+    // after the grace, and the change feed still carries them (the
+    // events happened)
+    val now = System.currentTimeMillis()
     val all = manifests(path, conf)
+      .filter(m => m.expires < 0 || m.expires > now)
     val visible = asOf match {
       case Some(v) => all.filter(_.seq <= v)
       case None => all
@@ -518,11 +531,14 @@ object KeyedTable {
   private def commitManifest(path: String, name: String,
       entries: Seq[KFileEntry], conf: Configuration,
       fixedSeq: Option[Long] = None,
-      supersedes: Seq[String] = Seq.empty): Unit = {
+      supersedes: Seq[String] = Seq.empty,
+      ttlMs: Option[Long] = None): Unit = {
     val seq = fixedSeq.getOrElse(reserveSeq(path, conf))
     ensureDirs(path, conf)
+    val now = System.currentTimeMillis()
     writeAtomic(fs(path, conf), new Path(s"$path/_commits", name),
-      manifestBody(seq, System.currentTimeMillis(), supersedes, entries))
+      manifestBody(seq, now, supersedes, entries,
+        ttlMs.map(now + _).getOrElse(-1L)))
   }
 
   // ---------- logical manifests & compaction ----------
@@ -743,7 +759,8 @@ object KeyedTable {
       messages: Array[WriterCommitMessage], schema: StructType,
       key: String, buckets: Int, conf: Configuration,
       fixedSeq: Option[Long] = None,
-      supersedes: Seq[String] = Seq.empty): Unit = {
+      supersedes: Seq[String] = Seq.empty,
+      ttlMs: Option[Long] = None): Unit = {
     // last line of defense for the local-FS first-publish race: never
     // manifest rows whose shape disagrees with the winning schema
     readSchemaFile(path, conf).foreach(c => require(sameShape(c, schema),
@@ -753,7 +770,7 @@ object KeyedTable {
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)))
     }
-    commitManifest(path, name, entries, conf, fixedSeq, supersedes)
+    commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs)
   }
 
   private def dropStaged(path: String,
@@ -883,7 +900,7 @@ object KeyedTable {
       clusteredRead: Boolean = false, chaosKey: Option[Long] = None,
       commitName: Option[String] = None, asOfSeq: Option[Long] = None,
       rewrite: Option[(Long, Seq[String])] = None,
-      withVersion: Boolean = false)
+      withVersion: Boolean = false, ttlMs: Option[Long] = None)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -994,6 +1011,12 @@ object KeyedTable {
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
+      // time travel also spells as a READER option
+      // (spark.read.option("asOfSeq", n).table("graft_keyed.`path`")) —
+      // catalog loads cannot thread constructor options; a table-level
+      // pin (VERSION AS OF) wins over the reader option
+      val asOf = asOfSeq.orElse(
+        Option(options.get("asOfSeq")).map(_.toLong))
       // plan-time split of the log's two populations: "only" plans
       // just the (tiny) tombstone marker files, "skip" just the data
       // files — the manifest flag decides, no byte is read to filter.
@@ -1003,7 +1026,7 @@ object KeyedTable {
       require(Set("include", "only", "skip")(tombMode),
         s"tombstones option must be include|only|skip, got $tombMode")
       new KScanBuilder(path, dataSchema, schema0, only, perTrigger,
-        clusteredRead, asOfSeq, tombMode)
+        clusteredRead, asOf, tombMode)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1028,7 +1051,7 @@ object KeyedTable {
         override def truncate(): WriteBuilder = { truncate0 = true; this }
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
-            chaosKey, commitName, rewrite, truncate0)
+            chaosKey, commitName, rewrite, truncate0, ttlMs)
       }
     }
 
@@ -1062,10 +1085,12 @@ object KeyedTable {
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
       commitName: Option[String] = None,
       rewrite: Option[(Long, Seq[String])] = None,
-      truncate: Boolean = false)
+      truncate: Boolean = false, ttlMs: Option[Long] = None)
       extends Write with RequiresDistributionAndOrdering {
     require(!(truncate && rewrite.isDefined),
       "a snapshot rewrite cannot also truncate")
+    require(!(ttlMs.isDefined && rewrite.isDefined),
+      "a snapshot rewrite re-homes surviving rows; it cannot add a TTL")
     private val keyIdx = schema.fieldIndex(key)
     private def factory(conf: SerConf) = new KWriterFactory(path, schema,
       keyIdx, writePartitions, conf,
@@ -1136,7 +1161,7 @@ object KeyedTable {
             withMaintenanceLock(path, conf.value) {
               manifest(path, s"over-$queryId.manifest", messages, schema,
                 key, writePartitions, conf.value, None,
-                liveManifests(path, conf.value).map(_.name))
+                liveManifests(path, conf.value).map(_.name), ttlMs)
             }
           case None =>
             val name = commitName match {
@@ -1147,7 +1172,7 @@ object KeyedTable {
                 manifestCommitted(path, name, conf.value))
               dropStaged(path, messages, conf.value) // replay — visible
             else manifest(path, name, messages, schema, key,
-              writePartitions, conf.value)
+              writePartitions, conf.value, None, Seq.empty, ttlMs)
         }
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         dropStaged(path, messages, conf.value)
@@ -1180,7 +1205,7 @@ object KeyedTable {
         if (manifestCommitted(path, name, conf.value))
           dropStaged(path, messages, conf.value) // replay — already visible
         else manifest(path, name, messages, schema, key, writePartitions,
-          conf.value)
+          conf.value, None, Seq.empty, ttlMs)
       }
       override def abort(epochId: Long,
           messages: Array[WriterCommitMessage]): Unit =

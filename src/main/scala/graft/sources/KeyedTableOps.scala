@@ -184,16 +184,59 @@ object KeyedTableOps {
     }
   }
 
+  /** CASSANDRA COUNTER COLUMNS: the table as a distributed counter —
+    * every append is an INCREMENT (commutative, so writers never
+    * read-modify-write), and the read merges by SUM per key instead of
+    * last-write-wins. A tombstone RESETS the key: increments at or
+    * below the tombstone's version stop counting, increments after it
+    * count from zero, and a key with no surviving increments is absent
+    * (exactly Cassandra's deleted-counter read). The cuts are the same
+    * tombstones-only broadcast the composite latest view uses; the big
+    * side aggregates without shuffling over a clustered catalog read.
+    * `valueCols` are the counter columns to total; each emits as
+    * `sum_<col>`, plus `n_inc` (surviving increment count). */
+  def counterTotals(spark: SparkSession, path: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty)
+    val pk = tableKey(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    val catalogged = spark.conf
+      .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
+      .isDefined
+    val df =
+      if (catalogged) spark.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
+      else spark.read.format("graft.sources.KeyedTable").load(path)
+    val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+    val withMeta = df.select((pk +: valueCols).distinct.map(col) ++ Seq(
+      col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
+      col(KeyedTable.MetaTombstone)): _*)
+    val live = withMeta.where(!col(KeyedTable.MetaTombstone))
+      .join(broadcast(tombstoneCuts(spark, path, pk, None)), Seq(pk), "left")
+      .where(col("__cut").isNull || ver > col("__cut"))
+    live.groupBy(col(pk))
+      .agg(count(lit(1)).as("n_inc"),
+        valueCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+  }
+
   /** Per-partition-key max tombstone version, read from a
     * tombstones-only scan: the manifest flag prunes the plan to the
     * marker files, so building the cuts costs marker bytes, not a
     * table scan. */
   private def tombstoneCuts(spark: SparkSession, path: String,
       pk: String, asOfSeq: Option[Long]): DataFrame = {
-    val r = spark.read.format("graft.sources.KeyedTable")
-      .option("tombstones", "only")
+    // reader options forward to the scan builder even through the
+    // catalog, so the cuts scan is BOTH tombstones-only (plans marker
+    // files from the manifest flag) AND clustered (its groupBy needs
+    // no Exchange) when the catalog is registered
+    val catalogged = spark.conf
+      .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
+      .isDefined
+    val r = spark.read.option("tombstones", "only")
     asOfSeq.foreach(v => r.option("asOfSeq", v.toString))
-    r.load(path)
+    val base =
+      if (catalogged) r.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
+      else r.format("graft.sources.KeyedTable").load(path)
+    base
       .select(col(pk), col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
       .groupBy(col(pk))
       .agg(max(struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos)))

@@ -437,6 +437,77 @@ class KeyedTableLwwSpec extends SparkSpecBase {
       "the next commit after marker pruning must take seq 6, not reuse")
   }
 
+  test("TTL: born-expired commits never read; bytes reclaim; feed keeps them") {
+    val base = tmpDir("graft_klww_ttl_")
+    val t = s"$base/t"
+    def write(df: DataFrame, ttlMs: Option[Long]) = {
+      val w = df.write.format("graft.sources.KeyedTable")
+        .option("key", "k").option("writePartitions", "2")
+      ttlMs.foreach(v => w.option("ttlMs", v.toString))
+      w.mode("append").save(t)
+    }
+    write(rows(0, 6, "live"), Some(365L * 24 * 3600 * 1000))
+    write(rows(10, 16, "gone"), Some(0L))
+    write(rows(6, 8, "forever"), None)
+    assert(readBack(t).count() === 8, "expired commit leaked into a read")
+    withCatalog {
+      assert(KeyedTableOps.latest(spark, t).count() === 8)
+      // time travel does not resurrect TTL'd data
+      assert(spark.sql(s"SELECT * FROM graft_keyed.`$t` VERSION AS OF 2")
+        .count() === 6)
+    }
+    // the change feed carries the expired commit while its bytes are
+    // inside the retention window — the events happened
+    val q = spark.readStream.format("graft.sources.KeyedTable").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "ttl feed tail hung")
+    assert(spark.read.parquet(s"$base/out").count() === 14,
+      "the feed must deliver live AND expired commits (6+6+2)")
+    // expired bytes reclaim after the grace; live files untouched,
+    // reads unchanged (a tail resuming past the grace fails LOUDLY on
+    // the reclaimed bytes — the standard retention contract)
+    val liveFiles = KeyedTable.liveFiles(t).toSet
+    val reclaimed = KeyedTable.vacuum(t, graceMs = 0)
+    assert(reclaimed.nonEmpty && !reclaimed.exists(liveFiles))
+    assert(readBack(t).count() === 8)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+  }
+
+  test("counters: sum-merge reads, delete resets, re-increments count anew") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_klww_cnt_") + "/t"
+    val sink2 = V2KeyedTableSink("k", writeParallelism = 4)
+    sink2.append(Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "inc"), t)
+    sink2.append(Seq((1L, 1L), (2L, 2L)).toDF("k", "inc"), t)
+    withCatalog {
+      val before = KeyedTableOps.counterTotals(spark, t, Seq("inc"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(before === Map(1L -> (3L, 16L), 2L -> (2L, 9L)))
+      // reset key 1, then increment it again: counts restart from zero
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 1")
+      sink2.append(Seq((1L, 100L)).toDF("k", "inc"), t)
+      val after = KeyedTableOps.counterTotals(spark, t, Seq("inc"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(after === Map(1L -> (1L, 100L), 2L -> (2L, 9L)))
+      // reset key 2 with no re-increment: the key reads as absent
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 2")
+      val keys = KeyedTableOps.counterTotals(spark, t, Seq("inc"))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(keys === Set(1L))
+      // time travel through the READER option (catalog loads cannot
+      // thread constructor options): state before any delete
+      val asOf2 = spark.read.option("asOfSeq", "2")
+        .table(s"graft_keyed.`$t`")
+      assert(asOf2.count() === 5)
+    }
+  }
+
   test("racing commits reserve distinct sequences") {
     val t = tmpDir("graft_klww_race_") + "/t"
     // schema published first so the race is purely over sequences
