@@ -141,6 +141,14 @@ object KtableProbe {
     emit("probe" -> "vacuum", "reclaimed_files" -> reclaimed.size,
       "sec" -> tVac)
 
+    // counter read: sum-merge per key over the folded log — cuts +
+    // aggregate both exchange-free through the catalog
+    val totals = graft.sources.KeyedTableOps.counterTotals(spark, t, Seq("c"))
+    val (nCnt, tCnt) = timed(totals.count())
+    emit("probe" -> "counter_totals", "keys" -> nCnt,
+      "shuffles" -> graft.ops.PlanChecks.countShuffles(
+        totals.queryExecution.executedPlan), "sec" -> tCnt)
+
     // raw scans over the folded table read one commit's worth of bytes
     val (nFull2, tFull2) = timed(
       read.select(col("s")).where(length(col("s")) > 0).count())

@@ -663,6 +663,14 @@ object KeyedTable {
   def currentSeq(path: String): Long =
     liveManifests(path, hadoopConf()).map(_.seq).foldLeft(0L)(math.max)
 
+  /** Does any LIVE manifest carry tombstone markers? Plan-time,
+    * manifest-flag-only — lets the merge views skip the tombstone-cut
+    * join entirely on tables with no outstanding deletes (the common
+    * case, and always true right after a purging rewrite). */
+  def hasLiveTombstones(path: String): Boolean =
+    liveManifests(path, hadoopConf())
+      .exists(_.entries.exists(_.tombstone))
+
   /** Fold every committed manifest into ONE `compact-*.manifest`
     * checkpoint and delete the superseded physical files. Bounds the
     * O(#commits) listing cost of reads, tails, and vacuum. Logical

@@ -134,7 +134,7 @@ object KeyedTableOps {
       // marker files, no second pass over the data
       val cuts = withMeta.where(col(KeyedTable.MetaTombstone))
         .groupBy(col(keys.head)).agg(max(ver).as("__cut"))
-      compositeResolve(withMeta, keys, cuts, dataCols)
+      compositeResolve(withMeta, keys, Some(cuts), dataCols)
     }
   }
 
@@ -143,11 +143,15 @@ object KeyedTableOps {
     * below their partition's cut are hidden (range-tombstone
     * semantics), survivors resolve last-write-wins per full key. */
   private def compositeResolve(withMeta: DataFrame, keys: Seq[String],
-      cuts: DataFrame, dataCols: Seq[String]): DataFrame = {
+      cuts: Option[DataFrame], dataCols: Seq[String]): DataFrame = {
     val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
-    val live = withMeta.where(!col(KeyedTable.MetaTombstone))
-      .join(broadcast(cuts), Seq(keys.head), "left")
-      .where(col("__cut").isNull || ver > col("__cut"))
+    val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
+    val live = cuts match {
+      case Some(c) => survivors
+        .join(broadcast(c), Seq(keys.head), "left")
+        .where(col("__cut").isNull || ver > col("__cut"))
+      case None => survivors
+    }
     val rest = dataCols.filterNot(keys.contains)
     if (rest.isEmpty) // every column is a key: survival IS the row
       live.select(dataCols.map(col): _*).distinct()
@@ -179,8 +183,11 @@ object KeyedTableOps {
       val withMeta = df.select(dataCols.map(col) ++ Seq(
         col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
         col(KeyedTable.MetaTombstone)): _*)
-      compositeResolve(withMeta, keys, tombstoneCuts(spark, path, keys.head,
-        asOfSeq = None), dataCols)
+      val cuts =
+        if (KeyedTable.hasLiveTombstones(path))
+          Some(tombstoneCuts(spark, path, keys.head, asOfSeq = None))
+        else None // no outstanding deletes: no cut join to plan at all
+      compositeResolve(withMeta, keys, cuts, dataCols)
     }
   }
 
@@ -210,9 +217,12 @@ object KeyedTableOps {
     val withMeta = df.select((pk +: valueCols).distinct.map(col) ++ Seq(
       col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
       col(KeyedTable.MetaTombstone)): _*)
-    val live = withMeta.where(!col(KeyedTable.MetaTombstone))
-      .join(broadcast(tombstoneCuts(spark, path, pk, None)), Seq(pk), "left")
-      .where(col("__cut").isNull || ver > col("__cut"))
+    val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
+    val live =
+      if (KeyedTable.hasLiveTombstones(path)) survivors
+        .join(broadcast(tombstoneCuts(spark, path, pk, None)), Seq(pk), "left")
+        .where(col("__cut").isNull || ver > col("__cut"))
+      else survivors // no outstanding deletes: nothing to cut
     live.groupBy(col(pk))
       .agg(count(lit(1)).as("n_inc"),
         valueCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
@@ -303,7 +313,7 @@ object KeyedTableOps {
           col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
           col(KeyedTable.MetaTombstone)): _*)
         compositeResolve(withMeta, keys,
-          tombstoneCuts(spark, path, keys.head, Some(fence)), dataCols)
+          Some(tombstoneCuts(spark, path, keys.head, Some(fence))), dataCols)
       }
     snapshot.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)
