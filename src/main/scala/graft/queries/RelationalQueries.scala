@@ -1035,6 +1035,52 @@ object RelationalQueries {
         out
       }),
 
+    // ---- CDC APPLY, third rendering: the keyed table IS a
+    // changelog-apply target. The same I/U/D changelog the batch
+    // window apply (q_migrate_cdc_apply) and the streaming
+    // transformWithState machine (q_stream_cdc_run) consume is here
+    // applied with NOTHING but the table's native verbs — upsert waves
+    // are plain appends, the delete wave is one key-predicate DELETE
+    // (tombstones, nothing scanned), and the final state is the
+    // shuffle-free latest view. All three implementations are gated on
+    // the ONE oracle (composed below), so they can never drift. ----
+    QueryDef("q_ktable_cdc_apply", effectful = true, oracle = Some(
+      QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_apply",
+        "q_ktable_cdc_apply")))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:cdc_apply:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcdc_").toString
+        val target = s"$tmp/t"
+        val log = MigrationQueries.cdcLog(s, d)
+        def wave(seq: Int) = log.where(col("seq") === seq)
+          .select(col("k"), col("op").as("last_op"), col("status"),
+            col("cents"), col("seq").cast("bigint").as("version"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(wave(0), target)
+        sink.append(wave(1), target)
+        val delKeys = log.where(col("op") === "D")
+          .select("k").collect().map(_.getLong(0))
+        val out = withKeyedCatalog(s) {
+          val before = graft.sources.KeyedTable.committedFiles(target).size
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${delKeys.mkString(", ")})")
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            s"deleting ${delKeys.length} keys must cost marker files " +
+              "per bucket, not a table rewrite")
+          sink.append(wave(3), target)
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the applied state must read shuffle-free")
+          latest.select(col("k").as("o_orderkey"), col("last_op"),
+            col("status"), col("cents"), col("version"))
+            .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

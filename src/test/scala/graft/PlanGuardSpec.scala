@@ -292,7 +292,7 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_ktable_upsert_latest", "q_ktable_delete_tombstone",
       "q_ktable_time_travel", "q_ktable_rewrite_compact",
       "q_ktable_overwrite_load", "q_ktable_latest_composite",
-      "q_ktable_counter", "q_ktable_ttl_expiry",
+      "q_ktable_counter", "q_ktable_ttl_expiry", "q_ktable_cdc_apply",
       // streaming materialization of the change feed: per-micro-batch
       // LWW merge in foreachBatch (stateless stream side, no state
       // machine to lint); the entry asserts one commit per micro-batch
