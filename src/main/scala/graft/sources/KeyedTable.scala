@@ -425,16 +425,18 @@ object KeyedTable {
     // gone whenever you look, time travel included); expired
     // manifests stop planning, their bytes become vacuum-reclaimable
     // after the grace, and the change feed still carries them (the
-    // events happened)
+    // events happened). Expiry removes a manifest's ENTRIES from
+    // planning but NEVER un-applies its supersedes — an expired
+    // overwrite must leave the table empty, not resurrect the rows it
+    // replaced (whose bytes vacuum may already have reclaimed)
     val now = System.currentTimeMillis()
-    val all = manifests(path, conf)
-      .filter(m => m.expires < 0 || m.expires > now)
     val visible = asOf match {
-      case Some(v) => all.filter(_.seq <= v)
-      case None => all
+      case Some(v) => manifests(path, conf).filter(_.seq <= v)
+      case None => manifests(path, conf)
     }
     val dead = visible.flatMap(_.supersedes).toSet
     visible.filterNot(m => dead(m.name))
+      .filter(m => m.expires < 0 || m.expires > now)
   }
 
   /** Reserve the table's next commit sequence: claim max+1 upward
@@ -670,6 +672,18 @@ object KeyedTable {
   def hasLiveTombstones(path: String): Boolean =
     liveManifests(path, hadoopConf())
       .exists(_.entries.exists(_.tombstone))
+
+  /** One listing answering everything a merge-view CONSTRUCTION needs:
+    * (current commit sequence, any live tombstones at that sequence).
+    * The views pin their scans to the returned sequence, so the
+    * tombstone decision, the cut scan, and the data scan are all bound
+    * to ONE immutable manifest set — concurrent commits cannot tear a
+    * latest()/counterTotals() read. */
+  private[sources] def snapshotInfo(path: String): (Long, Boolean) = {
+    val live = liveManifests(path, hadoopConf())
+    (live.map(_.seq).foldLeft(0L)(math.max),
+      live.exists(_.entries.exists(_.tombstone)))
+  }
 
   /** Fold every committed manifest into ONE `compact-*.manifest`
     * checkpoint and delete the superseded physical files. Bounds the

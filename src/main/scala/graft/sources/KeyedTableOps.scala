@@ -161,22 +161,37 @@ object KeyedTableOps {
         if (keys.contains(c)) col(c) else col(s"__w.`$c`").as(c)): _*)
   }
 
-  /** The table's CURRENT STATE — what `SELECT * FROM t` means in
-    * Cassandra, resolved on the table's FULL declared primary key
-    * (partition key + clustering columns). Reads through the clustered
-    * catalog when it is registered on the session (no Exchange); falls
-    * back to a path-based scan otherwise. Composite tables get their
-    * tombstone cuts from a tombstones-only scan — plan-time-pruned to
-    * the marker files, never a second pass over the data. */
-  def latest(spark: SparkSession, path: String): DataFrame = {
-    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
-      s"KeyedTable at $path has no declared or proven key column"))
+  /** ONE table-frame resolution for every merge view: through the
+    * clustered catalog when it is registered on the session (merge
+    * aggregates then plan NO Exchange), else a path-based scan; reader
+    * options (time-travel pin, tombstones mode) forward to the scan
+    * builder on both routes. */
+  private def tableDF(spark: SparkSession, path: String,
+      options: Map[String, String]): DataFrame = {
     val catalogged = spark.conf
       .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
       .isDefined
-    val df =
-      if (catalogged) spark.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
-      else spark.read.format("graft.sources.KeyedTable").load(path)
+    val r = spark.read.options(options)
+    if (catalogged) r.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
+    else r.format("graft.sources.KeyedTable").load(path)
+  }
+
+  /** The table's CURRENT STATE — what `SELECT * FROM t` means in
+    * Cassandra, resolved on the table's FULL declared primary key
+    * (partition key + clustering columns). SNAPSHOT-CONSISTENT: the
+    * view pins itself to the table's current commit sequence at
+    * construction, so the tombstone decision, the cut scan, and the
+    * data scan are all bound to one immutable manifest set — commits
+    * racing the read can never tear it (re-construct to see them).
+    * Composite tables get their tombstone cuts from a tombstones-only
+    * scan — plan-time-pruned to the marker files, never a second pass
+    * over the data — and skip the cut join entirely when the pinned
+    * snapshot holds no deletes. */
+  def latest(spark: SparkSession, path: String): DataFrame = {
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    val (pin, hasTombs) = KeyedTable.snapshotInfo(path)
+    val df = tableDF(spark, path, Map("asOfSeq" -> pin.toString))
     if (keys.size == 1) latestOver(df, keys)
     else {
       val dataCols = df.columns.toSeq
@@ -184,74 +199,62 @@ object KeyedTableOps {
         col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
         col(KeyedTable.MetaTombstone)): _*)
       val cuts =
-        if (KeyedTable.hasLiveTombstones(path))
-          Some(tombstoneCuts(spark, path, keys.head, asOfSeq = None))
-        else None // no outstanding deletes: no cut join to plan at all
+        if (hasTombs) Some(tombstoneCuts(spark, path, keys.head, pin))
+        else None // no deletes in the pinned snapshot: no cut join
       compositeResolve(withMeta, keys, cuts, dataCols)
     }
   }
 
   /** CASSANDRA COUNTER COLUMNS: the table as a distributed counter —
     * every append is an INCREMENT (commutative, so writers never
-    * read-modify-write), and the read merges by SUM per key instead of
-    * last-write-wins. A tombstone RESETS the key: increments at or
-    * below the tombstone's version stop counting, increments after it
-    * count from zero, and a key with no surviving increments is absent
-    * (exactly Cassandra's deleted-counter read). The cuts are the same
-    * tombstones-only broadcast the composite latest view uses; the big
-    * side aggregates without shuffling over a clustered catalog read.
-    * `valueCols` are the counter columns to total; each emits as
-    * `sum_<col>`, plus `n_inc` (surviving increment count). */
+    * read-modify-write), and the read merges by SUM per FULL primary
+    * key (partition key + declared clustering columns — a composite
+    * counter table keeps one counter per full key, exactly Cassandra)
+    * instead of last-write-wins. A tombstone RESETS at partition
+    * granularity: increments of that partition at or below the
+    * marker's version stop counting, later ones count from zero, and
+    * a key with no surviving increments is absent. Snapshot-consistent
+    * via the same construction-time pin as [[latest]]; the cuts are
+    * the same tombstones-only broadcast; the big side aggregates
+    * without shuffling over a clustered catalog read. `valueCols`
+    * emit as `sum_<col>`, plus `n_inc` (surviving increment count). */
   def counterTotals(spark: SparkSession, path: String,
       valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty)
-    val pk = tableKey(path).getOrElse(throw new IllegalArgumentException(
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
-    val catalogged = spark.conf
-      .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
-      .isDefined
-    val df =
-      if (catalogged) spark.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
-      else spark.read.format("graft.sources.KeyedTable").load(path)
+    val pk = keys.head
+    val (pin, hasTombs) = KeyedTable.snapshotInfo(path)
+    val df = tableDF(spark, path, Map("asOfSeq" -> pin.toString))
     val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
-    val withMeta = df.select((pk +: valueCols).distinct.map(col) ++ Seq(
+    val withMeta = df.select((keys ++ valueCols).distinct.map(col) ++ Seq(
       col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
       col(KeyedTable.MetaTombstone)): _*)
     val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
     val live =
-      if (KeyedTable.hasLiveTombstones(path)) survivors
-        .join(broadcast(tombstoneCuts(spark, path, pk, None)), Seq(pk), "left")
+      if (hasTombs) survivors
+        .join(broadcast(tombstoneCuts(spark, path, pk, pin)), Seq(pk), "left")
         .where(col("__cut").isNull || ver > col("__cut"))
-      else survivors // no outstanding deletes: nothing to cut
-    live.groupBy(col(pk))
+      else survivors // no deletes in the pinned snapshot: nothing to cut
+    live.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_inc"),
         valueCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
   }
 
   /** Per-partition-key max tombstone version, read from a
-    * tombstones-only scan: the manifest flag prunes the plan to the
-    * marker files, so building the cuts costs marker bytes, not a
-    * table scan. */
+    * tombstones-only scan pinned at the caller's snapshot: the
+    * manifest flag prunes the plan to the marker files, so building
+    * the cuts costs marker bytes, not a table scan — and through the
+    * registered catalog the scan is ALSO clustered, so the groupBy
+    * needs no Exchange. */
   private def tombstoneCuts(spark: SparkSession, path: String,
-      pk: String, asOfSeq: Option[Long]): DataFrame = {
-    // reader options forward to the scan builder even through the
-    // catalog, so the cuts scan is BOTH tombstones-only (plans marker
-    // files from the manifest flag) AND clustered (its groupBy needs
-    // no Exchange) when the catalog is registered
-    val catalogged = spark.conf
-      .getOption(s"spark.sql.catalog.${KeyedTableRegistry.CatalogName}")
-      .isDefined
-    val r = spark.read.option("tombstones", "only")
-    asOfSeq.foreach(v => r.option("asOfSeq", v.toString))
-    val base =
-      if (catalogged) r.table(s"${KeyedTableRegistry.CatalogName}.`$path`")
-      else r.format("graft.sources.KeyedTable").load(path)
-    base
+      pk: String, asOfSeq: Long): DataFrame =
+    tableDF(spark, path,
+      Map("tombstones" -> "only", "asOfSeq" -> asOfSeq.toString))
       .select(col(pk), col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
       .groupBy(col(pk))
       .agg(max(struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos)))
         .as("__cut"))
-  }
 
   /** Fold the live commit log into ONE snapshot commit — Cassandra's
     * compaction / Delta's OPTIMIZE, as a Spark job over the table
@@ -282,11 +285,21 @@ object KeyedTableOps {
     def isTombstoneManifest(m: KeyedTable.KManifest): Boolean =
       m.entries.nonEmpty && m.entries.forall(_.tombstone)
     val now = System.currentTimeMillis()
+    // a fold NEVER crosses a live TTL'd commit: folding TTL'd rows
+    // into an expiry-less snapshot would make them immortal, and
+    // folding rows from BELOW a TTL'd commit to a fence ABOVE it
+    // would let stale folded versions outrank the TTL'd ones. So the
+    // fence stays strictly below the oldest live TTL'd commit;
+    // everything above waits for its expiry (after which it simply is
+    // not live) or for a later fold
+    val ttlFloor = live.filter(_.expires >= 0).map(_.seq)
+      .foldLeft(Long.MaxValue)(math.min)
     // <=: grace 0 means "purge everything committed up to NOW",
     // including a tombstone stamped this same millisecond
     val inputs = live.filter { m =>
-      !isTombstoneManifest(m) ||
-        (m.ts >= 0 && m.ts <= now - tombstoneGraceMs)
+      m.seq < ttlFloor &&
+        (!isTombstoneManifest(m) ||
+          (m.ts >= 0 && m.ts <= now - tombstoneGraceMs))
     }
     // nothing to gain from folding fewer than two commits unless a
     // tombstone is being applied or purged
@@ -313,7 +326,7 @@ object KeyedTableOps {
           col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
           col(KeyedTable.MetaTombstone)): _*)
         compositeResolve(withMeta, keys,
-          Some(tombstoneCuts(spark, path, keys.head, Some(fence))), dataCols)
+          Some(tombstoneCuts(spark, path, keys.head, fence)), dataCols)
       }
     snapshot.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)

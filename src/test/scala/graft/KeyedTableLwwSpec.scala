@@ -508,6 +508,98 @@ class KeyedTableLwwSpec extends SparkSpecBase {
     }
   }
 
+  test("an expired TTL'd overwrite leaves the table empty, not resurrected") {
+    val t = tmpDir("graft_klww_ttlovr_") + "/t"
+    sink.append(rows(0, 10, "old"), t)
+    rows(100, 103, "tmp").write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "4")
+      .option("ttlMs", "0") // born expired
+      .mode("overwrite").save(t)
+    // the overwrite's supersedes survive its own expiry: the old rows
+    // must NOT come back (their bytes may already be vacuumed)
+    assert(readBack(t).count() === 0,
+      "expired overwrite resurrected the rows it replaced")
+    withCatalog {
+      assert(KeyedTableOps.latest(spark, t).count() === 0)
+    }
+    // appends after the expired overwrite start a fresh state
+    sink.append(rows(50, 53, "new"), t)
+    assert(readBack(t).select("s").collect().map(_.getString(0)).toSet ===
+      Set("new50", "new51", "new52"))
+  }
+
+  test("rewriteCompact never folds across a live TTL'd commit") {
+    val t = tmpDir("graft_klww_ttlrw_") + "/t"
+    sink.append(rows(0, 6, "a"), t)
+    sink.append(rows(0, 3, "b"), t)
+    // a short-TTL wave lands between the folds-to-be and fresh data
+    rows(10, 13, "ttl").write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "4")
+      .option("ttlMs", "4000").mode("append").save(t)
+    sink.append(rows(20, 23, "c"), t)
+    withCatalog {
+      val folded = KeyedTableOps.rewriteCompact(spark, t, 0)
+      assert(folded.isDefined, "the two pre-TTL commits must fold")
+      val live = KeyedTable.liveManifestNames(t)
+      assert(live.size === 3,
+        s"fence must stop below the TTL'd commit: $live")
+      // all three populations read while the TTL holds...
+      val now = KeyedTableOps.latest(spark, t)
+        .select("s").collect().map(_.getString(0)).toSet
+      assert(now.exists(_.startsWith("ttl")) &&
+        now.exists(_.startsWith("c")) && now("b0") && now("a3"))
+      // ...and the folded snapshot did NOT make the TTL'd rows
+      // immortal: they still expire on schedule
+      Thread.sleep(4500)
+      val after = KeyedTableOps.latest(spark, t)
+        .select("s").collect().map(_.getString(0)).toSet
+      assert(!after.exists(_.startsWith("ttl")) &&
+        after.exists(_.startsWith("c")) && after("b0"),
+        s"TTL did not survive the rewrite: $after")
+    }
+  }
+
+  test("merge views are snapshot-consistent from construction") {
+    val t = tmpDir("graft_klww_pin_") + "/t"
+    sink.append(rows(0, 5, "a"), t)
+    withCatalog {
+      val pinned = KeyedTableOps.latest(spark, t)
+      // a commit racing the read lands AFTER the pin: the constructed
+      // view must not tear (half-seeing it); a fresh view sees it
+      sink.append(rows(0, 2, "b"), t)
+      assert(pinned.select("s").collect().map(_.getString(0)).toSet ===
+        (0 until 5).map(i => s"a$i").toSet)
+      val fresh = KeyedTableOps.latest(spark, t)
+        .select("s").collect().map(_.getString(0)).toSet
+      assert(fresh === Set("b0", "b1", "a2", "a3", "a4"))
+    }
+  }
+
+  test("composite counter tables keep one counter per full key") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_klww_ccnt_") + "/t"
+    val sink2 = V2KeyedTableSink("k", writeParallelism = 2)
+    sink2.append(Seq((1L, "a", 5L), (1L, "b", 7L), (2L, "a", 1L))
+      .toDF("k", "ck", "inc"), t)
+    sink2.append(Seq((1L, "a", 2L)).toDF("k", "ck", "inc"), t)
+    KeyedTableOps.declareClustering(t, Seq("ck"))
+    withCatalog {
+      val got = KeyedTableOps.counterTotals(spark, t, Seq("inc"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(got === Map((1L, "a") -> (2L, 7L), (1L, "b") -> (1L, 7L),
+        (2L, "a") -> (1L, 1L)))
+      // a partition delete resets EVERY clustering row of the key
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k = 1")
+      sink2.append(Seq((1L, "a", 100L)).toDF("k", "ck", "inc"), t)
+      val after = KeyedTableOps.counterTotals(spark, t, Seq("inc"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(after === Map((1L, "a") -> (1L, 100L), (2L, "a") -> (1L, 1L)))
+    }
+  }
+
   test("racing commits reserve distinct sequences") {
     val t = tmpDir("graft_klww_race_") + "/t"
     // schema published first so the race is purely over sequences
