@@ -63,7 +63,36 @@ object Main {
         Relational.scanParquet(spark, p)
     }
 
-    try new Pipeline(spark, spec, source).runAll()
+    // sink selection from the spec — the reference hardcodes its
+    // Cassandra target (py:347-353); here the config decides, and the
+    // keyed-table choices carry the full Cassandra model (upsert
+    // reads, tombstone deletes, compaction, TTL) on the target dirs
+    val sink: graft.pipeline.AppendSink = spec.sink match {
+      case None => graft.pipeline.ParquetAppendSink
+      case Some(s) => s.`type` match {
+        case "parquet" => graft.pipeline.ParquetAppendSink
+        case t @ ("keyedTable" | "keyedTableIdempotent") =>
+          val key = s.key.getOrElse(throw new IllegalArgumentException(
+            s"sink type '$t' requires a 'key' column"))
+          // declare the composite primary key BEFORE any write so the
+          // first latest view / compaction already resolves correctly
+          s.clustering.map(_.split(",").toSeq.map(_.trim)
+              .filter(_.nonEmpty)).filter(_.nonEmpty)
+            .foreach { cols =>
+              spec.tables.foreach(t2 => graft.sources.KeyedTableOps
+                .declareClustering(spec.targetDir(t2.targetTable), cols))
+            }
+          if (t == "keyedTable")
+            graft.pipeline.V2KeyedTableSink(key, s.writePartitions)
+          else graft.pipeline.V2IdempotentKeyedTableSink(key,
+            s.writePartitions)
+        case other => throw new IllegalArgumentException(
+          s"unknown sink type '$other' (parquet | keyedTable | " +
+            "keyedTableIdempotent)")
+      }
+    }
+
+    try new Pipeline(spark, spec, source, sink).runAll()
     finally if (!hadSession) spark.stop() // py:446 — driver owns the session
   }
 }

@@ -61,13 +61,30 @@ final case class TableSpec(
     transformedColumns: Seq[String],
     numPartitions: Int = 4)
 
+/** Job-level SINK selection — the config's rendering of the
+  * reference's target store choice (it hardcodes the Cassandra
+  * connector, py:347-353; here the same decision lives in the spec).
+  * `type`: "parquet" (default), "keyedTable" (the V2 keyed-append
+  * table — Cassandra-model upserts, requires `key`), or
+  * "keyedTableIdempotent" (same table through named per-source-file
+  * commits: a resume's re-append is a sink-level no-op).
+  * `clustering` declares the non-partition primary-key columns so
+  * latest views and compaction resolve per full key. */
+final case class SinkSpec(
+    `type`: String = "parquet",
+    key: Option[String] = None,
+    writePartitions: Int = 8,
+    clustering: Option[String] = None)
+
 final case class JobSpec(
     /** Workspace root; raw/transformed/checkpoint conventions below it
       * (py:189/209/238 path conventions). */
     workspace: String,
     tables: Seq[TableSpec],
     /** Shared database connection for `jdbcTable` sources. */
-    jdbc: Option[JdbcConnSpec] = None) {
+    jdbc: Option[JdbcConnSpec] = None,
+    /** Target sink; absent = parquet appends (the offline default). */
+    sink: Option[SinkSpec] = None) {
   def rawDir(table: String): String = s"$workspace/raw/$table"
   def transformedDir(target: String): String = s"$workspace/transformed/$target"
   def checkpointDir(target: String): String = s"$workspace/checkpoints/$target"

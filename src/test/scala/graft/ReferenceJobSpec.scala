@@ -229,4 +229,64 @@ class ReferenceJobSpec extends SparkSpecBase {
     val b = expected.orderBy("custkey").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("config-driven UPSERT migration: sink block selects the keyed table") {
+    val ws = Files.createTempDirectory("graft_cli_kt_").toString
+    val cfg = s"""{
+      |  "workspace": "X",
+      |  "sink": { "type": "keyedTable", "key": "custkey",
+      |            "writePartitions": 4, "clustering": "order_id" },
+      |  "tables": [{
+      |    "targetTable": "cust_orders",
+      |    "sources": [
+      |      { "name": "orders", "filter": "o_orderstatus = 'F'" },
+      |      { "name": "customer" }
+      |    ],
+      |    "root": "orders",
+      |    "joins": [
+      |      { "rightTable": "customer",
+      |        "leftCol": "o_custkey", "rightCol": "c_custkey" }
+      |    ],
+      |    "transformedColumns": [
+      |      "c_custkey AS custkey", "o_orderkey AS order_id",
+      |      "o_orderpriority AS priority" ]
+      |  }]
+      |}""".stripMargin
+    val cfgPath = Files.createTempFile("graft_job_kt_", ".json")
+    Files.write(cfgPath, cfg.getBytes("UTF-8"))
+    Main.main(Array(cfgPath.toString, ws, sfDir))
+
+    val target = s"$ws/target/cust_orders"
+    // the load landed as committed keyed-table manifests, clustered on
+    // the declared partition key, with the composite PK declared
+    assert(graft.sources.KeyedTable.liveFiles(target).nonEmpty)
+    assert(graft.sources.KeyedTableOps.tableKeys(target) ===
+      Some(Seq("custkey", "order_id")))
+    val expected = Tables(spark, sfDir, "orders")
+      .where("o_orderstatus = 'F'")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_custkey AS custkey", "o_orderkey AS order_id",
+        "o_orderpriority AS priority")
+    val latest = graft.sources.KeyedTableOps.latest(spark, target)
+    assert(latest.count() === expected.count(),
+      "per-(custkey, order_id) latest view must hold every loaded row")
+    val a = latest.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    val b = expected.collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(a === b)
+    // and the Cassandra verbs work on the config-created table:
+    // DELETE one customer partition, every order of it disappears
+    val victim = expected.select("custkey").head().getLong(0)
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prior = spark.conf.getOption(bucketingKey)
+    graft.sources.KeyedTableRegistry.register(spark)
+    try {
+      spark.sql(s"DELETE FROM graft_keyed.`$target` WHERE custkey = $victim")
+      assert(graft.sources.KeyedTableOps.latest(spark, target)
+        .where(col("custkey") === victim).count() === 0)
+    } finally prior match {
+      case Some(v) => spark.conf.set(bucketingKey, v)
+      case None => spark.conf.unset(bucketingKey)
+    }
+  }
 }
