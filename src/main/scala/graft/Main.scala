@@ -32,6 +32,51 @@ object Main {
       .map(ws => parsed.copy(workspace = ws)).getOrElse(parsed)
     val inputDir = args.lift(2)
 
+    // sink selection + validation, BEFORE any session or filesystem
+    // work — the reference hardcodes its Cassandra target (py:347-353);
+    // here the config decides, and a misdeclared contract (typo'd
+    // clustering column, key missing from a table's projection) must
+    // fail fast, not after a full load commits an unreadable table.
+    // The actual contract DECLARATION happens per table through the
+    // pipeline's prepareTarget hook — i.e. under the workspace lease,
+    // with the session's Hadoop configuration
+    def outputCols(t: graft.pipeline.TableSpec): Seq[String] =
+      t.transformedColumns.map { e =>
+        val i = e.toUpperCase(java.util.Locale.ROOT).lastIndexOf(" AS ")
+        if (i >= 0) e.substring(i + 4).trim else e.trim
+      }
+    val (sink, prepare): (graft.pipeline.AppendSink,
+        graft.pipeline.TableSpec => Unit) = spec.sink match {
+      case None | Some(graft.pipeline.SinkSpec("parquet", _, _, _)) =>
+        (graft.pipeline.ParquetAppendSink, _ => ())
+      case Some(s @ graft.pipeline.SinkSpec(
+          t @ ("keyedTable" | "keyedTableIdempotent"), _, _, _)) =>
+        val key = s.key.getOrElse(throw new IllegalArgumentException(
+          s"sink type '$t' requires a 'key' column"))
+        val clustering = s.clustering
+          .map(graft.sources.KeyedTableOps.parseClustering)
+          .getOrElse(Seq.empty)
+        require(!clustering.contains(key),
+          s"sink clustering $clustering must not repeat the key '$key'")
+        spec.tables.foreach { tb =>
+          val cols = outputCols(tb)
+          (key +: clustering).foreach(c => require(cols.contains(c),
+            s"table ${tb.targetTable}: sink primary-key column '$c' is " +
+              s"not among its projected columns ${cols.mkString(", ")}"))
+        }
+        val snk =
+          if (t == "keyedTable")
+            graft.pipeline.V2KeyedTableSink(key, s.writePartitions)
+          else graft.pipeline.V2IdempotentKeyedTableSink(key,
+            s.writePartitions)
+        (snk, tb => graft.sources.KeyedTableOps.declareTable(
+          spec.targetDir(tb.targetTable), key, s.writePartitions,
+          clustering))
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown sink type '${other.`type`}' (parquet | keyedTable | " +
+          "keyedTableIdempotent)")
+    }
+
     // reuse a live session (embedded callers, tests); otherwise build
     // one — master comes from spark-submit when present, local[*] when
     // launched bare
@@ -63,36 +108,8 @@ object Main {
         Relational.scanParquet(spark, p)
     }
 
-    // sink selection from the spec — the reference hardcodes its
-    // Cassandra target (py:347-353); here the config decides, and the
-    // keyed-table choices carry the full Cassandra model (upsert
-    // reads, tombstone deletes, compaction, TTL) on the target dirs
-    val sink: graft.pipeline.AppendSink = spec.sink match {
-      case None => graft.pipeline.ParquetAppendSink
-      case Some(s) => s.`type` match {
-        case "parquet" => graft.pipeline.ParquetAppendSink
-        case t @ ("keyedTable" | "keyedTableIdempotent") =>
-          val key = s.key.getOrElse(throw new IllegalArgumentException(
-            s"sink type '$t' requires a 'key' column"))
-          // declare the composite primary key BEFORE any write so the
-          // first latest view / compaction already resolves correctly
-          s.clustering.map(_.split(",").toSeq.map(_.trim)
-              .filter(_.nonEmpty)).filter(_.nonEmpty)
-            .foreach { cols =>
-              spec.tables.foreach(t2 => graft.sources.KeyedTableOps
-                .declareClustering(spec.targetDir(t2.targetTable), cols))
-            }
-          if (t == "keyedTable")
-            graft.pipeline.V2KeyedTableSink(key, s.writePartitions)
-          else graft.pipeline.V2IdempotentKeyedTableSink(key,
-            s.writePartitions)
-        case other => throw new IllegalArgumentException(
-          s"unknown sink type '$other' (parquet | keyedTable | " +
-            "keyedTableIdempotent)")
-      }
-    }
-
-    try new Pipeline(spark, spec, source, sink).runAll()
+    try new Pipeline(spark, spec, source, sink, prepareTarget = prepare)
+      .runAll()
     finally if (!hadSession) spark.stop() // py:446 — driver owns the session
   }
 }

@@ -121,7 +121,13 @@ final class Pipeline(
     source: SourceSpec => DataFrame,
     sink: AppendSink = ParquetAppendSink,
     retryInitialDelayMs: Long = 5000,
-    leaseTtlMs: Long = 15 * 60 * 1000) {
+    leaseTtlMs: Long = 15 * 60 * 1000,
+    /** Target-preparation hook, run at the START of each table's run —
+      * i.e. under the workspace lease when driven through runAll, so a
+      * concurrent job rejected by the lease can never have mutated a
+      * running job's targets first. The config-driven CLI declares the
+      * keyed table's write contract (key/parallelism/clustering) here. */
+    prepareTarget: TableSpec => Unit = _ => ()) {
 
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
@@ -257,6 +263,7 @@ final class Pipeline(
   }
 
   def runTable(t: TableSpec): Unit = {
+    prepareTarget(t)
     // C7 — the reference's per-table dynamic log file (py:39-57):
     // every banner below goes to slf4j AND the table's own file.
     val tlog = new TableLog(spark.sparkContext.hadoopConfiguration,

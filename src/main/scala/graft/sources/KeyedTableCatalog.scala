@@ -122,7 +122,7 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
     // key tuple, never folding a composite table to one row per
     // partition key
     val clustering = Option(properties.get("clustering")).map { v =>
-      val cols = v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val cols = KeyedTableOps.parseClustering(v)
       cols.foreach(c => require(schema.fieldNames.contains(c),
         s"TBLPROPERTIES clustering column '$c' is not a column of $schema"))
       require(!cols.contains(key),

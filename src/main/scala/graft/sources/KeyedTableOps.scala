@@ -63,12 +63,18 @@ object KeyedTableOps {
     tableKey(path).map { pk =>
       val conf = KeyedTable.hadoopConf()
       val ck = KeyedTable.readProps(path, conf).get("clustering")
-        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
+        .map(parseClustering).getOrElse(Seq.empty)
       require(!ck.contains(pk),
         s"clustering columns $ck must not repeat the partition key $pk")
       pk +: ck
     }
+
+  /** THE clustering-list codec (comma-separated column names) — one
+    * parse shared by the props reader, the catalog's DDL, and the
+    * config-driven CLI, so the encoding can never drift between
+    * surfaces. */
+  def parseClustering(v: String): Seq[String] =
+    v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
 
   /** Declare the table's clustering columns (the non-partition part of
     * its primary key). Idempotent; merges into the existing
@@ -84,6 +90,31 @@ object KeyedTableOps {
     }
     KeyedTable.writeProps(path, conf,
       KeyedTable.readProps(path, conf) + ("clustering" -> cols.mkString(",")))
+  }
+
+  /** Declare the table's FULL write contract — partition key, write
+    * parallelism, clustering columns — exactly what the catalog's
+    * CREATE TABLE persists. Idempotent merge; validates against the
+    * committed schema when one exists. With the key in the properties,
+    * the table stays resolvable even when manifests alone could not
+    * prove a contract (zero commits after a crash-before-load, or a
+    * deliberate re-parallelization mixing live moduli). */
+  def declareTable(path: String, key: String, writePartitions: Int,
+      clustering: Seq[String] = Seq.empty): Unit = {
+    require(key.nonEmpty && writePartitions > 0)
+    require(!clustering.contains(key),
+      s"clustering columns $clustering must not repeat the key '$key'")
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.readSchemaFile(path, conf).foreach { sch =>
+      (key +: clustering).foreach(c => require(sch.fieldNames.contains(c),
+        s"primary-key column '$c' is not a column of $sch"))
+    }
+    KeyedTable.writeProps(path, conf,
+      KeyedTable.readProps(path, conf) ++
+        Map("key" -> key, "writePartitions" -> writePartitions.toString) ++
+        (if (clustering.nonEmpty)
+          Map("clustering" -> clustering.mkString(","))
+         else Map.empty))
   }
 
   /** Last-write-wins resolution over a KeyedTable frame: one row per

@@ -289,4 +289,32 @@ class ReferenceJobSpec extends SparkSpecBase {
       case None => spark.conf.unset(bucketingKey)
     }
   }
+
+  test("a misdeclared sink contract fails fast, before any work") {
+    val ws = Files.createTempDirectory("graft_cli_bad_").toString
+    val cfg = s"""{
+      |  "workspace": "X",
+      |  "sink": { "type": "keyedTable", "key": "custkey",
+      |            "clustering": "order_idd" },
+      |  "tables": [{
+      |    "targetTable": "t_bad",
+      |    "sources": [ { "name": "orders" } ],
+      |    "root": "orders",
+      |    "joins": [],
+      |    "transformedColumns": [
+      |      "o_custkey AS custkey", "o_orderkey AS order_id" ]
+      |  }]
+      |}""".stripMargin
+    val cfgPath = Files.createTempFile("graft_job_bad_", ".json")
+    Files.write(cfgPath, cfg.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array(cfgPath.toString, ws, sfDir))
+    }
+    assert(e.getMessage.contains("order_idd"))
+    // fail-fast means NOTHING was staged or declared
+    assert(!new java.io.File(s"$ws/target/t_bad").exists(),
+      "a rejected config must not have touched the target")
+    assert(!new java.io.File(s"$ws/raw").exists(),
+      "a rejected config must not have staged sources")
+  }
 }
