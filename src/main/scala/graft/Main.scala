@@ -40,10 +40,22 @@ object Main {
     // The actual contract DECLARATION happens per table through the
     // pipeline's prepareTarget hook — i.e. under the workspace lease,
     // with the session's Hadoop configuration
+    // each projection entry's OUTPUT column name, via the real
+    // expression parser (string surgery on " AS " misparses unaliased
+    // casts — "CAST(x AS BIGINT)" is not an alias): an Alias yields
+    // its name, a bare (possibly qualified) column reference its last
+    // part, and any other unaliased expression its SQL text — which
+    // can never equal a key column name, so a computed sink key
+    // without an explicit alias fails fast with the expression quoted
     def outputCols(t: graft.pipeline.TableSpec): Seq[String] =
       t.transformedColumns.map { e =>
-        val i = e.toUpperCase(java.util.Locale.ROOT).lastIndexOf(" AS ")
-        if (i >= 0) e.substring(i + 4).trim else e.trim
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(e) match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.name
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.last
+          case other => other.sql
+        }
       }
     val (sink, prepare): (graft.pipeline.AppendSink,
         graft.pipeline.TableSpec => Unit) = spec.sink match {

@@ -218,7 +218,13 @@ object KeyedTable {
     * bucket. */
   private[sources] final case class KFileEntry(file: String, rows: Long,
       bucket: Int, buckets: Int, key: String, stats: Option[KeyStats],
-      tombstone: Boolean = false)
+      tombstone: Boolean = false,
+      // ALL-COLUMN ZONE MAPS: per-column (nulls, min, max), positional
+      // over the FILE's schema fields (its manifest's ncols prefix of
+      // the current schema) — what prunes files on NON-key predicates
+      // (the reference's own filter surface is non-key ranges/INs,
+      // json:53-58). Empty on legacy lines (no pruning, never wrong).
+      colStats: Seq[KeyStats] = Seq.empty)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -231,7 +237,14 @@ object KeyedTable {
     * per commit, so per key this orders every version. */
   private[sources] final case class KManifest(name: String, seq: Long,
       ts: Long, supersedes: Seq[String], entries: Seq[KFileEntry],
-      expires: Long = -1L)
+      expires: Long = -1L,
+      // the number of schema fields the commit's files were FRAMED
+      // with (schema evolution only appends columns, so a frame plan
+      // is fully determined by its field count — a prefix of the
+      // current schema). -1 on manifests stamped before evolution
+      // support: those resolve to the `baseNcols` table property
+      // (recorded at the first evolution), else the full schema.
+      ncols: Int = -1)
 
   /** Metadata column names (version/provenance surface). Reserved:
     * a data column with one of these names would shadow it. */
@@ -345,22 +358,53 @@ object KeyedTable {
 
   /** Snapshot-rewrite manifests are NAMED by the set they supersede,
     * so two rewrites racing over the same inputs converge on one
-    * logical manifest (the loser no-ops) and a re-run is a replay. */
-  private[sources] def rewriteName(superseded: Seq[String]): String =
-    s"rewrite-${Integer.toHexString(scala.util.hashing.MurmurHash3
-      .orderedHash(superseded.sorted))}.manifest"
+    * logical manifest (the loser no-ops) and a re-run is a replay.
+    * 128 bits of SHA-256 over the length-delimited sorted names — a
+    * collision between two DIFFERENT superseded sets would make the
+    * later fold read as a replay and silently wedge; at this width
+    * that needs ~2^64 folds of one table, and the commit path
+    * additionally verifies the committed manifest's supersedes header
+    * before treating a name hit as a replay. */
+  private[sources] def rewriteName(superseded: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    superseded.sorted.foreach { n =>
+      md.update(n.getBytes(StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    val hex = md.digest().take(16).map(b => f"$b%02x").mkString
+    s"rewrite-$hex.manifest"
+  }
 
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
+  // column zone maps ride one extra tab field: per-column
+  // `nulls~min~max` joined by ';' ('-' = absent; min/max are b64, whose
+  // alphabet never contains '~'/';'/tab, so the nesting is unambiguous)
+  private def colStatsField(cs: Seq[KeyStats]): String =
+    if (cs.isEmpty) "-"
+    else cs.map(s => Seq(s.nulls.toString,
+      s.minEnc.map(b64).getOrElse("-"),
+      s.maxEnc.map(b64).getOrElse("-")).mkString("~")).mkString(";")
+
+  private def parseColStats(field: String): Seq[KeyStats] =
+    if (field == "-" || field.isEmpty) Seq.empty
+    else field.split(";", -1).toSeq.map { c =>
+      val p = c.split("~", -1)
+      KeyStats(p(0).toLong,
+        Some(p(1)).filter(_ != "-").map(unb64),
+        Some(p(2)).filter(_ != "-").map(unb64))
+    }
+
   private def entryLine(e: KFileEntry): String = Seq(
     e.file, e.rows.toString, e.bucket.toString, e.buckets.toString,
     b64(e.key), e.stats.map(_.nulls).getOrElse(0L).toString,
     e.stats.flatMap(_.minEnc).map(b64).getOrElse("-"),
     e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-"),
-    if (e.tombstone) "t" else "d").mkString("\t")
+    if (e.tombstone) "t" else "d",
+    colStatsField(e.colStats)).mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
     val f = line.split("\t", -1)
@@ -369,7 +413,8 @@ object KeyedTable {
       Some(KeyStats(f(5).toLong,
         Some(f(6)).filter(_ != "-").map(unb64),
         Some(f(7)).filter(_ != "-").map(unb64))),
-      tombstone = f.length > 8 && f(8) == "t")
+      tombstone = f.length > 8 && f(8) == "t",
+      colStats = if (f.length > 9) parseColStats(f(9)) else Seq.empty)
   }
 
   // ---------- manifest body: version headers + entry lines ----------
@@ -382,10 +427,12 @@ object KeyedTable {
   // parse as seq/ts = -1 with no supersedes.
 
   private def manifestBody(seq: Long, ts: Long, supersedes: Seq[String],
-      entries: Seq[KFileEntry], expiresAt: Long = -1L): String = {
+      entries: Seq[KFileEntry], expiresAt: Long = -1L,
+      ncols: Int = -1): String = {
     require(supersedes.forall(n => !n.contains(',') && !n.contains('\n')),
       s"unencodable superseded manifest names: $supersedes")
     val headers = Seq(s"#seq:$seq", s"#ts:$ts") ++
+      (if (ncols >= 0) Seq(s"#ncols:$ncols") else Seq.empty) ++
       (if (expiresAt >= 0) Seq(s"#expires:$expiresAt") else Seq.empty) ++
       (if (supersedes.nonEmpty) Seq(s"#supersedes:${supersedes.mkString(",")}")
        else Seq.empty)
@@ -403,7 +450,8 @@ object KeyedTable {
       header("supersedes").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty),
       body.map(parseEntry),
-      header("expires").map(_.toLong).getOrElse(-1L))
+      header("expires").map(_.toLong).getOrElse(-1L),
+      header("ncols").map(_.toInt).getOrElse(-1))
   }
 
   private[sources] def manifests(path: String,
@@ -438,6 +486,17 @@ object KeyedTable {
     visible.filterNot(m => dead(m.name))
       .filter(m => m.expires < 0 || m.expires > now)
   }
+
+  /** `TIMESTAMP AS OF` resolution: the highest commit sequence whose
+    * manifest was stamped at or before `tsMs` — Delta's rule. Commits
+    * whose wall-clock raced out of sequence order still resolve to a
+    * single well-defined snapshot (the max qualifying seq); an instant
+    * before the first commit reads the empty table (seq 0). */
+  private[sources] def resolveTsToSeq(path: String, tsMs: Long,
+      conf: Configuration): Long =
+    manifests(path, conf)
+      .filter(m => m.ts >= 0 && m.ts <= tsMs)
+      .map(_.seq).foldLeft(0L)(math.max)
 
   /** Reserve the table's next commit sequence: claim max+1 upward
     * through exclusive marker creates under `_commits/` (`.seq-N.res`
@@ -496,25 +555,56 @@ object KeyedTable {
     * input live next to the fold that consumed it (e.g. a rewrite
     * whose tombstone input a second rewrite superseded — the deleted
     * key would resurrect). The lock makes [list live / validate /
-    * publish] atomic; a lock abandoned by a crash is taken over after
-    * a staleness TTL, so maintenance can never brick the table. */
+    * publish] atomic.
+    *
+    * Acquisition is an exclusive create, then an OWNERSHIP STAMP (a
+    * waiter-unique token written into the lock and read back — only
+    * the waiter whose token survives enters the critical section). A
+    * lock abandoned by a crash goes stale after 60s and is taken over
+    * BY RENAME: renaming the stale lock aside to a stealer-unique
+    * name is atomic and succeeds for exactly one stealer, so two
+    * waiters observing the same stale lock can never both tear it
+    * down and end up holding simultaneously (the delete-based
+    * takeover's TOCTOU); the rename loser just re-observes a FRESH
+    * lock and waits. Release deletes the lock only while it still
+    * carries the holder's own token — a holder stalled past the
+    * staleness TTL (GC pause) whose lock was stolen must not delete
+    * the thief's. */
   private def withMaintenanceLock[A](path: String,
       conf: Configuration)(body: => A): A = {
     val f = fs(path, conf)
     ensureDirs(path, conf)
-    val lock = new Path(s"$path/_commits", ".maint.lock")
+    val dir = new Path(path, "_commits")
+    val lock = new Path(dir, ".maint.lock")
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + 30000L
     var held = false
     while (!held) {
-      if (createExclusive(f, lock)) held = true
-      else {
+      if (createExclusive(f, lock)) {
+        // claim won — stamp ownership and confirm the stamp survived
+        // (a steal inside this window would need the fresh lock to
+        // look 60s stale, which it cannot; the read-back guards the
+        // protocol anyway)
+        try {
+          val out = f.create(lock, true)
+          try out.write(token.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+          held = readText(f, lock) == token
+        } catch { case scala.util.control.NonFatal(_) => () }
+      } else {
         val stale = (try Some(f.getFileStatus(lock)) catch {
           case _: java.io.FileNotFoundException => None
         }).exists(_.getModificationTime <
           System.currentTimeMillis() - 60000L)
         if (stale) {
-          try { f.delete(lock, false); () }
-          catch { case scala.util.control.NonFatal(_) => () }
+          // takeover by atomic rename: at most one stealer's rename
+          // succeeds; the winner reclaims via createExclusive on the
+          // next loop iteration, everyone else waits on the new lock
+          val parked = new Path(dir, s".maint.stale.$token")
+          val won = try f.rename(lock, parked)
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (won) { try { f.delete(parked, false); () }
+            catch { case scala.util.control.NonFatal(_) => () } }
         } else if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"KeyedTable maintenance lock at $lock not acquired in 30s")
@@ -522,8 +612,11 @@ object KeyedTable {
       }
     }
     try body finally {
-      try { f.delete(lock, false); () }
-      catch { case scala.util.control.NonFatal(_) => () }
+      // delete only a lock that is still OURS
+      val own = try readText(f, lock) == token
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (own) { try { f.delete(lock, false); () }
+        catch { case scala.util.control.NonFatal(_) => () } }
     }
   }
 
@@ -534,13 +627,14 @@ object KeyedTable {
       entries: Seq[KFileEntry], conf: Configuration,
       fixedSeq: Option[Long] = None,
       supersedes: Seq[String] = Seq.empty,
-      ttlMs: Option[Long] = None): Unit = {
+      ttlMs: Option[Long] = None,
+      ncols: Int = -1): Unit = {
     val seq = fixedSeq.getOrElse(reserveSeq(path, conf))
     ensureDirs(path, conf)
     val now = System.currentTimeMillis()
     writeAtomic(fs(path, conf), new Path(s"$path/_commits", name),
       manifestBody(seq, now, supersedes, entries,
-        ttlMs.map(now + _).getOrElse(-1L)))
+        ttlMs.map(now + _).getOrElse(-1L), ncols))
   }
 
   // ---------- logical manifests & compaction ----------
@@ -674,15 +768,21 @@ object KeyedTable {
       .exists(_.entries.exists(_.tombstone))
 
   /** One listing answering everything a merge-view CONSTRUCTION needs:
-    * (current commit sequence, any live tombstones at that sequence).
-    * The views pin their scans to the returned sequence, so the
-    * tombstone decision, the cut scan, and the data scan are all bound
-    * to ONE immutable manifest set — concurrent commits cannot tear a
-    * latest()/counterTotals() read. */
-  private[sources] def snapshotInfo(path: String): (Long, Boolean) = {
+    * the LIVE manifest NAME SET at this instant (the snapshot pin) and
+    * whether it carries tombstones. The views thread the name set into
+    * every scan they build (the `manifests` reader option), so the
+    * tombstone decision, the cut scan, and the data scan all plan ONE
+    * immutable manifest set — a commit publishing between the view's
+    * scans (even one whose reserved sequence is at or below the pin's
+    * max, which a seq-only pin would tear on) can never make one side
+    * of the read see rows the other missed. */
+  private[sources] final case class KSnapshot(names: Seq[String],
+      hasTombstones: Boolean) {
+    def pinOption: String = names.mkString(",")
+  }
+  private[sources] def snapshotInfo(path: String): KSnapshot = {
     val live = liveManifests(path, hadoopConf())
-    (live.map(_.seq).foldLeft(0L)(math.max),
-      live.exists(_.entries.exists(_.tombstone)))
+    KSnapshot(live.map(_.name), live.exists(_.entries.exists(_.tombstone)))
   }
 
   /** Fold every committed manifest into ONE `compact-*.manifest`
@@ -739,6 +839,36 @@ object KeyedTable {
     a.fields.map(f => (f.name, f.dataType)).toSeq ==
       b.fields.map(f => (f.name, f.dataType)).toSeq
 
+  /** Is `a` a leading prefix of `b` (same names and types, in order)?
+    * The ONE legal schema-evolution relation: later commits may only
+    * APPEND nullable columns, so every historical frame plan is a
+    * prefix of the current schema and old files decode forever. */
+  private[sources] def isPrefix(a: StructType, b: StructType): Boolean =
+    a.length <= b.length &&
+      a.fields.map(f => (f.name, f.dataType)).toSeq ==
+        b.fields.take(a.length).map(f => (f.name, f.dataType)).toSeq
+
+  /** SCHEMA EVOLUTION, the explicit spelling (ALTER TABLE ... ADD
+    * COLUMNS and programmatic callers): widen the committed schema by
+    * trailing nullable columns. Reads NULL-fill the new columns on
+    * older files (each manifest records the field count its files
+    * were framed with); later writes may bring either the widened or
+    * any committed-prefix schema. Type changes, renames, reorders,
+    * and drops are rejected — they would mis-frame the binary decode
+    * of every older file. */
+  def addColumns(path: String, fields: Seq[StructField]): Unit = {
+    require(fields.nonEmpty, "addColumns needs at least one column")
+    val conf = hadoopConf()
+    val cur = readSchemaFile(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"KeyedTable at $path has no committed schema to evolve"))
+    val dup = fields.map(_.name).intersect(cur.fieldNames.toSeq)
+    require(dup.isEmpty, s"columns ${dup.mkString(",")} already exist at $path")
+    val widened = StructType(cur.fields ++ fields.map(_.copy(nullable = true)))
+    validateSchema(widened)
+    ensureSchema(path, widened, conf)
+  }
+
   /** First commit persists the schema; later commits must match its
     * SHAPE — a silent type/order drift would corrupt every older
     * file's decode. Publication is a fully-written unique temp file
@@ -772,9 +902,33 @@ object KeyedTable {
     }
     val committed = readSchemaFile(path, conf).getOrElse(
       throw new java.io.IOException(s"could not persist schema at $p"))
-    require(sameShape(committed, schema),
+    if (sameShape(committed, schema) || isPrefix(schema, committed)) return
+    // SCHEMA EVOLUTION: the write brings the committed schema plus new
+    // trailing columns. Serialize with other evolvers under the
+    // maintenance lock (re-checking the winner inside), persist the
+    // widened schema all-nullable, and record `baseNcols` (the
+    // pre-evolution field count) the FIRST time — it is what manifests
+    // stamped before ncols headers existed resolve their frame plans
+    // to. Anything that is not a pure trailing-append is rejected: a
+    // type change / reorder / drop would mis-frame every older file.
+    require(isPrefix(committed, schema),
       s"KeyedTable schema mismatch at $path: table has $committed, " +
-        s"write brings $schema")
+        s"write brings $schema — only appending trailing nullable " +
+        "columns is a legal evolution")
+    withMaintenanceLock(path, conf) {
+      val cur = readSchemaFile(path, conf).getOrElse(committed)
+      if (!sameShape(cur, schema) && !isPrefix(schema, cur)) {
+        require(isPrefix(cur, schema),
+          s"KeyedTable schema evolution conflict at $path: table now " +
+            s"has $cur, write brings $schema")
+        val props = readProps(path, conf)
+        if (!props.contains("baseNcols"))
+          writeProps(path, conf,
+            props + ("baseNcols" -> cur.length.toString))
+        val widened = StructType(schema.fields.map(_.copy(nullable = true)))
+        writeAtomic(f, p, widened.json)
+      }
+    }
   }
 
   private def manifest(path: String, name: String,
@@ -785,14 +939,18 @@ object KeyedTable {
       ttlMs: Option[Long] = None): Unit = {
     // last line of defense for the local-FS first-publish race: never
     // manifest rows whose shape disagrees with the winning schema
-    readSchemaFile(path, conf).foreach(c => require(sameShape(c, schema),
+    // (prefix-compatible: evolution only appends columns, so a write
+    // framed as any committed prefix decodes correctly forever)
+    readSchemaFile(path, conf).foreach(c => require(
+      sameShape(c, schema) || isPrefix(schema, c),
       s"KeyedTable schema changed under this write at $path"))
     val entries = messages.collect {
       case m: KFileMessage if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
-          Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)))
+          Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats)
     }
-    commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs)
+    commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
+      ncols = schema.length)
   }
 
   private def dropStaged(path: String,
@@ -892,13 +1050,18 @@ object KeyedTable {
         } finally out.close()
         val mn = vs.reduce((a, b) => if (leq(a, b)) a else b)
         val mx = vs.reduce((a, b) => if (leq(a, b)) b else a)
+        val keyStats = KeyStats(0L, encStat(mn), encStat(mx))
+        // zone maps for a marker file: the key column carries the real
+        // range; every other field is all-null
+        val cs = schema.fields.indices.map(i =>
+          if (i == keyIdx) keyStats
+          else KeyStats(vs.size.toLong, None, None))
         KFileEntry(name, vs.size.toLong, bucket, buckets, key,
-          Some(KeyStats(0L, encStat(mn), encStat(mx))),
-          tombstone = true)
+          Some(keyStats), tombstone = true, colStats = cs)
       }
     commitManifest(path,
       s"delete-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
-      entries, conf)
+      entries, conf, ncols = schema.length)
   }
 
   // ---------- table ----------
@@ -1036,9 +1199,27 @@ object KeyedTable {
       // time travel also spells as a READER option
       // (spark.read.option("asOfSeq", n).table("graft_keyed.`path`")) —
       // catalog loads cannot thread constructor options; a table-level
-      // pin (VERSION AS OF) wins over the reader option
-      val asOf = asOfSeq.orElse(
-        Option(options.get("asOfSeq")).map(_.toLong))
+      // pin (VERSION AS OF) wins over the reader option. `asOfTsMs`
+      // (TIMESTAMP AS OF) resolves through the manifest commit
+      // timestamps to the highest sequence committed at or before the
+      // instant — Delta's timestamp resolution rule.
+      val asOf = asOfSeq
+        .orElse(Option(options.get("asOfSeq")).map(_.toLong))
+        .orElse(Option(options.get("asOfTsMs")).map(t =>
+          resolveTsToSeq(path, t.toLong, hadoopConf())))
+      // the merge views' snapshot pin: an explicit LIVE-set listing
+      // ("" = pin to the empty table, NOT "unpinned")
+      val pinned = Option(options.get("manifests"))
+        .map(_.split(",").toSeq.filter(_.nonEmpty).toSet)
+      // batch change feed: manifests with changesFromSeq < seq <=
+      // changesToSeq, superseded originals included, rewrites excluded
+      val changes = (Option(options.get("changesFromSeq")),
+          Option(options.get("changesToSeq"))) match {
+        case (Some(a), Some(b)) => Some((a.toLong, b.toLong))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "changesFromSeq and changesToSeq must be set together")
+      }
       // plan-time split of the log's two populations: "only" plans
       // just the (tiny) tombstone marker files, "skip" just the data
       // files — the manifest flag decides, no byte is read to filter.
@@ -1048,7 +1229,7 @@ object KeyedTable {
       require(Set("include", "only", "skip")(tombMode),
         s"tombstones option must be include|only|skip, got $tombMode")
       new KScanBuilder(path, dataSchema, schema0, only, perTrigger,
-        clusteredRead, asOf, tombMode)
+        clusteredRead, asOf, tombMode, pinned, changes)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1101,7 +1282,8 @@ object KeyedTable {
 
   private final case class KFileMessage(file: String, rows: Long,
       nulls: Long, bucket: Int, minEnc: Option[String],
-      maxEnc: Option[String]) extends WriterCommitMessage
+      maxEnc: Option[String],
+      colStats: Seq[KeyStats] = Seq.empty) extends WriterCommitMessage
 
   private final class KWrite(path: String, schema: StructType, key: String,
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
@@ -1163,10 +1345,37 @@ object KeyedTable {
           // key or re-expose overwritten rows) and must no-op
           case Some((fence, superseded)) =>
             withMaintenanceLock(path, conf.value) {
-              val live = liveManifests(path, conf.value).map(_.name).toSet
+              val live = liveManifests(path, conf.value)
+              val liveNames = live.map(_.name).toSet
               val name = rewriteName(superseded)
-              if (manifestCommitted(path, name, conf.value) ||
-                  !superseded.forall(live))
+              // a fold is STALE (must no-op, its snapshot would lose
+              // or resurrect rows) when:
+              //  - another superseding commit consumed any of its
+              //    inputs since it listed, or
+              //  - a commit RESERVED before the fence published after
+              //    the fold's listing: it is live at seq <= fence but
+              //    was never folded, so the snapshot (also at the
+              //    fence) would outrank versions it never saw.
+              //    Still-live tombstone manifests at/below the fence
+              //    are fine — the fold's as-of-fence read applied
+              //    them (idempotently, they keep cutting).
+              val lateBelowFence = live.exists(m =>
+                m.seq >= 0 && m.seq <= fence &&
+                  !superseded.contains(m.name) &&
+                  m.entries.exists(!_.tombstone))
+              if (manifestCommitted(path, name, conf.value)) {
+                // replay of the identical fold — VERIFY, don't assume:
+                // a name collision between different superseded sets
+                // must surface, not silently wedge compaction forever
+                val committed = parseManifest(name,
+                  manifestLines(path, name, conf.value))
+                require(committed.supersedes.sorted == superseded.sorted,
+                  s"rewrite manifest name collision at $path: $name " +
+                    s"already supersedes ${committed.supersedes.sorted
+                      .mkString(",")}, this fold supersedes " +
+                    superseded.sorted.mkString(","))
+                dropStaged(path, messages, conf.value)
+              } else if (!superseded.forall(liveNames) || lateBelowFence)
                 dropStaged(path, messages, conf.value)
               else manifest(path, name, messages, schema, key,
                 writePartitions, conf.value, Some(fence), superseded)
@@ -1279,27 +1488,60 @@ object KeyedTable {
     private val inprogress = new Path(s"$path/data", s".$name.inprogress")
     private var out: DataOutputStream = _
     private var rows = 0L
-    private var nulls = 0L
-    private var minKey: Any = null
-    private var maxKey: Any = null
     private var bucketTag = -2 // -2 unset; -1 disproven; else the bucket
     private val keyType = schema.fields(keyIdx).dataType
 
-    private val keyOrd: (Any, Any) => Int = keyOrdering(keyType)
-
-    // rows are reused by the scan pipeline: values retained across
-    // write() calls (min/max) must be copied out of the row.
-    // doubles are ZERO-NORMALIZED (-0.0 -> 0.0, same as Spark's
-    // NormalizeFloatingNumbers does for shuffle/join keys): SQL says
+    // ALL-COLUMN zone maps: per-column nulls / min / max tracked as
+    // the bytes stream out (the key column's slot doubles as the
+    // legacy key stats). Rows are reused by the scan pipeline, so a
+    // value RETAINED across write() calls must be copied out of the
+    // row — strings compare against the transient UTF8String first
+    // and clone only when they become the new min/max. Doubles are
+    // ZERO-NORMALIZED (-0.0 -> 0.0, same as Spark's
+    // NormalizeFloatingNumbers for shuffle/join keys): SQL says
     // -0.0 == 0.0, so stats and bucket proofs recorded in raw IEEE
     // order would wrongly prune a file whose only matching rows are
-    // the other zero
-    private def keyValue(row: InternalRow): Any = keyType match {
+    // the other zero.
+    private val colNulls = new Array[Long](schema.length)
+    private val colMin = new Array[Any](schema.length)
+    private val colMax = new Array[Any](schema.length)
+    private val statUpdaters: Array[InternalRow => Unit] =
+      schema.fields.zipWithIndex.map { case (fd, i) =>
+        fd.dataType match {
+          case StringType => (r: InternalRow) => {
+            val v = r.getUTF8String(i)
+            if (colMin(i) == null ||
+                v.compareTo(colMin(i).asInstanceOf[UTF8String]) < 0)
+              colMin(i) = v.clone()
+            if (colMax(i) == null ||
+                v.compareTo(colMax(i).asInstanceOf[UTF8String]) > 0)
+              colMax(i) = v.clone()
+          }
+          case dt =>
+            val ord = keyOrdering(dt)
+            val get: InternalRow => Any = dt match {
+              case LongType => _.getLong(i)
+              case IntegerType => _.getInt(i)
+              case DoubleType => r => normZero(r.getDouble(i))
+              case BooleanType => _.getBoolean(i)
+              case other => throw new IllegalArgumentException(other.sql)
+            }
+            (r: InternalRow) => {
+              val v = get(r)
+              if (colMin(i) == null || ord(v, colMin(i)) < 0) colMin(i) = v
+              if (colMax(i) == null || ord(v, colMax(i)) > 0) colMax(i) = v
+            }
+        }
+      }
+
+    // key value for the bucket proof only — never retained, so
+    // strings stay the row's transient UTF8String
+    private def keyRaw(row: InternalRow): Any = keyType match {
       case LongType => row.getLong(keyIdx)
       case IntegerType => row.getInt(keyIdx)
       case DoubleType => normZero(row.getDouble(keyIdx))
       case BooleanType => row.getBoolean(keyIdx)
-      case StringType => row.getUTF8String(keyIdx).clone()
+      case StringType => row.getUTF8String(keyIdx)
       case other => throw new IllegalArgumentException(other.sql)
     }
 
@@ -1329,17 +1571,13 @@ object KeyedTable {
       while (i < fieldWriters.length) {
         val isNull = row.isNullAt(i)
         out.writeBoolean(isNull)
-        if (!isNull) fieldWriters(i)(out, row, i)
+        if (!isNull) { fieldWriters(i)(out, row, i); statUpdaters(i)(row) }
+        else colNulls(i) += 1L
         i += 1
       }
       rows += 1L
       val kNull = row.isNullAt(keyIdx)
-      val kVal: Any = if (kNull) null else keyValue(row)
-      if (kNull) nulls += 1L
-      else {
-        if (minKey == null || keyOrd(kVal, minKey) < 0) minKey = kVal
-        if (maxKey == null || keyOrd(kVal, maxKey) > 0) maxKey = kVal
-      }
+      val kVal: Any = if (kNull) null else keyRaw(row)
       // bucket proof: nulls hash like hashpartitioning hashes them
       // (murmur3 of null leaves the seed), so all-null files prove a
       // bucket too
@@ -1366,8 +1604,11 @@ object KeyedTable {
         if (!f.rename(inprogress, new Path(s"$path/data", name)))
           throw new java.io.IOException(s"task commit rename failed: $name")
       }
-      KFileMessage(name, rows, nulls,
-        if (bucketTag < 0) -1 else bucketTag, encStat(minKey), encStat(maxKey))
+      val cs = schema.indices.map(i =>
+        KeyStats(colNulls(i), encStat(colMin(i)), encStat(colMax(i))))
+      KFileMessage(name, rows, colNulls(keyIdx),
+        if (bucketTag < 0) -1 else bucketTag,
+        encStat(colMin(keyIdx)), encStat(colMax(keyIdx)), cs)
     }
 
     override def abort(): Unit = {
@@ -1512,25 +1753,39 @@ object KeyedTable {
   }
 
   /** Can file `e` possibly hold a row matching `fl`? Conservative:
-    * unknown shapes/types/columns keep the file. Equality/IN
-    * predicates route by BUCKET when the file proved one — the exact
-    * pruning a partition-key predicate gets from Cassandra token
-    * routing, and far sharper than range overlap on hash-clustered
-    * files (each commit's files cover interleaved key ranges, but a
-    * key hashes into exactly one file per commit). Range predicates
-    * prune by the recorded min/max — tight when loads arrive in key
-    * ranges (the incremental-load shape). */
-  private def mayMatch(e: KFileEntry, keyType: Option[DataType],
+    * unknown shapes/types/columns keep the file. The predicate's
+    * column resolves through the table schema to the file's ZONE MAP
+    * slot (per-column nulls/min/max — positional over the file's
+    * frame prefix, so evolution-era files line up), falling back to
+    * the legacy key-only stats; files with neither are always kept.
+    * KEY equality/IN predicates additionally route by BUCKET when the
+    * file proved one — the exact pruning a partition-key predicate
+    * gets from Cassandra token routing, and far sharper than range
+    * overlap on hash-clustered files (each commit's files cover
+    * interleaved key ranges, but a key hashes into exactly one file
+    * per commit). Range predicates prune by the recorded min/max —
+    * tight when loads arrive in ranges of that column (the
+    * incremental-load shape), and on ANY column, which is what makes
+    * the reference's own non-key config predicates (json:53-58 via
+    * py:118-120) prune a loaded table's files. */
+  private def mayMatch(e: KFileEntry, schema: StructType,
       fl: Filter): Boolean = {
     import org.apache.spark.sql.sources._
-    val st = e.stats.orNull
-    val dt = keyType.orNull
-    if (st == null || dt == null || !attrOf(fl).contains(e.key)) return true
+    val attr = attrOf(fl).getOrElse(return true)
+    val idx = schema.fieldNames.indexOf(attr)
+    if (idx < 0) return true // metadata column / unknown attribute
+    val dt = schema.fields(idx).dataType
+    val isKey = attr == e.key
+    val st: KeyStats =
+      if (idx < e.colStats.length) e.colStats(idx)
+      else if (isKey) e.stats.orNull
+      else null
+    if (st == null) return true
     val hasNonNull = st.minEnc.isDefined
     def geMin(v: Any) = st.minEnc.flatMap(cmpEnc(dt, _, v)).forall(_ <= 0)
     def leMax(v: Any) = st.maxEnc.flatMap(cmpEnc(dt, _, v)).forall(_ >= 0)
     def inBucket(v: Any): Boolean =
-      e.bucket < 0 || e.buckets <= 0 ||
+      !isKey || e.bucket < 0 || e.buckets <= 0 ||
         toCatalyst(dt, v).forall(cv => bucketOf(cv, dt, e.buckets) == e.bucket)
     fl match {
       case IsNull(_) => st.nulls > 0
@@ -1556,16 +1811,37 @@ object KeyedTable {
     * that manifest (row ordinal completes the (seq, pos) order at read
     * time). */
   private[sources] final case class KSplit(entry: KFileEntry, seq: Long,
-      fileIdx: Int)
+      fileIdx: Int,
+      // the field count the file was framed with (-1 = pre-evolution
+      // manifest; resolves to baseNcols / the full schema at read)
+      ncols: Int = -1)
 
   /** The live splits a scan plans from: one per file of every LIVE
     * manifest (superseded ones excluded; `asOf` time travel applies),
-    * in (seq, fileIdx) coordinates. */
+    * in (seq, fileIdx) coordinates. An explicit `pinned` name set
+    * (the merge views' snapshot pin) overrides the live listing
+    * entirely: supersedes were applied when the pin was listed, and
+    * TTL expiry is deliberately NOT re-evaluated — the scans of one
+    * snapshot-consistent view must agree on the set to the row. */
   private def liveSplits(path: String, conf: Configuration,
-      asOf: Option[Long]): Seq[KSplit] =
-    liveManifests(path, conf, asOf).flatMap { m =>
-      m.entries.zipWithIndex.map { case (e, i) => KSplit(e, m.seq, i) }
+      asOf: Option[Long], pinned: Option[Set[String]] = None): Seq[KSplit] = {
+    val ms = pinned match {
+      case Some(names) => manifests(path, conf).filter(m => names(m.name))
+      case None => liveManifests(path, conf, asOf)
     }
+    ms.flatMap { m =>
+      m.entries.zipWithIndex.map { case (e, i) => KSplit(e, m.seq, i, m.ncols) }
+    }
+  }
+
+  /** Frame width for pre-evolution manifests (no #ncols header): the
+    * `baseNcols` property recorded at the first evolution, else the
+    * full schema (a never-evolved table). */
+  private def legacyNcols(path: String, conf: Configuration,
+      full: StructType): Int =
+    readProps(path, conf).get("baseNcols")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(full.length)
 
   /** `tableSchema` is the committed DATA schema (the frame plan);
     * `advertised` is what the table handle exposes — identical except
@@ -1575,7 +1851,9 @@ object KeyedTable {
   private final class KScanBuilder(path: String, tableSchema: StructType,
       advertised: StructType, only: Option[String], perTrigger: Int,
       clusteredRead: Boolean, asOfSeq: Option[Long],
-      tombMode: String = "include")
+      tombMode: String = "include",
+      pinned: Option[Set[String]] = None,
+      changes: Option[(Long, Long)] = None)
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1614,19 +1892,21 @@ object KeyedTable {
       case None => false
     }
 
-    private lazy val statsEntries: Option[(Seq[KFileEntry], String)] = {
-      val entries = liveSplits(path, hadoopConf(), asOfSeq).map(_.entry)
-        .filter(tombSelect)
-      val chosen = only match {
-        case Some(f) => entries.filter(_.file == f)
-        case None => entries
+    private lazy val statsEntries: Option[(Seq[KFileEntry], String)] =
+      if (changes.isDefined) None // a change feed reads ROWS
+      else {
+        val entries = liveSplits(path, hadoopConf(), asOfSeq, pinned)
+          .map(_.entry).filter(tombSelect)
+        val chosen = only match {
+          case Some(f) => entries.filter(_.file == f)
+          case None => entries
+        }
+        val keys = chosen.map(_.key).distinct
+        if (chosen.forall(e => e.rows >= 0 && e.stats.isDefined) &&
+            keys.size <= 1 && keys.forall(_.nonEmpty))
+          Some((chosen, keys.headOption.getOrElse("")))
+        else None
       }
-      val keys = chosen.map(_.key).distinct
-      if (chosen.forall(e => e.rows >= 0 && e.stats.isDefined) &&
-          keys.size <= 1 && keys.forall(_.nonEmpty))
-        Some((chosen, keys.headOption.getOrElse("")))
-      else None
-    }
 
     private def translateAgg(
         agg: org.apache.spark.sql.connector.expressions.aggregate
@@ -1662,7 +1942,7 @@ object KeyedTable {
         new KAggScan(path, entries, key, keyType, specs)
       case None => new KScan(path, tableSchema, required,
         pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
-        tombMode, new SerConf(hadoopConf()))
+        tombMode, pinned, changes, new SerConf(hadoopConf()))
     }
 
     private def tombSelect(e: KFileEntry): Boolean = tombMode match {
@@ -1771,12 +2051,27 @@ object KeyedTable {
   private final class KScan(path: String, tableSchema: StructType,
       required: StructType, filters: Array[Filter], only: Option[String],
       manifestsPerTrigger: Int, clusteredRead: Boolean,
-      asOfSeq: Option[Long], tombMode: String, conf: SerConf)
+      asOfSeq: Option[Long], tombMode: String,
+      pinned: Option[Set[String]], changes: Option[(Long, Long)],
+      conf: SerConf)
       extends Scan with Batch with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
     private lazy val all: Seq[KSplit] = {
-      val splits = liveSplits(path, conf.value, asOfSeq).filter { sp =>
+      val base = changes match {
+        case Some((from, to)) =>
+          // batch CHANGE FEED: every committed manifest in (from, to]
+          // — superseded originals included (the events happened),
+          // snapshot rewrites excluded (dataChange=false, the same
+          // rule the tail stream applies)
+          manifests(path, conf.value)
+            .filter(m => m.seq > from && m.seq <= to &&
+              !m.name.startsWith("rewrite-"))
+            .flatMap(m => m.entries.zipWithIndex.map {
+              case (e, i) => KSplit(e, m.seq, i, m.ncols) })
+        case None => liveSplits(path, conf.value, asOfSeq, pinned)
+      }
+      val splits = base.filter { sp =>
         tombMode match {
           case "only" => sp.entry.tombstone
           case "skip" => !sp.entry.tombstone
@@ -1791,9 +2086,6 @@ object KeyedTable {
         case None => splits
       }
     }
-
-    private def keyTypeOf(e: KFileEntry): Option[DataType] =
-      tableSchema.fields.find(_.name == e.key).map(_.dataType)
 
     /** Runtime (DPP-style) filters — delivered mid-execution from a
       * completed build side (e.g. the IN-set of a joined dimension's
@@ -1820,10 +2112,10 @@ object KeyedTable {
       * group set Spark already planned around. */
     private lazy val staticPlanned: Seq[KSplit] =
       all.filter(s => filters.forall(fl =>
-        mayMatch(s.entry, keyTypeOf(s.entry), fl)))
+        mayMatch(s.entry, tableSchema, fl)))
 
     private def survivesRuntime(s: KSplit): Boolean =
-      runtimeFilters.forall(fl => mayMatch(s.entry, keyTypeOf(s.entry), fl))
+      runtimeFilters.forall(fl => mayMatch(s.entry, tableSchema, fl))
 
     private def planned: Seq[KSplit] =
       staticPlanned.filter(survivesRuntime)
@@ -1882,7 +2174,8 @@ object KeyedTable {
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new KReaderFactory(tableSchema, required, conf)
+      new KReaderFactory(tableSchema, required, conf,
+        legacyNcols(path, conf.value, tableSchema))
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
           .read.streaming.MicroBatchStream =
@@ -1973,12 +2266,13 @@ object KeyedTable {
       delta.flatMap { name =>
         val m = parseManifest(name, manifestLines(path, name, conf.value))
         m.entries.zipWithIndex.map { case (e, i) =>
-          KFilesPartition(path, Seq(KSplit(e, m.seq, i)))
+          KFilesPartition(path, Seq(KSplit(e, m.seq, i, m.ncols)))
         }
       }.toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new KReaderFactory(tableSchema, required, conf)
+      new KReaderFactory(tableSchema, required, conf,
+        legacyNcols(path, conf.value, tableSchema))
     override def commit(end: V2Offset): Unit = ()
     override def stop(): Unit = ()
   }
@@ -1993,7 +2287,7 @@ object KeyedTable {
     * files (clustered reads group a bucket's files); EOF at a row
     * boundary rolls to the next file. */
   private final class KReaderFactory(full: StructType,
-      required: StructType, conf: SerConf)
+      required: StructType, conf: SerConf, legacyNcols: Int)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
@@ -2056,6 +2350,10 @@ object KeyedTable {
             }
           }
 
+        // fields the CURRENT file was framed with (schema-evolution
+        // prefix); required slots beyond it are NULL-filled per file
+        private var frame = full.length
+
         private def nextFile(): Boolean = {
           if (in != null) { in.close(); in = null }
           fileIdx += 1
@@ -2070,6 +2368,15 @@ object KeyedTable {
               row.update(fileSlot, UTF8String.fromString(s.entry.file))
             posBase = s.fileIdx.toLong << 40
             ordinal = 0L
+            frame = if (s.ncols >= 0) math.min(s.ncols, full.length)
+              else legacyNcols
+            // columns the file predates stay null for every row of it
+            var j = frame
+            while (j < outSlot.length) {
+              val slot = outSlot(j)
+              if (slot >= 0) row.update(slot, null)
+              j += 1
+            }
             true
           }
         }
@@ -2084,7 +2391,7 @@ object KeyedTable {
             if (first < 0) { in.close(); in = null }
             else {
               var i = 0
-              while (i < fieldReaders.length) {
+              while (i < frame) {
                 val isNull = if (i == 0) first == 1 else in.readBoolean()
                 val slot = outSlot(i)
                 if (isNull) { if (slot >= 0) row.update(slot, null) }

@@ -54,6 +54,17 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
     resolve(ident, asOfSeq = Some(seq))
   }
 
+  /** `TIMESTAMP AS OF t`: Spark hands the instant in MICROseconds;
+    * it resolves through the manifest commit timestamps to the
+    * highest sequence committed at or before it (Delta's rule), then
+    * reads like `VERSION AS OF` — an instant before the first commit
+    * reads the empty table. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val seq = KeyedTable.resolveTsToSeq(ident.name(),
+      Math.floorDiv(timestampMicros, 1000L), KeyedTable.hadoopConf())
+    resolve(ident, asOfSeq = Some(seq))
+  }
+
   /** ONE resolution for current and versioned loads — a table property
     * or inferred contract must mean the same thing on both. A table
     * created by a sink write carries no `_props`: INFER its write
@@ -129,15 +140,41 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
         s"clustering columns $cols must not repeat the key '$key'")
       cols.mkString(",")
     }
+    // merge discipline (lww | counter) — validated here so a typo'd
+    // value can never silently run a corrupting LWW fold on a counter
+    // table later
+    val merge = Option(properties.get("merge")).map { v =>
+      require(Set("lww", "counter")(v),
+        s"TBLPROPERTIES merge='$v' must be lww|counter")
+      v
+    }
     KeyedTable.initTable(path, schema, conf)
     val props = Seq("key" -> key) ++ parts.map("writePartitions" -> _) ++
-      clustering.map("clustering" -> _)
+      clustering.map("clustering" -> _) ++ merge.map("merge" -> _)
     KeyedTable.writeProps(path, conf, props.toMap)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("KeyedTable schemas are immutable")
+  /** SCHEMA EVOLUTION through SQL: `ALTER TABLE graft_keyed.`/p` ADD
+    * COLUMNS (x BIGINT, ...)` appends nullable columns; reads
+    * NULL-fill them on files committed before the change. Every other
+    * alteration (type change, rename, drop, reposition) is rejected —
+    * it would mis-frame the binary decode of existing files. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "KeyedTable columns are flat; nested ADD COLUMNS is not supported")
+        require(a.position() == null,
+          "KeyedTable evolution appends columns; FIRST/AFTER is not supported")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"KeyedTable supports ADD COLUMNS only; got $other")
+    }
+    KeyedTable.addColumns(ident.name(), adds)
+    loadTable(ident)
+  }
 
   /** DROP TABLE removes the table directory — schema, manifests,
     * row-logs. Path-addressed, so this is the storage lifecycle call,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The CASSANDRA DATA MODEL over [[KeyedTable]]'s commit log — the
@@ -75,6 +75,31 @@ object KeyedTableOps {
     * surfaces. */
   def parseClustering(v: String): Seq[String] =
     v.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Declare the table's MERGE DISCIPLINE — how reads and compaction
+    * combine a key's versions:
+    *  - `lww` (default): last-write-wins, Cassandra's regular-column
+    *    upsert model; [[latest]] and [[rewriteCompact]] keep one row
+    *    per key.
+    *  - `counter`: every append is an INCREMENT (Cassandra counter
+    *    columns); the current state is [[counterTotals]], and
+    *    [[rewriteCompact]] folds by SUM (a counter snapshot row is
+    *    itself one increment carrying the accumulated total) — an LWW
+    *    fold of a counter table would silently collapse each key's
+    *    increment history to its latest row and corrupt every sum.
+    * Idempotent; merges into the existing properties. */
+  def declareMerge(path: String, discipline: String): Unit = {
+    require(Set("lww", "counter")(discipline),
+      s"merge discipline must be lww|counter, got '$discipline'")
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.writeProps(path, conf,
+      KeyedTable.readProps(path, conf) + ("merge" -> discipline))
+  }
+
+  /** The declared merge discipline (`lww` when undeclared). */
+  def mergeDiscipline(path: String): String =
+    KeyedTable.readProps(path, KeyedTable.hadoopConf())
+      .getOrElse("merge", "lww")
 
   /** Declare the table's clustering columns (the non-partition part of
     * its primary key). Idempotent; merges into the existing
@@ -210,10 +235,12 @@ object KeyedTableOps {
   /** The table's CURRENT STATE — what `SELECT * FROM t` means in
     * Cassandra, resolved on the table's FULL declared primary key
     * (partition key + clustering columns). SNAPSHOT-CONSISTENT: the
-    * view pins itself to the table's current commit sequence at
-    * construction, so the tombstone decision, the cut scan, and the
-    * data scan are all bound to one immutable manifest set — commits
-    * racing the read can never tear it (re-construct to see them).
+    * view pins the live manifest NAME SET at construction and threads
+    * it into every scan it builds, so the tombstone decision, the cut
+    * scan, and the data scan all plan one immutable manifest set —
+    * commits racing the read can never tear it, even one publishing
+    * at a reserved sequence at or below the pin's max (which a
+    * seq-only pin would tear on). Re-construct to see new commits.
     * Composite tables get their tombstone cuts from a tombstones-only
     * scan — plan-time-pruned to the marker files, never a second pass
     * over the data — and skip the cut join entirely when the pinned
@@ -221,8 +248,9 @@ object KeyedTableOps {
   def latest(spark: SparkSession, path: String): DataFrame = {
     val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
-    val (pin, hasTombs) = KeyedTable.snapshotInfo(path)
-    val df = tableDF(spark, path, Map("asOfSeq" -> pin.toString))
+    val snap = KeyedTable.snapshotInfo(path)
+    val pin = Map("manifests" -> snap.pinOption)
+    val df = tableDF(spark, path, pin)
     if (keys.size == 1) latestOver(df, keys)
     else {
       val dataCols = df.columns.toSeq
@@ -230,7 +258,7 @@ object KeyedTableOps {
         col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
         col(KeyedTable.MetaTombstone)): _*)
       val cuts =
-        if (hasTombs) Some(tombstoneCuts(spark, path, keys.head, pin))
+        if (snap.hasTombstones) Some(tombstoneCuts(spark, path, keys.head, pin))
         else None // no deletes in the pinned snapshot: no cut join
       compositeResolve(withMeta, keys, cuts, dataCols)
     }
@@ -255,15 +283,16 @@ object KeyedTableOps {
     val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
     val pk = keys.head
-    val (pin, hasTombs) = KeyedTable.snapshotInfo(path)
-    val df = tableDF(spark, path, Map("asOfSeq" -> pin.toString))
+    val snap = KeyedTable.snapshotInfo(path)
+    val pin = Map("manifests" -> snap.pinOption)
+    val df = tableDF(spark, path, pin)
     val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
     val withMeta = df.select((keys ++ valueCols).distinct.map(col) ++ Seq(
       col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
       col(KeyedTable.MetaTombstone)): _*)
     val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
     val live =
-      if (hasTombs) survivors
+      if (snap.hasTombstones) survivors
         .join(broadcast(tombstoneCuts(spark, path, pk, pin)), Seq(pk), "left")
         .where(col("__cut").isNull || ver > col("__cut"))
       else survivors // no deletes in the pinned snapshot: nothing to cut
@@ -273,15 +302,14 @@ object KeyedTableOps {
   }
 
   /** Per-partition-key max tombstone version, read from a
-    * tombstones-only scan pinned at the caller's snapshot: the
-    * manifest flag prunes the plan to the marker files, so building
-    * the cuts costs marker bytes, not a table scan — and through the
-    * registered catalog the scan is ALSO clustered, so the groupBy
-    * needs no Exchange. */
+    * tombstones-only scan under the caller's scan options (the
+    * snapshot pin or a rewrite fence): the manifest flag prunes the
+    * plan to the marker files, so building the cuts costs marker
+    * bytes, not a table scan — and through the registered catalog the
+    * scan is ALSO clustered, so the groupBy needs no Exchange. */
   private def tombstoneCuts(spark: SparkSession, path: String,
-      pk: String, asOfSeq: Long): DataFrame =
-    tableDF(spark, path,
-      Map("tombstones" -> "only", "asOfSeq" -> asOfSeq.toString))
+      pk: String, scanOpts: Map[String, String]): DataFrame =
+    tableDF(spark, path, scanOpts + ("tombstones" -> "only"))
       .select(col(pk), col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
       .groupBy(col(pk))
       .agg(max(struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos)))
@@ -347,18 +375,69 @@ object KeyedTableOps {
     val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
     val contract = KeyedTable.inferWriteContract(path, conf)
+    // pin the fold's scans to EXACTLY the live manifests at/below the
+    // fence as LISTED — the inputs plus still-live young tombstones.
+    // An asOf-seq read here could tear: a commit whose reserved
+    // sequence is <= fence publishing between this listing and the
+    // scan's planning would be FOLDED but not superseded (duplicate
+    // rows forever). With the name pin the late commit stays out of
+    // the fold on both sides, and the commit-time fence validation
+    // (under the maintenance lock) no-ops the fold if one landed.
+    val pinNames = live.filter(m => m.seq >= 0 && m.seq <= fence).map(_.name)
+    val pin = Map("manifests" -> pinNames.mkString(","))
     val asOf = spark.read.format("graft.sources.KeyedTable")
-      .option("asOfSeq", fence.toString).load(path)
-    val snapshot =
-      if (keys.size == 1) latestOver(asOf, keys)
-      else {
-        val dataCols = asOf.columns.toSeq
+      .options(pin).load(path)
+    val discipline = KeyedTable.readProps(path, conf).getOrElse("merge", "lww")
+    val dataCols = asOf.columns.toSeq
+    val hasTombs = live.exists(m =>
+      m.seq <= fence && m.entries.exists(_.tombstone))
+    val snapshot = discipline match {
+      case "counter" =>
+        // COUNTER FOLD: Cassandra compaction merges counter shards
+        // ADDITIVELY — per full key, SUM each counter column over the
+        // surviving increments (partition tombstone cuts applied, so
+        // reset-then-count-again keeps working). The snapshot row is
+        // itself ONE increment carrying the accumulated total, so
+        // counterTotals over [snapshot + later increments] still sums
+        // correctly. An LWW fold here would silently collapse each
+        // key's history to its latest increment and corrupt every sum.
+        val counterCols = dataCols.filterNot(keys.contains)
+        val badTypes = counterCols.filter { c =>
+          val dt = asOf.schema(asOf.schema.fieldIndex(c)).dataType
+          dt != org.apache.spark.sql.types.LongType &&
+            dt != org.apache.spark.sql.types.DoubleType
+        }
+        require(counterCols.nonEmpty,
+          s"counter table at $path has no non-key columns to accumulate")
+        require(badTypes.isEmpty,
+          s"counter fold at $path needs LONG/DOUBLE counter columns; " +
+            s"${badTypes.mkString(",")} cannot accumulate sums losslessly")
+        val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+        val withMeta = asOf.select(dataCols.map(col) ++ Seq(
+          col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
+          col(KeyedTable.MetaTombstone)): _*)
+        val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
+        val cut =
+          if (hasTombs) survivors
+            .join(broadcast(tombstoneCuts(spark, path, keys.head, pin)),
+              Seq(keys.head), "left")
+            .where(col("__cut").isNull || ver > col("__cut"))
+          else survivors
+        cut.groupBy(keys.map(col): _*)
+          .agg(sum(col(counterCols.head)).as(counterCols.head),
+            counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+          .select(dataCols.map(col): _*)
+      case "lww" if keys.size == 1 => latestOver(asOf, keys)
+      case "lww" =>
         val withMeta = asOf.select(dataCols.map(col) ++ Seq(
           col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
           col(KeyedTable.MetaTombstone)): _*)
         compositeResolve(withMeta, keys,
-          Some(tombstoneCuts(spark, path, keys.head, fence)), dataCols)
-      }
+          if (hasTombs) Some(tombstoneCuts(spark, path, keys.head, pin))
+          else None, dataCols)
+      case other => throw new IllegalArgumentException(
+        s"unknown merge discipline '$other' at $path (lww|counter)")
+    }
     snapshot.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)
       .option("writePartitions",
@@ -372,5 +451,138 @@ object KeyedTableOps {
     val committed = KeyedTable.liveManifestNames(path)
       .contains(KeyedTable.rewriteName(names))
     if (committed) Some(KeyedTable.rewriteName(names)) else None
+  }
+
+  /** Stats-driven AUTO-COMPACTION policy: decide from manifest
+    * METADATA alone (one `_commits` listing, zero data bytes scanned)
+    * whether a [[rewriteCompact]] pays, and run it when it does — the
+    * maintenance call a pipeline makes after each load wave instead
+    * of folding on a timer. A fold pays when the live log has
+    * fragmented (many live data commits — every extra live manifest
+    * is another merge input for each latest() read), when purgeable
+    * tombstones are outstanding (past the grace, rewriting drops the
+    * hidden versions AND the markers), or when live files run small
+    * on average (per-entry row counts are already in the manifest).
+    * Anything below threshold is a cheap no-op, so calling this after
+    * every load wave is safe by construction. */
+  final case class CompactionPolicy(
+      minLiveDataManifests: Int = 8,
+      smallFileRows: Long = 0L,
+      tombstoneGraceMs: Long = 24L * 3600 * 1000)
+
+  def maybeCompact(spark: SparkSession, path: String,
+      policy: CompactionPolicy = CompactionPolicy()): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = KeyedTable.liveManifests(path, conf)
+    val now = System.currentTimeMillis()
+    val dataManifests = live.filter(_.entries.exists(!_.tombstone))
+    val purgeableTombs = live.exists(m => m.entries.nonEmpty &&
+      m.entries.forall(_.tombstone) &&
+      m.ts >= 0 && m.ts <= now - policy.tombstoneGraceMs)
+    val files = live.flatMap(_.entries).filter(e => !e.tombstone && e.rows >= 0)
+    val smallFiles = policy.smallFileRows > 0 && files.size > 1 &&
+      files.map(_.rows).sum / files.size < policy.smallFileRows
+    if (dataManifests.size >= policy.minLiveDataManifests ||
+        purgeableTombs || smallFiles)
+      rewriteCompact(spark, path, policy.tombstoneGraceMs)
+    else None
+  }
+
+  /** Batch CHANGE FEED: every change event committed in (fromSeq,
+    * toSeq] — upsert rows and tombstone markers, each carrying its
+    * version surface (_seq, _pos, _tombstone, _file as real columns).
+    * Superseded originals are included (the events happened; snapshot
+    * rewrites fold content forward but change history is the log) and
+    * rewrite manifests are excluded (dataChange=false) — exactly the
+    * rule the streaming tail applies, so a batch consumer reading
+    * changesBetween(v1, v2) sees the same events a tail stream would
+    * have delivered across those commits. */
+  def changesBetween(spark: SparkSession, path: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq, s"changesBetween($fromSeq, $toSeq) is empty")
+    spark.read.format("graft.sources.KeyedTable")
+      .option("withVersion", "true")
+      .option("changesFromSeq", fromSeq.toString)
+      .option("changesToSeq", toSeq.toString)
+      .load(path)
+  }
+
+  /** SQL MERGE INTO, compiled to the table's NATIVE verbs — the
+    * single-statement spelling of the CDC apply a migration user
+    * reaches for first. Star semantics (UPDATE SET * / INSERT *: the
+    * source carries every table column); clause conditions evaluate
+    * over the source rows, clause order is SQL MERGE's (DELETE before
+    * UPDATE):
+    *
+    *  - WHEN MATCHED AND deleteWhen THEN DELETE   -> one tombstone
+    *    commit (O(#deleted keys) marker bytes, nothing scanned);
+    *  - WHEN MATCHED [AND !deleteWhen] THEN UPDATE SET * -> appends
+    *    (upserts — last-write-wins outranks the old versions);
+    *  - WHEN NOT MATCHED THEN INSERT *            -> the same append.
+    *
+    * Updates and inserts land as ONE append commit; "matched" means
+    * present in the CURRENT state (the snapshot-pinned [[latest]]
+    * view — tombstoned keys count as absent, so re-inserting a
+    * deleted key takes the INSERT branch and wins, exactly Cassandra).
+    * The delete key set crosses the driver (it becomes the tombstone
+    * predicate) — MERGE deletes are CDC-delete-wave sized, the same
+    * bound as the SQL DELETE path. DELETE on a composite-key table is
+    * refused: tombstones are partition-level (range tombstones), so a
+    * full-key MERGE delete would silently hide sibling clustering
+    * rows. */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+      deleteWhen: Option[Column] = None,
+      updateWhenMatched: Boolean = true,
+      insertWhenNotMatched: Boolean = true): Unit = {
+    val conf = KeyedTable.hadoopConf()
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    val schema = KeyedTable.readSchemaFile(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"KeyedTable at $path has no committed schema"))
+    val dataCols = schema.fieldNames.toSeq
+    val missing = dataCols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"MERGE uses SET * / INSERT *: source lacks table columns " +
+        missing.mkString(","))
+    require(deleteWhen.isEmpty || keys.size == 1,
+      s"MERGE ... DELETE on composite-key table $path refused: " +
+        "tombstones delete whole partitions (range tombstones), which " +
+        "would hide sibling clustering rows — use SQL DELETE on the " +
+        "partition key explicitly")
+    val pk = keys.head
+    val parallelism = KeyedTable.readProps(path, conf).get("writePartitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .orElse(KeyedTable.inferWriteContract(path, conf).map(_._2))
+      .getOrElse(8)
+    val current = latest(spark, path).select(keys.map(col): _*)
+    val matched = source.join(current, keys, "left_semi")
+    // tombstone wave FIRST (its commit sequence precedes the upsert
+    // wave's, and the two waves' key sets are disjoint by clause
+    // precedence, so ordering can never mis-resolve)
+    deleteWhen.foreach { cond =>
+      val ks = matched.where(cond).select(col(pk)).distinct()
+        .collect().toSeq.map(_.get(0)).filter(_ != null).map {
+          case s: String => org.apache.spark.unsafe.types.UTF8String
+            .fromString(s)
+          case v => v
+        }
+      if (ks.nonEmpty)
+        KeyedTable.deleteKeys(path, schema, pk, ks, parallelism, conf)
+    }
+    val updates =
+      if (!updateWhenMatched) None
+      else Some(deleteWhen.map(c => matched.where(!c)).getOrElse(matched))
+    val inserts =
+      if (insertWhenNotMatched) Some(source.join(current, keys, "left_anti"))
+      else None
+    (updates.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
+      .foreach { wave =>
+        wave.select(dataCols.map(col): _*)
+          .write.format("graft.sources.KeyedTable")
+          .option("key", pk)
+          .option("writePartitions", parallelism.toString)
+          .mode("append").save(path)
+      }
   }
 }
