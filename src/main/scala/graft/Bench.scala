@@ -40,6 +40,28 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Throwable => "[]" }
+    // IDLE-LOAD GUARD: a contended box once doubled a round artifact's
+    // headline (r16: loadavg 3.46 read as a 2× "regression" that cost
+    // real adjudication effort). Wait for the box to go quiet — up to
+    // ~5 minutes — and RECORD the verdict either way, so the artifact
+    // carries its own validity instead of needing a clean re-run
+    val guardMax = sys.env.get("SPARK_GRAFT_LOAD_MAX")
+      .map(_.toDouble).getOrElse(2.0)
+    def load1: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => 0.0 }
+    var guardWaits = 0
+    while (load1 > guardMax && guardWaits < 10) {
+      System.err.println(
+        s"[bench] loadavg ${load1} > $guardMax — waiting 30s for idle " +
+          s"(${guardWaits + 1}/10)")
+      Thread.sleep(30000)
+      guardWaits += 1
+    }
+    val guardVerdict =
+      if (load1 <= guardMax) "ok"
+      else f"contended(loadavg=${load1}%.2f>$guardMax%.1f after ${guardWaits * 30}s)"
     val loadBefore = loadavg
     val results = set.sortBy(_.name).map { q =>
       val times = (1 to runs).map { _ =>
@@ -76,7 +98,7 @@ object Bench {
     val memoNote =
       if (runs > 1) "FrameCache cleared between timed runs (independent medians)"
       else "FrameCache memos amortize across the catalog (single-pass design)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"loadavg_before":$loadBefore,"loadavg_after":$loadavg,"runs_per_query":$runs,"memo":"$memoNote","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rawRuns,"loadavg_before":$loadBefore,"loadavg_after":$loadavg,"load_guard":"$guardVerdict","load_guard_threshold":$guardMax,"runs_per_query":$runs,"memo":"$memoNote","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,12 +57,13 @@ object Main {
           case other => other.sql
         }
       }
-    val (sink, prepare): (graft.pipeline.AppendSink,
+    val (sink, prepare, finish): (graft.pipeline.AppendSink,
+        graft.pipeline.TableSpec => Unit,
         graft.pipeline.TableSpec => Unit) = spec.sink match {
-      case None | Some(graft.pipeline.SinkSpec("parquet", _, _, _)) =>
-        (graft.pipeline.ParquetAppendSink, _ => ())
+      case None | Some(graft.pipeline.SinkSpec("parquet", _, _, _, _)) =>
+        (graft.pipeline.ParquetAppendSink, _ => (), _ => ())
       case Some(s @ graft.pipeline.SinkSpec(
-          t @ ("keyedTable" | "keyedTableIdempotent"), _, _, _)) =>
+          t @ ("keyedTable" | "keyedTableIdempotent"), _, _, _, _)) =>
         val key = s.key.getOrElse(throw new IllegalArgumentException(
           s"sink type '$t' requires a 'key' column"))
         val clustering = s.clustering
@@ -81,9 +82,21 @@ object Main {
             graft.pipeline.V2KeyedTableSink(key, s.writePartitions)
           else graft.pipeline.V2IdempotentKeyedTableSink(key,
             s.writePartitions)
+        val fin: graft.pipeline.TableSpec => Unit =
+          if (!s.autoCompact) _ => ()
+          else tb => {
+            // stats-driven maintenance as part of the job (still under
+            // the workspace lease): a metadata-only decision; folds
+            // when the load wave left the target fragmented, no-ops
+            // otherwise
+            val sess = SparkSession.active
+            graft.sources.KeyedTableOps.maybeCompact(sess,
+              spec.targetDir(tb.targetTable))
+            ()
+          }
         (snk, tb => graft.sources.KeyedTableOps.declareTable(
           spec.targetDir(tb.targetTable), key, s.writePartitions,
-          clustering))
+          clustering), fin)
       case Some(other) => throw new IllegalArgumentException(
         s"unknown sink type '${other.`type`}' (parquet | keyedTable | " +
           "keyedTableIdempotent)")
@@ -120,8 +133,8 @@ object Main {
         Relational.scanParquet(spark, p)
     }
 
-    try new Pipeline(spark, spec, source, sink, prepareTarget = prepare)
-      .runAll()
+    try new Pipeline(spark, spec, source, sink, prepareTarget = prepare,
+      finishTarget = finish).runAll()
     finally if (!hadSession) spark.stop() // py:446 — driver owns the session
   }
 }

@@ -74,7 +74,13 @@ final case class SinkSpec(
     `type`: String = "parquet",
     key: Option[String] = None,
     writePartitions: Int = 8,
-    clustering: Option[String] = None)
+    clustering: Option[String] = None,
+    /** Keyed-table sinks only: after each table's load completes
+      * (still under the workspace lease), run the stats-driven
+      * auto-compaction policy — a metadata-only decision that folds
+      * the target when the live log has fragmented and is a cheap
+      * no-op otherwise. */
+    autoCompact: Boolean = false)
 
 final case class JobSpec(
     /** Workspace root; raw/transformed/checkpoint conventions below it

@@ -80,6 +80,26 @@ final case class V2IdempotentKeyedTableSink(keyCol: String,
       .mode("append").save(target)
 }
 
+/** JDBC sink through the pipeline seam — the write-back twin of the
+  * reference's JDBC READ side (it scans Oracle over JDBC,
+  * py:101-116, but never loads one; a migration engine users can
+  * point both ways closes the loop). Each staged file appends into
+  * the relational target via [[Relational.sinkJdbc]]; `numPartitions`
+  * caps concurrent connections exactly the way the reference caps
+  * Cassandra write parallelism (py:306-307), `batchSize` mirrors the
+  * read-side fetchSize (json:31). The pipeline `target` argument is
+  * unused — the JDBC table IS the destination. At-least-once per
+  * staged file, like the reference's loader; the pipeline's
+  * checkpoint markers make per-file delivery effectively
+  * exactly-once. */
+final case class JdbcAppendSink(url: String, table: String,
+    driver: String = "", batchSize: Int = 10000,
+    numPartitions: Int = 8) extends AppendSink {
+  def append(df: DataFrame, target: String): Unit =
+    Relational.sinkJdbc(df, url, table, mode = "append", driver = driver,
+      batchSize = batchSize, numPartitions = numPartitions)
+}
+
 /** Exactly-once variant (beyond the reference's at-least-once,
   * SURVEY.md §3.4): output is keyed by the SOURCE file
   * (`target/src=<file>`) and written with overwrite, so a crash
@@ -127,7 +147,14 @@ final class Pipeline(
       * concurrent job rejected by the lease can never have mutated a
       * running job's targets first. The config-driven CLI declares the
       * keyed table's write contract (key/parallelism/clustering) here. */
-    prepareTarget: TableSpec => Unit = _ => ()) {
+    prepareTarget: TableSpec => Unit = _ => (),
+    /** Target-maintenance hook, run at the END of each table's
+      * SUCCESSFUL run (still under the workspace lease). The
+      * config-driven CLI points this at the keyed table's
+      * stats-driven auto-compaction (`sink.autoCompact`) so a load
+      * wave folds its fragmentation as part of the job instead of on
+      * a timer. */
+    finishTarget: TableSpec => Unit = _ => ()) {
 
   private val log = LoggerFactory.getLogger(classOf[Pipeline])
   private val storage = new Storage(spark.sparkContext.hadoopConfiguration)
@@ -270,7 +297,7 @@ final class Pipeline(
       s"${spec.workspace}/logs", t.targetTable)
     def binfo(msg: String): Unit = { log.info(msg); tlog.info(msg) }
     def bwarn(msg: String): Unit = { log.warn(msg); tlog.warn(msg) }
-    try runTableLogged(t, binfo, bwarn, tlog)
+    try { runTableLogged(t, binfo, bwarn, tlog); finishTarget(t) }
     catch {
       case e: Exception =>
         // py:415-417 — failure is recorded in the table log, then raised

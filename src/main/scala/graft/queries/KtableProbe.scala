@@ -141,13 +141,43 @@ object KtableProbe {
     emit("probe" -> "vacuum", "reclaimed_files" -> reclaimed.size,
       "sec" -> tVac)
 
-    // counter read: sum-merge per key over the folded log — cuts +
-    // aggregate both exchange-free through the catalog
-    val totals = graft.sources.KeyedTableOps.counterTotals(spark, t, Seq("c"))
-    val (nCnt, tCnt) = timed(totals.count())
-    emit("probe" -> "counter_totals", "keys" -> nCnt,
+    // stats-driven auto-compaction: the decision is metadata-only (one
+    // _commits listing, zero data bytes); on the just-folded table it
+    // must be a cheap no-op
+    val (decision, tPol) = timed(graft.sources.KeyedTableOps.maybeCompact(
+      spark, t,
+      graft.sources.KeyedTableOps.CompactionPolicy(minLiveDataManifests = 8)))
+    emit("probe" -> "auto_compact_decision", "folded" -> decision.isDefined,
+      "sec" -> tPol)
+
+    // COUNTER table probe — on its OWN table with merge=counter
+    // declared (the main `t` is an LWW table; measuring counterTotals
+    // on it post-rewrite would sum one surviving row per key, not a
+    // counter workload): 8 increment commits per key, the sum-merge
+    // read exchange-free through the catalog, then the counter FOLD
+    // (additive merge — never LWW) with sums proven unmoved across it
+    val tc = s"$dir/tc"
+    val incCommits = 8
+    (0 until incCommits).foreach { _ =>
+      sink.append(spark.range(0, per)
+        .select(col("id").as("k"), lit(1L).as("c")), tc)
+    }
+    graft.sources.KeyedTableOps.declareMerge(tc, "counter")
+    def totals = graft.sources.KeyedTableOps.counterTotals(spark, tc, Seq("c"))
+    val (sumPre, tCntPre) = timed(
+      totals.agg(sum(col("sum_c"))).head.getLong(0))
+    emit("probe" -> "counter_totals_pre_fold", "keys" -> per,
+      "increments" -> incCommits * per, "sum" -> sumPre,
       "shuffles" -> graft.ops.PlanChecks.countShuffles(
-        totals.queryExecution.executedPlan), "sec" -> tCnt)
+        totals.queryExecution.executedPlan), "sec" -> tCntPre)
+    val (_, tFold) = timed(
+      graft.sources.KeyedTableOps.rewriteCompact(spark, tc, 0))
+    val (sumPost, tCntPost) = timed(
+      totals.agg(sum(col("sum_c"))).head.getLong(0))
+    emit("probe" -> "counter_totals_post_fold",
+      "sum_matches" -> (sumPre == sumPost),
+      "live_files" -> KeyedTable.liveFiles(tc).size,
+      "fold_sec" -> tFold, "sec" -> tCntPost)
 
     // raw scans over the folded table read one commit's worth of bytes
     val (nFull2, tFull2) = timed(

@@ -93,6 +93,72 @@ object RelationalQueries {
     * conf — so no later entry's plan depends on whether this one ran
     * first (the same session-hygiene rule the streaming runs follow
     * for their state-store provider). */
+  /** Shared by q_ktable_time_travel (VERSION AS OF) and
+    * q_ktable_time_travel_ts (TIMESTAMP AS OF): the two spellings must
+    * resolve the SAME pinned snapshot, so they gate on one oracle. */
+  private val timeTravelOracleSql =
+    """SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
+      |WHERE o_orderkey <=
+      |  (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 FROM orders)
+      |""".stripMargin
+
+  /** The counter-increment fixture (base wave + every-10th-order wave,
+    * two smallest customers reset, smallest re-incremented) — the CTE
+    * both counter oracles share. q_ktable_counter checks (n_inc,
+    * sum_cents); q_ktable_counter_compact checks sum_cents only,
+    * because a counter FOLD legitimately collapses increment counts
+    * (one snapshot row per key carries the accumulated total) while
+    * sums must never move. */
+  private val counterIncCte =
+    """WITH dels AS (
+      |  SELECT DISTINCT o_custkey AS dk FROM orders
+      |  ORDER BY dk LIMIT 2),
+      |mn AS (SELECT min(o_custkey) AS m FROM orders),
+      |inc AS (
+      |  SELECT o_custkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_custkey NOT IN (SELECT dk FROM dels)
+      |  UNION ALL
+      |  SELECT o_custkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_custkey NOT IN (SELECT dk FROM dels)
+      |    AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_custkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_custkey = (SELECT m FROM mn) AND o_orderkey % 2 = 0)""".stripMargin
+
+  /** The counter-increment table build the two counter entries share:
+    * base increments, a second wave, a partition reset (DELETE) of the
+    * two smallest customers, fresh increments for the smallest.
+    * Returns the delete keys. CALL INSIDE withKeyedCatalog. */
+  private def buildCounterTable(s: SparkSession, d: String,
+      target: String): Array[Long] = {
+    val src = Tables(s, d, "orders").select(
+      col("o_custkey").as("k"),
+      col("o_orderkey").as("ord"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val inc = src.select("k", "cents")
+    val sink = graft.pipeline.V2KeyedTableSink("k")
+    sink.append(inc, target)
+    sink.append(src.where(col("ord") % 10 === 0)
+      .select("k", "cents"), target)
+    val dels = src.select("k").distinct().orderBy(col("k")).limit(2)
+      .collect().map(_.getLong(0))
+    s.sql(s"DELETE FROM graft_keyed.`$target` " +
+      s"WHERE k IN (${dels.mkString(", ")})")
+    // fresh increments after the reset count from zero
+    sink.append(src.where(col("k") === dels.min &&
+      col("ord") % 2 === 0).select("k", "cents"), target)
+    dels
+  }
+
   private def withKeyedCatalog[A](s: SparkSession)(body: => A): A = {
     val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
     val prior = s.conf.getOption(bucketingKey)
@@ -666,11 +732,8 @@ object RelationalQueries {
     // rewrites above the fence) are invisible, the Spark-native
     // spelling of a snapshot-consistent read over the migration
     // target. ----
-    QueryDef("q_ktable_time_travel", effectful = true, oracle = Some(
-      """SELECT o_orderkey AS k, o_orderstatus AS status FROM orders
-        |WHERE o_orderkey <=
-        |  (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 FROM orders)
-        |""".stripMargin))(
+    QueryDef("q_ktable_time_travel", effectful = true,
+      oracle = Some(timeTravelOracleSql))(
       (s, d) => graft.ops.FrameCache.memo(s, s"ktable:time_travel:$d") {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_ktt_").toString
@@ -938,28 +1001,7 @@ object RelationalQueries {
     // reset of the two smallest customers, then fresh increments for
     // the smallest — the read is one clustered aggregate. ----
     QueryDef("q_ktable_counter", effectful = true, oracle = Some(
-      """WITH dels AS (
-        |  SELECT DISTINCT o_custkey AS dk FROM orders
-        |  ORDER BY dk LIMIT 2),
-        |mn AS (SELECT min(o_custkey) AS m FROM orders),
-        |inc AS (
-        |  SELECT o_custkey AS k,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders WHERE o_custkey NOT IN (SELECT dk FROM dels)
-        |  UNION ALL
-        |  SELECT o_custkey AS k,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders
-        |  WHERE o_custkey NOT IN (SELECT dk FROM dels)
-        |    AND o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_custkey AS k,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders
-        |  WHERE o_custkey = (SELECT m FROM mn) AND o_orderkey % 2 = 0)
+      s"""$counterIncCte
         |SELECT k, CAST(count(*) AS BIGINT) AS n_inc,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM inc GROUP BY k""".stripMargin))(
@@ -967,24 +1009,8 @@ object RelationalQueries {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_kcnt_").toString
         val target = s"$tmp/t"
-        val src = Tables(s, d, "orders").select(
-          col("o_custkey").as("k"),
-          col("o_orderkey").as("ord"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        val inc = src.select("k", "cents")
-        val sink = graft.pipeline.V2KeyedTableSink("k")
-        sink.append(inc, target)
-        sink.append(src.where(col("ord") % 10 === 0)
-          .select("k", "cents"), target)
-        val dels = src.select("k").distinct().orderBy(col("k")).limit(2)
-          .collect().map(_.getLong(0))
         val out = withKeyedCatalog(s) {
-          s.sql(s"DELETE FROM graft_keyed.`$target` " +
-            s"WHERE k IN (${dels.mkString(", ")})")
-          // fresh increments after the reset count from zero
-          sink.append(src.where(col("k") === dels.min &&
-            col("ord") % 2 === 0).select("k", "cents"), target)
+          buildCounterTable(s, d, target)
           val totals = graft.sources.KeyedTableOps
             .counterTotals(s, target, Seq("cents"))
           assert(graft.ops.PlanChecks.countShuffles(
@@ -992,6 +1018,50 @@ object RelationalQueries {
             "counter totals planned an Exchange — the sum-merge must " +
               "ride the write clustering")
           totals.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- COUNTER COMPACTION: the fold obeys the table's DECLARED
+    // merge discipline (`merge=counter` table property). A counter
+    // table's snapshot rewrite merges increments ADDITIVELY per key —
+    // Cassandra compaction merging counter shards — never
+    // last-write-wins (which would silently collapse each key's
+    // increment history to its latest row and corrupt every sum).
+    // Gated on the same increment fixture as q_ktable_counter, minus
+    // n_inc: the fold legitimately collapses increment COUNTS (one
+    // snapshot row carries the accumulated total) while sums must not
+    // move a cent — asserted both against the oracle and pre-vs-post
+    // inside the entry. ----
+    QueryDef("q_ktable_counter_compact", effectful = true, oracle = Some(
+      s"""$counterIncCte
+        |SELECT k, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM inc GROUP BY k""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:counter_compact:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcntc_").toString
+        val target = s"$tmp/t"
+        val out = withKeyedCatalog(s) {
+          buildCounterTable(s, d, target)
+          graft.sources.KeyedTableOps.declareMerge(target, "counter")
+          def totals = graft.sources.KeyedTableOps
+            .counterTotals(s, target, Seq("cents"))
+            .select(col("k"), col("sum_cents"))
+          val pre = totals.localCheckpoint(true)
+          val manifestsBefore =
+            graft.sources.KeyedTable.liveManifestNames(target).size
+          val folded = graft.sources.KeyedTableOps
+            .rewriteCompact(s, target, tombstoneGraceMs = 0)
+          assert(folded.isDefined, "counter fold did not commit")
+          assert(graft.sources.KeyedTable.liveManifestNames(target).size
+            < manifestsBefore,
+            "the fold must shrink the live manifest set")
+          val post = totals.localCheckpoint(true)
+          assert(pre.except(post).isEmpty && post.except(pre).isEmpty,
+            "counter sums moved across the fold — compaction must " +
+              "merge increments additively, not last-write-wins")
+          post
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out
@@ -1076,6 +1146,257 @@ object RelationalQueries {
           latest.select(col("k").as("o_orderkey"), col("last_op"),
             col("status"), col("cents"), col("version"))
             .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- ALL-COLUMN ZONE MAPS: every manifest line now carries
+    // per-column (nulls, min, max), so a NON-key predicate — exactly
+    // the reference's own filter surface (x_cust_id ranges / IN-lists,
+    // json:53-58 applied at py:118-120) — prunes committed files
+    // before a byte is read. Orders load as two commits split by
+    // CUSTKEY range (the incremental-load shape: each commit's files
+    // have tight custkey zones even though the table is keyed and
+    // bucketed on ORDERKEY); a custkey range probe must plan only the
+    // matching commit's files (in-entry lint: planned < committed).
+    // Then a snapshot rewrite folds the commits and a KEY point lookup
+    // proves compaction tightens planning further: one file after vs
+    // one per commit before. ----
+    QueryDef("q_scan_ktable_zonemap_prune", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_custkey <=
+        |  (SELECT (min(o_custkey) + max(o_custkey)) // 2 FROM orders)
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_zonemap:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kzone_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_custkey").as("ck"),
+          col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("ck")), max(col("ck"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("ck") <= half), target)
+        sink.append(src.where(col("ck") > half), target)
+        def planned(df: org.apache.spark.sql.DataFrame): Int = {
+          val scans = df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }
+          assert(scans.nonEmpty, "no v2 scan found in the plan")
+          scans.sum
+        }
+        def read = s.read.format("graft.sources.KeyedTable").load(target)
+        val committed = graft.sources.KeyedTable.committedFiles(target).size
+        val probe = read.where(col("ck") <= half)
+        assert(planned(probe) <= committed / 2,
+          s"non-key zone maps did not prune: planned ${planned(probe)} " +
+            s"of $committed committed files on a half-range custkey probe")
+        // compaction tightens KEY planning deterministically via an
+        // UPSERT: re-write the smallest key (third commit), so its
+        // versions live in two commits — a point lookup must plan a
+        // candidate file in each (bucket + range both pass: the key IS
+        // there) — then fold; the snapshot holds the key exactly once
+        val key0 = src.agg(min(col("k"))).head.getLong(0)
+        sink.append(src.where(col("k") === key0), target)
+        def lookup = read.where(col("k") === key0)
+        val lookupBefore = planned(lookup)
+        assert(lookupBefore >= 2,
+          s"upserted key must plan one candidate file per commit, got $lookupBefore")
+        val folded = graft.sources.KeyedTableOps
+          .rewriteCompact(s, target, tombstoneGraceMs = 0)
+        assert(folded.isDefined, "snapshot rewrite did not commit")
+        assert(planned(lookup) == 1,
+          s"compaction did not tighten planning: $lookupBefore files " +
+            s"before, ${planned(lookup)} after (want 1)")
+        val out = read.where(col("ck") <= half).localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- MERGE INTO, the single-statement row-level-operations
+    // spelling (fourth rendering of the CDC apply, gated on the SAME
+    // oracle as the batch window apply, the streaming state machine,
+    // and the native-verbs apply — the four can never drift):
+    // KeyedTableOps.merge compiles SQL-MERGE clause semantics to the
+    // table's native verbs — matched+condition DELETE -> one tombstone
+    // commit (nothing scanned), matched UPDATE SET * -> upsert append,
+    // NOT MATCHED INSERT * -> the same append. A key deleted by an
+    // earlier MERGE counts as absent, so a later change takes the
+    // INSERT branch and wins — Cassandra re-insert semantics through
+    // MERGE. ----
+    QueryDef("q_ktable_merge_apply", effectful = true, oracle = Some(
+      QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_apply",
+        "q_ktable_merge_apply")))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:merge_apply:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kmrg_").toString
+        val target = s"$tmp/t"
+        val log = MigrationQueries.cdcLog(s, d)
+        def wave(seq: Int) = log.where(col("seq") === seq)
+          .select(col("k"), col("op").as("last_op"), col("status"),
+            col("cents"), col("seq").cast("bigint").as("version"))
+        val out = withKeyedCatalog(s) {
+          s.sql(s"CREATE TABLE graft_keyed.`$target` (k BIGINT, " +
+            "last_op STRING, status STRING, cents BIGINT, version BIGINT) " +
+            "TBLPROPERTIES('key'='k', 'writePartitions'='8')")
+          import graft.sources.KeyedTableOps
+          KeyedTableOps.merge(s, target, wave(0)) // empty table: all INSERT
+          KeyedTableOps.merge(s, target, wave(1)) // all matched: UPDATE
+          val before = graft.sources.KeyedTable.committedFiles(target).size
+          KeyedTableOps.merge(s, target, wave(2), // WHEN MATCHED AND D THEN DELETE
+            deleteWhen = Some(col("last_op") === "D"),
+            updateWhenMatched = false, insertWhenNotMatched = false)
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            "MERGE deletes must cost marker files per bucket, not a rewrite")
+          KeyedTableOps.merge(s, target, wave(3)) // update + re-insert-after-delete
+          val latest = KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the merged state must read shuffle-free")
+          latest.select(col("k").as("o_orderkey"), col("last_op"),
+            col("status"), col("cents"), col("version"))
+            .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- TIMESTAMP AS OF: the wall-clock spelling of time travel.
+    // Spark resolves the SQL timestamp to an instant; the catalog maps
+    // it through the manifest commit timestamps to the highest
+    // sequence committed at or before it (Delta's rule) and reads
+    // exactly like VERSION AS OF — gated on the same oracle as the
+    // sequence spelling, so the two resolutions can never drift. ----
+    QueryDef("q_ktable_time_travel_ts", effectful = true,
+      oracle = Some(timeTravelOracleSql))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:time_travel_ts:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kttts_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        // the pin instant: strictly after commit 1's manifest stamp,
+        // strictly before commit 2's (millisecond timestamps — a
+        // barrier sleep on each side makes the order deterministic)
+        Thread.sleep(15)
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(15)
+        sink.append(src.where(col("k") > half), target)
+        sink.append(src.where(col("k") <= half)
+          .withColumn("status", lit("X")), target)
+        val lit1 = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(t1))
+        val out = withKeyedCatalog(s) {
+          s.sql(s"SELECT * FROM graft_keyed.`$target` " +
+            s"TIMESTAMP AS OF '$lit1'").localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- BATCH CHANGE FEED: changesBetween(v1, v2) reads exactly the
+    // change events committed in (v1, v2] — the batch twin of the tail
+    // stream, gated on the SAME oracle as the keyed log's offset
+    // replay (q_keyedlog_replay): "replay from a committed position"
+    // must mean the same rows whether the position is a log offset or
+    // a table version. A snapshot rewrite folds the table BEFORE the
+    // feed is read: superseded originals must still serve change
+    // history (retention) while the rewrite itself stays invisible
+    // (dataChange=false). A second window then proves DELETE events
+    // surface as tombstone rows with their version columns. ----
+    QueryDef("q_ktable_change_feed", effectful = true, oracle = Some(
+      QueryDef.requireOracle(StreamingQueries.defs, "q_keyedlog_replay",
+        "q_ktable_change_feed")))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:change_feed:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kfeed_").toString
+        val target = s"$tmp/t"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val sink = graft.pipeline.V2KeyedTableSink("event_id")
+        sink.append(ev.where(col("event_id") % 3 =!= 0), target)
+        val v1 = graft.sources.KeyedTable.currentSeq(target)
+        sink.append(ev.where(col("event_id") % 3 === 0), target)
+        val v2 = graft.sources.KeyedTable.currentSeq(target)
+        // fold the log: the feed must keep serving the ORIGINAL
+        // commits (grace retention) and never deliver the rewrite
+        assert(graft.sources.KeyedTableOps
+          .rewriteCompact(s, target, tombstoneGraceMs = 0).isDefined)
+        val feed = graft.sources.KeyedTableOps
+          .changesBetween(s, target, v1, v2)
+        val out = feed.where(!col("_tombstone"))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .localCheckpoint(true)
+        // DELETE events surface in their own window as tombstone rows
+        val delKeys = ev.where(col("event_id") % 3 === 0)
+          .orderBy(col("event_id")).limit(3)
+          .collect().map(_.getLong(0))
+        withKeyedCatalog(s) {
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE event_id IN (${delKeys.mkString(", ")})")
+        }
+        val v3 = graft.sources.KeyedTable.currentSeq(target)
+        val tombs = graft.sources.KeyedTableOps
+          .changesBetween(s, target, v2, v3)
+        assert(tombs.where(col("_tombstone")).count() == delKeys.length &&
+          tombs.where(!col("_tombstone")).count() == 0,
+          "the delete window must carry exactly the tombstone events")
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- SCHEMA EVOLUTION on the keyed table: `ALTER TABLE ... ADD
+    // COLUMNS` widens the committed schema by trailing nullable
+    // columns; every manifest records the field count its files were
+    // framed with, so reads NULL-fill the new columns on
+    // pre-evolution files while post-evolution commits carry values —
+    // and the LWW latest view resolves across the mixed-schema log
+    // shuffle-free, exactly as before the change. Type changes /
+    // reorders / drops are rejected (spec-level): they would
+    // mis-frame the binary decode of older files. ----
+    QueryDef("q_ktable_schema_evolution", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 10 = 0
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    ELSE NULL END AS cents
+        |FROM orders""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:schema_evolution:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kevo_").toString
+        val target = s"$tmp/t"
+        val base = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(base, target) // schema v1: (k, status)
+        val out = withKeyedCatalog(s) {
+          s.sql(s"ALTER TABLE graft_keyed.`$target` ADD COLUMNS (cents BIGINT)")
+          // upsert wave under the widened schema: every 10th key
+          // re-written WITH a cents value
+          sink.append(Tables(s, d, "orders")
+            .where(col("o_orderkey") % 10 === 0)
+            .select(col("o_orderkey").as("k"),
+              col("o_orderstatus").as("status"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long").as("cents")), target)
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the latest view over a mixed-schema log must stay shuffle-free")
+          latest.localCheckpoint(true)
         }
         graft.queries.StreamingQueries.deleteRecursively(tmp)
         out

@@ -173,8 +173,16 @@ object KeyedTable {
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, dst)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(s"commit rename failed for $dst")
+      // rename-to-existing fails on HDFS and the local FS: an UPDATE
+      // (schema evolution, property merge) replaces via delete+rename.
+      // The missing-dst window is sub-millisecond and only exists for
+      // updates — first publication is a pure rename — and every
+      // update path runs under the maintenance lock, so the only
+      // exposure is a concurrent READER of a file being updated.
+      if (!f.delete(dst, false) || !f.rename(tmp, dst)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"commit rename failed for $dst")
+      }
     }
   }
 

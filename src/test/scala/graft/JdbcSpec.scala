@@ -166,4 +166,31 @@ class JdbcSpec extends SparkSpecBase {
     assert(Relational.scanJdbc(spark,
       JdbcScan(url, "nation_out", driver = driver)).count() === 2L * fixture.size)
   }
+
+  test("pipeline round-trip through the JDBC sink seam: the full 3-phase " +
+      "job loads a relational target, resumable checkpoints included") {
+    import graft.pipeline.{JdbcAppendSink, ParquetAppendSink, Pipeline}
+    def ws() = java.nio.file.Files.createTempDirectory("graft_jdbc_pipe_")
+      .toString
+    def run(sink: graft.pipeline.AppendSink): graft.pipeline.JobSpec = {
+      val sp = graft.queries.PipelineQueries.spec(ws())
+      new Pipeline(spark, sp,
+        s2 => Relational.scanParquet(spark, s"$sfDir/${s2.name}.parquet"),
+        sink = sink, retryInitialDelayMs = 1).runAll()
+      sp
+    }
+    // truth: the identical job into the default parquet sink
+    val truthSpec = run(ParquetAppendSink)
+    val truth = spark.read.parquet(truthSpec.targetDir("enriched_lineitem"))
+    run(JdbcAppendSink(url, "enriched_out", driver, numPartitions = 2))
+    val back0 = Relational.scanJdbc(spark,
+      JdbcScan(url, "enriched_out", driver = driver))
+    val back = back0.toDF(back0.columns.map(_.toLowerCase): _*)
+    assert(back.count() === truth.count())
+    // value-level: the (order_id, line_no, qty) set survives the trip
+    val key = Seq("order_id", "line_no", "qty").map(org.apache.spark.sql
+      .functions.col)
+    assert(back.select(key: _*).except(truth.select(key: _*)).isEmpty &&
+      truth.select(key: _*).except(back.select(key: _*)).isEmpty)
+  }
 }

@@ -1,0 +1,249 @@
+package graft
+
+import graft.pipeline.V2KeyedTableSink
+import graft.sources.{KeyedTable, KeyedTableOps, KeyedTableRegistry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-17 keyed-table maintenance surface: schema evolution, all-
+  * column zone maps, MERGE compiled to native verbs, the stats-driven
+  * auto-compaction policy, counter-fold discipline, the batch change
+  * feed, TIMESTAMP AS OF, and the hardened maintenance-lock takeover.
+  * The oracled catalog entries prove end-to-end correctness; these
+  * specs pin the REFUSALS and edge contracts the entries can't
+  * (illegal evolutions, composite MERGE deletes, policy thresholds
+  * both ways, stale-lock recovery). */
+class KeyedTableMaintenanceSpec extends SparkSpecBase {
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def cleanup(t: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(t).getParentFile)
+  }
+
+  private def rows(n: Long, tag: String = "v"): DataFrame = {
+    spark.range(0, n).select(col("id").as("k"),
+      concat(lit(tag), col("id")).as("s"))
+  }
+
+  test("schema evolution: old files NULL-fill, new commits carry values") {
+    val t = tmpTable("graft_evo_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(100), t)
+    KeyedTable.addColumns(t,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    sink.append(spark.range(0, 10).select(col("id").as("k"),
+      lit("u").as("s"), (col("id") * 2).as("extra")), t)
+    val df = spark.read.format("graft.sources.KeyedTable").load(t)
+    assert(df.columns.toSeq == Seq("k", "s", "extra"))
+    // pre-evolution rows read extra as NULL; post-evolution carry it
+    assert(df.where(col("extra").isNull).count() == 100)
+    assert(df.where(col("extra").isNotNull).count() == 10)
+    val latest = KeyedTableOps.latest(spark, t)
+    assert(latest.where(col("extra").isNotNull).count() == 10)
+    assert(latest.count() == 100)
+    cleanup(t)
+  }
+
+  test("schema evolution rejects type changes, reorders, and drops") {
+    val t = tmpTable("graft_evo_bad_")
+    V2KeyedTableSink("k", 4).append(rows(10), t)
+    def write(df: DataFrame): Unit =
+      df.write.format("graft.sources.KeyedTable")
+        .option("key", "k").mode("append").save(t)
+    // type change
+    intercept[Exception] {
+      write(spark.range(0, 5).select(col("id").as("k"),
+        col("id").as("s"))) // s: long, table has string
+    }
+    // reorder
+    intercept[Exception] {
+      write(spark.range(0, 5).select(lit("x").as("s"), col("id").as("k")))
+    }
+    // drop + add (not a trailing append)
+    intercept[Exception] {
+      write(spark.range(0, 5).select(col("id").as("k"),
+        col("id").as("extra")))
+    }
+    // duplicate add through the API
+    intercept[Exception] {
+      KeyedTable.addColumns(t,
+        Seq(org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType)))
+    }
+    cleanup(t)
+  }
+
+  test("a committed-prefix write stays legal after evolution") {
+    val t = tmpTable("graft_evo_prefix_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(20), t)
+    KeyedTable.addColumns(t,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    // a writer still on the old schema (concurrent with the evolution)
+    // must not be rejected — its frame is a committed prefix
+    sink.append(rows(5, "old"), t)
+    val df = spark.read.format("graft.sources.KeyedTable").load(t)
+    assert(df.count() == 25 && df.where(col("extra").isNull).count() == 25)
+    cleanup(t)
+  }
+
+  test("zone maps prune files on non-key predicates") {
+    val t = tmpTable("graft_zone_")
+    val sink = V2KeyedTableSink("k", 4)
+    // two commits with disjoint ranges of the NON-key column v
+    sink.append(spark.range(0, 100).select(col("id").as("k"),
+      col("id").as("v")), t)
+    sink.append(spark.range(100, 200).select(col("id").as("k"),
+      (col("id") + 1000).as("v")), t)
+    val committed = KeyedTable.committedFiles(t).size
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+    val read = spark.read.format("graft.sources.KeyedTable").load(t)
+    // range on v: only commit 1's files qualify
+    assert(planned(read.where(col("v") < 100)) <= committed / 2)
+    // equality on v routes to one commit's files (no bucket proof for
+    // non-key columns — range-only, still halves the plan)
+    assert(planned(read.where(col("v") === 1100)) <= committed / 2)
+    // correctness survives pruning
+    assert(read.where(col("v") < 100).count() == 100)
+    assert(read.where(col("v") === 1100).count() == 1)
+    cleanup(t)
+  }
+
+  test("MERGE refuses composite-key deletes and missing columns") {
+    val t = tmpTable("graft_merge_bad_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(spark.range(0, 10).select(col("id").as("k"),
+      (col("id") % 3).as("ck"), col("id").as("v")), t)
+    KeyedTableOps.declareTable(t, "k", 4, clustering = Seq("ck"))
+    val src = spark.range(0, 5).select(col("id").as("k"),
+      (col("id") % 3).as("ck"), (col("id") + 100).as("v"))
+    // composite + delete -> refused (tombstones are partition-level)
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.merge(spark, t, src,
+        deleteWhen = Some(col("v") > 0))
+    }
+    // missing table column -> refused (SET * / INSERT * contract)
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.merge(spark, t, src.drop("v"))
+    }
+    // plain composite upsert-merge works
+    KeyedTableOps.merge(spark, t, src)
+    assert(KeyedTableOps.latest(spark, t)
+      .where(col("v") >= 100).count() == 5)
+    cleanup(t)
+  }
+
+  test("auto-compaction policy: thresholds hold both ways") {
+    val t = tmpTable("graft_autoc_")
+    val sink = V2KeyedTableSink("k", 4)
+    (0 until 3).foreach(i => sink.append(rows(50, s"w$i"), t))
+    val policy = KeyedTableOps.CompactionPolicy(minLiveDataManifests = 8)
+    // 3 live commits < 8, no tombstones, no small-file rule -> no-op
+    assert(KeyedTableOps.maybeCompact(spark, t, policy).isEmpty)
+    assert(KeyedTable.liveManifestNames(t).size == 3)
+    (0 until 5).foreach(i => sink.append(rows(50, s"x$i"), t))
+    // 8 live commits >= 8 -> folds to one snapshot
+    assert(KeyedTableOps.maybeCompact(spark, t, policy).isDefined)
+    assert(KeyedTable.liveManifestNames(t).size == 1)
+    // idempotent: a fresh call right after is a no-op again
+    assert(KeyedTableOps.maybeCompact(spark, t, policy).isEmpty)
+    cleanup(t)
+  }
+
+  test("auto-compaction triggers on purgeable tombstones alone") {
+    val t = tmpTable("graft_autot_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(50), t)
+    KeyedTableRegistry.register(spark)
+    spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE k IN (1, 2)")
+    val strict = KeyedTableOps.CompactionPolicy(
+      minLiveDataManifests = 99, tombstoneGraceMs = 3600 * 1000)
+    // tombstone younger than grace: not purgeable -> no-op
+    assert(KeyedTableOps.maybeCompact(spark, t, strict).isEmpty)
+    val purging = strict.copy(tombstoneGraceMs = 0)
+    // grace 0: the tombstone is purgeable -> fold applies + drops it
+    assert(KeyedTableOps.maybeCompact(spark, t, purging).isDefined)
+    assert(!KeyedTable.hasLiveTombstones(t))
+    assert(KeyedTableOps.latest(spark, t).count() == 48)
+    cleanup(t)
+  }
+
+  test("counter fold refuses non-summable counter columns") {
+    val t = tmpTable("graft_cnt_bad_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(10), t) // value column s is STRING
+    sink.append(rows(10), t)
+    KeyedTableOps.declareMerge(t, "counter")
+    val e = intercept[IllegalArgumentException] {
+      KeyedTableOps.rewriteCompact(spark, t, 0)
+    }
+    assert(e.getMessage.contains("counter"))
+    cleanup(t)
+  }
+
+  test("TIMESTAMP AS OF reader option pins the wall-clock snapshot") {
+    val t = tmpTable("graft_ts_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(10, "a"), t)
+    Thread.sleep(15)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    sink.append(rows(10, "b"), t)
+    val pinned = spark.read.format("graft.sources.KeyedTable")
+      .option("asOfTsMs", t1.toString).load(t)
+    assert(pinned.count() == 10 &&
+      pinned.where(col("s").startsWith("b")).count() == 0)
+    // an instant before the first commit reads the empty table
+    val empty = spark.read.format("graft.sources.KeyedTable")
+      .option("asOfTsMs", "1").load(t)
+    assert(empty.count() == 0)
+    cleanup(t)
+  }
+
+  test("changesBetween validates its window and excludes rewrites") {
+    val t = tmpTable("graft_feed_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(10, "a"), t)
+    val v1 = KeyedTable.currentSeq(t)
+    sink.append(rows(10, "b"), t)
+    val v2 = KeyedTable.currentSeq(t)
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.changesBetween(spark, t, v2, v1)
+    }
+    assert(KeyedTableOps.rewriteCompact(spark, t, 0).isDefined)
+    // the rewrite landed AT the fence (seq v2): the feed over (v1, v2]
+    // must carry the original wave-b rows once — never the snapshot
+    val feed = KeyedTableOps.changesBetween(spark, t, v1, v2)
+    assert(feed.count() == 10 &&
+      feed.where(col("s").startsWith("b")).count() == 10)
+    cleanup(t)
+  }
+
+  test("a stale maintenance lock is taken over; a fresh one is respected") {
+    val t = tmpTable("graft_lock_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(10), t)
+    val lock = new java.io.File(s"$t/_commits/.maint.lock")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 120000L))
+    // stale (2 min old): the overwrite's superseding commit must steal
+    // it and complete rather than time out
+    rows(5, "ow").write.format("graft.sources.KeyedTable")
+      .option("key", "k").mode("overwrite").save(t)
+    assert(KeyedTableOps.latest(spark, t).count() == 5)
+    assert(!lock.exists() || lock.length() > 0) // stolen or re-stamped
+    cleanup(t)
+  }
+}

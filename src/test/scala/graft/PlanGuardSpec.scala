@@ -298,7 +298,20 @@ class PlanGuardSpec extends SparkSpecBase {
       // machine to lint); the entry asserts one commit per micro-batch
       // and the merge is order-independent by construction (explicit
       // (_seq,_pos) version)
-      "q_stream_ktable_materialize_run"),
+      "q_stream_ktable_materialize_run",
+      // round-17 maintenance family: each running fn stages commits
+      // (loads, ALTERs, MERGEs, rewrites) — inherently run-a-job. The
+      // scale contracts are asserted INSIDE the entries (zone-map
+      // planned-files < committed-files, post-fold lookup = 1 file,
+      // MERGE delete marker-file bound, shuffle-free latest over the
+      // mixed-schema log, counter sums bit-equal across the fold,
+      // tombstone-only delete windows in the change feed) and pinned
+      // again in KeyedTableMaintenanceSpec (illegal evolutions,
+      // composite MERGE-delete refusal, policy thresholds both ways,
+      // stale-lock takeover)
+      "q_scan_ktable_zonemap_prune", "q_ktable_merge_apply",
+      "q_ktable_time_travel_ts", "q_ktable_change_feed",
+      "q_ktable_schema_evolution", "q_ktable_counter_compact"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
