@@ -1402,6 +1402,50 @@ object RelationalQueries {
         out
       }),
 
+    // ---- UPDATE, the predicate-driven upsert spelling (completing
+    // the DML verbs: DELETE = tombstones, MERGE = clause compilation,
+    // UPDATE = read-matched + SET + ONE append commit whose rows
+    // outrank the old versions under last-write-wins — Cassandra's
+    // UPDATE is an upsert write). SET expressions reference current
+    // columns (cents increments by 500), the write is O(#matched
+    // rows) — in-entry: files added <= write buckets, never a table
+    // rewrite — and the updated state reads shuffle-free. ----
+    QueryDef("q_ktable_update", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+        |FROM orders""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:update:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kupd_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        val before = graft.sources.KeyedTable.committedFiles(target).size
+        val out = withKeyedCatalog(s) {
+          graft.sources.KeyedTableOps.update(s, target,
+            col("k") % 7 === 0,
+            Map("status" -> lit("X"), "cents" -> (col("cents") + 500)))
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            "UPDATE must append the matched rows, not rewrite the table")
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the updated state must read shuffle-free")
+          latest.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // LEFT OUTER join + null-tolerant aggregation: per-customer order stats
     // (count(col) skips nulls in both engines; sum over empty => NULL => 0).
     QueryDef("q_join_left_outer", Some(

@@ -1881,14 +1881,19 @@ object KeyedTable {
       if (pushedAgg.isEmpty) required = requiredSchema
 
     /** COMPLETE aggregate pushdown from manifest METADATA: every
-      * manifest line carries the file's row count, key-null count and
-      * key min/max, so global count(*) / count(key) / min(key) /
-      * max(key) over the whole table is a manifest read — zero
+      * manifest line carries the file's row count plus per-column
+      * zone maps (nulls, min, max), so global count(*) / count(col) /
+      * min(col) / max(col) over ANY column is a manifest read — zero
       * row-log bytes, however many rows are committed (the same
       * footer-metadata trick the pipeline's progress counts use).
-      * Refused whenever the answer would need actual rows: any
-      * residual predicate, GROUP BY, non-key columns, distinct, or a
-      * legacy (v1) manifest line without stats. */
+      * The recorded min/max are actual data values (the writer
+      * tracked them row by row), so the fold is exact, not a bound.
+      * Evolution-aware: a file whose frame predates the column
+      * contributes rows-all-null (count skips them, min/max ignore
+      * the file). Refused whenever the answer would need actual rows:
+      * any residual predicate, GROUP BY, distinct, a legacy (v1)
+      * manifest line without stats, or a pre-zone-map line when a
+      * non-key column is asked. */
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate
           .Aggregation): Boolean = translateAgg(agg).isDefined
@@ -1900,21 +1905,39 @@ object KeyedTable {
       case None => false
     }
 
-    private lazy val statsEntries: Option[(Seq[KFileEntry], String)] =
+    /** The splits an aggregate push would fold, with resolved frame
+      * widths — None when any is stat-less or the key contract is
+      * mixed (the pushdown then falls back to Spark's aggregate). */
+    private lazy val statsSplits: Option[Seq[KSplit]] =
       if (changes.isDefined) None // a change feed reads ROWS
       else {
-        val entries = liveSplits(path, hadoopConf(), asOfSeq, pinned)
-          .map(_.entry).filter(tombSelect)
+        val legacy = legacyNcols(path, hadoopConf(), tableSchema)
+        val splits = liveSplits(path, hadoopConf(), asOfSeq, pinned)
+          .filter(sp => tombSelect(sp.entry))
+          .map(sp => if (sp.ncols >= 0) sp else sp.copy(ncols = legacy))
         val chosen = only match {
-          case Some(f) => entries.filter(_.file == f)
-          case None => entries
+          case Some(f) => splits.filter(_.entry.file == f)
+          case None => splits
         }
-        val keys = chosen.map(_.key).distinct
-        if (chosen.forall(e => e.rows >= 0 && e.stats.isDefined) &&
+        val keys = chosen.map(_.entry.key).distinct
+        if (chosen.forall(sp => sp.entry.rows >= 0 &&
+            sp.entry.stats.isDefined) &&
             keys.size <= 1 && keys.forall(_.nonEmpty))
-          Some((chosen, keys.headOption.getOrElse("")))
+          Some(chosen)
         else None
       }
+
+    /** Zone-map stats for column `idx` of a split: the recorded slot,
+      * the legacy key stats when the line predates zone maps, an
+      * all-null synthetic when the file's frame predates the column,
+      * or None (refuse) when nothing covers it. */
+    private def colStatsOf(sp: KSplit, idx: Int,
+        key: String): Option[KeyStats] =
+      if (idx < sp.entry.colStats.length) Some(sp.entry.colStats(idx))
+      else if (idx >= sp.ncols && sp.entry.colStats.nonEmpty)
+        Some(KeyStats(sp.entry.rows, None, None)) // column postdates file
+      else if (tableSchema.fieldNames(idx) == key) sp.entry.stats
+      else None
 
     private def translateAgg(
         agg: org.apache.spark.sql.connector.expressions.aggregate
@@ -1923,20 +1946,29 @@ object KeyedTable {
       import org.apache.spark.sql.connector.expressions.aggregate._
       if (pruningFilters.nonEmpty || agg.groupByExpressions.nonEmpty)
         return None
-      val (_, key) = statsEntries.getOrElse(return None)
-      if (!tableSchema.fields.exists(_.name == key)) return None
-      def field(e: org.apache.spark.sql.connector.expressions.Expression) =
+      val splits = statsSplits.getOrElse(return None)
+      val key = splits.headOption.map(_.entry.key).getOrElse("")
+      def fieldIdx(e: org.apache.spark.sql.connector.expressions.Expression) =
         e match {
           case nr: NamedReference if nr.fieldNames.length == 1 =>
-            Some(nr.fieldNames()(0))
+            Some(tableSchema.fieldNames.indexOf(nr.fieldNames()(0)))
+              .filter(_ >= 0)
           case _ => None
         }
+      // every split must carry stats for every referenced column, or
+      // the whole aggregation stays Spark's
+      def covered(idx: Int): Option[Int] =
+        if (splits.forall(sp => colStatsOf(sp, idx, key).isDefined))
+          Some(idx)
+        else None
       val specs = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(KCountStar)
-        case c: Count if !c.isDistinct && field(c.column).contains(key) =>
-          Some(KCountKey)
-        case m: Min if field(m.column).contains(key) => Some(KMinKey)
-        case m: Max if field(m.column).contains(key) => Some(KMaxKey)
+        case c: Count if !c.isDistinct =>
+          fieldIdx(c.column).flatMap(covered).map(KCountCol)
+        case m: Min => fieldIdx(m.column).flatMap(covered)
+          .map(i => KMinCol(i, tableSchema.fields(i).dataType))
+        case m: Max => fieldIdx(m.column).flatMap(covered)
+          .map(i => KMaxCol(i, tableSchema.fields(i).dataType))
         case _ => None
       }
       if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
@@ -1945,9 +1977,10 @@ object KeyedTable {
 
     override def build(): Scan = pushedAgg match {
       case Some(specs) =>
-        val (entries, key) = statsEntries.get
-        val keyType = tableSchema.fields.find(_.name == key).get.dataType
-        new KAggScan(path, entries, key, keyType, specs)
+        val splits = statsSplits.get
+        val key = splits.headOption.map(_.entry.key).getOrElse("")
+        new KAggScan(path, splits, specs,
+          idx => sp => colStatsOf(sp, idx, key))
       case None => new KScan(path, tableSchema, required,
         pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
         tombMode, pinned, changes, new SerConf(hadoopConf()))
@@ -1962,46 +1995,45 @@ object KeyedTable {
 
   private sealed trait KAggSpec {
     def name: String
-    def dataType(keyType: DataType): DataType
+    def dataType: DataType
     def nullable: Boolean
   }
   private case object KCountStar extends KAggSpec {
     val name = "agg_count"
-    def dataType(kt: DataType): DataType = LongType
+    val dataType: DataType = LongType
     val nullable = false
   }
-  private case object KCountKey extends KAggSpec {
-    val name = "agg_count_key"
-    def dataType(kt: DataType): DataType = LongType
+  private final case class KCountCol(idx: Int) extends KAggSpec {
+    val name = s"agg_count_$idx"
+    val dataType: DataType = LongType
     val nullable = false
   }
-  private case object KMinKey extends KAggSpec {
-    val name = "agg_min_key"
-    def dataType(kt: DataType): DataType = kt
+  private final case class KMinCol(idx: Int, dataType: DataType)
+      extends KAggSpec {
+    val name = s"agg_min_$idx"
     val nullable = true
   }
-  private case object KMaxKey extends KAggSpec {
-    val name = "agg_max_key"
-    def dataType(kt: DataType): DataType = kt
+  private final case class KMaxCol(idx: Int, dataType: DataType)
+      extends KAggSpec {
+    val name = s"agg_max_$idx"
     val nullable = true
   }
 
   /** The manifest-answered aggregate scan: ONE partition carrying the
-    * final row, folded from per-file stats on the driver. */
-  private final class KAggScan(path: String, entries: Seq[KFileEntry],
-      key: String, keyType: DataType, specs: Seq[KAggSpec])
+    * final row, folded from per-file zone maps on the driver. */
+  private final class KAggScan(path: String, splits: Seq[KSplit],
+      specs: Seq[KAggSpec], statsFor: Int => KSplit => Option[KeyStats])
       extends Scan with Batch {
     override def readSchema(): StructType =
-      StructType(specs.map(s => StructField(s.name, s.dataType(keyType),
-        s.nullable)))
+      StructType(specs.map(s => StructField(s.name, s.dataType, s.nullable)))
     override def description(): String =
       s"KeyedTable[$path, pushedAggregates=${specs.map(_.name).mkString(",")}" +
-        s" from ${entries.size} manifest entries]"
+        s" from ${splits.size} manifest entries]"
     override def toBatch: Batch = this
     override def planInputPartitions(): Array[InputPartition] =
       Array(KFilesPartition(path, Seq.empty))
     override def createReaderFactory(): PartitionReaderFactory = {
-      def decode(enc: String): Any = keyType match {
+      def decode(dt: DataType, enc: String): Any = dt match {
         case LongType => java.lang.Long.valueOf(enc.toLong)
         case IntegerType => java.lang.Integer.valueOf(enc.toInt)
         case DoubleType => java.lang.Double.valueOf(enc.toDouble)
@@ -2010,11 +2042,13 @@ object KeyedTable {
           java.util.Base64.getDecoder.decode(enc))
         case other => throw new IllegalArgumentException(other.sql)
       }
-      def fold(pick: KeyStats => Option[String], sign: Int): Any = {
-        val vals = entries.flatMap(e => e.stats.flatMap(pick)).map(decode)
+      def fold(idx: Int, dt: DataType,
+          pick: KeyStats => Option[String], sign: Int): Any = {
+        val vals = splits.flatMap(sp => statsFor(idx)(sp).flatMap(pick))
+          .map(decode(dt, _))
         if (vals.isEmpty) null
         else vals.reduce { (a, b) =>
-          val c = keyType match {
+          val c = dt match {
             case StringType =>
               a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
             case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
@@ -2023,11 +2057,12 @@ object KeyedTable {
         }
       }
       val row: Array[Any] = specs.map {
-        case KCountStar => java.lang.Long.valueOf(entries.map(_.rows).sum)
-        case KCountKey => java.lang.Long.valueOf(
-          entries.map(e => e.rows - e.stats.map(_.nulls).getOrElse(0L)).sum)
-        case KMinKey => fold(_.minEnc, 1)
-        case KMaxKey => fold(_.maxEnc, -1)
+        case KCountStar =>
+          java.lang.Long.valueOf(splits.map(_.entry.rows).sum)
+        case KCountCol(idx) => java.lang.Long.valueOf(splits.map(sp =>
+          sp.entry.rows - statsFor(idx)(sp).map(_.nulls).getOrElse(0L)).sum)
+        case KMinCol(idx, dt) => fold(idx, dt, _.minEnc, 1)
+        case KMaxCol(idx, dt) => fold(idx, dt, _.maxEnc, -1)
       }.toArray
       new PartitionReaderFactory {
         override def createReader(

@@ -507,6 +507,48 @@ object KeyedTableOps {
       .load(path)
   }
 
+  /** SQL UPDATE semantics, compiled to the table's native upsert:
+    * rows of the CURRENT state (the snapshot-pinned [[latest]] view)
+    * matching `cond` are re-written with the SET expressions applied —
+    * ONE append commit whose rows outrank the old versions under
+    * last-write-wins. Cassandra's UPDATE *is* an upsert write; this
+    * is the predicate-driven spelling, with the cost contract stated
+    * plainly: evaluating `cond` is one clustered scan of the current
+    * state (file pruning applies when the predicate is prunable), and
+    * the write is O(#matched rows) — never a table rewrite. SET
+    * expressions may reference the row's current columns
+    * (`set("cents" -> (col("cents") + 100))` increments). Primary-key
+    * columns cannot be SET — changing a key is a DELETE plus an
+    * INSERT, a different statement with different semantics. */
+  def update(spark: SparkSession, path: String, cond: Column,
+      set: Map[String, Column]): Unit = {
+    val conf = KeyedTable.hadoopConf()
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    val schema = KeyedTable.readSchemaFile(path, conf).getOrElse(
+      throw new IllegalArgumentException(
+        s"KeyedTable at $path has no committed schema"))
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val badKey = set.keys.filter(keys.contains)
+    require(badKey.isEmpty,
+      s"cannot SET primary-key columns ${badKey.mkString(",")} — " +
+        "a key change is DELETE + INSERT")
+    val unknown = set.keys.filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"SET columns ${unknown.mkString(",")} are not columns of $schema")
+    val parallelism = KeyedTable.readProps(path, conf).get("writePartitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .orElse(KeyedTable.inferWriteContract(path, conf).map(_._2))
+      .getOrElse(8)
+    latest(spark, path).where(cond)
+      .select(schema.fieldNames.toSeq.map(c =>
+        set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      .write.format("graft.sources.KeyedTable")
+      .option("key", keys.head)
+      .option("writePartitions", parallelism.toString)
+      .mode("append").save(path)
+  }
+
   /** SQL MERGE INTO, compiled to the table's NATIVE verbs — the
     * single-statement spelling of the CDC apply a migration user
     * reaches for first. Star semantics (UPDATE SET * / INSERT *: the

@@ -145,6 +145,27 @@ class KeyedTableMaintenanceSpec extends SparkSpecBase {
     cleanup(t)
   }
 
+  test("UPDATE refuses key-column and unknown SET targets; applies as upsert") {
+    val t = tmpTable("graft_upd_")
+    V2KeyedTableSink("k", 4).append(rows(20), t)
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.update(spark, t, col("k") > 5, Map("k" -> lit(0L)))
+    }
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.update(spark, t, col("k") > 5, Map("nope" -> lit(1L)))
+    }
+    intercept[IllegalArgumentException] {
+      KeyedTableOps.update(spark, t, col("k") > 5, Map.empty)
+    }
+    // SET referencing the current row's value (string concat)
+    KeyedTableOps.update(spark, t, col("k") < 3,
+      Map("s" -> concat(col("s"), lit("!"))))
+    val latest = KeyedTableOps.latest(spark, t)
+    assert(latest.where(col("s").endsWith("!")).count() == 3)
+    assert(latest.count() == 20)
+    cleanup(t)
+  }
+
   test("auto-compaction policy: thresholds hold both ways") {
     val t = tmpTable("graft_autoc_")
     val sink = V2KeyedTableSink("k", 4)

@@ -323,8 +323,21 @@ class KeyedTableReadSpec extends SparkSpecBase {
       case a: SortAggregateExec => a
     }.isEmpty, "complete pushdown still planned an aggregate")
     assert(df.head.toSeq === Seq(103L, 101L, 0L, 100L))
+    // NON-key columns push too (round 17 — all-column zone maps carry
+    // nulls/min/max for every column, and the recorded bounds are
+    // actual data values, so the fold is exact)
+    val nonKey = readBack(t).agg(min(col("c")).as("m"),
+      max(col("s")).as("hi_s"), count(col("s")).as("ns"),
+      count(lit(1)).as("n"))
+    assert(scanOf(nonKey).scan.description().contains("pushedAggregates="),
+      s"non-key aggregate did not push: ${scanOf(nonKey).scan.description()}")
+    assert(nonKey.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec => h
+      case a: SortAggregateExec => a
+    }.isEmpty, "complete non-key pushdown still planned an aggregate")
+    assert(nonKey.head.toSeq === Seq(0L, "z", 103L, 103L))
     // refusals keep Spark's own aggregate exact: residual predicate,
-    // GROUP BY, non-key column, distinct
+    // GROUP BY, distinct
     val filtered = readBack(t).where(col("k") >= 50L)
       .agg(count(lit(1)).as("n"))
     assert(!scanOf(filtered).scan.description().contains("pushedAggregates"),
@@ -333,9 +346,10 @@ class KeyedTableReadSpec extends SparkSpecBase {
     val grouped = readBack(t).groupBy(col("s")).count()
     assert(!scanOf(grouped).scan.description().contains("pushedAggregates"))
     assert(grouped.count() === 103L)
-    val nonKey = readBack(t).agg(min(col("c")).as("m"), count(lit(1)).as("n"))
-    assert(!scanOf(nonKey).scan.description().contains("pushedAggregates"))
-    assert(nonKey.head.toSeq === Seq(0L, 103L)) // min c = 0*10 from k=0
+    val distinctAgg = readBack(t).agg(countDistinct(col("k")).as("nd"))
+    assert(!scanOf(distinctAgg).scan.description()
+      .contains("pushedAggregates"))
+    assert(distinctAgg.head.getLong(0) === 101L)
   }
 
   test("named batch commits: a re-run of the same logical append is a no-op") {
