@@ -1402,6 +1402,48 @@ object RelationalQueries {
         out
       }),
 
+    // ---- TIME-SERIES ZONE PRUNING: temporal columns (TIMESTAMP /
+    // TIMESTAMP_NTZ / DATE) are first-class keyed-table columns —
+    // framed as their Catalyst micros/days, so ordering, hashing, and
+    // zone maps are the integral paths — and the classic time-series
+    // read pattern falls out: events load in TIME ranges (each wave
+    // covers a window, exactly how an incremental migration lands),
+    // and a ts range predicate prunes committed files by the ts zone
+    // maps before a byte is read. In-entry: the late-half probe plans
+    // at most half the committed files. ----
+    QueryDef("q_scan_ktable_time_prune", effectful = true, oracle = Some(
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id FROM events
+        |WHERE epoch_us(ts) >=
+        |  (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 FROM events)
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_timeprune:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ktime_").toString
+        val target = s"$tmp/t"
+        val ev = Tables(s, d, "events")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val b = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head
+        val cut = (b.getLong(0) + b.getLong(1)) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("event_id")
+        sink.append(ev.where(unix_micros(col("ts")) < cut), target)
+        sink.append(ev.where(unix_micros(col("ts")) >= cut), target)
+        val committed = graft.sources.KeyedTable.committedFiles(target).size
+        val probe = s.read.format("graft.sources.KeyedTable").load(target)
+          .where(col("ts") >= timestamp_micros(lit(cut)))
+        val planned = probe.queryExecution.executedPlan.collect {
+          case bs: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            bs.inputRDD.getNumPartitions
+        }.sum
+        assert(planned > 0 && planned <= committed / 2,
+          s"ts zone maps did not prune: planned $planned of $committed files")
+        val out = probe.select(col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("user_id"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- UPDATE, the predicate-driven upsert spelling (completing
     // the DML verbs: DELETE = tombstones, MERGE = clause compilation,
     // UPDATE = read-matched + SET + ONE append commit whose rows

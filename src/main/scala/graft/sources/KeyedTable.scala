@@ -133,8 +133,14 @@ class KeyedTable extends TableProvider {
 
 object KeyedTable {
 
+  // temporal types frame as their Catalyst internal representation
+  // (TIMESTAMP / TIMESTAMP_NTZ = long micros, DATE = int days), so
+  // every code path that orders, hashes, or min/max-tracks them is
+  // the corresponding integral path — hashpartitioning hashes the
+  // same longs/ints, so bucket proofs and routing hold unchanged
   private val supported: Set[DataType] =
-    Set(LongType, IntegerType, DoubleType, StringType, BooleanType)
+    Set(LongType, IntegerType, DoubleType, StringType, BooleanType,
+      TimestampType, TimestampNTZType, DateType)
 
   // ---------- control-plane helpers (driver + executor safe) ----------
 
@@ -283,7 +289,8 @@ object KeyedTable {
   private[sources] def validateSchema(schema: StructType): Unit =
     schema.fields.foreach { fd =>
       require(supported.contains(fd.dataType),
-        s"KeyedTable supports long/int/double/string/boolean columns; " +
+        s"KeyedTable supports long/int/double/string/boolean/" +
+          s"timestamp/timestamp_ntz/date columns; " +
           s"got ${fd.name}: ${fd.dataType.sql}")
       require(!MetaNames.contains(fd.name),
         s"column name ${fd.name} is reserved for KeyedTable metadata")
@@ -1041,8 +1048,9 @@ object KeyedTable {
             if (i == keyIdx) {
               out.writeBoolean(false)
               keyType match {
-                case LongType => out.writeLong(v.asInstanceOf[Long])
-                case IntegerType => out.writeInt(v.asInstanceOf[Int])
+                case LongType | TimestampType | TimestampNTZType =>
+                  out.writeLong(v.asInstanceOf[Long])
+                case IntegerType | DateType => out.writeInt(v.asInstanceOf[Int])
                 case DoubleType =>
                   out.writeDouble(normZero(v.asInstanceOf[Double]))
                 case BooleanType => out.writeBoolean(v.asInstanceOf[Boolean])
@@ -1528,8 +1536,8 @@ object KeyedTable {
           case dt =>
             val ord = keyOrdering(dt)
             val get: InternalRow => Any = dt match {
-              case LongType => _.getLong(i)
-              case IntegerType => _.getInt(i)
+              case LongType | TimestampType | TimestampNTZType => _.getLong(i)
+              case IntegerType | DateType => _.getInt(i)
               case DoubleType => r => normZero(r.getDouble(i))
               case BooleanType => _.getBoolean(i)
               case other => throw new IllegalArgumentException(other.sql)
@@ -1545,8 +1553,9 @@ object KeyedTable {
     // key value for the bucket proof only — never retained, so
     // strings stay the row's transient UTF8String
     private def keyRaw(row: InternalRow): Any = keyType match {
-      case LongType => row.getLong(keyIdx)
-      case IntegerType => row.getInt(keyIdx)
+      case LongType | TimestampType | TimestampNTZType =>
+        row.getLong(keyIdx)
+      case IntegerType | DateType => row.getInt(keyIdx)
       case DoubleType => normZero(row.getDouble(keyIdx))
       case BooleanType => row.getBoolean(keyIdx)
       case StringType => row.getUTF8String(keyIdx)
@@ -1556,10 +1565,12 @@ object KeyedTable {
     private val fieldWriters: Array[(DataOutputStream, InternalRow, Int) => Unit] =
       schema.fields.zipWithIndex.map { case (fd, _) =>
         fd.dataType match {
-          case LongType => (o: DataOutputStream, r: InternalRow, i: Int) =>
-            o.writeLong(r.getLong(i))
-          case IntegerType => (o: DataOutputStream, r: InternalRow, i: Int) =>
-            o.writeInt(r.getInt(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            (o: DataOutputStream, r: InternalRow, i: Int) =>
+              o.writeLong(r.getLong(i))
+          case IntegerType | DateType =>
+            (o: DataOutputStream, r: InternalRow, i: Int) =>
+              o.writeInt(r.getInt(i))
           case DoubleType => (o: DataOutputStream, r: InternalRow, i: Int) =>
             o.writeDouble(r.getDouble(i))
           case BooleanType => (o: DataOutputStream, r: InternalRow, i: Int) =>
@@ -1668,6 +1679,10 @@ object KeyedTable {
     dt match {
       case LongType | IntegerType =>
         asLong(v).map(l => java.lang.Long.compare(e.toLong, l))
+      case TimestampType | TimestampNTZType =>
+        tsMicros(dt, v).map(l => java.lang.Long.compare(e.toLong, l))
+      case DateType =>
+        dateDays(v).map(d => java.lang.Integer.compare(e.toInt, d))
       case DoubleType => v match {
         case n: java.lang.Double => Some(java.lang.Double.compare(
           normZero(e.toDouble), normZero(n.doubleValue)))
@@ -1698,6 +1713,32 @@ object KeyedTable {
     }
   }
 
+  /** Temporal filter literal → Catalyst micros. Spark hands external
+    * objects (java.sql.Timestamp, or the java.time types under the
+    * java8 datetime API); TIMESTAMP_NTZ literals arrive as
+    * LocalDateTime. All convert exactly through Spark's own
+    * DateTimeUtils, the same conversions the row encoder applied when
+    * the values were written. */
+  private def tsMicros(dt: DataType, v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime if dt == TimestampNTZType =>
+        Some(DateTimeUtils.localDateTimeToMicros(l))
+      case _ => None
+    }
+  }
+
+  private def dateDays(v: Any): Option[Int] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+      case l: java.time.LocalDate => Some(l.toEpochDay.toInt)
+      case _ => None
+    }
+  }
+
   /** The filter literal in the key's catalyst domain (what the hash
     * function expects), or None when it doesn't convert exactly. */
   private def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
@@ -1711,6 +1752,8 @@ object KeyedTable {
     case (DoubleType, n: java.lang.Double) => Some(normZero(n.doubleValue))
     case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue)
     case (StringType, s: String) => Some(UTF8String.fromString(s))
+    case (TimestampType | TimestampNTZType, _) => tsMicros(dt, v)
+    case (DateType, _) => dateDays(v)
     case _ => None
   }
 
@@ -1730,9 +1773,10 @@ object KeyedTable {
     * row writer's min/max tracking and the tombstone writer. */
   private[sources] def keyOrdering(dt: DataType): (Any, Any) => Int =
     dt match {
-      case LongType => (a, b) => java.lang.Long.compare(
-        a.asInstanceOf[Long], b.asInstanceOf[Long])
-      case IntegerType => (a, b) => java.lang.Integer.compare(
+      case LongType | TimestampType | TimestampNTZType =>
+        (a, b) => java.lang.Long.compare(
+          a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType | DateType => (a, b) => java.lang.Integer.compare(
         a.asInstanceOf[Int], b.asInstanceOf[Int])
       case DoubleType => (a, b) => java.lang.Double.compare(
         a.asInstanceOf[Double], b.asInstanceOf[Double])
@@ -2034,8 +2078,9 @@ object KeyedTable {
       Array(KFilesPartition(path, Seq.empty))
     override def createReaderFactory(): PartitionReaderFactory = {
       def decode(dt: DataType, enc: String): Any = dt match {
-        case LongType => java.lang.Long.valueOf(enc.toLong)
-        case IntegerType => java.lang.Integer.valueOf(enc.toInt)
+        case LongType | TimestampType | TimestampNTZType =>
+          java.lang.Long.valueOf(enc.toLong)
+        case IntegerType | DateType => java.lang.Integer.valueOf(enc.toInt)
         case DoubleType => java.lang.Double.valueOf(enc.toDouble)
         case BooleanType => java.lang.Boolean.valueOf(enc.toBoolean)
         case StringType => UTF8String.fromBytes(
@@ -2368,8 +2413,10 @@ object KeyedTable {
         private val fieldReaders: Array[DataInputStream => Any] =
           full.fields.map { fd =>
             fd.dataType match {
-              case LongType => (i: DataInputStream) => java.lang.Long.valueOf(i.readLong())
-              case IntegerType => (i: DataInputStream) => java.lang.Integer.valueOf(i.readInt())
+              case LongType | TimestampType | TimestampNTZType =>
+                (i: DataInputStream) => java.lang.Long.valueOf(i.readLong())
+              case IntegerType | DateType =>
+                (i: DataInputStream) => java.lang.Integer.valueOf(i.readInt())
               case DoubleType => (i: DataInputStream) => java.lang.Double.valueOf(i.readDouble())
               case BooleanType => (i: DataInputStream) => java.lang.Boolean.valueOf(i.readBoolean())
               case StringType => (i: DataInputStream) => {
@@ -2385,8 +2432,9 @@ object KeyedTable {
         private val fieldSkippers: Array[() => Unit] =
           full.fields.map { fd =>
             fd.dataType match {
-              case LongType | DoubleType => () => skipFully(8)
-              case IntegerType => () => skipFully(4)
+              case LongType | DoubleType | TimestampType |
+                   TimestampNTZType => () => skipFully(8)
+              case IntegerType | DateType => () => skipFully(4)
               case BooleanType => () => skipFully(1)
               case StringType => () => skipFully(in.readInt())
               case other => throw new IllegalArgumentException(other.sql)
