@@ -1444,6 +1444,45 @@ object RelationalQueries {
         out
       }),
 
+    // ---- PARTIAL LIMIT PUSHDOWN: a LIMIT-k probe without an ordering
+    // may return ANY k rows, so the scan plans only enough files (row
+    // counts are already on the manifest lines) to cover k — a LIMIT
+    // probe of a million-file table plans a handful of files instead
+    // of all of them. Spark's own Limit stays on top (partial push =
+    // exactness preserved), which is what makes the count
+    // deterministic and oracle-able. In-entry: planned files strictly
+    // fewer than committed. ----
+    QueryDef("q_scan_ktable_limit_pushdown", effectful = true, oracle = Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM orders LIMIT 500)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_limit:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_klim_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val half = src.agg(expr("percentile_approx(k, 0.5)")).head.getLong(0)
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.where(col("k") <= half), target)
+        sink.append(src.where(col("k") > half), target)
+        val committed = graft.sources.KeyedTable.committedFiles(target).size
+        val lim = s.read.format("graft.sources.KeyedTable").load(target)
+          .limit(500)
+        val scans = lim.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b
+        }
+        assert(scans.nonEmpty &&
+          scans.head.scan.description().contains("pushedLimit=500"),
+          "limit did not push into the keyed-table scan")
+        val planned = scans.map(_.inputRDD.getNumPartitions).sum
+        assert(planned < committed,
+          s"pushed limit did not bound planning: $planned of $committed files")
+        val out = lim.agg(count(lit(1)).as("n")).localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- UPDATE, the predicate-driven upsert spelling (completing
     // the DML verbs: DELETE = tombstones, MERGE = clause compilation,
     // UPDATE = read-matched + SET + ONE append commit whose rows

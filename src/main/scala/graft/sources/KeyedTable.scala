@@ -1908,10 +1908,30 @@ object KeyedTable {
       changes: Option[(Long, Long)] = None)
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
     private var required: StructType = advertised
     private var pruningFilters: Array[Filter] = Array.empty
     private var pushedAgg: Option[Seq[KAggSpec]] = None
+    private var limit: Option[Int] = None
+
+    /** PARTIAL limit pushdown: a LIMIT-k read without an ordering may
+      * return ANY k rows, so the scan plans only enough files (row
+      * counts are already on the manifest lines) to cover k instead of
+      * every committed file — a LIMIT 10 probe of a million-file table
+      * plans one file. Always PARTIAL (Spark keeps its own Limit for
+      * exactness); refused when any planned file predates row counts,
+      * and never applied to clustered-read groups (the reported
+      * KeyGroupedPartitioning must keep its full group set). Residual
+      * predicates compose: stats-pruned files first, then the row
+      * budget — a file may not yield k MATCHING rows, so with filters
+      * present the budget is filters-might-drop-rows conservative:
+      * pushdown is refused and every stats-surviving file plans. */
+    override def pushLimit(l: Int): Boolean = {
+      if (pruningFilters.isEmpty && l >= 0) { limit = Some(l); true }
+      else false
+    }
+    override def isPartiallyPushed: Boolean = true
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       pruningFilters = filters.filter(prunable)
@@ -2027,7 +2047,7 @@ object KeyedTable {
           idx => sp => colStatsOf(sp, idx, key))
       case None => new KScan(path, tableSchema, required,
         pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
-        tombMode, pinned, changes, new SerConf(hadoopConf()))
+        tombMode, pinned, changes, limit, new SerConf(hadoopConf()))
     }
 
     private def tombSelect(e: KFileEntry): Boolean = tombMode match {
@@ -2141,7 +2161,7 @@ object KeyedTable {
       manifestsPerTrigger: Int, clusteredRead: Boolean,
       asOfSeq: Option[Long], tombMode: String,
       pinned: Option[Set[String]], changes: Option[(Long, Long)],
-      conf: SerConf)
+      limitRows: Option[Int], conf: SerConf)
       extends Scan with Batch with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -2208,6 +2228,28 @@ object KeyedTable {
     private def planned: Seq[KSplit] =
       staticPlanned.filter(survivesRuntime)
 
+    /** The pushed-limit file budget: enough files (by manifest row
+      * counts) to cover k rows, in plan order — a LIMIT without an
+      * ordering may return ANY k rows, and Spark's own Limit on top
+      * keeps exactness (partial push). Refused at build time whenever
+      * filters are present; here it additionally stands down if any
+      * planned file predates row counts. Clustered-read groups never
+      * pass through this (the group set is the partitioning report). */
+    private def limited(splits: Seq[KSplit]): Seq[KSplit] =
+      limitRows match {
+        case Some(k) if splits.forall(_.entry.rows >= 0) =>
+          val out = Seq.newBuilder[KSplit]
+          var acc = 0L
+          val it = splits.iterator
+          while (it.hasNext && acc < k) {
+            val s = it.next()
+            out += s
+            acc += math.max(0L, s.entry.rows)
+          }
+          out.result()
+        case _ => splits
+      }
+
     /** Clustered-read grouping: one partition per write bucket, valid
       * only when every planned file PROVED a bucket under one shared
       * (key, modulus). Gated on the session's v2-bucketing switch —
@@ -2237,6 +2279,7 @@ object KeyedTable {
         s"${asOfSeq.map(v => s", asOf=$v").getOrElse("")}" +
         s", cols=${required.fieldNames.mkString(",")}" +
         s"${if (filters.nonEmpty) s", pruneBy=${filters.mkString(";")}" else ""}" +
+        s"${limitRows.map(k => s", pushedLimit=$k").getOrElse("")}" +
         pruned + clustered + "]"
     }
     override def toBatch: Batch = this
@@ -2250,7 +2293,7 @@ object KeyedTable {
           KFilesPartition(path, ss.filter(survivesRuntime), b)
         }.toArray[InputPartition]
       case None =>
-        planned.map(s => KFilesPartition(path, Seq(s)))
+        limited(planned).map(s => KFilesPartition(path, Seq(s)))
           .toArray[InputPartition]
     }
 
@@ -2258,7 +2301,7 @@ object KeyedTable {
       case Some((key, n, groups)) =>
         new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
           groups.size)
-      case None => new UnknownPartitioning(planned.size)
+      case None => new UnknownPartitioning(limited(planned).size)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =

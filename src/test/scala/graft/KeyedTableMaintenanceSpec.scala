@@ -181,6 +181,33 @@ class KeyedTableMaintenanceSpec extends SparkSpecBase {
     cleanup(t)
   }
 
+  test("limit pushdown bounds planned files; stands down under filters") {
+    val t = tmpTable("graft_lim_")
+    val sink = V2KeyedTableSink("k", 4)
+    (0 until 4).foreach(i => sink.append(rows(100, s"w$i"), t))
+    def planned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.sum
+    val read = spark.read.format("graft.sources.KeyedTable").load(t)
+    val committed = KeyedTable.committedFiles(t).size
+    // 4 commits x 4 buckets of ~25 rows: LIMIT 30 needs ~2 files
+    val lim = read.limit(30)
+    assert(planned(lim) < committed && lim.count() === 30)
+    // exactness: Spark's Limit stays on top (partial push)
+    assert(read.limit(1000000).count() === 400)
+    // with a residual filter the push is refused: every
+    // stats-surviving file plans, and the result is still exact
+    val filtered = read.where(col("s").startsWith("w1")).limit(30)
+    assert(filtered.count() === 30)
+    assert(!filtered.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.scan.description().contains("pushedLimit"),
+      "limit must not push under a residual filter")
+    cleanup(t)
+  }
+
   test("UPDATE refuses key-column and unknown SET targets; applies as upsert") {
     val t = tmpTable("graft_upd_")
     V2KeyedTableSink("k", 4).append(rows(20), t)

@@ -312,7 +312,8 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_scan_ktable_zonemap_prune", "q_ktable_merge_apply",
       "q_ktable_time_travel_ts", "q_ktable_change_feed",
       "q_ktable_schema_evolution", "q_ktable_counter_compact",
-      "q_ktable_update", "q_scan_ktable_time_prune"),
+      "q_ktable_update", "q_scan_ktable_time_prune",
+      "q_scan_ktable_limit_pushdown"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
