@@ -297,7 +297,19 @@ final class Pipeline(
       s"${spec.workspace}/logs", t.targetTable)
     def binfo(msg: String): Unit = { log.info(msg); tlog.info(msg) }
     def bwarn(msg: String): Unit = { log.warn(msg); tlog.warn(msg) }
-    try { runTableLogged(t, binfo, bwarn, tlog); finishTarget(t) }
+    try {
+      runTableLogged(t, binfo, bwarn, tlog)
+      // target maintenance is BEST-EFFORT: the load is durably
+      // committed at this point, and a maintenance hiccup (e.g. a
+      // lock timeout against a concurrent maintainer) must not mark
+      // the table failed and re-drive a completed wave — the next
+      // run's hook folds whatever this one left
+      try finishTarget(t)
+      catch { case scala.util.control.NonFatal(e) =>
+        bwarn(s"[${t.targetTable}] target maintenance failed " +
+          s"(load succeeded, will retry next run): ${e.getMessage}")
+      }
+    }
     catch {
       case e: Exception =>
         // py:415-417 — failure is recorded in the table log, then raised

@@ -180,15 +180,24 @@ object KeyedTable {
     try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, dst)) {
       // rename-to-existing fails on HDFS and the local FS: an UPDATE
-      // (schema evolution, property merge) replaces via delete+rename.
-      // The missing-dst window is sub-millisecond and only exists for
-      // updates — first publication is a pure rename — and every
-      // update path runs under the maintenance lock, so the only
-      // exposure is a concurrent READER of a file being updated.
-      if (!f.delete(dst, false) || !f.rename(tmp, dst)) {
+      // (schema evolution, property merge) replaces by PARKING the old
+      // file aside (atomic rename), renaming the new one in, then
+      // deleting the parked copy. A crash mid-replace leaves dst
+      // missing for readers (same sub-millisecond window a delete
+      // would have) but the old CONTENT survives as the parked file —
+      // a lost _props/_schema.json is recoverable, never gone (losing
+      // merge=counter silently turns the next compaction into a
+      // sum-corrupting LWW fold; losing baseNcols mis-frames legacy
+      // decodes). Every update path runs under the maintenance lock,
+      // so replaces never race each other.
+      val parked = new Path(dst.getParent,
+        s".${dst.getName}.replaced.${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!f.rename(dst, parked) || !f.rename(tmp, dst)) {
         f.delete(tmp, false)
         throw new java.io.IOException(s"commit rename failed for $dst")
       }
+      try { f.delete(parked, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -350,6 +359,20 @@ object KeyedTable {
     writeAtomic(fs(path, conf), new Path(path, "_props"),
       props.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n"))
   }
+
+  /** Locked read-modify-write of the table properties. Every property
+    * MUTATION of an existing table goes through here: an unlocked
+    * read/write pair racing schema evolution's `baseNcols` write (or
+    * another declare) could write back a stale map and silently erase
+    * a key — losing `merge=counter` turns the next compaction into a
+    * sum-corrupting LWW fold, losing `baseNcols` mis-frames legacy
+    * decodes. (First-time writes on a fresh table — the catalog's
+    * CREATE TABLE — have no concurrent mutator by construction.) */
+  private[sources] def updateProps(path: String, conf: Configuration)(
+      f: Map[String, String] => Map[String, String]): Unit =
+    withMaintenanceLock(path, conf) {
+      writeProps(path, conf, f(readProps(path, conf)))
+    }
 
   private[sources] def readProps(path: String,
       conf: Configuration): Map[String, String] = {
@@ -606,6 +629,19 @@ object KeyedTable {
           finally out.close()
           held = readText(f, lock) == token
         } catch { case scala.util.control.NonFatal(_) => () }
+        if (!held) {
+          // a transient stamp failure must not leave OUR unstamped
+          // lock on disk: every waiter (us included) would then block
+          // on it until the 30s deadline, well inside the 60s
+          // staleness TTL — self-deadlock. Undo the claim, unless the
+          // file now carries someone ELSE's token (not plausibly ours
+          // to delete).
+          val other = try {
+            val c = readText(f, lock); c.nonEmpty && c != token
+          } catch { case scala.util.control.NonFatal(_) => false }
+          if (!other) { try { f.delete(lock, false); () }
+            catch { case scala.util.control.NonFatal(_) => () } }
+        }
       } else {
         val stale = (try Some(f.getFileStatus(lock)) catch {
           case _: java.io.FileNotFoundException => None
@@ -1509,44 +1545,92 @@ object KeyedTable {
 
     // ALL-COLUMN zone maps: per-column nulls / min / max tracked as
     // the bytes stream out (the key column's slot doubles as the
-    // legacy key stats). Rows are reused by the scan pipeline, so a
-    // value RETAINED across write() calls must be copied out of the
-    // row — strings compare against the transient UTF8String first
-    // and clone only when they become the new min/max. Doubles are
+    // legacy key stats). TYPE-SPECIALIZED trackers keep the hot path
+    // allocation-free — primitive min/max fields, one virtual call
+    // per non-null field, never a boxed compare (the generic
+    // Array[Any]+ordering spelling boxed every value of every column
+    // of every row). Rows are reused by the scan pipeline, so a value
+    // RETAINED across write() calls must be copied out of the row —
+    // strings compare against the transient UTF8String first and
+    // clone only when they become the new bound. Doubles are
     // ZERO-NORMALIZED (-0.0 -> 0.0, same as Spark's
     // NormalizeFloatingNumbers for shuffle/join keys): SQL says
     // -0.0 == 0.0, so stats and bucket proofs recorded in raw IEEE
     // order would wrongly prune a file whose only matching rows are
     // the other zero.
-    private val colNulls = new Array[Long](schema.length)
-    private val colMin = new Array[Any](schema.length)
-    private val colMax = new Array[Any](schema.length)
-    private val statUpdaters: Array[InternalRow => Unit] =
+    private sealed abstract class ColTracker {
+      var nulls = 0L
+      def update(r: InternalRow): Unit
+      def stats: KeyStats
+    }
+    private final class LongCol(i: Int) extends ColTracker {
+      private var has = false; private var mn = 0L; private var mx = 0L
+      def update(r: InternalRow): Unit = {
+        val v = r.getLong(i)
+        if (!has) { mn = v; mx = v; has = true }
+        else { if (v < mn) mn = v; if (v > mx) mx = v }
+      }
+      def stats: KeyStats = KeyStats(nulls,
+        if (has) Some(mn.toString) else None,
+        if (has) Some(mx.toString) else None)
+    }
+    private final class IntCol(i: Int) extends ColTracker {
+      private var has = false; private var mn = 0; private var mx = 0
+      def update(r: InternalRow): Unit = {
+        val v = r.getInt(i)
+        if (!has) { mn = v; mx = v; has = true }
+        else { if (v < mn) mn = v; if (v > mx) mx = v }
+      }
+      def stats: KeyStats = KeyStats(nulls,
+        if (has) Some(mn.toString) else None,
+        if (has) Some(mx.toString) else None)
+    }
+    private final class DoubleCol(i: Int) extends ColTracker {
+      private var has = false; private var mn = 0.0; private var mx = 0.0
+      def update(r: InternalRow): Unit = {
+        val v = normZero(r.getDouble(i))
+        if (!has) { mn = v; mx = v; has = true }
+        else {
+          if (java.lang.Double.compare(v, mn) < 0) mn = v
+          if (java.lang.Double.compare(v, mx) > 0) mx = v
+        }
+      }
+      def stats: KeyStats = KeyStats(nulls,
+        if (has) Some(mn.toString) else None,
+        if (has) Some(mx.toString) else None)
+    }
+    private final class BoolCol(i: Int) extends ColTracker {
+      private var has = false
+      private var mn = true; private var mx = false
+      def update(r: InternalRow): Unit = {
+        val v = r.getBoolean(i)
+        has = true
+        if (!v) mn = false
+        if (v) mx = true
+      }
+      def stats: KeyStats = KeyStats(nulls,
+        if (has) Some(mn.toString) else None,
+        if (has) Some(mx.toString) else None)
+    }
+    private final class StringCol(i: Int) extends ColTracker {
+      private var mn: UTF8String = null
+      private var mx: UTF8String = null
+      def update(r: InternalRow): Unit = {
+        val v = r.getUTF8String(i)
+        if (mn == null || v.compareTo(mn) < 0) mn = v.clone()
+        if (mx == null || v.compareTo(mx) > 0) mx = v.clone()
+      }
+      def stats: KeyStats = KeyStats(nulls, encStat(mn), encStat(mx))
+    }
+    private val trackers: Array[ColTracker] =
       schema.fields.zipWithIndex.map { case (fd, i) =>
         fd.dataType match {
-          case StringType => (r: InternalRow) => {
-            val v = r.getUTF8String(i)
-            if (colMin(i) == null ||
-                v.compareTo(colMin(i).asInstanceOf[UTF8String]) < 0)
-              colMin(i) = v.clone()
-            if (colMax(i) == null ||
-                v.compareTo(colMax(i).asInstanceOf[UTF8String]) > 0)
-              colMax(i) = v.clone()
-          }
-          case dt =>
-            val ord = keyOrdering(dt)
-            val get: InternalRow => Any = dt match {
-              case LongType | TimestampType | TimestampNTZType => _.getLong(i)
-              case IntegerType | DateType => _.getInt(i)
-              case DoubleType => r => normZero(r.getDouble(i))
-              case BooleanType => _.getBoolean(i)
-              case other => throw new IllegalArgumentException(other.sql)
-            }
-            (r: InternalRow) => {
-              val v = get(r)
-              if (colMin(i) == null || ord(v, colMin(i)) < 0) colMin(i) = v
-              if (colMax(i) == null || ord(v, colMax(i)) > 0) colMax(i) = v
-            }
+          case LongType | TimestampType | TimestampNTZType => new LongCol(i)
+          case IntegerType | DateType => new IntCol(i)
+          case DoubleType => new DoubleCol(i)
+          case BooleanType => new BoolCol(i)
+          case StringType => new StringCol(i)
+          case other => throw new IllegalArgumentException(other.sql)
         }
       }
 
@@ -1590,8 +1674,8 @@ object KeyedTable {
       while (i < fieldWriters.length) {
         val isNull = row.isNullAt(i)
         out.writeBoolean(isNull)
-        if (!isNull) { fieldWriters(i)(out, row, i); statUpdaters(i)(row) }
-        else colNulls(i) += 1L
+        if (!isNull) { fieldWriters(i)(out, row, i); trackers(i).update(row) }
+        else trackers(i).nulls += 1L
         i += 1
       }
       rows += 1L
@@ -1623,11 +1707,10 @@ object KeyedTable {
         if (!f.rename(inprogress, new Path(s"$path/data", name)))
           throw new java.io.IOException(s"task commit rename failed: $name")
       }
-      val cs = schema.indices.map(i =>
-        KeyStats(colNulls(i), encStat(colMin(i)), encStat(colMax(i))))
-      KFileMessage(name, rows, colNulls(keyIdx),
+      val cs = schema.indices.map(i => trackers(i).stats)
+      KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
-        encStat(colMin(keyIdx)), encStat(colMax(keyIdx)), cs)
+        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs)
     }
 
     override def abort(): Unit = {
@@ -1740,8 +1823,10 @@ object KeyedTable {
   }
 
   /** The filter literal in the key's catalyst domain (what the hash
-    * function expects), or None when it doesn't convert exactly. */
-  private def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+    * function expects), or None when it doesn't convert exactly.
+    * Shared with KeyedTableOps.merge, whose collected delete keys are
+    * the same external java objects filter literals arrive as. */
+  private[sources] def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
     case (LongType, n: java.lang.Long) => Some(n.longValue)
     case (LongType, n: java.lang.Integer) => Some(n.longValue)
     case (LongType, n: java.lang.Short) => Some(n.longValue)
@@ -2502,8 +2587,16 @@ object KeyedTable {
               row.update(fileSlot, UTF8String.fromString(s.entry.file))
             posBase = s.fileIdx.toLong << 40
             ordinal = 0L
-            frame = if (s.ncols >= 0) math.min(s.ncols, full.length)
-              else legacyNcols
+            // a file framed WIDER than this scan's schema means the
+            // handle predates a schema evolution a later commit used:
+            // decoding its prefix would desync the byte stream into
+            // garbage rows — fail loudly, like the write-side shape
+            // checks (re-load the table to pick up the new schema)
+            require(s.ncols <= full.length,
+              s"file ${s.entry.file} was framed with ${s.ncols} columns " +
+                s"but this scan knows ${full.length} — the table evolved " +
+                "after this handle was created; re-load it")
+            frame = if (s.ncols >= 0) s.ncols else legacyNcols
             // columns the file predates stay null for every row of it
             var j = frame
             while (j < outSlot.length) {

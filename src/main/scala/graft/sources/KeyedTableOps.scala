@@ -91,9 +91,8 @@ object KeyedTableOps {
   def declareMerge(path: String, discipline: String): Unit = {
     require(Set("lww", "counter")(discipline),
       s"merge discipline must be lww|counter, got '$discipline'")
-    val conf = KeyedTable.hadoopConf()
-    KeyedTable.writeProps(path, conf,
-      KeyedTable.readProps(path, conf) + ("merge" -> discipline))
+    KeyedTable.updateProps(path, KeyedTable.hadoopConf())(
+      _ + ("merge" -> discipline))
   }
 
   /** The declared merge discipline (`lww` when undeclared). */
@@ -113,8 +112,8 @@ object KeyedTableOps {
       cols.foreach(c => require(sch.fieldNames.contains(c),
         s"clustering column '$c' is not a column of $sch"))
     }
-    KeyedTable.writeProps(path, conf,
-      KeyedTable.readProps(path, conf) + ("clustering" -> cols.mkString(",")))
+    KeyedTable.updateProps(path, conf)(
+      _ + ("clustering" -> cols.mkString(",")))
   }
 
   /** Declare the table's FULL write contract — partition key, write
@@ -134,9 +133,8 @@ object KeyedTableOps {
       (key +: clustering).foreach(c => require(sch.fieldNames.contains(c),
         s"primary-key column '$c' is not a column of $sch"))
     }
-    KeyedTable.writeProps(path, conf,
-      KeyedTable.readProps(path, conf) ++
-        Map("key" -> key, "writePartitions" -> writePartitions.toString) ++
+    KeyedTable.updateProps(path, conf)(
+      _ ++ Map("key" -> key, "writePartitions" -> writePartitions.toString) ++
         (if (clustering.nonEmpty)
           Map("clustering" -> clustering.mkString(","))
          else Map.empty))
@@ -599,22 +597,32 @@ object KeyedTableOps {
       .getOrElse(8)
     val current = latest(spark, path).select(keys.map(col): _*)
     val matched = source.join(current, keys, "left_semi")
+    // SQL clause fallthrough: a NULL delete condition means "this
+    // clause does not fire", so the row falls through to UPDATE —
+    // both branches coalesce the condition to false (a bare
+    // where(!cond) would silently drop NULL-condition rows from BOTH)
+    val fires = deleteWhen.map(c => coalesce(c, lit(false)))
     // tombstone wave FIRST (its commit sequence precedes the upsert
     // wave's, and the two waves' key sets are disjoint by clause
     // precedence, so ordering can never mis-resolve)
-    deleteWhen.foreach { cond =>
+    fires.foreach { cond =>
+      val dt = schema.fields(schema.fieldIndex(pk)).dataType
       val ks = matched.where(cond).select(col(pk)).distinct()
-        .collect().toSeq.map(_.get(0)).filter(_ != null).map {
-          case s: String => org.apache.spark.unsafe.types.UTF8String
-            .fromString(s)
-          case v => v
+        .collect().toSeq.map(_.get(0)).filter(_ != null).map { v =>
+          // the same external->catalyst conversion the filter pushdown
+          // uses — temporal keys arrive as java.sql/java.time objects,
+          // doubles need -0.0 normalization before bucket routing
+          KeyedTable.toCatalyst(dt, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"MERGE delete key '$v' (${v.getClass.getName}) does not " +
+                s"convert to ${dt.sql}"))
         }
       if (ks.nonEmpty)
         KeyedTable.deleteKeys(path, schema, pk, ks, parallelism, conf)
     }
     val updates =
       if (!updateWhenMatched) None
-      else Some(deleteWhen.map(c => matched.where(!c)).getOrElse(matched))
+      else Some(fires.map(c => matched.where(!c)).getOrElse(matched))
     val inserts =
       if (insertWhenNotMatched) Some(source.join(current, keys, "left_anti"))
       else None

@@ -229,6 +229,73 @@ class KeyedTableMaintenanceSpec extends SparkSpecBase {
     cleanup(t)
   }
 
+  test("MERGE clause fallthrough: a NULL delete condition falls to UPDATE") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("graft_merge_null_")
+    V2KeyedTableSink("k", 4).append(
+      spark.range(0, 3).select(col("id").as("k"), lit("old").as("s"),
+        lit(0L).as("flag")), t)
+    // source: k=0 flag NULL (falls through to UPDATE), k=1 flag=1
+    // (DELETE fires), k=2 flag=0 (UPDATE)
+    val src = Seq((0L, "u0", Option.empty[Long]), (1L, "u1", Some(1L)),
+      (2L, "u2", Some(0L))).toDF("k", "s", "flag")
+    KeyedTableOps.merge(spark, t, src,
+      deleteWhen = Some(col("flag") === 1L))
+    val got = KeyedTableOps.latest(spark, t)
+      .select("k", "s").collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got === Map(0L -> "u0", 2L -> "u2"),
+      "NULL delete condition must fall through to the UPDATE clause, " +
+        "and the firing row must be deleted")
+    cleanup(t)
+  }
+
+  test("MERGE deletes convert temporal keys through the catalyst domain") {
+    val s = spark
+    import s.implicits._
+    val t = tmpTable("graft_merge_ts_")
+    val base = java.time.Instant.parse("2026-03-01T00:00:00Z")
+    def ts(i: Int) = java.sql.Timestamp.from(base.plusSeconds(i * 60L))
+    V2KeyedTableSink("ts", 4).append(
+      (0 until 10).map(i => (ts(i), i.toLong)).toDF("ts", "v"), t)
+    val src = (0 until 4).map(i => (ts(i), i + 100L)).toDF("ts", "v")
+    KeyedTableOps.merge(spark, t, src,
+      deleteWhen = Some(col("v") >= 102L), insertWhenNotMatched = false)
+    val latest = KeyedTableOps.latest(spark, t)
+    assert(latest.count() === 8) // 2 deleted (102, 103)
+    assert(latest.where(col("v") >= 100L).count() === 2) // 100, 101 updated
+    cleanup(t)
+  }
+
+  test("a stale handle fails loudly on files framed wider than its schema") {
+    val t = tmpTable("graft_evo_stale_")
+    val sink = V2KeyedTableSink("k", 4)
+    sink.append(rows(10), t)
+    // handle created BEFORE the evolution pins the 2-column schema
+    val stale = spark.read.format("graft.sources.KeyedTable").load(t)
+    KeyedTable.addColumns(t,
+      Seq(org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType)))
+    sink.append(spark.range(0, 5).select(col("id").as("k"),
+      lit("w").as("s"), col("id").as("extra")), t)
+    // decoding a 3-column frame through the 2-column handle would
+    // desync the byte stream into garbage — it must throw instead.
+    // Two loud layers can catch it: the scan builder's read-schema
+    // check (re-reads the committed schema lazily) and, should an
+    // evolution race past that, the reader's frame-width guard
+    val e = intercept[Exception](stale.count())
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(m =>
+      m.contains("re-load") || m.contains("read schema mismatch")),
+      s"expected a loud evolution error, got: ${msgs(e).mkString(" | ")}")
+    // a fresh handle reads both generations fine
+    assert(spark.read.format("graft.sources.KeyedTable").load(t)
+      .count() === 15)
+    cleanup(t)
+  }
+
   test("auto-compaction policy: thresholds hold both ways") {
     val t = tmpTable("graft_autoc_")
     val sink = V2KeyedTableSink("k", 4)
