@@ -91,6 +91,22 @@ object KtableProbe {
       "planned_files" -> plannedFiles(rg), "of_files" -> files,
       "sec" -> tRange)
 
+    // NON-key zone maps: c = k*7 is range-correlated with the commit
+    // waves, so the newest commit's c-range probe must plan only its
+    // files — the reference's own predicate shape (non-key ranges)
+    val rgNk = read.where(col("c") >= lo * 7)
+    val (nRangeNk, tRangeNk) = timed(rgNk.count())
+    emit("probe" -> "range_nonkey_newest_commit", "rows" -> nRangeNk,
+      "planned_files" -> plannedFiles(rgNk), "of_files" -> files,
+      "sec" -> tRangeNk)
+
+    // pushed LIMIT: plans only enough files to cover k rows
+    val lm = read.limit(1000)
+    val (nLim, tLim) = timed(lm.count())
+    emit("probe" -> "limit_pushdown", "rows" -> nLim,
+      "planned_files" -> plannedFiles(lm), "of_files" -> files,
+      "sec" -> tLim)
+
     val ag = read.agg(count(lit(1)).as("n"), min(col("k")).as("lo"),
       max(col("k")).as("hi"))
     val (agRow, tAg) = timed(ag.head)
