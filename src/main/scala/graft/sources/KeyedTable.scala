@@ -247,7 +247,13 @@ object KeyedTable {
       // the current schema) — what prunes files on NON-key predicates
       // (the reference's own filter surface is non-key ranges/INs,
       // json:53-58). Empty on legacy lines (no pruning, never wrong).
-      colStats: Seq[KeyStats] = Seq.empty)
+      colStats: Seq[KeyStats] = Seq.empty,
+      // on-disk byte size of the file (-1 on lines written before it
+      // was recorded) — what the scan's SupportsReportStatistics
+      // report is made of, so Catalyst's join planning (broadcast
+      // thresholds, AQE) sees the PRUNED read's true size instead of
+      // an unknown
+      bytes: Long = -1L)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -442,7 +448,8 @@ object KeyedTable {
     e.stats.flatMap(_.minEnc).map(b64).getOrElse("-"),
     e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-"),
     if (e.tombstone) "t" else "d",
-    colStatsField(e.colStats)).mkString("\t")
+    colStatsField(e.colStats),
+    e.bytes.toString).mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
     val f = line.split("\t", -1)
@@ -452,7 +459,8 @@ object KeyedTable {
         Some(f(6)).filter(_ != "-").map(unb64),
         Some(f(7)).filter(_ != "-").map(unb64))),
       tombstone = f.length > 8 && f(8) == "t",
-      colStats = if (f.length > 9) parseColStats(f(9)) else Seq.empty)
+      colStats = if (f.length > 9) parseColStats(f(9)) else Seq.empty,
+      bytes = if (f.length > 10) f(10).toLong else -1L)
   }
 
   // ---------- manifest body: version headers + entry lines ----------
@@ -998,7 +1006,8 @@ object KeyedTable {
     val entries = messages.collect {
       case m: KFileMessage if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
-          Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats)
+          Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
+          bytes = m.bytes)
     }
     commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
       ncols = schema.length)
@@ -1108,8 +1117,10 @@ object KeyedTable {
         val cs = schema.fields.indices.map(i =>
           if (i == keyIdx) keyStats
           else KeyStats(vs.size.toLong, None, None))
+        val bytes = try f.getFileStatus(new Path(s"$path/data", name)).getLen
+          catch { case scala.util.control.NonFatal(_) => -1L }
         KFileEntry(name, vs.size.toLong, bucket, buckets, key,
-          Some(keyStats), tombstone = true, colStats = cs)
+          Some(keyStats), tombstone = true, colStats = cs, bytes = bytes)
       }
     commitManifest(path,
       s"delete-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
@@ -1335,7 +1346,8 @@ object KeyedTable {
   private final case class KFileMessage(file: String, rows: Long,
       nulls: Long, bucket: Int, minEnc: Option[String],
       maxEnc: Option[String],
-      colStats: Seq[KeyStats] = Seq.empty) extends WriterCommitMessage
+      colStats: Seq[KeyStats] = Seq.empty,
+      bytes: Long = -1L) extends WriterCommitMessage
 
   private final class KWrite(path: String, schema: StructType, key: String,
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
@@ -1702,15 +1714,19 @@ object KeyedTable {
     }
 
     override def commit(): WriterCommitMessage = {
+      var bytes = -1L
       if (out != null) {
         out.close()
-        if (!f.rename(inprogress, new Path(s"$path/data", name)))
+        val dst = new Path(s"$path/data", name)
+        if (!f.rename(inprogress, dst))
           throw new java.io.IOException(s"task commit rename failed: $name")
+        bytes = try f.getFileStatus(dst).getLen
+          catch { case scala.util.control.NonFatal(_) => -1L }
       }
       val cs = schema.indices.map(i => trackers(i).stats)
       KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
-        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs)
+        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes)
     }
 
     override def abort(): Unit = {
@@ -2248,7 +2264,34 @@ object KeyedTable {
       pinned: Option[Set[String]], changes: Option[(Long, Long)],
       limitRows: Option[Int], conf: SerConf)
       extends Scan with Batch with SupportsReportPartitioning
-      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+      with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    /** HONEST statistics for the planner, from manifest metadata: the
+      * PRUNED read's exact row count and on-disk bytes (every new
+      * manifest line records both), so Catalyst's join planning sees
+      * a point lookup or a filtered read as the small relation it is
+      * and broadcasts it — a stat-less V2 scan defaults to "unknown",
+      * which forces sort-merge joins however tiny the pruned read.
+      * Files from lines that predate byte recording estimate from an
+      * 8-bytes-per-field floor; unknown row counts report empty
+      * statistics (never a guess the planner would trust). */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val splits = limited(planned)
+      val known = splits.forall(_.entry.rows >= 0)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          if (!known) java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(splits.map { s =>
+            if (s.entry.bytes >= 0) s.entry.bytes
+            else s.entry.rows * math.max(8L, 8L * tableSchema.length)
+          }.sum)
+        override def numRows(): java.util.OptionalLong =
+          if (!known) java.util.OptionalLong.empty()
+          else java.util.OptionalLong.of(splits.map(_.entry.rows).sum)
+      }
+    }
 
     private lazy val all: Seq[KSplit] = {
       val base = changes match {

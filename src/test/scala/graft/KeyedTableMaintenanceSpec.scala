@@ -296,6 +296,38 @@ class KeyedTableMaintenanceSpec extends SparkSpecBase {
     cleanup(t)
   }
 
+  test("reported statistics let Catalyst auto-broadcast a small keyed read") {
+    val t = tmpTable("graft_stats_")
+    V2KeyedTableSink("k", 4).append(rows(50), t)
+    val small = spark.read.format("graft.sources.KeyedTable").load(t)
+    val big = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    // no hints: the join side choice is Catalyst's, driven by the
+    // scan's SupportsReportStatistics (a stat-less V2 scan reports
+    // unknown and forces a shuffle join however tiny the table)
+    val joined = big.join(small, Seq("k"))
+    // string-match under AQE (collect() does not descend into an
+    // unexecuted AdaptiveSparkPlan's wrapped plan)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 50-row keyed read reported stats but was not broadcast:\n$plan")
+    assert(joined.count() === 50)
+    // the report reflects PRUNING: a point lookup's stats are one
+    // file's, not the table's
+    val one = small.where(col("k") === 7L)
+    val scan = one.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }.head
+    val full = small.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }.head
+    assert(scan.computeStats().sizeInBytes < full.computeStats().sizeInBytes,
+      "pruned scan must report smaller statistics than the full scan")
+    cleanup(t)
+  }
+
   test("auto-compaction policy: thresholds hold both ways") {
     val t = tmpTable("graft_autoc_")
     val sink = V2KeyedTableSink("k", 4)
