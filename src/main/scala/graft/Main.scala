@@ -110,6 +110,7 @@ object Main {
     val builder = SparkSession.builder()
       .appName("graft-migrate")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     if (!hadSession && sys.props.get("spark.master").isEmpty)
       builder.master("local[*]")
     val spark = builder.getOrCreate()

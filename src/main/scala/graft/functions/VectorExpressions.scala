@@ -267,6 +267,12 @@ object GraftFunctions {
   private[functions] def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dot"), dotInfo,
       exprs => DotProductD(exprs(0), exprs(1))))
+    // insert-only SQL MERGE over a keyed-catalog table must anti-join
+    // the table's CURRENT state, not its commit log (Spark plans that
+    // one statement as a plain append around the connector) — runs in
+    // the hint stage, before Spark's Resolution batch can rewrite it
+    ext.injectHintResolutionRule(s =>
+      new graft.sources.InsertOnlyMergeCurrentState(s))
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     // native band-join path (flag-gated by spark.graft.bandjoin.native):
     // logical conversion + dedicated physical operator

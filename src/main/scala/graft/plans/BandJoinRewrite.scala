@@ -33,6 +33,10 @@ object BandJoinRewrite extends Rule[org.apache.spark.sql.catalyst.plans.logical.
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !alreadyBucketed(j) &&
+          // kill switch: with the rule wired session-wide through
+          // spark.sql.extensions, baselines (and users who want
+          // Spark's naive plan back) disable it per-session
+          conf.getConfString("spark.graft.bandjoin.enabled", "true") == "true" &&
           // defer to the native BandJoinExec path when enabled
           conf.getConfString("spark.graft.bandjoin.native", "false") != "true" =>
       BandJoinPattern.findBand(cond, left, right) match {

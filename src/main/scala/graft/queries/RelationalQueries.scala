@@ -1268,6 +1268,211 @@ object RelationalQueries {
         out
       }),
 
+    // ---- SORTED COMPACTION (OPTIMIZE ZORDER's single-dimension
+    // analogue): declareSortOrder(ck) makes rewriteCompact order each
+    // bucket's fold by the sort column and roll row-log files every
+    // targetFileRows rows — per-file zone maps become narrow DISJOINT
+    // ck slices. The in-entry lint proves the claim mechanically: the
+    // SAME non-key range probe over the SAME logical content plans
+    // every file of a plain fold but at most half the files of the
+    // sorted fold. Content is oracled (the probe's rows). ----
+    QueryDef("q_ktable_sorted_compact", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_custkey AS ck, o_orderstatus AS status
+        |FROM orders
+        |WHERE o_custkey <= (SELECT min(o_custkey) +
+        |  (max(o_custkey) - min(o_custkey)) // 8 FROM orders)
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:sorted_compact:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ksort_").toString
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_custkey").as("ck"),
+          col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("ck")), max(col("ck"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val cut = lo + (hi - lo) / 8
+        val Array(kLo, kHi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val kHalf = (kLo + kHi) / 2
+        val n = src.count()
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        def load(t: String): Unit = { // two commits so the fold folds
+          sink.append(src.where(col("k") <= kHalf), t)
+          sink.append(src.where(col("k") > kHalf), t)
+        }
+        def planned(df: org.apache.spark.sql.DataFrame): Int = {
+          val scans = df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }
+          assert(scans.nonEmpty, "no v2 scan found in the plan")
+          scans.sum
+        }
+        def read(t: String) =
+          s.read.format("graft.sources.KeyedTable").load(t)
+        import graft.sources.{KeyedTable, KeyedTableOps}
+        val plain = s"$tmp/plain"
+        load(plain)
+        assert(KeyedTableOps.rewriteCompact(s, plain,
+          tombstoneGraceMs = 0).isDefined, "plain fold did not commit")
+        val sorted = s"$tmp/sorted"
+        load(sorted)
+        KeyedTableOps.declareSortOrder(sorted, Seq("ck"))
+        // roll so each bucket folds into ~4 slices at any scale factor
+        val perFile = math.max(1L, n / (8L * 4L))
+        assert(KeyedTableOps.rewriteCompact(s, sorted,
+          tombstoneGraceMs = 0, targetFileRows = perFile).isDefined,
+          "sorted fold did not commit")
+        val probe = col("ck") <= cut
+        val plainPlanned = planned(read(plain).where(probe))
+        val plainFiles = KeyedTable.liveFiles(plain).size
+        val sortedPlanned = planned(read(sorted).where(probe))
+        val sortedFiles = KeyedTable.liveFiles(sorted).size
+        assert(sortedFiles > plainFiles,
+          s"the sorted fold must roll files: $sortedFiles vs $plainFiles")
+        // the mechanical claim: plain zones span the whole ck range
+        // (every file plans); sorted zones are slices (most files skip)
+        assert(plainPlanned == plainFiles,
+          s"plain fold should plan all $plainFiles files for a ck range " +
+            s"probe, planned $plainPlanned")
+        assert(sortedPlanned * 2 <= sortedFiles,
+          s"sorted fold must prune at least half its files on the same " +
+            s"probe: planned $sortedPlanned of $sortedFiles")
+        val out = read(sorted).where(probe).localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- CHANGE DATA FEED, Delta's column spelling: changesBetween
+    // emits raw events (upserts + tombstones with versions);
+    // changeDataFeed classifies each one against the key's previous
+    // version under the same last-write-wins order — insert /
+    // update_preimage / update_postimage / delete, stamped
+    // _commit_version. Gated on a DuckDB window oracle that replays the
+    // SAME four CDC waves (insert / upsert / delete / upsert-with-
+    // re-insert) and derives the classes with lag() — the engine's
+    // window path and the storage engine's version order must agree
+    // event by event. One lag window per key = ONE shuffle of the
+    // events slice (linted), the cost floor for per-key ordering. ----
+    QueryDef("q_ktable_cdf", effectful = true, oracle = Some(
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |ev AS (
+        |  SELECT k, CAST(status AS VARCHAR) AS status, cents,
+        |      1 AS v, FALSE AS tomb FROM base
+        |  UNION ALL SELECT k, 'U1', cents + 500, 2, FALSE
+        |    FROM base WHERE k % 5 = 0
+        |  UNION ALL SELECT k, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |      3, TRUE FROM base WHERE k % 11 = 0
+        |  UNION ALL SELECT k, 'U2', cents + 1000, 4, FALSE
+        |    FROM base WHERE k % 35 = 0),
+        |lagd AS (SELECT ev.*, lag(status) OVER w AS pstatus,
+        |    lag(cents) OVER w AS pcents, lag(tomb) OVER w AS ptomb
+        |  FROM ev WINDOW w AS (PARTITION BY k ORDER BY v)),
+        |rng AS (SELECT * FROM lagd WHERE v > 1 AND v <= 4)
+        |SELECT k AS o_orderkey, status, cents,
+        |    'insert' AS _change_type, CAST(v AS BIGINT) AS _commit_version
+        |  FROM rng WHERE NOT tomb AND (ptomb IS NULL OR ptomb)
+        |UNION ALL SELECT k, pstatus, pcents, 'update_preimage',
+        |    CAST(v AS BIGINT) FROM rng WHERE NOT tomb AND ptomb = FALSE
+        |UNION ALL SELECT k, status, cents, 'update_postimage',
+        |    CAST(v AS BIGINT) FROM rng WHERE NOT tomb AND ptomb = FALSE
+        |UNION ALL SELECT k, pstatus, pcents, 'delete',
+        |    CAST(v AS BIGINT) FROM rng WHERE tomb AND ptomb = FALSE
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:cdf:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcdf_").toString
+        val target = s"$tmp/t"
+        val log = MigrationQueries.cdcLog(s, d)
+        def wave(seq: Int) = log.where(col("seq") === seq)
+          .select(col("k"), col("status"), col("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(wave(0), target) // v1: every key inserts
+        sink.append(wave(1), target) // v2: k%5 upserts (U1)
+        val out = withKeyedCatalog(s) {
+          // v3: the delete wave — key-predicate SQL DELETE, marker-only
+          val dels = wave(2).select(col("k")).collect().map(_.getLong(0))
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+          sink.append(wave(3), target) // v4: k%35 upserts + re-inserts
+          val cdf = graft.sources.KeyedTableOps
+            .changeDataFeed(s, target, fromSeq = 1L, toSeq = 4L)
+          assert(graft.ops.PlanChecks.countShuffles(
+            cdf.queryExecution.executedPlan) <= 1,
+            "CDF must cost one per-key window shuffle, nothing more")
+          cdf.select(col("k").as("o_orderkey"), col("status"), col("cents"),
+            col("_change_type"), col("_commit_version"))
+            .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- MERGE INTO as the SQL STATEMENT (fifth rendering of the CDC
+    // apply, same oracle as the batch window apply, the streaming state
+    // machine, the native-verbs apply, and the KeyedTableOps.merge
+    // compile — five spellings, one truth): the table implements
+    // SupportsRowLevelOperations (delta-based), so Spark's own
+    // RewriteMergeIntoTable plans `spark.sql("MERGE INTO ...")` onto
+    // the native verbs — matched+condition DELETE -> tombstone markers
+    // in the statement's single manifest, matched UPDATE SET * /
+    // NOT MATCHED INSERT * -> upsert appends. The operation's target
+    // scan resolves the CURRENT state merge-on-read, so a key deleted
+    // by an earlier statement counts as absent and its re-insert takes
+    // the INSERT branch (Cassandra re-insert through SQL MERGE). Wave 0
+    // is INSERT-ONLY — the one shape Spark plans as a plain append
+    // behind an anti-join, which the GraftExtensions hint rule pins to
+    // the current-state view. ----
+    QueryDef("q_ktable_merge_sql", effectful = true, oracle = Some(
+      QueryDef.requireOracle(MigrationQueries.defs, "q_migrate_cdc_apply",
+        "q_ktable_merge_sql")))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:merge_sql:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kmsql_").toString
+        val target = s"$tmp/t"
+        val log = MigrationQueries.cdcLog(s, d)
+        def wave(seq: Int): Unit = log.where(col("seq") === seq)
+          .select(col("k"), col("op").as("last_op"), col("status"),
+            col("cents"), col("seq").cast("bigint").as("version"))
+          .createOrReplaceTempView("graft_merge_sql_src")
+        val out = withKeyedCatalog(s) {
+          s.sql(s"CREATE TABLE graft_keyed.`$target` (k BIGINT, " +
+            "last_op STRING, status STRING, cents BIGINT, version BIGINT) " +
+            "TBLPROPERTIES('key'='k', 'writePartitions'='8')")
+          def merge(clauses: String): Unit = s.sql(
+            s"MERGE INTO graft_keyed.`$target` t " +
+              "USING graft_merge_sql_src src ON t.k = src.k " + clauses)
+          wave(0) // empty table — INSERT-ONLY statement (hint-rule path)
+          merge("WHEN NOT MATCHED THEN INSERT *")
+          wave(1) // all matched — UPDATE SET *
+          merge("WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          val before = graft.sources.KeyedTable.committedFiles(target).size
+          wave(2) // delete wave — matched + condition, one manifest
+          merge("WHEN MATCHED AND src.last_op = 'D' THEN DELETE")
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            "SQL MERGE deletes must cost marker files per bucket, not a rewrite")
+          wave(3) // updates + re-inserts of keys the delete wave removed
+          merge("WHEN MATCHED AND src.last_op = 'D' THEN DELETE " +
+            "WHEN MATCHED THEN UPDATE SET * " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the merged state must read shuffle-free")
+          latest.select(col("k").as("o_orderkey"), col("last_op"),
+            col("status"), col("cents"), col("version"))
+            .localCheckpoint(true)
+        }
+        s.catalog.dropTempView("graft_merge_sql_src")
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- TIMESTAMP AS OF: the wall-clock spelling of time travel.
     // Spark resolves the SQL timestamp to an instant; the catalog maps
     // it through the manifest commit timestamps to the highest

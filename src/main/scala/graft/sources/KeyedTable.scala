@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
@@ -127,7 +127,12 @@ class KeyedTable extends TableProvider {
       opts.getBoolean("withVersion", false),
       // Cassandra's USING TTL: every row of this write expires ttlMs
       // after its commit (per-commit granularity — the bulk-load shape)
-      Option(opts.get("ttlMs")).map(_.toLong))
+      Option(opts.get("ttlMs")).map(_.toLong),
+      // sorted-fold write options (rewriteCompact threads the table's
+      // declared sortOrder through these)
+      Option(opts.get("sortOrder"))
+        .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty),
+      opts.getLong("maxFileRows", 0L))
   }
 }
 
@@ -1003,8 +1008,19 @@ object KeyedTable {
     readSchemaFile(path, conf).foreach(c => require(
       sameShape(c, schema) || isPrefix(schema, c),
       s"KeyedTable schema changed under this write at $path"))
-    val entries = messages.collect {
-      case m: KFileMessage if m.rows > 0 =>
+    val flat = messages.flatMap {
+      case m: KFileMessage => Seq(m)
+      // a rolling writer (sorted fold) reports several files per task;
+      // the tombstone slot is the row-level write protocol's, never
+      // this commit path's
+      case d: KDeltaMessage =>
+        require(d.tombs.isEmpty,
+          "tombstone messages must commit through the row-level path")
+        d.data
+      case _ => Seq.empty
+    }
+    val entries = flat.collect {
+      case m if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
           bytes = m.bytes)
@@ -1016,10 +1032,14 @@ object KeyedTable {
   private def dropStaged(path: String,
       messages: Array[WriterCommitMessage], conf: Configuration): Unit = {
     val f = fs(path, conf)
-    messages.foreach {
-      case m: KFileMessage if m.rows > 0 =>
+    def drop(m: KFileMessage): Unit =
+      if (m.rows > 0) {
         try { f.delete(new Path(s"$path/data", m.file), false); () }
         catch { case scala.util.control.NonFatal(_) => () }
+      }
+    messages.foreach {
+      case m: KFileMessage => drop(m)
+      case d: KDeltaMessage => (d.data ++ d.tombs).foreach(drop)
       case _ => ()
     }
   }
@@ -1074,17 +1094,38 @@ object KeyedTable {
       s"key column '$key' not in schema ${schema.fieldNames.mkString(",")}")
     ensureDirs(path, conf)
     ensureSchema(path, schema, conf)
-    val keyIdx = schema.fieldIndex(key)
+    val msgs = writeTombstoneMarkers(path, schema, schema.fieldIndex(key),
+      buckets, keys, "", conf)
+    if (msgs.isEmpty) return
+    val entries = msgs.map(m => KFileEntry(m.file, m.rows, m.bucket, buckets,
+      key, Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = true,
+      colStats = m.colStats, bytes = m.bytes))
+    commitManifest(path,
+      s"delete-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
+      entries, conf, ncols = schema.length)
+  }
+
+  /** Write the tombstone MARKER FILES for a key set — the executor-
+    * callable half of [[deleteKeys]] (the SQL row-level DELETE path
+    * writes markers from its writer tasks and commits them with the
+    * statement's other effects in one manifest). One marker file per
+    * write bucket touched; each row carries the key with every other
+    * field null, keeping the bucket proof and zone maps exactly as a
+    * data write would. Returns one commit message per file written;
+    * the CALLER commits (or aborts) them. */
+  private[sources] def writeTombstoneMarkers(path: String,
+      schema: StructType, keyIdx: Int, buckets: Int, keys: Seq[Any],
+      prefix: String, conf: Configuration): Seq[KFileMessage] = {
     val keyType = schema.fields(keyIdx).dataType
     val f = fs(path, conf)
     val distinct = keys.distinct
-    if (distinct.isEmpty) return
+    if (distinct.isEmpty) return Seq.empty
     val ord = keyOrdering(keyType)
     def leq(a: Any, b: Any): Boolean = ord(a, b) <= 0
-    val entries = distinct.groupBy(v => bucketOf(v, keyType, buckets))
+    distinct.groupBy(v => bucketOf(v, keyType, buckets))
       .toSeq.sortBy(_._1).map { case (bucket, vs) =>
-        val name =
-          s"tomb-$bucket-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+        val name = s"${prefix}tomb-$bucket-" +
+          s"${java.util.UUID.randomUUID().toString.take(8)}.rows"
         val out = new DataOutputStream(new java.io.BufferedOutputStream(
           f.create(new Path(s"$path/data", name), true)))
         try vs.foreach { v =>
@@ -1119,12 +1160,9 @@ object KeyedTable {
           else KeyStats(vs.size.toLong, None, None))
         val bytes = try f.getFileStatus(new Path(s"$path/data", name)).getLen
           catch { case scala.util.control.NonFatal(_) => -1L }
-        KFileEntry(name, vs.size.toLong, bucket, buckets, key,
-          Some(keyStats), tombstone = true, colStats = cs, bytes = bytes)
+        KFileMessage(name, vs.size.toLong, 0L, bucket,
+          keyStats.minEnc, keyStats.maxEnc, cs, bytes)
       }
-    commitManifest(path,
-      s"delete-${java.util.UUID.randomUUID().toString.take(8)}.manifest",
-      entries, conf, ncols = schema.length)
   }
 
   // ---------- table ----------
@@ -1148,12 +1186,26 @@ object KeyedTable {
       clusteredRead: Boolean = false, chaosKey: Option[Long] = None,
       commitName: Option[String] = None, asOfSeq: Option[Long] = None,
       rewrite: Option[(Long, Seq[String])] = None,
-      withVersion: Boolean = false, ttlMs: Option[Long] = None)
+      withVersion: Boolean = false, ttlMs: Option[Long] = None,
+      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = s"keyed_table($path)"
-    override def schema(): StructType = schema0
+
+    /** The table's declared primary-key columns: the partition key
+      * plus any declared clustering columns. Advertised NON-NULLABLE
+      * (a Cassandra primary key cannot be null — and Spark's row-level
+      * rewrites require non-nullable row IDs). Writes of nullable
+      * sources still pass: ANSI store assignment guards them with a
+      * runtime null check instead of refusing at analysis. */
+    private lazy val primaryKeyCols: Set[String] =
+      (resolvedKey +: readProps(path, hadoopConf()).get("clustering")
+        .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty)).toSet
+
+    override def schema(): StructType = StructType(schema0.fields.map(f =>
+      if (primaryKeyCols.contains(f.name)) f.copy(nullable = false) else f))
 
     /** The committed (data) schema — the frame plan. With
       * `withVersion` the advertised schema additionally carries the
@@ -1291,8 +1343,36 @@ object KeyedTable {
       val tombMode = Option(options.get("tombstones")).getOrElse("include")
       require(Set("include", "only", "skip")(tombMode),
         s"tombstones option must be include|only|skip, got $tombMode")
+      // view=current: the scan resolves the table's CURRENT STATE
+      // merge-on-read (one live row per full primary key, tombstones
+      // applied) instead of the raw commit log — the server-side
+      // spelling of the latest view, and what the insert-only MERGE
+      // rewrite (KeyedTableSqlRules) anti-joins against. Composes with
+      // time travel (current state AS OF a version); snapshot-pinned
+      // at plan time unless the caller pinned already.
+      val view = Option(options.get("view")).getOrElse("log")
+      require(Set("log", "current")(view),
+        s"view option must be log|current, got $view")
+      val resolve =
+        if (view != "current") None
+        else {
+          require(changes.isEmpty,
+            "view=current reads resolved rows; a change feed reads events")
+          require(tombMode == "include",
+            "view=current applies tombstones itself; tombstones=" +
+              s"$tombMode contradicts that")
+          Some(resolvedKey +: readProps(path, hadoopConf()).get("clustering")
+            .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty))
+        }
+      // auto-pin only the CURRENT view (an as-of read is already a
+      // fixed point; pinning today's live names under it would hide
+      // superseded originals the historical read must resolve)
+      val pin = pinned.orElse(
+        if (resolve.isDefined && asOf.isEmpty)
+          Some(snapshotInfo(path).names.toSet)
+        else None)
       new KScanBuilder(path, dataSchema, schema0, only, perTrigger,
-        clusteredRead, asOf, tombMode, pinned, changes)
+        clusteredRead, asOf, tombMode, pin, changes, resolve)
     }
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1317,7 +1397,8 @@ object KeyedTable {
         override def truncate(): WriteBuilder = { truncate0 = true; this }
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
-            chaosKey, commitName, rewrite, truncate0, ttlMs)
+            chaosKey, commitName, rewrite, truncate0, ttlMs,
+            sortOrder, maxFileRows)
       }
     }
 
@@ -1339,26 +1420,125 @@ object KeyedTable {
       }
       true
     }
+
+    /** SQL row-level statements — `MERGE INTO` / `UPDATE` / `DELETE`
+      * planned by Spark's own rewrites onto the table's native verbs
+      * (DELTA-BASED: the write receives per-row insert/update/delete
+      * effects; nothing is copied-on-write):
+      *
+      *  - inserts and updates land as ordinary upsert appends (the
+      *    rows outrank older versions under last-write-wins — exactly
+      *    what [[KeyedTableOps.merge]] compiles to);
+      *  - deletes land as tombstone markers, O(#deleted keys) bytes;
+      *  - all of one statement's effects commit as ONE manifest.
+      *
+      * The operation's TARGET SCAN resolves the table's CURRENT state
+      * (merge-on-read in the reader, per write bucket — Iceberg's
+      * equality-delete read model): MERGE matches against one live row
+      * per key (tombstoned keys count as absent, so re-inserting a
+      * deleted key takes the INSERT branch), and `UPDATE SET v = v+1`
+      * reads each key's current value exactly once. The scan pins the
+      * live manifest set at operation build, so the statement reads
+      * one immutable snapshot. Key-predicate DELETEs never get here —
+      * Spark's OptimizeMetadataOnlyDeleteFromTable routes them to
+      * [[SupportsDelete]] (pure markers, nothing scanned); this path
+      * serves the NON-key predicates that rule cannot. */
+    override def newRowLevelOperationBuilder(
+        info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+      require(asOfSeq.isEmpty,
+        s"KeyedTable at $path was loaded VERSION AS OF ${asOfSeq.get} — " +
+          "historical snapshots are read-only")
+      require(!withVersion,
+        "a withVersion read handle is read-only (version columns are " +
+          "reader-synthesized)")
+      val clustering = readProps(path, hadoopConf()).get("clustering")
+        .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty)
+      val keys = resolvedKey +: clustering
+      keys.foreach(k => require(dataSchema.fieldNames.contains(k),
+        s"primary-key column '$k' is not a column of $dataSchema"))
+      () => new KRowLevelOp(path, dataSchema, keys, writePartitions,
+        clusteredRead, info.command)
+    }
+  }
+
+  /** One SQL row-level statement over a [[KTable]] — DELTA-based
+    * (SupportsDelta): Spark's RewriteMergeIntoTable / RewriteUpdateTable
+    * / RewriteDeleteFromTable plan the statement into a join against
+    * this operation's scan plus a delta write of per-row effects. The
+    * row ID is the table's full primary key (partition key + declared
+    * clustering columns) — the unit the storage layer upserts and
+    * tombstones by. */
+  private final class KRowLevelOp(path: String, dataSchema: StructType,
+      keys: Seq[String], writePartitions: Int, clusteredRead: Boolean,
+      cmd: RowLevelOperation.Command)
+      extends RowLevelOperation with SupportsDelta {
+    // snapshot pin at operation build: every scan this statement plans
+    // reads the same immutable manifest set (commits racing the
+    // statement resolve before or after it, never half-in)
+    private val pinned: Set[String] = liveManifestNames(path).toSet
+
+    override def command(): RowLevelOperation.Command = cmd
+    override def description(): String =
+      s"KeyedTable.$cmd[$path, key=${keys.mkString(",")}]"
+    override def rowId(): Array[
+        org.apache.spark.sql.connector.expressions.NamedReference] =
+      keys.map(Expressions.column).toArray
+
+    /** The target scan: the table's CURRENT state, resolved
+      * merge-on-read per bucket (see [[KResolvingReaderFactory]]).
+      * File pruning under this scan is restricted to PARTITION-KEY
+      * predicates — a non-key predicate may hold for a stale version
+      * and not the current one (or vice versa), so pruning by it could
+      * resolve a pruned key to the wrong version; partition-key
+      * predicates keep every version and marker of the surviving keys,
+      * so resolution stays exact. */
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new KScanBuilder(path, dataSchema, dataSchema, None, 10,
+        clusteredRead, None, "include", Some(pinned), None,
+        resolve = Some(keys))
+
+    override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+      new DeltaWriteBuilder {
+        override def build(): DeltaWrite = {
+          if (info.schema().nonEmpty) validateSchema(info.schema())
+          new KDeltaWrite(path, info.schema(), dataSchema, keys,
+            writePartitions, info.queryId(), cmd)
+        }
+      }
   }
 
   // ---------- write path ----------
 
-  private final case class KFileMessage(file: String, rows: Long,
+  private[sources] final case class KFileMessage(file: String, rows: Long,
       nulls: Long, bucket: Int, minEnc: Option[String],
       maxEnc: Option[String],
       colStats: Seq[KeyStats] = Seq.empty,
       bytes: Long = -1L) extends WriterCommitMessage
 
+  /** One row-level-operation task's effects: the data files its
+    * inserts/updates appended (per bucket) plus the tombstone marker
+    * files its deletes wrote. Committed together as ONE manifest. */
+  private[sources] final case class KDeltaMessage(data: Seq[KFileMessage],
+      tombs: Seq[KFileMessage]) extends WriterCommitMessage
+
   private final class KWrite(path: String, schema: StructType, key: String,
       writePartitions: Int, queryId: String, chaosKey: Option[Long] = None,
       commitName: Option[String] = None,
       rewrite: Option[(Long, Seq[String])] = None,
-      truncate: Boolean = false, ttlMs: Option[Long] = None)
+      truncate: Boolean = false, ttlMs: Option[Long] = None,
+      // sorted write: order each task's rows by these columns instead
+      // of the key, and roll row-log files every maxFileRows rows —
+      // the ZORDER-analogue fold path (rewriteCompact threads the
+      // table's declared sortOrder through here), producing per-file
+      // zone maps that are narrow, disjoint slices of the sort column
+      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L)
       extends Write with RequiresDistributionAndOrdering {
     require(!(truncate && rewrite.isDefined),
       "a snapshot rewrite cannot also truncate")
     require(!(ttlMs.isDefined && rewrite.isDefined),
       "a snapshot rewrite re-homes surviving rows; it cannot add a TTL")
+    sortOrder.foreach(c => require(schema.fieldNames.contains(c),
+      s"sortOrder column '$c' is not in the write schema $schema"))
     private val keyIdx = schema.fieldIndex(key)
     private def factory(conf: SerConf) = new KWriterFactory(path, schema,
       keyIdx, writePartitions, conf,
@@ -1367,15 +1547,19 @@ object KeyedTable {
           s"chaosWriteKey requires a LONG key column; '$key' is " +
             schema.fields(keyIdx).dataType.sql)
         (keyIdx, k)
-      })
+      }, maxFileRows)
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
-    // within the task — batch.grouping.key=partition, Spark-natively
+    // within the task — batch.grouping.key=partition, Spark-natively.
+    // A declared sortOrder replaces the within-task order (clustering
+    // by key is untouched): the planner sorts, the writer just rolls
     override def requiredDistribution(): Distribution =
       Distributions.clustered(Array(Expressions.column(key)))
     override def requiredOrdering(): Array[SortOrder] =
-      Array(Expressions.sort(Expressions.column(key),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      (if (sortOrder.nonEmpty) sortOrder else Seq(key)).map(c =>
+        Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
     override def requiredNumPartitions(): Int = writePartitions
     override def description(): String =
       s"KeyedTable[$path, key=$key, writePartitions=$writePartitions]"
@@ -1513,16 +1697,17 @@ object KeyedTable {
     * Hadoop conf cross the wire. Serves BOTH factory interfaces — the
     * streaming variant just folds the epoch into the file name. */
   private final class KWriterFactory(path: String, schema: StructType,
-      keyIdx: Int, buckets: Int, conf: SerConf, chaos: Option[(Int, Long)])
+      keyIdx: Int, buckets: Int, conf: SerConf, chaos: Option[(Int, Long)],
+      maxFileRows: Long = 0L)
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"part-$partitionId-$taskId", keyIdx,
-        buckets, conf, chaos)
+        buckets, conf, chaos, maxFileRows)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId",
-        keyIdx, buckets, conf, chaos)
+        keyIdx, buckets, conf, chaos, maxFileRows)
   }
 
   /** One staged row-log file per task attempt. The attempt writes to
@@ -1544,16 +1729,26 @@ object KeyedTable {
     * corrupting grouped reads. */
   private final class KRowWriter(path: String, schema: StructType,
       base: String, keyIdx: Int, buckets: Int, conf: SerConf,
-      chaos: Option[(Int, Long)] = None)
+      chaos: Option[(Int, Long)] = None,
+      // roll to a NEW row-log file every maxFileRows rows (0 = never):
+      // with a declared sort order a fold's task receives its bucket
+      // sorted by the sort columns, so each rolled slice covers a
+      // narrow, disjoint range — FILE-level zone maps get tight enough
+      // for non-key range probes to skip most of the bucket
+      maxFileRows: Long = 0L)
       extends DataWriter[InternalRow] {
-    private val name =
+    private var name =
       s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
     private val f = fs(path, conf.value)
-    private val inprogress = new Path(s"$path/data", s".$name.inprogress")
+    private var inprogress = new Path(s"$path/data", s".$name.inprogress")
     private var out: DataOutputStream = _
     private var rows = 0L
     private var bucketTag = -2 // -2 unset; -1 disproven; else the bucket
     private val keyType = schema.fields(keyIdx).dataType
+    // files already rolled and task-committed by THIS attempt (their
+    // rename happened; the manifest decides visibility, so an abort
+    // after a roll leaves only invisible bytes for vacuum)
+    private val finished = scala.collection.mutable.Buffer.empty[KFileMessage]
 
     // ALL-COLUMN zone maps: per-column nulls / min / max tracked as
     // the bytes stream out (the key column's slot doubles as the
@@ -1634,7 +1829,7 @@ object KeyedTable {
       }
       def stats: KeyStats = KeyStats(nulls, encStat(mn), encStat(mx))
     }
-    private val trackers: Array[ColTracker] =
+    private def makeTrackers(): Array[ColTracker] =
       schema.fields.zipWithIndex.map { case (fd, i) =>
         fd.dataType match {
           case LongType | TimestampType | TimestampNTZType => new LongCol(i)
@@ -1645,6 +1840,7 @@ object KeyedTable {
           case other => throw new IllegalArgumentException(other.sql)
         }
       }
+    private var trackers: Array[ColTracker] = makeTrackers()
 
     // key value for the bucket proof only — never retained, so
     // strings stay the row's transient UTF8String
@@ -1711,12 +1907,18 @@ object KeyedTable {
             s"graft-chaos: injected writer failure at key $poisoned")
         }
       }
+      if (maxFileRows > 0 && rows >= maxFileRows) finishFile()
     }
 
-    override def commit(): WriterCommitMessage = {
+    /** Close the current slice: rename it final, record its message,
+      * reset per-file state for the next slice. A zero-row tail still
+      * records a message (the manifest filters rows > 0), keeping the
+      * single-file path identical to the pre-rolling behavior. */
+    private def finishFile(): Unit = {
       var bytes = -1L
       if (out != null) {
         out.close()
+        out = null
         val dst = new Path(s"$path/data", name)
         if (!f.rename(inprogress, dst))
           throw new java.io.IOException(s"task commit rename failed: $name")
@@ -1724,17 +1926,233 @@ object KeyedTable {
           catch { case scala.util.control.NonFatal(_) => -1L }
       }
       val cs = schema.indices.map(i => trackers(i).stats)
-      KFileMessage(name, rows, cs(keyIdx).nulls,
+      finished += KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
         cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes)
+      name = s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
+      inprogress = new Path(s"$path/data", s".$name.inprogress")
+      rows = 0L
+      bucketTag = -2
+      trackers = makeTrackers()
+    }
+
+    override def commit(): WriterCommitMessage = {
+      finishFile()
+      if (finished.size == 1) finished.head
+      else KDeltaMessage(finished.toSeq, Seq.empty)
     }
 
     override def abort(): Unit = {
       if (out != null) out.close()
       try { f.delete(inprogress, false); () }
       catch { case scala.util.control.NonFatal(_) => () }
+      // slices rolled before the failure were task-renamed but never
+      // manifested: invisible forever, reaped by vacuum
     }
 
+    override def close(): Unit = ()
+  }
+
+  // ---------- row-level (delta) write path ----------
+
+  /** The write half of a SQL row-level statement. Effects compile to
+    * the table's native verbs — insert/update = upsert append, delete
+    * = tombstone marker — and the whole statement commits as ONE
+    * manifest at one sequence. ORDER INSIDE THE COMMIT: tombstone
+    * entries first, data entries after, so a row the statement WRITES
+    * outranks a key-vacating delete the same statement made (an
+    * UPDATE that changes a row's key deletes the old key and inserts
+    * the new one; a sibling source row may re-insert the vacated key
+    * in the same statement — SQL's effect-set semantics keep that key
+    * present).
+    *
+    * Distribution: clustered on the partition key and key-sorted, the
+    * same contract the ordinary write plans — insert/update rows then
+    * land one bucket per task (files keep their bucket proofs and the
+    * table keeps clustered reads). Delete effects carry the key in the
+    * ROW-ID projection, not the data row, so a pure-DELETE statement's
+    * rows cluster by the id key; mixed MERGE deletes may cross
+    * buckets, which the writer absorbs by writing one marker file per
+    * bucket it sees. */
+  private final class KDeltaWrite(path: String, rowSchema: StructType,
+      tableSchema: StructType, keys: Seq[String], writePartitions: Int,
+      queryId: String, cmd: RowLevelOperation.Command)
+      extends DeltaWrite with RequiresDistributionAndOrdering {
+    private val pk = keys.head
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.column(pk)))
+    override def requiredOrdering(): Array[SortOrder] =
+      Array(Expressions.sort(Expressions.column(pk),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    override def requiredNumPartitions(): Int = writePartitions
+    override def description(): String =
+      s"KeyedTableDelta[$cmd, $path, key=${keys.mkString(",")}]"
+
+    override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+      private val conf = new SerConf(hadoopConf())
+      ensureDirs(path, conf.value)
+      // a DELETE statement's write carries no data rows — its schema
+      // must not evolve the table; inserts/updates bring the full row
+      // schema and pass the same evolution gate the ordinary write does
+      if (rowSchema.nonEmpty) ensureSchema(path, rowSchema, conf.value)
+
+      override def createBatchWriterFactory(
+          info: PhysicalWriteInfo): DeltaWriterFactory =
+        new KDeltaWriterFactory(path, rowSchema, tableSchema, keys,
+          writePartitions, conf)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        readSchemaFile(path, conf.value).foreach(c => require(
+          rowSchema.isEmpty || sameShape(c, rowSchema) ||
+            isPrefix(rowSchema, c),
+          s"KeyedTable schema changed under this write at $path"))
+        val ms = messages.collect { case m: KDeltaMessage => m }
+        val data = ms.flatMap(_.data).filter(_.rows > 0)
+        val tombs = ms.flatMap(_.tombs).filter(_.rows > 0)
+        def entry(m: KFileMessage, tomb: Boolean): KFileEntry =
+          KFileEntry(m.file, m.rows, m.bucket, writePartitions, pk,
+            Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = tomb,
+            colStats = m.colStats, bytes = m.bytes)
+        // tombstones first (lower _pos): a data row written by this
+        // statement outranks its own delete of the same key
+        val entries = tombs.map(entry(_, tomb = true)) ++
+          data.map(entry(_, tomb = false))
+        if (entries.nonEmpty)
+          commitManifest(path,
+            s"rlo-${cmd.toString.toLowerCase}-${sanitize(queryId)}.manifest",
+            entries, conf.value,
+            ncols = (if (rowSchema.nonEmpty) rowSchema else tableSchema).length)
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val f = fs(path, conf.value)
+        messages.foreach {
+          case m: KDeltaMessage => (m.data ++ m.tombs).foreach { x =>
+            try { f.delete(new Path(s"$path/data", x.file), false); () }
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  private final class KDeltaWriterFactory(path: String,
+      rowSchema: StructType, tableSchema: StructType, keys: Seq[String],
+      buckets: Int, conf: SerConf) extends DeltaWriterFactory {
+    override def createWriter(partitionId: Int,
+        taskId: Long): DeltaWriter[InternalRow] =
+      new KDeltaRowWriter(path, rowSchema, tableSchema, keys, buckets,
+        s"rlo-$partitionId-$taskId", conf)
+  }
+
+  /** Per-task writer of row-level effects. Inserts/updates stream into
+    * one row-log file PER BUCKET the task sees (the clustered write
+    * distribution makes that one file in the common case, so the files
+    * keep their bucket proofs); deletes accumulate a key set —
+    * O(#deleted keys) memory, the same bound the statement's commit
+    * pays in marker bytes — flushed to per-bucket tombstone files at
+    * task commit. A deleted key is tombstoned at PARTITION granularity
+    * (Cassandra's model), so composite-key tables refuse row-level
+    * deletes and key-changing updates: a partition marker would hide
+    * sibling clustering rows. */
+  private final class KDeltaRowWriter(path: String, rowSchema: StructType,
+      tableSchema: StructType, keys: Seq[String], buckets: Int,
+      base: String, conf: SerConf) extends DeltaWriter[InternalRow] {
+    private val keyTypes: Seq[DataType] =
+      keys.map(k => tableSchema.fields(tableSchema.fieldIndex(k)).dataType)
+    private val keyType = keyTypes.head
+    // the row projection's key slots (inserts/updates); -1 when this
+    // statement writes no data rows (pure DELETE)
+    private val rowKeyIdxs: Seq[Int] =
+      keys.map(k => rowSchema.fieldNames.indexOf(k))
+    private val rowKeyIdx = rowKeyIdxs.head
+    private val writers =
+      scala.collection.mutable.HashMap.empty[Int, KRowWriter]
+    private val deletes = scala.collection.mutable.LinkedHashSet.empty[Any]
+
+    // key value out of a row slot, CATALYST domain, safe to RETAIN
+    // (UnsafeRow projections reuse buffers — strings must be cloned)
+    private def keyAt(row: InternalRow, idx: Int, dt: DataType): Any =
+      if (row.isNullAt(idx)) null
+      else dt match {
+        case LongType | TimestampType | TimestampNTZType => row.getLong(idx)
+        case IntegerType | DateType => row.getInt(idx)
+        case DoubleType => normZero(row.getDouble(idx))
+        case BooleanType => row.getBoolean(idx)
+        case StringType => row.getUTF8String(idx).clone()
+        case other => throw new IllegalArgumentException(other.sql)
+      }
+
+    private def sameVal(a: Any, b: Any): Boolean =
+      if (a == null || b == null) a == null && b == null else a == b
+
+    override def insert(row: InternalRow): Unit = {
+      require(rowKeyIdx >= 0,
+        s"row-level write at $path received a data row but its " +
+          s"projection $rowSchema lacks the key column ${keys.head}")
+      val k = keyAt(row, rowKeyIdx, keyType)
+      val b = bucketOf(k, keyType, buckets)
+      writers.getOrElseUpdate(b, new KRowWriter(path, rowSchema,
+        s"$base-b$b", rowKeyIdx, buckets, conf)).write(row)
+    }
+
+    /** UPDATE effect: the new row is an upsert append. A changed
+      * PARTITION key is DELETE(old) + INSERT(new) — single-key tables
+      * only; on a composite table any key-column change is refused
+      * (the delete half would be a partition marker hiding sibling
+      * clustering rows). The id row carries the ORIGINAL key values in
+      * [[KRowLevelOp.rowId]] order. */
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit = {
+      // the id row carries the ORIGINAL key values in rowId order —
+      // compare EVERY key column (a changed clustering column is a key
+      // change too: the old full-key row would survive as a ghost)
+      val changed = keys.indices.filter { i =>
+        !sameVal(keyAt(id, i, keyTypes(i)),
+          keyAt(row, rowKeyIdxs(i), keyTypes(i)))
+      }
+      if (changed.nonEmpty) {
+        require(keys.size == 1,
+          s"UPDATE changing primary-key column(s) " +
+            s"${changed.map(keys).mkString(",")} on composite-key table " +
+            s"$path is refused: the old row's delete would be a " +
+            "partition-level tombstone hiding sibling clustering rows — " +
+            "DELETE and re-INSERT explicitly")
+        val oldK = keyAt(id, 0, keyType)
+        if (oldK != null) { deletes += oldK; () }
+      }
+      insert(row)
+    }
+
+    override def delete(meta: InternalRow, id: InternalRow): Unit = {
+      require(keys.size == 1,
+        s"row-level DELETE on composite-key table $path is refused: " +
+          "tombstones delete whole partitions (range tombstones), which " +
+          "would hide sibling clustering rows — use SQL DELETE on the " +
+          "partition key explicitly")
+      val k = keyAt(id, 0, keyType)
+      require(k != null,
+        s"row-level DELETE at $path matched a NULL-keyed row — a " +
+          "partition tombstone cannot address it")
+      deletes += k
+      ()
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val data = writers.toSeq.sortBy(_._1)
+        .map(_._2.commit()).collect { case m: KFileMessage => m }
+      // markers frame with the SAME schema as this statement's data
+      // files (one ncols per manifest): the statement's row projection
+      // when it writes rows, the committed schema on a pure DELETE
+      val frame = if (rowSchema.nonEmpty) rowSchema else tableSchema
+      val tombs = writeTombstoneMarkers(path, frame,
+        frame.fieldIndex(keys.head), buckets, deletes.toSeq,
+        s"$base-", conf.value)
+      KDeltaMessage(data, tombs)
+    }
+
+    override def abort(): Unit = writers.values.foreach(_.abort())
     override def close(): Unit = ()
   }
 
@@ -2006,7 +2424,13 @@ object KeyedTable {
       clusteredRead: Boolean, asOfSeq: Option[Long],
       tombMode: String = "include",
       pinned: Option[Set[String]] = None,
-      changes: Option[(Long, Long)] = None)
+      changes: Option[(Long, Long)] = None,
+      // CURRENT-STATE RESOLUTION (row-level operation scans): the full
+      // primary key; the scan then resolves last-write-wins +
+      // tombstones per bucket in the reader and emits live rows only.
+      // Limit/aggregate pushdown are refused (they would answer over
+      // raw versions) and file pruning narrows to the partition key
+      resolve: Option[Seq[String]] = None)
       extends ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2029,13 +2453,22 @@ object KeyedTable {
       * present the budget is filters-might-drop-rows conservative:
       * pushdown is refused and every stats-surviving file plans. */
     override def pushLimit(l: Int): Boolean = {
-      if (pruningFilters.isEmpty && l >= 0) { limit = Some(l); true }
-      else false
+      if (resolve.isEmpty && pruningFilters.isEmpty && l >= 0) {
+        limit = Some(l); true
+      } else false
     }
     override def isPartiallyPushed: Boolean = true
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-      pruningFilters = filters.filter(prunable)
+      pruningFilters = resolve match {
+        // current-state scans prune by the PARTITION KEY only: every
+        // version and marker of a key shares its key value, so key
+        // pruning keeps resolution exact; a non-key predicate may hold
+        // for a stale version only and would prune the current one away
+        case Some(ks) => filters.filter(prunable)
+          .filter(fl => attrOf(fl).contains(ks.head))
+        case None => filters.filter(prunable)
+      }
       // ALL filters stay Spark's to evaluate: stats prune FILES only
       filters
     }
@@ -2109,6 +2542,9 @@ object KeyedTable {
           .Aggregation): Option[Seq[KAggSpec]] = {
       import org.apache.spark.sql.connector.expressions.NamedReference
       import org.apache.spark.sql.connector.expressions.aggregate._
+      // a current-state scan's answer is over RESOLVED rows; manifest
+      // stats describe raw versions — never fold them
+      if (resolve.isDefined) return None
       if (pruningFilters.nonEmpty || agg.groupByExpressions.nonEmpty)
         return None
       val splits = statsSplits.getOrElse(return None)
@@ -2148,7 +2584,8 @@ object KeyedTable {
           idx => sp => colStatsOf(sp, idx, key))
       case None => new KScan(path, tableSchema, required,
         pruningFilters, only, perTrigger, clusteredRead, asOfSeq,
-        tombMode, pinned, changes, limit, new SerConf(hadoopConf()))
+        tombMode, pinned, changes, limit, new SerConf(hadoopConf()),
+        resolve)
     }
 
     private def tombSelect(e: KFileEntry): Boolean = tombMode match {
@@ -2262,7 +2699,8 @@ object KeyedTable {
       manifestsPerTrigger: Int, clusteredRead: Boolean,
       asOfSeq: Option[Long], tombMode: String,
       pinned: Option[Set[String]], changes: Option[(Long, Long)],
-      limitRows: Option[Int], conf: SerConf)
+      limitRows: Option[Int], conf: SerConf,
+      resolve: Option[Seq[String]] = None)
       extends Scan with Batch with SupportsReportPartitioning
       with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -2412,29 +2850,56 @@ object KeyedTable {
     }
     override def toBatch: Batch = this
 
-    override def planInputPartitions(): Array[InputPartition] = grouping match {
-      case Some((_, _, groups)) =>
-        // group set fixed at plan time; runtime filters prune files
-        // WITHIN groups (an emptied group reads zero rows) so the
-        // reported KeyGroupedPartitioning stays exactly preserved
-        groups.map { case (b, ss) =>
-          KFilesPartition(path, ss.filter(survivesRuntime), b)
-        }.toArray[InputPartition]
-      case None =>
-        limited(planned).map(s => KFilesPartition(path, Seq(s)))
-          .toArray[InputPartition]
+    /** Current-state resolution needs every file of a bucket in ONE
+      * read partition (the reader folds the bucket's versions). With a
+      * uniform proven write contract that is one partition per bucket
+      * — same parallelism as a clustered read, independent of the
+      * session's v2-bucketing switch; without one (mixed moduli,
+      * unproven files) resolution falls back to a single partition
+      * over everything — correct, and loud in the plan description. */
+    private lazy val resolveGroups: Seq[(Int, Seq[KSplit])] = {
+      val keys = staticPlanned.map(_.entry.key).distinct
+      val moduli = staticPlanned.map(_.entry.buckets).distinct
+      if (staticPlanned.nonEmpty && keys.size == 1 && keys.head.nonEmpty &&
+          moduli.size == 1 && moduli.head > 0 &&
+          staticPlanned.forall(_.entry.bucket >= 0))
+        staticPlanned.groupBy(_.entry.bucket).toSeq.sortBy(_._1)
+      else Seq((-1, staticPlanned))
     }
+
+    override def planInputPartitions(): Array[InputPartition] =
+      (grouping, resolve) match {
+        case (Some((_, _, groups)), _) =>
+          // group set fixed at plan time; runtime filters prune files
+          // WITHIN groups (an emptied group reads zero rows) so the
+          // reported KeyGroupedPartitioning stays exactly preserved
+          groups.map { case (b, ss) =>
+            KFilesPartition(path, ss.filter(survivesRuntime), b)
+          }.toArray[InputPartition]
+        case (None, Some(_)) =>
+          resolveGroups.map { case (b, ss) =>
+            KFilesPartition(path, ss.filter(survivesRuntime), b)
+          }.toArray[InputPartition]
+        case (None, None) =>
+          limited(planned).map(s => KFilesPartition(path, Seq(s)))
+            .toArray[InputPartition]
+      }
 
     override def outputPartitioning(): Partitioning = grouping match {
       case Some((key, n, groups)) =>
         new KeyGroupedPartitioning(Array(Expressions.bucket(n, key)),
           groups.size)
-      case None => new UnknownPartitioning(limited(planned).size)
+      case None => new UnknownPartitioning(
+        if (resolve.isDefined) resolveGroups.size else limited(planned).size)
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new KReaderFactory(tableSchema, required, conf,
-        legacyNcols(path, conf.value, tableSchema))
+      resolve match {
+        case Some(keys) => new KResolvingReaderFactory(tableSchema,
+          required, keys, conf, legacyNcols(path, conf.value, tableSchema))
+        case None => new KReaderFactory(tableSchema, required, conf,
+          legacyNcols(path, conf.value, tableSchema))
+      }
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
           .read.streaming.MicroBatchStream =
@@ -2678,6 +3143,128 @@ object KeyedTable {
         }
         override def get(): InternalRow = row
         override def close(): Unit = if (in != null) in.close()
+      }
+    }
+  }
+
+  /** MERGE-ON-READ for row-level operation scans: resolves the
+    * table's CURRENT state inside the reader, per write bucket —
+    * the same read-side model Iceberg applies equality deletes with.
+    * Each partition holds EVERY file of one bucket (the scan plans
+    * bucket-complete groups), so resolution is local:
+    *
+    *  - one pass over the bucket's rows keeps the highest
+    *    (_seq, _pos) NON-tombstone version per FULL primary key, and
+    *    the highest tombstone version per PARTITION key (the range-
+    *    tombstone cut);
+    *  - at emit, a winner survives iff its version outranks its
+    *    partition's cut — exactly [[KeyedTableOps.latestOver]]'s
+    *    semantics, imperatively, because a leaf scan cannot express
+    *    the aggregate.
+    *
+    * MEMORY: the winner map holds one row per LIVE key of the bucket
+    * — the bucket's compacted size, not its log size. That is the
+    * same state a hash aggregate would hold for the declarative
+    * latest view, un-spillable here; size write buckets so a bucket's
+    * live keys fit an executor (the write contract already scales
+    * `writePartitions` with the table). Inner-reader rows are safe to
+    * retain: the decode allocates fresh values per row and
+    * `row.copy()` captures them; winners copy ONLY on replacement, so
+    * a fully-sorted bucket copies each key once. */
+  private final class KResolvingReaderFactory(full: StructType,
+      required: StructType, keys: Seq[String], conf: SerConf,
+      legacyNcols: Int) extends PartitionReaderFactory {
+    override def createReader(
+        partition: InputPartition): PartitionReader[InternalRow] = {
+      // the INTERNAL read schema: the requested columns, plus whatever
+      // key/version columns resolution needs that were not requested
+      val need = keys.filterNot(required.fieldNames.contains)
+        .map(k => full.fields(full.fieldIndex(k))) ++
+        Seq(MetaSeq, MetaPos, MetaTombstone)
+          .filterNot(required.fieldNames.contains)
+          .map(n => versionFields.find(_.name == n).get)
+      val extended = StructType(required.fields ++ need)
+      val inner = new KReaderFactory(full, extended, conf, legacyNcols)
+        .createReader(partition)
+      val keyIdxs = keys.map(k => extended.fieldNames.indexOf(k)).toArray
+      val keyTypes = keys.map(k =>
+        full.fields(full.fieldIndex(k)).dataType).toArray
+      val pkIdx = keyIdxs.head
+      val pkType = keyTypes.head
+      val seqIdx = extended.fieldNames.indexOf(MetaSeq)
+      val posIdx = extended.fieldNames.indexOf(MetaPos)
+      val tombIdx = extended.fieldNames.indexOf(MetaTombstone)
+      val width = required.length
+      // map-key values: SQL equality, not IEEE (-0.0 folds to 0.0 so
+      // both zeros resolve as one key, matching what a shuffle's
+      // NormalizeFloatingNumbers would have done declaratively)
+      def keyVal(r: InternalRow, i: Int, dt: DataType): Any =
+        if (r.isNullAt(i)) null
+        else dt match {
+          case DoubleType => normZero(r.getDouble(i))
+          case _ => r.get(i, dt)
+        }
+
+      new PartitionReader[InternalRow] {
+        private var it: Iterator[InternalRow] = _
+        private var cur: InternalRow = _
+
+        private def later(s: Long, p: Long, s0: Long, p0: Long): Boolean =
+          s > s0 || (s == s0 && p > p0)
+
+        private def resolved(): Iterator[InternalRow] = {
+          // full key -> (seq, pos, row); partition key -> tombstone cut
+          val winners = scala.collection.mutable.HashMap
+            .empty[Seq[Any], (Long, Long, InternalRow)]
+          val cuts = scala.collection.mutable.HashMap
+            .empty[Any, (Long, Long)]
+          try {
+            while (inner.next()) {
+              val r = inner.get()
+              val s = r.getLong(seqIdx)
+              val p = r.getLong(posIdx)
+              if (r.getBoolean(tombIdx)) {
+                val pk = keyVal(r, pkIdx, pkType)
+                val keep = cuts.get(pk) match {
+                  case Some((s0, p0)) => later(s, p, s0, p0)
+                  case None => true
+                }
+                if (keep) cuts(pk) = (s, p)
+              } else {
+                val kv = new Array[Any](keyIdxs.length)
+                var i = 0
+                while (i < keyIdxs.length) {
+                  kv(i) = keyVal(r, keyIdxs(i), keyTypes(i)); i += 1
+                }
+                val k = kv.toSeq
+                val keep = winners.get(k) match {
+                  case Some((s0, p0, _)) => later(s, p, s0, p0)
+                  case None => true
+                }
+                if (keep) winners(k) = (s, p, r.copy())
+              }
+            }
+          } finally inner.close()
+          winners.iterator.collect {
+            case (k, (s, p, row)) if cuts.get(k.head).forall {
+              case (cs, cp) => later(s, p, cs, cp)
+            } =>
+              // trim the internal columns back off: Spark reads this
+              // scan at readSchema() width
+              val out = new Array[Any](width)
+              var i = 0
+              while (i < width) { out(i) = row.get(i, required(i).dataType); i += 1 }
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(out)
+          }
+        }
+
+        override def next(): Boolean = {
+          if (it == null) it = resolved()
+          if (it.hasNext) { cur = it.next(); true } else false
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
       }
     }
   }

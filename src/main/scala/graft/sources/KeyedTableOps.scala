@@ -100,6 +100,27 @@ object KeyedTableOps {
     KeyedTable.readProps(path, KeyedTable.hadoopConf())
       .getOrElse("merge", "lww")
 
+  /** Declare the table's SORT ORDER — the OPTIMIZE ZORDER analogue's
+    * knob: [[rewriteCompact]] then orders each bucket's fold by these
+    * columns and rolls row-log files every `targetFileRows` rows, so
+    * the snapshot's per-file zone maps become narrow DISJOINT slices
+    * of the sort columns and a non-key range probe plans a small
+    * fraction of each bucket instead of all of it. A plain fold
+    * tightens zones only incidentally (key clustering); a declared
+    * sort order tightens them by construction. Ordinary appends are
+    * untouched — sorting is a maintenance-time property, exactly like
+    * OPTIMIZE. Idempotent; merges into the existing properties. */
+  def declareSortOrder(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty))
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.readSchemaFile(path, conf).foreach { sch =>
+      cols.foreach(c => require(sch.fieldNames.contains(c),
+        s"sortOrder column '$c' is not a column of $sch"))
+    }
+    KeyedTable.updateProps(path, conf)(
+      _ + ("sortOrder" -> cols.mkString(",")))
+  }
+
   /** Declare the table's clustering columns (the non-partition part of
     * its primary key). Idempotent; merges into the existing
     * properties. Do this BEFORE the first rewriteCompact of a
@@ -336,7 +357,12 @@ object KeyedTableOps {
     * superseded bytes after its grace. Returns the snapshot manifest's
     * logical name, or None when there is nothing to fold. */
   def rewriteCompact(spark: SparkSession, path: String,
-      tombstoneGraceMs: Long = 24L * 3600 * 1000): Option[String] = {
+      tombstoneGraceMs: Long = 24L * 3600 * 1000,
+      // roll the fold's row-log files every this-many rows (0 = one
+      // file per bucket, the pre-sort behavior); meaningful with a
+      // declared [[declareSortOrder]] — each rolled slice then covers
+      // a narrow disjoint range of the sort columns
+      targetFileRows: Long = 0L): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val live = KeyedTable.liveManifests(path, conf)
     def isTombstoneManifest(m: KeyedTable.KManifest): Boolean =
@@ -436,13 +462,23 @@ object KeyedTableOps {
       case other => throw new IllegalArgumentException(
         s"unknown merge discipline '$other' at $path (lww|counter)")
     }
-    snapshot.write.format("graft.sources.KeyedTable")
+    // declared sort order: the fold orders each bucket by these
+    // columns and (with targetFileRows) rolls files into narrow
+    // disjoint slices — the OPTIMIZE ZORDER analogue's payoff is the
+    // snapshot's zone maps, so it applies exactly here
+    val sortOrder = KeyedTable.readProps(path, conf).get("sortOrder")
+      .map(parseClustering).getOrElse(Seq.empty)
+    val w0 = snapshot.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)
       .option("writePartitions",
         contract.map(_._2).getOrElse(8).toString)
       .option("rewriteSeq", fence.toString)
       .option("rewriteSupersedes", names.mkString(","))
-      .mode("append").save(path)
+    val w1 = if (sortOrder.nonEmpty)
+      w0.option("sortOrder", sortOrder.mkString(",")) else w0
+    val w2 = if (targetFileRows > 0L)
+      w1.option("maxFileRows", targetFileRows.toString) else w1
+    w2.mode("append").save(path)
     // commit-time validation (under the maintenance lock) no-ops a
     // fold whose inputs another superseding commit consumed first —
     // report what actually happened
@@ -503,6 +539,80 @@ object KeyedTableOps {
       .option("changesFromSeq", fromSeq.toString)
       .option("changesToSeq", toSeq.toString)
       .load(path)
+  }
+
+  /** CHANGE DATA FEED with Delta's column spelling — the shape CDC
+    * consumers expect: each change event in (fromSeq, toSeq] classified
+    * as `insert` / `update_preimage` / `update_postimage` / `delete`
+    * (`_change_type`), stamped `_commit_version`. [[changesBetween]]
+    * emits the RAW events (upserts and tombstones with versions); this
+    * derives each event's class by pairing it with the key's previous
+    * version under the same last-write-wins order:
+    *
+    *  - an upsert whose previous version is absent-or-tombstone emits
+    *    `insert` (re-insert after delete is an insert — Cassandra);
+    *  - an upsert over a live previous version emits the pair
+    *    `update_preimage` (old values) + `update_postimage` (new);
+    *  - a tombstone over a live previous version emits `delete`
+    *    carrying the deleted row's values; a tombstone of an absent
+    *    key emits nothing.
+    *
+    * The pairing needs history at and below `toSeq` for preimages, so
+    * the feed is bounded by RETENTION exactly like Delta's: a vacuumed
+    * fold below `fromSeq` loses the preimages of rows it folded. The
+    * classification is one `lag` window per key — a single shuffle of
+    * the events slice, the cost floor for any per-key ordering. Events
+    * are classified per EVENT, not net-per-commit: a key written twice
+    * in (from, to] emits each transition. Single-column keys only (a
+    * composite table's partition tombstones hide RANGES of rows; their
+    * per-row preimages are a join the caller should spell explicitly). */
+  def changeDataFeed(spark: SparkSession, path: String,
+      fromSeq: Long, toSeq: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    require(keys.size == 1,
+      s"changeDataFeed supports single-column keys; $path clusters on " +
+        keys.mkString(","))
+    val pk = keys.head
+    require(0L <= fromSeq && fromSeq <= toSeq,
+      s"changeDataFeed($fromSeq, $toSeq) is empty")
+    // full history to the window's end: preimages live below fromSeq
+    val ev = changesBetween(spark, path, 0L, toSeq)
+    val dataCols = ev.columns.toSeq.filterNot(KeyedTable.MetaNames)
+    val rest = dataCols.filterNot(_ == pk)
+    val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+    val w = Window.partitionBy(col(pk)).orderBy(ver)
+    val prev = lag(struct(
+      col(KeyedTable.MetaTombstone).as("__tomb") +: rest.map(col): _*), 1)
+      .over(w)
+    val cur = struct(rest.map(col): _*)
+    val pre = struct(rest.map(c => col(s"__prev.`$c`").as(c)): _*)
+    val prevLive = col("__prev").isNotNull && !col("__prev.__tomb")
+    val valsType = org.apache.spark.sql.types.StructType(rest.map(c =>
+      ev.schema(ev.schema.fieldIndex(c)).copy(nullable = true)))
+    val changeType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vals", valsType,
+        nullable = true),
+      org.apache.spark.sql.types.StructField("ct",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val staged = ev.withColumn("__prev", prev)
+      .where(col(KeyedTable.MetaSeq) > fromSeq)
+      .withColumn("__changes",
+        when(!col(KeyedTable.MetaTombstone) && !prevLive,
+          array(struct(cur.as("vals"), lit("insert").as("ct"))))
+        .when(!col(KeyedTable.MetaTombstone) && prevLive,
+          array(
+            struct(pre.as("vals"), lit("update_preimage").as("ct")),
+            struct(cur.as("vals"), lit("update_postimage").as("ct"))))
+        .when(col(KeyedTable.MetaTombstone) && prevLive,
+          array(struct(pre.as("vals"), lit("delete").as("ct"))))
+        .otherwise(array().cast(
+          org.apache.spark.sql.types.ArrayType(changeType))))
+    staged.select(col(pk), col(KeyedTable.MetaSeq).as("_commit_version"),
+        explode(col("__changes")).as("__c"))
+      .select((col(pk) +: rest.map(c => col(s"__c.vals.`$c`").as(c))) ++ Seq(
+        col("__c.ct").as("_change_type"), col("_commit_version")): _*)
   }
 
   /** SQL UPDATE semantics, compiled to the table's native upsert:
@@ -595,6 +705,19 @@ object KeyedTableOps {
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .orElse(KeyedTable.inferWriteContract(path, conf).map(_._2))
       .getOrElse(8)
+    // SQL MERGE's cardinality rule (and the SQL statement path's, via
+    // Spark's own MERGE_CARDINALITY_VIOLATION): two source rows for one
+    // key would both append and resolve by (_seq,_pos), where _pos
+    // depends on physical partitioning — a nondeterministic winner.
+    // One cheap aggregate over the CDC-batch-sized source refuses that
+    // loudly instead
+    val dup = source.groupBy(keys.map(col): _*).count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"MERGE source has duplicate rows for key ${dup.headOption
+        .map(_.toSeq.init.mkString(",")).getOrElse("")} — SQL MERGE " +
+        "refuses ambiguous matches (the winner would depend on " +
+        "physical row order); deduplicate the source first")
     val current = latest(spark, path).select(keys.map(col): _*)
     val matched = source.join(current, keys, "left_semi")
     // SQL clause fallthrough: a NULL delete condition means "this

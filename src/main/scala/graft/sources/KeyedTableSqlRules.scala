@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Analyzer fix-up for the ONE SQL row-level statement Spark plans
+  * AROUND the connector instead of through it: an INSERT-ONLY
+  * `MERGE INTO` (no MATCHED / NOT MATCHED BY SOURCE clauses) is
+  * rewritten by Spark's own RewriteMergeIntoTable into a plain append
+  * behind a LEFT ANTI join against the target's ORDINARY scan — the
+  * row-level operation (and its current-state scan) is never built.
+  * Over a multi-version keyed table the ordinary scan is the commit
+  * LOG, so "NOT MATCHED" would mean "never written" instead of
+  * "currently absent": a key whose only log presence is dead versions
+  * under a tombstone would wrongly refuse its re-insert.
+  *
+  * This rule runs in the HINT-RESOLUTION stage — before Spark's
+  * Resolution batch, while the MERGE target is still an
+  * [[UnresolvedRelation]] — and stamps `view=current` onto the
+  * target's read options whenever the statement is insert-only and
+  * addresses a [[KeyedTableCatalog]] table. The option rides relation
+  * resolution into [[KeyedTable.KTable.newScanBuilder]], which then
+  * resolves the table's current state merge-on-read: the anti-join
+  * matches exactly the live keys, which is what SQL MERGE means.
+  * Multi-clause MERGE, UPDATE, and DELETE never get here — Spark
+  * plans them through SupportsRowLevelOperations, whose scan resolves
+  * already.
+  *
+  * Wire with the rest of the engine's extensions:
+  * `spark.sql.extensions=graft.functions.GraftExtensions` (the same
+  * session wiring Iceberg's MERGE support used before Spark 3.4).
+  */
+final class InsertOnlyMergeCurrentState(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  /** Is this multipart identifier addressed through a catalog whose
+    * implementation is [[KeyedTableCatalog]]? The catalog may be
+    * registered under any name; the session conf is the truth. */
+  private def isKeyedCatalog(parts: Seq[String]): Boolean =
+    parts.length >= 2 && session.conf
+      .getOption(s"spark.sql.catalog.${parts.head}")
+      .contains(classOf[KeyedTableCatalog].getName)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case m: MergeIntoTable
+          if m.matchedActions.isEmpty && m.notMatchedActions.nonEmpty &&
+            m.notMatchedBySourceActions.isEmpty =>
+        val target = m.targetTable.transformDown {
+          case u: UnresolvedRelation
+              if isKeyedCatalog(u.multipartIdentifier) &&
+                !u.options.containsKey("view") =>
+            val merged = new java.util.HashMap[String, String](
+              u.options.asCaseSensitiveMap())
+            merged.put("view", "current")
+            u.copy(options = new CaseInsensitiveStringMap(merged))
+        }
+        if (target eq m.targetTable) m else m.copy(targetTable = target)
+    }
+}

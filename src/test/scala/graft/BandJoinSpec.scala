@@ -18,29 +18,27 @@ class BandJoinSpec extends SparkSpecBase {
   }
 
   test("without the rule: nested-loop; with it: hash join, same result") {
-    val naivePlan = bandJoin.queryExecution.executedPlan.toString
+    // the rule is wired session-wide through spark.sql.extensions;
+    // the naive baseline uses its kill switch
+    spark.conf.set("spark.graft.bandjoin.enabled", "false")
+    val (naivePlan, expected) = try {
+      (bandJoin.queryExecution.executedPlan.toString,
+        bandJoin.collect()
+          .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq)
+    } finally spark.conf.unset("spark.graft.bandjoin.enabled")
     assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
       naivePlan.contains("CartesianProduct"),
       s"expected the naive plan to be a cross product:\n$naivePlan")
-    val expected = bandJoin.collect()
-      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
 
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ BandJoinRewrite
-    try {
-      val optPlan = bandJoin.queryExecution.executedPlan.toString
-      assert(!optPlan.contains("BroadcastNestedLoopJoin") &&
-        !optPlan.contains("CartesianProduct"),
-        s"band join not rewritten:\n$optPlan")
-      assert(optPlan.contains("__graft_bucket"),
-        s"rewrite marker missing:\n$optPlan")
-      val got = bandJoin.collect()
-        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
-      assert(got === expected)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == BandJoinRewrite)
-    }
+    val optPlan = bandJoin.queryExecution.executedPlan.toString
+    assert(!optPlan.contains("BroadcastNestedLoopJoin") &&
+      !optPlan.contains("CartesianProduct"),
+      s"band join not rewritten:\n$optPlan")
+    assert(optPlan.contains("__graft_bucket"),
+      s"rewrite marker missing:\n$optPlan")
+    val got = bandJoin.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === expected)
   }
 
   test("swapped orientation (banded column on the right child) rewrites too") {

@@ -109,11 +109,18 @@ class KeyedTableLwwSpec extends SparkSpecBase {
       val resurrected = KeyedTableOps.latest(spark, t)
         .where(col("k") === 3).collect()
       assert(resurrected.length === 1 && resurrected.head.getString(1) === "c3")
-      // non-key predicates are refused, not silently table-scanned
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE s = 'a5'")
-      }
-      assert(e.getMessage.toLowerCase.contains("delete"))
+      // non-key predicates take the row-level path (scan the current
+      // state, tombstone the matching keys) instead of being refused —
+      // still markers, never a table rewrite
+      val pre = KeyedTable.committedFiles(t).size
+      spark.sql(s"DELETE FROM graft_keyed.`$t` WHERE s = 'a5'")
+      assert(KeyedTable.committedFiles(t).size - pre <= 2,
+        "non-key DELETE must cost tombstone markers, not a rewrite")
+      val afterRowLevel = KeyedTableOps.latest(spark, t)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(afterRowLevel ===
+        (0L until 12L).toSet -- Set(5L, 7L),
+        "row-level DELETE must tombstone exactly the matching keys")
     }
   }
 

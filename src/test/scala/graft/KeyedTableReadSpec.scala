@@ -311,9 +311,10 @@ class KeyedTableReadSpec extends SparkSpecBase {
     val t = tmpDir("graft_kagg_") + "/t"
     val sink = V2KeyedTableSink("k", writeParallelism = 4)
     sink.append(rows(0, 100), t)
-    // second commit carries null keys: count(*) vs count(k) must differ
-    sink.append(Seq((Option(100L), "x", 1L), (Option.empty[Long], "y", 2L),
-      (Option.empty[Long], "z", 3L)).toDF("k", "s", "c"), t)
+    // second commit carries null NON-key values: count(*) vs count(s)
+    // must differ (the primary key itself is NOT NULL by contract)
+    sink.append(Seq((100L, Option("x"), 1L), (101L, Option.empty[String], 2L),
+      (102L, Option.empty[String], 3L)).toDF("k", "s", "c"), t)
     val df = readBack(t).agg(count(lit(1)).as("n"), count(col("k")).as("nk"),
       min(col("k")).as("lo"), max(col("k")).as("hi"))
     assert(scanOf(df).scan.description().contains("pushedAggregates="),
@@ -322,7 +323,7 @@ class KeyedTableReadSpec extends SparkSpecBase {
       case h: HashAggregateExec => h
       case a: SortAggregateExec => a
     }.isEmpty, "complete pushdown still planned an aggregate")
-    assert(df.head.toSeq === Seq(103L, 101L, 0L, 100L))
+    assert(df.head.toSeq === Seq(103L, 103L, 0L, 102L))
     // NON-key columns push too (round 17 — all-column zone maps carry
     // nulls/min/max for every column, and the recorded bounds are
     // actual data values, so the fold is exact)
@@ -335,21 +336,21 @@ class KeyedTableReadSpec extends SparkSpecBase {
       case h: HashAggregateExec => h
       case a: SortAggregateExec => a
     }.isEmpty, "complete non-key pushdown still planned an aggregate")
-    assert(nonKey.head.toSeq === Seq(0L, "z", 103L, 103L))
+    assert(nonKey.head.toSeq === Seq(0L, "x", 101L, 103L))
     // refusals keep Spark's own aggregate exact: residual predicate,
     // GROUP BY, distinct
     val filtered = readBack(t).where(col("k") >= 50L)
       .agg(count(lit(1)).as("n"))
     assert(!scanOf(filtered).scan.description().contains("pushedAggregates"),
       "pushed an aggregate under a residual predicate")
-    assert(filtered.head.getLong(0) === 51L)
+    assert(filtered.head.getLong(0) === 53L)
     val grouped = readBack(t).groupBy(col("s")).count()
     assert(!scanOf(grouped).scan.description().contains("pushedAggregates"))
-    assert(grouped.count() === 103L)
+    assert(grouped.count() === 102L) // v0..v99, "x", and the null group
     val distinctAgg = readBack(t).agg(countDistinct(col("k")).as("nd"))
     assert(!scanOf(distinctAgg).scan.description()
       .contains("pushedAggregates"))
-    assert(distinctAgg.head.getLong(0) === 101L)
+    assert(distinctAgg.head.getLong(0) === 103L)
   }
 
   test("named batch commits: a re-run of the same logical append is a no-op") {

@@ -31,10 +31,13 @@ class KeyedTableSpec extends SparkSpecBase {
     val got = readBack(t)
     // the pin is field names/types/order; nullability is deliberately
     // WIDENED at persist time (an appendable table's later commits may
-    // carry nulls the first writer's frame happened not to)
+    // carry nulls the first writer's frame happened not to) — EXCEPT
+    // the primary key, which the table advertises NOT NULL (Cassandra's
+    // rule; writes of nullable sources get a runtime null check)
     assert(got.schema ===
       org.apache.spark.sql.types.StructType(
-        a.schema.fields.map(_.copy(nullable = true))))
+        a.schema.fields.map(f =>
+          f.copy(nullable = f.name != "k"))))
     val want = a.unionAll(b)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // a third append with a drifted schema must fail LOUDLY — silent

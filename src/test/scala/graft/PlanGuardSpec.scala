@@ -313,7 +313,17 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_ktable_time_travel_ts", "q_ktable_change_feed",
       "q_ktable_schema_evolution", "q_ktable_counter_compact",
       "q_ktable_update", "q_scan_ktable_time_prune",
-      "q_scan_ktable_limit_pushdown"),
+      "q_scan_ktable_limit_pushdown",
+      // round 18: SQL row-level statements (MERGE INTO through
+      // SupportsRowLevelOperations — runs real commits; its delete
+      // marker-file bound and shuffle-free latest are asserted
+      // in-entry, and the statement plans are linted in
+      // RowLevelSqlSpec), and the change-data-feed derivation (real
+      // commits + a one-shuffle lint in-entry)
+      "q_ktable_merge_sql", "q_ktable_cdf",
+      // round 18: sorted compaction (runs two real folds; the
+      // plain-vs-sorted planned-file lint is the entry's whole point)
+      "q_ktable_sorted_compact"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }

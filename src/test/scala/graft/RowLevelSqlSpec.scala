@@ -1,0 +1,268 @@
+package graft
+
+import graft.pipeline.V2KeyedTableSink
+import graft.sources.{KeyedTable, KeyedTableOps, KeyedTableRegistry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SQL row-level statements — MERGE INTO / UPDATE / DELETE — planned
+  * by Spark's delta-based rewrites (SupportsRowLevelOperations +
+  * SupportsDelta) onto the keyed table's native verbs: upsert appends
+  * and tombstone markers, one manifest per statement. The operation's
+  * target scan resolves the CURRENT state merge-on-read, so statements
+  * match and read one live row per key however many versions the log
+  * holds. */
+class RowLevelSqlSpec extends SparkSpecBase {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(lo: Long, hi: Long, tag: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (lo until hi).map(k => (k, s"$tag$k", k * 10L)).toDF("k", "s", "c")
+  }
+
+  private def sink = V2KeyedTableSink("k", writeParallelism = 4)
+
+  private def withCatalog[A](body: => A): A = {
+    val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
+    val prior = spark.conf.getOption(bucketingKey)
+    KeyedTableRegistry.register(spark)
+    try body finally prior match {
+      case Some(v) => spark.conf.set(bucketingKey, v)
+      case None => spark.conf.unset(bucketingKey)
+    }
+  }
+
+  private def ident(t: String): String = s"graft_keyed.`$t`"
+
+  private def state(t: String): Map[Long, (String, Long)] =
+    KeyedTableOps.latest(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("SQL UPDATE reads each key's CURRENT value exactly once") {
+    val t = tmpDir("graft_rlo_upd_") + "/t"
+    sink.append(rows(0, 12, "a"), t)
+    sink.append(rows(0, 12, "b").withColumn("c", col("c") + 1),
+      t) // second version of every key: c = 10k+1
+    withCatalog {
+      spark.sql(s"UPDATE ${ident(t)} SET c = c + 100, s = 'u' " +
+        "WHERE k % 2 = 0")
+      val got = state(t)
+      (0L until 12L).foreach { k =>
+        if (k % 2 == 0) assert(got(k) === (("u", k * 10 + 101)),
+          s"key $k must be updated from its CURRENT version (c=${k * 10 + 1})" +
+            s", got ${got(k)}")
+        else assert(got(k) === ((s"b$k", k * 10 + 1)),
+          s"key $k must be untouched")
+      }
+    }
+  }
+
+  test("SQL DELETE with a NON-key predicate plans row-level and " +
+      "lands tombstone markers, not a rewrite") {
+    val t = tmpDir("graft_rlo_del_") + "/t"
+    sink.append(rows(0, 20, "a"), t)
+    withCatalog {
+      val before = KeyedTable.committedFiles(t).size
+      spark.sql(s"DELETE FROM ${ident(t)} WHERE c >= 100")
+      val added = KeyedTable.committedFiles(t).size - before
+      assert(added <= 4, s"non-key DELETE must cost marker files per " +
+        s"bucket (<= writeParallelism), not a rewrite; added $added files")
+      val live = state(t).keySet
+      assert(live === (0L until 10L).toSet,
+        s"keys with c >= 100 must be gone, got $live")
+      // the markers are real tombstones in the log
+      val tombs = spark.read.format("graft.sources.KeyedTable").load(t)
+        .where(col("_tombstone")).select("k").collect().map(_.getLong(0))
+      assert(tombs.toSet === (10L until 20L).toSet)
+    }
+  }
+
+  test("SQL DELETE with a key predicate stays metadata-only " +
+      "(SupportsDelete fast path, nothing scanned)") {
+    val t = tmpDir("graft_rlo_delk_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM ${ident(t)} WHERE k IN (1, 3)")
+      assert(state(t).keySet === Set(0L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+      // metadata path commits a delete-*.manifest; the row-level path
+      // would have committed rlo-delete-*
+      val names = KeyedTable.liveManifestNames(t)
+      assert(names.exists(_.startsWith("delete-")),
+        s"key-predicate DELETE must take the marker fast path: $names")
+      assert(!names.exists(_.startsWith("rlo-")),
+        s"key-predicate DELETE must not plan a row-level scan: $names")
+    }
+  }
+
+  test("SQL MERGE INTO applies a CDC wave through the native verbs") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_mrg_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    withCatalog {
+      Seq(
+        (5L, "del", 0L), // matched + delete condition -> tombstone
+        (6L, "upd", 66L), // matched -> UPDATE SET *
+        (42L, "ins", 420L) // not matched -> INSERT *
+      ).toDF("k", "s", "c").createOrReplaceTempView("src")
+      val before = KeyedTable.committedFiles(t).size
+      spark.sql(
+        s"""MERGE INTO ${ident(t)} t USING src ON t.k = src.k
+           |WHEN MATCHED AND src.s = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      val got = state(t)
+      assert(!got.contains(5L), "deleted key must be gone")
+      assert(got(6L) === (("upd", 66L)), "matched key must be updated")
+      assert(got(42L) === (("ins", 420L)), "unmatched key must insert")
+      assert(got(0L) === (("a0", 0L)), "untouched keys keep their rows")
+      assert(got.size === 10)
+      // ONE statement, ONE manifest
+      val names = KeyedTable.liveManifestNames(t)
+      assert(names.count(_.startsWith("rlo-merge-")) === 1,
+        s"one MERGE must commit one manifest: $names")
+      assert(KeyedTable.committedFiles(t).size - before <= 8,
+        "a small MERGE must cost per-bucket files, not a table rewrite")
+
+      // a key deleted by an earlier MERGE counts as ABSENT: the
+      // re-insert takes the NOT MATCHED branch and wins (Cassandra
+      // re-insert-after-delete through SQL MERGE)
+      Seq((5L, "back", 55L)).toDF("k", "s", "c")
+        .createOrReplaceTempView("src")
+      spark.sql(
+        s"""MERGE INTO ${ident(t)} t USING src ON t.k = src.k
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      assert(state(t)(5L) === (("back", 55L)),
+        "re-insert after MERGE delete must take the INSERT branch")
+    }
+  }
+
+  test("SQL MERGE errors on duplicate source keys (cardinality)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_dup_") + "/t"
+    sink.append(rows(0, 4, "a"), t)
+    withCatalog {
+      Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("k", "s", "c")
+        .createOrReplaceTempView("src")
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO ${ident(t)} t USING src ON t.k = src.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+      }
+      assert(e.getMessage.toLowerCase.contains("merge") ||
+        e.getMessage.contains("MERGE_CARDINALITY_VIOLATION"),
+        s"duplicate source keys must fail the statement: ${e.getMessage}")
+    }
+  }
+
+  test("view=current reads the resolved state server-side") {
+    val t = tmpDir("graft_rlo_view_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    sink.append(rows(0, 10, "b").where(col("k") % 2 === 0), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM ${ident(t)} WHERE k = 4")
+      val cur = spark.read.option("view", "current")
+        .table(ident(t))
+      // the reader resolves: no aggregate in the plan, rows are final
+      assert(graft.ops.PlanChecks.countShuffles(
+        cur.queryExecution.executedPlan) == 0,
+        "view=current must resolve in the reader, not in a shuffle")
+      val got = cur.collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(!got.contains(4L))
+      assert(got(2L) === (("b2", 20L)), "upserted keys read their winner")
+      assert(got(1L) === (("a1", 10L)))
+      assert(got.size === 9)
+      // and it agrees with the declarative latest view exactly
+      val declarative = state(t)
+      assert(got === declarative)
+      // native verb parity: duplicate source keys refuse in the API
+      // MERGE too (the SQL path errors via Spark's cardinality check)
+      val s = spark
+      import s.implicits._
+      val dup = Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("k", "s", "c")
+      val e = intercept[IllegalArgumentException] {
+        KeyedTableOps.merge(spark, t, dup)
+      }
+      assert(e.getMessage.contains("duplicate"))
+    }
+  }
+
+  test("SQL UPDATE changing the key is DELETE(old) + INSERT(new)") {
+    val t = tmpDir("graft_rlo_key_") + "/t"
+    sink.append(rows(0, 6, "a"), t)
+    withCatalog {
+      spark.sql(s"UPDATE ${ident(t)} SET k = k + 100 WHERE k = 3")
+      val got = state(t)
+      assert(!got.contains(3L), "the old key must be tombstoned")
+      assert(got(103L) === (("a3", 30L)), "the new key carries the row")
+      assert(got.size === 6)
+    }
+  }
+
+  test("row-level statements refuse what the data model cannot express") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_comp_") + "/t"
+    // composite-key table: partition key k, clustering column s
+    sink.append(rows(0, 6, "a"), t)
+    KeyedTableOps.declareClustering(t, Seq("s"))
+    withCatalog {
+      // non-key DELETE on a composite table: tombstones are
+      // partition-level, so the row-level delete refuses at runtime
+      val e1 = intercept[Exception] {
+        spark.sql(s"DELETE FROM ${ident(t)} WHERE c = 30")
+      }
+      assert(exceptionChain(e1).exists(_.getMessage != null) &&
+        exceptionChain(e1).exists(m => m.getMessage != null &&
+          m.getMessage.contains("composite-key")),
+        s"composite row-level DELETE must refuse: ${e1.getMessage}")
+      // changing a clustering column through UPDATE: refused (the old
+      // full-key row would survive as a ghost)
+      val e2 = intercept[Exception] {
+        spark.sql(s"UPDATE ${ident(t)} SET s = 'zzz' WHERE k = 2")
+      }
+      assert(exceptionChain(e2).exists(m => m.getMessage != null &&
+        m.getMessage.contains("composite-key")),
+        s"composite key-change UPDATE must refuse: ${e2.getMessage}")
+      // a non-key UPDATE on the composite table works (upsert per
+      // full key)
+      spark.sql(s"UPDATE ${ident(t)} SET c = c + 1 WHERE k = 2")
+      val got = KeyedTableOps.latest(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got((2L, "a2")) === 21L)
+      assert(got.size === 6)
+    }
+  }
+
+  test("historical handles refuse row-level writes") {
+    val t = tmpDir("graft_rlo_asof_") + "/t"
+    sink.append(rows(0, 4, "a"), t)
+    sink.append(rows(0, 4, "b"), t)
+    withCatalog {
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE ${ident(t)} VERSION AS OF 1 SET c = 0")
+      }
+      assert(exceptionChain(e).exists(m => m.getMessage != null &&
+        (m.getMessage.contains("read-only") ||
+          m.getMessage.toLowerCase.contains("not supported") ||
+          m.getMessage.toLowerCase.contains("syntax"))),
+        s"VERSION AS OF row-level write must refuse: ${e.getMessage}")
+    }
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] = {
+    val b = Seq.newBuilder[Throwable]
+    var c: Throwable = e
+    while (c != null) { b += c; c = c.getCause }
+    b.result()
+  }
+}
