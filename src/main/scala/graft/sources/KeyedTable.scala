@@ -132,7 +132,8 @@ class KeyedTable extends TableProvider {
       // declared sortOrder through these)
       Option(opts.get("sortOrder"))
         .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty),
-      opts.getLong("maxFileRows", 0L))
+      opts.getLong("maxFileRows", 0L),
+      opts.getLong("blockRows", KeyedTable.DefaultBlockRows))
   }
 }
 
@@ -258,7 +259,13 @@ object KeyedTable {
       // report is made of, so Catalyst's join planning (broadcast
       // thresholds, AQE) sees the PRUNED read's true size instead of
       // an unknown
-      bytes: Long = -1L)
+      bytes: Long = -1L,
+      // the file carries a BLOCK FOOTER (per-block row counts + zone
+      // maps appended after the data region): readers seek past
+      // non-matching blocks instead of decoding the whole file. The
+      // flag lives in the manifest — never inferred from trailing
+      // bytes, which a legacy file could coincidentally end with
+      blocks: Boolean = false)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -454,7 +461,8 @@ object KeyedTable {
     e.stats.flatMap(_.maxEnc).map(b64).getOrElse("-"),
     if (e.tombstone) "t" else "d",
     colStatsField(e.colStats),
-    e.bytes.toString).mkString("\t")
+    e.bytes.toString,
+    if (e.blocks) "b" else "-").mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
     val f = line.split("\t", -1)
@@ -465,7 +473,8 @@ object KeyedTable {
         Some(f(7)).filter(_ != "-").map(unb64))),
       tombstone = f.length > 8 && f(8) == "t",
       colStats = if (f.length > 9) parseColStats(f(9)) else Seq.empty,
-      bytes = if (f.length > 10) f(10).toLong else -1L)
+      bytes = if (f.length > 10) f(10).toLong else -1L,
+      blocks = f.length > 11 && f(11) == "b")
   }
 
   // ---------- manifest body: version headers + entry lines ----------
@@ -1023,7 +1032,7 @@ object KeyedTable {
       case m if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
-          bytes = m.bytes)
+          bytes = m.bytes, blocks = m.blocks)
     }
     commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
       ncols = schema.length)
@@ -1187,7 +1196,8 @@ object KeyedTable {
       commitName: Option[String] = None, asOfSeq: Option[Long] = None,
       rewrite: Option[(Long, Seq[String])] = None,
       withVersion: Boolean = false, ttlMs: Option[Long] = None,
-      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L)
+      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L,
+      blockRows: Long = DefaultBlockRows)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1398,7 +1408,7 @@ object KeyedTable {
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
             chaosKey, commitName, rewrite, truncate0, ttlMs,
-            sortOrder, maxFileRows)
+            sortOrder, maxFileRows, blockRows)
       }
     }
 
@@ -1513,7 +1523,8 @@ object KeyedTable {
       nulls: Long, bucket: Int, minEnc: Option[String],
       maxEnc: Option[String],
       colStats: Seq[KeyStats] = Seq.empty,
-      bytes: Long = -1L) extends WriterCommitMessage
+      bytes: Long = -1L,
+      blocks: Boolean = false) extends WriterCommitMessage
 
   /** One row-level-operation task's effects: the data files its
     * inserts/updates appended (per bucket) plus the tombstone marker
@@ -1531,7 +1542,8 @@ object KeyedTable {
       // the ZORDER-analogue fold path (rewriteCompact threads the
       // table's declared sortOrder through here), producing per-file
       // zone maps that are narrow, disjoint slices of the sort column
-      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L)
+      sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L,
+      blockRows: Long = DefaultBlockRows)
       extends Write with RequiresDistributionAndOrdering {
     require(!(truncate && rewrite.isDefined),
       "a snapshot rewrite cannot also truncate")
@@ -1547,7 +1559,7 @@ object KeyedTable {
           s"chaosWriteKey requires a LONG key column; '$key' is " +
             schema.fields(keyIdx).dataType.sql)
         (keyIdx, k)
-      }, maxFileRows)
+      }, maxFileRows, blockRows)
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
     // within the task — batch.grouping.key=partition, Spark-natively.
@@ -1698,16 +1710,16 @@ object KeyedTable {
     * streaming variant just folds the epoch into the file name. */
   private final class KWriterFactory(path: String, schema: StructType,
       keyIdx: Int, buckets: Int, conf: SerConf, chaos: Option[(Int, Long)],
-      maxFileRows: Long = 0L)
+      maxFileRows: Long = 0L, blockRows: Long = DefaultBlockRows)
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"part-$partitionId-$taskId", keyIdx,
-        buckets, conf, chaos, maxFileRows)
+        buckets, conf, chaos, maxFileRows, blockRows)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId",
-        keyIdx, buckets, conf, chaos, maxFileRows)
+        keyIdx, buckets, conf, chaos, maxFileRows, blockRows)
   }
 
   /** One staged row-log file per task attempt. The attempt writes to
@@ -1727,6 +1739,28 @@ object KeyedTable {
     * that satisfied the clustered distribution some other way (range
     * partitioning, single partition) fails the proof instead of
     * corrupting grouped reads. */
+  /** Byte counter between the DataOutputStream and the buffer — block
+    * footers record byte offsets, and DataOutputStream's own size()
+    * is an int (overflows at 2 GB). */
+  private final class CountingOS(u: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count = 0L
+    override def write(b: Int): Unit = { u.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      u.write(b, off, len); count += len
+    }
+    override def flush(): Unit = u.flush()
+    override def close(): Unit = u.close()
+  }
+
+  /** Block-footer trailer magic: a file whose MANIFEST LINE carries
+    * the blocks flag ends with [footer bytes][footerLen: long][this]. */
+  private val BlockMagic = 0x4752414654424C4BL // "GRAFTBLK"
+
+  /** Default block granularity (rows) for the writer's block footers —
+    * overridable per write with the `blockRows` option (0 disables). */
+  private[sources] val DefaultBlockRows = 4096L
+
   private final class KRowWriter(path: String, schema: StructType,
       base: String, keyIdx: Int, buckets: Int, conf: SerConf,
       chaos: Option[(Int, Long)] = None,
@@ -1735,13 +1769,19 @@ object KeyedTable {
       // sorted by the sort columns, so each rolled slice covers a
       // narrow, disjoint range — FILE-level zone maps get tight enough
       // for non-key range probes to skip most of the bucket
-      maxFileRows: Long = 0L)
+      maxFileRows: Long = 0L,
+      // record per-block zone maps every blockRows rows (0 = never)
+      // and append them as a footer when a file holds 2+ blocks:
+      // readers then SEEK past non-matching blocks — sub-file pruning
+      // for files too large for file-level zones alone
+      blockRows: Long = 0L)
       extends DataWriter[InternalRow] {
     private var name =
       s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
     private val f = fs(path, conf.value)
     private var inprogress = new Path(s"$path/data", s".$name.inprogress")
     private var out: DataOutputStream = _
+    private var counted: CountingOS = _
     private var rows = 0L
     private var bucketTag = -2 // -2 unset; -1 disproven; else the bucket
     private val keyType = schema.fields(keyIdx).dataType
@@ -1749,6 +1789,12 @@ object KeyedTable {
     // rename happened; the manifest decides visibility, so an abort
     // after a roll leaves only invisible bytes for vacuum)
     private val finished = scala.collection.mutable.Buffer.empty[KFileMessage]
+    // per-file block index: (byte offset, start ordinal, rows, stats)
+    private val blocks =
+      scala.collection.mutable.Buffer.empty[(Long, Long, Long, Seq[KeyStats])]
+    private var blockStartOff = 0L
+    private var blockStartOrd = 0L
+    private var rowsInBlock = 0L
 
     // ALL-COLUMN zone maps: per-column nulls / min / max tracked as
     // the bytes stream out (the key column's slot doubles as the
@@ -1769,6 +1815,11 @@ object KeyedTable {
       var nulls = 0L
       def update(r: InternalRow): Unit
       def stats: KeyStats
+      /** Fold ANOTHER tracker's bounds into this one (file stats =
+        * fold of the per-block trackers — the hot path updates block
+        * trackers only, one virtual call per field, and pays the fold
+        * once per block). `o` is always the same concrete type. */
+      def absorb(o: ColTracker): Unit
     }
     private final class LongCol(i: Int) extends ColTracker {
       private var has = false; private var mn = 0L; private var mx = 0L
@@ -1776,6 +1827,14 @@ object KeyedTable {
         val v = r.getLong(i)
         if (!has) { mn = v; mx = v; has = true }
         else { if (v < mn) mn = v; if (v > mx) mx = v }
+      }
+      def absorb(o: ColTracker): Unit = {
+        val t = o.asInstanceOf[LongCol]
+        nulls += t.nulls
+        if (t.has) {
+          if (!has) { mn = t.mn; mx = t.mx; has = true }
+          else { if (t.mn < mn) mn = t.mn; if (t.mx > mx) mx = t.mx }
+        }
       }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
@@ -1787,6 +1846,14 @@ object KeyedTable {
         val v = r.getInt(i)
         if (!has) { mn = v; mx = v; has = true }
         else { if (v < mn) mn = v; if (v > mx) mx = v }
+      }
+      def absorb(o: ColTracker): Unit = {
+        val t = o.asInstanceOf[IntCol]
+        nulls += t.nulls
+        if (t.has) {
+          if (!has) { mn = t.mn; mx = t.mx; has = true }
+          else { if (t.mn < mn) mn = t.mn; if (t.mx > mx) mx = t.mx }
+        }
       }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
@@ -1802,6 +1869,17 @@ object KeyedTable {
           if (java.lang.Double.compare(v, mx) > 0) mx = v
         }
       }
+      def absorb(o: ColTracker): Unit = {
+        val t = o.asInstanceOf[DoubleCol]
+        nulls += t.nulls
+        if (t.has) {
+          if (!has) { mn = t.mn; mx = t.mx; has = true }
+          else {
+            if (java.lang.Double.compare(t.mn, mn) < 0) mn = t.mn
+            if (java.lang.Double.compare(t.mx, mx) > 0) mx = t.mx
+          }
+        }
+      }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
         if (has) Some(mx.toString) else None)
@@ -1815,6 +1893,11 @@ object KeyedTable {
         if (!v) mn = false
         if (v) mx = true
       }
+      def absorb(o: ColTracker): Unit = {
+        val t = o.asInstanceOf[BoolCol]
+        nulls += t.nulls
+        if (t.has) { has = true; if (!t.mn) mn = false; if (t.mx) mx = true }
+      }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
         if (has) Some(mx.toString) else None)
@@ -1826,6 +1909,12 @@ object KeyedTable {
         val v = r.getUTF8String(i)
         if (mn == null || v.compareTo(mn) < 0) mn = v.clone()
         if (mx == null || v.compareTo(mx) > 0) mx = v.clone()
+      }
+      def absorb(o: ColTracker): Unit = {
+        val t = o.asInstanceOf[StringCol]
+        nulls += t.nulls
+        if (t.mn != null && (mn == null || t.mn.compareTo(mn) < 0)) mn = t.mn
+        if (t.mx != null && (mx == null || t.mx.compareTo(mx) > 0)) mx = t.mx
       }
       def stats: KeyStats = KeyStats(nulls, encStat(mn), encStat(mx))
     }
@@ -1840,7 +1929,29 @@ object KeyedTable {
           case other => throw new IllegalArgumentException(other.sql)
         }
       }
+    // hot path updates THESE (per-block when blockRows > 0, else
+    // per-file) — one virtual call per non-null field; file-level
+    // stats fold in via absorb() once per block
     private var trackers: Array[ColTracker] = makeTrackers()
+    private var fileTrackers: Array[ColTracker] = makeTrackers()
+
+    /** Close the current block: fold its trackers into the file stats
+      * and (when block footers are on) snapshot its line of the block
+      * index. No-op on an empty block. */
+    private def endBlock(recordBlock: Boolean): Unit = {
+      if (rowsInBlock == 0) return
+      if (recordBlock)
+        blocks += ((blockStartOff, blockStartOrd, rowsInBlock,
+          schema.indices.map(i => trackers(i).stats)))
+      var i = 0
+      while (i < trackers.length) {
+        fileTrackers(i).absorb(trackers(i)); i += 1
+      }
+      trackers = makeTrackers()
+      blockStartOff = if (counted != null) counted.count else 0L
+      blockStartOrd += rowsInBlock
+      rowsInBlock = 0L
+    }
 
     // key value for the bucket proof only — never retained, so
     // strings stay the row's transient UTF8String
@@ -1876,8 +1987,11 @@ object KeyedTable {
       }
 
     override def write(row: InternalRow): Unit = {
-      if (out == null) out = new DataOutputStream(
-        new java.io.BufferedOutputStream(f.create(inprogress, true), 1 << 16))
+      if (out == null) {
+        counted = new CountingOS(
+          new java.io.BufferedOutputStream(f.create(inprogress, true), 1 << 16))
+        out = new DataOutputStream(counted)
+      }
       var i = 0
       while (i < fieldWriters.length) {
         val isNull = row.isNullAt(i)
@@ -1887,6 +2001,9 @@ object KeyedTable {
         i += 1
       }
       rows += 1L
+      rowsInBlock += 1L
+      if (blockRows > 0 && rowsInBlock >= blockRows)
+        endBlock(recordBlock = true)
       val kNull = row.isNullAt(keyIdx)
       val kVal: Any = if (kNull) null else keyRaw(row)
       // bucket proof: nulls hash like hashpartitioning hashes them
@@ -1915,25 +2032,44 @@ object KeyedTable {
       * records a message (the manifest filters rows > 0), keeping the
       * single-file path identical to the pre-rolling behavior. */
     private def finishFile(): Unit = {
+      endBlock(recordBlock = blockRows > 0)
       var bytes = -1L
+      var blocksFlag = false
       if (out != null) {
+        // BLOCK FOOTER (2+ blocks only — a single block IS the file
+        // stats): index lines, then [len][magic]; the data region ends
+        // where the first block index line says the footer starts
+        if (blocks.size >= 2) {
+          val body = blocks.map { case (off, ord, n, cs) =>
+            s"$off:$ord:$n:${colStatsField(cs)}"
+          }.mkString("\n").getBytes(StandardCharsets.UTF_8)
+          out.write(body)
+          out.writeLong(body.length.toLong)
+          out.writeLong(BlockMagic)
+          blocksFlag = true
+        }
         out.close()
         out = null
+        counted = null
         val dst = new Path(s"$path/data", name)
         if (!f.rename(inprogress, dst))
           throw new java.io.IOException(s"task commit rename failed: $name")
         bytes = try f.getFileStatus(dst).getLen
           catch { case scala.util.control.NonFatal(_) => -1L }
       }
-      val cs = schema.indices.map(i => trackers(i).stats)
+      val cs = schema.indices.map(i => fileTrackers(i).stats)
       finished += KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
-        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes)
+        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes, blocksFlag)
       name = s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
       inprogress = new Path(s"$path/data", s".$name.inprogress")
       rows = 0L
       bucketTag = -2
       trackers = makeTrackers()
+      fileTrackers = makeTrackers()
+      blocks.clear()
+      blockStartOff = 0L
+      blockStartOrd = 0L
     }
 
     override def commit(): WriterCommitMessage = {
@@ -2012,7 +2148,7 @@ object KeyedTable {
         def entry(m: KFileMessage, tomb: Boolean): KFileEntry =
           KFileEntry(m.file, m.rows, m.bucket, writePartitions, pk,
             Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = tomb,
-            colStats = m.colStats, bytes = m.bytes)
+            colStats = m.colStats, bytes = m.bytes, blocks = m.blocks)
         // tombstones first (lower _pos): a data row written by this
         // statement outranks its own delete of the same key
         val entries = tombs.map(entry(_, tomb = true)) ++
@@ -2341,7 +2477,6 @@ object KeyedTable {
     * py:118-120) prune a loaded table's files. */
   private def mayMatch(e: KFileEntry, schema: StructType,
       fl: Filter): Boolean = {
-    import org.apache.spark.sql.sources._
     val attr = attrOf(fl).getOrElse(return true)
     val idx = schema.fieldNames.indexOf(attr)
     if (idx < 0) return true // metadata column / unknown attribute
@@ -2352,12 +2487,22 @@ object KeyedTable {
       else if (isKey) e.stats.orNull
       else null
     if (st == null) return true
-    val hasNonNull = st.minEnc.isDefined
-    def geMin(v: Any) = st.minEnc.flatMap(cmpEnc(dt, _, v)).forall(_ <= 0)
-    def leMax(v: Any) = st.maxEnc.flatMap(cmpEnc(dt, _, v)).forall(_ >= 0)
     def inBucket(v: Any): Boolean =
       !isKey || e.bucket < 0 || e.buckets <= 0 ||
         toCatalyst(dt, v).forall(cv => bucketOf(cv, dt, e.buckets) == e.bucket)
+    statAdmits(st, dt, fl, inBucket)
+  }
+
+  /** Can rows under these (nulls, min, max) stats possibly satisfy the
+    * filter? The shared core of file-level pruning ([[mayMatch]], with
+    * the bucket proof composed in) and BLOCK-level pruning (bucket
+    * checks don't apply — a block holds the same keys as its file). */
+  private def statAdmits(st: KeyStats, dt: DataType, fl: Filter,
+      inBucket: Any => Boolean): Boolean = {
+    import org.apache.spark.sql.sources._
+    val hasNonNull = st.minEnc.isDefined
+    def geMin(v: Any) = st.minEnc.flatMap(cmpEnc(dt, _, v)).forall(_ <= 0)
+    def leMax(v: Any) = st.maxEnc.flatMap(cmpEnc(dt, _, v)).forall(_ >= 0)
     fl match {
       case IsNull(_) => st.nulls > 0
       case IsNotNull(_) => hasNonNull
@@ -2375,6 +2520,17 @@ object KeyedTable {
         vs.exists(v => v != null && geMin(v) && leMax(v) && inBucket(v))
       case _ => true
     }
+  }
+
+  /** Block-level [[statAdmits]]: positional stats over the FILE's
+    * frame; anything the stats can't answer (unknown attribute, a
+    * column the frame predates) keeps the block. */
+  private def blockAdmits(colStats: Seq[KeyStats], schema: StructType,
+      fl: Filter): Boolean = {
+    val attr = attrOf(fl).getOrElse(return true)
+    val idx = schema.fieldNames.indexOf(attr)
+    if (idx < 0 || idx >= colStats.length) return true
+    statAdmits(colStats(idx), schema.fields(idx).dataType, fl, _ => true)
   }
 
   /** One planned row-log file plus the version coordinates its rows
@@ -2896,10 +3052,26 @@ object KeyedTable {
     override def createReaderFactory(): PartitionReaderFactory =
       resolve match {
         case Some(keys) => new KResolvingReaderFactory(tableSchema,
-          required, keys, conf, legacyNcols(path, conf.value, tableSchema))
+          required, keys, conf, legacyNcols(path, conf.value, tableSchema),
+          filters)
         case None => new KReaderFactory(tableSchema, required, conf,
-          legacyNcols(path, conf.value, tableSchema))
+          legacyNcols(path, conf.value, tableSchema), filters)
       }
+
+    /** Reader-side observability: how many row-log rows were actually
+      * DECODED vs skipped via block footers — the sub-file pruning's
+      * receipt, aggregated into the SQL UI like any scan metric. */
+    override def supportedCustomMetrics(): Array[
+        org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+      new org.apache.spark.sql.connector.metric.CustomSumMetric {
+        override def name(): String = "decodedRows"
+        override def description(): String = "row-log rows decoded"
+      },
+      new org.apache.spark.sql.connector.metric.CustomSumMetric {
+        override def name(): String = "blockPrunedRows"
+        override def description(): String =
+          "rows skipped by block-footer pruning"
+      })
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
           .read.streaming.MicroBatchStream =
@@ -3011,7 +3183,8 @@ object KeyedTable {
     * files (clustered reads group a bucket's files); EOF at a row
     * boundary rolls to the next file. */
   private final class KReaderFactory(full: StructType,
-      required: StructType, conf: SerConf, legacyNcols: Int)
+      required: StructType, conf: SerConf, legacyNcols: Int,
+      filters: Array[Filter] = Array.empty)
       extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
@@ -3019,9 +3192,31 @@ object KeyedTable {
       new PartitionReader[InternalRow] {
         private val f = fs(p.path, conf.value)
         private var fileIdx = -1
+        private var raw: org.apache.hadoop.fs.FSDataInputStream = _
         private var in: DataInputStream = _
         private val row = new org.apache.spark.sql.catalyst.expressions
           .GenericInternalRow(required.length)
+
+        // segments of the CURRENT file still to read: (byte offset,
+        // start ordinal, row count); count -1 = EOF-bounded (a file
+        // with no block footer reads sequentially to its end)
+        private var segs: List[(Long, Long, Long)] = Nil
+        private var rowsLeft = -1L
+
+        // task metrics: rows actually decoded vs rows the block
+        // footers let the reader SKIP without touching their bytes
+        private var decoded = 0L
+        private var prunedByBlocks = 0L
+        override def currentMetricsValues(): Array[
+            org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+          def m(n: String, v: Long) =
+            new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+              override def name(): String = n
+              override def value(): Long = v
+            }
+          Array(m("decodedRows", decoded),
+            m("blockPrunedRows", prunedByBlocks))
+        }
 
         // per full-schema field: the required-row slot it lands in
         // (-1 = walk the frame, materialize nothing)
@@ -3081,20 +3276,50 @@ object KeyedTable {
         // prefix); required slots beyond it are NULL-filled per file
         private var frame = full.length
 
+        /** Parse a block-footer file's index and keep only the blocks
+          * the pushed filters admit, coalescing ADJACENT survivors so
+          * a contiguous run costs one seek. Filters only ever prune —
+          * they stay residual, Spark re-evaluates them per row. */
+        private def plannedSegs(entry: KFileEntry,
+            fileLen: Long): List[(Long, Long, Long)] = {
+          raw.seek(fileLen - 16)
+          val tail = new DataInputStream(raw)
+          val flen = tail.readLong()
+          val magic = tail.readLong()
+          require(magic == BlockMagic && flen > 0 && flen <= fileLen - 16,
+            s"corrupt block footer in ${entry.file}: len=$flen magic=$magic")
+          raw.seek(fileLen - 16 - flen)
+          val body = new Array[Byte](flen.toInt)
+          new DataInputStream(raw).readFully(body)
+          val blocks = new String(body, StandardCharsets.UTF_8)
+            .split("\n").toList.filter(_.nonEmpty).map { l =>
+              val q = l.split(":", 4)
+              (q(0).toLong, q(1).toLong, q(2).toLong, parseColStats(q(3)))
+            }
+          val (kept, dropped) = blocks.partition(b =>
+            filters.forall(fl => blockAdmits(b._4, full, fl)))
+          prunedByBlocks += dropped.map(_._3).sum
+          // coalesce adjacent survivors (adjacent = consecutive
+          // ordinals) into single row-counted segments
+          kept.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((off, ord, n) :: rest, b) if ord + n == b._2 =>
+              (off, ord, n + b._3) :: rest
+            case (acc, b) => (b._1, b._2, b._3) :: acc
+          }.reverse
+        }
+
         private def nextFile(): Boolean = {
-          if (in != null) { in.close(); in = null }
+          closeStreams()
           fileIdx += 1
           if (fileIdx >= p.splits.size) false
           else {
             val s = p.splits(fileIdx)
-            in = new DataInputStream(new java.io.BufferedInputStream(
-              f.open(new Path(s"${p.path}/data", s.entry.file)), 1 << 16))
+            raw = f.open(new Path(s"${p.path}/data", s.entry.file))
             if (seqSlot >= 0) row.update(seqSlot, s.seq)
             if (tombSlot >= 0) row.update(tombSlot, s.entry.tombstone)
             if (fileSlot >= 0)
               row.update(fileSlot, UTF8String.fromString(s.entry.file))
             posBase = s.fileIdx.toLong << 40
-            ordinal = 0L
             // a file framed WIDER than this scan's schema means the
             // handle predates a schema evolution a later commit used:
             // decoding its prefix would desync the byte stream into
@@ -3112,37 +3337,75 @@ object KeyedTable {
               if (slot >= 0) row.update(slot, null)
               j += 1
             }
-            true
+            segs =
+              if (!s.entry.blocks) List((0L, 0L, -1L))
+              else {
+                val len =
+                  if (s.entry.bytes >= 0) s.entry.bytes
+                  else f.getFileStatus(
+                    new Path(s"${p.path}/data", s.entry.file)).getLen
+                plannedSegs(s.entry, len)
+              }
+            nextSeg() || nextFile()
           }
+        }
+
+        private def nextSeg(): Boolean = segs match {
+          case (off, ord, n) :: rest =>
+            segs = rest
+            raw.seek(off)
+            // fresh buffer after every seek — a previous wrapper may
+            // have read ahead past the segment boundary
+            in = new DataInputStream(
+              new java.io.BufferedInputStream(raw, 1 << 16))
+            ordinal = ord
+            rowsLeft = n
+            true
+          case Nil => false
+        }
+
+        private def closeStreams(): Unit = {
+          if (raw != null) { raw.close(); raw = null }
+          in = null
         }
 
         override def next(): Boolean = {
           while (true) {
             if (in == null && !nextFile()) return false
-            // length-framed rows have no separator: EOF at a row
-            // BOUNDARY is the clean end (roll to the next file); EOF
-            // inside a row is corruption
-            val first = try in.read() catch { case _: java.io.EOFException => -1 }
-            if (first < 0) { in.close(); in = null }
-            else {
-              var i = 0
-              while (i < frame) {
-                val isNull = if (i == 0) first == 1 else in.readBoolean()
-                val slot = outSlot(i)
-                if (isNull) { if (slot >= 0) row.update(slot, null) }
-                else if (slot >= 0) row.update(slot, fieldReaders(i)(in))
-                else fieldSkippers(i)()
-                i += 1
+            if (rowsLeft == 0L) {
+              if (!nextSeg() && !nextFile()) return false
+            } else {
+              // length-framed rows have no separator. EOF-bounded
+              // segments (no footer) end at a clean row boundary;
+              // row-counted segments must never hit EOF mid-count
+              val first = try in.read()
+                catch { case _: java.io.EOFException => -1 }
+              if (first < 0) {
+                require(rowsLeft < 0L,
+                  s"row-log ended with $rowsLeft counted rows unread")
+                closeStreams()
+              } else {
+                var i = 0
+                while (i < frame) {
+                  val isNull = if (i == 0) first == 1 else in.readBoolean()
+                  val slot = outSlot(i)
+                  if (isNull) { if (slot >= 0) row.update(slot, null) }
+                  else if (slot >= 0) row.update(slot, fieldReaders(i)(in))
+                  else fieldSkippers(i)()
+                  i += 1
+                }
+                if (posSlot >= 0) row.update(posSlot, posBase | ordinal)
+                ordinal += 1L
+                if (rowsLeft > 0L) rowsLeft -= 1L
+                decoded += 1L
+                return true
               }
-              if (posSlot >= 0) row.update(posSlot, posBase | ordinal)
-              ordinal += 1L
-              return true
             }
           }
           false
         }
         override def get(): InternalRow = row
-        override def close(): Unit = if (in != null) in.close()
+        override def close(): Unit = closeStreams()
       }
     }
   }
@@ -3173,7 +3436,8 @@ object KeyedTable {
     * a fully-sorted bucket copies each key once. */
   private final class KResolvingReaderFactory(full: StructType,
       required: StructType, keys: Seq[String], conf: SerConf,
-      legacyNcols: Int) extends PartitionReaderFactory {
+      legacyNcols: Int, filters: Array[Filter] = Array.empty)
+      extends PartitionReaderFactory {
     override def createReader(
         partition: InputPartition): PartitionReader[InternalRow] = {
       // the INTERNAL read schema: the requested columns, plus whatever
@@ -3184,8 +3448,8 @@ object KeyedTable {
           .filterNot(required.fieldNames.contains)
           .map(n => versionFields.find(_.name == n).get)
       val extended = StructType(required.fields ++ need)
-      val inner = new KReaderFactory(full, extended, conf, legacyNcols)
-        .createReader(partition)
+      val inner = new KReaderFactory(full, extended, conf, legacyNcols,
+        filters).createReader(partition)
       val keyIdxs = keys.map(k => extended.fieldNames.indexOf(k)).toArray
       val keyTypes = keys.map(k =>
         full.fields(full.fieldIndex(k)).dataType).toArray
@@ -3265,6 +3529,9 @@ object KeyedTable {
         }
         override def get(): InternalRow = cur
         override def close(): Unit = ()
+        override def currentMetricsValues(): Array[
+            org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+          inner.currentMetricsValues()
       }
     }
   }

@@ -362,7 +362,12 @@ object KeyedTableOps {
       // file per bucket, the pre-sort behavior); meaningful with a
       // declared [[declareSortOrder]] — each rolled slice then covers
       // a narrow disjoint range of the sort columns
-      targetFileRows: Long = 0L): Option[String] = {
+      targetFileRows: Long = 0L,
+      // [[rebucket]]'s hooks: write the snapshot at a DIFFERENT
+      // modulus, and fold even a single live manifest (re-clustering
+      // is the point, not space)
+      parallelismOverride: Option[Int] = None,
+      force: Boolean = false): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val live = KeyedTable.liveManifests(path, conf)
     def isTombstoneManifest(m: KeyedTable.KManifest): Boolean =
@@ -385,9 +390,11 @@ object KeyedTableOps {
           (m.ts >= 0 && m.ts <= now - tombstoneGraceMs))
     }
     // nothing to gain from folding fewer than two commits unless a
-    // tombstone is being applied or purged
+    // tombstone is being applied or purged — or the caller forces the
+    // fold because re-clustering itself is the goal (rebucket)
     val tombstonesInPlay = live.exists(isTombstoneManifest)
-    if (inputs.isEmpty || (inputs.size < 2 && !tombstonesInPlay)) return None
+    if (inputs.isEmpty ||
+        (inputs.size < 2 && !tombstonesInPlay && !force)) return None
     require(inputs.forall(_.seq >= 0),
       s"KeyedTable at $path has unversioned (legacy) commits — " +
         "rewriteCompact needs a total commit order")
@@ -471,7 +478,7 @@ object KeyedTableOps {
     val w0 = snapshot.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)
       .option("writePartitions",
-        contract.map(_._2).getOrElse(8).toString)
+        parallelismOverride.orElse(contract.map(_._2)).getOrElse(8).toString)
       .option("rewriteSeq", fence.toString)
       .option("rewriteSupersedes", names.mkString(","))
     val w1 = if (sortOrder.nonEmpty)
@@ -485,6 +492,39 @@ object KeyedTableOps {
     val committed = KeyedTable.liveManifestNames(path)
       .contains(KeyedTable.rewriteName(names))
     if (committed) Some(KeyedTable.rewriteName(names)) else None
+  }
+
+  /** BUCKET-COUNT EVOLUTION — scale the table's write parallelism out
+    * (or in) without losing clustered reads. Mixed-modulus commits
+    * read CORRECTLY today but permanently drop KeyGroupedPartitioning
+    * (the scan only reports a clustering every planned file proved
+    * under ONE (key, modulus)); this maintenance op:
+    *
+    *  1. declares the new `writePartitions` so every FUTURE write
+    *     clusters at the new modulus, then
+    *  2. folds the live log through [[rewriteCompact]] FORCED (even a
+    *     single live manifest re-clusters) with the snapshot written
+    *     at the new modulus — committing at the fence and superseding
+    *     exactly what it folded, so racing writes lose nothing.
+    *
+    * After the fold the live set is uniform at `newPartitions`:
+    * clustered catalog reads report KGP with the new bucket count and
+    * storage-partitioned joins/aggregates plan zero Exchange again.
+    * Young tombstones (inside `tombstoneGraceMs`) stay live at the OLD
+    * modulus — reads stay correct but KGP returns only once they age
+    * out into a later fold; pass grace 0 when the table is quiesced
+    * and immediate re-clustering matters more than tombstone safety
+    * for in-flight readers. Returns the snapshot manifest name, None
+    * when the fold no-oped (another maintainer raced it — re-run). */
+  def rebucket(spark: SparkSession, path: String, newPartitions: Int,
+      tombstoneGraceMs: Long = 24L * 3600 * 1000): Option[String] = {
+    require(newPartitions > 0, s"rebucket to $newPartitions buckets")
+    val key = tableKey(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    KeyedTable.updateProps(path, KeyedTable.hadoopConf())(
+      _ + ("key" -> key, "writePartitions" -> newPartitions.toString))
+    rewriteCompact(spark, path, tombstoneGraceMs,
+      parallelismOverride = Some(newPartitions), force = true)
   }
 
   /** Stats-driven AUTO-COMPACTION policy: decide from manifest
