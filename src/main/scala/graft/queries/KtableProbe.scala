@@ -201,6 +201,41 @@ object KtableProbe {
     emit("probe" -> "full_scan_post_rewrite", "rows" -> nFull2,
       "sec" -> tFull2)
 
+    // ---- sub-file block pruning (round 18): the folded table holds
+    // one ~rows/4 file per bucket, each with a block footer; a point
+    // probe plans ONE file and decodes ONE BLOCK of it — the scan
+    // metrics are the receipt
+    def scanMetric(df: DataFrame, name: String): Long =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics.get(name).map(_.value).getOrElse(0L)
+      }.sum
+    val blkProbe = read.where(col("k") === (key + 2))
+    val (_, tBlk) = timed(blkProbe.collect())
+    emit("probe" -> "block_prune_point",
+      "decoded_rows" -> scanMetric(blkProbe, "decodedRows"),
+      "pruned_rows" -> scanMetric(blkProbe, "blockPrunedRows"),
+      "planned_files" -> plannedFiles(blkProbe),
+      "of_files" -> KeyedTable.liveFiles(t).size, "sec" -> tBlk)
+
+    // ---- bucket-count evolution (round 18): scale 4 -> 8 buckets;
+    // clustered reads return at the new modulus and the point ladder
+    // holds
+    val (rebucketed, tRb) = timed(
+      graft.sources.KeyedTableOps.rebucket(spark, t, 8,
+        tombstoneGraceMs = 0))
+    val catT = spark.read.table(s"graft_keyed.`$t`")
+    catT.count()
+    emit("probe" -> "rebucket_4_to_8", "folded" -> rebucketed.isDefined,
+      "clustered_partitions" -> plannedFiles(catT),
+      "live_files" -> KeyedTable.liveFiles(t).size, "sec" -> tRb)
+    val lk3 = read.where(col("k") === (key + 2))
+    val (_, tLk3) = timed(lk3.collect())
+    emit("probe" -> "point_lookup_post_rebucket",
+      "planned_files" -> plannedFiles(lk3),
+      "of_files" -> KeyedTable.liveFiles(t).size,
+      "decoded_rows" -> scanMetric(lk3, "decodedRows"), "sec" -> tLk3)
+
     graft.queries.StreamingQueries.deleteRecursively(dir.toString)
     spark.stop()
   }

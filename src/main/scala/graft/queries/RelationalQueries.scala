@@ -159,7 +159,7 @@ object RelationalQueries {
     dels
   }
 
-  private def withKeyedCatalog[A](s: SparkSession)(body: => A): A = {
+  private[queries] def withKeyedCatalog[A](s: SparkSession)(body: => A): A = {
     val bucketingKey = "spark.sql.sources.v2.bucketing.enabled"
     val prior = s.conf.getOption(bucketingKey)
     graft.sources.KeyedTableRegistry.register(s)

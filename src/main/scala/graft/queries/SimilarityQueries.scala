@@ -256,6 +256,23 @@ object SimilarityQueries {
     (dists, codes)
   }
 
+  /** Cell-routed exact top-3 (cells = labels) — shared by the inline
+    * IVF entry and the keyed-table-served index entry, so the two can
+    * never drift. */
+  private[queries] lazy val ivfLabelOracleSql: String =
+    s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+       |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id,
+       |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
+       |  FROM (SELECT * FROM n WHERE $querySetPred) q
+       |  JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |)
+       |SELECT query_id, cell, neighbor_id, cos_sim, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored
+       |) WHERE rnk <= 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- IVF centroid training: per-cell mean vector via
@@ -386,19 +403,7 @@ object SimilarityQueries {
       }),
 
     // ---- IVF: search only the query's coarse cell (label) ----
-    QueryDef("q_ann_ivf_label", Some(
-      s"""WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         |  ${normDSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, q.label AS cell, c.vec_id AS neighbor_id,
-         |    ${dotDSql("q.v", "c.v")} / (q.nrm * c.nrm) AS cos_sim
-         |  FROM (SELECT * FROM n WHERE $querySetPred) q
-         |  JOIN n c ON c.label = q.label AND c.vec_id <> q.vec_id
-         |)
-         |SELECT query_id, cell, neighbor_id, cos_sim, rnk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos_sim DESC, neighbor_id) AS rnk FROM scored
-         |) WHERE rnk <= 3""".stripMargin))(
+    QueryDef("q_ann_ivf_label", Some(ivfLabelOracleSql))(
       (s, d) => {
         val n = vecs(s, d)
         val q = n.where(expr(querySetPred))
@@ -414,6 +419,106 @@ object SimilarityQueries {
           .select(col("query_id"), col("cell"), col("neighbor_id"), col("cos_sim"))
           .withColumn("rnk", row_number().over(w).cast("bigint"))
           .where(col("rnk") <= 3)
+      }),
+
+    // ---- the IVF index PERSISTED as keyed-table artifacts (verdict
+    // r17 #5): postings keyed on the CELL (partition key = cell,
+    // clustering = vec_id, dim — one coordinate per row, the format's
+    // scalar layout), centroids keyed on cell too. The index is BUILT
+    // from the base vectors and MAINTAINED by a native upsert of the
+    // delta wave; the SERVE path is two exchange-free aggregates over
+    // the clustered catalog read (LWW resolution, then per-vector
+    // reconstruction in dim order — both group sets contain the
+    // partition key, so the write's bucket clustering carries them),
+    // a broadcast of the query set, and the same top-3 window as the
+    // inline entry. Gated on the SAME oracle as q_ann_ivf_label over
+    // ALL vectors — the answer is only right if the delta upsert
+    // landed, so incremental maintenance is part of the oracled
+    // contract, not a side assert. In-entry lints: the reconstruction
+    // plans ZERO Exchange, and a single-cell posting lookup plans a
+    // fraction of the committed files (bucket pruning on the cell
+    // key — the "read one cell's postings" serving pattern). ----
+    QueryDef("q_ann_ivf_serve_ktable", effectful = true,
+      oracle = Some(ivfLabelOracleSql))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ann:ivf_serve_ktable:$d") {
+        import graft.sources.KeyedTableOps
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kivf_").toString
+        val postings = s"$tmp/postings"
+        val cents = s"$tmp/centroids"
+        val n = vecs(s, d)
+        val posed = n.select(col("label").as("cell"), col("vec_id"),
+          posexplode(col("v")).as(Seq("dim", "coord")))
+        val sinkP = graft.pipeline.V2KeyedTableSink("cell",
+          writeParallelism = 8)
+        sinkP.append(posed.where(col("vec_id") % 10 =!= 7), postings)
+        KeyedTableOps.declareClustering(postings, Seq("vec_id", "dim"))
+        // the routing half: per-cell centroids as (cell, dim) -> c
+        val cdf = SimilarityQueries
+          .centroidsOf(n.select(col("label"), col("v")), "label")
+          .select(col("code").as("cell"),
+            posexplode(col("centroid")).as(Seq("dim", "c")))
+        graft.pipeline.V2KeyedTableSink("cell", writeParallelism = 4)
+          .append(cdf, cents)
+        KeyedTableOps.declareClustering(cents, Seq("dim"))
+        val out = RelationalQueries.withKeyedCatalog(s) {
+          // incremental maintenance: the delta wave is a native upsert
+          sinkP.append(posed.where(col("vec_id") % 10 === 7), postings)
+          // persisted centroids reconstruct bit-exactly
+          val centBack = KeyedTableOps.latest(s, cents)
+            .groupBy(col("cell"))
+            .agg(transform(array_sort(collect_list(
+              struct(col("dim"), col("c")))), x => x.getField("c"))
+              .as("centroid"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          val centWant = SimilarityQueries
+            .centroidsOf(n.select(col("label"), col("v")), "label")
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          assert(centBack == centWant,
+            "persisted centroids must reconstruct the trained ones exactly")
+          // serve: resolve + reconstruct, exchange-free by clustering
+          val resolved = KeyedTableOps.latest(s, postings)
+          val cand = resolved.groupBy(col("cell"), col("vec_id"))
+            .agg(transform(array_sort(collect_list(
+              struct(col("dim"), col("coord")))), x => x.getField("coord"))
+              .as("cv"))
+            .select(col("cell"), col("vec_id").as("neighbor_id"),
+              col("cv"))
+            .withColumn("cn", graft.functions.GraftFunctions.norm(col("cv")))
+          assert(graft.ops.PlanChecks.countShuffles(
+            cand.queryExecution.executedPlan) == 0,
+            "posting reconstruction must ride the write's bucket clustering")
+          // cell-routed lookup prunes files on the partition key
+          val someCell = posed.select(col("cell")).head.get(0)
+          val probe = s.read.table(s"graft_keyed.`$postings`")
+            .where(col("cell") === someCell)
+          val plannedFiles = probe.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b.inputRDD.getNumPartitions
+          }.sum
+          val committed =
+            graft.sources.KeyedTable.committedFiles(postings).size
+          assert(plannedFiles * 2 <= committed,
+            s"a one-cell posting lookup must prune: planned $plannedFiles " +
+              s"of $committed files")
+          val q = n.where(expr(querySetPred))
+            .select(col("vec_id").as("query_id"), col("label").as("cell"),
+              col("v").as("qv"), col("nrm").as("qn"))
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+          cand.join(broadcast(q), Seq("cell"))
+            .where(col("neighbor_id") =!= col("query_id"))
+            .withColumn("cos_sim",
+              graft.functions.GraftFunctions.dot(col("qv"), col("cv")) /
+                (col("qn") * col("cn")))
+            .select(col("query_id"), col("cell"), col("neighbor_id"),
+              col("cos_sim"))
+            .withColumn("rnk", row_number().over(w).cast("bigint"))
+            .where(col("rnk") <= 3)
+            .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
       }),
 
     // ---- incremental IVF maintenance (the daily-ingest shape): a

@@ -1761,6 +1761,19 @@ object KeyedTable {
     * overridable per write with the `blockRows` option (0 disables). */
   private[sources] val DefaultBlockRows = 4096L
 
+  // scan metrics (top-level: Spark instantiates them reflectively)
+  private[sources] final class DecodedRowsMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "decodedRows"
+    override def description(): String = "row-log rows decoded"
+  }
+  private[sources] final class BlockPrunedRowsMetric
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "blockPrunedRows"
+    override def description(): String =
+      "rows skipped by block-footer pruning"
+  }
+
   private final class KRowWriter(path: String, schema: StructType,
       base: String, keyIdx: Int, buckets: Int, conf: SerConf,
       chaos: Option[(Int, Long)] = None,
@@ -3060,18 +3073,12 @@ object KeyedTable {
 
     /** Reader-side observability: how many row-log rows were actually
       * DECODED vs skipped via block footers — the sub-file pruning's
-      * receipt, aggregated into the SQL UI like any scan metric. */
+      * receipt, aggregated into the SQL UI like any scan metric.
+      * Top-level metric classes: Spark re-instantiates them
+      * reflectively (zero-arg constructor) when it aggregates. */
     override def supportedCustomMetrics(): Array[
-        org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-      new org.apache.spark.sql.connector.metric.CustomSumMetric {
-        override def name(): String = "decodedRows"
-        override def description(): String = "row-log rows decoded"
-      },
-      new org.apache.spark.sql.connector.metric.CustomSumMetric {
-        override def name(): String = "blockPrunedRows"
-        override def description(): String =
-          "rows skipped by block-footer pruning"
-      })
+        org.apache.spark.sql.connector.metric.CustomMetric] =
+      Array(new DecodedRowsMetric, new BlockPrunedRowsMetric)
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
           .read.streaming.MicroBatchStream =

@@ -323,7 +323,11 @@ class PlanGuardSpec extends SparkSpecBase {
       "q_ktable_merge_sql", "q_ktable_cdf",
       // round 18: sorted compaction (runs two real folds; the
       // plain-vs-sorted planned-file lint is the entry's whole point)
-      "q_ktable_sorted_compact"),
+      "q_ktable_sorted_compact",
+      // round 18: the IVF index persisted into keyed tables (builds
+      // the index, upserts the delta wave; zero-Exchange
+      // reconstruction + cell-pruning lints are in-entry)
+      "q_ann_ivf_serve_ktable"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
