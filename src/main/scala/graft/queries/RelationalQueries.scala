@@ -169,6 +169,17 @@ object RelationalQueries {
     }
   }
 
+  /** The UPDATE semantics oracle — shared by the native-verb entry
+    * (q_ktable_update) and the SQL-statement entry (q_ktable_update_sql)
+    * so the two spellings can never drift. */
+  private lazy val ktableUpdateOracleSql: String =
+    """SELECT o_orderkey AS k,
+      |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      |    AS status,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
+      |FROM orders""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_flagship_star", Some(flagshipOracle), headline = true)(flagship),
 
@@ -1473,6 +1484,87 @@ object RelationalQueries {
         out
       }),
 
+    // ---- UPDATE as the SQL STATEMENT, gated on the SAME oracle as
+    // the native verb (q_ktable_update) so the two spellings can
+    // never drift: Spark's RewriteUpdateTable plans the statement
+    // through the delta row-level operation — the target scan
+    // resolves the CURRENT state merge-on-read, the SET expressions
+    // read each key's current values exactly once, and the matched
+    // rows land as ONE upsert append manifest. ----
+    QueryDef("q_ktable_update_sql", effectful = true,
+      oracle = Some(ktableUpdateOracleSql))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:update_sql:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kusql_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)
+        val before = graft.sources.KeyedTable.committedFiles(target).size
+        val out = withKeyedCatalog(s) {
+          s.sql(s"UPDATE graft_keyed.`$target` " +
+            "SET status = 'X', cents = cents + 500 WHERE k % 7 = 0")
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            "SQL UPDATE must append the matched rows, not rewrite the table")
+          val names = graft.sources.KeyedTable.liveManifestNames(target)
+          assert(names.count(_.startsWith("rlo-update-")) == 1,
+            s"one UPDATE statement must commit one manifest: $names")
+          val latest = graft.sources.KeyedTableOps.latest(s, target)
+          assert(graft.ops.PlanChecks.countShuffles(
+            latest.queryExecution.executedPlan) == 0,
+            "the updated state must read shuffle-free")
+          latest.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- view=current (the server-side latest view) + non-key SQL
+    // DELETE: the scan option resolves last-write-wins + tombstones in
+    // the READER, per write bucket — zero shuffles, snapshot-pinned —
+    // and the DELETE's non-key predicate takes the row-level path
+    // (scan the current state, tombstone the matching keys at marker
+    // cost; key-predicate DELETEs would take the metadata fast path
+    // instead). Oracled end to end: upsert wave + status-predicate
+    // delete + resolved read against one DuckDB expression. ----
+    QueryDef("q_ktable_view_current", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'b' ELSE 'a' END AS tag
+        |FROM orders WHERE o_orderstatus <> 'P'""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:view_current:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kview_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src.withColumn("tag", lit("a")), target)
+        sink.append(src.where(col("k") % 3 === 0)
+          .withColumn("tag", lit("b")), target)
+        val out = withKeyedCatalog(s) {
+          val before = graft.sources.KeyedTable.committedFiles(target).size
+          s.sql(s"DELETE FROM graft_keyed.`$target` WHERE status = 'P'")
+          assert(graft.sources.KeyedTable.committedFiles(target).size
+            - before <= 8,
+            "a non-key DELETE must cost tombstone markers, not a rewrite")
+          val cur = s.read.option("view", "current")
+            .table(s"graft_keyed.`$target`")
+          assert(graft.ops.PlanChecks.countShuffles(
+            cur.queryExecution.executedPlan) == 0,
+            "view=current must resolve in the reader — no shuffle, " +
+              "no aggregate")
+          cur.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- TIMESTAMP AS OF: the wall-clock spelling of time travel.
     // Spark resolves the SQL timestamp to an instant; the catalog maps
     // it through the manifest commit timestamps to the highest
@@ -1696,13 +1788,8 @@ object RelationalQueries {
     // columns (cents increments by 500), the write is O(#matched
     // rows) — in-entry: files added <= write buckets, never a table
     // rewrite — and the updated state reads shuffle-free. ----
-    QueryDef("q_ktable_update", effectful = true, oracle = Some(
-      """SELECT o_orderkey AS k,
-        |  CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
-        |    AS status,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |    + CASE WHEN o_orderkey % 7 = 0 THEN 500 ELSE 0 END AS cents
-        |FROM orders""".stripMargin))(
+    QueryDef("q_ktable_update", effectful = true,
+      oracle = Some(ktableUpdateOracleSql))(
       (s, d) => graft.ops.FrameCache.memo(s, s"ktable:update:$d") {
         val tmp = java.nio.file.Files
           .createTempDirectory("graft_kupd_").toString

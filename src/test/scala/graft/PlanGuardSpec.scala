@@ -327,7 +327,12 @@ class PlanGuardSpec extends SparkSpecBase {
       // round 18: the IVF index persisted into keyed tables (builds
       // the index, upserts the delta wave; zero-Exchange
       // reconstruction + cell-pruning lints are in-entry)
-      "q_ann_ivf_serve_ktable"),
+      "q_ann_ivf_serve_ktable",
+      // round 18: SQL UPDATE statement twin (same oracle as the
+      // native verb) and the reader-resolved current view + non-key
+      // SQL DELETE — both run real commits; marker-cost and
+      // zero-shuffle lints in-entry
+      "q_ktable_update_sql", "q_ktable_view_current"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
