@@ -392,6 +392,15 @@ object KeyedTable {
       writeProps(path, conf, f(readProps(path, conf)))
     }
 
+  /** The table's FULL primary key: the partition key plus declared
+    * clustering columns — ONE parse shared by the advertised schema,
+    * the view=current scan, and the row-level operation builder (three
+    * hand-kept copies would drift). */
+  private[sources] def fullPrimaryKey(path: String, conf: Configuration,
+      key: String): Seq[String] =
+    key +: readProps(path, conf).get("clustering")
+      .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty)
+
   private[sources] def readProps(path: String,
       conf: Configuration): Map[String, String] = {
     val f = fs(path, conf)
@@ -1207,12 +1216,32 @@ object KeyedTable {
     /** The table's declared primary-key columns: the partition key
       * plus any declared clustering columns. Advertised NON-NULLABLE
       * (a Cassandra primary key cannot be null — and Spark's row-level
-      * rewrites require non-nullable row IDs). Writes of nullable
-      * sources still pass: ANSI store assignment guards them with a
-      * runtime null check instead of refusing at analysis. */
-    private lazy val primaryKeyCols: Set[String] =
-      (resolvedKey +: readProps(path, hadoopConf()).get("clustering")
-        .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty)).toSet
+      * rewrites require non-nullable row IDs) — but only when the
+      * COMMITTED DATA proves it: every live manifest line's key stats
+      * must record zero nulls (tombstone markers prove the key slot
+      * only — their other fields are null by design). A legacy table
+      * that legally holds null-keyed rows keeps a nullable key, so
+      * `k IS NULL` is never constant-folded to false over real nulls;
+      * the price is that row-level SQL statements refuse on such a
+      * table (NULLABLE_ROW_ID — correct: a partition tombstone cannot
+      * address a null key). Writes of nullable sources into a proven
+      * table pass with a runtime null check (ANSI store assignment),
+      * which is also what keeps the proof true going forward. */
+    private lazy val primaryKeyCols: Set[String] = {
+      val conf = hadoopConf()
+      val keys = fullPrimaryKey(path, conf, resolvedKey)
+      val idxs = keys.map(k => dataSchema.fieldNames.indexOf(k))
+      val proven = !idxs.exists(_ < 0) && {
+        val clustering = idxs.tail
+        liveManifests(path, conf).flatMap(_.entries).forall { e =>
+          val keyOk = e.stats.exists(_.nulls == 0L)
+          if (e.tombstone) keyOk
+          else keyOk && clustering.forall(i =>
+            i < e.colStats.length && e.colStats(i).nulls == 0L)
+        }
+      }
+      if (proven) keys.toSet else Set.empty
+    }
 
     override def schema(): StructType = StructType(schema0.fields.map(f =>
       if (primaryKeyCols.contains(f.name)) f.copy(nullable = false) else f))
@@ -1371,8 +1400,7 @@ object KeyedTable {
           require(tombMode == "include",
             "view=current applies tombstones itself; tombstones=" +
               s"$tombMode contradicts that")
-          Some(resolvedKey +: readProps(path, hadoopConf()).get("clustering")
-            .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty))
+          Some(fullPrimaryKey(path, hadoopConf(), resolvedKey))
         }
       // auto-pin only the CURRENT view (an as-of read is already a
       // fixed point; pinning today's live names under it would hide
@@ -1461,9 +1489,7 @@ object KeyedTable {
       require(!withVersion,
         "a withVersion read handle is read-only (version columns are " +
           "reader-synthesized)")
-      val clustering = readProps(path, hadoopConf()).get("clustering")
-        .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty)
-      val keys = resolvedKey +: clustering
+      val keys = fullPrimaryKey(path, hadoopConf(), resolvedKey)
       keys.foreach(k => require(dataSchema.fieldNames.contains(k),
         s"primary-key column '$k' is not a column of $dataSchema"))
       () => new KRowLevelOp(path, dataSchema, keys, writePartitions,
@@ -2990,17 +3016,26 @@ object KeyedTable {
       * (key, modulus). Gated on the session's v2-bucketing switch —
       * when Spark would ignore the report, per-file partitions keep
       * the higher read parallelism instead. */
+    /** The ONE uniform-write-contract predicate — shared by the KGP
+      * report (grouping) and the resolve-scan's bucket-complete
+      * partitioning, so the two can never disagree on what "proven
+      * clustered" means: every planned file proved a bucket under one
+      * (key, modulus). */
+    private lazy val uniformContract: Option[(String, Int)] = {
+      val keys = staticPlanned.map(_.entry.key).distinct
+      val moduli = staticPlanned.map(_.entry.buckets).distinct
+      if (staticPlanned.nonEmpty && keys.size == 1 && keys.head.nonEmpty &&
+          moduli.size == 1 && moduli.head > 0 &&
+          staticPlanned.forall(_.entry.bucket >= 0))
+        Some((keys.head, moduli.head))
+      else None
+    }
+
     private lazy val grouping: Option[(String, Int, Seq[(Int, Seq[KSplit])])] =
-      if (!clusteredRead || staticPlanned.isEmpty ||
+      if (!clusteredRead ||
           !org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled) None
-      else {
-        val keys = staticPlanned.map(_.entry.key).distinct
-        val moduli = staticPlanned.map(_.entry.buckets).distinct
-        if (keys.size == 1 && keys.head.nonEmpty && moduli.size == 1 &&
-            moduli.head > 0 && staticPlanned.forall(_.entry.bucket >= 0))
-          Some((keys.head, moduli.head,
-            staticPlanned.groupBy(_.entry.bucket).toSeq.sortBy(_._1)))
-        else None
+      else uniformContract.map { case (key, n) =>
+        (key, n, staticPlanned.groupBy(_.entry.bucket).toSeq.sortBy(_._1))
       }
 
     override def readSchema(): StructType = required
@@ -3026,15 +3061,10 @@ object KeyedTable {
       * session's v2-bucketing switch; without one (mixed moduli,
       * unproven files) resolution falls back to a single partition
       * over everything — correct, and loud in the plan description. */
-    private lazy val resolveGroups: Seq[(Int, Seq[KSplit])] = {
-      val keys = staticPlanned.map(_.entry.key).distinct
-      val moduli = staticPlanned.map(_.entry.buckets).distinct
-      if (staticPlanned.nonEmpty && keys.size == 1 && keys.head.nonEmpty &&
-          moduli.size == 1 && moduli.head > 0 &&
-          staticPlanned.forall(_.entry.bucket >= 0))
+    private lazy val resolveGroups: Seq[(Int, Seq[KSplit])] =
+      if (uniformContract.isDefined)
         staticPlanned.groupBy(_.entry.bucket).toSeq.sortBy(_._1)
       else Seq((-1, staticPlanned))
-    }
 
     override def planInputPartitions(): Array[InputPartition] =
       (grouping, resolve) match {
@@ -3081,8 +3111,16 @@ object KeyedTable {
       Array(new DecodedRowsMetric, new BlockPrunedRowsMetric)
     override def toMicroBatchStream(
         checkpointLocation: String): org.apache.spark.sql.connector
-          .read.streaming.MicroBatchStream =
+          .read.streaming.MicroBatchStream = {
+      // the current view is a BATCH resolution (merge-on-read over a
+      // pinned snapshot); a stream tails the LOG — silently streaming
+      // raw versions under a view=current request would hand the
+      // consumer superseded rows and marker rows as data
+      require(resolve.isEmpty,
+        "view=current is a batch view; tail the log (the default) and " +
+          "resolve downstream, or read batches of the current view")
       new KTailStream(path, tableSchema, required, manifestsPerTrigger, conf)
+    }
   }
 
   /** TAIL the table as a micro-batch stream — the "keys just loaded,

@@ -617,9 +617,28 @@ object KeyedTableOps {
     val pk = keys.head
     require(0L <= fromSeq && fromSeq <= toSeq,
       s"changeDataFeed($fromSeq, $toSeq) is empty")
-    // full history to the window's end: preimages live below fromSeq
-    val ev = changesBetween(spark, path, 0L, toSeq)
-    val dataCols = ev.columns.toSeq.filterNot(KeyedTable.MetaNames)
+    // the slice's events, plus — when the feed starts mid-history —
+    // each key's RESOLVED state as of fromSeq (the reader-side current
+    // view, one winner row per key with its real version coordinates):
+    // that one row per key is exactly what lag() consumes for the
+    // first in-slice event's preimage, so an incremental poll costs
+    // O(current keys + slice), never a re-shuffle of the full log
+    val slice = changesBetween(spark, path, fromSeq, toSeq)
+    val dataCols = slice.columns.toSeq.filterNot(KeyedTable.MetaNames)
+    val evCols = dataCols.map(col) ++ Seq(col(KeyedTable.MetaSeq),
+      col(KeyedTable.MetaPos), col(KeyedTable.MetaTombstone))
+    val ev =
+      if (fromSeq <= 0L) slice.select(evCols: _*)
+      else {
+        val asOf = spark.read.format("graft.sources.KeyedTable")
+          .option("view", "current")
+          .option("asOfSeq", fromSeq.toString)
+          .load(path)
+          .select(dataCols.map(col) ++ Seq(col(KeyedTable.MetaSeq),
+            col(KeyedTable.MetaPos)): _*)
+          .withColumn(KeyedTable.MetaTombstone, lit(false))
+        slice.select(evCols: _*).unionByName(asOf)
+      }
     val rest = dataCols.filterNot(_ == pk)
     val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
     val w = Window.partitionBy(col(pk)).orderBy(ver)
@@ -745,13 +764,20 @@ object KeyedTableOps {
       .flatMap(v => scala.util.Try(v.toInt).toOption)
       .orElse(KeyedTable.inferWriteContract(path, conf).map(_._2))
       .getOrElse(8)
+    // the source evaluates THREE times in this statement (cardinality
+    // check, matched semi-join, not-matched anti-join) — pin it once
+    // for the statement's duration so an expensive upstream pipeline
+    // is not recomputed per use
+    val src = source.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // SQL MERGE's cardinality rule (and the SQL statement path's, via
     // Spark's own MERGE_CARDINALITY_VIOLATION): two source rows for one
     // key would both append and resolve by (_seq,_pos), where _pos
     // depends on physical partitioning — a nondeterministic winner.
     // One cheap aggregate over the CDC-batch-sized source refuses that
     // loudly instead
-    val dup = source.groupBy(keys.map(col): _*).count()
+    val dup = src.groupBy(keys.map(col): _*).count()
       .where(col("count") > 1).limit(1).collect()
     require(dup.isEmpty,
       s"MERGE source has duplicate rows for key ${dup.headOption
@@ -759,7 +785,7 @@ object KeyedTableOps {
         "refuses ambiguous matches (the winner would depend on " +
         "physical row order); deduplicate the source first")
     val current = latest(spark, path).select(keys.map(col): _*)
-    val matched = source.join(current, keys, "left_semi")
+    val matched = src.join(current, keys, "left_semi")
     // SQL clause fallthrough: a NULL delete condition means "this
     // clause does not fire", so the row falls through to UPDATE —
     // both branches coalesce the condition to false (a bare
@@ -787,7 +813,7 @@ object KeyedTableOps {
       if (!updateWhenMatched) None
       else Some(fires.map(c => matched.where(!c)).getOrElse(matched))
     val inserts =
-      if (insertWhenNotMatched) Some(source.join(current, keys, "left_anti"))
+      if (insertWhenNotMatched) Some(src.join(current, keys, "left_anti"))
       else None
     (updates.toSeq ++ inserts.toSeq).reduceOption(_ unionByName _)
       .foreach { wave =>
@@ -797,5 +823,6 @@ object KeyedTableOps {
           .option("writePartitions", parallelism.toString)
           .mode("append").save(path)
       }
+    } finally { src.unpersist(); () }
   }
 }

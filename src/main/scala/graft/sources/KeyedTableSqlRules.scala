@@ -36,13 +36,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class InsertOnlyMergeCurrentState(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  /** Is this multipart identifier addressed through a catalog whose
-    * implementation is [[KeyedTableCatalog]]? The catalog may be
-    * registered under any name; the session conf is the truth. */
-  private def isKeyedCatalog(parts: Seq[String]): Boolean =
-    parts.length >= 2 && session.conf
-      .getOption(s"spark.sql.catalog.${parts.head}")
-      .contains(classOf[KeyedTableCatalog].getName)
+  /** Does this multipart identifier address a [[KeyedTableCatalog]]
+    * table? The catalog may be registered under ANY name (the session
+    * conf is the truth), SQL identifiers are case-insensitive, and a
+    * name with no catalog part (or whose head is not a registered
+    * catalog at all) resolves against the session's CURRENT catalog —
+    * `USE graft_keyed; MERGE INTO t ...` must get the current-state
+    * anti-join exactly like the fully qualified spelling, or a
+    * tombstoned key's re-insert silently drops. */
+  private def isKeyedCatalog(parts: Seq[String]): Boolean = {
+    val impl = classOf[KeyedTableCatalog].getName
+    val prefix = "spark.sql.catalog."
+    def catalogImpl(name: String): Option[String] =
+      session.conf.getAll.collectFirst {
+        case (k, v) if k.startsWith(prefix) && !k.drop(prefix.length)
+          .contains('.') && k.drop(prefix.length).equalsIgnoreCase(name) => v
+      }
+    def currentIsKeyed: Boolean =
+      session.sessionState.catalogManager.currentCatalog
+        .isInstanceOf[KeyedTableCatalog]
+    if (parts.length >= 2) catalogImpl(parts.head) match {
+      case Some(v) => v == impl // head IS a registered catalog
+      case None => currentIsKeyed // head is a namespace under the current one
+    }
+    else currentIsKeyed
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {

@@ -243,6 +243,73 @@ class RowLevelSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("insert-only MERGE under USE <catalog> (1-part name) still " +
+      "anti-joins the current state") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_use_") + "/t"
+    sink.append(rows(0, 8, "a"), t)
+    withCatalog {
+      spark.sql(s"DELETE FROM ${ident(t)} WHERE k = 3")
+      val prior = spark.sessionState.catalogManager.currentCatalog.name()
+      spark.sql("USE graft_keyed")
+      try {
+        Seq((3L, "back", 33L)).toDF("k", "s", "c")
+          .createOrReplaceTempView("src")
+        // unqualified target: resolves against the CURRENT catalog —
+        // the hint rule must stamp view=current here too, or the
+        // tombstoned key's re-insert silently drops
+        spark.sql(s"MERGE INTO `$t` t USING src ON t.k = src.k " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      } finally spark.sql(s"USE $prior")
+      assert(state(t)(3L) === (("back", 33L)),
+        "re-insert after delete must land through the unqualified spelling")
+    }
+  }
+
+  test("a streaming read refuses view=current (batch-only view)") {
+    val t = tmpDir("graft_rlo_stream_") + "/t"
+    sink.append(rows(0, 4, "a"), t)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.KeyedTable")
+        .option("view", "current").load(t)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmpDir("graft_rlo_ckpt_"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(exceptionChain(e).exists(m => m.getMessage != null &&
+      m.getMessage.contains("batch view")),
+      s"streaming view=current must refuse loudly: ${e.getMessage}")
+  }
+
+  test("unproven key columns stay nullable (no constant-folding nulls " +
+      "away on legacy-shaped data)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_nullck_") + "/t"
+    // clustering column with nulls: the full primary key is NOT proven
+    // non-null, so the advertised schema must keep every key nullable
+    Seq((1L, Option("x"), 1L), (2L, Option.empty[String], 2L))
+      .toDF("k", "s", "c")
+      .write.format("graft.sources.KeyedTable")
+      .option("key", "k").mode("append").save(t)
+    KeyedTableOps.declareClustering(t, Seq("s"))
+    val sch = spark.read.format("graft.sources.KeyedTable").load(t).schema
+    assert(sch("k").nullable && sch("s").nullable,
+      s"unproven primary key must advertise nullable, got $sch")
+    // IS NULL over the unproven clustering column still finds the row
+    val nulls = spark.read.format("graft.sources.KeyedTable").load(t)
+      .where(col("s").isNull).collect()
+    assert(nulls.length === 1 && nulls.head.getLong(0) === 2L)
+    // while a fully proven table advertises its key NOT NULL
+    val t2 = tmpDir("graft_rlo_proven_") + "/t"
+    sink.append(rows(0, 4, "a"), t2)
+    val sch2 = spark.read.format("graft.sources.KeyedTable").load(t2).schema
+    assert(!sch2("k").nullable,
+      s"proven key must advertise NOT NULL, got $sch2")
+  }
+
   test("historical handles refuse row-level writes") {
     val t = tmpDir("graft_rlo_asof_") + "/t"
     sink.append(rows(0, 4, "a"), t)
