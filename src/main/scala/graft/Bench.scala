@@ -10,13 +10,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
+    // flag-run hook (local iteration; the driver never sets this):
+    // SPARK_GRAFT_SQLCONF="k=v,k=v" builder-level overrides
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
+      _.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k.trim, v.trim)
+          case _ => ()
+        }
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.ops.BoundedWindow.quietPlannerWarnings() // entry-point-scoped
     val set = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {

@@ -30,9 +30,38 @@ object BandJoinRewrite extends Rule[org.apache.spark.sql.catalyst.plans.logical.
   private val BucketL = "__graft_bucket_l"
   private val BucketR = "__graft_bucket_r"
 
+  /** Does the condition already carry an EQUI key pair across the two
+    * children? Then Spark hash-joins on it with the band as a residual
+    * — already O(matches), and strictly better than bucketing (no
+    * explode, no duplicate hashing). The rewrite exists to save joins
+    * that would otherwise be nested-loop/cartesian; firing on a
+    * hash-joinable condition REGRESSES it (measured ~2× on the text
+    * analytics entries when the rule went session-wide). */
+  private def hasEquiKey(cond: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    def crossKey(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(left.outputSet) &&
+          b.references.subsetOf(right.outputSet)) ||
+         (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet)))
+    conjuncts(cond).exists {
+      case EqualTo(a, b) => crossKey(a, b)
+      case EqualNullSafe(a, b) => crossKey(a, b)
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if !alreadyBucketed(j) &&
+          // only joins that would otherwise plan nested-loop: an equi
+          // key in the condition means Spark hash-joins already
+          !hasEquiKey(cond, left, right) &&
           // kill switch: with the rule wired session-wide through
           // spark.sql.extensions, baselines (and users who want
           // Spark's naive plan back) disable it per-session
