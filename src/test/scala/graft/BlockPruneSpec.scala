@@ -122,6 +122,36 @@ class BlockPruneSpec extends SparkSpecBase {
     assert(cur === Map(777L -> "new", 10L -> "v10"))
   }
 
+  test("block stats are frame-positional: filters on evolved columns " +
+      "never prune pre-evolution blocks wrongly") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_blk_evo_") + "/t"
+    write(t, rows(512), blockRows = 64) // framed (k, s, c) with a footer
+    // evolve: a later commit brings a new trailing column
+    (512 until 520).map(i => (i.toLong, s"v$i", (i % 7).toLong, i * 2L))
+      .toDF("k", "s", "c", "extra")
+      .write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "1")
+      .option("blockRows", "64").mode("append").save(t)
+    // a filter on the EVOLVED column: the old file's block stats have
+    // no slot for it — every old block must be KEPT (null-filled rows
+    // might... not match, but pruning may only ever be conservative);
+    // Spark's residual filter then drops the null-filled rows
+    val probe = read(t).where(col("extra").isNotNull)
+    val got = probe.collect()
+    assert(got.length === 8, s"evolved-column probe got ${got.length}")
+    val (decoded, pruned) = metrics(probe)
+    assert(decoded === 520L && pruned === 0L,
+      s"old blocks must stay un-pruned under an evolved-column filter " +
+        s"(decoded $decoded, pruned $pruned)")
+    // while a filter the old frame DOES cover still prunes old blocks
+    val (d2, p2) = metrics(read(t).where(col("k") === 100L))
+    assert(d2 <= 64L + 8L && p2 >= 448L,
+      s"pre-evolution blocks must still prune on covered columns " +
+        s"($d2 decoded, $p2 pruned)")
+  }
+
   test("small files stay footer-free (legacy byte layout preserved)") {
     val t = tmpDir("graft_blk_small_") + "/t"
     write(t, rows(50), blockRows = 64) // one block = no footer
