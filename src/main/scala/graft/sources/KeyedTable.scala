@@ -91,6 +91,16 @@ import java.util
   * factories), so s3a credentials/endpoints configured on the session
   * reach every manifest, writer, and reader operation.
   */
+/** A row-level SQL statement lost its optimistic-concurrency race:
+  * between the statement's snapshot pin and its commit, another commit
+  * published rows overlapping the keys this statement wrote.
+  * Publishing anyway would silently lose the winner's update under
+  * last-write-wins, so the statement aborts instead — RETRYABLE: a
+  * re-run pins a fresh snapshot that includes the winner's rows and
+  * resolves correctly. The Delta/Iceberg commit-conflict contract. */
+final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
 class KeyedTable extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
@@ -1226,21 +1236,34 @@ object KeyedTable {
       * table (NULLABLE_ROW_ID — correct: a partition tombstone cannot
       * address a null key). Writes of nullable sources into a proven
       * table pass with a runtime null check (ANSI store assignment),
-      * which is also what keeps the proof true going forward. */
+      * which is also what keeps the proof true going forward.
+      *
+      * CLUSTERING columns have a stricter bar: tombstone MARKER rows
+      * carry the partition key with every other field null — including
+      * clustering slots — and the DEFAULT log view (tombstones=include)
+      * EMITS those marker rows. So on a table holding any live
+      * tombstone manifest, a non-null advert on a clustering column
+      * would be a lie the raw-log read disproves (NullPropagation would
+      * fold `clust IS NULL` to false over real nulls). Clustering
+      * columns are therefore only advertised non-nullable when the live
+      * set holds NO tombstone entries; the partition-key column's proof
+      * stands regardless (markers populate it by construction). */
     private lazy val primaryKeyCols: Set[String] = {
       val conf = hadoopConf()
       val keys = fullPrimaryKey(path, conf, resolvedKey)
       val idxs = keys.map(k => dataSchema.fieldNames.indexOf(k))
-      val proven = !idxs.exists(_ < 0) && {
+      if (idxs.exists(_ < 0)) Set.empty
+      else {
         val clustering = idxs.tail
-        liveManifests(path, conf).flatMap(_.entries).forall { e =>
-          val keyOk = e.stats.exists(_.nulls == 0L)
-          if (e.tombstone) keyOk
-          else keyOk && clustering.forall(i =>
-            i < e.colStats.length && e.colStats(i).nulls == 0L)
-        }
+        val entries = liveManifests(path, conf).flatMap(_.entries)
+        val keyProven = entries.forall(_.stats.exists(_.nulls == 0L))
+        val clusteringProven = !entries.exists(_.tombstone) &&
+          entries.forall(e => clustering.forall(i =>
+            i < e.colStats.length && e.colStats(i).nulls == 0L))
+        if (!keyProven) Set.empty
+        else if (clusteringProven) keys.toSet
+        else Set(keys.head)
       }
-      if (proven) keys.toSet else Set.empty
     }
 
     override def schema(): StructType = StructType(schema0.fields.map(f =>
@@ -1511,7 +1534,21 @@ object KeyedTable {
     // snapshot pin at operation build: every scan this statement plans
     // reads the same immutable manifest set (commits racing the
     // statement resolve before or after it, never half-in)
-    private val pinned: Set[String] = liveManifestNames(path).toSet
+    private val pinnedLive: Seq[KManifest] =
+      liveManifests(path, hadoopConf())
+    private val pinned: Set[String] = pinnedLive.map(_.name).toSet
+    // the pin's version horizon: commits at or below it are either
+    // pinned or content-preserving folds of pinned inputs; a LIVE
+    // manifest above it is a statement/append/overwrite that published
+    // after this statement read — the optimistic-concurrency intruder
+    private val pinnedMaxSeq: Long =
+      pinnedLive.map(_.seq).foldLeft(0L)(math.max)
+    // commit-time conflict detection is ON unless the session opts out
+    // (spark.graft.rowlevel.conflicts=off restores blind-append LWW)
+    private val conflicts: Boolean = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.rowlevel.conflicts", "detect"))
+      .getOrElse("detect") != "off"
 
     override def command(): RowLevelOperation.Command = cmd
     override def description(): String =
@@ -1538,7 +1575,8 @@ object KeyedTable {
         override def build(): DeltaWrite = {
           if (info.schema().nonEmpty) validateSchema(info.schema())
           new KDeltaWrite(path, info.schema(), dataSchema, keys,
-            writePartitions, info.queryId(), cmd)
+            writePartitions, info.queryId(), cmd,
+            if (conflicts) Some((pinned, pinnedMaxSeq)) else None)
         }
       }
   }
@@ -1828,6 +1866,12 @@ object KeyedTable {
     // rename happened; the manifest decides visibility, so an abort
     // after a roll leaves only invisible bytes for vacuum)
     private val finished = scala.collection.mutable.Buffer.empty[KFileMessage]
+    // rolled slices stay under their dot-prefixed inprogress names
+    // until TASK COMMIT (renamed all at once in commit()) — renaming
+    // mid-task would widen the vacuum-race window from
+    // task-commit-to-job-commit to the whole task duration
+    private val pendingRenames =
+      scala.collection.mutable.Buffer.empty[(Path, Path)]
     // per-file block index: (byte offset, start ordinal, rows, stats)
     private val blocks =
       scala.collection.mutable.Buffer.empty[(Long, Long, Long, Seq[KeyStats])]
@@ -2066,10 +2110,15 @@ object KeyedTable {
       if (maxFileRows > 0 && rows >= maxFileRows) finishFile()
     }
 
-    /** Close the current slice: rename it final, record its message,
-      * reset per-file state for the next slice. A zero-row tail still
-      * records a message (the manifest filters rows > 0), keeping the
-      * single-file path identical to the pre-rolling behavior. */
+    /** Close the current slice: queue its rename for task commit,
+      * record its message, reset per-file state for the next slice. A
+      * zero-row tail still records a message (the manifest filters
+      * rows > 0), keeping the single-file path identical to the
+      * pre-rolling behavior. The rename itself is DEFERRED to
+      * [[commit]] so a rolled slice stays invisible (dot-prefixed) for
+      * the whole task — a concurrent vacuum can therefore never delete
+      * a final-named file this task's manifest will commit, however
+      * small its grace period. */
     private def finishFile(): Unit = {
       endBlock(recordBlock = blockRows > 0)
       var bytes = -1L
@@ -2090,10 +2139,8 @@ object KeyedTable {
         out.close()
         out = null
         counted = null
-        val dst = new Path(s"$path/data", name)
-        if (!f.rename(inprogress, dst))
-          throw new java.io.IOException(s"task commit rename failed: $name")
-        bytes = try f.getFileStatus(dst).getLen
+        pendingRenames += ((inprogress, new Path(s"$path/data", name)))
+        bytes = try f.getFileStatus(inprogress).getLen
           catch { case scala.util.control.NonFatal(_) => -1L }
       }
       val cs = schema.indices.map(i => fileTrackers(i).stats)
@@ -2113,16 +2160,24 @@ object KeyedTable {
 
     override def commit(): WriterCommitMessage = {
       finishFile()
+      pendingRenames.foreach { case (src, dst) =>
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(
+            s"task commit rename failed: ${dst.getName}")
+      }
+      pendingRenames.clear()
       if (finished.size == 1) finished.head
       else KDeltaMessage(finished.toSeq, Seq.empty)
     }
 
     override def abort(): Unit = {
       if (out != null) out.close()
-      try { f.delete(inprogress, false); () }
-      catch { case scala.util.control.NonFatal(_) => () }
-      // slices rolled before the failure were task-renamed but never
-      // manifested: invisible forever, reaped by vacuum
+      (pendingRenames.map(_._1) :+ inprogress).foreach { p =>
+        try { f.delete(p, false); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      // nothing this task wrote ever reached a final name: rolled
+      // slices died under their dot-prefixed inprogress names
     }
 
     override def close(): Unit = ()
@@ -2151,7 +2206,19 @@ object KeyedTable {
     * bucket it sees. */
   private final class KDeltaWrite(path: String, rowSchema: StructType,
       tableSchema: StructType, keys: Seq[String], writePartitions: Int,
-      queryId: String, cmd: RowLevelOperation.Command)
+      queryId: String, cmd: RowLevelOperation.Command,
+      // OPTIMISTIC CONCURRENCY: the operation's pinned live-set and
+      // version horizon. When set, commit validates (under the
+      // maintenance lock, atomically with publication) that no commit
+      // OVERLAPPING this statement's written keys published after the
+      // pin — two concurrent read-modify-write statements over the
+      // same keys would otherwise both commit and LWW would interleave
+      // their effects (a lost update: both read v1, last manifest wins
+      // wholesale). The loser aborts with a retryable
+      // [[ConcurrentCommitException]]; disjoint-key concurrency passes
+      // (bucket tags and key zone maps prove disjointness). None =
+      // detection off: the pre-OCC blind-append behavior.
+      occ: Option[(Set[String], Long)])
       extends DeltaWrite with RequiresDistributionAndOrdering {
     private val pk = keys.head
     override def requiredDistribution(): Distribution =
@@ -2192,11 +2259,69 @@ object KeyedTable {
         // statement outranks its own delete of the same key
         val entries = tombs.map(entry(_, tomb = true)) ++
           data.map(entry(_, tomb = false))
-        if (entries.nonEmpty)
-          commitManifest(path,
-            s"rlo-${cmd.toString.toLowerCase}-${sanitize(queryId)}.manifest",
-            entries, conf.value,
-            ncols = (if (rowSchema.nonEmpty) rowSchema else tableSchema).length)
+        if (entries.isEmpty) return
+        def publish(): Unit = commitManifest(path,
+          s"rlo-${cmd.toString.toLowerCase}-${sanitize(queryId)}.manifest",
+          entries, conf.value,
+          ncols = (if (rowSchema.nonEmpty) rowSchema else tableSchema).length)
+        occ match {
+          case None => publish()
+          case Some((pinnedNames, pinnedMaxSeq)) =>
+            // [validate / publish] made atomic by the maintenance lock
+            // — concurrent row-level statements (and folds/overwrites)
+            // serialize here; NATIVE blind appends stay lock-free by
+            // design (they never read, so they cannot lose an update —
+            // Cassandra's upsert model; under LWW they resolve exactly
+            // as they would against the pre-statement versions)
+            withMaintenanceLock(path, conf.value) {
+              val intruders = liveManifests(path, conf.value).filter(m =>
+                !pinnedNames(m.name) && (m.seq < 0 || m.seq > pinnedMaxSeq))
+              val files = data ++ tombs
+              val clash = intruders.find(
+                _.entries.exists(e => mayOverlap(e, files)))
+              clash.foreach { m =>
+                throw new ConcurrentCommitException(
+                  s"concurrent commit ${m.name} (seq ${m.seq}) published " +
+                    s"rows overlapping this $cmd statement's keys after " +
+                    s"its snapshot was pinned at $path — committing would " +
+                    "lose its update under last-write-wins. The statement " +
+                    "read a stale snapshot; retry it (its re-read then " +
+                    "sees the winner's rows).")
+              }
+              publish()
+            }
+        }
+      }
+
+      /** Can `e` (a commit that raced this statement) hold any key this
+        * statement wrote? Conservative: only PROVEN disjointness — by
+        * write bucket (same key column and modulus, both tags proven)
+        * or by key zone map (both ranges recorded, comparably typed) —
+        * lets the commit pass; anything unprovable conflicts. */
+      private def mayOverlap(e: KFileEntry,
+          files: Seq[KFileMessage]): Boolean = {
+        if (e.rows == 0) return false
+        val keyDt = tableSchema.fields(tableSchema.fieldIndex(pk)).dataType
+        val sameKeySpace = e.key == pk
+        val disjointByBucket = sameKeySpace &&
+          e.buckets == writePartitions && e.bucket >= 0 &&
+          files.forall(_.bucket >= 0) &&
+          !files.exists(_.bucket == e.bucket)
+        if (disjointByBucket) return false
+        // statement scope [sLo, sHi]: unknown (None) if ANY written
+        // file lacks key stats — unknown never proves disjointness
+        val scopeLo = if (files.exists(_.minEnc.isEmpty)) None
+          else reduceEnc(keyDt, files.flatMap(_.minEnc), min = true)
+        val scopeHi = if (files.exists(_.maxEnc.isEmpty)) None
+          else reduceEnc(keyDt, files.flatMap(_.maxEnc), min = false)
+        val disjointByRange = sameKeySpace && (for {
+          st <- e.stats
+          eLo <- st.minEnc; eHi <- st.maxEnc
+          sLo <- scopeLo; sHi <- scopeHi
+          cHiLo <- cmpEncEnc(keyDt, eHi, sLo)
+          cLoHi <- cmpEncEnc(keyDt, eLo, sHi)
+        } yield cHiLo < 0 || cLoHi > 0).getOrElse(false)
+        !disjointByRange
       }
 
       override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -2360,6 +2485,42 @@ object KeyedTable {
     * caller then keeps the file (pruning must never be wrong, only
     * useful). String order is unsigned-byte over UTF-8, matching the
     * UTF8String order the writer recorded min/max in. */
+  /** Compare two canonical stat ENCODINGS of the same data type (the
+    * [[KeyStats]] min/max spelling — numeric toString / Base64 UTF-8
+    * bytes). None on types the stats never record (then the caller
+    * must stay conservative). */
+  private def cmpEncEnc(dt: DataType, a: String, b: String): Option[Int] =
+    dt match {
+      case LongType | IntegerType | TimestampType | TimestampNTZType =>
+        Some(java.lang.Long.compare(a.toLong, b.toLong))
+      case DateType => Some(java.lang.Integer.compare(a.toInt, b.toInt))
+      case DoubleType => Some(java.lang.Double.compare(
+        normZero(a.toDouble), normZero(b.toDouble)))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(a.toBoolean, b.toBoolean))
+      case StringType =>
+        val x = java.util.Base64.getDecoder.decode(a)
+        val y = java.util.Base64.getDecoder.decode(b)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        var r = 0
+        while (i < n && r == 0) {
+          r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          i += 1
+        }
+        Some(if (r != 0) r else java.lang.Integer.compare(x.length, y.length))
+      case _ => None
+    }
+
+  /** Fold encodings to their min (or max) under [[cmpEncEnc]]; None on
+    * an empty set or an uncomparable type. */
+  private def reduceEnc(dt: DataType, encs: Seq[String],
+      min: Boolean): Option[String] =
+    // comparability is a property of the TYPE alone — probe it once
+    if (encs.isEmpty || cmpEncEnc(dt, encs.head, encs.head).isEmpty) None
+    else Some(encs.reduce((a, b) =>
+      if ((cmpEncEnc(dt, a, b).get <= 0) == min) a else b))
+
   private def cmpEnc(dt: DataType, e: String, v: Any): Option[Int] = {
     def asLong(x: Any): Option[Long] = x match {
       case n: java.lang.Long => Some(n.longValue)

@@ -500,12 +500,22 @@ object KeyedTableOps {
     * (the scan only reports a clustering every planned file proved
     * under ONE (key, modulus)); this maintenance op:
     *
-    *  1. declares the new `writePartitions` so every FUTURE write
-    *     clusters at the new modulus, then
-    *  2. folds the live log through [[rewriteCompact]] FORCED (even a
+    *  1. folds the live log through [[rewriteCompact]] FORCED (even a
     *     single live manifest re-clusters) with the snapshot written
     *     at the new modulus — committing at the fence and superseding
-    *     exactly what it folded, so racing writes lose nothing.
+    *     exactly what it folded, so racing writes lose nothing —
+    *     retrying internally when another superseding commit races the
+    *     fold, then
+    *  2. declares the new `writePartitions` ONLY AFTER the snapshot
+    *     commits, so every FUTURE write clusters at the new modulus.
+    *
+    * Order matters: declaring the contract first would strand the
+    * table on a fold no-op (declared at the new modulus, live set
+    * still at the old — every subsequent write then makes a
+    * mixed-modulus live set and KGP stays lost until someone notices).
+    * Fold-first means a failed rebucket leaves the declaration
+    * untouched: the table keeps its old, internally consistent
+    * contract and the caller just re-runs.
     *
     * After the fold the live set is uniform at `newPartitions`:
     * clustered catalog reads report KGP with the new bucket count and
@@ -521,10 +531,18 @@ object KeyedTableOps {
     require(newPartitions > 0, s"rebucket to $newPartitions buckets")
     val key = tableKey(path).getOrElse(throw new IllegalArgumentException(
       s"KeyedTable at $path has no declared or proven key column"))
-    KeyedTable.updateProps(path, KeyedTable.hadoopConf())(
-      _ + ("key" -> key, "writePartitions" -> newPartitions.toString))
-    rewriteCompact(spark, path, tombstoneGraceMs,
-      parallelismOverride = Some(newPartitions), force = true)
+    var res: Option[String] = None
+    var attempt = 0
+    while (res.isEmpty && attempt < 3) {
+      res = rewriteCompact(spark, path, tombstoneGraceMs,
+        parallelismOverride = Some(newPartitions), force = true)
+      attempt += 1
+    }
+    res.foreach { _ =>
+      KeyedTable.updateProps(path, KeyedTable.hadoopConf())(
+        _ + ("key" -> key, "writePartitions" -> newPartitions.toString))
+    }
+    res
   }
 
   /** Stats-driven AUTO-COMPACTION policy: decide from manifest

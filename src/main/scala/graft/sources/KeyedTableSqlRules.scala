@@ -44,7 +44,7 @@ final class InsertOnlyMergeCurrentState(session: SparkSession)
     * `USE graft_keyed; MERGE INTO t ...` must get the current-state
     * anti-join exactly like the fully qualified spelling, or a
     * tombstoned key's re-insert silently drops. */
-  private def isKeyedCatalog(parts: Seq[String]): Boolean = {
+  private[graft] def isKeyedCatalog(parts: Seq[String]): Boolean = {
     val impl = classOf[KeyedTableCatalog].getName
     val prefix = "spark.sql.catalog."
     def catalogImpl(name: String): Option[String] =
@@ -55,8 +55,18 @@ final class InsertOnlyMergeCurrentState(session: SparkSession)
     def currentIsKeyed: Boolean =
       session.sessionState.catalogManager.currentCatalog
         .isInstanceOf[KeyedTableCatalog]
+    // The built-in session catalog is registered under
+    // CatalogManager.SESSION_CATALOG_NAME without a
+    // `spark.sql.catalog.spark_catalog` conf key, so conf-scanning
+    // alone would misread `spark_catalog.db.t` as a namespace under
+    // the current (possibly keyed) catalog. It is never a
+    // KeyedTableCatalog unless a conf key explicitly rebinds it.
+    // (CatalogManager.SESSION_CATALOG_NAME — the class is private[sql],
+    // the name is Spark's stable public spelling.)
+    val sessionCatalog = "spark_catalog"
     if (parts.length >= 2) catalogImpl(parts.head) match {
       case Some(v) => v == impl // head IS a registered catalog
+      case None if parts.head.equalsIgnoreCase(sessionCatalog) => false
       case None => currentIsKeyed // head is a namespace under the current one
     }
     else currentIsKeyed

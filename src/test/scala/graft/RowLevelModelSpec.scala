@@ -144,4 +144,88 @@ class RowLevelModelSpec extends SparkSpecBase {
         "replaying the change data feed must rebuild the final state")
     }
   }
+
+  /** INTERLEAVED pairs: statement A pins its snapshot, parks mid-scan
+    * behind [[OccGate]]; statement B commits while A is parked; A then
+    * resumes toward its own commit. Outcomes allowed by optimistic
+    * concurrency: A aborts retryably (we retry it — serial order B→A),
+    * or A commits because its keys were PROVABLY disjoint from B's
+    * (B→A and A→B commute). Either way the table must equal the serial
+    * model — A's read-dependent arithmetic (c = c + Δ) makes a lost
+    * update arithmetically visible, so a false PASS of the conflict
+    * check cannot hide. */
+  test("interleaved statement pairs linearize to the serial model") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_model_occ_") + "/t"
+    val rnd = new Random(20260817L)
+    val sink = V2KeyedTableSink("k", writeParallelism = 4)
+    val model = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    val keySpace = 40L
+    val seedRows = (0L until keySpace).map(k => (k, s"s$k", k * 10))
+    sink.append(seedRows.toDF("k", "s", "c"), t)
+    seedRows.foreach { case (k, sv, c) => model(k) = (sv, c) }
+
+    def gatedMerge(lo: Long, hi: Long, step: Int): String =
+      s"""MERGE INTO graft_keyed.`$t` T
+         |USING (SELECT occ_gate(id) AS k FROM range($lo, $hi, 1, 1)) S
+         |ON T.k = S.k
+         |WHEN MATCHED THEN UPDATE SET T.c = T.c + 10000,
+         |  T.s = concat(T.s, 'A')
+         |WHEN NOT MATCHED THEN INSERT (k, s, c)
+         |  VALUES (S.k, concat('A', $step), S.k)
+         |""".stripMargin
+
+    def applyMergeToModel(lo: Long, hi: Long, step: Int): Unit =
+      (lo until hi).foreach { k =>
+        model.get(k) match {
+          case Some((sv, c)) => model(k) = (sv + "A", c + 10000)
+          case None => model(k) = (s"A$step", k)
+        }
+      }
+
+    withCatalog {
+      spark.udf.register("occ_gate", (k: Long) => OccGate.pass(k))
+      (1 to 6).foreach { step =>
+        val aLo = rnd.nextLong(keySpace - 5)
+        val (aHi, bLo, bHi) = (aLo + 5,
+          rnd.nextLong(keySpace + 10), rnd.nextLong(5) + 1)
+        val stmtA = gatedMerge(aLo, aHi, step)
+        OccGate.reset()
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val thr = new Thread(() => {
+          try { spark.sql(stmtA); () }
+          catch { case e: Throwable => err.set(e) }
+        })
+        thr.start()
+        OccGate.awaitEntered()
+        // B: read-dependent UPDATE over a random key window, committed
+        // while A is parked on its pre-B snapshot
+        try spark.sql(s"UPDATE graft_keyed.`$t` SET c = c + 100 " +
+          s"WHERE k >= $bLo AND k < ${bLo + bHi}")
+        finally OccGate.open()
+        thr.join(120000)
+        assert(!thr.isAlive, s"step $step: statement A must finish")
+        // serial model: B first...
+        model.keys.toSeq.filter(k => k >= bLo && k < bLo + bHi).foreach {
+          k => val (sv, c) = model(k); model(k) = (sv, c + 100)
+        }
+        Option(err.get) match {
+          case Some(e) =>
+            val chain = Iterator.iterate(e)(_.getCause)
+              .takeWhile(_ != null).toSeq
+            assert(chain.exists(m => m.getMessage != null &&
+              m.getMessage.contains("concurrent")),
+              s"step $step: A may only fail by losing the OCC race: $e")
+            spark.sql(stmtA) // retry on a fresh snapshot (gate open)
+          case None => () // provably disjoint — commits commute
+        }
+        // ...then A (committed or retried)
+        applyMergeToModel(aLo, aHi, step)
+        assert(tableState(t) === model.toMap,
+          s"step $step: state diverged from the serial model " +
+            s"(A=[$aLo,$aHi) gated, B=[$bLo,${bLo + bHi}) interleaved)")
+      }
+    }
+  }
 }

@@ -288,16 +288,17 @@ class RowLevelSqlSpec extends SparkSpecBase {
     val s = spark
     import s.implicits._
     val t = tmpDir("graft_rlo_nullck_") + "/t"
-    // clustering column with nulls: the full primary key is NOT proven
-    // non-null, so the advertised schema must keep every key nullable
+    // clustering column with nulls: its non-null advert is unproven so
+    // it must stay nullable (the partition key's own proof — zero nulls
+    // in every committed entry — stands independently)
     Seq((1L, Option("x"), 1L), (2L, Option.empty[String], 2L))
       .toDF("k", "s", "c")
       .write.format("graft.sources.KeyedTable")
       .option("key", "k").mode("append").save(t)
     KeyedTableOps.declareClustering(t, Seq("s"))
     val sch = spark.read.format("graft.sources.KeyedTable").load(t).schema
-    assert(sch("k").nullable && sch("s").nullable,
-      s"unproven primary key must advertise nullable, got $sch")
+    assert(!sch("k").nullable && sch("s").nullable,
+      s"null-holding clustering column must advertise nullable, got $sch")
     // IS NULL over the unproven clustering column still finds the row
     val nulls = spark.read.format("graft.sources.KeyedTable").load(t)
       .where(col("s").isNull).collect()
@@ -308,6 +309,172 @@ class RowLevelSqlSpec extends SparkSpecBase {
     val sch2 = spark.read.format("graft.sources.KeyedTable").load(t2).schema
     assert(!sch2("k").nullable,
       s"proven key must advertise NOT NULL, got $sch2")
+  }
+
+  test("tombstone markers demote CLUSTERING columns to nullable " +
+      "(markers carry null clustering slots the raw log emits)") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_tombnull_") + "/t"
+    Seq((1L, "x", 1L), (2L, "y", 2L), (3L, "z", 3L))
+      .toDF("k", "s", "c")
+      .write.format("graft.sources.KeyedTable")
+      .option("key", "k").option("writePartitions", "2")
+      .mode("append").save(t)
+    KeyedTableOps.declareClustering(t, Seq("s"))
+    def sch = spark.read.format("graft.sources.KeyedTable").load(t).schema
+    // fully proven: both primary-key columns advertise NOT NULL
+    assert(!sch("k").nullable && !sch("s").nullable,
+      s"proven composite key must advertise NOT NULL, got $sch")
+    withCatalog {
+      // partition-key delete lands a tombstone MARKER row: key
+      // populated, clustering slot null — the default log view emits it
+      spark.sql(s"DELETE FROM ${ident(t)} WHERE k = 2")
+    }
+    assert(!sch("k").nullable && sch("s").nullable,
+      "a live tombstone manifest must demote clustering columns to " +
+        s"nullable (their marker slots are real nulls), got $sch")
+    // the raw-log read's nulls are NOT constant-folded away
+    val raw = spark.read.format("graft.sources.KeyedTable").load(t)
+    val markers = raw.where(col("s").isNull).select("k")
+      .collect().map(_.getLong(0))
+    assert(markers.toSeq === Seq(2L),
+      s"s IS NULL must find the marker row, got ${markers.toSeq}")
+    val counted = raw.agg(count(col("s"))).collect().head.getLong(0)
+    assert(counted === 3L,
+      s"count(s) must skip the marker's null clustering slot, got $counted")
+  }
+
+  test("the insert-only-MERGE hint rule never stamps session-catalog " +
+      "targets (spark_catalog is not conf-registered)") {
+    withCatalog {
+      val rule = new graft.sources.InsertOnlyMergeCurrentState(spark)
+      // a keyed-catalog spelling qualifies...
+      assert(rule.isKeyedCatalog(Seq("graft_keyed", "t")))
+      // ...but the built-in session catalog never does, even while the
+      // CURRENT catalog is keyed (spark_catalog has no
+      // spark.sql.catalog.* conf key — conf-scanning alone would
+      // misread it as a namespace under the current catalog)
+      spark.sql("USE graft_keyed")
+      try {
+        assert(rule.isKeyedCatalog(Seq("t")),
+          "unqualified names resolve against the current (keyed) catalog")
+        assert(!rule.isKeyedCatalog(Seq("spark_catalog", "default", "t")),
+          "spark_catalog-qualified names are never keyed")
+        assert(!rule.isKeyedCatalog(Seq("SPARK_CATALOG", "default", "t")),
+          "catalog names are case-insensitive")
+      } finally spark.sql("USE spark_catalog")
+    }
+  }
+
+  // --- optimistic concurrency for row-level commits ---
+
+  /** Run `stmt` on its own thread with its SOURCE scan gated: the
+    * statement pins its snapshot (operation build), starts executing,
+    * then parks inside the gate UDF — `whileParked` runs with the
+    * statement provably mid-flight — and only then proceeds to commit.
+    * Returns the statement's failure, if any. */
+  private def interleave(stmt: String)(whileParked: => Unit): Option[Throwable] = {
+    OccGate.reset()
+    spark.udf.register("occ_gate", (k: Long) => OccGate.pass(k))
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val thr = new Thread(() => {
+      try { spark.sql(stmt); () }
+      catch { case e: Throwable => err.set(e) }
+    })
+    thr.start()
+    OccGate.awaitEntered()
+    try whileParked finally OccGate.open()
+    thr.join(120000)
+    assert(!thr.isAlive, "gated statement must finish")
+    Option(err.get)
+  }
+
+  private def mergeSql(t: String, lo: Long, hi: Long): String =
+    // single-slice source: ONE task parks in the gate (the suite runs
+    // local[4]; a multi-slice gated source would park every core and
+    // starve the interleaved statement into the latch ceiling)
+    s"""MERGE INTO ${ident(t)} T
+       |USING (SELECT occ_gate(id) AS k, concat('m', id) AS s, id * 7 AS c
+       |       FROM range($lo, $hi, 1, 1)) S
+       |ON T.k = S.k
+       |WHEN MATCHED THEN UPDATE SET T.s = S.s, T.c = S.c
+       |WHEN NOT MATCHED THEN INSERT (k, s, c) VALUES (S.k, S.s, S.c)
+       |""".stripMargin
+
+  test("interleaved MERGEs over OVERLAPPING keys: the loser aborts " +
+      "retryably and the winner's update survives") {
+    val t = tmpDir("graft_rlo_occ_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    withCatalog {
+      val failure = interleave(mergeSql(t, 0, 5)) {
+        // statement B publishes an overlapping UPDATE while A is
+        // mid-flight on A's pinned (pre-B) snapshot
+        spark.sql(s"UPDATE ${ident(t)} SET c = c + 1000 WHERE k < 5")
+      }
+      val e = failure.getOrElse(fail(
+        "the stale MERGE must abort — committing it would silently " +
+          "lose the interleaved UPDATE under last-write-wins"))
+      assert(exceptionChain(e).exists(m => m.getMessage != null &&
+        m.getMessage.contains("concurrent") &&
+        m.getMessage.contains("retry")),
+        s"the abort must be retryable and say so: ${e.getMessage}")
+      // no lost update: B's effects are intact, A left no trace
+      val got = state(t)
+      (0L until 10L).foreach { k =>
+        val c = if (k < 5) k * 10 + 1000 else k * 10
+        assert(got(k) === ((s"a$k", c)), s"key $k: ${got(k)}")
+      }
+      // the retry pins a FRESH snapshot (B's rows included) and wins
+      OccGate.reset(); OccGate.open()
+      spark.sql(mergeSql(t, 0, 5))
+      val after = state(t)
+      (0L until 5L).foreach(k => assert(after(k) === ((s"m$k", k * 7))))
+      (5L until 10L).foreach(k => assert(after(k) === ((s"a$k", k * 10))))
+    }
+  }
+
+  test("interleaved commits over DISJOINT keys pass the conflict check") {
+    val s = spark
+    import s.implicits._
+    val t = tmpDir("graft_rlo_occ_disj_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    sink.append((1000L until 1010L).map(k => (k, s"a$k", k * 10L))
+      .toDF("k", "s", "c"), t)
+    withCatalog {
+      val failure = interleave(mergeSql(t, 0, 5)) {
+        // B's keys [1000, 1010) are provably disjoint from A's [0, 5)
+        // by the key zone maps — no conflict, both commit
+        spark.sql(s"UPDATE ${ident(t)} SET c = c + 1000 WHERE k >= 1000")
+      }
+      assert(failure.isEmpty,
+        s"disjoint-key concurrency must pass: ${failure.map(_.getMessage)}")
+      val got = state(t)
+      (0L until 5L).foreach(k => assert(got(k) === ((s"m$k", k * 7))))
+      (1000L until 1010L).foreach(k =>
+        assert(got(k) === ((s"a$k", k * 10 + 1000))))
+    }
+  }
+
+  test("spark.graft.rowlevel.conflicts=off restores blind-commit LWW " +
+      "(the pre-OCC behavior, lost update and all)") {
+    val t = tmpDir("graft_rlo_occ_off_") + "/t"
+    sink.append(rows(0, 10, "a"), t)
+    withCatalog {
+      spark.conf.set("spark.graft.rowlevel.conflicts", "off")
+      try {
+        val failure = interleave(mergeSql(t, 0, 5)) {
+          spark.sql(s"UPDATE ${ident(t)} SET c = c + 1000 WHERE k < 5")
+        }
+        assert(failure.isEmpty,
+          s"with detection off both must commit: ${failure.map(_.getMessage)}")
+        // the MERGE committed last: its manifest wholesale outranks the
+        // interleaved UPDATE — the documented lost update
+        val got = state(t)
+        (0L until 5L).foreach(k => assert(got(k) === ((s"m$k", k * 7)),
+          s"LWW must hand key $k to the last committer, got ${got(k)}"))
+      } finally spark.conf.unset("spark.graft.rowlevel.conflicts")
+    }
   }
 
   test("historical handles refuse row-level writes") {
@@ -331,5 +498,28 @@ class RowLevelSqlSpec extends SparkSpecBase {
     var c: Throwable = e
     while (c != null) { b += c; c = c.getCause }
     b.result()
+  }
+}
+
+/** Deterministic interleaving gate for the OCC tests: a statement
+  * whose source scans through `occ_gate(k)` signals `entered` on the
+  * first row and parks every scan task until `open()` — local-mode
+  * executor threads share this JVM, so the latches are visible. A
+  * 60-second ceiling keeps a broken test from wedging the suite. */
+object OccGate {
+  import java.util.concurrent.{CountDownLatch, TimeUnit}
+  @volatile private var entered = new CountDownLatch(1)
+  @volatile private var release = new CountDownLatch(1)
+  def reset(): Unit = {
+    entered = new CountDownLatch(1)
+    release = new CountDownLatch(1)
+  }
+  def awaitEntered(): Unit = assert(
+    entered.await(60, TimeUnit.SECONDS), "gated statement never scanned")
+  def open(): Unit = release.countDown()
+  def pass(k: Long): Long = {
+    entered.countDown()
+    release.await(60, TimeUnit.SECONDS)
+    k
   }
 }
