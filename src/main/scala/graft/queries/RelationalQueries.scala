@@ -949,6 +949,77 @@ object RelationalQueries {
         out
       }),
 
+    // ---- STREAMING CHANGE DATA FEED (Delta's readChangeFeed
+    // spelling): the same log tailed CLASSIFIED — each micro-batch
+    // delivers insert / update_preimage / update_postimage / delete
+    // events with their commit versions, computed EXCHANGE-FREE per
+    // write bucket inside the source's readers (slice + preimage state
+    // co-locate by the write clustering; the batch twin
+    // KeyedTableOps.changeDataFeed pays a lag-window shuffle for the
+    // same rows). Runs through the real streaming runtime, one commit
+    // per micro-batch, so every update's preimage crosses a BATCH
+    // boundary — the state hand-off is what's under test. ----
+    QueryDef("q_stream_ktable_cdf_run", effectful = true,
+      oracle = Some(
+        """WITH src AS (
+          |  SELECT o_orderkey AS k, o_orderstatus AS status,
+          |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          |      AS cents
+          |  FROM orders),
+          |dels AS (SELECT k AS dk FROM src ORDER BY k LIMIT 3)
+          |SELECT k, status, cents, 'insert' AS _change_type,
+          |  CAST(1 AS BIGINT) AS _commit_version FROM src
+          |UNION ALL
+          |SELECT k, status, cents, 'update_preimage', CAST(2 AS BIGINT)
+          |FROM src WHERE k % 10 = 0
+          |UNION ALL
+          |SELECT k, 'U', cents + 1000, 'update_postimage', CAST(2 AS BIGINT)
+          |FROM src WHERE k % 10 = 0
+          |UNION ALL
+          |SELECT k, CASE WHEN k % 10 = 0 THEN 'U' ELSE status END,
+          |  cents + CASE WHEN k % 10 = 0 THEN 1000 ELSE 0 END,
+          |  'delete', CAST(3 AS BIGINT)
+          |FROM src WHERE k IN (SELECT dk FROM dels)""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:cdfstream:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcdfs_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target) // seq 1: inserts
+        sink.append(src.where(col("k") % 10 === 0) // seq 2: updates
+          .withColumn("status", lit("U"))
+          .withColumn("cents", col("cents") + 1000), target)
+        val dels = src.orderBy(col("k")).limit(3)
+          .collect().map(_.getLong(0))
+        withKeyedCatalog(s) { // seq 3: deletes
+          s.sql(s"DELETE FROM graft_keyed.`$target` " +
+            s"WHERE k IN (${dels.mkString(", ")})")
+        }
+        val outDir = s"$tmp/out"
+        val q = s.readStream.format("graft.sources.KeyedTable")
+          .option("readChangeFeed", "true")
+          .option("manifestsPerTrigger", "1").load(target)
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(300000), "CDF stream did not finish")
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "expected one micro-batch per commit (2 loads + 1 delete)")
+        val out = s.read.parquet(outDir)
+          .select(col("k"), col("status"), col("cents"),
+            col("_change_type"), col("_commit_version"))
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- COMPOSITE PRIMARY KEY (Cassandra's full key model:
     // partition key + clustering columns): the customer-partition /
     // orders-as-rows shape — PK (custkey, orderkey), the table

@@ -110,7 +110,12 @@ class KeyedTable extends TableProvider {
     val data = KeyedTable.readSchemaFile(path, KeyedTable.hadoopConf())
       .getOrElse(throw new IllegalArgumentException(
         s"KeyedTable at $path has no committed schema yet — nothing to read"))
-    if (options.getBoolean("withVersion", false))
+    val cdf = options.getBoolean("readChangeFeed", false)
+    require(!(cdf && options.getBoolean("withVersion", false)),
+      "readChangeFeed already classifies versions; withVersion " +
+        "contradicts it")
+    if (cdf) StructType(data.fields ++ KeyedTable.cdfFields)
+    else if (options.getBoolean("withVersion", false))
       StructType(data.fields ++ KeyedTable.versionFields)
     else data
   }
@@ -143,7 +148,8 @@ class KeyedTable extends TableProvider {
       Option(opts.get("sortOrder"))
         .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty),
       opts.getLong("maxFileRows", 0L),
-      opts.getLong("blockRows", KeyedTable.DefaultBlockRows))
+      opts.getLong("blockRows", KeyedTable.DefaultBlockRows),
+      opts.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -319,6 +325,18 @@ object KeyedTable {
     StructField(MetaPos, LongType, nullable = false),
     StructField(MetaTombstone, BooleanType, nullable = false),
     StructField(MetaFile, StringType, nullable = false))
+
+  /** The streaming change-data-feed surface, Delta's column spelling
+    * (`readStream.option("readChangeFeed", "true")`): each delivered
+    * row is one change event classified `insert` / `update_preimage` /
+    * `update_postimage` / `delete`, stamped with its commit version —
+    * the streaming twin of [[graft.sources.KeyedTableOps
+    * .changeDataFeed]]. */
+  private[sources] val CdfChangeType = "_change_type"
+  private[sources] val CdfCommitVersion = "_commit_version"
+  private[sources] val cdfFields: Array[StructField] = Array(
+    StructField(CdfChangeType, StringType, nullable = false),
+    StructField(CdfCommitVersion, LongType, nullable = false))
 
   /** The one supported-column-type gate CREATE TABLE and INSERT both
     * apply — two hand-kept copies could let DDL and DML disagree on
@@ -1216,7 +1234,7 @@ object KeyedTable {
       rewrite: Option[(Long, Seq[String])] = None,
       withVersion: Boolean = false, ttlMs: Option[Long] = None,
       sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L,
-      blockRows: Long = DefaultBlockRows)
+      blockRows: Long = DefaultBlockRows, changeFeed: Boolean = false)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1270,14 +1288,18 @@ object KeyedTable {
       if (primaryKeyCols.contains(f.name)) f.copy(nullable = false) else f))
 
     /** The committed (data) schema — the frame plan. With
-      * `withVersion` the advertised schema additionally carries the
-      * version fields; they are reader-synthesized, never framed. */
+      * `withVersion` (or `readChangeFeed`) the advertised schema
+      * additionally carries synthesized fields; they are never
+      * framed. */
     private def dataSchema: StructType =
       if (withVersion) StructType(schema0.fields.filterNot(f =>
         MetaNames(f.name)))
+      else if (changeFeed) StructType(schema0.fields.filterNot(f =>
+        f.name == CdfChangeType || f.name == CdfCommitVersion))
       else schema0
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ,
+      if (changeFeed) util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      else util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE)
@@ -1373,6 +1395,22 @@ object KeyedTable {
       }
       val only = Option(options.get("file"))
       val perTrigger = options.getInt("manifestsPerTrigger", 10)
+      if (changeFeed) {
+        // STREAMING change data feed: its own micro-batch source — the
+        // classification happens per bucket inside the readers; none
+        // of the batch scan's option surface composes with it
+        require(asOfSeq.isEmpty && !withVersion,
+          "readChangeFeed streams the classified log from a plain " +
+            "table handle; asOfSeq/withVersion do not compose")
+        val keys = fullPrimaryKey(path, hadoopConf(), resolvedKey)
+        require(keys.size == 1,
+          s"readChangeFeed supports single-column keys; $path clusters " +
+            s"on ${keys.mkString(",")} (a composite table's partition " +
+            "tombstones hide RANGES of rows — spell their preimages " +
+            "explicitly)")
+        return new KCdfScanBuilder(path, dataSchema, keys.head, perTrigger,
+          new SerConf(hadoopConf()))
+      }
       // time travel also spells as a READER option
       // (spark.read.option("asOfSeq", n).table("graft_keyed.`path`")) —
       // catalog loads cannot thread constructor options; a table-level
@@ -3377,6 +3415,270 @@ object KeyedTable {
         legacyNcols(path, conf.value, tableSchema))
     override def commit(end: V2Offset): Unit = ()
     override def stop(): Unit = ()
+  }
+
+  /** The streaming change-data-feed source's scan plumbing — batch
+    * reads refuse (the batch spelling is `changesFromSeq`/`changesToSeq`
+    * or [[KeyedTableOps.changeDataFeed]]). */
+  private final class KCdfScanBuilder(path: String, dataSchema: StructType,
+      pk: String, perTrigger: Int, conf: SerConf) extends ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType =
+        StructType(dataSchema.fields ++ cdfFields)
+      override def description(): String =
+        s"KeyedTableChangeFeed[$path, key=$pk]"
+      override def toBatch: Batch = throw new UnsupportedOperationException(
+        "readChangeFeed is a streaming read; batch change feeds spell " +
+          "as KeyedTableOps.changeDataFeed(from, to)")
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new KCdfStream(path, dataSchema, pk, perTrigger, conf)
+    }
+  }
+
+  /** Streaming CHANGE DATA FEED over the keyed table — Delta's
+    * `readChangeFeed` spelling: each micro-batch delivers the commits'
+    * change events classified `insert` / `update_preimage` /
+    * `update_postimage` / `delete` with their `_commit_version`, the
+    * exact rows [[KeyedTableOps.changeDataFeed]] computes for the same
+    * slice. Where the batch feed pays one lag-window SHUFFLE of the
+    * slice, this source classifies WITHOUT any exchange: a micro-batch
+    * plans one bucket-complete partition per write bucket holding the
+    * bucket's slice files plus its preimage-state files, and the
+    * reader resolves and classifies locally — per-key state and slice
+    * co-locate by construction because both were written clustered.
+    *
+    * OFFSET = (stateSeq, consumed logical manifest names). Names make
+    * replay pure recomputation (same contract as the raw tail);
+    * `stateSeq` is the version horizon the NEXT batch's preimage state
+    * resolves as-of — recorded in the offset so a restart re-derives
+    * an interrupted batch bit-identically. Preimage state reads the
+    * LIVE as-of listing (snapshot folds keep it the table's compacted
+    * size, not its log size, the same retention contract as Delta's
+    * CDF); memory per partition is O(slice keys), never O(bucket keys)
+    * — state rows for keys outside the batch's slice are dropped on
+    * sight. Commits are admitted in SEQUENCE order so classification
+    * state advances monotonically; a straggler commit (reserved low,
+    * published late) classifies against newer state and contributes
+    * only what last-write-wins says it changed: nothing. */
+  private final class KCdfStream(path: String, dataSchema: StructType,
+      pk: String, manifestsPerTrigger: Int, conf: SerConf)
+      extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+      with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+      with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    import org.apache.spark.sql.connector.read.streaming.{Offset => V2Offset, ReadLimit, ReadMaxFiles}
+
+    private case class CdfOffset(stateSeq: Long, names: Seq[String])
+        extends V2Offset {
+      // canonical single line (the OffsetSeqLog is line-based)
+      override def json(): String =
+        s"$stateSeq;${names.sorted.mkString(",")}"
+    }
+    private def parse(o: V2Offset): CdfOffset = o.asInstanceOf[CdfOffset]
+
+    /** Deliverable commits: every logical manifest except snapshot
+      * rewrites (dataChange=false — they re-home delivered rows). */
+    private def listAll(): Seq[KManifest] =
+      manifests(path, conf.value).filterNot(_.name.startsWith("rewrite-"))
+
+    @volatile private var availableNowCap: Option[Seq[KManifest]] = None
+
+    override def initialOffset(): V2Offset = CdfOffset(0L, Seq.empty)
+    override def deserializeOffset(json: String): V2Offset = {
+      val i = json.indexOf(';')
+      CdfOffset(json.take(i).toLong,
+        json.drop(i + 1).split(",").toSeq.filter(_.nonEmpty))
+    }
+    override def getDefaultReadLimit: ReadLimit =
+      ReadLimit.maxFiles(manifestsPerTrigger)
+    override def latestOffset(): V2Offset =
+      throw new UnsupportedOperationException(
+        "admission-controlled source: latestOffset(start, limit)")
+    override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+      val s = parse(start)
+      val seen = s.names.toSet
+      val visible = availableNowCap.getOrElse(listAll())
+      // SEQUENCE-ordered admission (see class doc)
+      val outstanding = visible.filterNot(m => seen(m.name)).sortBy(_.seq)
+      val take = limit match {
+        case m: ReadMaxFiles => m.maxFiles()
+        case _ => outstanding.size
+      }
+      val admitted = outstanding.take(take)
+      CdfOffset(admitted.map(_.seq).foldLeft(s.stateSeq)(math.max),
+        (seen ++ admitted.map(_.name)).toSeq)
+    }
+    override def reportLatestOffset(): V2Offset = {
+      val visible = availableNowCap.getOrElse(listAll())
+      CdfOffset(visible.map(_.seq).foldLeft(0L)(math.max),
+        visible.map(_.name))
+    }
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = Some(listAll())
+
+    override def planInputPartitions(start: V2Offset,
+        end: V2Offset): Array[InputPartition] = {
+      val s = parse(start)
+      val deltaNames = parse(end).names.toSet -- s.names.toSet
+      val slice = manifests(path, conf.value)
+        .filter(m => deltaNames(m.name)).sortBy(_.seq)
+        .flatMap(m => m.entries.zipWithIndex.map {
+          case (e, i) => KSplit(e, m.seq, i, m.ncols) })
+      if (slice.isEmpty) return Array.empty
+      // preimage state as-of the START offset's horizon: the resolved
+      // current view's inputs, one bounded listing however long the
+      // log (folds supersede history)
+      val state =
+        if (s.stateSeq <= 0L) Seq.empty[KSplit]
+        else liveSplits(path, conf.value, Some(s.stateSeq))
+      val entries = slice ++ state
+      val keyCols = entries.map(_.entry.key).distinct
+      val moduli = entries.map(_.entry.buckets).distinct
+      val uniform = keyCols.size == 1 && keyCols.head.nonEmpty &&
+        moduli.size == 1 && moduli.head > 0 &&
+        entries.forall(_.entry.bucket >= 0)
+      if (uniform) {
+        val sliceB = slice.groupBy(_.entry.bucket)
+        val stateB = state.groupBy(_.entry.bucket)
+        // buckets with no slice event need no partition: their state
+        // cannot produce a change row
+        sliceB.keySet.toSeq.sorted.map { b =>
+          KCdfPartition(path, stateB.getOrElse(b, Seq.empty), sliceB(b))
+        }.toArray[InputPartition]
+      } else Array(KCdfPartition(path, state, slice))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new KCdfReaderFactory(dataSchema, pk, conf,
+        legacyNcols(path, conf.value, dataSchema))
+    override def commit(end: V2Offset): Unit = ()
+    override def stop(): Unit = ()
+  }
+
+  /** One CDF micro-batch read unit: a bucket's slice files (the
+    * batch's change events, in (seq, fileIdx) order) plus its preimage
+    * state files (the live as-of listing the classification resolves
+    * against). */
+  private final case class KCdfPartition(path: String,
+      state: Seq[KSplit], slice: Seq[KSplit]) extends InputPartition
+
+  /** Classifies one bucket's change events against its resolved
+    * preimage state — the executor-side half of [[KCdfStream]]. Reads
+    * the slice first (its natural read order IS version order: splits
+    * sorted by (seq, fileIdx), rows by ordinal), keeps only the
+    * slice's KEYS from the state files, then replays the events in
+    * version order emitting 0–2 classified rows each. */
+  private final class KCdfReaderFactory(dataSchema: StructType,
+      pk: String, conf: SerConf, legacy: Int)
+      extends PartitionReaderFactory {
+    override def createReader(
+        partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[KCdfPartition]
+      val extended = StructType(dataSchema.fields ++
+        Seq(MetaSeq, MetaPos, MetaTombstone).map(n =>
+          versionFields.find(_.name == n).get))
+      val dataLen = dataSchema.length
+      val seqIdx = dataLen
+      val posIdx = dataLen + 1
+      val tombIdx = dataLen + 2
+      val pkIdx = dataSchema.fieldIndex(pk)
+      val pkType = dataSchema.fields(pkIdx).dataType
+      def keyOf(r: InternalRow): Any =
+        if (r.isNullAt(pkIdx)) null
+        else pkType match {
+          case DoubleType => normZero(r.getDouble(pkIdx))
+          case _ => r.get(pkIdx, pkType)
+        }
+      def later(s: Long, p0: Long, s1: Long, p1: Long): Boolean =
+        s > s1 || (s == s1 && p0 > p1)
+      def inner(splits: Seq[KSplit]): PartitionReader[InternalRow] =
+        new KReaderFactory(dataSchema, extended, conf, legacy)
+          .createReader(KFilesPartition(p.path, splits))
+
+      new PartitionReader[InternalRow] {
+        private var out: Iterator[InternalRow] = _
+        private var cur: InternalRow = _
+
+        private def emit(src: InternalRow, ct: String,
+            version: Long): InternalRow = {
+          val vals = new Array[Any](dataLen + 2)
+          var i = 0
+          while (i < dataLen) {
+            vals(i) = src.get(i, dataSchema(i).dataType); i += 1
+          }
+          vals(dataLen) = UTF8String.fromString(ct)
+          vals(dataLen + 1) = version
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
+        }
+
+        private def classified(): Iterator[InternalRow] = {
+          // 1. the batch's events, buffered in version order
+          val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          val sl = inner(p.slice)
+          try while (sl.next()) buf += sl.get().copy() finally sl.close()
+          if (buf.isEmpty) return Iterator.empty
+          val sliceKeys = buf.iterator.map(keyOf).toSet
+          // 2. preimage state, resolved last-write-wins, slice keys
+          //    only: key -> (live?, version, values)
+          val state = scala.collection.mutable.HashMap
+            .empty[Any, (Boolean, Long, Long, InternalRow)]
+          if (p.state.nonEmpty) {
+            val st = inner(p.state)
+            try while (st.next()) {
+              val r = st.get()
+              val k = keyOf(r)
+              if (sliceKeys.contains(k)) {
+                val sq = r.getLong(seqIdx)
+                val ps = r.getLong(posIdx)
+                val keep = state.get(k) match {
+                  case Some((_, s0, p0, _)) => later(sq, ps, s0, p0)
+                  case None => true
+                }
+                if (keep) {
+                  val tomb = r.getBoolean(tombIdx)
+                  state(k) = (!tomb, sq, ps, if (tomb) null else r.copy())
+                }
+              }
+            } finally st.close()
+          }
+          // 3. replay the events against the state
+          buf.iterator.flatMap { r =>
+            val k = keyOf(r)
+            val sq = r.getLong(seqIdx)
+            val ps = r.getLong(posIdx)
+            val prev = state.get(k)
+            if (prev.exists { case (_, s0, p0, _) =>
+                !later(sq, ps, s0, p0) })
+              Iterator.empty // straggler below the state horizon: no-op
+            else if (r.getBoolean(tombIdx)) {
+              val events = prev match {
+                case Some((true, _, _, old)) =>
+                  Iterator.single(emit(old, "delete", sq))
+                case _ => Iterator.empty
+              }
+              state(k) = (false, sq, ps, null)
+              events
+            } else {
+              val events = prev match {
+                case Some((true, _, _, old)) => Iterator(
+                  emit(old, "update_preimage", sq),
+                  emit(r, "update_postimage", sq))
+                case _ => Iterator.single(emit(r, "insert", sq))
+              }
+              state(k) = (true, sq, ps, r)
+              events
+            }
+          }
+        }
+
+        override def next(): Boolean = {
+          if (out == null) out = classified()
+          if (out.hasNext) { cur = out.next(); true } else false
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+    }
   }
 
   /** Decodes the length-framed row-log. `full` is the frame plan (the

@@ -332,7 +332,13 @@ class PlanGuardSpec extends SparkSpecBase {
       // native verb) and the reader-resolved current view + non-key
       // SQL DELETE — both run real commits; marker-cost and
       // zero-shuffle lints in-entry
-      "q_ktable_update_sql", "q_ktable_view_current"),
+      "q_ktable_update_sql", "q_ktable_view_current",
+      // round 19: streaming change data feed (readChangeFeed) — runs
+      // real commits then the real streaming runtime, one micro-batch
+      // per commit asserted in-entry; classification is exchange-free
+      // by construction (per-bucket readers), restart/compaction
+      // contracts pinned in KCdfStreamSpec
+      "q_stream_ktable_cdf_run"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
