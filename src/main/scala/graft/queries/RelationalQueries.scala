@@ -1301,6 +1301,76 @@ object RelationalQueries {
         out
       }),
 
+    // ---- PER-FILE BLOOM FILTERS (declared columns): zone maps prune
+    // RANGES — a HIGH-CARDINALITY equality probe over unsorted data
+    // (md5 digest = '…') sits inside every file's [min, max] and scans
+    // everything. Declaring the column makes every writer task emit a
+    // per-file Bloom sidecar the planner consults AFTER zone maps.
+    // In-entry lint proves the contrast on the same data: on an
+    // UNDECLARED twin table the digest probe plans EVERY committed
+    // file (zone maps admit them all); on the declared table the same
+    // probe plans ≪ committed, and an in-range ABSENT digest plans
+    // ZERO files. ----
+    QueryDef("q_scan_ktable_bloom_prune", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  md5(CAST(o_orderkey AS VARCHAR)) AS h,
+        |  o_orderstatus AS status
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        |""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_bloom:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kbloom_").toString
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          md5(col("o_orderkey").cast("string").cast("binary")).as("h"),
+          col("o_orderstatus").as("status"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        def load(t: String): Unit = {
+          sink.append(src.where(col("k") <= half), t)
+          sink.append(src.where(col("k") > half), t)
+        }
+        val plain = s"$tmp/plain"
+        val bloomed = s"$tmp/bloomed"
+        graft.sources.KeyedTableOps.declareTable(bloomed, "k", 8)
+        graft.sources.KeyedTableOps.declareBloomColumns(bloomed, Seq("h"))
+        load(plain)
+        load(bloomed)
+        def planned(df: org.apache.spark.sql.DataFrame): Int = {
+          val scans = df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }
+          assert(scans.nonEmpty, "no v2 scan found in the plan")
+          scans.sum
+        }
+        def read(t: String) =
+          s.read.format("graft.sources.KeyedTable").load(t)
+        val key0 = src.agg(min(col("k"))).head.getLong(0)
+        val probeH = src.where(col("k") === key0).head.getString(1)
+        val committed = graft.sources.KeyedTable.committedFiles(plain).size
+        // control: zone maps alone admit EVERY file for the digest probe
+        val unpruned = planned(read(plain).where(col("h") === probeH))
+        assert(unpruned == committed,
+          s"control broke: zone maps should admit all $committed files " +
+            s"for a digest probe, planned $unpruned")
+        // the blooms prune the same probe to a fraction
+        val pruned = planned(read(bloomed).where(col("h") === probeH))
+        assert(pruned >= 1 && pruned * 2 <= committed,
+          s"bloom pruning too weak: planned $pruned of $committed")
+        // an in-range ABSENT digest plans NOTHING (every sidecar rejects)
+        val absentH = probeH.take(16) + "0000000000000000"
+        assert(planned(read(bloomed).where(col("h") === absentH)) == 0,
+          "absent digest must prune every file via the blooms")
+        val out = read(bloomed).where(col("h") === probeH)
+          .localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MERGE INTO, the single-statement row-level-operations
     // spelling (fourth rendering of the CDC apply, gated on the SAME
     // oracle as the batch window apply, the streaming state machine,

@@ -281,7 +281,14 @@ object KeyedTable {
       // non-matching blocks instead of decoding the whole file. The
       // flag lives in the manifest — never inferred from trailing
       // bytes, which a legacy file could coincidentally end with
-      blocks: Boolean = false)
+      blocks: Boolean = false,
+      // ordinals of columns whose per-file BLOOM FILTER sidecar
+      // (`data/.bloom-<file>`) this file wrote — consulted by file
+      // pruning for EQUALITY probes zone maps cannot serve (a
+      // high-cardinality column over unsorted data matches every
+      // file's [min,max]). Positional over the file's frame, like
+      // colStats. Empty = no sidecar
+      bloomCols: Seq[Int] = Seq.empty)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -499,7 +506,9 @@ object KeyedTable {
     if (e.tombstone) "t" else "d",
     colStatsField(e.colStats),
     e.bytes.toString,
-    if (e.blocks) "b" else "-").mkString("\t")
+    if (e.blocks) "b" else "-",
+    if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(",")
+  ).mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
     val f = line.split("\t", -1)
@@ -511,7 +520,9 @@ object KeyedTable {
       tombstone = f.length > 8 && f(8) == "t",
       colStats = if (f.length > 9) parseColStats(f(9)) else Seq.empty,
       bytes = if (f.length > 10) f(10).toLong else -1L,
-      blocks = f.length > 11 && f(11) == "b")
+      blocks = f.length > 11 && f(11) == "b",
+      bloomCols = if (f.length > 12 && f(12) != "-")
+        f(12).split(",").toSeq.map(_.toInt) else Seq.empty)
   }
 
   // ---------- manifest body: version headers + entry lines ----------
@@ -1069,7 +1080,7 @@ object KeyedTable {
       case m if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
-          bytes = m.bytes, blocks = m.blocks)
+          bytes = m.bytes, blocks = m.blocks, bloomCols = m.bloomCols)
     }
     commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
       ncols = schema.length)
@@ -1118,7 +1129,13 @@ object KeyedTable {
     val cutoff = System.currentTimeMillis() - graceMs
     f.listStatus(dataDir).toSeq
       .filter(st => st.isFile && st.getModificationTime < cutoff)
-      .filter(st => !live.contains(st.getPath.getName))
+      .filter { st =>
+        // a bloom SIDECAR lives and dies with its data file
+        val n = st.getPath.getName
+        val logical =
+          if (n.startsWith(".bloom-")) n.stripPrefix(".bloom-") else n
+        !live.contains(logical)
+      }
       .map { st => f.delete(st.getPath, false); st.getPath.getName }
   }
 
@@ -1626,7 +1643,8 @@ object KeyedTable {
       maxEnc: Option[String],
       colStats: Seq[KeyStats] = Seq.empty,
       bytes: Long = -1L,
-      blocks: Boolean = false) extends WriterCommitMessage
+      blocks: Boolean = false,
+      bloomCols: Seq[Int] = Seq.empty) extends WriterCommitMessage
 
   /** One row-level-operation task's effects: the data files its
     * inserts/updates appended (per bucket) plus the tombstone marker
@@ -1654,6 +1672,10 @@ object KeyedTable {
     sortOrder.foreach(c => require(schema.fieldNames.contains(c),
       s"sortOrder column '$c' is not in the write schema $schema"))
     private val keyIdx = schema.fieldIndex(key)
+    // declared bloom columns resolved against THIS write's schema at
+    // plan time (driver) — every write path (load, fold, stream)
+    // inherits the declaration through here
+    private val bloomCols = bloomColIdxs(path, schema, hadoopConf())
     private def factory(conf: SerConf) = new KWriterFactory(path, schema,
       keyIdx, writePartitions, conf,
       chaosKey.map { k =>
@@ -1661,7 +1683,7 @@ object KeyedTable {
           s"chaosWriteKey requires a LONG key column; '$key' is " +
             schema.fields(keyIdx).dataType.sql)
         (keyIdx, k)
-      }, maxFileRows, blockRows)
+      }, maxFileRows, blockRows, bloomCols)
     // the connector contract, asked of the PLANNER: writes arrive
     // clustered by key (one task owns a key's rows) and key-sorted
     // within the task — batch.grouping.key=partition, Spark-natively.
@@ -1812,16 +1834,17 @@ object KeyedTable {
     * streaming variant just folds the epoch into the file name. */
   private final class KWriterFactory(path: String, schema: StructType,
       keyIdx: Int, buckets: Int, conf: SerConf, chaos: Option[(Int, Long)],
-      maxFileRows: Long = 0L, blockRows: Long = DefaultBlockRows)
+      maxFileRows: Long = 0L, blockRows: Long = DefaultBlockRows,
+      bloomCols: Seq[Int] = Seq.empty)
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"part-$partitionId-$taskId", keyIdx,
-        buckets, conf, chaos, maxFileRows, blockRows)
+        buckets, conf, chaos, maxFileRows, blockRows, bloomCols)
     override def createWriter(partitionId: Int, taskId: Long,
         epochId: Long): DataWriter[InternalRow] =
       new KRowWriter(path, schema, s"epoch-$epochId-$partitionId-$taskId",
-        keyIdx, buckets, conf, chaos, maxFileRows, blockRows)
+        keyIdx, buckets, conf, chaos, maxFileRows, blockRows, bloomCols)
   }
 
   /** One staged row-log file per task attempt. The attempt writes to
@@ -1863,6 +1886,155 @@ object KeyedTable {
     * overridable per write with the `blockRows` option (0 disables). */
   private[sources] val DefaultBlockRows = 4096L
 
+  // ---------- per-file bloom filters (declared columns) ----------
+  //
+  // Zone maps prune RANGES; a high-cardinality EQUALITY probe over
+  // UNSORTED data (uuid = '…') matches every file's [min, max] and
+  // scans everything. For columns the table DECLARES
+  // (KeyedTableOps.declareBloomColumns -> the `bloomColumns` property),
+  // every writer task builds a per-file Bloom filter and writes it as
+  // a dot-prefixed SIDECAR (`data/.bloom-<file>`, invisible to every
+  // manifest listing); the manifest line records only the bloomed
+  // ordinals. File pruning consults the sidecars — through a
+  // process-level cache, one ranged read per (file, first probe) —
+  // AFTER zone maps, only for equality/IN probes on declared columns.
+  // Sidecars are ADVISORY: a missing/corrupt one keeps the file
+  // planned, never wrong. Scale posture: bloom bytes are
+  // O(10 bits/row) — data-proportional, which is exactly why they live
+  // BESIDE the data instead of inside the driver-read manifests; the
+  // driver reads only the sidecars of files that already survived
+  // zone-map pruning, caches them across queries, and vacuum reaps a
+  // sidecar with its data file.
+
+  private val BloomSeed1 = 0x5F1A2B3C
+  private val BloomSeed2 = 0x9747B28C
+
+  private[sources] def bloomSidecarName(file: String): String =
+    s".bloom-$file"
+
+  /** Canonical hash-input bytes for a CATALYST value of `dt` — one
+    * spelling shared by the writer (InternalRow values) and the pruner
+    * (pushed-filter literals after toCatalyst), so membership tests
+    * are exact. None for types blooms do not serve. */
+  private[sources] def bloomBytes(dt: DataType, v: Any): Option[Array[Byte]] = {
+    def longBytes(l: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = (l >>> (56 - 8 * i)).toByte; i += 1 }
+      b
+    }
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Some(longBytes(v.asInstanceOf[Long]))
+      case IntegerType | DateType =>
+        Some(longBytes(v.asInstanceOf[Int].toLong))
+      case DoubleType => Some(longBytes(java.lang.Double
+        .doubleToLongBits(normZero(v.asInstanceOf[Double]))))
+      case BooleanType =>
+        Some(Array(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
+      case StringType => Some(v.asInstanceOf[UTF8String].getBytes)
+      case _ => None
+    }
+  }
+
+  private def bloomHash(bytes: Array[Byte], seed: Int): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, seed)
+
+  /** Classic Bloom filter with double hashing (Kirsch–Mitzenmacher:
+    * k indexes from two murmur3 passes). `nbits` is a power of two. */
+  private[sources] final case class KBloom(nbits: Int, k: Int,
+      count: Long, words: Array[Long]) {
+    def mightContain(bytes: Array[Byte]): Boolean = {
+      val h1 = bloomHash(bytes, BloomSeed1)
+      val h2 = bloomHash(bytes, BloomSeed2)
+      var i = 0
+      while (i < k) {
+        val bit = (h1 + i * h2) & (nbits - 1)
+        if ((words(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  private[sources] final class BloomBuilder(val nbits: Int, val k: Int) {
+    private val words = new Array[Long](nbits >>> 6)
+    private var count = 0L
+    def add(bytes: Array[Byte]): Unit = {
+      val h1 = bloomHash(bytes, BloomSeed1)
+      val h2 = bloomHash(bytes, BloomSeed2)
+      var i = 0
+      while (i < k) {
+        val bit = (h1 + i * h2) & (nbits - 1)
+        words(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+      count += 1L
+    }
+    def result: KBloom = KBloom(nbits, k, count, words)
+  }
+
+  /** Sidecar body: one header line, then per bloomed ordinal
+    * `idx\tnbits\tk\tcount\tbase64(words)`. */
+  private[sources] def bloomSidecarBody(blooms: Seq[(Int, KBloom)]): String = {
+    val lines = blooms.map { case (i, b) =>
+      val buf = java.nio.ByteBuffer.allocate(b.words.length * 8)
+      b.words.foreach(buf.putLong)
+      Seq(i.toString, b.nbits.toString, b.k.toString, b.count.toString,
+        java.util.Base64.getEncoder.encodeToString(buf.array()))
+        .mkString("\t")
+    }
+    ("graft-bloom-v1" +: lines).mkString("\n")
+  }
+
+  private def parseBloomSidecar(text: String): Map[Int, KBloom] = {
+    val lines = text.split("\n").toSeq
+    require(lines.headOption.contains("graft-bloom-v1"),
+      "not a graft bloom sidecar")
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val f = l.split("\t", -1)
+      val bytes = java.util.Base64.getDecoder.decode(f(4))
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+      val words = new Array[Long](bytes.length / 8)
+      var i = 0
+      while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+      f(0).toInt -> KBloom(f(1).toInt, f(2).toInt, f(3).toLong, words)
+    }.toMap
+  }
+
+  // process-level sidecar cache: pruning consults a file's blooms once
+  // per JVM however many queries probe it (crude full-clear bound — a
+  // planner-side cache, not a data path)
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[Int, KBloom]]]()
+
+  private[sources] def loadBlooms(path: String, file: String,
+      conf: Configuration): Option[Map[Int, KBloom]] = {
+    val key = s"$path#$file"
+    val hit = bloomCache.get(key)
+    if (hit != null) return hit
+    val loaded = try {
+      val f = fs(path, conf)
+      val p = new Path(s"$path/data", bloomSidecarName(file))
+      if (!f.exists(p)) None else Some(parseBloomSidecar(readText(f, p)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    if (bloomCache.size > 8192) bloomCache.clear()
+    bloomCache.put(key, loaded)
+    loaded
+  }
+
+  /** Declared bloom columns resolved to ordinals of `schema` (names
+    * the schema lacks are ignored — an evolved-away declaration must
+    * not fail writes). */
+  private[sources] def bloomColIdxs(path: String, schema: StructType,
+      conf: Configuration): Seq[Int] =
+    readProps(path, conf).get("bloomColumns").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map(n => schema.fieldNames.indexOf(n)).filter(_ >= 0)
+      .distinct.sorted
+
   // scan metrics (top-level: Spark instantiates them reflectively)
   private[sources] final class DecodedRowsMetric
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
@@ -1889,7 +2061,11 @@ object KeyedTable {
       // and append them as a footer when a file holds 2+ blocks:
       // readers then SEEK past non-matching blocks — sub-file pruning
       // for files too large for file-level zones alone
-      blockRows: Long = 0L)
+      blockRows: Long = 0L,
+      // ordinals of DECLARED bloom columns: each finished file writes
+      // a `.bloom-<file>` sidecar with one filter per ordinal (see the
+      // bloom section in the companion object)
+      bloomCols: Seq[Int] = Seq.empty)
       extends DataWriter[InternalRow] {
     private var name =
       s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
@@ -1910,6 +2086,24 @@ object KeyedTable {
     // task-commit-to-job-commit to the whole task duration
     private val pendingRenames =
       scala.collection.mutable.Buffer.empty[(Path, Path)]
+    // per-file bloom builders for the declared ordinals. Bits sized
+    // for ~10 bits/row at the expected file size (maxFileRows when the
+    // write rolls, else a 64k-row default), power-of-two for the
+    // masked double-hash; bounded [2^13, 2^23] so a sidecar never
+    // exceeds 1 MiB raw. Overflowing the expectation degrades the
+    // false-positive rate, never correctness.
+    private val bloomBits: Int = {
+      val expect = if (maxFileRows > 0L) maxFileRows else 1L << 16
+      var m = 1 << 13
+      while (m < 10L * expect && m < (1 << 23)) m <<= 1
+      m
+    }
+    private val validBloomCols =
+      bloomCols.filter(i => i >= 0 && i < schema.length)
+    private def newBlooms(): Seq[(Int, BloomBuilder)] =
+      validBloomCols.map(i => i -> new BloomBuilder(bloomBits, 7))
+    private var blooms: Seq[(Int, BloomBuilder)] = newBlooms()
+
     // per-file block index: (byte offset, start ordinal, rows, stats)
     private val blocks =
       scala.collection.mutable.Buffer.empty[(Long, Long, Long, Seq[KeyStats])]
@@ -2121,6 +2315,16 @@ object KeyedTable {
         else trackers(i).nulls += 1L
         i += 1
       }
+      if (blooms.nonEmpty) {
+        var bi = 0
+        while (bi < blooms.length) {
+          val (ci, builder) = blooms(bi)
+          if (!row.isNullAt(ci))
+            bloomBytes(schema(ci).dataType, row.get(ci, schema(ci).dataType))
+              .foreach(builder.add)
+          bi += 1
+        }
+      }
       rows += 1L
       rowsInBlock += 1L
       if (blockRows > 0 && rowsInBlock >= blockRows)
@@ -2181,16 +2385,33 @@ object KeyedTable {
         bytes = try f.getFileStatus(inprogress).getLen
           catch { case scala.util.control.NonFatal(_) => -1L }
       }
+      // bloom sidecars: dot-prefixed (invisible to listings), written
+      // under the file's FINAL name — advisory data, so the vacuum
+      // race that matters for row-log files does not apply (a reaped
+      // sidecar just stops pruning); an aborted task's sidecars are
+      // strays vacuum reaps with the data
+      val wroteBlooms = rows > 0L && blooms.nonEmpty && {
+        try {
+          val o = f.create(
+            new Path(s"$path/data", bloomSidecarName(name)), true)
+          try o.write(bloomSidecarBody(blooms.map { case (i, b) =>
+            i -> b.result }).getBytes(StandardCharsets.UTF_8))
+          finally o.close()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
       val cs = schema.indices.map(i => fileTrackers(i).stats)
       finished += KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
-        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes, blocksFlag)
+        cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes, blocksFlag,
+        if (wroteBlooms) blooms.map(_._1) else Seq.empty)
       name = s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
       inprogress = new Path(s"$path/data", s".$name.inprogress")
       rows = 0L
       bucketTag = -2
       trackers = makeTrackers()
       fileTrackers = makeTrackers()
+      blooms = newBlooms()
       blocks.clear()
       blockStartOff = 0L
       blockStartOrd = 0L
@@ -2275,11 +2496,16 @@ object KeyedTable {
       // must not evolve the table; inserts/updates bring the full row
       // schema and pass the same evolution gate the ordinary write does
       if (rowSchema.nonEmpty) ensureSchema(path, rowSchema, conf.value)
+      // the statement's effect rows honor the table's bloom
+      // declaration like any other write
+      private val deltaBloomCols =
+        if (rowSchema.isEmpty) Seq.empty[Int]
+        else bloomColIdxs(path, rowSchema, conf.value)
 
       override def createBatchWriterFactory(
           info: PhysicalWriteInfo): DeltaWriterFactory =
         new KDeltaWriterFactory(path, rowSchema, tableSchema, keys,
-          writePartitions, conf)
+          writePartitions, conf, deltaBloomCols)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         readSchemaFile(path, conf.value).foreach(c => require(
@@ -2292,7 +2518,8 @@ object KeyedTable {
         def entry(m: KFileMessage, tomb: Boolean): KFileEntry =
           KFileEntry(m.file, m.rows, m.bucket, writePartitions, pk,
             Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = tomb,
-            colStats = m.colStats, bytes = m.bytes, blocks = m.blocks)
+            colStats = m.colStats, bytes = m.bytes, blocks = m.blocks,
+            bloomCols = m.bloomCols)
         // tombstones first (lower _pos): a data row written by this
         // statement outranks its own delete of the same key
         val entries = tombs.map(entry(_, tomb = true)) ++
@@ -2377,11 +2604,12 @@ object KeyedTable {
 
   private final class KDeltaWriterFactory(path: String,
       rowSchema: StructType, tableSchema: StructType, keys: Seq[String],
-      buckets: Int, conf: SerConf) extends DeltaWriterFactory {
+      buckets: Int, conf: SerConf, bloomCols: Seq[Int] = Seq.empty)
+      extends DeltaWriterFactory {
     override def createWriter(partitionId: Int,
         taskId: Long): DeltaWriter[InternalRow] =
       new KDeltaRowWriter(path, rowSchema, tableSchema, keys, buckets,
-        s"rlo-$partitionId-$taskId", conf)
+        s"rlo-$partitionId-$taskId", conf, bloomCols)
   }
 
   /** Per-task writer of row-level effects. Inserts/updates stream into
@@ -2396,7 +2624,8 @@ object KeyedTable {
     * sibling clustering rows. */
   private final class KDeltaRowWriter(path: String, rowSchema: StructType,
       tableSchema: StructType, keys: Seq[String], buckets: Int,
-      base: String, conf: SerConf) extends DeltaWriter[InternalRow] {
+      base: String, conf: SerConf, bloomCols: Seq[Int] = Seq.empty)
+      extends DeltaWriter[InternalRow] {
     private val keyTypes: Seq[DataType] =
       keys.map(k => tableSchema.fields(tableSchema.fieldIndex(k)).dataType)
     private val keyType = keyTypes.head
@@ -2432,7 +2661,8 @@ object KeyedTable {
       val k = keyAt(row, rowKeyIdx, keyType)
       val b = bucketOf(k, keyType, buckets)
       writers.getOrElseUpdate(b, new KRowWriter(path, rowSchema,
-        s"$base-b$b", rowKeyIdx, buckets, conf)).write(row)
+        s"$base-b$b", rowKeyIdx, buckets, conf,
+        bloomCols = bloomCols)).write(row)
     }
 
     /** UPDATE effect: the new row is an upsert append. A changed
@@ -3173,14 +3403,60 @@ object KeyedTable {
     override def filter(fs: Array[Filter]): Unit =
       runtimeFilters = fs.filter(prunable)
 
-    /** Manifest-stats file pruning under the STATIC pushed predicates.
+    /** Manifest-stats file pruning under the STATIC pushed predicates,
+      * then BLOOM pruning for equality probes on declared columns.
       * Runtime filters apply a second stage below — kept separate
       * because clustered-read GROUPS are fixed at plan time: a runtime
       * filter may empty a group's file list but must never change the
       * group set Spark already planned around. */
-    private lazy val staticPlanned: Seq[KSplit] =
-      all.filter(s => filters.forall(fl =>
+    private lazy val staticPlanned: Seq[KSplit] = {
+      val zoned = all.filter(s => filters.forall(fl =>
         mayMatch(s.entry, tableSchema, fl)))
+      if (bloomProbes.isEmpty) zoned
+      else zoned.filter(s => bloomSurvives(s.entry))
+    }
+
+    /** Bloom-prunable probes from the pushed filters: (ordinal, the
+      * canonical hash bytes of each literal an equality/IN predicate
+      * pins). The pushed set is a conjunction, so a file whose sidecar
+      * rejects EVERY literal of ANY probe cannot match. NULL literals
+      * drop out (x = NULL / x IN (NULL) never match a non-null row,
+      * and blooms only index non-null values). */
+    private lazy val bloomProbes: Seq[(Int, Seq[Array[Byte]])] = {
+      import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+      filters.toSeq.flatMap {
+        case EqualTo(a, v) if v != null => Some((a, Seq(v)))
+        case EqualNullSafe(a, v) if v != null => Some((a, Seq(v)))
+        case In(a, vs) if vs != null && vs.exists(_ != null) =>
+          Some((a, vs.toSeq.filter(_ != null)))
+        case _ => None
+      }.flatMap { case (a, vs) =>
+        val idx = tableSchema.fieldNames.indexOf(a)
+        if (idx < 0) None
+        else {
+          val dt = tableSchema.fields(idx).dataType
+          val conv = vs.map(v =>
+            toCatalyst(dt, v).flatMap(cv => bloomBytes(dt, cv)))
+          // every literal must convert, or the probe stands down
+          if (conv.forall(_.isDefined)) Some((idx, conv.flatten))
+          else None
+        }
+      }
+    }
+
+    /** Does the file's sidecar ADMIT the probe set? Missing sidecar /
+      * undeclared column / unreadable bytes all keep the file —
+      * advisory pruning is only ever allowed to say "definitely
+      * absent". */
+    private def bloomSurvives(e: KFileEntry): Boolean =
+      bloomProbes.forall { case (idx, literals) =>
+        if (!e.bloomCols.contains(idx)) true
+        else loadBlooms(path, e.file, conf.value) match {
+          case Some(blooms) =>
+            blooms.get(idx).forall(b => literals.exists(b.mightContain))
+          case None => true
+        }
+      }
 
     private def survivesRuntime(s: KSplit): Boolean =
       runtimeFilters.forall(fl => mayMatch(s.entry, tableSchema, fl))

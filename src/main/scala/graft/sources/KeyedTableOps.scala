@@ -137,6 +137,30 @@ object KeyedTableOps {
       _ + ("clustering" -> cols.mkString(",")))
   }
 
+  /** Declare per-file BLOOM FILTER columns: every subsequent write
+    * (load, fold, streaming epoch, row-level statement) builds a Bloom
+    * filter per finished file over each declared column's non-null
+    * values and stores it as a dot-prefixed sidecar
+    * (`data/.bloom-<file>`); file pruning then serves EQUALITY probes
+    * on those columns — the predicate shape zone maps cannot (a
+    * high-cardinality column over unsorted data spans every file's
+    * [min, max]). Declare columns that get point-probed but aren't the
+    * partition key: lookup ids, digests, foreign keys. Already-written
+    * files stay bloom-less until a rewriteCompact re-homes them.
+    * Pair with a `maxFileRows` write/compaction setting so per-file
+    * row counts match the filters' ~10 bits/row sizing. Idempotent;
+    * merges into the existing properties. */
+  def declareBloomColumns(path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty))
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.readSchemaFile(path, conf).foreach { sch =>
+      cols.foreach(c => require(sch.fieldNames.contains(c),
+        s"bloom column '$c' is not a column of $sch"))
+    }
+    KeyedTable.updateProps(path, conf)(
+      _ + ("bloomColumns" -> cols.mkString(",")))
+  }
+
   /** Declare the table's FULL write contract — partition key, write
     * parallelism, clustering columns — exactly what the catalog's
     * CREATE TABLE persists. Idempotent merge; validates against the

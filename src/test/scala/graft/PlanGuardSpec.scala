@@ -338,7 +338,11 @@ class PlanGuardSpec extends SparkSpecBase {
       // per commit asserted in-entry; classification is exchange-free
       // by construction (per-bucket readers), restart/compaction
       // contracts pinned in KCdfStreamSpec
-      "q_stream_ktable_cdf_run"),
+      "q_stream_ktable_cdf_run",
+      // round 19: per-file bloom pruning — loads a declared and an
+      // undeclared twin, the planned-files contrast (all vs fraction
+      // vs zero) IS the entry's lint; matrix pinned in BloomPruneSpec
+      "q_scan_ktable_bloom_prune"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
