@@ -1371,6 +1371,99 @@ object RelationalQueries {
         out
       }),
 
+    // ---- Z-ORDER COMPACTION: a `zorder(a,b)` sort declaration makes
+    // rewriteCompact fold each bucket by the MORTON INTERLEAVE of the
+    // two columns — the fold pre-shapes the frame (hash repartition by
+    // key = the bucket routing, curve sort within tasks) and rolls
+    // files into tight 2-D BOXES, so the per-column zone maps already
+    // in every manifest line serve box predicates on BOTH columns.
+    // In-entry lint: the same box probe over a LEXICOGRAPHIC fold of
+    // identical content (sorted (partkey, suppkey)) plans strictly
+    // more files — lexicographic order serves only its leading
+    // column. ----
+    QueryDef("q_ktable_zorder_compact", effectful = true, oracle = Some(
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_custkey AS p,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS s
+        |  FROM orders),
+        |st AS (
+        |  SELECT min(p) AS plo, max(p) AS phi,
+        |         min(s) AS slo, max(s) AS shi
+        |  FROM src),
+        |bx AS (
+        |  SELECT plo + (phi - plo + 1) // 4 AS pb0,
+        |         plo + 3 * ((phi - plo + 1) // 4) - 1 AS pb1,
+        |         slo + (shi - slo + 1) // 2 AS sb0,
+        |         slo + (shi - slo + 1) // 2
+        |           + greatest((shi - slo + 1) // 16, 1) - 1 AS sb1
+        |  FROM st)
+        |SELECT k, p, s FROM src, bx
+        |WHERE p BETWEEN pb0 AND pb1
+        |  AND s BETWEEN sb0 AND sb1""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:zorder:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kzo_").toString
+        // key = o_orderkey (UNIQUE — lineitem's (orderkey, linenumber)
+        // is not unique in this fixture, and an LWW fold dedupes);
+        // dims = (custkey, total cents): mutually uncorrelated, both
+        // uncorrelated with the key's clustering
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_custkey").as("p"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("s"))
+        val st = src.agg(min(col("p")), max(col("p")),
+          min(col("s")), max(col("s"))).head
+        val (plo, phi, slo, shi) =
+          (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
+        // the probe box: middle HALF of p, a sliver of s — wide in the
+        // lexicographic leading column, narrow in the second
+        val (pb0, pb1) = (plo + (phi - plo + 1) / 4,
+          plo + 3 * ((phi - plo + 1) / 4) - 1)
+        val sWidth = math.max((shi - slo + 1) / 16, 1L)
+        val (sb0, sb1) = (slo + (shi - slo + 1) / 2,
+          slo + (shi - slo + 1) / 2 + sWidth - 1)
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        val rollAt = math.max(src.count() / 256, 16L)
+        def build(t: String): Unit = {
+          sink.append(src.where(col("k") % 2 === 0), t)
+          sink.append(src.where(col("k") % 2 === 1), t)
+          assert(graft.sources.KeyedTableOps.rewriteCompact(s, t,
+            tombstoneGraceMs = 0, targetFileRows = rollAt).isDefined,
+            "fold did not commit")
+        }
+        val lex = s"$tmp/lex"
+        val zed = s"$tmp/zed"
+        graft.sources.KeyedTableOps.declareTable(lex, "k", 8)
+        graft.sources.KeyedTableOps.declareSortOrder(lex, Seq("p", "s"))
+        graft.sources.KeyedTableOps.declareTable(zed, "k", 8)
+        graft.sources.KeyedTableOps.declareZOrder(zed, Seq("p", "s"))
+        build(lex); build(zed)
+        def planned(df: org.apache.spark.sql.DataFrame): Int = {
+          val scans = df.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }
+          assert(scans.nonEmpty, "no v2 scan found in the plan")
+          scans.sum
+        }
+        def boxOf(t: String) =
+          s.read.format("graft.sources.KeyedTable").load(t)
+            .where(col("p").between(pb0, pb1) &&
+              col("s").between(sb0, sb1))
+        val plannedLex = planned(boxOf(lex))
+        val plannedZed = planned(boxOf(zed))
+        assert(plannedZed < plannedLex,
+          s"zorder fold must plan strictly fewer files than the " +
+            s"lexicographic fold on a 2-D box: z=$plannedZed " +
+            s"lex=$plannedLex (committed " +
+            s"${graft.sources.KeyedTable.liveFiles(zed).size})")
+        val out = boxOf(zed).localCheckpoint(true)
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MERGE INTO, the single-statement row-level-operations
     // spelling (fourth rendering of the CDC apply, gated on the SAME
     // oracle as the batch window apply, the streaming state machine,

@@ -149,7 +149,12 @@ class KeyedTable extends TableProvider {
         .map(KeyedTableOps.parseClustering).getOrElse(Seq.empty),
       opts.getLong("maxFileRows", 0L),
       opts.getLong("blockRows", KeyedTable.DefaultBlockRows),
-      opts.getBoolean("readChangeFeed", false))
+      opts.getBoolean("readChangeFeed", false),
+      // internal (KeyedTableOps zorder fold): the INPUT frame is
+      // already hash-partitioned by key and curve-sorted within tasks;
+      // the write must not impose its own distribution/ordering (a
+      // planner re-shuffle or re-sort would destroy the interleave)
+      opts.getBoolean("preshaped", false))
   }
 }
 
@@ -1251,7 +1256,8 @@ object KeyedTable {
       rewrite: Option[(Long, Seq[String])] = None,
       withVersion: Boolean = false, ttlMs: Option[Long] = None,
       sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L,
-      blockRows: Long = DefaultBlockRows, changeFeed: Boolean = false)
+      blockRows: Long = DefaultBlockRows, changeFeed: Boolean = false,
+      preshaped: Boolean = false)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
       with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -1514,7 +1520,7 @@ object KeyedTable {
         override def build(): Write =
           new KWrite(path, schema, key, writePartitions, info.queryId(),
             chaosKey, commitName, rewrite, truncate0, ttlMs,
-            sortOrder, maxFileRows, blockRows)
+            sortOrder, maxFileRows, blockRows, preshaped)
       }
     }
 
@@ -1663,7 +1669,11 @@ object KeyedTable {
       // table's declared sortOrder through here), producing per-file
       // zone maps that are narrow, disjoint slices of the sort column
       sortOrder: Seq[String] = Seq.empty, maxFileRows: Long = 0L,
-      blockRows: Long = DefaultBlockRows)
+      blockRows: Long = DefaultBlockRows,
+      // the caller ALREADY shaped the input (hash-partitioned by key,
+      // curve-sorted within tasks — the zorder fold): declare no
+      // distribution or ordering so the planner passes it through
+      preshaped: Boolean = false)
       extends Write with RequiresDistributionAndOrdering {
     require(!(truncate && rewrite.isDefined),
       "a snapshot rewrite cannot also truncate")
@@ -1690,13 +1700,16 @@ object KeyedTable {
     // A declared sortOrder replaces the within-task order (clustering
     // by key is untouched): the planner sorts, the writer just rolls
     override def requiredDistribution(): Distribution =
-      Distributions.clustered(Array(Expressions.column(key)))
+      if (preshaped) Distributions.unspecified()
+      else Distributions.clustered(Array(Expressions.column(key)))
     override def requiredOrdering(): Array[SortOrder] =
-      (if (sortOrder.nonEmpty) sortOrder else Seq(key)).map(c =>
+      if (preshaped) Array.empty
+      else (if (sortOrder.nonEmpty) sortOrder else Seq(key)).map(c =>
         Expressions.sort(Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
         .toArray
-    override def requiredNumPartitions(): Int = writePartitions
+    override def requiredNumPartitions(): Int =
+      if (preshaped) 0 else writePartitions
     override def description(): String =
       s"KeyedTable[$path, key=$key, writePartitions=$writePartitions]"
 

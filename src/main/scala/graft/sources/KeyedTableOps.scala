@@ -137,6 +137,38 @@ object KeyedTableOps {
       _ + ("clustering" -> cols.mkString(",")))
   }
 
+  /** Declare a multi-dimensional Z-ORDER sort for compaction:
+    * [[rewriteCompact]] then folds each bucket by the MORTON
+    * INTERLEAVE of the two columns instead of their lexicographic
+    * order, so rolled files cover tight BOXES in (a, b) space and a
+    * 2-D range predicate prunes on BOTH columns — a lexicographic fold
+    * serves only its leading column (OPTIMIZE ZORDER vs plain
+    * OPTIMIZE). Stored as `sortOrder=zorder(a,b)`; re-declaring a
+    * plain [[declareSortOrder]] replaces it. Columns must be integral
+    * (long/int/date/timestamp) — the interleave grids each dimension
+    * to 8 bits over the fold's own min/max. */
+  def declareZOrder(path: String, cols: Seq[String]): Unit = {
+    require(cols.size == 2,
+      s"zorder interleaves exactly two columns, got ${cols.mkString(",")}")
+    require(cols.distinct.size == 2, "zorder columns must differ")
+    val conf = KeyedTable.hadoopConf()
+    KeyedTable.readSchemaFile(path, conf).foreach { sch =>
+      cols.foreach { c =>
+        require(sch.fieldNames.contains(c),
+          s"zorder column '$c' is not a column of $sch")
+        val dt = sch(sch.fieldIndex(c)).dataType
+        require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.DateType,
+          org.apache.spark.sql.types.TimestampType,
+          org.apache.spark.sql.types.TimestampNTZType).contains(dt),
+          s"zorder needs integral columns; '$c' is ${dt.sql}")
+      }
+    }
+    KeyedTable.updateProps(path, conf)(
+      _ + ("sortOrder" -> s"zorder(${cols.mkString(",")})"))
+  }
+
   /** Declare per-file BLOOM FILTER columns: every subsequent write
     * (load, fold, streaming epoch, row-level statement) builds a Bloom
     * filter per finished file over each declared column's non-null
@@ -496,17 +528,36 @@ object KeyedTableOps {
     // declared sort order: the fold orders each bucket by these
     // columns and (with targetFileRows) rolls files into narrow
     // disjoint slices — the OPTIMIZE ZORDER analogue's payoff is the
-    // snapshot's zone maps, so it applies exactly here
-    val sortOrder = KeyedTable.readProps(path, conf).get("sortOrder")
-      .map(parseClustering).getOrElse(Seq.empty)
-    val w0 = snapshot.write.format("graft.sources.KeyedTable")
+    // snapshot's zone maps, so it applies exactly here. A
+    // `zorder(a,b)` declaration instead MORTON-INTERLEAVES the two
+    // dimensions: the fold pre-shapes the frame itself (hash
+    // repartition by key = the bucket routing, curve sort within each
+    // task) and the write passes it through untouched (`preshaped`),
+    // because a V2 SortOrder can only name columns, not the
+    // interleave expression
+    val sortProp = KeyedTable.readProps(path, conf).get("sortOrder")
+    val zorderCols = sortProp
+      .filter(v => v.startsWith("zorder(") && v.endsWith(")"))
+      .map(v => parseClustering(
+        v.stripPrefix("zorder(").stripSuffix(")")))
+      .getOrElse(Seq.empty)
+    val sortOrder =
+      if (zorderCols.nonEmpty) Seq.empty
+      else sortProp.map(parseClustering).getOrElse(Seq.empty)
+    val parallelism =
+      parallelismOverride.orElse(contract.map(_._2)).getOrElse(8)
+    val toWrite =
+      if (zorderCols.isEmpty) snapshot
+      else zorderShape(snapshot, keys.head, zorderCols, parallelism)
+    val w0 = toWrite.write.format("graft.sources.KeyedTable")
       .option("key", keys.head)
-      .option("writePartitions",
-        parallelismOverride.orElse(contract.map(_._2)).getOrElse(8).toString)
+      .option("writePartitions", parallelism.toString)
       .option("rewriteSeq", fence.toString)
       .option("rewriteSupersedes", names.mkString(","))
-    val w1 = if (sortOrder.nonEmpty)
-      w0.option("sortOrder", sortOrder.mkString(",")) else w0
+    val w1 =
+      if (zorderCols.nonEmpty) w0.option("preshaped", "true")
+      else if (sortOrder.nonEmpty) w0.option("sortOrder", sortOrder.mkString(","))
+      else w0
     val w2 = if (targetFileRows > 0L)
       w1.option("maxFileRows", targetFileRows.toString) else w1
     w2.mode("append").save(path)
@@ -516,6 +567,48 @@ object KeyedTableOps {
     val committed = KeyedTable.liveManifestNames(path)
       .contains(KeyedTable.rewriteName(names))
     if (committed) Some(KeyedTable.rewriteName(names)) else None
+  }
+
+  /** Shape a fold's frame for a Z-ORDER write: hash-repartition by
+    * the partition key (Spark's murmur3 hashpartitioning IS the
+    * table's bucket routing, so every task's file still proves ONE
+    * bucket and clustered reads keep KeyGroupedPartitioning) and sort
+    * each task by the Morton interleave of the two declared columns —
+    * each gridded to 8 bits over the frame's own min/max, bits spread
+    * to even/odd positions with the magic-number spread. Rolled files
+    * then cover tight contiguous curve segments = small BOXES in
+    * (a, b) space, and the per-column zone maps already in every
+    * manifest line serve 2-D box predicates with no reader change. */
+  private def zorderShape(df: DataFrame, key: String,
+      cols: Seq[String], parallelism: Int): DataFrame = {
+    require(cols.size == 2, s"zorder needs two columns, got $cols")
+    val bounds = df.agg(
+      min(col(cols.head)).cast("long"), max(col(cols.head)).cast("long"),
+      min(col(cols(1))).cast("long"), max(col(cols(1))).cast("long")).head
+    if (bounds.isNullAt(0) || bounds.isNullAt(2))
+      return df.repartition(parallelism, col(key)) // empty/all-null dims
+    val (aLo, aHi) = (bounds.getLong(0), bounds.getLong(1))
+    val (bLo, bHi) = (bounds.getLong(2), bounds.getLong(3))
+    require(aHi - aLo < (1L << 54) && bHi - bLo < (1L << 54),
+      s"zorder grid overflow: spans ${aHi - aLo}/${bHi - bLo}")
+    // 8-bit grid: exact integer arithmetic, nulls sort first (grid -1)
+    def grid(c: String, lo: Long, hi: Long) = {
+      val span = hi - lo + 1L
+      when(col(c).isNull, lit(-1L))
+        .otherwise(expr(s"(CAST(`$c` AS BIGINT) - $lo) * 256 DIV $span"))
+    }
+    // Morton spread: bit i -> bit 2i, written with |/&/powers of two
+    def spread(c: org.apache.spark.sql.Column) = {
+      val s1 = c.bitwiseOR(c * 256).bitwiseAND(lit(16711935L))
+      val s2 = s1.bitwiseOR(s1 * 16).bitwiseAND(lit(252645135L))
+      val s3 = s2.bitwiseOR(s2 * 4).bitwiseAND(lit(858993459L))
+      s3.bitwiseOR(s3 * 2).bitwiseAND(lit(1431655765L))
+    }
+    val ga = grid(cols.head, aLo, aHi)
+    val gb = grid(cols(1), bLo, bHi)
+    val zv = when(ga < 0 || gb < 0, lit(-1L))
+      .otherwise(spread(ga) + spread(gb) * 2)
+    df.repartition(parallelism, col(key)).sortWithinPartitions(zv)
   }
 
   /** BUCKET-COUNT EVOLUTION — scale the table's write parallelism out

@@ -342,7 +342,11 @@ class PlanGuardSpec extends SparkSpecBase {
       // round 19: per-file bloom pruning — loads a declared and an
       // undeclared twin, the planned-files contrast (all vs fraction
       // vs zero) IS the entry's lint; matrix pinned in BloomPruneSpec
-      "q_scan_ktable_bloom_prune"),
+      "q_scan_ktable_bloom_prune",
+      // round 19: zorder compaction — folds a lexicographic and an
+      // interleaved twin; the strict planned-files contrast on a 2-D
+      // box IS the lint; KGP preservation pinned in ZOrderFoldSpec
+      "q_ktable_zorder_compact"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
