@@ -1464,6 +1464,78 @@ object RelationalQueries {
         out
       }),
 
+    // ---- EVOLUTION PURELY VIA SQL: every lifecycle step in its SQL
+    // spelling — CREATE TABLE with the write contract, INSERT INTO,
+    // ALTER TABLE ADD COLUMNS (schema evolution), ALTER TABLE SET
+    // TBLPROPERTIES (sort declaration through the validated declare*
+    // path), a second INSERT at the evolved width, and CALL
+    // graft_keyed.compact(...) (Spark 4 native procedure). In-entry
+    // lints: the fold collapsed the live set to ONE manifest, and the
+    // declared sort made a range probe on the sorted column plan fewer
+    // files than committed. ----
+    QueryDef("q_ktable_evolve_sql", effectful = true, oracle = Some(
+      """WITH st AS (
+        |  SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS half
+        |  FROM orders)
+        |SELECT o_orderkey AS k, o_orderstatus AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS cents,
+        |  CASE WHEN o_orderkey > half THEN 'evolved' END AS note
+        |FROM orders, st""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:evolve_sql:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kevo_").toString
+        val t = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val Array(lo, hi) = src.agg(min(col("k")), max(col("k"))).head
+          .toSeq.map(_.asInstanceOf[Long]).toArray
+        val half = (lo + hi) / 2
+        src.createOrReplaceTempView("graft_evolve_src")
+        val rollAt = math.max(src.count() / 64, 32L)
+        val out = withKeyedCatalog(s) {
+          s.sql(s"CREATE TABLE graft_keyed.`$t` " +
+            "(k BIGINT, status STRING, cents BIGINT) " +
+            "TBLPROPERTIES('key'='k', 'writePartitions'='8')")
+          s.sql(s"INSERT INTO graft_keyed.`$t` " +
+            s"SELECT k, status, cents FROM graft_evolve_src " +
+            s"WHERE k <= $half")
+          s.sql(s"ALTER TABLE graft_keyed.`$t` ADD COLUMNS (note STRING)")
+          s.sql(s"ALTER TABLE graft_keyed.`$t` " +
+            "SET TBLPROPERTIES('sortOrder'='cents')")
+          s.sql(s"INSERT INTO graft_keyed.`$t` " +
+            s"SELECT k, status, cents, 'evolved' FROM graft_evolve_src " +
+            s"WHERE k > $half")
+          val receipt = s.sql(
+            s"CALL graft_keyed.compact('$t', $rollAt)").collect()
+          assert(receipt.head.getString(0) != null,
+            "the SQL-spelled fold must commit")
+          assert(graft.sources.KeyedTable.liveManifestNames(t).size == 1,
+            "the fold must collapse the live set to one manifest")
+          // the SQL-declared sort order reached the fold: a range probe
+          // on the sorted column plans fewer files than committed
+          val committed = graft.sources.KeyedTable.liveFiles(t).size
+          val probe = s.read.format("graft.sources.KeyedTable").load(t)
+            .where(col("cents") <= src.agg(
+              percentile_approx(col("cents"), lit(0.25), lit(100)))
+              .head.getLong(0))
+          val planned = probe.queryExecution.executedPlan.collect {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.inputRDD.getNumPartitions
+          }.sum
+          assert(planned < committed,
+            s"the declared sort must tighten zone maps: planned " +
+              s"$planned of $committed files")
+          s.sql(s"SELECT k, status, cents, note FROM graft_keyed.`$t`")
+            .localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MERGE INTO, the single-statement row-level-operations
     // spelling (fourth rendering of the CDC apply, gated on the SAME
     // oracle as the batch window apply, the streaming state machine,

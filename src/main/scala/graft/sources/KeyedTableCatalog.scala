@@ -32,7 +32,8 @@ import java.util
   * Register once per session:
   * `spark.sql.catalog.graft_keyed = graft.sources.KeyedTableCatalog`.
   */
-class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
+class KeyedTableCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var name0: String = _
 
   override def initialize(name: String,
@@ -155,26 +156,98 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog {
     loadTable(ident)
   }
 
-  /** SCHEMA EVOLUTION through SQL: `ALTER TABLE graft_keyed.`/p` ADD
-    * COLUMNS (x BIGINT, ...)` appends nullable columns; reads
-    * NULL-fill them on files committed before the change. Every other
-    * alteration (type change, rename, drop, reposition) is rejected —
-    * it would mis-frame the binary decode of existing files. */
+  /** SCHEMA + CONTRACT EVOLUTION through SQL:
+    *
+    *  - `ALTER TABLE graft_keyed.`/p` ADD COLUMNS (x BIGINT, ...)`
+    *    appends nullable columns; reads NULL-fill them on files
+    *    committed before the change.
+    *  - `ALTER TABLE ... SET TBLPROPERTIES('sortOrder'='a,b' |
+    *    'zorder(a,b)', 'bloomColumns'='h', 'clustering'='c',
+    *    'writePartitions'='8', 'merge'='lww|counter')` routes each
+    *    declaration through the SAME validated declare* operation the
+    *    programmatic surface uses — SQL and API spellings can never
+    *    drift. `UNSET TBLPROPERTIES` removes the optional
+    *    declarations (sortOrder / bloomColumns).
+    *
+    * Every other alteration (type change, rename, drop, reposition,
+    * changing the key) is rejected — it would mis-frame the binary
+    * decode of existing files or silently re-route buckets (bucket
+    * evolution spells `CALL graft_keyed.rebucket(...)`, which folds). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val adds = changes.map {
+    val path = ident.name()
+    val conf = KeyedTable.hadoopConf()
+    val adds = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "KeyedTable columns are flat; nested ADD COLUMNS is not supported")
         require(a.position() == null,
           "KeyedTable evolution appends columns; FIRST/AFTER is not supported")
-        org.apache.spark.sql.types.StructField(
+        adds += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
+      case sp: TableChange.SetProperty =>
+        setDeclaredProperty(path, conf, sp.property, sp.value)
+      case rp: TableChange.RemoveProperty =>
+        require(Set("sortOrder", "bloomColumns")(rp.property),
+          s"UNSET TBLPROPERTIES supports the optional declarations " +
+            s"sortOrder/bloomColumns; '${rp.property}' is load-bearing")
+        KeyedTable.updateProps(path, conf)(_ - rp.property)
       case other => throw new UnsupportedOperationException(
-        s"KeyedTable supports ADD COLUMNS only; got $other")
+        s"KeyedTable supports ADD COLUMNS and SET/UNSET TBLPROPERTIES " +
+          s"only; got $other")
     }
-    KeyedTable.addColumns(ident.name(), adds)
+    val fields = adds.result()
+    if (fields.nonEmpty) KeyedTable.addColumns(path, fields)
     loadTable(ident)
   }
+
+  private def setDeclaredProperty(path: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      key: String, value: String): Unit = key match {
+    case "sortOrder" if value.startsWith("zorder(") && value.endsWith(")") =>
+      KeyedTableOps.declareZOrder(path, KeyedTableOps.parseClustering(
+        value.stripPrefix("zorder(").stripSuffix(")")))
+    case "sortOrder" =>
+      KeyedTableOps.declareSortOrder(path,
+        KeyedTableOps.parseClustering(value))
+    case "bloomColumns" =>
+      KeyedTableOps.declareBloomColumns(path,
+        KeyedTableOps.parseClustering(value))
+    case "clustering" =>
+      KeyedTableOps.declareClustering(path,
+        KeyedTableOps.parseClustering(value))
+    case "writePartitions" =>
+      val n = try value.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"writePartitions='$value' is not an integer") }
+      require(n > 0, s"writePartitions=$n must be positive")
+      KeyedTable.updateProps(path, conf)(_ + ("writePartitions" -> value))
+    case "merge" =>
+      require(Set("lww", "counter")(value),
+        s"merge='$value' must be lww|counter")
+      KeyedTable.updateProps(path, conf)(_ + ("merge" -> value))
+    case other => throw new IllegalArgumentException(
+      s"unknown or immutable table property '$other' (the key column " +
+        "is immutable; bucket-count changes spell " +
+        "CALL graft_keyed.rebucket(path, n), which folds the live set " +
+        "to the new modulus)")
+  }
+
+  /** SQL MAINTENANCE through Spark 4's native `CALL` statement:
+    * `CALL graft_keyed.compact('/p')`,
+    * `CALL graft_keyed.vacuum('/p', 0)`,
+    * `CALL graft_keyed.rebucket('/p', 16)` — each delegates to the
+    * SAME [[KeyedTableOps]] operation the programmatic surface uses
+    * and returns its receipt as a one-row result. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    KeyedTableCatalog.procedures.keys.toArray
+      .map(n => Identifier.of(Array.empty, n))
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    KeyedTableCatalog.procedures.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name()}' — this catalog offers " +
+          KeyedTableCatalog.procedures.keys.mkString(", ")))
 
   /** DROP TABLE removes the table directory — schema, manifests,
     * row-logs. Path-addressed, so this is the storage lifecycle call,
@@ -209,6 +282,71 @@ object KeyedTableRegistry {
 }
 
 object KeyedTableCatalog {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  /** One maintenance procedure: fixed parameters, a one-row receipt
+    * schema, and a driver-side body over the validated args. */
+  private final class MaintenanceProc(procName: String, desc: String,
+      params: Array[ProcedureParameter], receipt: StructType,
+      body: InternalRow => Array[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(input: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(body(input))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = receipt
+        override def description(): String = s"graft.$procName receipt"
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inD(n: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+  private def utf8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private[sources] val procedures: Map[String, UnboundProcedure] = Map(
+    "compact" -> new MaintenanceProc("compact",
+      "fold the live log into one clustered snapshot " +
+        "(KeyedTableOps.rewriteCompact)",
+      Array(in("path", StringType),
+        inD("target_file_rows", LongType, "0"),
+        inD("tombstone_grace_ms", LongType, (24L * 3600 * 1000).toString)),
+      StructType(Seq(StructField("snapshot", StringType, nullable = true))),
+      input => Array(KeyedTableOps.rewriteCompact(spark,
+        input.getUTF8String(0).toString,
+        tombstoneGraceMs = input.getLong(2),
+        targetFileRows = input.getLong(1)).map(utf8).orNull)),
+    "vacuum" -> new MaintenanceProc("vacuum",
+      "reap unreferenced storage older than the grace period " +
+        "(KeyedTable.vacuum)",
+      Array(in("path", StringType),
+        inD("grace_ms", LongType, (24L * 3600 * 1000).toString)),
+      StructType(Seq(StructField("reaped", LongType, nullable = false))),
+      input => Array(KeyedTable.vacuum(
+        input.getUTF8String(0).toString,
+        input.getLong(1)).size.toLong: java.lang.Long)),
+    "rebucket" -> new MaintenanceProc("rebucket",
+      "re-cluster the table at a new bucket count " +
+        "(KeyedTableOps.rebucket)",
+      Array(in("path", StringType), in("buckets", IntegerType),
+        inD("tombstone_grace_ms", LongType, (24L * 3600 * 1000).toString)),
+      StructType(Seq(StructField("snapshot", StringType, nullable = true))),
+      input => Array(KeyedTableOps.rebucket(spark,
+        input.getUTF8String(0).toString, input.getInt(1),
+        input.getLong(2)).map(utf8).orNull)))
 
   /** pmod(murmur3(key, 42), n) — byte-compatible with Spark's
     * hashpartitioning AND with the per-file bucket proof in

@@ -346,7 +346,12 @@ class PlanGuardSpec extends SparkSpecBase {
       // round 19: zorder compaction — folds a lexicographic and an
       // interleaved twin; the strict planned-files contrast on a 2-D
       // box IS the lint; KGP preservation pinned in ZOrderFoldSpec
-      "q_ktable_zorder_compact"),
+      "q_ktable_zorder_compact",
+      // round 19: lifecycle purely via SQL (CREATE/INSERT/ALTER ADD
+      // COLUMNS/SET TBLPROPERTIES/CALL compact) — real commits; the
+      // live-set collapse and sorted-fold pruning lints are in-entry,
+      // statement semantics pinned in SqlDdlSpec
+      "q_ktable_evolve_sql"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
