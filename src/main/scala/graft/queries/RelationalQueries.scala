@@ -1536,6 +1536,93 @@ object RelationalQueries {
         out
       }),
 
+    // ---- NDV STATISTICS FOR THE COST-BASED OPTIMIZER: every file's
+    // manifest line now carries per-column KMV distinct sketches (64
+    // smallest murmur3 hashes — mergeable by union), and the scan
+    // reports the PRUNED read's per-column distinct counts, null
+    // counts, and zone-map min/max through V2 columnStats. With CBO
+    // on, a 3-way join over keyed tables orders itself by the join
+    // keys' NDV, unhinted: two dims with IDENTICAL row counts — row
+    // stats alone cannot tell them apart — join selective-first, and
+    // the in-entry lint proves the order FLIPS when the NDV roles
+    // flip. ----
+    QueryDef("q_ktable_cbo_reorder", effectful = true, oracle = Some(
+      """WITH f AS (
+        |  SELECT o_orderkey AS k, o_custkey AS ja,
+        |    o_orderkey % 8 AS jb,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |a AS (SELECT c_custkey AS k, c_name AS pay FROM customer),
+        |b AS (SELECT c_custkey AS k, c_custkey % 8 AS j, c_name AS pay
+        |      FROM customer)
+        |SELECT count(*) AS cnt,
+        |  CAST(sum(f.cents) AS BIGINT) AS cents_sum
+        |FROM f JOIN a ON f.ja = a.k JOIN b ON f.jb = b.j""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:cbo_reorder:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_kcbo_").toString
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        val fact = s"$tmp/fact"
+        sink.append(Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_custkey").as("ja"),
+          (col("o_orderkey") % 8).as("jb"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")), fact)
+        // the dims: SAME rows and bytes, different join-key NDV — a is
+        // joined on its UNIQUE key, b on an 8-distinct bucket column
+        val dimA = s"$tmp/dim_a"
+        val dimB = s"$tmp/dim_b"
+        val cust = Tables(s, d, "customer")
+        sink.append(cust.select(col("c_custkey").as("k"),
+          col("c_name").as("pay")), dimA)
+        sink.append(cust.select(col("c_custkey").as("k"),
+          (col("c_custkey") % 8).as("j"), col("c_name").as("pay")), dimB)
+        def innermostDim(df: org.apache.spark.sql.DataFrame): String = {
+          val joins = df.queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }
+          assert(joins.size == 2, s"expected a 3-way join, got $joins")
+          joins.last.collectLeaves().flatMap {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => Some(r.scan.description())
+            case _ => None
+          }.mkString(" ")
+        }
+        val cboKeys = Seq("spark.sql.cbo.enabled",
+          "spark.sql.cbo.joinReorder.enabled")
+        val prior = cboKeys.map(k => k -> s.conf.getOption(k))
+        val out = withKeyedCatalog(s) {
+          cboKeys.foreach(s.conf.set(_, "true"))
+          try {
+            def t(p: String) = s.read.table(s"graft_keyed.`$p`")
+            val q1 = t(fact).as("f")
+              .join(t(dimA).as("a"), col("f.ja") === col("a.k"))
+              .join(t(dimB).as("b"), col("f.jb") === col("b.j"))
+            val inner1 = innermostDim(q1)
+            assert(inner1.contains("dim_a") && !inner1.contains("dim_b"),
+              s"CBO must join the selective (unique-key) dim first, " +
+                s"unhinted: $inner1")
+            // flip the roles: join a on the 8-distinct column, b on
+            // the unique key — the order must flip with the NDV
+            val q2 = t(fact).as("f")
+              .join(t(dimB).as("b"), col("f.jb") === col("b.j"))
+              .join(t(dimA).as("a"), col("f.ja") === col("a.k"))
+            val inner2 = innermostDim(q2)
+            assert(inner2.contains("dim_a") && !inner2.contains("dim_b"),
+              s"the join order must follow the NDV, not the written " +
+                s"order: $inner2")
+            q1.agg(count(lit(1)).as("cnt"),
+              sum(col("f.cents")).as("cents_sum")).localCheckpoint(true)
+          } finally prior.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MERGE INTO, the single-statement row-level-operations
     // spelling (fourth rendering of the CDC apply, gated on the SAME
     // oracle as the batch window apply, the streaming state machine,

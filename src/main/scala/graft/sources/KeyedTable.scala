@@ -293,7 +293,14 @@ object KeyedTable {
       // high-cardinality column over unsorted data matches every
       // file's [min,max]). Positional over the file's frame, like
       // colStats. Empty = no sidecar
-      bloomCols: Seq[Int] = Seq.empty)
+      bloomCols: Seq[Int] = Seq.empty,
+      // per-column KMV DISTINCT sketches (the 64 smallest murmur3
+      // hashes of the file's non-null values, ascending): mergeable
+      // across files by union, so the scan reports per-column NDV of
+      // exactly the PRUNED read to the cost-based optimizer.
+      // Positional like colStats; an empty inner seq = not recorded
+      // (legacy lines, marker files)
+      ndv: Seq[Seq[Long]] = Seq.empty)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -512,7 +519,8 @@ object KeyedTable {
     colStatsField(e.colStats),
     e.bytes.toString,
     if (e.blocks) "b" else "-",
-    if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(",")
+    if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(","),
+    ndvField(e.ndv)
   ).mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
@@ -527,8 +535,33 @@ object KeyedTable {
       bytes = if (f.length > 10) f(10).toLong else -1L,
       blocks = f.length > 11 && f(11) == "b",
       bloomCols = if (f.length > 12 && f(12) != "-")
-        f(12).split(",").toSeq.map(_.toInt) else Seq.empty)
+        f(12).split(",").toSeq.map(_.toInt) else Seq.empty,
+      ndv = if (f.length > 13) parseNdvField(f(13)) else Seq.empty)
   }
+
+  // per-column KMV sketch field: b64 of the ascending 8-byte hashes,
+  // ';'-joined positionally ('-' = column not recorded)
+  private def ndvField(ndv: Seq[Seq[Long]]): String =
+    if (ndv.isEmpty || ndv.forall(_.isEmpty)) "-"
+    else ndv.map { hs =>
+      if (hs.isEmpty) "-"
+      else {
+        val bb = java.nio.ByteBuffer.allocate(hs.length * 8)
+        hs.foreach(bb.putLong)
+        java.util.Base64.getEncoder.encodeToString(bb.array())
+      }
+    }.mkString(";")
+
+  private def parseNdvField(field: String): Seq[Seq[Long]] =
+    if (field == "-" || field.isEmpty) Seq.empty
+    else field.split(";", -1).toSeq.map { c =>
+      if (c == "-") Seq.empty[Long]
+      else {
+        val bytes = java.util.Base64.getDecoder.decode(c)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        Seq.fill(bytes.length / 8)(bb.getLong())
+      }
+    }
 
   // ---------- manifest body: version headers + entry lines ----------
   //
@@ -1085,7 +1118,8 @@ object KeyedTable {
       case m if m.rows > 0 =>
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
-          bytes = m.bytes, blocks = m.blocks, bloomCols = m.bloomCols)
+          bytes = m.bytes, blocks = m.blocks, bloomCols = m.bloomCols,
+          ndv = m.ndv)
     }
     commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
       ncols = schema.length)
@@ -1650,7 +1684,8 @@ object KeyedTable {
       colStats: Seq[KeyStats] = Seq.empty,
       bytes: Long = -1L,
       blocks: Boolean = false,
-      bloomCols: Seq[Int] = Seq.empty) extends WriterCommitMessage
+      bloomCols: Seq[Int] = Seq.empty,
+      ndv: Seq[Seq[Long]] = Seq.empty) extends WriterCommitMessage
 
   /** One row-level-operation task's effects: the data files its
     * inserts/updates appended (per bucket) plus the tombstone marker
@@ -1899,6 +1934,37 @@ object KeyedTable {
     * overridable per write with the `blockRows` option (0 disables). */
   private[sources] val DefaultBlockRows = 4096L
 
+  /** KMV distinct-sketch parameters: k smallest 32-bit murmur3 hashes
+    * per column per file. k=64 puts the NDV estimate within ~12% —
+    * join-ORDER decisions need the order of magnitude, not the digit. */
+  private[sources] val KmvK = 64
+  private[sources] val KmvSeed = 0x6B6D76 // "kmv"
+
+  /** Decode a canonical stat ENCODING back to a (boxed) catalyst
+    * value — the inverse of the writer's zone-map recording, for the
+    * scan's column-statistics report (CBO's value intervals). */
+  private[sources] def decodeStat(dt: DataType, enc: String): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.valueOf(enc.toLong)
+    case IntegerType | DateType => java.lang.Integer.valueOf(enc.toInt)
+    case DoubleType => java.lang.Double.valueOf(enc.toDouble)
+    case BooleanType => java.lang.Boolean.valueOf(enc.toBoolean)
+    case StringType => UTF8String.fromBytes(
+      java.util.Base64.getDecoder.decode(enc))
+    case other => throw new IllegalArgumentException(other.sql)
+  }
+
+  /** NDV estimate from a merged ascending KMV sketch: exact below k,
+    * else the standard (k-1) * 2^32 / theta for uniform 32-bit hashes
+    * (theta = the k-th smallest retained hash). */
+  private[sources] def kmvEstimate(merged: java.util.TreeSet[java.lang.Long]): Long =
+    if (merged.size < KmvK) merged.size.toLong
+    else {
+      val theta = merged.last().longValue.toDouble
+      if (theta <= 0d) merged.size.toLong
+      else ((KmvK - 1).toDouble * 4294967296.0 / theta).toLong
+    }
+
   // ---------- per-file bloom filters (declared columns) ----------
   //
   // Zone maps prune RANGES; a high-cardinality EQUALITY probe over
@@ -2117,6 +2183,48 @@ object KeyedTable {
       validBloomCols.map(i => i -> new BloomBuilder(bloomBits, 7))
     private var blooms: Seq[(Int, BloomBuilder)] = newBlooms()
 
+    // per-file per-column KMV distinct sketches: the KmvK smallest
+    // murmur3 hashes of each column's non-null values — O(k) state, a
+    // hash + one compare per value once full (type-specialized, no
+    // allocation on the hot path), mergeable by union at read time.
+    // The scan's column statistics report NDV to CBO from these.
+    private val kmvHashers: Array[(InternalRow, Int) => Long] =
+      schema.fields.map { fd =>
+        import org.apache.spark.unsafe.hash.Murmur3_x86_32.{hashLong, hashUnsafeBytes}
+        fd.dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            (r: InternalRow, i: Int) =>
+              hashLong(r.getLong(i), KmvSeed) & 0xFFFFFFFFL
+          case IntegerType | DateType => (r: InternalRow, i: Int) =>
+            hashLong(r.getInt(i).toLong, KmvSeed) & 0xFFFFFFFFL
+          case DoubleType => (r: InternalRow, i: Int) => hashLong(
+            java.lang.Double.doubleToLongBits(normZero(r.getDouble(i))),
+            KmvSeed) & 0xFFFFFFFFL
+          case BooleanType => (r: InternalRow, i: Int) =>
+            hashLong(if (r.getBoolean(i)) 1L else 0L,
+              KmvSeed) & 0xFFFFFFFFL
+          case StringType => (r: InternalRow, i: Int) => {
+            val u = r.getUTF8String(i)
+            hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+              u.numBytes, KmvSeed) & 0xFFFFFFFFL
+          }
+          case _ => (_: InternalRow, _: Int) => -1L
+        }
+      }
+    private def newKmvs(): Array[java.util.TreeSet[java.lang.Long]] =
+      Array.fill(schema.length)(new java.util.TreeSet[java.lang.Long]())
+    private var kmvs = newKmvs()
+    private def kmvUpdate(i: Int, row: InternalRow): Unit = {
+      val h = kmvHashers(i)(row, i)
+      if (h >= 0L) {
+        val set = kmvs(i)
+        if (set.size < KmvK) { set.add(h); () }
+        else if (h < set.last()) {
+          if (set.add(h)) { set.pollLast(); () }
+        }
+      }
+    }
+
     // per-file block index: (byte offset, start ordinal, rows, stats)
     private val blocks =
       scala.collection.mutable.Buffer.empty[(Long, Long, Long, Seq[KeyStats])]
@@ -2324,7 +2432,11 @@ object KeyedTable {
       while (i < fieldWriters.length) {
         val isNull = row.isNullAt(i)
         out.writeBoolean(isNull)
-        if (!isNull) { fieldWriters(i)(out, row, i); trackers(i).update(row) }
+        if (!isNull) {
+          fieldWriters(i)(out, row, i)
+          trackers(i).update(row)
+          kmvUpdate(i, row)
+        }
         else trackers(i).nulls += 1L
         i += 1
       }
@@ -2414,10 +2526,19 @@ object KeyedTable {
         } catch { case scala.util.control.NonFatal(_) => false }
       }
       val cs = schema.indices.map(i => fileTrackers(i).stats)
+      val ndv =
+        if (rows == 0L) Seq.empty[Seq[Long]]
+        else kmvs.toSeq.map { set =>
+          val out2 = new Array[Long](set.size())
+          val it = set.iterator()
+          var j = 0
+          while (it.hasNext) { out2(j) = it.next(); j += 1 }
+          out2.toSeq
+        }
       finished += KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
         cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes, blocksFlag,
-        if (wroteBlooms) blooms.map(_._1) else Seq.empty)
+        if (wroteBlooms) blooms.map(_._1) else Seq.empty, ndv)
       name = s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
       inprogress = new Path(s"$path/data", s".$name.inprogress")
       rows = 0L
@@ -2425,6 +2546,7 @@ object KeyedTable {
       trackers = makeTrackers()
       fileTrackers = makeTrackers()
       blooms = newBlooms()
+      kmvs = newKmvs()
       blocks.clear()
       blockStartOff = 0L
       blockStartOrd = 0L
@@ -2532,7 +2654,7 @@ object KeyedTable {
           KFileEntry(m.file, m.rows, m.bucket, writePartitions, pk,
             Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = tomb,
             colStats = m.colStats, bytes = m.bytes, blocks = m.blocks,
-            bloomCols = m.bloomCols)
+            bloomCols = m.bloomCols, ndv = m.ndv)
         // tombstones first (lower _pos): a data row written by this
         // statement outranks its own delete of the same key
         val entries = tombs.map(entry(_, tomb = true)) ++
@@ -3355,6 +3477,83 @@ object KeyedTable {
         : org.apache.spark.sql.connector.read.Statistics = {
       val splits = limited(planned)
       val known = splits.forall(_.entry.rows >= 0)
+      // PER-COLUMN statistics of exactly the pruned read, for the
+      // cost-based optimizer: NDV from the union-merged per-file KMV
+      // sketches, null counts from the zone-map lines. A column is
+      // reported only when EVERY planned data split recorded it —
+      // partial evidence would understate NDV and mislead join
+      // reordering worse than no estimate.
+      val colStats: java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        val dataSplits = splits.filter(s => !s.entry.tombstone)
+        if (known && dataSplits.nonEmpty) {
+          tableSchema.fieldNames.zipWithIndex.foreach { case (n, ci) =>
+            val covered = dataSplits.forall(s =>
+              ci < s.entry.ndv.length && s.entry.ndv(ci).nonEmpty ||
+                s.entry.rows == 0)
+            if (covered) {
+              val merged = new java.util.TreeSet[java.lang.Long]()
+              dataSplits.foreach(s => if (ci < s.entry.ndv.length)
+                s.entry.ndv(ci).foreach { h =>
+                  if (merged.size < KmvK) { merged.add(h); () }
+                  else if (h < merged.last()) {
+                    if (merged.add(h)) { merged.pollLast(); () }
+                  }
+                })
+              val distinct = kmvEstimate(merged)
+              val nulls = dataSplits.map(s =>
+                if (ci < s.entry.colStats.length)
+                  s.entry.colStats(ci).nulls else 0L).sum
+              // merged zone-map min/max: CBO's join estimation
+              // intersects the keys' VALUE INTERVALS — without bounds
+              // it treats them as disjoint and estimates ZERO rows,
+              // which misorders everything. Non-string types only (a
+              // boxed UTF8String would not round-trip Spark's
+              // interval arithmetic).
+              val dt = tableSchema.fields(ci).dataType
+              val bounds: Option[(Any, Any)] =
+                if (dt == StringType) None
+                else {
+                  val withRows = dataSplits.filter(_.entry.rows != 0)
+                  val los = withRows.map(s =>
+                    if (ci < s.entry.colStats.length)
+                      s.entry.colStats(ci).minEnc else None)
+                  val his = withRows.map(s =>
+                    if (ci < s.entry.colStats.length)
+                      s.entry.colStats(ci).maxEnc else None)
+                  if (withRows.nonEmpty && los.forall(_.isDefined) &&
+                      his.forall(_.isDefined))
+                    for {
+                      lo <- reduceEnc(dt, los.flatten, min = true)
+                      hi <- reduceEnc(dt, his.flatten, min = false)
+                    } yield (decodeStat(dt, lo), decodeStat(dt, hi))
+                  else None
+                }
+              m.put(Expressions.column(n),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(math.max(distinct, 1L))
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                  override def min(): java.util.Optional[Object] =
+                    bounds.map(b => java.util.Optional.of(
+                      b._1.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    bounds.map(b => java.util.Optional.of(
+                      b._2.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                })
+            }
+          }
+        }
+        m
+      }
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           if (!known) java.util.OptionalLong.empty()
@@ -3365,6 +3564,10 @@ object KeyedTable {
         override def numRows(): java.util.OptionalLong =
           if (!known) java.util.OptionalLong.empty()
           else java.util.OptionalLong.of(splits.map(_.entry.rows).sum)
+        override def columnStats(): java.util.Map[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+          colStats
       }
     }
 
@@ -3408,7 +3611,12 @@ object KeyedTable {
     override def filterAttributes(): Array[
         org.apache.spark.sql.connector.expressions.NamedReference] = {
       val keys = all.map(_.entry.key).distinct
+      // the reported attribute must be resolvable against the SCAN'S
+      // OUTPUT — a column-pruned read that dropped the key cannot
+      // accept runtime filters on it (Spark's DPP resolves the
+      // reference against readSchema and fails loudly otherwise)
       if (keys.size == 1 && keys.head.nonEmpty &&
+          required.fieldNames.contains(keys.head) &&
           all.forall(_.entry.stats.isDefined))
         Array(Expressions.column(keys.head))
       else Array.empty

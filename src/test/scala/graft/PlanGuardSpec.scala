@@ -351,7 +351,12 @@ class PlanGuardSpec extends SparkSpecBase {
       // COLUMNS/SET TBLPROPERTIES/CALL compact) — real commits; the
       // live-set collapse and sorted-fold pruning lints are in-entry,
       // statement semantics pinned in SqlDdlSpec
-      "q_ktable_evolve_sql"),
+      "q_ktable_evolve_sql",
+      // round 19: NDV column statistics — loads a fact and two
+      // equal-rowcount dims; the CBO join-order flip lint is the
+      // entry's point (the deliberate fan-out join is cost-estimated,
+      // never a cartesian); estimator plumbing pinned in NdvStatsSpec
+      "q_ktable_cbo_reorder"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
