@@ -236,6 +236,28 @@ object KtableProbe {
       "of_files" -> KeyedTable.liveFiles(t).size,
       "decoded_rows" -> scanMetric(lk3, "decodedRows"), "sec" -> tLk3)
 
+    // ---- per-file bloom filters (round 19): declare the UNIQUE,
+    // UNSORTED string column and force-fold so every live file gets a
+    // sidecar; an equality probe for an IN-RANGE absent value then
+    // plans ZERO files where zone maps alone plan all of them, and a
+    // present-value probe plans the one file that can hold it
+    // roll at 64k rows so the ~10 bits/row sizing holds per file
+    graft.sources.KeyedTableOps.declareBloomColumns(t, Seq("s"))
+    val (_, tBloomFold) = timed(graft.sources.KeyedTableOps
+      .rewriteCompact(spark, t, 0, targetFileRows = 65536, force = true))
+    val liveAfterBloom = KeyedTable.liveFiles(t).size
+    val absentProbe = read.where(col("s") === s"v${key}x") // in-range, absent
+    val (absentHits, tAbsent) = timed(absentProbe.collect())
+    emit("probe" -> "bloom_point_absent", "hits" -> absentHits.length,
+      "planned_files" -> plannedFiles(absentProbe),
+      "of_files" -> liveAfterBloom, "fold_sec" -> tBloomFold,
+      "sec" -> tAbsent)
+    val presentProbe = read.where(col("s") === s"v${key + 2}")
+    val (presentHits, tPresent) = timed(presentProbe.collect())
+    emit("probe" -> "bloom_point_present", "hits" -> presentHits.length,
+      "planned_files" -> plannedFiles(presentProbe),
+      "of_files" -> liveAfterBloom, "sec" -> tPresent)
+
     graft.queries.StreamingQueries.deleteRecursively(dir.toString)
     spark.stop()
   }

@@ -3674,7 +3674,14 @@ object KeyedTable {
         if (!e.bloomCols.contains(idx)) true
         else loadBlooms(path, e.file, conf.value) match {
           case Some(blooms) =>
-            blooms.get(idx).forall(b => literals.exists(b.mightContain))
+            // honesty guard: a filter that absorbed more than
+            // nbits/8 values runs under 8 bits/element — its
+            // false-positive rate makes "might contain" vacuous, so
+            // treat the file as bloom-less instead of paying the
+            // probe (happens when files grow past the maxFileRows
+            // expectation the bits were sized for)
+            blooms.get(idx).forall(b =>
+              b.count * 8 > b.nbits || literals.exists(b.mightContain))
           case None => true
         }
       }
