@@ -1623,6 +1623,108 @@ object RelationalQueries {
         out
       }),
 
+    // ---- ROLLBACK / RESTORE (Delta's RESTORE TABLE ... TO VERSION AS
+    // OF): rewind the table's CURRENT state to a past commit as ONE
+    // new commit riding the atomic overwrite — the restored rows
+    // supersede everything live, history above the target stays
+    // time-travelable until vacuum's grace (rollback rewinds state,
+    // never the log), and a racing write outranks the restore under
+    // last-write-wins like any other commit. In-entry: the SQL CALL
+    // receipt names the restored and committed sequences, the live set
+    // collapses to the restore commit, and VERSION AS OF still
+    // resolves the pre-rollback history above the target. ----
+    QueryDef("q_ktable_rollback", effectful = true, oracle = Some(
+      """SELECT o_orderkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS status,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    + CASE WHEN o_orderkey % 10 = 0 THEN 1000 ELSE 0 END AS cents
+        |FROM orders""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:rollback:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_krbk_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)                          // seq 1
+        sink.append(src.where(col("k") % 10 === 0)        // seq 2
+          .withColumn("status", lit("U"))
+          .withColumn("cents", col("cents") + 1000), target)
+        sink.append(src.withColumn("status", lit("X"))    // seq 3: the
+          .withColumn("cents", lit(0L)), target)          // bad load
+        val total = src.count()
+        val out = withKeyedCatalog(s) {
+          val r = s.sql(
+            s"CALL graft_keyed.rollback('$target', 2)").collect().head
+          assert(r.getLong(0) == 2L && r.getLong(1) == 4L,
+            s"rollback receipt must be (restored_to=2, committed_seq=4): $r")
+          assert(graft.sources.KeyedTable.liveManifestNames(target).size == 1,
+            "the restore commit must supersede everything live")
+          // the log is rewound in STATE only: above the target the
+          // pre-rollback history still time-travels
+          val at3 = s.sql(
+            s"SELECT count(*) FROM graft_keyed.`$target` VERSION AS OF 3 " +
+              "WHERE status = 'X'").head.getLong(0)
+          assert(at3 == total,
+            s"VERSION AS OF 3 must still see the bad load: $at3 of $total")
+          graft.sources.KeyedTableOps.latest(s, target).localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
+    // ---- METADATA TABLES (Iceberg's `db.table.history` spelling over
+    // the keyed table's commit log): `graft_keyed.`/p`.history` is one
+    // row per commit — sequence, operation kind, file/row/byte totals,
+    // liveness — and `.files` one row per LIVE file with its manifest
+    // line's stats. The rows are the SAME driver-read bounded manifest
+    // listing every scan plan already pays for, served as a LocalScan:
+    // the in-entry lint pins that the relation plans a LOCAL scan (no
+    // data bytes, no executors), and the oracle pins the recorded
+    // row accounting against DuckDB re-counting the same waves. ----
+    QueryDef("q_ktable_history", effectful = true, oracle = Some(
+      """SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+        |  CAST(count(*) AS BIGINT) AS rows_added FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'append', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:history:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_khis_").toString
+        val target = s"$tmp/t"
+        val src = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val sink = graft.pipeline.V2KeyedTableSink("k")
+        sink.append(src, target)                          // seq 1
+        sink.append(src.where(col("k") % 10 === 0), target) // seq 2
+        sink.append(src.where(col("k") % 3 === 0), target)  // seq 3
+        val out = withKeyedCatalog(s) {
+          val hist = s.sql("SELECT seq, operation, rows AS rows_added " +
+            s"FROM graft_keyed.`$target`.history")
+          // bounded metadata, driver-served: the relation must plan a
+          // LOCAL scan — zero data bytes, zero executor tasks
+          val plan = hist.queryExecution.executedPlan.toString
+          assert(plan.contains("LocalTableScan"),
+            s"the metadata relation must plan a local scan:\n$plan")
+          // the files relation accounts for the same rows, per file
+          val fileRows = s.sql("SELECT sum(rows) FROM " +
+            s"graft_keyed.`$target`.files").head.getLong(0)
+          val histRows = hist.agg(sum(col("rows_added"))).head.getLong(0)
+          assert(fileRows == histRows,
+            s"files must account history's rows: $fileRows vs $histRows")
+          hist.localCheckpoint(true)
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- MERGE INTO, the single-statement row-level-operations
     // spelling (fourth rendering of the CDC apply, gated on the SAME
     // oracle as the batch window apply, the streaming state machine,

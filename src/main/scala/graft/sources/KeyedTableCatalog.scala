@@ -41,7 +41,28 @@ class KeyedTableCatalog extends TableCatalog with FunctionCatalog
   override def name(): String = name0
 
   override def loadTable(ident: Identifier): Table =
-    resolve(ident, asOfSeq = None)
+    metadataTable(ident).getOrElse(resolve(ident, asOfSeq = None))
+
+  /** METADATA TABLES — the table's own commit log and live file set as
+    * queryable relations (Iceberg's `db.table.history` spelling):
+    * `SELECT * FROM graft_keyed.`/path`.history` / `...`.files`.
+    * The rows are the SAME driver-read manifest listing every scan
+    * plan already pays for — bounded metadata by the format's design
+    * (compaction folds the log), never a data scan — served as a
+    * LocalScan. A real table stored at a path literally named
+    * `history`/`files` still wins: the metadata reading only applies
+    * when the name does not resolve as a table and the namespace
+    * head does. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    val meta = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (ident.namespace().length != 1 ||
+        !KeyedTableCatalog.MetadataNames(meta)) return None
+    val base = ident.namespace()(0)
+    val conf = KeyedTable.hadoopConf()
+    if (KeyedTable.readSchemaFile(ident.name(), conf).isDefined) return None
+    if (KeyedTable.readSchemaFile(base, conf).isEmpty) return None
+    Some(new KeyedTableCatalog.MetadataTable(base, meta))
+  }
 
   /** Time travel: `SELECT ... FROM graft_keyed.`/path` VERSION AS OF n`
     * reads the table as of commit sequence `n` — only manifests with
@@ -283,7 +304,99 @@ object KeyedTableRegistry {
 
 object KeyedTableCatalog {
   import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+  private[sources] val MetadataNames = Set("history", "files")
+
+  private val HistorySchema = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("ts_ms", LongType, nullable = true),
+    StructField("operation", StringType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("supersedes", IntegerType, nullable = false),
+    StructField("live", BooleanType, nullable = false)))
+
+  private val FilesSchema = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("tombstone", BooleanType, nullable = false),
+    StructField("blocks", BooleanType, nullable = false),
+    StructField("bloom_cols", IntegerType, nullable = false)))
+
+  /** Manifest name prefix -> the user-facing operation label. The
+    * write-path spellings (batch/named/epoch) all mean "append". */
+  private def operationOf(name: String): String =
+    name.takeWhile(_ != '-') match {
+      case "batch" | "named" | "epoch" => "append"
+      case "over" => "overwrite"
+      case "delete" => "delete"
+      case "trunc" => "truncate"
+      case "rewrite" | "compact" => "rewrite"
+      case "rlo" => // rlo-<command>-<queryId>: keep the statement kind
+        name.split("-").take(2).mkString("-")
+      case other => other
+    }
+
+  /** One metadata relation over the table at `path` — rows computed
+    * driver-side from the manifest listing at SCAN BUILD time (each
+    * query sees the log as of its own planning, like any other
+    * metadata read). */
+  private[sources] final class MetadataTable(path: String, meta: String)
+      extends Table with SupportsRead {
+    override def name(): String = s"$path.$meta"
+    override def schema(): StructType =
+      if (meta == "history") HistorySchema else FilesSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder = {
+      val conf = KeyedTable.hadoopConf()
+      val all = KeyedTable.manifests(path, conf)
+        .filter(_.seq >= 0).sortBy(m => (m.seq, m.name))
+      val liveNames = KeyedTable.liveManifests(path, conf).map(_.name).toSet
+      def sumOrNull(vs: Seq[Long]): Any =
+        if (vs.exists(_ < 0)) null else (vs.sum: java.lang.Long)
+      val computed: Array[InternalRow] =
+        if (meta == "history") all.map { m =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](m.seq,
+              org.apache.spark.unsafe.types.UTF8String.fromString(m.name),
+              if (m.ts < 0) null else (m.ts: java.lang.Long),
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(operationOf(m.name)),
+              m.entries.size,
+              sumOrNull(m.entries.map(_.rows)),
+              sumOrNull(m.entries.map(_.bytes)),
+              m.supersedes.size,
+              liveNames(m.name))): InternalRow
+        }.toArray
+        else all.filter(m => liveNames(m.name)).flatMap { m =>
+          m.entries.map { e =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](m.seq,
+                org.apache.spark.unsafe.types.UTF8String.fromString(e.file),
+                e.bucket, e.buckets,
+                if (e.rows < 0) null else (e.rows: java.lang.Long),
+                if (e.bytes < 0) null else (e.bytes: java.lang.Long),
+                e.tombstone, e.blocks, e.bloomCols.size)): InternalRow
+          }
+        }.toArray
+      val schema0 = schema()
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = computed
+        override def readSchema(): StructType = schema0
+        override def description(): String = s"graft metadata $path.$meta"
+      }
+      () => scan
+    }
+  }
 
   /** One maintenance procedure: fixed parameters, a one-row receipt
     * schema, and a driver-side body over the validated args. */
@@ -346,7 +459,20 @@ object KeyedTableCatalog {
       StructType(Seq(StructField("snapshot", StringType, nullable = true))),
       input => Array(KeyedTableOps.rebucket(spark,
         input.getUTF8String(0).toString, input.getInt(1),
-        input.getLong(2)).map(utf8).orNull)))
+        input.getLong(2)).map(utf8).orNull)),
+    "rollback" -> new MaintenanceProc("rollback",
+      "restore the table's current state to a past commit sequence " +
+        "as one new commit (KeyedTableOps.rollback)",
+      Array(in("path", StringType), in("seq", LongType)),
+      StructType(Seq(
+        StructField("restored_to", LongType, nullable = false),
+        StructField("committed_seq", LongType, nullable = false))),
+      input => {
+        val toSeq = input.getLong(1)
+        Array(toSeq: java.lang.Long,
+          KeyedTableOps.rollback(spark,
+            input.getUTF8String(0).toString, toSeq): java.lang.Long)
+      }))
 
   /** pmod(murmur3(key, 42), n) — byte-compatible with Spark's
     * hashpartitioning AND with the per-file bucket proof in

@@ -662,6 +662,82 @@ object KeyedTableOps {
     res
   }
 
+  /** ROLLBACK / RESTORE — Delta's `RESTORE TABLE t TO VERSION AS OF v`:
+    * make the table's CURRENT state equal its state at commit sequence
+    * `toSeq`, as ONE NEW commit (history above `toSeq` stays
+    * time-travelable until vacuum's grace expires — rollback rewinds
+    * the state, never the log). The restore rides the existing atomic
+    * overwrite: read the table AS OF `toSeq`, resolve it under the
+    * table's merge discipline, and commit the resolved rows in a
+    * manifest that supersedes everything live — truncate-then-load in
+    * one commit, readers never see an intermediate state and a racing
+    * write simply outranks the restore under last-write-wins.
+    *
+    * Discipline-aware exactly like the fold: an LWW table restores one
+    * row per full primary key (tombstones at or below `toSeq` applied);
+    * a COUNTER table restores one increment per key carrying the
+    * accumulated total at `toSeq` — restoring raw increments through an
+    * LWW-resolving overwrite would corrupt every sum. `toSeq` 0
+    * restores the empty table (= TRUNCATE). Bounded by RETENTION like
+    * Delta: a restore below a vacuumed fold fails loudly in the as-of
+    * scan (the preimage bytes are gone), never silently partially.
+    * Tail/CDF consumers see the restore as the re-assertion of the
+    * restored rows (the overwrite's manifest is an ordinary data
+    * commit) — the Cassandra truncate-then-reload reading of restore.
+    * Returns the restore commit's sequence. */
+  def rollback(spark: SparkSession, path: String, toSeq: Long): Long = {
+    require(toSeq >= 0, s"rollback to sequence $toSeq")
+    val conf = KeyedTable.hadoopConf()
+    val cur = KeyedTable.currentSeq(path)
+    require(toSeq <= cur,
+      s"rollback($path, $toSeq): the table is at sequence $cur")
+    val keys = tableKeys(path).getOrElse(throw new IllegalArgumentException(
+      s"KeyedTable at $path has no declared or proven key column"))
+    // the same rule that stops a fold from crossing a TTL'd commit:
+    // restoring TTL'd rows through an expiry-less overwrite would make
+    // them immortal. Refuse loudly instead of silently un-TTL-ing
+    require(!KeyedTable.liveManifests(path, conf, Some(toSeq))
+        .exists(_.expires >= 0),
+      s"rollback($path, $toSeq): the target state holds TTL'd commits — " +
+        "an expiry-less restore would immortalize them; wait for expiry " +
+        "or vacuum first")
+    val contract = KeyedTable.inferWriteContract(path, conf)
+    val parallelism = KeyedTable.readProps(path, conf)
+      .get("writePartitions").map(_.toInt)
+      .orElse(contract.map(_._2)).getOrElse(8)
+    val asOf = tableDF(spark, path, Map("asOfSeq" -> toSeq.toString))
+    val dataCols = asOf.columns.toSeq
+    val restored = mergeDiscipline(path) match {
+      case "counter" =>
+        // one increment per key carrying the accumulated total at
+        // toSeq — the same rule the counter fold applies (an LWW
+        // restore would collapse increment history and corrupt sums)
+        val counterCols = dataCols.filterNot(keys.contains)
+        require(counterCols.nonEmpty,
+          s"counter table at $path has no non-key columns to accumulate")
+        val ver = struct(col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos))
+        val withMeta = asOf.select(dataCols.map(col) ++ Seq(
+          col(KeyedTable.MetaSeq), col(KeyedTable.MetaPos),
+          col(KeyedTable.MetaTombstone)): _*)
+        val survivors = withMeta.where(!col(KeyedTable.MetaTombstone))
+        val cuts = withMeta.where(col(KeyedTable.MetaTombstone))
+          .groupBy(col(keys.head)).agg(max(ver).as("__cut"))
+        survivors
+          .join(broadcast(cuts), Seq(keys.head), "left")
+          .where(col("__cut").isNull || ver > col("__cut"))
+          .groupBy(keys.map(col): _*)
+          .agg(sum(col(counterCols.head)).as(counterCols.head),
+            counterCols.tail.map(c => sum(col(c)).as(c)): _*)
+          .select(dataCols.map(col): _*)
+      case _ => latestOver(asOf, keys)
+    }
+    restored.write.format("graft.sources.KeyedTable")
+      .option("key", keys.head)
+      .option("writePartitions", parallelism.toString)
+      .mode("overwrite").save(path)
+    KeyedTable.currentSeq(path)
+  }
+
   /** Stats-driven AUTO-COMPACTION policy: decide from manifest
     * METADATA alone (one `_commits` listing, zero data bytes scanned)
     * whether a [[rewriteCompact]] pays, and run it when it does — the

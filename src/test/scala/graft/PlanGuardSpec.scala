@@ -356,7 +356,16 @@ class PlanGuardSpec extends SparkSpecBase {
       // equal-rowcount dims; the CBO join-order flip lint is the
       // entry's point (the deliberate fan-out join is cost-estimated,
       // never a cartesian); estimator plumbing pinned in NdvStatsSpec
-      "q_ktable_cbo_reorder"),
+      "q_ktable_cbo_reorder",
+      // round 19: rollback/RESTORE — three real commits then the
+      // restore (an atomic overwrite of the resolved as-of state);
+      // live-set collapse + preserved time travel linted in-entry,
+      // discipline dispatch pinned in RollbackSpec
+      "q_ktable_rollback",
+      // round 19: metadata tables — three real commits, then the
+      // history/files relations; the LocalTableScan plan lint (zero
+      // data bytes, driver-served bounded metadata) is in-entry
+      "q_ktable_history"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
