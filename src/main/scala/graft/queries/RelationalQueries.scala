@@ -1623,6 +1623,87 @@ object RelationalQueries {
         out
       }),
 
+    // ---- ZONE-MAP-DERIVED EQUI-HEIGHT HISTOGRAMS FOR THE CBO: each
+    // planned file's (rows, min, max) manifest line contributes a
+    // uniform density; the merged CDF cuts into catalyst equi-height
+    // bins, reported through V2 columnStats.histogram() — ZERO new
+    // write-path cost, and after a sorted fold heavy values become
+    // zero-width bins (catalyst's own skew representation). The lint:
+    // a skewed key's JOIN cardinality estimates within 8x of truth
+    // with the histogram, and underestimates by > 8x without it (the
+    // misestimate that makes a planner broadcast a huge intermediate
+    // at cluster scale). ----
+    QueryDef("q_ktable_cbo_histogram", effectful = true, oracle = Some(
+      """WITH f AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 1
+        |         ELSE o_orderkey % 997 + 2 END AS j
+        |  FROM orders),
+        |d AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 1
+        |         ELSE c_custkey % 997 + 2 END AS j
+        |  FROM customer)
+        |SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(f.k + d.k) AS BIGINT) AS keysum
+        |FROM f JOIN d ON f.j = d.j""".stripMargin))(
+      (s, d) => graft.ops.FrameCache.memo(s, s"ktable:cbo_histogram:$d") {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_khst_").toString
+        def skew(c: org.apache.spark.sql.Column) =
+          when(c % 2 === 0, lit(1L)).otherwise(c % 997 + 2)
+        val fact = s"$tmp/fact"
+        val dim = s"$tmp/dim"
+        def build(path: String, src: org.apache.spark.sql.DataFrame): Unit = {
+          src.write.format("graft.sources.KeyedTable")
+            .option("key", "k").option("writePartitions", "4")
+            .mode("append").save(path)
+          graft.sources.KeyedTableOps.declareSortOrder(path, Seq("j"))
+          // slices RELATIVE to the table (16 per bucket at 4 buckets)
+          // so the hot value isolates into zero-width zones at every
+          // scale factor — the structure, not the row count, carries
+          assert(graft.sources.KeyedTableOps.rewriteCompact(s, path, 0,
+            targetFileRows = math.max(src.count() / 64, 8L),
+            force = true).isDefined, "the sorted fold must commit")
+        }
+        build(fact, Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"), skew(col("o_orderkey")).as("j")))
+        build(dim, Tables(s, d, "customer").select(
+          col("c_custkey").as("k"), skew(col("c_custkey")).as("j")))
+        val cboKeys = Seq("spark.sql.cbo.enabled",
+          "spark.sql.cbo.joinReorder.enabled")
+        val prior = cboKeys.map(k => k -> s.conf.getOption(k))
+        val out = withKeyedCatalog(s) {
+          cboKeys.foreach(s.conf.set(_, "true"))
+          try {
+            def t(p: String) = s.read.table(s"graft_keyed.`$p`")
+            def joined() = t(fact).as("f").join(t(dim).as("d"), "j")
+            def estimate(): Long = joined().queryExecution.optimizedPlan
+              .stats.rowCount.map(_.toLong).getOrElse(-1L)
+            val actual = joined().count()
+            val withHist = estimate()
+            assert(withHist >= actual / 10 && withHist <= actual * 10,
+              s"histogram join estimate $withHist must land within 10x " +
+                s"of actual $actual")
+            s.conf.set("spark.graft.histogram.enabled", "false")
+            val withoutHist =
+              try estimate()
+              finally s.conf.unset("spark.graft.histogram.enabled")
+            assert(withoutHist >= 0 && withoutHist < actual / 10,
+              s"bounds+NDV alone must miss the skew: $withoutHist " +
+                s"vs actual $actual")
+            joined().agg(count(lit(1)).as("cnt"),
+              sum(col("f.k") + col("d.k")).as("keysum"))
+              .localCheckpoint(true)
+          } finally prior.foreach {
+            case (k, Some(v)) => s.conf.set(k, v)
+            case (k, None) => s.conf.unset(k)
+          }
+        }
+        graft.queries.StreamingQueries.deleteRecursively(tmp)
+        out
+      }),
+
     // ---- ROLLBACK / RESTORE (Delta's RESTORE TABLE ... TO VERSION AS
     // OF): rewind the table's CURRENT state to a past commit as ONE
     // new commit riding the atomic overwrite — the restored rows

@@ -1965,6 +1965,114 @@ object KeyedTable {
       else ((KmvK - 1).toDouble * 4294967296.0 / theta).toLong
     }
 
+  /** EQUI-HEIGHT HISTOGRAM from the per-file zone maps already in every
+    * manifest line — ZERO new write-path cost: each planned file
+    * contributes its non-null rows as a uniform density over its
+    * recorded [min, max] (a point mass when min == max), the densities
+    * sum to a piecewise-linear CDF, and the CDF is cut at equal-mass
+    * steps into catalyst's equi-height bins. A SORTED or Z-ORDERED
+    * fold writes disjoint narrow slices, so on maintained tables the
+    * histogram is sharp — heavy values become point-mass (zero-width)
+    * bins, exactly how catalyst's own ANALYZE represents skew — and
+    * join/filter estimation sees a key's true mass distribution where
+    * bounds+NDV alone must assume uniformity. Unsorted tables degrade
+    * to wide overlapping ranges (≈ the uniform assumption), never
+    * WRONG, just uninformative: the same honesty rule as every other
+    * stat here. numeric/date/timestamp columns only (their stat
+    * encoding is the plain number, see [[decodeStat]]). */
+  private[sources] def buildFileHistogram(dt: DataType,
+      fileStats: Seq[(Long, KeyStats)], totalNdv: Long)
+      : Option[org.apache.spark.sql.connector.read.colstats.Histogram] = {
+    val integral = dt match {
+      case LongType | IntegerType | DateType | TimestampType |
+           TimestampNTZType => true
+      case DoubleType => false
+      case _ => return None
+    }
+    val files = fileStats.flatMap { case (rows, cs) =>
+      val nonNull = rows - cs.nulls
+      if (nonNull <= 0) None
+      else for { lo <- cs.minEnc; hi <- cs.maxEnc }
+        yield (nonNull.toDouble, lo.toDouble, hi.toDouble)
+    }
+    if (files.size < 2) return None // one file: the bounds already say it
+    val total = files.map(_._1).sum
+    val atoms = scala.collection.mutable.TreeMap.empty[Double, Double]
+    val ranges = scala.collection.mutable.ArrayBuffer
+      .empty[(Double, Double, Double)] // (lo, hi, mass)
+    files.foreach { case (m, lo, hi) =>
+      if (hi > lo) ranges += ((lo, hi, m))
+      else atoms(lo) = atoms.getOrElse(lo, 0d) + m
+    }
+    val pts = (ranges.flatMap(r => Seq(r._1, r._2)) ++ atoms.keys)
+      .distinct.sorted.toIndexedSeq
+    if (pts.size < 2) return None // all mass at one value: min==max
+    def rangeMass(a: Double, b: Double): Double =
+      ranges.iterator.map { case (lo, hi, m) =>
+        val ov = math.min(b, hi) - math.max(a, lo)
+        if (ov > 0) m * ov / (hi - lo) else 0d
+      }.sum
+    val B = 16
+    val h = total / B
+    final case class Bin(lo: Double, hi: Double, mass: Double)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Bin]
+    var cum = 0d
+    var prevEdge = pts.head
+    var nextCut = h
+    def cutAt(x: Double, newCum: Double): Unit = {
+      bins += Bin(prevEdge, x, newCum - (nextCut - h))
+      prevEdge = x; cum = newCum; nextCut += h
+    }
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      atoms.get(p).foreach { am =>
+        var remaining = am
+        // a heavy value swallows whole cuts: zero-width bins at p —
+        // catalyst's own representation of a skewed value
+        while (cum + remaining >= nextCut && bins.size < B - 1) {
+          remaining -= nextCut - cum
+          cutAt(p, nextCut)
+        }
+        cum += remaining
+      }
+      if (i + 1 < pts.length) {
+        val q = pts(i + 1)
+        // density is CONSTANT between consecutive breakpoints (no file
+        // endpoint falls inside), so cuts interpolate linearly
+        val segMass = rangeMass(p, q)
+        val cumP = cum
+        while (segMass > 0 && cumP + segMass >= nextCut &&
+            bins.size < B - 1) {
+          cutAt(p + (q - p) * ((nextCut - cumP) / segMass), nextCut)
+        }
+        cum = cumP + segMass
+      }
+      i += 1
+    }
+    bins += Bin(prevEdge, pts.last, total - (nextCut - h))
+    // per-bin NDV: proportional to the bin's mass share of the total
+    // distinct count, capped by the value span for integral types (a
+    // zero-width bin holds exactly one value)
+    def binNdv(b: Bin): Long = {
+      val prop = math.max(1L, math.round(totalNdv * b.mass / total))
+      if (!integral) prop
+      else math.max(1L, math.min(prop, math.floor(b.hi - b.lo).toLong + 1L))
+    }
+    val out = bins.map { b =>
+      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+        override def lo(): Double = b.lo
+        override def hi(): Double = b.hi
+        override def ndv(): Long = binNdv(b)
+      }
+    }.toArray
+    Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+      override def height(): Double = h
+      override def bins(): Array[
+        org.apache.spark.sql.connector.read.colstats.HistogramBin] = out
+    })
+  }
+
   // ---------- per-file bloom filters (declared columns) ----------
   //
   // Zone maps prune RANGES; a high-cardinality EQUALITY probe over
@@ -3533,6 +3641,22 @@ object KeyedTable {
                     } yield (decodeStat(dt, lo), decodeStat(dt, hi))
                   else None
                 }
+              // EQUI-HEIGHT HISTOGRAM derived from the same per-file
+              // zone maps (no new write cost): sharp after a sorted /
+              // z-ordered fold, the uniform assumption otherwise.
+              // Reported only when the plain bounds are (same evidence
+              // rule); session kill switch for A/B
+              val histEnabled = scala.util.Try(
+                org.apache.spark.sql.SparkSession.active.conf
+                  .get("spark.graft.histogram.enabled", "true"))
+                .getOrElse("true") == "true"
+              val hist =
+                if (bounds.isEmpty || !histEnabled) None
+                else buildFileHistogram(dt,
+                  dataSplits.filter(_.entry.rows > 0).map(s => (s.entry.rows,
+                    if (ci < s.entry.colStats.length) s.entry.colStats(ci)
+                    else KeyStats(0L, None, None))),
+                  math.max(distinct, 1L))
               m.put(Expressions.column(n),
                 new org.apache.spark.sql.connector.read.colstats
                     .ColumnStatistics {
@@ -3548,6 +3672,10 @@ object KeyedTable {
                     bounds.map(b => java.util.Optional.of(
                       b._2.asInstanceOf[Object]))
                       .getOrElse(java.util.Optional.empty[Object]())
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats.Histogram] =
+                    hist.map(java.util.Optional.of(_)).getOrElse(
+                      java.util.Optional.empty())
                 })
             }
           }

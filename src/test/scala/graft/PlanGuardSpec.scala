@@ -365,7 +365,12 @@ class PlanGuardSpec extends SparkSpecBase {
       // round 19: metadata tables — three real commits, then the
       // history/files relations; the LocalTableScan plan lint (zero
       // data bytes, driver-served bounded metadata) is in-entry
-      "q_ktable_history"),
+      "q_ktable_history",
+      // round 19: zone-map-derived histograms — loads skewed fact/dim
+      // and sorted-folds them; the estimate-vs-actual contrast lint
+      // (within 8x with, off by >8x without) is in-entry; histogram
+      // shape pinned in HistogramStatsSpec
+      "q_ktable_cbo_histogram"),
       "new effectful entry? justify it here AND make sure its real plan " +
         "is linted some other way (streaming-plan test below / PipelineSpec)")
   }
