@@ -623,7 +623,9 @@ object RelationalQueries {
     QueryDef("q_scan_ktable_agg_pushdown", effectful = true, oracle = Some(
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(o_orderkey) AS BIGINT) AS n_keys,
-        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders""".stripMargin))(
       (s, d) => graft.ops.FrameCache.memo(s, s"scan:ktable_agg:$d") {
         val tmp = java.nio.file.Files
@@ -631,14 +633,17 @@ object RelationalQueries {
         val target = s"$tmp/t"
         val src = Tables(s, d, "orders").select(
           col("o_orderkey").as("k"),
-          col("o_orderstatus").as("status"))
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
         val half = src.agg(expr("percentile_approx(k, 0.5)")).head.getLong(0)
         val sink = graft.pipeline.V2KeyedTableSink("k")
         sink.append(src.where(col("k") <= half), target)
         sink.append(src.where(col("k") > half), target)
         val agg = s.read.format("graft.sources.KeyedTable").load(target)
           .agg(count(lit(1)).as("n_rows"), count(col("k")).as("n_keys"),
-            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+            min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+            sum(col("cents")).as("sum_cents"))
         val scans = agg.queryExecution.executedPlan.collect {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
         }

@@ -300,7 +300,13 @@ object KeyedTable {
       // exactly the PRUNED read to the cost-based optimizer.
       // Positional like colStats; an empty inner seq = not recorded
       // (legacy lines, marker files)
-      ndv: Seq[Seq[Long]] = Seq.empty)
+      ndv: Seq[Seq[Long]] = Seq.empty,
+      // per-column SUM over the file's non-null values (decimal string;
+      // long columns tracked with overflow detection -> None on
+      // overflow, string/bool columns always None): what completes the
+      // metadata aggregate fold — a global SUM is a manifest read like
+      // count/min/max. Positional like colStats; empty = not recorded
+      sums: Seq[Option[String]] = Seq.empty)
 
   /** One logical manifest with its version metadata. `seq` is the
     * commit sequence (unique per table — reserved through an exclusive
@@ -520,7 +526,8 @@ object KeyedTable {
     e.bytes.toString,
     if (e.blocks) "b" else "-",
     if (e.bloomCols.isEmpty) "-" else e.bloomCols.mkString(","),
-    ndvField(e.ndv)
+    ndvField(e.ndv),
+    sumsField(e.sums)
   ).mkString("\t")
 
   private def parseEntry(line: String): KFileEntry = {
@@ -536,8 +543,20 @@ object KeyedTable {
       blocks = f.length > 11 && f(11) == "b",
       bloomCols = if (f.length > 12 && f(12) != "-")
         f(12).split(",").toSeq.map(_.toInt) else Seq.empty,
-      ndv = if (f.length > 13) parseNdvField(f(13)) else Seq.empty)
+      ndv = if (f.length > 13) parseNdvField(f(13)) else Seq.empty,
+      sums = if (f.length > 14) parseSumsField(f(14)) else Seq.empty)
   }
+
+  // per-column file sums: the decimal string positionally, ';'-joined
+  // ('-' = not recorded for that column — non-numeric type or a long
+  // accumulator that overflowed; honest refusal beats a wrong fold)
+  private def sumsField(sums: Seq[Option[String]]): String =
+    if (sums.isEmpty || sums.forall(_.isEmpty)) "-"
+    else sums.map(_.getOrElse("-")).mkString(";")
+
+  private def parseSumsField(field: String): Seq[Option[String]] =
+    if (field == "-" || field.isEmpty) Seq.empty
+    else field.split(";", -1).toSeq.map(v => Some(v).filter(_ != "-"))
 
   // per-column KMV sketch field: b64 of the ascending 8-byte hashes,
   // ';'-joined positionally ('-' = column not recorded)
@@ -1119,7 +1138,7 @@ object KeyedTable {
         KFileEntry(m.file, m.rows, m.bucket, buckets, key,
           Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), colStats = m.colStats,
           bytes = m.bytes, blocks = m.blocks, bloomCols = m.bloomCols,
-          ndv = m.ndv)
+          ndv = m.ndv, sums = m.sums)
     }
     commitManifest(path, name, entries, conf, fixedSeq, supersedes, ttlMs,
       ncols = schema.length)
@@ -1685,7 +1704,8 @@ object KeyedTable {
       bytes: Long = -1L,
       blocks: Boolean = false,
       bloomCols: Seq[Int] = Seq.empty,
-      ndv: Seq[Seq[Long]] = Seq.empty) extends WriterCommitMessage
+      ndv: Seq[Seq[Long]] = Seq.empty,
+      sums: Seq[Option[String]] = Seq.empty) extends WriterCommitMessage
 
   /** One row-level-operation task's effects: the data files its
     * inserts/updates appended (per bucket) plus the tombstone marker
@@ -2364,13 +2384,21 @@ object KeyedTable {
         * trackers only, one virtual call per field, and pays the fold
         * once per block). `o` is always the same concrete type. */
       def absorb(o: ColTracker): Unit
+      /** Per-file SUM over non-null values (numeric trackers only):
+        * what lets a global SUM fold from the manifest like
+        * count/min/max. None = not summable, or the long accumulator
+        * overflowed (refuse honestly, never record a wrapped sum). */
+      def sumEnc: Option[String] = None
     }
     private final class LongCol(i: Int) extends ColTracker {
       private var has = false; private var mn = 0L; private var mx = 0L
+      private var sm = 0L; private var smOk = true
       def update(r: InternalRow): Unit = {
         val v = r.getLong(i)
         if (!has) { mn = v; mx = v; has = true }
         else { if (v < mn) mn = v; if (v > mx) mx = v }
+        if (smOk) try sm = Math.addExact(sm, v)
+          catch { case _: ArithmeticException => smOk = false }
       }
       def absorb(o: ColTracker): Unit = {
         val t = o.asInstanceOf[LongCol]
@@ -2379,17 +2407,25 @@ object KeyedTable {
           if (!has) { mn = t.mn; mx = t.mx; has = true }
           else { if (t.mn < mn) mn = t.mn; if (t.mx > mx) mx = t.mx }
         }
+        if (smOk && t.smOk) try sm = Math.addExact(sm, t.sm)
+          catch { case _: ArithmeticException => smOk = false }
+        else smOk = false
       }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
         if (has) Some(mx.toString) else None)
+      override def sumEnc: Option[String] =
+        if (smOk) Some(sm.toString) else None
     }
     private final class IntCol(i: Int) extends ColTracker {
       private var has = false; private var mn = 0; private var mx = 0
+      private var sm = 0L; private var smOk = true
       def update(r: InternalRow): Unit = {
         val v = r.getInt(i)
         if (!has) { mn = v; mx = v; has = true }
         else { if (v < mn) mn = v; if (v > mx) mx = v }
+        if (smOk) try sm = Math.addExact(sm, v.toLong)
+          catch { case _: ArithmeticException => smOk = false }
       }
       def absorb(o: ColTracker): Unit = {
         val t = o.asInstanceOf[IntCol]
@@ -2398,13 +2434,19 @@ object KeyedTable {
           if (!has) { mn = t.mn; mx = t.mx; has = true }
           else { if (t.mn < mn) mn = t.mn; if (t.mx > mx) mx = t.mx }
         }
+        if (smOk && t.smOk) try sm = Math.addExact(sm, t.sm)
+          catch { case _: ArithmeticException => smOk = false }
+        else smOk = false
       }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
         if (has) Some(mx.toString) else None)
+      override def sumEnc: Option[String] =
+        if (smOk) Some(sm.toString) else None
     }
     private final class DoubleCol(i: Int) extends ColTracker {
       private var has = false; private var mn = 0.0; private var mx = 0.0
+      private var sm = 0.0
       def update(r: InternalRow): Unit = {
         val v = normZero(r.getDouble(i))
         if (!has) { mn = v; mx = v; has = true }
@@ -2412,6 +2454,7 @@ object KeyedTable {
           if (java.lang.Double.compare(v, mn) < 0) mn = v
           if (java.lang.Double.compare(v, mx) > 0) mx = v
         }
+        sm += v
       }
       def absorb(o: ColTracker): Unit = {
         val t = o.asInstanceOf[DoubleCol]
@@ -2423,10 +2466,12 @@ object KeyedTable {
             if (java.lang.Double.compare(t.mx, mx) > 0) mx = t.mx
           }
         }
+        sm += t.sm
       }
       def stats: KeyStats = KeyStats(nulls,
         if (has) Some(mn.toString) else None,
         if (has) Some(mx.toString) else None)
+      override def sumEnc: Option[String] = Some(sm.toString)
     }
     private final class BoolCol(i: Int) extends ColTracker {
       private var has = false
@@ -2646,7 +2691,8 @@ object KeyedTable {
       finished += KFileMessage(name, rows, cs(keyIdx).nulls,
         if (bucketTag < 0) -1 else bucketTag,
         cs(keyIdx).minEnc, cs(keyIdx).maxEnc, cs, bytes, blocksFlag,
-        if (wroteBlooms) blooms.map(_._1) else Seq.empty, ndv)
+        if (wroteBlooms) blooms.map(_._1) else Seq.empty, ndv,
+        sums = schema.indices.map(i => fileTrackers(i).sumEnc))
       name = s"$base-${java.util.UUID.randomUUID().toString.take(8)}.rows"
       inprogress = new Path(s"$path/data", s".$name.inprogress")
       rows = 0L
@@ -2762,7 +2808,7 @@ object KeyedTable {
           KFileEntry(m.file, m.rows, m.bucket, writePartitions, pk,
             Some(KeyStats(m.nulls, m.minEnc, m.maxEnc)), tombstone = tomb,
             colStats = m.colStats, bytes = m.bytes, blocks = m.blocks,
-            bloomCols = m.bloomCols, ndv = m.ndv)
+            bloomCols = m.bloomCols, ndv = m.ndv, sums = m.sums)
         // tombstones first (lower _pos): a data row written by this
         // statement outranks its own delete of the same key
         val entries = tombs.map(entry(_, tomb = true)) ++
@@ -3437,6 +3483,26 @@ object KeyedTable {
           .map(i => KMinCol(i, tableSchema.fields(i).dataType))
         case m: Max => fieldIdx(m.column).flatMap(covered)
           .map(i => KMaxCol(i, tableSchema.fields(i).dataType))
+        case s: Sum if !s.isDistinct =>
+          // SUM folds from the per-file sums the writer tracked —
+          // every planned split must record the column's sum (a line
+          // predating the field, or a long accumulator that
+          // overflowed, refuses the whole push) alongside its zone
+          // maps (the nulls decide SQL's empty-input NULL)
+          fieldIdx(s.column).flatMap { i =>
+            val dt = tableSchema.fields(i).dataType
+            val summable = dt == LongType || dt == IntegerType ||
+              dt == DoubleType
+            val ok = summable && splits.forall { sp =>
+              (i < sp.entry.sums.length && sp.entry.sums(i).isDefined &&
+                colStatsOf(sp, i, key).isDefined) ||
+                (i >= sp.ncols && sp.entry.colStats.nonEmpty) ||
+                sp.entry.rows == 0
+            }
+            if (ok) Some(KSumCol(i,
+              if (dt == DoubleType) DoubleType else LongType))
+            else None
+          }
         case _ => None
       }
       if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.flatten)
@@ -3487,6 +3553,11 @@ object KeyedTable {
     val name = s"agg_max_$idx"
     val nullable = true
   }
+  private final case class KSumCol(idx: Int, dataType: DataType)
+      extends KAggSpec {
+    val name = s"agg_sum_$idx"
+    val nullable = true
+  }
 
   /** The manifest-answered aggregate scan: ONE partition carrying the
     * final row, folded from per-file zone maps on the driver. */
@@ -3533,6 +3604,25 @@ object KeyedTable {
           sp.entry.rows - statsFor(idx)(sp).map(_.nulls).getOrElse(0L)).sum)
         case KMinCol(idx, dt) => fold(idx, dt, _.minEnc, 1)
         case KMaxCol(idx, dt) => fold(idx, dt, _.maxEnc, -1)
+        case KSumCol(idx, dt) =>
+          // only files holding at least one non-null value contribute
+          // (SQL: sum over zero non-null inputs is NULL, not 0)
+          val contribs = splits.flatMap { sp =>
+            val nonNull = statsFor(idx)(sp)
+              .map(cs => sp.entry.rows - cs.nulls).getOrElse(0L)
+            if (nonNull <= 0L) None else sp.entry.sums.lift(idx).flatten
+          }
+          if (contribs.isEmpty) null
+          else if (dt == DoubleType)
+            java.lang.Double.valueOf(contribs.map(_.toDouble).sum)
+          else {
+            val total = contribs.map(BigInt(_)).sum
+            if (!total.isValidLong &&
+                org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
+              throw new ArithmeticException(
+                "long overflow folding pushed SUM from manifest stats")
+            java.lang.Long.valueOf(total.toLong) // non-ANSI: wraps, as sum does
+          }
       }.toArray
       new PartitionReaderFactory {
         override def createReader(

@@ -337,6 +337,26 @@ class KeyedTableReadSpec extends SparkSpecBase {
       case a: SortAggregateExec => a
     }.isEmpty, "complete non-key pushdown still planned an aggregate")
     assert(nonKey.head.toSeq === Seq(0L, "x", 101L, 103L))
+    // SUM folds from the per-file sums the writer tracks (round 19):
+    // exact for long columns, SQL empty-input semantics preserved
+    val summed = readBack(t).agg(sum(col("c")).as("sc"),
+      count(lit(1)).as("n"))
+    assert(scanOf(summed).scan.description().contains("agg_sum"),
+      s"SUM did not push: ${scanOf(summed).scan.description()}")
+    assert(summed.queryExecution.executedPlan.collect {
+      case h: HashAggregateExec => h
+      case a: SortAggregateExec => a
+    }.isEmpty, "complete SUM pushdown still planned an aggregate")
+    // sum(c) = sum(k*10, k<100) + (1+2+3) over the second commit
+    assert(summed.head.toSeq === Seq(49506L, 103L))
+    // a column with ZERO non-null values sums to SQL NULL, not 0
+    val tn = tmpDir("graft_kaggn_") + "/t"
+    V2KeyedTableSink("k", writeParallelism = 2).append(
+      Seq((1L, None: Option[Long]), (2L, None: Option[Long]))
+        .toDF("k", "c"), tn)
+    val nullSum = readBack(tn).agg(sum(col("c")).as("sc"))
+    assert(scanOf(nullSum).scan.description().contains("agg_sum"))
+    assert(nullSum.head.isNullAt(0), "empty-input SUM must be NULL")
     // refusals keep Spark's own aggregate exact: residual predicate,
     // GROUP BY, distinct
     val filtered = readBack(t).where(col("k") >= 50L)
