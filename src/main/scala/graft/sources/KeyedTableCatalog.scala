@@ -472,7 +472,17 @@ object KeyedTableCatalog {
         Array(toSeq: java.lang.Long,
           KeyedTableOps.rollback(spark,
             input.getUTF8String(0).toString, toSeq): java.lang.Long)
-      }))
+      }),
+    "rollback_ts" -> new MaintenanceProc("rollback_ts",
+      "restore the table's current state to its state at an instant " +
+        "(epoch millis; Delta's TIMESTAMP AS OF resolution rule) " +
+        "(KeyedTableOps.rollbackToTs)",
+      Array(in("path", StringType), in("ts_ms", LongType)),
+      StructType(Seq(
+        StructField("committed_seq", LongType, nullable = false))),
+      input => Array(KeyedTableOps.rollbackToTs(spark,
+        input.getUTF8String(0).toString,
+        input.getLong(1)): java.lang.Long)))
 
   /** pmod(murmur3(key, 42), n) — byte-compatible with Spark's
     * hashpartitioning AND with the per-file bucket proof in

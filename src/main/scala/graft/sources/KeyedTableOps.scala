@@ -738,6 +738,46 @@ object KeyedTableOps {
     KeyedTable.currentSeq(path)
   }
 
+  /** [[rollback]] spelled by INSTANT — `RESTORE TABLE ... TIMESTAMP AS
+    * OF` — resolving through the manifest commit timestamps to the
+    * highest sequence at or before it (the SAME Delta rule the
+    * TIMESTAMP AS OF read uses, so the read and restore spellings can
+    * never resolve differently). An instant before the first commit
+    * restores the empty table. */
+  def rollbackToTs(spark: SparkSession, path: String, tsMs: Long): Long =
+    rollback(spark, path,
+      KeyedTable.resolveTsToSeq(path, tsMs, KeyedTable.hadoopConf()))
+
+  /** Run a row-level-statement body, retrying when its commit loses
+    * optimistic-concurrency validation ([[ConcurrentCommitException]]
+    * — including one buried in Spark's execution-exception cause
+    * chain). Each retry replans the statement, which re-pins a FRESH
+    * snapshot (the operation pins at build, KTable.newRowLevelOperation)
+    * — exactly what the retryable abort asks the caller to do. Backoff
+    * doubles per attempt with decorrelating jitter so two symmetric
+    * losers do not re-collide forever. Rethrows the last failure when
+    * attempts run out; every other exception propagates untouched. */
+  def withConflictRetries[A](attempts: Int = 3, backoffMs: Long = 50L)(
+      body: => A): A = {
+    require(attempts >= 1)
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[ConcurrentCommitException])
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return body
+      catch {
+        case t: Throwable if isConflict(t) && attempt < attempts =>
+          val cap = backoffMs * (1L << math.min(attempt - 1, 16))
+          Thread.sleep(cap / 2 +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(
+              math.max(cap / 2, 1L)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Stats-driven AUTO-COMPACTION policy: decide from manifest
     * METADATA alone (one `_commits` listing, zero data bytes scanned)
     * whether a [[rewriteCompact]] pays, and run it when it does — the

@@ -162,6 +162,52 @@ class RollbackSpec extends SparkSpecBase {
     }
   }
 
+  test("rollback by instant resolves like TIMESTAMP AS OF and restores") {
+    val t = tmpDir("graft_rb_ts_") + "/t"
+    sink.append(rows(0, 30, "a"), t)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    sink.append(rows(0, 30, "b"), t)
+    val committed = KeyedTableOps.rollbackToTs(spark, t, mid)
+    assert(committed === 3L)
+    assert(KeyedTableOps.latest(spark, t)
+      .where(col("s") === "a").count() === 30L)
+    // an instant before the first commit restores the empty table
+    KeyedTableOps.rollbackToTs(spark, t, 1000L)
+    assert(KeyedTableOps.latest(spark, t).count() === 0L)
+  }
+
+  test("withConflictRetries re-runs a statement losing OCC validation") {
+    import graft.sources.{ConcurrentCommitException, KeyedTableOps => Ops}
+    var calls = 0
+    val out = Ops.withConflictRetries(attempts = 3, backoffMs = 1L) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("exec wrapper",
+        new ConcurrentCommitException("lost validation"))
+      "won"
+    }
+    assert(out === "won" && calls === 3)
+    // attempts exhausted: the conflict propagates (retryable by caller)
+    var calls2 = 0
+    intercept[ConcurrentCommitException] {
+      Ops.withConflictRetries(attempts = 2, backoffMs = 1L) {
+        calls2 += 1
+        throw new ConcurrentCommitException("always loses")
+      }
+    }
+    assert(calls2 === 2)
+    // a non-conflict failure is NOT retried
+    var calls3 = 0
+    intercept[IllegalStateException] {
+      Ops.withConflictRetries(attempts = 3, backoffMs = 1L) {
+        calls3 += 1
+        throw new IllegalStateException("real bug")
+      }
+    }
+    assert(calls3 === 1)
+  }
+
   test("a rollback shows in history as an overwrite commit") {
     val t = tmpDir("graft_rb_hist2_") + "/t"
     sink.append(rows(0, 20, "a"), t)
