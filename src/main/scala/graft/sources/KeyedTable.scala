@@ -1317,6 +1317,21 @@ object KeyedTable {
       with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
     override def name(): String = s"keyed_table($path)"
 
+    /** `SHOW TBLPROPERTIES` / DESCRIBE surface: the persisted
+      * declarations plus the EFFECTIVE write contract — when key or
+      * writePartitions were never declared, the values inferred from
+      * the committed manifests are shown (what a write would actually
+      * use), so an operator reads the real contract, not a blank. */
+    override def properties(): java.util.Map[String, String] = {
+      val conf = hadoopConf()
+      val m = new java.util.HashMap[String, String]()
+      inferWriteContract(path, conf).foreach { case (k, n) =>
+        m.put("key", k); m.put("writePartitions", n.toString)
+      }
+      readProps(path, conf).foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+
     /** The table's declared primary-key columns: the partition key
       * plus any declared clustering columns. Advertised NON-NULLABLE
       * (a Cassandra primary key cannot be null — and Spark's row-level

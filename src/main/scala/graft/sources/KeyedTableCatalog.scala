@@ -328,7 +328,10 @@ object KeyedTableCatalog {
     StructField("bytes", LongType, nullable = true),
     StructField("tombstone", BooleanType, nullable = false),
     StructField("blocks", BooleanType, nullable = false),
-    StructField("bloom_cols", IntegerType, nullable = false)))
+    StructField("bloom_cols", IntegerType, nullable = false),
+    // the key zone the planner prunes by, rendered for the operator
+    StructField("min_key", StringType, nullable = true),
+    StructField("max_key", StringType, nullable = true)))
 
   /** Manifest name prefix -> the user-facing operation label. The
     * write-path spellings (batch/named/epoch) all mean "append". */
@@ -377,17 +380,29 @@ object KeyedTableCatalog {
               m.supersedes.size,
               liveNames(m.name))): InternalRow
         }.toArray
-        else all.filter(m => liveNames(m.name)).flatMap { m =>
-          m.entries.map { e =>
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](m.seq,
-                org.apache.spark.unsafe.types.UTF8String.fromString(e.file),
-                e.bucket, e.buckets,
-                if (e.rows < 0) null else (e.rows: java.lang.Long),
-                if (e.bytes < 0) null else (e.bytes: java.lang.Long),
-                e.tombstone, e.blocks, e.bloomCols.size)): InternalRow
-          }
-        }.toArray
+        else {
+          val schemaOpt = KeyedTable.readSchemaFile(path, conf)
+          def keyRender(key: String, enc: Option[String]): Any =
+            (for {
+              sch <- schemaOpt
+              fd <- sch.fields.find(_.name == key)
+              e <- enc
+            } yield org.apache.spark.unsafe.types.UTF8String.fromString(
+              String.valueOf(KeyedTable.decodeStat(fd.dataType, e)))).orNull
+          all.filter(m => liveNames(m.name)).flatMap { m =>
+            m.entries.map { e =>
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                Array[Any](m.seq,
+                  org.apache.spark.unsafe.types.UTF8String.fromString(e.file),
+                  e.bucket, e.buckets,
+                  if (e.rows < 0) null else (e.rows: java.lang.Long),
+                  if (e.bytes < 0) null else (e.bytes: java.lang.Long),
+                  e.tombstone, e.blocks, e.bloomCols.size,
+                  keyRender(e.key, e.stats.flatMap(_.minEnc)),
+                  keyRender(e.key, e.stats.flatMap(_.maxEnc)))): InternalRow
+            }
+          }.toArray
+        }
       val schema0 = schema()
       val scan: Scan = new LocalScan {
         override def rows(): Array[InternalRow] = computed

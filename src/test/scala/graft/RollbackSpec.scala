@@ -147,12 +147,16 @@ class RollbackSpec extends SparkSpecBase {
       val rewrite = h.find(_._2 == "rewrite").get
       assert(rewrite._4 === 90L, s"rewrite rows: $rewrite")
       // files: live entries only — the rewrite's, with real row counts
+      // and the rendered key zone the planner prunes by
       val f = spark.sql(
-        s"SELECT seq, rows, tombstone FROM graft_keyed.`$t`.files")
+        s"SELECT seq, rows, tombstone, min_key, max_key " +
+          s"FROM graft_keyed.`$t`.files")
         .collect()
       assert(f.nonEmpty && f.forall(r => r.getLong(0) == 3L &&
         !r.getBoolean(2)), s"files: ${f.toSeq}")
       assert(f.map(_.getLong(1)).sum === 90L)
+      assert(f.forall(r => r.getString(3).toLong <= r.getString(4).toLong),
+        s"rendered key zones must be ordered: ${f.toSeq}")
       // the relation is driver-computed bounded metadata: the plan must
       // not scan the table's data
       val plan = spark.sql(s"SELECT * FROM graft_keyed.`$t`.history")

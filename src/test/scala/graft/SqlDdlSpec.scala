@@ -116,6 +116,21 @@ class SqlDdlSpec extends SparkSpecBase {
     }
   }
 
+  test("SHOW TBLPROPERTIES surfaces declarations and the effective contract") {
+    val t = tmpDir("graft_ddl_show_") + "/t"
+    sink.append(rows(0, 50), t)
+    KeyedTableOps.declareSortOrder(t, Seq("c"))
+    withCatalog {
+      val props = spark.sql(s"SHOW TBLPROPERTIES ${ident(t)}")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("sortOrder").contains("c"), s"props: $props")
+      // never declared, but INFERRED from the committed manifests —
+      // the contract a write would actually use
+      assert(props.get("key").contains("k"), s"props: $props")
+      assert(props.get("writePartitions").contains("4"), s"props: $props")
+    }
+  }
+
   test("unknown procedures refuse with the offered list") {
     val t = tmpDir("graft_ddl_noproc_") + "/t"
     sink.append(rows(0, 10), t)
