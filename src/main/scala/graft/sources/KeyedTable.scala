@@ -2079,7 +2079,10 @@ object KeyedTable {
         val cumP = cum
         while (segMass > 0 && cumP + segMass >= nextCut &&
             bins.size < B - 1) {
-          cutAt(p + (q - p) * ((nextCut - cumP) / segMass), nextCut)
+          // clamp: float division can land epsilon past q, which would
+          // invert the NEXT bin's (lo, hi)
+          cutAt(math.min(q,
+            p + (q - p) * ((nextCut - cumP) / segMass)), nextCut)
         }
         cum = cumP + segMass
       }
