@@ -434,6 +434,38 @@ class RowLevelSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("a ROLLBACK racing a mid-flight statement: the stale statement " +
+      "aborts retryably and the restored state survives") {
+    val t = tmpDir("graft_rlo_occ_rb_") + "/t"
+    sink.append(rows(0, 10, "a"), t) // seq 1
+    sink.append(rows(0, 10, "b"), t) // seq 2
+    withCatalog {
+      val failure = interleave(mergeSql(t, 0, 5)) {
+        // the table rewinds to seq 1 while the statement is parked on
+        // its pinned (pre-rollback) snapshot — committing the
+        // statement would smuggle pre-rollback reads into the
+        // restored state
+        spark.sql(s"CALL graft_keyed.rollback('$t', 1)")
+      }
+      val e = failure.getOrElse(fail(
+        "the stale statement must abort against the interleaved restore"))
+      assert(exceptionChain(e).exists(m => m.getMessage != null &&
+        m.getMessage.contains("concurrent") &&
+        m.getMessage.contains("retry")),
+        s"the abort must be retryable and say so: ${e.getMessage}")
+      // the restored state is intact, the loser left no trace
+      val got = state(t)
+      (0L until 10L).foreach(k =>
+        assert(got(k) === ((s"a$k", k * 10)), s"key $k: ${got(k)}"))
+      // the retry pins the restored snapshot and wins over it
+      OccGate.reset(); OccGate.open()
+      spark.sql(mergeSql(t, 0, 5))
+      val after = state(t)
+      (0L until 5L).foreach(k => assert(after(k) === ((s"m$k", k * 7))))
+      (5L until 10L).foreach(k => assert(after(k) === ((s"a$k", k * 10))))
+    }
+  }
+
   test("interleaved commits over DISJOINT keys pass the conflict check") {
     val s = spark
     import s.implicits._
