@@ -21,6 +21,101 @@ object Scratch {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
+    if (args.headOption.contains("plans")) {
+      // dump explain("formatted") for the named queries into the given
+      // dir as <name>_<suffix>.txt (round-19 optimization evidence)
+      val outDir = args.lift(1).getOrElse("/root/repo/plans/r19")
+      val suffix = args.lift(2).getOrElse("before")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(3).foreach { name =>
+        val df = Catalog.byName(name).fn(spark, d)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[scratch] wrote $outDir/${name}_$suffix.txt")
+        spark.catalog.clearCache()
+        graft.ops.FrameCache.clear(spark)
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("profile")) {
+      // per-stage wall/cpu/shuffle census for one query run: which
+      // stages carry the time, and is it compute or exchange?
+      val stages = new java.util.concurrent.ConcurrentHashMap[
+        Int, (String, Long, Long, Long, Long, Int)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val m = si.taskMetrics
+            val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield c - s).getOrElse(-1L)
+            stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60),
+              wall, m.executorRunTime,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten, si.numTasks))
+          }
+        })
+      args.drop(1).foreach { name =>
+        // warm run (JIT/codegen), then the profiled run
+        noop(Catalog.byName(name).fn(spark, d))
+        spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+        stages.clear()
+        val t0 = System.nanoTime()
+        noop(Catalog.byName(name).fn(spark, d))
+        val total = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // let listener drain
+        println(f"[profile] $name total ${total}%.3f s, stages:")
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toSeq.sortBy(-_._2._2).take(15).foreach {
+          case (id, (nm, wall, run, sr, sw, nt)) =>
+            println(f"[profile]   stage $id%4d wall=${wall}%6d ms run=${run}%7d ms " +
+              f"tasks=$nt%3d shufR=${sr / 1024}%8d KB shufW=${sw / 1024}%8d KB  $nm")
+        }
+        spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("readtime")) {
+      // how much of fn-construction is spark.read.parquet itself?
+      (1 to 3).foreach { _ =>
+        Tables.names.foreach { n =>
+          val t0 = System.nanoTime()
+          Tables(spark, d, n)
+          println(f"[readtime] $n ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("plantime")) {
+      // split per-query wall into construct / analyze+optimize+plan /
+      // execute — is the headline paying compute or planner overhead?
+      args.drop(1).foreach { name =>
+        val q = Catalog.byName(name)
+        noop(q.fn(spark, d)) // warm (JIT, codegen cache, footers)
+        spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+        (1 to 3).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = q.fn(spark, d)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // analysis+optimization+physical
+          val t2 = System.nanoTime()
+          noop(df)
+          val t3 = System.nanoTime()
+          println(f"[plantime] $name construct=${(t1 - t0) / 1e6}%.0f ms " +
+            f"plan=${(t2 - t1) / 1e6}%.0f ms exec=${(t3 - t2) / 1e6}%.0f ms")
+          spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("streamprofile")) {
       // per-micro-batch cost breakdown for the real streaming runs:
       // where does the wall-clock sit — state-store commits, the

@@ -59,7 +59,11 @@ object DedupQueries {
     * fusing these would re-split the text once per array element
     * (measured ~8× slower at sf0.1). */
   private[queries] def docShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    // parallelism floor BEFORE the tokenize→shingle chain: the fixture
+    // ships documents as one single-row-group file, so without this the
+    // whole shingle pipeline runs inside one scan task (measured ~0.5 s
+    // serial wall at sf0.1); identity on multi-split inputs (ScanPar)
+    graft.ops.ScanPar.ensure(spark, Tables(spark, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("w"))
       // fused codegen'd tokens→hashed-shingles (ShingleHashes): no
       // shingle strings are ever materialized; byte-identical to the
@@ -573,9 +577,9 @@ object DedupQueries {
             concat_ws("_", transform(
               slice(col("sig"), b * bandRows + 1, bandRows), x => x.cast("string")))
           }: _*)).as(Seq("band", "key")))
-          .persist() // self-joined below
-        val cand = bands.alias("x")
-          .join(bands.alias("y"),
+        val bandsM = bands.persist() // self-joined below
+        val cand = bandsM.alias("x")
+          .join(bandsM.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
