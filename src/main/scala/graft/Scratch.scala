@@ -81,6 +81,21 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("finalplan")) {
+      // AQE-final executed plan (after one noop run) to a file
+      args.drop(1).foreach { name =>
+        val df = Catalog.byName(name).fn(spark, d)
+        noop(df)
+        val txt = df.queryExecution.executedPlan.toString
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"/tmp/finalplan_$name.txt"),
+          txt.getBytes("UTF-8"))
+        println(s"[scratch] wrote /tmp/finalplan_$name.txt")
+        spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("readtime")) {
       // how much of fn-construction is spark.read.parquet itself?
       (1 to 3).foreach { _ =>

@@ -255,7 +255,7 @@ object DedupQueries {
         // prefix is self-joined (each side would otherwise recompute
         // the whole tokenize→shingle→rank subtree)
         val sh = docShingles(s, d).persist()
-        val prefix = prefixIndex(sh).persist()
+        val prefix = prefixIndex(sh)
         // t = 3/5 exactly, so every bound is exact integer arithmetic:
         //  - size filter: 3*max <= 5*min
         //  - PPJoin positional filter: a shared prefix shingle at
@@ -568,7 +568,7 @@ object DedupQueries {
          |WHERE $jaccardSqlPair >= $jaccardThreshold""".stripMargin
     }, headline = true)(
       (s, d) => {
-        val sh = docShingles(s, d).persist() // hash set; reused by verify
+        val sh = docShingles(s, d) // reused by verify (exchange-reuse dedupes)
         // one-pass codegen'd signature (bit-compatible with the
         // 16-pass builtin formulation the oracle mirrors)
         val sig = sh.select(col("doc_id"), GraftFunctions.minhashSig(col("sh")).as("sig"))
@@ -577,7 +577,7 @@ object DedupQueries {
             concat_ws("_", transform(
               slice(col("sig"), b * bandRows + 1, bandRows), x => x.cast("string")))
           }: _*)).as(Seq("band", "key")))
-        val bandsM = bands.persist() // self-joined below
+        val bandsM = bands // self-join sides dedupe via ReuseExchange
         val cand = bandsM.alias("x")
           .join(bandsM.alias("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
