@@ -45,7 +45,7 @@ object Scratch {
       // per-stage wall/cpu/shuffle census for one query run: which
       // stages carry the time, and is it compute or exchange?
       val stages = new java.util.concurrent.ConcurrentHashMap[
-        Int, (String, Long, Long, Long, Long, Int)]()
+        Int, (String, Long, Long, Long, Long, Int, Long, Long)]()
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
@@ -57,7 +57,8 @@ object Scratch {
             stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60),
               wall, m.executorRunTime,
               m.shuffleReadMetrics.totalBytesRead,
-              m.shuffleWriteMetrics.bytesWritten, si.numTasks))
+              m.shuffleWriteMetrics.bytesWritten, si.numTasks,
+              m.executorCpuTime / 1000000L, m.jvmGCTime))
           }
         })
       args.drop(1).foreach { name =>
@@ -72,10 +73,85 @@ object Scratch {
         println(f"[profile] $name total ${total}%.3f s, stages:")
         import scala.jdk.CollectionConverters._
         stages.asScala.toSeq.sortBy(-_._2._2).take(15).foreach {
-          case (id, (nm, wall, run, sr, sw, nt)) =>
+          case (id, (nm, wall, run, sr, sw, nt, cpu, gc)) =>
             println(f"[profile]   stage $id%4d wall=${wall}%6d ms run=${run}%7d ms " +
+              f"cpu=${cpu}%7d ms gc=${gc}%6d ms " +
               f"tasks=$nt%3d shufR=${sr / 1024}%8d KB shufW=${sw / 1024}%8d KB  $nm")
         }
+        spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("stable")) {
+      // timing stability: same trivial shuffle job N times
+      import org.apache.spark.sql.functions._
+      val df = Tables(spark, d, "documents")
+        .groupBy(pmod(col("doc_id"), lit(32)).as("k")).agg(count(lit(1)))
+      (1 to 10).foreach { i =>
+        val t0 = System.nanoTime()
+        noop(df)
+        println(f"[stable] run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("ngramprobe")) {
+      // round-19 opt-2: which sub-pipeline of q_dedup_ngram_jaccard
+      // burns the CPU on the regenerated fixture?
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftFunctions
+      import graft.ops.TextOps
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[ngram] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
+      def docShingles0 =
+        graft.ops.ScanPar.ensure(spark, Tables(spark, d, "documents"), col("doc_id"))
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .select(col("doc_id"),
+            array_sort(array_distinct(
+              GraftFunctions.shingleHashes(col("w"), 3, TextOps.P))).as("sh"))
+      (1 to 3).foreach { round =>
+        println(s"[ngram] --- round $round ---")
+        val raw = Tables(spark, d, "documents")
+        time("raw scan noop")(noop(raw))
+        val scanpar = graft.ops.ScanPar.ensure(spark, raw, col("doc_id"))
+        time("scanpar noop")(noop(scanpar))
+        val toks = scanpar.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        time("tokens noop")(noop(toks))
+        val hashed = toks.select(col("doc_id"),
+          GraftFunctions.shingleHashes(col("w"), 3, TextOps.P).as("sh"))
+        time("shingleHashes noop")(noop(hashed))
+        val sh0 = docShingles0
+        time("docShingles noop")(noop(sh0))
+        val ex = sh0.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        time("explode noop")(noop(ex))
+        val dict = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2)
+        time("dict noop")(noop(dict))
+        val joined = ex.join(broadcast(dict), Seq("shingle"), "left")
+        time("ex join dict noop")(noop(joined))
+        val ranked = joined
+          .groupBy(col("doc_id"))
+          .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"),
+            col("shingle").as("shingle"))).as("ds"))
+          .select(col("doc_id"), size(col("ds")).as("sz"), col("ds"))
+        time("ranked (collect_list) noop")(noop(ranked))
+        val sorted = ranked
+          .select(col("doc_id"), col("sz"),
+            slice(array_sort(col("ds")),
+              lit(1), expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
+              .as("pref"))
+        time("array_sort+slice noop")(noop(sorted))
+        val prefix = sorted
+          .select(col("doc_id"), col("sz"),
+            posexplode(col("pref")).as(Seq("pos", "ps")))
+          .select(col("doc_id"), col("ps.shingle").as("shingle"),
+            col("sz"), col("pos"))
+        time("prefixIndex noop")(noop(prefix))
         spark.catalog.clearCache(); graft.ops.FrameCache.clear(spark)
       }
       spark.stop(); return

@@ -110,6 +110,13 @@ object GraftFunctions {
     call_function("graft_minhash_sig", hashes)
   }
 
+  /** Row-local (df, shingle) rarity ranking against a broadcast sorted
+    * dictionary (see [[RankByDf]]); absent keys rank with df = 1. */
+  def rankByDf(sh: Column, dictKeys: Column, dictDfs: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_rank_by_df", sh, dictKeys, dictDfs)
+  }
+
   /** Fused tokens → hashed n-gram shingles (see [[ShingleHashes]]).
     * Registered variants only: n ∈ [[ShingleNs]], mod ∈ {0, TextOps.P}. */
   def shingleHashes(toks: Column, n: Int, mod: Long): Column = {
@@ -227,6 +234,9 @@ object GraftFunctions {
       "graft_intersect_count", exprs => ArrayIntersectCountSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash_sig", exprs => MinHashSig(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_rank_by_df",
+      exprs => RankByDf(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_char_ngrams_3", exprs => CharNGrams(exprs(0), 3), "built-in")
     reg.createOrReplaceTempFunction(

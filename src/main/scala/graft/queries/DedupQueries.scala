@@ -104,36 +104,42 @@ object DedupQueries {
     * for the plain equi-join — a one-line change that trades this
     * map-side lookup for the exploded-stream shuffle. */
   private[queries] def prefixIndex(sh: DataFrame): DataFrame = {
-    // WINDOW-FREE ranking (round 9): the old shape exploded the full
-    // shingle stream and ranked it with row_number() over a doc_id
-    // window — one hash exchange plus a full sort of every shingle in
-    // the corpus just to keep the first |A| − ceil(t|A|) + 1 of each
-    // doc. With the df ≥ 2 dictionary already small enough to
-    // broadcast, the (df, shingle) total order can instead be
-    // computed ROW-LOCALLY over each doc's shingle array: fold the
-    // dictionary into a single-row df-map, array_sort the per-doc
-    // (coalesce(df,1), shingle) structs, slice the prefix, and
-    // posexplode ONLY the prefix. The exploded-prefix output is
-    // ~2/5 of the old exploded stream and never shuffles or sorts;
-    // positions are identical bit-for-bit (same total order, and
-    // slice keeps exactly the rows the old pos < bound filter kept).
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // WINDOW-FREE ranking (round 9), made ROW-LOCAL end to end
+    // (round 19): the round-9 shape exploded the full shingle stream,
+    // broadcast-hash-joined the df ≥ 2 dictionary onto it, and
+    // re-aggregated per doc (collect_list of (df, shingle) structs +
+    // array_sort + slice) — one exchange plus per-doc struct buffers,
+    // and the whole subtree planned TWICE under the candidate
+    // self-join (AQE does not stage-reuse the aliased copies;
+    // measured plans in plans/r19). Now the dictionary itself is the
+    // only aggregate: it folds to ONE row of two aligned sorted
+    // arrays (keys, dfs), broadcasts, and [[GraftFunctions.rankByDf]]
+    // ranks each doc's shingle array in place with binary-search
+    // lookups — no rank exchange, no struct sort, and the duplicated
+    // subtree left under the self-join is a cached-scan + projection.
+    // The (df, shingle) total order — and therefore every candidate —
+    // is bit-identical to the round-9 design (coalesce(df, 1)
+    // semantics included: absent keys rank with df = 1, and a df = 1
+    // shingle can never generate a candidate anyway). SCALING.md
+    // records the single-row-MAP rank variant failing 20× on Spark's
+    // linear map lookup; sorted arrays + binary search are the fix.
+    // The dictionary stays duplicate-vocabulary-sized (df ≥ 2 only) —
+    // same broadcast-size posture as the round-9 design.
+    val ex = sh.select(explode(col("sh")).as("shingle"))
     val dict = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
-    val ranked = ex.join(broadcast(dict), Seq("shingle"), "left")
-      .groupBy(col("doc_id"))
-      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"),
-        col("shingle").as("shingle"))).as("ds"))
-      .select(col("doc_id"), size(col("ds")).as("sz"), col("ds"))
-    ranked
+    val dictRow = dict
+      .agg(array_sort(collect_list(struct(col("shingle"), col("df")))).as("kv"))
+      .select(transform(col("kv"), x => x.getField("shingle")).as("ks"),
+        transform(col("kv"), x => x.getField("df")).as("ds"))
+    sh.crossJoin(broadcast(dictRow))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        GraftFunctions.rankByDf(col("sh"), col("ks"), col("ds")).as("ranked"))
       .select(col("doc_id"), col("sz"),
-        slice(array_sort(col("ds")),
-          lit(1), expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)"))
-          .as("pref"))
-      .select(col("doc_id"), col("sz"),
-        posexplode(col("pref")).as(Seq("pos", "ps")))
-      .select(col("doc_id"), col("ps.shingle").as("shingle"),
-        col("sz"), col("pos"))
+        posexplode(slice(col("ranked"),
+          lit(1), expr("CAST(sz - ((sz*3+4) div 5) + 1 AS INT)")))
+          .as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("shingle"), col("sz"), col("pos"))
   }
 
   private[queries] def jaccardSqlPair =

@@ -92,6 +92,50 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(diff.count() === 0)
   }
 
+  test("rankByDf == broadcast-join + struct-sort rank, bit-exact on real shingles") {
+    // the round-9 prefix ranking (explode → join df≥2 dict →
+    // collect_list(struct(df, shingle)) → array_sort) is the reference
+    // formulation; the row-local binary-search expression must emit the
+    // exact same (df, shingle) ascending order per document
+    import spark.implicits._
+    val toks = split(trim(col("text")), " ")
+    val sh = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          GraftFunctions.shingleHashes(toks, 3, TextOps.P))).as("sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dict = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val ref = ex.join(broadcast(dict), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(coalesce(col("df"), lit(1L)).as("df"),
+        col("shingle").as("shingle"))).as("ds"))
+      .select(col("doc_id"),
+        transform(array_sort(col("ds")), x => x.getField("shingle")).as("ref"))
+    val dictRow = dict
+      .agg(array_sort(collect_list(struct(col("shingle"), col("df")))).as("kv"))
+      .select(transform(col("kv"), x => x.getField("shingle")).as("ks"),
+        transform(col("kv"), x => x.getField("df")).as("ds"))
+    val native = sh.crossJoin(broadcast(dictRow))
+      .select(col("doc_id"),
+        GraftFunctions.rankByDf(col("sh"), col("ks"), col("ds")).as("native"))
+    val diff = native.join(ref, Seq("doc_id"))
+      .where(col("native") =!= col("ref"))
+    assert(diff.count() === 0)
+    // empty dictionary → pure shingle order (all df = 1); empty array → empty
+    val edge = Seq((Seq(9L, 2L, 5L), Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(2L), Seq(7L))).toDF("sh", "ks", "ds")
+      .select(GraftFunctions.rankByDf(col("sh"), col("ks"), col("ds")).as("r"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge(0) === Seq(2L, 5L, 9L) && edge(1) === Seq.empty[Long])
+    // dictionary ranks common shingles AFTER rare ones regardless of value
+    val ranked = Seq((Seq(1L, 2L, 3L), Seq(1L, 3L), Seq(5L, 2L)))
+      .toDF("sh", "ks", "ds")
+      .select(GraftFunctions.rankByDf(col("sh"), col("ks"), col("ds")).as("r"))
+      .collect().head.getSeq[Long](0)
+    assert(ranked === Seq(2L, 3L, 1L)) // df: 2→1, 3→2, 1→5
+  }
+
   test("minhashSig == 16-pass builtin formulation, bit-exact") {
     val toks = split(trim(col("text")), " ")
     val hashes = GraftFunctions.h32Array(toks, TextOps.P)
