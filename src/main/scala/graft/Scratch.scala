@@ -83,6 +83,37 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("qualprobe")) {
+      // which quality-rule feature costs the battery its first-run
+      // wall? time each feature column alone (fresh names → fresh
+      // codegen each round approximates cold execution)
+      import org.apache.spark.sql.functions._
+      import graft.ops.TextOps._
+      def time(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        noop(df)
+        println(f"[qual] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      val base = Tables(spark, d, "documents")
+        .select(col("doc_id"), col("text"),
+          graft.functions.GraftFunctions.materialize(tokens(col("text"))).as("w"))
+      (1 to 2).foreach { r =>
+        println(s"[qual] --- round $r ---")
+        time("base tokens")(base)
+        time("sum_tok_len")(base.select(col("doc_id"),
+          aggregate(transform(col("w"), t => length(t).cast("bigint")),
+            lit(0L), (acc, v) => acc + v).as("x")))
+        time("n_sym regexp")(base.select(col("doc_id"),
+          length(regexp_replace(col("text"), "[a-z0-9 ]", "")).as("x")))
+        time("n_stop_distinct")(base.select(col("doc_id"),
+          size(array_distinct(filter(col("w"), t => t.isInCollection(Seq("the", "a", "value", "data", "table"))))).as("x")))
+        time("n_dup_5grams")(base.select(col("doc_id"),
+          size(array_distinct(shingles(col("w"), 5))).as("x")))
+        time("full battery")(Catalog.byName("q_text_quality_rules").fn(spark, d))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("stable")) {
       // timing stability: same trivial shuffle job N times
       import org.apache.spark.sql.functions._

@@ -18,6 +18,21 @@ object TextQueries {
 
   private val langs = Seq("de", "en", "es", "fr", "zh")
 
+  /** `documents` scan with the ScanPar parallelism floor (guide §2.5):
+    * the fixture ships the corpus as one single-row-group file, so
+    * every tokenize/shingle/regexp chain in this family would run
+    * inside ONE scan task — on the round-19 regenerated fixture that
+    * serial per-row work is the family's dominant cost (measured:
+    * every text stage profiled at tasks=1). One hash exchange of the
+    * raw (doc_id, lang, source, text) rows (~600 KB at sf0.1) buys
+    * 32-way parallelism for work that costs 0.5–12 s serial; identity
+    * on any real multi-split input. Applied ONLY to the token-stream /
+    * per-row-HOF bases — count-only aggregates, scalar-column groupBys
+    * and pure join-probe sides keep the bare scan (the floor measured
+    * NEGATIVE on cheap chains, OPTIMIZATION_r19.md). */
+  private def docsPar(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.ops.ScanPar.ensure(s, Tables(s, d, "documents"), col("doc_id"))
+
   /** Per-document hash-lexicon scores (s_de..s_zh), reduce-then-hash:
     * a token's lexicon membership depends only on the WORD, so hash a
     * distinct-word vocabulary once and join it back to per-doc word
@@ -28,7 +43,7 @@ object TextQueries {
     * for a shuffle join on a corpus whose vocabulary outgrows the
     * driver). */
   private def langidScores(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val tok = Tables(s, d, "documents")
+    val tok = docsPar(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
     val vocab = tok.select(col("t")).distinct()
       .select(col("t") +: langs.map(l =>
@@ -113,8 +128,12 @@ object TextQueries {
         (if (keepTokens) Seq(col("w")) else Nil)
     // Materialize fences the token array: without it the keep-filter
     // pushdown substitutes `w` by split(text) inside every element_at
-    // lambda (no CSE inside HOF lambdas) — measured ~10× battery cost
-    val feat = Tables(s, d, "documents")
+    // lambda (no CSE inside HOF lambdas) — measured ~10× battery cost.
+    // ScanPar: the battery is ~1 ms/doc of row-local feature work on
+    // the round-19 fixture (5-gram distinct, HOF folds, regexp) — far
+    // past the one narrow exchange the floor inserts on a single-row-
+    // group scan; identity on any real multi-split input (guide §2.5)
+    val feat = docsPar(s, d)
       .select(col("doc_id"), col("lang"), col("text"),
         graft.functions.GraftFunctions.materialize(tokens(col("text"))).as("w"))
       .select(
@@ -179,7 +198,7 @@ object TextQueries {
       expr("transform(sequence(1, size(w) - 1)," +
         " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
       .otherwise(array().cast("array<string>"))
-    val bg = Tables(s, d, "documents")
+    val bg = docsPar(s, d)
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), explode(bigramsOf).as("g"))
       .persist() // training counts + scoring join
@@ -298,7 +317,7 @@ object TextQueries {
         // would otherwise re-split the text per reference)
         val totalChars = aggregate(transform(col("w"), t => length(t).cast("bigint")),
           lit(0L), (acc, v) => acc + v)
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(
             col("doc_id"),
@@ -327,7 +346,7 @@ object TextQueries {
         |  len(list_filter(t, x -> regexp_matches(x, '^[^A-Za-z0-9]'))) AS n_symbol_runs
         |FROM tk""".stripMargin))(
       (s, d) =>
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), regexp_extract_all(col("text"),
             lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)).as("t"))
           .select(col("doc_id"),
@@ -357,7 +376,7 @@ object TextQueries {
       (s, d) => {
         val nStop = size(filter(col("w"), t => t.isInCollection(stopwords)))
         val stopRatio = nStop.cast("double") / size(col("w"))
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), col("text"), tokens(col("text")).as("w"))
           .select(
             col("doc_id"),
@@ -430,7 +449,7 @@ object TextQueries {
         |FROM c GROUP BY doc_id, lang""".stripMargin))(
       (s, d) => {
         val rv = regexp_replace(col("tok"), "[aeiou]+", "#")
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), col("lang"),
             explode(tokens(col("text"))).as("tok"))
           .select(col("doc_id"), col("lang"),
@@ -599,7 +618,7 @@ object TextQueries {
         val gh = graft.functions.GraftFunctions.shingleHashes(col("w"), 5, 0L)
         val winnow = transform(sequence(lit(1), size(col("gh")) - 3),
           j => array_min(slice(col("gh"), j, lit(4))))
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), tokens(col("text")).as("w"))
           .select(col("doc_id"), gh.as("gh"))
           .select(col("doc_id"), size(col("gh")).cast("bigint").as("n_grams"),
@@ -922,7 +941,7 @@ object TextQueries {
           transform(sequence(lit(1), size(col("t")) - (n - 1)),
             i => concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*)))
           .otherwise(array().cast("array<string>"))
-        val docs = Tables(s, d, "documents")
+        val docs = docsPar(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
         val bg = docs.select(col("doc_id"), explode(grams(2)).as("gram"))
           .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("n"))
@@ -968,7 +987,7 @@ object TextQueries {
          |    len(list_filter(t, x -> x IN ($stopIn))) AS n_stop
          |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents))""".stripMargin))(
       (s, d) =>
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .select(col("doc_id"),
             size(col("t")).cast("bigint").as("n_tokens"),
@@ -1208,7 +1227,7 @@ object TextQueries {
           expr("transform(sequence(1, size(w) - 1)," +
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
           .otherwise(array().cast("array<string>"))
-        val bg = Tables(s, d, "documents")
+        val bg = docsPar(s, d)
           .select(tokens(col("text")).as("w"))
           .select(explode(bigramsOf).as("g"))
         val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("n2"))
@@ -1266,7 +1285,7 @@ object TextQueries {
          |FROM sh JOIN fst ON sh.h = fst.h
          |GROUP BY sh.doc_id""".stripMargin))(
       (s, d) => {
-        val sh = Tables(s, d, "documents")
+        val sh = docsPar(s, d)
           .select(col("doc_id"),
             explode(array_distinct(graft.functions.GraftFunctions
               .shingleHashes(tokens(col("text")), 5, graft.ops.TextOps.P)))
@@ -1505,7 +1524,7 @@ object TextQueries {
          |  CAST(sum(b) AS DOUBLE) / sum(st) AS bytes_per_subtoken
          |FROM f GROUP BY lang""".stripMargin))(
       (s, d) =>
-        Tables(s, d, "documents")
+        docsPar(s, d)
           .select(col("lang"),
             size(tokens(col("text"))).cast("bigint").as("w"),
             size(regexp_extract_all(col("text"),
@@ -1587,7 +1606,7 @@ object TextQueries {
          |WHERE bg.c12 >= 5
          |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin))(
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = docsPar(s, d)
         val tok = docs.select(explode(tokens(col("text"))).as("w"))
         val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val n = tok.count()
@@ -1821,7 +1840,7 @@ object TextQueries {
          |GROUP BY tok.doc_id""".stripMargin
     })(
       (s, d) => {
-        val tok = Tables(s, d, "documents")
+        val tok = docsPar(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
         val wf = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
         // sequence(1, 0) would be DESCENDING — guard zero-length words
@@ -1831,6 +1850,14 @@ object TextQueries {
               sequence(1, length(w)), i -> substring(w, i, 1)), '  '), ' ')"""))
             .otherwise(lit("  ")).as("sp"))
         for (_ <- 1 to 3) {
+          // persist each round's vocab frame: round k's pair count AND
+          // round k+1's merge both read v_k — unpersisted, the two
+          // consumers re-derive the whole preceding chain and the plan
+          // tree doubles per round (2³ copies of the char-split
+          // pipeline by round 3; the DuckDB twin materializes each CTE
+          // once). The frame is vocabulary-sized — bounded at any
+          // corpus scale, the same posture as the broadcast model
+          v = v.persist()
           val pairs = v.select(col("n"),
               expr("split(trim(sp), '  ')").as("a"))
             .select(col("n"), explode(when(size(col("a")) >= 2,
