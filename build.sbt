@@ -30,5 +30,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full-catalog single-JVM pass (483 queries, 32
+  // local task threads, streaming state stores, sort-heavy write
+  // paths) measurably degrades under an 8g heap on the current
+  // fixture — GC/spill pressure builds as the pass proceeds and the
+  // late alphabetical families (q_stream_*) pay 2-7x their isolated
+  // cost (651 s -> 503 s catalog total from the heap bump alone,
+  // measured 2026-08-19). Env-overridable for smaller boxes; a real
+  // cluster sizes executors separately (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits thousands of generated classes across a
+  // full-catalog pass; the JDK default 240m code cache fills late in
+  // the pass and the JIT stops compiling (everything after runs
+  // interpreted). 512m keeps the compiler on for the whole catalog.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )
