@@ -66,10 +66,23 @@ object FrameCache {
     * every memo site either runs its action inside the build thunk
     * (the frames are eager localCheckpoints) or composes the served
     * frame into a query executed before the next >maxEntries distinct
-    * memo calls — with serial drivers and 24 slots, an entire catalog
+    * memo calls — with serial drivers and 64 slots, an entire catalog
     * family fits between serve and action. Holding a served frame
-    * across unbounded later memo traffic is outside the contract. */
-  val maxEntries = 24
+    * across unbounded later memo traffic is outside the contract.
+    *
+    * Sizing: the catalog has ~53 distinct memo keys per (fixture,
+    * layout); at 24 slots a full alphabetical pass EVICTED the shared
+    * dedup-clusters frame mid-pass (the ktable family's ~35 keys blow
+    * through the LRU between q_dedup_canonical building it and
+    * q_link_blocking_quality / q_sample_split_cluster_safe consuming
+    * it), silently re-running the whole LSH + connected-components
+    * pipeline twice more per pass (~4 s each, measured r19). 64 covers
+    * the catalog's key population with headroom; the frames are
+    * doc-count-sized labelings and staged-run outputs (MBs), so the
+    * bound still exists only to keep a multi-tenant session from
+    * accumulating blocks across many fixture dirs, not to save memory
+    * within one catalog pass. */
+  val maxEntries = 64
 
   def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
     synchronized {
